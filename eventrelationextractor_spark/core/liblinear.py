@@ -1,0 +1,106 @@
+"""S11/M2: liblinear text-model loading and dense multiclass prediction.
+
+Replicates de.bwaldvogel.liblinear Linear.predict exactly as the reference
+drives it (EventEventRelationClassifier.predict, lines 274-314):
+
+* the model file stores ``nr_feature`` (+1 bias) rows of ``nr_class``
+  weights, columns ordered by the header's ``label`` array;
+* the reference does NOT append a bias feature node, so with bias >= 0 the
+  feature at 1-based index nr_feature+1 is multiplied by the bias row and
+  features beyond that are silently ignored - we reproduce that truncation;
+* ties pick the first class in label-array order (strict '>' in liblinear);
+* the predicted label value v maps to the pipeline's string label via
+  ``label_names[v-1]`` (EventEventRelationClassifier.java:307).
+
+Prediction is a single numpy matmul, so at the Spark layer this runs inside
+an Arrow-batched pandas UDF over the broadcast (W, labels) pair.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_RES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "resources", "models")
+
+# string label vocabularies indexed by the 1-based numeric label value
+TEMP_LABELS = ("BEFORE", "AFTER", "IBEFORE", "IAFTER", "IDENTITY",
+               "SIMULTANEOUS", "INCLUDES", "IS_INCLUDED", "DURING",
+               "DURING_INV", "BEGINS", "BEGUN_BY", "ENDS", "ENDED_BY")
+CAUS_LABELS = ("CLINK", "CLINK-R", "NONE")
+
+
+class LinearModel:
+    __slots__ = ("solver", "nr_class", "labels", "nr_feature", "bias", "w")
+
+    def __init__(self, solver, nr_class, labels, nr_feature, bias, w):
+        self.solver = solver
+        self.nr_class = nr_class
+        self.labels = labels          # numeric label values, column order
+        self.nr_feature = nr_feature
+        self.bias = bias
+        self.w = w                    # (nr_feature [+1 if bias>=0], nr_class)
+
+    def predict_values(self, X: np.ndarray) -> np.ndarray:
+        """Decision values, columns in model-label order."""
+        n = self.nr_feature + (1 if self.bias >= 0 else 0)
+        used = min(X.shape[1], n)
+        return X[:, :used] @ self.w[:used]
+
+    def predict_label_values(self, X: np.ndarray) -> np.ndarray:
+        """Numeric label values (ties -> first label column, as liblinear)."""
+        if X.shape[0] == 0:
+            return np.empty(0, dtype=np.int64)
+        scores = self.predict_values(X)
+        idx = np.argmax(scores, axis=1)  # first max wins, same as liblinear
+        return np.asarray(self.labels)[idx]
+
+    def predict_strings(self, X: np.ndarray, label_names) -> list:
+        return [label_names[v - 1] for v in self.predict_label_values(X)]
+
+
+def load_model(path: str) -> LinearModel:
+    with open(path, encoding="utf-8") as f:
+        header = {}
+        labels = []
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "w":
+                break
+            if parts[0] == "label":
+                labels = [int(x) for x in parts[1:]]
+            else:
+                header[parts[0]] = parts[1]
+        nr_class = int(header["nr_class"])
+        nr_feature = int(header["nr_feature"])
+        bias = float(header.get("bias", "-1"))
+        rows = nr_feature + (1 if bias >= 0 else 0)
+        w = np.empty((rows, nr_class), dtype=np.float64)
+        r = 0
+        for line in f:
+            vals = line.split()
+            if not vals:
+                continue
+            w[r] = [float(v) for v in vals[:nr_class]]
+            r += 1
+            if r == rows:
+                break
+    return LinearModel(header.get("solver_type", ""), nr_class, labels,
+                       nr_feature, bias, w)
+
+
+_MODEL_CACHE: dict = {}
+
+
+def shipped_model(name: str) -> LinearModel:
+    """Load one of the vendored reference models by short name:
+    'dct' | 'et' | 'ee' | 'causal'."""
+    if name not in _MODEL_CACHE:
+        fname = {"dct": "temprelpro-dct.model", "et": "temprelpro-et.model",
+                 "ee": "temprelpro-ee.model", "causal": "causerelpro.model"}[name]
+        _MODEL_CACHE[name] = load_model(os.path.join(_RES, fname))
+    return _MODEL_CACHE[name]

@@ -1,0 +1,287 @@
+"""Per-document end-to-end extraction: the TempRelPro / CauseRelPro sieve
+cascades (SURVEY.md §3.1, §3.2) as pure functions DocState -> triples.
+
+Semantics follow /root/reference/src/relpro/TempRelPro.java:508-615
+(testModel: tt rules -> E-DCT rule(+clf) -> E-T rule(+clf) -> E-E rule(+clf))
+and CauseRelPro.java:97-305,377-398. At the Spark layer one call of these
+functions handles one document inside an ``applyInPandas`` group - the
+corpus is embarrassingly parallel by url.
+
+Replicated quirks:
+* the timex-timex loop iterates ``doc.getEntities().keySet().toArray()`` in
+  Java HashMap order (TempRelPro.java:64) - reproduced via javacompat so
+  which member of a pair is t1 matches the reference;
+* the rule mutates DCT timexes (strip time-of-day, force DATE) before any
+  comparison - applied once up front, which is equivalent because the
+  mutation is idempotent;
+* EE rule output IDENTITY is remapped to SIMULTANEOUS (TempRelPro.java:572);
+* causal candidates are gated on sentence-level signal/verb hits
+  (CauseRelPro.java:61-95) and emitted in HashMap order of the "e1,e2" keys;
+* the causal classifier gate evaluates getCausalSignal on the *unordered*
+  pair (CauseRelPro.java:218-222) while features use the ordered pair;
+* causal classifier predictions equal to NONE are dropped
+  (CauseRelPro.java:392).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from . import features
+from .deps import ee_dependency_path, et_dependency_path, pair_order
+from .docmodel import DocState, Mention
+from .eventrules import event_causality_rule, event_event_rule, event_timex_rule
+from .javacompat import java_hashmap_order
+from .lexicons import Lexicons, load_lexicons
+from .liblinear import CAUS_LABELS, TEMP_LABELS, shipped_model
+from .markers import get_causal_signal, get_causal_verb
+from .timexrule import inverse_relation, normalize_dct, timex_timex_relation
+
+
+@dataclass
+class Triple:
+    source: str
+    target: str
+    rel: str
+    stage: str          # 'tt-rule' | '{dct,et,ee}-rule' | '{dct,et,ee}-clf'
+    pair_type: str      # 'tt' | 'ed' | 'et' | 'ee' | 'causal'
+
+
+def timex_timex_rule_links(doc: DocState) -> dict:
+    """getTimexTimexRuleRelation (TempRelPro.java:63-83): both directions."""
+    if doc.dct is not None:
+        doc.dct.tmx_type, doc.dct.tmx_value = normalize_dct(
+            doc.dct.tmx_type, doc.dct.tmx_value)
+    dct_value = doc.dct.tmx_value if doc.dct is not None else ""
+    keys = java_hashmap_order(list(doc.entities.keys()))
+    tt: dict = {}
+    for i in range(len(keys)):
+        e1 = doc.entities[keys[i]]
+        if not e1.is_timex:
+            continue
+        if e1.is_dct:
+            e1.tmx_type, e1.tmx_value = normalize_dct(e1.tmx_type, e1.tmx_value)
+        for j in range(i + 1, len(keys)):
+            e2 = doc.entities[keys[j]]
+            if not e2.is_timex:
+                continue
+            if e2.is_dct:
+                e2.tmx_type, e2.tmx_value = normalize_dct(e2.tmx_type,
+                                                          e2.tmx_value)
+            rel = timex_timex_relation(e1.tmx_type, e1.tmx_value,
+                                       e2.tmx_type, e2.tmx_value, dct_value,
+                                       identity_rel=False)
+            if rel != "O":
+                tt[(keys[i], keys[j])] = rel
+                tt[(keys[j], keys[i])] = inverse_relation(rel)
+    return tt
+
+
+def _candidate_groups(doc: DocState):
+    """Candidate pair routing (F1-F3): dct / et / ee groups, each pair
+    canonically ordered (R7) with label inversion on swap."""
+    dct_pairs, et_pairs, ee_pairs = [], [], []
+    for src, tgt, rel in doc.tlinks:
+        if src == tgt or src not in doc.entities or tgt not in doc.entities:
+            continue
+        e1, e2 = doc.entities[src], doc.entities[tgt]
+        if e1.kind == "EVENT" and e2.kind == "EVENT":
+            label = rel
+            if pair_order(doc, e1, e2) == "AFTER":
+                e1, e2 = e2, e1
+                label = inverse_relation(label)
+            ee_pairs.append((e1, e2, label))
+        elif e1.is_timex != e2.is_timex:
+            label = rel
+            if e1.is_timex:
+                e1, e2 = e2, e1
+                label = inverse_relation(label)
+            if e2.is_dct:
+                dct_pairs.append((e1, e2, label))
+            else:
+                et_pairs.append((e1, e2, label))
+    return dct_pairs, et_pairs, ee_pairs
+
+
+def temporal_triples(doc: DocState, lexicons: Lexicons | None = None) -> list:
+    """The full temporal sieve cascade (TempRelPro.testModel)."""
+    lx = lexicons or load_lexicons()
+    out: list[Triple] = []
+
+    tt = timex_timex_rule_links(doc)
+    for (src, tgt), rel in tt.items():
+        out.append(Triple(src, tgt, rel, "tt-rule", "tt"))
+
+    dct_pairs, et_pairs, ee_pairs = _candidate_groups(doc)
+
+    dct_clf, et_clf, ee_clf = [], [], []
+    for e1, e2, label in dct_pairs:
+        dep = et_dependency_path(doc, e1, e2)
+        rel = event_timex_rule(doc, e1, e2, dep)
+        if rel != "O":
+            out.append(Triple(e1.mid, e2.mid, rel, "dct-rule", "ed"))
+        else:
+            dct_clf.append((e1, e2, label))
+    for e1, e2, label in et_pairs:
+        dep = et_dependency_path(doc, e1, e2)
+        rel = event_timex_rule(doc, e1, e2, dep)
+        if rel != "O":
+            out.append(Triple(e1.mid, e2.mid, rel, "et-rule", "et"))
+        else:
+            et_clf.append((e1, e2, label))
+    for e1, e2, label in ee_pairs:
+        dep = ee_dependency_path(doc, e1, e2)
+        rel = event_event_rule(doc, e1, e2, dep)
+        if rel != "O":
+            if rel == "IDENTITY":
+                rel = "SIMULTANEOUS"
+            out.append(Triple(e1.mid, e2.mid, rel, "ee-rule", "ee"))
+        else:
+            ee_clf.append((e1, e2, label))
+
+    # Both event-timex branches use the ET featureList: TempRelPro
+    # instantiates EventTimexRelationClassifier for the DCT model too
+    # (TempRelPro.java:511-512); EventDctRelationClassifier's richer list is
+    # unused by the shipped pipeline.
+    for group, name, ptype, build in (
+            (dct_clf, "dct", "ed",
+             lambda e1, e2, lb: features.et_vector(doc, e1, e2, lb, False)),
+            (et_clf, "et", "et",
+             lambda e1, e2, lb: features.et_vector(doc, e1, e2, lb, False)),
+            (ee_clf, "ee", "ee",
+             lambda e1, e2, lb: features.ee_vector(doc, e1, e2, lb, lx))):
+        if not group:
+            continue
+        X = features.to_matrix([build(e1, e2, lb)[:-1]
+                                for e1, e2, lb in group])
+        preds = shipped_model(name).predict_strings(X, TEMP_LABELS)
+        for (e1, e2, _), rel in zip(group, preds):
+            out.append(Triple(e1.mid, e2.mid, rel, name + "-clf", ptype))
+    return out
+
+
+def _sentence_lower_text(doc: DocState, sent) -> str:
+    i0 = doc.tokens[sent.start_tok].idx
+    i1 = doc.tokens[sent.end_tok].idx
+    return " ".join(doc.tokens[t].text.lower()
+                    for t in doc.token_arr[i0:i1 + 1])
+
+
+def _sentence_lemma_text(doc: DocState, sent) -> str:
+    i0 = doc.tokens[sent.start_tok].idx
+    i1 = doc.tokens[sent.end_tok].idx
+    return " ".join(doc.tokens[t].lemma for t in doc.token_arr[i0:i1 + 1])
+
+
+def _contains_any_pattern(text: str, patterns) -> bool:
+    s = " " + text + " "
+    return any(p.search(s) for p in patterns)
+
+
+def _compiled_signal_patterns(lx: Lexicons):
+    """Reference bug kept: isContainCausalSignal (CauseRelPro.java:61-77)
+    iterates csignalList.getList() whose KEYS are the numeric signal ids
+    ("1".."65"), so the sentence gate actually tests for standalone number
+    tokens, not the signal phrases."""
+    return [re.compile(" " + k + " ") for k in lx.causal_cluster]
+
+
+def _compiled_verb_patterns(lx: Lexicons):
+    return [re.compile(" " + re.escape(v).replace("\\ ", " ") + " ")
+            for v in lx.causal_verb]
+
+
+def causal_candidate_pairs(doc: DocState, lx: Lexicons) -> list:
+    """getCandidatePairs (CauseRelPro.java:97-153) in HashMap key order."""
+    clinks = {}
+    for src, tgt in doc.clinks:
+        clinks[src + "," + tgt] = "CLINK"
+        clinks[tgt + "," + src] = "CLINK-R"
+
+    sig_pats = _compiled_signal_patterns(lx)
+    verb_pats = _compiled_verb_patterns(lx)
+    sent_has_signal = {}
+    sent_has_verb = {}
+    for sid in doc.sentence_arr:
+        s = doc.sentences[sid]
+        sent_has_signal[sid] = _contains_any_pattern(
+            _sentence_lower_text(doc, s), sig_pats)
+        sent_has_verb[sid] = _contains_any_pattern(
+            _sentence_lemma_text(doc, s), verb_pats)
+
+    candidates: dict = {}
+    for si, sid in enumerate(doc.sentence_arr):
+        s1 = doc.sentences[sid]
+        gate_same = sent_has_signal[sid] or sent_has_verb[sid]
+        for i, mid1 in enumerate(s1.entity_arr):
+            e1 = doc.entities[mid1]
+            if gate_same and i < len(s1.entity_arr) - 1:
+                for mid2 in s1.entity_arr[i + 1:]:
+                    e2 = doc.entities[mid2]
+                    if e1.kind == "EVENT" and e2.kind == "EVENT":
+                        pair = mid1 + "," + mid2
+                        if pair not in candidates:
+                            candidates[pair] = clinks.get(pair, "NONE")
+            if si < len(doc.sentence_arr) - 1:
+                sid2 = doc.sentence_arr[si + 1]
+                if sent_has_signal[sid2]:
+                    for mid2 in doc.sentences[sid2].entity_arr:
+                        e2 = doc.entities[mid2]
+                        if e1.kind == "EVENT" and e2.kind == "EVENT":
+                            pair = mid1 + "," + mid2
+                            if pair not in candidates:
+                                candidates[pair] = clinks.get(pair, "NONE")
+    order = java_hashmap_order(list(candidates.keys()))
+    return [(k, candidates[k]) for k in order]
+
+
+def causal_triples(doc: DocState, tlinks_map: dict | None = None,
+                   lexicons: Lexicons | None = None) -> list:
+    """The causal cascade: rule sieve then gated classifier
+    (CauseRelPro.getEventEventClinksPerText + testModel)."""
+    lx = lexicons or load_lexicons()
+    tlinks_map = tlinks_map or {}
+    out: list[Triple] = []
+    clf_rows, clf_pairs = [], []
+
+    for pair, gold in causal_candidate_pairs(doc, lx):
+        src, tgt = pair.split(",")
+        e1, e2 = doc.entities[src], doc.entities[tgt]
+        # ordered pair for rule + features (EventEventFeatureVector.orderPair)
+        o1, o2, olabel = e1, e2, gold
+        if pair_order(doc, e1, e2) == "AFTER":
+            o1, o2 = e2, e1
+            olabel = inverse_relation(gold)   # CLINK not in the temp table
+
+        m = get_causal_verb(doc, o1, o2, lx)
+        rule = event_causality_rule(m, o1.sent_id == o2.sent_id)
+        if rule != "O":
+            rel = "CLINK-R" if "-R" in rule else "CLINK"
+            out.append(Triple(o1.mid, o2.mid, rel, "causal-rule", "causal"))
+            continue
+
+        # tlink-type feature (J4): looked up on the *unordered* pair
+        tlink_type = "O"
+        if not tlinks_map:
+            if src + "," + tgt in doc.tlink_types:
+                tlink_type = doc.tlink_types[src + "," + tgt]
+            elif tgt + "," + src in doc.tlink_types:
+                tlink_type = inverse_relation(doc.tlink_types[tgt + "," + src])
+        else:
+            tlink_type = tlinks_map.get(src + "," + tgt, "O")
+
+        row = features.causal_vector(doc, o1, o2, olabel, lx, tlink_type)
+        # classifier gate (F6): causal-signal dep path of the unordered pair
+        gate = get_causal_signal(doc, e1, e2, lx)
+        if (gate.dep1 or "O") + "|" + (gate.dep2 or "O") != "O|O":
+            clf_rows.append(row[:-1])
+            clf_pairs.append((o1, o2))
+
+    if clf_rows:
+        X = features.to_matrix(clf_rows)
+        preds = shipped_model("causal").predict_strings(X, CAUS_LABELS)
+        for (o1, o2), rel in zip(clf_pairs, preds):
+            if rel != "NONE":
+                out.append(Triple(o1.mid, o2.mid, rel, "causal-clf", "causal"))
+    return out
