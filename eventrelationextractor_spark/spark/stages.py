@@ -1,0 +1,236 @@
+"""DataFrame stages: pages -> tokens/mentions -> triples.
+
+Execution design (SURVEY.md §1.4, §4):
+
+* The corpus is **embarrassingly parallel by document** - one page row IS
+  one document, so extraction is a pure ``mapInPandas`` over the pages
+  scan: zero shuffles, linear scaling with executors. No groupBy is needed
+  because no cross-document state exists until canonicalization.
+* All Python work is Arrow-batched; the per-document core
+  (eventrelationextractor_spark.core) is pure Python/numpy and is loaded
+  once per executor (lexicons and liblinear weights are module-level
+  caches, equivalent to a broadcast of a few hundred KB).
+* Column pruning: only (url, text) are read; Catalyst prunes ``html``
+  (binary) at the parquet/Iceberg scan - verified via
+  ``explain_scan_pruning`` in tests.
+* Giant pages: the timex-timex sieve is O(n_timex^2) per document; pages
+  whose timex count exceeds ``max_timex_pairs_per_doc`` are truncated with
+  a lineage warning rather than stalling a task (skew guard, SURVEY.md
+  §7.1 step 8).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+from ..core.docmodel import (FIELDS_FILE24, FIELDS_FILE28, FIELDS_TEXT16,
+                             FIELDS_TEXT18, DocState, parse_txp_lines)
+
+TRIPLE_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("subj", StringType(), False),
+    StructField("pred", StringType(), False),
+    StructField("obj", StringType(), False),
+    StructField("stage", StringType(), False),
+    StructField("pair_type", StringType(), False),
+])
+
+MENTION_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("mention_id", StringType(), False),
+    StructField("kind", StringType(), False),
+    StructField("sent_id", StringType(), True),
+    StructField("ent_idx", LongType(), False),
+    StructField("surface", StringType(), True),
+    StructField("lemma", StringType(), True),
+    StructField("ev_class", StringType(), True),
+    StructField("tmx_type", StringType(), True),
+    StructField("tmx_value", StringType(), True),
+    StructField("is_dct", StringType(), True),
+])
+
+
+def infer_layout(text: str):
+    """Pick the TXP positional layout from the document shape.
+
+    File-format docs start with '# ' comment headers (4 lines skipped,
+    TXPParser.java:45-49); the column count of the first token row selects
+    the field set (the reference declares layouts per call site)."""
+    skip = 4 if text.startswith("#") else 0
+    lines = text.split("\n")[skip:]
+    for ln in lines:
+        if ln and "DCT_" not in ln and "ETX_" not in ln:
+            n = ln.count("\t") + 1
+            if n >= 28:
+                return lines, FIELDS_FILE28
+            if n >= 24:
+                return lines, FIELDS_FILE24
+            if n >= 18:
+                return lines, FIELDS_TEXT18
+            return lines, FIELDS_TEXT16
+    return lines, FIELDS_TEXT16
+
+
+def parse_page(text: str, name: str = "PAGE") -> DocState:
+    lines, fields = infer_layout(text)
+    return parse_txp_lines(lines, fields, name)
+
+
+def extract_triples(pages: DataFrame, mode: str = "both") -> DataFrame:
+    """pages(url, ..., text) -> triples. Pure map stage: no shuffle.
+
+    ``mode``: 'temporal' | 'causal' | 'both'."""
+    cols = pages.select("url", "text")
+
+    def run(batches: Iterator) -> Iterator:
+        # heavy imports inside the UDF so the driver plan stays light
+        import pandas as pd
+
+        from ..core.lexicons import load_lexicons
+        from ..core.pipeline import causal_triples, temporal_triples
+        lx = load_lexicons()
+        for pdf in batches:
+            out = {"url": [], "subj": [], "pred": [], "obj": [],
+                   "stage": [], "pair_type": []}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                try:
+                    doc = parse_page(text, url)
+                except Exception:
+                    continue  # malformed page: skipped, counted by lineage
+                trips = []
+                if mode in ("temporal", "both"):
+                    trips += temporal_triples(doc, lx)
+                if mode in ("causal", "both"):
+                    trips += causal_triples(doc, lexicons=lx)
+                for t in trips:
+                    out["url"].append(url)
+                    out["subj"].append(t.source)
+                    out["pred"].append(t.rel)
+                    out["obj"].append(t.target)
+                    out["stage"].append(t.stage)
+                    out["pair_type"].append(t.pair_type)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, schema=TRIPLE_SCHEMA)
+
+
+def extract_mentions(pages: DataFrame) -> DataFrame:
+    """pages -> mention table (for entity linking / canonicalization)."""
+    cols = pages.select("url", "text")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..core.deps import token_attr
+        for pdf in batches:
+            rows = {k.name: [] for k in MENTION_SCHEMA.fields}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                try:
+                    doc = parse_page(text, url)
+                except Exception:
+                    continue
+                for mid, m in doc.entities.items():
+                    rows["url"].append(url)
+                    rows["mention_id"].append(mid)
+                    rows["kind"].append(m.kind)
+                    rows["sent_id"].append(m.sent_id)
+                    rows["ent_idx"].append(m.idx)
+                    if m.start_tok != "O" and m.start_tok in doc.tokens:
+                        rows["surface"].append(token_attr(doc, m, "token"))
+                        rows["lemma"].append(token_attr(doc, m, "lemma"))
+                    else:
+                        rows["surface"].append(None)
+                        rows["lemma"].append(None)
+                    rows["ev_class"].append(m.ev_class)
+                    rows["tmx_type"].append(m.tmx_type)
+                    rows["tmx_value"].append(m.tmx_value)
+                    rows["is_dct"].append("TRUE" if m.is_dct else "FALSE")
+            yield pd.DataFrame(rows)
+
+    return cols.mapInPandas(run, schema=MENTION_SCHEMA)
+
+
+def extracted_text(pages: DataFrame) -> DataFrame:
+    """Byte-identity surface: url -> extracted (detokenized) text + sha256.
+
+    Detokenization reproduces the reference's escaping rules
+    (TempEval3TaskABC.java:284-292): PTB bracket escapes back to literal
+    brackets, double-backtick/quote pairs back to '"'."""
+    cols = pages.select("url", "text")
+    schema = StructType([StructField("url", StringType(), False),
+                         StructField("extracted_text", StringType(), False),
+                         StructField("sha256", StringType(), False)])
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+        for pdf in batches:
+            out = {"url": [], "extracted_text": [], "sha256": []}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                doc = parse_page(text, url)
+                words = []
+                for tid in doc.token_arr:
+                    w = doc.tokens[tid].text
+                    w = (w.replace("-LRB-", "(").replace("-RRB-", ")")
+                          .replace("-LCB-", "{").replace("-RCB-", "}")
+                          .replace("-LSB-", "[").replace("-RSB-", "]")
+                          .replace("``", '"').replace("''", '"'))
+                    words.append(w)
+                extracted = " ".join(words)
+                out["url"].append(url)
+                out["extracted_text"].append(extracted)
+                out["sha256"].append(
+                    hashlib.sha256(extracted.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, schema=schema)
+
+
+def synth_pages_df(spark, n_docs: int, partitions: int | None = None) -> DataFrame:
+    """Deterministic synthetic pages corpus as a DataFrame, generated
+    partition-parallel from a doc-id range (no driver-side materialize)."""
+    from ..datagen import synth_page
+    ids = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), False),
+        StructField("text", StringType(), False),
+        StructField("lang", StringType(), False),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = [synth_page(int(d)) for d in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(gen, schema=schema)
+
+
+def pages_from_doc_ids(doc_ids: DataFrame) -> DataFrame:
+    """documents(doc_id, ...) -> synthetic pages keyed by those ids (ties
+    the synthetic corpus scale to the sf directory)."""
+    from ..datagen import synth_page
+    ids = doc_ids.select(F.col("doc_id").cast("long").alias("id"))
+
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("text", StringType(), False),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = [{"url": p["url"], "text": p["text"]}
+                    for p in (synth_page(int(d)) for d in pdf["id"])]
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(gen, schema=schema)
