@@ -24,7 +24,16 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from eventrelationextractor_spark import fixtures as fx  # noqa: E402
-from eventrelationextractor_spark.spark import stages  # noqa: E402
+from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
+from eventrelationextractor_spark.ops import simsearch, textstats  # noqa: E402
+from eventrelationextractor_spark.spark import kg, stages  # noqa: E402
+
+# broadcast-able entity-linking dictionary: synthetic-corpus event lemmas
+# -> canonical KG ids (FIXTURES.md §5)
+ALIAS_ROWS = (("happen", "EVENT", "EVT_HAPPEN"),
+              ("say", "EVENT", "EVT_SAY"),
+              ("trading", "EVENT", "EVT_TRADING"),
+              ("arrive", "EVENT", "EVT_ARRIVE"))
 
 # ---------------------------------------------------------------- helpers
 
@@ -89,13 +98,167 @@ def _q_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "sha256")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus near-duplicate copies (id + 1000000, one appended
+    token) - gives the near-dup detectors a known positive set."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = d.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" extra")).alias("text"))
+    return d.unionByName(dups)
+
+
+def _q_doc_fingerprints(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir)) \
+        .select("doc_id", "fingerprint")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_augmented_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    return dedup.jaccard_pairs(_augmented_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir)) \
+        .select("doc_id", "predicted_lang")
+
+
+def _q_quality(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir)) \
+        .select("doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords",
+                "quality")
+
+
+def _q_token_counts(spark, sf_dir):
+    return textstats.token_count(_docs(spark, sf_dir)) \
+        .select("doc_id", "ws_tokens", "subword_tokens")
+
+
+def _q_ann_topk(spark, sf_dir):
+    return simsearch.brute_force_topk(_emb(spark, sf_dir))
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    return simsearch.hyperplane_lsh_topk(_emb(spark, sf_dir))
+
+
+def _q_events_windowed(spark, sf_dir):
+    df = events.windowed_counts(_events(spark, sf_dir))
+    return df.withColumn(
+        "window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"))
+
+
+def _q_events_sessions(spark, sf_dir):
+    df = events.sessionize(_events(spark, sf_dir))
+    return df.withColumn(
+        "session_start",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
+
+def _linked_mentions(spark, sf_dir):
+    pages = stages.pages_from_doc_ids(_doc_ids(spark, sf_dir))
+    mentions = stages.extract_mentions(pages)
+    alias = spark.createDataFrame(list(ALIAS_ROWS),
+                                  "alias string, kind string, canonical_id string")
+    return kg.link_mentions(mentions, alias)
+
+
+def _q_entity_linking(spark, sf_dir):
+    linked = _linked_mentions(spark, sf_dir)
+    return (linked.filter(F.col("canonical_id").isNotNull())
+            .withColumn("doc_id", F.substring("url", -8, 8).cast("long"))
+            .select("doc_id", "mention_id", "canonical_id"))
+
+
+def _q_canonical_components(spark, sf_dir):
+    linked = _linked_mentions(spark, sf_dir)
+    pages = stages.pages_from_doc_ids(_doc_ids(spark, sf_dir))
+    trips = stages.extract_triples(pages, mode="temporal")
+    return kg.canonicalize(linked, trips).select("vertex", "component")
+
+
+def _q_consistent_triples(spark, sf_dir):
+    """Timegraph-filtered temporal triples (non-SQL-expressible: the filter
+    is an incremental point-algebra closure; rows-only check)."""
+    trips = _synth_triples(spark, sf_dir, "temporal") \
+        .withColumnRenamed("doc_id", "url")
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    schema = StructType([StructField("url", LongType(), False),
+                         StructField("subj", StringType(), False),
+                         StructField("pred", StringType(), False),
+                         StructField("obj", StringType(), False)])
+
+    def run(key, pdf):
+        import pandas as pd
+
+        from eventrelationextractor_spark.core.timegraph import \
+            filter_consistent
+        rows = sorted(pdf.itertuples(index=False),
+                      key=lambda r: (r.subj, r.obj, r.pred))
+        kept, _ = filter_consistent([(r.subj, r.obj, r.pred) for r in rows])
+        return pd.DataFrame([{"url": key[0], "subj": s, "pred": r, "obj": t}
+                             for (s, t, r) in kept])
+
+    return trips.groupBy("url").applyInPandas(run, schema=schema) \
+        .withColumnRenamed("url", "doc_id")
+
+
+def _q_media_features(spark, sf_dir):
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"))
+    feats = multimodal.extract_features(media, dim=8, fake=True)
+    return feats.select(
+        "media_id", "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # KG construction pipeline (reference parity + scale)
         "kg_temporal_triples": _q_kg_temporal,
         "kg_causal_triples": _q_kg_causal,
         "kg_fixture_temporal": _q_fixture_temporal,
         "kg_fixture_causal": _q_fixture_causal,
         "kg_text_identity": _q_text_identity,
+        "kg_entity_linking": _q_entity_linking,
+        "kg_canonical_components": _q_canonical_components,
+        "kg_consistent_triples": _q_consistent_triples,
+        # training-data pipeline operators
+        "doc_fingerprints": _q_doc_fingerprints,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_jaccard": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "lang_id": _q_lang_id,
+        "quality_scores": _q_quality,
+        "token_counts": _q_token_counts,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
+        "media_features": _q_media_features,
     }
 
 
@@ -187,6 +350,211 @@ FROM vals
 """
 
 
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', "
+         "'g'), ' +', ' ', 'g'))")
+
+_AUG = ("aug AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text || ' extra' FROM documents)")
+
+_FP_ORACLE = f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"
+
+_DEDUP_EXACT_ORACLE = f"""
+WITH {_AUG},
+keyed AS (SELECT doc_id, md5({_NORM}) AS fingerprint FROM aug)
+SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM keyed GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+_MINHASH_ORACLE = f"""
+WITH {_AUG},
+norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL unnest(generate_series(1, len(w) - 2)) AS g(i)
+        WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sig AS (SELECT doc_id,
+        min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+        min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+        min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+        min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+        FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r
+         ON l.bucket = r.bucket AND l.band = r.band AND l.doc_id < r.doc_id),
+inter AS (SELECT c.a, c.b, count(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.a
+          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+          GROUP BY c.a, c.b),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT i.a, i.b,
+       round(i.n_inter / (na.n + nb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.a
+JOIN sizes nb ON nb.doc_id = i.b
+WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= 0.5
+"""
+
+_SIMHASH_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+hx AS (SELECT doc_id, substr(md5(w), 1, 4) AS h FROM tok),
+hv AS (SELECT doc_id,
+       (strpos('0123456789abcdef', substr(h,1,1)) - 1) * 4096
+     + (strpos('0123456789abcdef', substr(h,2,1)) - 1) * 256
+     + (strpos('0123456789abcdef', substr(h,3,1)) - 1) * 16
+     + (strpos('0123456789abcdef', substr(h,4,1)) - 1) AS v FROM hx),
+bits AS (SELECT doc_id, b,
+         CASE WHEN (v // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+         FROM hv, LATERAL unnest(generate_series(0, 15)) AS g(b)),
+agg AS (SELECT doc_id, b, sum(vote) AS s FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM agg GROUP BY doc_id
+"""
+
+
+def _lang_score_sql(words) -> str:
+    return " + ".join(f"(len(string_split(t, ' {w} ')) - 1)" for w in words)
+
+
+def _lang_oracle() -> str:
+    scores = ",\n  ".join(
+        f"{_lang_score_sql(ws)} AS score_{lang}"
+        for lang, ws in sorted(textstats.LANG_MARKERS.items()))
+    langs = sorted(textstats.LANG_MARKERS)
+    g = "greatest(" + ", ".join("score_" + lang for lang in langs) + ")"
+    case = f"CASE WHEN {g} <= 0 THEN 'und' "
+    case += " ".join(f"WHEN score_{lang} = {g} THEN '{lang}'" for lang in langs)
+    case += " END"
+    return f"""
+WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+sc AS (SELECT doc_id, {scores} FROM s)
+SELECT doc_id, {case} AS predicted_lang FROM sc
+"""
+
+
+_QUALITY_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+         AS BIGINT) AS n_punct,
+    CAST((len(string_split(' ' || lower(text) || ' ', ' the ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' and ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' of ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' is ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' a ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' to ')) - 1)
+         AS BIGINT) AS n_stopwords
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+  round(CASE WHEN n_tokens <= 0 THEN 0.0 ELSE
+    least(1.0, n_stopwords * 6.0 / n_tokens)
+    * (1.0 - least(1.0, n_punct * 4.0 / n_chars)) END, 6) AS quality
+FROM base
+"""
+
+_TOKEN_ORACLE = r"""
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_tokens
+FROM documents
+"""
+
+_ANN_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+pairs AS (SELECT q.qid, e.vec_id AS cid,
+  list_dot_product(q.qv, e.v)
+    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+  AS cosine
+  FROM q, e WHERE e.vec_id <> q.qid),
+ranked AS (SELECT qid, cid, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+           AS rank FROM pairs)
+SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, cid AS neighbor_id,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+_EVENTS_WINDOW_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+_SESSIONS_ORACLE = """
+WITH lagd AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR CAST(floor(epoch(ts)) AS BIGINT)
+              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagd)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def _linking_oracle() -> str:
+    vals = ", ".join("('%s','%s')" % (m, c) for (a, k, c) in ALIAS_ROWS
+                     for m, _ in [(_LEMMA_TO_MENTION[a], None)])
+    return (f"SELECT doc_id, m.mention_id, m.canonical_id FROM documents, "
+            f"(VALUES {vals}) AS m(mention_id, canonical_id)")
+
+
+_LEMMA_TO_MENTION = {"happen": "e1", "say": "e4", "trading": "e6",
+                     "arrive": "e9"}
+
+_CANONICAL_ORACLE = """
+WITH docs AS (SELECT doc_id AS d,
+  'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url
+  FROM documents),
+mention_rows AS (
+  SELECT url || '#' || m.mid AS vertex, 'alias:' || m.cid AS component
+  FROM docs, (VALUES ('e1','EVT_HAPPEN'), ('e4','EVT_SAY'),
+                     ('e6','EVT_TRADING'), ('e9','EVT_ARRIVE')) m(mid, cid)),
+alias_rows AS (SELECT DISTINCT component AS vertex, component
+               FROM mention_rows),
+tmx_rows AS (
+  SELECT url || '#tmx1' AS vertex, url || '#tmx1' AS component
+  FROM docs WHERE d % 5 = 0
+  UNION ALL
+  SELECT url || '#tmx3', url || '#tmx1' FROM docs WHERE d % 5 = 0)
+SELECT vertex, component FROM mention_rows
+UNION ALL SELECT vertex, component FROM alias_rows
+UNION ALL SELECT vertex, component FROM tmx_rows
+"""
+
+_MEDIA_ORACLE = """
+WITH h AS (SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS hx FROM documents)
+SELECT media_id, n_bytes,
+  round(((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(hx,2,1)) - 1)) / 256.0, 6) AS f0,
+  round(((strpos('0123456789abcdef', substr(hx,3,1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(hx,4,1)) - 1)) / 256.0, 6) AS f1
+FROM h
+"""
+
+
 def _values_oracle(rows) -> str:
     vals = ",\n".join("('%s','%s','%s','%s')" % r for r in rows)
     return ("SELECT url, subj, pred, obj FROM (VALUES\n" + vals
@@ -206,6 +574,24 @@ def oracle_sql() -> dict[str, str]:
         "kg_fixture_temporal": _values_oracle(fixture_temporal),
         "kg_fixture_causal": _values_oracle(fixture_causal),
         "kg_text_identity": _TEXT_ORACLE,
+        "kg_entity_linking": _linking_oracle(),
+        "kg_canonical_components": _CANONICAL_ORACLE,
+        # kg_consistent_triples: omitted - incremental point-algebra closure
+        # is not SQL-expressible; rows-only check + unit tests.
+        "doc_fingerprints": _FP_ORACLE,
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "dedup_minhash_jaccard": _MINHASH_ORACLE,
+        "dedup_simhash": _SIMHASH_ORACLE,
+        "lang_id": _lang_oracle(),
+        "quality_scores": _QUALITY_ORACLE,
+        "token_counts": _TOKEN_ORACLE,
+        "ann_topk": _ANN_ORACLE,
+        # ann_lsh_topk: omitted - float sign-of-dot bucketing boundary makes
+        # a SQL twin brittle; rows-only check (brute-force variant is the
+        # value-checked baseline).
+        "events_windowed": _EVENTS_WINDOW_ORACLE,
+        "events_sessions": _SESSIONS_ORACLE,
+        "media_features": _MEDIA_ORACLE,
     }
 
 

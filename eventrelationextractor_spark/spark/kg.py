@@ -1,0 +1,107 @@
+"""KG layers beyond the reference (north-star additions, SURVEY.md §7.1
+step 6): entity linking against a broadcast alias dictionary and
+canonicalization via distributed connected components.
+
+* ``link_mentions``: mentions ⋈ alias dict on the lowercase lemma-joined
+  surface. The dictionary is small by construction (<= millions of rows at
+  worst) -> explicit ``F.broadcast``; the join is map-side, no shuffle of
+  the mention table.
+* ``connected_components``: iterative min-label propagation over
+  bidirectional edges with ``localCheckpoint`` every iteration (lineage
+  truncation) and AQE handling skew. Convergence is O(diameter) rounds;
+  KG canonicalization graphs are stars around alias nodes plus short
+  within-document chains, so 2-4 rounds in practice. Each round is one
+  shuffle on the vertex id. (For adversarial long-chain graphs the
+  large-star/small-star variant bounds rounds at O(log n); the propagation
+  loop is the right trade for this graph shape.)
+* ``canonical_edges``: builds the edge list from extraction outputs:
+  coreference (G3), rule IDENTITY/SIMULTANEOUS pairs, and alias matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """mentions(url, mention_id, kind, lemma, ...) ⋈ alias(alias, kind,
+    canonical_id) -> linked mentions (left join; unlinked rows keep
+    canonical_id null)."""
+    m = mentions.withColumn("alias_key", F.lower(F.col("lemma")))
+    a = alias_dict.select(F.col("alias").alias("alias_key"),
+                          F.col("kind").alias("alias_kind"),
+                          "canonical_id")
+    return (m.join(F.broadcast(a),
+                   (m.alias_key == a.alias_key) & (m.kind == a.alias_kind),
+                   "left")
+            .drop("alias_key", "alias_kind"))
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 25,
+                         src: str = "src", dst: str = "dst") -> DataFrame:
+    """edges(src, dst) -> (vertex, component) with component = min vertex
+    id (string order) in the component."""
+    both = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(edges.select(F.col(dst).alias("a"),
+                                      F.col(src).alias("b"))))
+    vertices = both.select(F.col("a").alias("vertex")).distinct()
+    labels = vertices.withColumn("component", F.col("vertex"))
+    both = both.localCheckpoint()
+
+    for _ in range(max_iterations):
+        # 1-hop: pull the neighbour's current component
+        neighbor = (both.join(labels, both.b == labels.vertex)
+                    .select(F.col("a").alias("vertex"),
+                            F.col("component")))
+        hop = (labels.unionByName(neighbor)
+               .groupBy("vertex")
+               .agg(F.min("component").alias("component")))
+        # pointer jump: component(v) <- component(component(v)); component
+        # ids are themselves vertex ids, so this halves chain depth and
+        # bounds convergence at O(log diameter) rounds
+        jump = (hop.alias("l")
+                .join(hop.alias("r"),
+                      F.col("l.component") == F.col("r.vertex"), "left")
+                .select(F.col("l.vertex").alias("vertex"),
+                        F.least(F.col("l.component"),
+                                F.coalesce(F.col("r.component"),
+                                           F.col("l.component")))
+                        .alias("component")))
+        new_labels = jump.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "vertex")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_edges(linked_mentions: DataFrame,
+                    triples: DataFrame) -> DataFrame:
+    """Edge list for canonicalization:
+    * mention -> alias canonical id (cross-document identity),
+    * same-document SIMULTANEOUS/IDENTITY triple endpoints.
+    Vertex ids are globally scoped as '<url>#<mention_id>'; alias nodes as
+    'alias:<canonical_id>' (lexicographically smallest, so they become the
+    component representatives)."""
+    scoped = F.concat_ws("#", "url", "mention_id")
+    alias_edges = (linked_mentions
+                   .filter(F.col("canonical_id").isNotNull())
+                   .select(scoped.alias("src"),
+                           F.concat(F.lit("alias:"),
+                                    F.col("canonical_id")).alias("dst")))
+    sim_edges = (triples
+                 .filter(F.col("pred").isin("SIMULTANEOUS", "IDENTITY"))
+                 .select(F.concat_ws("#", "url", "subj").alias("src"),
+                         F.concat_ws("#", "url", "obj").alias("dst")))
+    return alias_edges.unionByName(sim_edges)
+
+
+def canonicalize(linked_mentions: DataFrame, triples: DataFrame,
+                 max_iterations: int = 25) -> DataFrame:
+    """(vertex, component): canonical cluster id per mention node."""
+    return connected_components(canonical_edges(linked_mentions, triples),
+                                max_iterations)

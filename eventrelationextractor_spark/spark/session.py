@@ -24,6 +24,7 @@ def build_session(master: str | None = None, app_name: str = "erex-spark",
                .master(master)
                .appName(app_name)
                .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+               .config("spark.sql.session.timeZone", "UTC")
                .config("spark.sql.adaptive.enabled", "true")
                .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
                .config("spark.sql.adaptive.skewJoin.enabled", "true")

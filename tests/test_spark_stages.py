@@ -1,0 +1,144 @@
+"""Spark-layer tests: extraction stages, KG layers, ops, lineage/resume,
+plan hygiene (column pruning), streaming."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventrelationextractor_spark import fixtures as fx
+from eventrelationextractor_spark.ops import events as ev_ops
+from eventrelationextractor_spark.spark import kg, lineage, stages
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, text string, "
+                "lang string")
+
+
+@pytest.fixture(scope="module")
+def fixture_pages(spark):
+    return spark.createDataFrame(
+        fx.fixture_pages(fx.TEMPORAL_FIXTURES), PAGES_SCHEMA).cache()
+
+
+def test_extract_triples_matches_reference_golden(spark, fixture_pages):
+    got = {(r.url, r.subj, r.pred, r.obj)
+           for r in stages.extract_triples(fixture_pages, "temporal").collect()}
+    want = set()
+    for name in fx.TEMPORAL_FIXTURES:
+        want |= set(fx.golden_predictions(name, "temporal"))
+    assert got == want
+
+
+def test_html_column_pruned_from_scan(spark, tmp_path, fixture_pages):
+    """Catalyst must push column pruning to the parquet scan: the triples
+    plan reads only url+text, never the binary html payload."""
+    path = str(tmp_path / "pages")
+    fixture_pages.write.parquet(path)
+    pages = spark.read.parquet(path)
+    plan = stages.extract_triples(pages, "temporal") \
+        ._jdf.queryExecution().toString()
+    schemas = [ln.split("ReadSchema:", 1)[1] for ln in plan.split("\n")
+               if "ReadSchema:" in ln]
+    assert schemas, plan
+    assert all("html" not in s for s in schemas)
+    assert any("url:string" in s and "text:string" in s for s in schemas)
+
+
+def test_extraction_is_shuffle_free(spark, fixture_pages):
+    plan = stages.extract_triples(fixture_pages, "both") \
+        ._jdf.queryExecution().toString()
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in physical  # pure map stage: no shuffle
+
+
+def test_connected_components_long_chain(spark):
+    # path graph 0-1-2-...-99: multi-hop convergence, component = min id
+    edges = spark.createDataFrame(
+        [(f"v{i:03d}", f"v{i+1:03d}") for i in range(99)], "src string, dst string")
+    labels = {r.vertex: r.component
+              for r in kg.connected_components(edges).collect()}
+    assert len(labels) == 100
+    assert set(labels.values()) == {"v000"}
+
+
+def test_connected_components_two_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string")
+    labels = {r.vertex: r.component
+              for r in kg.connected_components(edges).collect()}
+    assert labels == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_entity_linking_left_join_keeps_unlinked(spark, fixture_pages):
+    mentions = stages.extract_mentions(fixture_pages)
+    alias = spark.createDataFrame([("say", "EVENT", "EVT_SAY")],
+                                  "alias string, kind string, canonical_id string")
+    linked = kg.link_mentions(mentions, alias)
+    assert linked.count() == mentions.count()
+    hits = linked.filter(F.col("canonical_id").isNotNull())
+    assert hits.count() > 0
+    assert {r.lemma for r in hits.collect()} == {"say"}
+
+
+def test_resumable_write_skips_completed_buckets(spark, tmp_path):
+    out = str(tmp_path / "triples")
+    pages = stages.synth_pages_df(spark, 40, partitions=4)
+    r1 = lineage.write_triples_resumable(pages, out, n_buckets=4,
+                                         mode="temporal")
+    assert sorted(r1["written"]) == [0, 1, 2, 3] and r1["skipped"] == []
+    n1 = lineage.read_triples(spark, out).count()
+    assert n1 == 40 * 26  # 25 temporal triples + 1 clf pair per doc
+
+    mtimes = {b: os.path.getmtime(os.path.join(out, f"bucket={b}"))
+              for b in range(4)}
+    time.sleep(1.1)
+    # simulate a mid-run crash: bucket 2's manifest entry lost
+    manifest = lineage.read_manifest(out)
+    del manifest[2]
+    mpath = os.path.join(out, "_lineage", "manifest.jsonl")
+    with open(mpath, "w") as f:
+        import json
+        for rec in manifest.values():
+            f.write(json.dumps(rec) + "\n")
+
+    r2 = lineage.write_triples_resumable(pages, out, n_buckets=4,
+                                         mode="temporal")
+    assert r2["written"] == [2] and sorted(r2["skipped"]) == [0, 1, 3]
+    for b in (0, 1, 3):  # untouched buckets were not recomputed
+        assert os.path.getmtime(os.path.join(out, f"bucket={b}")) == mtimes[b]
+    assert lineage.read_triples(spark, out).count() == n1
+    # lineage metrics present
+    rec = lineage.read_manifest(out)[2]
+    assert rec["rows"] > 0 and "pred_histogram" in rec
+
+
+def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "stream_src")
+    events.write.parquet(src)
+    batch = {(r.window_start, r.event_type): r.n_events
+             for r in ev_ops.windowed_counts(events).collect()}
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = ev_ops.streaming_windowed_counts(stream)
+    q = (out.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.window_start, r.event_type): r.n_events
+           for r in spark.sql("select * from win_counts").collect()}
+    assert got == batch
+
+
+def test_media_feature_plumbing(spark):
+    from eventrelationextractor_spark.ops import multimodal
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x89PNGfake"), 4, 4),
+         (2, "audio", bytearray(b"RIFFfake"), None, None)],
+        multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, dim=8, fake=True).collect()
+    assert {r.media_id for r in feats} == {1, 2}
+    for r in feats:
+        assert len(r.feature) == 8 and all(0 <= v < 1 for v in r.feature)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"x")
