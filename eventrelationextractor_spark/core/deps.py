@@ -32,9 +32,15 @@ def span_token_ids(doc: DocState, start_tok: str, end_tok: str) -> list:
 def token_attr(doc: DocState, e: Mention, feature: str) -> str:
     """getTokenAttribute(Entity, FeatureName) (lines 261-282):
     per-token attribute over the span, consecutive duplicates removed,
-    joined by ' ' for token/lemma else '_'; 'O' for DCT/empty timexes."""
+    joined by ' ' for token/lemma else '_'; 'O' for DCT/empty timexes.
+    Memoized per (mention, feature) - X1 notes the reference recomputes
+    these constantly; we cache instead."""
     if e.is_timex and (e.is_dct or e.is_empty):
         return "O"
+    key = ("token_attr", e.mid, feature)
+    cached = doc.memo.get(key)
+    if cached is not None:
+        return cached
     vals = []
     for tid in span_token_ids(doc, e.start_tok, e.end_tok):
         t = doc.tokens[tid]
@@ -43,16 +49,29 @@ def token_attr(doc: DocState, e: Mention, feature: str) -> str:
              "supersense": t.supersense}[feature]
         if not vals or v != vals[-1]:
             vals.append(v)
-    return (" " if feature in ("token", "lemma") else "_").join(vals)
+    out = (" " if feature in ("token", "lemma") else "_").join(vals)
+    doc.memo[key] = out
+    return out
 
 
 def _sentence_token_ids(doc: DocState, tid: str) -> list:
-    s = doc.sentences[doc.tokens[tid].sent_id]
-    return span_token_ids(doc, s.start_tok, s.end_tok)
+    sid = doc.tokens[tid].sent_id
+    key = ("sent_toks", sid)
+    out = doc.memo.get(key)
+    if out is None:
+        s = doc.sentences[sid]
+        out = span_token_ids(doc, s.start_tok, s.end_tok)
+        doc.memo[key] = out
+    return out
 
 
 def mate_head_verb(doc: DocState, tok_id: str) -> str:
-    """getMateHeadVerb (478-491): walk VC chains to the leftmost governor."""
+    """getMateHeadVerb (478-491): walk VC chains to the leftmost governor.
+    Memoized per document (X4 is re-entered by every pair and marker)."""
+    key = ("head_verb", tok_id)
+    cached = doc.memo.get(key)
+    if cached is not None:
+        return cached
     sent = _sentence_token_ids(doc, tok_id)
     pos_in_sent = {t: i for i, t in enumerate(sent)}
     cur = tok_id
@@ -67,6 +86,7 @@ def mate_head_verb(doc: DocState, tok_id: str) -> str:
                 nxt = t
                 break
         if nxt is None:
+            doc.memo[key] = cur
             return cur
         cur = nxt
 
@@ -128,7 +148,17 @@ def mate_verb_from_adj(doc, tok_id):
 
 
 def mate_coord_verb(doc: DocState, tok_id: str, _depth: int = 0):
-    """getMateCoordVerb (550-567)."""
+    """getMateCoordVerb (550-567). Memoized per document."""
+    key = ("coord_verb", tok_id)
+    if _depth == 0 and key in doc.memo:
+        return doc.memo[key]
+    out = _mate_coord_verb(doc, tok_id, _depth)
+    if _depth == 0:
+        doc.memo[key] = out
+    return out
+
+
+def _mate_coord_verb(doc: DocState, tok_id: str, _depth: int = 0):
     if _depth > 50:
         return None
     head = mate_head_verb(doc, tok_id)

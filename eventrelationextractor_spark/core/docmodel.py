@@ -53,7 +53,7 @@ FIELDS_FILE24 = (
 FIELDS_FILE28 = FIELDS_FILE24 + ("supersense", "ss_ner", "clink", "csignal")
 
 
-@dataclass
+@dataclass(slots=True)
 class Token:
     tid: str
     sent_id: str
@@ -76,7 +76,7 @@ class Token:
     tmx_id: str | None = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Sentence:
     sid: str
     start_tok: str
@@ -85,7 +85,7 @@ class Sentence:
     entity_arr: list = field(default_factory=list)  # completion order
 
 
-@dataclass
+@dataclass(slots=True)
 class Mention:
     """Entity span: EVENT or TIMEX (Event.java:7-14, Timex.java:5-11)."""
     mid: str
@@ -125,6 +125,7 @@ class DocState:
     clinks: list = field(default_factory=list)      # (src, tgt) first-wins
     dct: Mention | None = None
     _ent_idx: int = 0
+    memo: dict = field(default_factory=dict, repr=False)  # per-doc caches
 
     def token_at(self, i: int) -> Token:
         return self.tokens[self.token_arr[i]]

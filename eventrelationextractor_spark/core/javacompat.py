@@ -43,12 +43,28 @@ def hashmap_capacity(n: int) -> int:
     return cap
 
 
+_ORDER_CACHE: dict = {}
+_HASH_CACHE: dict = {}
+
+
 def java_hashmap_order(keys_in_insertion_order) -> list:
     """Iteration order of a default HashMap<String,?> built by inserting
-    ``keys_in_insertion_order`` (unique keys) one by one."""
-    keys = list(keys_in_insertion_order)
+    ``keys_in_insertion_order`` (unique keys) one by one. Results are
+    memoized: dependency maps repeat the same key tuples thousands of
+    times per document during the path DFS."""
+    keys = tuple(keys_in_insertion_order)
+    cached = _ORDER_CACHE.get(keys)
+    if cached is not None:
+        return cached
     cap = hashmap_capacity(len(keys))
     buckets: list[list] = [[] for _ in range(cap)]
     for k in keys:
-        buckets[_spread(java_string_hash(k)) & (cap - 1)].append(k)
-    return [k for b in buckets for k in b]
+        h = _HASH_CACHE.get(k)
+        if h is None:
+            h = _spread(java_string_hash(k))
+            _HASH_CACHE[k] = h
+        buckets[h & (cap - 1)].append(k)
+    out = [k for b in buckets for k in b]
+    if len(_ORDER_CACHE) < 1_000_000:
+        _ORDER_CACHE[keys] = out
+    return out

@@ -18,12 +18,11 @@ an Arrow-batched pandas UDF over the broadcast (W, labels) pair.
 
 from __future__ import annotations
 
-import os
+import io
 
 import numpy as np
 
-_RES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "resources", "models")
+from ..respath import read_resource_text
 
 # string label vocabularies indexed by the 1-based numeric label value
 TEMP_LABELS = ("BEFORE", "AFTER", "IBEFORE", "IAFTER", "IDENTITY",
@@ -63,32 +62,36 @@ class LinearModel:
 
 def load_model(path: str) -> LinearModel:
     with open(path, encoding="utf-8") as f:
-        header = {}
-        labels = []
-        for line in f:
-            parts = line.split()
-            if not parts:
-                continue
-            if parts[0] == "w":
-                break
-            if parts[0] == "label":
-                labels = [int(x) for x in parts[1:]]
-            else:
-                header[parts[0]] = parts[1]
-        nr_class = int(header["nr_class"])
-        nr_feature = int(header["nr_feature"])
-        bias = float(header.get("bias", "-1"))
-        rows = nr_feature + (1 if bias >= 0 else 0)
-        w = np.empty((rows, nr_class), dtype=np.float64)
-        r = 0
-        for line in f:
-            vals = line.split()
-            if not vals:
-                continue
-            w[r] = [float(v) for v in vals[:nr_class]]
-            r += 1
-            if r == rows:
-                break
+        return _parse_model(f)
+
+
+def _parse_model(f) -> LinearModel:
+    header = {}
+    labels = []
+    for line in f:
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "w":
+            break
+        if parts[0] == "label":
+            labels = [int(x) for x in parts[1:]]
+        else:
+            header[parts[0]] = parts[1]
+    nr_class = int(header["nr_class"])
+    nr_feature = int(header["nr_feature"])
+    bias = float(header.get("bias", "-1"))
+    rows = nr_feature + (1 if bias >= 0 else 0)
+    w = np.empty((rows, nr_class), dtype=np.float64)
+    r = 0
+    for line in f:
+        vals = line.split()
+        if not vals:
+            continue
+        w[r] = [float(v) for v in vals[:nr_class]]
+        r += 1
+        if r == rows:
+            break
     return LinearModel(header.get("solver_type", ""), nr_class, labels,
                        nr_feature, bias, w)
 
@@ -102,5 +105,6 @@ def shipped_model(name: str) -> LinearModel:
     if name not in _MODEL_CACHE:
         fname = {"dct": "temprelpro-dct.model", "et": "temprelpro-et.model",
                  "ee": "temprelpro-ee.model", "causal": "causerelpro.model"}[name]
-        _MODEL_CACHE[name] = load_model(os.path.join(_RES, fname))
+        text = read_resource_text("resources", "models", fname)
+        _MODEL_CACHE[name] = _parse_model(io.StringIO(text))
     return _MODEL_CACHE[name]

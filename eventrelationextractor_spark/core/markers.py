@@ -282,8 +282,8 @@ def get_temporal_signal(doc: DocState, e1: Mention, e2: Mention,
     ev_list = lexicons.temporal_event
     tmx_list = lexicons.temporal_timex
     signal_list = tmx_list if e2.is_timex else ev_list
-    sig_keys = sorted(signal_list, reverse=True)
-    ev_keys = sorted(ev_list, reverse=True)
+    sig_keys = lexicons.sorted_signal_keys("timex" if e2.is_timex else "event")
+    ev_keys = lexicons.sorted_signal_keys("event")
     candidates: dict = {}
 
     if is_same_sentence(doc, e1, e2):
@@ -337,7 +337,7 @@ def get_temporal_signal_per_entity(doc: DocState, ent: Mention,
     """getTemporalSignalPerEntity (1233-1289)."""
     signal_list = (lexicons.temporal_timex if ent.is_timex
                    else lexicons.temporal_event)
-    sig_keys = sorted(signal_list, reverse=True)
+    sig_keys = lexicons.sorted_signal_keys("timex" if ent.is_timex else "event")
     s = doc.sentences[ent.sent_id]
     tid_before1, _ = _tid_entity_before_after(doc, ent)
     tid_start1, tid_end1 = _tid_before_after(doc, ent)
@@ -383,7 +383,7 @@ def get_causal_signal(doc: DocState, e1: Mention, e2: Mention,
     """getCausalSignal (1372-1508): regex lexicon, HashMap key order,
     running-offset collision bumping, TreeMap argmin."""
     signal_list = lexicons.causal_cluster
-    pattern_list = lexicons.causal_pattern
+    patterns = lexicons.compiled_causal_patterns()
     keys = java_hashmap_order(list(signal_list))
     candidates: dict = {}
 
@@ -411,7 +411,7 @@ def get_causal_signal(doc: DocState, e1: Mention, e2: Mention,
 
         i = 0
         for key in keys:
-            pat = re.compile(" " + pattern_list[key] + " ")
+            pat = patterns[key]
             for ctx, pos, start_tid in ((ctx_between, "BETWEEN", tid_before2),
                                         (ctx_before, "BEFORE", tid_before1),
                                         (ctx_after, "AFTER", tid_end2)):
@@ -429,7 +429,7 @@ def get_causal_signal(doc: DocState, e1: Mention, e2: Mention,
         ctx_begin2 = " " + _get_string(doc, s2.start_tok, tid_begin2) + " "
         i = 0
         for key in keys:
-            pat = re.compile(" " + pattern_list[key] + " ")
+            pat = patterns[key]
             mo = pat.search(ctx_begin2)
             if mo:
                 m = _keyed_signal_marker(doc, e1, e2, signal_list, key,

@@ -174,22 +174,8 @@ def _sentence_lemma_text(doc: DocState, sent) -> str:
     return " ".join(doc.tokens[t].lemma for t in doc.token_arr[i0:i1 + 1])
 
 
-def _contains_any_pattern(text: str, patterns) -> bool:
-    s = " " + text + " "
-    return any(p.search(s) for p in patterns)
-
-
-def _compiled_signal_patterns(lx: Lexicons):
-    """Reference bug kept: isContainCausalSignal (CauseRelPro.java:61-77)
-    iterates csignalList.getList() whose KEYS are the numeric signal ids
-    ("1".."65"), so the sentence gate actually tests for standalone number
-    tokens, not the signal phrases."""
-    return [re.compile(" " + k + " ") for k in lx.causal_cluster]
-
-
-def _compiled_verb_patterns(lx: Lexicons):
-    return [re.compile(" " + re.escape(v).replace("\\ ", " ") + " ")
-            for v in lx.causal_verb]
+def _gate_hit(text: str, regex) -> bool:
+    return regex.search(" " + text + " ") is not None
 
 
 def causal_candidate_pairs(doc: DocState, lx: Lexicons) -> list:
@@ -199,16 +185,19 @@ def causal_candidate_pairs(doc: DocState, lx: Lexicons) -> list:
         clinks[src + "," + tgt] = "CLINK"
         clinks[tgt + "," + src] = "CLINK-R"
 
-    sig_pats = _compiled_signal_patterns(lx)
-    verb_pats = _compiled_verb_patterns(lx)
+    # sentence gates; single alternation regexes, compiled once per process.
+    # Reference bug kept: isContainCausalSignal (CauseRelPro.java:61-77)
+    # iterates csignalList.getList() whose KEYS are the numeric signal ids
+    # ("1".."65"), so the signal gate actually tests for standalone number
+    # tokens, not the signal phrases.
+    sig_re = lx.gate_signal_regex()
+    verb_re = lx.gate_verb_regex()
     sent_has_signal = {}
     sent_has_verb = {}
     for sid in doc.sentence_arr:
         s = doc.sentences[sid]
-        sent_has_signal[sid] = _contains_any_pattern(
-            _sentence_lower_text(doc, s), sig_pats)
-        sent_has_verb[sid] = _contains_any_pattern(
-            _sentence_lemma_text(doc, s), verb_pats)
+        sent_has_signal[sid] = _gate_hit(_sentence_lower_text(doc, s), sig_re)
+        sent_has_verb[sid] = _gate_hit(_sentence_lemma_text(doc, s), verb_re)
 
     candidates: dict = {}
     for si, sid in enumerate(doc.sentence_arr):

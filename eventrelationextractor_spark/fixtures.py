@@ -7,11 +7,9 @@ the compiled reference on them (tests/golden/README.md)."""
 
 from __future__ import annotations
 
-import os
 from datetime import datetime, timezone
 
-_FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                    "resources", "fixtures")
+from .respath import read_resource_text
 
 TEMPORAL_FIXTURES = ("sample_temporal", "bbc_20130322_721", "wsj_1014")
 CAUSAL_FIXTURES = ("sample_causal", "wsj_1014")
@@ -29,8 +27,8 @@ def fixture_url(name: str) -> str:
 
 
 def fixture_text(name: str) -> str:
-    with open(os.path.join(_FIX, _DOC_FILE[name]), encoding="utf-8") as f:
-        return f.read().rstrip("\n")
+    return read_resource_text("resources", "fixtures",
+                              _DOC_FILE[name]).rstrip("\n")
 
 
 def fixture_pages(names) -> list:
@@ -52,12 +50,10 @@ def golden_predictions(name: str, kind: str) -> list:
     else:
         fname = (name + "_predictions.tsv" if name == "sample_temporal"
                  else name + "_temporal_predictions.tsv")
-    path = os.path.join(_FIX, fname)
     url = fixture_url(name)
     out = []
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            if line.strip():
-                s, t, r = line.rstrip("\n").split("\t")
-                out.append((url, s, r, t))
+    for line in read_resource_text("resources", "fixtures", fname).split("\n"):
+        if line.strip():
+            s, t, r = line.rstrip("\n").split("\t")
+            out.append((url, s, r, t))
     return out

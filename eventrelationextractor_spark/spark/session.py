@@ -30,6 +30,14 @@ def build_session(master: str | None = None, app_name: str = "erex-spark",
                .config("spark.sql.adaptive.skewJoin.enabled", "true")
                .config("spark.sql.execution.arrow.pyspark.enabled", "true")
                .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+               # the extraction stage does milliseconds of Python per KB of
+               # input, so scan partitions must be sized for CPU, not IO:
+               # with the 128MB default a whole small corpus lands in 2-3
+               # tasks and caps parallelism (tune per deployment)
+               .config("spark.sql.files.maxPartitionBytes",
+                       os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                                      str(8 * 1024 * 1024)))
+               .config("spark.sql.files.openCostInBytes", str(512 * 1024))
                .config("spark.serializer",
                        "org.apache.spark.serializer.KryoSerializer")
                .config("spark.ui.enabled", "false"))
