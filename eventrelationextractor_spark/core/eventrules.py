@@ -207,6 +207,34 @@ def event_event_rule(doc: DocState, e1: Mention, e2: Mention,
     return rel
 
 
+def event_event_anchor_rule(e1_id: str, e2_id: str, etanchor: dict,
+                            etbefore: dict, etafter: dict,
+                            ttlinks: dict) -> str:
+    """R4/J5: EE deduction through timex anchors
+    (EventEventRelationRule.getEventRule 8-arg variant, 413-450).
+
+    ``etanchor/etbefore/etafter`` map event id -> anchoring timex id;
+    ``ttlinks`` maps (tmx1, tmx2) -> rule-derived relation. The reference
+    ships no caller that builds these maps (the API is exposed unused);
+    ``pipeline.build_anchor_maps`` wires them from the E-T sieve outputs.
+    """
+    if e1_id in etanchor and e2_id in etanchor:
+        return ttlinks.get((etanchor[e1_id], etanchor[e2_id]), "O")
+    if e1_id in etbefore and e2_id in etanchor:
+        rel = ttlinks.get((etbefore[e1_id], etanchor[e2_id]))
+        return rel if rel == "BEFORE" else "O"
+    if e1_id in etafter and e2_id in etanchor:
+        rel = ttlinks.get((etafter[e1_id], etanchor[e2_id]))
+        return rel if rel == "AFTER" else "O"
+    if e1_id in etanchor and e2_id in etafter:
+        rel = ttlinks.get((etanchor[e1_id], etafter[e2_id]))
+        return rel if rel == "BEFORE" else "O"
+    if e1_id in etanchor and e2_id in etbefore:
+        rel = ttlinks.get((etanchor[e1_id], etbefore[e2_id]))
+        return rel if rel == "AFTER" else "O"
+    return "O"
+
+
 # depRelE1 whitelists of the causal-verb rule (getEventCausalityRule,
 # EventEventRelationRule.java:93-282)
 _DEP1_COMMON = ("SBJ", "ADV", "NMOD", "APPO", "PRD-IM", "PRP-IM")

@@ -31,7 +31,8 @@ from dataclasses import dataclass
 from . import features
 from .deps import ee_dependency_path, et_dependency_path, pair_order
 from .docmodel import DocState, Mention
-from .eventrules import event_causality_rule, event_event_rule, event_timex_rule
+from .eventrules import (event_causality_rule, event_event_anchor_rule,
+                         event_event_rule, event_timex_rule)
 from .javacompat import java_hashmap_order
 from .lexicons import Lexicons, load_lexicons
 from .liblinear import CAUS_LABELS, TEMP_LABELS, shipped_model
@@ -104,8 +105,34 @@ def _candidate_groups(doc: DocState):
     return dct_pairs, et_pairs, ee_pairs
 
 
-def temporal_triples(doc: DocState, lexicons: Lexicons | None = None) -> list:
-    """The full temporal sieve cascade (TempRelPro.testModel)."""
+def build_anchor_maps(doc: DocState, et_triples) -> tuple:
+    """Anchor maps for R4 from E-T sieve outputs: an event anchors to a
+    timex it IS_INCLUDED in / SIMULTANEOUS with; BEFORE/AFTER links feed
+    the directional maps (our wiring - the reference exposes the rule but
+    ships no builder; EventEventRelationRule.java:413-450)."""
+    etanchor: dict = {}
+    etbefore: dict = {}
+    etafter: dict = {}
+    for t in et_triples:
+        ev, tmx = t.source, t.target
+        if t.rel in ("IS_INCLUDED", "SIMULTANEOUS", "INCLUDES"):
+            etanchor.setdefault(ev, tmx)
+        elif t.rel == "BEFORE":
+            etbefore.setdefault(ev, tmx)
+        elif t.rel == "AFTER":
+            etafter.setdefault(ev, tmx)
+    return etanchor, etbefore, etafter
+
+
+def temporal_triples(doc: DocState, lexicons: Lexicons | None = None,
+                     anchor_deduction: bool = False) -> list:
+    """The full temporal sieve cascade (TempRelPro.testModel).
+
+    ``anchor_deduction=True`` additionally applies R4 (timex-anchor EE
+    deduction) for EE pairs the dependency/Reichenbach rules leave
+    unlabeled, before they fall through to the classifier - mirroring the
+    8-arg EventEventRelationRule constructor (rule first, anchors second,
+    EventEventRelationRule.java:66-91)."""
     lx = lexicons or load_lexicons()
     out: list[Triple] = []
 
@@ -130,9 +157,22 @@ def temporal_triples(doc: DocState, lexicons: Lexicons | None = None) -> list:
             out.append(Triple(e1.mid, e2.mid, rel, "et-rule", "et"))
         else:
             et_clf.append((e1, e2, label))
+    anchor_maps = None
+    if anchor_deduction:
+        et_out = [t for t in out if t.pair_type in ("et", "ed")]
+        anchor_maps = build_anchor_maps(doc, et_out)
     for e1, e2, label in ee_pairs:
         dep = ee_dependency_path(doc, e1, e2)
         rel = event_event_rule(doc, e1, e2, dep)
+        if rel == "O" and anchor_maps is not None:
+            rel = event_event_anchor_rule(
+                e1.mid, e2.mid, *anchor_maps,
+                {k: v for k, v in tt.items()})
+            if rel in ("DURING", "DURING_INV"):
+                rel = "SIMULTANEOUS"
+            if rel != "O":
+                out.append(Triple(e1.mid, e2.mid, rel, "ee-anchor", "ee"))
+                continue
         if rel != "O":
             if rel == "IDENTITY":
                 rel = "SIMULTANEOUS"

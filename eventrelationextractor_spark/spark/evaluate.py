@@ -1,0 +1,89 @@
+"""A2/J6: gold-vs-system pair evaluation as DataFrame aggregations.
+
+Semantics follow /root/reference/src/evaluator/PairEvaluator.java:22-130:
+exact (src, tgt) key match per document, per-label tp/fp/fn with P/R/F1
+plus micro accuracy. Inverse-normalized matching (a gold (b,a,inverse-rel)
+counts for a predicted (a,b,rel); TemporalRelation.getInverseRelation) is
+enabled by default per FIXTURES.md §3.
+
+Shapes: gold(url, src, tgt, rel) x pred(url, src, tgt, rel) -> one
+broadcastable-sized metrics frame; the joins are equi-joins on
+(url, src, tgt), map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.timexrule import INVERSE
+
+_INV_PAIRS = list(INVERSE.items())
+
+
+def _inverse_expr(col):
+    expr = None
+    for a, b in _INV_PAIRS:
+        cond = F.when(col == a, F.lit(b))
+        expr = cond if expr is None else expr.when(col == a, F.lit(b))
+    return expr.otherwise(col)
+
+
+def normalize_directions(df: DataFrame) -> DataFrame:
+    """Canonical direction: src <= tgt (string order), label inverted on
+    swap - makes (a,b,rel) and (b,a,inverse) compare equal."""
+    swap = F.col("src") > F.col("tgt")
+    return df.select(
+        "url",
+        F.when(swap, F.col("tgt")).otherwise(F.col("src")).alias("src"),
+        F.when(swap, F.col("src")).otherwise(F.col("tgt")).alias("tgt"),
+        F.when(swap, _inverse_expr(F.col("rel"))).otherwise(F.col("rel"))
+        .alias("rel"))
+
+
+def evaluate_pairs(gold: DataFrame, pred: DataFrame,
+                   inverse_normalize: bool = True) -> DataFrame:
+    """-> per-label (label, tp, fp, fn, precision, recall, f1)."""
+    if inverse_normalize:
+        gold = normalize_directions(gold).dropDuplicates(["url", "src", "tgt"])
+        pred = normalize_directions(pred).dropDuplicates(["url", "src", "tgt"])
+    g = gold.select("url", "src", "tgt", F.col("rel").alias("gold_rel"))
+    p = pred.select("url", "src", "tgt", F.col("rel").alias("pred_rel"))
+    joined = g.join(p, ["url", "src", "tgt"], "full")
+
+    per_gold = (joined.filter(F.col("gold_rel").isNotNull())
+                .groupBy(F.col("gold_rel").alias("label"))
+                .agg(F.sum(F.when(F.col("pred_rel") == F.col("gold_rel"), 1)
+                           .otherwise(0)).alias("tp"),
+                     F.sum(F.when(F.col("pred_rel").isNull()
+                                  | (F.col("pred_rel") != F.col("gold_rel")),
+                                  1).otherwise(0)).alias("fn")))
+    per_pred = (joined.filter(F.col("pred_rel").isNotNull())
+                .groupBy(F.col("pred_rel").alias("label"))
+                .agg(F.sum(F.when(F.col("gold_rel").isNull()
+                                  | (F.col("gold_rel") != F.col("pred_rel")),
+                                  1).otherwise(0)).alias("fp")))
+    out = (per_gold.join(per_pred, "label", "full")
+           .fillna(0, subset=["tp", "fp", "fn"]))
+    return out.select(
+        "label", "tp", "fp", "fn",
+        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)),
+                6).alias("precision"),
+        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)),
+                6).alias("recall"),
+        F.round(2 * F.col("tp")
+                / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"),
+                             F.lit(1)), 6).alias("f1"))
+
+
+def micro_scores(gold: DataFrame, pred: DataFrame,
+                 inverse_normalize: bool = True) -> dict:
+    """Corpus-level micro P/R/F1 (driver-side scalars)."""
+    m = evaluate_pairs(gold, pred, inverse_normalize) \
+        .agg(F.sum("tp").alias("tp"), F.sum("fp").alias("fp"),
+             F.sum("fn").alias("fn")).collect()[0]
+    tp, fp, fn = m.tp or 0, m.fp or 0, m.fn or 0
+    p = tp / max(tp + fp, 1)
+    r = tp / max(tp + fn, 1)
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": p, "recall": r,
+            "f1": 2 * tp / max(2 * tp + fp + fn, 1)}
