@@ -183,9 +183,12 @@ def _parse_deps(cell: str):
     deps, order = {}, []
     for d in cell.split("||"):
         parts = d.split(":")
+        if len(parts) < 2:
+            continue  # malformed entry: the Java throws; we skip the cell
+        if parts[0] not in deps:
+            order.append(parts[0])
         deps[parts[0]] = parts[1]
-        order.append(parts[0])
-    return deps, tuple(order)
+    return (deps, tuple(order)) if deps else (None, ())
 
 
 def _parse_tap(cell: str):

@@ -49,13 +49,31 @@ class Triple:
     pair_type: str      # 'tt' | 'ed' | 'et' | 'ee' | 'causal'
 
 
-def timex_timex_rule_links(doc: DocState) -> dict:
-    """getTimexTimexRuleRelation (TempRelPro.java:63-83): both directions."""
+def timex_timex_rule_links(doc: DocState,
+                           max_timexes: int | None = None) -> dict:
+    """getTimexTimexRuleRelation (TempRelPro.java:63-83): both directions.
+
+    ``max_timexes`` is the giant-page skew guard (SURVEY.md §7.1 step 8):
+    the loop is O(n_timex^2) per document, so web pages with pathological
+    timex counts are truncated to the first ``max_timexes`` mentions in
+    entity order rather than stalling a task; truncation is recorded in
+    ``doc.memo['tt_truncated']`` for lineage."""
     if doc.dct is not None:
         doc.dct.tmx_type, doc.dct.tmx_value = normalize_dct(
             doc.dct.tmx_type, doc.dct.tmx_value)
     dct_value = doc.dct.tmx_value if doc.dct is not None else ""
     keys = java_hashmap_order(list(doc.entities.keys()))
+    if max_timexes is not None:
+        n_tmx = 0
+        kept = []
+        for k in keys:
+            if doc.entities[k].is_timex:
+                n_tmx += 1
+                if n_tmx > max_timexes:
+                    doc.memo["tt_truncated"] = True
+                    continue
+            kept.append(k)
+        keys = kept
     tt: dict = {}
     for i in range(len(keys)):
         e1 = doc.entities[keys[i]]
@@ -125,7 +143,8 @@ def build_anchor_maps(doc: DocState, et_triples) -> tuple:
 
 
 def temporal_triples(doc: DocState, lexicons: Lexicons | None = None,
-                     anchor_deduction: bool = False) -> list:
+                     anchor_deduction: bool = False,
+                     max_timexes: int | None = None) -> list:
     """The full temporal sieve cascade (TempRelPro.testModel).
 
     ``anchor_deduction=True`` additionally applies R4 (timex-anchor EE
@@ -136,7 +155,7 @@ def temporal_triples(doc: DocState, lexicons: Lexicons | None = None,
     lx = lexicons or load_lexicons()
     out: list[Triple] = []
 
-    tt = timex_timex_rule_links(doc)
+    tt = timex_timex_rule_links(doc, max_timexes=max_timexes)
     for (src, tgt), rel in tt.items():
         out.append(Triple(src, tgt, rel, "tt-rule", "tt"))
 

@@ -81,10 +81,20 @@ def parse_page(text: str, name: str = "PAGE") -> DocState:
     return parse_txp_lines(lines, fields, name)
 
 
-def extract_triples(pages: DataFrame, mode: str = "both") -> DataFrame:
+def extract_triples(pages: DataFrame, mode: str = "both",
+                    max_timexes_per_doc: int = 500,
+                    causal_tlinks_from_temporal: bool = False) -> DataFrame:
     """pages(url, ..., text) -> triples. Pure map stage: no shuffle.
 
-    ``mode``: 'temporal' | 'causal' | 'both'."""
+    ``mode``: 'temporal' | 'causal' | 'both'.
+    ``max_timexes_per_doc``: giant-page skew guard - the timex-timex sieve
+    is O(n^2) per document; pages beyond the cap are truncated (lineage
+    stage row 'tt-truncated' marks them).
+    ``causal_tlinks_from_temporal``: inter-stage dependency J4
+    (SURVEY.md §7.1 step 5) - feed the causal classifier's tlink-type
+    feature from this run's temporal predictions (as CauseRelPro.main does
+    with an externally supplied tlink map) instead of the page's annotated
+    tlink cells."""
     cols = pages.select("url", "text")
 
     def run(batches: Iterator) -> Iterator:
@@ -103,10 +113,22 @@ def extract_triples(pages: DataFrame, mode: str = "both") -> DataFrame:
                 except Exception:
                     continue  # malformed page: skipped, counted by lineage
                 trips = []
+                temporal = None
                 if mode in ("temporal", "both"):
-                    trips += temporal_triples(doc, lx)
+                    temporal = temporal_triples(
+                        doc, lx, max_timexes=max_timexes_per_doc)
+                    trips += temporal
                 if mode in ("causal", "both"):
-                    trips += causal_triples(doc, lexicons=lx)
+                    tlinks_map = None
+                    if causal_tlinks_from_temporal and temporal is not None:
+                        tlinks_map = {t.source + "," + t.target: t.rel
+                                      for t in temporal}
+                    trips += causal_triples(doc, tlinks_map=tlinks_map,
+                                            lexicons=lx)
+                if doc.memo.get("tt_truncated"):
+                    from ..core.pipeline import Triple
+                    trips.append(Triple("_doc", "_doc", "TRUNCATED",
+                                        "tt-truncated", "meta"))
                 for t in trips:
                     out["url"].append(url)
                     out["subj"].append(t.source)
