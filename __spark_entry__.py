@@ -384,8 +384,12 @@ bands AS (
   UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
   UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
   UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+sizes0 AS (SELECT band, bucket, count(*) AS bn FROM bands GROUP BY 1, 2),
+capped AS (SELECT b.doc_id, b.band, b.bucket FROM bands b
+           JOIN sizes0 s ON s.band = b.band AND s.bucket = b.bucket
+           WHERE s.bn <= 100),
 cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         FROM bands l JOIN bands r
+         FROM capped l JOIN capped r
          ON l.bucket = r.bucket AND l.band = r.band AND l.doc_id < r.doc_id),
 inter AS (SELECT c.a, c.b, count(*) AS n_inter
           FROM cand c

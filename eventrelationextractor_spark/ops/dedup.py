@@ -66,14 +66,27 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return sig
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct (a < b) pairs sharing at least one band bucket."""
+MAX_BUCKET_SIZE = 100
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
+                        max_bucket_size: int = MAX_BUCKET_SIZE) -> DataFrame:
+    """Distinct (a < b) pairs sharing at least one band bucket.
+
+    Hot-bucket guard: a bucket holding k documents yields k^2/2 pairs, so
+    boilerplate-heavy corpora can turn one bucket into the whole job's
+    skew. Buckets larger than ``max_bucket_size`` are dropped (standard
+    LSH practice - such groups are better served by the exact-fingerprint
+    dedup pass); the SQL oracle applies the same cap."""
     bands = None
     for b in range(N_MINHASHES // BAND_SIZE):
         part = sig.select(F.col(id_col).alias("id"),
                           F.col(f"band{b}").alias("bucket"),
                           F.lit(b).alias("band"))
         bands = part if bands is None else bands.unionByName(part)
+    sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bn"))
+    bands = (bands.join(sizes, ["band", "bucket"])
+             .filter(F.col("bn") <= max_bucket_size).drop("bn"))
     left = bands.alias("l")
     right = bands.alias("r")
     return (left.join(right, (F.col("l.bucket") == F.col("r.bucket"))

@@ -23,10 +23,14 @@ def golden_rows(name: str) -> list:
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder
              .master(os.environ.get("SPARK_GRAFT_MASTER", "local[4]"))
              .appName("erex-tests")
+             .config("spark.sql.warehouse.dir",
+                     tempfile.mkdtemp(prefix="erex-warehouse-"))
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
