@@ -489,6 +489,35 @@ SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, cid AS neighbor_id,
 FROM ranked WHERE rank <= 5
 """
 
+_ANN_LSH_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (SELECT unnest(range(0, 8)) AS p),
+dots AS (
+  SELECT e.vec_id, pl.p,
+    list_sum(list_transform(range(1, 65),
+      i -> e.v[i] * (CASE WHEN strpos('02468ace',
+                          substr(md5(pl.p || ':' || (i-1)), 1, 1)) > 0
+                     THEN 1.0 ELSE -1.0 END))) AS dot
+  FROM e, planes pl),
+sig AS (SELECT vec_id,
+        CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+        AS signature FROM dots GROUP BY vec_id),
+es AS (SELECT e.vec_id, e.v, s.signature FROM e JOIN sig s USING (vec_id)),
+q AS (SELECT vec_id AS qid, v AS qv, signature AS qsig FROM es
+      WHERE vec_id < 10),
+pairs AS (SELECT q.qid, es.vec_id AS cid,
+  list_dot_product(q.qv, es.v)
+    / (sqrt(list_dot_product(q.qv, q.qv))
+       * sqrt(list_dot_product(es.v, es.v))) AS cosine
+  FROM q JOIN es ON es.signature = q.qsig AND es.vec_id <> q.qid),
+ranked AS (SELECT qid, cid, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+           AS rank FROM pairs)
+SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, cid AS neighbor_id,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
 _EVENTS_WINDOW_ORACLE = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, CAST(count(*) AS BIGINT) AS n_events,
@@ -590,9 +619,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _QUALITY_ORACLE,
         "token_counts": _TOKEN_ORACLE,
         "ann_topk": _ANN_ORACLE,
-        # ann_lsh_topk: omitted - float sign-of-dot bucketing boundary makes
-        # a SQL twin brittle; rows-only check (brute-force variant is the
-        # value-checked baseline).
+        "ann_lsh_topk": _ANN_LSH_ORACLE,
         "events_windowed": _EVENTS_WINDOW_ORACLE,
         "events_sessions": _SESSIONS_ORACLE,
         "media_features": _MEDIA_ORACLE,
