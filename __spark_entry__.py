@@ -345,7 +345,7 @@ SELECT d AS doc_id,
   sha256('happened ' || prep || ' ' || v1 || ' and occurred near ' || v2
          || ' then vanished near ' || v3 || ' within ' || v4
          || ' . said that walked . trading ' || verb
-         || 's to lose . met others arrived .') AS sha256
+         || 's to lose . met others arrived quietly .') AS sha256
 FROM vals
 """
 

@@ -229,3 +229,25 @@ def to_matrix(rows: list) -> np.ndarray:
     if not rows:
         return np.empty((0, 0), dtype=np.float64)
     return np.asarray(rows, dtype=np.float64)
+
+
+def _java_double(v: float) -> str:
+    """java.lang.String.valueOf(double) for the value shapes we emit
+    (integral and short decimal doubles): 1.0 -> '1.0', 0.25 -> '0.25'."""
+    return repr(float(v))
+
+
+def to_libsvm(vec) -> str:
+    """printLibSVMVectors (PairFeatureVector.java:218-230): label first
+    (the raw integer label column), then 1-based idx:value for values > 0."""
+    parts = [str(int(vec[-1]))]
+    for i, v in enumerate(vec[:-1]):
+        if v > 0:
+            parts.append(f"{i + 1}:{_java_double(v)}")
+    return parts[0] + " " + " ".join(parts[1:]) if len(parts) > 1 else parts[0]
+
+
+def to_csv_row(vec) -> str:
+    """Dense CSV export (printCSVVectors-shaped; numeric formatting is
+    ours - the reference joins its raw feature strings)."""
+    return ",".join(_java_double(v) for v in vec)

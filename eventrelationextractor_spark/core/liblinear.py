@@ -59,6 +59,16 @@ class LinearModel:
     def predict_strings(self, X: np.ndarray, label_names) -> list:
         return [label_names[v - 1] for v in self.predict_label_values(X)]
 
+    def predict_probabilities(self, X: np.ndarray) -> np.ndarray:
+        """M3 (EventEventRelationClassifier.predictProbability, 359-401):
+        logistic/softmax probabilities over the decision values, columns in
+        model-label order. The reference only exercises this on its
+        experimental logit path; exposed here for parity of capability."""
+        scores = self.predict_values(X)
+        scores = scores - scores.max(axis=1, keepdims=True)
+        e = np.exp(scores)
+        return e / e.sum(axis=1, keepdims=True)
+
 
 def load_model(path: str) -> LinearModel:
     with open(path, encoding="utf-8") as f:

@@ -140,7 +140,11 @@ def synth_txp_lines(d: int) -> list:
         _tok("others", "t25", "4", "NN2", "other", chunk="B-NP"),
         _tok("arrived", "t26", "4", "VVD", "arrive", ev_class="OCCURRENCE",
              ev_id="e9", chunk="B-VP", tap="%s+%s+pos" % (c9a, c9b)),
-        _tok(".", "t27", "4", "PUN", "."),
+        # padding token: the reference's sentence-begin context reads
+        # tokenArr[sentStart+4] unguarded (PairFeatureVector.java:1255) and
+        # would crash on a 4-token final sentence
+        _tok("quietly", "t27", "4", "AV0", "quietly", chunk="B-ADVP"),
+        _tok(".", "t28", "4", "PUN", "."),
     ]
     return lines
 

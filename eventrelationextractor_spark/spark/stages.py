@@ -256,3 +256,58 @@ def pages_from_doc_ids(doc_ids: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(gen, schema=schema)
+
+
+FEATURE_EXPORT_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("group", StringType(), False),   # dct | et | ee
+    StructField("src", StringType(), False),
+    StructField("tgt", StringType(), False),
+    StructField("label", LongType(), False),
+    StructField("libsvm", StringType(), False),
+])
+
+
+def export_training_features(pages: DataFrame) -> DataFrame:
+    """Training-data preparation (M1 precursor): per classifier-bound pair,
+    the exact one-hot row in liblinear/libsvm text format - byte-identical
+    to the reference's printLibSVMVectors on its own vectors. Feed the
+    output of this stage to an external liblinear train to reproduce model
+    files; inference uses the vendored shipped models."""
+    cols = pages.select("url", "text")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..core import features
+        from ..core.lexicons import load_lexicons
+        from ..core.pipeline import _candidate_groups
+        lx = load_lexicons()
+        for pdf in batches:
+            rows = {k.name: [] for k in FEATURE_EXPORT_SCHEMA.fields}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                try:
+                    doc = parse_page(text, url)
+                except Exception:
+                    continue
+                dct_pairs, et_pairs, ee_pairs = _candidate_groups(doc)
+                groups = (
+                    ("dct", dct_pairs,
+                     lambda e1, e2, lb: features.et_vector(doc, e1, e2, lb, False)),
+                    ("et", et_pairs,
+                     lambda e1, e2, lb: features.et_vector(doc, e1, e2, lb, False)),
+                    ("ee", ee_pairs,
+                     lambda e1, e2, lb: features.ee_vector(doc, e1, e2, lb, lx)),
+                )
+                for gname, pairs, build in groups:
+                    for e1, e2, lb in pairs:
+                        vec = build(e1, e2, lb)
+                        rows["url"].append(url)
+                        rows["group"].append(gname)
+                        rows["src"].append(e1.mid)
+                        rows["tgt"].append(e2.mid)
+                        rows["label"].append(int(vec[-1]))
+                        rows["libsvm"].append(features.to_libsvm(vec))
+            yield pd.DataFrame(rows)
+
+    return cols.mapInPandas(run, schema=FEATURE_EXPORT_SCHEMA)

@@ -25,3 +25,26 @@ def test_synth_doc_shape():
         "tmx0", "tmx1", "tmx2", "tmx3", "tmx4",
         "e1", "e2", "e3", "e4", "e5", "e6", "e7", "e8", "e9"}
     assert doc.dct is not None and doc.dct.is_dct
+
+
+def _ref_golden(name):
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = {}
+    with open(os.path.join(here, "golden", name)) as f:
+        for line in f:
+            fname, s, t, r = line.rstrip("\n").split("\t")
+            out.setdefault(int(fname[3:6]), set()).add((s, t, r))
+    return out
+
+
+def test_synth_corpus_matches_compiled_reference():
+    """The COMPILED REFERENCE was run on 30 synthetic documents
+    (tests/golden/synth_*_predictions.tsv); its output must equal the
+    closed-form oracle - which ties the driver's DuckDB correctness gate
+    to the reference engine itself, not merely to our own pipeline."""
+    ref_t = _ref_golden("synth_temporal_predictions.tsv")
+    ref_c = _ref_golden("synth_causal_predictions.tsv")
+    for d in range(30):
+        assert ref_t.get(d, set()) == set(expected_temporal_triples(d)), d
+        assert ref_c.get(d, set()) == set(expected_causal_triples(d)), d

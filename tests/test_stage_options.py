@@ -56,3 +56,42 @@ def test_causal_tlinks_from_temporal_changes_features(spark):
     rules_l = {(r.subj, r.obj) for r in linked if r.stage == "causal-rule"}
     assert rules_b == rules_l
     assert all(r.pred in ("CLINK", "CLINK-R") for r in linked)
+
+
+def test_training_feature_export_matches_reference_printer(spark):
+    """libsvm rows must be byte-identical to the reference's
+    printLibSVMVectors applied to its own golden raw vectors."""
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    pages = spark.createDataFrame(fx.fixture_pages(["wsj_1014"]), PAGES_SCHEMA)
+    got = {(r.src, r.tgt): r.libsvm
+           for r in stages.export_training_features(pages)
+           .filter(F.col("group") == "ee").collect()}
+
+    def java_libsvm(raws):
+        out = [raws[-1]]
+        for i, r in enumerate(raws[:-1]):
+            if float(r) > 0:
+                out.append(f"{i + 1}:{float(r)!r}")
+        return out[0] + " " + " ".join(out[1:]) if len(out) > 1 else out[0]
+
+    n = 0
+    with open(os.path.join(here, "golden", "wsj_1014_ee_vectors.tsv")) as f:
+        for line in f:
+            p = line.rstrip("\n").split("\t")
+            assert got[(p[0], p[1])] == java_libsvm(p[4].split(",")), (p[0], p[1])
+            n += 1
+    assert n == len(got) == 205
+
+
+def test_predict_probabilities_shape():
+    import numpy as np
+
+    from eventrelationextractor_spark.core.liblinear import shipped_model
+    m = shipped_model("ee")
+    X = np.zeros((3, 269))
+    X[:, 0] = 1.0
+    P = m.predict_probabilities(X)
+    assert P.shape == (3, m.nr_class)
+    assert np.allclose(P.sum(axis=1), 1.0)
+    assert int(np.argmax(P[0])) == int(np.argmax(m.predict_values(X)[0]))
