@@ -501,3 +501,179 @@ def get_causal_verb(doc: DocState, e1: Mention, e2: Mention,
                     candidates[d] = verb_marker(lemma, tid)
 
     return _argmin_candidates(candidates)
+
+
+def _connective_tid_arr(doc: DocState, conn: str, start_tid: str,
+                        end_tid: str, position: str) -> list:
+    """getConnectiveTidArr (952-984): first consecutive run of tokens whose
+    discourse-connective tag equals ``conn`` inside the context range;
+    scanned backwards for BEFORE/BETWEEN."""
+    i0 = doc.tokens[start_tid].idx
+    i1 = doc.tokens[end_tid].idx
+    tids = doc.token_arr[i0:i1 + 1]
+    if position in ("BEFORE", "BETWEEN"):
+        tids = list(reversed(tids))
+    run = []
+    started = False
+    for tid in tids:
+        if doc.tokens[tid].conn == conn:
+            run.append(tid)
+            started = True
+        elif started:
+            break
+    if position in ("BEFORE", "BETWEEN"):
+        run.reverse()
+    return run
+
+
+def _connective_entity_distance(doc: DocState, e: Mention, tid_conn: list,
+                                position: str) -> int:
+    """getConnectiveEntityDistance (986-996)."""
+    if position in ("BEFORE", "BETWEEN"):
+        return abs(doc.tok_index[e.start_tok]
+                   - doc.tok_index[tid_conn[-1]])
+    return abs(doc.tok_index[e.end_tok] - doc.tok_index[tid_conn[0]])
+
+
+def _connective_marker(doc: DocState, e1: Mention, e2: Mention, text: str,
+                       position: str, conn_tids: list) -> Marker:
+    """getConnectiveMarker (1113-1137): cluster = text; dep paths with the
+    same BEFORE/BEGIN e1/e2 swap as the pair signal marker."""
+    m = Marker(text=text, cluster=text, position=position)
+    span1 = span_token_ids(doc, e1.start_tok, e1.end_tok)
+    span2 = span_token_ids(doc, e2.start_tok, e2.end_tok)
+    d1 = d2 = "O"
+    if position in ("BETWEEN", "INSIDE"):
+        d1 = signal_dependency_path(doc, e1, span1, conn_tids)
+        d2 = signal_dependency_path(doc, e2, span2, conn_tids)
+    elif position in ("BEFORE", "BEGIN"):
+        d1 = signal_dependency_path(doc, e2, span2, conn_tids)
+        d2 = signal_dependency_path(doc, e1, span1, conn_tids)
+    elif position == "BEGIN-BEFORE":
+        d1 = signal_dependency_path(doc, e1, span1, conn_tids)
+    elif position == "BEGIN-BETWEEN":
+        d2 = signal_dependency_path(doc, e2, span2, conn_tids)
+    m.dep1, m.dep2 = d1, d2
+    return m
+
+
+def _get_connective(doc: DocState, e1: Mention, e2: Mention, conn: str,
+                    with_inside: bool) -> Marker:
+    """getTemporalConnective (1291-1370, conn='Temporal', with_inside=True)
+    and getCausalConnective (1563-1634, conn='Contingency', no INSIDE).
+
+    Replicated quirks: the INSIDE candidate passes the BEGIN tid array to
+    the marker builder (1336) while measuring distance on the entity run;
+    the cross-sentence Begin2 range starts at *sentence 1*'s first token
+    (1355). Pairs whose Java path dereferences a DCT/empty mention crash in
+    the reference; we return the empty marker there instead."""
+    candidates: dict = {}
+    for e in (e1, e2):
+        if e.is_timex and (e.is_dct or e.is_empty):
+            if not is_same_sentence(doc, e1, e2) and e is e2:
+                return _NO_MARKER   # Java NPEs on sentences.get(null)
+    if is_same_sentence(doc, e1, e2):
+        s = doc.sentences[e1.sent_id]
+        tid_before1, _ = _tid_entity_before_after(doc, e1)
+        tid_start1, _ = _tid_before_after(doc, e1)
+        tid_before2 = tid_before1
+        tid_start2, tid_end2 = _tid_before_after(doc, e2)
+        _, tid_after2 = _tid_entity_before_after(doc, e2)
+        tid_begin = _tid_begin(doc, s)
+
+        conn_before = _connective_tid_arr(doc, conn, tid_before1, tid_start1,
+                                          "BEFORE")
+        conn_between = _connective_tid_arr(doc, conn, tid_before2, tid_start2,
+                                           "BETWEEN")
+        conn_after = _connective_tid_arr(doc, conn, tid_end2, tid_after2,
+                                         "AFTER")
+        conn_begin = _connective_tid_arr(doc, conn, s.start_tok, tid_begin,
+                                         "BEGIN")
+        conn_entity = (_connective_tid_arr(doc, conn, e2.start_tok,
+                                           e2.end_tok, "INSIDE")
+                       if with_inside else [])
+
+        if conn_between:
+            text = _get_string(doc, conn_between[0], conn_between[-1])
+            m = _connective_marker(doc, e1, e2, text, "BETWEEN", conn_between)
+            candidates[_connective_entity_distance(doc, e2, conn_between,
+                                                   "BETWEEN")] = m
+        elif conn_before:
+            text = _get_string(doc, conn_before[0], conn_before[-1])
+            m = _connective_marker(doc, e1, e2, text, "BEFORE", conn_before)
+            candidates[_connective_entity_distance(doc, e1, conn_before,
+                                                   "BEFORE") + 100] = m
+        elif conn_after:
+            text = _get_string(doc, conn_after[0], conn_after[-1])
+            m = _connective_marker(doc, e1, e2, text, "AFTER", conn_after)
+            candidates[_connective_entity_distance(doc, e2, conn_after,
+                                                   "AFTER") + 200] = m
+        elif with_inside and conn_entity:
+            text = _get_string(doc, conn_entity[0], conn_entity[-1])
+            # reference passes the BEGIN tid array here (1336)
+            m = _connective_marker(doc, e1, e2, text, "INSIDE", conn_begin)
+            d = abs(doc.tok_index[e2.start_tok]
+                    - doc.tok_index[conn_entity[0]])
+            candidates[d + 300] = m
+        elif conn_begin:
+            text = _get_string(doc, conn_begin[0], conn_begin[-1])
+            m = _connective_marker(doc, e1, e2, text, "BEGIN", conn_begin)
+            d = abs(doc.tok_index[s.start_tok]
+                    - doc.tok_index[conn_begin[0]])
+            candidates[d + (400 if with_inside else 300)] = m
+    else:
+        s1 = doc.sentences[e1.sent_id]
+        s2 = doc.sentences[e2.sent_id]
+        tid_begin1 = _tid_begin(doc, s1)
+        tid_begin2 = _tid_begin(doc, s2)
+        # reference scans s1.start..tidBegin2 for the 'Begin2' run (1355)
+        conn_begin1 = _connective_tid_arr(doc, conn, s1.start_tok, tid_begin1,
+                                          "BEGIN")
+        conn_begin2 = _connective_tid_arr(doc, conn, s1.start_tok, tid_begin2,
+                                          "BEGIN")
+        if conn_begin2:
+            text = _get_string(doc, conn_begin2[0], conn_begin2[-1])
+            m = _connective_marker(doc, e1, e2, text, "BEGIN-BETWEEN",
+                                   conn_begin2)
+            d = abs(doc.tok_index[s2.start_tok]
+                    - doc.tok_index[conn_begin2[0]])
+            candidates[d] = m
+        elif conn_begin1:
+            text = _get_string(doc, conn_begin1[0], conn_begin1[-1])
+            m = _connective_marker(doc, e1, e2, text, "BEGIN-BEFORE",
+                                   conn_begin1)
+            d = abs(doc.tok_index[s1.start_tok]
+                    - doc.tok_index[conn_begin1[0]])
+            candidates[d + 100] = m
+    return _argmin_candidates(candidates)
+
+
+def get_temporal_connective(doc: DocState, e1: Mention, e2: Mention) -> Marker:
+    return _get_connective(doc, e1, e2, "Temporal", with_inside=True)
+
+
+def get_causal_connective(doc: DocState, e1: Mention, e2: Mention) -> Marker:
+    return _get_connective(doc, e1, e2, "Contingency", with_inside=False)
+
+
+def get_temporal_marker_feature(doc: DocState, e1: Mention, e2: Mention,
+                                lexicons, pair_type: str = "ee") -> Marker:
+    """getTemporalMarkerFeature (1786-1802): connective first, signal
+    fallback; ET pairs with DCT/empty/cross-sentence get the empty marker."""
+    if pair_type == "et":
+        if (e2.is_timex and (e2.is_dct or e2.is_empty)) \
+                or not is_same_sentence(doc, e1, e2):
+            return _NO_MARKER
+    m = get_temporal_connective(doc, e1, e2)
+    if m.text == "O":
+        m = get_temporal_signal(doc, e1, e2, lexicons)
+    return m
+
+
+def get_causal_marker_feature(doc: DocState, e1: Mention, e2: Mention,
+                              lexicons) -> Marker:
+    """getCausalMarkerFeature (1804-1811): signal, then verb."""
+    m = get_causal_signal(doc, e1, e2, lexicons)
+    if m.text == "O":
+        m = get_causal_verb(doc, e1, e2, lexicons)
+    return m

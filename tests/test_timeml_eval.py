@@ -155,3 +155,28 @@ def test_anchor_deduction_in_pipeline():
     # without anchors the same pair falls to the classifier
     assert {x.stage for x in base if (x.source, x.target) == ("e10", "e11")} \
         == {"ee-clf"}
+
+
+@pytest.mark.parametrize("name", ["wsj_1014", "bbc_20130322_721"])
+def test_connective_markers_match_reference(name):
+    """X9: discourse-connective markers, golden-exact vs the compiled
+    reference on every candidate pair (rows where the Java itself throws
+    are skipped; we return the empty marker there)."""
+    from eventrelationextractor_spark.core.markers import (
+        get_causal_connective, get_temporal_connective)
+
+    from conftest import golden_rows
+    doc = parse_txp_file_text(open(fixture_path(name + ".tml.txp")).read(),
+                              FIELDS_FILE24)
+    checked = 0
+    for src, tgt, gold_t, gold_c in golden_rows(name + "_connectives.tsv"):
+        e1, e2 = doc.entities[src], doc.entities[tgt]
+        for gold, fn in ((gold_t, get_temporal_connective),
+                         (gold_c, get_causal_connective)):
+            if gold == "ERROR":
+                continue
+            m = fn(doc, e1, e2)
+            assert f"{m.text}|{m.cluster}|{m.position}|{m.dep1}|{m.dep2}" \
+                == gold, (src, tgt)
+            checked += 1
+    assert checked > 50
