@@ -51,8 +51,8 @@ def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _synth_triples(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
-    pages = stages.pages_from_doc_ids(_doc_ids(spark, sf_dir))
-    trips = stages.extract_triples(pages, mode=mode)
+    # fused path: page generation happens inside the extraction UDF
+    trips = stages.extract_triples(_doc_ids(spark, sf_dir), mode=mode)
     return (trips
             .withColumn("doc_id", F.substring("url", -8, 8).cast("long"))
             .select("doc_id", "subj", "pred", "obj"))
@@ -92,8 +92,7 @@ def _q_fixture_causal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = stages.pages_from_doc_ids(_doc_ids(spark, sf_dir))
-    return stages.extracted_text(pages) \
+    return stages.extracted_text(_doc_ids(spark, sf_dir)) \
         .withColumn("doc_id", F.substring("url", -8, 8).cast("long")) \
         .select("doc_id", "sha256")
 
@@ -174,8 +173,7 @@ def _q_events_sessions(spark, sf_dir):
 
 
 def _linked_mentions(spark, sf_dir):
-    pages = stages.pages_from_doc_ids(_doc_ids(spark, sf_dir))
-    mentions = stages.extract_mentions(pages)
+    mentions = stages.extract_mentions(_doc_ids(spark, sf_dir))
     alias = spark.createDataFrame(list(ALIAS_ROWS),
                                   "alias string, kind string, canonical_id string")
     return kg.link_mentions(mentions, alias)
@@ -189,37 +187,33 @@ def _q_entity_linking(spark, sf_dir):
 
 
 def _q_canonical_components(spark, sf_dir):
-    linked = _linked_mentions(spark, sf_dir)
-    pages = stages.pages_from_doc_ids(_doc_ids(spark, sf_dir))
-    trips = stages.extract_triples(pages, mode="temporal")
+    # one-pass extraction of mentions + triples, materialized once
+    # (localCheckpoint) so the two consumers don't re-parse the corpus
+    rows = stages.extract_kg_rows(_doc_ids(spark, sf_dir),
+                                  mode="temporal").localCheckpoint()
+    mentions = rows.filter(F.col("row_kind") == "mention") \
+        .select("url", "mention_id", "kind", "lemma")
+    alias = spark.createDataFrame(
+        list(ALIAS_ROWS), "alias string, kind string, canonical_id string")
+    linked = kg.link_mentions(mentions, alias)
+    trips = rows.filter(F.col("row_kind") == "triple") \
+        .select("url", "subj", "pred", "obj")
     return kg.canonicalize(linked, trips).select("vertex", "component")
 
 
 def _q_consistent_triples(spark, sf_dir):
     """Timegraph-filtered temporal triples (non-SQL-expressible: the filter
-    is an incremental point-algebra closure; rows-only check)."""
-    trips = _synth_triples(spark, sf_dir, "temporal") \
-        .withColumnRenamed("doc_id", "url")
-    from pyspark.sql.types import (LongType, StringType, StructField,
-                                   StructType)
-    schema = StructType([StructField("url", LongType(), False),
-                         StructField("subj", StringType(), False),
-                         StructField("pred", StringType(), False),
-                         StructField("obj", StringType(), False)])
+    is an incremental point-algebra closure; rows-only check).
 
-    def run(key, pdf):
-        import pandas as pd
-
-        from eventrelationextractor_spark.core.timegraph import \
-            filter_consistent
-        rows = sorted(pdf.itertuples(index=False),
-                      key=lambda r: (r.subj, r.obj, r.pred))
-        kept, _ = filter_consistent([(r.subj, r.obj, r.pred) for r in rows])
-        return pd.DataFrame([{"url": key[0], "subj": s, "pred": r, "obj": t}
-                             for (s, t, r) in kept])
-
-    return trips.groupBy("url").applyInPandas(run, schema=schema) \
-        .withColumnRenamed("url", "doc_id")
+    The timegraph is doc-local, so the filter runs inside the extraction
+    UDF (consistent_only) - zero extra stages vs. the naive
+    groupBy(url).applyInPandas formulation, which pays a full shuffle of
+    the triple table plus per-group overhead for 5000 tiny groups."""
+    trips = stages.extract_triples(_doc_ids(spark, sf_dir), mode="temporal",
+                                   consistent_only=True)
+    return (trips
+            .withColumn("doc_id", F.substring("url", -8, 8).cast("long"))
+            .select("doc_id", "subj", "pred", "obj"))
 
 
 def _q_media_features(spark, sf_dir):

@@ -77,23 +77,27 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
     boilerplate-heavy corpora can turn one bucket into the whole job's
     skew. Buckets larger than ``max_bucket_size`` are dropped (standard
     LSH practice - such groups are better served by the exact-fingerprint
-    dedup pass); the SQL oracle applies the same cap."""
-    bands = None
-    for b in range(N_MINHASHES // BAND_SIZE):
-        part = sig.select(F.col(id_col).alias("id"),
-                          F.col(f"band{b}").alias("bucket"),
-                          F.lit(b).alias("band"))
-        bands = part if bands is None else bands.unionByName(part)
-    sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bn"))
-    bands = (bands.join(sizes, ["band", "bucket"])
-             .filter(F.col("bn") <= max_bucket_size).drop("bn"))
-    left = bands.alias("l")
-    right = bands.alias("r")
-    return (left.join(right, (F.col("l.bucket") == F.col("r.bucket"))
-                      & (F.col("l.band") == F.col("r.band"))
-                      & (F.col("l.id") < F.col("r.id")))
-            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-            .distinct())
+    dedup pass); the SQL oracle applies the same cap.
+
+    Physical plan: bucket membership is collected per (band, bucket) - the
+    cap bounds each list at ``max_bucket_size`` ids, so this is one
+    aggregation + an in-expression pair explode, replacing the naive
+    size-count join + bucket self-join + distinct (three shuffles of the
+    band table) with a single shuffle."""
+    n_bands = N_MINHASHES // BAND_SIZE
+    bands = sig.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)]))
+        .alias("band", "bucket"))
+    groups = (bands.groupBy("band", "bucket")
+              .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+              .filter((F.size("ids") >= 2)
+                      & (F.size("ids") <= max_bucket_size)))
+    pairs = groups.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
+    )).alias("p")).select("p.a", "p.b")
+    return pairs.distinct()
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",

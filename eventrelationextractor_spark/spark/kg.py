@@ -42,24 +42,33 @@ def connected_components(edges: DataFrame, max_iterations: int = 25,
                          src: str = "src", dst: str = "dst") -> DataFrame:
     """edges(src, dst) -> (vertex, component) with component = min vertex
     id (string order) in the component."""
+    # checkpoint the edge list FIRST: vertices/labels are derived from it,
+    # so deriving them pre-checkpoint would re-execute the (expensive)
+    # upstream extraction once more per derived frame
     both = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .unionByName(edges.select(F.col(dst).alias("a"),
                                       F.col(src).alias("b"))))
-    vertices = both.select(F.col("a").alias("vertex")).distinct()
-    labels = vertices.withColumn("component", F.col("vertex"))
     both = both.localCheckpoint()
+    labels = (both.select(F.col("a").alias("vertex")).distinct()
+              .withColumn("component", F.col("vertex"))
+              .localCheckpoint())
 
     for _ in range(max_iterations):
-        # 1-hop: pull the neighbour's current component
+        # 1-hop: pull the neighbour's current component. Checkpointed
+        # before the pointer-jump self-join, otherwise BOTH sides of that
+        # join re-execute this propagation subtree.
         neighbor = (both.join(labels, both.b == labels.vertex)
                     .select(F.col("a").alias("vertex"),
                             F.col("component")))
         hop = (labels.unionByName(neighbor)
                .groupBy("vertex")
-               .agg(F.min("component").alias("component")))
+               .agg(F.min("component").alias("component"))
+               .localCheckpoint())
         # pointer jump: component(v) <- component(component(v)); component
         # ids are themselves vertex ids, so this halves chain depth and
-        # bounds convergence at O(log diameter) rounds
+        # bounds convergence at O(log diameter) rounds. The old component
+        # rides along so convergence is a scan of the checkpoint, not a
+        # fresh shuffle-join per round.
         jump = (hop.alias("l")
                 .join(hop.alias("r"),
                       F.col("l.component") == F.col("r.vertex"), "left")
@@ -68,12 +77,14 @@ def connected_components(edges: DataFrame, max_iterations: int = 25,
                                 F.coalesce(F.col("r.component"),
                                            F.col("l.component")))
                         .alias("component")))
-        new_labels = jump.localCheckpoint()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "vertex")
-                   .filter(F.col("n.component") != F.col("o.component"))
+        new_labels = (jump
+                      .join(labels.withColumnRenamed("component", "old"),
+                            "vertex")
+                      .localCheckpoint())
+        changed = (new_labels
+                   .filter(F.col("component") != F.col("old"))
                    .limit(1).count())
-        labels = new_labels
+        labels = new_labels.drop("old")
         if changed == 0:
             break
     return labels

@@ -81,9 +81,48 @@ def parse_page(text: str, name: str = "PAGE") -> DocState:
     return parse_txp_lines(lines, fields, name)
 
 
+def _repartition_for_cpu(df: DataFrame) -> DataFrame:
+    """The extraction stages do milliseconds of CPU per row, so when the
+    input scan yields fewer splits than cores (tiny parquet inputs: one
+    600KB file -> 2 splits) we pay one cheap shuffle to restore full
+    parallelism. At production scale the scan already has >= cores splits
+    and this is a no-op (no Exchange added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _page_source(pages: DataFrame):
+    """(df, batch-transform) for a page source that is either a real pages
+    table (has a ``text`` column) or a bare ``doc_id`` frame.
+
+    For a doc_id frame the synthetic page text is generated *inside the
+    same UDF* as the downstream extraction (stage fusion, SURVEY.md §4.2):
+    chaining two mapInPandas stages makes every task hold TWO python
+    workers (the JVM pipes one runner into the next), doubling the worker
+    pool and paying an extra Arrow round-trip of the full page text."""
+    if "text" in pages.columns:
+        return pages.select("url", "text"), (lambda batches: batches)
+
+    from ..datagen import synth_page
+    ids = _repartition_for_cpu(
+        pages.select(F.col("doc_id").cast("long").alias("id")))
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            pg = [synth_page(int(d)) for d in pdf["id"]]
+            yield pd.DataFrame({"url": [p["url"] for p in pg],
+                                "text": [p["text"] for p in pg]})
+
+    return ids, gen
+
+
 def extract_triples(pages: DataFrame, mode: str = "both",
                     max_timexes_per_doc: int = 500,
-                    causal_tlinks_from_temporal: bool = False) -> DataFrame:
+                    causal_tlinks_from_temporal: bool = False,
+                    consistent_only: bool = False) -> DataFrame:
     """pages(url, ..., text) -> triples. Pure map stage: no shuffle.
 
     ``mode``: 'temporal' | 'causal' | 'both'.
@@ -94,8 +133,18 @@ def extract_triples(pages: DataFrame, mode: str = "both",
     (SURVEY.md §7.1 step 5) - feed the causal classifier's tlink-type
     feature from this run's temporal predictions (as CauseRelPro.main does
     with an externally supplied tlink map) instead of the page's annotated
-    tlink cells."""
-    cols = pages.select("url", "text")
+    tlink cells.
+
+    ``consistent_only``: apply the per-document timegraph consistency
+    filter (G1) to the temporal triples *inside the same UDF*. The
+    timegraph is doc-local (no cross-document edges exist, SURVEY.md §2.8),
+    so filtering here costs zero extra stages; the
+    groupBy.applyInPandas variant is only needed for triple tables that
+    were already materialized without the filter.
+
+    ``pages`` may be a bare doc_id frame: the synthetic page is then
+    generated in the same UDF (see _page_source)."""
+    cols, gen_pages = _page_source(pages)
 
     def run(batches: Iterator) -> Iterator:
         # heavy imports inside the UDF so the driver plan stays light
@@ -103,8 +152,9 @@ def extract_triples(pages: DataFrame, mode: str = "both",
 
         from ..core.lexicons import load_lexicons
         from ..core.pipeline import causal_triples, temporal_triples
+        from ..core.timegraph import filter_consistent
         lx = load_lexicons()
-        for pdf in batches:
+        for pdf in gen_pages(batches):
             out = {"url": [], "subj": [], "pred": [], "obj": [],
                    "stage": [], "pair_type": []}
             for url, text in zip(pdf["url"], pdf["text"]):
@@ -117,6 +167,13 @@ def extract_triples(pages: DataFrame, mode: str = "both",
                 if mode in ("temporal", "both"):
                     temporal = temporal_triples(
                         doc, lx, max_timexes=max_timexes_per_doc)
+                    if consistent_only:
+                        ordered = sorted((t.source, t.target, t.rel)
+                                         for t in temporal)
+                        kept, _ = filter_consistent(ordered)
+                        keep = set(kept)
+                        temporal = [t for t in temporal
+                                    if (t.source, t.target, t.rel) in keep]
                     trips += temporal
                 if mode in ("causal", "both"):
                     tlinks_map = None
@@ -143,13 +200,13 @@ def extract_triples(pages: DataFrame, mode: str = "both",
 
 def extract_mentions(pages: DataFrame) -> DataFrame:
     """pages -> mention table (for entity linking / canonicalization)."""
-    cols = pages.select("url", "text")
+    cols, gen_pages = _page_source(pages)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         from ..core.deps import token_attr
-        for pdf in batches:
+        for pdf in gen_pages(batches):
             rows = {k.name: [] for k in MENTION_SCHEMA.fields}
             for url, text in zip(pdf["url"], pdf["text"]):
                 try:
@@ -183,7 +240,7 @@ def extracted_text(pages: DataFrame) -> DataFrame:
     Detokenization reproduces the reference's escaping rules
     (TempEval3TaskABC.java:284-292): PTB bracket escapes back to literal
     brackets, double-backtick/quote pairs back to '"'."""
-    cols = pages.select("url", "text")
+    cols, gen_pages = _page_source(pages)
     schema = StructType([StructField("url", StringType(), False),
                          StructField("extracted_text", StringType(), False),
                          StructField("sha256", StringType(), False)])
@@ -192,7 +249,7 @@ def extracted_text(pages: DataFrame) -> DataFrame:
         import hashlib
 
         import pandas as pd
-        for pdf in batches:
+        for pdf in gen_pages(batches):
             out = {"url": [], "extracted_text": [], "sha256": []}
             for url, text in zip(pdf["url"], pdf["text"]):
                 doc = parse_page(text, url)
@@ -239,23 +296,84 @@ def synth_pages_df(spark, n_docs: int, partitions: int | None = None) -> DataFra
 
 def pages_from_doc_ids(doc_ids: DataFrame) -> DataFrame:
     """documents(doc_id, ...) -> synthetic pages keyed by those ids (ties
-    the synthetic corpus scale to the sf directory)."""
-    from ..datagen import synth_page
-    ids = doc_ids.select(F.col("doc_id").cast("long").alias("id"))
-
+    the synthetic corpus scale to the sf directory). Prefer passing the
+    doc_id frame straight to the extractors (fused path, _page_source);
+    this materialized form exists for mixed/unioned corpora and tests."""
+    ids, gen = _page_source(doc_ids.select("doc_id"))
     schema = StructType([
         StructField("url", StringType(), False),
         StructField("text", StringType(), False),
     ])
+    return ids.mapInPandas(lambda b: gen(b), schema=schema)
 
-    def gen(batches: Iterator) -> Iterator:
+
+KG_ROW_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("row_kind", StringType(), False),     # 'mention' | 'triple'
+    StructField("mention_id", StringType(), True),
+    StructField("kind", StringType(), True),          # EVENT | TIMEX
+    StructField("lemma", StringType(), True),
+    StructField("subj", StringType(), True),
+    StructField("pred", StringType(), True),
+    StructField("obj", StringType(), True),
+])
+
+
+def extract_kg_rows(pages: DataFrame, mode: str = "temporal",
+                    max_timexes_per_doc: int = 500) -> DataFrame:
+    """One-pass extraction of the mention table AND the triple table.
+
+    The canonicalization pipeline needs both; extracting them separately
+    parses the whole corpus twice (the reference parses each TXP up to 4x
+    per run, TempRelPro.java:133,181,229 - exactly the waste we avoid).
+    Downstream splits by ``row_kind`` after a localCheckpoint, so the
+    corpus is scanned and parsed exactly once."""
+    cols, gen_pages = _page_source(pages)
+
+    def run(batches: Iterator) -> Iterator:
         import pandas as pd
-        for pdf in batches:
-            rows = [{"url": p["url"], "text": p["text"]}
-                    for p in (synth_page(int(d)) for d in pdf["id"])]
+
+        from ..core.deps import token_attr
+        from ..core.lexicons import load_lexicons
+        from ..core.pipeline import causal_triples, temporal_triples
+        lx = load_lexicons()
+        for pdf in gen_pages(batches):
+            rows = {k.name: [] for k in KG_ROW_SCHEMA.fields}
+
+            def emit(url, row_kind, mention_id=None, kind=None, lemma=None,
+                     subj=None, pred=None, obj=None):
+                rows["url"].append(url)
+                rows["row_kind"].append(row_kind)
+                rows["mention_id"].append(mention_id)
+                rows["kind"].append(kind)
+                rows["lemma"].append(lemma)
+                rows["subj"].append(subj)
+                rows["pred"].append(pred)
+                rows["obj"].append(obj)
+
+            for url, text in zip(pdf["url"], pdf["text"]):
+                try:
+                    doc = parse_page(text, url)
+                except Exception:
+                    continue
+                for mid, m in doc.entities.items():
+                    lemma = (token_attr(doc, m, "lemma")
+                             if m.start_tok != "O" and m.start_tok in doc.tokens
+                             else None)
+                    emit(url, "mention", mention_id=mid, kind=m.kind,
+                         lemma=lemma)
+                trips = []
+                if mode in ("temporal", "both"):
+                    trips += temporal_triples(doc, lx,
+                                              max_timexes=max_timexes_per_doc)
+                if mode in ("causal", "both"):
+                    trips += causal_triples(doc, lexicons=lx)
+                for t in trips:
+                    emit(url, "triple", subj=t.source, pred=t.rel,
+                         obj=t.target)
             yield pd.DataFrame(rows)
 
-    return ids.mapInPandas(gen, schema=schema)
+    return cols.mapInPandas(run, schema=KG_ROW_SCHEMA)
 
 
 FEATURE_EXPORT_SCHEMA = StructType([
@@ -274,7 +392,7 @@ def export_training_features(pages: DataFrame) -> DataFrame:
     to the reference's printLibSVMVectors on its own vectors. Feed the
     output of this stage to an external liblinear train to reproduce model
     files; inference uses the vendored shipped models."""
-    cols = pages.select("url", "text")
+    cols, gen_pages = _page_source(pages)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -283,7 +401,7 @@ def export_training_features(pages: DataFrame) -> DataFrame:
         from ..core.lexicons import load_lexicons
         from ..core.pipeline import _candidate_groups
         lx = load_lexicons()
-        for pdf in batches:
+        for pdf in gen_pages(batches):
             rows = {k.name: [] for k in FEATURE_EXPORT_SCHEMA.fields}
             for url, text in zip(pdf["url"], pdf["text"]):
                 try:
