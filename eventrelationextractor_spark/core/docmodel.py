@@ -131,7 +131,7 @@ class DocState:
         return self.tokens[self.token_arr[i]]
 
 
-def main_pos_from_pos(pos: str) -> str:
+def _main_pos_uncached(pos: str) -> str:
     """TXPParser.getMainPosFromPos (TXPParser.java:104-121), BNC tagset."""
     if not pos:
         return "O"
@@ -171,6 +171,17 @@ def main_pos_from_pos(pos: str) -> str:
     return "O"
 
 
+_MAIN_POS_CACHE: dict = {}
+
+
+def main_pos_from_pos(pos: str) -> str:
+    """Memoized over the (small) BNC tagset seen in the corpus."""
+    mp = _MAIN_POS_CACHE.get(pos)
+    if mp is None:
+        mp = _MAIN_POS_CACHE[pos] = _main_pos_uncached(pos)
+    return mp
+
+
 def _parse_deps(cell: str):
     """deps cell 't71:NMOD||t74:PMOD' -> (dict, insertion order).
 
@@ -202,14 +213,38 @@ def _parse_tap(cell: str):
 
 
 def parse_txp_lines(lines, fields=FIELDS_TEXT16, name: str = "TEXT") -> DocState:
-    """TXPParser.parseLines (TXPParser.java:67-80) + parseLine (161-440)."""
+    """TXPParser.parseLines (TXPParser.java:67-80) + parseLine (161-440).
+
+    Hot path: this runs once per corpus row inside the extraction UDF, so
+    field access is direct integer indexing (indices resolved once per
+    call; short rows padded with the 'O' default once per row) instead of
+    a per-cell helper - ~25%% of parse time was call overhead."""
     fidx = {f: i for i, f in enumerate(fields)}
-
-    def col(cols, f, default="O"):
-        i = fidx.get(f, -1)
-        return cols[i] if 0 <= i < len(cols) else default
-
-    has = fidx.__contains__
+    nf = len(fields)
+    pad = ["O"] * nf
+    # core fields are present in every layout; optional ones guarded by >= 0
+    i_token_id = fidx["token_id"]
+    i_sent_id = fidx["sent_id"]
+    i_lemma = fidx["lemma"]
+    i_pos = fidx["pos"]
+    i_chunk = fidx["chunk"]
+    i_tmx_id = fidx["tmx_id"]
+    i_tmx_type = fidx["tmx_type"]
+    i_tmx_value = fidx["tmx_value"]
+    i_ev_id = fidx["ev_id"]
+    i_ev_class = fidx["ev_class"]
+    i_ner = fidx.get("ner", -1)
+    i_supersense = fidx.get("supersense", -1)
+    i_connective = fidx.get("connective", -1)
+    i_main_verb = fidx.get("main_verb", -1)
+    i_deps = fidx.get("deps", -1)
+    i_tap = fidx.get("tense_aspect_pol", -1)
+    i_tense = fidx.get("tense", -1)
+    i_aspect = fidx.get("aspect", -1)
+    i_pol = fidx.get("pol", -1)
+    i_coref = fidx.get("coref_event", -1)
+    i_tlink = fidx.get("tlink", -1)
+    i_clink = fidx.get("clink", -1)
 
     doc = DocState(name=name)
     seen_tlinks: set = set()
@@ -226,26 +261,28 @@ def parse_txp_lines(lines, fields=FIELDS_TEXT16, name: str = "TEXT") -> DocState
 
     for raw in lines:
         cols = raw.split("\t")
+        if len(cols) < nf:
+            cols = cols + pad[len(cols):]
         c0 = cols[0]
         if "DCT_" in c0:
-            tmx_id = col(cols, "tmx_id")
-            typ = col(cols, "tmx_type")
+            tmx_id = cols[i_tmx_id]
+            typ = cols[i_tmx_type]
             if "B-" in typ or "I-" in typ:
                 typ = typ[2:]
             dct = Mention(tmx_id, "TIMEX", "O", "O", tmx_type=typ,
-                          tmx_value=col(cols, "tmx_value"), is_dct=True)
+                          tmx_value=cols[i_tmx_value], is_dct=True)
             dct.idx = doc._ent_idx
             doc._ent_idx += 1
             doc.entities[tmx_id] = dct
             doc.dct = dct
             continue
         if "ETX_" in c0:
-            tmx_id = col(cols, "tmx_id")
-            typ = col(cols, "tmx_type")
+            tmx_id = cols[i_tmx_id]
+            typ = cols[i_tmx_type]
             if "B-" in typ or "I-" in typ:
                 typ = typ[2:]
             etx = Mention(tmx_id, "TIMEX", "O", "O", tmx_type=typ,
-                          tmx_value=col(cols, "tmx_value"), is_empty=True)
+                          tmx_value=cols[i_tmx_value], is_empty=True)
             etx.idx = doc._ent_idx
             doc._ent_idx += 1
             doc.entities[tmx_id] = etx
@@ -253,27 +290,28 @@ def parse_txp_lines(lines, fields=FIELDS_TEXT16, name: str = "TEXT") -> DocState
         if not c0:
             continue
 
-        tid = col(cols, "token_id")
-        tok = Token(tid, col(cols, "sent_id"), c0)
-        tok.lemma = col(cols, "lemma")
-        tok.pos = col(cols, "pos")
-        tok.chunk = col(cols, "chunk")
+        tid = cols[i_token_id]
+        sent_id = cols[i_sent_id]
+        tok = Token(tid, sent_id, c0)
+        tok.lemma = cols[i_lemma]
+        tok.pos = cols[i_pos]
+        tok.chunk = cols[i_chunk]
         tok.main_pos = main_pos_from_pos(tok.pos)
-        if has("ner"):
-            tok.ner = col(cols, "ner")
-        if has("supersense"):
-            tok.supersense = col(cols, "supersense")
-        if has("connective"):
-            tok.conn = col(cols, "connective")
-        if has("main_verb") and has("deps"):
-            tok.main_verb = col(cols, "main_verb") == "mainVb"
-            tok.deps, tok.dep_order = _parse_deps(col(cols, "deps"))
-        if has("tense_aspect_pol"):
-            tense, aspect, pol = _parse_tap(col(cols, "tense_aspect_pol"))
+        if i_ner >= 0:
+            tok.ner = cols[i_ner]
+        if i_supersense >= 0:
+            tok.supersense = cols[i_supersense]
+        if i_connective >= 0:
+            tok.conn = cols[i_connective]
+        if i_main_verb >= 0 and i_deps >= 0:
+            tok.main_verb = cols[i_main_verb] == "mainVb"
+            tok.deps, tok.dep_order = _parse_deps(cols[i_deps])
+        if i_tap >= 0:
+            tense, aspect, pol = _parse_tap(cols[i_tap])
         else:
-            tense = col(cols, "tense") if has("tense") else "O"
-            aspect = col(cols, "aspect") if has("aspect") else "O"
-            pol = col(cols, "pol") if has("pol") else "O"
+            tense = cols[i_tense] if i_tense >= 0 else "O"
+            aspect = cols[i_aspect] if i_aspect >= 0 else "O"
+            pol = cols[i_pol] if i_pol >= 0 else "O"
         tok.tense, tok.aspect, tok.pol = tense, aspect, pol
 
         tok.idx = len(doc.token_arr)
@@ -281,7 +319,6 @@ def parse_txp_lines(lines, fields=FIELDS_TEXT16, name: str = "TEXT") -> DocState
         doc.tok_index[tid] = tok.idx
         doc.tokens[tid] = tok
 
-        sent_id = col(cols, "sent_id")
         if curr_sentence is None:
             curr_sentence = Sentence(sent_id, tid, tid)
         elif sent_id == curr_sentence.sid:
@@ -292,17 +329,17 @@ def parse_txp_lines(lines, fields=FIELDS_TEXT16, name: str = "TEXT") -> DocState
             doc.sentences[curr_sentence.sid] = curr_sentence
             curr_sentence = Sentence(sent_id, tid, tid)
 
-        tmx_id = col(cols, "tmx_id")
-        ev_id = col(cols, "ev_id")
+        tmx_id = cols[i_tmx_id]
+        ev_id = cols[i_ev_id]
 
         # Timex span assembly (TXPParser.java:267-305)
         if curr_timex is None and tmx_id != "O":
             tok.tmx_id = tmx_id
-            typ = col(cols, "tmx_type")
+            typ = cols[i_tmx_type]
             if "B-" in typ or "I-" in typ:
                 typ = typ[2:]
             curr_timex = Mention(tmx_id, "TIMEX", tid, tid, tmx_type=typ,
-                                 tmx_value=col(cols, "tmx_value"))
+                                 tmx_value=cols[i_tmx_value])
         elif curr_timex is not None and tmx_id == curr_timex.mid:
             tok.tmx_id = tmx_id
             curr_timex.end_tok = tid
@@ -312,15 +349,15 @@ def parse_txp_lines(lines, fields=FIELDS_TEXT16, name: str = "TEXT") -> DocState
         elif curr_timex is not None and tmx_id != curr_timex.mid:
             close_entity(curr_timex)
             tok.tmx_id = tmx_id
-            typ = col(cols, "tmx_type")
+            typ = cols[i_tmx_type]
             if "B-" in typ or "I-" in typ:
                 typ = typ[2:]
             curr_timex = Mention(tmx_id, "TIMEX", tid, tid, tmx_type=typ,
-                                 tmx_value=col(cols, "tmx_value"))
+                                 tmx_value=cols[i_tmx_value])
 
         coref = None
-        if has("coref_event"):
-            cc = col(cols, "coref_event")
+        if i_coref >= 0:
+            cc = cols[i_coref]
             if cc not in ("O", "_"):
                 coref = cc.split(":")
 
@@ -329,7 +366,7 @@ def parse_txp_lines(lines, fields=FIELDS_TEXT16, name: str = "TEXT") -> DocState
         if curr_event is None and ev_id != "O" and tmx_id == "O":
             tok.ev_id = ev_id
             curr_event = Mention(ev_id, "EVENT", tid, tid,
-                                 ev_class=col(cols, "ev_class"),
+                                 ev_class=cols[i_ev_class],
                                  tense=tense, aspect=aspect, pol=pol)
             if coref:
                 curr_event.coref.extend(coref)
@@ -343,7 +380,7 @@ def parse_txp_lines(lines, fields=FIELDS_TEXT16, name: str = "TEXT") -> DocState
             close_entity(curr_event)
             tok.ev_id = ev_id
             curr_event = Mention(ev_id, "EVENT", tid, tid,
-                                 ev_class=col(cols, "ev_class"),
+                                 ev_class=cols[i_ev_class],
                                  tense=tense, aspect=aspect, pol=pol)
             if coref:
                 curr_event.coref.extend(coref)
@@ -351,8 +388,8 @@ def parse_txp_lines(lines, fields=FIELDS_TEXT16, name: str = "TEXT") -> DocState
         # Candidate links live only on entity-bearing rows
         # (TXPParser.java:395-437).
         if tmx_id != "O" or ev_id != "O":
-            tcell = col(cols, "tlink") if has("tlink") else None
-            ccell = col(cols, "clink") if has("clink") else None
+            tcell = cols[i_tlink] if i_tlink >= 0 else None
+            ccell = cols[i_clink] if i_clink >= 0 else None
             if tcell and tcell not in ("O", "_NULL_"):
                 for t in tcell.split("||"):
                     p = t.split(":")

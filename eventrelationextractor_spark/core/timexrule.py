@@ -20,6 +20,7 @@ Differences vs the Java (documented divergence, within the P/R budget):
 from __future__ import annotations
 
 from datetime import date, timedelta
+from functools import lru_cache
 
 ERAS = ("PAST_REF", "PRESENT_REF", "FUTURE_REF")
 _PART_DAY = ("MO", "AF", "EV", "NI")
@@ -375,6 +376,7 @@ def normalize_dct(tmx_type: str, value: str):
     return "DATE", value
 
 
+@lru_cache(maxsize=65536)
 def timex_timex_relation(type1: str, value1: str, type2: str, value2: str,
                          dct_value: str, is_dct1: bool = False,
                          is_dct2: bool = False, identity_rel: bool = False,
@@ -383,6 +385,11 @@ def timex_timex_relation(type1: str, value1: str, type2: str, value2: str,
 
     Returns a TLINK label or 'O'. ``identity_rel=False`` (the production
     setting at TempRelPro.java:72) remaps IDENTITY -> SIMULTANEOUS.
+
+    Memoized: a pure function of its (string, bool) arguments, and TIMEX3
+    values repeat heavily across a corpus (dates, quarters, week ids), so
+    the per-process LRU turns the O(n^2)-per-doc sieve into mostly cache
+    hits at corpus scale.
     """
     if is_dct1:
         type1, value1 = normalize_dct(type1, value1)
