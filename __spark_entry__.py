@@ -159,6 +159,30 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return simsearch.hyperplane_lsh_topk(_emb(spark, sf_dir))
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    return simsearch.ivf_topk(_emb(spark, sf_dir))
+
+
+def _aug_emb(spark, sf_dir):
+    """embeddings plus near-duplicate copies (id + 1000000, first component
+    shifted by +0.05; vectors are unit-norm so this keeps cosine ~0.999) -
+    a known positive set for the embedding near-dup detector, mirroring
+    _augmented_docs. Copies whose shift flips an LSH plane are genuine
+    recall misses (the documented LSH trade-off), identically in the SQL
+    oracle."""
+    e = _emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pert = F.concat(F.array(F.element_at(v, 1) + F.lit(0.05)),
+                    F.slice(v, 2, 63))
+    dup = e.select((F.col("vec_id") + 1000000).alias("vec_id"),
+                   pert.alias("embedding"))
+    return e.select("vec_id", v.alias("embedding")).unionByName(dup)
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    return dedup.embedding_neardup(_aug_emb(spark, sf_dir), threshold=0.99)
+
+
 def _q_events_windowed(spark, sf_dir):
     df = events.windowed_counts(_events(spark, sf_dir))
     return df.withColumn(
@@ -250,6 +274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "dedup_embedding_cosine": _q_dedup_embedding,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "media_features": _q_media_features,
@@ -512,6 +538,61 @@ SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, cid AS neighbor_id,
 FROM ranked WHERE rank <= 5
 """
 
+
+_ANN_IVF_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id - 100 AS cell, v AS centv FROM e
+          WHERE vec_id >= 100 AND vec_id < 116),
+scored AS (SELECT e.vec_id AS vid, e.v AS v, c.cell,
+  list_dot_product(e.v, c.centv)
+    / (sqrt(list_dot_product(e.v, e.v))
+       * sqrt(list_dot_product(c.centv, c.centv))) AS cos_c
+  FROM e, cents c),
+ranked AS (SELECT vid, v, cell, cos_c,
+           row_number() OVER (PARTITION BY vid ORDER BY cos_c DESC, cell)
+           AS crank FROM scored),
+base AS (SELECT vid AS cid, v AS cv, cell FROM ranked WHERE crank = 1),
+q AS (SELECT vid AS qid, v AS qv, cell FROM ranked
+      WHERE vid < 10 AND crank <= 2),
+pairs AS (SELECT q.qid, b.cid,
+  list_dot_product(q.qv, b.cv)
+    / (sqrt(list_dot_product(q.qv, q.qv))
+       * sqrt(list_dot_product(b.cv, b.cv))) AS cosine
+  FROM q JOIN base b ON b.cell = q.cell AND b.cid <> q.qid),
+rk AS (SELECT qid, cid, cosine,
+       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+       AS rank FROM pairs)
+SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, cid AS neighbor_id,
+       round(cosine, 6) AS cosine
+FROM rk WHERE rank <= 5
+"""
+
+_EMB_NEARDUP_ORACLE = """
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, v FROM e0
+      UNION ALL
+      SELECT vec_id + 1000000, list_concat([v[1] + 0.05], v[2:64]) FROM e0),
+planes AS (SELECT unnest(range(0, 8)) AS p),
+dots AS (
+  SELECT e.vec_id, pl.p,
+    list_sum(list_transform(range(1, 65),
+      i -> e.v[i] * (CASE WHEN strpos('02468ace',
+                          substr(md5(pl.p || ':' || (i-1)), 1, 1)) > 0
+                     THEN 1.0 ELSE -1.0 END))) AS dot
+  FROM e, planes pl),
+sig AS (SELECT vec_id,
+        CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+        AS signature FROM dots GROUP BY vec_id),
+es AS (SELECT e.vec_id, e.v, s.signature FROM e JOIN sig s USING (vec_id)),
+pairs AS (SELECT l.vec_id AS a, r.vec_id AS b,
+  list_dot_product(l.v, r.v)
+    / (sqrt(list_dot_product(l.v, l.v))
+       * sqrt(list_dot_product(r.v, r.v))) AS cosine
+  FROM es l JOIN es r
+  ON l.signature = r.signature AND l.vec_id < r.vec_id)
+SELECT a, b, round(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.99
+"""
+
 _EVENTS_WINDOW_ORACLE = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, CAST(count(*) AS BIGINT) AS n_events,
@@ -614,6 +695,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_ORACLE,
         "ann_topk": _ANN_ORACLE,
         "ann_lsh_topk": _ANN_LSH_ORACLE,
+        "ann_ivf_topk": _ANN_IVF_ORACLE,
+        "dedup_embedding_cosine": _EMB_NEARDUP_ORACLE,
         "events_windowed": _EVENTS_WINDOW_ORACLE,
         "events_sessions": _SESSIONS_ORACLE,
         "media_features": _MEDIA_ORACLE,

@@ -122,6 +122,37 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("a", "b", "jaccard"))
 
 
+def embedding_neardup(emb: DataFrame, threshold: float = 0.9,
+                      n_planes: int = 8, dim: int = 64,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a < b, cosine) with
+    cosine >= threshold.
+
+    Candidates come from hyperplane-LSH buckets (identical signature), so
+    the pair space is bucket-local - no O(n^2) stage; exact cosine is then
+    verified on candidates only. Near-identical vectors agree on every
+    hyperplane sign with high probability, which is exactly the recall
+    profile wanted for near-dup removal (genuine misses are vectors near a
+    plane - more planes/bands trade recall for candidate volume)."""
+    from .simsearch import _dot, hyperplane_signature
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    with_sig = emb.select(F.col(id_col).alias("id"), vec.alias("v"),
+                          hyperplane_signature(emb, n_planes, dim, vec_col))
+    left = with_sig.select(F.col("id").alias("a"), F.col("v").alias("av"),
+                           F.col("signature"))
+    right = with_sig.select(F.col("id").alias("b"), F.col("v").alias("bv"),
+                            F.col("signature"))
+    pairs = left.join(right, ["signature"]).filter(F.col("a") < F.col("b"))
+    return (pairs
+            .withColumn("cosine",
+                        _dot(F.col("av"), F.col("bv"))
+                        / (F.sqrt(_dot(F.col("av"), F.col("av")))
+                           * F.sqrt(_dot(F.col("bv"), F.col("bv")))))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", F.round("cosine", 6).alias("cosine")))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 16) -> DataFrame:
     """(doc_id, simhash): per-bit majority vote over md5-derived token

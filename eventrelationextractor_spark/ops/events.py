@@ -45,6 +45,59 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                  F.count(F.lit(1)).alias("n_events")))
 
 
+def streaming_sessionize(stream: DataFrame,
+                         gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    streaming twin of ``sessionize``.
+
+    Per-user state carries the open session (first-event timestamp in
+    microseconds, last-event second, event count). A session CLOSES - and
+    is emitted - when a later event arrives more than ``gap_minutes``
+    after the previous one; the still-open session stays in state (a
+    deployment would add an event-time timeout to flush it; tests close
+    the tail with a far-future sentinel event per user). Gap comparison
+    uses floor'd epoch seconds, matching the batch operator's
+    ``unix_timestamp`` semantics so both twins cut sessions identically.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap = gap_minutes * 60
+    out_schema = ("user_id long, session_start timestamp, n_events long")
+    state_schema = "start_us long, last_sec long, n long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        if state.exists:
+            start_us, last_sec, n = state.get
+        else:
+            start_us, last_sec, n = None, None, 0
+        closed_starts, closed_counts = [], []
+        for pdf in pdfs:
+            order = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
+            for t in pdf.sort_values(order)["ts"]:
+                us = t.value // 1_000          # pandas ns -> microseconds
+                sec = us // 1_000_000
+                if start_us is None:
+                    start_us, last_sec, n = us, sec, 1
+                elif sec - last_sec > gap:
+                    closed_starts.append(start_us)
+                    closed_counts.append(n)
+                    start_us, last_sec, n = us, sec, 1
+                else:
+                    last_sec = sec
+                    n += 1
+        state.update((start_us, last_sec, n))
+        if closed_starts:
+            yield pd.DataFrame(
+                {"user_id": key[0],
+                 "session_start": pd.to_datetime(closed_starts, unit="us"),
+                 "n_events": closed_counts})
+
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+
+
 def streaming_windowed_counts(stream: DataFrame, minutes: int = 60,
                               watermark: str = "2 hours") -> DataFrame:
     """Structured-Streaming twin of windowed_counts (watermarked).

@@ -56,6 +56,55 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
                     F.round("cosine", 6).alias("cosine")))
 
 
+def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+             n_cells: int = 16, nprobe: int = 2, centroid_offset: int = 100,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k - the other classic ANN scale
+    path next to hyperplane LSH.
+
+    A coarse quantizer assigns every vector to its nearest of ``n_cells``
+    centroids; a query scores only the vectors in its ``nprobe`` closest
+    cells. At scale the corpus is partitioned by cell id, so probing is an
+    equi-join on ``cell`` that touches nprobe/n_cells of the data instead
+    of a full scan. Centroids are deterministic - the corpus vectors with
+    ids [centroid_offset, centroid_offset + n_cells) - so the DuckDB
+    oracle reproduces the exact assignment (no k-means iteration; a real
+    deployment would train centroids offline and broadcast them the same
+    way)."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cents = (emb.filter((F.col(id_col) >= centroid_offset)
+                        & (F.col(id_col) < centroid_offset + n_cells))
+             .select((F.col(id_col) - centroid_offset).alias("cell"),
+                     vec.alias("centv")))
+    scored_cells = (emb.select(F.col(id_col).alias("vid"), vec.alias("v"))
+                    .join(F.broadcast(cents))
+                    .withColumn("cos_c", _dot(F.col("v"), F.col("centv"))
+                                / (F.sqrt(_dot(F.col("v"), F.col("v")))
+                                   * F.sqrt(_dot(F.col("centv"),
+                                                 F.col("centv"))))))
+    w_assign = Window.partitionBy("vid").orderBy(F.col("cos_c").desc(),
+                                                 F.col("cell"))
+    ranked_cells = scored_cells.withColumn("crank",
+                                           F.row_number().over(w_assign))
+    base = (ranked_cells.filter(F.col("crank") == 1)
+            .select(F.col("vid").alias("cid"), F.col("v").alias("cv"),
+                    "cell"))
+    queries = (ranked_cells.filter((F.col("vid") < n_queries)
+                                   & (F.col("crank") <= nprobe))
+               .select(F.col("vid").alias("qid"), F.col("v").alias("qv"),
+                       "cell"))
+    pairs = base.join(F.broadcast(queries), "cell") \
+        .filter(F.col("qid") != F.col("cid"))
+    scored = _with_cosine(pairs)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("cid").alias("neighbor_id"),
+                    F.round("cosine", 6).alias("cosine")))
+
+
 def _plane(seed: int, dim: int) -> list:
     """Deterministic +-1 hyperplane from md5(seed:i)."""
     out = []

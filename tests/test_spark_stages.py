@@ -142,3 +142,50 @@ def test_media_feature_plumbing(spark):
         assert len(r.feature) == 8 and all(0 <= v < 1 for v in r.feature)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"x")
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == batch sessionize on closed
+    sessions. Two ordered file-source batches exercise real state
+    carry-over between triggers; a far-future sentinel per user closes
+    every genuine session (the sentinel's own session stays open in
+    state and is never emitted)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "ts", "user_id")
+    batch = {(r.user_id, r.session_start, r.n_events)
+             for r in ev_ops.sessionize(
+                 events.withColumn("ts", F.col("ts").cast("timestamp_ltz")))
+             .collect()}
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    # time-ordered arrival across triggers (what a real stream delivers):
+    # first half of the timeline, then the rest, then the sentinels
+    lohi = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    median = lohi.lo + (lohi.hi - lohi.lo) / 2
+    half = events.filter(F.col("ts") <= F.lit(median))
+    rest = events.filter(F.col("ts") > F.lit(median))
+    sentinels = events.groupBy("user_id").agg(
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")) \
+        .withColumn("event_id", F.lit(-1)) \
+        .select("event_id", "ts", "user_id")
+    for i, part in enumerate((half, rest, sentinels)):
+        part.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    stream = spark.readStream.schema(events.schema) \
+        .option("maxFilesPerTrigger", "1") \
+        .option("latestFirst", "false") \
+        .parquet(src + "/*")
+    out = ev_ops.streaming_sessionize(stream)
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.user_id, r.session_start, r.n_events)
+           for r in spark.sql("select * from sess_out").collect()}
+    assert got == batch
