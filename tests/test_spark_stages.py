@@ -189,3 +189,39 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     got = {(r.user_id, r.session_start, r.n_events)
            for r in spark.sql("select * from sess_out").collect()}
     assert got == batch
+
+
+def test_fused_doc_id_path_matches_composed(spark):
+    """extract_triples/extract_mentions accept a bare doc_id frame (page
+    generation fused into the extraction UDF); output must be identical to
+    the composed pages_from_doc_ids -> extract path."""
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    composed = {(r.url, r.subj, r.pred, r.obj)
+                for r in stages.extract_triples(
+                    stages.pages_from_doc_ids(ids), "both").collect()}
+    fused = {(r.url, r.subj, r.pred, r.obj)
+             for r in stages.extract_triples(ids, "both").collect()}
+    assert fused == composed and len(fused) > 0
+
+    m_composed = {(r.url, r.mention_id, r.kind, r.lemma)
+                  for r in stages.extract_mentions(
+                      stages.pages_from_doc_ids(ids)).collect()}
+    m_fused = {(r.url, r.mention_id, r.kind, r.lemma)
+               for r in stages.extract_mentions(ids).collect()}
+    assert m_fused == m_composed and len(m_fused) > 0
+
+
+def test_kg_rows_one_pass_matches_separate(spark):
+    """extract_kg_rows (single parse of the corpus) == the union of the
+    separate mention and triple extractions."""
+    ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    rows = stages.extract_kg_rows(ids, mode="temporal").collect()
+    got_m = {(r.url, r.mention_id, r.kind, r.lemma)
+             for r in rows if r.row_kind == "mention"}
+    got_t = {(r.url, r.subj, r.pred, r.obj)
+             for r in rows if r.row_kind == "triple"}
+    want_m = {(r.url, r.mention_id, r.kind, r.lemma)
+              for r in stages.extract_mentions(ids).collect()}
+    want_t = {(r.url, r.subj, r.pred, r.obj)
+              for r in stages.extract_triples(ids, "temporal").collect()}
+    assert got_m == want_m and got_t == want_t

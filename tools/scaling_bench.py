@@ -83,9 +83,13 @@ def main() -> None:
         n_docs = int(args[args.index("--docs") + 1])
     if "--out" in args:
         out_path = args[args.index("--out") + 1]
+    # --ladder: the full N -> 4N evidence at every N the box can host
+    # (1->4, 2->8, 4->16, 8->32), printed as pairwise efficiencies. One
+    # process per level, sequential, best-of-3 inside each worker.
+    levels = (1, 2, 4, 8, 16, 32) if "--ladder" in args else (8, 32)
 
     results = {}
-    for cpus in (8, 32):
+    for cpus in levels:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker",
              str(cpus), str(n_docs)],
@@ -94,6 +98,13 @@ def main() -> None:
                 if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
         print(line)
+
+    if "--ladder" in args:
+        for n in (1, 2, 4, 8):
+            e = (results[4 * n]["docs_per_sec"]
+                 / results[n]["docs_per_sec"]) / 4.0
+            print(f"efficiency {n}->{4*n}: {e:.3f}")
+        return
 
     t8 = results[8]["docs_per_sec"]
     t32 = results[32]["docs_per_sec"]
