@@ -66,12 +66,19 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
 
-    docs_sec = None
-    if timings.get("kg_temporal_triples"):
-        # temporal + causal sieves each traverse every synthetic document
-        kg_time = timings["kg_temporal_triples"] + timings.get(
-            "kg_causal_triples", 0.0)
-        docs_sec = round(2 * n_docs / kg_time, 2) if kg_time else None
+    # flagship throughput: the full staged job (temporal + causal sieve
+    # cascades in one pass) over the sf corpus, best-of-3 steady state
+    from pyspark.sql import functions as F  # noqa: F401
+    from eventrelationextractor_spark.spark import stages
+    ids = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        stages.extract_triples(ids, mode="both").count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    docs_sec = round(n_docs / best, 2)
 
     out = {
         "metric": "headline_queries_total",

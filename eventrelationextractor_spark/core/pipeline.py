@@ -50,14 +50,22 @@ class Triple:
 
 
 def timex_timex_rule_links(doc: DocState,
-                           max_timexes: int | None = None) -> dict:
+                           max_timexes: int | None = None,
+                           pair_slice: tuple | None = None) -> dict:
     """getTimexTimexRuleRelation (TempRelPro.java:63-83): both directions.
 
     ``max_timexes`` is the giant-page skew guard (SURVEY.md §7.1 step 8):
     the loop is O(n_timex^2) per document, so web pages with pathological
     timex counts are truncated to the first ``max_timexes`` mentions in
     entity order rather than stalling a task; truncation is recorded in
-    ``doc.memo['tt_truncated']`` for lineage."""
+    ``doc.memo['tt_truncated']`` for lineage.
+
+    ``pair_slice=(s, k)`` is the lossless alternative used by the salted
+    repartition path (stages.extract_triples_salted): only timex pairs
+    whose running index is congruent to s mod k are evaluated, so k salted
+    copies of a giant document partition its O(n^2) pair space exactly.
+    Entity normalization stays unconditional, so chunk outputs are
+    independent of which chunk runs first."""
     if doc.dct is not None:
         doc.dct.tmx_type, doc.dct.tmx_value = normalize_dct(
             doc.dct.tmx_type, doc.dct.tmx_value)
@@ -75,6 +83,7 @@ def timex_timex_rule_links(doc: DocState,
             kept.append(k)
         keys = kept
     tt: dict = {}
+    pair_idx = 0
     for i in range(len(keys)):
         e1 = doc.entities[keys[i]]
         if not e1.is_timex:
@@ -88,6 +97,11 @@ def timex_timex_rule_links(doc: DocState,
             if e2.is_dct:
                 e2.tmx_type, e2.tmx_value = normalize_dct(e2.tmx_type,
                                                           e2.tmx_value)
+            mine = (pair_slice is None
+                    or pair_idx % pair_slice[1] == pair_slice[0])
+            pair_idx += 1
+            if not mine:
+                continue
             rel = timex_timex_relation(e1.tmx_type, e1.tmx_value,
                                        e2.tmx_type, e2.tmx_value, dct_value,
                                        identity_rel=False)
@@ -144,7 +158,8 @@ def build_anchor_maps(doc: DocState, et_triples) -> tuple:
 
 def temporal_triples(doc: DocState, lexicons: Lexicons | None = None,
                      anchor_deduction: bool = False,
-                     max_timexes: int | None = None) -> list:
+                     max_timexes: int | None = None,
+                     pair_slice: tuple | None = None) -> list:
     """The full temporal sieve cascade (TempRelPro.testModel).
 
     ``anchor_deduction=True`` additionally applies R4 (timex-anchor EE
@@ -155,9 +170,18 @@ def temporal_triples(doc: DocState, lexicons: Lexicons | None = None,
     lx = lexicons or load_lexicons()
     out: list[Triple] = []
 
-    tt = timex_timex_rule_links(doc, max_timexes=max_timexes)
+    tt = timex_timex_rule_links(doc, max_timexes=max_timexes,
+                                pair_slice=pair_slice)
     for (src, tgt), rel in tt.items():
         out.append(Triple(src, tgt, rel, "tt-rule", "tt"))
+
+    if pair_slice is not None and pair_slice[0] != 0:
+        # salted copies s>0 own only their tt chunk; the candidate sieves
+        # (linear in pair-candidate count) run once, on copy 0
+        return out
+    if pair_slice is not None and anchor_deduction:
+        raise ValueError("anchor_deduction needs the full tt map; "
+                         "disable it when pair-slicing giant docs")
 
     dct_pairs, et_pairs, ee_pairs = _candidate_groups(doc)
 

@@ -198,6 +198,67 @@ def extract_triples(pages: DataFrame, mode: str = "both",
     return cols.mapInPandas(run, schema=TRIPLE_SCHEMA)
 
 
+def extract_triples_salted(pages: DataFrame, mode: str = "both",
+                           salt: int = 8,
+                           giant_page_bytes: int = 256 * 1024,
+                           max_timexes_per_doc: int | None = None) -> DataFrame:
+    """Skew-safe extraction: salted repartition of giant pages
+    (SURVEY.md §4.2 skew row - the lossless alternative to the
+    ``max_timexes_per_doc`` truncation cap).
+
+    One page = one task unit, so a single pathological page (the
+    timex-timex sieve is O(n_timex^2)) stalls its task while 31 cores sit
+    idle. Pages >= ``giant_page_bytes`` are exploded into ``salt`` copies,
+    hash-repartitioned on (url, salt) so the copies land on different
+    tasks, and each copy computes exactly the pair_slice (s, salt) of the
+    tt pair space (copy 0 also runs the linear candidate sieves). Normal
+    pages take the usual shuffle-free path; the union is exactly
+    extract_triples' output - asserted in tests.
+
+    Requires a real pages input (text column): the giant/normal split
+    predicate needs the text length at plan time."""
+    cols = pages.select("url", "text")
+    is_giant = F.length("text") >= giant_page_bytes
+    normal = extract_triples(cols.filter(~is_giant), mode=mode,
+                             max_timexes_per_doc=max_timexes_per_doc)
+    giant = (cols.filter(is_giant)
+             .withColumn("salt",
+                         F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+             .repartition("url", "salt"))
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..core.lexicons import load_lexicons
+        from ..core.pipeline import causal_triples, temporal_triples
+        lx = load_lexicons()
+        for pdf in batches:
+            out = {"url": [], "subj": [], "pred": [], "obj": [],
+                   "stage": [], "pair_type": []}
+            for url, text, s in zip(pdf["url"], pdf["text"], pdf["salt"]):
+                try:
+                    doc = parse_page(text, url)
+                except Exception:
+                    continue
+                trips = []
+                if mode in ("temporal", "both"):
+                    trips += temporal_triples(
+                        doc, lx, max_timexes=max_timexes_per_doc,
+                        pair_slice=(int(s), salt))
+                if int(s) == 0 and mode in ("causal", "both"):
+                    trips += causal_triples(doc, lexicons=lx)
+                for t in trips:
+                    out["url"].append(url)
+                    out["subj"].append(t.source)
+                    out["pred"].append(t.rel)
+                    out["obj"].append(t.target)
+                    out["stage"].append(t.stage)
+                    out["pair_type"].append(t.pair_type)
+            yield pd.DataFrame(out)
+
+    return normal.unionByName(giant.mapInPandas(run, schema=TRIPLE_SCHEMA))
+
+
 def extract_mentions(pages: DataFrame) -> DataFrame:
     """pages -> mention table (for entity linking / canonicalization)."""
     cols, gen_pages = _page_source(pages)

@@ -225,3 +225,20 @@ def test_kg_rows_one_pass_matches_separate(spark):
     want_t = {(r.url, r.subj, r.pred, r.obj)
               for r in stages.extract_triples(ids, "temporal").collect()}
     assert got_m == want_m and got_t == want_t
+
+
+def test_salted_extraction_matches_plain(spark, fixture_pages):
+    """Salted repartition of giant pages is lossless: chunked tt pair
+    space + sieves-on-copy-0 reproduce the plain output exactly, and the
+    giant branch really repartitions on (url, salt)."""
+    plain = sorted((r.url, r.subj, r.pred, r.obj, r.stage)
+                   for r in stages.extract_triples(
+                       fixture_pages, "both").collect())
+    salted_df = stages.extract_triples_salted(
+        fixture_pages, "both", salt=4, giant_page_bytes=10_000)
+    salted = sorted((r.url, r.subj, r.pred, r.obj, r.stage)
+                    for r in salted_df.collect())
+    assert salted == plain and len(plain) > 500
+    physical = salted_df._jdf.queryExecution().toString() \
+        .split("== Physical Plan ==")[-1]
+    assert "hashpartitioning" in physical and "salt" in physical
