@@ -79,6 +79,18 @@ def _q_kg_causal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _synth_triples(spark, sf_dir, "causal")
 
 
+def _q_kg_temporal_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The giant-page salted-repartition path, proven lossless by sharing
+    kg_temporal_triples' oracle: every synthetic page lands over the byte
+    threshold, so the whole corpus runs through pair-space chunking."""
+    pages = stages.pages_from_doc_ids(_doc_ids(spark, sf_dir))
+    trips = stages.extract_triples_salted(pages, mode="temporal",
+                                          salt=4, giant_page_bytes=64)
+    return (trips
+            .withColumn("doc_id", F.substring("url", -8, 8).cast("long"))
+            .select("doc_id", "subj", "pred", "obj"))
+
+
 def _q_fixture_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _fixture_pages_df(spark, fx.TEMPORAL_FIXTURES)
     return stages.extract_triples(pages, mode="temporal") \
@@ -258,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG construction pipeline (reference parity + scale)
         "kg_temporal_triples": _q_kg_temporal,
         "kg_causal_triples": _q_kg_causal,
+        "kg_temporal_salted": _q_kg_temporal_salted,
         "kg_fixture_temporal": _q_fixture_temporal,
         "kg_fixture_causal": _q_fixture_causal,
         "kg_text_identity": _q_text_identity,
@@ -679,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_temporal_triples": _TT_ORACLE,
         "kg_causal_triples": _CAUSAL_ORACLE,
+        "kg_temporal_salted": _TT_ORACLE,
         "kg_fixture_temporal": _values_oracle(fixture_temporal),
         "kg_fixture_causal": _values_oracle(fixture_causal),
         "kg_text_identity": _TEXT_ORACLE,
