@@ -161,7 +161,16 @@ def extract_triples(pages: DataFrame, mode: str = "both",
                 try:
                     doc = parse_page(text, url)
                 except Exception:
-                    continue  # malformed page: skipped, counted by lineage
+                    # malformed page: emit a meta row instead of vanishing
+                    # silently - the lineage pred_histogram then reports
+                    # parse failures per bucket
+                    out["url"].append(url)
+                    out["subj"].append("_doc")
+                    out["pred"].append("PARSE_ERROR")
+                    out["obj"].append("_doc")
+                    out["stage"].append("parse-error")
+                    out["pair_type"].append("meta")
+                    continue
                 trips = []
                 temporal = None
                 if mode in ("temporal", "both"):
@@ -239,6 +248,13 @@ def extract_triples_salted(pages: DataFrame, mode: str = "both",
                 try:
                     doc = parse_page(text, url)
                 except Exception:
+                    if int(s) == 0:  # one meta row per page, not per copy
+                        out["url"].append(url)
+                        out["subj"].append("_doc")
+                        out["pred"].append("PARSE_ERROR")
+                        out["obj"].append("_doc")
+                        out["stage"].append("parse-error")
+                        out["pair_type"].append("meta")
                     continue
                 trips = []
                 if mode in ("temporal", "both"):

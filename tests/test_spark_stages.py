@@ -242,3 +242,16 @@ def test_salted_extraction_matches_plain(spark, fixture_pages):
     physical = salted_df._jdf.queryExecution().toString() \
         .split("== Physical Plan ==")[-1]
     assert "hashpartitioning" in physical and "salt" in physical
+
+
+def test_parse_failure_emits_meta_row(spark):
+    """A malformed page must surface as a PARSE_ERROR meta row (feeding
+    the lineage pred_histogram), not vanish silently."""
+    good = fx.fixture_pages(("sample_temporal",))[0]
+    pages = spark.createDataFrame(
+        [("u-bad", None), ("u-good", good["text"])], "url string, text string")
+    rows = stages.extract_triples(pages, "temporal").collect()
+    bad = [r for r in rows if r.url == "u-bad"]
+    assert len(bad) == 1 and bad[0].pred == "PARSE_ERROR" \
+        and bad[0].pair_type == "meta"
+    assert sum(1 for r in rows if r.url == "u-good") == 14
