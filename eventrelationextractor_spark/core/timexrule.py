@@ -62,8 +62,15 @@ class _Date:
         return (self.year, self.month, self.day)
 
 
+@lru_cache(maxsize=16384)
 def _date_components(value: str) -> _Date:
-    """TimexTimexRelationRule.getDateComponents (lines 416-459)."""
+    """TimexTimexRelationRule.getDateComponents (lines 416-459).
+
+    Memoized: pure parse of the value string, and callers only read the
+    returned _Date (verified - no mutation sites), so sharing instances is
+    safe. TIMEX3 values repeat across a corpus far more than full
+    (v1, v2, dct) triples do, so this cache hits where the
+    timex_timex_relation LRU misses."""
     d = _Date()
     cols = value.split("-")
     if len(cols) == 1:
