@@ -29,6 +29,11 @@ def span_token_ids(doc: DocState, start_tok: str, end_tok: str) -> list:
     return doc.token_arr[i0:i1 + 1]
 
 
+_TOKEN_ATTRS = {"token": "text", "lemma": "lemma", "pos": "pos",
+                "mainpos": "main_pos", "chunk": "chunk", "ner": "ner",
+                "supersense": "supersense"}
+
+
 def token_attr(doc: DocState, e: Mention, feature: str) -> str:
     """getTokenAttribute(Entity, FeatureName) (lines 261-282):
     per-token attribute over the span, consecutive duplicates removed,
@@ -41,15 +46,16 @@ def token_attr(doc: DocState, e: Mention, feature: str) -> str:
     cached = doc.memo.get(key)
     if cached is not None:
         return cached
-    vals = []
-    for tid in span_token_ids(doc, e.start_tok, e.end_tok):
-        t = doc.tokens[tid]
-        v = {"token": t.text, "lemma": t.lemma, "pos": t.pos,
-             "mainpos": t.main_pos, "chunk": t.chunk, "ner": t.ner,
-             "supersense": t.supersense}[feature]
-        if not vals or v != vals[-1]:
-            vals.append(v)
-    out = (" " if feature in ("token", "lemma") else "_").join(vals)
+    attr = _TOKEN_ATTRS[feature]
+    if e.start_tok == e.end_tok:           # the common single-token span
+        out = getattr(doc.tokens[e.start_tok], attr)
+    else:
+        vals = []
+        for tid in span_token_ids(doc, e.start_tok, e.end_tok):
+            v = getattr(doc.tokens[tid], attr)
+            if not vals or v != vals[-1]:
+                vals.append(v)
+        out = (" " if feature in ("token", "lemma") else "_").join(vals)
     doc.memo[key] = out
     return out
 

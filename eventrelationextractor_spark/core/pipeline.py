@@ -82,18 +82,17 @@ def timex_timex_rule_links(doc: DocState,
                     continue
             kept.append(k)
         keys = kept
+    # pre-filter to timexes (same order): the inner loop then touches
+    # only timex pairs instead of re-testing every entity pair
+    tkeys = [k for k in keys if doc.entities[k].is_timex]
     tt: dict = {}
     pair_idx = 0
-    for i in range(len(keys)):
-        e1 = doc.entities[keys[i]]
-        if not e1.is_timex:
-            continue
+    for i in range(len(tkeys)):
+        e1 = doc.entities[tkeys[i]]
         if e1.is_dct:
             e1.tmx_type, e1.tmx_value = normalize_dct(e1.tmx_type, e1.tmx_value)
-        for j in range(i + 1, len(keys)):
-            e2 = doc.entities[keys[j]]
-            if not e2.is_timex:
-                continue
+        for j in range(i + 1, len(tkeys)):
+            e2 = doc.entities[tkeys[j]]
             if e2.is_dct:
                 e2.tmx_type, e2.tmx_value = normalize_dct(e2.tmx_type,
                                                           e2.tmx_value)
@@ -106,8 +105,8 @@ def timex_timex_rule_links(doc: DocState,
                                        e2.tmx_type, e2.tmx_value, dct_value,
                                        identity_rel=False)
             if rel != "O":
-                tt[(keys[i], keys[j])] = rel
-                tt[(keys[j], keys[i])] = inverse_relation(rel)
+                tt[(tkeys[i], tkeys[j])] = rel
+                tt[(tkeys[j], tkeys[i])] = inverse_relation(rel)
     return tt
 
 
