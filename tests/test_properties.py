@@ -106,3 +106,30 @@ def test_timex_cap_bounds_pair_count(n, cap):
     assert len(tt) <= eff * (eff - 1)  # both directions
     if n_timex > cap:
         assert doc.memo.get("tt_truncated") is True
+
+
+def test_pair_slice_partitions_exactly():
+    """Union of the k pair_slice outputs == unsliced output, disjointly,
+    for every k - the invariant the salted repartition path relies on."""
+    from eventrelationextractor_spark.core.docmodel import (FIELDS_FILE24,
+                                                            parse_txp_file_text)
+    from eventrelationextractor_spark.core.pipeline import \
+        timex_timex_rule_links
+    text = open("tests/fixtures/wsj_1014.tml.txp").read()
+
+    def links(pair_slice=None):
+        doc = parse_txp_file_text(text, FIELDS_FILE24)
+        return timex_timex_rule_links(doc, pair_slice=pair_slice)
+
+    full = links()
+    for k in (1, 2, 3, 7, 1000):   # k > n_pairs: empty tail slices
+        parts = [links(pair_slice=(s, k)) for s in range(k if k < 50 else 50)]
+        merged = {}
+        for part in parts:
+            for key in part:
+                assert key not in merged or part[key] == merged[key]
+            merged.update(part)
+        if k >= 50:  # only checked a prefix of slices
+            assert set(merged) <= set(full)
+        else:
+            assert merged == full
