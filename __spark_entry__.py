@@ -123,11 +123,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents plus near-duplicate copies (id + 1000000, one appended
-    token) - gives the near-dup detectors a known positive set."""
+    token) and exact copies of every 10th doc (id + 2000000) - known
+    positive sets for the near-dup and exact-dup detectors at every SF."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     dups = d.select((F.col("doc_id") + 1000000).alias("doc_id"),
                     F.concat(F.col("text"), F.lit(" extra")).alias("text"))
-    return d.unionByName(dups)
+    exact = d.filter(F.col("doc_id") % 10 == 0)         .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    return d.unionByName(dups).unionByName(exact)
 
 
 def _q_doc_fingerprints(spark, sf_dir):
@@ -387,7 +389,9 @@ _NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', "
          "'g'), ' +', ' ', 'g'))")
 
 _AUG = ("aug AS (SELECT doc_id, text FROM documents UNION ALL "
-        "SELECT doc_id + 1000000, text || ' extra' FROM documents)")
+        "SELECT doc_id + 1000000, text || ' extra' FROM documents "
+        "UNION ALL SELECT doc_id + 2000000, text FROM documents "
+        "WHERE doc_id % 10 = 0)")
 
 _FP_ORACLE = f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"
 
