@@ -255,3 +255,23 @@ def test_parse_failure_emits_meta_row(spark):
     assert len(bad) == 1 and bad[0].pred == "PARSE_ERROR" \
         and bad[0].pair_type == "meta"
     assert sum(1 for r in rows if r.url == "u-good") == 14
+
+
+def test_streaming_triple_extraction_matches_batch(spark, tmp_path, fixture_pages):
+    """extract_triples is a stateless map stage, so the SAME code runs
+    under Structured Streaming unchanged - incremental KG construction
+    over a pages stream (new WARC drops appended to the table) with
+    output identical to the batch run."""
+    src = str(tmp_path / "pages_stream")
+    fixture_pages.select("url", "text").write.parquet(src)
+    batch = {(r.url, r.subj, r.pred, r.obj)
+             for r in stages.extract_triples(fixture_pages, "both").collect()}
+
+    stream = spark.readStream.schema("url string, text string").parquet(src)
+    out = stages.extract_triples(stream, "both")
+    q = (out.writeStream.format("memory").queryName("stream_triples")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.url, r.subj, r.pred, r.obj)
+           for r in spark.sql("select * from stream_triples").collect()}
+    assert got == batch and len(got) > 500
