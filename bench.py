@@ -39,7 +39,11 @@ def _warm_workers(spark, cpus: int) -> None:
             pass
         yield pd.DataFrame({"ok": [1]})
 
-    spark.range(0, cpus, 1, cpus).mapInPandas(warm, "ok long").count()
+    # two chained UDF stages: each task holds TWO python workers (the JVM
+    # pipes one runner into the next), so this warms a pool of 2x cpus -
+    # enough for queries that themselves chain UDF stages
+    spark.range(0, cpus, 1, cpus).mapInPandas(warm, "ok long") \
+        .mapInPandas(warm, "ok long").count()
 
 
 def main() -> None:

@@ -87,6 +87,8 @@ def _repartition_for_cpu(df: DataFrame) -> DataFrame:
     600KB file -> 2 splits) we pay one cheap shuffle to restore full
     parallelism. At production scale the scan already has >= cores splits
     and this is a no-op (no Exchange added)."""
+    if df.isStreaming:   # micro-batch sizing is the source's job
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
