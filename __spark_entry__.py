@@ -79,6 +79,28 @@ def _q_kg_causal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _synth_triples(spark, sf_dir, "causal")
 
 
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus statistics off the annotated token table
+    (tokens DataFrame of SURVEY.md §1.4) - the kind of rollup a corpus
+    pipeline runs before training-data selection."""
+    toks = stages.extract_tokens(_doc_ids(spark, sf_dir))
+    return (toks
+            .withColumn("doc_id", F.substring("url", -8, 8).cast("long"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.countDistinct("sent_id").alias("n_sentences"),
+                 F.countDistinct("ev_id").alias("n_event_mentions"),
+                 F.countDistinct("tmx_id").alias("n_timex_mentions")))
+
+
+def _q_pred_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate histogram over the temporal triples (A3 class-count
+    logging as a first-class aggregate; map-side partial agg)."""
+    return (_synth_triples(spark, sf_dir, "temporal")
+            .groupBy("pred")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def _q_kg_temporal_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The giant-page salted-repartition path, proven lossless by sharing
     kg_temporal_triples' oracle: every synthetic page lands over the byte
@@ -273,6 +295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_temporal_triples": _q_kg_temporal,
         "kg_causal_triples": _q_kg_causal,
         "kg_temporal_salted": _q_kg_temporal_salted,
+        "kg_doc_stats": _q_doc_stats,
+        "kg_pred_histogram": _q_pred_histogram,
         "kg_fixture_temporal": _q_fixture_temporal,
         "kg_fixture_causal": _q_fixture_causal,
         "kg_text_identity": _q_text_identity,
@@ -354,6 +378,18 @@ allrows AS (
 )
 SELECT d AS doc_id, src AS subj, rel AS pred, tgt AS obj FROM allrows
 """
+
+
+_DOC_STATS_ORACLE = """
+SELECT doc_id, CAST(28 AS BIGINT) AS n_tokens,
+       CAST(4 AS BIGINT) AS n_sentences,
+       CAST(9 AS BIGINT) AS n_event_mentions,
+       CAST(4 AS BIGINT) AS n_timex_mentions
+FROM documents
+"""
+
+_PRED_HIST_ORACLE = ("SELECT pred, CAST(count(*) AS BIGINT) AS n FROM ("
+                     + _TT_ORACLE + ") GROUP BY pred")
 
 _CAUSAL_ORACLE = """
 SELECT doc_id, 'e6' AS subj, 'CLINK' AS pred, 'e7' AS obj
@@ -697,6 +733,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_temporal_triples": _TT_ORACLE,
         "kg_causal_triples": _CAUSAL_ORACLE,
         "kg_temporal_salted": _TT_ORACLE,
+        "kg_doc_stats": _DOC_STATS_ORACLE,
+        "kg_pred_histogram": _PRED_HIST_ORACLE,
         "kg_fixture_temporal": _values_oracle(fixture_temporal),
         "kg_fixture_causal": _values_oracle(fixture_causal),
         "kg_text_identity": _TEXT_ORACLE,

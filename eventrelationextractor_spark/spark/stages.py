@@ -313,6 +313,69 @@ def extract_mentions(pages: DataFrame) -> DataFrame:
     return cols.mapInPandas(run, schema=MENTION_SCHEMA)
 
 
+TOKEN_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("tok_idx", LongType(), False),
+    StructField("tok_id", StringType(), False),
+    StructField("sent_id", StringType(), False),
+    StructField("text", StringType(), False),
+    StructField("lemma", StringType(), True),
+    StructField("pos", StringType(), True),
+    StructField("main_pos", StringType(), True),
+    StructField("chunk", StringType(), True),
+    StructField("tense", StringType(), True),
+    StructField("aspect", StringType(), True),
+    StructField("pol", StringType(), True),
+    StructField("main_verb", StringType(), True),
+    StructField("deps", StringType(), True),     # 'dep:REL||...' cell form
+    StructField("ev_id", StringType(), True),
+    StructField("tmx_id", StringType(), True),
+])
+
+
+def extract_tokens(pages: DataFrame) -> DataFrame:
+    """pages -> annotated token table (the `tokens` DataFrame of SURVEY.md
+    §1.4): one row per token in document order with the full annotation
+    payload. Downstream consumers (custom feature pipelines, corpus
+    statistics, token-level exports) get the columnar form without
+    re-parsing; deps keep the reference's cell encoding so the table
+    round-trips to TXP."""
+    cols, gen_pages = _page_source(pages)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in gen_pages(batches):
+            rows = {k.name: [] for k in TOKEN_SCHEMA.fields}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                try:
+                    doc = parse_page(text, url)
+                except Exception:
+                    continue
+                for tid in doc.token_arr:
+                    t = doc.tokens[tid]
+                    rows["url"].append(url)
+                    rows["tok_idx"].append(t.idx)
+                    rows["tok_id"].append(t.tid)
+                    rows["sent_id"].append(t.sent_id)
+                    rows["text"].append(t.text)
+                    rows["lemma"].append(t.lemma)
+                    rows["pos"].append(t.pos)
+                    rows["main_pos"].append(t.main_pos)
+                    rows["chunk"].append(t.chunk)
+                    rows["tense"].append(t.tense)
+                    rows["aspect"].append(t.aspect)
+                    rows["pol"].append(t.pol)
+                    rows["main_verb"].append("mainVb" if t.main_verb else "O")
+                    rows["deps"].append(
+                        "||".join(f"{k}:{t.deps[k]}" for k in t.dep_order)
+                        if t.deps else "O")
+                    rows["ev_id"].append(t.ev_id)
+                    rows["tmx_id"].append(t.tmx_id)
+            yield pd.DataFrame(rows)
+
+    return cols.mapInPandas(run, schema=TOKEN_SCHEMA)
+
+
 def extracted_text(pages: DataFrame) -> DataFrame:
     """Byte-identity surface: url -> extracted (detokenized) text + sha256.
 
