@@ -275,3 +275,40 @@ def test_streaming_triple_extraction_matches_batch(spark, tmp_path, fixture_page
     got = {(r.url, r.subj, r.pred, r.obj)
            for r in spark.sql("select * from stream_triples").collect()}
     assert got == batch and len(got) > 500
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    """Resize keeps the media schema (stages compose), only touches image
+    rows, and is deterministic; frame sampling is a 1-to-many transform
+    emitting n_frames rows per video and dropping other kinds."""
+    from eventrelationextractor_spark.ops import multimodal
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"img-payload-a"), 640, 480),
+         (2, "video", bytearray(b"vid-payload-b"), 1920, 1080),
+         (3, "audio", bytearray(b"aud-payload-c"), None, None)],
+        multimodal.MEDIA_SCHEMA)
+
+    resized = multimodal.resize_images(media, 224, 224, fake=True)
+    assert resized.schema == multimodal.MEDIA_SCHEMA
+    rows = {r.media_id: r for r in resized.collect()}
+    assert bytes(rows[1].payload).startswith(b"RSZ")
+    assert (rows[1].width, rows[1].height) == (224, 224)
+    assert bytes(rows[2].payload) == b"vid-payload-b"  # untouched
+    # deterministic: same input -> same payload
+    again = {r.media_id: bytes(r.payload)
+             for r in multimodal.resize_images(media, 224, 224).collect()}
+    assert again[1] == bytes(rows[1].payload)
+    # resize stages compose: double resize parses its own output schema
+    assert multimodal.resize_images(resized, 64, 64).count() == 3
+
+    frames = multimodal.sample_frames(media, n_frames=3, fake=True).collect()
+    assert {r.media_id for r in frames} == {2}
+    assert sorted(r.frame_idx for r in frames) == [0, 1, 2]
+    assert all(bytes(r.payload).startswith(b"FRM") for r in frames)
+
+    # real kernels are explicit stubs, not silent fakes
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_kernel(b"x", 1, 1)
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_video_frame(b"x", 0)
