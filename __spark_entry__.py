@@ -184,7 +184,7 @@ def _q_quality(spark, sf_dir):
 
 def _q_token_counts(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir)) \
-        .select("doc_id", "ws_tokens", "subword_tokens")
+        .select("doc_id", "ws_tokens", "subword_tokens", "bpeish_tokens")
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -542,7 +542,9 @@ FROM base
 _TOKEN_ORACLE = r"""
 SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
-  CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_tokens
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))
+       AS BIGINT) AS bpeish_tokens
 FROM documents
 """
 

@@ -84,15 +84,26 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
                     6)))
 
 
+# BPE-ish pre-tokenization classes (letter runs / digit runs / single
+# non-alnum marks) - the portable core of GPT-2-style pre-tokenizers,
+# written to behave identically under Java regex (Spark) and RE2 (DuckDB)
+BPEISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword estimate (ceil(chars/4),
-    the common 4-chars-per-token heuristic)."""
+    """Whitespace tokens + two BPE-ish estimates: ceil(chars/4) (the
+    common 4-chars-per-token heuristic) and a regex pre-tokenizer count
+    (letter runs / digit runs / punctuation marks, GPT-2-style word
+    splitting without the merge table)."""
     t = F.col(text_col)
     return (df
             .withColumn("ws_tokens",
                         F.size(F.split(F.trim(t), r"\s+")).cast("long"))
             .withColumn("subword_tokens",
-                        F.ceil(F.length(t) / 4.0).cast("long")))
+                        F.ceil(F.length(t) / 4.0).cast("long"))
+            .withColumn("bpeish_tokens",
+                        F.regexp_count(t, F.lit(BPEISH_PATTERN))
+                        .cast("long")))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
