@@ -79,6 +79,15 @@ def _q_kg_causal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _synth_triples(spark, sf_dir, "causal")
 
 
+def _q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resolved candidate-pair table the sieve cascade consumes
+    (F1-F3 filters, J2 resolution, R7 canonical ordering applied)."""
+    c = stages.extract_candidates(_doc_ids(spark, sf_dir))
+    return (c.withColumn("doc_id", F.substring("url", -8, 8).cast("long"))
+            .select("doc_id", "source_id", "target_id", "pair_type",
+                    "gold_rel"))
+
+
 def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document corpus statistics off the annotated token table
     (tokens DataFrame of SURVEY.md §1.4) - the kind of rollup a corpus
@@ -296,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_causal_triples": _q_kg_causal,
         "kg_temporal_salted": _q_kg_temporal_salted,
         "kg_doc_stats": _q_doc_stats,
+        "kg_candidates": _q_candidates,
         "kg_pred_histogram": _q_pred_histogram,
         "kg_fixture_temporal": _q_fixture_temporal,
         "kg_fixture_causal": _q_fixture_causal,
@@ -379,6 +389,15 @@ allrows AS (
 SELECT d AS doc_id, src AS subj, rel AS pred, tgt AS obj FROM allrows
 """
 
+
+
+_CANDIDATES_ORACLE = """
+SELECT doc_id, m.source_id, m.target_id, m.pair_type, 'NONE' AS gold_rel
+FROM documents, (VALUES
+  ('e1','tmx0','ed'), ('e2','tmx0','ed'), ('e3','tmx0','ed'),
+  ('e1','tmx1','et'), ('e4','e5','ee'), ('e8','e9','ee')
+) AS m(source_id, target_id, pair_type)
+"""
 
 _DOC_STATS_ORACLE = """
 SELECT doc_id, CAST(28 AS BIGINT) AS n_tokens,
@@ -736,6 +755,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_causal_triples": _CAUSAL_ORACLE,
         "kg_temporal_salted": _TT_ORACLE,
         "kg_doc_stats": _DOC_STATS_ORACLE,
+        "kg_candidates": _CANDIDATES_ORACLE,
         "kg_pred_histogram": _PRED_HIST_ORACLE,
         "kg_fixture_temporal": _values_oracle(fixture_temporal),
         "kg_fixture_causal": _values_oracle(fixture_causal),

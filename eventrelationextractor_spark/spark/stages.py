@@ -333,6 +333,48 @@ TOKEN_SCHEMA = StructType([
 ])
 
 
+CANDIDATE_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("source_id", StringType(), False),
+    StructField("target_id", StringType(), False),
+    StructField("pair_type", StringType(), False),   # ed | et | ee
+    StructField("gold_rel", StringType(), True),
+])
+
+
+def extract_candidates(pages: DataFrame) -> DataFrame:
+    """pages -> resolved candidate-pair table (the `candidates` DataFrame
+    of SURVEY.md §1.4): tlink cells exploded (S6), dangling/self pairs
+    dropped (F2), split into E-DCT / E-T / E-E streams (F1, F3), canonical
+    pair ordering applied (R7: EE doc-order swap + invert, ET event
+    first). This is exactly the frame the sieve cascade consumes."""
+    cols, gen_pages = _page_source(pages)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..core.pipeline import _candidate_groups
+        for pdf in gen_pages(batches):
+            rows = {k.name: [] for k in CANDIDATE_SCHEMA.fields}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                try:
+                    doc = parse_page(text, url)
+                except Exception:
+                    continue
+                dct_pairs, et_pairs, ee_pairs = _candidate_groups(doc)
+                for ptype, group in (("ed", dct_pairs), ("et", et_pairs),
+                                     ("ee", ee_pairs)):
+                    for e1, e2, label in group:
+                        rows["url"].append(url)
+                        rows["source_id"].append(e1.mid)
+                        rows["target_id"].append(e2.mid)
+                        rows["pair_type"].append(ptype)
+                        rows["gold_rel"].append(label)
+            yield pd.DataFrame(rows)
+
+    return cols.mapInPandas(run, schema=CANDIDATE_SCHEMA)
+
+
 def extract_tokens(pages: DataFrame) -> DataFrame:
     """pages -> annotated token table (the `tokens` DataFrame of SURVEY.md
     §1.4): one row per token in document order with the full annotation
