@@ -292,11 +292,19 @@ def parse_txp_lines(lines, fields=FIELDS_TEXT16, name: str = "TEXT") -> DocState
 
         tid = cols[i_token_id]
         sent_id = cols[i_sent_id]
-        tok = Token(tid, sent_id, c0)
-        tok.lemma = cols[i_lemma]
-        tok.pos = cols[i_pos]
-        tok.chunk = cols[i_chunk]
-        tok.main_pos = main_pos_from_pos(tok.pos)
+        pos = cols[i_pos]
+        if i_tap >= 0:
+            tense, aspect, pol = _parse_tap(cols[i_tap])
+        else:
+            tense = cols[i_tense] if i_tense >= 0 else "O"
+            aspect = cols[i_aspect] if i_aspect >= 0 else "O"
+            pol = cols[i_pol] if i_pol >= 0 else "O"
+        idx = len(doc.token_arr)
+        # hot fields via the constructor: one call instead of a dozen
+        # attribute stores per token
+        tok = Token(tid, sent_id, c0, idx, cols[i_lemma], pos,
+                    main_pos_from_pos(pos), cols[i_chunk],
+                    tense, aspect, pol)
         if i_ner >= 0:
             tok.ner = cols[i_ner]
         if i_supersense >= 0:
@@ -306,17 +314,9 @@ def parse_txp_lines(lines, fields=FIELDS_TEXT16, name: str = "TEXT") -> DocState
         if i_main_verb >= 0 and i_deps >= 0:
             tok.main_verb = cols[i_main_verb] == "mainVb"
             tok.deps, tok.dep_order = _parse_deps(cols[i_deps])
-        if i_tap >= 0:
-            tense, aspect, pol = _parse_tap(cols[i_tap])
-        else:
-            tense = cols[i_tense] if i_tense >= 0 else "O"
-            aspect = cols[i_aspect] if i_aspect >= 0 else "O"
-            pol = cols[i_pol] if i_pol >= 0 else "O"
-        tok.tense, tok.aspect, tok.pol = tense, aspect, pol
 
-        tok.idx = len(doc.token_arr)
         doc.token_arr.append(tid)
-        doc.tok_index[tid] = tok.idx
+        doc.tok_index[tid] = idx
         doc.tokens[tid] = tok
 
         if curr_sentence is None:
