@@ -646,7 +646,7 @@ WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 e AS (SELECT vec_id, v FROM e0
       UNION ALL
       SELECT vec_id + 1000000, list_concat([v[1] + 0.05], v[2:64]) FROM e0),
-planes AS (SELECT unnest(range(0, 8)) AS p),
+planes AS (SELECT unnest(range(0, 32)) AS p),
 dots AS (
   SELECT e.vec_id, pl.p,
     list_sum(list_transform(range(1, 65),
@@ -654,16 +654,22 @@ dots AS (
                           substr(md5(pl.p || ':' || (i-1)), 1, 1)) > 0
                      THEN 1.0 ELSE -1.0 END))) AS dot
   FROM e, planes pl),
-sig AS (SELECT vec_id,
-        CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
-        AS signature FROM dots GROUP BY vec_id),
-es AS (SELECT e.vec_id, e.v, s.signature FROM e JOIN sig s USING (vec_id)),
-pairs AS (SELECT l.vec_id AS a, r.vec_id AS b,
-  list_dot_product(l.v, r.v)
-    / (sqrt(list_dot_product(l.v, l.v))
-       * sqrt(list_dot_product(r.v, r.v))) AS cosine
-  FROM es l JOIN es r
-  ON l.signature = r.signature AND l.vec_id < r.vec_id)
+sig AS (SELECT vec_id, p // 8 AS band,
+        CAST(sum(CASE WHEN dot > 0 THEN (1 << (p % 8)) ELSE 0 END) AS BIGINT)
+        AS bucket FROM dots GROUP BY vec_id, p // 8),
+sizes AS (SELECT band, bucket, count(*) AS bn FROM sig GROUP BY 1, 2),
+capped AS (SELECT s.vec_id, s.band, s.bucket FROM sig s
+           JOIN sizes z ON z.band = s.band AND z.bucket = s.bucket
+           WHERE z.bn BETWEEN 2 AND 100),
+cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         FROM capped l JOIN capped r
+         ON l.band = r.band AND l.bucket = r.bucket
+            AND l.vec_id < r.vec_id),
+pairs AS (SELECT c.a, c.b,
+  list_dot_product(la.v, rb.v)
+    / (sqrt(list_dot_product(la.v, la.v))
+       * sqrt(list_dot_product(rb.v, rb.v))) AS cosine
+  FROM cand c JOIN e la ON la.vec_id = c.a JOIN e rb ON rb.vec_id = c.b)
 SELECT a, b, round(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.99
 """
 

@@ -92,6 +92,10 @@ def main() -> None:
         "sf": sf_dir,
         "n_docs": n_docs,
         "rows": rows,
+        # metric definition (since round 1, unchanged): n_docs / best-of-3
+        # wall time of ONE fused mode='both' extract_triples pass.
+        # Round-1 pre-final numbers used 2*n_docs/(temporal+causal query
+        # time); do not compare across definitions (BENCH/BASELINE.md).
         "docs_per_sec": docs_sec,
         "cpus": int(cpus),
     }

@@ -69,35 +69,50 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
 MAX_BUCKET_SIZE = 100
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
+def capped_bucket_pairs(bands: DataFrame,
                         max_bucket_size: int = MAX_BUCKET_SIZE) -> DataFrame:
-    """Distinct (a < b) pairs sharing at least one band bucket.
+    """(id, band, bucket) rows -> distinct (a < b) pairs that share a
+    (band, bucket) cell, with hot buckets dropped BEFORE any member list
+    is materialized.
 
     Hot-bucket guard: a bucket holding k documents yields k^2/2 pairs, so
     boilerplate-heavy corpora can turn one bucket into the whole job's
     skew. Buckets larger than ``max_bucket_size`` are dropped (standard
     LSH practice - such groups are better served by the exact-fingerprint
-    dedup pass); the SQL oracle applies the same cap.
+    dedup pass); the SQL oracles apply the same cap.
 
-    Physical plan: bucket membership is collected per (band, bucket) - the
-    cap bounds each list at ``max_bucket_size`` ids, so this is one
-    aggregation + an in-expression pair explode, replacing the naive
-    size-count join + bucket self-join + distinct (three shuffles of the
-    band table) with a single shuffle."""
-    n_bands = N_MINHASHES // BAND_SIZE
-    bands = sig.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)]))
-        .alias("band", "bucket"))
-    groups = (bands.groupBy("band", "bucket")
-              .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-              .filter((F.size("ids") >= 2)
-                      & (F.size("ids") <= max_bucket_size)))
+    Physical plan: a cheap count aggregation (map-side partial agg, so the
+    shuffle carries one row per distinct bucket per mapper) selects
+    surviving buckets; the band rows are then equi-joined to the survivor
+    set and collected per bucket. The size filter runs before
+    collect_list, so a pathological bucket (the exact skew case the cap
+    exists for) never builds its giant member list in an aggregation
+    buffer. The join and the collect groupBy share the (band, bucket)
+    hash partitioning, so the survivor path re-shuffles the capped band
+    rows once; every list is bounded at ``max_bucket_size`` ids."""
+    sizes = (bands.groupBy("band", "bucket")
+             .agg(F.count(F.lit(1)).alias("bn"))
+             .filter((F.col("bn") >= 2) & (F.col("bn") <= max_bucket_size)))
+    survivors = bands.join(sizes.select("band", "bucket"), ["band", "bucket"])
+    groups = (survivors.groupBy("band", "bucket")
+              .agg(F.sort_array(F.collect_list("id")).alias("ids")))
     pairs = groups.select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
     )).alias("p")).select("p.a", "p.b")
     return pairs.distinct()
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
+                        max_bucket_size: int = MAX_BUCKET_SIZE) -> DataFrame:
+    """Distinct (a < b) pairs sharing at least one MinHash band bucket
+    (see ``capped_bucket_pairs`` for the skew guard + plan shape)."""
+    n_bands = N_MINHASHES // BAND_SIZE
+    bands = sig.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)]))
+        .alias("band", "bucket"))
+    return capped_bucket_pairs(bands, max_bucket_size)
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -123,28 +138,42 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def embedding_neardup(emb: DataFrame, threshold: float = 0.9,
-                      n_planes: int = 8, dim: int = 64,
-                      id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      n_bands: int = 4, band_planes: int = 8, dim: int = 64,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      max_bucket_size: int = MAX_BUCKET_SIZE) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a < b, cosine) with
     cosine >= threshold.
 
-    Candidates come from hyperplane-LSH buckets (identical signature), so
-    the pair space is bucket-local - no O(n^2) stage; exact cosine is then
-    verified on candidates only. Near-identical vectors agree on every
-    hyperplane sign with high probability, which is exactly the recall
-    profile wanted for near-dup removal (genuine misses are vectors near a
-    plane - more planes/bands trade recall for candidate volume)."""
+    Banded hyperplane LSH, mirroring the MinHash path: ``n_bands``
+    independent signatures of ``band_planes`` hyperplanes each (plane
+    seeds ``band * band_planes + j``); a pair is a candidate when it
+    agrees on EVERY plane of at least one band (OR over bands). Exact
+    cosine is then verified on candidates only.
+
+    Scale shape: candidates come from ``capped_bucket_pairs``, so the
+    pair space is bucket-local AND a degenerate bucket (mass-duplicate or
+    near-zero vectors sharing one signature) is dropped at
+    ``max_bucket_size`` before its member list materializes - there is no
+    unguarded self-join and no O((N/buckets)^2) stage. Banding keeps
+    recall: near-identical vectors flip any single plane with low
+    probability, and only one intact band of the ``n_bands`` is needed
+    (P[candidate] = 1-(1-(1-p)^r)^b vs (1-p)^r for one r-plane signature).
+    Genuine misses - all bands cut by a plane - are the documented LSH
+    trade-off; the SQL oracle applies the identical scheme."""
     from .simsearch import _dot, hyperplane_signature
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    with_sig = emb.select(F.col(id_col).alias("id"), vec.alias("v"),
-                          hyperplane_signature(emb, n_planes, dim, vec_col))
-    left = with_sig.select(F.col("id").alias("a"), F.col("v").alias("av"),
-                           F.col("signature"))
-    right = with_sig.select(F.col("id").alias("b"), F.col("v").alias("bv"),
-                            F.col("signature"))
-    pairs = left.join(right, ["signature"]).filter(F.col("a") < F.col("b"))
-    return (pairs
+    sigs = [hyperplane_signature(emb, band_planes, dim, vec_col,
+                                 seed_offset=b * band_planes)
+            .alias(f"bsig{b}") for b in range(n_bands)]
+    with_sig = emb.select(F.col(id_col).alias("id"), *sigs)
+    bands = with_sig.select(
+        F.col("id"),
+        F.posexplode(F.array(*[F.col(f"bsig{b}") for b in range(n_bands)]))
+        .alias("band", "bucket"))
+    cands = capped_bucket_pairs(bands, max_bucket_size)
+    va = emb.select(F.col(id_col).alias("a"), vec.alias("av"))
+    vb = emb.select(F.col(id_col).alias("b"), vec.alias("bv"))
+    return (cands.join(va, "a").join(vb, "b")
             .withColumn("cosine",
                         _dot(F.col("av"), F.col("bv"))
                         / (F.sqrt(_dot(F.col("av"), F.col("av")))
@@ -157,20 +186,24 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 16) -> DataFrame:
     """(doc_id, simhash): per-bit majority vote over md5-derived token
     hashes. conv(substr(md5,1,4),16,10) gives 16 bits per token; bit b of
-    the signature is 1 when the b-th bit is set in more tokens than not."""
+    the signature is 1 when the b-th bit is set in more tokens than not.
+
+    Plan shape: ONE groupBy(doc_id) carrying ``bits`` conditional-sum
+    aggregates (sum(when(bit_b_set, 1).otherwise(-1))) computed from the
+    token hash, then the signature assembled from the per-bit sums in the
+    same projection - one shuffle of (doc_id, 16 longs) with map-side
+    partial aggregation, replacing the earlier token x bit-position
+    explode (bits-fold row blow-up) + two shuffles."""
     words = F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("w")
     tok = df.select(F.col(id_col), words)
     tok = tok.withColumn(
         "h", F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long"))
-    pos = tok.select(id_col, "h",
-                     F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
-    votes = pos.withColumn(
-        "v", F.when(F.expr("(h div shiftleft(1L, b)) % 2") == 1, 1)
-        .otherwise(-1))
-    return (votes.groupBy(id_col, "b")
-            .agg(F.sum("v").alias("s"))
-            .withColumn("bit", F.when(F.col("s") > 0,
-                                      F.expr("shiftleft(1L, b)"))
-                        .otherwise(F.lit(0)))
-            .groupBy(id_col)
-            .agg(F.sum("bit").cast("long").alias("simhash")))
+    aggs = [F.sum(F.when(F.expr(f"(h div shiftleft(1L, {b})) % 2") == 1,
+                         F.lit(1)).otherwise(F.lit(-1))).alias(f"s{b}")
+            for b in range(bits)]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sums.select(id_col, sig.cast("long").alias("simhash"))

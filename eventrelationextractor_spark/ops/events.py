@@ -58,6 +58,16 @@ def streaming_sessionize(stream: DataFrame,
     the tail with a far-future sentinel event per user). Gap comparison
     uses floor'd epoch seconds, matching the batch operator's
     ``unix_timestamp`` semantics so both twins cut sessions identically.
+
+    ORDERED-SOURCE REQUIREMENT: events must arrive time-ordered ACROSS
+    micro-batches per user (each trigger only sorts within its own
+    batch). An event older than the user's last seen timestamp in a later
+    trigger would split or corrupt a session silently - this operator has
+    no watermark to reorder it. That is the contract of the replay/log
+    sources it targets (file drops of time-partitioned data, Kafka with
+    event-time = append order); for out-of-order sources, add a watermark
+    + EventTimeTimeout variant and buffer per-user events in state until
+    the watermark passes them.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

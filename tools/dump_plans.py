@@ -77,8 +77,35 @@ def main() -> None:
 
     p = add("ann_ivf_topk (inverted-file ANN)",
             qs["ann_ivf_topk"](spark, sf),
-            "Centroids broadcast; probing is an equi-join on cell id.")
-    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+            "Cell assignment is pure map-side codegen (centroids are "
+            "driver-known literals: n_cells cosines + argmax as array "
+            "expressions - no join, no Window, no shuffle before the "
+            "probe join); probing equi-joins on cell id with the tiny "
+            "query side broadcast; the final top-k Window carries the "
+            "plan's ONLY hash Exchange, with WindowGroupLimit pushing "
+            "partial top-k below it.")
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, \
+        "IVF regained a pre-probe Window (argmax shuffle)"
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, \
+        "IVF cell assignment regained a shuffle"
+
+    p = add("dedup_embedding_cosine (banded hyperplane LSH + cap)",
+            qs["dedup_embedding_cosine"](spark, sf),
+            "4 banded 8-plane signatures computed map-side; hot buckets "
+            "dropped by a COUNT pre-gate BEFORE any collect_list "
+            "materializes a member list; pair explode bounded at "
+            "max_bucket_size; exact cosine verified on candidates only. "
+            "No unguarded self-join, no O((N/buckets)^2) stage.")
+    assert "collect_list" in p and re.search(r"count\(", p)
+
+    p = add("dedup_simhash (one-shuffle signature)",
+            qs["dedup_simhash"](spark, sf),
+            "ONE groupBy(doc_id) with 16 conditional-sum aggregates from "
+            "the token hash (map-side partial agg); no token x "
+            "bit-position explode.")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, \
+        "simhash regained its second shuffle"
 
     doc_scan = spark.read.parquet(os.path.join(sf, "documents.parquet")) \
         .select("doc_id")
