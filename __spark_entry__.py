@@ -285,6 +285,21 @@ def _q_consistent_triples(spark, sf_dir):
             .select("doc_id", "subj", "pred", "obj"))
 
 
+def _q_ee_probabilities(spark, sf_dir):
+    """M3 predictProbability over the classifier-bound EE pairs: one row
+    per (doc, model class) with the decision value and the
+    liblinear-formula probability. The oracle anchors the decision-value
+    constants (pure function of doc_id % 3; asserted against the
+    golden-verified predict path in tests/test_core_parity.py) and
+    recomputes sigmoid + normalization independently in SQL."""
+    probs = stages.extract_ee_probabilities(_doc_ids(spark, sf_dir))
+    return (probs
+            .withColumn("doc_id", F.substring("url", -8, 8).cast("long"))
+            .select("doc_id", "label",
+                    F.round("dec", 6).alias("dec"),
+                    F.round("prob", 6).alias("prob")))
+
+
 def _q_media_features(spark, sf_dir):
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"),
@@ -328,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "media_features": _q_media_features,
+        "kg_ee_probabilities": _q_ee_probabilities,
     }
 
 
@@ -730,6 +746,57 @@ UNION ALL SELECT vertex, component FROM alias_rows
 UNION ALL SELECT vertex, component FROM tmx_rows
 """
 
+# M3 oracle: decision-value constants for the synthetic EE-clf pair
+# (pure function of doc_id % 3 - the ee feature vector takes exactly 3
+# values over the corpus, asserted in tests/test_core_parity.py::
+# test_ee_probability_oracle_constants against the golden-verified
+# predict path). The SQL recomputes sigmoid + normalization itself, so
+# the probability FORMULA is verified independently of numpy.
+_EE_PROB_CONSTS = """
+  (0, 'SIMULTANEOUS', -0.6025350863665082),
+  (0, 'BEGINS', -1.4244821041811624),
+  (0, 'BEFORE', 0.2630859925223193),
+  (0, 'INCLUDES', -1.0495698685509371),
+  (0, 'IDENTITY', -1.3656300439424363),
+  (0, 'IS_INCLUDED', -1.1450386290369452),
+  (0, 'AFTER', -0.4340075995996801),
+  (0, 'ENDED_BY', -1.5606789295296652),
+  (0, 'ENDS', -1.0930103084320688),
+  (0, 'BEGUN_BY', -1.0359114393164297),
+  (1, 'SIMULTANEOUS', -0.7910340988888735),
+  (1, 'BEGINS', -1.4539997762144472),
+  (1, 'BEFORE', -0.24142037127760446),
+  (1, 'INCLUDES', -0.9307020085771093),
+  (1, 'IDENTITY', -1.2930594254363441),
+  (1, 'IS_INCLUDED', -0.8945060297456146),
+  (1, 'AFTER', -0.11858338574053133),
+  (1, 'ENDED_BY', -1.3639692897418054),
+  (1, 'ENDS', -1.57413105727984),
+  (1, 'BEGUN_BY', -1.0145690797503137),
+  (2, 'SIMULTANEOUS', -0.8846461197623001),
+  (2, 'BEGINS', -1.9726596510917975),
+  (2, 'BEFORE', -0.29522318291282656),
+  (2, 'INCLUDES', -0.9105732546362363),
+  (2, 'IDENTITY', -1.4276521656461563),
+  (2, 'IS_INCLUDED', -0.846914104167518),
+  (2, 'AFTER', 0.09406146213543502),
+  (2, 'ENDED_BY', -0.9850665328261194),
+  (2, 'ENDS', -1.3980136626359334),
+  (2, 'BEGUN_BY', -0.9544943197530386)
+"""
+
+_EE_PROB_ORACLE = f"""
+WITH consts(m3, label, dec) AS (VALUES
+{_EE_PROB_CONSTS}
+),
+p AS (SELECT d.doc_id, c.label, CAST(c.dec AS DOUBLE) AS dec,
+             1.0/(1.0+exp(-CAST(c.dec AS DOUBLE))) AS sp
+      FROM documents d JOIN consts c ON d.doc_id % 3 = c.m3),
+n AS (SELECT doc_id, label, dec,
+             sp / sum(sp) OVER (PARTITION BY doc_id) AS prob FROM p)
+SELECT doc_id, label, round(dec, 6) AS dec, round(prob, 6) AS prob FROM n
+"""
+
 _MEDIA_ORACLE = """
 WITH h AS (SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -784,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _EVENTS_WINDOW_ORACLE,
         "events_sessions": _SESSIONS_ORACLE,
         "media_features": _MEDIA_ORACLE,
+        "kg_ee_probabilities": _EE_PROB_ORACLE,
     }
 
 

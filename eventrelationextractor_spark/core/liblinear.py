@@ -59,15 +59,37 @@ class LinearModel:
     def predict_strings(self, X: np.ndarray, label_names) -> list:
         return [label_names[v - 1] for v in self.predict_label_values(X)]
 
-    def predict_probabilities(self, X: np.ndarray) -> np.ndarray:
-        """M3 (EventEventRelationClassifier.predictProbability, 359-401):
-        logistic/softmax probabilities over the decision values, columns in
-        model-label order. The reference only exercises this on its
-        experimental logit path; exposed here for parity of capability."""
+    PROBABILITY_SOLVERS = ("L2R_LR", "L2R_LR_DUAL", "L1R_LR")
+
+    def predict_probabilities(self, X: np.ndarray,
+                              force: bool = False) -> np.ndarray:
+        """M3 (EventEventRelationClassifier.predictProbs:358-403 calling
+        liblinear-java 1.95 Linear.predictProbability): per-class logistic
+        squash 1/(1+exp(-dec)) over the decision values, then for
+        nr_class==2 prob[1]=1-prob[0], else normalize by the sum - NOT a
+        softmax; columns in model-label order.
+
+        Like Model.isProbabilityModel() in liblinear-java, this refuses
+        non-logistic solvers (the shipped L2R_L2LOSS_SVC_DUAL models make
+        the reference's predictProbs path throw
+        IllegalArgumentException - it is experimental dead code there).
+        ``force=True`` applies the same formula anyway for callers that
+        want calibrated-ish scores from the SVC models."""
+        if self.solver not in self.PROBABILITY_SOLVERS and not force:
+            raise ValueError(
+                f"probability output is only supported for logistic "
+                f"regression (solver is {self.solver!r}); pass force=True "
+                f"to apply the liblinear formula regardless")
         scores = self.predict_values(X)
-        scores = scores - scores.max(axis=1, keepdims=True)
-        e = np.exp(scores)
-        return e / e.sum(axis=1, keepdims=True)
+        prob = 1.0 / (1.0 + np.exp(-scores))
+        if self.nr_class == 2:
+            # binary models store ONE weight column (nr_w == 1): the
+            # second class's probability is the complement, no
+            # normalization (Linear.predictProbability)
+            prob = np.concatenate([prob[:, :1], 1.0 - prob[:, :1]], axis=1)
+        else:
+            prob = prob / prob.sum(axis=1, keepdims=True)
+        return prob
 
 
 def load_model(path: str) -> LinearModel:

@@ -356,3 +356,33 @@ def causal_triples(doc: DocState, tlinks_map: dict | None = None,
             if rel != "NONE":
                 out.append(Triple(o1.mid, o2.mid, rel, "causal-clf", "causal"))
     return out
+
+
+def ee_clf_probabilities(doc: DocState, lexicons: Lexicons | None = None):
+    """M3: per-class decision values + liblinear probabilities for the
+    event-event pairs that reach the classifier sieve (stage 'ee-clf' of
+    ``temporal_triples`` - rule-undecided pairs, exactly the set
+    EventEventRelationClassifier scores).
+
+    Returns rows (source, target, label_name, dec, prob), one per model
+    class in model-label column order. Probabilities use liblinear-java's
+    predictProbability formula (per-class sigmoid + normalize) applied to
+    the shipped SVC model via force=True; liblinear itself would throw on
+    a non-LR solver - see LinearModel.predict_probabilities."""
+    lx = lexicons or load_lexicons()
+    trips = temporal_triples(doc, lx)
+    pairs = [(t.source, t.target) for t in trips if t.stage == "ee-clf"]
+    if not pairs:
+        return []
+    model = shipped_model("ee")
+    X = features.to_matrix(
+        [features.ee_vector(doc, doc.entities[s], doc.entities[t],
+                            "NONE", lx)[:-1] for s, t in pairs])
+    dec = model.predict_values(X)
+    prob = model.predict_probabilities(X, force=True)
+    names = [TEMP_LABELS[v - 1] for v in model.labels]
+    out = []
+    for i, (s, t) in enumerate(pairs):
+        for j, name in enumerate(names):
+            out.append((s, t, name, float(dec[i, j]), float(prob[i, j])))
+    return out

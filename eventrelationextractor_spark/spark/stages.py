@@ -25,8 +25,8 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
-                               StructType, TimestampType)
+from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
+                               StructField, StructType, TimestampType)
 
 from ..core.docmodel import (FIELDS_FILE24, FIELDS_FILE28, FIELDS_TEXT16,
                              FIELDS_TEXT18, DocState, parse_txp_lines)
@@ -373,6 +373,48 @@ def extract_candidates(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return cols.mapInPandas(run, schema=CANDIDATE_SCHEMA)
+
+
+PROB_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("source_id", StringType(), False),
+    StructField("target_id", StringType(), False),
+    StructField("label", StringType(), False),
+    StructField("dec", DoubleType(), False),
+    StructField("prob", DoubleType(), False),
+])
+
+
+def extract_ee_probabilities(pages: DataFrame) -> DataFrame:
+    """M3 as a stage: per-class decision values + liblinear-formula
+    probabilities for the classifier-bound EE pairs (see
+    core.pipeline.ee_clf_probabilities). Pure map stage like the other
+    extractors - one row per (pair, model class)."""
+    cols, gen_pages = _page_source(pages)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..core.lexicons import load_lexicons
+        from ..core.pipeline import ee_clf_probabilities
+        lx = load_lexicons()
+        for pdf in gen_pages(batches):
+            rows = {k.name: [] for k in PROB_SCHEMA.fields}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                try:
+                    doc = parse_page(text, url)
+                except Exception:
+                    continue
+                for s, t, name, dec, prob in ee_clf_probabilities(doc, lx):
+                    rows["url"].append(url)
+                    rows["source_id"].append(s)
+                    rows["target_id"].append(t)
+                    rows["label"].append(name)
+                    rows["dec"].append(dec)
+                    rows["prob"].append(prob)
+            yield pd.DataFrame(rows)
+
+    return cols.mapInPandas(run, schema=PROB_SCHEMA)
 
 
 def extract_tokens(pages: DataFrame) -> DataFrame:

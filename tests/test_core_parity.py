@@ -137,3 +137,75 @@ def test_causal_vectors_bitexact():
     assert set(mine) == set(gold)
     for k, v in mine.items():
         assert v == pytest.approx(gold[k]), k
+
+
+def test_predict_probabilities_liblinear_semantics():
+    """M3: the probability formula matches liblinear-java 1.95
+    Linear.predictProbability (per-class sigmoid then normalize - NOT a
+    softmax; nr_class==2 uses prob[1] = 1 - prob[0]) and refuses
+    non-logistic solvers exactly like Model.isProbabilityModel()."""
+    import numpy as np
+
+    from eventrelationextractor_spark.core.liblinear import (LinearModel,
+                                                             shipped_model)
+
+    # shipped models are L2R_L2LOSS_SVC_DUAL -> must raise without force
+    m = shipped_model("ee")
+    X = np.zeros((1, m.nr_feature))
+    with pytest.raises(ValueError):
+        m.predict_probabilities(X)
+
+    # 3-class formula check against hand-computed sigmoid normalization
+    w = np.array([[1.0, -1.0, 0.5]])
+    lm = LinearModel("L2R_LR", 3, [1, 2, 3], 1, -1.0, w)
+    x = np.array([[2.0]])
+    dec = (x @ w)[0]
+    sig = 1.0 / (1.0 + np.exp(-dec))
+    want = sig / sig.sum()
+    got = lm.predict_probabilities(x)[0]
+    assert np.allclose(got, want, atol=0, rtol=0)
+    softmax = np.exp(dec) / np.exp(dec).sum()
+    assert not np.allclose(got, softmax)  # the formulas genuinely differ
+
+    # binary special case: prob[1] is the complement, not a normalization
+    w2 = np.array([[0.7]])  # nr_class==2 stores one weight column
+    lm2 = LinearModel("L2R_LR", 2, [1, 2], 1, -1.0, w2)
+    p = lm2.predict_probabilities(np.array([[1.0]]))[0]
+    assert p[0] == 1.0 / (1.0 + np.exp(-0.7)) and p[1] == 1.0 - p[0]
+
+
+def test_ee_probability_oracle_constants():
+    """Anti-drift: the decision-value constants embedded in the
+    kg_ee_probabilities SQL oracle (__spark_entry__._EE_PROB_CONSTS) must
+    equal the golden-verified predict path's output on the synthetic
+    corpus - full float64 precision, all 3 residue classes, all 10
+    model classes."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+    from eventrelationextractor_spark.core.liblinear import (TEMP_LABELS,
+                                                             shipped_model)
+    from eventrelationextractor_spark.datagen import synth_page
+    from eventrelationextractor_spark.spark.stages import parse_page
+
+    consts = {}
+    for ln in entry._EE_PROB_CONSTS.strip().split("\n"):
+        m3, label, dec = ln.strip().strip("(),").split(", ")
+        consts[(int(m3), label.strip("'"))] = float(dec)
+    assert len(consts) == 30
+
+    lx = load_lexicons()
+    model = shipped_model("ee")
+    names = [TEMP_LABELS[v - 1] for v in model.labels]
+    for d in (0, 1, 2, 3, 4, 5):  # two full periods
+        doc = parse_page(synth_page(d)["text"], f"s{d}")
+        X = features.to_matrix([features.ee_vector(
+            doc, doc.entities["e8"], doc.entities["e9"], "NONE", lx)[:-1]])
+        dec = model.predict_values(X)[0]
+        for j, name in enumerate(names):
+            assert consts[(d % 3, name)] == dec[j], (d, name)
