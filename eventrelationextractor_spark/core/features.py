@@ -99,12 +99,46 @@ def _label_value(label: str, vocab) -> float:
         return 0.0
 
 
+_WORDNET = None
+_WORDNET_CHECKED = False
+
+
+def set_wordnet(db) -> None:
+    """Enable real Lin similarity (X10) with a core.wordnet.WordNetDB, or
+    disable with None. Default off: the golden-parity reference build
+    stubs ws4j, so parity requires the constant 0.0 bucket."""
+    global _WORDNET, _WORDNET_CHECKED
+    _WORDNET = db
+    _WORDNET_CHECKED = True
+
+
+def _wordnet():
+    global _WORDNET, _WORDNET_CHECKED
+    if not _WORDNET_CHECKED:
+        _WORDNET_CHECKED = True
+        import os
+        path = os.environ.get("ERE_SPARK_WNDB")
+        if path:
+            from .wordnet import WordNetDB
+            ic = os.environ.get("ERE_SPARK_WNIC")
+            _WORDNET = WordNetDB.load(path, ic)
+    return _WORDNET
+
+
 def wn_similarity_bucket(lemma1: str, lemma2: str) -> float:
     """Discretized Lin similarity (EventEventFeatureVector.java:60-66).
 
     The reference build we parity against stubs ws4j (the jar is not
-    shipped), so the similarity is 0.0 -> bucket 0.0 for every pair."""
-    return 0.0
+    shipped), so the similarity is 0.0 -> bucket 0.0 for every pair.
+    With a WordNet database configured (``set_wordnet`` /
+    ``ERE_SPARK_WNDB``+``ERE_SPARK_WNIC`` env vars, picked up lazily in
+    each Spark executor) the real Lin computation runs instead - see
+    core.wordnet."""
+    db = _wordnet()
+    if db is None:
+        return 0.0
+    from .wordnet import discretize
+    return discretize(db.lin(lemma1, lemma2))
 
 
 def et_vector(doc: DocState, ev: Mention, tmx: Mention, label: str,
