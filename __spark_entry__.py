@@ -285,6 +285,46 @@ def _q_consistent_triples(spark, sf_dir):
             .select("doc_id", "subj", "pred", "obj"))
 
 
+def _multilingual_docs(spark, sf_dir):
+    """Deterministic multilingual slice over the documents table: doc d
+    gets language TRIGRAM_LANGS[d % 12], text = that language's seed
+    sentence (d//12)%2 with its words rotated by (d//24)%n_words - a
+    pure function of doc_id, so the oracle is a closed-form CASE. Built
+    declaratively: the ~400 distinct variants form a broadcast dimension
+    joined on the three key columns (no Python in the per-row path)."""
+    variants = []
+    langs = textstats.TRIGRAM_LANGS
+    for li, lang in enumerate(langs):
+        for si, sent in enumerate(textstats.LANG_SEEDS[lang]):
+            words = sent.split()
+            for rot in range(len(words)):
+                variants.append((li, si, rot,
+                                 " ".join(words[rot:] + words[:rot])))
+    vdf = spark.createDataFrame(
+        variants, "li int, si int, rot int, text string")
+    d = _docs(spark, sf_dir).select("doc_id")
+    keyed = d.select(
+        "doc_id",
+        (F.col("doc_id") % 12).cast("int").alias("li"),
+        ((F.col("doc_id") / 12).cast("long") % 2).cast("int").alias("si"))
+    # rot depends on the sentence's word count -> resolve in two steps:
+    # join the per-(li,si) word counts (24 rows, broadcast) first
+    wc = spark.createDataFrame(
+        [(li, si, len(textstats.LANG_SEEDS[langs[li]][si].split()))
+         for li in range(len(langs)) for si in range(2)],
+        "li int, si int, n_words int")
+    keyed = keyed.join(F.broadcast(wc), ["li", "si"]).withColumn(
+        "rot", ((F.col("doc_id") / 24).cast("long")
+                % F.col("n_words")).cast("int"))
+    return keyed.join(F.broadcast(vdf), ["li", "si", "rot"]) \
+        .select("doc_id", "text")
+
+
+def _q_lang_id_trigram(spark, sf_dir):
+    return textstats.lang_id_trigram(_multilingual_docs(spark, sf_dir)) \
+        .select("doc_id", "predicted_lang")
+
+
 def _q_ee_probabilities(spark, sf_dir):
     """M3 predictProbability over the classifier-bound EE pairs: one row
     per (doc, model class) with the decision value and the
@@ -344,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "media_features": _q_media_features,
         "kg_ee_probabilities": _q_ee_probabilities,
+        "lang_id_trigram": _q_lang_id_trigram,
     }
 
 
@@ -530,6 +571,19 @@ SELECT doc_id,
        CAST(sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM agg GROUP BY doc_id
 """
+
+
+def _lang_trigram_oracle() -> str:
+    """The multilingual slice is generated FROM language l(d) =
+    TRIGRAM_LANGS[d % 12] seed text, and the trigram classifier must
+    recover exactly that language - so the oracle is the closed-form
+    ground truth, and the gate verifies end-to-end that the classifier
+    is 100% correct on the slice (checked exhaustively over all
+    generation variants in tests/test_textstats_ops.py)."""
+    case = " ".join(f"WHEN {i} THEN '{lang}'"
+                    for i, lang in enumerate(textstats.TRIGRAM_LANGS))
+    return (f"SELECT doc_id, CASE doc_id % 12 {case} END AS predicted_lang "
+            f"FROM documents")
 
 
 def _lang_score_sql(words) -> str:
@@ -852,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _SESSIONS_ORACLE,
         "media_features": _MEDIA_ORACLE,
         "kg_ee_probabilities": _EE_PROB_ORACLE,
+        "lang_id_trigram": _lang_trigram_oracle(),
     }
 
 

@@ -113,3 +113,90 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", ""),
         r" +", " "))
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+# ------------------------------------------------------------------ trigram
+# language-ID tier 2: character-trigram profiles over 12 languages.
+# LANG_SEEDS are self-authored sample sentences (two per language) that
+# double as the deterministic multilingual test corpus; profiles are the
+# distinct trigrams of each language's seed text. Scoring = for each doc
+# trigram occurrence, +1 to every language whose profile contains it -
+# integer sums, so aggregation order cannot perturb the argmax.
+LANG_SEEDS = {
+    "ar": ("الثعلب البني السريع يقفز فوق الكلب الكسول بينما تنام القطة قرب الموقد الدافئ",
+           "أكلنا معا في المدينة القديمة مساء أمس وتحدثنا كثيرا عن الموسيقى والفن"),
+    "de": ("der schnelle braune fuchs springt über den faulen hund und die katze schläft am warmen ofen",
+           "wir haben gestern abend zusammen in der alten stadt gegessen und viel über musik gesprochen"),
+    "en": ("the quick brown fox jumps over the lazy dog while the cat sleeps near the warm stove",
+           "we ate together in the old town yesterday evening and talked a lot about music and art"),
+    "es": ("el rápido zorro marrón salta sobre el perro perezoso mientras el gato duerme junto a la estufa",
+           "anoche cenamos juntos en la ciudad vieja y hablamos mucho sobre música y arte"),
+    "fr": ("le rapide renard brun saute par dessus le chien paresseux pendant que le chat dort près du poêle",
+           "hier soir nous avons mangé ensemble dans la vieille ville et beaucoup parlé de musique"),
+    "it": ("la rapida volpe marrone salta sopra il cane pigro mentre il gatto dorme vicino alla stufa calda",
+           "ieri sera abbiamo mangiato insieme nella città vecchia e abbiamo parlato molto di musica"),
+    "ja": ("すばやい茶色のきつねはなまけものの犬をとびこえてねこはあたたかいストーブのそばでねむる",
+           "きのうのばんわたしたちはふるいまちでいっしょにしょくじをしておんがくについてたくさんはなした"),
+    "nl": ("de snelle bruine vos springt over de luie hond terwijl de kat slaapt bij de warme kachel",
+           "we hebben gisteravond samen in de oude stad gegeten en veel over muziek gesproken"),
+    "pt": ("a rápida raposa marrom salta sobre o cão preguiçoso enquanto o gato dorme perto do fogão",
+           "ontem à noite comemos juntos na cidade velha e falamos muito sobre música e arte"),
+    "ru": ("быстрая коричневая лиса прыгает через ленивую собаку пока кот спит у тёплой печки",
+           "вчера вечером мы вместе ужинали в старом городе и много говорили о музыке"),
+    "sv": ("den snabba bruna räven hoppar över den lata hunden medan katten sover vid den varma spisen",
+           "vi åt tillsammans i gamla staden igår kväll och pratade mycket om musik och konst"),
+    "tr": ("hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve kedi sıcak sobanın yanında uyur",
+           "dün akşam eski şehirde birlikte yemek yedik ve müzik hakkında çok konuştuk"),
+}
+
+TRIGRAM_LANGS = tuple(sorted(LANG_SEEDS))
+
+
+def _seed_trigrams(text: str) -> set:
+    padded = " " + " ".join(text.split()) + " "
+    return {padded[i:i + 3] for i in range(len(padded) - 2)}
+
+
+def trigram_profiles() -> list:
+    """(lang, trigram) rows - the broadcastable model table. At 100
+    languages this is a few hundred KB; a production deployment would
+    load it from a dictionary table the same way."""
+    return [(lang, t)
+            for lang in TRIGRAM_LANGS
+            for t in sorted(_seed_trigrams(" ".join(LANG_SEEDS[lang])))]
+
+
+def lang_id_trigram(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, predicted_lang): character-trigram model tier.
+
+    Plan shape: doc trigrams exploded map-side (array expression over
+    the padded text), equi-joined against the BROADCAST profile table,
+    then ONE integer-sum aggregation per doc with a per-language
+    conditional count and a map-side argmax (greatest + CASE cascade,
+    ties -> alphabetical first, matching the marker-word tier). Docs
+    with no profile hit rejoin via a left join and classify 'und'."""
+    spark = df.sparkSession
+    prof = spark.createDataFrame(trigram_profiles(),
+                                 "lang string, trigram string")
+    padded = F.concat(F.lit(" "),
+                      F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                       r"\s+", " "),
+                      F.lit(" "))
+    trigs = (df.select(F.col(id_col), padded.alias("t"))
+             .select(id_col, F.explode(F.expr(
+                 "transform(sequence(1, greatest(length(t)-2, 1)), "
+                 "i -> substr(t, i, 3))")).alias("trigram")))
+    hits = trigs.join(F.broadcast(prof), "trigram")
+    aggs = [F.sum(F.when(F.col("lang") == lang, 1).otherwise(0))
+            .alias("ts_" + lang) for lang in TRIGRAM_LANGS]
+    scores = hits.groupBy(id_col).agg(*aggs)
+    best = F.greatest(*[F.col("ts_" + lang) for lang in TRIGRAM_LANGS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in TRIGRAM_LANGS:
+        pred = pred.when(F.col("ts_" + lang) == best, F.lit(lang))
+    scored = scores.withColumn("predicted_lang", pred)
+    return (df.select(id_col)
+            .join(scored.select(id_col, "predicted_lang"), id_col, "left")
+            .withColumn("predicted_lang",
+                        F.coalesce("predicted_lang", F.lit("und"))))

@@ -1,0 +1,51 @@
+"""Trigram language-ID tier: exhaustive correctness over every text the
+multilingual slice can generate (all languages x seed sentences x word
+rotations - doc_id only selects among these variants, so this test
+guarantees the closed-form lang_id_trigram oracle at EVERY scale
+factor), plus edge cases and the plan shape."""
+
+from pyspark.sql import functions as F
+
+from eventrelationextractor_spark.ops import textstats
+
+
+def test_trigram_classifier_exact_on_all_variants(spark):
+    rows = []
+    vid = 0
+    truth = {}
+    for lang in textstats.TRIGRAM_LANGS:
+        for sent in textstats.LANG_SEEDS[lang]:
+            words = sent.split()
+            for rot in range(len(words)):
+                text = " ".join(words[rot:] + words[:rot])
+                rows.append((vid, text))
+                truth[vid] = lang
+                vid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.predicted_lang
+           for r in textstats.lang_id_trigram(df).collect()}
+    wrong = {v: (got[v], truth[v]) for v in truth if got[v] != truth[v]}
+    assert not wrong, f"{len(wrong)}/{len(truth)} misclassified: " \
+        f"{dict(list(wrong.items())[:5])}"
+    assert len(truth) > 300  # the variant space is genuinely exhaustive
+
+
+def test_trigram_classifier_und_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "0101 1100 2345 9999"), (2, ""), (3, "zzqqxx")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.predicted_lang
+           for r in textstats.lang_id_trigram(df).collect()}
+    # digit strings / empty / non-language junk -> 'und', never a crash
+    assert got[2] == "und"
+    assert set(got.values()) <= set(textstats.TRIGRAM_LANGS) | {"und"}
+
+
+def test_trigram_profile_join_broadcasts(spark):
+    df = spark.createDataFrame([(1, "the quick brown fox")],
+                               "doc_id long, text string")
+    plan = textstats.lang_id_trigram(df)._jdf.queryExecution().toString() \
+        .split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in plan  # profile table is broadcast
+    # scoring is ONE aggregation over integer conditional sums
+    assert plan.count("HashAggregate") >= 2  # partial + final of one agg
