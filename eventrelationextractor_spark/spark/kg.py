@@ -39,9 +39,11 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 25,
-                         src: str = "src", dst: str = "dst") -> DataFrame:
+                         src: str = "src", dst: str = "dst",
+                         stats: dict | None = None) -> DataFrame:
     """edges(src, dst) -> (vertex, component) with component = min vertex
-    id (string order) in the component."""
+    id (string order) in the component. ``stats`` (optional dict) gets
+    ``rounds`` = iterations run until convergence."""
     # checkpoint the edge list FIRST: vertices/labels are derived from it,
     # so deriving them pre-checkpoint would re-execute the (expensive)
     # upstream extraction once more per derived frame
@@ -53,7 +55,9 @@ def connected_components(edges: DataFrame, max_iterations: int = 25,
               .withColumn("component", F.col("vertex"))
               .localCheckpoint())
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
+        if stats is not None:
+            stats["rounds"] = it + 1
         # 1-hop: pull the neighbour's current component. Checkpointed
         # before the pointer-jump self-join, otherwise BOTH sides of that
         # join re-execute this propagation subtree.

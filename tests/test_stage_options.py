@@ -91,7 +91,9 @@ def test_predict_probabilities_shape():
     m = shipped_model("ee")
     X = np.zeros((3, 269))
     X[:, 0] = 1.0
-    P = m.predict_probabilities(X)
+    # force=True: the shipped models are SVC, which liblinear's
+    # isProbabilityModel gate (now reproduced) rejects by default
+    P = m.predict_probabilities(X, force=True)
     assert P.shape == (3, m.nr_class)
     assert np.allclose(P.sum(axis=1), 1.0)
     assert int(np.argmax(P[0])) == int(np.argmax(m.predict_values(X)[0]))
