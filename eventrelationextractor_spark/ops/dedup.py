@@ -120,6 +120,12 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   threshold: float = 0.5) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle-set Jaccard:
     (a, b, jaccard) for pairs >= threshold."""
+    # cache() is an optimization, not a correctness dependency: the
+    # shingle table is consumed 4x (signatures, both verify sides,
+    # sizes). At 100 TB the cache degrades to recompute-per-consumer
+    # (still correct); a production run would materialize shingles to a
+    # bucketed table instead, which is the same plan with spill-to-disk
+    # durability.
     sh = shingles(df, id_col, text_col, k).cache()
     cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
     sa = sh.select(F.col(id_col).alias("a"), "shingle")

