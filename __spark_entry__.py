@@ -340,6 +340,29 @@ def _q_ee_probabilities(spark, sf_dir):
                     F.round("prob", 6).alias("prob")))
 
 
+def _q_eval_metrics(spark, sf_dir):
+    """J6/A2 as an oracled query: per-label tp/fp/fn/P/R/F1 from
+    spark.evaluate.evaluate_pairs over gold = the closed-form synthetic
+    temporal triples and pred = a deterministic perturbation (drop the
+    e4-source rows of every 9th doc -> fn; add a spurious (e1,e2,BEFORE)
+    for every 11th doc -> fp). The SQL twin re-implements the inverse
+    normalization, full-outer pair match and per-label aggregation
+    independently."""
+    from eventrelationextractor_spark.spark import evaluate
+    gold = _synth_triples(spark, sf_dir, "temporal").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("subj").alias("src"), F.col("obj").alias("tgt"),
+        F.col("pred").alias("rel"))
+    dropped = gold.filter(~((F.col("url").cast("long") % 9 == 0)
+                            & (F.col("src") == "e4")))
+    spurious = _docs(spark, sf_dir).filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit("e1").alias("src"), F.lit("e2").alias("tgt"),
+        F.lit("BEFORE").alias("rel"))
+    pred = dropped.unionByName(spurious)
+    return evaluate.evaluate_pairs(gold, pred)
+
+
 def _q_media_features(spark, sf_dir):
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"),
@@ -383,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "media_features": _q_media_features,
+        "kg_eval_metrics": _q_eval_metrics,
         "kg_ee_probabilities": _q_ee_probabilities,
         "lang_id_trigram": _q_lang_id_trigram,
     }
@@ -851,6 +875,57 @@ n AS (SELECT doc_id, label, dec,
 SELECT doc_id, label, round(dec, 6) AS dec, round(prob, 6) AS prob FROM n
 """
 
+_INV_CASE = ("CASE {c} WHEN 'BEFORE' THEN 'AFTER' WHEN 'AFTER' THEN 'BEFORE' "
+             "WHEN 'INCLUDES' THEN 'IS_INCLUDED' WHEN 'IS_INCLUDED' THEN 'INCLUDES' "
+             "WHEN 'BEGINS' THEN 'BEGUN_BY' WHEN 'BEGUN_BY' THEN 'BEGINS' "
+             "WHEN 'ENDS' THEN 'ENDED_BY' WHEN 'ENDED_BY' THEN 'ENDS' "
+             "WHEN 'IBEFORE' THEN 'IAFTER' WHEN 'IAFTER' THEN 'IBEFORE' "
+             "ELSE {c} END")
+
+_EVAL_ORACLE = f"""
+WITH gold0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, subj AS src, obj AS tgt, pred AS rel
+  FROM ({_TT_ORACLE})
+),
+pred0 AS (
+  SELECT * FROM gold0
+  WHERE NOT (CAST(url AS BIGINT) % 9 = 0 AND src = 'e4')
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'e1', 'e2', 'BEFORE'
+  FROM documents WHERE doc_id % 11 = 0
+),
+gold AS (SELECT DISTINCT url,
+  CASE WHEN src > tgt THEN tgt ELSE src END AS src,
+  CASE WHEN src > tgt THEN src ELSE tgt END AS tgt,
+  CASE WHEN src > tgt THEN {_INV_CASE.format(c='rel')} ELSE rel END AS rel
+  FROM gold0),
+pred AS (SELECT DISTINCT url,
+  CASE WHEN src > tgt THEN tgt ELSE src END AS src,
+  CASE WHEN src > tgt THEN src ELSE tgt END AS tgt,
+  CASE WHEN src > tgt THEN {_INV_CASE.format(c='rel')} ELSE rel END AS rel
+  FROM pred0),
+j AS (SELECT g.rel AS gold_rel, p.rel AS pred_rel
+      FROM gold g FULL JOIN pred p USING (url, src, tgt)),
+per_gold AS (SELECT gold_rel AS label,
+  sum(CASE WHEN pred_rel = gold_rel THEN 1 ELSE 0 END) AS tp,
+  sum(CASE WHEN pred_rel IS NULL OR pred_rel <> gold_rel THEN 1 ELSE 0 END) AS fn
+  FROM j WHERE gold_rel IS NOT NULL GROUP BY 1),
+per_pred AS (SELECT pred_rel AS label,
+  sum(CASE WHEN gold_rel IS NULL OR gold_rel <> pred_rel THEN 1 ELSE 0 END) AS fp
+  FROM j WHERE pred_rel IS NOT NULL GROUP BY 1),
+m AS (SELECT coalesce(g.label, p.label) AS label,
+      CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+      CAST(coalesce(fp, 0) AS BIGINT) AS fp,
+      CAST(coalesce(fn, 0) AS BIGINT) AS fn
+      FROM per_gold g FULL JOIN per_pred p ON g.label = p.label)
+SELECT label, tp, fp, fn,
+  round(tp / greatest(tp + fp, 1), 6) AS precision,
+  round(tp / greatest(tp + fn, 1), 6) AS recall,
+  round(2.0 * tp / greatest(2 * tp + fp + fn, 1), 6) AS f1
+FROM m
+"""
+
+
 _MEDIA_ORACLE = """
 WITH h AS (SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -905,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _EVENTS_WINDOW_ORACLE,
         "events_sessions": _SESSIONS_ORACLE,
         "media_features": _MEDIA_ORACLE,
+        "kg_eval_metrics": _EVAL_ORACLE,
         "kg_ee_probabilities": _EE_PROB_ORACLE,
         "lang_id_trigram": _lang_trigram_oracle(),
     }

@@ -612,12 +612,18 @@ FEATURE_EXPORT_SCHEMA = StructType([
 ])
 
 
-def export_training_features(pages: DataFrame) -> DataFrame:
+def export_training_features(pages: DataFrame,
+                             labeled_only: bool = False) -> DataFrame:
     """Training-data preparation (M1 precursor): per classifier-bound pair,
     the exact one-hot row in liblinear/libsvm text format - byte-identical
     to the reference's printLibSVMVectors on its own vectors. Feed the
-    output of this stage to an external liblinear train to reproduce model
-    files; inference uses the vendored shipped models."""
+    output to core.lltrain.train (or liblinear itself) to reproduce model
+    files; inference uses the vendored shipped models.
+
+    ``labeled_only`` is the F4 train-label filter (the reference trains
+    only on gold-labeled pairs - the label column's 0/NONE rows are test
+    candidates, never training rows): applied as a DataFrame filter so
+    Catalyst can combine it with downstream predicates."""
     cols, gen_pages = _page_source(pages)
 
     def run(batches: Iterator) -> Iterator:
@@ -654,4 +660,7 @@ def export_training_features(pages: DataFrame) -> DataFrame:
                         rows["libsvm"].append(features.to_libsvm(vec))
             yield pd.DataFrame(rows)
 
-    return cols.mapInPandas(run, schema=FEATURE_EXPORT_SCHEMA)
+    out = cols.mapInPandas(run, schema=FEATURE_EXPORT_SCHEMA)
+    if labeled_only:
+        out = out.filter(F.col("label") != 0)   # F4
+    return out

@@ -312,3 +312,19 @@ def test_multimodal_resize_and_frame_sampling(spark):
         multimodal.resize_kernel(b"x", 1, 1)
     with _pytest.raises(NotImplementedError):
         multimodal.decode_video_frame(b"x", 0)
+
+
+def test_export_training_features_f4_filter(spark):
+    """F4 train-label filter: labeled_only=True keeps exactly the rows
+    whose gold label is non-NONE (label != 0), as the reference's
+    training path does; default export keeps every candidate row."""
+    pages = spark.createDataFrame(
+        fx.fixture_pages(("wsj_1014",)), PAGES_SCHEMA)
+    full = stages.export_training_features(pages).collect()
+    labeled = stages.export_training_features(pages,
+                                              labeled_only=True).collect()
+    assert len(full) > len(labeled) > 0
+    assert all(r.label != 0 for r in labeled)
+    want = {(r.url, r.group, r.src, r.tgt) for r in full if r.label != 0}
+    got = {(r.url, r.group, r.src, r.tgt) for r in labeled}
+    assert got == want
