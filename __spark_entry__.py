@@ -320,6 +320,10 @@ def _multilingual_docs(spark, sf_dir):
         .select("doc_id", "text")
 
 
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_neardup(_augmented_docs(spark, sf_dir))
+
+
 def _q_lang_id_trigram(spark, sf_dir):
     return textstats.lang_id_trigram(_multilingual_docs(spark, sf_dir)) \
         .select("doc_id", "predicted_lang")
@@ -396,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_jaccard": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "token_counts": _q_token_counts,
@@ -594,6 +599,40 @@ agg AS (SELECT doc_id, b, sum(vote) AS s FROM bits GROUP BY doc_id, b)
 SELECT doc_id,
        CAST(sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM agg GROUP BY doc_id
+"""
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_AUG},
+norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+hx AS (SELECT doc_id, substr(md5(w), 1, 4) AS h FROM tok),
+hv AS (SELECT doc_id,
+       (strpos('0123456789abcdef', substr(h,1,1)) - 1) * 4096
+     + (strpos('0123456789abcdef', substr(h,2,1)) - 1) * 256
+     + (strpos('0123456789abcdef', substr(h,3,1)) - 1) * 16
+     + (strpos('0123456789abcdef', substr(h,4,1)) - 1) AS v FROM hx),
+bits AS (SELECT doc_id, b,
+         CASE WHEN (v // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+         FROM hv, LATERAL unnest(generate_series(0, 15)) AS g(b)),
+agg AS (SELECT doc_id, b, sum(vote) AS s FROM bits GROUP BY doc_id, b),
+sig AS (SELECT doc_id,
+        CAST(sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT)
+        AS sh FROM agg GROUP BY doc_id),
+bands AS (SELECT doc_id, bd AS band, (sh // (1 << (bd * 4))) % 16 AS bucket
+          FROM sig, LATERAL unnest(generate_series(0, 3)) AS g(bd)),
+sizes AS (SELECT band, bucket, count(*) AS bn FROM bands GROUP BY 1, 2),
+capped AS (SELECT b.doc_id, b.band, b.bucket FROM bands b
+           JOIN sizes z ON z.band = b.band AND z.bucket = b.bucket
+           WHERE z.bn BETWEEN 2 AND 100),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM capped l JOIN capped r
+         ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+ham AS (SELECT c.a, c.b,
+        CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+        FROM cand c JOIN sig sa ON sa.doc_id = c.a
+                    JOIN sig sb ON sb.doc_id = c.b)
+SELECT a, b, hamming FROM ham WHERE hamming <= 3
 """
 
 
@@ -970,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash_jaccard": _MINHASH_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
+        "dedup_simhash_pairs": _SIMHASH_PAIRS_ORACLE,
         "lang_id": _lang_oracle(),
         "quality_scores": _QUALITY_ORACLE,
         "token_counts": _TOKEN_ORACLE,

@@ -213,3 +213,36 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
         bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return sums.select(id_col, sig.cast("long").alias("simhash"))
+
+
+def simhash_neardup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", bits: int = 16,
+                    n_bands: int = 4, max_hamming: int = 3,
+                    max_bucket_size: int = MAX_BUCKET_SIZE) -> DataFrame:
+    """SimHash near-duplicate pairs (a < b, hamming) with hamming <=
+    ``max_hamming`` - the classic rotation/banding scheme (Manku et al.,
+    WWW'07): two signatures within hamming distance k must agree exactly
+    on at least one of k+1 disjoint bit bands, so candidates are pairs
+    sharing any band value and only candidates pay the exact
+    hamming check (bit_count(a XOR b), pure codegen).
+
+    Same scale shape as the MinHash and embedding paths: band explode ->
+    ``capped_bucket_pairs`` (hot buckets dropped before any member list
+    materializes) -> verify join proportional to candidates. With the
+    default 4 bands of 4 bits the scheme is exact for max_hamming <= 3."""
+    band_bits = bits // n_bands
+    sigs = simhash(df, id_col, text_col, bits)
+    bands = sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*[
+            ((F.col("simhash") / F.lit(1 << (b * band_bits))).cast("long")
+             % (1 << band_bits))
+            for b in range(n_bands)])).alias("band", "bucket"))
+    cands = capped_bucket_pairs(bands, max_bucket_size)
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+    return (cands.join(sa, "a").join(sb, "b")
+            .withColumn("hamming", F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", F.col("hamming").cast("long").alias("hamming")))

@@ -121,3 +121,86 @@ def streaming_windowed_counts(stream: DataFrame, minutes: int = 60,
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n_events"))
+
+
+def streaming_sessionize_event_time(stream: DataFrame,
+                                    gap_minutes: int = 30,
+                                    watermark: str = "2 hours") -> DataFrame:
+    """Out-of-order-tolerant sessionizer: watermark + EventTimeTimeout.
+
+    Unlike ``streaming_sessionize`` (which requires time-ordered arrival
+    across micro-batches), this variant BUFFERS each user's event
+    timestamps in state and only finalizes a session once the watermark
+    has passed its close condition: a session ending at L is emitted when
+    watermark > L + gap, because any event that could still attach would
+    need ts <= L + gap < watermark, which the watermark contract rules
+    out. Events later than their batch but within the watermark delay
+    therefore land in the right session; events later than the watermark
+    are dropped by Spark upstream (the standard trade).
+
+    Tail sessions flush WITHOUT sentinels: after each invocation the
+    group arms an event-time timeout at (last_event + gap); when the
+    watermark passes it with no new events, the timed-out callback emits
+    the remaining sessions. State is O(events within the watermark
+    horizon) per user - bounded by gap+delay, the canonical shape for
+    this operator class.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap = gap_minutes * 60
+    out_schema = "user_id long, session_start timestamp, n_events long"
+    state_schema = "buf array<long>"
+
+    def _sessions(buf):
+        """sorted event times (us) -> [(start_us, last_sec, n), ...]"""
+        out = []
+        start_us = last_sec = n = None
+        for us in buf:
+            sec = us // 1_000_000
+            if start_us is None:
+                start_us, last_sec, n = us, sec, 1
+            elif sec - last_sec > gap:
+                out.append((start_us, last_sec, n))
+                start_us, last_sec, n = us, sec, 1
+            else:
+                last_sec, n = sec, n + 1
+        if start_us is not None:
+            out.append((start_us, last_sec, n))
+        return out
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        buf = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            buf.extend(int(t.value) // 1_000 for t in pdf["ts"])
+        buf.sort()
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        closed, keep = [], []
+        for start_us, last_sec, n in _sessions(buf):
+            if wm_sec > last_sec + gap:
+                closed.append((start_us, n))
+            else:
+                keep.extend(u for u in buf
+                            if u >= start_us)  # first kept session onward
+                break
+        if keep:
+            state.update((keep,))
+            # flush when the watermark passes the last buffered event +
+            # gap (must exceed the current watermark by contract)
+            timeout_ms = max((keep[-1] // 1000) + (gap + 1) * 1000,
+                             state.getCurrentWatermarkMs() + 1000)
+            state.setTimeoutTimestamp(timeout_ms)
+        else:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {"user_id": key[0],
+                 "session_start": pd.to_datetime([c[0] for c in closed],
+                                                 unit="us"),
+                 "n_events": [c[1] for c in closed]})
+
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return (stream.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.EventTimeTimeout))

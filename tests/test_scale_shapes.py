@@ -164,3 +164,22 @@ def test_resumable_write_scan_prunes_done_buckets(spark, tmp_path):
     import zlib
     assert seen_urls
     assert all(zlib.crc32(u.encode()) % 4 == 1 for u in seen_urls)
+
+
+def test_simhash_neardup_finds_near_pairs_and_caps(spark):
+    """Near-identical docs land within hamming<=3 and are found via the
+    band scheme; unrelated docs are not paired; a mass-duplicate hot
+    bucket is dropped by the cap (the exact-dedup pass owns it)."""
+    from eventrelationextractor_spark.ops import dedup
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    docs = [(1, base), (2, base + " extra"),
+            (3, "completely different words about stock market prices "
+                "rising sharply during early trading sessions today")]
+    hot = [(100 + i, "identical spam page content") for i in range(150)]
+    df = spark.createDataFrame(docs + hot, "doc_id long, text string")
+    got = {(r.a, r.b): r.hamming
+           for r in dedup.simhash_neardup(df, max_bucket_size=100).collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert not any(3 in p for p in got)          # unrelated never paired
+    assert not any(a >= 100 and b >= 100 for a, b in got)  # hot bucket cut

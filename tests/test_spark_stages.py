@@ -328,3 +328,56 @@ def test_export_training_features_f4_filter(spark):
     want = {(r.url, r.group, r.src, r.tgt) for r in full if r.label != 0}
     got = {(r.url, r.group, r.src, r.tgt) for r in labeled}
     assert got == want
+
+
+def test_streaming_sessionize_event_time_out_of_order(spark, tmp_path):
+    """The watermark+EventTimeTimeout sessionizer must equal batch
+    sessionize even when events arrive OUT OF ORDER across micro-batches
+    (each batch is half of every user's timeline - the exact condition
+    that silently corrupts the ordered-source sessionizer). Tail
+    sessions flush via the event-time timeout once later batches advance
+    the global watermark - no per-user sentinels."""
+    import datetime
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "ts", "user_id")
+    batch = {(r.user_id, r.session_start, r.n_events)
+             for r in ev_ops.sessionize(
+                 events.withColumn("ts", F.col("ts").cast("timestamp_ltz")))
+             .collect()}
+
+    src = str(tmp_path / "ooo_src")
+    os.makedirs(src)
+    # out-of-order across triggers: even event_ids first, then odd -
+    # every user's timeline interleaves across the two batches. Two
+    # trailing far-future events on a dummy user advance the GLOBAL
+    # watermark in the following batches (maxFilesPerTrigger=1 -> one
+    # batch per file; the watermark advances between batches), so the
+    # event-time timeouts flush every genuine tail session inside ONE
+    # availableNow run.
+    part_a = events.filter(F.col("event_id") % 2 == 0)
+    part_b = events.filter(F.col("event_id") % 2 == 1)
+    hi = events.agg(F.max("ts").alias("hi")).first().hi
+    adv1 = spark.createDataFrame(
+        [(-1, hi + datetime.timedelta(days=60), -12345)],
+        "event_id long, ts timestamp, user_id long")
+    adv2 = spark.createDataFrame(
+        [(-2, hi + datetime.timedelta(days=120), -12345)],
+        "event_id long, ts timestamp, user_id long")
+    for i, part in enumerate((part_a, part_b, adv1, adv2)):
+        part.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)
+
+    stream = spark.readStream.schema(events.schema) \
+        .option("maxFilesPerTrigger", "1") \
+        .option("latestFirst", "false") \
+        .parquet(src + "/*")
+    out = ev_ops.streaming_sessionize_event_time(stream, watermark="4 hours")
+    q = (out.writeStream.format("memory").queryName("sess_et")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r.user_id, r.session_start, r.n_events)
+           for r in spark.sql("select * from sess_et").collect()
+           if r.user_id != -12345}
+    assert got == batch
