@@ -367,6 +367,35 @@ def _q_eval_metrics(spark, sf_dir):
     return evaluate.evaluate_pairs(gold, pred)
 
 
+def _q_awareness(spark, sf_dir):
+    """TempEval-3 temporal-awareness scores per document (the reference's
+    own published metric; core.awareness is golden-anchored against the
+    reference's evaluation tool). Non-SQL-expressible - the score needs
+    the timegraph closure - so this is a rows-only query like
+    kg_consistent_triples; correctness is carried by the golden parity
+    tests (tests/test_awareness_golden.py). Gold = the synthetic
+    extraction; system = the same deterministic perturbation
+    kg_eval_metrics uses."""
+    from eventrelationextractor_spark.spark import evaluate
+    gold = _synth_triples(spark, sf_dir, "temporal").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("subj").alias("src"), F.col("obj").alias("tgt"),
+        F.col("pred").alias("rel"))
+    dropped = gold.filter(~((F.col("url").cast("long") % 9 == 0)
+                            & (F.col("src") == "e4")))
+    spurious = _docs(spark, sf_dir).filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit("e1").alias("src"), F.lit("e2").alias("tgt"),
+        F.lit("BEFORE").alias("rel"))
+    pred = dropped.unionByName(spurious)
+    return (evaluate.awareness_scores(gold, pred)
+            .select(F.col("url").cast("long").alias("doc_id"),
+                    F.round("precision", 6).alias("precision"),
+                    F.round("recall", 6).alias("recall"),
+                    F.round("f1", 6).alias("f1"),
+                    "sys_total", "gold_total"))
+
+
 def _q_media_features(spark, sf_dir):
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"),
@@ -412,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "media_features": _q_media_features,
         "kg_eval_metrics": _q_eval_metrics,
+        "kg_awareness": _q_awareness,
         "kg_ee_probabilities": _q_ee_probabilities,
         "lang_id_trigram": _q_lang_id_trigram,
     }

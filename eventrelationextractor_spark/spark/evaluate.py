@@ -87,3 +87,37 @@ def micro_scores(gold: DataFrame, pred: DataFrame,
     r = tp / max(tp + fn, 1)
     return {"tp": tp, "fp": fp, "fn": fn, "precision": p, "recall": r,
             "f1": 2 * tp / max(2 * tp + fp + fn, 1)}
+
+
+def awareness_scores(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """Per-document TempEval-3 temporal-awareness scores (core.awareness,
+    golden-anchored against the reference's own evaluation tool).
+
+    Distributed shape: the metric is document-local (a timegraph never
+    spans documents), so gold/pred cogroup on url and each group runs
+    the exact closure-based scorer inside one Arrow-batched
+    applyInPandas - one shuffle of each side on url, no driver loop.
+    Input frames: (url, src, tgt, rel)."""
+    out_schema = ("url string, precision double, recall double, f1 double,"
+                  " sys_total long, gold_total long")
+
+    def score(key, gold_pdf, pred_pdf):
+        import pandas as pd
+
+        from ..core.awareness import temporal_awareness
+        # a side with no rows for this url arrives as a column-less
+        # empty frame
+        def rels(pdf):
+            if "src" not in pdf.columns:
+                return []
+            return list(zip(pdf["src"], pdf["tgt"], pdf["rel"]))
+        g = rels(gold_pdf)
+        s = rels(pred_pdf)
+        m = temporal_awareness(sorted(g), sorted(s))
+        return pd.DataFrame([{
+            "url": key[0], "precision": float(m["precision"]),
+            "recall": float(m["recall"]), "f1": float(m["f1"]),
+            "sys_total": m["sys_total"], "gold_total": m["gold_total"]}])
+
+    return (gold.groupBy("url").cogroup(pred.groupBy("url"))
+            .applyInPandas(score, schema=out_schema))
