@@ -664,3 +664,26 @@ def export_training_features(pages: DataFrame,
     if labeled_only:
         out = out.filter(F.col("label") != 0)   # F4
     return out
+
+
+def train_models(pages: DataFrame, groups=("dct", "et", "ee")) -> dict:
+    """M1 end-to-end through Spark: distributed feature extraction
+    (export_training_features with the F4 labeled_only filter) followed
+    by the in-repo liblinear-exact trainer (core.lltrain, bit-level
+    golden vs liblinear-java).
+
+    The gather to the driver is inherent to liblinear training (a dense
+    dual solve over all rows; the reference trains the same way -
+    EventEventRelationClassifier.train collects every vector into one
+    Problem). The distributed part - parsing + candidate generation +
+    one-hot vectorization over the corpus - is the expensive stage and
+    runs as the usual pure map; the libsvm rows that reach the driver
+    are a few hundred bytes each. Returns {group: LinearModel}."""
+    from ..core import lltrain
+    feats = export_training_features(pages, labeled_only=True)
+    rows = (feats.select("group", "libsvm")
+            .groupBy("group")
+            .agg(F.sort_array(F.collect_list("libsvm")).alias("rows"))
+            .collect())
+    by_group = {r["group"]: list(r["rows"]) for r in rows}
+    return {g: lltrain.train(by_group[g]) for g in groups if g in by_group}

@@ -96,3 +96,24 @@ def test_agreement_vs_shipped_model_documented():
     agree = (mine.predict_label_values(X)
              == shipped.predict_label_values(Xs)).mean()
     assert 0.2 < agree <= 1.0
+
+
+def test_spark_train_stage_matches_core(spark):
+    """train_models (Spark export -> driver train) must produce the same
+    models as training on the locally-exported rows: same labels and
+    bit-identical weights. NOTE the stage sorts rows per group -
+    liblinear's CD outcome depends on instance order, so core training
+    here uses the same sorted order."""
+    from eventrelationextractor_spark.spark import stages
+
+    pages = spark.createDataFrame(
+        fx.fixture_pages(fx.TEMPORAL_FIXTURES),
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    models = stages.train_models(pages)
+    local = _training_lines()
+    for g in ("dct", "et", "ee"):
+        want = lltrain.train(sorted(local[g]))
+        got = models[g]
+        assert got.labels == want.labels
+        assert (got.w == want.w).all()
