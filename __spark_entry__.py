@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from eventrelationextractor_spark import fixtures as fx  # noqa: E402
 from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
-from eventrelationextractor_spark.ops import simsearch, textstats  # noqa: E402
+from eventrelationextractor_spark.ops import simsearch, textstats, urls  # noqa: E402
 from eventrelationextractor_spark.spark import kg, stages  # noqa: E402
 
 # broadcast-able entity-linking dictionary: synthetic-corpus event lemmas
@@ -367,6 +367,35 @@ def _q_eval_metrics(spark, sf_dir):
     return evaluate.evaluate_pairs(gold, pred)
 
 
+def _web_urls(spark, sf_dir):
+    """Deterministic multi-domain url slice over documents: doc d ->
+    host HOSTS[d % 5], url https://host/a/b../p<d> with path depth
+    1 + d % 3 - a pure function of doc_id, mirrored in the SQL oracle."""
+    hosts = F.array(*[F.lit(h) for h in (
+        "news.example.com", "blog.example.org", "www.sample.net",
+        "docs.mirror.example.com", "shop.example.co")])
+    host = F.element_at(hosts, (F.col("doc_id") % 5 + 1).cast("int"))
+    depth = (F.col("doc_id") % 3).cast("int")
+    # NB sequence(1, 0) is DESCENDING in Spark - guard the zero case
+    mid = F.expr("IF(doc_id % 3 = 0, '', concat_ws('', "
+                 "transform(sequence(1, doc_id % 3), "
+                 "i -> concat('d', i, '/'))))")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/"), mid,
+                 F.lit("p"), F.col("doc_id")).alias("url"),
+        "text")
+
+
+def _q_url_parse(spark, sf_dir):
+    return urls.parse_urls(_web_urls(spark, sf_dir)) \
+        .select("doc_id", "host", "domain", "tld", "path_depth")
+
+
+def _q_domain_stats(spark, sf_dir):
+    return urls.domain_stats(_web_urls(spark, sf_dir))
+
+
 def _q_awareness(spark, sf_dir):
     """TempEval-3 temporal-awareness scores per document (the reference's
     own published metric; core.awareness is golden-anchored against the
@@ -442,6 +471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "kg_eval_metrics": _q_eval_metrics,
         "kg_awareness": _q_awareness,
+        "url_parse": _q_url_parse,
+        "domain_stats": _q_domain_stats,
         "kg_ee_probabilities": _q_ee_probabilities,
         "lang_id_trigram": _q_lang_id_trigram,
     }
@@ -663,6 +694,52 @@ ham AS (SELECT c.a, c.b,
         FROM cand c JOIN sig sa ON sa.doc_id = c.a
                     JOIN sig sb ON sb.doc_id = c.b)
 SELECT a, b, hamming FROM ham WHERE hamming <= 3
+"""
+
+
+_WEB_URLS = """
+SELECT doc_id,
+  'https://' || host || '/' || mid || 'p' || doc_id AS url, text
+FROM (
+  SELECT doc_id, text,
+    CASE doc_id % 5 WHEN 0 THEN 'news.example.com'
+      WHEN 1 THEN 'blog.example.org' WHEN 2 THEN 'www.sample.net'
+      WHEN 3 THEN 'docs.mirror.example.com' ELSE 'shop.example.co' END
+      AS host,
+    CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'd1/' ELSE 'd1/d2/' END
+      AS mid
+  FROM documents)
+"""
+
+_URL_PARSE_ORACLE = f"""
+WITH w AS ({_WEB_URLS}),
+p AS (SELECT doc_id,
+      regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+      regexp_replace(url, '^[a-z]+://(?:[^/]+)', '') AS path
+      FROM w)
+SELECT doc_id, host,
+  regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+  regexp_extract(host, '\\.([^.]+)$', 1) AS tld,
+  CAST(len(string_split(regexp_replace(path, '^/+|/+$', '', 'g'), '/'))
+       AS BIGINT) AS path_depth
+FROM p
+"""
+
+_DOMAIN_STATS_ORACLE = f"""
+WITH w AS ({_WEB_URLS}),
+p AS (SELECT doc_id, text,
+      regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+      regexp_replace(url, '^[a-z]+://(?:[^/]+)', '') AS path
+      FROM w),
+q AS (SELECT doc_id, text, host,
+      regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+      len(string_split(regexp_replace(path, '^/+|/+$', '', 'g'), '/'))
+        AS path_depth FROM p)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+  CAST(max(path_depth) AS BIGINT) AS max_path_depth,
+  CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM q GROUP BY domain
 """
 
 
@@ -1051,6 +1128,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _SESSIONS_ORACLE,
         "media_features": _MEDIA_ORACLE,
         "kg_eval_metrics": _EVAL_ORACLE,
+        "url_parse": _URL_PARSE_ORACLE,
+        "domain_stats": _DOMAIN_STATS_ORACLE,
         "kg_ee_probabilities": _EE_PROB_ORACLE,
         "lang_id_trigram": _lang_trigram_oracle(),
     }

@@ -49,3 +49,28 @@ def test_trigram_profile_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan  # profile table is broadcast
     # scoring is ONE aggregation over integer conditional sums
     assert plan.count("HashAggregate") >= 2  # partial + final of one agg
+
+
+def test_parse_urls_and_domain_stats(spark):
+    from eventrelationextractor_spark.ops import urls
+    df = spark.createDataFrame(
+        [(0, "https://news.example.com/p0", "aaaa"),
+         (1, "https://news.example.com/a/b/c/p1", "bb"),
+         (2, "http://blog.example.com/x", "c"),
+         (3, "https://example.com/", "dd")],
+        "doc_id long, url string, text string")
+    p = {r.doc_id: (r.host, r.domain, r.tld, r.path_depth)
+         for r in urls.parse_urls(df).collect()}
+    assert p[0] == ("news.example.com", "example.com", "com", 1)
+    assert p[1] == ("news.example.com", "example.com", "com", 4)
+    assert p[2] == ("blog.example.com", "example.com", "com", 1)
+    assert p[3][3] <= 1          # bare root path
+    s = {r.domain: (r.n_docs, r.n_hosts) for r in
+         urls.domain_stats(df).collect()}
+    assert s["example.com"] == (4, 3)
+    # rollup is map-side combinable; the exact countDistinct(host)
+    # adds its standard second aggregation phase - two Exchanges total,
+    # never a join or explode
+    plan = urls.domain_stats(df)._jdf.queryExecution().toString() \
+        .split("== Physical Plan ==")[-1]
+    assert plan.count("Exchange") <= 2 and "Join" not in plan
