@@ -135,8 +135,11 @@ def streaming_sessionize_event_time(stream: DataFrame,
     watermark > L + gap, because any event that could still attach would
     need ts <= L + gap < watermark, which the watermark contract rules
     out. Events later than their batch but within the watermark delay
-    therefore land in the right session; events later than the watermark
-    are dropped by Spark upstream (the standard trade).
+    therefore land in the right session; events older than the current
+    watermark are dropped INSIDE the operator (Spark does not filter
+    late rows for arbitrary stateful operators the way it does for
+    windowed aggregations - verified by test; the drop is the standard
+    trade and keeps finalized sessions immutable).
 
     Tail sessions flush WITHOUT sentinels: after each invocation the
     group arms an event-time timeout at (last_event + gap); when the
@@ -171,8 +174,13 @@ def streaming_sessionize_event_time(stream: DataFrame,
     def fn(key, pdfs, state):
         import pandas as pd
         buf = list(state.get[0]) if state.exists else []
+        wm_us_floor = (state.getCurrentWatermarkMs() // 1000) * 1_000_000
         for pdf in pdfs:
-            buf.extend(int(t.value) // 1_000 for t in pdf["ts"])
+            # drop events at/below the watermark: their session horizon is
+            # already finalized; admitting them would mutate emitted output
+            buf.extend(us for us in
+                       (int(t.value) // 1_000 for t in pdf["ts"])
+                       if us >= wm_us_floor)
         buf.sort()
         wm_sec = state.getCurrentWatermarkMs() // 1000
         closed, keep = [], []

@@ -183,3 +183,19 @@ def test_simhash_neardup_finds_near_pairs_and_caps(spark):
     assert (1, 2) in got and got[(1, 2)] <= 3
     assert not any(3 in p for p in got)          # unrelated never paired
     assert not any(a >= 100 and b >= 100 for a, b in got)  # hot bucket cut
+
+
+def test_resumable_write_compact_mode(spark, tmp_path):
+    """compact=True repartitions on bucket before the partitioned write:
+    one file per bucket directory, identical row content."""
+    import glob
+    import os
+    out = str(tmp_path / "triples")
+    pages = stages.synth_pages_df(spark, 30, partitions=4)
+    lineage.write_triples_resumable(pages, out, n_buckets=4,
+                                    mode="temporal", compact=True)
+    n = lineage.read_triples(spark, out).count()
+    assert n == 30 * 26
+    for b in range(4):
+        files = glob.glob(os.path.join(out, f"bucket={b}", "*.parquet"))
+        assert len(files) == 1, (b, files)

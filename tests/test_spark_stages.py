@@ -372,7 +372,12 @@ def test_streaming_sessionize_event_time_out_of_order(spark, tmp_path):
         .option("maxFilesPerTrigger", "1") \
         .option("latestFirst", "false") \
         .parquet(src + "/*")
-    out = ev_ops.streaming_sessionize_event_time(stream, watermark="4 hours")
+    # watermark delay must cover the cross-batch disorder (here: the
+    # whole timeline arrives as two interleaved halves), else the
+    # operator CORRECTLY drops the too-late events and equivalence with
+    # an order-blind batch run no longer holds
+    out = ev_ops.streaming_sessionize_event_time(stream,
+                                                 watermark="60 days")
     q = (out.writeStream.format("memory").queryName("sess_et")
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(180)
@@ -381,3 +386,34 @@ def test_streaming_sessionize_event_time_out_of_order(spark, tmp_path):
            for r in spark.sql("select * from sess_et").collect()
            if r.user_id != -12345}
     assert got == batch
+
+
+def test_streaming_sessionize_event_time_drops_beyond_watermark(spark, tmp_path):
+    """An event older than the watermark when its batch arrives is
+    dropped upstream by Spark (the documented trade): the session set
+    equals batch sessionize over the on-time events only."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, base, 7), (2, base + datetime.timedelta(minutes=5), 7)]
+    late = [(3, base - datetime.timedelta(days=2), 7)]   # beyond watermark
+    adv = [(-1, base + datetime.timedelta(days=30), -9),
+           (-2, base + datetime.timedelta(days=60), -9)]
+    schema = "event_id long, ts timestamp, user_id long"
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    for i, batch in enumerate((rows, late, adv[:1], adv[1:])):
+        spark.createDataFrame(batch, schema).coalesce(1) \
+            .write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false") \
+        .parquet(src + "/*")
+    out = ev_ops.streaming_sessionize_event_time(stream, watermark="4 hours")
+    q = (out.writeStream.format("memory").queryName("late_sess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.n_events)
+           for r in spark.sql("select * from late_sess").collect()
+           if r.user_id != -9}
+    assert got == {(7, 2)}   # the 2-day-late event never splits a session
