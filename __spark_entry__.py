@@ -387,6 +387,18 @@ def _web_urls(spark, sf_dir):
         "text")
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Data-mixing over the multilingual slice: per-language retention
+    rates, deterministic md5 fate per doc."""
+    docs = _multilingual_docs(spark, sf_dir)
+    labeled = docs.join(
+        textstats.lang_id_trigram(docs).select("doc_id", "predicted_lang"),
+        "doc_id")
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.25, "ja": 0.1}
+    samp = textstats.stratified_sample(labeled, rates, "predicted_lang")
+    return samp.select("doc_id", F.col("predicted_lang").alias("lang"))
+
+
 def _q_url_parse(spark, sf_dir):
     return urls.parse_urls(_web_urls(spark, sf_dir)) \
         .select("doc_id", "host", "domain", "tld", "path_depth")
@@ -475,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "kg_ee_probabilities": _q_ee_probabilities,
         "lang_id_trigram": _q_lang_id_trigram,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -740,6 +753,26 @@ SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(max(path_depth) AS BIGINT) AS max_path_depth,
   CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM q GROUP BY domain
+"""
+
+
+def _stratified_oracle() -> str:
+    langs = textstats.TRIGRAM_LANGS
+    case = " ".join(f"WHEN {i} THEN '{lang}'" for i, lang in enumerate(langs))
+    return f"""
+WITH labeled AS (
+  SELECT doc_id, CASE doc_id % 12 {case} END AS lang FROM documents),
+hashed AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         ::UBIGINT % 10000 AS BIGINT) AS h
+  FROM labeled),
+rated AS (
+  SELECT doc_id, lang, h,
+    CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+              WHEN 'fr' THEN 2500 WHEN 'ja' THEN 1000 ELSE 0 END AS thr
+  FROM hashed)
+SELECT doc_id, lang FROM rated WHERE h < thr
 """
 
 
@@ -1130,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_eval_metrics": _EVAL_ORACLE,
         "url_parse": _URL_PARSE_ORACLE,
         "domain_stats": _DOMAIN_STATS_ORACLE,
+        "stratified_sample": _stratified_oracle(),
         "kg_ee_probabilities": _EE_PROB_ORACLE,
         "lang_id_trigram": _lang_trigram_oracle(),
     }

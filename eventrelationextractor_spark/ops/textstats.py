@@ -200,3 +200,30 @@ def lang_id_trigram(df: DataFrame, text_col: str = "text",
             .join(scored.select(id_col, "predicted_lang"), id_col, "left")
             .withColumn("predicted_lang",
                         F.coalesce("predicted_lang", F.lit("und"))))
+
+
+def stratified_sample(df: DataFrame, rates: dict, stratum_col: str,
+                      id_col: str = "doc_id",
+                      salt: str = "mix1") -> DataFrame:
+    """Deterministic stratified sampling - the data-mixing primitive of a
+    training-corpus pipeline (per-language / per-domain / per-quality
+    retention weights).
+
+    A row with stratum s survives iff
+    ``conv(substr(md5(salt:id), 1, 8), 16, 10) % 10000 < rates[s]*10000``
+    - a pure function of (salt, id), so mixes are reproducible across
+    runs and engines (the SQL oracle replays the identical hash), rows
+    keep independent fates across different salts, and the filter is
+    whole-stage-codegen with no shuffle and no RNG state. Strata absent
+    from ``rates`` are dropped (rate 0)."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("long") % 10000
+    rate_col = None
+    for s, r in sorted(rates.items()):
+        thr = F.lit(int(round(r * 10000)))
+        cond = F.when(F.col(stratum_col) == s, thr)
+        rate_col = cond if rate_col is None else rate_col.when(
+            F.col(stratum_col) == s, thr)
+    rate_col = rate_col.otherwise(F.lit(0))
+    return df.filter(h < rate_col)

@@ -74,3 +74,30 @@ def test_parse_urls_and_domain_stats(spark):
     plan = urls.domain_stats(df)._jdf.queryExecution().toString() \
         .split("== Physical Plan ==")[-1]
     assert plan.count("Exchange") <= 2 and "Join" not in plan
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from eventrelationextractor_spark.ops.textstats import stratified_sample
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    samp = stratified_sample(df, {"a": 0.5, "b": 0.1}, "stratum")
+    got = samp.groupBy("stratum").count().collect()
+    by = {r.stratum: r["count"] for r in got}
+    assert abs(by["a"] / 2000 - 0.5) < 0.05      # md5 is uniform enough
+    assert abs(by["b"] / 2000 - 0.1) < 0.03
+    # deterministic: identical output set on rerun; different salt ->
+    # different (independent) fate set
+    s1 = {r.doc_id for r in samp.collect()}
+    s2 = {r.doc_id for r in stratified_sample(
+        df, {"a": 0.5, "b": 0.1}, "stratum").collect()}
+    assert s1 == s2
+    s3 = {r.doc_id for r in stratified_sample(
+        df, {"a": 0.5, "b": 0.1}, "stratum", salt="other").collect()}
+    assert s3 != s1
+    # unknown stratum -> dropped
+    assert stratified_sample(df, {"a": 1.0}, "stratum") \
+        .filter(F.col("stratum") == "b").count() == 0
+    # codegen filter, no shuffle
+    plan = samp._jdf.queryExecution().toString() \
+        .split("== Physical Plan ==")[-1]
+    assert "Exchange" not in plan
