@@ -107,6 +107,20 @@ def main() -> None:
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, \
         "simhash regained its second shuffle"
 
+    p = add("kg_awareness (distributed TempEval-3 scorer)",
+            qs["kg_awareness"](spark, sf),
+            "Gold/pred cogroup on url; each document scores inside one "
+            "Arrow FlatMapCoGroupsInPandas (the timegraph is doc-local). "
+            "One hash Exchange per side feeds the cogroup - no driver "
+            "loop, no cross-document state. (The two extra Exchanges "
+            "here are the harness's deliberate CPU-repartitions of the "
+            "tiny doc_id column inside the fused page generators, "
+            "absent at production scan widths - same note as the "
+            "flagship plan.)")
+    assert "FlatMapCoGroupsInPandas" in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 4, \
+        "awareness cogroup gained shuffles"
+
     doc_scan = spark.read.parquet(os.path.join(sf, "documents.parquet")) \
         .select("doc_id")
     p = formatted(doc_scan)
