@@ -53,7 +53,12 @@ class LinearModel:
         if X.shape[0] == 0:
             return np.empty(0, dtype=np.int64)
         scores = self.predict_values(X)
-        idx = np.argmax(scores, axis=1)  # first max wins, same as liblinear
+        if len(self.labels) == 2 and scores.shape[1] == 1:
+            # binary models store ONE weight column: label[0] iff dec > 0
+            # (liblinear Linear.predict)
+            idx = (scores[:, 0] <= 0).astype(int)
+        else:
+            idx = np.argmax(scores, axis=1)  # first max wins, as liblinear
         return np.asarray(self.labels)[idx]
 
     def predict_strings(self, X: np.ndarray, label_names) -> list:

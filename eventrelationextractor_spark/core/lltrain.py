@@ -155,8 +155,7 @@ def train(lines, C: float = 1.0, eps: float = 0.01, bias: float = 1.0):
 
     ys, rows, n = parse_libsvm(lines, bias)
     l = len(rows)
-    # groupClasses: labels by first occurrence (integer labels here, so
-    # the -1/+1 swap special case never fires)
+    # groupClasses: labels by first occurrence
     label_order: list[int] = []
     counts: dict[int, int] = {}
     for yv in ys:
@@ -166,6 +165,12 @@ def train(lines, C: float = 1.0, eps: float = 0.01, bias: float = 1.0):
             counts[iv] = 0
         counts[iv] += 1
     nr_class = len(label_order)
+    # liblinear-java groupClasses special case (Linear.java 1.95): for
+    # binary data labeled -1/+1 with -1 first, the label columns swap so
+    # +1 is the internal positive class. The repo's TEMP_LABELS never hit
+    # this (1-indexed), but the helper is public.
+    if nr_class == 2 and label_order == [-1, 1]:
+        label_order = [1, -1]
     start = {}
     acc = 0
     for lab in label_order:

@@ -92,7 +92,13 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     for _cell, cv in cent_rows:
         cnorm = math.sqrt(sum(x * x for x in cv))
         cent = F.array(*[F.lit(x) for x in cv])
-        cos_exprs.append(_dot(F.col("v"), cent) / (norm_v * F.lit(cnorm)))
+        # nanvl: a zero-norm vector or centroid yields NaN cosine; rank
+        # it LAST (-1) deterministically. (NaN sorts greatest in an ORDER
+        # BY but smallest-last in the (-c, cell) struct array_sort, so
+        # without the guard degenerate inputs would assign differently
+        # than a Window-based formulation.)
+        cos_exprs.append(F.nanvl(
+            _dot(F.col("v"), cent) / (norm_v * F.lit(cnorm)), F.lit(-1.0)))
     scored = (emb.select(F.col(id_col).alias("vid"), vec.alias("v"))
               .withColumn("coses", F.array(*cos_exprs)))
     # cells ordered by (cosine desc, cell asc): sort (-cos, cell) structs

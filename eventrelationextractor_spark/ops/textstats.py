@@ -215,7 +215,10 @@ def stratified_sample(df: DataFrame, rates: dict, stratum_col: str,
     runs and engines (the SQL oracle replays the identical hash), rows
     keep independent fates across different salts, and the filter is
     whole-stage-codegen with no shuffle and no RNG state. Strata absent
-    from ``rates`` are dropped (rate 0)."""
+    from ``rates`` are dropped (rate 0); an empty ``rates`` therefore
+    drops every row."""
+    if not rates:
+        return df.filter(F.lit(False))
     h = F.conv(F.substring(
         F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
         1, 8), 16, 10).cast("long") % 10000

@@ -97,7 +97,17 @@ def awareness_scores(gold: DataFrame, pred: DataFrame) -> DataFrame:
     spans documents), so gold/pred cogroup on url and each group runs
     the exact closure-based scorer inside one Arrow-batched
     applyInPandas - one shuffle of each side on url, no driver loop.
-    Input frames: (url, src, tgt, rel)."""
+    Input frames: (url, src, tgt, rel).
+
+    Ordering contract: ``reduce_relations`` is insertion-order-sensitive
+    (which relation of a redundant/violated set is KEPT depends on
+    arrival order), and a shuffled cogroup has no stable row order, so
+    each document's relations are canonicalized with ``sorted()`` before
+    scoring. Scores are therefore reproducible across partitionings/
+    engines but can differ from the reference tool run on file-ordered
+    annotations; to reproduce file-order tool scores exactly, carry an
+    ordering column and feed ``core.awareness.temporal_awareness`` in
+    that order (what tests/test_awareness_golden.py does)."""
     out_schema = ("url string, precision double, recall double, f1 double,"
                   " sys_total long, gold_total long")
 

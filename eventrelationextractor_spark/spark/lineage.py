@@ -13,8 +13,10 @@ parquet directories keep the harness dependency-free.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,10 +56,15 @@ def write_triples_resumable(pages: DataFrame, out_dir: str,
     ``filter(bucket in pending)`` -> extract -> dynamic-partition-overwrite
     ``partitionBy("bucket")``. Completed buckets (already in the manifest)
     are excluded from the scan up front, so a resume never recomputes or
-    re-reads them; a crashed run's partial partition files are replaced by
-    the dynamic overwrite of exactly the pending buckets. The earlier
-    formulation looped buckets on the driver - n_buckets full passes over
-    a .cache() of the corpus, which cannot hold at 100 TB.
+    re-reads them. A crashed run's partial partition files are removed
+    explicitly before the write: dynamic overwrite only replaces
+    partitions PRESENT in the new output, so a pending bucket that
+    extracts zero rows on resume would otherwise keep the crashed run's
+    stale files and the manifest read-back would count them. (On Iceberg
+    the same guard is the snapshot rollback/`overwritePartitions` of the
+    uncommitted write.) The earlier formulation looped buckets on the
+    driver - n_buckets full passes over a .cache() of the corpus, which
+    cannot hold at 100 TB.
 
     Manifest stats come from one narrow read-back of the just-written
     pending partitions (bucket + pred columns only - footer-level pruning,
@@ -85,6 +92,10 @@ def write_triples_resumable(pages: DataFrame, out_dir: str,
         return {"written": [], "skipped": skipped}
 
     t0 = time.perf_counter()
+    for b in pending:          # drop stale partials from a crashed run
+        d = os.path.join(out_dir, f"bucket={b}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     bucket_of = F.crc32(F.col("url")) % n_buckets
     pending_pages = (pages.withColumn("bucket", bucket_of)
                      .filter(F.col("bucket").isin([int(b) for b in pending]))
@@ -99,9 +110,12 @@ def write_triples_resumable(pages: DataFrame, out_dir: str,
     wall = round(time.perf_counter() - t0, 3)
 
     spark = pages.sparkSession
-    stats = (read_triples(spark, out_dir)
-             .filter(F.col("bucket").isin([int(b) for b in pending]))
-             .groupBy("bucket", "pred").count().collect())
+    if glob.glob(os.path.join(out_dir, "bucket=*")):
+        stats = (read_triples(spark, out_dir)
+                 .filter(F.col("bucket").isin([int(b) for b in pending]))
+                 .groupBy("bucket", "pred").count().collect())
+    else:                      # every pending bucket extracted zero rows
+        stats = []
     by_bucket: dict = {b: {} for b in pending}
     for r in stats:
         by_bucket[int(r["bucket"])][r["pred"]] = int(r["count"])
@@ -118,5 +132,14 @@ def write_triples_resumable(pages: DataFrame, out_dir: str,
 
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the bucketed triple table. Raises a clear error when no
+    bucket partition exists yet (e.g. a first run whose extraction
+    yielded zero triples) instead of the parquet reader's opaque
+    path-not-found."""
+    if not glob.glob(os.path.join(out_dir, "bucket=*")):
+        raise FileNotFoundError(
+            f"no bucket=* partitions under {out_dir} - nothing has been "
+            "written yet (a run whose extraction yields zero rows writes "
+            "no partition files; its manifest still records rows=0)")
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "bucket=*"))

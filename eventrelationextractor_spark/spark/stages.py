@@ -666,7 +666,8 @@ def export_training_features(pages: DataFrame,
     return out
 
 
-def train_models(pages: DataFrame, groups=("dct", "et", "ee")) -> dict:
+def train_models(pages: DataFrame, groups=("dct", "et", "ee"),
+                 max_rows: int = 2_000_000) -> dict:
     """M1 end-to-end through Spark: distributed feature extraction
     (export_training_features with the F4 labeled_only filter) followed
     by the in-repo liblinear-exact trainer (core.lltrain, bit-level
@@ -678,9 +679,26 @@ def train_models(pages: DataFrame, groups=("dct", "et", "ee")) -> dict:
     Problem). The distributed part - parsing + candidate generation +
     one-hot vectorization over the corpus - is the expensive stage and
     runs as the usual pure map; the libsvm rows that reach the driver
-    are a few hundred bytes each. Returns {group: LinearModel}."""
+    are a few hundred bytes each, and training data is gold-labeled (a
+    tiny fraction of any corpus). ``max_rows`` guards the gather: if any
+    group exceeds it (someone pointing the trainer at auto-labeled
+    corpus-scale data), the job fails fast with a clear error instead of
+    a driver OOM. The guard count re-runs the extraction once (features
+    are not cached); that cost only exists on the training path.
+    Returns {group: LinearModel}."""
     from ..core import lltrain
     feats = export_training_features(pages, labeled_only=True)
+    sizes = {r["group"]: r["n"] for r in
+             feats.groupBy("group").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    too_big = {g: n for g, n in sizes.items() if n > max_rows}
+    if too_big:
+        raise ValueError(
+            f"training groups exceed max_rows={max_rows}: {too_big}. "
+            "liblinear training gathers all rows to the driver (dense "
+            "dual solve); gold-labeled training sets fit, corpus-scale "
+            "auto-labeled data does not. Raise max_rows only if the "
+            "driver has the memory.")
     rows = (feats.select("group", "libsvm")
             .groupBy("group")
             .agg(F.sort_array(F.collect_list("libsvm")).alias("rows"))

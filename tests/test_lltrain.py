@@ -98,6 +98,20 @@ def test_agreement_vs_shipped_model_documented():
     assert 0.2 < agree <= 1.0
 
 
+def test_binary_minus_plus_label_swap():
+    """liblinear-java groupClasses swaps -1/+1 binary labels so +1 is the
+    internal positive class (Linear.java 1.95). The repo's 1-indexed
+    TEMP_LABELS never hit this, but the helper is public."""
+    lines = ["-1 1:1.0", "1 1:-1.0", "-1 1:0.9", "1 1:-0.8"]
+    m = lltrain.train(lines)
+    assert m.labels == [1, -1]            # swapped from first-occurrence
+    ys, X = _dense(lines)
+    assert list(m.predict_label_values(X)) == [-1, 1, -1, 1]
+    # non -1/+1 binary labels keep first-occurrence order
+    m2 = lltrain.train(["2 1:1.0", "1 1:-1.0", "2 1:0.9", "1 1:-0.8"])
+    assert m2.labels == [2, 1]
+
+
 def test_spark_train_stage_matches_core(spark):
     """train_models (Spark export -> driver train) must produce the same
     models as training on the locally-exported rows: same labels and

@@ -113,6 +113,53 @@ def test_resumable_write_skips_completed_buckets(spark, tmp_path):
     assert rec["rows"] > 0 and "pred_histogram" in rec
 
 
+def test_resume_zero_row_bucket_drops_stale_partials(spark, tmp_path):
+    """A crashed bucket whose resume extraction yields ZERO rows must not
+    keep the crashed run's stale files: dynamic partition overwrite only
+    replaces partitions present in the new output, so the writer deletes
+    pending bucket directories up front. The manifest then records the
+    true rows=0, not the stale count."""
+    import json
+    out = str(tmp_path / "triples0")
+    pages = stages.synth_pages_df(spark, 40, partitions=4)
+    lineage.write_triples_resumable(pages, out, n_buckets=4,
+                                    mode="temporal")
+    manifest = lineage.read_manifest(out)
+    del manifest[2]            # crash: bucket 2's manifest entry lost
+    mpath = os.path.join(out, "_lineage", "manifest.jsonl")
+    with open(mpath, "w") as f:
+        for rec in manifest.values():
+            f.write(json.dumps(rec) + "\n")
+    assert os.path.isdir(os.path.join(out, "bucket=2"))  # stale partials
+
+    def empty_extract(p, mode):
+        return stages.extract_triples(p, mode=mode).filter(F.lit(False))
+
+    r = lineage.write_triples_resumable(pages, out, n_buckets=4,
+                                        mode="temporal",
+                                        extract=empty_extract)
+    assert r["written"] == [2]
+    assert not os.path.isdir(os.path.join(out, "bucket=2"))
+    rec = lineage.read_manifest(out)[2]
+    assert rec["rows"] == 0 and rec["pred_histogram"] == {}
+    # completed buckets are still readable
+    assert lineage.read_triples(spark, out).count() == 30 * 26
+
+
+def test_read_triples_no_partitions_clear_error(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no bucket"):
+        lineage.read_triples(spark, str(tmp_path / "never_written"))
+
+
+def test_train_models_row_cap_fails_fast(spark):
+    """The driver-side training gather is guarded: groups larger than
+    max_rows raise instead of OOMing the driver."""
+    pages = spark.createDataFrame(
+        fx.fixture_pages(fx.TEMPORAL_FIXTURES), PAGES_SCHEMA)
+    with pytest.raises(ValueError, match="max_rows"):
+        stages.train_models(pages, max_rows=1)
+
+
 def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     src = str(tmp_path / "stream_src")

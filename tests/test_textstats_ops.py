@@ -101,3 +101,6 @@ def test_stratified_sample_rates_and_determinism(spark):
     plan = samp._jdf.queryExecution().toString() \
         .split("== Physical Plan ==")[-1]
     assert "Exchange" not in plan
+    # empty rates = every stratum absent = drop all rows (documented),
+    # not an AttributeError
+    assert stratified_sample(df, {}, "stratum").count() == 0
