@@ -208,6 +208,15 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return simsearch.ivf_topk(_emb(spark, sf_dir))
 
 
+def _q_ann_ivf_topk_c256(spark, sf_dir):
+    """IVF at a realistic cell count (256 > the literal-codegen
+    threshold): exercises the broadcast-numpy mapInPandas assignment
+    branch (constant plan size at any n_cells) against the same SQL
+    oracle scheme. Zero pre-probe shuffle in this branch too
+    (tests/test_scale_shapes.py::test_ivf_assignment_is_map_side)."""
+    return simsearch.ivf_topk(_emb(spark, sf_dir), n_cells=256)
+
+
 def _aug_emb(spark, sf_dir):
     """embeddings plus near-duplicate copies (id + 1000000, first component
     shifted by +0.05; vectors are unit-norm so this keeps cosine ~0.999) -
@@ -477,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_topk_c256": _q_ann_ivf_topk_c256,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
@@ -886,10 +896,14 @@ FROM ranked WHERE rank <= 5
 """
 
 
-_ANN_IVF_ORACLE = """
+def _ivf_oracle(n_cells: int = 16, nprobe: int = 2) -> str:
+    return _ANN_IVF_ORACLE_TMPL.format(hi=100 + n_cells, nprobe=nprobe)
+
+
+_ANN_IVF_ORACLE_TMPL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (SELECT vec_id - 100 AS cell, v AS centv FROM e
-          WHERE vec_id >= 100 AND vec_id < 116),
+          WHERE vec_id >= 100 AND vec_id < {hi}),
 scored AS (SELECT e.vec_id AS vid, e.v AS v, c.cell,
   list_dot_product(e.v, c.centv)
     / (sqrt(list_dot_product(e.v, e.v))
@@ -900,7 +914,7 @@ ranked AS (SELECT vid, v, cell, cos_c,
            AS crank FROM scored),
 base AS (SELECT vid AS cid, v AS cv, cell FROM ranked WHERE crank = 1),
 q AS (SELECT vid AS qid, v AS qv, cell FROM ranked
-      WHERE vid < 10 AND crank <= 2),
+      WHERE vid < 10 AND crank <= {nprobe}),
 pairs AS (SELECT q.qid, b.cid,
   list_dot_product(q.qv, b.cv)
     / (sqrt(list_dot_product(q.qv, q.qv))
@@ -1155,7 +1169,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_ORACLE,
         "ann_topk": _ANN_ORACLE,
         "ann_lsh_topk": _ANN_LSH_ORACLE,
-        "ann_ivf_topk": _ANN_IVF_ORACLE,
+        "ann_ivf_topk": _ivf_oracle(),
+        "ann_ivf_topk_c256": _ivf_oracle(n_cells=256),
         "dedup_embedding_cosine": _EMB_NEARDUP_ORACLE,
         "events_windowed": _EVENTS_WINDOW_ORACLE,
         "events_sessions": _SESSIONS_ORACLE,

@@ -146,7 +146,8 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 def embedding_neardup(emb: DataFrame, threshold: float = 0.9,
                       n_bands: int = 4, band_planes: int = 8, dim: int = 64,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      max_bucket_size: int = MAX_BUCKET_SIZE) -> DataFrame:
+                      max_bucket_size: int = MAX_BUCKET_SIZE,
+                      signatures: str = "arrow") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a < b, cosine) with
     cosine >= threshold.
 
@@ -165,25 +166,47 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.9,
     probability, and only one intact band of the ``n_bands`` is needed
     (P[candidate] = 1-(1-(1-p)^r)^b vs (1-p)^r for one r-plane signature).
     Genuine misses - all bands cut by a plane - are the documented LSH
-    trade-off; the SQL oracle applies the identical scheme."""
-    from .simsearch import _dot, hyperplane_signature
+    trade-off; the SQL oracle applies the identical scheme.
+
+    ``signatures='arrow'`` (default) computes all n_bands*band_planes
+    plane dot products in ONE Arrow matmul stage
+    (simsearch.banded_signatures_arrow - the round-2 formulation paid 32
+    separate aggregate(zip_with(...)) expression passes, measured ~3x
+    slower; A/B table in BENCH/BASELINE.md). ``signatures='expr'`` keeps
+    the pure-codegen expression path (useful where Python workers are
+    unavailable)."""
+    from .simsearch import _dot, banded_signatures_arrow, hyperplane_signature
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sigs = [hyperplane_signature(emb, band_planes, dim, vec_col,
-                                 seed_offset=b * band_planes)
-            .alias(f"bsig{b}") for b in range(n_bands)]
-    with_sig = emb.select(F.col(id_col).alias("id"), *sigs)
-    bands = with_sig.select(
-        F.col("id"),
-        F.posexplode(F.array(*[F.col(f"bsig{b}") for b in range(n_bands)]))
-        .alias("band", "bucket"))
+    if signatures == "arrow":
+        bands = banded_signatures_arrow(emb, n_bands, band_planes, dim,
+                                        id_col, vec_col)
+    else:
+        sigs = [hyperplane_signature(emb, band_planes, dim, vec_col,
+                                     seed_offset=b * band_planes)
+                .alias(f"bsig{b}") for b in range(n_bands)]
+        with_sig = emb.select(F.col(id_col).alias("id"), *sigs)
+        bands = with_sig.select(
+            F.col("id"),
+            F.posexplode(F.array(*[F.col(f"bsig{b}")
+                                   for b in range(n_bands)]))
+            .alias("band", "bucket"))
     cands = capped_bucket_pairs(bands, max_bucket_size)
-    va = emb.select(F.col(id_col).alias("a"), vec.alias("av"))
-    vb = emb.select(F.col(id_col).alias("b"), vec.alias("bv"))
+    # norms precomputed ONCE per vector, not per pair: the verify join
+    # fans each vector out to many candidate pairs (bucket collisions are
+    # chance-driven), so recomputing |v| per pair tripled the per-pair
+    # dot-product work - measured 3.5s -> 2.2s at sf0.1 (A/B table in
+    # BENCH/BASELINE.md). Bit-identical: |v| is a deterministic function
+    # of the vector, same value wherever it's computed.
+    withn = (emb.select(F.col(id_col).alias("id"), vec.alias("v"))
+             .withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v")))))
+    va = withn.select(F.col("id").alias("a"), F.col("v").alias("av"),
+                      F.col("nv").alias("na"))
+    vb = withn.select(F.col("id").alias("b"), F.col("v").alias("bv"),
+                      F.col("nv").alias("nb"))
     return (cands.join(va, "a").join(vb, "b")
             .withColumn("cosine",
                         _dot(F.col("av"), F.col("bv"))
-                        / (F.sqrt(_dot(F.col("av"), F.col("av")))
-                           * F.sqrt(_dot(F.col("bv"), F.col("bv")))))
+                        / (F.col("na") * F.col("nb")))
             .filter(F.col("cosine") >= threshold)
             .select("a", "b", F.round("cosine", 6).alias("cosine")))
 

@@ -26,11 +26,18 @@ def _dot(a, b):
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _norm(v):
+    return F.sqrt(_dot(v, v))
+
+
 def _with_cosine(pairs: DataFrame) -> DataFrame:
-    qa = F.col("qv")
-    ca = F.col("cv")
+    """Expects qv/cv plus their PRE-COMPUTED norms qn/cn: each vector
+    fans out to many pairs, so norms are computed once per vector at the
+    select that builds the side, not per pair (bit-identical - a norm is
+    a deterministic function of the vector - and it cuts the per-pair
+    aggregate-lambda work 3x; A/B in BENCH/BASELINE.md)."""
     return pairs.withColumn(
-        "cosine", _dot(qa, ca) / (F.sqrt(_dot(qa, qa)) * F.sqrt(_dot(ca, ca))))
+        "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
 
 
 def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
@@ -42,9 +49,11 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     the 'crossJoin' is really a broadcast nested loop that streams the
     corpus once - the right baseline shape at any scale."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col).alias("cid"), vec.alias("cv"))
+    base = emb.select(F.col(id_col).alias("cid"), vec.alias("cv")) \
+        .withColumn("cn", _norm(F.col("cv")))
     queries = (emb.filter(F.col(id_col) < n_queries)
-               .select(F.col(id_col).alias("qid"), vec.alias("qv")))
+               .select(F.col(id_col).alias("qid"), vec.alias("qv"))
+               .withColumn("qn", _norm(F.col("qv"))))
     pairs = base.crossJoin(F.broadcast(queries)).filter(F.col("qid") != F.col("cid"))
     scored = _with_cosine(pairs)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
@@ -58,7 +67,8 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
 
 def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
              n_cells: int = 16, nprobe: int = 2, centroid_offset: int = 100,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             assign: str = "auto", arrow_threshold: int = 64) -> DataFrame:
     """IVF (inverted-file) approximate top-k - the other classic ANN scale
     path next to hyperplane LSH.
 
@@ -70,22 +80,65 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     ids [centroid_offset, centroid_offset + n_cells) - so the DuckDB
     oracle reproduces the exact assignment (no k-means iteration; a real
     deployment would train centroids offline and broadcast them the same
-    way)."""
+    way).
+
+    Assignment branches (``assign='literal'|'arrow'|'auto'``): both are
+    map-side with ZERO pre-probe shuffle. 'literal' embeds the centroids
+    as literal array expressions in codegen - ideal at small n_cells but
+    the expression tree grows with n_cells x dim and blows past
+    codegen/plan-size limits at realistic IVF cell counts (2^12-2^16).
+    'arrow' broadcasts a numpy centroid matrix into one mapInPandas
+    stage (argsort of V @ C.T per Arrow batch) - constant plan size at
+    any n_cells. 'auto' picks literal at n_cells <= arrow_threshold,
+    arrow above."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # Centroids are driver-known (a real deployment trains them offline
     # and broadcasts them); this collect is n_cells tiny rows, never the
-    # corpus. They become LITERAL array expressions, so the whole cell
-    # assignment - n_cells cosines + argmax + nprobe ranking - runs
-    # map-side inside codegen: zero joins, zero shuffles, zero row
-    # blow-up before the probe join (the earlier formulation joined the
-    # corpus against the centroid table, a n_cells-fold row explosion,
-    # then shuffled it through a Window to take an argmax).
+    # corpus. The earlier formulation joined the corpus against the
+    # centroid table - an n_cells-fold row explosion - then shuffled it
+    # through a Window to take the argmax.
     cent_rows = sorted(
         (r.cell, [float(x) for x in r.centv])
         for r in emb.filter((F.col(id_col) >= centroid_offset)
                             & (F.col(id_col) < centroid_offset + n_cells))
         .select((F.col(id_col) - centroid_offset).alias("cell"),
                 vec.alias("centv")).collect())
+    if assign == "auto":
+        assign = "literal" if n_cells <= arrow_threshold else "arrow"
+    if assign == "arrow":
+        assigned = _ivf_assign_arrow(
+            emb.select(F.col(id_col).alias("vid"), vec.alias("v")),
+            cent_rows, nprobe)
+    else:
+        assigned = _ivf_assign_literal(
+            emb.select(F.col(id_col).alias("vid"), vec.alias("v")),
+            cent_rows)
+    base = assigned.select(F.col("vid").alias("cid"), F.col("v").alias("cv"),
+                           F.element_at("cellrank", 1).alias("cell")) \
+        .withColumn("cn", _norm(F.col("cv")))
+    queries = (assigned.filter(F.col("vid") < n_queries)
+               .select(F.col("vid").alias("qid"), F.col("v").alias("qv"),
+                       F.explode(F.slice("cellrank", 1, nprobe))
+                       .alias("cell"))
+               .withColumn("qn", _norm(F.col("qv"))))
+    pairs = base.join(F.broadcast(queries), "cell") \
+        .filter(F.col("qid") != F.col("cid"))
+    scored = _with_cosine(pairs)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("cid").alias("neighbor_id"),
+                    F.round("cosine", 6).alias("cosine")))
+
+
+def _ivf_assign_literal(emb_vv: DataFrame, cent_rows) -> DataFrame:
+    """(vid, v) -> (vid, v, cellrank): cells ranked by (cosine desc, cell
+    asc), centroids embedded as LITERAL array expressions so the whole
+    assignment - n_cells cosines + ranking - runs map-side inside
+    codegen: zero joins, zero shuffles, zero row blow-up. Suits small
+    n_cells; see ivf_topk for the branch rationale."""
     import math
     norm_v = F.sqrt(_dot(F.col("v"), F.col("v")))
     cos_exprs = []
@@ -99,30 +152,48 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         # than a Window-based formulation.)
         cos_exprs.append(F.nanvl(
             _dot(F.col("v"), cent) / (norm_v * F.lit(cnorm)), F.lit(-1.0)))
-    scored = (emb.select(F.col(id_col).alias("vid"), vec.alias("v"))
-              .withColumn("coses", F.array(*cos_exprs)))
+    scored = emb_vv.withColumn("coses", F.array(*cos_exprs))
     # cells ordered by (cosine desc, cell asc): sort (-cos, cell) structs
     # ascending; ties break to the lowest cell exactly as the SQL oracle's
     # row_number() ORDER BY cos_c DESC, cell.
-    assigned = scored.withColumn("cellrank", F.expr(
+    return scored.withColumn("cellrank", F.expr(
         "transform(array_sort(transform(coses, (c, i) -> "
         "struct(-c as negc, i as cell))), s -> s.cell)")).drop("coses")
-    base = assigned.select(F.col("vid").alias("cid"), F.col("v").alias("cv"),
-                           F.element_at("cellrank", 1).alias("cell"))
-    queries = (assigned.filter(F.col("vid") < n_queries)
-               .select(F.col("vid").alias("qid"), F.col("v").alias("qv"),
-                       F.explode(F.slice("cellrank", 1, nprobe))
-                       .alias("cell")))
-    pairs = base.join(F.broadcast(queries), "cell") \
-        .filter(F.col("qid") != F.col("cid"))
-    scored = _with_cosine(pairs)
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(F.col("qid").alias("query_id"),
-                    F.col("rank").cast("long").alias("rank"),
-                    F.col("cid").alias("neighbor_id"),
-                    F.round("cosine", 6).alias("cosine")))
+
+
+def _ivf_assign_arrow(emb_vv: DataFrame, cent_rows, nprobe: int) -> DataFrame:
+    """(vid, v) -> (vid, v, cellrank): same contract as
+    ``_ivf_assign_literal`` (cellrank truncated to the top nprobe cells -
+    all any consumer reads) via one Arrow mapInPandas stage against a
+    broadcast numpy centroid matrix. Constant plan size at any n_cells;
+    still map-side with zero pre-probe shuffle. Stable argsort of -cos
+    breaks exact-cosine ties to the lowest cell, matching the literal
+    branch and the SQL oracle's ORDER BY cos DESC, cell."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array([cv for _cell, cv in cent_rows], dtype=np.float64)
+    Cn = np.sqrt((C * C).sum(axis=1))
+    keep = max(int(nprobe), 1)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in pdf["v"]])
+            Vn = np.sqrt((V * V).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (V @ C.T) / (Vn[:, None] * Cn[None, :])
+            cos = np.nan_to_num(cos, nan=-1.0)   # match the nanvl guard
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :keep]
+            yield pd.DataFrame({
+                "vid": pdf["vid"],
+                "v": pdf["v"],
+                "cellrank": [row.astype(np.int32) for row in order]})
+
+    return emb_vv.mapInPandas(
+        gen, "vid long, v array<double>, cellrank array<int>")
 
 
 def _plane(seed: int, dim: int) -> list:
@@ -132,6 +203,52 @@ def _plane(seed: int, dim: int) -> list:
         h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
         out.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
     return out
+
+
+def banded_signatures_arrow(emb: DataFrame, n_bands: int, band_planes: int,
+                            dim: int, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """(id, band, bucket) hyperplane-LSH band rows, all
+    ``n_bands * band_planes`` plane dot products computed in ONE Arrow
+    batch pass: ``sign(V @ P.T)`` against a broadcast plane matrix
+    (plane p = ``_plane(p, dim)``, so band b's bucket packs planes
+    ``b*band_planes .. (b+1)*band_planes-1`` exactly like
+    ``hyperplane_signature(seed_offset=b*band_planes)``).
+
+    This replaces ``n_bands * band_planes`` separate
+    aggregate(zip_with(...)) expression trees - at 32 planes x 64 dims
+    the expression-tree formulation pays ~2k interpreted higher-order
+    lambda calls per row, while one BLAS matmul per Arrow batch is
+    near-free and the plan stays a single narrow stage (no shuffle, no
+    per-row Python). Sign agreement with the SQL oracle's sequential
+    list_sum is exact for any practically distinguishable dot product
+    (a flip needs |dot| below summation-reorder rounding, ~1e-13)."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array([_plane(p, dim) for p in range(n_bands * band_planes)],
+                 dtype=np.float64)                       # (planes, dim)
+    weights = (np.int64(1) << np.arange(band_planes, dtype=np.int64))
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            bits = (V @ P.T) > 0                         # (n, planes)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for b in range(n_bands):
+                seg = bits[:, b * band_planes:(b + 1) * band_planes]
+                frames.append(pd.DataFrame({
+                    "id": ids,
+                    "band": np.full(len(ids), b, dtype=np.int32),
+                    "bucket": seg.astype(np.int64) @ weights}))
+            yield pd.concat(frames, ignore_index=True)
+
+    return emb.select(F.col(id_col).alias(id_col), vec_col) \
+        .mapInPandas(gen, "id long, band int, bucket long")
 
 
 def hyperplane_signature(emb: DataFrame, n_planes: int = 8, dim: int = 64,
@@ -158,10 +275,12 @@ def hyperplane_lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     with_sig = emb.select(F.col(id_col), vec.alias("v"),
                           hyperplane_signature(emb, n_planes, dim, vec_col))
     base = with_sig.select(F.col(id_col).alias("cid"), F.col("v").alias("cv"),
-                           F.col("signature").alias("csig"))
+                           F.col("signature").alias("csig")) \
+        .withColumn("cn", _norm(F.col("cv")))
     queries = (with_sig.filter(F.col(id_col) < n_queries)
                .select(F.col(id_col).alias("qid"), F.col("v").alias("qv"),
-                       F.col("signature").alias("qsig")))
+                       F.col("signature").alias("qsig"))
+               .withColumn("qn", _norm(F.col("qv"))))
     pairs = base.join(F.broadcast(queries),
                       (F.col("qsig") == F.col("csig"))
                       & (F.col("qid") != F.col("cid")))

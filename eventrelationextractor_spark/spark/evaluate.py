@@ -89,14 +89,23 @@ def micro_scores(gold: DataFrame, pred: DataFrame,
             "f1": 2 * tp / max(2 * tp + fp + fn, 1)}
 
 
-def awareness_scores(gold: DataFrame, pred: DataFrame) -> DataFrame:
+def awareness_scores(gold: DataFrame, pred: DataFrame,
+                     n_buckets: int = 128) -> DataFrame:
     """Per-document TempEval-3 temporal-awareness scores (core.awareness,
     golden-anchored against the reference's own evaluation tool).
 
     Distributed shape: the metric is document-local (a timegraph never
-    spans documents), so gold/pred cogroup on url and each group runs
-    the exact closure-based scorer inside one Arrow-batched
-    applyInPandas - one shuffle of each side on url, no driver loop.
+    spans documents), so gold/pred cogroup and each document runs the
+    exact closure-based scorer inside one Arrow-batched applyInPandas -
+    one shuffle of each side, no driver loop. The cogroup key is
+    ``crc32(url) % n_buckets``, NOT the raw url: documents are tiny
+    groups (tens of relations), and per-group Arrow/pandas overhead
+    dominates scoring cost at millions of single-doc groups (measured
+    ~2.5x the whole query at sf0.1 - BENCH/BASELINE.md round-3 notes).
+    Each bucket group loops its documents with a pandas groupby; results
+    are identical for any n_buckets, which only tunes group size
+    (n_buckets >> cores keeps all executors busy; state per task stays
+    bounded by the bucket's documents).
     Input frames: (url, src, tgt, rel).
 
     Ordering contract: ``reduce_relations`` is insertion-order-sensitive
@@ -115,19 +124,28 @@ def awareness_scores(gold: DataFrame, pred: DataFrame) -> DataFrame:
         import pandas as pd
 
         from ..core.awareness import temporal_awareness
-        # a side with no rows for this url arrives as a column-less
-        # empty frame
-        def rels(pdf):
-            if "src" not in pdf.columns:
-                return []
-            return list(zip(pdf["src"], pdf["tgt"], pdf["rel"]))
-        g = rels(gold_pdf)
-        s = rels(pred_pdf)
-        m = temporal_awareness(sorted(g), sorted(s))
-        return pd.DataFrame([{
-            "url": key[0], "precision": float(m["precision"]),
-            "recall": float(m["recall"]), "f1": float(m["f1"]),
-            "sys_total": m["sys_total"], "gold_total": m["gold_total"]}])
 
-    return (gold.groupBy("url").cogroup(pred.groupBy("url"))
+        # a side with no rows for this bucket arrives as a column-less
+        # empty frame
+        def by_url(pdf):
+            if "src" not in pdf.columns or len(pdf) == 0:
+                return {}
+            return {u: list(zip(g["src"], g["tgt"], g["rel"]))
+                    for u, g in pdf.groupby("url", sort=False)}
+        gold_by = by_url(gold_pdf)
+        pred_by = by_url(pred_pdf)
+        out = []
+        for url in sorted(set(gold_by) | set(pred_by)):
+            m = temporal_awareness(sorted(gold_by.get(url, [])),
+                                   sorted(pred_by.get(url, [])))
+            out.append({
+                "url": url, "precision": float(m["precision"]),
+                "recall": float(m["recall"]), "f1": float(m["f1"]),
+                "sys_total": m["sys_total"], "gold_total": m["gold_total"]})
+        return pd.DataFrame(out)
+
+    bucket = (F.crc32(F.col("url")) % n_buckets).alias("bucket")
+    g = gold.select(bucket, "url", "src", "tgt", "rel")
+    p = pred.select(bucket, "url", "src", "tgt", "rel")
+    return (g.groupBy("bucket").cogroup(p.groupBy("bucket"))
             .applyInPandas(score, schema=out_schema))

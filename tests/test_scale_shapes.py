@@ -74,15 +74,20 @@ def test_simhash_single_shuffle(spark):
 # ---------------------------------------------------------------- simsearch
 
 
-def test_ivf_assignment_is_map_side(spark):
-    """Cell assignment must not shuffle: the only Exchanges in the IVF
-    plan are the final top-k window (+AQE coalesces); there is no
-    n_cells-fold corpus join and no Window before the probe join."""
+@pytest.mark.parametrize("assign", ["literal", "arrow"])
+def test_ivf_assignment_is_map_side(spark, assign):
+    """Cell assignment must not shuffle IN EITHER BRANCH: the only
+    Exchange in the IVF plan is the final top-k window (+AQE coalesces);
+    there is no n_cells-fold corpus join and no Window before the probe
+    join. 'literal' embeds centroids in codegen (small n_cells);
+    'arrow' is a broadcast numpy matrix inside mapInPandas (constant
+    plan size at realistic 2^12-2^16 cell counts - the literal
+    expression tree would blow past codegen/plan-size limits there)."""
     import random
     rng = random.Random(7)
     rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(140)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    df = simsearch.ivf_topk(emb, n_queries=3, k=3)
+    df = simsearch.ivf_topk(emb, n_queries=3, k=3, assign=assign)
     plan = _physical(df)
     # probe join broadcasts the tiny query side
     assert "BroadcastHashJoin" in plan
@@ -93,6 +98,30 @@ def test_ivf_assignment_is_map_side(spark):
     assert plan.count("Window [") == 1
     # exactly one shuffle: the final ranking window's partitionBy(qid)
     assert plan.count("Exchange hashpartitioning") == 1
+    if assign == "arrow":
+        assert "MapInPandas" in plan
+    else:
+        assert "MapInPandas" not in plan
+
+
+def test_ivf_branches_agree_and_auto_picks(spark):
+    """Both assignment branches produce identical output; 'auto' uses
+    literal codegen at small n_cells and arrow above the threshold."""
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit = {tuple(r) for r in
+           simsearch.ivf_topk(emb, n_queries=3, k=3, n_cells=32,
+                              assign="literal").collect()}
+    arr = {tuple(r) for r in
+           simsearch.ivf_topk(emb, n_queries=3, k=3, n_cells=32,
+                              assign="arrow").collect()}
+    assert lit == arr and len(lit) > 0
+    auto_small = simsearch.ivf_topk(emb, n_queries=3, k=3, n_cells=32)
+    auto_big = simsearch.ivf_topk(emb, n_queries=3, k=3, n_cells=96)
+    assert "MapInPandas" not in _physical(auto_small)
+    assert "MapInPandas" in _physical(auto_big)
 
 
 # ---------------------------------------------------------------- lineage
