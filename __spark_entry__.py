@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from eventrelationextractor_spark import fixtures as fx  # noqa: E402
 from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
+from eventrelationextractor_spark.ops import htmltext  # noqa: E402
 from eventrelationextractor_spark.ops import simsearch, textstats, urls  # noqa: E402
 from eventrelationextractor_spark.spark import kg, stages  # noqa: E402
 
@@ -62,10 +63,18 @@ def _synth_triples(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fixtures + 200 synthetic pages -> (url, subj, pred, obj,
-    stage, pair_type) triples, temporal and causal sieves combined."""
+    stage, pair_type) triples, temporal and causal sieves combined.
+
+    Starts from the ``html`` BINARY column (the Common-Crawl-style north
+    rule): the text column is DROPPED and re-derived by the
+    ops.htmltext.html_to_text boilerplate-stripping operator, which
+    round-trips the deterministic page wrapper byte-exactly (the
+    html_text_extract oracle gate), so the triples equal the
+    text-column run."""
     synth = stages.synth_pages_df(spark, 200)
     fixture = _fixture_pages_df(spark, fx.TEMPORAL_FIXTURES)
     pages = synth.unionByName(fixture)
+    pages = htmltext.html_to_text(pages.drop("text"))
     return stages.extract_triples(pages, mode="both")
 
 
@@ -446,6 +455,28 @@ def _q_awareness(spark, sf_dir):
                     "sys_total", "gold_total"))
 
 
+def _q_html_text_extract(spark, sf_dir):
+    """html->text extraction gate: wrap each document's text in the
+    deterministic Common-Crawl-style wrapper (wrap_html_expr, the codegen
+    twin of datagen.wrap_html - head/script/style + header/nav/aside/
+    footer boilerplate, payload entity-escaped inside <article><pre>),
+    DROP the text column, extract through ops.htmltext.html_to_text, and
+    emit (doc_id, n_chars, sha) of the EXTRACTED text. The oracle hashes
+    the ORIGINAL text column, so any boilerplate leakage, whitespace
+    damage, or entity mishandling breaks the value hash (the north
+    rule's byte-identical-text-per-url invariant through the html
+    path). Pure codegen end to end - no shuffle, no Python."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pages = d.select("doc_id", htmltext.wrap_html_expr(
+        F.col("text"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias("html"))
+    ext = htmltext.html_to_text(pages, out_col="etext")
+    return ext.select(
+        "doc_id",
+        F.length("etext").cast("long").alias("n_chars"),
+        F.sha2(F.col("etext"), 256).alias("sha"))
+
+
 def _q_media_features(spark, sf_dir):
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"),
@@ -471,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fixture_temporal": _q_fixture_temporal,
         "kg_fixture_causal": _q_fixture_causal,
         "kg_text_identity": _q_text_identity,
+        "html_text_extract": _q_html_text_extract,
         "kg_entity_linking": _q_entity_linking,
         "kg_canonical_components": _q_canonical_components,
         "kg_consistent_triples": _q_consistent_triples,
@@ -1155,6 +1187,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_fixture_temporal": _values_oracle(fixture_temporal),
         "kg_fixture_causal": _values_oracle(fixture_causal),
         "kg_text_identity": _TEXT_ORACLE,
+        "html_text_extract": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "sha256(text) AS sha FROM documents"),
         "kg_entity_linking": _linking_oracle(),
         "kg_canonical_components": _CANONICAL_ORACLE,
         # kg_consistent_triples: omitted - incremental point-algebra closure

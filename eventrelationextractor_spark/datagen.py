@@ -153,13 +153,67 @@ def synth_url(d: int) -> str:
     return "%s%08d" % (BASE_URL, d)
 
 
+def escape_html(text: str) -> str:
+    """& first, then < and > (ops.htmltext.escape_expr is the codegen
+    twin; ops.htmltext._unescape inverts)."""
+    return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+# Common-Crawl-style page template: ('lit', s) literal segments
+# interleaved with ('key',) and ('text',) placeholders. Shared by
+# wrap_html (Python) and ops.htmltext.wrap_html_expr (codegen twin) so
+# the two stay byte-identical by construction.
+WRAP_TEMPLATE = (
+    ("lit", '<!DOCTYPE html>\n<html lang="en"><head><title>Doc '),
+    ("key",),
+    ("lit", "</title>\n"
+            "<style>body { font-family: serif; margin: 2em; }</style>\n"
+            '<script>var k = "'),
+    ("key",),
+    ("lit", '"; console.log(k);</script>\n'
+            "</head>\n<body>\n"
+            "<!-- crawl wrapper; payload inside article/pre -->\n"
+            "<header><h1>Example corpus</h1>"
+            '<nav><a href="/">home</a> <a href="/about">about</a></nav>'
+            "</header>\n"
+            '<aside>related: <a href="/doc/other">other</a></aside>\n'
+            '<main><article id="doc-'),
+    ("key",),
+    ("lit", '"><pre>'),
+    ("text",),
+    ("lit", "</pre></article></main>\n"
+            "<footer>&copy; 2024 example.org &middot; "),
+    ("key",),
+    ("lit", "</footer>\n</body></html>\n"),
+)
+
+
+def wrap_html(text: str, key: str) -> bytes:
+    """Deterministic Common-Crawl-style page around ``text``: head with
+    title/style/script, header+nav+aside+footer boilerplate, the payload
+    entity-escaped inside <article><pre> (pre because TXP text is
+    tab/newline-structured and must survive byte-identically - the north
+    rule's per-url invariant). ops.htmltext.html_to_text inverts this
+    wrapper exactly; the boilerplate strings in WRAP_TEMPLATE are what
+    its heuristics must strip."""
+    out = []
+    for part in WRAP_TEMPLATE:
+        if part[0] == "lit":
+            out.append(part[1])
+        elif part[0] == "key":
+            out.append(key)
+        else:
+            out.append(escape_html(text))
+    return "".join(out).encode()
+
+
 def synth_page(d: int) -> dict:
     text = "\n".join(synth_txp_lines(d))
     return {
         "url": synth_url(d),
         "warc_ts": datetime(2024, 1, 1, tzinfo=timezone.utc)
         + timedelta(seconds=d),
-        "html": ("<html><body><pre>" + text + "</pre></body></html>").encode(),
+        "html": wrap_html(text, "%08d" % d),
         "text": text,
         "lang": "en",
     }

@@ -32,11 +32,11 @@ def fixture_text(name: str) -> str:
 
 
 def fixture_pages(names) -> list:
+    from .datagen import wrap_html
     return [{
         "url": fixture_url(n),
         "warc_ts": datetime(2024, 1, 1, tzinfo=timezone.utc),
-        "html": ("<html><body><pre>" + fixture_text(n)
-                 + "</pre></body></html>").encode(),
+        "html": wrap_html(fixture_text(n), n),
         "text": fixture_text(n),
         "lang": "en",
     } for n in names]

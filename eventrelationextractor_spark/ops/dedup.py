@@ -117,16 +117,29 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  shingle_table_path: str | None = None) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle-set Jaccard:
-    (a, b, jaccard) for pairs >= threshold."""
-    # cache() is an optimization, not a correctness dependency: the
-    # shingle table is consumed 4x (signatures, both verify sides,
-    # sizes). At 100 TB the cache degrades to recompute-per-consumer
-    # (still correct); a production run would materialize shingles to a
-    # bucketed table instead, which is the same plan with spill-to-disk
-    # durability.
-    sh = shingles(df, id_col, text_col, k).cache()
+    (a, b, jaccard) for pairs >= threshold.
+
+    The shingle table is consumed 4x (signatures, both verify sides,
+    sizes). Default path: ``.cache()`` - an optimization, not a
+    correctness dependency; at 100 TB the cache degrades to
+    recompute-per-consumer (still correct). Production path:
+    ``shingle_table_path`` materializes the shingles to a parquet table
+    pre-partitioned on the id column and every consumer reads THAT -
+    one shingle computation total, durable spill-to-disk, and the
+    id-keyed layout co-locates the verify-join sides (on Iceberg the
+    same write is ``bucket(n, doc_id)``; see spark/bucketing.py for the
+    transform mapping). Both paths produce identical pairs
+    (tests/test_textstats_ops.py::test_jaccard_materialized_shingles)."""
+    if shingle_table_path is not None:
+        (shingles(df, id_col, text_col, k)
+         .repartition(F.col(id_col))
+         .write.mode("overwrite").parquet(shingle_table_path))
+        sh = df.sparkSession.read.parquet(shingle_table_path)
+    else:
+        sh = shingles(df, id_col, text_col, k).cache()
     cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
     sa = sh.select(F.col(id_col).alias("a"), "shingle")
     sb = sh.select(F.col(id_col).alias("b"), "shingle")

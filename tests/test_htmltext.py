@@ -1,0 +1,88 @@
+"""html -> text extraction operator (ops/htmltext.py): wrapper round-trip
+(the north rule's byte-identical-text-per-url invariant through the html
+path), codegen/Python wrapper twin parity, boilerplate/entity semantics,
+plan hygiene, and flagship parity when extraction starts from html."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventrelationextractor_spark import datagen
+from eventrelationextractor_spark import fixtures as fx
+from eventrelationextractor_spark.ops import htmltext
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, text string, "
+                "lang string")
+
+
+def test_wrap_html_codegen_twin_matches_python(spark):
+    """wrap_html_expr must produce byte-identical html to
+    datagen.wrap_html - both are built from WRAP_TEMPLATE."""
+    texts = ["\n".join(datagen.synth_txp_lines(d)) for d in range(4)]
+    texts.append("specials & <angle> \"quotes\" 'apos'\ttab &amp; pre-escaped")
+    rows = [(f"{i:08d}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "key string, text string")
+    got = df.select(htmltext.wrap_html_expr(F.col("text"),
+                                            F.col("key")).alias("h")).collect()
+    for (key, text), r in zip(rows, got):
+        assert bytes(r.h) == datagen.wrap_html(text, key)
+
+
+def test_roundtrip_byte_identical_on_synth_and_fixture_pages(spark):
+    """html_to_text(wrap_html(text)) == text for every synthetic page and
+    every vendored reference fixture (real-news characters included)."""
+    pages = datagen.synth_pages(25) + fx.fixture_pages(
+        sorted(set(fx.TEMPORAL_FIXTURES) | set(fx.CAUSAL_FIXTURES)))
+    df = spark.createDataFrame(pages, PAGES_SCHEMA)
+    out = htmltext.html_to_text(
+        df.select("url", "html", F.col("text").alias("want")), out_col="got")
+    assert out.filter((F.col("got") != F.col("want"))
+                      | F.col("got").isNull()).count() == 0
+
+
+def test_boilerplate_entities_pre_semantics(spark):
+    rows = [
+        # tag strip + whitespace collapse + entity unescape + footer drop
+        (1, b"<html><body><p>Hello   <b>world</b> &amp; R&#39;n&#39;B "
+            b"&lt;tag&gt;</p><footer>no</footer></body></html>"),
+        # nav dropped, main restriction, pre verbatim, script with a
+        # '</body>'-lookalike string removed before body extraction
+        (2, b"<html><body><nav>menu</nav><main><p>A  B</p>"
+            b"<pre>x\t y\nz</pre></main>"
+            b"<script>var a='<body>';</script></body></html>"),
+        # no markup at all -> normalized passthrough
+        (3, b"no tags at all"),
+        # comments stripped; article preferred over body
+        (4, b"<body>outside<article><!-- c -->inside</article></body>"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, html binary")
+    got = {r.id: r.t for r in
+           htmltext.html_to_text(df, out_col="t").collect()}
+    assert got[1] == "Hello world & R'n'B <tag>"
+    assert got[2] == "A B\nx\t y\nz"
+    assert got[3] == "no tags at all"
+    assert got[4] == "inside"
+    assert got[5] is None
+
+
+def test_plan_is_pure_codegen(spark):
+    df = spark.createDataFrame([(b"<p>x</p>",)], "html binary")
+    out = htmltext.html_to_text(df, out_col="t")
+    plan = out._jdf.queryExecution().toString() \
+        .split("== Physical Plan ==")[-1]
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_extraction_from_html_matches_text_column(spark):
+    """The flagship path: dropping the text column and re-deriving it
+    from html must produce the identical triple set (fixture corpus,
+    golden-anchored by test_extract_triples_matches_reference_golden)."""
+    from eventrelationextractor_spark.spark import stages
+    pages = spark.createDataFrame(
+        fx.fixture_pages(fx.TEMPORAL_FIXTURES), PAGES_SCHEMA)
+    via_text = {tuple(r) for r in
+                stages.extract_triples(pages, mode="both").collect()}
+    via_html = {tuple(r) for r in stages.extract_triples(
+        htmltext.html_to_text(pages.drop("text")), mode="both").collect()}
+    assert via_text == via_html and len(via_text) > 0

@@ -104,3 +104,25 @@ def test_stratified_sample_rates_and_determinism(spark):
     # empty rates = every stratum absent = drop all rows (documented),
     # not an AttributeError
     assert stratified_sample(df, {}, "stratum").count() == 0
+
+
+def test_jaccard_materialized_shingles(spark, tmp_path):
+    """The production shingle path (materialized parquet table) must
+    produce identical pairs to the cache path."""
+    import os
+
+    from eventrelationextractor_spark.ops import dedup
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",
+             "a completely different sentence about spark engines",
+             "the quick brown fox jumps over the lazy dog today"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    cached = {tuple(r) for r in
+              dedup.jaccard_pairs(df, threshold=0.3).collect()}
+    path = str(tmp_path / "shingles")
+    mat = {tuple(r) for r in
+           dedup.jaccard_pairs(df, threshold=0.3,
+                               shingle_table_path=path).collect()}
+    assert cached == mat and len(mat) > 0
+    assert os.path.isdir(path)  # the table was actually materialized

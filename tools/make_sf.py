@@ -1,0 +1,100 @@
+"""Generate a larger-SF synthetic dataset (documents/embeddings/events,
+the three tables the driver-contract queries consume) for running the
+correctness gate beyond the driver-provided sf0.1 (round-2 verdict item
+#4: show oracle parity is not an sf0.01 artifact).
+
+The driver's own testdata is read-only and its generator private, so this
+produces a SAME-SCHEMA, SAME-SHAPE corpus (seeded numpy - deterministic);
+the gate compares Spark vs DuckDB on the SAME input, so matching the
+driver's exact distribution is unnecessary - only schema and scale
+matter. Scale factors mirror the driver's: sf1.0 = 50,000 documents,
+50,000 embeddings, 1,000,000 events (100x sf0.01).
+
+Usage: python tools/make_sf.py --sf 1.0 --out /tmp/sf1.0
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = ("key agg row scan slow fast table value part hash merge batch "
+         "spark line sort window column join small customer query big "
+         "stream group order data filter the a").split()
+
+
+def make_documents(n: int, rng: np.random.Generator) -> pa.Table:
+    lengths = rng.integers(25, 90, size=n)
+    texts = [" ".join(rng.choice(VOCAB, size=ln)) for ln in lengths]
+    # ~1% exact duplicate pairs so dedup_exact has positives beyond the
+    # query's own augmentation
+    for i in range(0, n, 100):
+        j = int(rng.integers(0, n))
+        if j != i:
+            texts[j] = texts[i]
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array([f"src{i}" for i in range(n)], pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
+def make_embeddings(n: int, rng: np.random.Generator) -> pa.Table:
+    v = rng.standard_normal((n, 64)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([row for row in v.tolist()],
+                              pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 5, size=n), pa.int32()),
+    })
+
+
+def make_events(n: int, rng: np.random.Generator) -> pa.Table:
+    base = np.datetime64("2024-01-01T00:00:00.000000")
+    gaps = rng.exponential(scale=30.0, size=n)
+    ts = base + (np.cumsum(gaps) * 1e6).astype("timedelta64[us]")
+    types = np.array(["click", "view", "error", "purchase"])
+    return pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, max(50, n // 200), size=n),
+                            pa.int64()),
+        "event_type": pa.array(types[rng.integers(0, 4, size=n)],
+                               pa.string()),
+        "value": pa.array(np.round(rng.uniform(0, 20, size=n), 2),
+                          pa.float64()),
+        "props": pa.array([json.dumps({"k": int(k)})
+                           for k in rng.integers(0, 100, size=n)],
+                          pa.string()),
+    })
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=1.0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out = args.out or f"/tmp/sf{args.sf}"
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(20260817)
+    n_docs = int(50000 * args.sf)
+    pq.write_table(make_documents(n_docs, rng),
+                   os.path.join(out, "documents.parquet"))
+    pq.write_table(make_embeddings(n_docs, rng),
+                   os.path.join(out, "embeddings.parquet"))
+    pq.write_table(make_events(n_docs * 20, rng),
+                   os.path.join(out, "events.parquet"))
+    print(f"wrote {out}: documents={n_docs} embeddings={n_docs} "
+          f"events={n_docs * 20}")
+
+
+if __name__ == "__main__":
+    main()
