@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from eventrelationextractor_spark import fixtures as fx  # noqa: E402
 from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
-from eventrelationextractor_spark.ops import htmltext  # noqa: E402
+from eventrelationextractor_spark.ops import htmltext, pii  # noqa: E402
 from eventrelationextractor_spark.ops import simsearch, textstats, urls  # noqa: E402
 from eventrelationextractor_spark.spark import kg, stages  # noqa: E402
 
@@ -455,6 +455,33 @@ def _q_awareness(spark, sf_dir):
                     "sys_total", "gold_total"))
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals over documents (the
+    standard webtext filter family); pure per-row codegen, no shuffle."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_pii_redaction(spark, sf_dir):
+    """PII regex tier: deterministic synthetic PII (email always, IPv4
+    for even docs, phone for doc_id % 3 == 0 - a pure function of
+    doc_id, mirrored in the oracle) appended to each document, then
+    counted and redacted; output = counts + sha256 of the redacted text
+    so any missed or over-eager redaction breaks the value hash."""
+    did = F.col("doc_id")
+    extra = F.concat(
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.when(did % 2 == 0,
+               F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                        F.lit(".7"))).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit(" call 555-123-4567"))
+        .otherwise(F.lit("")))
+    withpii = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), extra).alias("text"))
+    red = pii.redact_pii(withpii)
+    return red.select("doc_id", "n_emails", "n_ips", "n_phones",
+                      F.sha2(F.col("redacted"), 256).alias("sha"))
+
+
 def _q_html_text_extract(spark, sf_dir):
     """html->text extraction gate: wrap each document's text in the
     deterministic Common-Crawl-style wrapper (wrap_html_expr, the codegen
@@ -514,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
+        "repetition_stats": _q_repetition_stats,
+        "pii_redaction": _q_pii_redaction,
         "token_counts": _q_token_counts,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -873,6 +902,51 @@ SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
 FROM base
 """
 
+_REPETITION_ORACLE = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+counts AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+per AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS topw,
+               sum(len(w) * c) AS chars
+        FROM counts GROUP BY doc_id),
+sp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+big0 AS (SELECT doc_id,
+         list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])
+         AS bl FROM sp WHERE len(sp) >= 2),
+bg AS (SELECT doc_id, unnest(bl) AS b FROM big0),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+bper AS (SELECT doc_id, max(c) AS topb, sum(c) AS nb FROM bc
+         GROUP BY doc_id)
+SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_words,
+  round(1.0 - p.nd / p.n, 6) AS dup_word_frac,
+  round(p.topw / p.n, 6) AS top_word_frac,
+  round(coalesce(b.topb / b.nb, 0.0), 6) AS top_bigram_frac,
+  round(p.chars / p.n, 6) AS mean_word_len
+FROM per p LEFT JOIN bper b USING (doc_id)
+"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+_PII_ORACLE = f"""
+WITH w AS (SELECT doc_id,
+  text || ' contact user' || doc_id || '@example.com'
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END
+  AS t FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+  sha256(regexp_replace(regexp_replace(regexp_replace(t,
+    '{_PII_EMAIL}', '<EMAIL>', 'g'),
+    '{_PII_IP}', '<IP>', 'g'),
+    '{_PII_PHONE}', '<PHONE>', 'g')) AS sha
+FROM w
+"""
+
 _TOKEN_ORACLE = r"""
 SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
@@ -1201,6 +1275,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _SIMHASH_PAIRS_ORACLE,
         "lang_id": _lang_oracle(),
         "quality_scores": _QUALITY_ORACLE,
+        "repetition_stats": _REPETITION_ORACLE,
+        "pii_redaction": _PII_ORACLE,
         "token_counts": _TOKEN_ORACLE,
         "ann_topk": _ANN_ORACLE,
         "ann_lsh_topk": _ANN_LSH_ORACLE,

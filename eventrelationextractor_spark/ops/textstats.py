@@ -106,6 +106,69 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
                         .cast("long")))
 
 
+def _top_run(sorted_arr):
+    """Max run length in a SORTED array = count of the most frequent
+    element. One fold over the per-row array (tens of elements) - array
+    lambdas at this size are cheap; the pathological case is per-ROW
+    blowup, not per-element work."""
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        .alias("run"),
+        F.greatest(acc["best"],
+                   F.when(x == acc["prev"], acc["run"] + 1)
+                   .otherwise(F.lit(1))).alias("best"))
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1,
+    the standard webtext filter family): per document,
+
+    * ``n_words``          - whitespace token count;
+    * ``dup_word_frac``    - 1 - distinct_words/words (word-level mass of
+      repetition);
+    * ``top_word_frac``    - occurrences of the most frequent word / words
+      (Gopher's top-n-gram fraction at n=1);
+    * ``top_bigram_frac``  - same for 2-grams (0.0 for 1-word docs);
+    * ``mean_word_len``    - sum(len(word))/words.
+
+    Pure codegen: per-row array expressions only (split/array_distinct/
+    array_sort + one fold per array - the most-frequent count is the max
+    run length of the sorted array, avoiding any explode/groupBy
+    shuffle). A corpus filter is then a plain WHERE over these columns.
+    Exact SQL twin in __spark_entry__ (unnest + count(*) per group)."""
+    words = F.split(F.col(text_col), F.lit(" "))
+    n = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    # guarded: sequence/element_at never go out of bounds on 0/1-word
+    # docs (slice(words, 1, 0) is the empty array<string>)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(words, i), F.lit(" "),
+                           F.element_at(words, i + 1)))) \
+        .otherwise(F.slice(words, 1, 0))
+    nb = n - 1
+    top_w = _top_run(F.array_sort(words))
+    top_b = _top_run(F.array_sort(bigrams))
+    char_sum = F.aggregate(words, F.lit(0),
+                           lambda acc, x: acc + F.length(x))
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        F.round(F.when(n > 0, 1.0 - nd / n).otherwise(0.0), 6)
+        .alias("dup_word_frac"),
+        F.round(F.when(n > 0, top_w / n).otherwise(0.0), 6)
+        .alias("top_word_frac"),
+        F.round(F.when(nb > 0, top_b / nb).otherwise(0.0), 6)
+        .alias("top_bigram_frac"),
+        F.round(F.when(n > 0, char_sum / n).otherwise(0.0), 6)
+        .alias("mean_word_len"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalization fingerprint: md5 of lowercased alnum+space text with
     collapsed whitespace - the exact-dedup key."""

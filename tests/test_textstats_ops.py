@@ -106,6 +106,55 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert stratified_sample(df, {}, "stratum").count() == 0
 
 
+def test_repetition_stats_values_and_plan(spark):
+    from eventrelationextractor_spark.ops.textstats import repetition_stats
+    rows = [(0, "a a a b"),          # top word 3/4, bigram 'a a' 2/3
+            (1, "x y z"),            # no repetition
+            (2, "solo"),             # 1 word: bigram frac 0
+            (3, "ab ab ab ab")]      # total repetition
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[0].n_words == 4
+    assert got[0].dup_word_frac == 0.5          # 2 distinct of 4
+    assert got[0].top_word_frac == 0.75
+    assert got[0].top_bigram_frac == round(2 / 3, 6)
+    assert got[0].mean_word_len == 1.0
+    assert got[1].dup_word_frac == 0.0 and got[1].top_word_frac == round(1 / 3, 6)
+    assert got[2].n_words == 1 and got[2].top_bigram_frac == 0.0
+    assert got[3].top_word_frac == 1.0 and got[3].dup_word_frac == 0.75
+    assert got[3].mean_word_len == 2.0
+    plan = repetition_stats(df)._jdf.queryExecution().toString() \
+        .split("== Physical Plan ==")[-1]
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_redact_pii_semantics(spark):
+    from eventrelationextractor_spark.ops.pii import redact_pii
+    rows = [
+        (0, "mail bob.smith+x@corp.example.co.uk now"),
+        (1, "server at 192.168.0.1 port 80"),
+        (2, "call 555-123-4567 or 555 987 6543"),
+        (3, "mixed a@b.io and 10.0.0.7 and 123-456-7890"),
+        (4, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[0].n_emails == 1 and "<EMAIL>" in got[0].redacted \
+        and "@" not in got[0].redacted
+    assert got[1].n_ips == 1 and got[1].redacted == "server at <IP> port 80"
+    assert got[2].n_phones == 2 \
+        and got[2].redacted == "call <PHONE> or <PHONE>"
+    assert (got[3].n_emails, got[3].n_ips, got[3].n_phones) == (1, 1, 1)
+    assert got[3].redacted == "mixed <EMAIL> and <IP> and <PHONE>"
+    assert got[4].redacted == rows[4][1]
+    # idempotent: redacting redacted text changes nothing
+    again = redact_pii(
+        spark.createDataFrame([(3, got[3].redacted)],
+                              "doc_id long, text string")).first()
+    assert again.redacted == got[3].redacted
+    assert (again.n_emails, again.n_ips, again.n_phones) == (0, 0, 0)
+
+
 def test_jaccard_materialized_shingles(spark, tmp_path):
     """The production shingle path (materialized parquet table) must
     produce identical pairs to the cache path."""
