@@ -405,6 +405,14 @@ def _web_urls(spark, sf_dir):
         "text")
 
 
+def _q_split_assignment(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment over documents
+    (textstats.assign_split); the oracle replays the md5 fate ranges."""
+    out = textstats.assign_split(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Data-mixing over the multilingual slice: per-language retention
     rates, deterministic md5 fate per doc."""
@@ -559,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ee_probabilities": _q_ee_probabilities,
         "lang_id_trigram": _q_lang_id_trigram,
         "stratified_sample": _q_stratified_sample,
+        "split_assignment": _q_split_assignment,
     }
 
 
@@ -1290,6 +1299,17 @@ def oracle_sql() -> dict[str, str]:
         "url_parse": _URL_PARSE_ORACLE,
         "domain_stats": _DOMAIN_STATS_ORACLE,
         "stratified_sample": _stratified_oracle(),
+        "split_assignment": """
+WITH hashed AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         ::UBIGINT % 10000 AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN h < 1000 THEN 'test' WHEN h < 9000 THEN 'train'
+       WHEN h < 10000 THEN 'val' END AS split
+FROM hashed
+""",
         "kg_ee_probabilities": _EE_PROB_ORACLE,
         "lang_id_trigram": _lang_trigram_oracle(),
     }

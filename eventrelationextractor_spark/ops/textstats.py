@@ -265,6 +265,35 @@ def lang_id_trigram(df: DataFrame, text_col: str = "text",
                         F.coalesce("predicted_lang", F.lit("und"))))
 
 
+def assign_split(df: DataFrame, weights: dict, id_col: str = "doc_id",
+                 salt: str = "split1") -> DataFrame:
+    """Deterministic train/val/test split assignment - the other half of
+    the data-mixing toolkit next to ``stratified_sample``.
+
+    Splits get consecutive fate ranges in [0, 10000), in sorted split-name
+    order, sized by ``weights`` (weights may sum to < 1; rows whose fate
+    falls past the total get a NULL split = held out). The fate is
+    ``conv(substr(md5(salt:id), 1, 8), 16, 10) % 10000`` - a pure
+    function of (salt, id), so membership is reproducible across runs,
+    engines and corpus growth (a document never migrates between splits
+    when new data arrives), and independent across salts. Pure codegen,
+    no shuffle, no RNG state."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("long") % 10000
+    expr = None
+    lo = 0
+    for name, w in sorted(weights.items()):
+        hi = lo + int(round(w * 10000))
+        cond = (h >= lo) & (h < hi)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+        lo = hi
+    if expr is None:
+        return df.withColumn("split", F.lit(None).cast("string"))
+    return df.withColumn("split", expr.otherwise(F.lit(None)))
+
+
 def stratified_sample(df: DataFrame, rates: dict, stratum_col: str,
                       id_col: str = "doc_id",
                       salt: str = "mix1") -> DataFrame:

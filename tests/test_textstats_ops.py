@@ -106,6 +106,34 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert stratified_sample(df, {}, "stratum").count() == 0
 
 
+def test_assign_split_deterministic_and_stable(spark):
+    from eventrelationextractor_spark.ops.textstats import assign_split
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r.doc_id: r.split for r in assign_split(df, w).collect()}
+    counts = {}
+    for s in got.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+    assert None not in counts            # weights sum to 1 -> total cover
+    # growth stability: membership of existing ids is unchanged when the
+    # corpus doubles (pure function of id, not of the dataset)
+    big = spark.createDataFrame([(i,) for i in range(10000)], "doc_id long")
+    got2 = {r.doc_id: r.split for r in assign_split(big, w).collect()}
+    assert all(got2[i] == got[i] for i in got)
+    # partial weights -> NULL holdout; empty weights -> all NULL
+    part = {r.split for r in
+            assign_split(df, {"train": 0.5}).collect()}
+    assert part == {"train", None}
+    assert {r.split for r in assign_split(df, {}).collect()} == {None}
+    # codegen, no shuffle
+    plan = assign_split(df, w)._jdf.queryExecution().toString() \
+        .split("== Physical Plan ==")[-1]
+    assert "Exchange" not in plan
+
+
 def test_repetition_stats_values_and_plan(spark):
     from eventrelationextractor_spark.ops.textstats import repetition_stats
     rows = [(0, "a a a b"),          # top word 3/4, bigram 'a a' 2/3
