@@ -68,7 +68,7 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
 def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
              n_cells: int = 16, nprobe: int = 2, centroid_offset: int = 100,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             assign: str = "auto", arrow_threshold: int = 64) -> DataFrame:
+             assign: str = "arrow", arrow_threshold: int = 64) -> DataFrame:
     """IVF (inverted-file) approximate top-k - the other classic ANN scale
     path next to hyperplane LSH.
 
@@ -82,15 +82,18 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     deployment would train centroids offline and broadcast them the same
     way).
 
-    Assignment branches (``assign='literal'|'arrow'|'auto'``): both are
-    map-side with ZERO pre-probe shuffle. 'literal' embeds the centroids
-    as literal array expressions in codegen - ideal at small n_cells but
-    the expression tree grows with n_cells x dim and blows past
-    codegen/plan-size limits at realistic IVF cell counts (2^12-2^16).
-    'arrow' broadcasts a numpy centroid matrix into one mapInPandas
-    stage (argsort of V @ C.T per Arrow batch) - constant plan size at
-    any n_cells. 'auto' picks literal at n_cells <= arrow_threshold,
-    arrow above."""
+    Assignment branches (``assign='arrow'|'literal'|'auto'``): both are
+    map-side with ZERO pre-probe shuffle. 'arrow' (default) broadcasts a
+    numpy centroid matrix into one mapInPandas stage (argsort of V @ C.T
+    per Arrow batch) - constant plan size at any n_cells, and measured
+    FASTER than the literal path even at n_cells=16 (1.08s vs 3.04s
+    in-session medians, BENCH/BASELINE.md round-3 A/B: the literal
+    expression tree pays n_cells interpreted aggregate lambdas per row).
+    'literal' embeds the centroids as literal array expressions in pure
+    codegen - kept for Python-worker-free deployments; its expression
+    tree grows with n_cells x dim and blows past codegen/plan-size
+    limits at realistic IVF cell counts (2^12-2^16). 'auto' picks
+    literal at n_cells <= arrow_threshold, arrow above."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # Centroids are driver-known (a real deployment trains them offline
     # and broadcasts them); this collect is n_cells tiny rows, never the

@@ -118,10 +118,15 @@ def test_ivf_branches_agree_and_auto_picks(spark):
            simsearch.ivf_topk(emb, n_queries=3, k=3, n_cells=32,
                               assign="arrow").collect()}
     assert lit == arr and len(lit) > 0
-    auto_small = simsearch.ivf_topk(emb, n_queries=3, k=3, n_cells=32)
-    auto_big = simsearch.ivf_topk(emb, n_queries=3, k=3, n_cells=96)
+    auto_small = simsearch.ivf_topk(emb, n_queries=3, k=3, n_cells=32,
+                                    assign="auto")
+    auto_big = simsearch.ivf_topk(emb, n_queries=3, k=3, n_cells=96,
+                                  assign="auto")
     assert "MapInPandas" not in _physical(auto_small)
     assert "MapInPandas" in _physical(auto_big)
+    # the shipped default is the measured-faster arrow branch
+    assert "MapInPandas" in _physical(
+        simsearch.ivf_topk(emb, n_queries=3, k=3, n_cells=32))
 
 
 # ---------------------------------------------------------------- lineage
