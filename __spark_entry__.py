@@ -342,6 +342,24 @@ def _q_dedup_simhash_pairs(spark, sf_dir):
     return dedup.simhash_neardup(_augmented_docs(spark, sf_dir))
 
 
+def _q_dedup_keep(spark, sf_dir):
+    """Batch twin of the streaming ingest dedup (streaming_exact_dedup,
+    equivalence-tested in tests/test_spark_stages.py): the kept document
+    per fingerprint group."""
+    return dedup.exact_dedup_keep(_augmented_docs(spark, sf_dir))
+
+
+def _q_dedup_resolution(spark, sf_dir):
+    """Fuzzy-dedup end to end over the augmented corpus (known near-dup
+    + exact-dup structure): pairs -> transitive clusters -> keep
+    decision. The oracle recomputes the clusters with a recursive-CTE
+    transitive closure over the SAME pair set - an independent
+    formulation of the connected-components semantics (the Spark side is
+    iterative pointer jumping)."""
+    return dedup.dedup_resolution(_augmented_docs(spark, sf_dir),
+                                  threshold=0.5)
+
+
 def _q_lang_id_trigram(spark, sf_dir):
     return textstats.lang_id_trigram(_multilingual_docs(spark, sf_dir)) \
         .select("doc_id", "predicted_lang")
@@ -490,6 +508,25 @@ def _q_pii_redaction(spark, sf_dir):
                       F.sha2(F.col("redacted"), 256).alias("sha"))
 
 
+def _q_decontamination(spark, sf_dir):
+    """Benchmark decontamination gate: the 'benchmark set' is a
+    deterministic slice of the corpus itself (every 50th document's
+    first 20 normalized words - a pure function, mirrored in the SQL
+    oracle), so every doc_id % 50 == 0 document MUST flag as
+    contaminated, plus whatever chance 5-gram collisions the word-salad
+    corpus produces - the oracle computes the identical set either
+    way."""
+    from eventrelationextractor_spark.ops import decontam
+    from eventrelationextractor_spark.ops.dedup import normalized_text
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(
+            F.split(normalized_text(F.col("text")), " "), 1, 20))
+        .alias("text"))
+    return decontam.ngram_contamination(docs, bench, n=5)
+
+
 def _q_html_text_extract(spark, sf_dir):
     """html->text extraction gate: wrap each document's text in the
     deterministic Common-Crawl-style wrapper (wrap_html_expr, the codegen
@@ -547,6 +584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_jaccard": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_keep": _q_dedup_keep,
+        "dedup_resolution": _q_dedup_resolution,
+        "decontamination": _q_decontamination,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "repetition_stats": _q_repetition_stats,
@@ -737,6 +777,30 @@ JOIN sizes nb ON nb.doc_id = i.b
 WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= 0.5
 """
 
+# transitive closure via recursive CTE: an INDEPENDENT formulation of
+# the connected-components semantics (Spark side: iterative pointer
+# jumping). Cluster sizes are tiny (near-dup groups), so the closure is
+# cheap for the oracle even though it's quadratic per cluster.
+_DEDUP_RESOLUTION_ORACLE = f"""
+WITH RECURSIVE
+jp AS ({_MINHASH_ORACLE}),
+edges AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+canon AS (SELECT src AS v, least(src, min(dst)) AS c
+          FROM reach GROUP BY src),
+aug2 AS (SELECT doc_id FROM documents
+         UNION ALL SELECT doc_id + 1000000 FROM documents
+         UNION ALL SELECT doc_id + 2000000 FROM documents
+         WHERE doc_id % 10 = 0)
+SELECT a2.doc_id, coalesce(c.c, a2.doc_id) AS canonical_id,
+       coalesce(c.c, a2.doc_id) = a2.doc_id AS is_kept
+FROM aug2 a2 LEFT JOIN canon c ON c.v = a2.doc_id
+"""
+
 _SIMHASH_ORACLE = f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
 tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
@@ -909,6 +973,29 @@ SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
     least(1.0, n_stopwords * 6.0 / n_tokens)
     * (1.0 - least(1.0, n_punct * 4.0 / n_chars)) END, 6) AS quality
 FROM base
+"""
+
+_DECONTAM_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+grams0 AS (SELECT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS gh
+           FROM words, LATERAL unnest(generate_series(1, len(w) - 4))
+           AS g(i) WHERE len(w) >= 5),
+grams AS (SELECT DISTINCT doc_id, gh FROM grams0),
+bwords AS (SELECT w[1:20] AS bw FROM words WHERE doc_id % 50 = 0),
+bgrams AS (SELECT DISTINCT md5(array_to_string(bw[i:i+4], ' ')) AS gh
+           FROM bwords, LATERAL unnest(generate_series(1, len(bw) - 4))
+           AS g(i) WHERE len(bw) >= 5),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM grams
+         JOIN bgrams USING (gh) GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+  coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
 """
 
 _REPETITION_ORACLE = """
@@ -1282,6 +1369,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_jaccard": _MINHASH_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_ORACLE,
+        "dedup_keep": f"""
+WITH {_AUG},
+keyed AS (SELECT doc_id, md5({_NORM}) AS fingerprint FROM aug)
+SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
+""",
+        "dedup_resolution": _DEDUP_RESOLUTION_ORACLE,
+        "decontamination": _DECONTAM_ORACLE,
         "lang_id": _lang_oracle(),
         "quality_scores": _QUALITY_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,

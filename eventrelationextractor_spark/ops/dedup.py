@@ -40,6 +40,66 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("n_dups") > 1))
 
 
+def exact_dedup_keep(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, fingerprint) of the KEPT document per fingerprint group (the
+    numerically smallest id) - the batch twin of
+    ``streaming_exact_dedup``, and the keep-list complement of
+    ``exact_duplicates`` (which reports the dropped groups)."""
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(normalized_text(F.col(text_col))).alias("fingerprint"))
+    return keyed.groupBy("fingerprint").agg(F.min(id_col).alias(id_col)) \
+        .select(id_col, "fingerprint")
+
+
+def streaming_exact_dedup(stream: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: emit each normalization fingerprint's FIRST
+    document, suppress every later duplicate across micro-batches - the
+    incremental-corpus-construction primitive (WARC drops arriving over
+    time, already-seen pages dropped on ingest).
+
+    Custom stateful operator (applyInPandasWithState keyed on the
+    fingerprint): state is one boolean per fingerprint ever seen. Within
+    a single trigger the smallest id of the group wins (deterministic
+    under any partitioning); across triggers first-arrival wins. The
+    output therefore equals the batch twin ``exact_dedup_keep`` whenever
+    the earliest trigger containing a fingerprint also carries its
+    minimal id (append-ordered sources); under arbitrary arrival the
+    streaming contract is first-wins, which is exactly what ingest
+    dedup wants.
+
+    State is fingerprint-count-sized and never expires (NoTimeout): a
+    deployment bounds it with a TTL timeout or periodic snapshot-compact
+    into the exact-dedup table; document-scale state (16 bytes/doc) is
+    the standard trade for exact ingest dedup."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{id_col} long, fingerprint string"
+    state_schema = "seen boolean"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        if state.exists:
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = pdf[id_col].min()
+                best = m if best is None else min(best, m)
+        if best is not None:
+            state.update((True,))
+            yield pd.DataFrame({id_col: [int(best)],
+                                "fingerprint": [key[0]]})
+
+    keyed = stream.select(
+        F.col(id_col),
+        F.md5(normalized_text(F.col(text_col))).alias("fingerprint"))
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              k: int = 3) -> DataFrame:
     """Distinct k-word shingles per document (w_i .. w_{i+k-1} joined by
@@ -154,6 +214,43 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                                 / (F.col("na") + F.col("nb") - F.col("n_inter")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard"))
+
+
+def dedup_resolution(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 3,
+                     threshold: float = 0.5) -> DataFrame:
+    """End-to-end near-duplicate RESOLUTION: MinHash-LSH verified pairs
+    -> transitive clusters (a~b, b~c => one cluster even when a,c are
+    not directly similar - the standard fuzzy-dedup semantics) ->
+    per-document keep decision.
+
+    -> (id, canonical_id, is_kept): canonical_id = the numerically
+    smallest member of the document's near-dup cluster (itself when the
+    doc has no near-dups), is_kept = doc is its cluster's
+    representative. ``df.filter(is_kept)`` IS the deduplicated corpus.
+
+    Distributed shape: pairs from ``jaccard_pairs`` (capped LSH, verify
+    join proportional to candidates), clusters from the pointer-jumping
+    min-label connected components in spark/kg.py (O(log diameter)
+    rounds; near-dup clusters are short chains/cliques so 2-3 rounds).
+    Ids ride through CC as zero-padded strings so the string-min label
+    equals the numeric min."""
+    from ..spark.kg import connected_components
+    pairs = jaccard_pairs(df, id_col, text_col, k, threshold)
+    pad = 12
+    edges = pairs.select(
+        F.lpad(F.col("a").cast("string"), pad, "0").alias("src"),
+        F.lpad(F.col("b").cast("string"), pad, "0").alias("dst"))
+    comp = connected_components(edges)
+    canon = comp.select(
+        F.col("vertex").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("canonical_id"))
+    return (df.select(id_col).join(canon, id_col, "left")
+            .select(id_col,
+                    F.coalesce("canonical_id", F.col(id_col))
+                    .alias("canonical_id"))
+            .withColumn("is_kept",
+                        F.col("canonical_id") == F.col(id_col)))
 
 
 def embedding_neardup(emb: DataFrame, threshold: float = 0.9,

@@ -177,6 +177,44 @@ def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """applyInPandasWithState ingest dedup == batch exact_dedup_keep
+    when originals arrive before their duplicates (append-ordered
+    drops): batch 1 carries the originals (plus an intra-batch dup),
+    batch 2 re-delivers copies - every one must be suppressed by state
+    carried across triggers."""
+    from eventrelationextractor_spark.ops import dedup as dd
+
+    texts = [(0, "the quick brown fox"), (1, "a completely other page"),
+             (2, "THE quick  brown fox!"),      # dup of 0 in SAME batch
+             (3, "third unique document")]
+    later = [(10, "the quick brown fox"),       # dup of 0, later trigger
+             (11, "a completely other page"),   # dup of 1
+             (12, "brand new in batch two")]
+    all_rows = texts + later
+    batch_df = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want = {(r.doc_id, r.fingerprint)
+            for r in dd.exact_dedup_keep(batch_df).collect()}
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    for i, part in enumerate((texts, later)):
+        spark.createDataFrame(part, "doc_id long, text string") \
+            .coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false") \
+        .parquet(src + "/*")
+    q = (dd.streaming_exact_dedup(stream)
+         .writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.fingerprint)
+           for r in spark.sql("select * from dedup_out").collect()}
+    assert got == want
+    assert {d for d, _ in got} == {0, 1, 3, 12}
+
+
 def test_media_feature_plumbing(spark):
     from eventrelationextractor_spark.ops import multimodal
     media = spark.createDataFrame(

@@ -183,6 +183,50 @@ def test_redact_pii_semantics(spark):
     assert (again.n_emails, again.n_ips, again.n_phones) == (0, 0, 0)
 
 
+def test_dedup_resolution_transitive_cluster(spark):
+    """a~b and b~c (but a!~c) must land in ONE cluster with the smallest
+    id kept - the transitive fuzzy-dedup semantics."""
+    from eventrelationextractor_spark.ops import dedup
+    w = [f"w{i}" for i in range(1, 13)]
+    rows = [(0, " ".join(w[0:8])),      # w1..w8
+            (1, " ".join(w[2:10])),     # w3..w10: J=0.5 with doc0
+            (2, " ".join(w[4:12])),     # w5..w12: J=0.5 with doc1, 0.2 with doc0
+            (7, "totally unrelated text about nothing at all here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a, r.b) for r in
+             dedup.jaccard_pairs(df, threshold=0.5).collect()}
+    assert (0, 1) in pairs and (1, 2) in pairs and (0, 2) not in pairs
+    got = {r.doc_id: (r.canonical_id, r.is_kept) for r in
+           dedup.dedup_resolution(df, threshold=0.5).collect()}
+    assert got[0] == (0, True)
+    assert got[1] == (0, False)
+    assert got[2] == (0, False)          # transitive: joined via doc1
+    assert got[7] == (7, True)           # singleton keeps itself
+
+
+def test_ngram_contamination(spark):
+    from eventrelationextractor_spark.ops.decontam import ngram_contamination
+    docs = spark.createDataFrame([
+        (0, "alpha beta gamma delta epsilon zeta"),   # contains bench gram
+        (1, "one two three four five six seven"),     # clean
+        (2, "short doc"),                             # < n words: 0 grams
+        (3, "x alpha beta gamma delta epsilon y"),    # contaminated mid-doc
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "bench_id long, text string")
+    got = {r.doc_id: r for r in
+           ngram_contamination(docs, bench, n=5).collect()}
+    assert got[0].contaminated and got[0].n_hits == 1
+    assert not got[1].contaminated and got[1].n_grams == 3
+    assert got[2].n_grams == 0 and not got[2].contaminated
+    assert got[3].contaminated
+    # scale shape: the benchmark gram set is broadcast
+    plan = ngram_contamination(docs, bench, n=5) \
+        ._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in plan
+
+
 def test_jaccard_materialized_shingles(spark, tmp_path):
     """The production shingle path (materialized parquet table) must
     produce identical pairs to the cache path."""
