@@ -389,10 +389,12 @@ def _q_eval_metrics(spark, sf_dir):
     normalization, full-outer pair match and per-label aggregation
     independently."""
     from eventrelationextractor_spark.spark import evaluate
+    # localCheckpoint: gold feeds BOTH the gold side and the perturbed
+    # pred side - without it each consumer re-runs the extraction
     gold = _synth_triples(spark, sf_dir, "temporal").select(
         F.col("doc_id").cast("string").alias("url"),
         F.col("subj").alias("src"), F.col("obj").alias("tgt"),
-        F.col("pred").alias("rel"))
+        F.col("pred").alias("rel")).localCheckpoint()
     dropped = gold.filter(~((F.col("url").cast("long") % 9 == 0)
                             & (F.col("src") == "e4")))
     spurious = _docs(spark, sf_dir).filter(F.col("doc_id") % 11 == 0).select(
@@ -462,10 +464,11 @@ def _q_awareness(spark, sf_dir):
     extraction; system = the same deterministic perturbation
     kg_eval_metrics uses."""
     from eventrelationextractor_spark.spark import evaluate
+    # localCheckpoint: see _q_eval_metrics (gold feeds both cogroup sides)
     gold = _synth_triples(spark, sf_dir, "temporal").select(
         F.col("doc_id").cast("string").alias("url"),
         F.col("subj").alias("src"), F.col("obj").alias("tgt"),
-        F.col("pred").alias("rel"))
+        F.col("pred").alias("rel")).localCheckpoint()
     dropped = gold.filter(~((F.col("url").cast("long") % 9 == 0)
                             & (F.col("src") == "e4")))
     spurious = _docs(spark, sf_dir).filter(F.col("doc_id") % 11 == 0).select(

@@ -39,6 +39,32 @@ def test_roundtrip_byte_identical_on_synth_and_fixture_pages(spark):
                       | F.col("got").isNull()).count() == 0
 
 
+def test_roundtrip_adversarial_payloads(spark):
+    """The escape/unescape pair must neutralize payloads that LOOK like
+    markup: the wrapper escapes < > & so no payload byte can terminate
+    the <pre> block or inject boilerplate-like elements."""
+    texts = [
+        "text containing </pre> early close",
+        "a <script>alert(1)</script> inside",
+        "<nav>fake nav</nav> and <footer>fake</footer>",
+        "pre-escaped &amp;lt; stays double-escaped",
+        "tabs\tand\nnewlines\r\nand  double  spaces",
+        "unicode: café — 日本語 \U0001f600",
+        "quotes \" and ' and backslash \\ and |pipes|",
+        "<article id=\"x\">nested article markers</article>",
+        "",                      # empty payload
+        " leading and trailing space ",
+    ]
+    rows = [(f"{i:08d}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "key string, want string")
+    wrapped = df.select(
+        "key", "want",
+        htmltext.wrap_html_expr(F.col("want"), F.col("key")).alias("html"))
+    out = htmltext.html_to_text(wrapped, out_col="got")
+    bad = [(r.key, r.got, r.want) for r in out.collect() if r.got != r.want]
+    assert bad == []
+
+
 def test_boilerplate_entities_pre_semantics(spark):
     rows = [
         # tag strip + whitespace collapse + entity unescape + footer drop
