@@ -484,6 +484,12 @@ def _q_awareness(spark, sf_dir):
                     "sys_total", "gold_total"))
 
 
+def _q_lm_quality(spark, sf_dir):
+    """Self-scored unigram-LM perplexity over documents (CCNet-tier
+    quality signal); oracle recomputes counts/ln/avg independently."""
+    return textstats.unigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality signals over documents (the
     standard webtext filter family); pure per-row codegen, no shuffle."""
@@ -593,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "repetition_stats": _q_repetition_stats,
+        "lm_quality": _q_lm_quality,
         "pii_redaction": _q_pii_redaction,
         "token_counts": _q_token_counts,
         "ann_topk": _q_ann_topk,
@@ -1024,6 +1031,21 @@ SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_words,
 FROM per p LEFT JOIN bper b USING (doc_id)
 """
 
+_LM_QUALITY_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok0 AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+tok AS (SELECT doc_id, w FROM tok0 WHERE w <> ''),
+counts AS (SELECT w, count(*) AS wn FROM tok GROUP BY w),
+tot AS (SELECT sum(wn) AS tot FROM counts),
+vocab AS (SELECT w, ln(wn / tot) AS lp FROM counts, tot),
+per AS (SELECT doc_id, count(*) AS n_tokens, avg(lp) AS mean_lp
+        FROM tok JOIN vocab USING (w) GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+  round(p.mean_lp, 6) AS mean_logprob,
+  round(exp(-p.mean_lp), 4) AS ppl
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 _PII_PHONE = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
@@ -1382,6 +1404,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "lang_id": _lang_oracle(),
         "quality_scores": _QUALITY_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,
+        "lm_quality": _LM_QUALITY_ORACLE,
         "pii_redaction": _PII_ORACLE,
         "token_counts": _TOKEN_ORACLE,
         "ann_topk": _ANN_ORACLE,

@@ -169,6 +169,59 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         .alias("mean_word_len"))
 
 
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    vocab: DataFrame | None = None) -> DataFrame:
+    """CCNet-style language-model quality signal: per document the mean
+    unigram log-probability and the corresponding perplexity
+    ``exp(-mean)`` - the workhorse corpus-quality score one tier above
+    the stopword heuristics (documents of improbable tokens - boilerplate
+    residue, encoding damage, gibberish - score high-perplexity and get
+    filtered or down-weighted in the mix).
+
+    ``vocab`` (word string, logprob double) supplies an external model
+    (the CCNet setup scores web text under a Wikipedia LM); by default
+    the model is the corpus itself (self-scoring): word counts over the
+    normalized corpus, logprob = ln(count/total). Out-of-vocabulary
+    words (possible only with an external vocab) take the floor
+    ln(1)-ln(total)-style smoothing via ``oov_logprob`` = null-filled
+    minimum of the vocab minus ln(10).
+
+    Shape: one word explode (map-side) -> vocab join (AQE picks
+    broadcast for LM-sized vocabs; the self-built corpus vocab stays a
+    shuffle join at corpus scale, which is correct - a 100-TB corpus
+    vocab does not broadcast) -> one partial-agg groupBy per doc. Exact
+    SQL twin in __spark_entry__ (ln/avg agree across engines well below
+    the 6-decimal rounding)."""
+    from .dedup import normalized_text
+    tok = df.select(F.col(id_col),
+                    F.explode(F.split(normalized_text(F.col(text_col)),
+                                      " ")).alias("w")) \
+        .filter(F.col("w") != "")        # empty docs emit no tokens
+    if vocab is None:
+        counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("wn"))
+        total = counts.agg(F.sum("wn").alias("tot"))
+        vocab = (counts.crossJoin(F.broadcast(total))
+                 .select(F.col("w").alias("word"),
+                         F.log(F.col("wn") / F.col("tot")).alias("logprob")))
+        oov = None                      # self-scored: no OOV possible
+    else:
+        oov = vocab.agg(
+            (F.min("logprob") - F.log(F.lit(10.0))).alias("o")).first().o
+    scored = tok.join(vocab.withColumnRenamed("word", "w"), "w", "left")
+    if oov is not None:
+        scored = scored.withColumn(
+            "logprob", F.coalesce("logprob", F.lit(float(oov))))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("logprob").alias("mean_lp"))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.round("mean_lp", 6).alias("mean_logprob"),
+                    F.round(F.exp(-F.col("mean_lp")), 4).alias("ppl")))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalization fingerprint: md5 of lowercased alnum+space text with
     collapsed whitespace - the exact-dedup key."""

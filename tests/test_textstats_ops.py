@@ -183,6 +183,31 @@ def test_redact_pii_semantics(spark):
     assert (again.n_emails, again.n_ips, again.n_phones) == (0, 0, 0)
 
 
+def test_unigram_logprob_self_and_external_vocab(spark):
+    import math
+
+    from eventrelationextractor_spark.ops.textstats import unigram_logprob
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    # corpus counts: a=2, b=2, c=1, total=5
+    lp = {"a": math.log(2 / 5), "b": math.log(2 / 5), "c": math.log(1 / 5)}
+    assert got[0].n_tokens == 3
+    assert got[0].mean_logprob == round((2 * lp["a"] + lp["b"]) / 3, 6)
+    assert got[1].mean_logprob == round((lp["b"] + lp["c"]) / 2, 6)
+    assert got[2].mean_logprob is None and got[2].n_tokens == 0
+    # perplexity inverts the mean
+    assert got[1].ppl == round(math.exp(-(lp["b"] + lp["c"]) / 2), 4)
+    # external vocab: OOV words take min(logprob) - ln(10)
+    vocab = spark.createDataFrame(
+        [("a", math.log(0.5)), ("b", math.log(0.25))],
+        "word string, logprob double")
+    ext = {r.doc_id: r for r in unigram_logprob(docs, vocab=vocab).collect()}
+    oov = math.log(0.25) - math.log(10.0)
+    assert ext[1].mean_logprob == round((math.log(0.25) + oov) / 2, 6)
+
+
 def test_dedup_resolution_transitive_cluster(spark):
     """a~b and b~c (but a!~c) must land in ONE cluster with the smallest
     id kept - the transitive fuzzy-dedup semantics."""
