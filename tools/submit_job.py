@@ -1,34 +1,76 @@
 """spark-submit entry point: the staged KG-construction job, packaged for
-``spark-submit --py-files erex.zip tools/submit_job.py <out_dir> [n_docs]``.
+``spark-submit --py-files erex.zip tools/submit_job.py <out_dir> [n_docs]
+[--from-warc <dir>]``.
 
-Builds the synthetic pages corpus, extracts temporal+causal triples with
-the giant-page guard, applies the consistency filter shape via lineage
-writes, and prints a one-line JSON summary. Demonstrates the north-rule
-deployment path (multi-executor via --master; everything in the package is
-zip-importable)."""
+Default mode builds the synthetic pages corpus in-job; ``--from-warc``
+runs the full crawl path instead - WARC segment files -> response
+records -> html binary -> boilerplate-stripping text extraction ->
+extraction (use ``--make-warc <dir> <n_docs>`` to materialize synthetic
+segments first). Either way: temporal+causal triples with the giant-page
+guard, url-hash-bucketed resumable lineage writes, one-line JSON
+summary. Demonstrates the north-rule deployment path (multi-executor via
+--master; everything in the package is zip-importable)."""
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 
+def make_warc(warc_dir: str, n_docs: int, docs_per_seg: int = 500) -> None:
+    """Materialize synthetic WARC segment files (driver-side test-fixture
+    generator; a real deployment reads Common Crawl's segments)."""
+    from eventrelationextractor_spark import datagen
+    from eventrelationextractor_spark.spark.warc import write_warc_bytes
+    os.makedirs(warc_dir, exist_ok=True)
+    for seg0 in range(0, n_docs, docs_per_seg):
+        pages = []
+        for d in range(seg0, min(seg0 + docs_per_seg, n_docs)):
+            p = datagen.synth_page(d)
+            pages.append((p["url"],
+                          p["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                          p["html"]))
+        with open(os.path.join(warc_dir,
+                               f"seg-{seg0 // docs_per_seg:05d}.warc"),
+                  "wb") as f:
+            f.write(write_warc_bytes(pages))
+
+
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/erex_out"
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    args = [a for a in sys.argv[1:]]
+    if args and args[0] == "--make-warc":
+        make_warc(args[1], int(args[2]))
+        print(json.dumps({"made_warc": args[1], "docs": int(args[2])}))
+        return
+    warc_dir = None
+    if "--from-warc" in args:
+        i = args.index("--from-warc")
+        warc_dir = args[i + 1]
+        del args[i:i + 2]
+    out_dir = args[0] if args else "/tmp/erex_out"
+    n_docs = int(args[1]) if len(args) > 1 else 2000
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
+    from eventrelationextractor_spark.ops.htmltext import html_to_text
     from eventrelationextractor_spark.spark.lineage import (
         read_triples, write_triples_resumable)
     from eventrelationextractor_spark.spark.stages import synth_pages_df
+    from eventrelationextractor_spark.spark.warc import read_warc
 
     spark = SparkSession.builder.appName("erex-kg-job").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.perf_counter()
-    pages = synth_pages_df(spark, n_docs)
+    if warc_dir is not None:
+        pages = html_to_text(
+            read_warc(spark, os.path.join(warc_dir, "*.warc"))) \
+            .withColumn("lang", F.lit("en"))
+    else:
+        pages = synth_pages_df(spark, n_docs)
     summary = write_triples_resumable(pages, out_dir, n_buckets=8,
                                       mode="both")
     triples = read_triples(spark, out_dir)
