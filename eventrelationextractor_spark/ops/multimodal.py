@@ -1,12 +1,15 @@
 """Multimodal-column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched ``mapInPandas`` stages.
 
-The decode kernels are STUBS (the container ships no image/audio codecs):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic md5-derived feature vector stands in for the decoder
-output. The Spark-side plumbing - schema, batch shape, partition-parallel
-UDF signature - is real and tested; swapping in PIL/ffmpeg later only
-replaces the kernel body.
+Decode kernels are REAL for PNG images and WAV audio (ops.codecs -
+pure-stdlib zlib/wave decoders, validated against real-world files):
+``fake=False`` decodes, featurizes and resizes genuinely. JPEG and video
+remain NotImplementedError - entropy-coded DCT / inter-frame codecs need
+codec libraries this sandbox does not ship; ``fake=True`` (the default,
+and what the oracled media_features query uses) substitutes a
+deterministic md5-derived feature so plumbing stays testable for every
+format. The Spark-side shape - schema, batch framing, partition-parallel
+UDF signature, 1-to-many frame explode - is identical in both modes.
 """
 
 from __future__ import annotations
@@ -17,6 +20,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (ArrayType, BinaryType, FloatType, LongType,
                                StringType, StructField, StructType)
+
+from . import codecs
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
@@ -42,10 +47,43 @@ def _fake_features(payload: bytes, dim: int = 8) -> list:
 
 
 def decode_image(payload: bytes):
+    """-> (h, w, ch) uint8 for PNG payloads; other image formats raise."""
+    if payload[:8] == codecs.PNG_MAGIC:
+        return codecs.decode_png(payload)
     raise NotImplementedError(
-        "image decoding requires an image codec (PIL/libvips), not shipped "
-        "in this environment; use extract_features(fake=True) for plumbing "
-        "tests")
+        "only PNG decoding is implemented (pure-stdlib, ops/codecs.py); "
+        "JPEG/WebP need codec libraries not shipped in this environment - "
+        "use extract_features(fake=True) for plumbing tests on other "
+        "formats")
+
+
+def image_features(arr, dim: int = 8) -> list:
+    """Deterministic image descriptor: [h/4096, w/4096, ch/4, mean/255,
+    std/255, per-channel means/255...] truncated/zero-padded to dim."""
+    import numpy as np
+    h, w, ch = arr.shape
+    vals = [h / 4096.0, w / 4096.0, ch / 4.0,
+            float(arr.mean()) / 255.0, float(arr.std()) / 255.0]
+    vals += [float(arr[:, :, c].mean()) / 255.0 for c in range(ch)]
+    vals = vals[:dim] + [0.0] * max(0, dim - len(vals))
+    return [float(np.float32(v)) for v in vals]
+
+
+def audio_features(payload: bytes, dim: int = 8) -> list:
+    """Deterministic audio descriptor from the decoded PCM: [duration_s/
+    3600, rate/96k, channels/8, rms, peak, zero-crossing rate, ...]."""
+    import numpy as np
+    rate, samples = codecs.decode_wav(payload)
+    mono = samples.mean(axis=1) if samples.size else samples.reshape(0)
+    n = len(mono)
+    zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) \
+        if n > 1 else 0.0
+    vals = [n / rate / 3600.0 if rate else 0.0, rate / 96000.0,
+            samples.shape[1] / 8.0,
+            float(np.sqrt(np.mean(mono ** 2))) if n else 0.0,
+            float(np.abs(mono).max()) if n else 0.0, zc]
+    vals = vals[:dim] + [0.0] * max(0, dim - len(vals))
+    return [float(np.float32(v)) for v in vals]
 
 
 FRAME_SCHEMA = StructType([
@@ -62,10 +100,10 @@ def decode_video_frame(payload: bytes, idx: int):
 
 
 def resize_kernel(payload: bytes, width: int, height: int):
-    raise NotImplementedError(
-        "image resizing requires an image codec (PIL/libvips), not shipped "
-        "in this environment; use resize_images(fake=True) for plumbing "
-        "tests")
+    """PNG in -> nearest-neighbor-resized PNG out (re-decodable, so
+    resize stages compose for real, not just schema-wise)."""
+    return codecs.encode_png(
+        codecs.resize_nearest(decode_image(payload), width, height))
 
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224,
@@ -147,13 +185,18 @@ def extract_features(media: DataFrame, dim: int = 8,
         import pandas as pd
         for pdf in batches:
             feats, nbytes = [], []
-            for payload in pdf["payload"]:
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 b = bytes(payload)
                 nbytes.append(len(b))
                 if fake:
                     feats.append(_fake_features(b, dim))
+                elif kind == "image":
+                    feats.append(image_features(decode_image(b), dim))
+                elif kind == "audio":
+                    feats.append(audio_features(b, dim))
                 else:
-                    feats.append(decode_image(b))
+                    raise NotImplementedError(
+                        f"no real decoder for kind={kind}; use fake=True")
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "kind": pdf["kind"],
                                 "n_bytes": nbytes,
