@@ -2,10 +2,11 @@
 filters) and WAV (the ``wave`` module). No third-party imaging/audio
 library ships in this sandbox, but PNG is just deflate over filtered
 scanlines and WAV is framed PCM - both decodable with the standard
-library alone, which upgrades the multimodal operators from documented
-stubs to REAL kernels for these two formats (JPEG/video stay
-NotImplementedError: entropy-coded DCT / inter-frame codecs genuinely
-need codec libraries).
+library alone. Sibling modules extend the real-decode set: ops/jpeg.py
+(baseline JPEG, validated against Java ImageIO) and ops/gif.py
+(GIF/LZW incl. animations - the real multi-frame path for
+sample_frames). Only WebP/AVIF/progressive-JPEG and true video codecs
+(H.264 etc.) remain NotImplementedError.
 
 PNG support: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
 6 (RGBA), non-interlaced - the overwhelmingly common subset. Decode is

@@ -1,15 +1,18 @@
 """Multimodal-column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched ``mapInPandas`` stages.
 
-Decode kernels are REAL for PNG images and WAV audio (ops.codecs -
-pure-stdlib zlib/wave decoders, validated against real-world files):
-``fake=False`` decodes, featurizes and resizes genuinely. JPEG and video
-remain NotImplementedError - entropy-coded DCT / inter-frame codecs need
-codec libraries this sandbox does not ship; ``fake=True`` (the default,
-and what the oracled media_features query uses) substitutes a
-deterministic md5-derived feature so plumbing stays testable for every
-format. The Spark-side shape - schema, batch framing, partition-parallel
-UDF signature, 1-to-many frame explode - is identical in both modes.
+Decode kernels are REAL for PNG, baseline JPEG and GIF images, animated
+GIF "video", and WAV audio (ops.codecs / ops.jpeg / ops.gif -
+pure-stdlib+numpy decoders, validated against real-world files and
+against Java ImageIO as an independent decoder): ``fake=False``
+decodes, featurizes, resizes and frame-samples genuinely. Progressive
+JPEG, WebP and true video codecs (H.264 etc.) remain
+NotImplementedError - those need codec libraries this sandbox does not
+ship; ``fake=True`` (the default, and what the oracled media_features
+query uses) substitutes a deterministic md5-derived feature so plumbing
+stays testable for every format. The Spark-side shape - schema, batch
+framing, partition-parallel UDF signature, 1-to-many frame explode - is
+identical in both modes.
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (ArrayType, BinaryType, FloatType, LongType,
                                StringType, StructField, StructType)
 
-from . import codecs
+from . import codecs, gif, jpeg
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
@@ -47,14 +50,19 @@ def _fake_features(payload: bytes, dim: int = 8) -> list:
 
 
 def decode_image(payload: bytes):
-    """-> (h, w, ch) uint8 for PNG payloads; other image formats raise."""
+    """-> (h, w, ch) uint8 for PNG, baseline JPEG and GIF payloads
+    (GIF: first frame composited over the logical screen)."""
     if payload[:8] == codecs.PNG_MAGIC:
         return codecs.decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return jpeg.decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return gif.decode_gif_frames(payload, max_frames=1)[0]
     raise NotImplementedError(
-        "only PNG decoding is implemented (pure-stdlib, ops/codecs.py); "
-        "JPEG/WebP need codec libraries not shipped in this environment - "
-        "use extract_features(fake=True) for plumbing tests on other "
-        "formats")
+        "image decoding covers PNG, baseline JPEG and GIF (pure-stdlib, "
+        "ops/{codecs,jpeg,gif}.py); WebP/AVIF/progressive-JPEG need codec "
+        "libraries not shipped in this environment - use "
+        "extract_features(fake=True) for plumbing tests on other formats")
 
 
 def image_features(arr, dim: int = 8) -> list:
@@ -94,9 +102,18 @@ FRAME_SCHEMA = StructType([
 
 
 def decode_video_frame(payload: bytes, idx: int):
+    """Animated-GIF payloads decode for real: frame ``idx`` composited
+    per the disposal rules, returned as a PNG payload (re-decodable, so
+    frame stages compose with the image operators). True video
+    containers (mp4/webm) raise - inter-frame codecs need libraries the
+    sandbox does not ship."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        frames = gif.decode_gif_frames(payload, max_frames=idx + 1)
+        return codecs.encode_png(frames[min(idx, len(frames) - 1)])
     raise NotImplementedError(
-        "video decoding requires ffmpeg, not shipped in this environment; "
-        "use sample_frames(fake=True) for plumbing tests")
+        "real frame decode covers animated GIF (ops/gif.py); mp4/webm "
+        "need ffmpeg, not shipped in this environment - use "
+        "sample_frames(fake=True) for plumbing tests")
 
 
 def resize_kernel(payload: bytes, width: int, height: int):
@@ -161,14 +178,27 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
                 if kind != "video":
                     continue
                 b = bytes(payload)
-                for i in range(n_frames):
-                    ids.append(mid)
-                    idxs.append(i)
-                    if fake:
+                if fake:
+                    for i in range(n_frames):
+                        ids.append(mid)
+                        idxs.append(i)
                         payloads.append(
                             b"FRM" + hashlib.md5(b + bytes([i])).digest())
-                    else:
-                        payloads.append(decode_video_frame(b, i))
+                else:
+                    # decode once, sample n_frames evenly across the clip
+                    frames = gif.decode_gif_frames(b) \
+                        if b[:6] in (b"GIF87a", b"GIF89a") else None
+                    if frames is None:
+                        raise NotImplementedError(
+                            "real frame decode covers animated GIF; use "
+                            "fake=True for other containers")
+                    total = len(frames)
+                    picks = sorted({min(i * total // n_frames, total - 1)
+                                    for i in range(n_frames)})
+                    for i in picks:
+                        ids.append(mid)
+                        idxs.append(i)
+                        payloads.append(codecs.encode_png(frames[i]))
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
                                 "payload": payloads})
 

@@ -120,7 +120,12 @@ def test_resize_images_real_kernel_composes(spark):
 
 
 def test_unsupported_formats_still_fail_loudly():
-    with pytest.raises(NotImplementedError):
+    # JPEG/GIF now decode for real (ops/jpeg.py, ops/gif.py; see
+    # test_jpeg_gif.py) - malformed streams raise ValueError, formats
+    # with no sandbox-decodable codec raise NotImplementedError.
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"RIFF....WEBPVP8 ")
     with pytest.raises(NotImplementedError):
         multimodal.decode_video_frame(b"x", 0)
