@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from eventrelationextractor_spark import fixtures as fx  # noqa: E402
+from eventrelationextractor_spark.ops import bm25, cluster  # noqa: E402
 from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
 from eventrelationextractor_spark.ops import htmltext, pii  # noqa: E402
 from eventrelationextractor_spark.ops import simsearch, textstats, urls  # noqa: E402
@@ -224,6 +225,25 @@ def _q_ann_ivf_topk_c256(spark, sf_dir):
     oracle scheme. Zero pre-probe shuffle in this branch too
     (tests/test_scale_shapes.py::test_ivf_assignment_is_map_side)."""
     return simsearch.ivf_topk(_emb(spark, sf_dir), n_cells=256)
+
+
+BM25_QUERY_TERMS = ["hash", "join", "spark", "window", "stream"]
+
+
+def _q_bm25_search(spark, sf_dir):
+    """Lexical top-k over the documents table (ops/bm25.py): broadcast
+    query-term semi-join before any shuffle, scalar corpus stats as a
+    broadcast single-row dimension."""
+    return bm25.bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=25)
+
+
+def _q_embedding_kmeans(spark, sf_dir):
+    """Fixed-iteration Lloyd k-means over the embeddings table
+    (ops/cluster.py): map-side broadcast-centroid assignment, one
+    partial-agg shuffle per update; the oracle replays the identical
+    deterministic iterations in SQL."""
+    _, assigned = cluster.kmeans_fit(_emb(spark, sf_dir), k=8, n_iter=2)
+    return assigned
 
 
 def _aug_emb(spark, sf_dir):
@@ -618,6 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_trigram": _q_lang_id_trigram,
         "stratified_sample": _q_stratified_sample,
         "split_assignment": _q_split_assignment,
+        "bm25_search": _q_bm25_search,
+        "embedding_kmeans": _q_embedding_kmeans,
     }
 
 
@@ -1365,6 +1387,64 @@ def _values_oracle(rows) -> str:
             + "\n) AS t(url, subj, pred, obj)")
 
 
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT * FROM (VALUES ('hash'),('join'),('spark'),('window'),('stream')) q(term)),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM toks JOIN qt USING (term) GROUP BY doc_id, term),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scored
+QUALIFY rank <= 25
+"""
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """Replays kmeans_fit's deterministic Lloyd iterations: init =
+    vec_ids [0, k); per-dim avg update with COALESCE keeping empty
+    clusters' previous centroids; final assignment under the last
+    centroids. list_distance ties (exactly equidistant) break to the
+    lowest cell, like the Spark side's stable argmin."""
+    parts = [f"""
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+c0 AS (SELECT vec_id AS cell, v AS cv FROM ev WHERE vec_id < {k})"""]
+    for i in range(n_iter):
+        parts.append(f""",
+a{i + 1} AS (SELECT e.vec_id, e.v,
+        (SELECT c.cell FROM c{i} c
+         ORDER BY list_distance(e.v, c.cv), c.cell LIMIT 1) AS cell
+       FROM ev e),
+u{i + 1} AS (SELECT cell, list(m ORDER BY pos) AS cv FROM (
+         SELECT a.cell, t.pos, avg(a.v[t.pos + 1]) AS m
+         FROM a{i + 1} a, range({dim}) t(pos) GROUP BY a.cell, t.pos)
+       GROUP BY cell),
+c{i + 1} AS (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+       FROM c{i} p LEFT JOIN u{i + 1} u ON p.cell = u.cell)""")
+    parts.append(f"""
+SELECT e.vec_id,
+       (SELECT c.cell FROM c{n_iter} c
+        ORDER BY list_distance(e.v, c.cv), c.cell LIMIT 1) AS cluster
+FROM ev e
+""")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -1432,6 +1512,8 @@ FROM hashed
 """,
         "kg_ee_probabilities": _EE_PROB_ORACLE,
         "lang_id_trigram": _lang_trigram_oracle(),
+        "bm25_search": _BM25_ORACLE,
+        "embedding_kmeans": _kmeans_oracle(),
     }
 
 

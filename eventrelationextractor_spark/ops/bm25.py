@@ -1,0 +1,81 @@
+"""BM25 keyword search over the documents table - the lexical
+counterpart to ops/simsearch.py's embedding ANN. A training-data
+pipeline uses it for targeted corpus slicing ("all docs about X"),
+relevance-weighted sampling, and benchmark-leak triage beyond exact
+n-gram decontamination.
+
+Scoring is the Lucene/Robertson BM25 formulation:
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(d, q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Scale shape:
+
+* Tokenize + explode is narrow (no shuffle); the broadcast semi-join
+  against the query-term dimension drops every non-query token BEFORE
+  anything wide happens, so the tf shuffle carries only matching
+  (doc, term) rows - for a handful of query terms that is a vanishing
+  fraction of the corpus at any size.
+* Document lengths are one partial-aggregated count shuffle; corpus
+  scalars (N, avgdl) and per-term df/idf ride along as broadcast joins
+  (1 row / n_terms rows), never a driver collect.
+* Top-k is a single global WindowGroupLimit over per-doc scores -
+  k rows survive per partition before the final exchange.
+
+Tokenizer contract (mirrored by the DuckDB oracle): lowercase, split
+on runs of [^a-z0-9], drop empties. Scores round to 6 decimals; ties
+rank by doc_id ascending.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokenize(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(doc_id, term): one row per token occurrence."""
+    terms = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(terms, lambda t: t != "")).alias("term"))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list, k: int = 20,
+              k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(rank, doc_id, score): top-k documents for a bag of query terms.
+
+    Only documents containing at least one query term are candidates
+    (a BM25 score of 0 is not a retrieval)."""
+    spark = docs.sparkSession
+    toks = tokenize(docs, id_col, text_col)
+    qt = spark.createDataFrame([(t,) for t in query_terms], "term string")
+
+    # per-doc length + corpus scalars (broadcast single-row dimension)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+
+    # term frequencies for query terms only (broadcast semi-join first)
+    tf = (toks.join(F.broadcast(qt), "term")
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (tf
+              .join(F.broadcast(df_), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("idf", F.log(
+                  F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)))
+              .withColumn("part", F.col("idf") * F.col("tf") * (k1 + 1.0)
+                          / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                                 / F.col("avgdl"))))
+              .groupBy("doc_id").agg(F.sum("part").alias("score")))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("rank").cast("long").alias("rank"), "doc_id",
+                    F.round("score", 6).alias("score")))

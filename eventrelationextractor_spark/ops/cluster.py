@@ -1,0 +1,106 @@
+"""Embedding k-means clustering - the data-mixing / SemDeDup-style
+primitive a training-data pipeline uses to discover domains, balance a
+corpus, or prune semantically duplicated regions (cluster, then sample
+per cluster).
+
+Scale shape (Lloyd's algorithm, the classic Spark formulation):
+
+* **Assignment is map-side.** Centroids are a driver-known k x dim
+  matrix (k*dim doubles - tiny at any corpus size) broadcast into ONE
+  Arrow ``mapInPandas`` stage computing ``argmin ||v - c||`` per batch
+  via a BLAS matmul. Zero shuffle, constant plan size at any k - the
+  same branch structure as ops/simsearch.py's IVF assignment, which won
+  its in-session A/B at every cell count (BENCH/BASELINE.md).
+* **The update is one partial-aggregated shuffle per iteration.**
+  posexplode to (cell, pos, val) then groupBy(cell, pos).avg: partial
+  aggregation reduces map output to k*dim rows per task before the
+  exchange, so the shuffle is O(k * dim * n_tasks), not O(corpus).
+  The k*dim averaged values collected to the driver are the next
+  centroid matrix (the only collect - never the corpus).
+* Empty clusters keep their previous centroid (deterministic; matches
+  the SQL oracle's COALESCE on a left join).
+
+Determinism contract (mirrored by the DuckDB oracle in
+__spark_entry__.py): init centroids are the vectors with ids [0, k);
+distance is squared Euclidean in float64; ties break to the lowest
+cell id; iteration count is fixed, not convergence-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_clusters(emb: DataFrame, centroids, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, v, cluster): nearest-centroid assignment, map-side only.
+
+    ``centroids`` is an ordered list/array of dim-length float lists
+    (cluster c = centroids[c]). Stable argmin breaks exact-distance
+    ties to the lowest cluster id, like the oracle's ORDER BY dist,
+    cell LIMIT 1."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)           # (k, dim)
+    Csq = (C * C).sum(axis=1)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["v"]])
+            # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 is constant
+            # per row so argmin needs only the last two terms
+            d = Csq[None, :] - 2.0 * (V @ C.T)
+            cell = np.argmin(d, axis=1)                   # first min wins
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "v": pdf["v"],
+                                "cluster": cell.astype(np.int64)})
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return emb.select(F.col(id_col).alias("vec_id"), vec.alias("v")) \
+        .mapInPandas(gen, "vec_id long, v array<double>, cluster long")
+
+
+def _update_centroids(assigned: DataFrame, centroids) -> list:
+    """One Lloyd update: per-cluster element-wise mean via a partial-agg
+    groupBy; clusters with no members keep their previous centroid."""
+    rows = (assigned
+            .select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
+            .collect())
+    new = [list(c) for c in centroids]
+    got = {}
+    for r in rows:
+        got.setdefault(r.cluster, {})[r.pos] = r.m
+    for cell, dims in got.items():
+        new[cell] = [dims[i] for i in range(len(new[cell]))]
+    return new
+
+
+def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Fixed-iteration Lloyd k-means. Returns (centroids, assignment):
+    the final centroid list and the (vec_id, cluster) DataFrame of the
+    final assignment under them.
+
+    Init = the vectors with ids [0, k) (driver-known, like the IVF
+    centroids); then ``n_iter`` assign+update cycles; the returned
+    assignment is one more map-side pass under the final centroids."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    centroids = [
+        [float(x) for x in r.v] for r in
+        sorted(emb.filter(F.col(id_col) < k)
+               .select(F.col(id_col).alias("i"), vec.alias("v")).collect(),
+               key=lambda r: r.i)]
+    if len(centroids) != k:
+        raise ValueError(f"need ids [0, {k}) present for deterministic "
+                         f"init; found {len(centroids)}")
+    for _ in range(n_iter):
+        assigned = assign_clusters(emb, centroids, id_col, vec_col)
+        centroids = _update_centroids(assigned, centroids)
+    final = assign_clusters(emb, centroids, id_col, vec_col) \
+        .select("vec_id", "cluster")
+    return centroids, final

@@ -1,0 +1,128 @@
+"""ops/cluster.py (Lloyd k-means) and ops/bm25.py (lexical top-k):
+semantic unit tests plus the plan-shape assertions that make the
+100-TB story checkable (map-side assignment, broadcast query-term
+semi-join)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from eventrelationextractor_spark.ops import bm25, cluster
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+
+
+def test_kmeans_separable_clusters(spark):
+    """Two tight blobs + init centroids one in each -> perfect split,
+    stable under iterations."""
+    rng = np.random.default_rng(0)
+    a = rng.normal([5, 0, 0], 0.1, size=(10, 3))
+    b = rng.normal([-5, 0, 0], 0.1, size=(10, 3))
+    # ids 0..9 = blob a, 10..19 = blob b; init needs ids [0, 2): put one
+    # blob-b point at id 1 so each blob seeds one centroid
+    vecs = np.vstack([a[:1], b[:1], a[1:], b[1:]])
+    cents, assigned = cluster.kmeans_fit(_emb_df(spark, vecs), k=2,
+                                         n_iter=3)
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    blob_a = {0} | set(range(2, 11))
+    assert {got[i] for i in blob_a} == {0}
+    assert {got[i] for i in got if i not in blob_a} == {1}
+    assert np.allclose(cents[0], a.mean(axis=0), atol=1e-6)
+    assert np.allclose(cents[1], b.mean(axis=0), atol=1e-6)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """A centroid that captures nothing must survive the update
+    unchanged (COALESCE semantics, mirrored in the SQL oracle)."""
+    vecs = [[0.0, 0.0], [100.0, 100.0], [0.1, 0.1], [0.2, 0.0],
+            [0.0, 0.2]]
+    cents, assigned = cluster.kmeans_fit(_emb_df(spark, vecs), k=2,
+                                         n_iter=2)
+    # cluster 1 (init [100,100]) captures only vec 1; after update it
+    # moves there and keeps it
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    assert got[1] == 1 and all(got[i] == 0 for i in got if i != 1)
+    assert cents[1] == [100.0, 100.0]
+
+
+def test_kmeans_tie_breaks_to_lowest_cluster(spark):
+    """A vector exactly equidistant from both centroids goes to the
+    lower cluster id - the stable-argmin contract the oracle copies."""
+    vecs = [[1.0, 0.0], [-1.0, 0.0], [0.0, 5.0]]
+    assigned = cluster.assign_clusters(_emb_df(spark, vecs),
+                                       [[1.0, 0.0], [-1.0, 0.0]])
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    assert got[2] == 0                       # equidistant -> cluster 0
+
+
+def test_kmeans_requires_init_ids(spark):
+    with pytest.raises(ValueError, match="deterministic init"):
+        cluster.kmeans_fit(
+            _emb_df(spark, [[1.0, 0.0]]), k=4, n_iter=1)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().toString().split(
+        "== Physical Plan ==")[-1]
+
+
+def test_kmeans_assignment_is_map_side(spark):
+    """The assignment stage must contain no Exchange: broadcast-numpy
+    centroids, not a join against a centroid table."""
+    df = cluster.assign_clusters(
+        _emb_df(spark, np.eye(4).tolist()), np.eye(4).tolist())
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+# ------------------------------------------------------------------ BM25
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+
+
+def test_bm25_matches_reference(spark):
+    texts = ["the cat sat on the mat",
+             "the dog sat",
+             "cat cat cat",
+             "nothing relevant here"]
+    out = {r.doc_id: r.score
+           for r in bm25.bm25_topk(_docs_df(spark, texts),
+                                   ["cat", "sat"], k=10).collect()}
+    # reference implementation
+    toks = [t.lower().split() for t in texts]
+    N = 4
+    avgdl = sum(len(t) for t in toks) / N
+    exp = {}
+    for term in ("cat", "sat"):
+        df_ = sum(1 for t in toks if term in t)
+        idf = math.log(1 + (N - df_ + 0.5) / (df_ + 0.5))
+        for d, t in enumerate(toks):
+            tf = t.count(term)
+            if tf:
+                dl = len(t)
+                exp[d] = exp.get(d, 0.0) + idf * tf * 2.2 / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    exp = {d: round(s, 6) for d, s in exp.items()}
+    assert set(out) == set(exp) == {0, 1, 2}   # doc 3 never retrieved
+    for d in exp:
+        assert abs(out[d] - exp[d]) < 1e-6
+
+
+def test_bm25_rank_ordering_and_k(spark):
+    texts = ["zebra"] * 1 + ["zebra zebra pad pad pad"] * 1
+    res = bm25.bm25_topk(_docs_df(spark, texts), ["zebra"], k=1).collect()
+    assert len(res) == 1 and res[0].rank == 1
+
+
+def test_bm25_query_terms_join_is_broadcast(spark):
+    df = bm25.bm25_topk(_docs_df(spark, ["a b c", "b c d"]), ["b"], k=5)
+    assert "BroadcastHashJoin" in _plan(df)
