@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from eventrelationextractor_spark import fixtures as fx  # noqa: E402
-from eventrelationextractor_spark.ops import bm25, cluster  # noqa: E402
+from eventrelationextractor_spark.ops import bm25, cluster, packing  # noqa: E402
 from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
 from eventrelationextractor_spark.ops import htmltext, pii  # noqa: E402
 from eventrelationextractor_spark.ops import simsearch, textstats, urls  # noqa: E402
@@ -235,6 +235,19 @@ def _q_bm25_search(spark, sf_dir):
     query-term semi-join before any shuffle, scalar corpus stats as a
     broadcast single-row dimension."""
     return bm25.bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=25)
+
+
+def _q_sequence_packing(spark, sf_dir):
+    """GPT-style concatenate-and-chop layout (ops/packing.py): per-group
+    window cumsum over token counts only - parallel across groups,
+    append-stable, no global ORDER BY."""
+    return packing.pack_sequences(_docs(spark, sf_dir))
+
+
+def _q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head (ops/bm25.py::top_terms): partial-agg term
+    counts + distributed TakeOrdered top-k."""
+    return bm25.top_terms(_docs(spark, sf_dir), k=50)
 
 
 def _q_embedding_kmeans(spark, sf_dir):
@@ -591,6 +604,52 @@ def _q_media_features(spark, sf_dir):
         F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"))
 
 
+def _media_pngs(doc_ids_df: DataFrame) -> DataFrame:
+    """Deterministic PNG payloads, a pure function of doc_id: dims
+    h = 8 + (d%5)*4, w = 8 + ((d//5)%5)*4, pixel[y,x,c] =
+    (x*3 + y*7 + c*11 + d) % 256, encoded with row filter d % 3 (None/
+    Sub/Up - all the paths our encoder can emit). The closed pixel form
+    is what lets a SQL oracle verify a REAL decode (see
+    _MEDIA_DECODE_ORACLE)."""
+    from eventrelationextractor_spark.ops import codecs as _codecs
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            ids, payloads, ws, hs = [], [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h = 8 + (d % 5) * 4
+                w = 8 + ((d // 5) % 5) * 4
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                arr = ((x * 3 + y * 7 + c * 11 + d) % 256).astype("uint8")
+                ids.append(d)
+                payloads.append(_codecs.encode_png(arr, row_filter=d % 3))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({"media_id": ids,
+                                "kind": ["image"] * len(ids),
+                                "payload": payloads,
+                                "width": ws, "height": hs})
+
+    return doc_ids_df.mapInPandas(gen, multimodal.MEDIA_SCHEMA)
+
+
+def _q_media_decode(spark, sf_dir):
+    """REAL image decode under the value-hash gate: PNG payloads are
+    genuinely decoded (ops/codecs.py filter inverses) and featurized;
+    the oracle recomputes every feature from the closed-form pixel
+    pattern - any decode bug (filter inverse, channel order, dims)
+    breaks the hash. Both sides cast through float32 (REAL) so the
+    comparison is exact, not tolerance-based."""
+    media = _media_pngs(_docs(spark, sf_dir).select("doc_id"))
+    feats = multimodal.extract_features(media, dim=8, fake=False)
+    cols = [F.round(F.element_at("feature", i + 1).cast("double"), 6)
+            .alias(f"f{i}") for i in range(8)]
+    return feats.select("media_id", *cols)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG construction pipeline (reference parity + scale)
@@ -640,6 +699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assignment": _q_split_assignment,
         "bm25_search": _q_bm25_search,
         "embedding_kmeans": _q_embedding_kmeans,
+        "media_decode_stats": _q_media_decode,
+        "sequence_packing": _q_sequence_packing,
+        "vocab_topk": _q_vocab_topk,
     }
 
 
@@ -1414,6 +1476,66 @@ QUALIFY rank <= 25
 """
 
 
+_PACKING_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, doc_id // 128 AS grp,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) + 1
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, grp, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id) - n_tokens
+           AS start_offset
+  FROM t)
+SELECT doc_id, grp, n_tokens, start_offset,
+       start_offset // 512 AS seq_first,
+       (start_offset + n_tokens - 1) // 512 AS seq_last
+FROM c
+"""
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT t.term
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+counts AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+       term, n
+FROM counts
+QUALIFY rank <= 50
+"""
+
+_MEDIA_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 8 + (doc_id % 5) * 4 AS h, 8 + ((doc_id // 5) % 5) * 4 AS w
+  FROM documents),
+px AS (
+  SELECT d.doc_id, d.h, d.w, c.c,
+         CAST((x.x * 3 + y.y * 7 + c.c * 11 + d.doc_id) % 256 AS DOUBLE) AS v
+  FROM dims d, range(24) y(y), range(24) x(x), range(3) c(c)
+  WHERE y.y < d.h AND x.x < d.w),
+st AS (
+  SELECT doc_id, any_value(h) AS h, any_value(w) AS w,
+         avg(v) AS m, sqrt(avg(v * v) - avg(v) * avg(v)) AS sd,
+         avg(CASE WHEN c = 0 THEN v END) AS m0,
+         avg(CASE WHEN c = 1 THEN v END) AS m1,
+         avg(CASE WHEN c = 2 THEN v END) AS m2
+  FROM px GROUP BY doc_id)
+SELECT doc_id AS media_id,
+  round(CAST(CAST(h / 4096.0 AS REAL) AS DOUBLE), 6) AS f0,
+  round(CAST(CAST(w / 4096.0 AS REAL) AS DOUBLE), 6) AS f1,
+  round(CAST(CAST(0.75 AS REAL) AS DOUBLE), 6) AS f2,
+  round(CAST(CAST(m / 255.0 AS REAL) AS DOUBLE), 6) AS f3,
+  round(CAST(CAST(sd / 255.0 AS REAL) AS DOUBLE), 6) AS f4,
+  round(CAST(CAST(m0 / 255.0 AS REAL) AS DOUBLE), 6) AS f5,
+  round(CAST(CAST(m1 / 255.0 AS REAL) AS DOUBLE), 6) AS f6,
+  round(CAST(CAST(m2 / 255.0 AS REAL) AS DOUBLE), 6) AS f7
+FROM st
+"""
+
+
 def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     """Replays kmeans_fit's deterministic Lloyd iterations: init =
     vec_ids [0, k); per-dim avg update with COALESCE keeping empty
@@ -1514,6 +1636,9 @@ FROM hashed
         "lang_id_trigram": _lang_trigram_oracle(),
         "bm25_search": _BM25_ORACLE,
         "embedding_kmeans": _kmeans_oracle(),
+        "media_decode_stats": _MEDIA_DECODE_ORACLE,
+        "sequence_packing": _PACKING_ORACLE,
+        "vocab_topk": _VOCAB_ORACLE,
     }
 
 

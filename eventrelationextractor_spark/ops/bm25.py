@@ -79,3 +79,20 @@ def bm25_topk(docs: DataFrame, query_terms: list, k: int = 20,
             .filter(F.col("rank") <= k)
             .select(F.col("rank").cast("long").alias("rank"), "doc_id",
                     F.round("score", 6).alias("score")))
+
+
+def top_terms(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(rank, term, n): the corpus's k most frequent terms - vocabulary
+    seeding for the unigram LM / tokenizer training / stopword lists.
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject: a distributed
+    per-partition top-k merge, NOT a single-partition global sort - the
+    only full-width stage is the partial-aggregated term count. The
+    row_number window then ranks just the k survivors."""
+    counts = (tokenize(docs, id_col, text_col)
+              .groupBy("term").agg(F.count("*").alias("n")))
+    top = counts.orderBy(F.col("n").desc(), F.col("term")).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")) \
+        .select("rank", "term", "n")

@@ -1,0 +1,55 @@
+"""Sequence packing - the last step of a training-data pipeline: lay
+documents out into fixed-length training sequences (GPT-style
+concatenate-with-EOS, then chop at seq_len boundaries; docs may
+straddle sequence borders, exactly like the canonical LM data loader).
+
+Scale shape: the token stream restarts every ``group_size`` doc ids
+(group = doc_id // group_size), which makes packing
+
+* **embarrassingly parallel** - one window per group, never a global
+  ORDER BY (a single total-order cumsum is the classic anti-pattern:
+  it funnels the corpus through one partition); and
+* **append-stable** - adding new docs (higher ids) never moves any
+  existing doc's (group, seq, offset) assignment, so packed layouts
+  are reproducible across incremental ingests, like assign_split's
+  growth-stable ranges in ops/textstats.py.
+
+The per-group window cumsum is one hash-partitioned shuffle of
+(doc_id, n_tokens) pairs - the narrowest possible carrier; text never
+moves. Token counts use the ws_tokens contract of
+textstats.token_count (+1 EOS per doc), so the DuckDB oracle mirrors
+the whole computation with the same regexp + window SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 512,
+                   group_size: int = 128, eos_tokens: int = 1,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, grp, n_tokens, start_offset, seq_first, seq_last):
+    where each document lands in the packed token stream.
+
+    ``n_tokens`` counts whitespace tokens + ``eos_tokens`` separators;
+    ``start_offset`` is the doc's first token position within its
+    group's stream; ``seq_first``/``seq_last`` are the group-local ids
+    of the training sequences the doc touches (seq k = stream slice
+    [k*seq_len, (k+1)*seq_len))."""
+    toks = (F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+            .cast("long") + eos_tokens)
+    grp = (F.col(id_col) / group_size).cast("long")
+    w = Window.partitionBy("grp").orderBy(id_col)
+    return (docs
+            .select(F.col(id_col).alias("doc_id"), grp.alias("grp"),
+                    toks.alias("n_tokens"))
+            .withColumn("start_offset",
+                        F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            .withColumn("seq_first",
+                        F.floor(F.col("start_offset") / seq_len))
+            .withColumn("seq_last",
+                        F.floor((F.col("start_offset")
+                                 + F.col("n_tokens") - 1) / seq_len)))
