@@ -237,6 +237,34 @@ def _q_bm25_search(spark, sf_dir):
     return bm25.bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=25)
 
 
+def _q_corpus_curation(spark, sf_dir):
+    """END-TO-END curation chain - the actual product of a training-data
+    pipeline, showing the operators COMPOSE: augmented corpus (known
+    exact dups) -> quality_score -> repetition_stats (per-row codegen,
+    carried through with keep=) -> exact-dedup keep flag (window min
+    over the fingerprint: ONE shuffle, no groupBy+join round trip) ->
+    threshold filter -> assign_split. Everything before the dedup
+    window is narrow; the window is the chain's only wide stage."""
+    from pyspark.sql import Window
+    d = _augmented_docs(spark, sf_dir)
+    q = textstats.quality_score(d)               # adds cols, keeps text
+    qr = textstats.repetition_stats(q, keep=("text", "n_tokens",
+                                             "quality"))
+    keyed = qr.withColumn(
+        "fp", F.md5(dedup.normalized_text(F.col("text"))))
+    w = Window.partitionBy("fp")
+    kept = (keyed
+            .withColumn("is_kept",
+                        F.col("doc_id") == F.min("doc_id").over(w))
+            .filter(F.col("is_kept")
+                    & (F.col("quality") >= 0.25)
+                    & (F.col("dup_word_frac") <= 0.65)))
+    out = textstats.assign_split(
+        kept, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split", "quality", "dup_word_frac",
+                      "n_tokens")
+
+
 def _q_sequence_packing(spark, sf_dir):
     """GPT-style concatenate-and-chop layout (ops/packing.py): per-group
     window cumsum over token counts only - parallel across groups,
@@ -702,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_stats": _q_media_decode,
         "sequence_packing": _q_sequence_packing,
         "vocab_topk": _q_vocab_topk,
+        "corpus_curation": _q_corpus_curation,
     }
 
 
@@ -1476,6 +1505,58 @@ QUALIFY rank <= 25
 """
 
 
+def _curation_oracle() -> str:
+    """SQL twin of the end-to-end chain: each stage reuses the same
+    fragment its standalone oracle uses (quality expression, word-count
+    CTE, _NORM fingerprint, split-hash CASE), composed exactly as the
+    Spark chain composes the operators."""
+    return f"""
+WITH {_AUG},
+base AS (
+  SELECT doc_id, text,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[\\\\.,;:!\\\\?]', '', 'g'))
+         AS BIGINT) AS n_punct,
+    CAST((len(string_split(' ' || lower(text) || ' ', ' the ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' and ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' of ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' is ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' a ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' to ')) - 1)
+         AS BIGINT) AS n_stopwords
+  FROM aug),
+qual AS (
+  SELECT doc_id, n_tokens,
+    round(CASE WHEN n_tokens <= 0 THEN 0.0 ELSE
+      least(1.0, n_stopwords * 6.0 / n_tokens)
+      * (1.0 - least(1.0, n_punct * 4.0 / n_chars)) END, 6) AS quality
+  FROM base),
+wrd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM aug),
+counts AS (SELECT doc_id, w, count(*) AS c FROM wrd GROUP BY 1, 2),
+dup AS (SELECT doc_id, round(1.0 - count(*) / sum(c), 6) AS dup_word_frac
+        FROM counts GROUP BY doc_id),
+fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM aug),
+kept AS (SELECT doc_id FROM (
+           SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY fp) AS k
+           FROM fp) WHERE k),
+cur AS (
+  SELECT q.doc_id, q.n_tokens, q.quality, d.dup_word_frac
+  FROM qual q JOIN dup d USING (doc_id) JOIN kept USING (doc_id)
+  WHERE q.quality >= 0.25 AND d.dup_word_frac <= 0.65),
+h AS (
+  SELECT cur.*,
+    CAST(('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         ::UBIGINT % 10000 AS BIGINT) AS h
+  FROM cur)
+SELECT doc_id,
+  CASE WHEN h < 1000 THEN 'test' WHEN h < 9000 THEN 'train'
+       ELSE 'val' END AS split,
+  quality, dup_word_frac, n_tokens
+FROM h
+"""
+
+
 _PACKING_ORACLE = r"""
 WITH t AS (
   SELECT doc_id, doc_id // 128 AS grp,
@@ -1639,6 +1720,7 @@ FROM hashed
         "media_decode_stats": _MEDIA_DECODE_ORACLE,
         "sequence_packing": _PACKING_ORACLE,
         "vocab_topk": _VOCAB_ORACLE,
+        "corpus_curation": _curation_oracle(),
     }
 
 

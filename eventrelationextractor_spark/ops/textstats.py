@@ -124,7 +124,8 @@ def _top_run(sorted_arr):
 
 
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     keep: tuple = ()) -> DataFrame:
     """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1,
     the standard webtext filter family): per document,
 
@@ -158,6 +159,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                            lambda acc, x: acc + F.length(x))
     return df.select(
         id_col,
+        *keep,          # carry-through columns: filter chains compose
         n.cast("long").alias("n_words"),
         F.round(F.when(n > 0, 1.0 - nd / n).otherwise(0.0), 6)
         .alias("dup_word_frac"),

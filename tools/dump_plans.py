@@ -121,6 +121,46 @@ def main() -> None:
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 4, \
         "awareness cogroup gained shuffles"
 
+    p = add("bm25_search (lexical top-k)",
+            qs["bm25_search"](spark, sf),
+            "The query-term dimension joins via BroadcastHashJoin "
+            "directly above the token explode - every non-query token "
+            "dies map-side, so the tf shuffle carries only matching "
+            "(doc, term) rows; corpus scalars ride as a broadcast "
+            "single-row dimension; the global top-k Window sees "
+            "per-doc scores only.")
+    assert "BroadcastHashJoin" in p
+
+    p = add("embedding_kmeans (Lloyd final assignment)",
+            qs["embedding_kmeans"](spark, sf),
+            "The returned assignment plan is ONE MapInPandas stage over "
+            "the embedding scan - centroids travel as a broadcast numpy "
+            "matrix inside the UDF closure, so there is no join, no "
+            "Window, and no Exchange anywhere in the assignment.")
+    assert "MapInPandas" in p
+    assert "Exchange" not in p, "kmeans assignment regained a shuffle"
+
+    p = add("sequence_packing (per-group layout cumsum)",
+            qs["sequence_packing"](spark, sf),
+            "The window partitions by grp (hashpartitioning) - packing "
+            "parallelizes across groups; a global rangepartitioning "
+            "sort would funnel the corpus through one partition and "
+            "must never appear. The shuffle carries (doc_id, n_tokens) "
+            "pairs, not text.")
+    assert "hashpartitioning(grp" in p
+    assert "rangepartitioning" not in p, "packing regained a global sort"
+
+    p = add("corpus_curation (end-to-end filter chain)",
+            qs["corpus_curation"](spark, sf),
+            "quality_score + repetition_stats are per-row codegen "
+            "composed via column carry-through (no join between "
+            "per-row stages); the exact-dedup keep flag is a window "
+            "min over the fingerprint - the chain's ONLY Exchange; "
+            "threshold filter and split assignment stay narrow above "
+            "it.")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, \
+        "curation chain gained a shuffle beyond the dedup window"
+
     doc_scan = spark.read.parquet(os.path.join(sf, "documents.parquet")) \
         .select("doc_id")
     p = formatted(doc_scan)
