@@ -1493,13 +1493,14 @@ tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
 dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
-         sum(ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-             * tf.tf * (1.2 + 1.0)
-             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+         round(sum(ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6)
+           AS score
   FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY tf.doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
-       doc_id, round(score, 6) AS score
+       doc_id, score
 FROM scored
 QUALIFY rank <= 25
 """

@@ -73,12 +73,17 @@ def bm25_topk(docs: DataFrame, query_terms: list, k: int = 20,
               .withColumn("part", F.col("idf") * F.col("tf") * (k1 + 1.0)
                           / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
                                                  / F.col("avgdl"))))
-              .groupBy("doc_id").agg(F.sum("part").alias("score")))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum("part"), 6).alias("score")))
+    # rank by the ROUNDED score: the raw sum's last ulp depends on the
+    # partial-aggregation merge order (run-dependent), so full-precision
+    # ordering would let near-identical scores swap ranks between runs;
+    # at the emitted precision the ordering is deterministic.
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(F.col("rank").cast("long").alias("rank"), "doc_id",
-                    F.round("score", 6).alias("score")))
+                    "score"))
 
 
 def top_terms(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
