@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from eventrelationextractor_spark import fixtures as fx  # noqa: E402
 from eventrelationextractor_spark.ops import bm25, cluster, packing  # noqa: E402
 from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
-from eventrelationextractor_spark.ops import htmltext, pii  # noqa: E402
+from eventrelationextractor_spark.ops import bpe, graph, linededup  # noqa: E402
+from eventrelationextractor_spark.ops import htmltext, mixing, pii  # noqa: E402
 from eventrelationextractor_spark.ops import simsearch, textstats, urls  # noqa: E402
 from eventrelationextractor_spark.spark import kg, stages  # noqa: E402
 
@@ -678,6 +679,122 @@ def _q_media_decode(spark, sf_dir):
     return feats.select("media_id", *cols)
 
 
+# ---------------------------------------------------------------- session-3
+# link graph, line-level dedup, data mixing, BPE
+
+
+def _link_edges(spark, sf_dir):
+    """Deterministic synthetic hyperlink graph over the document ids:
+    page d links to (d*7+1) % N and (d*13+3) % N, except every 17th page
+    is dangling (no out-links) - exercising PageRank's dangling-mass
+    redistribution. Pure function of doc_id, mirrored in the SQL oracle.
+    Returns (edges, nodes, n)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    linked = docs.filter(F.col("doc_id") % 17 != 0)
+    e = (linked.select(F.col("doc_id").alias("src"),
+                       ((F.col("doc_id") * 7 + 1) % n).alias("dst"))
+         .unionByName(
+             linked.select(F.col("doc_id").alias("src"),
+                           ((F.col("doc_id") * 13 + 3) % n).alias("dst"))))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return e, nodes
+
+
+def _q_link_pagerank(spark, sf_dir):
+    """PageRank over the synthetic link graph (ops/graph.py): 5 power
+    iterations, uniform teleport + dangling redistribution; each
+    iteration is exactly two shuffles (ranks x edges on src, groupBy
+    dst) with one localCheckpoint. The oracle unrolls the identical
+    iterations as chained CTEs; float drift between engines is addition
+    order only (~1e-15), far under the gate's 1e-6 rounding."""
+    e, nodes = _link_edges(spark, sf_dir)
+    return graph.pagerank(e, n_iter=5, damping=0.85, nodes=nodes)
+
+
+def _line_docs(spark, sf_dir):
+    """Deterministic 5-line page bodies over doc ids: a per-host header
+    (boilerplate shared by N/5 docs), a global cookie banner, two unique
+    content lines, and a snippet shared by exactly two docs (the
+    boilerplate-threshold boundary). Mirrored in the SQL oracles."""
+    d = F.col("doc_id")
+    lines = [
+        F.concat(F.lit("header navigation menu site"),
+                 (d % 5).cast("string")),
+        F.lit("cookie consent notice applies to this site"),
+        F.concat(F.lit("content "), d.cast("string"), F.lit(" alpha "),
+                 (d * 31 % 97).cast("string")),
+        F.concat(F.lit("shared snippet "),
+                 F.floor(d / 2).cast("long").cast("string")),
+        F.concat(F.lit("content "), d.cast("string"), F.lit(" beta "),
+                 (d * 17 % 89).cast("string")),
+    ]
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat_ws("\n", *lines).alias("text"))
+
+
+def _q_line_boilerplate(spark, sf_dir):
+    """C4-style boilerplate removal (ops/linededup.py): drop every line
+    present in > 2 distinct docs (kills the host header and the cookie
+    banner, keeps the 2-doc shared snippet), reassemble in line order."""
+    out = linededup.drop_boilerplate_lines(
+        _line_docs(spark, sf_dir), max_doc_freq=2)
+    return out.select("doc_id", "text",
+                      F.col("n_lines_kept").cast("long")
+                      .alias("n_lines_kept"))
+
+
+def _q_line_dedup_first(spark, sf_dir):
+    """Global exact line dedup, first occurrence wins (window min-struct
+    over the line key - ONE wide stage), then in-order reassembly."""
+    out = linededup.dedup_lines_keep_first(_line_docs(spark, sf_dir))
+    return out.select("doc_id", "text",
+                      F.col("n_lines_kept").cast("long")
+                      .alias("n_lines_kept"))
+
+
+def _q_mixture_rates(spark, sf_dir):
+    """Temperature-scaled mixture weights per registrable domain
+    (ops/mixing.py, alpha=0.5): the domain counts are skewed by
+    construction (example.com carries 2/5 of the corpus), so the
+    tempered rates visibly flatten the mix. Stratum-level only - one
+    shuffle + a broadcast scalar."""
+    parsed = urls.parse_urls(_web_urls(spark, sf_dir))
+    r = mixing.temperature_mixture_rates(parsed, "domain", alpha=0.5,
+                                         target_frac=0.5)
+    return r.select("domain", "n_docs", F.round("weight", 9).alias("weight"),
+                    F.round("rate", 9).alias("rate"))
+
+
+def _q_mixture_sample(spark, sf_dir):
+    """The sampled mix itself: md5-fate filter under the data-derived
+    tempered rates (broadcast join + codegen predicate, no shuffle
+    beyond the tiny rate table's)."""
+    parsed = urls.parse_urls(_web_urls(spark, sf_dir))
+    r = mixing.temperature_mixture_rates(parsed, "domain", alpha=0.5,
+                                         target_frac=0.5)
+    return mixing.apply_mixture(parsed, r, "domain") \
+        .select("doc_id", "domain")
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (ops/bpe.py): 8 merges over the
+    corpus word-frequency table; each step is one pair-count shuffle and
+    a LIMIT-1 collect (the algorithm's inherent driver decision). The
+    oracle replays the unrolled iterations; replace() left-to-right
+    semantics line up exactly thanks to the wrapper encoding."""
+    merges = bpe.learn_bpe(_docs(spark, sf_dir), n_merges=8)
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_freq bigint")
+
+
+def _q_bpe_vocab(spark, sf_dir):
+    """Subword vocabulary after applying the learned merges: map-side
+    literal-replace chain + one groupBy."""
+    merges = bpe.learn_bpe(_docs(spark, sf_dir), n_merges=8)
+    return bpe.subword_vocab(_docs(spark, sf_dir), merges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG construction pipeline (reference parity + scale)
@@ -731,6 +848,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "vocab_topk": _q_vocab_topk,
         "corpus_curation": _q_corpus_curation,
+        "link_pagerank": _q_link_pagerank,
+        "line_boilerplate": _q_line_boilerplate,
+        "line_dedup_first": _q_line_dedup_first,
+        "mixture_rates": _q_mixture_rates,
+        "mixture_sample": _q_mixture_sample,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_vocab": _q_bpe_vocab,
     }
 
 
@@ -1649,6 +1773,143 @@ FROM ev e
     return "".join(parts)
 
 
+# ------------------------------------------------------- session-3 oracles
+
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    """Unrolled PageRank power iterations as chained CTEs, mirroring
+    ops/graph.py::pagerank expression-for-expression (rank * (1/deg),
+    teleport (1-0.85)/n, damping 0.85, uniform dangling mass)."""
+    parts = ["""WITH nodes AS (SELECT doc_id AS node FROM documents),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+e AS (
+  SELECT doc_id AS src, (doc_id*7+1) % (SELECT count(*) FROM documents) AS dst
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 17 <> 0),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS dg FROM e GROUP BY src),
+nd AS (SELECT node, coalesce(dg, 0) AS dg
+       FROM nodes LEFT JOIN deg ON node = src),
+r0 AS (SELECT node, dg, 1.0/cnt AS pr FROM nd CROSS JOIN nn)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+c{i} AS (SELECT e.dst AS node, sum(r.pr * (1.0/r.dg)) AS m
+  FROM r{i-1} r JOIN e ON r.node = e.src GROUP BY e.dst),
+d{i} AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM r{i-1} WHERE dg = 0),
+r{i} AS (SELECT nd.node, nd.dg,
+  (1-0.85)/cnt + 0.85*(coalesce(c.m, 0.0) + d.dm/cnt) AS pr
+  FROM nd CROSS JOIN nn CROSS JOIN d{i} d
+  LEFT JOIN c{i} c ON nd.node = c.node)""")
+    parts.append(f"\nSELECT node, pr AS rank FROM r{n_iter}")
+    return "".join(parts)
+
+
+_LINE_DOCS = """
+SELECT doc_id, k AS pos,
+  CASE k
+    WHEN 0 THEN 'header navigation menu site' || CAST(doc_id % 5 AS VARCHAR)
+    WHEN 1 THEN 'cookie consent notice applies to this site'
+    WHEN 2 THEN 'content ' || CAST(doc_id AS VARCHAR) || ' alpha '
+                || CAST(doc_id*31 % 97 AS VARCHAR)
+    WHEN 3 THEN 'shared snippet ' || CAST(doc_id // 2 AS VARCHAR)
+    ELSE 'content ' || CAST(doc_id AS VARCHAR) || ' beta '
+         || CAST(doc_id*17 % 89 AS VARCHAR)
+  END AS line
+FROM documents, (VALUES (0),(1),(2),(3),(4)) t(k)
+"""
+
+_LINE_REASSEMBLE = """
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        CAST(count(*) AS BIGINT) AS n_lines_kept FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.text, '') AS text,
+       coalesce(a.n_lines_kept, 0) AS n_lines_kept
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+_LINE_BOILERPLATE_ORACLE = f"""
+WITH lines AS ({_LINE_DOCS}),
+freq AS (SELECT line, count(DISTINCT doc_id) AS ndocs
+         FROM lines GROUP BY line),
+kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+         JOIN freq f ON l.line = f.line WHERE f.ndocs <= 2),
+{_LINE_REASSEMBLE}
+"""
+
+_LINE_DEDUP_FIRST_ORACLE = f"""
+WITH lines AS ({_LINE_DOCS}),
+rn AS (SELECT doc_id, pos, line,
+       row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+       FROM lines),
+kept AS (SELECT doc_id, pos, line FROM rn WHERE rn = 1),
+{_LINE_REASSEMBLE}
+"""
+
+_MIX_DOMAINS = f"""
+SELECT doc_id,
+  regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                 '([^.]+\\.[^.]+)$', 1) AS domain
+FROM ({_WEB_URLS})
+"""
+
+_MIXTURE_RATES_ORACLE = f"""
+WITH q AS ({_MIX_DOMAINS}),
+c AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs FROM q GROUP BY domain),
+t AS (SELECT sum(n_docs) AS n_total, sum(pow(n_docs, 0.5)) AS z FROM c)
+SELECT domain, n_docs,
+  round(pow(n_docs, 0.5) / z, 9) AS weight,
+  round(least(1.0, 0.5 * n_total * pow(n_docs, 0.5) / z / n_docs), 9) AS rate
+FROM c CROSS JOIN t
+"""
+
+_MIXTURE_SAMPLE_ORACLE = f"""
+WITH q AS ({_MIX_DOMAINS}),
+c AS (SELECT domain, count(*) AS n_docs FROM q GROUP BY domain),
+t AS (SELECT sum(n_docs) AS n_total, sum(pow(n_docs, 0.5)) AS z FROM c),
+r AS (SELECT domain,
+      least(1.0, 0.5 * n_total * pow(n_docs, 0.5) / z / n_docs) AS rate
+      FROM c CROSS JOIN t),
+h AS (SELECT doc_id, domain,
+      CAST(('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::UBIGINT % 10000 AS BIGINT) AS hh
+      FROM q)
+SELECT h.doc_id, h.domain FROM h JOIN r ON h.domain = r.domain
+WHERE hh < rate * 10000.0
+"""
+
+
+def _bpe_oracle(n_merges: int = 8, what: str = "merges") -> str:
+    """Unrolled BPE iterations (ops/bpe.py twin): the wrapper encoding
+    makes replace() exact in both engines; tie-break (f DESC, l, r)."""
+    parts = [r"""WITH toks AS (
+  SELECT t.term FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''),
+w0 AS (SELECT term AS w, count(*) AS freq FROM toks GROUP BY term),
+s0 AS (SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS sym, freq FROM w0)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+p{i} AS (SELECT la[x] AS l, la[x+1] AS r, sum(freq) AS f
+  FROM (SELECT string_split(trim(sym, '<>'), '><') AS la, freq FROM s{i-1}),
+       unnest(generate_series(1, len(la)-1)) AS u(x)
+  GROUP BY la[x], la[x+1]),
+b{i} AS (SELECT l, r, f FROM p{i} ORDER BY f DESC, l, r LIMIT 1),
+s{i} AS (SELECT replace(sym, '<'||l||'><'||r||'>', '<'||l||r||'>') AS sym,
+         freq FROM s{i-1} CROSS JOIN b{i})""")
+    if what == "merges":
+        sel = " UNION ALL ".join(
+            f"SELECT CAST({i} AS INT) AS rank, l AS lhs, r AS rhs, "
+            f"CAST(f AS BIGINT) AS pair_freq FROM b{i}"
+            for i in range(1, n_merges + 1))
+        parts.append("\n" + sel)
+    else:
+        parts.append(f"""
+SELECT token, CAST(sum(freq) AS BIGINT) AS freq FROM (
+  SELECT unnest(string_split(trim(sym, '<>'), '><')) AS token, freq
+  FROM s{n_merges})
+GROUP BY token""")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -1722,6 +1983,13 @@ FROM hashed
         "sequence_packing": _PACKING_ORACLE,
         "vocab_topk": _VOCAB_ORACLE,
         "corpus_curation": _curation_oracle(),
+        "link_pagerank": _pagerank_oracle(),
+        "line_boilerplate": _LINE_BOILERPLATE_ORACLE,
+        "line_dedup_first": _LINE_DEDUP_FIRST_ORACLE,
+        "mixture_rates": _MIXTURE_RATES_ORACLE,
+        "mixture_sample": _MIXTURE_SAMPLE_ORACLE,
+        "bpe_merges": _bpe_oracle(8, "merges"),
+        "bpe_vocab": _bpe_oracle(8, "vocab"),
     }
 
 

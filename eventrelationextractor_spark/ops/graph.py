@@ -1,0 +1,89 @@
+"""Link-graph operators for web corpora: PageRank.
+
+The reference pipeline builds a knowledge graph from page text; a crawl
+pipeline at 100 TB also needs the *link* graph between the pages
+themselves — PageRank (and its cousins) is the standard per-page prior
+for crawl scheduling, quality weighting, and sampling corpus mixes
+(e.g. "sample high-rank pages at a higher temperature"). There is no
+counterpart in /root/reference (it consumes pre-annotated TXP documents,
+no hyperlinks); this is a north-star addition like spark/kg.py's
+connected components, and it follows the same loop discipline
+(one localCheckpoint per iteration, nothing else — see the CC round-loop
+lesson in spark/kg.py:80-95).
+
+Scale design (100 TB / 10^10 edges):
+* The edge list is the big table; it is joined once with the out-degree
+  table (self-join groupBy, one shuffle) and checkpointed, so each
+  iteration re-reads a materialized (src, dst, inv_deg) table instead of
+  re-running upstream extraction.
+* Each iteration is exactly two shuffles — ranks ⋈ edges on src, then
+  groupBy dst — which is the transpose-multiply PageRank *is*; no
+  driver-side state beyond the scalar node count.
+* Dangling mass (pages with no out-links — PDFs, images, crawl-frontier
+  leaves; a third of a real web graph) is redistributed uniformly each
+  iteration. It is computed as a 1-row aggregate and attached with a
+  broadcast cross join, NOT collected to the driver, so one iteration is
+  one job only when the caller forces it (we run a fixed iteration count
+  and never collect inside the loop).
+* Ranks are doubles summed in partition order; the result is
+  deterministic up to float addition order (~1e-15 per iteration), far
+  below the 1e-6 the correctness gate rounds to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
+             nodes: DataFrame | None = None,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """edges(src, dst) -> (node, rank) after ``n_iter`` synchronous
+    power iterations with uniform teleport and uniform dangling-mass
+    redistribution; ranks sum to 1 every iteration.
+
+    ``nodes`` (optional, one column ``node``) fixes the vertex universe;
+    default = distinct endpoints of ``edges``. Duplicate edges are kept
+    (a page linking twice contributes twice — matches the multigraph
+    convention and the SQL oracle).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if nodes is None:
+        nodes = (e.select(F.col("src").alias("node"))
+                 .unionByName(e.select(F.col("dst").alias("node")))
+                 .distinct())
+    nodes = nodes.select("node").localCheckpoint()
+    n = nodes.count()  # scalar; one job, inherent to the formula
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    contrib_edges = (e.join(deg, "src")
+                     .select("src", "dst",
+                             (F.lit(1.0) / F.col("deg")).alias("inv_deg"))
+                     .localCheckpoint())
+    # out-degree per node (0 for dangling) rides with the rank vector so
+    # the dangling aggregate each iteration is a scan, not a join
+    node_deg = (nodes.join(deg, nodes.node == deg.src, "left")
+                .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+                .localCheckpoint())
+
+    ranks = node_deg.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contribs = (ranks.join(contrib_edges, ranks.node == contrib_edges.src)
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("m")))
+        dangling = ranks.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        ranks = (node_deg
+                 .join(contribs, node_deg.node == contribs.dst, "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node", "deg",
+                         (F.lit(teleport)
+                          + F.lit(damping) * (F.coalesce("m", F.lit(0.0))
+                                              + F.col("dm") / n))
+                         .alias("rank"))
+                 .localCheckpoint())
+    return ranks.select("node", "rank")

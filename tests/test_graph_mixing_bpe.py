@@ -1,0 +1,208 @@
+"""Session-3 operators: PageRank (ops/graph.py), line-level dedup
+(ops/linededup.py), temperature mixing (ops/mixing.py), and distributed
+BPE (ops/bpe.py) — semantic tests against analytic results and, for BPE,
+a pure-Python reference implementation of the classical algorithm."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventrelationextractor_spark.ops import bpe, graph, linededup, mixing
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _ranks(spark, edges, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.rank
+            for r in graph.pagerank(e, **kw).collect()}
+
+
+def test_pagerank_sums_to_one_with_dangling(spark):
+    # 0 -> 1 -> 2, 2 dangling; 3 isolated is absent without a nodes frame
+    r = _ranks(spark, [(0, 1), (1, 2)], n_iter=10)
+    assert set(r) == {0, 1, 2}
+    assert math.isclose(sum(r.values()), 1.0, abs_tol=1e-12)
+    assert r[2] > r[1] > r[0]  # chain accumulates rank downstream
+
+
+def test_pagerank_analytic_two_cycle(spark):
+    # symmetric 2-cycle: stationary distribution is uniform regardless
+    # of damping; power iteration from uniform stays exactly uniform
+    r = _ranks(spark, [(0, 1), (1, 0)], n_iter=3)
+    assert math.isclose(r[0], 0.5, abs_tol=1e-12)
+    assert math.isclose(r[1], 0.5, abs_tol=1e-12)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (0, 2)]  # dup edge
+    n, d, it = 5, 0.85, 6  # node 4 via nodes frame: isolated + dangling
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank
+           for r in graph.pagerank(e, n_iter=it, nodes=nodes).collect()}
+
+    M = np.zeros((n, n))
+    for s, t in edges:
+        M[t, s] += 1
+    deg = M.sum(axis=0)
+    out = np.where(deg > 0, deg, 1)
+    P = M / out
+    r = np.full(n, 1.0 / n)
+    for _ in range(it):
+        dangling = r[deg == 0].sum()
+        r = (1 - d) / n + d * (P @ r + dangling / n)
+    for i in range(n):
+        assert math.isclose(got[i], r[i], abs_tol=1e-9), (i, got[i], r[i])
+    # the duplicate edge 0->2 must carry double weight: drop it and ranks
+    # change (guards against an accidental distinct() upstream)
+    e2 = spark.createDataFrame(edges[:-1], "src long, dst long")
+    got2 = {r.node: r.rank
+            for r in graph.pagerank(e2, n_iter=it, nodes=nodes).collect()}
+    assert not math.isclose(got2[2], got[2], abs_tol=1e-12)
+
+
+# ---------------------------------------------------------------- lines
+
+
+def _line_df(spark):
+    rows = [
+        (0, "boiler\nunique zero\nshared"),
+        (1, "boiler\nunique one\nshared"),
+        (2, "boiler\nunique two"),
+        (3, "boiler"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_drop_boilerplate_lines(spark):
+    out = {r.doc_id: (r.text, r.n_lines_kept)
+           for r in linededup.drop_boilerplate_lines(
+               _line_df(spark), max_doc_freq=2).collect()}
+    # 'boiler' in 4 docs -> dropped; 'shared' in 2 docs -> kept (<= 2)
+    assert out[0] == ("unique zero\nshared", 2)
+    assert out[1] == ("unique one\nshared", 2)
+    assert out[2] == ("unique two", 1)
+    assert out[3] == ("", 0)  # fully-boilerplate doc survives, empty
+
+
+def test_dedup_lines_keep_first(spark):
+    out = {r.doc_id: (r.text, r.n_lines_kept)
+           for r in linededup.dedup_lines_keep_first(
+               _line_df(spark)).collect()}
+    assert out[0] == ("boiler\nunique zero\nshared", 3)  # first copies win
+    assert out[1] == ("unique one", 1)
+    assert out[2] == ("unique two", 1)
+    assert out[3] == ("", 0)
+
+
+def test_line_doc_freq(spark):
+    freq = {r.line: (r.n_docs, r.n_occurrences)
+            for r in linededup.line_doc_freq(_line_df(spark)).collect()}
+    assert freq["boiler"] == (4, 4)
+    assert freq["shared"] == (2, 2)
+
+
+# ---------------------------------------------------------------- mixing
+
+
+def test_temperature_mixture_rates_analytic(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, lang string")
+    r = {row.lang: row for row in mixing.temperature_mixture_rates(
+        df, "lang", alpha=0.5, target_frac=0.5).collect()}
+    z = math.sqrt(90) + math.sqrt(10)
+    assert math.isclose(r["big"].weight, math.sqrt(90) / z, rel_tol=1e-12)
+    assert math.isclose(r["big"].rate,
+                        0.5 * 100 * math.sqrt(90) / z / 90, rel_tol=1e-12)
+    # tail stratum gets boosted above 1 -> capped
+    assert math.isclose(r["small"].rate, 1.0, abs_tol=1e-12)
+    assert r["small"].rate > r["big"].rate
+
+
+def test_apply_mixture_fate_matches_stratified_sample(spark):
+    """A row's md5 fate is identical between the driver-rate primitive
+    (stratified_sample) and the data-derived mixture filter."""
+    from eventrelationextractor_spark.ops import textstats
+    df = spark.createDataFrame([(i, "a") for i in range(200)],
+                               "doc_id long, lang string")
+    rates = mixing.temperature_mixture_rates(df, "lang", alpha=0.5,
+                                             target_frac=0.4)
+    got = {r.doc_id for r in
+           mixing.apply_mixture(df, rates, "lang").collect()}
+    want = {r.doc_id for r in
+            textstats.stratified_sample(df, {"a": 0.4}, "lang").collect()}
+    assert got == want and 0 < len(got) < 200
+
+
+# ---------------------------------------------------------------- bpe
+
+
+def _ref_bpe(words: dict, k: int):
+    """Classical BPE (Sennrich alg. 1) in plain Python: pair counts over
+    the word-frequency dict, greedy left-to-right merge application."""
+    vocab = {tuple(w): f for w, f in words.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (l, r), f = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, f))
+        new = {}
+        for syms, wf in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (l, r):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + wf
+        vocab = new
+    return merges, vocab
+
+
+def _corpus_df(spark, words: dict):
+    text = " ".join(" ".join([w] * f) for w, f in sorted(words.items()))
+    return spark.createDataFrame([(0, text)], "doc_id long, text string")
+
+
+def test_learn_bpe_matches_reference(spark):
+    words = {"lower": 5, "lowest": 3, "newer": 6, "wider": 2, "low": 7}
+    got = bpe.learn_bpe(_corpus_df(spark, words), n_merges=6)
+    want, _ = _ref_bpe(words, 6)
+    assert got == want
+
+
+def test_learn_bpe_overlapping_runs(spark):
+    """'aaaa' exercises the wrapper encoding: greedy left-to-right gives
+    (aa)(aa), never a(aa)a — and merged multi-char symbols must not
+    false-match inside longer symbols."""
+    words = {"aaaa": 10, "aaab": 4, "baaa": 3}
+    k = 4
+    got = bpe.learn_bpe(_corpus_df(spark, words), n_merges=k)
+    want, ref_vocab = _ref_bpe(words, k)
+    assert got == want
+    vocab = {r.token: r.freq for r in
+             bpe.subword_vocab(_corpus_df(spark, words), got).collect()}
+    ref_counts = {}
+    for syms, f in ref_vocab.items():
+        for s in syms:
+            ref_counts[s] = ref_counts.get(s, 0) + f
+    assert vocab == ref_counts
+
+
+def test_learn_bpe_exhausts_pairs(spark):
+    # single two-char word: exactly one merge possible, then stop early
+    got = bpe.learn_bpe(_corpus_df(spark, {"ab": 3}), n_merges=5)
+    assert got == [(1, "a", "b", 3)]
