@@ -5,10 +5,12 @@ entropy coding over quantized 8x8 DCT blocks - all expressible with the
 standard library plus numpy. This upgrades the multimodal image path
 from "PNG only" to the two formats that dominate real web crawls.
 
-Supported subset (decode): baseline sequential DCT (SOF0), 8-bit,
-1 or 3 components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...),
-restart intervals, 16-bit DQT precision. Progressive (SOF2),
-arithmetic coding, 12-bit, and CMYK stay NotImplementedError.
+Supported subset (decode): baseline sequential DCT (SOF0/1) AND
+progressive DCT (SOF2 - spectral selection + successive approximation,
+per T.81 G.1/G.2 with libjpeg's EOB-run and correction-bit semantics),
+8-bit, 1 or 3 components, any sampling factors (4:4:4 / 4:2:2 /
+4:2:0 ...), restart intervals, 16-bit DQT precision. Arithmetic coding,
+hierarchical, lossless, 12-bit, and CMYK stay NotImplementedError.
 
 Decode is validated in tests against Java ImageIO (Spark's own `image`
 data source decodes via libjpeg under javax.imageio) on the real-world
@@ -132,6 +134,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qt = {}                                  # id -> 64 ints (raster order)
     huff_dc, huff_ac = {}, {}
     frame = None                             # (H, W, comps)
+    progressive = None                       # _ProgressiveState once SOF2
     restart_interval = 0
     pos = 2
     n = len(payload)
@@ -158,7 +161,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 table = np.zeros(64, dtype=np.int64)
                 table[ZIGZAG] = vals.astype(np.int64)
                 qt[tid] = table
-        elif marker in (0xC0, 0xC1):         # SOF0/1: baseline sequential
+        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 baseline, SOF2 progr.
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if _prec != 8:
                 raise NotImplementedError(f"{_prec}-bit JPEG")
@@ -168,11 +171,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if marker == 0xC2:
+                progressive = _ProgressiveState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x}; only "
-                "baseline sequential SOF0/1 is supported)")
+                f"unsupported JPEG (SOF marker 0x{marker:02x}; baseline "
+                "sequential SOF0/1 and progressive SOF2 are supported)")
         elif marker == 0xC4:                 # DHT (may hold several tables)
             i = 0
             while i < len(seg):
@@ -192,9 +197,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tables >> 4, tables & 0xF))
             segments, pos = _split_entropy(payload, pos)
-            return _decode_scan(frame, qt, huff_dc, huff_ac, scan,
-                                segments, restart_interval)
+            if progressive is None:
+                return _decode_scan(frame, qt, huff_dc, huff_ac, scan,
+                                    segments, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            progressive.decode_scan(scan, huff_dc, huff_ac, segments,
+                                    restart_interval, ss, se,
+                                    ahal >> 4, ahal & 0xF)
         # else: APPn/COM/etc - skipped
+    if progressive is not None:
+        return progressive.finish(qt)
     raise ValueError("no SOS marker found")
 
 
@@ -252,7 +265,13 @@ def _decode_scan(frame, qt, huff_dc, huff_ac, scan, segments,
                         py = (my * c["v"] + by) * 8
                         px = (mx * c["h"] + bx) * 8
                         planes[c["id"]][py:py + 8, px:px + 8] = spatial
-    # level shift, upsample to full resolution, crop
+    return _compose(frame, planes, hmax, vmax)
+
+
+def _compose(frame, planes, hmax, vmax) -> np.ndarray:
+    """Level shift, upsample component planes to full resolution, crop,
+    and convert JFIF YCbCr -> RGB (shared by baseline + progressive)."""
+    H, W, comps = frame
     out = []
     for c in comps:
         p = planes[c["id"]] + 128.0
@@ -269,6 +288,184 @@ def _decode_scan(frame, qt, huff_dc, huff_ac, scan, segments,
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+class _ProgressiveState:
+    """Coefficient accumulator for SOF2 scans (T.81 G.2).
+
+    Coefficients are stored in SCAN (zigzag) order per block; each scan
+    merges its spectral band / approximation bit into them, and
+    ``finish`` dequantizes + IDCTs everything at EOI. Algorithms mirror
+    libjpeg's jdphuff.c (decode_mcu_DC_first/_refine, _AC_first/_refine)
+    - in particular the EOB-run bookkeeping and the correction-bit rule
+    that a history-nonzero coefficient consumes one bit per refinement
+    scan that covers it."""
+
+    def __init__(self, frame):
+        H, W, comps = frame
+        self.frame = frame
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcus_x = -(-W // (8 * self.hmax))
+        self.mcus_y = -(-H // (8 * self.vmax))
+        self.coefs, self.bdims = {}, {}
+        for c in comps:
+            self.coefs[c["id"]] = np.zeros(
+                (self.mcus_y * c["v"], self.mcus_x * c["h"], 64), np.int64)
+            cw = -(-W * c["h"] // self.hmax)     # component dims (B.2.2)
+            ch = -(-H * c["v"] // self.vmax)
+            self.bdims[c["id"]] = (-(-ch // 8), -(-cw // 8))
+        self.by_id = {c["id"]: c for c in comps}
+
+    def decode_scan(self, scan, huff_dc, huff_ac, segments, ri,
+                    ss, se, ah, al):
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            self._dc_scan(scan, huff_dc, segments, ri, ah, al)
+        else:
+            if len(scan) != 1:
+                raise ValueError("interleaved progressive AC scan")
+            self._ac_scan(scan[0], huff_ac, segments, ri, ss, se, ah, al)
+
+    # ------------------------------------------------------------- DC
+
+    def _dc_scan(self, scan, huff_dc, segments, ri, ah, al):
+        if len(scan) > 1:                    # interleaved: MCU geometry
+            units = []
+            for my in range(self.mcus_y):
+                for mx in range(self.mcus_x):
+                    mcu = []
+                    for cs, td, _ta in scan:
+                        c = self.by_id[cs]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                mcu.append((cs, td, my * c["v"] + by,
+                                            mx * c["h"] + bx))
+                    units.append(mcu)
+        else:                                # single comp: real block grid
+            cs, td, _ta = scan[0]
+            bh, bw = self.bdims[cs]
+            units = [[(cs, td, y, x)]
+                     for y in range(bh) for x in range(bw)]
+        seg_iter = iter(segments)
+        reader = _BitReader(next(seg_iter))
+        pred = {cs: 0 for cs, _, _ in scan}
+        since = 0
+        for mcu in units:
+            if ri and since == ri:
+                reader = _BitReader(next(seg_iter))
+                pred = {k: 0 for k in pred}
+                since = 0
+            since += 1
+            for cs, td, y, x in mcu:
+                blk = self.coefs[cs]
+                if ah == 0:
+                    t = huff_dc[td].decode(reader)
+                    pred[cs] += _extend(reader.receive(t), t)
+                    blk[y, x, 0] = pred[cs] << al
+                elif reader.read_bit():
+                    blk[y, x, 0] |= (1 << al)
+
+    # ------------------------------------------------------------- AC
+
+    def _ac_scan(self, comp_scan, huff_ac, segments, ri, ss, se, ah, al):
+        cs, _td, ta = comp_scan
+        hac = huff_ac[ta]
+        arr = self.coefs[cs]
+        bh, bw = self.bdims[cs]
+        seg_iter = iter(segments)
+        reader = _BitReader(next(seg_iter))
+        eobrun = 0
+        since = 0
+        decode = self._ac_refine if ah else self._ac_first
+        for y in range(bh):
+            for x in range(bw):
+                if ri and since == ri:
+                    reader = _BitReader(next(seg_iter))
+                    eobrun = 0
+                    since = 0
+                since += 1
+                eobrun = decode(arr[y, x], reader, hac, ss, se, al, eobrun)
+
+    @staticmethod
+    def _ac_first(zz, reader, hac, ss, se, al, eobrun):
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = hac.decode(reader)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:                  # EOBn: run of 2^r + bits
+                    eobrun = (1 << r) - 1    # -1 accounts this block
+                    if r:
+                        eobrun += reader.receive(r)
+                    return eobrun
+                k += 16                      # ZRL
+                continue
+            k += r
+            zz[k] = _extend(reader.receive(s), s) << al
+            k += 1
+        return 0
+
+    @staticmethod
+    def _ac_refine(zz, reader, hac, ss, se, al, eobrun):
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = hac.decode(reader)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r      # current block counted below
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    s_val = 0                # ZRL: skip 16 history zeros
+                else:
+                    s_val = p1 if reader.read_bit() else m1
+                # advance over history-nonzero coeffs (append correction
+                # bits) and r history zeros, then place the new coeff
+                while k <= se:
+                    c = int(zz[k])
+                    if c != 0:
+                        if reader.read_bit() and (c & p1) == 0:
+                            zz[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if s_val and k <= se:
+                    zz[k] = s_val
+                k += 1
+        if eobrun > 0:
+            # end-of-band: remaining history coeffs still take bits
+            while k <= se:
+                c = int(zz[k])
+                if c != 0 and reader.read_bit() and (c & p1) == 0:
+                    zz[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    # -------------------------------------------------------- finish
+
+    def finish(self, qt) -> np.ndarray:
+        planes = {}
+        for c in self.frame[2]:
+            q = qt[c["tq"]][ZIGZAG]          # quant in scan order
+            arr = self.coefs[c["id"]]
+            ny, nx, _ = arr.shape
+            raster = np.zeros((ny, nx, 64), np.float64)
+            raster[:, :, ZIGZAG] = (arr * q).astype(np.float64)
+            b = raster.reshape(ny, nx, 8, 8)
+            spatial = np.einsum("ij,yxjk,kl->yxil", _A.T, b, _A)
+            planes[c["id"]] = spatial.transpose(0, 2, 1, 3) \
+                .reshape(ny * 8, nx * 8)
+        return _compose(self.frame, planes, self.hmax, self.vmax)
 
 
 # ---------------------------------------------------------------- encoder
@@ -376,9 +573,15 @@ def _scale_table(table: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((table * scale + 50) // 100, 1, 255)
 
 
-def _encode_block(writer, block, q, dc_codes, ac_codes, pred):
+def _quantize_block(block, q) -> np.ndarray:
+    """Spatial 8x8 (level-unshifted uint8-ish floats) -> quantized
+    coefficients in scan order (int64[64])."""
     coeffs = _A @ (block - 128.0) @ _A.T
-    zz = np.rint(coeffs.reshape(64)[ZIGZAG] / q[ZIGZAG]).astype(np.int64)
+    return np.rint(coeffs.reshape(64)[ZIGZAG] / q[ZIGZAG]).astype(np.int64)
+
+
+def _encode_block(writer, block, q, dc_codes, ac_codes, pred):
+    zz = _quantize_block(block, q)
     diff = int(zz[0]) - pred
     t = _category(diff)
     code, length = dc_codes[t]
@@ -471,4 +674,228 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"                       # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------- progressive encoder
+
+# Flat AC Huffman table holding ALL 256 symbols (255 at 9 bits + 1 at 10;
+# Kraft sum 0.499 < 1, so it is a valid canonical table): progressive AC
+# scans need EOBn symbols 0x10..0xE0 that the Annex K tables lack (libjpeg
+# always Huffman-optimizes progressive streams for the same reason). We
+# trade compression for a fixed, spec-valid table - these streams are
+# deterministic test fixtures, not production output.
+_FLAT_AC = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+            list(range(256)))
+
+# libjpeg's default progressive scan script (jcparam.c), 4:4:4 geometry:
+# (component indices, Ss, Se, Ah, Al)
+_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2), ((2,), 1, 63, 0, 1), ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2), ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0), ((1,), 1, 63, 1, 0), ((0,), 1, 63, 1, 0),
+]
+_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2), ((0,), 6, 63, 0, 2), ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0), ((0,), 1, 63, 1, 0),
+]
+
+
+class _ProgScanWriter:
+    """One scan's entropy encoder (jcphuff.c semantics): EOB-run
+    accumulation and, for refinement scans, the buffered correction
+    bits that ride behind the next emitted symbol."""
+
+    def __init__(self, dc_codes, ac_codes):
+        self.w = _BitWriter()
+        self.dc, self.ac = dc_codes, ac_codes
+        self.eobrun = 0
+        self.be = []                          # bits pending behind an EOB
+
+    def _sym(self, codes, v):
+        code, length = codes[v]
+        self.w.write(code, length)
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self._sym(self.ac, r << 4)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            for b in self.be:
+                self.w.write(b, 1)
+            self.be = []
+
+    # ---- DC
+
+    def dc_first(self, dc, pred, al):
+        v = int(dc) >> al
+        diff = v - pred
+        t = _category(diff)
+        self._sym(self.dc, t)
+        if t:
+            self.w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        return v
+
+    def dc_refine(self, dc, al):
+        self.w.write((int(dc) >> al) & 1, 1)
+
+    # ---- AC
+
+    def ac_first(self, zz, ss, se, al):
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            a = (-v if v < 0 else v) >> al
+            if a == 0:
+                r += 1
+                continue
+            self.emit_eobrun()
+            while r > 15:
+                self._sym(self.ac, 0xF0)
+                r -= 16
+            s = a.bit_length()
+            self._sym(self.ac, (r << 4) | s)
+            self.w.write(a if v >= 0 else (~a) & ((1 << s) - 1), s)
+            r = 0
+        if r > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+    def ac_refine(self, zz, ss, se, al):
+        absv = [(-int(v) if v < 0 else int(v)) >> al
+                for v in zz[ss:se + 1]]
+        eob = 0                               # last NEWLY-nonzero index
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = ss + i
+        r = 0
+        br = []                               # this block's pending bits
+        for k in range(ss, se + 1):
+            a = absv[k - ss]
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                self.emit_eobrun()
+                self._sym(self.ac, 0xF0)
+                r -= 16
+                for b in br:
+                    self.w.write(b, 1)
+                br = []
+            if a > 1:                         # history coeff: one bit
+                br.append(a & 1)
+                continue
+            self.emit_eobrun()
+            self._sym(self.ac, (r << 4) | 1)
+            self.w.write(1 if int(zz[k]) >= 0 else 0, 1)
+            for b in br:
+                self.w.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.be.extend(br)
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+    def finish(self) -> bytes:
+        self.emit_eobrun()
+        self.w.flush()
+        return bytes(self.w.out)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w) or (h, w, 1|3) uint8 -> PROGRESSIVE JPEG (SOF2) bytes,
+    4:4:4, libjpeg's default scan script. Encodes the same quantized
+    coefficients as encode_jpeg, so decode(progressive) must equal
+    decode(baseline) bit-for-bit - the round-trip tests lean on this."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError("1 or 3 channels")
+    luma_q = _scale_table(_K_LUMA, quality)
+    chroma_q = _scale_table(_K_CHROMA, quality)
+    if nc == 3:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+        qids = [0, 1, 1]
+        qtabs = [luma_q, chroma_q, chroma_q]
+    else:
+        planes = [arr[:, :, 0].astype(np.float64)]
+        qids, qtabs = [0], [luma_q]
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = [np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+              for p in planes]
+    coefs = []                                # per comp: (bh, bw, 64)
+    for c in range(nc):
+        zz = np.zeros((bh, bw, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                zz[by, bx] = _quantize_block(
+                    padded[c][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
+                    qtabs[c])
+        coefs.append(zz)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, q in ([(0, luma_q), (1, chroma_q)] if nc == 3
+                   else [(0, luma_q)]):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + q[ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x11, qids[c]])
+    dhts = [(0x00, _K_DC_LUMA), (0x10, _FLAT_AC)]
+    if nc == 3:
+        dhts.append((0x01, _K_DC_CHROMA))
+    codes = {}
+    for tc, (bits, values) in dhts:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) \
+            + bytes([tc]) + bytes(bits) + bytes(values)
+        codes[tc] = _encode_codes(bits, values)
+
+    script = _SCRIPT_COLOR if nc == 3 else _SCRIPT_GRAY
+    for comps_in_scan, ss, se, ah, al in script:
+        out += b"\xff\xda" \
+            + struct.pack(">HB", 6 + 2 * len(comps_in_scan),
+                          len(comps_in_scan))
+        for ci in comps_in_scan:
+            dc_id = 0x01 if (nc == 3 and ci > 0) else 0x00
+            out += bytes([ci + 1, ((dc_id & 0xF) << 4) | 0x0])
+        out += bytes([ss, se, (ah << 4) | al])
+        sw = _ProgScanWriter(None, codes[0x10])
+        if ss == 0:
+            preds = {ci: 0 for ci in comps_in_scan}
+            for by in range(bh):
+                for bx in range(bw):
+                    for ci in comps_in_scan:
+                        sw.dc = codes[0x01 if (nc == 3 and ci > 0)
+                                      else 0x00]
+                        dc = coefs[ci][by, bx, 0]
+                        if ah == 0:
+                            preds[ci] = sw.dc_first(dc, preds[ci], al)
+                        else:
+                            sw.dc_refine(dc, al)
+        else:
+            ci = comps_in_scan[0]
+            for by in range(bh):
+                for bx in range(bw):
+                    if ah == 0:
+                        sw.ac_first(coefs[ci][by, bx], ss, se, al)
+                    else:
+                        sw.ac_refine(coefs[ci][by, bx], ss, se, al)
+        out += sw.finish()
+    out += b"\xff\xd9"
     return bytes(out)

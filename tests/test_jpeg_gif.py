@@ -111,13 +111,80 @@ def test_jpeg_matches_java_imageio(spark):
     assert checked >= 2
 
 
-def test_jpeg_rejects_progressive_and_garbage():
-    prog = [p for p in REAL_JPEGS if p.endswith("grayscale.jpg")]
-    if prog:
-        with pytest.raises(NotImplementedError, match="SOF marker 0xc2"):
-            jpeg.decode_jpeg(open(prog[0], "rb").read())
+def test_jpeg_rejects_lossless_and_garbage():
+    # fabricate an SOF3 (lossless) header: still NotImplementedError
+    sof3 = (b"\xff\xd8\xff\xc3" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+            + b"\x01\x11\x00")
+    with pytest.raises(NotImplementedError, match="SOF marker 0xc3"):
+        jpeg.decode_jpeg(sof3)
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+# ------------------------------------------------------- progressive JPEG
+
+def test_progressive_decode_equals_baseline_decode():
+    """encode_jpeg_progressive writes the same quantized coefficients as
+    encode_jpeg, so decoding its stream must reproduce the baseline
+    decode BIT-FOR-BIT - any slip in the four scan algorithms (DC/AC x
+    first/refine, EOB runs, correction bits) breaks equality. Noise
+    shapes exercise every AC symbol class; odd dims exercise padding."""
+    rng = np.random.default_rng(7)
+    shapes = [(16, 16, 1), (24, 17, 3), (8, 8, 3), (40, 33, 3)]
+    for shape in shapes:
+        arr = rng.integers(0, 256, size=shape).astype(np.uint8)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=85))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(arr, quality=85))
+        assert np.array_equal(base, prog), shape
+
+
+@pytest.mark.skipif(not REAL_JPEGS, reason="no Spark mllib JPEGs on disk")
+def test_progressive_real_file_matches_imageio(spark):
+    """grayscale.jpg in Spark's mllib images is a REAL SOF2 progressive
+    stream written by a standard encoder: our decode must agree with
+    Java ImageIO within IDCT rounding."""
+    prog = [p for p in REAL_JPEGS if p.endswith("grayscale.jpg")]
+    if not prog:
+        pytest.skip("grayscale.jpg absent")
+    row = (spark.read.format("image").load(prog[0])
+           .select("image.*").collect()[0])
+    java = (np.frombuffer(bytes(row.data), dtype=np.uint8)
+            .reshape(row.height, row.width, row.nChannels))
+    mine = jpeg.decode_jpeg(open(prog[0], "rb").read())
+    assert mine.shape == java.shape
+    d = np.abs(mine.astype(int) - java.astype(int))
+    assert d.max() <= 1 and d.mean() < 0.1
+
+
+def test_progressive_stream_accepted_by_imageio(spark, tmp_path):
+    """The other direction: Java ImageIO must decode OUR progressive
+    streams (scan script, flat AC table, EOB-run encoding) to the same
+    pixels we decode, within the usual cross-decoder tolerance."""
+    rng = np.random.default_rng(3)
+    y, x = np.mgrid[0:32, 0:48]
+    cases = {
+        "noise3.jpg": rng.integers(0, 256, size=(24, 33, 3)),
+        "noise1.jpg": rng.integers(0, 256, size=(40, 16, 1)),
+        "grad.jpg": np.stack([(x * 5) % 256, (y * 6) % 256,
+                              (x + y) % 256], axis=2),
+    }
+    for name, arr in cases.items():
+        arr = arr.astype(np.uint8)
+        p = str(tmp_path / name)
+        with open(p, "wb") as f:
+            f.write(jpeg.encode_jpeg_progressive(arr, quality=92))
+        row = (spark.read.format("image").load(p)
+               .select("image.*").collect()[0])
+        assert row.height == arr.shape[0] and row.width == arr.shape[1]
+        java = (np.frombuffer(bytes(row.data), dtype=np.uint8)
+                .reshape(row.height, row.width, row.nChannels))
+        if row.nChannels >= 3:
+            java = java[:, :, 2::-1]          # BGR(A) -> RGB
+        mine = jpeg.decode_jpeg(open(p, "rb").read())
+        d = np.abs(mine[:, :, :java.shape[2]].astype(int)
+                   - java.astype(int))
+        assert d.max() <= 2, name
 
 
 # ------------------------------------------------------------------- GIF
