@@ -552,6 +552,14 @@ def _q_lm_quality(spark, sf_dir):
     return textstats.unigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_lm_bigram(spark, sf_dir):
+    """Self-scored interpolated Kneser-Ney bigram perplexity (the
+    KenLM/CCNet-tier context-sensitive quality filter); oracle replays
+    the discounted-interpolation formula over independently recomputed
+    bigram/context/continuation counts."""
+    return textstats.bigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality signals over documents (the
     standard webtext filter family); pure per-row codegen, no shuffle."""
@@ -824,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "repetition_stats": _q_repetition_stats,
         "lm_quality": _q_lm_quality,
+        "lm_bigram": _q_lm_bigram,
         "pii_redaction": _q_pii_redaction,
         "token_counts": _q_token_counts,
         "ann_topk": _q_ann_topk,
@@ -1280,6 +1289,29 @@ per AS (SELECT doc_id, count(*) AS n_tokens, avg(lp) AS mean_lp
 SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
   round(p.mean_lp, 6) AS mean_logprob,
   round(exp(-p.mean_lp), 4) AS ppl
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+_LM_BIGRAM_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+ws AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
+       FROM norm),
+bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       FROM ws, LATERAL unnest(generate_series(1, len(w) - 1)) AS g(i)
+       WHERE len(w) >= 2),
+bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS nfol FROM bgc GROUP BY w1),
+cont AS (SELECT w2, count(*) AS nctx FROM bgc GROUP BY w2),
+tot AS (SELECT count(*) AS nbt FROM bgc),
+sc AS (SELECT bg.doc_id,
+         greatest(c12 - 0.75, 0.0) / c1
+         + 0.75 * nfol / c1 * (nctx / nbt) AS p
+       FROM bg JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
+       JOIN cont USING (w2), tot),
+per AS (SELECT doc_id, count(*) AS n_bigrams, avg(ln(p)) AS mean_lp
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  round(p.mean_lp, 6) AS mean_logprob, round(exp(-p.mean_lp), 4) AS ppl
 FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
 """
 
@@ -1950,6 +1982,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "quality_scores": _QUALITY_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,
         "lm_quality": _LM_QUALITY_ORACLE,
+        "lm_bigram": _LM_BIGRAM_ORACLE,
         "pii_redaction": _PII_ORACLE,
         "token_counts": _TOKEN_ORACLE,
         "ann_topk": _ANN_ORACLE,

@@ -377,3 +377,87 @@ def stratified_sample(df: DataFrame, rates: dict, stratum_col: str,
             F.col(stratum_col) == s, thr)
     rate_col = rate_col.otherwise(F.lit(0))
     return df.filter(h < rate_col)
+
+
+def _word_array(text_col):
+    """Normalized word array of a text column (shared by the n-gram LMs):
+    lowercase, strip non-alphanumerics, collapse whitespace, split, drop
+    empties. Pure codegen."""
+    from .dedup import normalized_text
+    return F.filter(F.split(normalized_text(text_col), " "),
+                    lambda w: w != "")
+
+
+def doc_bigrams(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, w1, w2) bigram tokens per document, formed entirely map-side:
+    within-row slice+zip+explode - no window function, no shuffle. Docs
+    with fewer than two words emit no rows."""
+    return (df.select(F.col(id_col), _word_array(F.col(text_col)).alias("ws"))
+            .filter(F.size("ws") >= 2)
+            .withColumn("a", F.expr("slice(ws, 1, size(ws) - 1)"))
+            .withColumn("b", F.expr("slice(ws, 2, size(ws) - 1)"))
+            .select(id_col, F.explode(F.arrays_zip("a", "b")).alias("p"))
+            .select(id_col, F.col("p.a").alias("w1"),
+                    F.col("p.b").alias("w2")))
+
+
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   bigram_model: DataFrame | None = None,
+                   discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity per document - the
+    CCNet/KenLM-tier corpus-quality filter one order above
+    ``unigram_logprob`` (context-sensitive: "the the the" scores badly
+    under a bigram model but fine under a unigram one).
+
+    Model (absolute discounting D, Chen & Goodman eq. 4.21 at n=2):
+
+        p(w2|w1) = max(c(w1 w2) - D, 0) / c(w1.)
+                   + D * N1+(w1.) / c(w1.) * Pcont(w2)
+        Pcont(w2) = N1+(.w2) / |distinct bigram types|
+
+    where c(w1.) counts bigram tokens with left word w1, N1+(w1.) its
+    distinct followers, and N1+(.w2) the distinct left-contexts of w2
+    (the continuation count - the KN signature). ``bigram_model``
+    (w1, w2, c) supplies an external model (score web text under a
+    clean-corpus LM); default is self-scoring. Under an external model,
+    an unseen bigram takes the backoff term only and an unseen context
+    falls back to the continuation probability (0.5 pseudo-count for a
+    wholly unseen word).
+
+    Shape at 100 TB: bigram formation is per-row codegen (no shuffle);
+    the model is two map-side-combinable groupBys over the bigram table;
+    scoring is three shuffle joins keyed on words (an LM over a web
+    corpus does NOT broadcast - the shuffle is inherent, and AQE picks
+    broadcast automatically at small scale) plus one per-doc partial
+    agg. Exact SQL twin in __spark_entry__."""
+    D = float(discount)
+    bag = doc_bigrams(df, id_col, text_col)
+    if bigram_model is None:
+        bgc = bag.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    else:
+        bgc = bigram_model.select("w1", "w2", F.col("c").alias("c12"))
+    ctx = bgc.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                                F.count(F.lit(1)).alias("nfol"))
+    cont = bgc.groupBy("w2").agg(F.count(F.lit(1)).alias("cont"))
+    tot = bgc.agg(F.count(F.lit(1)).alias("nbt"))
+    scored = (bag.join(bgc, ["w1", "w2"], "left")
+              .join(ctx, "w1", "left")
+              .join(cont, "w2", "left")
+              .crossJoin(F.broadcast(tot)))
+    pcont = F.coalesce("cont", F.lit(0.5)) / F.col("nbt")
+    p = F.when(
+        F.col("c1").isNotNull(),
+        F.greatest(F.coalesce("c12", F.lit(0)) - D, F.lit(0.0))
+        / F.col("c1")
+        + F.lit(D) * F.col("nfol") / F.col("c1") * pcont
+    ).otherwise(pcont)
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg(F.log(p)).alias("mean_lp"))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.round("mean_lp", 6).alias("mean_logprob"),
+                    F.round(F.exp(-F.col("mean_lp")), 4).alias("ppl")))

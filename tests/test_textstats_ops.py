@@ -272,3 +272,60 @@ def test_jaccard_materialized_shingles(spark, tmp_path):
                                shingle_table_path=path).collect()}
     assert cached == mat and len(mat) > 0
     assert os.path.isdir(path)  # the table was actually materialized
+
+
+def test_bigram_logprob_self_scored_closed_form(spark):
+    """Tiny corpus where every KN quantity is hand-computable.
+    Corpus bigrams: doc1 'a b a b' -> (a,b) (b,a) (a,b); doc2 'a c'.
+    Counts: c(a,b)=2 c(b,a)=1 c(a,c)=1; c1(a)=3 nfol(a)=2, c1(b)=1
+    nfol(b)=1; cont(b)=1 cont(a)=1 cont(c)=1; nbt=3."""
+    import math
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a c"), (3, "solo"),
+                                (4, "")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in textstats.bigram_logprob(df).collect()}
+    D = 0.75
+    p_ab = (2 - D) / 3 + D * 2 / 3 * (1 / 3)
+    p_ba = (1 - D) / 1 + D * 1 / 1 * (1 / 3)
+    p_ac = (1 - D) / 3 + D * 2 / 3 * (1 / 3)
+    exp1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert rows[1].n_bigrams == 3
+    assert abs(rows[1].mean_logprob - exp1) < 1e-6
+    assert abs(rows[2].mean_logprob - math.log(p_ac)) < 1e-6
+    # <2-word docs emit no bigrams but keep a row
+    assert rows[3].n_bigrams == 0 and rows[3].mean_logprob is None
+    assert rows[4].n_bigrams == 0
+    # ppl = exp(-mean)
+    assert abs(rows[1].ppl - round(math.exp(-exp1), 4)) < 1e-9
+
+
+def test_bigram_logprob_external_model_fallbacks(spark):
+    """External model: unseen bigram takes the backoff term only; a
+    wholly unseen context falls back to the continuation probability
+    (0.5 pseudo-count for an unseen continuation word)."""
+    import math
+    model = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 1), ("a", "c", 1)],
+        "w1 string, w2 string, c long")
+    df = spark.createDataFrame(
+        [(1, "b c"),      # seen context b, unseen bigram (b,c)
+         (2, "z a"),      # unseen context z, seen continuation a
+         (3, "z q")],     # unseen context AND unseen continuation
+        "doc_id long, text string")
+    rows = {r.doc_id: r
+            for r in textstats.bigram_logprob(df, bigram_model=model)
+            .collect()}
+    D, nbt = 0.75, 3
+    p_bc = 0.0 + D * 1 / 1 * (1 / nbt)          # backoff only
+    p_za = 1 / nbt                               # continuation fallback
+    p_zq = 0.5 / nbt                             # unseen continuation
+    assert abs(rows[1].mean_logprob - round(math.log(p_bc), 6)) < 1e-6
+    assert abs(rows[2].mean_logprob - round(math.log(p_za), 6)) < 1e-6
+    assert abs(rows[3].mean_logprob - round(math.log(p_zq), 6)) < 1e-6
+
+
+def test_bigram_formation_is_map_side(spark):
+    """doc_bigrams must not shuffle: within-row slice+zip+explode."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = textstats.doc_bigrams(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
