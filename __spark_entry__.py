@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from eventrelationextractor_spark import fixtures as fx  # noqa: E402
 from eventrelationextractor_spark.ops import bm25, cluster, packing  # noqa: E402
 from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
-from eventrelationextractor_spark.ops import bpe, graph, linededup  # noqa: E402
+from eventrelationextractor_spark.ops import bloom, bpe, graph, linededup  # noqa: E402
 from eventrelationextractor_spark.ops import htmltext, mixing, pii  # noqa: E402
 from eventrelationextractor_spark.ops import simsearch, textstats, urls  # noqa: E402
 from eventrelationextractor_spark.spark import kg, stages  # noqa: E402
@@ -560,6 +560,20 @@ def _q_lm_bigram(spark, sf_dir):
     return textstats.bigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_bloom_prefilter(spark, sf_dir):
+    """Cross-snapshot dedup prefilter: a bloom bitmap built over the
+    content fingerprints of the 'previous snapshot' (doc_id % 3 == 0)
+    tags every probe doc maybe_member map-side - zero probe-side
+    shuffle. The oracle replays the md5 bit draws, so membership
+    (including any false positive) matches EXACTLY."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "fp", F.md5(dedup.normalized_text(F.col("text"))))
+    ref = docs.filter(F.col("doc_id") % 3 == 0).select("fp")
+    return (bloom.bloom_prefilter(docs, ref, key_col="fp",
+                                  m_bits=1 << 16, k=4)
+            .select("doc_id", "maybe_member"))
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality signals over documents (the
     standard webtext filter family); pure per-row codegen, no shuffle."""
@@ -833,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "lm_quality": _q_lm_quality,
         "lm_bigram": _q_lm_bigram,
+        "bloom_prefilter": _q_bloom_prefilter,
         "pii_redaction": _q_pii_redaction,
         "token_counts": _q_token_counts,
         "ann_topk": _q_ann_topk,
@@ -1313,6 +1328,20 @@ per AS (SELECT doc_id, count(*) AS n_bigrams, avg(ln(p)) AS mean_lp
 SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
   round(p.mean_lp, 6) AS mean_logprob, round(exp(-p.mean_lp), 4) AS ppl
 FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+_BLOOM_ORACLE = f"""
+WITH keyed AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+occ AS (SELECT DISTINCT
+    CAST(('0x' || substr(md5('bf' || i || ':' || fp), 1, 8))::UBIGINT
+         % 65536 AS BIGINT) AS pos
+  FROM keyed, (VALUES (0),(1),(2),(3)) t(i) WHERE doc_id % 3 = 0),
+pp AS (SELECT doc_id,
+    CAST(('0x' || substr(md5('bf' || i || ':' || fp), 1, 8))::UBIGINT
+         % 65536 AS BIGINT) AS pos
+  FROM keyed, (VALUES (0),(1),(2),(3)) t(i))
+SELECT pp.doc_id, count(o.pos) = 4 AS maybe_member
+FROM pp LEFT JOIN occ o ON pp.pos = o.pos GROUP BY pp.doc_id
 """
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -1983,6 +2012,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "repetition_stats": _REPETITION_ORACLE,
         "lm_quality": _LM_QUALITY_ORACLE,
         "lm_bigram": _LM_BIGRAM_ORACLE,
+        "bloom_prefilter": _BLOOM_ORACLE,
         "pii_redaction": _PII_ORACLE,
         "token_counts": _TOKEN_ORACLE,
         "ann_topk": _ANN_ORACLE,
