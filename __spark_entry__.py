@@ -817,6 +817,16 @@ def _q_bpe_vocab(spark, sf_dir):
     return bpe.subword_vocab(_docs(spark, sf_dir), merges)
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """Corpus tokenization under the learned BPE (ops/bpe.py
+    encode_bpe): map-side merge application over whole documents, token
+    stream pinned per doc by an md5 digest + ranked-vocab id checksum.
+    The oracle replays the merge learning AND the document encode."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe.learn_bpe(docs, n_merges=8)
+    return bpe.encode_bpe(docs, merges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG construction pipeline (reference parity + scale)
@@ -879,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "bpe_merges": _q_bpe_merges,
         "bpe_vocab": _q_bpe_vocab,
+        "bpe_encode": _q_bpe_encode,
     }
 
 
@@ -1962,6 +1973,33 @@ s{i} AS (SELECT replace(sym, '<'||l||'><'||r||'>', '<'||l||r||'>') AS sym,
             f"CAST(f AS BIGINT) AS pair_freq FROM b{i}"
             for i in range(1, n_merges + 1))
         parts.append("\n" + sel)
+    elif what == "encode":
+        parts.append(f""",
+norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+d0 AS (SELECT doc_id, regexp_replace(t, '([^ ])', '<\\1>', 'g') AS sym
+       FROM norm)""")
+        for i in range(1, n_merges + 1):
+            parts.append(f""",
+d{i} AS (SELECT doc_id,
+  replace(sym, '<'||l||'><'||r||'>', '<'||l||r||'>') AS sym
+  FROM d{i-1} CROSS JOIN b{i})""")
+        parts.append(f""",
+tok AS (SELECT doc_id,
+  list_filter(flatten(list_transform(string_split(sym, ' '),
+    s -> string_split(trim(s, '<>'), '><'))), x -> x <> '') AS toks
+  FROM d{n_merges}),
+vocab AS (SELECT token, sum(freq) AS freq FROM (
+  SELECT unnest(string_split(trim(sym, '<>'), '><')) AS token, freq
+  FROM s{n_merges}) GROUP BY token),
+ranked AS (SELECT token,
+  row_number() OVER (ORDER BY freq DESC, token) AS tid FROM vocab),
+ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+ids AS (SELECT ex.doc_id, sum(r.tid) AS idsum
+        FROM ex JOIN ranked r USING (token) GROUP BY ex.doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+  md5(array_to_string(t.toks, ' ')) AS stream_md5,
+  CAST(coalesce(i.idsum, 0) AS BIGINT) AS id_checksum
+FROM tok t LEFT JOIN ids i ON i.doc_id = t.doc_id""")
     else:
         parts.append(f"""
 SELECT token, CAST(sum(freq) AS BIGINT) AS freq FROM (
@@ -2053,6 +2091,7 @@ FROM hashed
         "mixture_sample": _MIXTURE_SAMPLE_ORACLE,
         "bpe_merges": _bpe_oracle(8, "merges"),
         "bpe_vocab": _bpe_oracle(8, "vocab"),
+        "bpe_encode": _bpe_oracle(8, "encode"),
     }
 
 

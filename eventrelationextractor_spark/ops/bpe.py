@@ -101,3 +101,59 @@ def subword_vocab(df: DataFrame, merges: list,
     arr = F.split(F.regexp_replace(col, "^<|>$", ""), "><")
     return (sym.select(F.explode(arr).alias("token"), "freq")
             .groupBy("token").agg(F.sum("freq").alias("freq")))
+
+
+def encode_tokens(df: DataFrame, merges: list, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Per-document BPE token array after applying ``merges`` - the
+    tokenize-the-corpus step that turns text into training sequences.
+
+    Entirely map-side, zero shuffle: the whole normalized document is
+    symbolized at once (only non-space chars are wrapped, so a merge
+    literal ``<a><b>`` can never match across a word boundary - applying
+    merges at document level is EXACTLY word-level application), the
+    merge chain is literal replaces in rank order, and the token array
+    falls out of an unwrap+split+flatten. Same replace() semantics in
+    DuckDB, which the SQL oracle replays."""
+    sym = F.regexp_replace(normalized_text(F.col(text_col)),
+                           "([^ ])", "<$1>")
+    for _, l, r, _ in merges:
+        sym = F.replace(sym, F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>"))
+    arr = F.flatten(F.transform(
+        F.split(sym, " "),
+        lambda s: F.split(F.regexp_replace(s, "^<|>$", ""), "><")))
+    arr = F.filter(arr, lambda t: t != "")
+    return df.select(F.col(id_col), arr.alias("tokens"))
+
+
+def encode_bpe(df: DataFrame, merges: list, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus tokenization summary under a learned BPE: per document the
+    token count, an md5 digest of the full token stream (captures every
+    token and its order without shipping 10^6-row streams through the
+    compare), and a token-ID checksum.
+
+    Token IDs come from the subword vocab ranked (freq DESC, token ASC)
+    - a window over the vocab-sized table, then a broadcast-sized join
+    against the exploded token stream (a tokenizer vocab broadcasts at
+    any corpus scale; AQE picks the broadcast automatically). The
+    id_checksum = sum of token ids per doc pins the full id assignment
+    under the value hash."""
+    toks = encode_tokens(df, merges, id_col, text_col)
+    from pyspark.sql import Window
+    vocab = subword_vocab(df, merges, text_col)
+    ranked = vocab.withColumn(
+        "token_id", F.row_number().over(
+            Window.orderBy(F.desc("freq"), "token")))
+    stream = toks.select(
+        id_col, F.size("tokens").alias("n_tokens"),
+        F.md5(F.array_join("tokens", " ")).alias("stream_md5"),
+        F.explode_outer("tokens").alias("token"))
+    per_doc = (stream.join(F.broadcast(ranked.select("token", "token_id")),
+                           "token", "left")
+               .groupBy(id_col, "n_tokens", "stream_md5")
+               .agg(F.sum("token_id").alias("id_checksum")))
+    return per_doc.select(
+        id_col, "n_tokens", "stream_md5",
+        F.coalesce("id_checksum", F.lit(0)).cast("long")
+        .alias("id_checksum"))

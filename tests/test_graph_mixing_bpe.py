@@ -206,3 +206,34 @@ def test_learn_bpe_exhausts_pairs(spark):
     # single two-char word: exactly one merge possible, then stop early
     got = bpe.learn_bpe(_corpus_df(spark, {"ab": 3}), n_merges=5)
     assert got == [(1, "a", "b", 3)]
+
+
+def test_encode_tokens_classical_semantics(spark):
+    """Doc-level merge application == classical per-word BPE: merges
+    'lo' then 'lolo' can't chain across the word boundary, and within
+    a word the left-to-right replace reproduces the greedy pass."""
+    df = spark.createDataFrame([(1, "lolo helo"), (2, "")],
+                               "doc_id long, text string")
+    merges = [(1, "l", "o", 0), (2, "lo", "lo", 0)]
+    got = {r.doc_id: r.tokens
+           for r in bpe.encode_tokens(df, merges).collect()}
+    assert got[1] == ["lolo", "h", "e", "lo"]
+    assert got[2] == []
+
+
+def test_encode_tokens_is_map_side(spark):
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    plan = bpe.encode_tokens(df, [(1, "a", "b", 0)])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_encode_bpe_checksums(spark):
+    """id assignment: vocab ranked (freq DESC, token ASC). Corpus
+    'ab ab b' with merge (a,b): vocab ab:2 b:1 -> ids ab=1, b=2."""
+    import hashlib
+    df = spark.createDataFrame([(1, "ab ab b")], "doc_id long, text string")
+    row = bpe.encode_bpe(df, [(1, "a", "b", 0)]).collect()[0]
+    assert row.n_tokens == 3
+    assert row.stream_md5 == hashlib.md5(b"ab ab b").hexdigest()
+    assert row.id_checksum == 1 + 1 + 2
