@@ -28,7 +28,7 @@ from eventrelationextractor_spark.ops import bm25, cluster, packing  # noqa: E40
 from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
 from eventrelationextractor_spark.ops import bloom, bpe, graph, linededup  # noqa: E402
 from eventrelationextractor_spark.ops import htmltext, mixing, pii  # noqa: E402
-from eventrelationextractor_spark.ops import simsearch, textstats, urls  # noqa: E402
+from eventrelationextractor_spark.ops import simsearch, sketches, textstats, urls  # noqa: E402
 from eventrelationextractor_spark.spark import kg, stages  # noqa: E402
 
 # broadcast-able entity-linking dictionary: synthetic-corpus event lemmas
@@ -817,6 +817,30 @@ def _q_bpe_vocab(spark, sf_dir):
     return bpe.subword_vocab(_docs(spark, sf_dir), merges)
 
 
+def _q_hll_vocab(spark, sf_dir):
+    """Per-language vocabulary-size estimate via deterministic
+    HyperLogLog (ops/sketches.py): md5-derived registers, so the oracle
+    reproduces registers and estimate exactly; register_checksum pins
+    the full sketch state as an integer."""
+    docs = _docs(spark, sf_dir)
+    tok = (docs.select("lang", F.explode(F.split(
+        dedup.normalized_text(F.col("text")), " ")).alias("w"))
+        .filter(F.col("w") != ""))
+    return sketches.hll_estimate(tok, "w", ["lang"])
+
+
+def _q_kmv_overlap(spark, sf_dir):
+    """Snapshot-overlap estimate via KMV bottom-k sketches over content
+    fingerprints: snapshot A = doc_id % 3 == 0, B = doc_id % 2 == 0
+    (every 6th doc shared). One row: intersection-in-bottom-k, union
+    estimate, Jaccard estimate - all md5-deterministic."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "fp", F.md5(dedup.normalized_text(F.col("text"))))
+    a = docs.filter(F.col("doc_id") % 3 == 0).select("fp")
+    b = docs.filter(F.col("doc_id") % 2 == 0).select("fp")
+    return sketches.kmv_overlap(a, b, "fp", k=64)
+
+
 def _q_bpe_encode(spark, sf_dir):
     """Corpus tokenization under the learned BPE (ops/bpe.py
     encode_bpe): map-side merge application over whole documents, token
@@ -890,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_vocab": _q_bpe_vocab,
         "bpe_encode": _q_bpe_encode,
+        "hll_vocab": _q_hll_vocab,
+        "kmv_overlap": _q_kmv_overlap,
     }
 
 
@@ -1353,6 +1379,54 @@ pp AS (SELECT doc_id,
   FROM keyed, (VALUES (0),(1),(2),(3)) t(i))
 SELECT pp.doc_id, count(o.pos) = 4 AS maybe_member
 FROM pp LEFT JOIN occ o ON pp.pos = o.pos GROUP BY pp.doc_id
+"""
+
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 512)
+
+_HLL_ORACLE = f"""
+WITH norm AS (SELECT lang, {_NORM} AS t FROM documents),
+tok0 AS (SELECT lang, unnest(string_split(t, ' ')) AS w FROM norm),
+tok AS (SELECT lang, w FROM tok0 WHERE w <> ''),
+hx AS (SELECT lang,
+  CAST(('0x' || substr(md5(w), 1, 15))::UBIGINT AS BIGINT) AS h FROM tok),
+reg AS (SELECT lang, h % 512 AS bucket,
+  CASE WHEN (h >> 9) = 0 THEN 52 ELSE 52 - length(bin(h >> 9)) END AS r
+  FROM hx),
+mx AS (SELECT lang, bucket, max(r) AS rho FROM reg GROUP BY 1, 2),
+ag AS (SELECT lang, sum(power(2.0, -rho)) AS z, count(*) AS nonzero,
+  sum(rho) AS register_checksum FROM mx GROUP BY lang)
+SELECT lang,
+  round(CASE WHEN ({_HLL_ALPHA!r}::DOUBLE * 512 * 512 / (z + (512 - nonzero)))
+                  <= 1280.0 AND (512 - nonzero) > 0
+        THEN 512 * ln(512.0 / (512 - nonzero))
+        ELSE {_HLL_ALPHA!r}::DOUBLE * 512 * 512 / (z + (512 - nonzero)) END, 4)
+    AS est_distinct,
+  CAST(register_checksum AS BIGINT) AS register_checksum
+FROM ag
+"""
+
+_KMV_ORACLE = f"""
+WITH keyed AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+ha AS (SELECT DISTINCT
+  CAST(('0x' || substr(md5(fp), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM keyed WHERE doc_id % 3 = 0),
+ma AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+hb AS (SELECT DISTINCT
+  CAST(('0x' || substr(md5(fp), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM keyed WHERE doc_id % 2 = 0),
+mb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+un AS (SELECT DISTINCT h FROM
+  (SELECT h FROM ma UNION ALL SELECT h FROM mb)),
+uk AS (SELECT h FROM un ORDER BY h LIMIT 64),
+ib AS (SELECT count(*) AS ki FROM uk
+       WHERE h IN (SELECT h FROM ma) AND h IN (SELECT h FROM mb)),
+st AS (SELECT count(*) AS ku, max(h) AS hk FROM uk)
+SELECT CAST(ki AS BIGINT) AS bottomk_intersection,
+  CAST(ku AS BIGINT) AS bottomk_size,
+  round(CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE)
+        ELSE 63.0 * 1152921504606846976.0 / hk END, 4) AS est_union,
+  round(CAST(ki AS DOUBLE) / ku, 6) AS est_jaccard
+FROM st, ib
 """
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -2092,6 +2166,8 @@ FROM hashed
         "bpe_merges": _bpe_oracle(8, "merges"),
         "bpe_vocab": _bpe_oracle(8, "vocab"),
         "bpe_encode": _bpe_oracle(8, "encode"),
+        "hll_vocab": _HLL_ORACLE,
+        "kmv_overlap": _KMV_ORACLE,
     }
 
 

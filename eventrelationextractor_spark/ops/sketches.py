@@ -1,0 +1,112 @@
+"""Deterministic cardinality/overlap sketches: HyperLogLog distinct
+counting and KMV (bottom-k) set overlap.
+
+The corpus-telemetry primitives of a 100-TB pipeline: vocabulary size,
+distinct-URL counts, snapshot-overlap estimates - quantities whose exact
+computation is a corpus-wide distinct (a giant shuffle), but whose
+sketches are ONE map-side-combinable aggregation producing a
+fixed-size summary (512 registers / k minima) that also merges across
+partitions, shards and days (sketch union = register max / minima
+merge).
+
+Unlike Spark's built-in approx_count_distinct (whose xxHash/HLL++
+internals can't be replayed in another engine), these draw every hash
+from md5 of the value, so the SQL oracle reproduces registers, minima
+and estimates EXACTLY - the sketches are deterministic functions of the
+input SET (order-free: max/min aggregations), not of partitioning.
+
+No counterpart in /root/reference (fixed small corpus); part of the
+LLM-pipeline operator family (SURVEY.md §2 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# HLL geometry: b bits of bucket index, m = 2^b registers. The hash is
+# the first 15 hex chars of md5 (60 bits - fits a signed long in both
+# engines); bucket = low b bits, rho = leading-zero count of the
+# remaining (60-b)-bit suffix + 1, computed exactly via the binary
+# string length (no float log2 anywhere).
+HLL_B = 9
+HLL_M = 1 << HLL_B
+# alpha_512 per Flajolet et al. 2007 (m >= 128 branch)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _h60(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
+def hll_registers(df: DataFrame, value_col: str,
+                  group_cols: list | None = None) -> DataFrame:
+    """(group..., bucket, rho): max-rho register table, one
+    map-side-combinable groupBy, at most m rows per group."""
+    gc = list(group_cols or [])
+    h = _h60(F.col(value_col))
+    rest = F.shiftright(h, HLL_B)
+    width = 60 - HLL_B
+    rho = F.when(rest == 0, F.lit(width + 1)) \
+        .otherwise(F.lit(width) - F.length(F.bin(rest)) + 1)
+    return (df.select(*gc, (h % HLL_M).alias("bucket"), rho.alias("r"))
+            .groupBy(*gc, "bucket").agg(F.max("r").alias("rho")))
+
+
+def hll_estimate(df: DataFrame, value_col: str,
+                 group_cols: list | None = None) -> DataFrame:
+    """Distinct-count estimate per group: raw HLL estimate with the
+    standard small-range (linear-counting) correction. Adds
+    register_checksum = sum of register values - an integer that pins
+    the full register state under a value-hash compare."""
+    gc = list(group_cols or [])
+    regs = hll_registers(df, value_col, gc)
+    agg = regs.groupBy(*gc).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z"),
+        F.count(F.lit(1)).alias("nonzero"),
+        F.sum("rho").cast("long").alias("register_checksum"))
+    m = float(HLL_M)
+    raw = F.lit(HLL_ALPHA * m * m) / (F.col("z") + (m - F.col("nonzero")))
+    zeros = F.lit(HLL_M) - F.col("nonzero")
+    linear = F.lit(m) * F.log(F.lit(m) / zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear) \
+        .otherwise(raw)
+    return agg.select(*gc, F.round(est, 4).alias("est_distinct"),
+                      "register_checksum")
+
+
+def kmv_minima(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
+    """Bottom-k distinct 60-bit hashes of a value column - a fixed-size
+    signature of the SET. Distributed top-k (TakeOrdered: per-partition
+    k then merge), no full sort."""
+    return (df.select(_h60(F.col(value_col)).alias("h"))
+            .groupBy("h").agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+            .orderBy("h").limit(k))
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, value_col: str,
+                k: int = 64) -> DataFrame:
+    """One-row overlap estimate between the value sets of ``a`` and
+    ``b``: Jaccard from the bottom-k union sketch (Beyer et al. 2007 -
+    the k-th smallest of the union estimates the union cardinality as
+    (k-1) * 2^60 / h_k, and the intersection fraction within that
+    bottom-k estimates J). Both sides' minima are k-row tables, so
+    everything after the two sketch aggregations is broadcast-sized."""
+    ma, mb = kmv_minima(a, value_col, k), kmv_minima(b, value_col, k)
+    union_k = (ma.unionByName(mb).groupBy("h").agg(F.count(F.lit(1)))
+               .select("h").orderBy("h").limit(k))
+    in_both = (union_k.join(ma, "h", "left_semi")
+               .join(mb, "h", "left_semi"))
+    stats = union_k.agg(F.count(F.lit(1)).alias("ku"),
+                        F.max("h").alias("hk"))
+    inter = in_both.agg(F.count(F.lit(1)).alias("ki"))
+    est_union = F.when(
+        F.col("ku") < k, F.col("ku").cast("double")) \
+        .otherwise((F.lit(float(k - 1)) * F.lit(2.0 ** 60)) / F.col("hk"))
+    return (stats.crossJoin(inter)
+            .select(F.col("ki").cast("long").alias("bottomk_intersection"),
+                    F.col("ku").cast("long").alias("bottomk_size"),
+                    F.round(est_union, 4).alias("est_union"),
+                    F.round(F.col("ki") / F.col("ku"), 6)
+                    .alias("est_jaccard")))
