@@ -817,6 +817,29 @@ def _q_bpe_vocab(spark, sf_dir):
     return bpe.subword_vocab(_docs(spark, sf_dir), merges)
 
 
+def _q_events_asof(spark, sf_dir):
+    """Backward as-of join (ops/events.py::asof_join): attribute each
+    click to the latest preceding view of the same user - one
+    union+window shuffle, no range-join pair blowup. Oracle = DuckDB's
+    native ASOF LEFT JOIN, an independent formulation of the same
+    point-in-time semantics."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", F.col("event_id").alias("view_id"),
+                F.col("value").alias("view_value"))
+    j = events.asof_join(clicks, views, on="user_id", ts_col="ts",
+                         right_cols=["view_id", "view_value"],
+                         prefix="prior_")
+    return j.select(
+        "event_id", "user_id", F.col("prior_view_id"),
+        F.round("prior_view_value", 4).alias("prior_view_value"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("prior_ts").cast("timestamp")))
+        .alias("gap_us"))
+
+
 def _q_hll_vocab(spark, sf_dir):
     """Per-language vocabulary-size estimate via deterministic
     HyperLogLog (ops/sketches.py): md5-derived registers, so the oracle
@@ -916,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "hll_vocab": _q_hll_vocab,
         "kmv_overlap": _q_kmv_overlap,
+        "events_asof": _q_events_asof,
     }
 
 
@@ -1427,6 +1451,19 @@ SELECT CAST(ki AS BIGINT) AS bottomk_intersection,
         ELSE 63.0 * 1152921504606846976.0 / hk END, 4) AS est_union,
   round(CAST(ki AS DOUBLE) / ku, 6) AS est_jaccard
 FROM st, ib
+"""
+
+_ASOF_ORACLE = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+views AS (SELECT user_id, ts AS vts, event_id AS view_id,
+                 value AS view_value
+          FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, v.view_id AS prior_view_id,
+  round(v.view_value, 4) AS prior_view_value,
+  datediff('microsecond', v.vts, c.ts) AS gap_us
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.vts <= c.ts
 """
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -2168,6 +2205,7 @@ FROM hashed
         "bpe_encode": _bpe_oracle(8, "encode"),
         "hll_vocab": _HLL_ORACLE,
         "kmv_overlap": _KMV_ORACLE,
+        "events_asof": _ASOF_ORACLE,
     }
 
 

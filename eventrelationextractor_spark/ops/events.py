@@ -212,3 +212,62 @@ def streaming_sessionize_event_time(stream: DataFrame,
             .groupBy("user_id")
             .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              ts_col: str = "ts", right_cols: list | None = None,
+              prefix: str = "asof_",
+              tolerance_seconds: float | None = None) -> DataFrame:
+    """Backward as-of join: enrich each left row with the LATEST right
+    row whose ``ts_col`` <= the left row's (per ``on`` key) - the
+    point-in-time lookup Spark has no native operator for (feature
+    stores, attribution, slowly-changing-dimension reads).
+
+    NOT implemented as a range join (whose candidate space is
+    |left| x |right rows in range| and explodes on hot keys). Instead
+    the classic union trick: tag both sides, union, and carry the last
+    right-side payload forward with one running ``last(ignorenulls)``
+    window per key - ONE shuffle total (the window's hashpartitioning
+    on the key), cost O((|L|+|R|) log window) with no pair blowup. Right
+    rows sort before left rows at equal timestamps, giving inclusive
+    (<=) semantics - the same as DuckDB's ASOF JOIN, which the SQL
+    oracle uses as an independent formulation.
+
+    The right payload rides as ONE struct so all its fields come from
+    the SAME matched row (per-column last() could mix rows when a
+    right column is null). ``tolerance_seconds`` nullifies matches
+    older than the bound (pandas merge_asof semantics). Unmatched left
+    rows keep null payload (left-join semantics)."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, ts_col)]
+    rpay = F.struct(F.col(ts_col).alias("_rts"),
+                    *[F.col(c) for c in right_cols])
+    rpay_type = right.select(rpay.alias("_r")).schema["_r"].dataType
+    lrow = F.struct(*[F.col(c) for c in left.columns])
+    lrow_type = left.select(lrow.alias("_l")).schema["_l"].dataType
+
+    lu = left.select(F.col(on).alias("_k"), F.col(ts_col).alias("_ts"),
+                     F.lit(1).alias("_side"), lrow.alias("_lrow"),
+                     F.lit(None).cast(rpay_type).alias("_rpay"))
+    ru = right.select(F.col(on).alias("_k"), F.col(ts_col).alias("_ts"),
+                      F.lit(0).alias("_side"),
+                      F.lit(None).cast(lrow_type).alias("_lrow"),
+                      rpay.alias("_rpay"))
+    w = (Window.partitionBy("_k").orderBy("_ts", "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (lu.unionByName(ru)
+               .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+               .filter(F.col("_side") == 1))
+    if tolerance_seconds is not None:
+        # cast handles TIMESTAMP_NTZ columns (unix_micros rejects them);
+        # build_session pins the session zone to UTC so the cast is an
+        # exact epoch read, and the DIFFERENCE is offset-invariant anyway
+        in_tol = (F.unix_micros(F.col("_ts").cast("timestamp"))
+                  - F.unix_micros(F.col("_m._rts").cast("timestamp"))) \
+            <= int(tolerance_seconds * 1_000_000)
+        carried = carried.withColumn(
+            "_m", F.when(in_tol, F.col("_m")))
+    out = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out.append(F.col("_m._rts").alias(f"{prefix}{ts_col}"))
+    out += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols]
+    return carried.select(*out)

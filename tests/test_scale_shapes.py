@@ -233,3 +233,15 @@ def test_resumable_write_compact_mode(spark, tmp_path):
     for b in range(4):
         files = glob.glob(os.path.join(out, f"bucket={b}", "*.parquet"))
         assert len(files) == 1, (b, files)
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-trick as-of join shuffles ONCE (the key-partitioned
+    running-last window); no join node, no pair blowup on hot keys."""
+    from eventrelationextractor_spark.ops import events as ev_ops
+
+    left = spark.createDataFrame([(1, "u", 10)], "id long, k string, ts long")
+    right = spark.createDataFrame([("u", 5, 1.0)], "k string, ts long, v double")
+    plan = _physical(ev_ops.asof_join(left, right, on="k", ts_col="ts"))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan

@@ -502,3 +502,65 @@ def test_streaming_sessionize_event_time_drops_beyond_watermark(spark, tmp_path)
            for r in spark.sql("select * from late_sess").collect()
            if r.user_id != -9}
     assert got == {(7, 2)}   # the 2-day-late event never splits a session
+
+
+def test_asof_join_backward_semantics(spark):
+    """asof_join == pandas merge_asof(direction='backward') on a case
+    matrix: equal timestamps (inclusive), unmatched left rows (null
+    payload), null right columns (payload must stay row-atomic, not
+    mix columns across right rows), and a tolerance bound."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 205), (3, "u2", 50), (4, "u3", 10)],
+        "id long, k string, ts long")
+    # u1@205 ties a right row exactly; u1@200 has null aux (the struct
+    # payload must carry BOTH cols from ts=200, not aux from ts=100)
+    right = spark.createDataFrame(
+        [("u1", 100, "a", 1.0), ("u1", 200, "b", None),
+         ("u1", 205, "c", 3.0), ("u2", 60, "d", 4.0)],
+        "k string, ts long, tag string, aux double")
+
+    got = {tuple(r) for r in ev_ops.asof_join(
+        left, right, on="k", ts_col="ts").collect()}
+    assert got == {
+        (1, "u1", 100, 100, "a", 1.0),
+        (2, "u1", 205, 205, "c", 3.0),   # inclusive <=
+        (3, "u2", 50, None, None, None),  # right row is later -> no match
+        (4, "u3", 10, None, None, None),  # key absent on right
+    }
+
+    # independent check vs pandas merge_asof on a bigger random-ish grid
+    lp = pd.DataFrame({"k": ["u%d" % (i % 5) for i in range(40)],
+                       "ts": [(i * 37) % 101 for i in range(40)],
+                       "id": range(40)}).sort_values("ts")
+    rp = pd.DataFrame({"k": ["u%d" % (i % 4) for i in range(30)],
+                       "ts": [(i * 53) % 97 for i in range(30)],
+                       "v": [float(i) for i in range(30)]}) \
+        .drop_duplicates(["k", "ts"]).sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    want = {(int(r.id), None if pd.isna(r.v) else float(r.v))
+            for r in exp.itertuples()}
+    sj = ev_ops.asof_join(spark.createDataFrame(lp[["id", "k", "ts"]]),
+                          spark.createDataFrame(rp), on="k", ts_col="ts")
+    assert {(r.id, r.asof_v) for r in sj.collect()} == want
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance_seconds nullifies matches older than the bound but
+    keeps the left row (left-join semantics, pandas-compatible)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    left = spark.createDataFrame([(1, "u", at(100)), (2, "u", at(500))],
+                                 "id long, k string, ts timestamp")
+    right = spark.createDataFrame([("u", at(90), "x")],
+                                  "k string, ts timestamp, tag string")
+    rows = {(r.id, r.asof_tag) for r in ev_ops.asof_join(
+        left, right, on="k", ts_col="ts",
+        tolerance_seconds=60).collect()}
+    assert rows == {(1, "x"), (2, None)}   # 410s-old match nullified
