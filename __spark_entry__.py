@@ -874,6 +874,64 @@ def _q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges)
 
 
+def _q_ngram_dup_stats(spark, sf_dir):
+    """Substring-level dup telemetry (ops/dedup.py::ngram_dup_stats,
+    Lee et al. arXiv:2107.06499) over the augmented corpus, whose exact
+    copies and one-token-appended near-dups give a known dup_fraction
+    structure. TF-IDF document-frequency plan shape: map-side distinct
+    5-grams -> partial-agg df count -> join back -> per-doc agg."""
+    return dedup.ngram_dup_stats(_augmented_docs(spark, sf_dir), n=5)
+
+
+def _q_pmi_collocations(spark, sf_dir):
+    """Top-50 bigram collocations by PMI (ops/textstats.py::
+    pmi_collocations): two partial-agg counts + vocabulary-scale joins +
+    TakeOrdered top-k; PMI rounded before ranking for engine-stable
+    cuts."""
+    return textstats.pmi_collocations(_docs(spark, sf_dir),
+                                      min_count=5, k=50)
+
+
+def _q_length_percentiles(spark, sf_dir):
+    """Per-language exact length percentiles + count/mean
+    (ops/textstats.py::length_percentiles). The approx=True branch is
+    the bounded-memory 100-TB path (GK sketch); the oracle gates the
+    exact branch via DuckDB quantile_cont (same linear interpolation)."""
+    return textstats.length_percentiles(_docs(spark, sf_dir))
+
+
+def _q_source_lang_rollup(spark, sf_dir):
+    """OLAP cube over (source, lang): doc count, char sum, mean quality
+    proxy at every grouping-set level in ONE pass (Spark cube = expand +
+    single partial-agged groupBy, not 4 scans). Oracle = GROUP BY CUBE."""
+    d = _docs(spark, sf_dir)
+    return (d.cube("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.round(F.avg("n_chars"), 4).alias("mean_chars")))
+
+
+def _q_events_interval_join(spark, sf_dir):
+    """Bucketed range join (ops/events.py::interval_join_bucketed):
+    attribute every event to each 30-minute purchase window of the same
+    user it falls in, then aggregate per window. The equi-join on
+    (user, time-bucket) + residual filter replaces the nested-loop
+    inequality join; oracle = the plain inequality join in DuckDB."""
+    ev = _events(spark, sf_dir)
+    intervals = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("interval_id"), "user_id",
+                         F.col("ts").alias("start"),
+                         (F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+                         .alias("end")))
+    points = ev.select("user_id", "ts", "event_id", "value")
+    j = events.interval_join_bucketed(points, intervals, on="user_id",
+                                      ts_col="ts", bucket_minutes=10)
+    return (j.groupBy("interval_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.min("event_id").alias("first_event_id")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG construction pipeline (reference parity + scale)
@@ -940,6 +998,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_vocab": _q_hll_vocab,
         "kmv_overlap": _q_kmv_overlap,
         "events_asof": _q_events_asof,
+        "ngram_dup_stats": _q_ngram_dup_stats,
+        "pmi_collocations": _q_pmi_collocations,
+        "length_percentiles": _q_length_percentiles,
+        "source_lang_rollup": _q_source_lang_rollup,
+        "events_interval_join": _q_events_interval_join,
     }
 
 
@@ -2120,6 +2183,84 @@ GROUP BY token""")
     return "".join(parts)
 
 
+_NGRAM_DUP_ORACLE = f"""
+WITH {_AUG},
+norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
+words AS (SELECT doc_id,
+          list_filter(string_split(t, ' '), w -> w <> '') AS ws FROM norm),
+grams AS (SELECT DISTINCT doc_id,
+            array_to_string(ws[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ')
+            AS ngram
+          FROM words,
+            LATERAL unnest(generate_series(1, len(ws) - 4)) AS r(i)
+          WHERE len(ws) >= 5),
+dfreq AS (SELECT ngram, count(*) AS ngram_df FROM grams GROUP BY ngram)
+SELECT g.doc_id,
+  CAST(count(*) AS BIGINT) AS n_ngrams,
+  CAST(sum(CASE WHEN d.ngram_df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_ngrams,
+  round(CAST(sum(CASE WHEN d.ngram_df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS dup_fraction
+FROM grams g JOIN dfreq d USING (ngram)
+GROUP BY g.doc_id
+"""
+
+_PMI_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id,
+          list_filter(string_split(t, ' '), w -> w <> '') AS ws FROM norm),
+uni AS (SELECT w, count(*) AS c_w
+        FROM (SELECT unnest(ws) AS w FROM words) GROUP BY w),
+tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM uni),
+bg0 AS (SELECT ws[CAST(i AS BIGINT)] AS w1, ws[CAST(i + 1 AS BIGINT)] AS w2
+        FROM words,
+          LATERAL unnest(generate_series(1, len(ws) - 1)) AS r(i)
+        WHERE len(ws) >= 2),
+bg AS (SELECT w1, w2, count(*) AS c_xy FROM bg0 GROUP BY w1, w2
+       HAVING count(*) >= 5),
+btot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS b_total FROM bg)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+  CAST(u1.c_w AS BIGINT) AS c_x, CAST(u2.c_w AS BIGINT) AS c_y,
+  round(ln((CAST(c_xy AS DOUBLE) / b_total)
+           / ((CAST(u1.c_w AS DOUBLE) / n_total)
+              * (CAST(u2.c_w AS DOUBLE) / n_total))), 6) AS pmi
+FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w, tot, btot
+ORDER BY pmi DESC, w1, w2 LIMIT 50
+"""
+
+_PCT_ORACLE = """
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(avg(n_chars), 4) AS mean_val,
+  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+  round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY lang
+"""
+
+_ROLLUP_ORACLE = """
+SELECT source, lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  round(avg(n_chars), 4) AS mean_chars
+FROM documents GROUP BY CUBE (source, lang)
+"""
+
+_INTERVAL_ORACLE = """
+WITH iv AS (SELECT event_id AS interval_id, user_id, ts AS start_ts,
+                   ts + INTERVAL 30 MINUTE AS end_ts
+            FROM events WHERE event_type = 'purchase')
+SELECT iv.interval_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(e.value), 4) AS sum_value,
+  min(e.event_id) AS first_event_id
+FROM iv JOIN events e ON e.user_id = iv.user_id
+  AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+GROUP BY iv.interval_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -2205,6 +2346,11 @@ FROM hashed
         "bpe_encode": _bpe_oracle(8, "encode"),
         "hll_vocab": _HLL_ORACLE,
         "kmv_overlap": _KMV_ORACLE,
+        "ngram_dup_stats": _NGRAM_DUP_ORACLE,
+        "pmi_collocations": _PMI_ORACLE,
+        "length_percentiles": _PCT_ORACLE,
+        "source_lang_rollup": _ROLLUP_ORACLE,
+        "events_interval_join": _INTERVAL_ORACLE,
         "events_asof": _ASOF_ORACLE,
     }
 

@@ -379,3 +379,51 @@ def simhash_neardup(df: DataFrame, id_col: str = "doc_id",
                 F.col("ha").bitwiseXOR(F.col("hb"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", F.col("hamming").cast("long").alias("hamming")))
+
+
+def ngram_dup_stats(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 5) -> DataFrame:
+    """Substring-level duplication telemetry (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): for
+    each document, how many of its DISTINCT word ``n``-grams also occur
+    in at least one OTHER document, and the resulting duplicate
+    fraction. This is the per-document signal the paper's ExactSubstr
+    dedup thresholds on; unlike whole-document hashing it catches
+    boilerplate and partially-copied passages.
+
+    Plan shape (the TF-IDF document-frequency shape):
+      1. n-grams are formed entirely map-side - within-row
+         ``transform(sequence(...))`` over the normalized word array,
+         then ``array_distinct`` BEFORE the explode, so per-document
+         deduplication is free and the shuffled row count is bounded by
+         distinct grams per doc.
+      2. ``groupBy(ngram).count()`` - partial aggregation absorbs hot
+         n-grams (ubiquitous boilerplate) map-side.
+      3. join back on ngram + final ``groupBy(doc_id)``. The join is a
+         sort-merge on ngram whose build side reuses the aggregation's
+         exchange; a pathologically hot ngram's probe partition is
+         split by AQE skew-join handling - this is why the df-count is
+         NOT computed with a ``count() over (partition by ngram)``
+         window, which would pin each hot key to a single task with no
+         AQE escape hatch.
+
+    Docs with fewer than ``n`` words emit no row (no n-grams exist)."""
+    grams = (df.select(
+                 F.col(id_col),
+                 F.filter(F.split(normalized_text(F.col(text_col)), " "),
+                          lambda w: w != "").alias("ws"))
+             .filter(F.size("ws") >= n)
+             .select(id_col, F.explode(F.array_distinct(F.expr(
+                 f"transform(sequence(1, size(ws) - {n - 1}),"
+                 f" i -> concat_ws(' ', slice(ws, i, {n})))")))
+                 .alias("ngram")))
+    dfreq = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("ngram_df"))
+    return (grams.join(dfreq, "ngram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                 F.sum(F.when(F.col("ngram_df") > 1, 1).otherwise(0))
+                  .alias("n_dup_ngrams"))
+            .withColumn("dup_fraction",
+                        F.round(F.col("n_dup_ngrams")
+                                / F.col("n_ngrams"), 6)))

@@ -271,3 +271,37 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     out.append(F.col("_m._rts").alias(f"{prefix}{ts_col}"))
     out += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols]
     return carried.select(*out)
+
+
+def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
+                           on: str = "user_id", ts_col: str = "ts",
+                           start_col: str = "start", end_col: str = "end",
+                           bucket_minutes: int = 10) -> DataFrame:
+    """Range/interval join: every (point, interval) pair with the same
+    ``on`` key and ``start <= ts < end`` - sessions-to-events
+    attribution, outage-window blame, feature windows.
+
+    A naive inequality join degenerates to a per-key nested loop
+    (BroadcastNestedLoop or a storm of post-filtered pairs on hot
+    keys). This is the standard bucketed decomposition instead: each
+    interval is exploded to the time buckets it overlaps (map-side
+    ``sequence`` explode, bounded by interval length / bucket width),
+    each point gets its single bucket, and the join becomes an
+    EQUI-join on (key, bucket) + a residual range filter - hash/sort
+    -merge joinable, AQE-splittable, and candidate count proportional
+    to genuinely co-bucketed rows rather than |points| x |intervals
+    per key|. Choose ``bucket_minutes`` near the typical interval
+    length: one bucket-row per interval, a handful at worst."""
+    step = bucket_minutes * 60
+    pb = points.withColumn(
+        "_bucket", F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                           / (step * 1_000_000)))
+    ib = intervals.withColumn("_bucket", F.explode(F.sequence(
+        F.floor(F.unix_micros(F.col(start_col).cast("timestamp"))
+                / (step * 1_000_000)),
+        F.floor(F.unix_micros(F.col(end_col).cast("timestamp"))
+                / (step * 1_000_000)))))
+    return (pb.join(ib, [on, "_bucket"])
+            .filter((F.col(ts_col) >= F.col(start_col))
+                    & (F.col(ts_col) < F.col(end_col)))
+            .drop("_bucket"))

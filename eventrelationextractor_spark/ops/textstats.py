@@ -461,3 +461,82 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                     F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                     F.round("mean_lp", 6).alias("mean_logprob"),
                     F.round(F.exp(-F.col("mean_lp")), 4).alias("ppl")))
+
+
+def pmi_collocations(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", min_count: int = 5,
+                     k: int = 50) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information -
+    the classic corpus-analytics pass (Church & Hanks 1990) a
+    training-data pipeline runs to surface multi-word expressions and
+    template boilerplate.
+
+        pmi = ln( (c_xy / B) / ((c_x / N) * (c_y / N)) )
+
+    with c_xy the corpus bigram count (over ``doc_bigrams``' map-side
+    within-row pairs), c_x/c_y unigram counts, B/N the bigram/unigram
+    totals. ``min_count`` drops the unstable low-frequency tail before
+    any join, so the joined relation is vocabulary-sized, not
+    corpus-sized.
+
+    Scale shape: two partial-aggregated ``groupBy`` counts (map-side
+    combine absorbs Zipfian head words), the totals reduced to a 1-row
+    broadcast, and two joins of the *filtered* bigram table against the
+    unigram table - both sides are vocabulary-scale, orders below the
+    token stream, and AQE picks broadcast when the vocab fits. The
+    final top-k is a TakeOrdered (no global sort materialization). PMI
+    is rounded to 6 decimals BEFORE ranking so the cut is deterministic
+    across engines; ties break on (w1, w2)."""
+    words = (df.select(F.explode(_word_array(F.col(text_col))).alias("w")))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    totals = uni.agg(F.sum("c_w").alias("n_total"))
+    bg = (doc_bigrams(df, id_col, text_col)
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+          .filter(F.col("c_xy") >= min_count))
+    btot = bg.agg(F.sum("c_xy").alias("b_total"))
+    joined = (bg
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("c_w").alias("c_x")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c_w").alias("c_y")), "w2")
+              .crossJoin(F.broadcast(totals))
+              .crossJoin(F.broadcast(btot)))
+    scored = joined.withColumn(
+        "pmi", F.round(F.log(
+            (F.col("c_xy") / F.col("b_total"))
+            / ((F.col("c_x") / F.col("n_total"))
+               * (F.col("c_y") / F.col("n_total")))), 6))
+    return (scored
+            .orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)
+            .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi"))
+
+
+def length_percentiles(df: DataFrame, stratum_col: str = "lang",
+                       value_col: str = "n_chars",
+                       percentiles=(0.25, 0.5, 0.9, 0.99),
+                       approx: bool = False) -> DataFrame:
+    """Per-stratum length distribution telemetry (the dashboard query
+    behind corpus length-filter thresholds): exact linear-interpolated
+    percentiles plus count/mean per stratum.
+
+    The exact path uses Spark's ``percentile`` aggregate, which buffers
+    each group's values (ObjectHashAggregate) - correct and fine when
+    strata are few and group cardinality fits an executor, which is the
+    case for per-language rollups at any corpus size ONLY via the
+    ``approx=True`` branch: ``percentile_approx`` (GK sketch, bounded
+    memory, mergeable map-side) is the 100-TB path, at the cost of
+    rank-error epsilon. The oracle gates the exact branch; the approx
+    branch shares schema so callers can flip the flag without plumbing
+    changes."""
+    ps = "array(" + ", ".join(repr(float(p)) for p in percentiles) + ")"
+    fn = "percentile_approx" if approx else "percentile"
+    extra = ", 10000" if approx else ""
+    agg = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(value_col), 4).alias("mean_val"),
+        F.expr(f"{fn}({value_col}, {ps}{extra})").alias("pcts"))
+    cols = [F.col(stratum_col), F.col("n_docs"), F.col("mean_val")]
+    for i, p in enumerate(percentiles):
+        name = f"p{str(p).replace('0.', '').ljust(2, '0')}"
+        cols.append(F.round(F.col("pcts")[i], 4).alias(name))
+    return agg.select(*cols)

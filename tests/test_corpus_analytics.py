@@ -1,0 +1,150 @@
+"""Round-3 late additions: substring-level dup telemetry
+(ngram_dup_stats), PMI collocations, exact/approx percentile telemetry,
+and the bucketed interval join. Semantics on hand-built corpora plus
+physical-plan assertions for the scale-critical shapes."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventrelationextractor_spark.ops import dedup, events, textstats
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+
+
+# ------------------------------------------------------- ngram_dup_stats
+
+
+def test_ngram_dup_stats_semantics(spark):
+    """Doc 1 and 2 share a verbatim 6-word passage (two 5-grams); doc 3
+    is disjoint; doc 4 is too short to emit any 5-gram."""
+    shared = "alpha bravo charlie delta echo foxtrot"
+    docs = spark.createDataFrame(
+        [(1, shared + " golf hotel india"),
+         (2, "prefix words here " + shared),
+         (3, "one two three four five six seven"),
+         (4, "too short")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in dedup.ngram_dup_stats(docs, n=5).collect()}
+    assert set(rows) == {1, 2, 3}          # doc 4 emits no 5-gram
+    # doc 1: 9 words -> 5 grams, of which 2 (the shared passage) are dup
+    assert rows[1].n_ngrams == 5 and rows[1].n_dup_ngrams == 2
+    assert rows[2].n_dup_ngrams == 2
+    assert rows[3].n_dup_ngrams == 0 and rows[3].dup_fraction == 0.0
+    assert rows[1].dup_fraction == 0.4
+
+
+def test_ngram_dup_stats_repeated_gram_within_doc_counts_once(spark):
+    """A 5-gram repeated WITHIN one doc (and absent elsewhere) is not a
+    cross-document duplicate: array_distinct collapses it before the
+    document-frequency count."""
+    rep = "alpha bravo charlie delta echo"
+    docs = spark.createDataFrame(
+        [(1, rep + " filler " + rep),
+         (2, "zeta eta theta iota kappa lambda")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in dedup.ngram_dup_stats(docs, n=5).collect()}
+    assert rows[1].n_dup_ngrams == 0
+
+
+def test_ngram_dup_stats_no_window_exec(spark):
+    """The df-count must be a partial-agged groupBy + join (AQE can
+    split a hot ngram's probe partition), NOT a count-over-window that
+    pins each hot key to one task."""
+    docs = spark.createDataFrame([(1, "a b c d e f")],
+                                 "doc_id long, text string")
+    plan = _physical(dedup.ngram_dup_stats(docs))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+# ------------------------------------------------------ pmi_collocations
+
+
+def test_pmi_collocations_ranks_bound_pair_first(spark):
+    """'san francisco' always co-occurs (c_xy == c_x == c_y) while the
+    filler words pair freely, so it must rank top by PMI."""
+    doc = ("san francisco is the city . " * 5) + ("the city is big . " * 20)
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    top = textstats.pmi_collocations(docs, min_count=5, k=3).collect()
+    assert (top[0].w1, top[0].w2) == ("san", "francisco")
+    assert top[0].c_xy == top[0].c_x == top[0].c_y == 5
+    # pmi = ln((5/B) / ((5/N)^2)) with N, B corpus totals — positive
+    assert top[0].pmi > 0
+
+
+def test_pmi_min_count_drops_rare_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "rare pair only once . common words common words " * 1)],
+        "doc_id long, text string")
+    got = textstats.pmi_collocations(docs, min_count=2, k=10).collect()
+    assert ("rare", "pair") not in {(r.w1, r.w2) for r in got}
+
+
+# ---------------------------------------------------- length_percentiles
+
+
+def test_length_percentiles_exact_interpolation(spark):
+    """quantile-cont semantics: p50 of [10, 20, 30, 40] = 25.0 (linear
+    interpolation at (n-1)*p), p25 = 17.5."""
+    docs = spark.createDataFrame(
+        [(i, "en", v) for i, v in enumerate([10, 20, 30, 40])],
+        "doc_id long, lang string, n_chars long")
+    row = textstats.length_percentiles(docs).collect()[0]
+    assert row.n_docs == 4 and row.mean_val == 25.0
+    assert row.p25 == 17.5 and row.p50 == 25.0
+    assert row.p99 == pytest.approx(39.7, abs=1e-9)
+
+
+def test_length_percentiles_approx_branch_same_schema(spark):
+    docs = spark.createDataFrame(
+        [(i, "en", i * 10) for i in range(100)],
+        "doc_id long, lang string, n_chars long")
+    exact = textstats.length_percentiles(docs)
+    approx = textstats.length_percentiles(docs, approx=True)
+    assert exact.columns == approx.columns
+    # GK with accuracy 10000 on 100 values is exact at the sample points
+    e, a = exact.collect()[0], approx.collect()[0]
+    assert abs(e.p50 - a.p50) <= 10.0
+
+
+# -------------------------------------------------- interval_join_bucketed
+
+
+def _ts(minute):
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+def test_interval_join_semantics(spark):
+    """Inclusive start, exclusive end, key-scoped; intervals spanning
+    multiple buckets still match exactly once per (point, interval)."""
+    points = spark.createDataFrame(
+        [(1, _ts(0), 100), (1, _ts(29), 101), (1, _ts(30), 102),
+         (2, _ts(5), 200)],
+        "user_id long, ts timestamp, event_id long")
+    intervals = spark.createDataFrame(
+        [(1, _ts(0), _ts(30), 900)],
+        "user_id long, start timestamp, end timestamp, interval_id long")
+    got = events.interval_join_bucketed(points, intervals,
+                                        bucket_minutes=10)
+    ids = sorted(r.event_id for r in got.collect())
+    assert ids == [100, 101]   # 102 excluded (ts == end), 200 wrong key
+    # no duplicate rows despite the interval covering 4 buckets (0..3)
+    assert got.count() == 2
+
+
+def test_interval_join_is_equi_join(spark):
+    """The plan must be a hash/sort-merge EQUI-join on (key, bucket) -
+    never a BroadcastNestedLoopJoin, which is what a naive inequality
+    join degenerates to."""
+    points = spark.createDataFrame(
+        [(1, _ts(0), 100)], "user_id long, ts timestamp, event_id long")
+    intervals = spark.createDataFrame(
+        [(1, _ts(0), _ts(30), 900)],
+        "user_id long, start timestamp, end timestamp, interval_id long")
+    plan = _physical(events.interval_join_bucketed(points, intervals))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_bucket" in plan       # equi-key includes the derived bucket
