@@ -419,7 +419,12 @@ def ngram_dup_stats(df: DataFrame, id_col: str = "doc_id",
                  .alias("ngram")))
     dfreq = grams.groupBy("ngram").agg(
         F.count(F.lit(1)).alias("ngram_df"))
-    return (grams.join(dfreq, "ngram")
+    # merge hint: dfreq is corpus-VOCABULARY-scale (distinct n-grams),
+    # but its post-aggregation size estimate reads small enough that AQE
+    # picks a broadcast join - which OOMs the driver at sf1.0 already
+    # and is structurally wrong at any real scale. Pin the sort-merge
+    # join; its dfreq side reuses the aggregation's exchange.
+    return (grams.join(dfreq.hint("merge"), "ngram")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_ngrams"),
                  F.sum(F.when(F.col("ngram_df") > 1, 1).otherwise(0))

@@ -59,6 +59,11 @@ def test_ngram_dup_stats_no_window_exec(spark):
     plan = _physical(dedup.ngram_dup_stats(docs))
     assert "Window" not in plan
     assert "HashAggregate" in plan
+    # dfreq is vocabulary-scale: the join must be pinned sort-merge -
+    # AQE's post-agg size estimate would otherwise pick a broadcast that
+    # OOMs the driver at sf1.0 and cannot work at corpus scale
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
 
 
 # ------------------------------------------------------ pmi_collocations
