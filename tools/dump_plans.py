@@ -161,6 +161,28 @@ def main() -> None:
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, \
         "curation chain gained a shuffle beyond the dedup window"
 
+    p = add("ngram_dup_stats (substring-dup telemetry)",
+            qs["ngram_dup_stats"](spark, sf),
+            "TF-IDF document-frequency shape: within-row 5-gram "
+            "formation + array_distinct BEFORE the explode (per-doc "
+            "dedup is map-side), partial-agged df count, and a PINNED "
+            "sort-merge join back (the vocabulary-scale dfreq side "
+            "carries a misleadingly small post-agg estimate - an AQE "
+            "broadcast here OOMs the driver at sf1.0 and cannot work "
+            "at corpus scale). No Window over ngram: a hot boilerplate "
+            "gram must stay AQE-splittable.")
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p, "dfreq broadcast regressed"
+
+    p = add("events_interval_join (bucketed range join)",
+            qs["events_interval_join"](spark, sf),
+            "The interval side explodes to overlapped 10-minute "
+            "buckets map-side; the join is an EQUI-join on "
+            "(user_id, _bucket) + residual range filter. A naive "
+            "inequality join shows up as BroadcastNestedLoopJoin - "
+            "banned.")
+    assert "BroadcastNestedLoopJoin" not in p, "range join went BNLJ"
+
     doc_scan = spark.read.parquet(os.path.join(sf, "documents.parquet")) \
         .select("doc_id")
     p = formatted(doc_scan)
