@@ -874,6 +874,34 @@ def _q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges)
 
 
+def _q_dsir(spark, sf_dir):
+    """DSIR importance weighting + Gumbel top-k selection
+    (ops/mixing.py::dsir_weights): target = every 10th doc (a pure
+    doc_id function, SF-independent); hashed-bigram models broadcast
+    back at fixed n_buckets size; exact-percentile cut (oracled
+    branch)."""
+    return mixing.dsir_weights(_docs(spark, sf_dir),
+                               target=F.col("doc_id") % 10 == 0)
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup semantic pruning (ops/cluster.py::semdedup) over the
+    augmented embeddings, whose +1000000 perturbed copies (cosine
+    ~0.999 to their originals) are the known prune set. Cluster-local
+    pair space; oracle replays the kmeans iterations AND the
+    within-cluster prune rule in SQL.
+
+    k scales with the corpus (max(8, n/500)) per SemDeDup's own
+    contract - a FIXED k makes the within-cluster pair space O(n^2/k)
+    and quadratic in corpus growth (observed: the k=8 formulation
+    timed out at sf1.0's 100k vectors = 625M pairs); adaptive k keeps
+    mean cluster size, and therefore pairs-per-vector, constant. The
+    oracle computes the identical k from the same count."""
+    emb = _aug_emb(spark, sf_dir)
+    k = max(8, emb.count() // 500)
+    return cluster.semdedup(emb, k=k, n_iter=2, threshold=0.99)
+
+
 def _q_ngram_dup_stats(spark, sf_dir):
     """Substring-level dup telemetry (ops/dedup.py::ngram_dup_stats,
     Lee et al. arXiv:2107.06499) over the augmented corpus, whose exact
@@ -998,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_vocab": _q_hll_vocab,
         "kmv_overlap": _q_kmv_overlap,
         "events_asof": _q_events_asof,
+        "semdedup_prune": _q_semdedup,
+        "dsir_selection": _q_dsir,
         "ngram_dup_stats": _q_ngram_dup_stats,
         "pmi_collocations": _q_pmi_collocations,
         "length_percentiles": _q_length_percentiles,
@@ -2019,6 +2049,54 @@ FROM ev e
     return "".join(parts)
 
 
+def _semdedup_oracle(k: int = 8, n_iter: int = 2, dim: int = 64,
+                     threshold: float = 0.99) -> str:
+    """Replays semdedup end to end: the augmented-embedding table, the
+    identical deterministic Lloyd iterations (_kmeans_oracle's CTE
+    chain), the final assignment, and the within-cluster keep-earliest
+    prune rule (cosine rounded to 6 BEFORE thresholding, like the
+    Spark side)."""
+    parts = [f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ev AS (SELECT vec_id, v FROM e0
+       UNION ALL
+       SELECT vec_id + 1000000, list_concat([v[1] + 0.05], v[2:{dim}])
+       FROM e0),
+kk AS (SELECT greatest({k}, count(*) // 500) AS k FROM ev),
+c0 AS (SELECT vec_id AS cell, v AS cv FROM ev
+       WHERE vec_id < (SELECT k FROM kk))"""]
+    for i in range(n_iter):
+        parts.append(f""",
+a{i + 1} AS (SELECT e.vec_id, e.v,
+        (SELECT c.cell FROM c{i} c
+         ORDER BY list_distance(e.v, c.cv), c.cell LIMIT 1) AS cell
+       FROM ev e),
+u{i + 1} AS (SELECT cell, list(m ORDER BY pos) AS cv FROM (
+         SELECT a.cell, t.pos, avg(a.v[t.pos + 1]) AS m
+         FROM a{i + 1} a, range({dim}) t(pos) GROUP BY a.cell, t.pos)
+       GROUP BY cell),
+c{i + 1} AS (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+       FROM c{i} p LEFT JOIN u{i + 1} u ON p.cell = u.cell)""")
+    parts.append(f""",
+asg AS (SELECT e.vec_id, e.v,
+        (SELECT c.cell FROM c{n_iter} c
+         ORDER BY list_distance(e.v, c.cv), c.cell LIMIT 1) AS cluster
+        FROM ev e),
+nn AS (SELECT vec_id, v, cluster, sqrt(list_dot_product(v, v)) AS nv
+       FROM asg),
+hits AS (SELECT y.vec_id AS vec_id,
+           round(list_dot_product(x.v, y.v) / (x.nv * y.nv), 6) AS cos
+         FROM nn x JOIN nn y
+           ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+pr AS (SELECT vec_id, max(cos) AS max_sim_lower FROM hits
+       WHERE cos >= {threshold} GROUP BY vec_id)
+SELECT nn.vec_id, CAST(nn.cluster AS BIGINT) AS cluster,
+  pr.max_sim_lower IS NULL AS is_kept, pr.max_sim_lower
+FROM nn LEFT JOIN pr ON nn.vec_id = pr.vec_id
+""")
+    return "".join(parts)
+
+
 # ------------------------------------------------------- session-3 oracles
 
 def _pagerank_oracle(n_iter: int = 5) -> str:
@@ -2183,6 +2261,42 @@ GROUP BY token""")
     return "".join(parts)
 
 
+_DSIR_ORACLE = f"""
+WITH norm AS (SELECT doc_id, doc_id % 10 = 0 AS is_target, {_NORM} AS t
+              FROM documents),
+words AS (SELECT doc_id, is_target,
+          list_filter(string_split(t, ' '), w -> w <> '') AS ws FROM norm),
+grams AS (SELECT doc_id, is_target,
+    CAST(('0x' || substr(md5(ws[CAST(i AS BIGINT)] || ' '
+                             || ws[CAST(i + 1 AS BIGINT)]), 1, 8))::UBIGINT
+         % 1024 AS BIGINT) AS bucket
+  FROM words, LATERAL unnest(generate_series(1, len(ws) - 1)) AS r(i)
+  WHERE len(ws) >= 2),
+qc AS (SELECT bucket, count(*) AS cq FROM grams GROUP BY bucket),
+tc AS (SELECT bucket, count(*) AS ct FROM grams WHERE is_target
+       GROUP BY bucket),
+m0 AS (SELECT qc.bucket, coalesce(tc.ct, 0) AS ct, qc.cq
+       FROM qc LEFT JOIN tc ON qc.bucket = tc.bucket),
+tots AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cq) AS BIGINT) AS tq
+         FROM m0),
+model AS (SELECT bucket,
+    ln(CAST(ct + 1 AS DOUBLE) / (tt + 1024))
+      - ln(CAST(cq + 1 AS DOUBLE) / (tq + 1024)) AS llr
+  FROM m0 CROSS JOIN tots),
+scored AS (SELECT g.doc_id, count(*) AS n_bigrams,
+             round(sum(m.llr), 6) AS log_weight
+  FROM grams g JOIN model m ON g.bucket = m.bucket GROUP BY g.doc_id),
+noised AS (SELECT doc_id, n_bigrams, log_weight,
+    round(log_weight + (-ln(-ln(
+      (CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
+            ::UBIGINT AS DOUBLE) + 0.5) / 4294967296.0))), 6) AS score
+  FROM scored),
+thr AS (SELECT round(quantile_cont(score, 0.8), 6) AS thr FROM noised)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, log_weight, score,
+  score > thr AS selected
+FROM noised CROSS JOIN thr
+"""
+
 _NGRAM_DUP_ORACLE = f"""
 WITH {_AUG},
 norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
@@ -2346,6 +2460,8 @@ FROM hashed
         "bpe_encode": _bpe_oracle(8, "encode"),
         "hll_vocab": _HLL_ORACLE,
         "kmv_overlap": _KMV_ORACLE,
+        "semdedup_prune": _semdedup_oracle(),
+        "dsir_selection": _DSIR_ORACLE,
         "ngram_dup_stats": _NGRAM_DUP_ORACLE,
         "pmi_collocations": _PMI_ORACLE,
         "length_percentiles": _PCT_ORACLE,

@@ -59,3 +59,95 @@ def apply_mixture(df: DataFrame, rates: DataFrame, stratum_col: str,
     return (df.join(F.broadcast(r), stratum_col)
             .filter(h < F.col("rate") * 10000.0)
             .drop("rate"))
+
+
+def dsir_weights(df: DataFrame, target, n_buckets: int = 1024,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 keep_frac: float = 0.2, salt: str = "dsir",
+                 exact_threshold: bool = True) -> DataFrame:
+    """DSIR - Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every document by the
+    log-likelihood ratio of a TARGET hashed-bigram unigram-bag model
+    against the BACKGROUND (full-corpus) model, add deterministic
+    Gumbel noise, and keep the top ``keep_frac`` - the standard recipe
+    for tilting a web crawl toward a quality/domain target without
+    training a classifier.
+
+    ``target`` is a boolean Column marking the target subset (it must
+    be computable map-side, e.g. a predicate on existing columns).
+    Both models use add-one smoothing over ``n_buckets`` hashed-bigram
+    buckets: log p[b] = ln((c_b + 1) / (T + n_buckets)).
+
+        log_weight(doc) = sum over bigram occurrences of
+                          (log p_target[bucket] - log p_background[bucket])
+
+    Gumbel-top-k resampling (the paper's sampling-without-replacement
+    trick) uses u = md5-fate in (0,1) - reproducible across engines
+    and resumes, like stratified_sample - and keeps
+    score = log_weight + gumbel above the exact (1 - keep_frac)
+    corpus percentile.
+
+    Scale shape: bigram+bucket formation is map-side (within-row
+    slice/zip + md5), the two models are partial-agged groupBys
+    collapsing to <= n_buckets rows each and BROADCAST back (the model
+    is fixed-size regardless of corpus), the per-doc score is one
+    partial-agged sum, and the selection threshold is a 1-row
+    aggregate cross-joined back - no global sort, no window over the
+    corpus. log_weight is rounded to 6 decimals before the
+    noise/threshold math so the cut is engine-stable.
+
+    ``exact_threshold=True`` (the oracled branch) computes the cut
+    with the exact ``percentile`` aggregate, which buffers all scores
+    in ONE aggregation buffer - fine to tens of millions of docs, not
+    at full corpus scale; ``exact_threshold=False`` is the 100-TB
+    branch (``percentile_approx``: GK sketch, bounded memory,
+    map-side mergeable; the cut moves by the sketch's rank epsilon)."""
+    from .dedup import normalized_text
+    words = F.filter(F.split(normalized_text(F.col(text_col)), " "),
+                     lambda w: w != "")
+    base = (df.select(F.col(id_col), target.alias("is_target"),
+                      words.alias("ws"))
+            .filter(F.size("ws") >= 2))
+    grams = (base
+             .withColumn("a", F.expr("slice(ws, 1, size(ws) - 1)"))
+             .withColumn("b", F.expr("slice(ws, 2, size(ws) - 1)"))
+             .select(id_col, "is_target",
+                     F.explode(F.arrays_zip("a", "b")).alias("p"))
+             .select(id_col, "is_target",
+                     (F.conv(F.substring(F.md5(
+                         F.concat_ws(" ", F.col("p.a"), F.col("p.b"))),
+                         1, 8), 16, 10).cast("long")
+                      % n_buckets).alias("bucket")))
+    q_counts = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cq"))
+    t_counts = grams.filter(F.col("is_target")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("ct"))
+    model = (q_counts.join(t_counts, "bucket", "left")
+             .select("bucket",
+                     F.coalesce("ct", F.lit(0)).alias("ct"), "cq"))
+    tots = model.agg(F.sum("ct").alias("tt"), F.sum("cq").alias("tq"))
+    model = (model.crossJoin(F.broadcast(tots))
+             .select("bucket",
+                     (F.log((F.col("ct") + 1)
+                            / (F.col("tt") + n_buckets))
+                      - F.log((F.col("cq") + 1)
+                              / (F.col("tq") + n_buckets)))
+                     .alias("llr")))
+    scored = (grams.join(F.broadcast(model), "bucket")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(F.sum("llr"), 6).alias("log_weight")))
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"),
+                       F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double") + 0.5) / F.lit(4294967296.0))
+    noised = scored.withColumn(
+        "score", F.round(F.col("log_weight")
+                         + (-F.log(-F.log(u))), 6))
+    pfn = "percentile" if exact_threshold else "percentile_approx"
+    extra = "" if exact_threshold else ", 10000"
+    thr = noised.agg(F.expr(
+        f"round({pfn}(score, {1.0 - keep_frac}{extra}), 6)").alias("thr"))
+    return (noised.crossJoin(F.broadcast(thr))
+            .select(id_col, "n_bigrams", "log_weight", "score",
+                    (F.col("score") > F.col("thr")).alias("selected")))

@@ -153,3 +153,101 @@ def test_interval_join_is_equi_join(spark):
     plan = _physical(events.interval_join_bucketed(points, intervals))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "_bucket" in plan       # equi-key includes the derived bucket
+
+
+# --------------------------------------------------------------- semdedup
+
+
+def test_semdedup_prunes_near_copy_keeps_earliest(spark):
+    """Two well-separated directions, each with a near-copy: the
+    higher-id copy is pruned, the original kept; cross-direction
+    cosines (~0) never prune. k=2 with init ids {0,1} = the two
+    directions."""
+    from eventrelationextractor_spark.ops import cluster
+    e1 = [1.0] + [0.0] * 63
+    e1c = [0.999] + [0.001] * 63           # cosine ~1 with e1
+    e2 = [0.0] * 63 + [1.0]
+    e2c = [0.001] * 63 + [0.999]
+    emb = spark.createDataFrame(
+        [(0, e1), (1, e2), (2, e1c), (3, e2c)],
+        "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r for r in
+            cluster.semdedup(emb, k=2, n_iter=1, threshold=0.9).collect()}
+    assert rows[0].is_kept and rows[1].is_kept
+    assert not rows[2].is_kept and not rows[3].is_kept
+    assert rows[2].max_sim_lower > 0.9
+    # cluster-locality: the two directions land in different clusters
+    assert rows[0].cluster != rows[1].cluster
+    assert rows[0].cluster == rows[2].cluster
+
+
+def test_semdedup_prune_is_pairwise_not_transitive(spark):
+    """a~b and b~c with a!~c: keep-earliest prunes b (lower match a)
+    and c iff c matches a LOWER-id vector directly - c matches b, so c
+    is pruned too, but via the b pair, not closure. A vector similar
+    only to HIGHER ids stays kept."""
+    from eventrelationextractor_spark.ops import cluster
+    import math
+    def unit(theta):
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+    # chain: 0 ~ 1 ~ 2 (adjacent cos ~0.98, ends cos ~0.94)
+    emb = spark.createDataFrame(
+        [(i, unit(i * 0.2)) for i in range(3)],
+        "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r for r in
+            cluster.semdedup(emb, k=1, n_iter=1, threshold=0.97).collect()}
+    assert rows[0].is_kept
+    assert not rows[1].is_kept and not rows[2].is_kept
+    assert rows[2].max_sim_lower == pytest.approx(
+        round(math.cos(0.2), 6), abs=1e-6)   # via the 1-2 pair, not 0-2
+
+
+# ------------------------------------------------------------------ dsir
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    """Docs sharing the target subset's bigrams must score higher than
+    docs from a disjoint vocabulary."""
+    from eventrelationextractor_spark.ops import mixing
+    tgt = "the quick brown fox jumps over the lazy dog"
+    bg = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    rows = [(i, tgt) for i in range(0, 30, 10)]          # targets (0,10,20)
+    rows += [(i, tgt) for i in (1, 2, 3)]                # target-like
+    rows += [(i, bg) for i in (4, 5, 6, 7, 8, 9)]        # background-only
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in mixing.dsir_weights(
+        docs, target=F.col("doc_id") % 10 == 0).collect()}
+    tgt_like = [got[i].log_weight for i in (1, 2, 3)]
+    bg_only = [got[i].log_weight for i in (4, 5, 6)]
+    assert min(tgt_like) > max(bg_only)
+    # selection keeps ~keep_frac of the corpus, never everything
+    n_sel = sum(1 for r in got.values() if r.selected)
+    assert 0 < n_sel < len(got)
+
+
+def test_dsir_threshold_branches_share_schema(spark):
+    from eventrelationextractor_spark.ops import mixing
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)],
+        "doc_id long, text string")
+    exact = mixing.dsir_weights(docs, target=F.col("doc_id") % 10 == 0)
+    approx = mixing.dsir_weights(docs, target=F.col("doc_id") % 10 == 0,
+                                 exact_threshold=False)
+    assert exact.columns == approx.columns
+    # identical corpus text: log_weight identical for every doc
+    assert exact.count() == approx.count() == 20
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    """The fixed-size bucket model must re-attach via broadcast - a
+    shuffle join on bucket would shuffle the corpus-scale gram stream
+    for a <= n_buckets-row dimension."""
+    from eventrelationextractor_spark.ops import mixing
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(4)],
+        "doc_id long, text string")
+    plan = _physical(mixing.dsir_weights(
+        docs, target=F.col("doc_id") % 2 == 0))
+    assert "BroadcastHashJoin" in plan
