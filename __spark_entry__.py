@@ -840,6 +840,26 @@ def _q_events_asof(spark, sf_dir):
         .alias("gap_us"))
 
 
+def _q_events_asof_forward(spark, sf_dir):
+    """Forward as-of join: each click matched to the EARLIEST
+    subsequent error of the same user (time-to-failure attribution) -
+    the same single-shuffle union+window plan scanned descending.
+    Oracle = DuckDB ASOF LEFT JOIN with the <= bound."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("user_id", "ts", F.col("event_id").alias("error_id"))
+    j = events.asof_join(clicks, errors, on="user_id", ts_col="ts",
+                         right_cols=["error_id"], prefix="next_",
+                         direction="forward")
+    return j.select(
+        "event_id", "user_id", F.col("next_error_id"),
+        (F.unix_micros(F.col("next_ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts").cast("timestamp")))
+        .alias("gap_us"))
+
+
 def _q_hll_vocab(spark, sf_dir):
     """Per-language vocabulary-size estimate via deterministic
     HyperLogLog (ops/sketches.py): md5-derived registers, so the oracle
@@ -1026,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_vocab": _q_hll_vocab,
         "kmv_overlap": _q_kmv_overlap,
         "events_asof": _q_events_asof,
+        "events_asof_forward": _q_events_asof_forward,
         "semdedup_prune": _q_semdedup,
         "dsir_selection": _q_dsir,
         "ngram_dup_stats": _q_ngram_dup_stats,
@@ -1557,6 +1578,17 @@ SELECT c.event_id, c.user_id, v.view_id AS prior_view_id,
   datediff('microsecond', v.vts, c.ts) AS gap_us
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND v.vts <= c.ts
+"""
+
+_ASOF_FWD_ORACLE = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+errors AS (SELECT user_id, ts AS ets, event_id AS error_id
+           FROM events WHERE event_type = 'error')
+SELECT c.event_id, c.user_id, e.error_id AS next_error_id,
+  datediff('microsecond', c.ts, e.ets) AS gap_us
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND e.ets >= c.ts
 """
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -2468,6 +2500,7 @@ FROM hashed
         "source_lang_rollup": _ROLLUP_ORACLE,
         "events_interval_join": _INTERVAL_ORACLE,
         "events_asof": _ASOF_ORACLE,
+        "events_asof_forward": _ASOF_FWD_ORACLE,
     }
 
 

@@ -217,11 +217,20 @@ def streaming_sessionize_event_time(stream: DataFrame,
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               ts_col: str = "ts", right_cols: list | None = None,
               prefix: str = "asof_",
-              tolerance_seconds: float | None = None) -> DataFrame:
-    """Backward as-of join: enrich each left row with the LATEST right
-    row whose ``ts_col`` <= the left row's (per ``on`` key) - the
-    point-in-time lookup Spark has no native operator for (feature
-    stores, attribution, slowly-changing-dimension reads).
+              tolerance_seconds: float | None = None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join: enrich each left row with the LATEST right row whose
+    ``ts_col`` <= the left row's (``direction="backward"``, default) or
+    the EARLIEST right row whose ``ts_col`` >= the left row's
+    (``direction="forward"`` - next-event lookup: time-to-response,
+    next-quote fills), per ``on`` key - the point-in-time lookup Spark
+    has no native operator for (feature stores, attribution,
+    slowly-changing-dimension reads).
+
+    The forward variant is the same single-shuffle union+window plan
+    scanned in DESCENDING timestamp order (right rows still sort first
+    at equal timestamps, keeping the bound inclusive); with a
+    tolerance it bounds how far AHEAD the match may be.
 
     NOT implemented as a range join (whose candidate space is
     |left| x |right rows in range| and explodes on hot keys). Instead
@@ -253,7 +262,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                       F.lit(0).alias("_side"),
                       F.lit(None).cast(lrow_type).alias("_lrow"),
                       rpay.alias("_rpay"))
-    w = (Window.partitionBy("_k").orderBy("_ts", "_side")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    order_ts = (F.col("_ts").asc() if direction == "backward"
+                else F.col("_ts").desc())
+    w = (Window.partitionBy("_k").orderBy(order_ts, F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = (lu.unionByName(ru)
                .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
@@ -262,9 +275,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         # cast handles TIMESTAMP_NTZ columns (unix_micros rejects them);
         # build_session pins the session zone to UTC so the cast is an
         # exact epoch read, and the DIFFERENCE is offset-invariant anyway
-        in_tol = (F.unix_micros(F.col("_ts").cast("timestamp"))
-                  - F.unix_micros(F.col("_m._rts").cast("timestamp"))) \
-            <= int(tolerance_seconds * 1_000_000)
+        gap = (F.unix_micros(F.col("_ts").cast("timestamp"))
+               - F.unix_micros(F.col("_m._rts").cast("timestamp")))
+        if direction == "forward":
+            gap = -gap
+        in_tol = gap <= int(tolerance_seconds * 1_000_000)
         carried = carried.withColumn(
             "_m", F.when(in_tol, F.col("_m")))
     out = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]

@@ -564,3 +564,54 @@ def test_asof_join_tolerance(spark):
         left, right, on="k", ts_col="ts",
         tolerance_seconds=60).collect()}
     assert rows == {(1, "x"), (2, None)}   # 410s-old match nullified
+
+
+def test_asof_join_forward_semantics(spark):
+    """direction='forward' == pandas merge_asof(direction='forward'):
+    earliest right row with rts >= lts, inclusive at equality,
+    null when no later right row exists; tolerance bounds the
+    look-AHEAD."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 205), (3, "u2", 70), (4, "u3", 10)],
+        "id long, k string, ts long")
+    right = spark.createDataFrame(
+        [("u1", 100, "a"), ("u1", 200, "b"), ("u1", 205, "c"),
+         ("u2", 60, "d")],
+        "k string, ts long, tag string")
+    got = {tuple(r) for r in ev_ops.asof_join(
+        left, right, on="k", ts_col="ts",
+        direction="forward").collect()}
+    assert got == {
+        (1, "u1", 100, 100, "a"),          # inclusive >=
+        (2, "u1", 205, 205, "c"),
+        (3, "u2", 70, None, None),         # only EARLIER right rows
+        (4, "u3", 10, None, None),
+    }
+
+    # independent check vs pandas merge_asof forward on a random-ish grid
+    lp = pd.DataFrame({"k": ["u%d" % (i % 5) for i in range(40)],
+                       "ts": [(i * 37) % 101 for i in range(40)],
+                       "id": range(40)}).sort_values("ts")
+    rp = pd.DataFrame({"k": ["u%d" % (i % 4) for i in range(30)],
+                       "ts": [(i * 53) % 97 for i in range(30)],
+                       "v": [float(i) for i in range(30)]}) \
+        .drop_duplicates(["k", "ts"]).sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="forward")
+    want = {(int(r.id), None if pd.isna(r.v) else float(r.v))
+            for r in exp.itertuples()}
+    sj = ev_ops.asof_join(spark.createDataFrame(lp[["id", "k", "ts"]]),
+                          spark.createDataFrame(rp), on="k", ts_col="ts",
+                          direction="forward")
+    assert {(r.id, r.asof_v) for r in sj.collect()} == want
+
+    # forward tolerance: match at +100 dropped under a 50-tick bound
+    far = spark.createDataFrame([("u1", 200, "late")],
+                                "k string, ts long, tag string")
+    near_left = spark.createDataFrame([(1, "u1", 100)],
+                                      "id long, k string, ts long")
+    rows = {(r.id, r.asof_tag) for r in ev_ops.asof_join(
+        near_left, far, on="k", ts_col="ts", direction="forward",
+        tolerance_seconds=50e-6).collect()}
+    assert rows == {(1, None)}
