@@ -894,6 +894,56 @@ def _q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges)
 
 
+def _aliased_urls(spark, sf_dir):
+    """Deterministic URL-alias slice: doc d -> a syntactic variant
+    (scheme/host case, :443 default port, trailing slash, tracking
+    params, unsorted params, fragment) of page p{d//3}, so every ~3
+    docs alias one canonical URL. Pure function of doc_id, mirrored in
+    the SQL oracle."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS"))
+    host = F.when(d % 4 < 2, F.lit("news.example.com")) \
+        .otherwise(F.lit("News.Example.COM"))
+    port = F.when(d % 4 == 2, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/a/p"), (d / 3).cast("long").cast("string"),
+                    F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")))
+    query = F.when(d % 3 == 0, F.lit("?utm_source=x&b=2&a=1")) \
+        .when(d % 3 == 1, F.lit("?a=1&b=2")).otherwise(F.lit(""))
+    frag = F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+        .alias("url"))
+
+
+def _q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + canonical-URL dedup
+    (ops/urls.py::canonicalize_urls/canonical_dedup): codegen-only
+    normalization riding the scan, one Exchange for the keep decision.
+    The alias slice guarantees real dup groups at every SF."""
+    return urls.canonical_dedup(_aliased_urls(spark, sf_dir))
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """Crawl-over-crawl delta (ops/dedup.py::snapshot_diff): new
+    snapshot = old minus every 7th doc, every 5th doc's text updated,
+    every 11th doc re-added under a new id - so all four statuses
+    appear at every SF. One full-outer join, no window."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    def fp(frame):
+        return frame.select(
+            "doc_id",
+            F.md5(dedup.normalized_text(F.col("text"))).alias("fingerprint"))
+    base = (d.filter(F.col("doc_id") % 7 != 0)
+            .select("doc_id",
+                    F.when(F.col("doc_id") % 5 == 0,
+                           F.concat(F.col("text"), F.lit(" updated")))
+                    .otherwise(F.col("text")).alias("text")))
+    added = d.filter(F.col("doc_id") % 11 == 0) \
+        .select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    return dedup.snapshot_diff(fp(d), fp(base.unionByName(added)))
+
+
 def _q_dsir(spark, sf_dir):
     """DSIR importance weighting + Gumbel top-k selection
     (ops/mixing.py::dsir_weights): target = every 10th doc (a pure
@@ -1049,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_forward": _q_events_asof_forward,
         "semdedup_prune": _q_semdedup,
         "dsir_selection": _q_dsir,
+        "url_canonical_dedup": _q_url_canonical_dedup,
+        "snapshot_diff": _q_snapshot_diff,
         "ngram_dup_stats": _q_ngram_dup_stats,
         "pmi_collocations": _q_pmi_collocations,
         "length_percentiles": _q_length_percentiles,
@@ -2329,6 +2381,60 @@ SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, log_weight, score,
 FROM noised CROSS JOIN thr
 """
 
+_URLCANON_ORACLE = r"""
+WITH u AS (SELECT doc_id,
+  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
+  || (CASE WHEN doc_id % 4 < 2 THEN 'news.example.com'
+           ELSE 'News.Example.COM' END)
+  || (CASE WHEN doc_id % 4 = 2 THEN ':443' ELSE '' END)
+  || '/a/p' || CAST(doc_id // 3 AS VARCHAR)
+  || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+  || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'
+           WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END)
+  || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents),
+pq AS (SELECT doc_id,
+  lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+  regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+                 ':(80|443)$', '') AS host,
+  regexp_extract(regexp_replace(url, '^[a-zA-Z]+://[^/?#]+', ''),
+                 '^([^?#]*)', 1) AS path0,
+  regexp_extract(regexp_replace(url, '^[a-zA-Z]+://[^/?#]+', ''),
+                 '\?([^#]*)', 1) AS query
+  FROM u),
+canon AS (SELECT doc_id, scheme || '://' || host
+  || (CASE WHEN path0 = '' THEN '/'
+      ELSE regexp_replace(path0, '(.)/$', '\1') END)
+  || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical_url
+  FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+          string_split(query, '&'),
+          p -> p <> '' AND NOT list_contains(
+            ['utm_source','utm_medium','utm_campaign','utm_term',
+             'utm_content','gclid','fbclid','msclkid','ref'],
+            string_split(p, '=')[1]))), '&'), '') AS kept
+        FROM pq))
+SELECT doc_id, canonical_url,
+  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_kept
+FROM canon
+"""
+
+_SNAPDIFF_ORACLE = f"""
+WITH oldt AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+base AS (SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0),
+newdocs AS (SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 11 = 0),
+newt AS (SELECT doc_id, md5({_NORM}) AS fp FROM newdocs)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  o.fp AS old_fp, n.fp AS new_fp,
+  CASE WHEN o.fp IS NULL THEN 'added'
+       WHEN n.fp IS NULL THEN 'removed'
+       WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS status
+FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+"""
+
 _NGRAM_DUP_ORACLE = f"""
 WITH {_AUG},
 norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
@@ -2494,6 +2600,8 @@ FROM hashed
         "kmv_overlap": _KMV_ORACLE,
         "semdedup_prune": _semdedup_oracle(),
         "dsir_selection": _DSIR_ORACLE,
+        "url_canonical_dedup": _URLCANON_ORACLE,
+        "snapshot_diff": _SNAPDIFF_ORACLE,
         "ngram_dup_stats": _NGRAM_DUP_ORACLE,
         "pmi_collocations": _PMI_ORACLE,
         "length_percentiles": _PCT_ORACLE,

@@ -432,3 +432,25 @@ def ngram_dup_stats(df: DataFrame, id_col: str = "doc_id",
             .withColumn("dup_fraction",
                         F.round(F.col("n_dup_ngrams")
                                 / F.col("n_ngrams"), 6)))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                  fp_col: str = "fingerprint") -> DataFrame:
+    """Crawl-over-crawl diff: classify every id across two snapshots as
+    added / removed / changed / unchanged by comparing content
+    fingerprints - the incremental-ingest primitive (process only
+    added+changed, tombstone removed) that turns a monthly full crawl
+    into a delta pipeline.
+
+    ONE full-outer sort-merge join on the id (both sides shuffle once
+    on the same key; at scale, snapshots stored bucketed by id make
+    even that shuffle-free - see spark/bucketing.py), null-side checks
+    and fingerprint compare in codegen. No collect, no window."""
+    o = old.select(F.col(id_col), F.col(fp_col).alias("old_fp"))
+    n = new.select(F.col(id_col), F.col(fp_col).alias("new_fp"))
+    status = (F.when(F.col("old_fp").isNull(), F.lit("added"))
+              .when(F.col("new_fp").isNull(), F.lit("removed"))
+              .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return (o.join(n, id_col, "full_outer")
+            .select(id_col, "old_fp", "new_fp", status.alias("status")))

@@ -44,3 +44,53 @@ def domain_stats(df: DataFrame, url_col: str = "url",
     if text_col and text_col in df.columns:
         aggs.append(F.sum(F.length(text_col)).alias("total_chars"))
     return parsed.groupBy("domain").agg(*aggs)
+
+
+TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "utm_term",
+                   "utm_content", "gclid", "fbclid", "msclkid", "ref")
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``canonical_url``: scheme+host lowercased, default ports
+    (:80/:443) stripped, fragment dropped, tracking query parameters
+    (utm_*, gclid, fbclid, ...) removed, surviving parameters sorted,
+    trailing slash normalized off non-root paths - the standard crawl
+    canonicalization pass, without which URL-level dedup misses the
+    bulk of syntactic aliases.
+
+    Pure built-in expressions (regexp + split/filter/sort_array inside
+    codegen, no Python, no shuffle) so it rides the scan like
+    parse_urls."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[a-zA-Z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    rest = F.regexp_replace(u, r"^[a-zA-Z]+://[^/?#]+", "")
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")) \
+        .otherwise(F.regexp_replace(path, r"(.)/$", "$1"))
+    query = F.regexp_extract(rest, r"\?([^#]*)", 1)
+    kept = F.array_join(F.sort_array(F.filter(
+        F.split(query, "&"),
+        lambda p: ~F.split(p, "=").getItem(0).isin(*TRACKING_PARAMS)
+                  & (p != ""))), "&")
+    canon = F.concat(scheme, F.lit("://"), host, path,
+                     F.when(kept == "", F.lit(""))
+                     .otherwise(F.concat(F.lit("?"), kept)))
+    return df.withColumn("canonical_url", canon)
+
+
+def canonical_dedup(df: DataFrame, url_col: str = "url",
+                    id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup under canonicalization: (id, canonical_url,
+    is_kept) - keep the lowest id per canonical URL. One
+    partial-agged min per canonical key; is_kept re-derives map-side
+    from the broadcast-free self-comparison (min == id), i.e. a single
+    Exchange."""
+    from pyspark.sql import Window
+    canon = canonicalize_urls(df, url_col)
+    w = Window.partitionBy("canonical_url")
+    return (canon
+            .withColumn("keep_id", F.min(id_col).over(w))
+            .select(id_col, "canonical_url",
+                    (F.col(id_col) == F.col("keep_id")).alias("is_kept")))

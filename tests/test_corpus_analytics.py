@@ -251,3 +251,41 @@ def test_dsir_model_join_is_broadcast(spark):
     plan = _physical(mixing.dsir_weights(
         docs, target=F.col("doc_id") % 2 == 0))
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------- url canonicalization / diff
+
+
+def test_canonicalize_urls_aliases_collapse(spark):
+    from eventrelationextractor_spark.ops import urls
+    cases = [
+        (1, "HTTPS://News.Example.COM:443/a/p1?utm_source=x&b=2&a=1#frag"),
+        (2, "https://news.example.com/a/p1/?a=1&b=2"),
+        (3, "https://news.example.com/a/p1?b=2&a=1&fbclid=zz"),
+        (4, "https://news.example.com/"),       # root keeps its slash
+        (5, "https://news.example.com"),        # empty path -> '/'
+        (6, "https://other.example.com/a/p1?a=1&b=2"),  # different host
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, url string")
+    got = {r.doc_id: r.canonical_url
+           for r in urls.canonicalize_urls(df).collect()}
+    want = "https://news.example.com/a/p1?a=1&b=2"
+    assert got[1] == got[2] == got[3] == want
+    assert got[4] == got[5] == "https://news.example.com/"
+    assert got[6] != want
+    kept = {r.doc_id: r.is_kept
+            for r in urls.canonical_dedup(df).collect()}
+    assert kept[1] and not kept[2] and not kept[3]
+
+
+def test_snapshot_diff_statuses(spark):
+    from eventrelationextractor_spark.ops import dedup
+    old = spark.createDataFrame(
+        [(1, "h1"), (2, "h2"), (3, "h3")],
+        "doc_id long, fingerprint string")
+    new = spark.createDataFrame(
+        [(1, "h1"), (2, "h2x"), (4, "h4")],
+        "doc_id long, fingerprint string")
+    got = {r.doc_id: r.status
+           for r in dedup.snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
