@@ -944,6 +944,15 @@ def _q_snapshot_diff(spark, sf_dir):
     return dedup.snapshot_diff(fp(d), fp(base.unionByName(added)))
 
 
+def _q_doc_chunking(spark, sf_dir):
+    """Overlapping word-window chunking (ops/packing.py::
+    chunk_documents, chunk 40 / stride 30): map-side sequence+slice+
+    posexplode, zero shuffle. Oracle replays the identical start
+    bound and slicing."""
+    return packing.chunk_documents(_docs(spark, sf_dir),
+                                   chunk_size=40, stride=30)
+
+
 def _q_dsir(spark, sf_dir):
     """DSIR importance weighting + Gumbel top-k selection
     (ops/mixing.py::dsir_weights): target = every 10th doc (a pure
@@ -1101,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection": _q_dsir,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "snapshot_diff": _q_snapshot_diff,
+        "doc_chunking": _q_doc_chunking,
         "ngram_dup_stats": _q_ngram_dup_stats,
         "pmi_collocations": _q_pmi_collocations,
         "length_percentiles": _q_length_percentiles,
@@ -2418,6 +2428,24 @@ SELECT doc_id, canonical_url,
 FROM canon
 """
 
+_CHUNK_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id,
+          list_filter(string_split(t, ' '), w -> w <> '') AS ws FROM norm),
+starts AS (SELECT doc_id, ws,
+    unnest(generate_series(1, greatest(1, least(len(ws),
+                                               len(ws) - 40 + 30)), 30))
+      AS s
+  FROM words WHERE len(ws) >= 1)
+SELECT doc_id,
+  CAST((s - 1) // 30 AS BIGINT) AS chunk_id,
+  array_to_string(ws[CAST(s AS BIGINT):CAST(s + 39 AS BIGINT)], ' ')
+    AS chunk_text,
+  CAST(len(ws[CAST(s AS BIGINT):CAST(s + 39 AS BIGINT)]) AS BIGINT)
+    AS n_chunk_tokens
+FROM starts
+"""
+
 _SNAPDIFF_ORACLE = f"""
 WITH oldt AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
 base AS (SELECT doc_id,
@@ -2602,6 +2630,7 @@ FROM hashed
         "dsir_selection": _DSIR_ORACLE,
         "url_canonical_dedup": _URLCANON_ORACLE,
         "snapshot_diff": _SNAPDIFF_ORACLE,
+        "doc_chunking": _CHUNK_ORACLE,
         "ngram_dup_stats": _NGRAM_DUP_ORACLE,
         "pmi_collocations": _PMI_ORACLE,
         "length_percentiles": _PCT_ORACLE,

@@ -53,3 +53,38 @@ def pack_sequences(docs: DataFrame, seq_len: int = 512,
             .withColumn("seq_last",
                         F.floor((F.col("start_offset")
                                  + F.col("n_tokens") - 1) / seq_len)))
+
+
+def chunk_documents(df: DataFrame, chunk_size: int = 64, stride: int = 48,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Overlapping fixed-size word-window chunking - the RAG-indexing /
+    long-document training-prep twin of ``pack_sequences`` (which
+    concatenates; this splits): chunk k of a doc covers words
+    [1 + k*stride, ... + chunk_size), so consecutive chunks overlap by
+    ``chunk_size - stride`` words and the tail chunk may be short.
+
+    -> (id, chunk_id, chunk_text, n_chunk_tokens). Entirely map-side:
+    within-row ``sequence(1, bound, stride)`` -> slice -> posexplode;
+    no shuffle, no window - chunking parallelizes at scan granularity
+    at any corpus size. The start bound
+    ``greatest(1, least(n, n - chunk_size + stride))`` stops once the
+    remaining tail is already covered (no chunk fully contained in its
+    predecessor, no empty chunk when stride > chunk_size for gap
+    sampling). (Spark's ``sequence`` throws on an empty range, so
+    zero-word docs are filtered before it; they emit no chunks.)"""
+    from .textstats import _word_array
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    words = df.select(F.col(id_col),
+                      _word_array(F.col(text_col)).alias("ws"))
+    bound = (f"greatest(1, least(size(ws), "
+             f"size(ws) - {chunk_size} + {stride}))")
+    return (words.filter(F.size("ws") >= 1)
+            .select(id_col, F.posexplode(F.expr(
+                f"transform(sequence(1, {bound}, {stride}),"
+                f" s -> slice(ws, s, {chunk_size}))"))
+                .alias("chunk_id", "chunk"))
+            .select(id_col, F.col("chunk_id").cast("long").alias("chunk_id"),
+                    F.array_join("chunk", " ").alias("chunk_text"),
+                    F.size("chunk").cast("long").alias("n_chunk_tokens")))

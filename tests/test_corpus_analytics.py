@@ -289,3 +289,46 @@ def test_snapshot_diff_statuses(spark):
     got = {r.doc_id: r.status
            for r in dedup.snapshot_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+# ---------------------------------------------------------- doc_chunking
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from eventrelationextractor_spark.ops import packing
+    text = " ".join(f"w{i}" for i in range(1, 11))          # 10 words
+    docs = spark.createDataFrame([(1, text), (2, "single"), (3, "")],
+                                 "doc_id long, text string")
+    got = {(r.doc_id, r.chunk_id): r for r in packing.chunk_documents(
+        docs, chunk_size=4, stride=3).collect()}
+    # doc 1: starts 1,4,7 (bound = least(10, 10-4+3)=9); NO start at 10
+    assert {k for k in got if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert got[(1, 0)].chunk_text == "w1 w2 w3 w4"
+    assert got[(1, 1)].chunk_text == "w4 w5 w6 w7"         # overlap of 1
+    assert got[(1, 2)].chunk_text == "w7 w8 w9 w10"        # tail complete
+    # doc 2 (1 word < chunk_size): exactly one short chunk
+    assert got[(2, 0)].chunk_text == "single"
+    assert got[(2, 0)].n_chunk_tokens == 1
+    assert (2, 1) not in got        # no contained duplicate tail
+    # doc 3 (empty): no chunks
+    assert not any(k[0] == 3 for k in got)
+
+
+def test_chunk_documents_gap_sampling_no_empty_chunks(spark):
+    """stride > chunk_size (sampling every stride-th window) must never
+    emit an empty chunk past the end."""
+    from eventrelationextractor_spark.ops import packing
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(1, 7)))],      # 6 words
+        "doc_id long, text string")
+    rows = packing.chunk_documents(docs, chunk_size=1, stride=4).collect()
+    assert [(r.chunk_id, r.chunk_text) for r in
+            sorted(rows, key=lambda r: r.chunk_id)] == [(0, "w1"), (1, "w5")]
+    assert all(r.n_chunk_tokens >= 1 for r in rows)
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from eventrelationextractor_spark.ops import packing
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = _physical(packing.chunk_documents(docs))
+    assert "Exchange" not in plan
