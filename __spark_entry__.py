@@ -944,6 +944,18 @@ def _q_snapshot_diff(spark, sf_dir):
     return dedup.snapshot_diff(fp(d), fp(base.unionByName(added)))
 
 
+def _q_winnowing(spark, sf_dir):
+    """Winnowing fingerprint sets (ops/dedup.py::winnowing_fingerprints,
+    k=8 window=4) rolled up per doc: n_fingerprints + an md5 digest of
+    the sorted set, keeping the result doc-cardinality while still
+    pinning every fingerprint value under the hash gate."""
+    fps = dedup.winnowing_fingerprints(_docs(spark, sf_dir))
+    return (fps.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_fingerprints"),
+                 F.md5(F.concat_ws(",", F.sort_array(
+                     F.collect_list("fingerprint")))).alias("set_md5")))
+
+
 def _q_doc_chunking(spark, sf_dir):
     """Overlapping word-window chunking (ops/packing.py::
     chunk_documents, chunk 40 / stride 30): map-side sequence+slice+
@@ -1111,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "snapshot_diff": _q_snapshot_diff,
         "doc_chunking": _q_doc_chunking,
+        "winnowing_fingerprints": _q_winnowing,
         "ngram_dup_stats": _q_ngram_dup_stats,
         "pmi_collocations": _q_pmi_collocations,
         "length_percentiles": _q_length_percentiles,
@@ -2428,6 +2441,22 @@ SELECT doc_id, canonical_url,
 FROM canon
 """
 
+_WINNOW_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+g AS (SELECT doc_id,
+      list_transform(generate_series(1, length(t) - 7),
+                     i -> md5(substr(t, CAST(i AS BIGINT), 8))) AS g
+      FROM norm WHERE length(t) >= 11),
+fps AS (SELECT DISTINCT doc_id, f FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(g) - 3),
+    j -> list_aggregate(g[CAST(j AS BIGINT):CAST(j + 3 AS BIGINT)], 'min')))
+    AS f
+  FROM g))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+  md5(array_to_string(list_sort(list(f)), ',')) AS set_md5
+FROM fps GROUP BY doc_id
+"""
+
 _CHUNK_ORACLE = f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
 words AS (SELECT doc_id,
@@ -2631,6 +2660,7 @@ FROM hashed
         "url_canonical_dedup": _URLCANON_ORACLE,
         "snapshot_diff": _SNAPDIFF_ORACLE,
         "doc_chunking": _CHUNK_ORACLE,
+        "winnowing_fingerprints": _WINNOW_ORACLE,
         "ngram_dup_stats": _NGRAM_DUP_ORACLE,
         "pmi_collocations": _PMI_ORACLE,
         "length_percentiles": _PCT_ORACLE,

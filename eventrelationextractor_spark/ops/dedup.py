@@ -454,3 +454,33 @@ def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
               .otherwise(F.lit("unchanged")))
     return (o.join(n, id_col, "full_outer")
             .select(id_col, "old_fp", "new_fp", status.alias("status")))
+
+
+def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 8,
+                           window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 - the MOSS algorithm): hash every character ``k``-gram of
+    the normalized text, slide a ``window`` over the hash sequence, and
+    keep each window's minimum - guaranteeing at least one shared
+    fingerprint for any match of length >= k + window - 1 while storing
+    ~2/(window+1) of the grams. The distinct fingerprint SET per doc is
+    emitted (the form plagiarism/overlap detection joins on); position
+    bookkeeping is dropped, as in MOSS's set-based matcher.
+
+    -> (id, fingerprint), distinct. Entirely map-side: within-row
+    transform/slice/array_min over the gram array, ``array_distinct``
+    BEFORE the explode - no shuffle at all (the caller's join or
+    groupBy is the first Exchange). Hashes are md5 strings so the
+    lexicographic window-min is reproduced exactly by the SQL oracle."""
+    grams = (f"transform(sequence(1, length(t) - {k - 1}),"
+             f" i -> md5(substring(t, i, {k})))")
+    mins = (f"transform(sequence(1, size(g) - {window - 1}),"
+            f" j -> array_min(slice(g, j, {window})))")
+    return (df.select(F.col(id_col),
+                      normalized_text(F.col(text_col)).alias("t"))
+            .filter(F.length("t") >= k + window - 1)
+            .select(id_col, F.expr(grams).alias("g"))
+            .select(id_col,
+                    F.explode(F.array_distinct(F.expr(mins)))
+                    .alias("fingerprint")))

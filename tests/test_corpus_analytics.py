@@ -332,3 +332,33 @@ def test_chunk_documents_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = _physical(packing.chunk_documents(docs))
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def test_winnowing_guarantee_and_shuffle_free(spark):
+    """The winnowing guarantee: any shared substring of length
+    >= k + window - 1 must yield at least one shared fingerprint;
+    disjoint texts share none. The operator itself is shuffle-free."""
+    from eventrelationextractor_spark.ops import dedup
+    shared = "the identical copied passage here"
+    docs = spark.createDataFrame(
+        [(1, "prefix one two " + shared),
+         (2, shared + " suffix other words"),
+         (3, "completely different content altogether xyz")],
+        "doc_id long, text string")
+    fps = dedup.winnowing_fingerprints(docs, k=8, window=4)
+    bydoc = {}
+    for r in fps.collect():
+        bydoc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert bydoc[1] & bydoc[2]             # shared passage detected
+    assert not (bydoc[1] & bydoc[3])       # disjoint text: no overlap
+    plan = _physical(fps)
+    assert "Exchange" not in plan
+
+
+def test_winnowing_short_doc_emits_nothing(spark):
+    from eventrelationextractor_spark.ops import dedup
+    docs = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    assert dedup.winnowing_fingerprints(docs).count() == 0
