@@ -183,6 +183,25 @@ def main() -> None:
             "banned.")
     assert "BroadcastNestedLoopJoin" not in p, "range join went BNLJ"
 
+    p = add("dsir_selection (importance resampling)",
+            qs["dsir_selection"](spark, sf),
+            "The <=1024-row hashed-bigram model re-attaches to the "
+            "corpus-scale gram stream via BroadcastHashJoin (explicit "
+            "broadcast - the model is fixed-size at any corpus); the "
+            "threshold is a 1-row aggregate cross-joined back, no "
+            "global sort or corpus window.")
+    assert "BroadcastHashJoin" in p
+    assert "rangepartitioning" not in p, "dsir gained a global sort"
+
+    p = add("semdedup_prune (cluster-local semantic dedup)",
+            qs["semdedup_prune"](spark, sf),
+            "Assignment is an ArrowEvalPython/mapInPandas map stage "
+            "under broadcast centroids; the pair space is the "
+            "cluster-keyed equi self-join (SortMergeJoin on cluster - "
+            "AQE-splittable), never a cartesian/nested-loop product.")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
     doc_scan = spark.read.parquet(os.path.join(sf, "documents.parquet")) \
         .select("doc_id")
     p = formatted(doc_scan)
