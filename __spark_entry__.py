@@ -944,6 +944,16 @@ def _q_snapshot_diff(spark, sf_dir):
     return dedup.snapshot_diff(fp(d), fp(base.unionByName(added)))
 
 
+def _q_domain_topk(spark, sf_dir):
+    """Top-3 docs per domain by length (ops/textstats.py::grouped_topk):
+    the WindowGroupLimit shape - the exchange carries O(k*groups), not
+    the corpus. Oracle = QUALIFY row_number."""
+    d = urls.parse_urls(_web_urls(spark, sf_dir)) \
+        .withColumn("n_chars", F.length("text").cast("long"))
+    return textstats.grouped_topk(d, "domain", "n_chars", k=3) \
+        .select("domain", "rank", "doc_id", "n_chars")
+
+
 def _q_winnowing(spark, sf_dir):
     """Winnowing fingerprint sets (ops/dedup.py::winnowing_fingerprints,
     k=8 window=4) rolled up per doc: n_fingerprints + an md5 digest of
@@ -1124,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "doc_chunking": _q_doc_chunking,
         "winnowing_fingerprints": _q_winnowing,
+        "domain_topk_docs": _q_domain_topk,
         "ngram_dup_stats": _q_ngram_dup_stats,
         "pmi_collocations": _q_pmi_collocations,
         "length_percentiles": _q_length_percentiles,
@@ -2441,6 +2452,20 @@ SELECT doc_id, canonical_url,
 FROM canon
 """
 
+_DOMAIN_TOPK_ORACLE = f"""
+WITH w AS ({_WEB_URLS}),
+p AS (SELECT doc_id,
+      regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                     '([^.]+\\.[^.]+)$', 1) AS domain,
+      CAST(length(text) AS BIGINT) AS n_chars
+      FROM w)
+SELECT domain, CAST(row_number() OVER
+    (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
+  doc_id, n_chars
+FROM p
+QUALIFY rank <= 3
+"""
+
 _WINNOW_ORACLE = f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
 g AS (SELECT doc_id,
@@ -2661,6 +2686,7 @@ FROM hashed
         "snapshot_diff": _SNAPDIFF_ORACLE,
         "doc_chunking": _CHUNK_ORACLE,
         "winnowing_fingerprints": _WINNOW_ORACLE,
+        "domain_topk_docs": _DOMAIN_TOPK_ORACLE,
         "ngram_dup_stats": _NGRAM_DUP_ORACLE,
         "pmi_collocations": _PMI_ORACLE,
         "length_percentiles": _PCT_ORACLE,

@@ -484,3 +484,54 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
             .select(id_col,
                     F.explode(F.array_distinct(F.expr(mins)))
                     .alias("fingerprint")))
+
+
+def streaming_snapshot_cdc(stream: DataFrame, id_col: str = "doc_id",
+                           seq_col: str = "seq",
+                           fp_col: str = "fingerprint") -> DataFrame:
+    """Streaming change-data-capture - the incremental complement of
+    ``snapshot_diff``: for a stream of (id, seq, fingerprint)
+    observations (seq = crawl generation / capture time), emit
+    ``added`` the first time an id is ever seen and ``changed``
+    whenever its fingerprint differs from the stored one; unchanged
+    re-observations emit nothing, so downstream reprocessing cost is
+    proportional to the DELTA, not the crawl.
+
+    Custom stateful operator (applyInPandasWithState keyed on the id;
+    state = last fingerprint, 32 bytes/doc). Rows of a key process in
+    ``seq`` order within a trigger and state carries across triggers,
+    so a full-crawl replay and a trickle arrive at the same emissions.
+    An append stream cannot OBSERVE removal - snapshot_diff (which
+    sees both full snapshots) reports ``removed``, or model deletions
+    as tombstone fingerprints. State never expires (NoTimeout), like
+    streaming_exact_dedup: bound it in deployment with a TTL or
+    periodic compaction into the snapshot table."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{id_col} long, {seq_col} long, status string"
+    state_schema = "fp string"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        last = state.get[0] if state.exists else None
+        ids, seqs, sts = [], [], []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(seq_col, kind="mergesort")
+        for s, fp in zip(rows[seq_col], rows[fp_col]):
+            if last is None:
+                st = "added"
+            elif fp != last:
+                st = "changed"
+            else:
+                st = None
+            if st is not None:
+                ids.append(int(key[0])); seqs.append(int(s)); sts.append(st)
+            last = fp
+        state.update((last,))
+        if ids:
+            yield pd.DataFrame({id_col: ids, seq_col: seqs, "status": sts})
+
+    return stream.groupBy(F.col(id_col)).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)

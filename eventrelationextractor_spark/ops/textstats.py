@@ -9,7 +9,7 @@ the scan. Each has an exact ANSI-SQL twin in __spark_entry__.oracle_sql.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # marker-word lists per language; ordered dict -> deterministic
@@ -540,3 +540,24 @@ def length_percentiles(df: DataFrame, stratum_col: str = "lang",
         name = f"p{str(p).replace('0.', '').ljust(2, '0')}"
         cols.append(F.round(F.col("pcts")[i], 4).alias(name))
     return agg.select(*cols)
+
+
+def grouped_topk(df: DataFrame, group_col: str, order_col: str,
+                 k: int = 3, ascending: bool = False,
+                 tie_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` rows per group (per-domain best documents, per-language
+    longest pages, per-host freshest captures ...), rank attached.
+
+    One ``row_number`` window - but Spark compiles the rank<=k filter
+    into a WindowGroupLimit that prunes to k rows per group DURING the
+    sort (per-partition pre-limit before the shuffle, again after), so
+    the exchange carries O(k * groups * mappers), not the corpus, and
+    no group is ever fully materialized. This is the shape to prefer
+    over collect_list+slice for any per-group head. Ties break on
+    ``tie_col`` so the cut is deterministic across engines."""
+    order = (F.col(order_col).asc() if ascending
+             else F.col(order_col).desc())
+    w = Window.partitionBy(group_col).orderBy(order, F.col(tie_col).asc())
+    return (df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("rank", F.col("rank").cast("long")))

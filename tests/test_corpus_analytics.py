@@ -362,3 +362,25 @@ def test_winnowing_short_doc_emits_nothing(spark):
     from eventrelationextractor_spark.ops import dedup
     docs = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
     assert dedup.winnowing_fingerprints(docs).count() == 0
+
+
+# ----------------------------------------------------------- grouped topk
+
+
+def test_grouped_topk_semantics_and_group_limit(spark):
+    docs = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), (i * 7) % 10) for i in range(10)],
+        "doc_id long, grp string, score long")
+    got = textstats.grouped_topk(docs, "grp", "score", k=2,
+                                 tie_col="doc_id").collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.grp, []).append((r.rank, r.doc_id, r.score))
+    assert all(len(v) == 2 for v in by_grp.values())
+    for v in by_grp.values():
+        v.sort()
+        assert v[0][2] >= v[1][2]          # rank 1 has the higher score
+    # the rank<=k filter must compile to WindowGroupLimit (per-group
+    # pre-limit during the sort), not a full-group Window + Filter
+    plan = _physical(textstats.grouped_topk(docs, "grp", "score", k=2))
+    assert "WindowGroupLimit" in plan

@@ -615,3 +615,66 @@ def test_asof_join_forward_semantics(spark):
         near_left, far, on="k", ts_col="ts", direction="forward",
         tolerance_seconds=50e-6).collect()}
     assert rows == {(1, None)}
+
+
+def test_streaming_snapshot_cdc_matches_batch_diff(spark, tmp_path):
+    """Streaming CDC == snapshot_diff's added/changed stream when crawl
+    generations arrive as triggers: generation 1 emits 'added' for every
+    id; generation 2 emits exactly snapshot_diff(s1, s2)'s added+changed
+    rows (unchanged re-observations are suppressed by state carried
+    across the trigger boundary)."""
+    from eventrelationextractor_spark.ops import dedup as dd
+
+    s1 = [(1, 1, "h1"), (2, 1, "h2"), (3, 1, "h3")]
+    s2 = [(1, 2, "h1"),            # unchanged -> nothing
+          (2, 2, "h2x"),           # changed
+          (4, 2, "h4")]            # added
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    for i, part in enumerate((s1, s2)):
+        spark.createDataFrame(part, "doc_id long, seq long, fingerprint string") \
+            .coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)
+    stream = spark.readStream \
+        .schema("doc_id long, seq long, fingerprint string") \
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false") \
+        .parquet(src + "/*")
+    q = (dd.streaming_snapshot_cdc(stream)
+         .writeStream.format("memory").queryName("cdc_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.seq, r.status)
+           for r in spark.sql("select * from cdc_out").collect()}
+
+    # batch twin: generation 1 all-added + snapshot_diff added/changed
+    old = spark.createDataFrame([(i, f) for i, _, f in s1],
+                                "doc_id long, fingerprint string")
+    new = spark.createDataFrame([(i, f) for i, _, f in s2],
+                                "doc_id long, fingerprint string")
+    want = {(i, 1, "added") for i, _, _ in s1}
+    want |= {(r.doc_id, 2, r.status)
+             for r in dd.snapshot_diff(old, new).collect()
+             if r.status in ("added", "changed")}
+    assert got == want
+
+
+def test_streaming_snapshot_cdc_in_trigger_ordering(spark, tmp_path):
+    """Multiple generations of one id inside a SINGLE trigger process in
+    seq order: added at seq 1, changed at seq 3, the interleaved
+    unchanged observation suppressed."""
+    from eventrelationextractor_spark.ops import dedup as dd
+    rows = [(7, 3, "hB"), (7, 1, "hA"), (7, 2, "hA")]   # arrival disorder
+    src = str(tmp_path / "cdc_one")
+    os.makedirs(src)
+    spark.createDataFrame(rows, "doc_id long, seq long, fingerprint string") \
+        .coalesce(1).write.parquet(os.path.join(src, "b0"))
+    stream = spark.readStream \
+        .schema("doc_id long, seq long, fingerprint string") \
+        .parquet(src + "/*")
+    q = (dd.streaming_snapshot_cdc(stream)
+         .writeStream.format("memory").queryName("cdc_one_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.seq, r.status)
+           for r in spark.sql("select * from cdc_one_out").collect()}
+    assert got == {(7, 1, "added"), (7, 3, "changed")}
