@@ -734,6 +734,45 @@ def _q_link_pagerank(spark, sf_dir):
     return graph.pagerank(e, n_iter=5, damping=0.85, nodes=nodes)
 
 
+def _q_link_triangles(spark, sf_dir):
+    """Per-node triangle counts (ops/graph.py::triangle_counts,
+    degree-ordered node-iterator: every edge oriented low-(deg,node) ->
+    high, so wedge fan-out is sqrt(m)-bounded even at hub nodes). Graph
+    = the pagerank noise edges plus an injected 3-clique per 10th doc
+    so triangles provably exist. The oracle brute-forces the same
+    simple undirected graph with a<b<c self-joins - orientation only
+    changes the WORK shape, never the counts."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    e, nodes = _link_edges(spark, sf_dir)
+    d = F.col("doc_id")
+    cl = docs.filter(d % 10 == 0)
+    clique = (cl.select(d.alias("src"), ((d + 1) % n).alias("dst"))
+              .unionByName(cl.select(((d + 1) % n).alias("src"),
+                                     ((d + 2) % n).alias("dst")))
+              .unionByName(cl.select(d.alias("src"),
+                                     ((d + 2) % n).alias("dst"))))
+    return graph.triangle_counts(e.unionByName(clique), nodes=nodes)
+
+
+def _q_anchor_rollup(spark, sf_dir):
+    """Inlink anchor-text aggregation (ops/graph.py::anchor_rollup):
+    per target page the inlink count, distinct sources, and top-3
+    anchor terms. Anchors are a pure function of (src, dst) - 'topicK
+    pageD' plus a src-dependent verb - mirrored in the oracle's
+    unnest + QUALIFY twin."""
+    e, _ = _link_edges(spark, sf_dir)
+    s, d = F.col("src"), F.col("dst")
+    links = e.select(
+        "src", "dst",
+        F.concat(F.lit("topic"), (d % 7).cast("string"),
+                 F.lit(" page"), d.cast("string"), F.lit(" "),
+                 F.element_at(F.array(F.lit("click"), F.lit("read"),
+                                      F.lit("link")),
+                              (s % 3 + 1).cast("int"))).alias("anchor"))
+    return graph.anchor_rollup(links, k=3)
+
+
 def _line_docs(spark, sf_dir):
     """Deterministic 5-line page bodies over doc ids: a per-host header
     (boilerplate shared by N/5 docs), a global cookie banner, two unique
@@ -1117,6 +1156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "corpus_curation": _q_corpus_curation,
         "link_pagerank": _q_link_pagerank,
+        "link_triangles": _q_link_triangles,
+        "anchor_text_rollup": _q_anchor_rollup,
         "line_boilerplate": _q_line_boilerplate,
         "line_dedup_first": _q_line_dedup_first,
         "mixture_rates": _q_mixture_rates,
@@ -2246,6 +2287,60 @@ r{i} AS (SELECT nodes.node,
     return "".join(parts)
 
 
+_TRIANGLES_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id*7+1) % n AS d FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % n FROM documents, nn WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id+1) % n FROM documents, nn WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT (doc_id+1) % n, (doc_id+2) % n FROM documents, nn
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, (doc_id+2) % n FROM documents, nn WHERE doc_id % 10 = 0),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM e0 WHERE s <> d),
+tri AS (SELECT x.a AS u, x.b AS v1, y.b AS v2
+        FROM e x JOIN e y ON x.a = y.a AND x.b < y.b
+        JOIN e z ON z.a = x.b AND z.b = y.b),
+corners AS (SELECT unnest([u, v1, v2]) AS node FROM tri),
+cnt AS (SELECT node, count(*) AS c FROM corners GROUP BY node)
+SELECT d.doc_id AS node, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles
+FROM documents d LEFT JOIN cnt ON cnt.node = d.doc_id
+"""
+
+
+_ANCHOR_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id*7+1) % n AS dst FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % n FROM documents, nn
+  WHERE doc_id % 17 <> 0),
+l AS (SELECT src, dst,
+  'topic' || CAST(dst % 7 AS VARCHAR) || ' page' || CAST(dst AS VARCHAR)
+  || ' ' || CASE src % 3 WHEN 0 THEN 'click' WHEN 1 THEN 'read'
+            ELSE 'link' END AS anchor
+  FROM e),
+t AS (SELECT dst, unnest(string_split(lower(anchor), ' ')) AS term FROM l),
+tc AS (SELECT dst, term, count(*) AS c FROM t WHERE term <> ''
+       GROUP BY dst, term),
+tk AS (SELECT dst, term, c,
+       row_number() OVER (PARTITION BY dst ORDER BY c DESC, term) AS rnk
+       FROM tc QUALIFY rnk <= 3),
+terms AS (SELECT dst, string_agg(term, ' ' ORDER BY rnk) AS top_terms
+          FROM tk GROUP BY dst),
+st AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_srcs FROM l GROUP BY dst)
+SELECT st.dst, st.n_inlinks, st.n_srcs, terms.top_terms
+FROM st JOIN terms USING (dst)
+"""
+
+
 _LINE_DOCS = """
 SELECT doc_id, k AS pos,
   CASE k
@@ -2671,6 +2766,8 @@ FROM hashed
         "vocab_topk": _VOCAB_ORACLE,
         "corpus_curation": _curation_oracle(),
         "link_pagerank": _pagerank_oracle(),
+        "link_triangles": _TRIANGLES_ORACLE,
+        "anchor_text_rollup": _ANCHOR_ORACLE,
         "line_boilerplate": _LINE_BOILERPLATE_ORACLE,
         "line_dedup_first": _LINE_DEDUP_FIRST_ORACLE,
         "mixture_rates": _MIXTURE_RATES_ORACLE,

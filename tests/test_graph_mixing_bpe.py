@@ -237,3 +237,70 @@ def test_encode_bpe_checksums(spark):
     assert row.n_tokens == 3
     assert row.stream_md5 == hashlib.md5(b"ab ab b").hexdigest()
     assert row.id_checksum == 1 + 1 + 2
+
+
+# ------------------------------------------------------------ triangles
+
+
+def _tri(spark, edges, nodes=None):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nd = (spark.createDataFrame([(n,) for n in nodes], "node long")
+          if nodes is not None else None)
+    return {r.node: r.n_triangles
+            for r in graph.triangle_counts(e, nodes=nd).collect()}
+
+
+def test_triangles_k4_every_node_in_three(spark):
+    # K4 has C(4,3)=4 triangles; each node sits on exactly 3
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _tri(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_path_has_none_and_zero_fills(spark):
+    got = _tri(spark, [(0, 1), (1, 2), (2, 3)], nodes=[0, 1, 2, 3, 9])
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 9: 0}
+
+
+def test_triangles_ignore_direction_duplicates_selfloops(spark):
+    # one triangle, given as a directed multigraph with noise
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 0), (1, 2)]
+    assert _tri(spark, edges) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_hub_counts_match_bruteforce(spark):
+    # hub 0 connected to all; ring among leaves => triangles only where
+    # consecutive leaves share a ring edge. Brute-force check.
+    import itertools
+    n = 9
+    edges = [(0, i) for i in range(1, n)] + \
+        [(i, i % (n - 1) + 1) for i in range(1, n)]
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want = {v: 0 for v in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                want[v] += 1
+    assert _tri(spark, edges) == want
+
+
+# -------------------------------------------------------- anchor rollup
+
+
+def test_anchor_rollup_counts_and_tie_order(spark):
+    links = spark.createDataFrame(
+        [(1, 10, "Best Coffee"), (2, 10, "coffee beans"),
+         (3, 10, "best beans"), (1, 20, "solo page"),
+         (1, 10, "coffee  shop")],   # double space -> no empty term
+        "src long, dst long, anchor string")
+    got = {r.dst: r for r in graph.anchor_rollup(links, k=2).collect()}
+    r10 = got[10]
+    assert (r10.n_inlinks, r10.n_srcs) == (4, 3)
+    # counts: coffee=3, best=2, beans=2 -> top-2 = coffee, beans (tie
+    # between best/beans breaks on term asc)
+    assert r10.top_terms == "coffee beans"
+    assert (got[20].n_inlinks, got[20].n_srcs,
+            got[20].top_terms) == (1, 1, "page solo")

@@ -245,3 +245,16 @@ def test_asof_join_single_shuffle(spark):
     plan = _physical(ev_ops.asof_join(left, right, on="k", ts_col="ts"))
     assert plan.count("Exchange") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_triangle_wedge_join_is_equi_not_nested_loop(spark):
+    """The degree-ordered wedge join must key-partition on u (equi join
+    with the ordering inequality as a residual condition), never fall
+    back to a nested-loop/cartesian product - at 10^10 edges a BNLJ is
+    a non-starter."""
+    from eventrelationextractor_spark.ops import graph
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 50) for i in range(50)], "src long, dst long")
+    plan = _physical(graph.triangle_counts(e))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
