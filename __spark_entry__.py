@@ -773,6 +773,36 @@ def _q_anchor_rollup(spark, sf_dir):
     return graph.anchor_rollup(links, k=3)
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality tiers per language
+    (ops/textstats.py::ccnet_buckets over unigram_logprob perplexity):
+    the exact ntile branch is oracled; the percentile_approx branch is
+    the 100-TB path (same schema, threshold semantics)."""
+    d = _docs(spark, sf_dir)
+    ppl = textstats.unigram_logprob(d).filter(F.col("n_tokens") > 0) \
+        .select("doc_id", "ppl")
+    scored = d.select("doc_id", "lang").join(ppl, "doc_id")
+    return textstats.ccnet_buckets(scored)
+
+
+def _q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization + mojibake telemetry
+    (ops/textstats.py::nfc_normalize, Arrow mapInPandas - Spark SQL has
+    no NFC expression). The synthetic corpus is ASCII, so the query
+    appends a deterministic suffix keyed on doc_id % 3 to exercise all
+    three paths: decomposed e+U+0301 (normalizes, shrinks), precomposed
+    U+00E9 (already NFC, unchanged), and pure ASCII (fast path). The
+    oracle is DuckDB's built-in nfc_normalize over the same construction
+    - both engines count codepoints, so the twin is exact."""
+    d = _docs(spark, sf_dir)
+    suffix = (F.when(F.col("doc_id") % 3 == 0, F.lit(" cafe\u0301"))
+              .when(F.col("doc_id") % 3 == 1, F.lit(" caf\u00e9"))
+              .otherwise(F.lit("")))
+    staged = d.select("doc_id",
+                      F.concat(F.col("text"), suffix).alias("text"))
+    return textstats.nfc_normalize(staged)
+
+
 def _line_docs(spark, sf_dir):
     """Deterministic 5-line page bodies over doc ids: a per-host header
     (boilerplate shared by N/5 docs), a global cookie banner, two unique
@@ -1158,6 +1188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": _q_link_pagerank,
         "link_triangles": _q_link_triangles,
         "anchor_text_rollup": _q_anchor_rollup,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "nfc_normalize": _q_nfc_normalize,
         "line_boilerplate": _q_line_boilerplate,
         "line_dedup_first": _q_line_dedup_first,
         "mixture_rates": _q_mixture_rates,
@@ -2313,6 +2345,39 @@ FROM documents d LEFT JOIN cnt ON cnt.node = d.doc_id
 """
 
 
+_CCNET_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok0 AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+tok AS (SELECT doc_id, w FROM tok0 WHERE w <> ''),
+counts AS (SELECT w, count(*) AS wn FROM tok GROUP BY w),
+tot AS (SELECT sum(wn) AS tot FROM counts),
+vocab AS (SELECT w, ln(wn / tot) AS lp FROM counts, tot),
+per AS (SELECT doc_id, avg(lp) AS mean_lp FROM tok JOIN vocab USING (w)
+        GROUP BY doc_id),
+scored AS (SELECT d.doc_id, d.lang, round(exp(-p.mean_lp), 4) AS ppl
+           FROM documents d JOIN per p ON p.doc_id = d.doc_id)
+SELECT doc_id, lang, ppl,
+  CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored
+"""
+
+
+_NFC_ORACLE = """
+WITH staged AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+                      WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+                      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id, nfc_normalize(text) AS text_nfc,
+       nfc_normalize(text) <> text AS changed,
+       length(text) AS n_cp_before,
+       length(nfc_normalize(text)) AS n_cp_after
+FROM staged
+"""
+
+
 _ANCHOR_ORACLE = """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 e AS (
@@ -2768,6 +2833,8 @@ FROM hashed
         "link_pagerank": _pagerank_oracle(),
         "link_triangles": _TRIANGLES_ORACLE,
         "anchor_text_rollup": _ANCHOR_ORACLE,
+        "ccnet_buckets": _CCNET_ORACLE,
+        "nfc_normalize": _NFC_ORACLE,
         "line_boilerplate": _LINE_BOILERPLATE_ORACLE,
         "line_dedup_first": _LINE_DEDUP_FIRST_ORACLE,
         "mixture_rates": _MIXTURE_RATES_ORACLE,

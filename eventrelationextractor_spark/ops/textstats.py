@@ -561,3 +561,97 @@ def grouped_topk(df: DataFrame, group_col: str, order_col: str,
     return (df.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .withColumn("rank", F.col("rank").cast("long")))
+
+
+def ccnet_buckets(df: DataFrame, lang_col: str = "lang",
+                  value_col: str = "ppl", id_col: str = "doc_id",
+                  n_buckets: int = 3, approx: bool = False) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    rank each language's documents by LM perplexity and cut into
+    ``n_buckets`` equal-count tiers - head/middle/tail for the classic 3
+    (head = lowest perplexity = cleanest text). The bucket label is the
+    standard mixing key: train mostly on head, sample middle, drop or
+    down-weight tail.
+
+    Exact path: ``ntile`` over a per-language window ordered by
+    (value, id) - deterministic across engines (the tiebreak pins the
+    order; ntile then depends only on rank), gated by the SQL oracle.
+    The window sorts each language's full partition, which is correct
+    telemetry-scale but a single-language 100-TB corpus is one giant
+    partition - so ``approx=True`` is the production path: per-language
+    ``percentile_approx`` thresholds (GK sketch, mergeable map-side)
+    broadcast-joined back, bucket = 1 + #thresholds strictly below the
+    value. Boundary docs (exact threshold ties) may land one bucket
+    earlier than ntile's equal-count cut - rank-epsilon, by design.
+    Both branches share the output schema (id, lang, value, bucket).
+    """
+    labels = (["head", "middle", "tail"] if n_buckets == 3
+              else [f"b{i + 1}" for i in range(n_buckets)])
+
+    def name(tile):
+        m = F.when(tile == 1, F.lit(labels[0]))
+        for i in range(1, n_buckets):
+            m = m.when(tile == i + 1, F.lit(labels[i]))
+        return m
+
+    if not approx:
+        w = Window.partitionBy(lang_col).orderBy(
+            F.col(value_col).asc(), F.col(id_col).asc())
+        tile = F.ntile(n_buckets).over(w)
+        return df.select(id_col, lang_col, value_col,
+                         name(tile).alias("bucket"))
+    qs = "array(" + ", ".join(repr(i / n_buckets)
+                              for i in range(1, n_buckets)) + ")"
+    thr = df.groupBy(lang_col).agg(
+        F.expr(f"percentile_approx({value_col}, {qs}, 10000)").alias("ths"))
+    joined = df.join(F.broadcast(thr), lang_col)
+    tile = (F.lit(1) + F.aggregate(
+        "ths", F.lit(0),
+        lambda acc, t: acc + F.when(t < F.col(value_col), 1).otherwise(0)))
+    return joined.select(id_col, lang_col, value_col,
+                         name(tile).alias("bucket"))
+
+
+def nfc_normalize(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization + encoding-damage telemetry:
+    (id, text_nfc, changed, n_cp_before, n_cp_after). Normalizing to
+    NFC is step zero of every multilingual corpus pipeline - dedup
+    fingerprints, tokenizers, and n-gram models all silently fork on
+    composed-vs-decomposed sequences ('e'+U+0301 vs U+00E9) and the
+    changed/shrink counters are the standard mojibake dashboards.
+
+    Python-unavoidable by design, not accident: Spark SQL ships no NFC
+    expression (collation support normalizes for COMPARISON only, it
+    cannot emit the normalized string), so this is an Arrow-batched
+    ``mapInPandas`` - narrow projection in, zero shuffle, no per-row
+    Python UDF overhead. The hot path calls
+    ``unicodedata.is_normalized`` first: already-NFC rows (the
+    overwhelming majority of real text) skip the allocation entirely.
+    Codepoint counts use Python ``len`` = DuckDB ``length`` semantics
+    (codepoints, not UTF-16 units), so the SQL twin is exact.
+    """
+    out_schema = (f"{id_col} long, text_nfc string, changed boolean, "
+                  "n_cp_before long, n_cp_after long")
+
+    def fn(batches):
+        import unicodedata
+
+        import pandas as pd
+        for b in batches:
+            nfc, changed, nb, na = [], [], [], []
+            for t in b[text_col]:
+                t = t if isinstance(t, str) else ""
+                if unicodedata.is_normalized("NFC", t):
+                    u = t
+                else:
+                    u = unicodedata.normalize("NFC", t)
+                nfc.append(u)
+                changed.append(u != t)
+                nb.append(len(t))
+                na.append(len(u))
+            yield pd.DataFrame({id_col: b[id_col], "text_nfc": nfc,
+                                "changed": changed, "n_cp_before": nb,
+                                "n_cp_after": na})
+
+    return df.select(id_col, text_col).mapInPandas(fn, out_schema)

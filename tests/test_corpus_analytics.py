@@ -384,3 +384,67 @@ def test_grouped_topk_semantics_and_group_limit(spark):
     # pre-limit during the sort), not a full-group Window + Filter
     plan = _physical(textstats.grouped_topk(docs, "grp", "score", k=2))
     assert "WindowGroupLimit" in plan
+
+
+# ----------------------------------------------------------- ccnet buckets
+
+
+def test_ccnet_buckets_exact_ntile_semantics(spark):
+    # 7 docs in one lang: ntile(3) -> sizes 3,2,2 (first tiles take the
+    # remainder), ordered by (ppl, doc_id)
+    rows = [(i, "en", float(10 + i)) for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    got = {r.doc_id: r.bucket for r in textstats.ccnet_buckets(df).collect()}
+    assert got == {0: "head", 1: "head", 2: "head", 3: "middle",
+                   4: "middle", 5: "tail", 6: "tail"}
+
+
+def test_ccnet_buckets_approx_branch_monotone_same_schema(spark):
+    rows = [(i, "en", float((i * 37) % 101)) for i in range(60)] + \
+           [(100 + i, "de", float((i * 17) % 53)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    exact = textstats.ccnet_buckets(df)
+    approx = textstats.ccnet_buckets(df, approx=True)
+    assert exact.columns == approx.columns
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for out in (exact, approx):
+        rows_ = out.collect()
+        by_lang = {}
+        for r in rows_:
+            by_lang.setdefault(r.lang, []).append((r.ppl, order[r.bucket]))
+        for vals in by_lang.values():   # bucket monotone in ppl
+            vals.sort()
+            assert all(vals[i][1] <= vals[i + 1][1]
+                       for i in range(len(vals) - 1))
+    # distinct values with 10k-accuracy sketch: branches agree exactly
+    a = {(r.doc_id, r.bucket) for r in exact.collect()}
+    b = {(r.doc_id, r.bucket) for r in approx.collect()}
+    assert len(a ^ b) <= 6      # boundary-tie tolerance, documented
+
+
+# ------------------------------------------------------- nfc normalization
+
+
+def test_nfc_normalize_paths(spark):
+    rows = [
+        (0, "café"),          # decomposed -> composes, shrinks by 1
+        (1, "café"),           # already NFC, non-ASCII
+        (2, "plain ascii"),         # fast path
+        (3, "Å ring"),   # A + combining ring -> U+00C5
+        (4, None),                  # null text -> treated as ""
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.nfc_normalize(df).collect()}
+    assert got[0].text_nfc == "caf\u00e9" and got[0].changed
+    assert (got[0].n_cp_before, got[0].n_cp_after) == (5, 4)
+    assert got[1].text_nfc == "caf\u00e9" and not got[1].changed
+    assert got[2].text_nfc == "plain ascii" and not got[2].changed
+    assert got[3].text_nfc == "\u00c5 ring" and got[3].changed
+    assert got[4].text_nfc == "" and not got[4].changed
+    assert got[4].n_cp_before == 0
+
+
+def test_nfc_normalize_zero_shuffle(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = _physical(textstats.nfc_normalize(df))
+    assert "Exchange" not in plan
