@@ -28,6 +28,7 @@ from eventrelationextractor_spark.ops import bm25, cluster, packing  # noqa: E40
 from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
 from eventrelationextractor_spark.ops import bloom, bpe, graph, linededup  # noqa: E402
 from eventrelationextractor_spark.ops import htmltext, mixing, pii  # noqa: E402
+from eventrelationextractor_spark.ops import quality  # noqa: E402
 from eventrelationextractor_spark.ops import simsearch, sketches, textstats, urls  # noqa: E402
 from eventrelationextractor_spark.spark import kg, stages  # noqa: E402
 
@@ -1054,6 +1055,21 @@ def _q_dsir(spark, sf_dir):
                                target=F.col("doc_id") % 10 == 0)
 
 
+def _q_quality_classifier(spark, sf_dir):
+    """FastText-style quality classifier (ops/quality.py): train a
+    hashed-bigram logistic regression on the corpus itself — positive
+    class = every 10th doc, the same deterministic "reference subset"
+    DSIR targets, so the two selection methods are comparable — then
+    score every document. 2 fixed iterations from zero init, weights
+    rounded per update; the oracle replays both iterations in SQL
+    (iteration 1 is closed-form: zero weights => p = 0.5 everywhere)."""
+    d = _docs(spark, sf_dir)
+    w, b = quality.train_quality_classifier(
+        d, (F.col("doc_id") % 10 == 0).cast("double"),
+        n_buckets=64, n_iter=2, lr=5.0)
+    return quality.score_quality(d, w, b)
+
+
 def _q_semdedup(spark, sf_dir):
     """SemDeDup semantic pruning (ops/cluster.py::semdedup) over the
     augmented embeddings, whose +1000000 perturbed copies (cosine
@@ -1190,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_rollup": _q_anchor_rollup,
         "ccnet_buckets": _q_ccnet_buckets,
         "nfc_normalize": _q_nfc_normalize,
+        "quality_classifier": _q_quality_classifier,
         "line_boilerplate": _q_line_boilerplate,
         "line_dedup_first": _q_line_dedup_first,
         "mixture_rates": _q_mixture_rates,
@@ -2575,6 +2592,54 @@ SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, log_weight, score,
 FROM noised CROSS JOIN thr
 """
 
+_QUALITY_CLF_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id,
+          list_filter(string_split(t, ' '), w -> w <> '') AS ws FROM norm),
+grams AS (SELECT doc_id,
+    CAST(('0x' || substr(md5(ws[CAST(i AS BIGINT)] || ' '
+                             || ws[CAST(i + 1 AS BIGINT)]), 1, 8))::UBIGINT
+         % 64 AS BIGINT) AS bucket
+  FROM words, LATERAL unnest(generate_series(1, len(ws) - 1)) AS r(i)
+  WHERE len(ws) >= 2),
+feat AS (SELECT doc_id, bucket, count(*) AS cnt FROM grams GROUP BY 1, 2),
+nd AS (SELECT doc_id, sum(cnt) AS n FROM feat GROUP BY 1),
+lab AS (SELECT doc_id,
+        CASE WHEN doc_id % 10 = 0 THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+fl AS (SELECT f.doc_id, f.bucket, f.cnt, nd.n, lab.y
+       FROM feat f JOIN nd USING (doc_id) JOIN lab USING (doc_id)),
+ntr AS (SELECT count(DISTINCT doc_id) AS nt FROM fl),
+e1 AS (SELECT DISTINCT doc_id, 0.5 - y AS err FROM fl),
+g1 AS (SELECT bucket, sum(e1.err * fl.cnt / fl.n) / nt AS g
+       FROM fl JOIN e1 USING (doc_id) CROSS JOIN ntr GROUP BY bucket, nt),
+w1 AS (SELECT bucket, round(-5.0 * g, 9) AS w FROM g1),
+b1 AS (SELECT round(-5.0 * avg(err), 9) AS b FROM e1),
+m2 AS (SELECT fl.doc_id, any_value(b1.b)
+              + sum(w1.w * fl.cnt / fl.n) AS margin
+       FROM fl JOIN w1 USING (bucket) CROSS JOIN b1 GROUP BY fl.doc_id),
+e2 AS (SELECT m2.doc_id,
+              1.0 / (1.0 + exp(-m2.margin)) - l.y AS err
+       FROM m2 JOIN lab l USING (doc_id)),
+g2 AS (SELECT bucket, sum(e2.err * fl.cnt / fl.n) / nt AS g
+       FROM fl JOIN e2 USING (doc_id) CROSS JOIN ntr GROUP BY bucket, nt),
+w2 AS (SELECT w1.bucket, round(w1.w - 5.0 * g2.g, 9) AS w
+       FROM w1 JOIN g2 USING (bucket)),
+b2 AS (SELECT round(b1.b - 5.0 * (SELECT avg(err) FROM e2), 9) AS b
+       FROM b1),
+ms AS (SELECT f.doc_id, any_value(b2.b)
+              + sum(w2.w * f.cnt / nd.n) AS margin
+       FROM feat f JOIN nd USING (doc_id) JOIN w2 USING (bucket)
+       CROSS JOIN b2 GROUP BY f.doc_id)
+SELECT d.doc_id, coalesce(nd.n, 0) AS n_bigrams,
+       round(1.0 / (1.0 + exp(-coalesce(ms.margin, b2.b))), 6) AS prob
+FROM documents d
+LEFT JOIN ms ON ms.doc_id = d.doc_id
+LEFT JOIN nd ON nd.doc_id = d.doc_id
+CROSS JOIN b2
+"""
+
+
 _URLCANON_ORACLE = r"""
 WITH u AS (SELECT doc_id,
   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
@@ -2835,6 +2900,7 @@ FROM hashed
         "anchor_text_rollup": _ANCHOR_ORACLE,
         "ccnet_buckets": _CCNET_ORACLE,
         "nfc_normalize": _NFC_ORACLE,
+        "quality_classifier": _QUALITY_CLF_ORACLE,
         "line_boilerplate": _LINE_BOILERPLATE_ORACLE,
         "line_dedup_first": _LINE_DEDUP_FIRST_ORACLE,
         "mixture_rates": _MIXTURE_RATES_ORACLE,

@@ -1,0 +1,152 @@
+"""FastText-style quality classifier — the missing classic of the
+curation stack (Joulin et al. 2016, arXiv:1607.01759; applied as the
+GPT-3 / LLaMA / RefinedWeb quality filter: train a linear classifier to
+separate a high-quality reference corpus from random crawl text, score
+every crawl document with it, keep the high scorers).
+
+Model: logistic regression over hashed-bigram bag features, the same
+feature space as DSIR (`ops/mixing.py::dsir_weights` — bigram text
+hashed to ``n_buckets`` md5 buckets) so the two selection methods are
+directly comparable on one corpus. A document's feature vector is its
+bucket-count vector normalized by its total bigram count (fastText's
+mean-of-inputs), plus a bias.
+
+Training is full-batch gradient descent with a FIXED iteration count
+and deterministic zero init — the same engine-replayable contract as
+``ops/cluster.py::kmeans_fit``: no RNG, no convergence test, weights
+rounded to 9 decimals after every update so the SQL oracle can replay
+the iterations in lockstep regardless of floating-sum order.
+
+Scale shape (per iteration, the classic broadcast-GLM formulation):
+
+* The model is ``n_buckets + 1`` doubles — broadcast, never sharded.
+  Margins come from ONE broadcast hash join (features × weights) and a
+  per-doc partial-agged sum; no literal expression tree, so plan size
+  is constant in ``n_buckets`` (the IVF lesson, BENCH/BASELINE.md).
+* The gradient is a partial-agged groupBy collapsing map output to
+  ``<= n_buckets`` rows per task before the exchange; the only collect
+  per iteration is those ``n_buckets`` rows plus a 1-row bias aggregate
+  — never the corpus.
+* The doc×bucket feature table is reused every iteration: ``.cache()``
+  here (telemetry scale); at 100 TB materialize it once to a bucketed
+  parquet/Iceberg table instead, exactly like ``jaccard_pairs``'s
+  ``shingle_table_path``.
+
+Label contract: training rows are documents where the caller's
+``label`` column/predicate evaluates non-null (1.0 = reference /
+high-quality, 0.0 = background). Documents with fewer than two words
+have no features and are skipped in training; scoring gives them
+``sigmoid(bias)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hashed_bigram_features", "train_quality_classifier",
+           "score_quality"]
+
+
+def hashed_bigram_features(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n_buckets: int = 64) -> DataFrame:
+    """(id, bucket, cnt, n): per-document hashed-bigram bucket counts
+    plus the doc's total bigram count ``n``. The hash is the DSIR
+    construction — md5 of the space-joined bigram, first 8 hex digits,
+    mod ``n_buckets`` — entirely map-side (within-row slice/zip then
+    one partial-agged groupBy on (id, bucket))."""
+    from .dedup import normalized_text
+    words = F.filter(F.split(normalized_text(F.col(text_col)), " "),
+                     lambda w: w != "")
+    base = df.select(F.col(id_col), words.alias("ws")) \
+        .filter(F.size("ws") >= 2)
+    grams = (base
+             .withColumn("a", F.expr("slice(ws, 1, size(ws) - 1)"))
+             .withColumn("b", F.expr("slice(ws, 2, size(ws) - 1)"))
+             .select(id_col, F.explode(F.arrays_zip("a", "b")).alias("p"))
+             .select(id_col,
+                     (F.conv(F.substring(F.md5(
+                         F.concat_ws(" ", F.col("p.a"), F.col("p.b"))),
+                         1, 8), 16, 10).cast("long")
+                      % n_buckets).alias("bucket")))
+    per_bucket = grams.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    n = per_bucket.groupBy(id_col).agg(F.sum("cnt").alias("n"))
+    return per_bucket.join(n, id_col)
+
+
+def _margins(feat: DataFrame, weights: list, bias: float,
+             id_col: str) -> DataFrame:
+    """(id, margin): bias + sum_b w_b * cnt_b / n via a broadcast join
+    with the (bucket, w) model table and one per-doc partial agg."""
+    spark = feat.sparkSession
+    wdf = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)],
+        "bucket long, w double")
+    return (feat.join(F.broadcast(wdf), "bucket")
+            .groupBy(id_col)
+            .agg((F.lit(float(bias))
+                  + F.sum(F.col("w") * F.col("cnt") / F.col("n")))
+                 .alias("margin")))
+
+
+def train_quality_classifier(df: DataFrame, label,
+                             n_buckets: int = 64, n_iter: int = 2,
+                             lr: float = 5.0, id_col: str = "doc_id",
+                             text_col: str = "text"):
+    """Fixed-iteration full-batch logistic regression. ``label`` is a
+    Column evaluating to 1.0/0.0 (map-side computable). Returns
+    ``(weights, bias)`` — a list of ``n_buckets`` floats and a float,
+    each rounded to 9 decimals per update (the oracle-lockstep
+    contract). Iteration 1 starts from w = 0, so every margin is 0 and
+    every probability exactly 0.5 — the oracle replays that in closed
+    form."""
+    feat = hashed_bigram_features(df, id_col, text_col, n_buckets).cache()
+    lab = df.select(F.col(id_col), label.cast("double").alias("y")) \
+        .filter(F.col("y").isNotNull())
+    # training set = labeled docs that produced features
+    fl = feat.join(lab, id_col)
+    n_train = fl.select(id_col).distinct().count()
+    if n_train == 0:
+        raise ValueError("no labeled documents with >= 2 words to train on")
+
+    weights = [0.0] * n_buckets
+    bias = 0.0
+    for _ in range(n_iter):
+        m = _margins(fl, weights, bias, id_col)
+        err = (m.join(lab, id_col)
+               .select(id_col,
+                       (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
+                        - F.col("y")).alias("err")))
+        g_rows = (fl.join(err, id_col)
+                  .groupBy("bucket")
+                  .agg((F.sum(F.col("err") * F.col("cnt") / F.col("n"))
+                        / n_train).alias("g"))
+                  .collect())
+        g_bias = err.agg(F.avg("err").alias("g")).first().g
+        g = {int(r.bucket): r.g for r in g_rows}
+        weights = [round(w - lr * g.get(b, 0.0), 9)
+                   for b, w in enumerate(weights)]
+        bias = round(bias - lr * g_bias, 9)
+    return weights, bias
+
+
+def score_quality(df: DataFrame, weights: list, bias: float,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, n_bigrams, prob): sigmoid quality score for EVERY document
+    under a trained model (docs without features score
+    ``sigmoid(bias)`` with n_bigrams = 0). One broadcast join + one
+    per-doc partial agg + a left join back to the id set — map-side
+    except the per-doc aggregation."""
+    feat = hashed_bigram_features(df, id_col, text_col, len(weights))
+    m = _margins(feat, weights, bias, id_col)
+    n = feat.groupBy(id_col).agg(F.max("n").alias("n_bigrams"))
+    return (df.select(id_col).join(m, id_col, "left")
+            .join(n, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(
+                        -F.coalesce("margin", F.lit(float(bias))))), 6)
+                    .alias("prob")))

@@ -1,0 +1,77 @@
+"""FastText-style quality classifier (ops/quality.py): separability on
+a toy corpus, the no-feature scoring path, and the broadcast-model plan
+shape."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventrelationextractor_spark.ops import quality
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+
+
+POS = "excellent prose reads well and cites sources carefully"
+NEG = "buy cheap pills now click here limited offer today"
+
+
+def _toy(spark, n_each=6):
+    rows = [(i, POS + f" variant {i}", 1.0) for i in range(n_each)] + \
+           [(100 + i, NEG + f" variant {i}", 0.0) for i in range(n_each)]
+    return spark.createDataFrame(rows, "doc_id long, text string, y double")
+
+
+def test_classifier_separates_toy_corpus(spark):
+    docs = _toy(spark)
+    w, b = quality.train_quality_classifier(
+        docs, F.col("y"), n_buckets=32, n_iter=3, lr=5.0)
+    scored = {r.doc_id: r.prob
+              for r in quality.score_quality(docs, w, b).collect()}
+    worst_pos = min(v for d, v in scored.items() if d < 100)
+    best_neg = max(v for d, v in scored.items() if d >= 100)
+    assert worst_pos > best_neg
+    # held-out docs built from each class's distinctive bigrams land on
+    # the right side of each other
+    held = spark.createDataFrame(
+        [(900, "excellent prose reads well indeed"),
+         (901, "click here buy cheap pills")],
+        "doc_id long, text string")
+    hs = {r.doc_id: r.prob
+          for r in quality.score_quality(held, w, b).collect()}
+    assert hs[900] > hs[901]
+
+
+def test_weights_rounded_for_oracle_lockstep(spark):
+    docs = _toy(spark, n_each=3)
+    w, b = quality.train_quality_classifier(
+        docs, F.col("y"), n_buckets=16, n_iter=2)
+    assert all(round(x, 9) == x for x in w) and round(b, 9) == b
+
+
+def test_score_no_feature_doc_gets_bias_sigmoid(spark):
+    docs = spark.createDataFrame([(1, "single"), (2, "two words")],
+                                 "doc_id long, text string")
+    b = 0.4
+    got = {r.doc_id: r for r in
+           quality.score_quality(docs, [0.0] * 8, b).collect()}
+    assert got[1].n_bigrams == 0
+    assert got[1].prob == pytest.approx(
+        round(1.0 / (1.0 + math.exp(-b)), 6))
+    assert got[2].n_bigrams == 1
+
+
+def test_train_requires_labeled_features(spark):
+    docs = spark.createDataFrame([(1, "only", None)],
+                                 "doc_id long, text string, y double")
+    with pytest.raises(ValueError, match="no labeled"):
+        quality.train_quality_classifier(docs, F.col("y"), n_buckets=8)
+
+
+def test_score_plan_broadcasts_model(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = _physical(quality.score_quality(docs, [0.1] * 64, 0.0))
+    assert "BroadcastHashJoin" in plan     # model side, never shuffled
+    assert "Window" not in plan
