@@ -1055,6 +1055,29 @@ def _q_dsir(spark, sf_dir):
                                target=F.col("doc_id") % 10 == 0)
 
 
+# multilingual suffixes shared by _q_script_profile and its oracle —
+# one definition, zero transcription drift between engines
+_SCRIPT_SUFFIXES = {0: " привет мир", 1: " مرحبا 42",
+                    2: " 世界和平", 3: " γειά σου"}
+
+
+def _q_script_profile(spark, sf_dir):
+    """Unicode script-mix telemetry (ops/textstats.py::script_profile,
+    pure codegen regexp_count per block). The corpus is ASCII, so a
+    deterministic multilingual suffix keyed on doc_id % 5 exercises
+    Cyrillic / Arabic / CJK / Greek counts and the `other` bucket; the
+    oracle shares the block ranges verbatim (both sides render them
+    from textstats.SCRIPT_BLOCKS)."""
+    d = _docs(spark, sf_dir)
+    suffix = F.lit("")
+    for k, s in _SCRIPT_SUFFIXES.items():
+        suffix = F.when(F.col("doc_id") % 5 == k, F.lit(s)) \
+            .otherwise(suffix)
+    staged = d.select("doc_id",
+                      F.concat(F.col("text"), suffix).alias("text"))
+    return textstats.script_profile(staged)
+
+
 def _q_quality_classifier(spark, sf_dir):
     """FastText-style quality classifier (ops/quality.py): train a
     hashed-bigram logistic regression on the corpus itself — positive
@@ -1206,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_rollup": _q_anchor_rollup,
         "ccnet_buckets": _q_ccnet_buckets,
         "nfc_normalize": _q_nfc_normalize,
+        "script_profile": _q_script_profile,
         "quality_classifier": _q_quality_classifier,
         "line_boilerplate": _q_line_boilerplate,
         "line_dedup_first": _q_line_dedup_first,
@@ -2592,6 +2616,32 @@ SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, log_weight, score,
 FROM noised CROSS JOIN thr
 """
 
+def _script_oracle() -> str:
+    names = [n for n, _ in textstats.SCRIPT_BLOCKS]
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(text, '[{rng}]')) AS {name}"
+        for name, rng in textstats.SCRIPT_BLOCKS)
+    suffix_case = " ".join(
+        f"WHEN doc_id % 5 = {k} THEN '{s}'"
+        for k, s in _SCRIPT_SUFFIXES.items())
+    g = "greatest(" + ", ".join(names) + ")"
+    main = " ".join(f"WHEN {n} = {g} THEN '{n}'" for n in names)
+    known = " + ".join(names)
+    return f"""
+WITH staged AS (
+  SELECT doc_id, text || CASE {suffix_case} ELSE '' END AS text
+  FROM documents),
+c AS (SELECT doc_id,
+  len(regexp_extract_all(text, '\\S')) AS n_nonspace,
+  {counts}
+  FROM staged)
+SELECT doc_id, n_nonspace, {", ".join(names)},
+  n_nonspace - ({known}) AS other,
+  CASE WHEN {g} <= 0 THEN 'none' {main} END AS main_script
+FROM c
+"""
+
+
 _QUALITY_CLF_ORACLE = f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
 words AS (SELECT doc_id,
@@ -2900,6 +2950,7 @@ FROM hashed
         "anchor_text_rollup": _ANCHOR_ORACLE,
         "ccnet_buckets": _CCNET_ORACLE,
         "nfc_normalize": _NFC_ORACLE,
+        "script_profile": _script_oracle(),
         "quality_classifier": _QUALITY_CLF_ORACLE,
         "line_boilerplate": _LINE_BOILERPLATE_ORACLE,
         "line_dedup_first": _LINE_DEDUP_FIRST_ORACLE,

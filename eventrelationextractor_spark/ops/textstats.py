@@ -655,3 +655,57 @@ def nfc_normalize(df: DataFrame, id_col: str = "doc_id",
                                 "n_cp_after": na})
 
     return df.select(id_col, text_col).mapInPandas(fn, out_schema)
+
+
+# ----------------------------------------------------------- script mix
+# Unicode-block character classes for script profiling. Explicit
+# codepoint RANGES, not \p{Script=...} properties: Java regex (Spark)
+# and RE2 (DuckDB) ship different Unicode tables/spellings, while block
+# ranges are engine-invariant by construction. Coverage is the
+# main-use blocks of each script (BMP); that is the standard heuristic
+# tier - full script property tables are a tokenizer-level concern.
+SCRIPT_BLOCKS = [
+    ("latin", "a-zA-ZÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("arabic", "؀-ۿ"),
+    ("devanagari", "ऀ-ॿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("hangul", "가-힯ᄀ-ᇿ"),
+    ("kana", "぀-ヿ"),
+    ("cjk", "一-鿿㐀-䶿"),
+]
+
+
+def script_profile(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script mix - the multilingual-curation
+    dashboard next to language-ID: per-script character counts, an
+    ``other`` bucket (non-space characters in none of the blocks), and
+    the dominant script with deterministic ties (block-list order).
+    Mixed-script documents (above ~30% secondary script) are the
+    classic mojibake / spam / wrong-lang-tag signals; main_script
+    crosschecked against the claimed lang column catches mislabeled
+    segments before they poison per-language models.
+
+    Pure whole-stage-codegen column expressions (``regexp_count`` per
+    block) - rides the scan, zero shuffle, no UDF. main_script argmax
+    via array_max over (count, -priority, name) structs: ties go to
+    the earlier block deterministically; all-zero -> 'none'. Null text
+    counts as empty (0 everywhere, main_script 'none')."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {name: F.regexp_count(t, F.lit(f"[{rng}]"))
+              for name, rng in SCRIPT_BLOCKS}
+    nonspace = F.regexp_count(t, F.lit(r"\S"))
+    known = None
+    for c in counts.values():
+        known = c if known is None else known + c
+    entries = [F.struct(c.alias("c"), F.lit(-i).alias("p"),
+                        F.lit(name).alias("s"))
+               for i, (name, c) in enumerate(counts.items())]
+    best = F.array_max(F.array(*entries))
+    main = F.when(best["c"] <= 0, F.lit("none")).otherwise(best["s"])
+    cols = [F.col(id_col), nonspace.alias("n_nonspace")]
+    cols += [c.cast("long").alias(n) for n, c in counts.items()]
+    cols += [(nonspace - known).cast("long").alias("other"),
+             main.alias("main_script")]
+    return df.select(*cols)

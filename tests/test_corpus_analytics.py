@@ -448,3 +448,35 @@ def test_nfc_normalize_zero_shuffle(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     plan = _physical(textstats.nfc_normalize(df))
     assert "Exchange" not in plan
+
+
+# ----------------------------------------------------------- script mix
+
+
+def test_script_profile_counts_and_main(spark):
+    rows = [(1, "hello мир 世界 ab"),   # 7 latin, 3 cyr, 2 cjk
+            (2, "   "),                                        # all spaces
+            (3, "γεια 123!"),              # greek + other
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.script_profile(df).collect()}
+    assert (got[1].latin, got[1].cyrillic, got[1].cjk) == (7, 3, 2)
+    assert got[1].main_script == "latin" and got[1].other == 0
+    assert got[2].n_nonspace == 0 and got[2].main_script == "none"
+    assert got[3].greek == 4 and got[3].other == 4   # digits+!  -> other
+    assert got[3].main_script == "greek"
+    assert got[4].main_script == "none"              # null text
+
+
+def test_script_profile_tie_breaks_to_block_order(spark):
+    # equal latin and cyrillic counts: latin is earlier in SCRIPT_BLOCKS
+    df = spark.createDataFrame([(1, "ab аб")],
+                               "doc_id long, text string")
+    r = textstats.script_profile(df).collect()[0]
+    assert r.latin == r.cyrillic == 2 and r.main_script == "latin"
+
+
+def test_script_profile_rides_the_scan(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = _physical(textstats.script_profile(df))
+    assert "Exchange" not in plan
