@@ -1055,6 +1055,28 @@ def _q_dsir(spark, sf_dir):
                                target=F.col("doc_id") % 10 == 0)
 
 
+def _q_cms_wordcounts(spark, sf_dir):
+    """Count-Min heavy-hitter estimation (ops/sketches.py): build a
+    4x512 sketch over every corpus word occurrence (one partial-agged
+    groupBy collapsing to <=2048 cells), then point-query the fixed
+    language-marker word list WITHOUT rescanning the corpus — the
+    dashboard read path. md5-derived hashes make every cell and
+    estimate engine-replayable; estimates are exact unless a cell
+    collides (and never under)."""
+    from eventrelationextractor_spark.ops import sketches
+    d = _docs(spark, sf_dir)
+    tok = d.select(F.explode(
+        textstats._word_array(F.col("text"))).alias("w"))
+    sk = sketches.cms_sketch(tok, "w", depth=4, width=512)
+    keys = spark.createDataFrame([(k,) for k in _CMS_KEYS], "key string")
+    return sketches.cms_lookup(sk, keys, "key", depth=4, width=512)
+
+
+# probe list shared by _q_cms_wordcounts and its oracle
+_CMS_KEYS = sorted({w for ws in textstats.LANG_MARKERS.values()
+                    for w in ws})
+
+
 # multilingual suffixes shared by _q_script_profile and its oracle —
 # one definition, zero transcription drift between engines
 _SCRIPT_SUFFIXES = {0: " привет мир", 1: " مرحبا 42",
@@ -1230,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "nfc_normalize": _q_nfc_normalize,
         "script_profile": _q_script_profile,
+        "cms_wordcounts": _q_cms_wordcounts,
         "quality_classifier": _q_quality_classifier,
         "line_boilerplate": _q_line_boilerplate,
         "line_dedup_first": _q_line_dedup_first,
@@ -2616,6 +2639,30 @@ SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, log_weight, score,
 FROM noised CROSS JOIN thr
 """
 
+def _cms_oracle() -> str:
+    keys = ", ".join(f"'{k}'" for k in _CMS_KEYS)
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok AS (SELECT w FROM norm,
+        LATERAL unnest(list_filter(string_split(t, ' '), x -> x <> ''))
+        AS r(w)),
+cells AS (SELECT j,
+    CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || w),
+          1, 8))::UBIGINT % 512 AS BIGINT) AS col,
+    count(*) AS cnt
+  FROM tok, LATERAL unnest(generate_series(0, 3)) AS d(j)
+  GROUP BY 1, 2),
+probes AS (SELECT key, j,
+    CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || key),
+          1, 8))::UBIGINT % 512 AS BIGINT) AS col
+  FROM (SELECT unnest([{keys}]) AS key),
+       LATERAL unnest(generate_series(0, 3)) AS d(j))
+SELECT p.key, min(coalesce(c.cnt, 0)) AS est
+FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.col = p.col
+GROUP BY p.key
+"""
+
+
 def _script_oracle() -> str:
     names = [n for n, _ in textstats.SCRIPT_BLOCKS]
     counts = ",\n  ".join(
@@ -2951,6 +2998,7 @@ FROM hashed
         "ccnet_buckets": _CCNET_ORACLE,
         "nfc_normalize": _NFC_ORACLE,
         "script_profile": _script_oracle(),
+        "cms_wordcounts": _cms_oracle(),
         "quality_classifier": _QUALITY_CLF_ORACLE,
         "line_boilerplate": _LINE_BOILERPLATE_ORACLE,
         "line_dedup_first": _LINE_DEDUP_FIRST_ORACLE,

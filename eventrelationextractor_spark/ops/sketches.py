@@ -110,3 +110,61 @@ def kmv_overlap(a: DataFrame, b: DataFrame, value_col: str,
                     F.round(est_union, 4).alias("est_union"),
                     F.round(F.col("ki") / F.col("ku"), 6)
                     .alias("est_jaccard")))
+
+
+# --------------------------------------------------------------- count-min
+# Count-Min sketch (Cormode & Muthukrishnan 2005): depth x width counter
+# grid; item x increments cell (j, h_j(x)) for each of the depth hash
+# rows; a point query reads min_j grid[j][h_j(x)] - an OVERestimate with
+# error <= e*N/width at probability 1 - e^-depth. The heavy-hitter
+# telemetry primitive: frequencies of hot n-grams / URLs / hosts from a
+# fixed-size summary, no corpus-wide exact groupBy, and sketches from
+# different shards / days MERGE by cell-wise sum.
+
+
+def cms_sketch(df: DataFrame, value_col: str, depth: int = 4,
+               width: int = 1024, salt: str = "cms",
+               weight_col: str | None = None) -> DataFrame:
+    """(row, col, cnt): the non-zero cells of the counter grid. One
+    map-side explode (x depth, a small constant) + ONE partial-agged
+    groupBy collapsing to <= depth*width rows - map-side combine does
+    the heavy summation before the exchange. Hashes are md5-derived
+    (row j salts the digest), so another engine replays every cell
+    exactly. Merge two sketches: union + groupBy(row, col).sum."""
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("row"),
+                 (F.conv(F.substring(F.md5(F.concat(
+                     F.lit(f"{salt}{j}:"),
+                     F.col(value_col).cast("string"))), 1, 8), 16, 10)
+                  .cast("long") % width).alias("col"))
+        for j in range(depth)])
+    return (df.select(F.explode(cells).alias("c"), w.alias("w"))
+            .groupBy(F.col("c.row").alias("row"),
+                     F.col("c.col").alias("col"))
+            .agg(F.sum("w").alias("cnt")))
+
+
+def cms_lookup(sketch: DataFrame, keys: DataFrame, key_col: str,
+               depth: int = 4, width: int = 1024,
+               salt: str = "cms") -> DataFrame:
+    """(key, est): point-query estimates for a key list against a built
+    sketch - the dashboard read path: the corpus is NOT rescanned; the
+    sketch (<= depth*width rows) is the broadcast side, keys fan out to
+    their depth cells map-side, and est = min over rows (absent cell =
+    0). Estimates are exact for keys whose cells saw no collision and
+    overestimates otherwise - never under."""
+    probes = keys.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("row"),
+                     (F.conv(F.substring(F.md5(F.concat(
+                         F.lit(f"{salt}{j}:"),
+                         F.col(key_col).cast("string"))), 1, 8), 16, 10)
+                      .cast("long") % width).alias("col"))
+            for j in range(depth)])).alias("c")) \
+        .select("key", "c.row", "c.col")
+    return (probes.join(F.broadcast(sketch), ["row", "col"], "left")
+            .groupBy("key")
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est")))

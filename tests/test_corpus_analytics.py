@@ -480,3 +480,52 @@ def test_script_profile_rides_the_scan(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     plan = _physical(textstats.script_profile(df))
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
+    from eventrelationextractor_spark.ops import sketches
+    rows = [(w,) for w in ["a"] * 50 + ["b"] * 7 + ["c"] * 1]
+    df = spark.createDataFrame(rows, "w string")
+    sk = sketches.cms_sketch(df, "w", depth=4, width=1024)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("missing",)],
+                                 "w string")
+    est = {r.key: r.est for r in
+           sketches.cms_lookup(sk, keys, "w", depth=4, width=1024).collect()}
+    # wide sketch, 3 keys: no collisions -> exact; absent key -> 0
+    assert est == {"a": 50, "b": 7, "c": 1, "missing": 0}
+
+
+def test_cms_overestimates_under_forced_collisions(spark):
+    from eventrelationextractor_spark.ops import sketches
+    rows = [(f"k{i}",) for i in range(40) for _ in range(3)]
+    df = spark.createDataFrame(rows, "w string")
+    sk = sketches.cms_sketch(df, "w", depth=2, width=4)   # heavy collisions
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(40)], "w string")
+    est = {r.key: r.est for r in
+           sketches.cms_lookup(sk, keys, "w", depth=2, width=4).collect()}
+    assert all(v >= 3 for v in est.values())          # never under
+    assert any(v > 3 for v in est.values())           # collisions exist
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    from eventrelationextractor_spark.ops import sketches
+    import pyspark.sql.functions as SF
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, "w string")
+    b = spark.createDataFrame([("x",)] * 3, "w string")
+    ska = sketches.cms_sketch(a, "w", depth=3, width=64)
+    skb = sketches.cms_sketch(b, "w", depth=3, width=64)
+    merged = ska.unionByName(skb).groupBy("row", "col") \
+        .agg(SF.sum("cnt").alias("cnt"))
+    whole = sketches.cms_sketch(a.unionByName(b), "w", depth=3, width=64)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_cms_sketch_single_shuffle(spark):
+    from eventrelationextractor_spark.ops import sketches
+    df = spark.createDataFrame([("x",)], "w string")
+    plan = _physical(sketches.cms_sketch(df, "w"))
+    assert plan.count("Exchange") == 1     # the partial-agged groupBy
