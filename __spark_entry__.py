@@ -1055,6 +1055,16 @@ def _q_dsir(spark, sf_dir):
                                target=F.col("doc_id") % 10 == 0)
 
 
+def _q_tfidf_cosine_pairs(spark, sf_dir):
+    """Exact sparse TF-IDF shingle-cosine similarity join
+    (ops/dedup.py::tfidf_cosine_pairs, Bayardo/Vernica inverted-index
+    all-pairs with the contractual hot-term candidate cap) over the
+    augmented corpus: the +1000000 one-token-appended near-copies and
+    +2000000 exact copies are the known positive pairs."""
+    return dedup.tfidf_cosine_pairs(_augmented_docs(spark, sf_dir),
+                                    n=3, threshold=0.5, max_df=100)
+
+
 def _q_cms_wordcounts(spark, sf_dir):
     """Count-Min heavy-hitter estimation (ops/sketches.py): build a
     4x512 sketch over every corpus word occurrence (one partial-agged
@@ -1253,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": _q_nfc_normalize,
         "script_profile": _q_script_profile,
         "cms_wordcounts": _q_cms_wordcounts,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "quality_classifier": _q_quality_classifier,
         "line_boilerplate": _q_line_boilerplate,
         "line_dedup_first": _q_line_dedup_first,
@@ -2639,6 +2650,35 @@ SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, log_weight, score,
 FROM noised CROSS JOIN thr
 """
 
+_TFIDF_COS_ORACLE = f"""
+WITH {_AUG},
+norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
+words AS (SELECT doc_id,
+          list_filter(string_split(t, ' '), w -> w <> '') AS ws FROM norm),
+grams AS (SELECT doc_id,
+    ws[CAST(i AS BIGINT)] || ' ' || ws[CAST(i + 1 AS BIGINT)]
+      || ' ' || ws[CAST(i + 2 AS BIGINT)] AS term
+  FROM words, LATERAL unnest(generate_series(1, len(ws) - 2)) AS r(i)
+  WHERE len(ws) >= 3),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS term_df FROM tf GROUP BY 1),
+w AS (SELECT doc_id, term, term_df,
+      tf * ln((SELECT count(*) FROM aug) / term_df) AS w
+      FROM tf JOIN dfreq USING (term)),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+idx AS (SELECT w.doc_id AS doc, term, term_df, w / nrm AS u
+        FROM w JOIN nrm USING (doc_id) WHERE nrm > 0),
+rare AS (SELECT * FROM idx WHERE term_df <= 100),
+cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         FROM rare a JOIN rare b ON a.term = b.term AND a.doc < b.doc),
+dots AS (SELECT c.doc_a, c.doc_b, round(sum(ia.u * ib.u), 6) AS cosine
+  FROM cand c JOIN idx ia ON ia.doc = c.doc_a
+  JOIN idx ib ON ib.doc = c.doc_b AND ib.term = ia.term
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, cosine FROM dots WHERE cosine >= 0.5
+"""
+
+
 def _cms_oracle() -> str:
     keys = ", ".join(f"'{k}'" for k in _CMS_KEYS)
     return f"""
@@ -2999,6 +3039,7 @@ FROM hashed
         "nfc_normalize": _NFC_ORACLE,
         "script_profile": _script_oracle(),
         "cms_wordcounts": _cms_oracle(),
+        "tfidf_cosine_pairs": _TFIDF_COS_ORACLE,
         "quality_classifier": _QUALITY_CLF_ORACLE,
         "line_boilerplate": _LINE_BOILERPLATE_ORACLE,
         "line_dedup_first": _LINE_DEDUP_FIRST_ORACLE,

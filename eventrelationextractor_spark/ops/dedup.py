@@ -535,3 +535,79 @@ def streaming_snapshot_cdc(stream: DataFrame, id_col: str = "doc_id",
 
     return stream.groupBy(F.col(id_col)).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+
+
+def tfidf_cosine_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
+                       max_df: int = 100, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Sparse lexical similarity join: all document pairs whose TF-IDF
+    word-``n``-gram vectors have cosine >= ``threshold`` - the
+    inverted-index all-pairs formulation (Bayardo et al. WWW'07;
+    Vernica et al. SIGMOD'10 for the MapReduce shape) that complements
+    the hash-based dedup family: MinHash estimates Jaccard, SimHash
+    buckets hamming balls, this computes the EXACT weighted cosine,
+    the score IR-era near-dup systems thresholded.
+
+    -> (doc_a, doc_b, cosine) with doc_a < doc_b, cosine rounded to 6.
+
+    Pipeline (shingle tf -> df -> idf = ln(N/df) -> unit-normalized
+    weights) runs as partial-agged groupBys; the pair space then:
+
+    * **Candidate generation** joins the inverted index with itself
+      ONLY on terms with document frequency <= ``max_df`` - the
+      standard hot-term guard: a term in k docs emits O(k^2) candidate
+      rows, so ubiquitous boilerplate shingles must not generate
+      candidates. The cap is part of the operator's CONTRACT (and of
+      the SQL oracle): a pair sharing exclusively hotter-than-cap
+      terms is not reported. With idf weighting those terms carry the
+      least cosine mass, and every such equi-join partition is
+      AQE-splittable - no nested loop anywhere.
+    * **Verification** recomputes the cosine EXACTLY over the FULL
+      index (all shared terms, hot ones included) for the candidate
+      pairs only - the same capped-candidates + exact-verify pattern
+      as jaccard_pairs; work is proportional to candidates, not to
+      the pair space.
+
+    Docs with fewer than ``n`` words (no shingles) never pair."""
+    grams = (df.select(
+                 F.col(id_col),
+                 F.filter(F.split(normalized_text(F.col(text_col)), " "),
+                          lambda w: w != "").alias("ws"))
+             .filter(F.size("ws") >= n)
+             .select(id_col, F.explode(F.expr(
+                 f"transform(sequence(1, size(ws) - {n - 1}),"
+                 f" i -> concat_ws(' ', slice(ws, i, {n})))"))
+                 .alias("term")))
+    tf = grams.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("term_df"))
+    # N as a driver literal (count() over parquet is rowgroup-metadata
+    # only - cheap at any scale) instead of a 1-row crossJoin dimension:
+    # the idf expression stays pure codegen and the totals subtree is
+    # not re-inlined under every consumer of the index.
+    n_docs = df.count()
+    # idf = ln(N/df); terms present in every doc weigh 0 and drop out
+    weighted = (tf.join(dfreq.hint("merge"), "term")
+                .select(id_col, "term", "term_df",
+                        (F.col("tf") * F.log(F.lit(float(n_docs))
+                                             / F.col("term_df")))
+                        .alias("w")))
+    norm = weighted.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    index = (weighted.join(norm, id_col).filter(F.col("nrm") > 0)
+             .select(F.col(id_col).alias("doc"), "term", "term_df",
+                     (F.col("w") / F.col("nrm")).alias("u")))
+    rare = index.filter(F.col("term_df") <= max_df)
+    cand = (rare.select(F.col("doc").alias("doc_a"), "term")
+            .join(rare.select(F.col("doc").alias("doc_b"), "term"), "term")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    ia = index.select(F.col("doc").alias("doc_a"), "term",
+                      F.col("u").alias("ua"))
+    ib = index.select(F.col("doc").alias("doc_b"), "term",
+                      F.col("u").alias("ub"))
+    return (cand.join(ia, "doc_a").join(ib, ["doc_b", "term"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 6)
+                 .alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

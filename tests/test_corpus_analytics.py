@@ -529,3 +529,75 @@ def test_cms_sketch_single_shuffle(spark):
     df = spark.createDataFrame([("x",)], "w string")
     plan = _physical(sketches.cms_sketch(df, "w"))
     assert plan.count("Exchange") == 1     # the partial-agged groupBy
+
+
+# ------------------------------------------------------ tfidf cosine pairs
+
+
+def test_tfidf_cosine_matches_numpy(spark):
+    """Exact cosine check against a dense numpy replay of the same
+    tf-idf construction (3-gram shingles, ln(N/df), unit norm)."""
+    import math
+    texts = {1: "alpha bravo charlie delta echo foxtrot golf",
+             2: "alpha bravo charlie delta echo foxtrot hotel",
+             3: "one two three four five six seven"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.cosine for r in
+           dedup.tfidf_cosine_pairs(docs, threshold=0.0).collect()}
+
+    def shingles(t):
+        w = t.split()
+        return [" ".join(w[i:i + 3]) for i in range(len(w) - 2)]
+
+    from collections import Counter
+    tfs = {d: Counter(shingles(t)) for d, t in texts.items()}
+    dfreq = Counter(g for tf in tfs.values() for g in tf)
+    N = len(texts)
+
+    def vec(d):
+        return {g: c * math.log(N / dfreq[g]) for g, c in tfs[d].items()}
+
+    def cos(a, b):
+        va, vb = vec(a), vec(b)
+        na = math.sqrt(sum(x * x for x in va.values()))
+        nb = math.sqrt(sum(x * x for x in vb.values()))
+        return sum(va[g] * vb.get(g, 0.0) for g in va) / na / nb
+
+    assert got[(1, 2)] == pytest.approx(round(cos(1, 2), 6), abs=1e-6)
+    assert (1, 3) not in got      # zero shared shingles -> no candidate
+
+
+def test_tfidf_cosine_max_df_cap_is_contractual(spark):
+    """Docs sharing ONLY a hot term (df > max_df) never become a
+    candidate pair; the rare-term pair still verifies over the FULL
+    index including the hot term's contribution."""
+    hot = "common common common"
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} " + hot) for i in range(5)]
+        + [(10, "rare pair term shared " + hot),
+           (11, "rare pair term shared zz0 zz1")],
+        "doc_id long, text string")
+    # "common common common"-derived shingles appear in 6+ docs
+    got = {(r.doc_a, r.doc_b) for r in
+           dedup.tfidf_cosine_pairs(docs, threshold=0.01,
+                                    max_df=3).collect()}
+    assert (10, 11) in got
+    assert not any(a < 10 and b < 10 for a, b in got)
+
+
+def test_tfidf_cosine_exact_dup_is_one(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta"), (2, "alpha bravo charlie delta"),
+         (3, "unrelated words entirely here")],
+        "doc_id long, text string")
+    rows = dedup.tfidf_cosine_pairs(docs, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b, r.cosine) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_tfidf_cosine_no_nested_loop(spark):
+    docs = spark.createDataFrame([(1, "a b c d")],
+                                 "doc_id long, text string")
+    plan = _physical(dedup.tfidf_cosine_pairs(docs))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
