@@ -756,6 +756,17 @@ def _q_link_triangles(spark, sf_dir):
     return graph.triangle_counts(e.unionByName(clique), nodes=nodes)
 
 
+def _q_link_communities(spark, sf_dir):
+    """Label-propagation communities (ops/graph.py::label_propagation,
+    Raghavan et al. 2007, deterministic synchronous variant with
+    self-vote and min-label ties) over the link graph. 3 fixed
+    iterations; votes are aggregations (max-struct argmax), never a
+    per-node window. The oracle unrolls the identical iterations as
+    chained CTEs with QUALIFY argmax."""
+    e, nodes = _link_edges(spark, sf_dir)
+    return graph.label_propagation(e, n_iter=3, nodes=nodes)
+
+
 def _q_anchor_rollup(spark, sf_dir):
     """Inlink anchor-text aggregation (ops/graph.py::anchor_rollup):
     per target page the inlink count, distinct sources, and top-3
@@ -1264,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": _q_script_profile,
         "cms_wordcounts": _q_cms_wordcounts,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        "link_communities": _q_link_communities,
         "quality_classifier": _q_quality_classifier,
         "line_boilerplate": _q_line_boilerplate,
         "line_dedup_first": _q_line_dedup_first,
@@ -2365,6 +2377,34 @@ FROM nn LEFT JOIN pr ON nn.vec_id = pr.vec_id
 
 # ------------------------------------------------------- session-3 oracles
 
+def _lpa_oracle(n_iter: int = 3) -> str:
+    """Unrolled label-propagation iterations mirroring
+    ops/graph.py::label_propagation: symmetrized multigraph votes + one
+    self-vote per node, most-frequent label with min-label ties."""
+    parts = ["""WITH nodes AS (SELECT doc_id AS node FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*7+1) % (SELECT count(*) FROM documents) AS dst
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 17 <> 0),
+sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+l0 AS (SELECT node, node AS label FROM nodes)"""]
+    for i in range(n_iter):
+        p, c = f"l{i}", f"l{i + 1}"
+        parts.append(f""",
+v{i} AS (SELECT v, label, count(*) AS c FROM (
+    SELECT s.dst AS v, l.label FROM sym s JOIN {p} l ON l.node = s.src
+    UNION ALL SELECT node AS v, label FROM {p}) GROUP BY v, label),
+b{i} AS (SELECT v, label FROM v{i}
+         QUALIFY row_number() OVER (PARTITION BY v
+                                    ORDER BY c DESC, label ASC) = 1),
+{c} AS (SELECT n.node, coalesce(b.label, n.node) AS label
+        FROM nodes n LEFT JOIN b{i} b ON b.v = n.node)""")
+    parts.append(f"\nSELECT node, label FROM l{n_iter}")
+    return "".join(parts)
+
+
 def _pagerank_oracle(n_iter: int = 5) -> str:
     """Unrolled PageRank power iterations as chained CTEs, mirroring
     ops/graph.py::pagerank expression-for-expression (rank * (1/deg),
@@ -3040,6 +3080,7 @@ FROM hashed
         "script_profile": _script_oracle(),
         "cms_wordcounts": _cms_oracle(),
         "tfidf_cosine_pairs": _TFIDF_COS_ORACLE,
+        "link_communities": _lpa_oracle(),
         "quality_classifier": _QUALITY_CLF_ORACLE,
         "line_boilerplate": _LINE_BOILERPLATE_ORACLE,
         "line_dedup_first": _LINE_DEDUP_FIRST_ORACLE,

@@ -196,3 +196,59 @@ def anchor_rollup(links: DataFrame, k: int = 3, src_col: str = "src",
         F.count(F.lit(1)).alias("n_inlinks"),
         F.countDistinct("src").alias("n_srcs"))
     return stats.join(top_terms, "dst")
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 3,
+                      nodes: DataFrame | None = None,
+                      src: str = "src", dst: str = "dst",
+                      checkpoint_interval: int = 4) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) ->
+    (node, label): community detection over the link graph - the
+    host/content-farm clustering primitive next to connected components
+    (CC merges anything touching; LPA splits a connected graph into
+    densely-linked regions).
+
+    Deterministic contract (engine-replayable, no RNG, no async
+    update order): every node starts labeled with its own id; each
+    iteration every node simultaneously adopts the most frequent label
+    among its neighbors on the SYMMETRIZED edge list PLUS one vote for
+    its own current label (the self-preference variant - without it,
+    synchronous updates 2-cycle forever on bipartite structures like a
+    single edge), ties broken to the smallest label; isolated nodes
+    keep their label; fixed ``n_iter``. Duplicate edges vote multiply
+    (multigraph convention, like pagerank).
+
+    Scale shape per iteration: labels join edges on node (shuffle on
+    the join key), one partial-agged groupBy(node, label) vote count,
+    then the argmax as groupBy(node) of max(struct(votes, -label)) -
+    an aggregation, NOT a row_number window, so hot hub nodes partial-
+    aggregate map-side instead of pinning one task. Same lazy
+    plan-truncation cadence as pagerank (localCheckpoint(eager=False)
+    every ``checkpoint_interval`` rounds)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"))) \
+        .localCheckpoint(eager=False)
+    if nodes is None:
+        nodes = sym.select(F.col("src").alias("node")).distinct()
+    nodes = nodes.select("node").localCheckpoint()
+
+    labels = nodes.withColumn("label", F.col("node"))
+    for it in range(n_iter):
+        ballots = (labels.join(sym, labels.node == sym.src)
+                   .select(F.col("dst").alias("v"), "label")
+                   .unionByName(                       # the self vote
+                       labels.select(F.col("node").alias("v"), "label")))
+        votes = ballots.groupBy("v", "label").agg(
+            F.count(F.lit(1)).alias("c"))
+        best = (votes.groupBy("v")
+                .agg(F.max(F.struct(F.col("c"),
+                                    (-F.col("label")).alias("nl")))
+                     .alias("b")))
+        labels = (nodes.join(best, nodes.node == best.v, "left")
+                  .select("node",
+                          F.coalesce(-F.col("b.nl"), F.col("node"))
+                          .alias("label")))
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < n_iter:
+            labels = labels.localCheckpoint(eager=False)
+    return labels.select("node", "label")

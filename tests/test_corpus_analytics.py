@@ -601,3 +601,53 @@ def test_tfidf_cosine_no_nested_loop(spark):
     plan = _physical(dedup.tfidf_cosine_pairs(docs))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------- label propagation
+
+
+def test_lpa_triangle_and_clique_with_bridge(spark):
+    """A triangle and a 4-clique joined by one bridge edge resolve to
+    two communities. (In round 1 every label is distinct, so the
+    min-label tie-break briefly leaks the bridge label into the clique;
+    from round 2 the clique's internal vote count out-votes it - the
+    documented deterministic-tie dynamics.)"""
+    from eventrelationextractor_spark.ops import graph
+    tri = [(1, 2), (2, 3), (1, 3)]
+    clique = [(a, b) for a in (10, 11, 12, 13)
+              for b in (10, 11, 12, 13) if a < b]
+    edges = spark.createDataFrame(tri + clique + [(3, 10)],
+                                  "src long, dst long")
+    got = {r.node: r.label for r in
+           graph.label_propagation(edges, n_iter=4).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12] == got[13] == 10
+
+
+def test_lpa_isolated_node_keeps_label(spark):
+    from eventrelationextractor_spark.ops import graph
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (99,)], "node long")
+    got = {r.node: r.label for r in
+           graph.label_propagation(edges, n_iter=2, nodes=nodes).collect()}
+    assert got[99] == 99
+    # self-vote keeps the single edge from 2-cycling: both settle on 1
+    assert got[1] == got[2] == 1
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    """Node 5 hears one vote each from labels 1 and 2 -> adopts 1."""
+    from eventrelationextractor_spark.ops import graph
+    edges = spark.createDataFrame([(1, 5), (2, 5)], "src long, dst long")
+    got = {r.node: r.label for r in
+           graph.label_propagation(edges, n_iter=1).collect()}
+    assert got[5] == 1
+
+
+def test_lpa_no_window_no_nested_loop(spark):
+    from eventrelationextractor_spark.ops import graph
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    plan = _physical(graph.label_propagation(edges, n_iter=2))
+    assert "Window" not in plan          # argmax is an aggregation
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
