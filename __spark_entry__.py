@@ -756,6 +756,20 @@ def _q_link_triangles(spark, sf_dir):
     return graph.triangle_counts(e.unionByName(clique), nodes=nodes)
 
 
+def _q_zorder_layout(spark, sf_dir):
+    """Z-order layout envelope telemetry (ops/layout.py): morton-key
+    file assignment over two doc_id-derived dimensions and the
+    per-file min/max envelopes parquet-footer/Iceberg-manifest pruning
+    consults. Exact-percentile boundary branch (oracled); approx=True
+    is the corpus-scale branch. The key itself is pure codegen bit
+    arithmetic."""
+    from eventrelationextractor_spark.ops import layout
+    pts = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 64).alias("x"),
+        ((F.col("doc_id") * 7 + 3) % 64).alias("y"))
+    return layout.zorder_layout_stats(pts, "x", "y", n_files=8, bits=6)
+
+
 def _q_link_communities(spark, sf_dir):
     """Label-propagation communities (ops/graph.py::label_propagation,
     Raghavan et al. 2007, deterministic synchronous variant with
@@ -1276,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_wordcounts": _q_cms_wordcounts,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "link_communities": _q_link_communities,
+        "zorder_layout": _q_zorder_layout,
         "quality_classifier": _q_quality_classifier,
         "line_boilerplate": _q_line_boilerplate,
         "line_dedup_first": _q_line_dedup_first,
@@ -2377,6 +2392,28 @@ FROM nn LEFT JOIN pr ON nn.vec_id = pr.vec_id
 
 # ------------------------------------------------------- session-3 oracles
 
+def _zorder_oracle(n_files: int = 8, bits: int = 6) -> str:
+    """Morton interleave + quantile file assignment mirroring
+    ops/layout.py::zorder_layout_stats expression-for-expression."""
+    morton = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits))
+    qs = ", ".join(repr(i / n_files) for i in range(1, n_files))
+    return f"""
+WITH pts AS (SELECT doc_id % 64 AS x, (doc_id * 7 + 3) % 64 AS y
+             FROM documents),
+keyed AS (SELECT x, y, {morton} AS zkey FROM pts),
+bounds AS (SELECT quantile_cont(zkey, [{qs}]) AS bs FROM keyed),
+filed AS (SELECT x, y,
+          1 + len(list_filter(bs, b -> b < zkey)) AS file
+          FROM keyed CROSS JOIN bounds)
+SELECT file, count(*) AS n_rows,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM filed GROUP BY file
+"""
+
+
 def _lpa_oracle(n_iter: int = 3) -> str:
     """Unrolled label-propagation iterations mirroring
     ops/graph.py::label_propagation: symmetrized multigraph votes + one
@@ -3081,6 +3118,7 @@ FROM hashed
         "cms_wordcounts": _cms_oracle(),
         "tfidf_cosine_pairs": _TFIDF_COS_ORACLE,
         "link_communities": _lpa_oracle(),
+        "zorder_layout": _zorder_oracle(),
         "quality_classifier": _QUALITY_CLF_ORACLE,
         "line_boilerplate": _LINE_BOILERPLATE_ORACLE,
         "line_dedup_first": _LINE_DEDUP_FIRST_ORACLE,

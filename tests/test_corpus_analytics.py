@@ -651,3 +651,59 @@ def test_lpa_no_window_no_nested_loop(spark):
     assert "Window" not in plan          # argmax is an aggregation
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------- z-order
+
+
+def _py_morton(x, y, bits=16):
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_morton_key_matches_python_replay(spark):
+    from eventrelationextractor_spark.ops import layout
+    rows = [(x, y) for x in (0, 1, 5, 63, 255) for y in (0, 2, 7, 200)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y",
+                    layout.morton_key(F.col("x"), F.col("y"), 16)
+                    .alias("z")).collect()
+    for r in got:
+        assert r.z == _py_morton(r.x, r.y, 16)
+
+
+def test_zorder_envelopes_tight_in_both_dims(spark):
+    """Full 64x64 grid into 16 files: morton range partitioning gives
+    16x16 blocks (span 15 in BOTH dims); a linear sort on x would leave
+    the y span at the full 63."""
+    from eventrelationextractor_spark.ops import layout
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    stats = layout.zorder_layout_stats(df, "x", "y", n_files=16,
+                                       bits=6).collect()
+    assert len(stats) == 16
+    assert sum(r.n_rows for r in stats) == 64 * 64
+    for r in stats:
+        assert r.max_x - r.min_x <= 16
+        assert r.max_y - r.min_y <= 16
+
+
+def test_zorder_approx_branch_same_schema(spark):
+    from eventrelationextractor_spark.ops import layout
+    rows = [(x, (x * 7) % 32) for x in range(200)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    exact = layout.zorder_layout_stats(df, "x", "y", n_files=4, bits=6)
+    approx = layout.zorder_layout_stats(df, "x", "y", n_files=4, bits=6,
+                                        approx=True)
+    assert exact.columns == approx.columns
+    assert approx.agg(F.sum("n_rows")).first()[0] == 200
+
+
+def test_morton_key_is_pure_codegen(spark):
+    from eventrelationextractor_spark.ops import layout
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    plan = _physical(df.select(layout.morton_key(F.col("x"), F.col("y"))))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
