@@ -989,6 +989,30 @@ def _q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges)
 
 
+def _q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language (tokens-per-word under the
+    learned BPE): THE tokenizer-budget dashboard - languages whose
+    fertility runs high are under-served by the merge table and pay
+    more sequence length per word. Pure composition of shipped
+    operators: bpe.learn_bpe + encode_tokens (map-side merge
+    application) + one partial-agged rollup; the oracle replays merge
+    learning, document encode, and the rollup."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe.learn_bpe(docs, n_merges=8)
+    enc = bpe.encode_tokens(docs, merges) \
+        .select("doc_id", F.size("tokens").alias("n_tokens"))
+    words = docs.select(
+        "doc_id", "lang",
+        F.size(textstats._word_array(F.col("text"))).alias("n_words"))
+    return (words.join(enc, "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").alias("n_words"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.round(F.sum("n_tokens") / F.sum("n_words"), 6)
+                 .alias("fertility")))
+
+
 def _aliased_urls(spark, sf_dir):
     """Deterministic URL-alias slice: doc d -> a syntactic variant
     (scheme/host case, :443 default port, trailing slash, tracking
@@ -1291,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "link_communities": _q_link_communities,
         "zorder_layout": _q_zorder_layout,
+        "tokenizer_fertility": _q_tokenizer_fertility,
         "quality_classifier": _q_quality_classifier,
         "line_boilerplate": _q_line_boilerplate,
         "line_dedup_first": _q_line_dedup_first,
@@ -2682,6 +2707,30 @@ SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
   md5(array_to_string(t.toks, ' ')) AS stream_md5,
   CAST(coalesce(i.idsum, 0) AS BIGINT) AS id_checksum
 FROM tok t LEFT JOIN ids i ON i.doc_id = t.doc_id""")
+    elif what == "fertility":
+        parts.append(f""",
+norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+d0 AS (SELECT doc_id, regexp_replace(t, '([^ ])', '<\\1>', 'g') AS sym
+       FROM norm)""")
+        for i in range(1, n_merges + 1):
+            parts.append(f""",
+d{i} AS (SELECT doc_id,
+  replace(sym, '<'||l||'><'||r||'>', '<'||l||r||'>') AS sym
+  FROM d{i-1} CROSS JOIN b{i})""")
+        parts.append(f""",
+tok AS (SELECT doc_id,
+  list_filter(flatten(list_transform(string_split(sym, ' '),
+    s -> string_split(trim(s, '<>'), '><'))), x -> x <> '') AS toks
+  FROM d{n_merges}),
+wc AS (SELECT doc_id,
+  len(list_filter(string_split(t, ' '), w -> w <> '')) AS n_words
+  FROM norm)
+SELECT d.lang, count(*) AS n_docs,
+  CAST(sum(wc.n_words) AS BIGINT) AS n_words,
+  CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens,
+  round(sum(len(t.toks)) / sum(wc.n_words), 6) AS fertility
+FROM tok t JOIN wc USING (doc_id) JOIN documents d USING (doc_id)
+GROUP BY d.lang""")
     else:
         parts.append(f"""
 SELECT token, CAST(sum(freq) AS BIGINT) AS freq FROM (
@@ -3119,6 +3168,7 @@ FROM hashed
         "tfidf_cosine_pairs": _TFIDF_COS_ORACLE,
         "link_communities": _lpa_oracle(),
         "zorder_layout": _zorder_oracle(),
+        "tokenizer_fertility": _bpe_oracle(8, "fertility"),
         "quality_classifier": _QUALITY_CLF_ORACLE,
         "line_boilerplate": _LINE_BOILERPLATE_ORACLE,
         "line_dedup_first": _LINE_DEDUP_FIRST_ORACLE,
