@@ -989,6 +989,31 @@ def _q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges)
 
 
+def _q_html_links(spark, sf_dir):
+    """Crawl-graph edge extraction from html
+    (ops/htmltext.py::extract_links, pure codegen regex over the SAME
+    pattern for href and anchor groups). Staged html carries
+    doc_id-derived root-relative, absolute, relative and fragment
+    links - fragment dropped, the rest resolved against the source
+    host; the oracle replays construction, pattern and resolution."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://crawl.example.org/doc/"),
+                   i.cast("string"))
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">home</a></nav><p>'),
+        F.lit('<a href="/doc/'), ((i * 7 + 1) % 997).cast("string"),
+        F.lit('">next doc</a> <a href="https://partner'),
+        (i % 5).cast("string"),
+        F.lit('.example.net/page">partner site</a> '),
+        F.when(i % 3 == 0, F.lit('<a href="#cite">cite</a>'))
+        .otherwise(F.lit("")),
+        F.lit('<a href="rel/'), (i % 7).cast("string"),
+        F.lit('">related</a></p></body></html>'))
+    staged = d.select(url.alias("url"), html.alias("html"))
+    return htmltext.extract_links(staged)
+
+
 def _q_tokenizer_fertility(spark, sf_dir):
     """Tokenizer fertility per language (tokens-per-word under the
     learned BPE): THE tokenizer-budget dashboard - languages whose
@@ -1316,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_communities": _q_link_communities,
         "zorder_layout": _q_zorder_layout,
         "tokenizer_fertility": _q_tokenizer_fertility,
+        "html_links": _q_html_links,
         "quality_classifier": _q_quality_classifier,
         "line_boilerplate": _q_line_boilerplate,
         "line_dedup_first": _q_line_dedup_first,
@@ -2417,6 +2443,36 @@ FROM nn LEFT JOIN pr ON nn.vec_id = pr.vec_id
 
 # ------------------------------------------------------- session-3 oracles
 
+_HTML_LINKS_ORACLE = r"""
+WITH staged AS (SELECT
+  'https://crawl.example.org/doc/' || CAST(doc_id AS VARCHAR) AS src_url,
+  '<html><body><nav><a href="/">home</a></nav><p>'
+  || '<a href="/doc/' || CAST((doc_id * 7 + 1) % 997 AS VARCHAR)
+  || '">next doc</a> <a href="https://partner'
+  || CAST(doc_id % 5 AS VARCHAR) || '.example.net/page">partner site</a> '
+  || CASE WHEN doc_id % 3 = 0 THEN '<a href="#cite">cite</a>' ELSE '' END
+  || '<a href="rel/' || CAST(doc_id % 7 AS VARCHAR)
+  || '">related</a></p></body></html>' AS html
+  FROM documents),
+ex AS (SELECT src_url,
+  regexp_extract(src_url, '^[a-zA-Z]+://[^/?#]+', 0) AS base,
+  regexp_extract_all(html, '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>',
+                     1) AS hrefs,
+  regexp_extract_all(html, '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>',
+                     2) AS anchors
+  FROM staged),
+flat AS (SELECT src_url, base, hrefs[CAST(i AS BIGINT)] AS href,
+                anchors[CAST(i AS BIGINT)] AS anchor
+  FROM ex, LATERAL unnest(generate_series(1, len(hrefs))) AS r(i))
+SELECT src_url, href,
+  CASE WHEN regexp_matches(href, '^https?://') THEN href
+       WHEN href LIKE '/%' THEN base || href
+       ELSE base || '/' || href END AS resolved_url,
+  anchor
+FROM flat WHERE href NOT LIKE '#%'
+"""
+
+
 def _zorder_oracle(n_files: int = 8, bits: int = 6) -> str:
     """Morton interleave + quantile file assignment mirroring
     ops/layout.py::zorder_layout_stats expression-for-expression."""
@@ -3169,6 +3225,7 @@ FROM hashed
         "link_communities": _lpa_oracle(),
         "zorder_layout": _zorder_oracle(),
         "tokenizer_fertility": _bpe_oracle(8, "fertility"),
+        "html_links": _HTML_LINKS_ORACLE,
         "quality_classifier": _QUALITY_CLF_ORACLE,
         "line_boilerplate": _LINE_BOILERPLATE_ORACLE,
         "line_dedup_first": _LINE_DEDUP_FIRST_ORACLE,

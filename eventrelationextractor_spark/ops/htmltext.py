@@ -111,3 +111,48 @@ def wrap_html_expr(text_col: Column, key_col: Column) -> Column:
         else:
             parts.append(escape_expr(text_col))
     return F.encode(F.concat(*parts), "UTF-8")
+
+
+# hyperlink pattern: href value + anchor markup, both groups from the
+# SAME pattern so the two regexp_extract_all passes stay index-aligned.
+# Java regex and RE2 agree on every construct used (lazy quantifier,
+# char classes); shared verbatim with the SQL oracle.
+A_PATTERN = r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def extract_links(df: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """(src_url, href, resolved_url, anchor): the crawl-graph edge
+    extractor - the step between WARC/html ingestion and every
+    link-graph operator (pagerank, communities, anchor rollups,
+    frontier expansion). Pure whole-stage codegen: two
+    ``regexp_extract_all`` passes over the SAME pattern (href group,
+    anchor group - index-aligned by construction), arrays_zip + one
+    explode; no UDF, no shuffle.
+
+    Resolution (the crawler subset): absolute http(s) hrefs pass
+    through; root-relative ``/path`` joins scheme://host of the source
+    url; other relative paths join under host root; pure-fragment
+    ``#...`` hrefs are dropped (same-page references, never crawl
+    edges). Anchor text is the raw inner markup (caller strips tags if
+    needed - anchor_rollup tokenizes anyway)."""
+    h = F.when(F.col(html_col).cast("string").isNotNull(),
+               F.col(html_col).cast("string")).otherwise(F.lit(""))
+    hrefs = F.regexp_extract_all(h, F.lit(A_PATTERN), F.lit(1))
+    texts = F.regexp_extract_all(h, F.lit(A_PATTERN), F.lit(2))
+    base = F.regexp_extract(F.col(url_col), r"^[a-zA-Z]+://[^/?#]+", 0)
+    pairs = F.explode(F.arrays_zip(hrefs.alias("href"),
+                                   texts.alias("anchor")))
+    out = (df.select(F.col(url_col).alias("src_url"), base.alias("base"),
+                     pairs.alias("p"))
+           .select("src_url", "base",
+                   F.col("p.href").alias("href"),
+                   F.col("p.anchor").alias("anchor"))
+           .filter(~F.col("href").startswith("#")))
+    resolved = (F.when(F.col("href").rlike("^https?://"), F.col("href"))
+                .when(F.col("href").startswith("/"),
+                      F.concat(F.col("base"), F.col("href")))
+                .otherwise(F.concat(F.col("base"), F.lit("/"),
+                                    F.col("href"))))
+    return out.select("src_url", "href", resolved.alias("resolved_url"),
+                      "anchor")

@@ -112,3 +112,47 @@ def test_extraction_from_html_matches_text_column(spark):
     via_html = {tuple(r) for r in stages.extract_triples(
         htmltext.html_to_text(pages.drop("text")), mode="both").collect()}
     assert via_text == via_html and len(via_text) > 0
+
+
+# ---------------------------------------------------------- link extraction
+
+
+def test_extract_links_resolution_rules(spark):
+    from eventrelationextractor_spark.ops import htmltext
+    html = ('<html><body>'
+            '<a href="/about" class="x">About</a>'
+            '<a href="https://other.example.com/p">Ext</a>'
+            '<a href="#top">Top</a>'
+            '<a href="docs/guide">Guide <b>here</b></a>'
+            '</body></html>')
+    df = spark.createDataFrame(
+        [("https://example.org/a/b?q=1", html.encode())],
+        "url string, html binary")
+    rows = htmltext.extract_links(df).collect()
+    got = {(r.href, r.resolved_url, r.anchor) for r in rows}
+    assert got == {
+        ("/about", "https://example.org/about", "About"),
+        ("https://other.example.com/p", "https://other.example.com/p",
+         "Ext"),
+        ("docs/guide", "https://example.org/docs/guide",
+         "Guide <b>here</b>"),
+    }   # fragment link dropped
+
+
+def test_extract_links_null_and_linkless_html(spark):
+    from eventrelationextractor_spark.ops import htmltext
+    df = spark.createDataFrame(
+        [("https://e.org/1", b"<html><body>no links</body></html>"),
+         ("https://e.org/2", None)],
+        "url string, html binary")
+    assert htmltext.extract_links(df).count() == 0
+
+
+def test_extract_links_is_pure_codegen(spark):
+    from eventrelationextractor_spark.ops import htmltext
+    df = spark.createDataFrame([("u", b"<a href=\"/x\">y</a>")],
+                               "url string, html binary")
+    plan = df._jdf.queryExecution().toString()
+    plan = htmltext.extract_links(df)._jdf.queryExecution().toString() \
+        .split("== Physical Plan ==")[-1]
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
