@@ -989,6 +989,16 @@ def _q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges)
 
 
+def _q_lsh_band_hits(spark, sf_dir):
+    """First-arrival LSH near-dup hit stream, batch twin
+    (ops/dedup.py::lsh_band_hits): per (band, bucket) the min-id owner;
+    every other member emits (doc, band, first_doc). The oracled anchor
+    for streaming_lsh_neardup, whose applyInPandasWithState output is
+    equivalence-tested against this exact function across triggers.
+    Band keys computed entirely within-row (rowwise_band_keys)."""
+    return dedup.lsh_band_hits(_augmented_docs(spark, sf_dir))
+
+
 def _q_html_links(spark, sf_dir):
     """Crawl-graph edge extraction from html
     (ops/htmltext.py::extract_links, pure codegen regex over the SAME
@@ -1342,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "html_links": _q_html_links,
+        "lsh_band_hits": _q_lsh_band_hits,
         "quality_classifier": _q_quality_classifier,
         "line_boilerplate": _q_line_boilerplate,
         "line_dedup_first": _q_line_dedup_first,
@@ -2443,6 +2454,33 @@ FROM nn LEFT JOIN pr ON nn.vec_id = pr.vec_id
 
 # ------------------------------------------------------- session-3 oracles
 
+_LSH_HITS_ORACLE = f"""
+WITH {_AUG},
+norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL unnest(generate_series(1, len(w) - 2)) AS g(i)
+        WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sig AS (SELECT doc_id,
+        min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+        min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+        min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+        min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+        FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+owners AS (SELECT band, bucket, min(doc_id) AS first_doc
+           FROM bands GROUP BY 1, 2)
+SELECT b.doc_id, CAST(b.band AS BIGINT) AS band, o.first_doc
+FROM bands b JOIN owners o ON o.band = b.band AND o.bucket = b.bucket
+WHERE b.doc_id <> o.first_doc
+"""
+
+
 _HTML_LINKS_ORACLE = r"""
 WITH staged AS (SELECT
   'https://crawl.example.org/doc/' || CAST(doc_id AS VARCHAR) AS src_url,
@@ -3226,6 +3264,7 @@ FROM hashed
         "zorder_layout": _zorder_oracle(),
         "tokenizer_fertility": _bpe_oracle(8, "fertility"),
         "html_links": _HTML_LINKS_ORACLE,
+        "lsh_band_hits": _LSH_HITS_ORACLE,
         "quality_classifier": _QUALITY_CLF_ORACLE,
         "line_boilerplate": _LINE_BOILERPLATE_ORACLE,
         "line_dedup_first": _LINE_DEDUP_FIRST_ORACLE,

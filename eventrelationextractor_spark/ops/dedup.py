@@ -611,3 +611,104 @@ def tfidf_cosine_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
             .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 6)
                  .alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def rowwise_band_keys(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, band, bucket): MinHash-LSH band keys computed ENTIRELY
+    within-row - shingle array, per-hash array_min, band digests - then
+    one posexplode. Identical values to shingles() +
+    minhash_signatures() (min over an array equals min over exploded
+    rows), but with zero pre-state shuffle: the shape a streaming
+    source needs, where a groupBy-agg signature would add a stateful
+    aggregation before the stateful dedup. Docs with fewer than ``k``
+    words emit no keys."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), words.alias("w"))
+    n = F.size("w")
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(F.col("w"), i + j + 1)
+                                          for j in range(k)])))
+    sig = base.filter(n >= k).select(id_col, sh.alias("sh"))
+
+    def _mh(s):
+        # NB: a two-parameter lambda would make F.transform pass the
+        # ARRAY INDEX as the second argument - close over s instead
+        return lambda x: F.md5(F.concat(F.lit(f"{s}:"), x))
+
+    for s in range(N_MINHASHES):
+        sig = sig.withColumn(f"mh{s}",
+                             F.array_min(F.transform(F.col("sh"), _mh(s))))
+    bands = F.array(*[
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * BAND_SIZE + j}")
+                                 for j in range(BAND_SIZE)]))
+        for b in range(N_MINHASHES // BAND_SIZE)])
+    return sig.select(F.col(id_col),
+                      F.posexplode(bands).alias("band", "bucket"))
+
+
+def lsh_band_hits(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Batch twin of ``streaming_lsh_neardup``: per (band, bucket) the
+    owner is the minimum doc id; every other member emits
+    (doc_id, band, first_doc). A doc appearing in ANY row is an LSH
+    near-dup candidate (OR-of-bands); verification against the owner is
+    the caller's join (jaccard_pairs-style). Owner resolution is a
+    partial-agged groupBy + join back - no per-bucket window."""
+    keys = rowwise_band_keys(df, id_col, text_col)
+    owners = keys.groupBy("band", "bucket").agg(
+        F.min(id_col).alias("first_doc"))
+    return (keys.join(owners, ["band", "bucket"])
+            .filter(F.col(id_col) != F.col("first_doc"))
+            .select(id_col, F.col("band").cast("long").alias("band"),
+                    "first_doc"))
+
+
+def streaming_lsh_neardup(stream: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Streaming MinHash-LSH ingest near-dup detection: the fuzzy
+    sibling of ``streaming_exact_dedup``. Band keys are computed
+    within-row (``rowwise_band_keys`` - no stateful aggregation before
+    the stateful operator), the stream is keyed by (band, bucket), and
+    state remembers each bucket's first-arrival owner. Every later doc
+    landing in an owned bucket emits (doc_id, band, first_doc); a doc
+    emitting in >= 1 band is a near-dup candidate exactly as in batch
+    LSH (OR-of-bands). Within one trigger the smallest id owns the
+    bucket (deterministic under any partitioning); across triggers
+    first arrival owns - so with append-ordered sources the emitted
+    hits equal the batch twin ``lsh_band_hits`` (equivalence-tested
+    across genuine multi-trigger state carry-over).
+
+    State is one long per occupied bucket (bounded by corpus band
+    cardinality; a deployment TTLs or snapshot-compacts it like the
+    exact-dedup state). Candidates still need cosine/jaccard VERIFY
+    downstream - same contract as batch LSH candidates."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{id_col} long, band long, first_doc long"
+    state_schema = "owner long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        ids = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf[id_col])
+        if not ids:
+            return
+        ids = sorted(set(ids))
+        if state.exists:
+            owner = int(state.get[0])
+        else:
+            owner = ids[0]
+            state.update((owner,))
+            ids = ids[1:]
+        hits = [d for d in ids if d != owner]
+        if hits:
+            yield pd.DataFrame({id_col: hits,
+                                "band": [int(key[0])] * len(hits),
+                                "first_doc": [owner] * len(hits)})
+
+    keyed = rowwise_band_keys(stream, id_col, text_col)
+    return keyed.groupBy("band", "bucket").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)

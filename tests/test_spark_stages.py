@@ -678,3 +678,60 @@ def test_streaming_snapshot_cdc_in_trigger_ordering(spark, tmp_path):
     got = {(r.doc_id, r.seq, r.status)
            for r in spark.sql("select * from cdc_one_out").collect()}
     assert got == {(7, 1, "added"), (7, 3, "changed")}
+
+
+def test_rowwise_band_keys_match_aggregate_signatures(spark):
+    """Within-row array_min signatures == the explode+groupBy-min batch
+    signatures, band for band."""
+    from eventrelationextractor_spark.ops import dedup as dd
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog"),
+         (2, "a wholly different page about spark plans"),
+         (3, "too few")],                 # < 3 words after norm? 2 words
+        "doc_id long, text string")
+    agg = dd.minhash_signatures(dd.shingles(docs))
+    want = set()
+    for r in agg.collect():
+        for b in range(4):
+            want.add((r.doc_id, b, r[f"band{b}"]))
+    got = {(r.doc_id, r.band, r.bucket)
+           for r in dd.rowwise_band_keys(docs).collect()}
+    assert got == want
+
+
+def test_streaming_lsh_neardup_matches_batch(spark, tmp_path):
+    """applyInPandasWithState LSH near-dup hits == batch lsh_band_hits
+    under append-ordered arrival: originals in trigger 1 (with one
+    intra-batch near-copy), more copies in trigger 2 - bucket ownership
+    must carry across triggers."""
+    from eventrelationextractor_spark.ops import dedup as dd
+
+    t1 = [(0, "alpha bravo charlie delta echo foxtrot golf hotel"),
+          (1, "one two three four five six seven eight nine"),
+          (2, "alpha bravo charlie delta echo foxtrot golf hotel extra")]
+    t2 = [(10, "alpha bravo charlie delta echo foxtrot golf hotel"),
+          (11, "one two three four five six seven eight nine ten"),
+          (12, "completely fresh content with no overlap at all")]
+    both = spark.createDataFrame(t1 + t2, "doc_id long, text string")
+    want = {(r.doc_id, r.band, r.first_doc)
+            for r in dd.lsh_band_hits(both).collect()}
+    assert want, "test corpus must produce at least one hit"
+
+    src = str(tmp_path / "lsh_src")
+    os.makedirs(src)
+    for i, part in enumerate((t1, t2)):
+        spark.createDataFrame(part, "doc_id long, text string") \
+            .coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false") \
+        .parquet(src + "/*")
+    q = (dd.streaming_lsh_neardup(stream)
+         .writeStream.format("memory").queryName("lsh_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.band, r.first_doc)
+           for r in spark.sql("select * from lsh_out").collect()}
+    assert got == want
+    # doc 10 (re-delivered copy of 0) must hit in all 4 bands
+    assert {b for d, b, f in got if d == 10} == {0, 1, 2, 3}
