@@ -1144,9 +1144,13 @@ def _q_tfidf_cosine_pairs(spark, sf_dir):
     (ops/dedup.py::tfidf_cosine_pairs, Bayardo/Vernica inverted-index
     all-pairs with the contractual hot-term candidate cap) over the
     augmented corpus: the +1000000 one-token-appended near-copies and
-    +2000000 exact copies are the known positive pairs."""
+    +2000000 exact copies are the known positive pairs. max_df=10:
+    this corpus's fixed tiny vocabulary makes shingle df grow linearly
+    with N, so the cap must stay low to hold the candidate budget
+    (measured: cap 100 -> 5.0M candidates and an OOM at sf0.1, cap 10
+    -> 71k; a real heavy-tailed vocabulary is far less dense)."""
     return dedup.tfidf_cosine_pairs(_augmented_docs(spark, sf_dir),
-                                    n=3, threshold=0.5, max_df=100)
+                                    n=3, threshold=0.5, max_df=10)
 
 
 def _q_cms_wordcounts(spark, sf_dir):
@@ -2888,7 +2892,7 @@ w AS (SELECT doc_id, term, term_df,
 nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
 idx AS (SELECT w.doc_id AS doc, term, term_df, w / nrm AS u
         FROM w JOIN nrm USING (doc_id) WHERE nrm > 0),
-rare AS (SELECT * FROM idx WHERE term_df <= 100),
+rare AS (SELECT * FROM idx WHERE term_df <= 10),
 cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
          FROM rare a JOIN rare b ON a.term = b.term AND a.doc < b.doc),
 dots AS (SELECT c.doc_a, c.doc_b, round(sum(ia.u * ib.u), 6) AS cosine

@@ -538,7 +538,7 @@ def streaming_snapshot_cdc(stream: DataFrame, id_col: str = "doc_id",
 
 
 def tfidf_cosine_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
-                       max_df: int = 100, id_col: str = "doc_id",
+                       max_df: int = 20, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Sparse lexical similarity join: all document pairs whose TF-IDF
     word-``n``-gram vectors have cosine >= ``threshold`` - the
@@ -561,7 +561,12 @@ def tfidf_cosine_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
       the SQL oracle): a pair sharing exclusively hotter-than-cap
       terms is not reported. With idf weighting those terms carry the
       least cosine mass, and every such equi-join partition is
-      AQE-splittable - no nested loop anywhere.
+      AQE-splittable - no nested loop anywhere. Budget rule: the
+      candidate space is bounded by n_distinct_terms * max_df^2 / 2,
+      so size max_df to the candidate budget - the default 20 caps
+      each term at 190 pairs. (In-session evidence: on the dense
+      synthetic corpus at sf0.1, max_df=100 admitted 5.0M candidate
+      pairs and OOMed the verify join; max_df=10 admits 71k.)
     * **Verification** recomputes the cosine EXACTLY over the FULL
       index (all shared terms, hot ones included) for the candidate
       pairs only - the same capped-candidates + exact-verify pattern

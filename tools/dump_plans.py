@@ -202,6 +202,48 @@ def main() -> None:
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
+    p = add("tfidf_cosine_pairs (inverted-index all-pairs cosine)",
+            qs["tfidf_cosine_pairs"](spark, sf),
+            "Candidate generation is the equi self-join of the "
+            "max_df-capped inverted index (hot terms contractually "
+            "excluded - no O(df^2) blowup); verification joins the full "
+            "index per candidate. The vocabulary-scale dfreq join is "
+            "pinned sort-merge; no nested loop anywhere; idf uses a "
+            "driver literal N so no 1-row dimension is re-inlined.")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p
+
+    p = add("quality_classifier (broadcast-GLM scoring pass)",
+            qs["quality_classifier"](spark, sf),
+            "Scoring under the trained model: the (bucket, w) model "
+            "table is the BROADCAST side of the feature join (constant "
+            "plan size in n_buckets - no literal expression tree); "
+            "margins are one per-doc partial-agged sum. Training "
+            "iterations (not shown: executed eagerly) have the same "
+            "shape plus a <= n_buckets-row gradient collect.")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    p = add("link_communities (label propagation)",
+            qs["link_communities"](spark, sf),
+            "Three unrolled vote rounds: labels x symmetrized edges "
+            "equi-join, partial-agged vote count, then the per-node "
+            "argmax as a max-of-struct AGGREGATION - no Window, so hot "
+            "hub nodes partial-aggregate map-side instead of pinning "
+            "one task.")
+    assert "Window " not in p
+    assert "CartesianProduct" not in p
+
+    p = add("lsh_band_hits (row-wise LSH + first-arrival hits)",
+            qs["lsh_band_hits"](spark, sf),
+            "Band keys are computed entirely within-row (array_min over "
+            "the shingle array - no pre-state aggregation, the shape "
+            "the streaming twin requires); owner resolution is a "
+            "partial-agged groupBy + equi join back, never a per-bucket "
+            "window.")
+    assert "Window " not in p
+
     doc_scan = spark.read.parquet(os.path.join(sf, "documents.parquet")) \
         .select("doc_id")
     p = formatted(doc_scan)
