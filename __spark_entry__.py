@@ -517,6 +517,28 @@ def _q_domain_stats(spark, sf_dir):
     return urls.domain_stats(_web_urls(spark, sf_dir))
 
 
+def _q_frontier_schedule(spark, sf_dir):
+    """Crawl-frontier politeness scheduling
+    (ops/urls.py::frontier_schedule): per-host fetch slots 5s apart,
+    priority DESC then url. The per-host window IS the semantic -
+    politeness serializes within a host, hosts proceed in parallel."""
+    w = _web_urls(spark, sf_dir).select(
+        "url", (F.col("doc_id") % 7).alias("prio"))
+    return urls.frontier_schedule(w, priority_col="prio", delay_sec=5)
+
+
+def _q_mixing_plan(spark, sf_dir):
+    """Token-budget mixing plan (ops/mixing.py::mixing_plan): per-source
+    tempered weights and epoch repeat factors for a 1M-token budget over
+    the 4-chars-per-token estimate. The whole computation is
+    stratum-table-sized after one partial-agged groupBy."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.ceil(F.length("text") / 4.0).cast("long").alias("toks"))
+    return mixing.mixing_plan(d, "source", "toks",
+                              target_tokens=1_000_000, alpha=0.5)
+
+
 def _q_awareness(spark, sf_dir):
     """TempEval-3 temporal-awareness scores per document (the reference's
     own published metric; core.awareness is golden-anchored against the
@@ -1357,6 +1379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "html_links": _q_html_links,
         "lsh_band_hits": _q_lsh_band_hits,
+        "frontier_schedule": _q_frontier_schedule,
+        "mixing_plan": _q_mixing_plan,
         "quality_classifier": _q_quality_classifier,
         "line_boilerplate": _q_line_boilerplate,
         "line_dedup_first": _q_line_dedup_first,
@@ -2458,6 +2482,35 @@ FROM nn LEFT JOIN pr ON nn.vec_id = pr.vec_id
 
 # ------------------------------------------------------- session-3 oracles
 
+_FRONTIER_ORACLE_TMPL = """
+WITH w AS ({web}),
+s AS (SELECT url, doc_id % 7 AS prio,
+      lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS host
+      FROM w),
+r AS (SELECT url, host,
+      row_number() OVER (PARTITION BY host
+                         ORDER BY prio DESC, url ASC) AS slot
+      FROM s)
+SELECT url, host, slot, (slot - 1) * 5 AS fetch_offset_sec FROM r
+"""
+
+
+_MIXPLAN_ORACLE = """
+WITH t AS (SELECT source,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
+           FROM documents),
+c AS (SELECT source, count(*) AS n_docs, sum(toks) AS n_tokens
+      FROM t GROUP BY 1),
+z AS (SELECT sum(pow(n_tokens, 0.5)) AS z FROM c)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(pow(n_tokens, 0.5) / z, 6) AS weight,
+  round(1000000.0 * pow(n_tokens, 0.5) / z, 2) AS target_tokens,
+  round(1000000.0 * pow(n_tokens, 0.5) / z / n_tokens, 6)
+    AS repeat_factor
+FROM c CROSS JOIN z
+"""
+
+
 _LSH_HITS_ORACLE = f"""
 WITH {_AUG},
 norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
@@ -3269,6 +3322,8 @@ FROM hashed
         "tokenizer_fertility": _bpe_oracle(8, "fertility"),
         "html_links": _HTML_LINKS_ORACLE,
         "lsh_band_hits": _LSH_HITS_ORACLE,
+        "frontier_schedule": _FRONTIER_ORACLE_TMPL.format(web=_WEB_URLS),
+        "mixing_plan": _MIXPLAN_ORACLE,
         "quality_classifier": _QUALITY_CLF_ORACLE,
         "line_boilerplate": _LINE_BOILERPLATE_ORACLE,
         "line_dedup_first": _LINE_DEDUP_FIRST_ORACLE,

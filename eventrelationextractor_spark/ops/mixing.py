@@ -151,3 +151,32 @@ def dsir_weights(df: DataFrame, target, n_buckets: int = 1024,
     return (noised.crossJoin(F.broadcast(thr))
             .select(id_col, "n_bigrams", "log_weight", "score",
                     (F.col("score") > F.col("thr")).alias("selected")))
+
+
+def mixing_plan(df: DataFrame, stratum_col: str, token_col: str,
+                target_tokens: int, alpha: float = 0.5) -> DataFrame:
+    """Epoch/repeat-factor plan for a token budget (the LLaMA-style
+    data-mixture table): per stratum (source/language/quality tier)
+    the tempered weight ``n_tokens^alpha / Z``, its share of
+    ``target_tokens``, and ``repeat_factor`` = target share / actual
+    tokens - > 1 means the stratum is UPSAMPLED (multiple epochs),
+    < 1 means sampled down. ``temperature_mixture_rates`` answers the
+    per-ROW keep-probability question; this answers the budgeting one
+    ("how many epochs of wiki vs crawl fit in 2T tokens?").
+
+    One partial-agged groupBy to stratum cardinality + a 1-row
+    broadcast total - the whole plan is stratum-table-sized."""
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).alias("n_tokens"))
+    tot = counts.agg(
+        F.sum(F.pow("n_tokens", F.lit(alpha))).alias("z"))
+    w = F.pow("n_tokens", F.lit(alpha)) / F.col("z")
+    return (counts.crossJoin(F.broadcast(tot))
+            .select(stratum_col, "n_docs", "n_tokens",
+                    F.round(w, 6).alias("weight"),
+                    F.round(F.lit(float(target_tokens)) * w, 2)
+                    .alias("target_tokens"),
+                    F.round(F.lit(float(target_tokens)) * w
+                            / F.col("n_tokens"), 6)
+                    .alias("repeat_factor")))

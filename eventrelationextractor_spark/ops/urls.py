@@ -94,3 +94,39 @@ def canonical_dedup(df: DataFrame, url_col: str = "url",
             .withColumn("keep_id", F.min(id_col).over(w))
             .select(id_col, "canonical_url",
                     (F.col(id_col) == F.col("keep_id")).alias("is_kept")))
+
+
+def frontier_schedule(df: DataFrame, url_col: str = "url",
+                      priority_col: str | None = None,
+                      delay_sec: int = 5,
+                      max_per_host: int | None = None) -> DataFrame:
+    """Crawl-frontier politeness scheduling: (url, host, slot,
+    fetch_offset_sec) - each host's URLs sequenced into fetch slots
+    ``delay_sec`` apart, highest priority first, so no host is hit
+    faster than its crawl-delay while every host proceeds in parallel.
+
+    The per-host ``row_number`` window is the operator's SEMANTIC, not
+    an accident: politeness serializes fetches within a host, so the
+    parallel unit IS the host and a hot host (a million queued URLs)
+    is inherently one ordered sequence - the window partition matches
+    the real-world constraint exactly. ``max_per_host`` truncates each
+    host's queue (frontier budgeting - WindowGroupLimit pushes the
+    cap into the sort, same shape as grouped_topk); unbounded hosts
+    just schedule further into the future.
+
+    Deterministic: priority DESC (default = constant), then url ASC.
+    fetch_offset_sec = (slot - 1) * delay_sec; callers add their epoch."""
+    from pyspark.sql import Window
+    host = F.lower(F.regexp_extract(F.col(url_col),
+                                    r"^[a-zA-Z]+://([^/?#]+)", 1))
+    pr = (F.col(priority_col) if priority_col else F.lit(0))
+    base = df.select(F.col(url_col).alias("url"), host.alias("host"),
+                     pr.alias("_pr"))
+    w = Window.partitionBy("host").orderBy(F.col("_pr").desc(),
+                                           F.col("url").asc())
+    out = base.withColumn("slot", F.row_number().over(w))
+    if max_per_host is not None:
+        out = out.filter(F.col("slot") <= max_per_host)
+    return out.select("url", "host", F.col("slot").cast("long").alias("slot"),
+                      ((F.col("slot") - 1) * delay_sec).cast("long")
+                      .alias("fetch_offset_sec"))

@@ -707,3 +707,56 @@ def test_morton_key_is_pure_codegen(spark):
     df = spark.createDataFrame([(1, 2)], "x long, y long")
     plan = _physical(df.select(layout.morton_key(F.col("x"), F.col("y"))))
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------- frontier schedule
+
+
+def test_frontier_schedule_per_host_sequencing(spark):
+    from eventrelationextractor_spark.ops import urls as u
+    df = spark.createDataFrame(
+        [("https://a.com/1", 5), ("https://a.com/2", 9),
+         ("https://b.com/x", 1)],
+        "url string, prio long")
+    got = {r.url: r for r in
+           u.frontier_schedule(df, priority_col="prio",
+                               delay_sec=10).collect()}
+    # a.com: higher priority first; b.com independent
+    assert got["https://a.com/2"].slot == 1
+    assert got["https://a.com/1"].slot == 2
+    assert got["https://a.com/1"].fetch_offset_sec == 10
+    assert got["https://b.com/x"].slot == 1
+    assert got["https://b.com/x"].fetch_offset_sec == 0
+
+
+def test_frontier_schedule_max_per_host_uses_group_limit(spark):
+    from eventrelationextractor_spark.ops import urls as u
+    df = spark.createDataFrame(
+        [(f"https://a.com/{i}",) for i in range(5)], "url string")
+    out = u.frontier_schedule(df, max_per_host=2)
+    assert out.count() == 2
+    plan = _physical(out)
+    assert "WindowGroupLimit" in plan    # cap pushed into the sort
+
+
+# ------------------------------------------------------------ mixing plan
+
+
+def test_mixing_plan_tempering_and_budget(spark):
+    from eventrelationextractor_spark.ops import mixing
+    df = spark.createDataFrame(
+        [("wiki", 100), ("wiki", 100), ("crawl", 1800)],
+        "source string, toks long")
+    got = {r.source: r for r in
+           mixing.mixing_plan(df, "source", "toks",
+                              target_tokens=2000, alpha=0.5).collect()}
+    # alpha=0.5: weights sqrt(200):sqrt(1800) = 1:3
+    assert got["wiki"].weight == pytest.approx(0.25, abs=1e-6)
+    assert got["crawl"].weight == pytest.approx(0.75, abs=1e-6)
+    # wiki gets 500 of 2000 target over 200 actual -> 2.5 epochs
+    assert got["wiki"].repeat_factor == pytest.approx(2.5, abs=1e-6)
+    assert got["crawl"].repeat_factor == pytest.approx(2000 * 0.75 / 1800,
+                                                       abs=1e-6)
+    # target shares sum to the budget
+    assert sum(r.target_tokens for r in got.values()) == \
+        pytest.approx(2000, abs=0.1)
