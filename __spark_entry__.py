@@ -527,6 +527,24 @@ def _q_frontier_schedule(spark, sf_dir):
     return urls.frontier_schedule(w, priority_col="prio", delay_sec=5)
 
 
+def _q_robots_gate(spark, sf_dir):
+    """Robots-exclusion gate (ops/urls.py::robots_filter) over the
+    deterministic multi-host url slice: four hosts carry synthetic
+    robots.txt files (path-prefix blocks, an empty Disallow, a
+    block-everything), one host has no robots row (allowed). The rule
+    table is host-cardinality -> broadcast dimension join; the
+    frontier side never explodes."""
+    frontier = _web_urls(spark, sf_dir).select("url")
+    robots = spark.createDataFrame(
+        [("news.example.com",
+          "User-agent: *\nDisallow: /d1/\nDisallow: /admin\n"),
+         ("blog.example.org", "User-agent: *\nDisallow:\n"),
+         ("www.sample.net", "User-agent: *\nDisallow: /p\n"),
+         ("shop.example.co", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string")
+    return urls.robots_filter(frontier, robots)
+
+
 def _q_mixing_plan(spark, sf_dir):
     """Token-budget mixing plan (ops/mixing.py::mixing_plan): per-source
     tempered weights and epoch repeat factors for a 1M-token budget over
@@ -1380,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": _q_html_links,
         "lsh_band_hits": _q_lsh_band_hits,
         "frontier_schedule": _q_frontier_schedule,
+        "robots_gate": _q_robots_gate,
         "mixing_plan": _q_mixing_plan,
         "quality_classifier": _q_quality_classifier,
         "line_boilerplate": _q_line_boilerplate,
@@ -2495,6 +2514,35 @@ SELECT url, host, slot, (slot - 1) * 5 AS fetch_offset_sec FROM r
 """
 
 
+_ROBOTS_ORACLE_TMPL = r"""
+WITH w AS ({web}),
+robots AS (
+  SELECT 'news.example.com' AS host,
+         'User-agent: *' || chr(10) || 'Disallow: /d1/' || chr(10)
+         || 'Disallow: /admin' || chr(10) AS robots_txt
+  UNION ALL SELECT 'blog.example.org',
+         'User-agent: *' || chr(10) || 'Disallow:' || chr(10)
+  UNION ALL SELECT 'www.sample.net',
+         'User-agent: *' || chr(10) || 'Disallow: /p' || chr(10)
+  UNION ALL SELECT 'shop.example.co',
+         'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)),
+rules AS (SELECT lower(host) AS host,
+  list_filter(regexp_extract_all(robots_txt,
+              '(?m)^Disallow:\s*(\S*)\s*$', 1), p -> p <> '') AS dis
+  FROM robots),
+fr AS (SELECT url,
+  lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS host,
+  CASE WHEN regexp_replace(url, '^[a-zA-Z]+://[^/]*', '') = '' THEN '/'
+       ELSE regexp_replace(url, '^[a-zA-Z]+://[^/]*', '') END AS path
+  FROM w)
+SELECT fr.url, fr.host, fr.path,
+  CASE WHEN r.dis IS NULL THEN TRUE
+       ELSE len(list_filter(r.dis, p -> starts_with(fr.path, p))) = 0
+  END AS allowed
+FROM fr LEFT JOIN rules r ON r.host = fr.host
+"""
+
+
 _MIXPLAN_ORACLE = """
 WITH t AS (SELECT source,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
@@ -3323,6 +3371,7 @@ FROM hashed
         "html_links": _HTML_LINKS_ORACLE,
         "lsh_band_hits": _LSH_HITS_ORACLE,
         "frontier_schedule": _FRONTIER_ORACLE_TMPL.format(web=_WEB_URLS),
+        "robots_gate": _ROBOTS_ORACLE_TMPL.format(web=_WEB_URLS),
         "mixing_plan": _MIXPLAN_ORACLE,
         "quality_classifier": _QUALITY_CLF_ORACLE,
         "line_boilerplate": _LINE_BOILERPLATE_ORACLE,

@@ -130,3 +130,39 @@ def frontier_schedule(df: DataFrame, url_col: str = "url",
     return out.select("url", "host", F.col("slot").cast("long").alias("slot"),
                       ((F.col("slot") - 1) * delay_sec).cast("long")
                       .alias("fetch_offset_sec"))
+
+
+def robots_filter(frontier: DataFrame, robots: DataFrame,
+                  url_col: str = "url",
+                  robots_col: str = "robots_txt") -> DataFrame:
+    """Robots-exclusion gate for a crawl frontier: (url, host, path,
+    allowed) - a URL is blocked iff any ``Disallow:`` path of its
+    host's robots.txt is a prefix of its path (the global-section
+    subset of RFC 9309: per-user-agent groups, Allow overrides and
+    wildcards are a parser tier above this gate; an empty Disallow
+    value disallows nothing, per the RFC).
+
+    Scale shape: ``robots`` is host-cardinality (one row per host -
+    millions of rows at web scale, not billions), so the rule table is
+    parsed ONCE per host map-side (regexp_extract_all -> array of
+    prefixes) and joined to the frontier on host - a broadcastable
+    dimension join; the prefix test is an ``exists`` lambda over the
+    per-host array, pure codegen. No explode of the frontier side."""
+    host = F.lower(F.regexp_extract(F.col(url_col),
+                                    r"^[a-zA-Z]+://([^/?#]+)", 1))
+    path = F.regexp_replace(F.col(url_col), r"^[a-zA-Z]+://[^/]*", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rules = robots.select(
+        F.lower(F.col("host")).alias("host"),
+        F.filter(
+            F.expr(f"regexp_extract_all({robots_col}, "
+                   "'(?m)^Disallow:\\\\s*(\\\\S*)\\\\s*$', 1)"),
+            lambda p: p != "").alias("disallow"))
+    fr = frontier.select(F.col(url_col).alias("url"), host.alias("host"),
+                         path.alias("path"))
+    blocked = F.exists("disallow",
+                       lambda p: F.col("path").startswith(p))
+    return (fr.join(F.broadcast(rules), "host", "left")
+            .select("url", "host", "path",
+                    F.when(F.col("disallow").isNull(), F.lit(True))
+                    .otherwise(~blocked).alias("allowed")))

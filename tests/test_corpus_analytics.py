@@ -760,3 +760,37 @@ def test_mixing_plan_tempering_and_budget(spark):
     # target shares sum to the budget
     assert sum(r.target_tokens for r in got.values()) == \
         pytest.approx(2000, abs=0.1)
+
+
+# ------------------------------------------------------------ robots gate
+
+
+def test_robots_filter_prefix_semantics(spark):
+    from eventrelationextractor_spark.ops import urls as u
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private\nDisallow: /tmp/\n"),
+         ("b.com", "User-agent: *\nDisallow:\n")],     # empty = allow all
+        "host string, robots_txt string")
+    frontier = spark.createDataFrame(
+        [("https://a.com/private/x",), ("https://a.com/public",),
+         ("https://a.com/privateer",),   # prefix match on /private -> block
+         ("https://b.com/anything",),
+         ("https://nohost.com/x",)],     # no robots row -> allowed
+        "url string")
+    got = {r.url: r.allowed for r in
+           u.robots_filter(frontier, robots).collect()}
+    assert got["https://a.com/private/x"] is False
+    assert got["https://a.com/privateer"] is False
+    assert got["https://a.com/public"] is True
+    assert got["https://b.com/anything"] is True
+    assert got["https://nohost.com/x"] is True
+
+
+def test_robots_filter_is_broadcast_dimension_join(spark):
+    from eventrelationextractor_spark.ops import urls as u
+    robots = spark.createDataFrame([("a.com", "Disallow: /x")],
+                                   "host string, robots_txt string")
+    frontier = spark.createDataFrame([("https://a.com/x",)], "url string")
+    plan = _physical(u.robots_filter(frontier, robots))
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" not in plan        # frontier side never explodes
