@@ -1029,6 +1029,16 @@ def _q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges)
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Duplicated-span telemetry (ops/dedup.py::dup_spans, ExactSubstr
+    semantics: any second occurrence corpus-wide). Over the augmented
+    corpus every original/copy text is one maximal span; the oracle is
+    the INDEPENDENT gaps-and-islands formulation (row_number islands)
+    against the operator's window-free per-doc fold."""
+    return dedup.dup_spans(_augmented_docs(spark, sf_dir),
+                           n=5, min_words=8)
+
+
 def _q_lsh_band_hits(spark, sf_dir):
     """First-arrival LSH near-dup hit stream, batch twin
     (ops/dedup.py::lsh_band_hits): per (band, bucket) the min-id owner;
@@ -1397,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "html_links": _q_html_links,
         "lsh_band_hits": _q_lsh_band_hits,
+        "dup_spans": _q_dup_spans,
         "frontier_schedule": _q_frontier_schedule,
         "robots_gate": _q_robots_gate,
         "mixing_plan": _q_mixing_plan,
@@ -2501,6 +2512,31 @@ FROM nn LEFT JOIN pr ON nn.vec_id = pr.vec_id
 
 # ------------------------------------------------------- session-3 oracles
 
+_DUP_SPANS_ORACLE = f"""
+WITH {_AUG},
+norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
+words AS (SELECT doc_id,
+          list_filter(string_split(t, ' '), w -> w <> '') AS ws FROM norm),
+g AS (SELECT doc_id, i - 1 AS pos,
+      ws[CAST(i AS BIGINT)] || ' ' || ws[CAST(i + 1 AS BIGINT)] || ' '
+      || ws[CAST(i + 2 AS BIGINT)] || ' ' || ws[CAST(i + 3 AS BIGINT)]
+      || ' ' || ws[CAST(i + 4 AS BIGINT)] AS gram
+  FROM words, LATERAL unnest(generate_series(1, len(ws) - 4)) AS r(i)
+  WHERE len(ws) >= 5),
+occ AS (SELECT gram, count(*) AS n FROM g GROUP BY 1),
+dp AS (SELECT doc_id, pos FROM g JOIN occ USING (gram) WHERE n >= 2),
+isl AS (SELECT doc_id, pos,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dp),
+sp AS (SELECT doc_id, min(pos) AS s, max(pos) AS e
+       FROM isl GROUP BY doc_id, grp)
+SELECT doc_id, CAST(s AS BIGINT) AS start_word,
+       CAST(e + 4 AS BIGINT) AS end_word,
+       CAST(e - s + 5 AS BIGINT) AS span_words
+FROM sp WHERE e - s + 5 >= 8
+"""
+
+
 _FRONTIER_ORACLE_TMPL = """
 WITH w AS ({web}),
 s AS (SELECT url, doc_id % 7 AS prio,
@@ -3370,6 +3406,7 @@ FROM hashed
         "tokenizer_fertility": _bpe_oracle(8, "fertility"),
         "html_links": _HTML_LINKS_ORACLE,
         "lsh_band_hits": _LSH_HITS_ORACLE,
+        "dup_spans": _DUP_SPANS_ORACLE,
         "frontier_schedule": _FRONTIER_ORACLE_TMPL.format(web=_WEB_URLS),
         "robots_gate": _ROBOTS_ORACLE_TMPL.format(web=_WEB_URLS),
         "mixing_plan": _MIXPLAN_ORACLE,

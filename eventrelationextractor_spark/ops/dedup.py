@@ -717,3 +717,72 @@ def streaming_lsh_neardup(stream: DataFrame, id_col: str = "doc_id",
     keyed = rowwise_band_keys(stream, id_col, text_col)
     return keyed.groupBy("band", "bucket").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+
+
+def dup_spans(df: DataFrame, n: int = 5, min_words: int = 8,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Duplicated-SPAN telemetry (the span-level companion of
+    ``ngram_dup_stats``, after Lee et al. arXiv:2107.06499 ExactSubstr):
+    per document the maximal word ranges every ``n``-gram window of
+    which occurs at least twice in the corpus (anywhere - another doc
+    or elsewhere in the same doc, the ExactSubstr notion of a repeat).
+    -> (id, start_word, end_word, span_words): 0-based inclusive word
+    range, reported when the span covers >= ``min_words`` words.
+    A substring duplicated as a whole has all its windows duplicated,
+    so every true duplicated substring of >= min_words words is
+    contained in a reported span; chained runs whose windows repeat
+    against DIFFERENT partners over-approximate (the documented
+    ExactSubstr-family behavior), which is the right direction for a
+    removal/flagging signal.
+
+    Scale shape: windows form map-side (posexplode over the within-row
+    gram array); the occurrence count is one partial-agged groupBy
+    (hot boilerplate grams absorb map-side) joined back with a pinned
+    sort-merge (vocabulary-scale build side - the ngram_dup_stats AQE
+    lesson); run detection is per-document and WINDOW-FREE: duplicated
+    positions collect into one bounded-by-doc-length sorted array and
+    a single fold emits the maximal runs (gaps-and-islands without a
+    per-doc window - the oracle uses the row_number islands
+    formulation as an independent check)."""
+    grams = (df.select(
+                 F.col(id_col),
+                 F.filter(F.split(normalized_text(F.col(text_col)), " "),
+                          lambda w: w != "").alias("ws"))
+             .filter(F.size("ws") >= n)
+             .select(id_col, F.posexplode(F.expr(
+                 f"transform(sequence(1, size(ws) - {n - 1}),"
+                 f" i -> concat_ws(' ', slice(ws, i, {n})))"))
+                 .alias("pos", "gram")))
+    occ = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup_pos = (grams.join(occ.hint("merge"), "gram")
+               .filter(F.col("n_occ") >= 2)
+               .select(id_col, "pos"))
+    runs = dup_pos.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("ps"))
+    # fold the sorted positions into (start, end) islands
+    init = F.expr("named_struct('spans', cast(array() as "
+                  "array<struct<s int, e int>>), 's', -2, 'e', -2)")
+    step = lambda acc, p: F.struct(  # noqa: E731
+        F.when(p == acc["e"] + 1, acc["spans"])
+        .otherwise(F.when(acc["s"] >= 0,
+                          F.concat(acc["spans"], F.array(F.struct(
+                              acc["s"].alias("s"), acc["e"].alias("e")))))
+                   .otherwise(acc["spans"])).alias("spans"),
+        F.when(p == acc["e"] + 1, acc["s"]).otherwise(p).alias("s"),
+        p.alias("e"))
+    fin = lambda acc: F.when(  # noqa: E731
+        acc["s"] >= 0,
+        F.concat(acc["spans"],
+                 F.array(F.struct(acc["s"].alias("s"),
+                                  acc["e"].alias("e"))))).otherwise(
+        acc["spans"])
+    spans = runs.select(
+        F.col(id_col),
+        F.explode(F.aggregate("ps", init, step, fin)).alias("sp"))
+    out = spans.select(
+        id_col,
+        F.col("sp.s").cast("long").alias("start_word"),
+        (F.col("sp.e") + n - 1).cast("long").alias("end_word"),
+        (F.col("sp.e") - F.col("sp.s") + n).cast("long")
+        .alias("span_words"))
+    return out.filter(F.col("span_words") >= min_words)

@@ -794,3 +794,59 @@ def test_robots_filter_is_broadcast_dimension_join(spark):
     plan = _physical(u.robots_filter(frontier, robots))
     assert "BroadcastHashJoin" in plan
     assert "Generate" not in plan        # frontier side never explodes
+
+
+# -------------------------------------------------------------- dup spans
+
+
+def test_dup_spans_finds_shared_passage(spark):
+    """Docs 1 and 2 share a verbatim 9-word passage; doc 3 disjoint.
+    The span covers exactly the shared words on both docs."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    docs = spark.createDataFrame(
+        [(1, shared + " unique tail words here"),
+         (2, "different head words " + shared),
+         (3, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.start_word, r.end_word, r.span_words)
+           for r in dedup.dup_spans(docs, n=5, min_words=8).collect()}
+    # doc 1: shared words 0..8
+    assert got[1] == (0, 8, 9)
+    # doc 2: shared words 3..11
+    assert got[2] == (3, 11, 9)
+    assert 3 not in got
+
+
+def test_dup_spans_within_doc_repeat_counts(spark):
+    """ExactSubstr semantics: a second occurrence WITHIN the same doc
+    is a repeat (unlike ngram_dup_stats' cross-doc-only df)."""
+    rep = "alpha bravo charlie delta echo"
+    docs = spark.createDataFrame(
+        [(1, rep + " " + rep),
+         (2, "completely different words in this document here")],
+        "doc_id long, text string")
+    rows = dedup.dup_spans(docs, n=5, min_words=5).collect()
+    assert {r.doc_id for r in rows} == {1}
+
+
+def test_dup_spans_two_separate_islands(spark):
+    """Two disjoint shared passages in one doc emit two spans."""
+    p1 = "alpha bravo charlie delta echo"
+    p2 = "zulu yankee xray whiskey victor"
+    docs = spark.createDataFrame(
+        [(1, p1 + " mid1 mid2 mid3 " + p2),
+         (2, p1 + " other content entirely different " + p2)],
+        "doc_id long, text string")
+    rows = sorted((r.start_word, r.end_word)
+                  for r in dedup.dup_spans(docs, n=5,
+                                           min_words=5).collect()
+                  if r.doc_id == 1)
+    assert rows == [(0, 4), (8, 12)]
+
+
+def test_dup_spans_no_window_exec(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f")],
+                                 "doc_id long, text string")
+    plan = _physical(dedup.dup_spans(docs))
+    assert "Window" not in plan
+    assert "SortMergeJoin" in plan       # pinned vocabulary-scale join
