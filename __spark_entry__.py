@@ -1029,6 +1029,19 @@ def _q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges)
 
 
+def _q_frontier_expansion(spark, sf_dir):
+    """End-to-end frontier growth: staged html -> extract_links ->
+    anti-join against the known page set -> (url, n_refs) of newly
+    discovered targets with referrer counts as priority
+    (ops/urls.py::expand_frontier). The crawl loop's discovery step,
+    composed from the shipped link extractor."""
+    links = _q_html_links(spark, sf_dir)
+    known = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://crawl.example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return urls.expand_frontier(links, known)
+
+
 def _q_dup_spans(spark, sf_dir):
     """Duplicated-span telemetry (ops/dedup.py::dup_spans, ExactSubstr
     semantics: any second occurrence corpus-wide). Over the augmented
@@ -1408,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": _q_html_links,
         "lsh_band_hits": _q_lsh_band_hits,
         "dup_spans": _q_dup_spans,
+        "frontier_expansion": _q_frontier_expansion,
         "frontier_schedule": _q_frontier_schedule,
         "robots_gate": _q_robots_gate,
         "mixing_plan": _q_mixing_plan,
@@ -2512,6 +2526,19 @@ FROM nn LEFT JOIN pr ON nn.vec_id = pr.vec_id
 
 # ------------------------------------------------------- session-3 oracles
 
+def _frontier_expansion_oracle() -> str:
+    return f"""
+WITH links AS ({_HTML_LINKS_ORACLE}),
+known AS (SELECT DISTINCT
+  'https://crawl.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+agg AS (SELECT resolved_url AS url, count(*) AS n_refs
+        FROM links GROUP BY 1)
+SELECT a.url, a.n_refs FROM agg a
+LEFT JOIN known k ON k.url = a.url WHERE k.url IS NULL
+"""
+
+
 _DUP_SPANS_ORACLE = f"""
 WITH {_AUG},
 norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
@@ -3407,6 +3434,7 @@ FROM hashed
         "html_links": _HTML_LINKS_ORACLE,
         "lsh_band_hits": _LSH_HITS_ORACLE,
         "dup_spans": _DUP_SPANS_ORACLE,
+        "frontier_expansion": _frontier_expansion_oracle(),
         "frontier_schedule": _FRONTIER_ORACLE_TMPL.format(web=_WEB_URLS),
         "robots_gate": _ROBOTS_ORACLE_TMPL.format(web=_WEB_URLS),
         "mixing_plan": _MIXPLAN_ORACLE,

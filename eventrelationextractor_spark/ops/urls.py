@@ -166,3 +166,18 @@ def robots_filter(frontier: DataFrame, robots: DataFrame,
             .select("url", "host", "path",
                     F.when(F.col("disallow").isNull(), F.lit(True))
                     .otherwise(~blocked).alias("allowed")))
+
+
+def expand_frontier(links: DataFrame, known: DataFrame,
+                    target_col: str = "resolved_url",
+                    known_col: str = "url") -> DataFrame:
+    """Frontier expansion: (url, n_refs) - distinct link targets not
+    already in the known-page set, with referrer counts as the crawl
+    priority signal. One partial-agged groupBy (hot targets absorb
+    map-side) + one LEFT ANTI equi-join against the known set; at
+    scale both sides bucket on url-hash (spark/bucketing.py) and the
+    anti-join is shuffle-free."""
+    agg = links.groupBy(F.col(target_col).alias("url")).agg(
+        F.count(F.lit(1)).alias("n_refs"))
+    k = known.select(F.col(known_col).alias("url")).distinct()
+    return agg.join(k, "url", "left_anti")

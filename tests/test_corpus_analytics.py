@@ -850,3 +850,19 @@ def test_dup_spans_no_window_exec(spark):
     plan = _physical(dedup.dup_spans(docs))
     assert "Window" not in plan
     assert "SortMergeJoin" in plan       # pinned vocabulary-scale join
+
+
+# ------------------------------------------------------ frontier expansion
+
+
+def test_expand_frontier_anti_join_and_counts(spark):
+    from eventrelationextractor_spark.ops import urls as u
+    links = spark.createDataFrame(
+        [("a", "https://x.com/new"), ("b", "https://x.com/new"),
+         ("c", "https://x.com/known"), ("d", "https://y.com/other")],
+        "src string, resolved_url string")
+    known = spark.createDataFrame(
+        [("https://x.com/known",)], "url string")
+    got = {r.url: r.n_refs
+           for r in u.expand_frontier(links, known).collect()}
+    assert got == {"https://x.com/new": 2, "https://y.com/other": 1}
