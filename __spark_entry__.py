@@ -1029,6 +1029,21 @@ def _q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges)
 
 
+def _q_exactsubstr_dedup(spark, sf_dir):
+    """End-to-end ExactSubstr dedup (Lee et al.): dup_spans detection
+    composed with remove_spans removal over the augmented corpus ->
+    (doc_id, clean_md5, n_removed_words, n_kept_words). Both halves
+    within-row after their aggregations; the oracle recomputes spans
+    AND the cut independently (NOT EXISTS anti-semi over covered
+    positions vs the operator's within-row filter)."""
+    aug = _augmented_docs(spark, sf_dir)
+    spans = dedup.dup_spans(aug, n=5, min_words=8)
+    out = dedup.remove_spans(aug, spans)
+    return out.select("doc_id",
+                      F.md5(F.col("text_clean")).alias("clean_md5"),
+                      "n_removed_words", "n_kept_words")
+
+
 def _q_frontier_expansion(spark, sf_dir):
     """End-to-end frontier growth: staged html -> extract_links ->
     anti-join against the known page set -> (url, n_refs) of newly
@@ -1421,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": _q_html_links,
         "lsh_band_hits": _q_lsh_band_hits,
         "dup_spans": _q_dup_spans,
+        "exactsubstr_dedup": _q_exactsubstr_dedup,
         "frontier_expansion": _q_frontier_expansion,
         "frontier_schedule": _q_frontier_schedule,
         "robots_gate": _q_robots_gate,
@@ -2526,6 +2542,30 @@ FROM nn LEFT JOIN pr ON nn.vec_id = pr.vec_id
 
 # ------------------------------------------------------- session-3 oracles
 
+def _exactsubstr_oracle() -> str:
+    return f"""
+WITH spans AS ({_DUP_SPANS_ORACLE}),
+{_AUG},
+norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
+words AS (SELECT doc_id,
+          list_filter(string_split(t, ' '), w -> w <> '') AS ws FROM norm),
+w AS (SELECT doc_id, i - 1 AS pos, ws[CAST(i AS BIGINT)] AS w
+      FROM words, LATERAL unnest(generate_series(1, len(ws))) AS r(i)),
+kept AS (SELECT w.doc_id, w.pos, w.w FROM w
+         WHERE NOT EXISTS (SELECT 1 FROM spans a
+                           WHERE a.doc_id = w.doc_id
+                             AND w.pos BETWEEN a.start_word
+                                 AND a.end_word)),
+agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean,
+               count(*) AS n_kept FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(ws) AS n FROM words)
+SELECT t.doc_id, md5(coalesce(a.clean, '')) AS clean_md5,
+       CAST(t.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_words,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept_words
+FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
 def _frontier_expansion_oracle() -> str:
     return f"""
 WITH links AS ({_HTML_LINKS_ORACLE}),
@@ -3434,6 +3474,7 @@ FROM hashed
         "html_links": _HTML_LINKS_ORACLE,
         "lsh_band_hits": _LSH_HITS_ORACLE,
         "dup_spans": _DUP_SPANS_ORACLE,
+        "exactsubstr_dedup": _exactsubstr_oracle(),
         "frontier_expansion": _frontier_expansion_oracle(),
         "frontier_schedule": _FRONTIER_ORACLE_TMPL.format(web=_WEB_URLS),
         "robots_gate": _ROBOTS_ORACLE_TMPL.format(web=_WEB_URLS),

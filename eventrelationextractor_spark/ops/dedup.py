@@ -786,3 +786,42 @@ def dup_spans(df: DataFrame, n: int = 5, min_words: int = 8,
         (F.col("sp.e") - F.col("sp.s") + n).cast("long")
         .alias("span_words"))
     return out.filter(F.col("span_words") >= min_words)
+
+
+def remove_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """ExactSubstr REMOVAL (the second half of Lee et al.'s dedup:
+    ``dup_spans`` detects, this cuts): -> (id, text_clean, n_removed_words,
+    n_kept_words) with every reported word span deleted from the
+    normalized text (first occurrences go too, matching the paper's
+    ExactSubstr behavior - both copies of a cluster lose the span; the
+    keep-one-copy policy lives at document level via dedup_keep).
+
+    Spans collect per document (bounded by spans-per-doc, not corpus)
+    into one array; the cut is a single within-row filter over the
+    word positions - no explode of the text side, no UDF. Documents
+    with no spans pass through with their normalized text intact.
+    Output text is the NORMALIZED form (dup_spans' coordinate space -
+    word indices over normalized_text)."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_word", "end_word")).alias("sps"))
+    words = F.filter(F.split(normalized_text(F.col(text_col)), " "),
+                     lambda w: w != "")
+    base = df.select(F.col(id_col), words.alias("ws")) \
+        .join(sp, id_col, "left")
+    # keep word i unless some span [s, e] covers it
+    kept = F.filter(
+        F.expr("transform(ws, (w, i) -> struct(w as w, i as i))"),
+        lambda p: ~F.exists(
+            F.coalesce(F.col("sps"),
+                       F.expr("cast(array() as array<struct<"
+                              "start_word bigint, end_word bigint>>)")),
+            lambda s: (p["i"] >= s["start_word"])
+            & (p["i"] <= s["end_word"])))
+    return base.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda p: p["w"]), " ")
+        .alias("text_clean"),
+        (F.size("ws") - F.size(kept)).cast("long")
+        .alias("n_removed_words"),
+        F.size(kept).cast("long").alias("n_kept_words"))

@@ -866,3 +866,35 @@ def test_expand_frontier_anti_join_and_counts(spark):
     got = {r.url: r.n_refs
            for r in u.expand_frontier(links, known).collect()}
     assert got == {"https://x.com/new": 2, "https://y.com/other": 1}
+
+
+# ------------------------------------------------------------ span removal
+
+
+def test_remove_spans_cuts_detected_duplicates(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    docs = spark.createDataFrame(
+        [(1, shared + " unique tail words here"),
+         (2, "different head words " + shared),
+         (3, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string")
+    spans = dedup.dup_spans(docs, n=5, min_words=8)
+    got = {r.doc_id: r for r in
+           dedup.remove_spans(docs, spans).collect()}
+    assert got[1].text_clean == "unique tail words here"
+    assert got[1].n_removed_words == 9 and got[1].n_kept_words == 4
+    assert got[2].text_clean == "different head words"
+    assert got[3].text_clean.startswith("one two")  # untouched
+    assert got[3].n_removed_words == 0
+
+
+def test_remove_spans_no_explode_of_text_side(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f g h")],
+                                 "doc_id long, text string")
+    spans = spark.createDataFrame([(1, 0, 3, 4)],
+                                  "doc_id long, start_word long, "
+                                  "end_word long, span_words long")
+    out = dedup.remove_spans(docs, spans)
+    assert out.collect()[0].text_clean == "e f g h"
+    plan = _physical(out)
+    assert plan.count("Generate") == 0   # no explode anywhere
