@@ -1057,6 +1057,29 @@ def _q_frontier_expansion(spark, sf_dir):
     return urls.expand_frontier(links, known)
 
 
+_CRAWL_PLAN_ROBOTS = [
+    ("crawl.example.org", "User-agent: *\nDisallow: /doc/1\n"),
+    ("partner0.example.net", "User-agent: *\nDisallow: /\n")]
+
+
+def _q_crawl_plan(spark, sf_dir):
+    """The crawl loop end-to-end (the frontier-side composition
+    showcase, like corpus_curation on the text side): html ->
+    extract_links -> expand_frontier (discovery, anti-join vs known) ->
+    robots_filter (exclusion gate, broadcast host rules) ->
+    frontier_schedule (politeness slots, priority = referrer count).
+    Every stage is the shipped operator; the oracle composes the same
+    three twins."""
+    disc = _q_frontier_expansion(spark, sf_dir)
+    robots = spark.createDataFrame(_CRAWL_PLAN_ROBOTS,
+                                   "host string, robots_txt string")
+    gated = urls.robots_filter(disc, robots)
+    allowed = gated.filter(F.col("allowed")).select("url") \
+        .join(disc, "url")
+    return urls.frontier_schedule(allowed, priority_col="n_refs",
+                                  delay_sec=5)
+
+
 def _q_dup_spans(spark, sf_dir):
     """Duplicated-span telemetry (ops/dedup.py::dup_spans, ExactSubstr
     semantics: any second occurrence corpus-wide). Over the augmented
@@ -1438,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "exactsubstr_dedup": _q_exactsubstr_dedup,
         "frontier_expansion": _q_frontier_expansion,
+        "crawl_plan": _q_crawl_plan,
         "frontier_schedule": _q_frontier_schedule,
         "robots_gate": _q_robots_gate,
         "mixing_plan": _q_mixing_plan,
@@ -2542,6 +2566,35 @@ FROM nn LEFT JOIN pr ON nn.vec_id = pr.vec_id
 
 # ------------------------------------------------------- session-3 oracles
 
+def _crawl_plan_oracle() -> str:
+    robots_rows = " UNION ALL ".join(
+        "SELECT '{}' AS host, '{}' AS robots_txt".format(
+            h, t.replace("\n", "' || chr(10) || '"))
+        for h, t in _CRAWL_PLAN_ROBOTS)
+    return f"""
+WITH disc AS ({_frontier_expansion_oracle()}),
+robots AS ({robots_rows}),
+rules AS (SELECT lower(host) AS host,
+  list_filter(regexp_extract_all(robots_txt,
+              '(?m)^Disallow:\\s*(\\S*)\\s*$', 1), p -> p <> '') AS dis
+  FROM robots),
+fr AS (SELECT url, n_refs,
+  lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS host,
+  CASE WHEN regexp_replace(url, '^[a-zA-Z]+://[^/]*', '') = '' THEN '/'
+       ELSE regexp_replace(url, '^[a-zA-Z]+://[^/]*', '') END AS path
+  FROM disc),
+al AS (SELECT fr.url, fr.host, fr.n_refs
+       FROM fr LEFT JOIN rules r ON r.host = fr.host
+       WHERE r.dis IS NULL
+          OR len(list_filter(r.dis, p -> starts_with(fr.path, p))) = 0),
+sched AS (SELECT url, host,
+  row_number() OVER (PARTITION BY host
+                     ORDER BY n_refs DESC, url ASC) AS slot
+  FROM al)
+SELECT url, host, slot, (slot - 1) * 5 AS fetch_offset_sec FROM sched
+"""
+
+
 def _exactsubstr_oracle() -> str:
     return f"""
 WITH spans AS ({_DUP_SPANS_ORACLE}),
@@ -3476,6 +3529,7 @@ FROM hashed
         "dup_spans": _DUP_SPANS_ORACLE,
         "exactsubstr_dedup": _exactsubstr_oracle(),
         "frontier_expansion": _frontier_expansion_oracle(),
+        "crawl_plan": _crawl_plan_oracle(),
         "frontier_schedule": _FRONTIER_ORACLE_TMPL.format(web=_WEB_URLS),
         "robots_gate": _ROBOTS_ORACLE_TMPL.format(web=_WEB_URLS),
         "mixing_plan": _MIXPLAN_ORACLE,
