@@ -1057,6 +1057,35 @@ def _q_frontier_expansion(spark, sf_dir):
     return urls.expand_frontier(links, known)
 
 
+def _q_html_metadata(spark, sf_dir):
+    """Page-metadata head extraction (ops/htmltext.py::
+    extract_metadata): title / meta description / canonical link /
+    html lang as first-match codegen regexes, absent fields NULL.
+    Staged html varies field presence on doc_id so every NULL path is
+    exercised; the oracle replays construction and patterns (both
+    engines return '' on no match -> nullif)."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html"),
+        F.when(i % 2 == 0, F.lit(' lang="en"')).otherwise(F.lit("")),
+        F.lit("><head><title>Doc "), i.cast("string"),
+        F.lit("</title>"),
+        F.when(i % 3 == 0, F.concat(
+            F.lit('<meta name="description" content="summary '),
+            i.cast("string"), F.lit('">'))).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.concat(
+            F.lit('<link rel="canonical" href="https://example.org/c/'),
+            (i / F.lit(5)).cast("long").cast("string"), F.lit('">')))
+        .otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"))
+    staged = d.select(
+        F.concat(F.lit("https://example.org/m/"),
+                 i.cast("string")).alias("url"),
+        html.alias("html"))
+    return htmltext.extract_metadata(staged)
+
+
 _CRAWL_PLAN_ROBOTS = [
     ("crawl.example.org", "User-agent: *\nDisallow: /doc/1\n"),
     ("partner0.example.net", "User-agent: *\nDisallow: /\n")]
@@ -1457,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "html_links": _q_html_links,
+        "html_metadata": _q_html_metadata,
         "lsh_band_hits": _q_lsh_band_hits,
         "dup_spans": _q_dup_spans,
         "exactsubstr_dedup": _q_exactsubstr_dedup,
@@ -2566,6 +2596,29 @@ FROM nn LEFT JOIN pr ON nn.vec_id = pr.vec_id
 
 # ------------------------------------------------------- session-3 oracles
 
+def _html_metadata_oracle() -> str:
+    fields = ",\n  ".join(
+        f"nullif(regexp_extract(html, '{pat}', 1), '') AS {name}"
+        for name, pat in htmltext.META_PATTERNS.items())
+    return f"""
+WITH staged AS (SELECT
+  'https://example.org/m/' || CAST(doc_id AS VARCHAR) AS url,
+  '<html' || CASE WHEN doc_id % 2 = 0 THEN ' lang="en"' ELSE '' END
+  || '><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+  || CASE WHEN doc_id % 3 = 0 THEN
+       '<meta name="description" content="summary '
+       || CAST(doc_id AS VARCHAR) || '">' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN
+       '<link rel="canonical" href="https://example.org/c/'
+       || CAST(doc_id // 5 AS VARCHAR) || '">' ELSE '' END
+  || '</head><body>x</body></html>' AS html
+  FROM documents)
+SELECT url,
+  {fields}
+FROM staged
+"""
+
+
 def _crawl_plan_oracle() -> str:
     robots_rows = " UNION ALL ".join(
         "SELECT '{}' AS host, '{}' AS robots_txt".format(
@@ -3525,6 +3578,7 @@ FROM hashed
         "zorder_layout": _zorder_oracle(),
         "tokenizer_fertility": _bpe_oracle(8, "fertility"),
         "html_links": _HTML_LINKS_ORACLE,
+        "html_metadata": _html_metadata_oracle(),
         "lsh_band_hits": _LSH_HITS_ORACLE,
         "dup_spans": _DUP_SPANS_ORACLE,
         "exactsubstr_dedup": _exactsubstr_oracle(),

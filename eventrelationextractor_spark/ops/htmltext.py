@@ -156,3 +156,31 @@ def extract_links(df: DataFrame, url_col: str = "url",
                                     F.col("href"))))
     return out.select("src_url", "href", resolved.alias("resolved_url"),
                       "anchor")
+
+
+# metadata patterns - shared verbatim with the SQL oracle (Java/RE2
+# common subset: lazy quantifiers + char classes only)
+META_PATTERNS = {
+    "title": r'(?is)<title[^>]*>(.*?)</title>',
+    "meta_description":
+        r'(?is)<meta\s[^>]*name="description"[^>]*content="([^"]*)"',
+    "canonical_url": r'(?is)<link\s[^>]*rel="canonical"[^>]*href="([^"]*)"',
+    "html_lang": r'(?is)<html\s[^>]*lang="([^"]*)"',
+}
+
+
+def extract_metadata(df: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """(url, title, meta_description, canonical_url, html_lang): the
+    page-metadata head extractor - canonical-URL dedup keys, language
+    routing before content-based lang-id, and title/description for
+    index/snippet tables. First match wins per field; absent fields
+    are NULL (regexp_extract's empty string mapped through nullif).
+    Pure whole-stage codegen, rides the scan."""
+    h = F.when(F.col(html_col).cast("string").isNotNull(),
+               F.col(html_col).cast("string")).otherwise(F.lit(""))
+    cols = [F.col(url_col).alias("url")]
+    for name, pat in META_PATTERNS.items():
+        cols.append(F.nullif(F.regexp_extract(h, pat, 1), F.lit(""))
+                    .alias(name))
+    return df.select(*cols)

@@ -156,3 +156,33 @@ def test_extract_links_is_pure_codegen(spark):
     plan = htmltext.extract_links(df)._jdf.queryExecution().toString() \
         .split("== Physical Plan ==")[-1]
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------- metadata extraction
+
+
+def test_extract_metadata_fields_and_nulls(spark):
+    from eventrelationextractor_spark.ops import htmltext
+    html = ('<html lang="de"><head><title>My Page</title>'
+            '<meta name="description" content="a summary here">'
+            '<link rel="canonical" href="https://e.org/canon">'
+            '</head><body></body></html>')
+    df = spark.createDataFrame(
+        [("u1", html.encode()),
+         ("u2", b"<html><body>bare</body></html>"),
+         ("u3", None)],
+        "url string, html binary")
+    got = {r.url: r for r in htmltext.extract_metadata(df).collect()}
+    assert got["u1"].title == "My Page"
+    assert got["u1"].meta_description == "a summary here"
+    assert got["u1"].canonical_url == "https://e.org/canon"
+    assert got["u1"].html_lang == "de"
+    assert got["u2"].title is None and got["u2"].html_lang is None
+    assert got["u3"].title is None
+
+
+def test_extract_metadata_first_match_wins(spark):
+    from eventrelationextractor_spark.ops import htmltext
+    html = b'<title>First</title><title>Second</title>'
+    df = spark.createDataFrame([("u", html)], "url string, html binary")
+    assert htmltext.extract_metadata(df).collect()[0].title == "First"
