@@ -1057,6 +1057,16 @@ def _q_frontier_expansion(spark, sf_dir):
     return urls.expand_frontier(links, known)
 
 
+def _q_sample_k_per_source(spark, sf_dir):
+    """Exact-k deterministic per-stratum sample
+    (ops/textstats.py::sample_k_per_stratum): 5 docs per source by md5
+    fate - the fixed-size companion of rate-based stratified_sample.
+    WindowGroupLimit caps the per-stratum sort (plan-asserted in
+    tests)."""
+    return textstats.sample_k_per_stratum(_docs(spark, sf_dir),
+                                          "source", k=5)
+
+
 def _q_html_metadata(spark, sf_dir):
     """Page-metadata head extraction (ops/htmltext.py::
     extract_metadata): title / meta description / canonical link /
@@ -1487,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "html_links": _q_html_links,
         "html_metadata": _q_html_metadata,
+        "sample_k_per_source": _q_sample_k_per_source,
         "lsh_band_hits": _q_lsh_band_hits,
         "dup_spans": _q_dup_spans,
         "exactsubstr_dedup": _q_exactsubstr_dedup,
@@ -2596,6 +2607,17 @@ FROM nn LEFT JOIN pr ON nn.vec_id = pr.vec_id
 
 # ------------------------------------------------------- session-3 oracles
 
+_SAMPLE_K_ORACLE = """
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('samp1:' || CAST(doc_id AS VARCHAR))
+                                     ASC, doc_id ASC) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 5
+"""
+
+
 def _html_metadata_oracle() -> str:
     fields = ",\n  ".join(
         f"nullif(regexp_extract(html, '{pat}', 1), '') AS {name}"
@@ -3579,6 +3601,7 @@ FROM hashed
         "tokenizer_fertility": _bpe_oracle(8, "fertility"),
         "html_links": _HTML_LINKS_ORACLE,
         "html_metadata": _html_metadata_oracle(),
+        "sample_k_per_source": _SAMPLE_K_ORACLE,
         "lsh_band_hits": _LSH_HITS_ORACLE,
         "dup_spans": _DUP_SPANS_ORACLE,
         "exactsubstr_dedup": _exactsubstr_oracle(),

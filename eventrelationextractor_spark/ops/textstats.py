@@ -709,3 +709,27 @@ def script_profile(df: DataFrame, id_col: str = "doc_id",
     cols += [(nonspace - known).cast("long").alias("other"),
              main.alias("main_script")]
     return df.select(*cols)
+
+
+def sample_k_per_stratum(df: DataFrame, stratum_col: str, k: int,
+                         id_col: str = "doc_id",
+                         salt: str = "samp1") -> DataFrame:
+    """Exact-k deterministic uniform sample per stratum - the
+    fixed-size companion of ``stratified_sample`` (which keeps a RATE):
+    eval-set carving, human-review batches, per-domain probes all need
+    "exactly k of each". Rows rank within their stratum by the same
+    md5 fate used everywhere (pure function of (salt, id) - the sample
+    is stable across runs, engines and corpus growth ONLY in
+    distribution, not membership: adding rows can displace ranks,
+    which is inherent to exact-k) and the k smallest win.
+
+    -> (id, stratum, sample_rank). The per-stratum window is capped by
+    WindowGroupLimit (rank pushed into the sort - same shape as
+    grouped_topk), so a giant stratum never sorts fully."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(),
+                                                F.col(id_col).asc())
+    return (df.select(F.col(id_col), F.col(stratum_col),
+                      F.row_number().over(w).alias("sample_rank"))
+            .filter(F.col("sample_rank") <= k)
+            .withColumn("sample_rank", F.col("sample_rank").cast("long")))

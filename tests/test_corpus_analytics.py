@@ -898,3 +898,27 @@ def test_remove_spans_no_explode_of_text_side(spark):
     assert out.collect()[0].text_clean == "e f g h"
     plan = _physical(out)
     assert plan.count("Generate") == 0   # no explode anywhere
+
+
+# -------------------------------------------------- exact-k stratum sample
+
+
+def test_sample_k_per_stratum_exact_and_deterministic(spark):
+    rows = [(i, "a" if i < 50 else "b") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    s1 = textstats.sample_k_per_stratum(df, "src", 5)
+    s2 = textstats.sample_k_per_stratum(df, "src", 5)
+    got1 = sorted((r.doc_id, r.src) for r in s1.collect())
+    got2 = sorted((r.doc_id, r.src) for r in s2.collect())
+    assert got1 == got2                       # deterministic
+    assert sum(1 for _, s in got1 if s == "a") == 5
+    assert sum(1 for _, s in got1 if s == "b") == 5
+    # small stratum: returns all of it
+    few = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, src string")
+    assert textstats.sample_k_per_stratum(few, "src", 5).count() == 2
+
+
+def test_sample_k_per_stratum_group_limit_plan(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, src string")
+    plan = _physical(textstats.sample_k_per_stratum(df, "src", 3))
+    assert "WindowGroupLimit" in plan
