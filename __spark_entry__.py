@@ -1057,6 +1057,30 @@ def _q_frontier_expansion(spark, sf_dir):
     return urls.expand_frontier(links, known)
 
 
+def _q_cdc_apply(spark, sf_dir):
+    """CDC apply / MERGE (ops/dedup.py::apply_cdc): a synthetic change
+    log over the corpus - initial upserts, an update wave (%3), a
+    delete wave (%7), a re-insert wave (%21) - collapsed to the latest
+    live snapshot. Latest-wins is one partial-agged max(struct)
+    AGGREGATION, never a window over the log; the oracle uses the
+    independent row_number formulation."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+
+    def ev(df, seq, op, payload):
+        return df.select(i.alias("doc_id"), F.lit(seq).alias("seq"),
+                         F.lit(op).alias("op"), payload.alias("payload"))
+
+    log = (ev(d, 1, "u", F.md5("text"))
+           .unionByName(ev(d.filter(i % 3 == 0), 2, "u",
+                           F.md5(F.concat(F.col("text"), F.lit("v2")))))
+           .unionByName(ev(d.filter(i % 7 == 0), 3, "d",
+                           F.lit(None).cast("string")))
+           .unionByName(ev(d.filter(i % 21 == 0), 4, "u",
+                           F.lit("restored"))))
+    return dedup.apply_cdc(log)
+
+
 def _q_sample_k_per_source(spark, sf_dir):
     """Exact-k deterministic per-stratum sample
     (ops/textstats.py::sample_k_per_stratum): 5 docs per source by md5
@@ -1498,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": _q_html_links,
         "html_metadata": _q_html_metadata,
         "sample_k_per_source": _q_sample_k_per_source,
+        "cdc_apply": _q_cdc_apply,
         "lsh_band_hits": _q_lsh_band_hits,
         "dup_spans": _q_dup_spans,
         "exactsubstr_dedup": _q_exactsubstr_dedup,
@@ -2607,6 +2632,26 @@ FROM nn LEFT JOIN pr ON nn.vec_id = pr.vec_id
 
 # ------------------------------------------------------- session-3 oracles
 
+_CDC_APPLY_ORACLE = """
+WITH log AS (
+  SELECT doc_id, 1 AS seq, 'u' AS op, md5(text) AS payload FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'u', md5(text || 'v2') FROM documents
+  WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 3, 'd', NULL FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 4, 'u', 'restored' FROM documents WHERE doc_id % 21 = 0),
+latest AS (
+  SELECT doc_id, seq, op, payload FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY seq DESC, CASE WHEN op = 'd' THEN 0 ELSE 1 END DESC) = 1)
+SELECT doc_id, CAST(seq AS BIGINT) AS seq, payload
+FROM latest WHERE op <> 'd'
+"""
+
+
 _SAMPLE_K_ORACLE = """
 SELECT doc_id, source, sample_rank FROM (
   SELECT doc_id, source,
@@ -3602,6 +3647,7 @@ FROM hashed
         "html_links": _HTML_LINKS_ORACLE,
         "html_metadata": _html_metadata_oracle(),
         "sample_k_per_source": _SAMPLE_K_ORACLE,
+        "cdc_apply": _CDC_APPLY_ORACLE,
         "lsh_band_hits": _LSH_HITS_ORACLE,
         "dup_spans": _DUP_SPANS_ORACLE,
         "exactsubstr_dedup": _exactsubstr_oracle(),

@@ -825,3 +825,33 @@ def remove_spans(df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
         (F.size("ws") - F.size(kept)).cast("long")
         .alias("n_removed_words"),
         F.size(kept).cast("long").alias("n_kept_words"))
+
+
+def apply_cdc(changes: DataFrame, id_col: str = "doc_id",
+              seq_col: str = "seq", op_col: str = "op") -> DataFrame:
+    """CDC apply / latest-snapshot materialization - the MERGE half of
+    the CDC story (``streaming_snapshot_cdc`` detects deltas; this
+    collapses an accumulated change log back into the current table,
+    the lakehouse ``MERGE INTO`` without Iceberg jars): for a log of
+    (id, seq, op, payload...) rows keep each id's row with the highest
+    ``seq`` (ties -> upsert wins over delete, the conservative order),
+    then drop ids whose latest op is ``'d'`` (tombstone).
+
+    One partial-agged groupBy: ``max(struct(seq, op_rank, payload))``
+    per id - latest-wins resolution is an AGGREGATION, never a
+    row_number window over the log, so a hot key (frequently re-crawled
+    page) partial-aggregates map-side. Payload columns ride inside the
+    struct, so the row stays atomic (no join-back). At scale, bucket
+    the log and the snapshot by id-hash and the groupBy is
+    shuffle-free."""
+    payload = [c for c in changes.columns
+               if c not in (id_col, seq_col, op_col)]
+    op_rank = F.when(F.col(op_col) == "d", F.lit(0)).otherwise(F.lit(1))
+    packed = F.struct(F.col(seq_col).alias("seq"),
+                      op_rank.alias("opr"),
+                      F.col(op_col).alias("op"),
+                      *[F.col(c).alias(c) for c in payload])
+    latest = changes.groupBy(id_col).agg(F.max(packed).alias("b"))
+    live = latest.filter(F.col("b.op") != "d")
+    return live.select(id_col, F.col("b.seq").alias(seq_col),
+                       *[F.col(f"b.{c}").alias(c) for c in payload])

@@ -922,3 +922,35 @@ def test_sample_k_per_stratum_group_limit_plan(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, src string")
     plan = _physical(textstats.sample_k_per_stratum(df, "src", 3))
     assert "WindowGroupLimit" in plan
+
+
+# -------------------------------------------------------------- cdc apply
+
+
+def test_apply_cdc_latest_wins_and_tombstones(spark):
+    log = spark.createDataFrame(
+        [(1, 1, "u", "v1"), (1, 3, "u", "v3"), (1, 2, "u", "v2"),
+         (2, 1, "u", "x1"), (2, 2, "d", None),
+         (3, 1, "d", None), (3, 2, "u", "back")],
+        "doc_id long, seq long, op string, payload string")
+    got = {r.doc_id: r for r in dedup.apply_cdc(log).collect()}
+    assert got[1].payload == "v3" and got[1].seq == 3
+    assert 2 not in got                      # deleted
+    assert got[3].payload == "back"          # re-inserted after delete
+
+
+def test_apply_cdc_same_seq_upsert_beats_delete(spark):
+    log = spark.createDataFrame(
+        [(1, 5, "d", None), (1, 5, "u", "kept")],
+        "doc_id long, seq long, op string, payload string")
+    got = dedup.apply_cdc(log).collect()
+    assert len(got) == 1 and got[0].payload == "kept"
+
+
+def test_apply_cdc_is_aggregation_not_window(spark):
+    log = spark.createDataFrame([(1, 1, "u", "v")],
+                                "doc_id long, seq long, op string, "
+                                "payload string")
+    plan = _physical(dedup.apply_cdc(log))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
