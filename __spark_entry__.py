@@ -315,6 +315,22 @@ def _q_events_windowed(spark, sf_dir):
         "window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"))
 
 
+def _q_hll_user_windows(spark, sf_dir):
+    """Per-10-minute-window distinct-user estimates - the batch twin of
+    ops/sketches.py::streaming_windowed_hll (whose register stream +
+    hll_estimate_from_registers is equivalence-tested against exactly
+    this shape). md5-derived registers -> the oracle reproduces
+    estimate and checksum bit-for-bit."""
+    from eventrelationextractor_spark.ops import sketches
+    ev = _events(spark, sf_dir)
+    win = F.window(F.col("ts"), "10 minutes")
+    d = ev.withColumn(
+        "window_start",
+        F.date_format(win.start.cast("timestamp"),
+                      "yyyy-MM-dd HH:mm:ss"))
+    return sketches.hll_estimate(d, "user_id", ["window_start"])
+
+
 def _q_events_sessions(spark, sf_dir):
     df = events.sessionize(_events(spark, sf_dir))
     return df.withColumn(
@@ -1523,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_metadata": _q_html_metadata,
         "sample_k_per_source": _q_sample_k_per_source,
         "cdc_apply": _q_cdc_apply,
+        "hll_user_windows": _q_hll_user_windows,
         "lsh_band_hits": _q_lsh_band_hits,
         "dup_spans": _q_dup_spans,
         "exactsubstr_dedup": _q_exactsubstr_dedup,
@@ -2035,6 +2052,30 @@ mx AS (SELECT lang, bucket, max(r) AS rho FROM reg GROUP BY 1, 2),
 ag AS (SELECT lang, sum(power(2.0, -rho)) AS z, count(*) AS nonzero,
   sum(rho) AS register_checksum FROM mx GROUP BY lang)
 SELECT lang,
+  round(CASE WHEN ({_HLL_ALPHA!r}::DOUBLE * 512 * 512 / (z + (512 - nonzero)))
+                  <= 1280.0 AND (512 - nonzero) > 0
+        THEN 512 * ln(512.0 / (512 - nonzero))
+        ELSE {_HLL_ALPHA!r}::DOUBLE * 512 * 512 / (z + (512 - nonzero)) END, 4)
+    AS est_distinct,
+  CAST(register_checksum AS BIGINT) AS register_checksum
+FROM ag
+"""
+
+_HLL_WINDOWS_ORACLE = f"""
+WITH hx AS (SELECT
+  strftime(make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)
+                          * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+       AS BIGINT) AS h
+  FROM events),
+reg AS (SELECT window_start, h % 512 AS bucket,
+  CASE WHEN (h >> 9) = 0 THEN 52 ELSE 52 - length(bin(h >> 9)) END AS r
+  FROM hx),
+mx AS (SELECT window_start, bucket, max(r) AS rho FROM reg GROUP BY 1, 2),
+ag AS (SELECT window_start, sum(power(2.0, -rho)) AS z,
+  count(*) AS nonzero, sum(rho) AS register_checksum
+  FROM mx GROUP BY window_start)
+SELECT window_start,
   round(CASE WHEN ({_HLL_ALPHA!r}::DOUBLE * 512 * 512 / (z + (512 - nonzero)))
                   <= 1280.0 AND (512 - nonzero) > 0
         THEN 512 * ln(512.0 / (512 - nonzero))
@@ -3648,6 +3689,7 @@ FROM hashed
         "html_metadata": _html_metadata_oracle(),
         "sample_k_per_source": _SAMPLE_K_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
+        "hll_user_windows": _HLL_WINDOWS_ORACLE,
         "lsh_band_hits": _LSH_HITS_ORACLE,
         "dup_spans": _DUP_SPANS_ORACLE,
         "exactsubstr_dedup": _exactsubstr_oracle(),

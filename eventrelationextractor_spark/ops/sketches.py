@@ -54,14 +54,17 @@ def hll_registers(df: DataFrame, value_col: str,
             .groupBy(*gc, "bucket").agg(F.max("r").alias("rho")))
 
 
-def hll_estimate(df: DataFrame, value_col: str,
-                 group_cols: list | None = None) -> DataFrame:
-    """Distinct-count estimate per group: raw HLL estimate with the
-    standard small-range (linear-counting) correction. Adds
-    register_checksum = sum of register values - an integer that pins
-    the full register state under a value-hash compare."""
+def hll_estimate_from_registers(regs: DataFrame,
+                                group_cols: list | None = None) -> DataFrame:
+    """Estimate from an ALREADY-BUILT register table (group..., bucket,
+    rho) - the read path for registers that arrive from elsewhere: a
+    streaming sink (streaming_windowed_hll), a persisted daily sketch
+    table, or a union of shard sketches merged by groupBy(bucket).max
+    (register max IS the sketch union). Same formula as hll_estimate:
+    raw HLL with the small-range linear-counting correction, plus the
+    register_checksum that pins full register state under value-hash
+    compares."""
     gc = list(group_cols or [])
-    regs = hll_registers(df, value_col, gc)
     agg = regs.groupBy(*gc).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z"),
         F.count(F.lit(1)).alias("nonzero"),
@@ -74,6 +77,52 @@ def hll_estimate(df: DataFrame, value_col: str,
         .otherwise(raw)
     return agg.select(*gc, F.round(est, 4).alias("est_distinct"),
                       "register_checksum")
+
+
+def hll_estimate(df: DataFrame, value_col: str,
+                 group_cols: list | None = None) -> DataFrame:
+    """Distinct-count estimate per group: build registers, then the
+    shared estimator (see hll_estimate_from_registers)."""
+    gc = list(group_cols or [])
+    return hll_estimate_from_registers(hll_registers(df, value_col, gc),
+                                       gc)
+
+
+def streaming_windowed_hll(stream: DataFrame, ts_col: str,
+                           value_col: str, window: str = "10 minutes",
+                           watermark: str = "5 minutes") -> DataFrame:
+    """Windowed distinct-count sketch under Structured Streaming:
+    per event-time window the HLL REGISTER table (window_start,
+    window_end, bucket, rho) - e.g. distinct URLs per 10-minute crawl
+    window without keeping the URL set in state. State is ONE max per
+    (window, bucket) - bounded at m=512 registers per window regardless
+    of cardinality - and the max-aggregation is the sketch union, so
+    late rows inside the watermark fold in exactly.
+
+    Deliberately emits REGISTERS, not estimates: the estimate needs a
+    second aggregation over buckets, and chaining two stateful
+    aggregations in one streaming query is a Spark-version minefield;
+    the estimator is the stateless batch rollup
+    ``hll_estimate_from_registers`` over the sink (equivalence-tested
+    against batch hll_estimate per window). Registers also MERGE
+    across restarts / shards / days by groupBy(bucket).max - the whole
+    point of carrying the sketch rather than the count."""
+    h = _h60(F.col(value_col))
+    rest = F.shiftright(h, HLL_B)
+    width = 60 - HLL_B
+    rho = F.when(rest == 0, F.lit(width + 1)) \
+        .otherwise(F.lit(width) - F.length(F.bin(rest)) + 1)
+    # parquet timestamps arrive NTZ; watermarks need zoned event time
+    # (same normalization as ops/events.py streaming twins)
+    stream = stream.withColumn(ts_col,
+                               F.col(ts_col).cast("timestamp_ltz"))
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                     (h % HLL_M).alias("bucket"))
+            .agg(F.max(rho).alias("rho"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "bucket", "rho"))
 
 
 def kmv_minima(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:

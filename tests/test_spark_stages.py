@@ -735,3 +735,38 @@ def test_streaming_lsh_neardup_matches_batch(spark, tmp_path):
     assert got == want
     # doc 10 (re-delivered copy of 0) must hit in all 4 bands
     assert {b for d, b, f in got if d == 10} == {0, 1, 2, 3}
+
+
+def test_streaming_windowed_hll_matches_batch(spark, tmp_path):
+    """Streaming HLL registers per event-time window == batch registers
+    computed with the same geometry, and the stateless estimator over
+    the streamed registers == batch hll_estimate per window."""
+    from eventrelationextractor_spark.ops import sketches as sk
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "hll_src")
+    events.write.parquet(src)
+
+    win = F.window(F.col("ts"), "10 minutes")
+    batch_regs = {(r.window_start, r.bucket): r.rho for r in
+                  sk.hll_registers(
+                      events.withColumn("window_start", win.start),
+                      "user_id", ["window_start"]).collect()}
+    batch_est = {r.window_start: (r.est_distinct, r.register_checksum)
+                 for r in sk.hll_estimate(
+                     events.withColumn("window_start", win.start),
+                     "user_id", ["window_start"]).collect()}
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = sk.streaming_windowed_hll(stream, "ts", "user_id",
+                                    window="10 minutes")
+    q = (out.writeStream.format("memory").queryName("hll_regs")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    sunk = spark.sql("select * from hll_regs")
+    got_regs = {(r.window_start, r.bucket): r.rho for r in sunk.collect()}
+    assert got_regs == batch_regs
+    got_est = {r.window_start: (r.est_distinct, r.register_checksum)
+               for r in sk.hll_estimate_from_registers(
+                   sunk, ["window_start"]).collect()}
+    assert got_est == batch_est
