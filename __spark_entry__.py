@@ -1469,6 +1469,82 @@ def _q_events_interval_join(spark, sf_dir):
                  F.min("event_id").alias("first_event_id")))
 
 
+def _q_dedup_levenshtein(spark, sf_dir):
+    """Edit-distance-verified near-dup pairs
+    (ops/dedup.py::levenshtein_pairs): MinHash-LSH candidates verified
+    with Spark's THRESHOLDED levenshtein (banded DP, early exit) on the
+    normalized texts. Known positives at every SF: the augmented exact
+    copies (dist 0) and the ' extra'-suffixed near-dups (dist 6). The
+    oracle runs DuckDB's exact levenshtein over the identical candidate
+    set."""
+    return dedup.levenshtein_pairs(_augmented_docs(spark, sf_dir),
+                                   max_dist=16)
+
+
+def _q_shingle_containment(spark, sf_dir):
+    """Asymmetric shingle containment (ops/dedup.py::containment_pairs,
+    Broder 1997): quote/subset detection over LSH candidates. The
+    ' extra'-suffixed near-dups contain their originals at exactly 1.0
+    (every original shingle survives the suffix append) while Jaccard
+    sits below 1 - the direction-splitting positive the symmetric
+    measures cannot represent."""
+    return dedup.containment_pairs(_augmented_docs(spark, sf_dir),
+                                   threshold=0.8)
+
+
+def _q_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization + reconstruction SSE
+    (ops/simsearch.py::quantize_int8): per-vector scale 127/max|x|,
+    floor(x*scale + 0.5) codes - pure per-row codegen, the 4x
+    bandwidth/storage lever for every ANN join at 100 TB. All math in
+    IEEE double with array-ordered folds, so the oracle hashes
+    identically (codes exactly, amax/sse under the 6dp gate)."""
+    return simsearch.quantize_int8(_emb(spark, sf_dir))
+
+
+def _q_host_cocitation(spark, sf_dir):
+    """Co-citation counts over the link graph
+    (ops/graph.py::cocitation): pairs of pages cited by the same source,
+    out-degree-capped BEFORE pair formation (the capped_bucket_pairs
+    gate shape). The oracle is an independent self-join-on-source
+    formulation of the same capped multiset."""
+    e, _ = _link_edges(spark, sf_dir)
+    return graph.cocitation(e)
+
+
+def _q_link_hits(spark, sf_dir):
+    """HITS hubs/authorities (ops/graph.py::hits, Kleinberg 1999): 3
+    alternating L1-normalized iterations over the pagerank link graph;
+    each half-iteration is one join + one partial-agged groupBy, the
+    whole loop one lazy plan. The oracle unrolls the identical
+    iterations as chained CTEs (float drift = addition order only,
+    ~1e-15 vs the 1e-6 gate)."""
+    e, nodes = _link_edges(spark, sf_dir)
+    return graph.hits(e, n_iter=3, nodes=nodes)
+
+
+def _q_domain_reputation(spark, sf_dir):
+    """FineWeb-style host-reputation gate
+    (ops/urls.py::host_reputation): per-host mean quality (one
+    partial-agged groupBy) joined back, keep docs whose host clears the
+    bar OR whose own score does (the rescue clause). Staged over the
+    deterministic multi-host url slice + the quality_scores operator -
+    a pure composition of shipped operators, like corpus_curation.
+    The per-doc score carries a deterministic host-correlated skew
+    (factor (6 + doc_id%5)/10, i.e. per-host factors 0.6..1.0 - doc_id%5
+    IS the host) so host reputations genuinely differ at every SF and
+    the gate's two clauses both bite; the oracle replays the skew."""
+    w = _web_urls(spark, sf_dir)
+    scored = textstats.quality_score(w)
+    score = F.round(F.col("quality")
+                    * ((F.lit(6) + F.col("doc_id") % 5) / 10.0), 6)
+    scored = scored.select("doc_id", "url", score.alias("score"))
+    kept = urls.host_reputation(scored, score_col="score",
+                                host_threshold=0.3, doc_threshold=0.5)
+    return kept.select("doc_id", "host", "score",
+                       "host_docs", "host_quality")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG construction pipeline (reference parity + scale)
@@ -1572,6 +1648,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": _q_length_percentiles,
         "source_lang_rollup": _q_source_lang_rollup,
         "events_interval_join": _q_events_interval_join,
+        "dedup_levenshtein": _q_dedup_levenshtein,
+        "shingle_containment": _q_shingle_containment,
+        "embedding_quantize": _q_embedding_quantize,
+        "host_cocitation": _q_host_cocitation,
+        "link_hits": _q_link_hits,
+        "domain_reputation": _q_domain_reputation,
     }
 
 
@@ -3599,6 +3681,165 @@ GROUP BY iv.interval_id
 """
 
 
+# shared MinHash-LSH candidate CTE chain over the augmented corpus
+# (mirrors shingles -> minhash_signatures -> lsh_candidate_pairs with the
+# same cap=100; the verify tail differs per oracle)
+_LSH_CAND_CTES = f"""{_AUG},
+norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL unnest(generate_series(1, len(w) - 2)) AS g(i)
+        WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sig AS (SELECT doc_id,
+        min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+        min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+        min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+        min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+        FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+csizes AS (SELECT band, bucket, count(*) AS bn FROM bands GROUP BY 1, 2),
+capped AS (SELECT b.doc_id, b.band, b.bucket FROM bands b
+           JOIN csizes s ON s.band = b.band AND s.bucket = b.bucket
+           WHERE s.bn <= 100),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM capped l JOIN capped r
+         ON l.bucket = r.bucket AND l.band = r.band AND l.doc_id < r.doc_id)"""
+
+_LEVENSHTEIN_ORACLE = f"""
+WITH {_LSH_CAND_CTES}
+SELECT c.a, c.b, CAST(levenshtein(na.t, nb.t) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN norm na ON na.doc_id = c.a
+JOIN norm nb ON nb.doc_id = c.b
+WHERE levenshtein(na.t, nb.t) <= 16
+"""
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_LSH_CAND_CTES},
+inter AS (SELECT c.a, c.b, count(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.a
+          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+          GROUP BY c.a, c.b),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT i.a, i.b,
+       round(i.n_inter / na.n, 6) AS containment_ab,
+       round(i.n_inter / nb.n, 6) AS containment_ba
+FROM inter i
+JOIN sizes na ON na.doc_id = i.a
+JOIN sizes nb ON nb.doc_id = i.b
+WHERE round(i.n_inter / na.n, 6) >= 0.8
+   OR round(i.n_inter / nb.n, 6) >= 0.8
+"""
+
+_QUANTIZE_ORACLE = """
+WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+m AS (SELECT vec_id, v,
+      list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+s AS (SELECT vec_id, v, amax,
+      CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS scale FROM m)
+SELECT vec_id,
+  CAST(len(v) AS BIGINT) AS n_dims,
+  round(amax, 6) AS amax,
+  list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS codes,
+  round(CASE WHEN scale > 0 THEN
+    list_sum(list_transform(v,
+      x -> (x - floor(x * scale + 0.5) / scale)
+           * (x - floor(x * scale + 0.5) / scale)))
+    ELSE 0.0 END, 6) AS sse
+FROM s
+"""
+
+_COCITATION_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id*7+1) % n AS d FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % n FROM documents, nn
+  WHERE doc_id % 17 <> 0),
+e AS (SELECT DISTINCT s, d FROM e0),
+deg AS (SELECT s FROM e GROUP BY s HAVING count(*) BETWEEN 2 AND 100)
+SELECT l.d AS a, r.d AS b, count(*) AS n_common
+FROM e l
+JOIN e r ON l.s = r.s AND l.d < r.d
+JOIN deg ON deg.s = l.s
+GROUP BY l.d, r.d
+"""
+
+
+def _hits_oracle(n_iter: int = 3) -> str:
+    """Unrolled HITS iterations as chained CTEs, mirroring
+    ops/graph.py::hits expression-for-expression (hub0 = 1.0, authority
+    = L1-normalized in-edge hub sum, hub = L1-normalized out-edge sum of
+    the NEW authority)."""
+    parts = ["""WITH nodes AS (SELECT doc_id AS node FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id*7+1) % (SELECT count(*) FROM documents)
+    AS dst FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 17 <> 0),
+h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+ar{i} AS (SELECT e.dst AS node, sum(h.hub) AS m
+  FROM h{i-1} h JOIN e ON h.node = e.src GROUP BY e.dst),
+at{i} AS (SELECT coalesce(sum(m), 0.0) AS t FROM ar{i}),
+a{i} AS (SELECT nodes.node,
+  CASE WHEN t > 0 THEN coalesce(m, 0.0) / t ELSE 0.0 END AS authority
+  FROM nodes CROSS JOIN at{i} LEFT JOIN ar{i} r ON nodes.node = r.node),
+hr{i} AS (SELECT e.src AS node, sum(a.authority) AS m
+  FROM a{i} a JOIN e ON a.node = e.dst GROUP BY e.src),
+ht{i} AS (SELECT coalesce(sum(m), 0.0) AS t FROM hr{i}),
+h{i} AS (SELECT nodes.node,
+  CASE WHEN t > 0 THEN coalesce(m, 0.0) / t ELSE 0.0 END AS hub
+  FROM nodes CROSS JOIN ht{i} LEFT JOIN hr{i} r ON nodes.node = r.node)""")
+    parts.append(f"""
+SELECT h.node, h.hub, a.authority
+FROM h{n_iter} h JOIN a{n_iter} a ON h.node = a.node""")
+    return "".join(parts)
+
+
+_DOMAIN_REP_ORACLE = f"""
+WITH w AS ({_WEB_URLS}),
+base AS (
+  SELECT doc_id, url,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+         AS BIGINT) AS n_punct,
+    CAST((len(string_split(' ' || lower(text) || ' ', ' the ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' and ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' of ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' is ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' a ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' to ')) - 1)
+         AS BIGINT) AS n_stopwords
+  FROM w),
+q AS (SELECT doc_id, url,
+  round(round(CASE WHEN n_tokens <= 0 THEN 0.0 ELSE
+    least(1.0, n_stopwords * 6.0 / n_tokens)
+    * (1.0 - least(1.0, n_punct * 4.0 / n_chars)) END, 6)
+    * ((6 + doc_id % 5) / 10.0), 6) AS score
+  FROM base),
+h AS (SELECT doc_id, score,
+      lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host FROM q),
+st AS (SELECT host, count(*) AS host_docs,
+       round(avg(score), 6) AS host_quality FROM h GROUP BY host)
+SELECT h.doc_id, h.host, h.score, st.host_docs, st.host_quality
+FROM h JOIN st USING (host)
+WHERE st.host_quality >= 0.3 OR h.score >= 0.5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -3722,6 +3963,12 @@ FROM hashed
         "events_interval_join": _INTERVAL_ORACLE,
         "events_asof": _ASOF_ORACLE,
         "events_asof_forward": _ASOF_FWD_ORACLE,
+        "dedup_levenshtein": _LEVENSHTEIN_ORACLE,
+        "shingle_containment": _CONTAINMENT_ORACLE,
+        "embedding_quantize": _QUANTIZE_ORACLE,
+        "host_cocitation": _COCITATION_ORACLE,
+        "link_hits": _hits_oracle(),
+        "domain_reputation": _DOMAIN_REP_ORACLE,
     }
 
 

@@ -193,13 +193,35 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     same write is ``bucket(n, doc_id)``; see spark/bucketing.py for the
     transform mapping). Both paths produce identical pairs
     (tests/test_textstats_ops.py::test_jaccard_materialized_shingles)."""
+    sh = _shingle_source(df, id_col, text_col, k, shingle_table_path)
+    return (_pair_intersections(sh, id_col)
+            .withColumn("jaccard",
+                        F.round(F.col("n_inter")
+                                / (F.col("na") + F.col("nb") - F.col("n_inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
+def _shingle_source(df: DataFrame, id_col: str, text_col: str, k: int,
+                    shingle_table_path: str | None) -> DataFrame:
+    """The multiply-consumed shingle table: cached by default,
+    materialized to an id-partitioned parquet table when a path is given
+    (see ``jaccard_pairs`` docstring for the 100-TB tradeoff)."""
     if shingle_table_path is not None:
         (shingles(df, id_col, text_col, k)
          .repartition(F.col(id_col))
          .write.mode("overwrite").parquet(shingle_table_path))
-        sh = df.sparkSession.read.parquet(shingle_table_path)
-    else:
-        sh = shingles(df, id_col, text_col, k).cache()
+        return df.sparkSession.read.parquet(shingle_table_path)
+    return shingles(df, id_col, text_col, k).cache()
+
+
+def _pair_intersections(sh: DataFrame, id_col: str) -> DataFrame:
+    """LSH candidates with exact shingle-set overlap counts:
+    (a, b, n_inter, na, nb). The shared verify core of ``jaccard_pairs``
+    (symmetric similarity) and ``containment_pairs`` (asymmetric
+    subset/quote detection): candidates from the capped band join, one
+    intersection count join proportional to candidates, two broadcast-
+    friendly size joins."""
     cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
     sa = sh.select(F.col(id_col).alias("a"), "shingle")
     sb = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -208,12 +230,74 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     return (inter
             .join(sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na")), "a")
-            .join(sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb")), "b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_inter")
-                                / (F.col("na") + F.col("nb") - F.col("n_inter")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("a", "b", "jaccard"))
+            .join(sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb")), "b"))
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      threshold: float = 0.8,
+                      shingle_table_path: str | None = None) -> DataFrame:
+    """Asymmetric shingle containment over LSH candidate pairs:
+    (a, b, containment_ab, containment_ba) where
+    ``containment_ab = |S(a) ∩ S(b)| / |S(a)|`` - the quote / subset /
+    boilerplate-inclusion detector (Broder's containment, the companion
+    measure to Jaccard resemblance). A page that wholly quotes another
+    scores containment 1.0 in one direction while its Jaccard can sit far
+    below any dedup threshold, so this is the measure that catches
+    aggregation/scraper sites. Pairs survive when EITHER direction
+    reaches ``threshold``.
+
+    Same scale shape as ``jaccard_pairs`` (shared ``_pair_intersections``
+    core): capped LSH banding generates candidates, so no O(n^2) stage;
+    the containment division is a per-pair codegen expression.
+
+    No counterpart in /root/reference (no corpus-dedup surface there);
+    semantics follow Broder 1997 "On the resemblance and containment of
+    documents"."""
+    sh = _shingle_source(df, id_col, text_col, k, shingle_table_path)
+    pairs = _pair_intersections(sh, id_col)
+    c_ab = F.round(F.col("n_inter") / F.col("na"), 6)
+    c_ba = F.round(F.col("n_inter") / F.col("nb"), 6)
+    return (pairs
+            .withColumn("containment_ab", c_ab)
+            .withColumn("containment_ba", c_ba)
+            .filter((F.col("containment_ab") >= threshold)
+                    | (F.col("containment_ba") >= threshold))
+            .select("a", "b", "containment_ab", "containment_ba"))
+
+
+def levenshtein_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      max_dist: int = 16) -> DataFrame:
+    """Edit-distance-verified near-duplicate pairs: MinHash-LSH
+    candidates whose NORMALIZED texts are within ``max_dist``
+    Levenshtein edits -> (a, b, edit_dist). The character-exact verify
+    tier above Jaccard: shingle similarity tolerates reordering, edit
+    distance does not, so this is the detector for templated/suffix-
+    stamped copies (mirror banners, tracking footers).
+
+    Scale design: candidates come from the capped LSH band join (no
+    O(n^2) stage); the verify join ships each candidate pair's two
+    normalized texts once. The distance itself uses Spark's THRESHOLDED
+    ``levenshtein(l, r, threshold)`` (banded DP, O(len * max_dist) with
+    early exit, returns -1 past the bound) so a candidate pair of long
+    dissimilar texts costs O(len * max_dist), not O(len^2) - the
+    difference between feasible and not on book-length documents.
+
+    No counterpart in /root/reference; the SQL oracle verifies with
+    DuckDB's exact ``levenshtein`` over the same candidates."""
+    sh = shingles(df, id_col, text_col, k).cache()
+    cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
+    norm = df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("t"))
+    dist = F.levenshtein(F.col("ta"), F.col("tb"), max_dist)
+    return (cands
+            .join(norm.select(F.col(id_col).alias("a"),
+                              F.col("t").alias("ta")), "a")
+            .join(norm.select(F.col(id_col).alias("b"),
+                              F.col("t").alias("tb")), "b")
+            .withColumn("edit_dist", dist.cast("long"))
+            .filter(F.col("edit_dist") >= 0)
+            .select("a", "b", "edit_dist"))
 
 
 def dedup_resolution(df: DataFrame, id_col: str = "doc_id",

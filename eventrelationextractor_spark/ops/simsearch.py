@@ -295,3 +295,46 @@ def hyperplane_lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
                     F.col("rank").cast("long").alias("rank"),
                     F.col("cid").alias("neighbor_id"),
                     F.round("cosine", 6).alias("cosine")))
+
+
+def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column:
+    per-vector scale = 127 / max|x|, codes = round-half-up(x * scale),
+    plus the reconstruction sum-of-squared-error -> (id, n_dims, amax,
+    codes, sse). THE storage/bandwidth lever for ANN at 100 TB: float32
+    -> int8 is a 4x cut in both the shuffle bytes of every candidate
+    join and the memory ceiling of any broadcast index; sse is the
+    telemetry that says whether recall will survive it.
+
+    Engine-exact by construction: all arithmetic runs in IEEE double
+    (float->double casts are exact), rounding is ``floor(x + 0.5)``
+    (identical semantics in Spark and DuckDB - F.round's HALF_UP and
+    SQL round() differ on negative halves, so neither is used), and the
+    fold over dimensions is array-ordered in both engines. A zero
+    vector (amax = 0) quantizes to all-zero codes with sse 0 by the
+    scale=0 guard. Pure per-row codegen expressions: no shuffle, no UDF,
+    column-prunable. No counterpart in /root/reference."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    df2 = emb.select(F.col(id_col), v.alias("v"))
+    amax = F.array_max(F.transform(F.col("v"), F.abs))
+    df2 = df2.withColumn("amax", amax) \
+        .withColumn("scale", F.when(F.col("amax") > 0,
+                                    F.lit(127.0) / F.col("amax"))
+                    .otherwise(F.lit(0.0)))
+    scale = F.col("scale")
+    codes = F.transform(
+        F.col("v"), lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+
+    def _err(x):
+        d = x - F.floor(x * scale + F.lit(0.5)) / scale
+        return F.when(scale > 0, d * d).otherwise(F.lit(0.0))
+
+    sse = F.aggregate(F.col("v"), F.lit(0.0),
+                      lambda acc, x: acc + _err(x))
+    return df2.select(
+        F.col(id_col),
+        F.size("v").cast("long").alias("n_dims"),
+        F.round("amax", 6).alias("amax"),
+        codes.alias("codes"),
+        F.round(sse, 6).alias("sse"))

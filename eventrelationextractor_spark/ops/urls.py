@@ -181,3 +181,35 @@ def expand_frontier(links: DataFrame, known: DataFrame,
         F.count(F.lit(1)).alias("n_refs"))
     k = known.select(F.col(known_col).alias("url")).distinct()
     return agg.join(k, "url", "left_anti")
+
+
+def host_reputation(df: DataFrame, url_col: str = "url",
+                    score_col: str = "quality",
+                    host_threshold: float = 0.5,
+                    doc_threshold: float = 0.8) -> DataFrame:
+    """FineWeb-style host-reputation gating: aggregate each host's mean
+    document quality, then keep a document iff its HOST's mean quality
+    clears ``host_threshold`` OR its own score clears ``doc_threshold``
+    (the rescue clause: a good page on a bad host survives). Output =
+    kept rows + (host, host_docs, host_quality) evidence columns.
+
+    This is the site-level prior every production crawl filter applies
+    before per-document classifiers (a host that is 90% spam condemns
+    its marginal pages): the signal is cheap, computed once per host,
+    and catches template spam that per-doc heuristics miss.
+
+    Scale shape: one partial-agged groupBy(host) - hosts compress
+    map-side - then a host-keyed equi-join back. The host dimension is
+    corpus-derived (millions of hosts at 100 TB), so the join stays a
+    shuffled hash/sort-merge join sized by AQE; do NOT broadcast-hint it
+    (the ngram_dup_stats AQE lesson: corpus-scale build sides with small
+    post-agg estimates OOM the driver). No counterpart in
+    /root/reference."""
+    host = F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1))
+    keyed = df.withColumn("host", host)
+    stats = (keyed.groupBy("host")
+             .agg(F.count(F.lit(1)).alias("host_docs"),
+                  F.round(F.avg(score_col), 6).alias("host_quality")))
+    return (keyed.join(stats, "host")
+            .filter((F.col("host_quality") >= host_threshold)
+                    | (F.col(score_col) >= doc_threshold)))

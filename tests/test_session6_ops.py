@@ -1,0 +1,136 @@
+"""Session-6 operators: edit-distance verify, shingle containment, int8
+quantization, co-citation, HITS, host-reputation gating."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from eventrelationextractor_spark.ops import dedup, graph, simsearch, urls
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm stove in the old town")
+
+
+def test_levenshtein_pairs_finds_suffix_copy(spark):
+    df = spark.createDataFrame(
+        [(1, BASE), (2, BASE + " extra"), (3, "completely different words "
+          "about music and art in the evening city lights")],
+        "doc_id long, text string")
+    rows = {(r.a, r.b): r.edit_dist
+            for r in dedup.levenshtein_pairs(df, max_dist=16).collect()}
+    assert rows[(1, 2)] == len(" extra")
+    # every reported distance is within the bound and exact
+    texts = {1: BASE, 2: BASE + " extra"}
+    for (a, b), d in rows.items():
+        assert d <= 16
+        assert d == _lev(texts[a], texts[b])
+
+
+def test_levenshtein_pairs_excludes_past_threshold(spark):
+    # high shingle overlap (LSH candidate) but > max_dist edits
+    far = BASE + " xxxx yyyy zzzz wwww vvvv uuuu"
+    df = spark.createDataFrame([(1, BASE), (2, far)],
+                               "doc_id long, text string")
+    out = dedup.levenshtein_pairs(df, max_dist=5).collect()
+    assert out == []
+
+
+def test_containment_asymmetry_catches_quotes(spark):
+    # B wholly quotes A, then continues: containment(A in B) = 1.0
+    # while Jaccard sits well below a dedup threshold
+    quote = BASE + (" and then the story continues with many further "
+                    "sentences about markets and weather and sports "
+                    "and travel plans for the long summer ahead")
+    df = spark.createDataFrame([(1, BASE), (2, quote)],
+                               "doc_id long, text string")
+    rows = dedup.containment_pairs(df, threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a, r.b) == (1, 2)
+    assert r.containment_ab == 1.0
+    assert r.containment_ba < 0.8
+    jac = dedup.jaccard_pairs(df, threshold=0.8).collect()
+    assert jac == []  # the symmetric measure misses the quote
+
+
+def test_quantize_int8_analytic(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in simsearch.quantize_int8(df).collect()}
+    r1 = out[1]
+    assert r1.amax == 1.0 and r1.n_dims == 4
+    # floor(x*127 + 0.5): 127, -63 (-63.5+0.5 -> -63), 32 (31.75+0.5), 0
+    assert r1.codes == [127, -63, 32, 0]
+    sse = sum((x - c / 127.0) ** 2
+              for x, c in zip([1.0, -0.5, 0.25, 0.0], r1.codes))
+    assert math.isclose(r1.sse, round(sse, 6), abs_tol=1e-9)
+    r2 = out[2]  # zero vector: scale-0 guard
+    assert r2.amax == 0.0 and r2.codes == [0, 0] and r2.sse == 0.0
+
+
+def test_cocitation_counts_and_cap(spark):
+    e = spark.createDataFrame(
+        [("s1", "a"), ("s1", "b"), ("s1", "c"),
+         ("s2", "a"), ("s2", "b"), ("s2", "a"),     # dup edge: one citation
+         ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"),
+         ("lone", "a")],                             # degree-1: no pairs
+        "src string, dst string")
+    out = {(r.a, r.b): r.n_common
+           for r in graph.cocitation(e, max_out_degree=3).collect()}
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_hits_two_node_analytic(spark):
+    e = spark.createDataFrame([("x", "y")], "src string, dst string")
+    out = {r.node: (r.hub, r.authority)
+           for r in graph.hits(e, n_iter=3).collect()}
+    assert out == {"x": (1.0, 0.0), "y": (0.0, 1.0)}
+
+
+def test_hits_matches_numpy(spark):
+    import numpy as np
+    edges = [(i, (i * 3 + 1) % 7) for i in range(7)] + [(2, 5), (4, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: (r.hub, r.authority)
+           for r in graph.hits(e, n_iter=3).collect()}
+    A = np.zeros((7, 7))
+    for s, d in edges:
+        A[s, d] += 1.0
+    h = np.ones(7)
+    for _ in range(3):
+        a = A.T @ h
+        a = a / a.sum() if a.sum() > 0 else a
+        h = A @ a
+        h = h / h.sum() if h.sum() > 0 else h
+    for n in range(7):
+        assert math.isclose(out[n][0], h[n], abs_tol=1e-12)
+        assert math.isclose(out[n][1], a[n], abs_tol=1e-12)
+
+
+def test_host_reputation_gate_and_rescue(spark):
+    df = spark.createDataFrame(
+        [(1, "https://good.example.com/p1", 0.9),
+         (2, "https://good.example.com/p2", 0.8),
+         (3, "https://bad.example.net/p3", 0.1),
+         (4, "https://bad.example.net/p4", 0.95)],
+        "doc_id long, url string, quality double")
+    kept = urls.host_reputation(df, host_threshold=0.6, doc_threshold=0.9)
+    rows = {r.doc_id: r for r in kept.collect()}
+    # good host (mean 0.85) passes wholesale; bad host (mean 0.525)
+    # fails but doc 4 is rescued by its own score
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].host_docs == 2 and rows[1].host_quality == 0.85
+    assert rows[4].host_quality == 0.525
