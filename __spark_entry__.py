@@ -1545,6 +1545,44 @@ def _q_domain_reputation(spark, sf_dir):
                        "host_docs", "host_quality")
 
 
+def _q_embedding_jl(spark, sf_dir):
+    """Johnson-Lindenstrauss Rademacher projection
+    (ops/simsearch.py::jl_project): 64 -> 16 dims against driver-known
+    md5-parity sign planes (the IVF literal-centroid pattern: zero
+    broadcast state, zero shuffle). Posed exploded to (vec_id, dim,
+    value) scalars so the gate's per-cell 6dp float rounding applies;
+    the oracle replays the identical sign literals."""
+    r = simsearch.jl_project(_emb(spark, sf_dir), k=16, dim=64)
+    return r.select("vec_id",
+                    F.posexplode("reduced").alias("dim", "value")) \
+        .select("vec_id", F.col("dim").cast("long").alias("dim"), "value")
+
+
+def _q_url_spam(spark, sf_dir):
+    """Lexical URL spam features (ops/urls.py::url_spam_features,
+    Ntoulas/Castillo feature family) over the multi-host url slice
+    augmented with deterministic spam-shaped variants: every 7th doc
+    gets a digit+hyphen subdomain prefix, every 4th a tracking query
+    string - so every feature column and the score's least-1 saturation
+    are exercised at all SFs. The oracle replays staging and every
+    expression."""
+    w = _web_urls(spark, sf_dir)
+    i = F.col("doc_id")
+    spam_host = F.concat(F.lit("promo"), (i % 100).cast("string"),
+                         F.lit("-w1n."))
+    qs = F.when(i % 4 == 0,
+                F.lit("?utm_source=feed&utm_medium=rss&id=1")) \
+        .when(i % 4 == 1, F.lit("?ref=home")).otherwise(F.lit(""))
+    url = F.concat(F.lit("https://"),
+                   F.when(i % 7 == 0, spam_host).otherwise(F.lit("")),
+                   F.regexp_extract("url", r"^https://(.*)$", 1), qs)
+    staged = w.select("doc_id", url.alias("url"))
+    return urls.url_spam_features(staged).select(
+        "doc_id", "url", "host", "url_len", "host_digits",
+        "host_digit_ratio", "host_hyphens", "n_subdomains", "n_params",
+        "n_tracking", "spam_score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG construction pipeline (reference parity + scale)
@@ -1654,6 +1692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cocitation": _q_host_cocitation,
         "link_hits": _q_link_hits,
         "domain_reputation": _q_domain_reputation,
+        "embedding_jl": _q_embedding_jl,
+        "url_spam_features": _q_url_spam,
     }
 
 
@@ -3840,6 +3880,67 @@ WHERE st.host_quality >= 0.3 OR h.score >= 0.5
 """
 
 
+def _jl_oracle(k: int = 16, dim: int = 64, seed_offset: int = 1000) -> str:
+    """Replays jl_project's driver-known Rademacher sign planes as SQL
+    literals (same _plane md5-parity construction feeding both engines),
+    exploded to per-dimension scalars for the gate's float rounding."""
+    from eventrelationextractor_spark.ops.simsearch import _plane
+    root = float(k) ** 0.5
+    exprs = []
+    for j in range(k):
+        arr = ("[" + ",".join("1.0" if x > 0 else "-1.0"
+                              for x in _plane(seed_offset + j, dim))
+               + "]::DOUBLE[]")
+        exprs.append("round(list_sum(list_transform("
+                     "generate_series(1, len(v)), "
+                     f"i -> v[i] * ({arr})[i])) / {root!r}, 6)")
+    cols = ",\n  ".join(exprs)
+    return f"""WITH e AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+r AS (SELECT vec_id, [{cols}] AS red FROM e)
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, red[i] AS value
+FROM r, LATERAL unnest(generate_series(1, len(red))) AS g(i)"""
+
+
+_URLSPAM_ORACLE = f"""
+WITH w AS ({_WEB_URLS}),
+st AS (SELECT doc_id,
+  'https://' ||
+  CASE WHEN doc_id % 7 = 0
+       THEN 'promo' || (doc_id % 100) || '-w1n.' ELSE '' END ||
+  regexp_extract(url, '^https://(.*)$', 1) ||
+  CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss&id=1'
+       WHEN doc_id % 4 = 1 THEN '?ref=home' ELSE '' END AS url
+  FROM w),
+f AS (SELECT doc_id, url,
+  lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host,
+  regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM st),
+g AS (SELECT doc_id, url, host, query,
+  CAST(length(url) AS BIGINT) AS url_len,
+  CAST(length(host) - length(regexp_replace(host, '[0-9]', '', 'g'))
+       AS BIGINT) AS host_digits,
+  CAST(length(host) - length(regexp_replace(host, '-', '', 'g'))
+       AS BIGINT) AS host_hyphens,
+  CAST(len(string_split(host, '.')) - 2 AS BIGINT) AS n_subdomains,
+  CAST(CASE WHEN query = '' THEN 0
+       ELSE len(string_split(query, '&')) END AS BIGINT) AS n_params,
+  CAST(len(list_filter(string_split(query, '&'),
+    p -> list_contains(['utm_source','utm_medium','utm_campaign',
+                        'utm_term','utm_content','gclid','fbclid',
+                        'msclkid','ref'],
+                       string_split(p, '=')[1]))) AS BIGINT) AS n_tracking
+  FROM f)
+SELECT doc_id, url, host, url_len, host_digits,
+  round(host_digits / length(host), 6) AS host_digit_ratio,
+  host_hyphens, n_subdomains, n_params, n_tracking,
+  round(least(1.0, host_digits/8.0 + host_hyphens/6.0
+              + greatest(n_subdomains - 2, 0)/4.0 + n_tracking/4.0
+              + url_len/400.0), 6) AS spam_score
+FROM g
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -3969,6 +4070,8 @@ FROM hashed
         "host_cocitation": _COCITATION_ORACLE,
         "link_hits": _hits_oracle(),
         "domain_reputation": _DOMAIN_REP_ORACLE,
+        "embedding_jl": _jl_oracle(),
+        "url_spam_features": _URLSPAM_ORACLE,
     }
 
 

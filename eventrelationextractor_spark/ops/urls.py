@@ -213,3 +213,51 @@ def host_reputation(df: DataFrame, url_col: str = "url",
     return (keyed.join(stats, "host")
             .filter((F.col("host_quality") >= host_threshold)
                     | (F.col(score_col) >= doc_threshold)))
+
+
+def url_spam_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Lexical URL spam features (Ntoulas et al. 2006 / Castillo et al.
+    2007 feature family): host digit count and ratio, hyphen count,
+    subdomain depth, url length, query-param count, tracking-param
+    count, plus a bounded 0..1 heuristic spam score. THE cheapest spam
+    tier a crawl pipeline runs - no page fetch needed, so it gates the
+    frontier itself (spammy URLs are never fetched at all).
+
+    Pure per-row codegen (regex + arithmetic): no shuffle, no UDF,
+    column-prunable; the SQL oracle replays every expression. The score
+    is a transparent linear bucket heuristic, NOT a learned model (the
+    learned tier is ops/quality.py::quality_classifier); weights chosen
+    so each feature family saturates at least-1. No counterpart in
+    /root/reference."""
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, HOST_RE, 1))
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    host_digits = (F.length(host)
+                   - F.length(F.regexp_replace(host, r"[0-9]", "")))
+    host_hyphens = (F.length(host)
+                    - F.length(F.regexp_replace(host, r"-", "")))
+    n_subdomains = (F.size(F.split(host, r"\.")) - 2).cast("long")
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))).cast("long")
+    n_tracking = F.size(F.filter(
+        F.split(query, "&"),
+        lambda p: F.split(p, "=")[0].isin(list(TRACKING_PARAMS)))
+    ).cast("long")
+    digit_ratio = F.round(host_digits / F.length(host), 6)
+    score = F.round(F.least(F.lit(1.0),
+                            host_digits / F.lit(8.0)
+                            + host_hyphens / F.lit(6.0)
+                            + F.greatest(n_subdomains - 2, F.lit(0))
+                            / F.lit(4.0)
+                            + n_tracking / F.lit(4.0)
+                            + F.length(u) / F.lit(400.0)), 6)
+    return (df
+            .withColumn("host", host)
+            .withColumn("url_len", F.length(u).cast("long"))
+            .withColumn("host_digits", host_digits.cast("long"))
+            .withColumn("host_digit_ratio", digit_ratio)
+            .withColumn("host_hyphens", host_hyphens.cast("long"))
+            .withColumn("n_subdomains", n_subdomains)
+            .withColumn("n_params", n_params)
+            .withColumn("n_tracking", n_tracking)
+            .withColumn("spam_score", score))

@@ -34,9 +34,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def parse_warc_bytes(data: bytes):
-    """Yield (url, warc_date_iso, payload_bytes) per response record.
-    Pure function of the file bytes (testable without Spark)."""
+def _iter_records(data: bytes):
+    """Yield (fields_lowercased, block_bytes) per WARC record - the
+    Content-Length-driven framing shared by .warc (response records)
+    and .wet (conversion records)."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -61,12 +62,31 @@ def parse_warc_bytes(data: bytes):
         # consume the record separator (tolerate a missing trailing one)
         while data[pos:pos + 2] == b"\r\n":
             pos += 2
+        yield fields, block
+
+
+def parse_warc_bytes(data: bytes):
+    """Yield (url, warc_date_iso, payload_bytes) per response record.
+    Pure function of the file bytes (testable without Spark)."""
+    for fields, block in _iter_records(data):
         if fields.get("warc-type") == "response":
             url = fields.get("warc-target-uri", "")
             ts = fields.get("warc-date", "")
             http_end = block.find(b"\r\n\r\n")
             payload = block[http_end + 4:] if http_end >= 0 else block
             yield url, ts, payload
+
+
+def parse_wet_bytes(data: bytes):
+    """Yield (url, warc_date_iso, text) per ``WARC-Type: conversion``
+    record - the WET (text-extract) sibling of ``parse_warc_bytes``.
+    WET blocks are plain UTF-8 text with NO HTTP envelope (Common
+    Crawl's wet.paths segments), so the block is the payload."""
+    for fields, block in _iter_records(data):
+        if fields.get("warc-type") == "conversion":
+            yield (fields.get("warc-target-uri", ""),
+                   fields.get("warc-date", ""),
+                   block.decode("utf-8", "replace"))
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -115,4 +135,57 @@ def write_warc_bytes(pages) -> bytes:
         out.append(record("response",
                           {"WARC-Target-URI": url, "WARC-Date": ts},
                           http))
+    return b"".join(out)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """-> (url string, warc_ts timestamp, text string) from the WET
+    file(s) at ``path`` (glob ok). Same distributed shape as
+    ``read_warc``: Spark does not split binary files, so the parallel
+    unit is the WET segment file - exactly how Common Crawl ships them
+    (one ~150 MB WET per WARC, tens of thousands per crawl). WET skips
+    the html->text stage entirely: the conversion block IS the page
+    text, so this source feeds the text operators (quality, dedup,
+    lang-id) directly."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def gen(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = list(parse_wet_bytes(bytes(content)))
+                if rows:
+                    yield pd.DataFrame(
+                        {"url": [r[0] for r in rows],
+                         "warc_ts": pd.to_datetime(
+                             [r[1] for r in rows], utc=True, format="ISO8601"
+                         ).tz_localize(None),
+                         "text": [r[2] for r in rows]})
+
+    return files.mapInPandas(
+        gen, "url string, warc_ts timestamp, text string")
+
+
+def write_wet_bytes(pages) -> bytes:
+    """Serialize (url, warc_ts_iso, text) rows into a minimal WET file
+    (warcinfo + one conversion record per page) - the test fixture
+    generator, NOT a production sink."""
+    out = []
+
+    def record(rtype: str, headers: dict, block: bytes) -> bytes:
+        h = [b"WARC/1.0", f"WARC-Type: {rtype}".encode()]
+        for k, v in headers.items():
+            h.append(f"{k}: {v}".encode())
+        h.append(b"Content-Length: " + str(len(block)).encode())
+        return b"\r\n".join(h) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+    out.append(record("warcinfo", {"WARC-Filename": "test.warc.wet"},
+                      b"software: eventrelationextractor_spark test\r\n"))
+    for url, ts, text in pages:
+        out.append(record("conversion",
+                          {"WARC-Target-URI": url, "WARC-Date": ts,
+                           "Content-Type": "text/plain"},
+                          text.encode("utf-8")))
     return b"".join(out)

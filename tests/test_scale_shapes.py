@@ -258,3 +258,32 @@ def test_triangle_wedge_join_is_equi_not_nested_loop(spark):
     plan = _physical(graph.triangle_counts(e))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- session 6
+
+
+def test_quantize_int8_is_pure_map_side(spark):
+    """int8 quantization is per-row codegen: zero Exchange, zero Python
+    eval anywhere in the plan."""
+    from eventrelationextractor_spark.ops.simsearch import quantize_int8
+    emb = spark.createDataFrame([(1, [1.0, -0.5])],
+                                "vec_id long, embedding array<float>")
+    plan = _physical(quantize_int8(emb))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_cocitation_cap_filters_before_collect(spark):
+    """The out-degree gate must be planned BEFORE the out-link
+    collect_list (a link-farm hub never materializes its list) - the
+    same ordering contract as capped_bucket_pairs."""
+    from eventrelationextractor_spark.ops.graph import cocitation
+    e = spark.createDataFrame(
+        [("hub", f"t{i}") for i in range(50)]
+        + [("s", "a"), ("s", "b")], "src string, dst string")
+    df = cocitation(e, max_out_degree=10)
+    plan = _physical(df)
+    assert "collect_list" in plan
+    assert plan.index("collect_list") < plan.rindex("count(")
+    assert {(r.a, r.b, r.n_common) for r in df.collect()} == {("a", "b", 1)}

@@ -134,3 +134,49 @@ def test_host_reputation_gate_and_rescue(spark):
     assert set(rows) == {1, 2, 4}
     assert rows[1].host_docs == 2 and rows[1].host_quality == 0.85
     assert rows[4].host_quality == 0.525
+
+
+def test_jl_project_branches_agree_and_match_numpy(spark):
+    import numpy as np
+
+    from eventrelationextractor_spark.ops.simsearch import _plane
+    vecs = [(i, [((i * 31 + j * 7) % 13 - 6) / 3.0 for j in range(8)])
+            for i in range(5)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    expr = {r.vec_id: r.reduced for r in
+            simsearch.jl_project(df, k=4, dim=8, arrow=False).collect()}
+    arrow = {r.vec_id: r.reduced for r in
+             simsearch.jl_project(df, k=4, dim=8, arrow=True).collect()}
+    S = np.array([_plane(1000 + j, 8) for j in range(4)])
+    for i, v in vecs:
+        v32 = np.asarray(v, dtype=np.float32).astype(np.float64)
+        want = np.round((S @ v32) / 2.0, 6)           # sqrt(4) = 2
+        assert expr[i] == arrow[i] == list(want)
+
+
+def test_jl_project_preserves_distances_roughly(spark):
+    # JL sanity: identical vectors project identically; scaling is linear
+    df = spark.createDataFrame(
+        [(1, [1.0] * 16), (2, [1.0] * 16), (3, [2.0] * 16)],
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.reduced for r in
+           simsearch.jl_project(df, k=4, dim=16).collect()}
+    assert out[1] == out[2]
+    assert out[3] == [round(2 * x, 6) for x in out[1]]
+
+
+def test_url_spam_features_analytic(spark):
+    df = spark.createDataFrame(
+        [(1, "https://promo77-w1n.free.example.net/p1?utm_source=a&x=1"),
+         (2, "https://www.example.com/clean")],
+        "doc_id long, url string")
+    rows = {r.doc_id: r for r in urls.url_spam_features(df).collect()}
+    spam = rows[1]
+    assert spam.host == "promo77-w1n.free.example.net"
+    assert spam.host_digits == 3          # 7, 7, 1
+    assert spam.host_hyphens == 1
+    assert spam.n_subdomains == 2
+    assert spam.n_params == 2 and spam.n_tracking == 1
+    clean = rows[2]
+    assert clean.host_digits == 0 and clean.n_tracking == 0
+    assert clean.spam_score < spam.spam_score

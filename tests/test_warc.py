@@ -61,3 +61,36 @@ def test_read_warc_to_pages_and_triples(spark, tmp_path):
     direct = {tuple(r) for r in stages.extract_triples(
         stages.synth_pages_df(spark, 8), mode="temporal").collect()}
     assert via_warc == direct and len(direct) > 0
+
+
+def test_parse_wet_bytes_pure():
+    from eventrelationextractor_spark.spark.warc import (parse_wet_bytes,
+                                                         write_wet_bytes)
+    pages = [("https://a.example/p1", "2024-01-01T00:00:00Z", "hello world"),
+             ("https://a.example/p2", "2024-01-02T00:00:00Z",
+              "unicode café text")]
+    data = write_wet_bytes(pages)
+    rows = list(parse_wet_bytes(data))
+    assert rows == pages          # warcinfo skipped, text round-trips
+    # WARC response records are NOT conversion records: a .warc file
+    # yields nothing through the WET parser
+    from eventrelationextractor_spark.spark.warc import write_warc_bytes
+    assert list(parse_wet_bytes(write_warc_bytes(
+        [("https://a.example/h", "2024-01-01T00:00:00Z", b"<html/>")]))) == []
+
+
+def test_read_wet_feeds_text_operators(spark, tmp_path):
+    from eventrelationextractor_spark.ops import textstats
+    from eventrelationextractor_spark.spark.warc import (read_wet,
+                                                         write_wet_bytes)
+    pages = [(f"https://w.example/p{i}", "2024-03-01T12:00:00Z",
+              f"the quick brown fox number {i} jumps over the lazy dog")
+             for i in range(6)]
+    p = tmp_path / "seg.warc.wet"
+    p.write_bytes(write_wet_bytes(pages))
+    df = read_wet(spark, str(p))
+    assert df.count() == 6
+    assert set(df.columns) == {"url", "warc_ts", "text"}
+    # the WET text column feeds the text operators directly
+    q = textstats.quality_score(df.withColumnRenamed("url", "doc_id"))
+    assert q.filter(q.n_tokens == 11).count() == 6
