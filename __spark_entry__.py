@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from eventrelationextractor_spark import fixtures as fx  # noqa: E402
-from eventrelationextractor_spark.ops import bm25, cluster, packing  # noqa: E402
+from eventrelationextractor_spark.ops import bm25, cluster, packing, pq  # noqa: E402
 from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
 from eventrelationextractor_spark.ops import bloom, bpe, graph, linededup  # noqa: E402
 from eventrelationextractor_spark.ops import htmltext, mixing, pii  # noqa: E402
@@ -1583,6 +1583,27 @@ def _q_url_spam(spark, sf_dir):
         "n_tracking", "spam_score")
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ approximate top-k (ops/pq.py, Jegou et al. 2011): coarse
+    1-iteration k-means cells prune the scan to nprobe=2 cells; stored
+    vectors are 4 uint8 product codes; per-candidate distance = 4
+    codegen table lookups against the per-query ADC table. The oracle
+    replays the ENTIRE index: coarse Lloyd, all four subspace Lloyds,
+    code assignment, probe selection, and the ADC sum - ranked on the
+    6dp-rounded distance both sides (the bm25 lesson)."""
+    return pq.ivfpq_topk(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+def _q_training_order(spark, sf_dir):
+    """Deterministic global training shuffle
+    (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
+    (doc_id, shard, pos), reproducible across engines/reruns and
+    resumable by (shard, pos). One Exchange on shard + the in-shard
+    sort the shard writer performs anyway; the oracle is the
+    row_number twin over the identical hash."""
+    return mixing.training_order(_docs(spark, sf_dir), n_shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG construction pipeline (reference parity + scale)
@@ -1694,6 +1715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_reputation": _q_domain_reputation,
         "embedding_jl": _q_embedding_jl,
         "url_spam_features": _q_url_spam,
+        "training_order": _q_training_order,
+        "ann_ivfpq": _q_ann_ivfpq,
     }
 
 
@@ -3941,6 +3964,89 @@ FROM g
 """
 
 
+_TRAINING_ORDER_ORACLE = """
+WITH h AS (SELECT doc_id,
+           md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+s AS (SELECT doc_id, h,
+      CAST(('0x' || substr(h, 1, 8))::UBIGINT % 8 AS BIGINT) AS shard
+      FROM h)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+       AS BIGINT) AS pos
+FROM s
+"""
+
+
+def _ivfpq_oracle(n_queries: int = 10, k: int = 5, coarse_k: int = 8,
+                  m: int = 4, k_sub: int = 16, nprobe: int = 2,
+                  dim: int = 64) -> str:
+    """Replays the ENTIRE IVF-PQ index as chained CTEs: the coarse
+    1-iteration Lloyd (the _kmeans_oracle pattern), each subspace's
+    Lloyd over the list slice, per-vector code assignment, per-query
+    probe selection and the ADC distance sum - all mirroring ops/pq.py
+    expression-for-expression (sqrt-then-square of list_distance vs the
+    direct squared sum differs by ~1 ulp, far under the 6dp rounding
+    both engines rank on)."""
+    sub = dim // m
+    parts = [f"""WITH ev AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cell, v AS cv FROM ev WHERE vec_id < {coarse_k}),
+a1 AS (SELECT e.vec_id, e.v, (SELECT c.cell FROM c0 c
+       ORDER BY list_distance(e.v, c.cv), c.cell LIMIT 1) AS cell FROM ev e),
+u1 AS (SELECT cell, list(m ORDER BY pos) AS cv FROM (
+       SELECT a.cell, t.pos, avg(a.v[t.pos + 1]) AS m
+       FROM a1 a, range({dim}) t(pos) GROUP BY a.cell, t.pos) GROUP BY cell),
+c1 AS (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+       FROM c0 p LEFT JOIN u1 u ON p.cell = u.cell),
+cellof AS (SELECT e.vec_id, (SELECT c.cell FROM c1 c
+           ORDER BY list_distance(e.v, c.cv), c.cell LIMIT 1) AS cell
+           FROM ev e)"""]
+    for b in range(m):
+        lo, hi = b * sub + 1, (b + 1) * sub
+        parts.append(f""",
+s{b} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM ev),
+s{b}c0 AS (SELECT vec_id AS cell, sv AS cv FROM s{b} WHERE vec_id < {k_sub}),
+s{b}a1 AS (SELECT e.vec_id, e.sv, (SELECT c.cell FROM s{b}c0 c
+  ORDER BY list_distance(e.sv, c.cv), c.cell LIMIT 1) AS cell FROM s{b} e),
+s{b}u1 AS (SELECT cell, list(m ORDER BY pos) AS cv FROM (
+  SELECT a.cell, t.pos, avg(a.sv[t.pos + 1]) AS m
+  FROM s{b}a1 a, range({sub}) t(pos) GROUP BY a.cell, t.pos) GROUP BY cell),
+s{b}c1 AS (SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+  FROM s{b}c0 p LEFT JOIN s{b}u1 u ON p.cell = u.cell),
+code{b} AS (SELECT e.vec_id, (SELECT c.cell FROM s{b}c1 c
+  ORDER BY list_distance(e.sv, c.cv), c.cell LIMIT 1) AS code FROM s{b} e)""")
+    parts.append(f""",
+q AS (SELECT vec_id AS qid, v FROM ev WHERE vec_id < {n_queries}),
+probe AS (SELECT qid, cell FROM (
+  SELECT q.qid, c.cell, row_number() OVER (PARTITION BY q.qid
+    ORDER BY list_distance(q.v, c.cv), c.cell) AS rn
+  FROM q CROSS JOIN c1 c) WHERE rn <= {nprobe})""")
+    for b in range(m):
+        lo, hi = b * sub + 1, (b + 1) * sub
+        parts.append(f""",
+qd{b} AS (SELECT q.qid, c.cell AS code,
+  pow(list_distance(q.v[{lo}:{hi}], c.cv), 2) AS d
+  FROM q CROSS JOIN s{b}c1 c)""")
+    joins = "\n  ".join(
+        f"JOIN code{b} ON code{b}.vec_id = cellof.vec_id "
+        f"JOIN qd{b} ON qd{b}.qid = probe.qid AND qd{b}.code = code{b}.code"
+        for b in range(m))
+    dsum = " + ".join(f"qd{b}.d" for b in range(m))
+    parts.append(f""",
+cand AS (SELECT probe.qid, cellof.vec_id, round({dsum}, 6) AS adc_dist
+  FROM probe
+  JOIN cellof ON cellof.cell = probe.cell AND cellof.vec_id <> probe.qid
+  {joins})
+SELECT qid AS query_id,
+  CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id)
+       AS BIGINT) AS rank,
+  vec_id AS neighbor_id, adc_dist
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id)
+        <= {k}""")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -4072,6 +4178,8 @@ FROM hashed
         "domain_reputation": _DOMAIN_REP_ORACLE,
         "embedding_jl": _jl_oracle(),
         "url_spam_features": _URLSPAM_ORACLE,
+        "training_order": _TRAINING_ORDER_ORACLE,
+        "ann_ivfpq": _ivfpq_oracle(),
     }
 
 

@@ -18,7 +18,7 @@ stratum count), then map-side only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -180,3 +180,33 @@ def mixing_plan(df: DataFrame, stratum_col: str, token_col: str,
                     F.round(F.lit(float(target_tokens)) * w
                             / F.col("n_tokens"), 6)
                     .alias("repeat_factor")))
+
+
+def training_order(df: DataFrame, n_shards: int = 8,
+                   id_col: str = "doc_id", salt: str = "shuf1") -> DataFrame:
+    """Deterministic global training-data shuffle: assign every example
+    a shard and an in-shard position from md5(salt:id) -> (id, shard,
+    pos). THE final stage of a training-corpus pipeline: examples must
+    arrive in a reproducible pseudo-random order (no curriculum bias
+    from crawl/source locality), resumable mid-epoch by (shard, pos),
+    identical across engines/reruns, and re-shuffleable per epoch by
+    changing ``salt``.
+
+    shard = hash % n_shards spreads any input locality uniformly;
+    pos = rank of the FULL md5 hex within the shard (ties impossible
+    modulo md5 collisions; id breaks them deterministically anyway).
+
+    Scale shape: one Exchange on shard, then an in-shard sort - exactly
+    the sort the shard writer performs anyway, bounded by corpus/
+    n_shards per task (pick n_shards = target file count, thousands at
+    100 TB, so a shard is a file-sized unit). No global sort, no
+    driver state. The fate hash is the stratified_sample construction,
+    so a doc's survival (sampling) and its position (shuffle) stay
+    independent pure functions of (salt, id)."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+             % n_shards).cast("long")
+    w = Window.partitionBy("shard").orderBy(F.col("h"), F.col(id_col))
+    return (df.select(F.col(id_col), h.alias("h"), shard.alias("shard"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .select(id_col, "shard", "pos"))

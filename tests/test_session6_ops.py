@@ -180,3 +180,59 @@ def test_url_spam_features_analytic(spark):
     clean = rows[2]
     assert clean.host_digits == 0 and clean.n_tracking == 0
     assert clean.spam_score < spam.spam_score
+
+
+def test_training_order_deterministic_balanced_resalted(spark):
+    from collections import defaultdict
+
+    from eventrelationextractor_spark.ops import mixing
+    df = spark.range(0, 256).withColumnRenamed("id", "doc_id")
+    a = {(r.doc_id, r.shard, r.pos)
+         for r in mixing.training_order(df, n_shards=4).collect()}
+    b = {(r.doc_id, r.shard, r.pos)
+         for r in mixing.training_order(df, n_shards=4).collect()}
+    assert a == b                      # reproducible across runs
+    sh = defaultdict(list)
+    for _, s, p in a:
+        sh[s].append(p)
+    assert set(sh) == {0, 1, 2, 3}     # all shards populated
+    for ps in sh.values():             # positions are dense 1..k
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    c = {(r.doc_id, r.shard, r.pos)
+         for r in mixing.training_order(df, n_shards=4,
+                                        salt="shuf2").collect()}
+    assert c != a                      # per-epoch re-shuffle via salt
+
+
+def _pq_fixture(spark):
+    # 16 vectors over 4 exactly-repeated patterns: Lloyd keeps the
+    # codebooks AT the patterns (mean of identical points), so ADC
+    # distances are analytic
+    def pat(j):
+        return [float(j + 1)] * 4 + [float((j + 1) * 10)] * 4
+    rows = [(i, pat(i % 4)) for i in range(16)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_encode_groups_identical_subvectors(spark):
+    from eventrelationextractor_spark.ops import pq
+    emb = _pq_fixture(spark)
+    books = pq.pq_train(emb, m=2, k_sub=4, n_iter=1, dim=8)
+    codes = {r.vec_id: tuple(r.codes)
+             for r in pq.pq_encode(emb, books).collect()}
+    for i in range(16):
+        assert codes[i] == codes[i % 4]      # same pattern -> same codes
+    assert len({codes[j] for j in range(4)}) == 4   # patterns separated
+
+
+def test_ivfpq_exact_patterns_rank_first_with_zero_adc(spark):
+    from eventrelationextractor_spark.ops import pq
+    emb = _pq_fixture(spark)
+    out = pq.ivfpq_topk(emb, n_queries=2, k=3, coarse_k=2, coarse_iter=1,
+                        m=2, k_sub=4, nprobe=2, dim=8)
+    rows = [(r.query_id, r.rank, r.neighbor_id, r.adc_dist)
+            for r in out.collect()]
+    # query 0 (pattern 0): its codeword-exact twins 4, 8, 12 at dist 0,
+    # ordered by id; same for query 1 (pattern 1)
+    assert rows == [(0, 1, 4, 0.0), (0, 2, 8, 0.0), (0, 3, 12, 0.0),
+                    (1, 1, 5, 0.0), (1, 2, 9, 0.0), (1, 3, 13, 0.0)]

@@ -6,7 +6,9 @@ Default mode builds the synthetic pages corpus in-job; ``--from-warc``
 runs the full crawl path instead - WARC segment files -> response
 records -> html binary -> boilerplate-stripping text extraction ->
 extraction (use ``--make-warc <dir> <n_docs>`` to materialize synthetic
-segments first). Either way: temporal+causal triples with the giant-page
+segments first). ``--from-wet`` (with ``--make-wet``) reads WET
+text-extract segments instead, skipping the html->text stage (the
+conversion block IS the page text - Common Crawl's wet.paths layout). Either way: temporal+causal triples with the giant-page
 guard, url-hash-bucketed resumable lineage writes, one-line JSON
 summary. Demonstrates the north-rule deployment path (multi-executor via
 --master; everything in the package is zip-importable)."""
@@ -38,16 +40,44 @@ def make_warc(warc_dir: str, n_docs: int, docs_per_seg: int = 500) -> None:
             f.write(write_warc_bytes(pages))
 
 
+def make_wet(wet_dir: str, n_docs: int, docs_per_seg: int = 500) -> None:
+    """Materialize synthetic WET text-extract segments (same corpus as
+    make_warc, minus the html envelope)."""
+    from eventrelationextractor_spark import datagen
+    from eventrelationextractor_spark.spark.warc import write_wet_bytes
+    os.makedirs(wet_dir, exist_ok=True)
+    for seg0 in range(0, n_docs, docs_per_seg):
+        pages = []
+        for d in range(seg0, min(seg0 + docs_per_seg, n_docs)):
+            p = datagen.synth_page(d)
+            pages.append((p["url"],
+                          p["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                          p["text"]))
+        with open(os.path.join(wet_dir,
+                               f"seg-{seg0 // docs_per_seg:05d}.warc.wet"),
+                  "wb") as f:
+            f.write(write_wet_bytes(pages))
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     if args and args[0] == "--make-warc":
         make_warc(args[1], int(args[2]))
         print(json.dumps({"made_warc": args[1], "docs": int(args[2])}))
         return
+    if args and args[0] == "--make-wet":
+        make_wet(args[1], int(args[2]))
+        print(json.dumps({"made_wet": args[1], "docs": int(args[2])}))
+        return
     warc_dir = None
     if "--from-warc" in args:
         i = args.index("--from-warc")
         warc_dir = args[i + 1]
+        del args[i:i + 2]
+    wet_dir = None
+    if "--from-wet" in args:
+        i = args.index("--from-wet")
+        wet_dir = args[i + 1]
         del args[i:i + 2]
     out_dir = args[0] if args else "/tmp/erex_out"
     n_docs = int(args[1]) if len(args) > 1 else 2000
@@ -59,7 +89,7 @@ def main() -> None:
     from eventrelationextractor_spark.spark.lineage import (
         read_triples, write_triples_resumable)
     from eventrelationextractor_spark.spark.stages import synth_pages_df
-    from eventrelationextractor_spark.spark.warc import read_warc
+    from eventrelationextractor_spark.spark.warc import read_warc, read_wet
 
     spark = SparkSession.builder.appName("erex-kg-job").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -68,6 +98,9 @@ def main() -> None:
     if warc_dir is not None:
         pages = html_to_text(
             read_warc(spark, os.path.join(warc_dir, "*.warc"))) \
+            .withColumn("lang", F.lit("en"))
+    elif wet_dir is not None:
+        pages = read_wet(spark, os.path.join(wet_dir, "*.warc.wet")) \
             .withColumn("lang", F.lit("en"))
     else:
         pages = synth_pages_df(spark, n_docs)
