@@ -1594,6 +1594,15 @@ def _q_ann_ivfpq(spark, sf_dir):
     return pq.ivfpq_topk(_emb(spark, sf_dir), n_queries=10, k=5)
 
 
+def _q_ann_ivfpq_recall(spark, sf_dir):
+    """Recall@k acceptance telemetry for the IVF-PQ index
+    (ops/pq.py::ivfpq_recall): approximate top-5 vs the exact
+    squared-L2 top-5, per query. The number that says whether the 16x
+    compression + nprobe pruning still return the right neighbors;
+    the oracle replays BOTH sides."""
+    return pq.ivfpq_recall(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -1717,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_spam_features": _q_url_spam,
         "training_order": _q_training_order,
         "ann_ivfpq": _q_ann_ivfpq,
+        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
     }
 
 
@@ -3914,9 +3924,12 @@ def _jl_oracle(k: int = 16, dim: int = 64, seed_offset: int = 1000) -> str:
         arr = ("[" + ",".join("1.0" if x > 0 else "-1.0"
                               for x in _plane(seed_offset + j, dim))
                + "]::DOUBLE[]")
-        exprs.append("round(list_sum(list_transform("
-                     "generate_series(1, len(v)), "
-                     f"i -> v[i] * ({arr})[i])) / {root!r}, 6)")
+        # list_dot_product, not a per-index lambda fold: indexing the
+        # 64-literal array inside the lambda re-materializes it per
+        # element (O(dim^2) per expr - measured 45 s/expr over 50k rows
+        # vs 0.05 s for the dot product); summation-order drift vs the
+        # Spark fold is ~1e-15, absorbed by the 6dp rounding
+        exprs.append(f"round(list_dot_product(v, {arr}) / {root!r}, 6)")
     cols = ",\n  ".join(exprs)
     return f"""WITH e AS (SELECT vec_id,
   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -3977,9 +3990,9 @@ FROM s
 """
 
 
-def _ivfpq_oracle(n_queries: int = 10, k: int = 5, coarse_k: int = 8,
-                  m: int = 4, k_sub: int = 16, nprobe: int = 2,
-                  dim: int = 64) -> str:
+def _ivfpq_cand_sql(n_queries: int = 10, coarse_k: int = 8,
+                    m: int = 4, k_sub: int = 16, nprobe: int = 2,
+                    dim: int = 64) -> str:
     """Replays the ENTIRE IVF-PQ index as chained CTEs: the coarse
     1-iteration Lloyd (the _kmeans_oracle pattern), each subspace's
     Lloyd over the list slice, per-vector code assignment, per-query
@@ -4036,15 +4049,40 @@ qd{b} AS (SELECT q.qid, c.cell AS code,
 cand AS (SELECT probe.qid, cellof.vec_id, round({dsum}, 6) AS adc_dist
   FROM probe
   JOIN cellof ON cellof.cell = probe.cell AND cellof.vec_id <> probe.qid
-  {joins})
+  {joins})""")
+    return "".join(parts)
+
+
+def _ivfpq_oracle(n_queries: int = 10, k: int = 5, **kw) -> str:
+    return _ivfpq_cand_sql(n_queries=n_queries, **kw) + f"""
 SELECT qid AS query_id,
   CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id)
        AS BIGINT) AS rank,
   vec_id AS neighbor_id, adc_dist
 FROM cand
 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id)
-        <= {k}""")
-    return "".join(parts)
+        <= {k}"""
+
+
+def _ivfpq_recall_oracle(n_queries: int = 10, k: int = 5, **kw) -> str:
+    """Recall@k of the replayed IVF-PQ index vs the exact squared-L2
+    top-k (both ranked on the 6dp-rounded distance, id tie-break -
+    mirroring ops/pq.py::ivfpq_recall)."""
+    return _ivfpq_cand_sql(n_queries=n_queries, **kw) + f""",
+apx AS (SELECT qid, vec_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id)
+          <= {k}),
+ex AS (SELECT q.qid, e.vec_id,
+       round(pow(list_distance(q.v, e.v), 2), 6) AS d
+       FROM q CROSS JOIN ev e WHERE e.vec_id <> q.qid),
+ext AS (SELECT qid, vec_id FROM ex
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) <= {k}),
+hits AS (SELECT ext.qid, count(*) AS n FROM ext
+  JOIN apx ON apx.qid = ext.qid AND apx.vec_id = ext.vec_id
+  GROUP BY ext.qid)
+SELECT q.qid AS query_id, CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+  round(coalesce(n, 0) / {float(k)!r}, 6) AS recall
+FROM q LEFT JOIN hits ON hits.qid = q.qid"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4180,6 +4218,7 @@ FROM hashed
         "url_spam_features": _URLSPAM_ORACLE,
         "training_order": _TRAINING_ORDER_ORACLE,
         "ann_ivfpq": _ivfpq_oracle(),
+        "ann_ivfpq_recall": _ivfpq_recall_oracle(),
     }
 
 

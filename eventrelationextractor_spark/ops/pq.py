@@ -202,3 +202,43 @@ def ivfpq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", F.col("rank").cast("long").alias("rank"),
                     "neighbor_id", "adc_dist"))
+
+
+def ivfpq_recall(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 **index_params) -> DataFrame:
+    """Recall@k of the IVF-PQ index against the EXACT squared-L2 top-k
+    -> (query_id, n_hits, recall). The acceptance telemetry for any
+    compressed index: ``quantize_int8.sse`` and this number together
+    say whether a 16x cheaper scan still returns the right neighbors
+    (run it on a sampled query set before switching the corpus over).
+
+    The exact side is the broadcast-queries scan (one pass over the
+    corpus, like brute_force_topk) ranked on the 6dp-rounded distance
+    with id tie-break - the same determinism contract as the
+    approximate side, so recall is reproducible across engines."""
+    approx = ivfpq_topk(emb, n_queries=n_queries, k=k, id_col=id_col,
+                        vec_col=vec_col, **index_params)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("cid"), vec.alias("cv"))
+    queries = emb.filter(F.col(id_col) < n_queries) \
+        .select(F.col(id_col).alias("qid"), vec.alias("qv"))
+    d = F.aggregate(F.zip_with("qv", "cv",
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (base.crossJoin(F.broadcast(queries))
+             .filter(F.col("qid") != F.col("cid"))
+             .select("qid", "cid", F.round(d, 6).alias("d")))
+    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("cid"))
+    exact = (pairs.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= k).select("qid", "cid"))
+    hits = (exact.join(approx,
+                       (approx.query_id == exact.qid)
+                       & (approx.neighbor_id == exact.cid))
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n")))
+    qids = queries.select(F.col("qid").alias("query_id"))
+    return (qids.join(hits, qids.query_id == hits.qid, "left")
+            .select("query_id",
+                    F.coalesce("n", F.lit(0)).alias("n_hits"),
+                    F.round(F.coalesce("n", F.lit(0)) / F.lit(float(k)), 6)
+                    .alias("recall")))

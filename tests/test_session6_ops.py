@@ -236,3 +236,15 @@ def test_ivfpq_exact_patterns_rank_first_with_zero_adc(spark):
     # ordered by id; same for query 1 (pattern 1)
     assert rows == [(0, 1, 4, 0.0), (0, 2, 8, 0.0), (0, 3, 12, 0.0),
                     (1, 1, 5, 0.0), (1, 2, 9, 0.0), (1, 3, 13, 0.0)]
+
+
+def test_ivfpq_recall_perfect_on_pattern_corpus(spark):
+    from eventrelationextractor_spark.ops import pq
+    emb = _pq_fixture(spark)
+    out = {r.query_id: (r.n_hits, r.recall)
+           for r in pq.ivfpq_recall(emb, n_queries=2, k=3, coarse_k=2,
+                                    coarse_iter=1, m=2, k_sub=4,
+                                    nprobe=2, dim=8).collect()}
+    # exact L2 top-3 of each query is its zero-distance pattern twins,
+    # which the PQ index returns identically
+    assert out == {0: (3, 1.0), 1: (3, 1.0)}
