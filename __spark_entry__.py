@@ -1603,6 +1603,32 @@ def _q_ann_ivfpq_recall(spark, sf_dir):
     return pq.ivfpq_recall(_emb(spark, sf_dir), n_queries=10, k=5)
 
 
+def _q_events_anomalies(spark, sf_dir):
+    """Tumbling-window volume anomalies (ops/events.py::
+    window_anomalies): per (event_type, hour) count z-scored against
+    the type's own per-window moments; |z| >= 3 flags. A deterministic
+    burst (one synthetic click row per event_id%5==0, all at one fixed
+    hour) is injected so the flag provably fires at every SF; the
+    oracle replays the burst and both aggregations."""
+    ev = _events(spark, sf_dir).select("ts", "event_type")
+    burst = _events(spark, sf_dir).filter(F.col("event_id") % 5 == 0) \
+        .select(F.lit("2024-01-02 00:15:00").cast("timestamp").alias("ts"),
+                F.lit("click").alias("event_type"))
+    return events.window_anomalies(ev.unionByName(burst), minutes=60)
+
+
+def _q_link_ppr(spark, sf_dir):
+    """Personalized PageRank from a seed set (ops/graph.py::
+    personalized_pagerank, Haveliwala 2002): teleport + dangling mass
+    return to the seeds (every 50th page - the TrustRank shape) over
+    the standard link graph; 5 iterations, one lazy plan. Oracle =
+    chained CTEs with the seed-indicator teleport vector."""
+    e, nodes = _link_edges(spark, sf_dir)
+    seeds = _docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0) \
+        .select(F.col("doc_id").alias("node"))
+    return graph.personalized_pagerank(e, seeds, n_iter=5, nodes=nodes)
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -1727,6 +1753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": _q_training_order,
         "ann_ivfpq": _q_ann_ivfpq,
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
+        "events_anomalies": _q_events_anomalies,
+        "link_ppr": _q_link_ppr,
     }
 
 
@@ -4085,6 +4113,61 @@ SELECT q.qid AS query_id, CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
 FROM q LEFT JOIN hits ON hits.qid = q.qid"""
 
 
+_ANOMALY_ORACLE = """
+WITH ev AS (
+  SELECT ts, event_type FROM events
+  UNION ALL
+  SELECT TIMESTAMP '2024-01-02 00:15:00', 'click' FROM events
+  WHERE event_id % 5 = 0),
+wc AS (SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+       count(*) AS n
+       FROM ev GROUP BY 1, 2),
+mom AS (SELECT event_type, avg(n) AS mu,
+        avg(n*n) - avg(n)*avg(n) AS var FROM wc GROUP BY 1),
+sc AS (SELECT wc.event_type, wc.win_start, wc.n, mu, var,
+       CASE WHEN var > 0 THEN (n - mu) / sqrt(var) ELSE 0.0 END AS z
+       FROM wc JOIN mom USING (event_type))
+SELECT event_type, win_start, n,
+  round(mu, 6) AS mean_n,
+  round(CASE WHEN var > 0 THEN sqrt(var) ELSE 0.0 END, 6) AS std_n,
+  round(z, 6) AS z,
+  abs(z) >= 3.0 AS anomaly
+FROM sc
+"""
+
+
+def _ppr_oracle(n_iter: int = 5) -> str:
+    """Unrolled personalized-PageRank iterations (seed teleport vector,
+    dangling mass to seeds, r0 = teleport distribution), mirroring
+    ops/graph.py::personalized_pagerank expression-for-expression."""
+    parts = ["""WITH nodes AS (SELECT doc_id AS node FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id*7+1) % (SELECT count(*) FROM documents)
+    AS dst FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 17 <> 0),
+deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+ce AS (SELECT e.src, e.dst, 1.0/dg AS inv_deg
+       FROM e JOIN deg ON e.src = deg.src),
+sv AS (SELECT node,
+       CASE WHEN node % 50 = 0 THEN
+         1.0 / (SELECT count(*) FROM nodes WHERE node % 50 = 0)
+       ELSE 0.0 END AS s FROM nodes),
+r0 AS (SELECT node, s AS pr FROM sv)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+c{i} AS (SELECT ce.dst AS node, sum(r.pr * ce.inv_deg) AS m
+  FROM r{i-1} r JOIN ce ON r.node = ce.src GROUP BY ce.dst),
+d{i} AS (SELECT 1.0 - coalesce(sum(m), 0.0) AS dm FROM c{i}),
+r{i} AS (SELECT sv.node,
+  (1.0 - 0.85) * sv.s + 0.85 * (coalesce(c.m, 0.0) + d.dm * sv.s) AS pr
+  FROM sv CROSS JOIN d{i} d LEFT JOIN c{i} c ON sv.node = c.node)""")
+    parts.append(f"\nSELECT node, pr AS rank FROM r{n_iter}")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -4219,6 +4302,8 @@ FROM hashed
         "training_order": _TRAINING_ORDER_ORACLE,
         "ann_ivfpq": _ivfpq_oracle(),
         "ann_ivfpq_recall": _ivfpq_recall_oracle(),
+        "events_anomalies": _ANOMALY_ORACLE,
+        "link_ppr": _ppr_oracle(),
     }
 
 

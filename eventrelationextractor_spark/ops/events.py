@@ -320,3 +320,42 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
             .filter((F.col(ts_col) >= F.col(start_col))
                     & (F.col(ts_col) < F.col(end_col)))
             .drop("_bucket"))
+
+
+def window_anomalies(events: DataFrame, minutes: int = 60,
+                     z_threshold: float = 3.0) -> DataFrame:
+    """Volume-anomaly detection over tumbling event-time windows:
+    per (event_type, window) the count, the type's global mean/stddev
+    of per-window counts, the z-score, and the anomaly flag
+    |z| >= ``z_threshold``. The standard ops/abuse dashboard primitive
+    (crawler traps, bot bursts, a source going dark all surface here
+    first).
+
+    Two partial-agged aggregations, no window function: window counts
+    (groupBy type+bucket), then per-type moments (groupBy type) joined
+    back on the type key - a small dimension by construction, but left
+    to AQE rather than broadcast-hinted (type cardinality is data-
+    dependent). Population stddev via the E[x^2]-E[x]^2 identity with
+    both moments rounded at the END only; windows with zero events do
+    NOT exist as rows (the tumbling-window semantic of
+    ``windowed_counts``), so moments are over OBSERVED windows -
+    documented contract, matched by the oracle."""
+    sec = minutes * 60
+    bucket = (F.floor(F.unix_timestamp("ts") / sec) * sec).cast("long")
+    wc = (events.select("event_type", bucket.alias("win_start"))
+          .groupBy("event_type", "win_start")
+          .agg(F.count(F.lit(1)).alias("n")))
+    mom = wc.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        (F.avg(F.col("n") * F.col("n"))
+         - F.avg("n") * F.avg("n")).alias("var"))
+    z = F.when(F.col("var") > 0,
+               (F.col("n") - F.col("mu")) / F.sqrt("var")) \
+        .otherwise(F.lit(0.0))
+    return (wc.join(mom, "event_type")
+            .select("event_type", "win_start", "n",
+                    F.round("mu", 6).alias("mean_n"),
+                    F.round(F.when(F.col("var") > 0, F.sqrt("var"))
+                            .otherwise(F.lit(0.0)), 6).alias("std_n"),
+                    F.round(z, 6).alias("z"),
+                    (F.abs(z) >= z_threshold).alias("anomaly")))

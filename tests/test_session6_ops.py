@@ -248,3 +248,31 @@ def test_ivfpq_recall_perfect_on_pattern_corpus(spark):
     # exact L2 top-3 of each query is its zero-distance pattern twins,
     # which the PQ index returns identically
     assert out == {0: (3, 1.0), 1: (3, 1.0)}
+
+
+def test_window_anomalies_flags_injected_burst(spark):
+    from datetime import datetime
+
+    from eventrelationextractor_spark.ops import events as ev_ops
+    base = [(datetime(2024, 1, 1, h, 5), "click") for h in range(20)]
+    burst = [(datetime(2024, 1, 1, 23, 5), "click")] * 50
+    df = spark.createDataFrame(base + burst, "ts timestamp, event_type string")
+    out = {r.win_start: r for r in ev_ops.window_anomalies(df).collect()}
+    flagged = [r for r in out.values() if r.anomaly]
+    assert len(flagged) == 1 and flagged[0].n == 50
+    assert all(r.n == 1 for r in out.values() if not r.anomaly)
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    import math as _m
+    # chain 0->1->2->3 plus far component 10->11; seed = {0}
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (10, 11)],
+                              "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    r = {row.node: row.rank
+         for row in graph.personalized_pagerank(e, seeds, n_iter=8).collect()}
+    assert _m.isclose(sum(r.values()), 1.0, abs_tol=1e-12)  # mass conserved
+    # proximity to the seed orders the chain; the far component gets
+    # nothing (unreachable from the seed by walk or teleport)
+    assert r[0] > r[1] > r[2] > r[3] > 0
+    assert r[10] == 0.0 and r[11] == 0.0
