@@ -1629,6 +1629,37 @@ def _q_link_ppr(spark, sf_dir):
     return graph.personalized_pagerank(e, seeds, n_iter=5, nodes=nodes)
 
 
+def _q_sentence_stats(spark, sf_dir):
+    """Per-doc sentence-shape telemetry (ops/textstats.py::
+    sentence_stats over sentence_split): the inputs of C4's min-
+    sentence / terminal-punctuation filters and Gopher's short-
+    sentence bound. Splitter pattern lives in the Java-regex ∩ RE2
+    subset (no lookbehind); the oracle replays split, trim, word
+    counts and both ratios."""
+    return textstats.sentence_stats(_docs(spark, sf_dir))
+
+
+def _q_link_seed_distances(spark, sf_dir):
+    """BFS hop distance from the seed set (ops/graph.py::
+    seed_distances): crawl-depth / trust-distance over the link graph,
+    4 hops, frontier-proportional per-hop cost (equi-join + anti-join
+    per hop, one lazy plan). Oracle = recursive CTE with min(d)."""
+    e, _ = _link_edges(spark, sf_dir)
+    seeds = _docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0) \
+        .select(F.col("doc_id").alias("node"))
+    return graph.seed_distances(e, seeds, max_hops=4)
+
+
+def _q_link_walks(spark, sf_dir):
+    """Deterministic random walks (ops/graph.py::random_walks,
+    DeepWalk sampling): one 4-step walk per node, transition =
+    md5(salt:start:t) indexed into the sorted adjacency list - a pure
+    function of (salt, start, t), replayed step-for-step by the
+    oracle's chained CTEs. Dangling pages (every 17th) stop early."""
+    e, nodes = _link_edges(spark, sf_dir)
+    return graph.random_walks(e, nodes=nodes, walk_len=4)
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -1755,6 +1786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "events_anomalies": _q_events_anomalies,
         "link_ppr": _q_link_ppr,
+        "sentence_stats": _q_sentence_stats,
+        "link_seed_distances": _q_link_seed_distances,
+        "link_walks": _q_link_walks,
     }
 
 
@@ -4168,6 +4202,77 @@ r{i} AS (SELECT sv.node,
     return "".join(parts)
 
 
+_SENTENCE_ORACLE = """
+WITH s0 AS (SELECT doc_id,
+  list_filter(list_transform(
+    regexp_extract_all(text, '[^.!?]+[.!?]?'), x -> trim(x)),
+    x -> x <> '') AS ss
+  FROM documents),
+sx AS (SELECT doc_id, u.s FROM s0, LATERAL unnest(ss) AS u(s)),
+w AS (SELECT doc_id, s,
+      len(list_filter(string_split(s, ' '), x -> x <> '')) AS w,
+      regexp_matches(s, '[.!?]$') AS term
+      FROM sx),
+per AS (SELECT doc_id, count(*) AS n_sentences,
+        round(avg(w), 6) AS mean_sent_words,
+        max(length(s)) AS max_sent_chars,
+        sum(CASE WHEN w < 4 THEN 1 ELSE 0 END) AS n_short,
+        round(avg(CASE WHEN term THEN 1.0 ELSE 0.0 END), 6)
+          AS terminal_ratio
+        FROM w GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(n_sentences, 0) AS BIGINT) AS n_sentences,
+  mean_sent_words,
+  CAST(coalesce(max_sent_chars, 0) AS BIGINT) AS max_sent_chars,
+  CAST(coalesce(n_short, 0) AS BIGINT) AS n_short,
+  terminal_ratio
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+_SEED_DIST_ORACLE = """
+WITH RECURSIVE
+e AS (
+  SELECT doc_id AS src, (doc_id*7+1) % (SELECT count(*) FROM documents)
+    AS dst FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 17 <> 0),
+seeds AS (SELECT doc_id AS node FROM documents WHERE doc_id % 50 = 0),
+r(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node WHERE r.d < 4)
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY node
+"""
+
+
+def _walks_oracle(walk_len: int = 4, salt: str = "walk1",
+                  cap: int = 100) -> str:
+    """Replays random_walks step-for-step: sorted capped adjacency,
+    md5(salt:start:t) %% degree neighbor pick per chained CTE."""
+    parts = [f"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id*7+1) % (SELECT count(*) FROM documents)
+    AS d FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 17 <> 0),
+adj AS (SELECT s, (list(d ORDER BY d))[1:{cap}] AS ns
+        FROM (SELECT DISTINCT s, d FROM e0) GROUP BY s),
+w0 AS (SELECT node AS start, node FROM nodes)"""]
+    for t in range(1, walk_len + 1):
+        parts.append(f""",
+w{t} AS (SELECT w.start,
+  adj.ns[CAST(('0x' || substr(md5('{salt}:' || CAST(w.start AS VARCHAR)
+    || ':{t}'), 1, 8))::UBIGINT % len(adj.ns) AS BIGINT) + 1] AS node
+  FROM w{t-1} w JOIN adj ON adj.s = w.node)""")
+    selects = ["SELECT start, CAST(0 AS BIGINT) AS step, node FROM w0"]
+    selects += [f"SELECT start, CAST({t} AS BIGINT), node FROM w{t}"
+                for t in range(1, walk_len + 1)]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -4304,6 +4409,9 @@ FROM hashed
         "ann_ivfpq_recall": _ivfpq_recall_oracle(),
         "events_anomalies": _ANOMALY_ORACLE,
         "link_ppr": _ppr_oracle(),
+        "sentence_stats": _SENTENCE_ORACLE,
+        "link_seed_distances": _SEED_DIST_ORACLE,
+        "link_walks": _walks_oracle(),
     }
 
 

@@ -403,3 +403,79 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
         if (it + 1) % checkpoint_interval == 0 and it + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
+
+
+def seed_distances(edges: DataFrame, seeds: DataFrame,
+                   max_hops: int = 4, src: str = "src", dst: str = "dst",
+                   checkpoint_interval: int = 2) -> DataFrame:
+    """BFS hop distance from a seed set -> (node, dist), nodes beyond
+    ``max_hops`` omitted. THE crawl-depth / trust-distance metric: how
+    many link hops separate a page from the seed list (crawl schedulers
+    cap depth; TrustRank-style filters threshold on it).
+
+    Synchronous frontier expansion: per hop ONE equi-join (frontier x
+    edges on the source key) + one anti-join against the settled set -
+    each hop's cost is proportional to the frontier, not the graph, and
+    the settled set only grows (no recomputation; a node is emitted at
+    its FIRST hop, which is minimal by BFS order). Fixed hop bound and
+    no driver-side data decisions, so the loop is one lazy plan with
+    the usual truncation checkpoints."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    frontier = seeds.select("node").distinct().localCheckpoint()
+    dist = frontier.withColumn("dist", F.lit(0).cast("long"))
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier.node == e.s)
+               .select(F.col("d").alias("node")).distinct()
+               .join(dist.select("node"), "node", "left_anti"))
+        dist = dist.unionByName(
+            nxt.withColumn("dist", F.lit(h).cast("long")))
+        frontier = nxt
+        if h % checkpoint_interval == 0 and h < max_hops:
+            frontier = frontier.localCheckpoint(eager=False)
+            dist = dist.localCheckpoint(eager=False)
+    return dist
+
+
+def random_walks(edges: DataFrame, nodes: DataFrame | None = None,
+                 walk_len: int = 4, salt: str = "walk1",
+                 max_out_degree: int = 100,
+                 src: str = "src", dst: str = "dst") -> DataFrame:
+    """Deterministic hash-seeded random walks (the DeepWalk / node2vec
+    sampling stage, Perozzi et al. 2014): one walk per start node ->
+    (start, step, node), step 0 = the start itself; a walk stops early
+    at a dangling node. Step t picks neighbor
+    ``adj[md5(salt:start:t) % degree]`` - a pure function of
+    (salt, start, t), so corpora of walks are reproducible across
+    runs/engines and re-sampleable by salt, exactly like
+    ``stratified_sample`` fates.
+
+    Scale shape: adjacency lists build once (duplicate edges collapse;
+    sorted, truncated at ``max_out_degree`` - walk transition fidelity
+    on super-hubs is already approximate in practice); each step is one
+    equi-join against the adjacency table keyed on the current node
+    plus a codegen element_at pick. walk_len joins total, one lazy
+    plan."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    adj = (e.groupBy("s")
+           .agg(F.slice(F.sort_array(F.collect_list("d")), 1,
+                        max_out_degree).alias("ns"))
+           .localCheckpoint(eager=False))
+    if nodes is None:
+        nodes = (e.select(F.col("s").alias("node"))
+                 .unionByName(e.select(F.col("d").alias("node")))
+                 .distinct())
+    cur = nodes.select(F.col("node").alias("start"),
+                       F.col("node").alias("node"))
+    out = cur.withColumn("step", F.lit(0).cast("long"))
+    for t in range(1, walk_len + 1):
+        idx = (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"),
+                           F.col("start").cast("string"),
+                           F.lit(f":{t}"))), 1, 8), 16, 10)
+            .cast("long") % F.size("ns")).cast("int")
+        cur = (cur.join(adj, cur.node == adj.s)
+               .select("start",
+                       F.element_at("ns", idx + 1).alias("node")))
+        out = out.unionByName(
+            cur.withColumn("step", F.lit(t).cast("long")))
+    return out.select("start", "step", "node")

@@ -733,3 +733,67 @@ def sample_k_per_stratum(df: DataFrame, stratum_col: str, k: int,
                       F.row_number().over(w).alias("sample_rank"))
             .filter(F.col("sample_rank") <= k)
             .withColumn("sample_rank", F.col("sample_rank").cast("long")))
+
+
+# sentence splitter: maximal runs of non-terminators plus their trailing
+# terminator. No lookbehind (RE2 has none - the script_profile lesson:
+# stay in the Java-regex ∩ RE2 subset), greedy and anchor-free, so Java
+# and RE2 tokenize identically.
+SENTENCE_PATTERN = r"[^.!?]+[.!?]?"
+
+
+def sentence_split(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, sent_idx, sentence): terminator-delimited sentence table -
+    the unit of C4's and Gopher's sentence-level filters (min-sentence
+    counts, terminal-punctuation ratios, sentence-level dedup). Pure
+    codegen: regexp_extract_all -> trim -> drop empties -> posexplode;
+    whitespace inside sentences is preserved (only the ends are
+    trimmed), so reassembly is lossless up to inter-sentence space."""
+    # NB lambda, not bare F.trim: F.trim has an optional 2nd parameter,
+    # so transform() would call it as trim(element, ARRAY_INDEX) - the
+    # documented F.transform two-arg pitfall (CLAUDE.md session-5)
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col),
+                                 F.lit(SENTENCE_PATTERN), 0),
+            lambda s: F.trim(s)),
+        lambda s: s != "")
+    return (df.select(F.col(id_col), sents.alias("ss"))
+            .select(id_col, F.posexplode("ss").alias("sent_idx", "sentence"))
+            .withColumn("sent_idx", F.col("sent_idx").cast("long")))
+
+
+def sentence_stats(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   short_words: int = 4) -> DataFrame:
+    """Per-doc sentence-shape telemetry over ``sentence_split``:
+    (id, n_sentences, mean_sent_words, max_sent_chars, n_short,
+    terminal_ratio). C4 drops docs with < 3 sentences and lines without
+    terminal punctuation; Gopher bounds the short-sentence fraction -
+    these are those filters' inputs. One partial-agged groupBy after
+    the map-side split; docs with no sentences emit n_sentences = 0."""
+    s = sentence_split(df, id_col, text_col)
+    words = F.size(F.filter(F.split(F.col("sentence"), " "),
+                            lambda w: w != ""))
+    terminal = F.col("sentence").rlike(r"[.!?]$")
+    per = (s.withColumn("w", words)
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_sentences"),
+                F.round(F.avg("w"), 6).alias("mean_sent_words"),
+                F.max(F.length("sentence")).cast("long")
+                .alias("max_sent_chars"),
+                F.sum(F.when(F.col("w") < short_words, 1).otherwise(0))
+                .cast("long").alias("n_short"),
+                F.round(F.avg(F.when(terminal, 1.0).otherwise(0.0)), 6)
+                .alias("terminal_ratio")))
+    return (df.select(id_col).join(per, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_sentences", F.lit(0)).cast("long")
+                    .alias("n_sentences"),
+                    "mean_sent_words",
+                    F.coalesce("max_sent_chars", F.lit(0)).cast("long")
+                    .alias("max_sent_chars"),
+                    F.coalesce("n_short", F.lit(0)).cast("long")
+                    .alias("n_short"),
+                    "terminal_ratio"))

@@ -276,3 +276,57 @@ def test_personalized_pagerank_mass_and_locality(spark):
     # nothing (unreachable from the seed by walk or teleport)
     assert r[0] > r[1] > r[2] > r[3] > 0
     assert r[10] == 0.0 and r[11] == 0.0
+
+
+def test_sentence_stats_analytic(spark):
+    from eventrelationextractor_spark.ops import textstats
+    df = spark.createDataFrame(
+        [(1, "One two three. Four five! Six seven eight nine?"),
+         (2, "no terminator here at all"),
+         (3, "")],
+        "doc_id long, text string")
+    split = textstats.sentence_split(df).collect()
+    assert [(r.doc_id, r.sent_idx, r.sentence) for r in split] == [
+        (1, 0, "One two three."), (1, 1, "Four five!"),
+        (1, 2, "Six seven eight nine?"),
+        (2, 0, "no terminator here at all")]
+    out = {r.doc_id: r for r in textstats.sentence_stats(df).collect()}
+    assert out[1].n_sentences == 3 and out[1].n_short == 2
+    assert out[1].terminal_ratio == 1.0
+    assert out[2].n_sentences == 1 and out[2].terminal_ratio == 0.0
+    assert out[3].n_sentences == 0 and out[3].mean_sent_words is None
+
+
+def test_seed_distances_bfs_minimal(spark):
+    # diamond + tail: 0->1, 0->2, 1->3, 2->3, 3->4->5; seed {0}
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 5)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    d = {r.node: r.dist
+         for r in graph.seed_distances(e, seeds, max_hops=3).collect()}
+    assert d == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}   # 5 is beyond max_hops
+
+
+def test_random_walks_deterministic_and_edge_following(spark):
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 7) for i in range(6)]    # node 6 dangling
+        + [(i, (i + 2) % 7) for i in range(6)],
+        "src long, dst long")
+    edges = {(r.src, r.dst) for r in e.collect()}
+    a = sorted((r.start, r.step, r.node)
+               for r in graph.random_walks(e, walk_len=3).collect())
+    b = sorted((r.start, r.step, r.node)
+               for r in graph.random_walks(e, walk_len=3).collect())
+    assert a == b                                  # reproducible
+    byw = {}
+    for s, t, n in a:
+        byw.setdefault(s, {})[t] = n
+    for s, steps in byw.items():
+        assert steps[0] == s
+        for t in range(1, max(steps) + 1):         # every hop is an edge
+            assert (steps[t - 1], steps[t]) in edges
+    assert max(byw[6]) == 0                        # dangling: stops at start
+    c = sorted((r.start, r.step, r.node) for r in
+               graph.random_walks(e, walk_len=3, salt="walk2").collect())
+    assert c != a                                  # re-sampleable by salt
