@@ -1660,6 +1660,23 @@ def _q_link_walks(spark, sf_dir):
     return graph.random_walks(e, nodes=nodes, walk_len=4)
 
 
+def _q_bm25_ndcg(spark, sf_dir):
+    """nDCG@25 of the BM25 run (ops/bm25.py::ndcg_at_k) against
+    deterministic graded judgments: rel(doc) = number of DISTINCT query
+    terms the doc contains (0..5) - a pure function of the text both
+    engines recompute. The retrieval-quality acceptance metric for any
+    index/parameter change; the oracle replays the BM25 run, the
+    judgments, and both discounted sums."""
+    docs = _docs(spark, sf_dir)
+    res = bm25.bm25_topk(docs, BM25_QUERY_TERMS, k=25)
+    qt = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS],
+                               "term string")
+    rel = (bm25.tokenize(docs).select("doc_id", "term").distinct()
+           .join(F.broadcast(qt), "term")
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("rel")))
+    return bm25.ndcg_at_k(res, rel, k=25)
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -1789,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_stats": _q_sentence_stats,
         "link_seed_distances": _q_link_seed_distances,
         "link_walks": _q_link_walks,
+        "bm25_ndcg": _q_bm25_ndcg,
     }
 
 
@@ -4273,6 +4291,47 @@ w{t} AS (SELECT w.start,
     return "".join(parts)
 
 
+_BM25_NDCG_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT * FROM (VALUES ('hash'),('join'),('spark'),('window'),('stream')) q(term)),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM toks JOIN qt USING (term) GROUP BY doc_id, term),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6)
+           AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+topk AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+         doc_id FROM scored
+         QUALIFY rnk <= 25),
+rel AS (SELECT doc_id, count(DISTINCT term) AS rel
+        FROM toks JOIN qt USING (term) GROUP BY doc_id),
+dcg AS (SELECT coalesce(sum((pow(2.0, CAST(coalesce(rel, 0) AS DOUBLE)) - 1.0)
+        / log2(rnk + 1.0)), 0.0) AS dcg
+        FROM topk LEFT JOIN rel USING (doc_id)),
+ideal AS (SELECT rel,
+          row_number() OVER (ORDER BY rel DESC, doc_id) AS irnk
+          FROM rel WHERE rel > 0 QUALIFY irnk <= 25),
+idcg AS (SELECT coalesce(sum((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+         / log2(irnk + 1.0)), 0.0) AS idcg FROM ideal)
+SELECT CAST(25 AS BIGINT) AS k, round(dcg, 6) AS dcg,
+  round(idcg, 6) AS idcg,
+  round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+FROM dcg CROSS JOIN idcg
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -4412,6 +4471,7 @@ FROM hashed
         "sentence_stats": _SENTENCE_ORACLE,
         "link_seed_distances": _SEED_DIST_ORACLE,
         "link_walks": _walks_oracle(),
+        "bm25_ndcg": _BM25_NDCG_ORACLE,
     }
 
 

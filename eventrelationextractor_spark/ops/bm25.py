@@ -101,3 +101,44 @@ def top_terms(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
     w = Window.orderBy(F.col("n").desc(), F.col("term"))
     return top.withColumn("rank", F.row_number().over(w).cast("long")) \
         .select("rank", "term", "n")
+
+
+def ndcg_at_k(results: DataFrame, judgments: DataFrame, k: int = 25,
+              rank_col: str = "rank", id_col: str = "doc_id",
+              rel_col: str = "rel") -> DataFrame:
+    """nDCG@k of a ranked result list against graded relevance
+    judgments -> ONE row (k, dcg, idcg, ndcg). The standard retrieval-
+    quality acceptance metric (Jarvelin & Kekalainen 2002, exponential
+    gain): run it whenever the index changes (BM25 parameter sweeps,
+    switching to the PQ index, pruning the corpus) to see whether
+    ranking quality moved.
+
+    DCG = sum over returned ranks of (2^rel - 1) / log2(rank + 1);
+    IDCG = the same discount over the ideal ordering (rel DESC, id ASC
+    tie-break - deterministic, mirrored by the oracle). Unjudged
+    returned docs count rel 0. Scale shape: one broadcast-sized join
+    (results are top-k), one global top-k over the POSITIVE judgments
+    only (rel > 0 filter precedes the window, so the ideal ranking
+    never sorts the corpus), two scalar aggregates."""
+    res = results.filter(F.col(rank_col) <= k).select(
+        F.col(rank_col).alias("rnk"), F.col(id_col).alias("rid"))
+    j = judgments.select(F.col(id_col).alias("rid"),
+                         F.col(rel_col).alias("rel"))
+    gain = (F.pow(F.lit(2.0), F.coalesce("rel", F.lit(0)).cast("double"))
+            - 1.0) / F.log2(F.col("rnk") + 1.0)
+    dcg = (res.join(j, "rid", "left")
+           .agg(F.coalesce(F.sum(gain), F.lit(0.0)).alias("dcg")))
+    w = Window.orderBy(F.col("rel").desc(), F.col("rid"))
+    igain = (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0) \
+        / F.log2(F.col("irnk") + 1.0)
+    idcg = (j.filter(F.col("rel") > 0)
+            .withColumn("irnk", F.row_number().over(w))
+            .filter(F.col("irnk") <= k)
+            .agg(F.coalesce(F.sum(igain), F.lit(0.0)).alias("idcg")))
+    return (dcg.crossJoin(idcg)
+            .select(F.lit(k).cast("long").alias("k"),
+                    F.round("dcg", 6).alias("dcg"),
+                    F.round("idcg", 6).alias("idcg"),
+                    F.round(F.when(F.col("idcg") > 0,
+                                   F.col("dcg") / F.col("idcg"))
+                            .otherwise(F.lit(0.0)), 6).alias("ndcg")))

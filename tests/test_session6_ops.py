@@ -330,3 +330,24 @@ def test_random_walks_deterministic_and_edge_following(spark):
     c = sorted((r.start, r.step, r.node) for r in
                graph.random_walks(e, walk_len=3, salt="walk2").collect())
     assert c != a                                  # re-sampleable by salt
+
+
+def test_ndcg_at_k_analytic(spark):
+    import math as _m
+
+    from eventrelationextractor_spark.ops import bm25
+    res = spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                                "rank long, doc_id long")
+    rel = spark.createDataFrame([(20, 2), (30, 1), (40, 3)],
+                                "doc_id long, rel long")
+    r = bm25.ndcg_at_k(res, rel, k=3).collect()[0]
+    dcg = 0.0 + 3.0 / _m.log2(3) + 1.0 / _m.log2(4)   # unjudged d10 = 0
+    idcg = 7.0 / _m.log2(2) + 3.0 / _m.log2(3) + 1.0 / _m.log2(4)
+    assert _m.isclose(r.dcg, round(dcg, 6), abs_tol=1e-9)
+    assert _m.isclose(r.idcg, round(idcg, 6), abs_tol=1e-9)
+    assert _m.isclose(r.ndcg, round(round(dcg, 6) / round(idcg, 6), 6),
+                      abs_tol=1e-5)
+    # a perfect ranking scores 1.0
+    perfect = spark.createDataFrame([(1, 40), (2, 20), (3, 30)],
+                                    "rank long, doc_id long")
+    assert bm25.ndcg_at_k(perfect, rel, k=3).collect()[0].ndcg == 1.0
