@@ -1677,6 +1677,20 @@ def _q_bm25_ndcg(spark, sf_dir):
     return bm25.ndcg_at_k(res, rel, k=25)
 
 
+BADWORDS = ["slow", "big", "error"]  # stand-in blocklist, present in corpus
+
+
+def _q_badwords_filter(spark, sf_dir):
+    """C4-style blocklist gate (ops/textstats.py::badwords_stats):
+    exact-token blocklist counts + ratio + keep flag, the cleanup tier
+    every public webtext pipeline runs. Matching is token-exact over
+    the normalized word array (never substring - the Scunthorpe
+    false-positive); the list is a constant-folded literal IN set, so
+    the whole stage is one narrow codegen pass."""
+    return textstats.badwords_stats(_docs(spark, sf_dir), BADWORDS,
+                                    max_ratio=0.02)
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -1807,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_seed_distances": _q_link_seed_distances,
         "link_walks": _q_link_walks,
         "bm25_ndcg": _q_bm25_ndcg,
+        "badwords_filter": _q_badwords_filter,
     }
 
 
@@ -4332,6 +4347,24 @@ FROM dcg CROSS JOIN idcg
 """
 
 
+_BADWORDS_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+ws AS (SELECT doc_id,
+       list_filter(string_split(t, ' '), x -> x <> '') AS w FROM norm),
+c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      CAST(len(list_filter(w,
+        x -> list_contains(['slow', 'big', 'error'], x))) AS BIGINT)
+        AS n_bad
+      FROM ws)
+SELECT doc_id, n_tokens, n_bad,
+  CASE WHEN n_tokens > 0 THEN round(n_bad / n_tokens, 6)
+       ELSE 0.0 END AS bad_ratio,
+  CASE WHEN n_tokens > 0 THEN round(n_bad / n_tokens, 6) <= 0.02
+       ELSE TRUE END AS keep
+FROM c
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -4472,6 +4505,7 @@ FROM hashed
         "link_seed_distances": _SEED_DIST_ORACLE,
         "link_walks": _walks_oracle(),
         "bm25_ndcg": _BM25_NDCG_ORACLE,
+        "badwords_filter": _BADWORDS_ORACLE,
     }
 
 

@@ -797,3 +797,30 @@ def sentence_stats(df: DataFrame, id_col: str = "doc_id",
                     F.coalesce("n_short", F.lit(0)).cast("long")
                     .alias("n_short"),
                     "terminal_ratio"))
+
+
+def badwords_stats(df: DataFrame, badwords: list,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   max_ratio: float = 0.02) -> DataFrame:
+    """C4-style blocklist filtering: per doc the blocklisted-token count,
+    ratio over all tokens, and the keep flag (ratio <= ``max_ratio``;
+    an empty doc keeps). The list ships broadcast-style as an expression
+    literal (blocklists are KB-sized); matching is exact-token over the
+    normalized word array, NOT substring (the classic 'Scunthorpe'
+    false-positive), mirrored by the SQL twin.
+
+    Pure per-row codegen: normalized split + one array_size over a
+    filtered array - no shuffle, no UDF, no join (the blocklist is a
+    literal IN set, constant-folded)."""
+    ws = _word_array(F.col(text_col))
+    bad = F.filter(ws, lambda w: w.isin([b.lower() for b in badwords]))
+    n_tokens = F.size(ws).cast("long")
+    n_bad = F.size(bad).cast("long")
+    ratio = F.when(n_tokens > 0, F.round(n_bad / n_tokens, 6)) \
+        .otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_bad.alias("n_bad"),
+        ratio.alias("bad_ratio"),
+        (ratio <= max_ratio).alias("keep"))

@@ -351,3 +351,19 @@ def test_ndcg_at_k_analytic(spark):
     perfect = spark.createDataFrame([(1, 40), (2, 20), (3, 30)],
                                     "rank long, doc_id long")
     assert bm25.ndcg_at_k(perfect, rel, k=3).collect()[0].ndcg == 1.0
+
+
+def test_badwords_token_exact_not_substring(spark):
+    from eventrelationextractor_spark.ops import textstats
+    df = spark.createDataFrame(
+        [(1, "clean text about scunthorpe classics"),   # substrings only
+         (2, "bad bad bad word here"),
+         (3, "one bad token in a long enough document to pass the gate "
+             "with room to spare " + "filler " * 40)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           textstats.badwords_stats(df, ["bad", "cun"],
+                                    max_ratio=0.05).collect()}
+    assert out[1].n_bad == 0 and out[1].keep          # no substring match
+    assert out[2].n_bad == 3 and not out[2].keep
+    assert out[3].n_bad == 1 and out[3].keep          # under the ratio
