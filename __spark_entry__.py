@@ -1691,6 +1691,25 @@ def _q_badwords_filter(spark, sf_dir):
                                     max_ratio=0.02)
 
 
+def _q_crawl_schedule_delays(spark, sf_dir):
+    """Per-host Crawl-delay politeness (ops/urls.py::crawl_delays +
+    frontier_schedule(delays=...)): robots.txt declares each host's own
+    pacing (2s/10s/1s; one host omits the directive, one host has no
+    robots at all - both fall back to the 5s default), and the
+    scheduler's fetch offsets honor it. The composition a real fetcher
+    runs; the oracle replays parse, fallback, window and offsets."""
+    frontier = _web_urls(spark, sf_dir).select("url")
+    robots = spark.createDataFrame(
+        [("news.example.com",
+          "User-agent: *\nCrawl-delay: 2\nDisallow: /admin\n"),
+         ("blog.example.org", "User-agent: *\nCrawl-delay: 10\n"),
+         ("www.sample.net", "User-agent: *\nDisallow: /p\n"),
+         ("shop.example.co", "Crawl-delay: 1\nUser-agent: *\n")],
+        "host string, robots_txt string")
+    delays = urls.crawl_delays(robots, default_sec=5)
+    return urls.frontier_schedule(frontier, delay_sec=5, delays=delays)
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -1822,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_walks": _q_link_walks,
         "bm25_ndcg": _q_bm25_ndcg,
         "badwords_filter": _q_badwords_filter,
+        "crawl_schedule_delays": _q_crawl_schedule_delays,
     }
 
 
@@ -4365,6 +4385,36 @@ FROM c
 """
 
 
+_CRAWL_DELAYS_ORACLE = f"""
+WITH w AS ({_WEB_URLS}),
+robots AS (SELECT * FROM (VALUES
+  ('news.example.com', 'User-agent: *' || chr(10) || 'Crawl-delay: 2'
+     || chr(10) || 'Disallow: /admin' || chr(10)),
+  ('blog.example.org', 'User-agent: *' || chr(10) || 'Crawl-delay: 10'
+     || chr(10)),
+  ('www.sample.net', 'User-agent: *' || chr(10) || 'Disallow: /p'
+     || chr(10)),
+  ('shop.example.co', 'Crawl-delay: 1' || chr(10) || 'User-agent: *'
+     || chr(10))) r(host, robots_txt)),
+delays AS (SELECT lower(host) AS host,
+  CAST(CASE WHEN regexp_extract(robots_txt,
+         '(?m)^Crawl-delay:\\s*([0-9]+)\\s*$', 1) = '' THEN 5
+       ELSE CAST(regexp_extract(robots_txt,
+         '(?m)^Crawl-delay:\\s*([0-9]+)\\s*$', 1) AS BIGINT) END
+       AS BIGINT) AS crawl_delay
+  FROM robots),
+fr AS (SELECT url, lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))
+       AS host FROM w),
+slotted AS (SELECT url, host,
+  CAST(row_number() OVER (PARTITION BY host ORDER BY url) AS BIGINT)
+  AS slot FROM fr)
+SELECT s.url, s.host, s.slot,
+  CAST((s.slot - 1) * coalesce(d.crawl_delay, 5) AS BIGINT)
+  AS fetch_offset_sec
+FROM slotted s LEFT JOIN delays d ON d.host = s.host
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -4506,6 +4556,7 @@ FROM hashed
         "link_walks": _walks_oracle(),
         "bm25_ndcg": _BM25_NDCG_ORACLE,
         "badwords_filter": _BADWORDS_ORACLE,
+        "crawl_schedule_delays": _CRAWL_DELAYS_ORACLE,
     }
 
 

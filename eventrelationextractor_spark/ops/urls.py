@@ -96,10 +96,26 @@ def canonical_dedup(df: DataFrame, url_col: str = "url",
                     (F.col(id_col) == F.col("keep_id")).alias("is_kept")))
 
 
+def crawl_delays(robots: DataFrame, robots_col: str = "robots_txt",
+                 default_sec: int = 5) -> DataFrame:
+    """(host, crawl_delay): per-host Crawl-delay parsed from robots.txt
+    (global-section subset, like ``robots_filter``; first match wins,
+    absent or non-numeric -> ``default_sec``). Host-cardinality map-side
+    parse - feeds ``frontier_schedule(delays=...)`` so politeness uses
+    each host's OWN declared pacing instead of one global constant."""
+    d = F.regexp_extract(F.col(robots_col),
+                         r"(?m)^Crawl-delay:\s*([0-9]+)\s*$", 1)
+    return robots.select(
+        F.lower(F.col("host")).alias("host"),
+        F.when(d == "", F.lit(default_sec))
+        .otherwise(d.cast("long")).cast("long").alias("crawl_delay"))
+
+
 def frontier_schedule(df: DataFrame, url_col: str = "url",
                       priority_col: str | None = None,
                       delay_sec: int = 5,
-                      max_per_host: int | None = None) -> DataFrame:
+                      max_per_host: int | None = None,
+                      delays: DataFrame | None = None) -> DataFrame:
     """Crawl-frontier politeness scheduling: (url, host, slot,
     fetch_offset_sec) - each host's URLs sequenced into fetch slots
     ``delay_sec`` apart, highest priority first, so no host is hit
@@ -115,7 +131,10 @@ def frontier_schedule(df: DataFrame, url_col: str = "url",
     just schedule further into the future.
 
     Deterministic: priority DESC (default = constant), then url ASC.
-    fetch_offset_sec = (slot - 1) * delay_sec; callers add their epoch."""
+    fetch_offset_sec = (slot - 1) * delay_sec; callers add their epoch.
+    ``delays`` (optional, (host, crawl_delay) - see ``crawl_delays``)
+    overrides the constant per host: a host-cardinality broadcast
+    dimension join, hosts absent from it fall back to ``delay_sec``."""
     from pyspark.sql import Window
     host = F.lower(F.regexp_extract(F.col(url_col),
                                     r"^[a-zA-Z]+://([^/?#]+)", 1))
@@ -127,8 +146,15 @@ def frontier_schedule(df: DataFrame, url_col: str = "url",
     out = base.withColumn("slot", F.row_number().over(w))
     if max_per_host is not None:
         out = out.filter(F.col("slot") <= max_per_host)
+    if delays is not None:
+        out = out.join(F.broadcast(
+            delays.select(F.lower(F.col("host")).alias("host"),
+                          "crawl_delay")), "host", "left")
+        per_host = F.coalesce("crawl_delay", F.lit(delay_sec))
+    else:
+        per_host = F.lit(delay_sec)
     return out.select("url", "host", F.col("slot").cast("long").alias("slot"),
-                      ((F.col("slot") - 1) * delay_sec).cast("long")
+                      ((F.col("slot") - 1) * per_host).cast("long")
                       .alias("fetch_offset_sec"))
 
 

@@ -367,3 +367,23 @@ def test_badwords_token_exact_not_substring(spark):
     assert out[1].n_bad == 0 and out[1].keep          # no substring match
     assert out[2].n_bad == 3 and not out[2].keep
     assert out[3].n_bad == 1 and out[3].keep          # under the ratio
+
+
+def test_crawl_delays_parse_and_schedule(spark):
+    robots = spark.createDataFrame(
+        [("A.example", "User-agent: *\nCrawl-delay: 7\nDisallow: /x\n"),
+         ("b.example", "User-agent: *\nDisallow: /\n")],     # no delay
+        "host string, robots_txt string")
+    d = {r.host: r.crawl_delay
+         for r in urls.crawl_delays(robots, default_sec=3).collect()}
+    assert d == {"a.example": 7, "b.example": 3}
+    frontier = spark.createDataFrame(
+        [("https://a.example/1",), ("https://a.example/2",),
+         ("https://c.example/1",)], "url string")
+    out = {(r.host, r.slot): r.fetch_offset_sec
+           for r in urls.frontier_schedule(
+               frontier, delay_sec=3,
+               delays=urls.crawl_delays(robots, default_sec=3)).collect()}
+    # declared delay honored; unknown host falls back to the default
+    assert out[("a.example", 1)] == 0 and out[("a.example", 2)] == 7
+    assert out[("c.example", 1)] == 0
