@@ -1710,6 +1710,28 @@ def _q_crawl_schedule_delays(spark, sf_dir):
     return urls.frontier_schedule(frontier, delay_sec=5, delays=delays)
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Exact-k weighted per-stratum sampling (ops/textstats.py::
+    weighted_sample_k, Efraimidis-Spirakis A-ES): k docs per source
+    preferring high quality - key = u^(1/w) from the md5 fate,
+    identical IEEE expression both engines. Weight = the quality
+    score (+epsilon so zero-quality rows stay sampleable-but-unlikely
+    ... excluded: weight must be positive, so staged as quality+0.01)."""
+    d = textstats.quality_score(_docs(spark, sf_dir))
+    d = d.select("doc_id", "source",
+                 F.round(F.col("quality") + 0.01, 6).alias("wt"))
+    return textstats.weighted_sample_k(d, "wt", "source", k=20)
+
+
+def _q_events_funnel(spark, sf_dir):
+    """Ordered funnel (ops/events.py::funnel): per user the earliest
+    view -> click -> purchase completion chain, each step strictly
+    after the previous; stage = steps completed. One groupBy + one
+    user-keyed join per later step, filters pruned before the shuffle;
+    the oracle is the identical chained-min formulation."""
+    return events.funnel(_events(spark, sf_dir))
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -1842,6 +1864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_ndcg": _q_bm25_ndcg,
         "badwords_filter": _q_badwords_filter,
         "crawl_schedule_delays": _q_crawl_schedule_delays,
+        "weighted_sample_k": _q_weighted_sample,
+        "events_funnel": _q_events_funnel,
     }
 
 
@@ -4415,6 +4439,60 @@ FROM slotted s LEFT JOIN delays d ON d.host = s.host
 """
 
 
+_WSAMPLE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+         AS BIGINT) AS n_punct,
+    CAST((len(string_split(' ' || lower(text) || ' ', ' the ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' and ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' of ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' is ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' a ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' to ')) - 1)
+         AS BIGINT) AS n_stopwords
+  FROM documents),
+q AS (SELECT doc_id, source,
+  round(round(CASE WHEN n_tokens <= 0 THEN 0.0 ELSE
+    least(1.0, n_stopwords * 6.0 / n_tokens)
+    * (1.0 - least(1.0, n_punct * 4.0 / n_chars)) END, 6) + 0.01, 6)
+    AS wt
+  FROM base),
+keyed AS (SELECT doc_id, source, wt,
+  pow((('0x' || substr(md5('wsamp1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+       ::UBIGINT % 1000000 + 1) / 1000000.0, 1.0 / wt) AS k
+  FROM q WHERE wt > 0)
+SELECT doc_id, source, wt AS weight,
+  CAST(row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id)
+       AS BIGINT) AS sample_rank
+FROM keyed
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id)
+        <= 20
+"""
+
+_FUNNEL_ORACLE = """
+WITH f1 AS (SELECT user_id,
+  min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY user_id),
+f2 AS (SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN f1 ON f1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > f1.t1
+  GROUP BY e.user_id),
+f3 AS (SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN f2 ON f2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > f2.t2
+  GROUP BY e.user_id)
+SELECT f1.user_id, f1.t1, f2.t2, f3.t3,
+  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+FROM f1 LEFT JOIN f2 ON f2.user_id = f1.user_id
+LEFT JOIN f3 ON f3.user_id = f1.user_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -4557,6 +4635,8 @@ FROM hashed
         "bm25_ndcg": _BM25_NDCG_ORACLE,
         "badwords_filter": _BADWORDS_ORACLE,
         "crawl_schedule_delays": _CRAWL_DELAYS_ORACLE,
+        "weighted_sample_k": _WSAMPLE_ORACLE,
+        "events_funnel": _FUNNEL_ORACLE,
     }
 
 

@@ -359,3 +359,36 @@ def window_anomalies(events: DataFrame, minutes: int = 60,
                             .otherwise(F.lit(0.0)), 6).alias("std_n"),
                     F.round(z, 6).alias("z"),
                     (F.abs(z) >= z_threshold).alias("anomaly")))
+
+
+def funnel(events: DataFrame, steps=("view", "click", "purchase"),
+           user_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts") -> DataFrame:
+    """Ordered funnel analysis: per user the EARLIEST time each step
+    completed, where step i+1 must occur STRICTLY AFTER step i's
+    completion -> (user, t1..tN, stage). The product-analytics staple
+    (signup -> activation -> purchase) and, on a crawl pipeline, the
+    page-lifecycle funnel (discovered -> fetched -> extracted).
+
+    Shape: one groupBy for step 1, then per later step ONE user-keyed
+    join back to the events (filtered to that step's type - the filter
+    prunes before the shuffle) + one partial-agged min. All joins share
+    the user-hash partitioning, so AQE/ReuseExchange keep the chain to
+    one physical Exchange per step; no window over a user's whole
+    history, no collect of per-user event arrays (a hot user costs one
+    aggregation buffer, not a sort). stage = number of steps completed
+    (monotone by construction: t_{i+1} exists only if t_i does)."""
+    u, ty, ts = F.col(user_col), F.col(type_col), F.col(ts_col)
+    out = events.groupBy(user_col).agg(
+        F.min(F.when(ty == steps[0], ts)).alias("t1"))
+    for i, s in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}"
+        nxt = (events.filter(ty == s)
+               .join(out.select(user_col, prev), user_col)
+               .filter(ts > F.col(prev))
+               .groupBy(user_col).agg(F.min(ts).alias(f"t{i}")))
+        out = out.join(nxt, user_col, "left")
+    stage = F.when(F.col(f"t{len(steps)}").isNotNull(), len(steps))
+    for i in range(len(steps) - 1, 0, -1):      # deepest step wins
+        stage = stage.when(F.col(f"t{i}").isNotNull(), i)
+    return out.withColumn("stage", stage.otherwise(0).cast("long"))

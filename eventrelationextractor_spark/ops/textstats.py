@@ -824,3 +824,35 @@ def badwords_stats(df: DataFrame, badwords: list,
         n_bad.alias("n_bad"),
         ratio.alias("bad_ratio"),
         (ratio <= max_ratio).alias("keep"))
+
+
+def weighted_sample_k(df: DataFrame, weight_col: str, stratum_col: str,
+                      k: int, id_col: str = "doc_id",
+                      salt: str = "wsamp1") -> DataFrame:
+    """Exact-k WEIGHTED sample per stratum without replacement
+    (Efraimidis & Spirakis 2006, A-ES): each row draws the key
+    ``u^(1/w)`` from its deterministic md5 fate u in (0,1] and the k
+    LARGEST keys win - provably equivalent to sequential weighted
+    draws. The quality-weighted counterpart of ``sample_k_per_stratum``
+    (uniform): "k docs per source, preferring high quality" is this
+    exact op in every curation pipeline.
+
+    Key arithmetic is pow(u, 1/w) in IEEE double on both engines
+    (identical expression tree -> identical ranking); rows with
+    non-positive weight are excluded (their key is undefined), ties
+    (astronomically unlikely) break by id. -> (id, stratum, weight,
+    sample_rank); the per-stratum window caps via WindowGroupLimit
+    like the uniform variant."""
+    h = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("long") % 1000000 + 1) / 1000000.0
+    key = F.pow(h, 1.0 / F.col(weight_col))
+    w = Window.partitionBy(stratum_col).orderBy(F.col("_k").desc(),
+                                                F.col(id_col).asc())
+    return (df.filter(F.col(weight_col) > 0)
+            .select(F.col(id_col), F.col(stratum_col),
+                    F.col(weight_col).alias("weight"), key.alias("_k"))
+            .withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k)
+            .select(id_col, stratum_col, "weight",
+                    F.col("sample_rank").cast("long").alias("sample_rank")))

@@ -387,3 +387,48 @@ def test_crawl_delays_parse_and_schedule(spark):
     # declared delay honored; unknown host falls back to the default
     assert out[("a.example", 1)] == 0 and out[("a.example", 2)] == 7
     assert out[("c.example", 1)] == 0
+
+
+def test_funnel_strict_ordering_and_stages(spark):
+    from datetime import datetime as dt
+
+    from eventrelationextractor_spark.ops import events as ev_ops
+    T = lambda m: dt(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes in order
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+        # u2: purchase BEFORE click -> stage stops at 2
+        (2, T(1), "view"), (2, T(3), "click"), (2, T(2), "purchase"),
+        # u3: click without view -> stage 0
+        (3, T(1), "click"),
+        # u4: simultaneous view/click (not strictly after) -> stage 1
+        (4, T(1), "view"), (4, T(1), "click"),
+    ]
+    df = spark.createDataFrame(rows,
+                               "user_id long, ts timestamp, event_type string")
+    out = {r.user_id: r for r in ev_ops.funnel(df).collect()}
+    assert out[1].stage == 3 and out[1].t3 == T(3)
+    assert out[2].stage == 2 and out[2].t3 is None
+    assert out[3].stage == 0 and out[3].t1 is None
+    assert out[4].stage == 1
+
+
+def test_weighted_sample_k_prefers_heavy_rows(spark):
+    from eventrelationextractor_spark.ops import textstats
+    # one stratum: 50 rows of weight 0.01 and 5 rows of weight 100 -
+    # the heavy rows all but surely occupy the top-5 A-ES keys
+    rows = [(i, "s", 0.01) for i in range(50)] + \
+           [(100 + i, "s", 100.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+    got = {r.doc_id for r in
+           textstats.weighted_sample_k(df, "w", "src", k=5).collect()}
+    assert got == {100, 101, 102, 103, 104}
+    # deterministic across runs
+    again = {r.doc_id for r in
+             textstats.weighted_sample_k(df, "w", "src", k=5).collect()}
+    assert got == again
+    # zero/negative weights are excluded entirely
+    z = spark.createDataFrame([(1, "s", 0.0), (2, "s", 1.0)],
+                              "doc_id long, src string, w double")
+    assert [r.doc_id for r in
+            textstats.weighted_sample_k(z, "w", "src", k=5).collect()] == [2]
