@@ -1732,6 +1732,16 @@ def _q_events_funnel(spark, sf_dir):
     return events.funnel(_events(spark, sf_dir))
 
 
+def _q_link_adamic_adar(spark, sf_dir):
+    """Adamic-Adar missing-link scores (ops/graph.py::adamic_adar) over
+    the undirected link graph: common neighbors weighted by
+    1/ln(degree), degree-capped before pair formation (the cocitation
+    gate). The KG-completion ranking feature; the oracle is the
+    independent self-join-on-neighbor formulation."""
+    e, _ = _link_edges(spark, sf_dir)
+    return graph.adamic_adar(e)
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -1866,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule_delays": _q_crawl_schedule_delays,
         "weighted_sample_k": _q_weighted_sample,
         "events_funnel": _q_events_funnel,
+        "link_adamic_adar": _q_link_adamic_adar,
     }
 
 
@@ -4493,6 +4504,27 @@ LEFT JOIN f3 ON f3.user_id = f1.user_id
 """
 
 
+_ADAMIC_ADAR_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id*7+1) % n AS d FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % n FROM documents, nn
+  WHERE doc_id % 17 <> 0),
+sym AS (SELECT DISTINCT s, d FROM (
+  SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0) WHERE s <> d),
+deg AS (SELECT s AS z, count(*) AS dg FROM sym GROUP BY s
+        HAVING count(*) BETWEEN 2 AND 100),
+p AS (SELECT l.d AS a, r.d AS b, deg.dg
+      FROM sym l JOIN sym r ON l.s = r.s AND l.d < r.d
+      JOIN deg ON deg.z = l.s)
+SELECT a, b, count(*) AS n_common,
+  round(sum(1.0 / ln(CAST(dg AS DOUBLE))), 6) AS aa_score
+FROM p GROUP BY a, b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -4637,6 +4669,7 @@ FROM hashed
         "crawl_schedule_delays": _CRAWL_DELAYS_ORACLE,
         "weighted_sample_k": _WSAMPLE_ORACLE,
         "events_funnel": _FUNNEL_ORACLE,
+        "link_adamic_adar": _ADAMIC_ADAR_ORACLE,
     }
 
 

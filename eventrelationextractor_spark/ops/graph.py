@@ -479,3 +479,41 @@ def random_walks(edges: DataFrame, nodes: DataFrame | None = None,
         out = out.unionByName(
             cur.withColumn("step", F.lit(t).cast("long")))
     return out.select("start", "step", "node")
+
+
+def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
+                max_degree: int = 100) -> DataFrame:
+    """Adamic-Adar link prediction scores (Adamic & Adar 2003) over the
+    undirected simplification: for every pair (a < b) sharing at least
+    one neighbor, ``aa_score = sum over common neighbors z of
+    1/ln(deg(z))`` plus the raw common-neighbor count. THE standard
+    missing-link / KG-completion ranking feature: common neighbors
+    weighted down by how promiscuous they are (a hub connecting
+    everyone predicts nothing).
+
+    Same skew discipline as ``cocitation``: neighbors-of-z pair
+    enumeration is deg(z)^2, so nodes with degree above ``max_degree``
+    are dropped BEFORE any pair forms (count gate ahead of the
+    collect) - standard AA practice too, since 1/ln(deg) makes hub
+    contributions the smallest signal at the largest cost. Weight uses
+    the node's degree within the kept set (= its true degree, as kept
+    nodes are uncapped)."""
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = (e0.unionByName(e0.select(F.col("d").alias("s"),
+                                    F.col("s").alias("d")))
+           .filter(F.col("s") != F.col("d")).distinct())
+    deg = (sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+           .filter((F.col("dg") >= 2) & (F.col("dg") <= max_degree)))
+    survivors = sym.join(deg, "s")
+    groups = (survivors.groupBy("s", "dg")
+              .agg(F.sort_array(F.collect_list("d")).alias("ns")))
+    pairs = groups.select(
+        (1.0 / F.log(F.col("dg").cast("double"))).alias("w"),
+        F.explode(F.expr(
+            "flatten(transform(ns, (x, i) -> "
+            "transform(slice(ns, i + 2, size(ns)), "
+            "y -> struct(x as a, y as b))))")).alias("p")) \
+        .select("p.a", "p.b", "w")
+    return (pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"),
+                 F.round(F.sum("w"), 6).alias("aa_score")))

@@ -432,3 +432,19 @@ def test_weighted_sample_k_prefers_heavy_rows(spark):
                               "doc_id long, src string, w double")
     assert [r.doc_id for r in
             textstats.weighted_sample_k(z, "w", "src", k=5).collect()] == [2]
+
+
+def test_adamic_adar_analytic(spark):
+    import math as _m
+    # triangle a-b-c plus z connected to a and b: common neighbor of
+    # (a,b) = {c, z}; deg(c)=2, deg(z)=2 -> aa = 2/ln(2)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("z", "a"), ("z", "b")],
+        "src string, dst string")
+    out = {(r.a, r.b): (r.n_common, r.aa_score)
+           for r in graph.adamic_adar(e).collect()}
+    n, s = out[("a", "b")]
+    assert n == 2 and _m.isclose(s, round(2 / _m.log(2), 6), abs_tol=1e-9)
+    # (c, z): common neighbors a and b, each degree 3
+    n, s = out[("c", "z")]
+    assert n == 2 and _m.isclose(s, round(2 / _m.log(3), 6), abs_tol=1e-9)
