@@ -1742,6 +1742,16 @@ def _q_link_adamic_adar(spark, sf_dir):
     return graph.adamic_adar(e)
 
 
+def _q_char_entropy(spark, sf_dir):
+    """Character-entropy quality telemetry (ops/textstats.py::
+    char_entropy): bits/char of the normalized text via two partial-
+    agged aggregations (-sum(p log2 p) = log2(N) - sum(n log2 n)/N).
+    The cheap both-tails anomaly gate (binary junk high, repeated-char
+    spam ~0); oracle replays the identical plan with
+    regexp_extract_all('.') character rows."""
+    return textstats.char_entropy(_docs(spark, sf_dir))
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -1877,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_k": _q_weighted_sample,
         "events_funnel": _q_events_funnel,
         "link_adamic_adar": _q_link_adamic_adar,
+        "char_entropy": _q_char_entropy,
     }
 
 
@@ -4525,6 +4536,21 @@ FROM p GROUP BY a, b
 """
 
 
+_CHAR_ENTROPY_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+chars AS (SELECT doc_id, u.c
+          FROM norm, LATERAL unnest(regexp_extract_all(t, '.')) AS u(c)),
+cc AS (SELECT doc_id, c, count(*) AS n FROM chars GROUP BY doc_id, c),
+per AS (SELECT doc_id, sum(n) AS total, count(*) AS n_distinct,
+        sum(n * log2(n)) AS nlogn FROM cc GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(total, 0) AS BIGINT) AS n_chars,
+  CAST(coalesce(n_distinct, 0) AS BIGINT) AS n_distinct,
+  round(log2(total) - nlogn / total, 6) AS entropy
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -4670,6 +4696,7 @@ FROM hashed
         "weighted_sample_k": _WSAMPLE_ORACLE,
         "events_funnel": _FUNNEL_ORACLE,
         "link_adamic_adar": _ADAMIC_ADAR_ORACLE,
+        "char_entropy": _CHAR_ENTROPY_ORACLE,
     }
 
 

@@ -392,3 +392,71 @@ def funnel(events: DataFrame, steps=("view", "click", "purchase"),
     for i in range(len(steps) - 1, 0, -1):      # deepest step wins
         stage = stage.when(F.col(f"t{i}").isNotNull(), i)
     return out.withColumn("stage", stage.otherwise(0).cast("long"))
+
+
+def streaming_funnel(stream: DataFrame,
+                     steps=("view", "click", "purchase"),
+                     user_col: str = "user_id", type_col: str = "event_type",
+                     ts_col: str = "ts") -> DataFrame:
+    """Streaming twin of ``funnel`` (applyInPandasWithState): per-user
+    state carries the earliest completion time of each step; a row
+    (user, stage, t1..t3) is emitted whenever the user's stage ADVANCES
+    within a trigger - funnel progression is monotone, so every emitted
+    row is final for its stage and the user's LATEST row is the current
+    funnel position (the batch-equivalence test takes exactly that).
+
+    Same ORDERED-SOURCE contract as ``streaming_sessionize``: events
+    must arrive time-ordered across triggers per user (each trigger
+    sorts only within its batch); an out-of-order deployment buffers
+    under a watermark first. Exactly three steps (state schema is
+    fixed-arity)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if len(steps) != 3:
+        raise ValueError("streaming_funnel supports exactly 3 steps")
+    out_schema = (f"{user_col} long, stage long, t1 timestamp, "
+                  "t2 timestamp, t3 timestamp")
+    state_schema = "t1_us long, t2_us long, t3_us long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        t = list(state.get) if state.exists else [None, None, None]
+
+        def stage():
+            return (3 if t[2] is not None else
+                    2 if t[1] is not None else
+                    1 if t[0] is not None else 0)
+
+        before = stage()
+        emitted = []
+        for pdf in pdfs:
+            order = [ts_col, type_col]
+            for _, row in pdf.sort_values(order).iterrows():
+                us = row[ts_col].value // 1_000
+                ty = row[type_col]
+                if ty == steps[0] and t[0] is None:
+                    t[0] = us
+                elif (ty == steps[1] and t[1] is None
+                      and t[0] is not None and us > t[0]):
+                    t[1] = us
+                elif (ty == steps[2] and t[2] is None
+                      and t[1] is not None and us > t[1]):
+                    t[2] = us
+                if stage() > before:
+                    before = stage()
+                    emitted.append((before, list(t)))
+        state.update(tuple(t))
+        if emitted:
+            yield pd.DataFrame(
+                {user_col: key[0],
+                 "stage": [e[0] for e in emitted],
+                 "t1": pd.to_datetime([e[1][0] for e in emitted],
+                                      unit="us"),
+                 "t2": pd.to_datetime([e[1][1] for e in emitted],
+                                      unit="us"),
+                 "t3": pd.to_datetime([e[1][2] for e in emitted],
+                                      unit="us")})
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)

@@ -856,3 +856,42 @@ def weighted_sample_k(df: DataFrame, weight_col: str, stratum_col: str,
             .filter(F.col("sample_rank") <= k)
             .select(id_col, stratum_col, "weight",
                     F.col("sample_rank").cast("long").alias("sample_rank")))
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-doc character-level Shannon entropy (bits/char) over the
+    normalized text -> (id, n_chars, n_distinct, entropy). The
+    compression-ratio cousin every quality stack carries: binary
+    junk / key-mash scores high, single-char spam scores ~0, natural
+    language sits in a narrow band (EN ~4.1) - a cheap anomaly gate on
+    both tails.
+
+    Shape: one split-explode to characters (map-side; rows bounded by
+    corpus chars like every token explode) -> per (doc, char) partial-
+    agged count -> per-doc entropy as -sum(p log2 p). No UDF; log2 and
+    the division are codegen, and the oracle replays the identical
+    two-aggregation plan."""
+    from .dedup import normalized_text
+    chars = (df.select(F.col(id_col),
+                       F.explode(F.split(normalized_text(F.col(text_col)),
+                                         "")).alias("c"))
+             .filter(F.col("c") != ""))
+    cc = chars.groupBy(id_col, "c").agg(F.count(F.lit(1)).alias("n"))
+    per = (cc.groupBy(id_col)
+           .agg(F.sum("n").alias("total"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.sum(F.col("n") * F.log2("n")).alias("nlogn")))
+    # -sum(p log2 p) = log2(total) - sum(n log2 n)/total
+    ent = F.log2("total") - F.col("nlogn") / F.col("total")
+    out = per.select(F.col(id_col),
+                     F.col("total").cast("long").alias("n_chars"),
+                     F.col("n_distinct").cast("long").alias("n_distinct"),
+                     F.round(ent, 6).alias("entropy"))
+    return (df.select(id_col).join(out, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_chars", F.lit(0)).cast("long")
+                    .alias("n_chars"),
+                    F.coalesce("n_distinct", F.lit(0)).cast("long")
+                    .alias("n_distinct"),
+                    "entropy"))

@@ -448,3 +448,20 @@ def test_adamic_adar_analytic(spark):
     # (c, z): common neighbors a and b, each degree 3
     n, s = out[("c", "z")]
     assert n == 2 and _m.isclose(s, round(2 / _m.log(3), 6), abs_tol=1e-9)
+
+
+def test_char_entropy_analytic(spark):
+    import math as _m
+
+    from eventrelationextractor_spark.ops import textstats
+    df = spark.createDataFrame(
+        [(1, "aaaa"),               # one symbol: entropy 0
+         (2, "abab"),               # two equiprobable: 1 bit
+         (3, "abcd"),               # four equiprobable: 2 bits
+         (4, "")],                  # empty: no rows -> zeros/null
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in textstats.char_entropy(df).collect()}
+    assert out[1].entropy == 0.0 and out[1].n_distinct == 1
+    assert _m.isclose(out[2].entropy, 1.0, abs_tol=1e-9)
+    assert _m.isclose(out[3].entropy, 2.0, abs_tol=1e-9)
+    assert out[4].n_chars == 0 and out[4].entropy is None

@@ -770,3 +770,46 @@ def test_streaming_windowed_hll_matches_batch(spark, tmp_path):
                for r in sk.hll_estimate_from_registers(
                    sunk, ["window_start"]).collect()}
     assert got_est == batch_est
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """applyInPandasWithState funnel == batch funnel: the user's LATEST
+    emitted row (funnel progression is monotone) must equal the batch
+    stage and step timestamps; stage-0 users emit nothing. Two ordered
+    file-source batches exercise state carry-over mid-funnel."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("ts", "user_id", "event_type")
+    batch = {r.user_id: (r.stage, r.t1, r.t2, r.t3)
+             for r in ev_ops.funnel(
+                 events.withColumn("ts", F.col("ts").cast("timestamp_ltz")))
+             .collect()}
+
+    src = str(tmp_path / "funnel_src")
+    os.makedirs(src)
+    lohi = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    median = lohi.lo + (lohi.hi - lohi.lo) / 2
+    for i, part in enumerate((events.filter(F.col("ts") <= F.lit(median)),
+                              events.filter(F.col("ts") > F.lit(median)))):
+        part.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)
+
+    stream = spark.readStream.schema(events.schema) \
+        .option("maxFilesPerTrigger", "1") \
+        .option("latestFirst", "false") \
+        .parquet(src + "/*")
+    q = (ev_ops.streaming_funnel(stream)
+         .writeStream.format("memory").queryName("funnel_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("select * from funnel_out").collect():
+        if r.user_id not in got or r.stage > got[r.user_id][0]:
+            got[r.user_id] = (r.stage, r.t1, r.t2, r.t3)
+    progressed = {u: v for u, v in batch.items() if v[0] >= 1}
+    assert len(progressed) > 0
+    assert got == progressed
