@@ -1752,6 +1752,80 @@ def _q_char_entropy(spark, sf_dir):
     return textstats.char_entropy(_docs(spark, sf_dir))
 
 
+def _cents(col):
+    """Exact integer cents from a 2-decimal double column: the classic
+    money-exactness discipline - float SUMS drift with partial-agg merge
+    order across engines (the bm25 lesson at money magnitudes), integer
+    sums cannot. round() of the identical IEEE double agrees across
+    engines except exactly-at-.5 doubles, which 2-decimal money values
+    never hit."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def _q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1 pricing summary over the relational slice of the
+    driver tables (lineitem): per (returnflag, linestatus) the qty /
+    base / discounted / charged totals and means. All money arithmetic
+    in exact integer cents (discount and tax become x100 integer
+    factors), divided back to dollars only at the end - so the value
+    hash is engine-exact with NO tolerance games. Pure one-pass
+    partial-agged groupBy after a pushed-down date filter."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    pc = _cents(F.col("l_extendedprice"))
+    dc = _cents(F.col("l_discount"))        # 0..100
+    tc = _cents(F.col("l_tax"))
+    staged = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))         .select("l_returnflag", "l_linestatus",
+                F.col("l_quantity").cast("long").alias("qty"),
+                pc.alias("pc"), dc.alias("dc"), tc.alias("tc"))
+    g = staged.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum("pc").alias("base_c"),
+        F.sum(F.col("pc") * (100 - F.col("dc"))).alias("disc_c2"),
+        F.sum(F.col("pc") * (100 - F.col("dc")) * (100 + F.col("tc")))
+        .alias("charge_c4"),
+        F.sum("dc").alias("disc_sum"),
+        F.count(F.lit(1)).alias("count_order"))
+    return g.select(
+        "l_returnflag", "l_linestatus", "sum_qty",
+        (F.col("base_c") / 100.0).alias("sum_base_price"),
+        (F.col("disc_c2") / 10000.0).alias("sum_disc_price"),
+        (F.col("charge_c4") / 1000000.0).alias("sum_charge"),
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("base_c") / 100.0 / F.col("count_order"), 6)
+        .alias("avg_price"),
+        F.round(F.col("disc_sum") / 100.0 / F.col("count_order"), 6)
+        .alias("avg_disc"),
+        "count_order")
+
+
+def _q_tpch_shipping(spark, sf_dir):
+    """TPC-H Q3 shipping priority: BUILDING-segment customers, orders
+    placed before / lines shipped after the cut date, top-10 orders by
+    discounted revenue. The canonical 3-table join: customer is the
+    small dimension (broadcast), orders->lineitem the fact join;
+    revenue in exact integer cents so the top-10 ordering is
+    engine-exact (ranked on the long, never a float)."""
+    cut = F.lit("1998-03-15").cast("timestamp")
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))         .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))         .filter(F.col("o_orderdate") < cut)         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))         .filter(F.col("l_shipdate") > cut)         .select("l_orderkey", _cents(F.col("l_extendedprice")).alias("pc"),
+                _cents(F.col("l_discount")).alias("dc"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    from pyspark.sql import Window
+    rev = (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.sum(F.col("pc") * (100 - F.col("dc")))
+                .alias("rev_c2")))
+    w = Window.orderBy(F.col("rev_c2").desc(), F.col("l_orderkey"))
+    return (rev.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .select(F.col("l_orderkey").alias("orderkey"),
+                    (F.col("rev_c2") / 10000.0).alias("revenue"),
+                    "o_orderdate", "o_orderpriority",
+                    F.col("rnk").cast("long").alias("rnk")))
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -1888,6 +1962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "link_adamic_adar": _q_link_adamic_adar,
         "char_entropy": _q_char_entropy,
+        "tpch_pricing_summary": _q_tpch_pricing,
+        "tpch_shipping_priority": _q_tpch_shipping,
     }
 
 
@@ -4551,6 +4627,55 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+_TPCH_Q1_ORACLE = """
+WITH staged AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(l_quantity AS BIGINT) AS qty,
+    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+    CAST(round(l_discount * 100, 0) AS BIGINT) AS dc,
+    CAST(round(l_tax * 100, 0) AS BIGINT) AS tc
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+g AS (SELECT l_returnflag, l_linestatus,
+  sum(qty) AS sum_qty, sum(pc) AS base_c,
+  sum(pc * (100 - dc)) AS disc_c2,
+  sum(pc * (100 - dc) * (100 + tc)) AS charge_c4,
+  sum(dc) AS disc_sum, count(*) AS count_order
+  FROM staged GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, sum_qty,
+  base_c / 100.0 AS sum_base_price,
+  disc_c2 / 10000.0 AS sum_disc_price,
+  charge_c4 / 1000000.0 AS sum_charge,
+  round(sum_qty / CAST(count_order AS DOUBLE), 6) AS avg_qty,
+  round(base_c / 100.0 / count_order, 6) AS avg_price,
+  round(disc_sum / 100.0 / count_order, 6) AS avg_disc,
+  count_order
+FROM g
+"""
+
+_TPCH_Q3_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey,
+    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+    CAST(round(l_discount * 100, 0) AS BIGINT) AS dc
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-03-15'),
+rev AS (SELECT li.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        sum(pc * (100 - dc)) AS rev_c2
+  FROM li
+  JOIN orders o ON o.o_orderkey = li.l_orderkey
+   AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  JOIN customer c ON c.c_custkey = o.o_custkey
+   AND c.c_mktsegment = 'BUILDING'
+  GROUP BY 1, 2, 3)
+SELECT l_orderkey AS orderkey, rev_c2 / 10000.0 AS revenue,
+  o_orderdate, o_orderpriority,
+  CAST(row_number() OVER (ORDER BY rev_c2 DESC, l_orderkey) AS BIGINT)
+    AS rnk
+FROM rev
+QUALIFY row_number() OVER (ORDER BY rev_c2 DESC, l_orderkey) <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -4697,6 +4822,8 @@ FROM hashed
         "events_funnel": _FUNNEL_ORACLE,
         "link_adamic_adar": _ADAMIC_ADAR_ORACLE,
         "char_entropy": _CHAR_ENTROPY_ORACLE,
+        "tpch_pricing_summary": _TPCH_Q1_ORACLE,
+        "tpch_shipping_priority": _TPCH_Q3_ORACLE,
     }
 
 
