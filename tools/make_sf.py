@@ -77,6 +77,81 @@ def make_events(n: int, rng: np.random.Generator) -> pa.Table:
     })
 
 
+SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY")
+PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def make_tpch(n_cust: int, n_orders: int, rng: np.random.Generator,
+              out: str) -> int:
+    """Same-schema relational trio (customer/orders/lineitem) for the
+    TPC-H-shape driver queries; keys mirror the driver layout
+    (custkey 0..n_cust-1, orderkey 0..n_orders-1, 1-7 lines/order,
+    2-decimal money)."""
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(n_cust), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)],
+                           pa.string()),
+        "c_nationkey": pa.array(rng.integers(0, 25, size=n_cust),
+                                pa.int32()),
+        "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, n_cust), 2),
+                              pa.float64()),
+        "c_mktsegment": pa.array(
+            np.array(SEGMENTS)[rng.integers(0, 5, size=n_cust)],
+            pa.string()),
+    }), os.path.join(out, "customer.parquet"))
+
+    base = np.datetime64("1995-01-01T00:00:00.000000")
+    odates = base + (rng.integers(0, 2400, size=n_orders)
+                     * np.timedelta64(1, "D")).astype("timedelta64[us]")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n_orders), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, size=n_orders),
+                              pa.int64()),
+        "o_orderstatus": pa.array(
+            np.array(["F", "O", "P"])[rng.integers(0, 3, size=n_orders)],
+            pa.string()),
+        "o_totalprice": pa.array(
+            np.round(rng.uniform(1000, 400000, n_orders), 2), pa.float64()),
+        "o_orderdate": pa.array(odates, pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            np.array(PRIORITIES)[rng.integers(0, 5, size=n_orders)],
+            pa.string()),
+    }), os.path.join(out, "orders.parquet"))
+
+    lines_per = rng.integers(1, 8, size=n_orders)
+    okeys = np.repeat(np.arange(n_orders, dtype=np.int64), lines_per)
+    n_li = len(okeys)
+    lnum = np.concatenate([np.arange(1, k + 1) for k in lines_per])
+    sdates = (np.repeat(odates, lines_per)
+              + (rng.integers(1, 120, size=n_li)
+                 * np.timedelta64(1, "D")).astype("timedelta64[us]"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(okeys, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, 20000, size=n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, 1000, size=n_li), pa.int64()),
+        "l_linenumber": pa.array(lnum, pa.int32()),
+        "l_quantity": pa.array(
+            rng.integers(1, 51, size=n_li).astype(np.float64), pa.float64()),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(900, 105000, n_li), 2), pa.float64()),
+        "l_discount": pa.array(
+            np.round(rng.integers(0, 11, size=n_li) / 100.0, 2),
+            pa.float64()),
+        "l_tax": pa.array(
+            np.round(rng.integers(0, 9, size=n_li) / 100.0, 2),
+            pa.float64()),
+        "l_returnflag": pa.array(
+            np.array(["A", "N", "R"])[rng.integers(0, 3, size=n_li)],
+            pa.string()),
+        "l_linestatus": pa.array(
+            np.array(["F", "O"])[rng.integers(0, 2, size=n_li)],
+            pa.string()),
+        "l_shipdate": pa.array(sdates, pa.timestamp("us")),
+    }), os.path.join(out, "lineitem.parquet"))
+    return n_li
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
@@ -92,8 +167,10 @@ def main():
                    os.path.join(out, "embeddings.parquet"))
     pq.write_table(make_events(n_docs * 20, rng),
                    os.path.join(out, "events.parquet"))
+    n_li = make_tpch(int(150000 * args.sf), int(1500000 * args.sf),
+                     rng, out)
     print(f"wrote {out}: documents={n_docs} embeddings={n_docs} "
-          f"events={n_docs * 20}")
+          f"events={n_docs * 20} lineitem={n_li}")
 
 
 if __name__ == "__main__":
