@@ -1826,6 +1826,75 @@ def _q_tpch_shipping(spark, sf_dir):
                     F.col("rnk").cast("long").alias("rnk")))
 
 
+def _q_tpch_local_volume(spark, sf_dir):
+    """TPC-H Q5 local-supplier volume: ASIA-1996 revenue per nation
+    where customer and supplier share the nation - the canonical
+    6-table star join (region->nation as broadcast snowflake dims,
+    customer/supplier as keyed dims, orders->lineitem as the fact
+    spine). Revenue in exact integer cents; ordering on the exact
+    long. Consumes region/nation/customer/supplier/orders/lineitem -
+    with Q1/Q3/Q9 every driver table feeds at least one query."""
+    rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    region = rd("region").filter(F.col("r_name") == "ASIA")
+    nation = rd("nation").join(F.broadcast(region),
+                               F.col("n_regionkey") == F.col("r_regionkey"))
+    cust = rd("customer").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"))         .select("c_custkey", "c_nationkey", "n_name")
+    orders = rd("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))         .select("o_orderkey", "o_custkey")
+    li = rd("lineitem").select(
+        "l_orderkey", "l_suppkey",
+        _cents(F.col("l_extendedprice")).alias("pc"),
+        _cents(F.col("l_discount")).alias("dc"))
+    supp = rd("supplier").select("s_suppkey", "s_nationkey")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(supp),
+               (li.l_suppkey == supp.s_suppkey)
+               & (cust.c_nationkey == supp.s_nationkey)))
+    return (j.groupBy("n_name")
+            .agg(F.sum(F.col("pc") * (100 - F.col("dc"))).alias("rev_c2"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .select("n_name", (F.col("rev_c2") / 10000.0).alias("revenue"),
+                    "n_lines"))
+
+
+def _q_tpch_part_margin(spark, sf_dir):
+    """TPC-H Q9-shape product-profit rollup: per (supplier nation,
+    order year) the margin on red parts - discounted revenue minus
+    retail-price x quantity (the driver schema ships no partsupp, so
+    retail price stands in for supply cost; the oracle replays the
+    substitution). part/supplier are broadcast dims; margin in exact
+    integer cents. Consumes part + supplier + nation + orders +
+    lineitem."""
+    rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    part = rd("part").filter(F.col("p_name").contains("red"))         .select("p_partkey", _cents(F.col("p_retailprice")).alias("rc"))
+    supp = rd("supplier").select("s_suppkey", "s_nationkey")
+    nation = rd("nation").select("n_nationkey", "n_name")
+    orders = rd("orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    li = rd("lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _cents(F.col("l_extendedprice")).alias("pc"),
+        _cents(F.col("l_discount")).alias("dc"))
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(nation),
+               supp.s_nationkey == nation.n_nationkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey))
+    margin = (F.col("pc") * (100 - F.col("dc"))
+              - F.col("rc") * 100 * F.col("qty"))
+    return (j.groupBy("n_name", "o_year")
+            .agg(F.sum(margin).alias("m_c2"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .select("n_name", "o_year",
+                    (F.col("m_c2") / 10000.0).alias("sum_margin"),
+                    "n_lines"))
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -1964,6 +2033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "tpch_pricing_summary": _q_tpch_pricing,
         "tpch_shipping_priority": _q_tpch_shipping,
+        "tpch_local_volume": _q_tpch_local_volume,
+        "tpch_part_margin": _q_tpch_part_margin,
     }
 
 
@@ -4676,6 +4747,46 @@ QUALIFY row_number() OVER (ORDER BY rev_c2 DESC, l_orderkey) <= 10
 """
 
 
+_TPCH_Q5_ORACLE = """
+WITH li AS (SELECT l_orderkey, l_suppkey,
+  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+  CAST(round(l_discount * 100, 0) AS BIGINT) AS dc FROM lineitem)
+SELECT n.n_name,
+  sum(pc * (100 - dc)) / 10000.0 AS revenue,
+  count(*) AS n_lines
+FROM li
+JOIN orders o ON o.o_orderkey = li.l_orderkey
+ AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+ AND o.o_orderdate < TIMESTAMP '1997-01-01'
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = li.l_suppkey
+ AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+_TPCH_Q9_ORACLE = """
+WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+  CAST(l_quantity AS BIGINT) AS qty,
+  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+  CAST(round(l_discount * 100, 0) AS BIGINT) AS dc FROM lineitem),
+pt AS (SELECT p_partkey,
+  CAST(round(p_retailprice * 100, 0) AS BIGINT) AS rc
+  FROM part WHERE p_name LIKE '%red%')
+SELECT n.n_name,
+  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  sum(pc * (100 - dc) - rc * 100 * qty) / 10000.0 AS sum_margin,
+  count(*) AS n_lines
+FROM li
+JOIN pt ON pt.p_partkey = li.l_partkey
+JOIN supplier s ON s.s_suppkey = li.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = li.l_orderkey
+GROUP BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -4824,6 +4935,8 @@ FROM hashed
         "char_entropy": _CHAR_ENTROPY_ORACLE,
         "tpch_pricing_summary": _TPCH_Q1_ORACLE,
         "tpch_shipping_priority": _TPCH_Q3_ORACLE,
+        "tpch_local_volume": _TPCH_Q5_ORACLE,
+        "tpch_part_margin": _TPCH_Q9_ORACLE,
     }
 
 

@@ -126,10 +126,50 @@ def make_tpch(n_cust: int, n_orders: int, rng: np.random.Generator,
     sdates = (np.repeat(odates, lines_per)
               + (rng.integers(1, 120, size=n_li)
                  * np.timedelta64(1, "D")).astype("timedelta64[us]"))
+    regions = ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(range(5), pa.int64()),
+        "r_name": pa.array(regions, pa.string()),
+    }), os.path.join(out, "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(range(25), pa.int64()),
+        "n_name": pa.array([f"NATION{i:02d}" for i in range(25)],
+                           pa.string()),
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }), os.path.join(out, "nation.parquet"))
+    n_supp, n_part = 1000, 20000    # match the lineitem key ranges below
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(range(n_supp), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)],
+                           pa.string()),
+        "s_nationkey": pa.array(rng.integers(0, 25, size=n_supp),
+                                pa.int32()),
+        "s_acctbal": pa.array(np.round(rng.uniform(-999, 9999, n_supp), 2),
+                              pa.float64()),
+    }), os.path.join(out, "supplier.parquet"))
+    colors = ("red", "blue", "green", "small", "hot")
+    things = ("widget", "bolt", "gear", "gizmo", "ring")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(range(n_part), pa.int64()),
+        "p_name": pa.array(
+            [f"{colors[int(a)]} {things[int(b)]}"
+             for a, b in zip(rng.integers(0, 5, size=n_part),
+                             rng.integers(0, 5, size=n_part))],
+            pa.string()),
+        "p_brand": pa.array([f"Brand#{int(b)}" for b in
+                             rng.integers(1, 26, size=n_part)], pa.string()),
+        "p_type": pa.array(
+            np.array(["ECONOMY", "SMALL", "STANDARD", "LARGE", "PROMO",
+                      "MEDIUM"])[rng.integers(0, 6, size=n_part)],
+            pa.string()),
+        "p_size": pa.array(rng.integers(1, 51, size=n_part), pa.int32()),
+        "p_retailprice": pa.array(
+            np.round(rng.uniform(900, 2100, n_part), 2), pa.float64()),
+    }), os.path.join(out, "part.parquet"))
     pq.write_table(pa.table({
         "l_orderkey": pa.array(okeys, pa.int64()),
-        "l_partkey": pa.array(rng.integers(0, 20000, size=n_li), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(0, 1000, size=n_li), pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, size=n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, size=n_li), pa.int64()),
         "l_linenumber": pa.array(lnum, pa.int32()),
         "l_quantity": pa.array(
             rng.integers(1, 51, size=n_li).astype(np.float64), pa.float64()),
