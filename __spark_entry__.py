@@ -1895,6 +1895,35 @@ def _q_tpch_part_margin(spark, sf_dir):
                     "n_lines"))
 
 
+def _q_events_retention(spark, sf_dir):
+    """Weekly cohort retention (ops/events.py::cohort_retention): users
+    bucketed by first-activity week, counted per return week. Three
+    partial-agged aggregations, no window; the oracle replays the
+    identical bucket arithmetic."""
+    return events.cohort_retention(_events(spark, sf_dir), days=7)
+
+
+def _q_tpch_order_priority(spark, sf_dir):
+    """TPC-H Q4-shape order-priority check: orders in one quarter with
+    AT LEAST ONE late line (shipped > 60 days after order date),
+    counted per priority - the canonical LEFT SEMI join (EXISTS): the
+    fact side is probed once, never multiplied by matching lines. The
+    driver schema has no commit/receipt dates, so lateness =
+    shipdate - orderdate > 60 days (the oracle replays the
+    substitution)."""
+    rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    orders = rd("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    li = rd("lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li, (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate")
+           + F.expr("INTERVAL 60 DAYS")), "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2035,6 +2064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_shipping_priority": _q_tpch_shipping,
         "tpch_local_volume": _q_tpch_local_volume,
         "tpch_part_margin": _q_tpch_part_margin,
+        "events_retention": _q_events_retention,
+        "tpch_order_priority": _q_tpch_order_priority,
     }
 
 
@@ -4787,6 +4818,30 @@ GROUP BY 1, 2
 """
 
 
+_RETENTION_ORACLE = """
+WITH b AS (SELECT user_id AS u,
+  CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) AS p FROM events),
+firsts AS (SELECT u, min(p) AS cohort_start FROM b GROUP BY u),
+active AS (SELECT DISTINCT u, p FROM b)
+SELECT f.cohort_start,
+  CAST((a.p - f.cohort_start) / 604800 AS BIGINT) AS period_offset,
+  count(*) AS n_users
+FROM active a JOIN firsts f ON f.u = a.u
+GROUP BY 1, 2
+"""
+
+_TPCH_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -4937,6 +4992,8 @@ FROM hashed
         "tpch_shipping_priority": _TPCH_Q3_ORACLE,
         "tpch_local_volume": _TPCH_Q5_ORACLE,
         "tpch_part_margin": _TPCH_Q9_ORACLE,
+        "events_retention": _RETENTION_ORACLE,
+        "tpch_order_priority": _TPCH_Q4_ORACLE,
     }
 
 

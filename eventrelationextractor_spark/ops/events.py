@@ -460,3 +460,32 @@ def streaming_funnel(stream: DataFrame,
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
     return stream.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", days: int = 7) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period (tumbling ``days``-day buckets), counted in every later
+    period they return -> (cohort_start, period_offset, n_users). The
+    standard growth/engagement table, and on a crawl corpus the
+    re-crawl freshness matrix (hosts first seen in week W that were
+    seen again k weeks later).
+
+    Three partial-agged aggregations, no window: per-user first event
+    (groupBy user), distinct (user, period) activity (groupBy both -
+    dedup and count compose map-side), then the matrix rollup after a
+    user-keyed join. offset is integer periods since the user's cohort
+    period; offset 0 row = cohort size."""
+    sec = days * 86400
+    bucket = (F.floor(F.unix_timestamp(ts_col) / sec) * sec).cast("long")
+    firsts = (events.select(F.col(user_col).alias("u"),
+                            bucket.alias("p"))
+              .groupBy("u").agg(F.min("p").alias("cohort_start")))
+    active = (events.select(F.col(user_col).alias("u"), bucket.alias("p"))
+              .distinct())
+    return (active.join(firsts, "u")
+            .select("cohort_start",
+                    ((F.col("p") - F.col("cohort_start")) / sec)
+                    .cast("long").alias("period_offset"))
+            .groupBy("cohort_start", "period_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))

@@ -465,3 +465,31 @@ def test_char_entropy_analytic(spark):
     assert _m.isclose(out[2].entropy, 1.0, abs_tol=1e-9)
     assert _m.isclose(out[3].entropy, 2.0, abs_tol=1e-9)
     assert out[4].n_chars == 0 and out[4].entropy is None
+
+
+def test_cohort_retention_analytic(spark):
+    from datetime import datetime as dt
+
+    from eventrelationextractor_spark.ops import events as ev_ops
+    D = lambda d: dt(2024, 1, 4 + d)  # noqa: E731  (Jan 4 = bucket start)
+    rows = [(1, D(0)), (1, D(7)), (1, D(21)),      # cohort 0: back w1, w3
+            (2, D(1)), (2, D(2)),                  # cohort 0: week 0 only
+            (3, D(7)), (3, D(14))]                 # cohort 1: back w1
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort_start, r.period_offset): r.n_users
+           for r in ev_ops.cohort_retention(df, days=7).collect()}
+    c0 = min(k[0] for k in out)
+    c1 = c0 + 7 * 86400
+    assert out[(c0, 0)] == 2          # users 1, 2
+    assert out[(c0, 1)] == 1          # user 1 returns
+    assert out[(c0, 3)] == 1
+    assert out[(c1, 0)] == 1 and out[(c1, 1)] == 1
+    assert (c0, 2) not in out         # nobody from cohort 0 in week 2
+
+
+def test_tpch_order_priority_is_semi_join(spark):
+    import __spark_entry__ as entry
+    df = entry._q_tpch_order_priority(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert "LeftSemi" in plan          # EXISTS probed once, never multiplied
+    assert df.count() > 0
