@@ -1924,6 +1924,15 @@ def _q_tpch_order_priority(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_orders")))
 
 
+def _q_link_kcore(spark, sf_dir):
+    """Bounded 3-core peeling (ops/graph.py::kcore_peel, 8 synchronous
+    rounds in one lazy plan): link-farm / citation-ring density mining;
+    dropped_round orders nodes by how early they peel. The oracle
+    unrolls the identical rounds as chained CTEs."""
+    e, _ = _link_edges(spark, sf_dir)
+    return graph.kcore_peel(e, k=3, rounds=8)
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2066,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_part_margin": _q_tpch_part_margin,
         "events_retention": _q_events_retention,
         "tpch_order_priority": _q_tpch_order_priority,
+        "link_kcore": _q_link_kcore,
     }
 
 
@@ -4842,6 +4852,41 @@ GROUP BY o_orderpriority
 """
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled synchronous k-core peeling rounds, mirroring
+    ops/graph.py::kcore_peel (strong = live-degree >= k, weak = alive
+    ANTI strong - catching degree-0 nodes, live edges semi-filtered on
+    both ends)."""
+    parts = [f"""WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id*7+1) % n AS d FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % n FROM documents, nn
+  WHERE doc_id % 17 <> 0),
+l0 AS MATERIALIZED (SELECT DISTINCT s, d FROM (
+  SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0) WHERE s <> d),
+a0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM l0)"""]
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
+    # round references the previous one three times - unpinned, the
+    # expansion is 3^rounds scans of the base table (observed as a
+    # too-many-open-files failure at rounds=8)
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+s{r} AS MATERIALIZED (SELECT s AS node FROM l{r-1} GROUP BY s
+         HAVING count(*) >= {k}),
+w{r} AS (SELECT node FROM a{r-1} WHERE node NOT IN
+         (SELECT node FROM s{r})),
+a{r} AS MATERIALIZED (SELECT node FROM s{r}),
+l{r} AS MATERIALIZED (SELECT l.s, l.d FROM l{r-1} l
+  JOIN a{r} x ON x.node = l.s JOIN a{r} y ON y.node = l.d)""")
+    selects = [f"SELECT node, CAST(0 AS BIGINT) AS dropped_round FROM a{rounds}"]
+    selects += [f"SELECT node, CAST({r} AS BIGINT) FROM w{r}"
+                for r in range(1, rounds + 1)]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -4994,6 +5039,7 @@ FROM hashed
         "tpch_part_margin": _TPCH_Q9_ORACLE,
         "events_retention": _RETENTION_ORACLE,
         "tpch_order_priority": _TPCH_Q4_ORACLE,
+        "link_kcore": _kcore_oracle(),
     }
 
 

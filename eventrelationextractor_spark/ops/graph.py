@@ -517,3 +517,53 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
     return (pairs.groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n_common"),
                  F.round(F.sum("w"), 6).alias("aa_score")))
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 8,
+               src: str = "src", dst: str = "dst",
+               checkpoint_interval: int = 2) -> DataFrame:
+    """Bounded k-core peeling over the undirected simplification:
+    ``rounds`` synchronous rounds of "drop every node with degree < k
+    in the surviving subgraph" -> (node, dropped_round), where
+    dropped_round = 0 for survivors (the >= k-core approximation) and
+    r >= 1 for nodes peeled in round r. The density-mining primitive:
+    link farms and citation rings live in high cores while organic
+    pages peel early; dropped_round is itself a coreness-ordering
+    signal.
+
+    Synchronous peeling converges to the EXACT k-core once a round
+    drops nothing; with a fixed ``rounds`` budget the result is the
+    standard bounded approximation (supersets the true core), keeping
+    the whole loop ONE lazy plan with no data-dependent driver
+    decisions - same discipline as pagerank/LPA. Each round is one
+    partial-agged degree count + one semi-join filter of the edge set;
+    the oracle unrolls identical rounds as chained CTEs."""
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = (e0.unionByName(e0.select(F.col("d").alias("s"),
+                                    F.col("s").alias("d")))
+           .filter(F.col("s") != F.col("d")).distinct()
+           .localCheckpoint(eager=False))
+    nodes = sym.select(F.col("s").alias("node")).distinct() \
+        .localCheckpoint()
+    dropped = nodes.withColumn("dropped_round", F.lit(0).cast("long")) \
+        .filter(F.lit(False))                 # empty accumulator
+    alive, live = nodes, sym
+    for r in range(1, rounds + 1):
+        # strong = alive nodes whose LIVE degree >= k; the anti-join
+        # catches degree-0 nodes too (all neighbors already peeled -
+        # they appear in no live edge, hence in no degree row)
+        strong = (live.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+                  .filter(F.col("dg") >= k)
+                  .select(F.col("s").alias("node")))
+        weak = alive.join(strong, "node", "left_anti")
+        dropped = dropped.unionByName(
+            weak.withColumn("dropped_round", F.lit(r).cast("long")))
+        alive = strong
+        live = (live.join(alive.select(F.col("node").alias("s")), "s")
+                .join(alive.select(F.col("node").alias("d")), "d"))
+        if r % checkpoint_interval == 0 and r < rounds:
+            live = live.localCheckpoint(eager=False)
+            alive = alive.localCheckpoint(eager=False)
+            dropped = dropped.localCheckpoint(eager=False)
+    return alive.withColumn("dropped_round", F.lit(0).cast("long")) \
+        .unionByName(dropped)

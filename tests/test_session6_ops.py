@@ -493,3 +493,26 @@ def test_tpch_order_priority_is_semi_join(spark):
     plan = df._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
     assert "LeftSemi" in plan          # EXISTS probed once, never multiplied
     assert df.count() > 0
+
+
+def test_kcore_peel_analytic(spark):
+    # 4-clique (3-core) + a tail a-b-c hanging off it + an isolated pair
+    e = spark.createDataFrame(
+        [("k1", "k2"), ("k1", "k3"), ("k1", "k4"),
+         ("k2", "k3"), ("k2", "k4"), ("k3", "k4"),
+         ("k4", "a"), ("a", "b"), ("b", "c"),
+         ("x", "y")],
+        "src string, dst string")
+    out = {r.node: r.dropped_round
+           for r in graph.kcore_peel(e, k=3, rounds=6).collect()}
+    assert {n for n, d in out.items() if d == 0} == {"k1", "k2", "k3", "k4"}
+    # synchronous k=3: the whole tail has degree < 3 up front, so it
+    # peels in ONE round together
+    assert out["a"] == out["b"] == out["c"] == out["x"] == out["y"] == 1
+    # k=2 unravels the chain sequentially (and proves the degree-0
+    # case: x,y drop round 1, the clique+a..b survive until their turn)
+    out2 = {r.node: r.dropped_round
+            for r in graph.kcore_peel(e, k=2, rounds=6).collect()}
+    assert {n for n, d in out2.items() if d == 0} == {"k1", "k2", "k3", "k4"}
+    assert out2["c"] == 1 and out2["x"] == 1 and out2["y"] == 1
+    assert out2["b"] == 2 and out2["a"] == 3
