@@ -1933,6 +1933,18 @@ def _q_link_kcore(spark, sf_dir):
     return graph.kcore_peel(e, k=3, rounds=8)
 
 
+def _q_neardup_recall(spark, sf_dir):
+    """LSH near-dup acceptance telemetry (ops/dedup.py::neardup_recall):
+    recall/precision of the banded-MinHash pipeline vs EXACT all-pairs
+    Jaccard ground truth on a deterministic slice (base doc_id % 17 ==
+    0 of the augmented corpus, so each kept base doc keeps its known
+    duplicates). The ivfpq_recall counterpart for dedup; the oracle
+    replays BOTH pipelines on the same slice."""
+    aug = _augmented_docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 1000000) % 17 == 0)
+    return dedup.neardup_recall(aug, threshold=0.5)
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2076,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_events_retention,
         "tpch_order_priority": _q_tpch_order_priority,
         "link_kcore": _q_link_kcore,
+        "neardup_recall": _q_neardup_recall,
     }
 
 
@@ -4887,6 +4900,69 @@ l{r} AS MATERIALIZED (SELECT l.s, l.d FROM l{r-1} l
     return "".join(parts)
 
 
+def _neardup_recall_oracle(threshold: float = 0.5) -> str:
+    """Replays BOTH near-dup pipelines on the sampled slice: the LSH
+    chain (shingles -> minhash -> capped bands -> verify) and the exact
+    all-pairs shingle-join ground truth, then the hit counts."""
+    return f"""
+WITH {_AUG},
+sl AS (SELECT doc_id, text FROM aug WHERE (doc_id % 1000000) % 17 = 0),
+norm AS (SELECT doc_id, {_NORM} AS t FROM sl),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL unnest(generate_series(1, len(w) - 2)) AS g(i)
+        WHERE len(w) >= 3),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh
+                       GROUP BY doc_id),
+sig AS (SELECT doc_id,
+        min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+        min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+        min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+        min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+        FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+csizes AS (SELECT band, bucket, count(*) AS bn FROM bands GROUP BY 1, 2),
+capped AS (SELECT b.doc_id, b.band, b.bucket FROM bands b
+           JOIN csizes s ON s.band = b.band AND s.bucket = b.bucket
+           WHERE s.bn <= 100),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM capped l JOIN capped r
+         ON l.bucket = r.bucket AND l.band = r.band
+            AND l.doc_id < r.doc_id),
+ainter AS (SELECT c.a, c.b, count(*) AS n_inter
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.a
+           JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+           GROUP BY c.a, c.b),
+approx AS MATERIALIZED (SELECT i.a, i.b FROM ainter i
+  JOIN sizes na ON na.doc_id = i.a
+  JOIN sizes nb ON nb.doc_id = i.b
+  WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= {threshold!r}),
+einter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_inter
+           FROM sh sa JOIN sh sb
+           ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+           GROUP BY 1, 2),
+exact AS MATERIALIZED (SELECT i.a, i.b FROM einter i
+  JOIN sizes na ON na.doc_id = i.a
+  JOIN sizes nb ON nb.doc_id = i.b
+  WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= {threshold!r}),
+hits AS (SELECT count(*) AS n FROM exact e
+         JOIN approx a ON a.a = e.a AND a.b = e.b),
+ne AS (SELECT count(*) AS n FROM exact),
+na2 AS (SELECT count(*) AS n FROM approx)
+SELECT ne.n AS n_exact, na2.n AS n_approx, hits.n AS n_hits,
+  round(CASE WHEN ne.n > 0 THEN hits.n / CAST(ne.n AS DOUBLE)
+        ELSE 1.0 END, 6) AS recall,
+  round(CASE WHEN na2.n > 0 THEN hits.n / CAST(na2.n AS DOUBLE)
+        ELSE 1.0 END, 6) AS precision
+FROM ne CROSS JOIN na2 CROSS JOIN hits"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -5040,6 +5116,7 @@ FROM hashed
         "events_retention": _RETENTION_ORACLE,
         "tpch_order_priority": _TPCH_Q4_ORACLE,
         "link_kcore": _kcore_oracle(),
+        "neardup_recall": _neardup_recall_oracle(),
     }
 
 

@@ -939,3 +939,67 @@ def apply_cdc(changes: DataFrame, id_col: str = "doc_id",
     live = latest.filter(F.col("b.op") != "d")
     return live.select(id_col, F.col("b.seq").alias(seq_col),
                        *[F.col(f"b.{c}").alias(c) for c in payload])
+
+
+def exact_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """EXACT all-pairs shingle Jaccard >= threshold - no LSH, ground
+    truth for ``neardup_recall``. Any pair above any positive threshold
+    shares at least one shingle, so the pair space is generated by the
+    shingle self-join itself (sum of df^2 over shingles) - correct and
+    complete, but NOT the 100-TB path: run it on the SAMPLED slice the
+    acceptance check uses, never the corpus (that is what the LSH path
+    is for)."""
+    sh = shingles(df, id_col, text_col, k).cache()
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (sa.join(sb, "shingle")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_inter")))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("a"),
+                               F.col("n").alias("na")), "a")
+            .join(sizes.select(F.col(id_col).alias("b"),
+                               F.col("n").alias("nb")), "b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_inter")
+                                / (F.col("na") + F.col("nb")
+                                   - F.col("n_inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
+def neardup_recall(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 3,
+                   threshold: float = 0.5) -> DataFrame:
+    """Acceptance telemetry for the LSH near-dup pipeline: ONE row
+    (n_exact, n_approx, n_hits, recall, precision) comparing
+    ``jaccard_pairs`` (LSH candidates, exact verify) against
+    ``exact_jaccard_pairs`` ground truth at the same threshold - the
+    ivfpq_recall counterpart for dedup. Precision is 1.0 by
+    construction (the verify step computes exact Jaccard on every
+    candidate); recall measures band-collision misses - THE number to
+    watch when tuning bands/rows or shrinking signatures. Run on a
+    deterministic SAMPLE (the exact side is quadratic in shingle df);
+    the pipeline's scale path stays LSH."""
+    approx = jaccard_pairs(df, id_col, text_col, k, threshold) \
+        .select("a", "b")
+    exact = exact_jaccard_pairs(df, id_col, text_col, k, threshold) \
+        .select("a", "b")
+    hits = exact.join(approx, ["a", "b"])
+    ne = exact.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_exact"))
+    na = approx.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_approx"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_hits"))
+    return (ne.crossJoin(na).crossJoin(nh)
+            .select("n_exact", "n_approx", "n_hits",
+                    F.round(F.when(F.col("n_exact") > 0,
+                                   F.col("n_hits") / F.col("n_exact"))
+                            .otherwise(F.lit(1.0)), 6).alias("recall"),
+                    F.round(F.when(F.col("n_approx") > 0,
+                                   F.col("n_hits") / F.col("n_approx"))
+                            .otherwise(F.lit(1.0)), 6).alias("precision")))

@@ -516,3 +516,46 @@ def test_kcore_peel_analytic(spark):
     assert {n for n, d in out2.items() if d == 0} == {"k1", "k2", "k3", "k4"}
     assert out2["c"] == 1 and out2["x"] == 1 and out2["y"] == 1
     assert out2["b"] == 2 and out2["a"] == 3
+
+
+def test_neardup_recall_perfect_on_exact_copies(spark):
+    # exact copies share identical signatures -> every band collides ->
+    # recall 1.0 and (verify being exact) precision 1.0
+    docs = [(i, f"{BASE} tail word number {i} plus more words here")
+            for i in range(8)]
+    copies = [(100 + i, t) for i, t in docs[:4]]
+    df = spark.createDataFrame(docs + copies, "doc_id long, text string")
+    r = dedup.neardup_recall(df, threshold=0.9).collect()[0]
+    assert r.n_exact == 4 and r.n_hits == 4
+    assert r.recall == 1.0 and r.precision == 1.0
+
+
+def test_quantize_int8_error_bound_property(spark):
+    """Property (hypothesis): for ANY finite vector, codes stay in
+    [-127, 127] and per-element reconstruction error is bounded by half
+    a quantization step (0.5 * amax / 127)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vec = st.lists(st.floats(min_value=-1e3, max_value=1e3,
+                             allow_nan=False, width=32),
+                   min_size=1, max_size=12)
+
+    @given(vecs=st.lists(vec, min_size=1, max_size=6))
+    @settings(max_examples=8, deadline=None)
+    def check(vecs):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+        import numpy as np
+        for r in simsearch.quantize_int8(df).collect():
+            v = np.asarray(vecs[r.vec_id], dtype=np.float32)
+            assert all(-127 <= c <= 127 for c in r.codes)
+            if r.amax == 0:
+                assert r.sse == 0.0
+                continue
+            step = r.amax / 127.0
+            recon = np.asarray(r.codes) * step
+            assert np.max(np.abs(v - recon)) <= 0.5 * step + 1e-9
+
+    check()
