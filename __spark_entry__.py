@@ -1945,6 +1945,15 @@ def _q_neardup_recall(spark, sf_dir):
     return dedup.neardup_recall(aug, threshold=0.5)
 
 
+def _q_ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-k (ops/simsearch.py::
+    hyperplane_multiprobe_topk, Lv et al. 2007): the query probes its
+    bucket + all 8 one-bit-flip neighbors - many-tables recall at
+    one-table cost; expansion rides the broadcast query side only. The
+    oracle replays signatures and the probe union."""
+    return simsearch.hyperplane_multiprobe_topk(_emb(spark, sf_dir))
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2089,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_order_priority": _q_tpch_order_priority,
         "link_kcore": _q_link_kcore,
         "neardup_recall": _q_neardup_recall,
+        "ann_lsh_multiprobe": _q_ann_multiprobe,
     }
 
 
@@ -4963,6 +4973,41 @@ SELECT ne.n AS n_exact, na2.n AS n_approx, hits.n AS n_hits,
 FROM ne CROSS JOIN na2 CROSS JOIN hits"""
 
 
+_ANN_MULTIPROBE_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (SELECT unnest(range(0, 8)) AS p),
+dots AS (
+  SELECT e.vec_id, pl.p,
+    list_sum(list_transform(range(1, 65),
+      i -> e.v[i] * (CASE WHEN strpos('02468ace',
+                          substr(md5(pl.p || ':' || (i-1)), 1, 1)) > 0
+                     THEN 1.0 ELSE -1.0 END))) AS dot
+  FROM e, planes pl),
+sig AS (SELECT vec_id,
+        CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+        AS signature FROM dots GROUP BY vec_id),
+es AS (SELECT e.vec_id, e.v, s.signature FROM e JOIN sig s USING (vec_id)),
+q AS (SELECT vec_id AS qid, v AS qv, signature AS qsig FROM es
+      WHERE vec_id < 10),
+probes AS (
+  SELECT qid, qv, qsig AS psig FROM q
+  UNION ALL
+  SELECT qid, qv, xor(qsig, CAST((1 << f) AS BIGINT))
+  FROM q, (SELECT unnest(range(0, 8)) AS f)),
+pairs AS (SELECT p.qid, es.vec_id AS cid,
+  list_dot_product(p.qv, es.v)
+    / (sqrt(list_dot_product(p.qv, p.qv))
+       * sqrt(list_dot_product(es.v, es.v))) AS cosine
+  FROM probes p JOIN es ON es.signature = p.psig AND es.vec_id <> p.qid),
+ranked AS (SELECT qid, cid, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+           AS rank FROM pairs)
+SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, cid AS neighbor_id,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -5117,6 +5162,7 @@ FROM hashed
         "tpch_order_priority": _TPCH_Q4_ORACLE,
         "link_kcore": _kcore_oracle(),
         "neardup_recall": _neardup_recall_oracle(),
+        "ann_lsh_multiprobe": _ANN_MULTIPROBE_ORACLE,
     }
 
 

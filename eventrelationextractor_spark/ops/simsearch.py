@@ -399,3 +399,51 @@ def jl_project(emb: DataFrame, k: int = 16, dim: int = 64,
 
     return emb.select(F.col(id_col), vec_col) \
         .mapInPandas(gen, f"{id_col} long, reduced array<double>")
+
+
+def hyperplane_multiprobe_topk(emb: DataFrame, n_queries: int = 10,
+                               k: int = 5, n_planes: int = 8,
+                               dim: int = 64, n_probes: int | None = None,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. VLDB 2007): each query probes
+    its own bucket PLUS the ``n_probes`` single-bit-flip neighbor
+    buckets - the recall of many independent hash tables at the index
+    cost of ONE. A near neighbor that lands one plane-sign away (the
+    dominant miss mode: its dot product with exactly one plane sits
+    near zero) is recovered by the flipped probe.
+
+    Scale shape: probe expansion happens on the TINY query side only
+    (n_queries x (n_probes+1) rows, broadcast); the corpus side keeps
+    the single signature equi-join - same shuffle profile as the
+    single-probe operator, strictly more recall. Probe signatures are
+    distinct values, so no candidate duplicates arise."""
+    if n_probes is None:
+        n_probes = n_planes
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    with_sig = emb.select(F.col(id_col), vec.alias("v"),
+                          hyperplane_signature(emb, n_planes, dim, vec_col))
+    base = with_sig.select(F.col(id_col).alias("cid"),
+                           F.col("v").alias("cv"),
+                           F.col("signature").alias("csig")) \
+        .withColumn("cn", _norm(F.col("cv")))
+    probes = F.array(F.col("qsig"),
+                     *[F.col("qsig").bitwiseXOR(F.lit(1 << f))
+                       for f in range(n_probes)])
+    queries = (with_sig.filter(F.col(id_col) < n_queries)
+               .select(F.col(id_col).alias("qid"), F.col("v").alias("qv"),
+                       F.col("signature").alias("qsig"))
+               .withColumn("qn", _norm(F.col("qv")))
+               .withColumn("psig", F.explode(probes)))
+    pairs = base.join(F.broadcast(queries),
+                      (F.col("psig") == F.col("csig"))
+                      & (F.col("qid") != F.col("cid")))
+    scored = _with_cosine(pairs)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("cid").alias("neighbor_id"),
+                    F.round("cosine", 6).alias("cosine")))

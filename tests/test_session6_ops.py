@@ -559,3 +559,18 @@ def test_quantize_int8_error_bound_property(spark):
             assert np.max(np.abs(v - recon)) <= 0.5 * step + 1e-9
 
     check()
+
+
+def test_multiprobe_dominates_single_probe(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plain = {(r.query_id, r.rank): r.cosine
+             for r in simsearch.hyperplane_lsh_topk(emb, n_queries=6,
+                                                    k=3).collect()}
+    multi = {(r.query_id, r.rank): r.cosine
+             for r in simsearch.hyperplane_multiprobe_topk(
+                 emb, n_queries=6, k=3).collect()}
+    # probing a superset of buckets can only improve every rank slot
+    assert len(multi) >= len(plain)
+    for key, c in plain.items():
+        assert key in multi and multi[key] >= c
+    assert any(multi[k] > plain[k] for k in plain) or len(multi) > len(plain)
