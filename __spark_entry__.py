@@ -1954,6 +1954,31 @@ def _q_ann_multiprobe(spark, sf_dir):
     return simsearch.hyperplane_multiprobe_topk(_emb(spark, sf_dir))
 
 
+def _q_hll_shard_merge(spark, sf_dir):
+    """HLL mergeability as an oracled query (ops/sketches.py::
+    hll_registers): register tables built independently per shard
+    (doc_id parity) then merged by groupBy(bucket).max MUST equal the
+    registers of the whole corpus - max is associative/commutative, so
+    sketch union across shards/days/restarts is exact, not approximate.
+    The output carries both register sets and the equality flag; the
+    oracle recomputes all three sides."""
+    from eventrelationextractor_spark.ops import sketches
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(
+        F.split(dedup.normalized_text(F.col("text")), " ")).alias("w"))         .filter(F.col("w") != "")
+    a = sketches.hll_registers(tok.filter(F.col("doc_id") % 2 == 0), "w")
+    b = sketches.hll_registers(tok.filter(F.col("doc_id") % 2 == 1), "w")
+    merged = a.unionByName(b).groupBy("bucket").agg(
+        F.max("rho").alias("rho_merged"))
+    full = sketches.hll_registers(tok, "w")         .select("bucket", F.col("rho").alias("rho_full"))
+    return (merged.join(full, "bucket", "full")
+            .select("bucket",
+                    F.coalesce("rho_merged", F.lit(-1)).alias("rho_merged"),
+                    F.coalesce("rho_full", F.lit(-1)).alias("rho_full"),
+                    (F.coalesce("rho_merged", F.lit(-1))
+                     == F.coalesce("rho_full", F.lit(-1))).alias("equal")))
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2099,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_kcore": _q_link_kcore,
         "neardup_recall": _q_neardup_recall,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
+        "hll_shard_merge": _q_hll_shard_merge,
     }
 
 
@@ -5008,6 +5034,30 @@ FROM ranked WHERE rank <= 5
 """
 
 
+_HLL_MERGE_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok0 AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+tok AS (SELECT doc_id, w FROM tok0 WHERE w <> ''),
+hx AS (SELECT doc_id,
+  CAST(('0x' || substr(md5(w), 1, 15))::UBIGINT AS BIGINT) AS h FROM tok),
+reg AS (SELECT doc_id, h % 512 AS bucket,
+  CASE WHEN (h >> 9) = 0 THEN 52 ELSE 52 - length(bin(h >> 9)) END AS r
+  FROM hx),
+a AS (SELECT bucket, max(r) AS rho FROM reg WHERE doc_id % 2 = 0
+      GROUP BY bucket),
+b AS (SELECT bucket, max(r) AS rho FROM reg WHERE doc_id % 2 = 1
+      GROUP BY bucket),
+merged AS (SELECT bucket, max(rho) AS rho_merged FROM
+           (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY bucket),
+fullr AS (SELECT bucket, max(r) AS rho_full FROM reg GROUP BY bucket)
+SELECT coalesce(m.bucket, f.bucket) AS bucket,
+  coalesce(m.rho_merged, -1) AS rho_merged,
+  coalesce(f.rho_full, -1) AS rho_full,
+  coalesce(m.rho_merged, -1) = coalesce(f.rho_full, -1) AS equal
+FROM merged m FULL OUTER JOIN fullr f ON f.bucket = m.bucket
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -5163,6 +5213,7 @@ FROM hashed
         "link_kcore": _kcore_oracle(),
         "neardup_recall": _neardup_recall_oracle(),
         "ann_lsh_multiprobe": _ANN_MULTIPROBE_ORACLE,
+        "hll_shard_merge": _HLL_MERGE_ORACLE,
     }
 
 

@@ -574,3 +574,17 @@ def test_multiprobe_dominates_single_probe(spark):
     for key, c in plain.items():
         assert key in multi and multi[key] >= c
     assert any(multi[k] > plain[k] for k in plain) or len(multi) > len(plain)
+
+
+def test_hll_registers_merge_exactly(spark):
+    from eventrelationextractor_spark.ops import sketches
+    df = spark.createDataFrame(
+        [(i, f"val{i % 37}") for i in range(200)], "doc_id long, w string")
+    a = sketches.hll_registers(df.filter(F.col("doc_id") % 3 == 0), "w")
+    b = sketches.hll_registers(df.filter(F.col("doc_id") % 3 != 0), "w")
+    merged = {(r.bucket, r.rho) for r in
+              a.unionByName(b).groupBy("bucket")
+              .agg(F.max("rho").alias("rho")).collect()}
+    full = {(r.bucket, r.rho)
+            for r in sketches.hll_registers(df, "w").collect()}
+    assert merged == full          # register max IS the sketch union
