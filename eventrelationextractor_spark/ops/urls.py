@@ -287,3 +287,46 @@ def url_spam_features(df: DataFrame, url_col: str = "url") -> DataFrame:
             .withColumn("n_params", n_params)
             .withColumn("n_tracking", n_tracking)
             .withColumn("spam_score", score))
+
+
+def streaming_frontier_schedule(stream: DataFrame, url_col: str = "url",
+                                delay_sec: int = 5) -> DataFrame:
+    """Streaming twin of ``frontier_schedule``: the frontier arrives
+    continuously (discovery emits links as pages are fetched) and each
+    URL must get its host's NEXT politeness slot immediately - a batch
+    re-sort per trigger would re-schedule the past. Custom stateful
+    operator (applyInPandasWithState keyed on host): state = one long
+    (slots already assigned); within a trigger a host's URLs take slots
+    in url order, across triggers the counter continues -> (url, host,
+    slot, fetch_offset_sec), identical to the batch operator whenever
+    arrival order across triggers respects per-host url order (the
+    ordered-source contract of streaming_sessionize; priority-ordered
+    arrival gives priority scheduling for free). Per-host crawl-delay
+    composes downstream exactly as in the batch path (offset = (slot-1)
+    * delay of the host)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "url string, host string, slot long, fetch_offset_sec long"
+    state_schema = "n long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        n = state.get[0] if state.exists else 0
+        urls_ = []
+        for pdf in pdfs:
+            urls_.extend(pdf["url"].tolist())
+        if not urls_:
+            return
+        urls_.sort()
+        slots = list(range(n + 1, n + 1 + len(urls_)))
+        state.update((n + len(urls_),))
+        yield pd.DataFrame({
+            "url": urls_, "host": key[0],
+            "slot": slots,
+            "fetch_offset_sec": [(s - 1) * delay_sec for s in slots]})
+
+    host = F.lower(F.regexp_extract(F.col(url_col),
+                                    r"^[a-zA-Z]+://([^/?#]+)", 1))
+    keyed = stream.select(F.col(url_col).alias("url"), host.alias("host"))
+    return keyed.groupBy("host").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)

@@ -813,3 +813,41 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     progressed = {u: v for u, v in batch.items() if v[0] >= 1}
     assert len(progressed) > 0
     assert got == progressed
+
+
+def test_streaming_frontier_schedule_matches_batch(spark, tmp_path):
+    """applyInPandasWithState politeness gate == batch frontier_schedule
+    when arrival respects per-host url order: two url-ordered file
+    batches, slot counters carried across the trigger boundary."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from eventrelationextractor_spark.ops import urls as url_ops
+
+    rows = [(f"https://h{i % 5}.example/p{j:03d}",)
+            for j in range(40) for i in range(3)]
+    df = spark.createDataFrame(rows, "url string")
+    batch = {(r.url, r.host, r.slot, r.fetch_offset_sec)
+             for r in url_ops.frontier_schedule(df, delay_sec=7).collect()}
+
+    src = str(tmp_path / "front_src")
+    os.makedirs(src)
+    # per-host url order preserved across triggers: global url sort split
+    first = df.filter(F.col("url") < "https://h1.example/p020")
+    rest = df.subtract(first)
+    for i, part in enumerate((first, rest)):
+        part.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)
+    stream = spark.readStream.schema(df.schema) \
+        .option("maxFilesPerTrigger", "1") \
+        .option("latestFirst", "false") \
+        .parquet(src + "/*")
+    q = (url_ops.streaming_frontier_schedule(stream, delay_sec=7)
+         .writeStream.format("memory").queryName("front_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.url, r.host, r.slot, r.fetch_offset_sec)
+           for r in spark.sql("select * from front_out").collect()}
+    assert got == batch and len(got) == 120
