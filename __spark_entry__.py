@@ -1979,6 +1979,21 @@ def _q_hll_shard_merge(spark, sf_dir):
                      == F.coalesce("rho_full", F.lit(-1))).alias("equal")))
 
 
+def _q_host_lang_profile(spark, sf_dir):
+    """Per-host language routing profile (ops/urls.py::host_profile
+    over the REAL trigram lang-id): hosts staged as doc_id % 7, so each
+    host sees a deterministic mix of the 12 staged languages; dominant
+    label = count-desc/label-asc argmax as a min-of-struct AGGREGATION
+    (the LPA vote pattern - no per-host window). The oracle composes
+    the closed-form trigram twin with an independent QUALIFY argmax."""
+    d = _multilingual_docs(spark, sf_dir)
+    lp = textstats.lang_id_trigram(d).select("doc_id", "predicted_lang")
+    hosts = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                           F.lit(".example.org")).alias("host"))
+    return urls.host_profile(lp.join(hosts, "doc_id"))
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2125,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_recall": _q_neardup_recall,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "hll_shard_merge": _q_hll_shard_merge,
+        "host_lang_profile": _q_host_lang_profile,
     }
 
 
@@ -5058,6 +5074,25 @@ FROM merged m FULL OUTER JOIN fullr f ON f.bucket = m.bucket
 """
 
 
+def _host_lang_profile_oracle() -> str:
+    return f"""
+WITH lp AS ({_lang_trigram_oracle()}),
+h AS (SELECT doc_id, 'h' || (doc_id % 7) || '.example.org' AS host
+      FROM documents),
+c AS (SELECT h.host, lp.predicted_lang, count(*) AS c
+      FROM lp JOIN h ON h.doc_id = lp.doc_id GROUP BY 1, 2),
+t AS (SELECT host, sum(c) AS n_docs, count(*) AS n_labels FROM c
+      GROUP BY host),
+d AS (SELECT host, predicted_lang, c,
+      row_number() OVER (PARTITION BY host
+                         ORDER BY c DESC, predicted_lang) AS rn FROM c)
+SELECT t.host, t.n_docs, t.n_labels,
+  d.predicted_lang AS dominant_label,
+  round(d.c / CAST(t.n_docs AS DOUBLE), 6) AS dominant_frac
+FROM t JOIN d ON d.host = t.host AND d.rn = 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -5214,6 +5249,7 @@ FROM hashed
         "neardup_recall": _neardup_recall_oracle(),
         "ann_lsh_multiprobe": _ANN_MULTIPROBE_ORACLE,
         "hll_shard_merge": _HLL_MERGE_ORACLE,
+        "host_lang_profile": _host_lang_profile_oracle(),
     }
 
 

@@ -330,3 +330,28 @@ def streaming_frontier_schedule(stream: DataFrame, url_col: str = "url",
     keyed = stream.select(F.col(url_col).alias("url"), host.alias("host"))
     return keyed.groupBy("host").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+
+
+def host_profile(df: DataFrame, host_col: str = "host",
+                 label_col: str = "predicted_lang") -> DataFrame:
+    """Per-host label profile: (host, n_docs, n_labels, dominant_label,
+    dominant_frac) - the routing table a multilingual pipeline keys on
+    (route hosts to per-language pipelines, flag mixed-language hosts
+    for review; works for any categorical label - lang, quality tier,
+    content type).
+
+    Two partial-agged aggregations; the argmax is a min-of-struct
+    AGGREGATION over (-count, label) - count desc, label asc tie-break -
+    never a per-host window, so hot hosts combine map-side (the LPA
+    vote pattern)."""
+    counts = df.groupBy(host_col, label_col).agg(
+        F.count(F.lit(1)).alias("c"))
+    return (counts.groupBy(host_col)
+            .agg(F.sum("c").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_labels"),
+                 F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col(label_col).alias("l"))).alias("b"))
+            .select(host_col, "n_docs", "n_labels",
+                    F.col("b.l").alias("dominant_label"),
+                    F.round(-F.col("b.nc") / F.col("n_docs"), 6)
+                    .alias("dominant_frac")))

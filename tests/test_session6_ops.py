@@ -588,3 +588,15 @@ def test_hll_registers_merge_exactly(spark):
     full = {(r.bucket, r.rho)
             for r in sketches.hll_registers(df, "w").collect()}
     assert merged == full          # register max IS the sketch union
+
+
+def test_host_profile_argmax_and_ties(spark):
+    df = spark.createDataFrame(
+        [("h1", "en"), ("h1", "en"), ("h1", "de"),
+         ("h2", "fr"), ("h2", "de")],        # tie -> label asc wins
+        "host string, predicted_lang string")
+    out = {r.host: r for r in urls.host_profile(df).collect()}
+    assert out["h1"].dominant_label == "en"
+    assert out["h1"].n_docs == 3 and out["h1"].n_labels == 2
+    assert out["h1"].dominant_frac == round(2 / 3, 6)
+    assert out["h2"].dominant_label == "de"  # tie broken ascending
