@@ -1994,6 +1994,15 @@ def _q_host_lang_profile(spark, sf_dir):
     return urls.host_profile(lp.join(hosts, "doc_id"))
 
 
+def _q_hashed_vectors(spark, sf_dir):
+    """Feature-hashed document vectors (ops/textstats.py::
+    hashed_doc_vectors, Weinberger et al. 2009): sign-alternating
+    md5 bucket shares, sparse (id, dim_idx, value) rows - the
+    vocabulary-free text->vector bridge into the embedding operators.
+    Oracle replays hash, sign, counts and normalization."""
+    return textstats.hashed_doc_vectors(_docs(spark, sf_dir), dim=64)
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2141,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "hll_shard_merge": _q_hll_shard_merge,
         "host_lang_profile": _q_host_lang_profile,
+        "hashed_doc_vectors": _q_hashed_vectors,
     }
 
 
@@ -5093,6 +5103,23 @@ FROM t JOIN d ON d.host = t.host AND d.rn = 1
 """
 
 
+_HASHED_VEC_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok0 AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+tok AS (SELECT doc_id, w FROM tok0 WHERE w <> ''),
+b AS (SELECT doc_id,
+  CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT % 64 AS BIGINT) AS dim_idx,
+  CASE WHEN ('0x' || substr(md5(w), 9, 1))::UBIGINT % 2 = 0
+       THEN 1 ELSE -1 END AS s
+  FROM tok),
+c AS (SELECT doc_id, dim_idx, sum(s) AS c FROM b GROUP BY 1, 2),
+t AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+SELECT c.doc_id, c.dim_idx, round(c.c / CAST(t.n AS DOUBLE), 6) AS value
+FROM c JOIN t ON t.doc_id = c.doc_id
+WHERE c.c <> 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -5250,6 +5277,7 @@ FROM hashed
         "ann_lsh_multiprobe": _ANN_MULTIPROBE_ORACLE,
         "hll_shard_merge": _HLL_MERGE_ORACLE,
         "host_lang_profile": _host_lang_profile_oracle(),
+        "hashed_doc_vectors": _HASHED_VEC_ORACLE,
     }
 
 

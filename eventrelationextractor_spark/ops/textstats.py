@@ -895,3 +895,39 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
                     F.coalesce("n_distinct", F.lit(0)).cast("long")
                     .alias("n_distinct"),
                     "entropy"))
+
+
+def hashed_doc_vectors(df: DataFrame, dim: int = 64,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Feature hashing (Weinberger et al. ICML 2009): sparse hashed
+    bag-of-words document vectors -> (id, dim_idx, value) rows for the
+    non-zero dimensions, value = bucket token share (L1-normalized).
+    THE bridge from the text table into the embedding stack - no
+    vocabulary, no training, fixed dimensionality at any corpus size -
+    so jl_project / quantize_int8 / the ANN operators can run on pure
+    text. Sign-alternating variant (md5 parity) keeps the hash
+    inner-product unbiased, mirrored by the oracle.
+
+    One token explode -> one partial-agged (id, bucket) count -> one
+    per-doc total join: two aggregations sharing the id-hash exchange,
+    no UDF. Sparse rows (never dim columns), so dim can be 2^20 without
+    a wide schema."""
+    from .dedup import normalized_text
+    tok = df.select(F.col(id_col),
+                    F.explode(F.split(normalized_text(F.col(text_col)),
+                                      " ")).alias("w")) \
+        .filter(F.col("w") != "")
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    sign = F.when(
+        F.conv(F.substring(F.md5("w"), 9, 1), 16, 10) % 2 == 0,
+        F.lit(1)).otherwise(F.lit(-1))
+    bucketed = tok.select(id_col, (h % dim).alias("dim_idx"),
+                          sign.alias("s"))
+    counts = bucketed.groupBy(id_col, "dim_idx").agg(
+        F.sum("s").alias("c"))
+    totals = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    return (counts.join(totals, id_col)
+            .filter(F.col("c") != 0)
+            .select(id_col, F.col("dim_idx").cast("long").alias("dim_idx"),
+                    F.round(F.col("c") / F.col("n"), 6).alias("value")))

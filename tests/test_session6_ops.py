@@ -600,3 +600,23 @@ def test_host_profile_argmax_and_ties(spark):
     assert out["h1"].n_docs == 3 and out["h1"].n_labels == 2
     assert out["h1"].dominant_frac == round(2 / 3, 6)
     assert out["h2"].dominant_label == "de"  # tie broken ascending
+
+
+def test_hashed_doc_vectors_analytic(spark):
+    from eventrelationextractor_spark.ops import textstats
+    df = spark.createDataFrame([(1, "apple apple banana"),
+                                (2, "apple apple banana")],
+                               "doc_id long, text string")
+    rows = [r for r in textstats.hashed_doc_vectors(df, dim=16).collect()]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.dim_idx] = r.value
+    # identical text -> identical sparse vectors (deterministic hash)
+    assert by_doc[1] == by_doc[2]
+    # L1 mass: |sum of |values|| <= 1 with equality when no collisions
+    # cancel; here 2 distinct words in 16 dims (values 2/3 and 1/3 up
+    # to sign)
+    assert sorted(abs(v) for v in by_doc[1].values()) in (
+        [round(1 / 3, 6), round(2 / 3, 6)],   # no collision
+        [round(1 / 3, 6)],                    # collision, opposite signs
+        [1.0])                                # collision, same sign
