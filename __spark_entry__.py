@@ -2003,6 +2003,22 @@ def _q_hashed_vectors(spark, sf_dir):
     return textstats.hashed_doc_vectors(_docs(spark, sf_dir), dim=64)
 
 
+def _q_events_props(spark, sf_dir):
+    """Semi-structured JSON extraction over the events.props column
+    (the last driver-provided surface): get_json_object pulls the 'k'
+    field JVM-side (no UDF, rides the scan), rolled up to a bucket
+    histogram with per-bucket value stats - the ubiquitous
+    properties-blob pattern of every event pipeline. Oracle =
+    DuckDB's json_extract twin."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select(k.alias("k"), "value")
+            .groupBy((F.col("k") % 10).alias("k_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("k").alias("min_k"), F.max("k").alias("max_k"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2151,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_shard_merge": _q_hll_shard_merge,
         "host_lang_profile": _q_host_lang_profile,
         "hashed_doc_vectors": _q_hashed_vectors,
+        "events_props_extract": _q_events_props,
     }
 
 
@@ -5120,6 +5137,16 @@ WHERE c.c <> 0
 """
 
 
+_PROPS_ORACLE = """
+WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           value FROM events)
+SELECT k % 10 AS k_bucket, count(*) AS n_events,
+  min(k) AS min_k, max(k) AS max_k,
+  round(sum(value), 4) AS sum_value
+FROM k GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -5278,6 +5305,7 @@ FROM hashed
         "hll_shard_merge": _HLL_MERGE_ORACLE,
         "host_lang_profile": _host_lang_profile_oracle(),
         "hashed_doc_vectors": _HASHED_VEC_ORACLE,
+        "events_props_extract": _PROPS_ORACLE,
     }
 
 
