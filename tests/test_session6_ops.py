@@ -620,3 +620,33 @@ def test_hashed_doc_vectors_analytic(spark):
         [round(1 / 3, 6), round(2 / 3, 6)],   # no collision
         [round(1 / 3, 6)],                    # collision, opposite signs
         [1.0])                                # collision, same sign
+
+
+def test_edge_cases_fail_fast_or_degrade_gracefully(spark):
+    import pytest
+
+    from eventrelationextractor_spark.ops import bm25, events as ev_ops, pq
+    # pq_train: missing deterministic-init ids fails LOUDLY, not wrong
+    few = spark.createDataFrame([(0, [1.0] * 8), (1, [2.0] * 8)],
+                                "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="deterministic"):
+        pq.pq_train(few, m=2, k_sub=4, dim=8)
+    # personalized pagerank: empty seed set is a contract error
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    empty_seeds = spark.createDataFrame([], "node long")
+    with pytest.raises(ValueError, match="seed"):
+        graph.personalized_pagerank(e, empty_seeds)
+    # ndcg: zero positive judgments -> idcg 0 -> ndcg 0, no div-by-zero
+    res = spark.createDataFrame([(1, 10)], "rank long, doc_id long")
+    nojudge = spark.createDataFrame([], "doc_id long, rel long")
+    r = bm25.ndcg_at_k(res, nojudge, k=3).collect()[0]
+    assert r.idcg == 0.0 and r.ndcg == 0.0
+    # empty event streams degrade to empty outputs, not crashes
+    noev = spark.createDataFrame([], "user_id long, ts timestamp, "
+                                     "event_type string")
+    assert ev_ops.cohort_retention(noev).collect() == []
+    assert ev_ops.funnel(noev).collect() == []
+    # empty corpus: LSH-backed pair ops return empty
+    nodocs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.levenshtein_pairs(nodocs).collect() == []
+    assert dedup.containment_pairs(nodocs).collect() == []
