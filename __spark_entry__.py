@@ -2019,6 +2019,15 @@ def _q_events_props(spark, sf_dir):
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def _q_table_profile(spark, sf_dir):
+    """One-pass data-quality profile of the documents table
+    (ops/textstats.py::profile_table): per column the null count,
+    exact distinct count and min/max - the trust-but-verify onboarding
+    pass. One aggregation job, stack()-unpivoted; the oracle is the
+    per-column UNION twin."""
+    return textstats.profile_table(_docs(spark, sf_dir))
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2168,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_lang_profile": _q_host_lang_profile,
         "hashed_doc_vectors": _q_hashed_vectors,
         "events_props_extract": _q_events_props,
+        "table_profile": _q_table_profile,
     }
 
 
@@ -5147,6 +5157,20 @@ FROM k GROUP BY 1
 """
 
 
+def _table_profile_oracle(cols=("doc_id", "text", "lang",
+                                 "source", "n_chars")) -> str:
+    parts = []
+    for c in cols:
+        parts.append(f"""SELECT '{c}' AS column,
+  count(*) AS n_rows,
+  count(*) - count({c}) AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  CAST(min({c}) AS VARCHAR) AS min_value,
+  CAST(max({c}) AS VARCHAR) AS max_value
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -5306,6 +5330,7 @@ FROM hashed
         "host_lang_profile": _host_lang_profile_oracle(),
         "hashed_doc_vectors": _HASHED_VEC_ORACLE,
         "events_props_extract": _PROPS_ORACLE,
+        "table_profile": _table_profile_oracle(),
     }
 
 

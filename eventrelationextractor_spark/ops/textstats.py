@@ -931,3 +931,32 @@ def hashed_doc_vectors(df: DataFrame, dim: int = 64,
             .filter(F.col("c") != 0)
             .select(id_col, F.col("dim_idx").cast("long").alias("dim_idx"),
                     F.round(F.col("c") / F.col("n"), 6).alias("value")))
+
+
+def profile_table(df: DataFrame, columns: list | None = None) -> DataFrame:
+    """Data-quality profile: one row per column with (n_rows, n_nulls,
+    n_distinct, min_value, max_value) - the onboarding pass every
+    engine runs on an unfamiliar table before trusting it (null bursts
+    = upstream schema drift; distinct collapse = a join key gone
+    constant; min/max = range sanity).
+
+    ONE aggregation pass over the table (Spark expands the multiple
+    count-distincts internally); the wide 1-row result unpivots to
+    per-column rows via a stack() projection, so the output shape is
+    stable at any column count. min/max are cast to string so one
+    schema profiles every column type."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [F.count(F.lit(1)).alias(f"{c}__rows"),
+                 (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+                 F.countDistinct(c).alias(f"{c}__distinct"),
+                 F.min(c).cast("string").alias(f"{c}__min"),
+                 F.max(c).cast("string").alias(f"{c}__max")]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols)
+    return wide.select(F.expr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"))

@@ -650,3 +650,16 @@ def test_edge_cases_fail_fast_or_degrade_gracefully(spark):
     nodocs = spark.createDataFrame([], "doc_id long, text string")
     assert dedup.levenshtein_pairs(nodocs).collect() == []
     assert dedup.containment_pairs(nodocs).collect() == []
+
+
+def test_profile_table_analytic(spark):
+    from eventrelationextractor_spark.ops import textstats
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")],
+        "id long, v string")
+    out = {r.column: r for r in textstats.profile_table(df).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_nulls == 0
+    assert out["id"].n_distinct == 4
+    assert (out["id"].min_value, out["id"].max_value) == ("1", "4")
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+    assert (out["v"].min_value, out["v"].max_value) == ("a", "b")

@@ -94,3 +94,24 @@ def test_read_wet_feeds_text_operators(spark, tmp_path):
     # the WET text column feeds the text operators directly
     q = textstats.quality_score(df.withColumnRenamed("url", "doc_id"))
     assert q.filter(q.n_tokens == 11).count() == 6
+
+
+def test_read_jsonl_routes_corrupt_lines(spark, tmp_path):
+    from eventrelationextractor_spark.spark.jsonl import read_jsonl
+    p = tmp_path / "data.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "second doc", "lang": "en"}\n'
+        '{"doc_id": 3, "text": "truncated...\n'          # corrupt: cut line
+        'not json at all\n'                               # corrupt: garbage
+        '{"doc_id": 4, "text": "fine again", "lang": "de"}\n')
+    good, bad = read_jsonl(spark, str(p),
+                           "doc_id long, text string, lang string")
+    g = {r.doc_id: (r.text, r.lang) for r in good.collect()}
+    assert g == {1: ("hello world", "en"), 2: ("second doc", "en"),
+                 4: ("fine again", "de")}
+    raws = [r.raw_line for r in bad.collect()]
+    assert len(raws) == 2 and "not json at all" in raws
+    # the good side feeds the text operators directly
+    from eventrelationextractor_spark.ops import textstats
+    assert textstats.quality_score(good).count() == 3
