@@ -2028,6 +2028,26 @@ def _q_table_profile(spark, sf_dir):
     return textstats.profile_table(_docs(spark, sf_dir))
 
 
+def _q_web_curation(spark, sf_dir):
+    """Session-6 composition showcase (the crawl-side corpus_curation):
+    multi-host staging -> quality_score -> badwords gate -> sentence
+    gate -> host-reputation gate (with rescue) -> deterministic
+    training_order over the survivors. Five shipped operators, joined
+    on the doc key; the oracle composes each stage's standalone SQL
+    fragment exactly as the Spark chain composes the operators."""
+    w = _web_urls(spark, sf_dir)
+    q = textstats.quality_score(w).select("doc_id", "url", "quality")
+    b = textstats.badwords_stats(w, BADWORDS, max_ratio=0.09)         .select("doc_id", F.col("keep").alias("bad_ok"))
+    s = textstats.sentence_stats(w)         .select("doc_id", (F.col("n_sentences") >= 1).alias("sent_ok"))
+    gated = (q.join(b, "doc_id").join(s, "doc_id")
+             .filter(F.col("bad_ok") & F.col("sent_ok")))
+    kept = urls.host_reputation(gated, score_col="quality",
+                                host_threshold=0.3, doc_threshold=0.5)         .select("doc_id", "host", "quality")
+    ordered = mixing.training_order(kept, n_shards=4)
+    return (kept.join(ordered, "doc_id")
+            .select("doc_id", "host", "quality", "shard", "pos"))
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2178,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_doc_vectors": _q_hashed_vectors,
         "events_props_extract": _q_events_props,
         "table_profile": _q_table_profile,
+        "web_curation": _q_web_curation,
     }
 
 
@@ -5171,6 +5192,62 @@ FROM documents""")
     return "\nUNION ALL\n".join(parts)
 
 
+_WEB_CURATION_ORACLE = f"""
+WITH w AS ({_WEB_URLS}),
+base AS (
+  SELECT doc_id, url, text,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+         AS BIGINT) AS n_punct,
+    CAST((len(string_split(' ' || lower(text) || ' ', ' the ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' and ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' of ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' is ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' a ')) - 1)
+       + (len(string_split(' ' || lower(text) || ' ', ' to ')) - 1)
+         AS BIGINT) AS n_stopwords
+  FROM w),
+q AS (SELECT doc_id, url,
+  round(CASE WHEN n_tokens <= 0 THEN 0.0 ELSE
+    least(1.0, n_stopwords * 6.0 / n_tokens)
+    * (1.0 - least(1.0, n_punct * 4.0 / n_chars)) END, 6) AS quality
+  FROM base),
+nw AS (SELECT doc_id, {_NORM} AS t FROM w),
+bw AS (SELECT doc_id,
+  list_filter(string_split(t, ' '), x -> x <> '') AS ws FROM nw),
+bgate AS (SELECT doc_id,
+  CASE WHEN len(ws) > 0 THEN
+    round(len(list_filter(ws,
+      x -> list_contains(['slow', 'big', 'error'], x)))
+      / CAST(len(ws) AS DOUBLE), 6) <= 0.09
+  ELSE TRUE END AS bad_ok FROM bw),
+sg AS (SELECT doc_id,
+  len(list_filter(list_transform(
+      regexp_extract_all(text, '[^.!?]+[.!?]?'), x -> trim(x)),
+      x -> x <> '')) >= 1 AS sent_ok
+  FROM w),
+gated AS (SELECT q.doc_id, q.url, q.quality FROM q
+  JOIN bgate USING (doc_id) JOIN sg USING (doc_id)
+  WHERE bgate.bad_ok AND sg.sent_ok),
+h AS (SELECT doc_id, quality,
+      lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host
+      FROM gated),
+st AS (SELECT host, round(avg(quality), 6) AS hq FROM h GROUP BY host),
+kept AS (SELECT h.doc_id, h.host, h.quality FROM h
+  JOIN st USING (host) WHERE st.hq >= 0.3 OR h.quality >= 0.5),
+ord0 AS (SELECT doc_id, host, quality,
+  md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS hh FROM kept),
+ord1 AS (SELECT doc_id, host, quality, hh,
+  CAST(('0x' || substr(hh, 1, 8))::UBIGINT % 4 AS BIGINT) AS shard
+  FROM ord0)
+SELECT doc_id, host, quality, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+       AS BIGINT) AS pos
+FROM ord1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -5331,6 +5408,7 @@ FROM hashed
         "hashed_doc_vectors": _HASHED_VEC_ORACLE,
         "events_props_extract": _PROPS_ORACLE,
         "table_profile": _table_profile_oracle(),
+        "web_curation": _WEB_CURATION_ORACLE,
     }
 
 
