@@ -2048,6 +2048,15 @@ def _q_web_curation(spark, sf_dir):
             .select("doc_id", "host", "quality", "shard", "pos"))
 
 
+def _q_graph_stats(spark, sf_dir):
+    """Structural link-graph telemetry (ops/graph.py::graph_stats):
+    node/edge counts, reciprocity (the link-farm health number),
+    out-degree profile - one distinct pass + one reversed-key
+    equi-join + one degree aggregation. Oracle is the verbatim twin."""
+    e, _ = _link_edges(spark, sf_dir)
+    return graph.graph_stats(e)
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2199,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_extract": _q_events_props,
         "table_profile": _q_table_profile,
         "web_curation": _q_web_curation,
+        "graph_stats": _q_graph_stats,
     }
 
 
@@ -5248,6 +5258,30 @@ FROM ord1
 """
 
 
+_GRAPH_STATS_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id*7+1) % n AS d FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % n FROM documents, nn
+  WHERE doc_id % 17 <> 0),
+e AS (SELECT DISTINCT s, d FROM e0 WHERE s <> d),
+nodes AS (SELECT count(*) AS n_nodes FROM
+  (SELECT s AS x FROM e UNION SELECT d FROM e)),
+m AS (SELECT count(*) AS n_edges FROM e),
+recip AS (SELECT count(*) AS n_reciprocal FROM e a
+          JOIN e b ON b.s = a.d AND b.d = a.s),
+deg AS (SELECT max(dg) AS max_out_degree,
+        round(avg(dg), 6) AS avg_out_degree FROM
+        (SELECT s, count(*) AS dg FROM e GROUP BY s))
+SELECT n_nodes, n_edges, n_reciprocal,
+  round(n_reciprocal / CAST(n_edges AS DOUBLE), 6) AS reciprocity,
+  max_out_degree, avg_out_degree
+FROM nodes CROSS JOIN m CROSS JOIN recip CROSS JOIN deg
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -5409,6 +5443,7 @@ FROM hashed
         "events_props_extract": _PROPS_ORACLE,
         "table_profile": _table_profile_oracle(),
         "web_curation": _WEB_CURATION_ORACLE,
+        "graph_stats": _GRAPH_STATS_ORACLE,
     }
 
 

@@ -567,3 +567,35 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 8,
             dropped = dropped.localCheckpoint(eager=False)
     return alive.withColumn("dropped_round", F.lit(0).cast("long")) \
         .unionByName(dropped)
+
+
+def graph_stats(edges: DataFrame, src: str = "src",
+                dst: str = "dst") -> DataFrame:
+    """One-row structural telemetry: (n_nodes, n_edges, n_reciprocal,
+    reciprocity, max_out_degree, avg_out_degree) over the distinct
+    directed simple graph (self-loops dropped). Reciprocity - the
+    fraction of directed edges whose reverse also exists - is the
+    classic crawl-graph health number: organic webs are mostly
+    one-directional, link-exchange farms reciprocate heavily.
+
+    One distinct pass, one self-join on the reversed key for the
+    reciprocal count (equi-join, never a matrix op), one degree
+    aggregation; all scalars cross-joined from their own aggregates."""
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s") != F.col("d")).distinct()
+         .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("s").alias("n"))
+             .unionByName(e.select(F.col("d").alias("n")))
+             .distinct().agg(F.count(F.lit(1)).alias("n_nodes")))
+    m = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = e.join(rev, ["s", "d"]).agg(
+        F.count(F.lit(1)).alias("n_reciprocal"))
+    deg = (e.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+           .agg(F.max("dg").alias("max_out_degree"),
+                F.round(F.avg("dg"), 6).alias("avg_out_degree")))
+    return (nodes.crossJoin(m).crossJoin(recip).crossJoin(deg)
+            .select("n_nodes", "n_edges", "n_reciprocal",
+                    F.round(F.col("n_reciprocal")
+                            / F.col("n_edges"), 6).alias("reciprocity"),
+                    "max_out_degree", "avg_out_degree"))

@@ -663,3 +663,15 @@ def test_profile_table_analytic(spark):
     assert (out["id"].min_value, out["id"].max_value) == ("1", "4")
     assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
     assert (out["v"].min_value, out["v"].max_value) == ("a", "b")
+
+
+def test_graph_stats_analytic(spark):
+    # a<->b reciprocal pair, a->c one-way, self-loop dropped, dup edge
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "c"), ("c", "c")],
+        "src string, dst string")
+    r = graph.graph_stats(e).collect()[0]
+    assert r.n_nodes == 3 and r.n_edges == 3
+    assert r.n_reciprocal == 2          # both directions of a<->b count
+    assert r.reciprocity == round(2 / 3, 6)
+    assert r.max_out_degree == 2 and r.avg_out_degree == 1.5

@@ -59,6 +59,28 @@ def make_wet(wet_dir: str, n_docs: int, docs_per_seg: int = 500) -> None:
             f.write(write_wet_bytes(pages))
 
 
+def make_jsonl(out_dir: str, n_docs: int,
+               docs_per_file: int = 1000) -> None:
+    """Materialize synthetic JSONL shards (same corpus; one json object
+    per line, with a deliberately corrupt line per file so the
+    corrupt-routing path is exercised end to end)."""
+    import json as _json
+
+    from eventrelationextractor_spark import datagen
+    os.makedirs(out_dir, exist_ok=True)
+    for f0 in range(0, n_docs, docs_per_file):
+        lines = []
+        for d in range(f0, min(f0 + docs_per_file, n_docs)):
+            p = datagen.synth_page(d)
+            lines.append(_json.dumps({"url": p["url"], "text": p["text"],
+                                      "lang": p["lang"]}))
+        lines.append('{"url": "https://bad.example/x", "text": "trunc')
+        with open(os.path.join(out_dir,
+                               f"part-{f0 // docs_per_file:05d}.jsonl"),
+                  "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     if args and args[0] == "--make-warc":
@@ -69,6 +91,10 @@ def main() -> None:
         make_wet(args[1], int(args[2]))
         print(json.dumps({"made_wet": args[1], "docs": int(args[2])}))
         return
+    if args and args[0] == "--make-jsonl":
+        make_jsonl(args[1], int(args[2]))
+        print(json.dumps({"made_jsonl": args[1], "docs": int(args[2])}))
+        return
     warc_dir = None
     if "--from-warc" in args:
         i = args.index("--from-warc")
@@ -78,6 +104,11 @@ def main() -> None:
     if "--from-wet" in args:
         i = args.index("--from-wet")
         wet_dir = args[i + 1]
+        del args[i:i + 2]
+    jsonl_dir = None
+    if "--from-jsonl" in args:
+        i = args.index("--from-jsonl")
+        jsonl_dir = args[i + 1]
         del args[i:i + 2]
     out_dir = args[0] if args else "/tmp/erex_out"
     n_docs = int(args[1]) if len(args) > 1 else 2000
@@ -102,6 +133,14 @@ def main() -> None:
     elif wet_dir is not None:
         pages = read_wet(spark, os.path.join(wet_dir, "*.warc.wet")) \
             .withColumn("lang", F.lit("en"))
+    elif jsonl_dir is not None:
+        from eventrelationextractor_spark.spark.jsonl import read_jsonl
+        good, bad = read_jsonl(spark, os.path.join(jsonl_dir, "*.jsonl"),
+                               "url string, text string, lang string")
+        n_bad = bad.count()
+        if n_bad:
+            print(json.dumps({"corrupt_lines_routed": n_bad}))
+        pages = good
     else:
         pages = synth_pages_df(spark, n_docs)
     summary = write_triples_resumable(pages, out_dir, n_buckets=8,
