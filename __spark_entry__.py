@@ -2057,6 +2057,19 @@ def _q_graph_stats(spark, sf_dir):
     return graph.graph_stats(e)
 
 
+def _q_winnowing_pairs(spark, sf_dir):
+    """MOSS pair report (ops/dedup.py::winnowing_pairs): docs ranked by
+    shared winnowing fingerprints with the containment-style overlap
+    score, pair space = graph_compose.doc_pair_counts over
+    (fingerprint -> doc) edges (boilerplate fingerprints capped before
+    any pair forms). Run over the augmented corpus so known dup pairs
+    are the positives; the oracle replays fingerprints, cap, counts
+    and score."""
+    return dedup.winnowing_pairs(_augmented_docs(spark, sf_dir),
+                                 k=16, window=8, min_shared=20,
+                                 max_fingerprint_df=20)
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2209,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _q_table_profile,
         "web_curation": _q_web_curation,
         "graph_stats": _q_graph_stats,
+        "winnowing_pairs": _q_winnowing_pairs,
     }
 
 
@@ -5282,6 +5296,34 @@ FROM nodes CROSS JOIN m CROSS JOIN recip CROSS JOIN deg
 """
 
 
+_WINNOW_PAIRS_ORACLE = f"""
+WITH {_AUG},
+norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
+ok AS (SELECT doc_id, t FROM norm WHERE length(t) >= 23),
+grams AS (SELECT doc_id,
+  list_transform(generate_series(1, length(t) - 15),
+                 i -> md5(substr(t, CAST(i AS INT), 16))) AS g FROM ok),
+fp0 AS (SELECT doc_id, u.f FROM (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, len(g) - 7),
+    j -> list_min(g[j:j+7]))) AS fs FROM grams),
+  LATERAL unnest(fs) AS u(f)),
+fp AS MATERIALIZED (SELECT DISTINCT doc_id, f FROM fp0),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM fp
+                       GROUP BY doc_id),
+deg AS (SELECT f FROM fp GROUP BY f HAVING count(*) BETWEEN 2 AND 20),
+p AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
+      FROM fp l JOIN fp r ON l.f = r.f AND l.doc_id < r.doc_id
+      JOIN deg ON deg.f = l.f
+      GROUP BY 1, 2)
+SELECT p.a, p.b, p.n_common AS n_shared,
+  round(p.n_common / CAST(least(na.n, nb.n) AS DOUBLE), 6) AS overlap
+FROM p JOIN sizes na ON na.doc_id = p.a
+JOIN sizes nb ON nb.doc_id = p.b
+WHERE p.n_common >= 20
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -5444,6 +5486,7 @@ FROM hashed
         "table_profile": _table_profile_oracle(),
         "web_curation": _WEB_CURATION_ORACLE,
         "graph_stats": _GRAPH_STATS_ORACLE,
+        "winnowing_pairs": _WINNOW_PAIRS_ORACLE,
     }
 
 

@@ -1003,3 +1003,35 @@ def neardup_recall(df: DataFrame, id_col: str = "doc_id",
                     F.round(F.when(F.col("n_approx") > 0,
                                    F.col("n_hits") / F.col("n_approx"))
                             .otherwise(F.lit(1.0)), 6).alias("precision")))
+
+
+def winnowing_pairs(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8, window: int = 4,
+                    min_shared: int = 10,
+                    max_fingerprint_df: int = 100) -> DataFrame:
+    """MOSS's second half: document pairs ranked by SHARED winnowing
+    fingerprints -> (a, b, n_shared, overlap) with overlap =
+    n_shared / min(|A|, |B|) (the containment-style score MOSS reports;
+    a short doc lifted wholesale from a long one scores ~1.0).
+
+    Pure composition: the pair space is ``graph.cocitation`` over
+    (fingerprint -> doc) edges - docs "co-cited" by a fingerprint share
+    it - inheriting its skew discipline verbatim (fingerprints shared
+    by more than ``max_fingerprint_df`` docs are boilerplate, dropped
+    BEFORE any pair forms, standard MOSS practice). Two broadcastable
+    size joins and a codegen score finish it."""
+    from .dedup import winnowing_fingerprints  # self-import for clarity
+    from .graph_compose import doc_pair_counts
+    fp = winnowing_fingerprints(df, id_col, text_col, k, window)
+    pairs = doc_pair_counts(fp, key_col="fingerprint", id_col=id_col,
+                            max_df=max_fingerprint_df)
+    sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    return (pairs
+            .join(sizes.select(F.col(id_col).alias("a"),
+                               F.col("n").alias("na")), "a")
+            .join(sizes.select(F.col(id_col).alias("b"),
+                               F.col("n").alias("nb")), "b")
+            .filter(F.col("n_common") >= min_shared)
+            .select("a", "b", F.col("n_common").alias("n_shared"),
+                    F.round(F.col("n_common")
+                            / F.least("na", "nb"), 6).alias("overlap")))

@@ -272,18 +272,13 @@ def cocitation(edges: DataFrame, src: str = "src", dst: str = "dst",
     bounded out-link list and explode their (a < b) combinations -
     per-source work is capped at max_out_degree^2/2 - then one
     partial-agged groupBy(a, b) count. No counterpart in
-    /root/reference (no hyperlink surface there)."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
-    deg = (e.groupBy("s").agg(F.count(F.lit(1)).alias("dn"))
-           .filter((F.col("dn") >= 2) & (F.col("dn") <= max_out_degree)))
-    survivors = e.join(deg.select("s"), "s")
-    groups = (survivors.groupBy("s")
-              .agg(F.sort_array(F.collect_list("d")).alias("ds")))
-    pairs = groups.select(F.explode(F.expr(
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> struct(x as a, y as b))))"
-    )).alias("p")).select("p.a", "p.b")
-    return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_common"))
+    /root/reference (no hyperlink surface there). (Shared pair-explode
+    core: ops/graph_compose.py::doc_pair_counts, also the engine of
+    dedup.winnowing_pairs.)"""
+    from .graph_compose import doc_pair_counts
+    return doc_pair_counts(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        key_col="src", id_col="dst", max_df=max_out_degree)
 
 
 def hits(edges: DataFrame, n_iter: int = 3,

@@ -675,3 +675,21 @@ def test_graph_stats_analytic(spark):
     assert r.n_reciprocal == 2          # both directions of a<->b count
     assert r.reciprocity == round(2 / 3, 6)
     assert r.max_out_degree == 2 and r.avg_out_degree == 1.5
+
+
+def test_winnowing_pairs_scores_lifted_text(spark):
+    lifted = BASE + (" and a long unique continuation about completely "
+                     "different subjects like gardening and astronomy "
+                     "filling out the rest of this much longer document")
+    other = ("unrelated material discussing cooking recipes and travel "
+             "itineraries with nothing in common with the base passage "
+             "beyond the english language itself here")
+    df = spark.createDataFrame([(1, BASE), (2, lifted), (3, other)],
+                               "doc_id long, text string")
+    rows = {(r.a, r.b): r for r in
+            dedup.winnowing_pairs(df, min_shared=3).collect()}
+    assert (1, 2) in rows              # the lift is detected
+    r = rows[(1, 2)]
+    # containment-style: the SHORT doc's fingerprints are mostly covered
+    assert r.overlap > 0.8
+    assert (1, 3) not in rows and (2, 3) not in rows
