@@ -2070,6 +2070,16 @@ def _q_winnowing_pairs(spark, sf_dir):
                                  max_fingerprint_df=20)
 
 
+def _q_embedding_class_stats(spark, sf_dir):
+    """Per-class embedding QA (ops/cluster.py::class_stats) over the
+    embeddings.label column (the last unused driver column): class
+    size, centroid norm, within-class cohesion (mean cosine to the own
+    centroid). The Lloyd-update per-dim aggregation reassembled per
+    label + one broadcast join back; the oracle rebuilds centroids
+    with the list(m ORDER BY pos) pattern and list_dot_product."""
+    return cluster.class_stats(_emb(spark, sf_dir))
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2223,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_curation": _q_web_curation,
         "graph_stats": _q_graph_stats,
         "winnowing_pairs": _q_winnowing_pairs,
+        "embedding_class_stats": _q_embedding_class_stats,
     }
 
 
@@ -5324,6 +5335,27 @@ WHERE p.n_common >= 20
 """
 
 
+_CLASS_STATS_ORACLE = """
+WITH ev AS (SELECT label AS lbl,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cent AS (SELECT lbl, list(m ORDER BY pos) AS c FROM (
+  SELECT e.lbl, t.pos, avg(e.v[t.pos + 1]) AS m
+  FROM ev e, range(64) t(pos) GROUP BY e.lbl, t.pos) GROUP BY lbl),
+scored AS (SELECT e.lbl,
+  CASE WHEN sqrt(list_dot_product(c.c, c.c)) > 0 THEN
+    list_dot_product(e.v, c.c)
+      / (sqrt(list_dot_product(e.v, e.v))
+         * sqrt(list_dot_product(c.c, c.c)))
+  ELSE 0.0 END AS cos
+  FROM ev e JOIN cent c ON c.lbl = e.lbl)
+SELECT s.lbl AS label, count(*) AS n,
+  round(sqrt(list_dot_product(c.c, c.c)), 6) AS centroid_norm,
+  round(avg(s.cos), 6) AS mean_cos
+FROM scored s JOIN cent c ON c.lbl = s.lbl
+GROUP BY s.lbl, c.c
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -5487,6 +5519,7 @@ FROM hashed
         "web_curation": _WEB_CURATION_ORACLE,
         "graph_stats": _GRAPH_STATS_ORACLE,
         "winnowing_pairs": _WINNOW_PAIRS_ORACLE,
+        "embedding_class_stats": _CLASS_STATS_ORACLE,
     }
 
 

@@ -155,3 +155,48 @@ def semdedup(emb: DataFrame, k: int = 8, n_iter: int = 2,
             .select(id_col, "cluster",
                     F.col("max_sim_lower").isNull().alias("is_kept"),
                     "max_sim_lower"))
+
+
+def class_stats(emb: DataFrame, label_col: str = "label",
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Per-class embedding QA: (label, n, centroid_norm, mean_cos) -
+    class size, centroid L2 norm, and the mean cosine of members to
+    their OWN centroid (within-class cohesion). The pre-training sanity
+    pass on any labeled embedding table: a class whose cohesion ~0 is
+    noise, a centroid norm ~0 means the class self-cancels; both doom a
+    classifier before a single epoch is spent.
+
+    Shape: per-dim centroid via ONE posexplode + partial-agged
+    groupBy(label, pos) (the Lloyd-update pattern), reassembled with
+    sort_array(collect_list(struct)) per label (bounded by dim); the
+    member-to-centroid cosine joins the tiny centroid table back
+    broadcast and folds per row. No driver-side vectors."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(label_col).alias("lbl"), vec.alias("v"))
+    cent = (base.select("lbl", F.posexplode("v").alias("pos", "x"))
+            .groupBy("lbl", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("lbl")
+            .agg(F.expr("transform(sort_array(collect_list("
+                        "struct(pos, m))), s -> s.m)").alias("c")))
+    dot = F.aggregate(F.zip_with("v", "c", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    vn = F.sqrt(F.aggregate(F.transform("v", lambda a: a * a),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cn = F.sqrt(F.aggregate(F.transform("c", lambda a: a * a),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    # degenerate guard: a self-canceling class has a ~zero centroid -
+    # define its members' cosine as 0.0 instead of dividing by zero
+    cos = F.when(cn > 0, dot / (vn * cn)).otherwise(F.lit(0.0))
+    scored = (base.join(F.broadcast(cent), "lbl")
+              .select("lbl", cos.alias("cos")))
+    return (scored.groupBy("lbl")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("cos"), 6).alias("mean_cos"))
+            .join(cent.select(
+                "lbl", F.round(F.sqrt(F.aggregate(
+                    F.transform("c", lambda a: a * a),
+                    F.lit(0.0), lambda acc, x: acc + x)), 6)
+                .alias("centroid_norm")), "lbl")
+            .select(F.col("lbl").alias("label"), "n", "centroid_norm",
+                    "mean_cos"))

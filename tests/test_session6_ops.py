@@ -693,3 +693,15 @@ def test_winnowing_pairs_scores_lifted_text(spark):
     # containment-style: the SHORT doc's fingerprints are mostly covered
     assert r.overlap > 0.8
     assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_embedding_class_stats_analytic(spark):
+    from eventrelationextractor_spark.ops import cluster
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),      # tight class
+         (3, [0.0, 1.0], 1), (4, [0.0, -1.0], 1)],    # self-canceling
+        "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in cluster.class_stats(df).collect()}
+    assert out[0].n == 2 and out[0].centroid_norm == 1.0
+    assert out[0].mean_cos == 1.0
+    assert out[1].centroid_norm == 0.0 and out[1].mean_cos == 0.0
