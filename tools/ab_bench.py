@@ -158,6 +158,11 @@ def main():
         "ivf_r1": lambda: _ivf_r1(emb),
         "ivf_r2": lambda: simsearch.ivf_topk(emb, assign="literal"),
         "ivf_new": lambda: simsearch.ivf_topk(emb, assign="arrow"),
+        # session-6 A/B (BENCH/BASELINE.md): 16x aggregate(zip_with)
+        # expression folds vs one numpy V@S.T per Arrow batch - 7.3x
+        # for Arrow at sf1.0, now jl_project's default
+        "jl_expr": lambda: simsearch.jl_project(emb, arrow=False),
+        "jl_arrow": lambda: simsearch.jl_project(emb, arrow=True),
     }
 
     # warm the Python worker pool + JIT before timing (bench.py protocol)
