@@ -489,3 +489,59 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
                     .cast("long").alias("period_offset"))
             .groupBy("cohort_start", "period_offset")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def streaming_window_anomalies(counts: DataFrame,
+                               z_threshold: float = 3.0) -> DataFrame:
+    """ONLINE volume-anomaly detection over a stream of per-window
+    counts (the output shape of ``streaming_windowed_counts``):
+    per event_type, Welford running moments score each arriving window
+    against the moments of the windows seen BEFORE it (prequential
+    semantics - the honest online rule: a window cannot absolve itself
+    by inflating the variance it is judged with). Emits (event_type,
+    window_start, n, z, anomaly); the first two windows of a type carry
+    z = 0 (no variance estimate yet).
+
+    This is deliberately NOT batch-equivalent to ``window_anomalies``
+    (which scores against GLOBAL moments a batch can see all of): online
+    monitoring only ever has the past. State per type = three floats
+    (count, mean, M2) at ANY history length - the bounded-state
+    companion to the batch op's two-pass exactness. Same ordered-source
+    contract as the other NoTimeout operators (windows arrive in
+    event-time order per type; the upstream windowed aggregation's
+    watermark provides exactly that)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("event_type string, window_start timestamp, n long, "
+                  "z double, anomaly boolean")
+    state_schema = "cnt long, mean double, m2 double"
+
+    def fn(key, pdfs, state):
+        import math
+
+        import pandas as pd
+        cnt, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        ws, ns, zs, flags = [], [], [], []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("window_start").iterrows():
+                x = float(row["n"])
+                if cnt >= 2 and m2 > 0:
+                    sd = math.sqrt(m2 / cnt)      # population, like batch
+                    z = (x - mean) / sd
+                else:
+                    z = 0.0
+                ws.append(row["window_start"])
+                ns.append(int(x))
+                zs.append(round(z, 6))
+                flags.append(abs(z) >= z_threshold)
+                cnt += 1                           # Welford update AFTER
+                d = x - mean
+                mean += d / cnt
+                m2 += d * (x - mean)
+        state.update((cnt, mean, m2))
+        if ws:
+            yield pd.DataFrame({"event_type": key[0], "window_start": ws,
+                                "n": ns, "z": zs, "anomaly": flags})
+
+    return counts.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)

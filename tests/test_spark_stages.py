@@ -851,3 +851,55 @@ def test_streaming_frontier_schedule_matches_batch(spark, tmp_path):
     got = {(r.url, r.host, r.slot, r.fetch_offset_sec)
            for r in spark.sql("select * from front_out").collect()}
     assert got == batch and len(got) == 120
+
+
+def test_streaming_window_anomalies_prequential(spark, tmp_path):
+    """Online Welford z-scores: each window judged by the PAST only;
+    state carries across triggers; a burst after a stable history is
+    flagged, and the same burst value arriving before history is not."""
+    import math
+    import os
+    import time
+    from datetime import datetime
+
+    rows = [("click", datetime(2024, 1, 1, h), 10 + (h % 2))
+            for h in range(12)] + [("click", datetime(2024, 1, 1, 12), 60)]
+    df = spark.createDataFrame(rows,
+                               "event_type string, window_start timestamp,"
+                               " n long")
+    src = str(tmp_path / "anom_src")
+    os.makedirs(src)
+    from pyspark.sql import functions as F
+    early = df.filter(F.col("window_start")
+                      < F.lit(datetime(2024, 1, 1, 6)))
+    late = df.subtract(early)
+    for i, part in enumerate((early, late)):
+        part.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)
+    stream = spark.readStream.schema(df.schema) \
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false") \
+        .parquet(src + "/*")
+    q = (ev_ops.streaming_window_anomalies(stream)
+         .writeStream.format("memory").queryName("anom_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r.window_start: r for r in
+           spark.sql("select * from anom_out").collect()}
+    assert len(got) == 13
+    burst = got[datetime(2024, 1, 1, 12)]
+    assert burst.anomaly and burst.z > 10
+    # python mirror of the prequential Welford pass
+    cnt, mean, m2 = 0, 0.0, 0.0
+    for _, _, x in rows:
+        if cnt >= 2 and m2 > 0:
+            z = (x - mean) / math.sqrt(m2 / cnt)
+        else:
+            z = 0.0
+        ws = [w for t, w, n in rows][cnt]
+        assert got[ws].z == round(z, 6)
+        cnt += 1
+        d = x - mean
+        mean += d / cnt
+        m2 += d * (x - mean)
+    # early windows (no history) are never flagged
+    assert not got[datetime(2024, 1, 1, 0)].anomaly
