@@ -2038,7 +2038,8 @@ def _q_web_curation(spark, sf_dir):
     w = _web_urls(spark, sf_dir)
     q = textstats.quality_score(w).select("doc_id", "url", "quality")
     b = textstats.badwords_stats(w, BADWORDS, max_ratio=0.09)         .select("doc_id", F.col("keep").alias("bad_ok"))
-    s = textstats.sentence_stats(w)         .select("doc_id", (F.col("n_sentences") >= 1).alias("sent_ok"))
+    s = textstats.sentence_stats(w).select(
+        "doc_id", (F.col("mean_sent_words") <= 75).alias("sent_ok"))
     gated = (q.join(b, "doc_id").join(s, "doc_id")
              .filter(F.col("bad_ok") & F.col("sent_ok")))
     kept = urls.host_reputation(gated, score_col="quality",
@@ -5257,11 +5258,15 @@ bgate AS (SELECT doc_id,
       x -> list_contains(['slow', 'big', 'error'], x)))
       / CAST(len(ws) AS DOUBLE), 6) <= 0.09
   ELSE TRUE END AS bad_ok FROM bw),
-sg AS (SELECT doc_id,
-  len(list_filter(list_transform(
+s0 AS (SELECT doc_id,
+  list_filter(list_transform(
       regexp_extract_all(text, '[^.!?]+[.!?]?'), x -> trim(x)),
-      x -> x <> '')) >= 1 AS sent_ok
-  FROM w),
+      x -> x <> '') AS ss FROM w),
+sx AS (SELECT doc_id, u.s FROM s0, LATERAL unnest(ss) AS u(s)),
+sg AS (SELECT doc_id,
+  round(avg(len(list_filter(string_split(s, ' '), x -> x <> ''))), 6)
+    <= 75 AS sent_ok
+  FROM sx GROUP BY doc_id),
 gated AS (SELECT q.doc_id, q.url, q.quality FROM q
   JOIN bgate USING (doc_id) JOIN sg USING (doc_id)
   WHERE bgate.bad_ok AND sg.sent_ok),
