@@ -2081,6 +2081,32 @@ def _q_embedding_class_stats(spark, sf_dir):
     return cluster.class_stats(_emb(spark, sf_dir))
 
 
+def _q_sitemap_seeds(spark, sf_dir):
+    """Sitemap declarations parsed from per-host robots.txt
+    (ops/urls.py::sitemap_seeds) - the third robots directive next to
+    Disallow and Crawl-delay; one host declares two sitemaps, one
+    declares none (emits nothing). The robots fixture scales with the
+    corpus via a doc-derived suffix so the query is SF-sensitive."""
+    hosts = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 50).alias("hid")).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("hid").cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /tmp\n"),
+            F.when(F.col("hid") % 3 == 0,
+                   F.concat(F.lit("Sitemap: https://h"),
+                            F.col("hid").cast("string"),
+                            F.lit(".example.org/sitemap.xml\n")))
+            .otherwise(F.lit("")),
+            F.when(F.col("hid") % 6 == 0,
+                   F.concat(F.lit("Sitemap: https://h"),
+                            F.col("hid").cast("string"),
+                            F.lit(".example.org/news-sitemap.xml\n")))
+            .otherwise(F.lit(""))).alias("robots_txt"))
+    return urls.sitemap_seeds(robots)
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2235,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _q_graph_stats,
         "winnowing_pairs": _q_winnowing_pairs,
         "embedding_class_stats": _q_embedding_class_stats,
+        "sitemap_seeds": _q_sitemap_seeds,
     }
 
 
@@ -5361,6 +5388,21 @@ GROUP BY s.lbl, c.c
 """
 
 
+_SITEMAP_ORACLE = """
+WITH hosts AS (SELECT DISTINCT doc_id % 50 AS hid FROM documents),
+robots AS (SELECT 'h' || hid || '.example.org' AS host,
+  'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10) ||
+  CASE WHEN hid % 3 = 0 THEN 'Sitemap: https://h' || hid
+    || '.example.org/sitemap.xml' || chr(10) ELSE '' END ||
+  CASE WHEN hid % 6 = 0 THEN 'Sitemap: https://h' || hid
+    || '.example.org/news-sitemap.xml' || chr(10) ELSE '' END
+  AS robots_txt FROM hosts)
+SELECT lower(host) AS host, u.s AS sitemap_url
+FROM robots, LATERAL unnest(regexp_extract_all(robots_txt,
+  '(?m)^Sitemap:\\s*(\\S+)\\s*$', 1)) AS u(s)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -5525,6 +5567,7 @@ FROM hashed
         "graph_stats": _GRAPH_STATS_ORACLE,
         "winnowing_pairs": _WINNOW_PAIRS_ORACLE,
         "embedding_class_stats": _CLASS_STATS_ORACLE,
+        "sitemap_seeds": _SITEMAP_ORACLE,
     }
 
 

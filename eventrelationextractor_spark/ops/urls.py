@@ -355,3 +355,18 @@ def host_profile(df: DataFrame, host_col: str = "host",
                     F.col("b.l").alias("dominant_label"),
                     F.round(-F.col("b.nc") / F.col("n_docs"), 6)
                     .alias("dominant_frac")))
+
+
+def sitemap_seeds(robots: DataFrame, robots_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_url): every ``Sitemap:`` declaration in the
+    per-host robots.txt - completing the robots parsing trio next to
+    ``robots_filter`` (Disallow) and ``crawl_delays`` (Crawl-delay).
+    Sitemaps are the highest-yield frontier seeds a crawler gets (the
+    site TELLS you its URLs); the output unions straight into
+    ``expand_frontier``'s known/discovery flow. Host-cardinality
+    map-side regexp_extract_all -> explode; hosts declaring none emit
+    nothing."""
+    urls_ = F.expr(f"regexp_extract_all({robots_col}, "
+                   "'(?m)^Sitemap:\\\\s*(\\\\S+)\\\\s*$', 1)")
+    return (robots.select(F.lower(F.col("host")).alias("host"),
+                          F.explode(urls_).alias("sitemap_url")))

@@ -705,3 +705,16 @@ def test_embedding_class_stats_analytic(spark):
     assert out[0].n == 2 and out[0].centroid_norm == 1.0
     assert out[0].mean_cos == 1.0
     assert out[1].centroid_norm == 0.0 and out[1].mean_cos == 0.0
+
+
+def test_sitemap_seeds_parse(spark):
+    robots = spark.createDataFrame(
+        [("A.example",
+          "User-agent: *\nSitemap: https://a.example/s1.xml\n"
+          "Disallow: /x\nSitemap: https://a.example/s2.xml\n"),
+         ("b.example", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string")
+    out = {(r.host, r.sitemap_url)
+           for r in urls.sitemap_seeds(robots).collect()}
+    assert out == {("a.example", "https://a.example/s1.xml"),
+                   ("a.example", "https://a.example/s2.xml")}
