@@ -2107,6 +2107,36 @@ def _q_sitemap_seeds(spark, sf_dir):
     return urls.sitemap_seeds(robots)
 
 
+def _q_tpch_returned_items(spark, sf_dir):
+    """TPC-H Q10-shape returned-item report: revenue lost to returns
+    (l_returnflag = 'R') per customer over one quarter, top-20 by lost
+    revenue - the classic customer-facing join rollup (lineitem ->
+    orders -> customer with a broadcast-sized final dimension lookup).
+    Exact integer cents; ranked on the exact long."""
+    from pyspark.sql import Window
+    rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    orders = rd("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))         .select("o_orderkey", "o_custkey")
+    li = rd("lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _cents(F.col("l_extendedprice")).alias("pc"),
+        _cents(F.col("l_discount")).alias("dc"))
+    rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .groupBy("o_custkey")
+           .agg(F.sum(F.col("pc") * (100 - F.col("dc"))).alias("rev_c2"),
+                F.count(F.lit(1)).alias("n_lines")))
+    cust = rd("customer").select("c_custkey", "c_name", "c_mktsegment")
+    w = Window.orderBy(F.col("rev_c2").desc(), F.col("o_custkey"))
+    return (rev.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 20)
+            .join(F.broadcast(cust),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select(F.col("o_custkey").alias("custkey"), "c_name",
+                    "c_mktsegment",
+                    (F.col("rev_c2") / 10000.0).alias("lost_revenue"),
+                    "n_lines", F.col("rnk").cast("long").alias("rnk")))
+
+
 def _q_training_order(spark, sf_dir):
     """Deterministic global training shuffle
     (ops/mixing.py::training_order): md5-fate shard + in-shard rank ->
@@ -2262,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_pairs": _q_winnowing_pairs,
         "embedding_class_stats": _q_embedding_class_stats,
         "sitemap_seeds": _q_sitemap_seeds,
+        "tpch_returned_items": _q_tpch_returned_items,
     }
 
 
@@ -5403,6 +5434,27 @@ FROM robots, LATERAL unnest(regexp_extract_all(robots_txt,
 """
 
 
+_TPCH_Q10_ORACLE = """
+WITH li AS (SELECT l_orderkey,
+  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+  CAST(round(l_discount * 100, 0) AS BIGINT) AS dc
+  FROM lineitem WHERE l_returnflag = 'R'),
+rev AS (SELECT o.o_custkey, sum(pc * (100 - dc)) AS rev_c2,
+        count(*) AS n_lines
+  FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  GROUP BY o.o_custkey),
+top AS (SELECT o_custkey, rev_c2, n_lines,
+  row_number() OVER (ORDER BY rev_c2 DESC, o_custkey) AS rnk FROM rev
+  QUALIFY rnk <= 20)
+SELECT t.o_custkey AS custkey, c.c_name, c.c_mktsegment,
+  t.rev_c2 / 10000.0 AS lost_revenue, t.n_lines,
+  CAST(t.rnk AS BIGINT) AS rnk
+FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -5568,6 +5620,7 @@ FROM hashed
         "winnowing_pairs": _WINNOW_PAIRS_ORACLE,
         "embedding_class_stats": _CLASS_STATS_ORACLE,
         "sitemap_seeds": _SITEMAP_ORACLE,
+        "tpch_returned_items": _TPCH_Q10_ORACLE,
     }
 
 
