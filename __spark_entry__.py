@@ -2878,7 +2878,7 @@ FROM w
 
 _TOKEN_ORACLE = r"""
 SELECT doc_id,
-  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS ws_tokens,
   CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))
        AS BIGINT) AS bpeish_tokens
@@ -3256,7 +3256,7 @@ FROM h
 _PACKING_ORACLE = r"""
 WITH t AS (
   SELECT doc_id, doc_id // 128 AS grp,
-         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) + 1
+         CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS BIGINT) + 1
            AS n_tokens
   FROM documents),
 c AS (

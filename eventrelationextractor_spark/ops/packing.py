@@ -38,10 +38,18 @@ def pack_sequences(docs: DataFrame, seq_len: int = 512,
     ``start_offset`` is the doc's first token position within its
     group's stream; ``seq_first``/``seq_last`` are the group-local ids
     of the training sequences the doc touches (seq k = stream slice
-    [k*seq_len, (k+1)*seq_len))."""
-    toks = (F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    [k*seq_len, (k+1)*seq_len)).
+
+    All id/offset arithmetic is pure integer ``div`` (never
+    double-divide-then-truncate): ids and offsets are non-negative, so
+    ``div`` == floor-division, it matches DuckDB's ``//`` exactly, and
+    it stays exact past 2^53 where a double round-trip would round -
+    the cross-engine value hash must not depend on float precision or
+    ANSI-mode cast semantics (round-3 driver-gate lesson)."""
+    from .textstats import WS_PATTERN
+    toks = (F.size(F.split(F.trim(F.col(text_col)), WS_PATTERN))
             .cast("long") + eos_tokens)
-    grp = (F.col(id_col) / group_size).cast("long")
+    grp = F.expr(f"cast({id_col} as bigint) div {int(group_size)}")
     w = Window.partitionBy("grp").orderBy(id_col)
     return (docs
             .select(F.col(id_col).alias("doc_id"), grp.alias("grp"),
@@ -49,10 +57,10 @@ def pack_sequences(docs: DataFrame, seq_len: int = 512,
             .withColumn("start_offset",
                         F.sum("n_tokens").over(w) - F.col("n_tokens"))
             .withColumn("seq_first",
-                        F.floor(F.col("start_offset") / seq_len))
+                        F.expr(f"start_offset div {int(seq_len)}"))
             .withColumn("seq_last",
-                        F.floor((F.col("start_offset")
-                                 + F.col("n_tokens") - 1) / seq_len)))
+                        F.expr(f"(start_offset + n_tokens - 1)"
+                               f" div {int(seq_len)}")))
 
 
 def chunk_documents(df: DataFrame, chunk_size: int = 64, stride: int = 48,

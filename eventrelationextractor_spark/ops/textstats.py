@@ -89,6 +89,16 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 # written to behave identically under Java regex (Spark) and RE2 (DuckDB)
 BPEISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
 
+# Whitespace class for ws-token counting, spelled out because the two
+# engines' \s disagree on exactly one character: Java \s (Spark) is
+# [ \t\n\x0b\f\r] while RE2 \s (DuckDB) is [ \t\n\f\r] - no \x0b
+# (vertical tab). A '\s+' twin silently diverges on any text containing
+# \x0b (caught by tests/test_packing.py adversarial sweep). \v is NOT a
+# safe spelling either: Java \v means "vertical whitespace" (a 6-char
+# class) while RE2 \v is the single \x0b. Hex-escaped, the class is
+# byte-identical under both engines.
+WS_PATTERN = r"[ \t\n\x0b\f\r]+"
+
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + two BPE-ish estimates: ceil(chars/4) (the
@@ -98,7 +108,8 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (df
             .withColumn("ws_tokens",
-                        F.size(F.split(F.trim(t), r"\s+")).cast("long"))
+                        F.size(F.split(F.trim(t), WS_PATTERN))
+                        .cast("long"))
             .withColumn("subword_tokens",
                         F.ceil(F.length(t) / 4.0).cast("long"))
             .withColumn("bpeish_tokens",
