@@ -2149,84 +2149,105 @@ def _q_training_order(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # KG construction pipeline (reference parity + scale)
+        # --- driver hash-gate window (first 50): one risky representative
+        # --- per operator family; the full set is gated locally either way
         "kg_temporal_triples": _q_kg_temporal,
         "kg_causal_triples": _q_kg_causal,
+        "kg_fixture_temporal": _q_fixture_temporal,
+        "kg_text_identity": _q_text_identity,
+        "kg_entity_linking": _q_entity_linking,
+        "kg_canonical_components": _q_canonical_components,
+        "kg_eval_metrics": _q_eval_metrics,
+        "kg_ee_probabilities": _q_ee_probabilities,
+        "kg_consistent_triples": _q_consistent_triples,
+        "kg_awareness": _q_awareness,
+        "sequence_packing": _q_sequence_packing,
+        "token_counts": _q_token_counts,
+        "corpus_curation": _q_corpus_curation,
+        "training_order": _q_training_order,
+        "html_text_extract": _q_html_text_extract,
+        "html_links": _q_html_links,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_jaccard": _q_dedup_minhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_resolution": _q_dedup_resolution,
+        "dedup_levenshtein": _q_dedup_levenshtein,
+        "shingle_containment": _q_shingle_containment,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        "dup_spans": _q_dup_spans,
+        "winnowing_pairs": _q_winnowing_pairs,
+        "semdedup_prune": _q_semdedup,
+        "ann_ivfpq": _q_ann_ivfpq,
+        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
+        "ann_lsh_multiprobe": _q_ann_multiprobe,
+        "embedding_kmeans": _q_embedding_kmeans,
+        "embedding_jl": _q_embedding_jl,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "quality_classifier": _q_quality_classifier,
+        "nfc_normalize": _q_nfc_normalize,
+        "script_profile": _q_script_profile,
+        "lm_bigram": _q_lm_bigram,
+        "hll_shard_merge": _q_hll_shard_merge,
+        "events_asof": _q_events_asof,
+        "events_interval_join": _q_events_interval_join,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "tpch_pricing_summary": _q_tpch_pricing,
+        "tpch_part_margin": _q_tpch_part_margin,
+        "tpch_returned_items": _q_tpch_returned_items,
+        "link_pagerank": _q_link_pagerank,
+        "link_ppr": _q_link_ppr,
+        "link_communities": _q_link_communities,
+        "link_walks": _q_link_walks,
+        "crawl_schedule_delays": _q_crawl_schedule_delays,
+        "media_decode_stats": _q_media_decode,
+        # --- beyond the driver window (still in the local gate + bench)
         "kg_temporal_salted": _q_kg_temporal_salted,
         "kg_doc_stats": _q_doc_stats,
         "kg_candidates": _q_candidates,
         "kg_pred_histogram": _q_pred_histogram,
-        "kg_fixture_temporal": _q_fixture_temporal,
         "kg_fixture_causal": _q_fixture_causal,
-        "kg_text_identity": _q_text_identity,
-        "html_text_extract": _q_html_text_extract,
-        "kg_entity_linking": _q_entity_linking,
-        "kg_canonical_components": _q_canonical_components,
-        "kg_consistent_triples": _q_consistent_triples,
-        # training-data pipeline operators
         "doc_fingerprints": _q_doc_fingerprints,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_jaccard": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_keep": _q_dedup_keep,
-        "dedup_resolution": _q_dedup_resolution,
         "decontamination": _q_decontamination,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "repetition_stats": _q_repetition_stats,
         "lm_quality": _q_lm_quality,
-        "lm_bigram": _q_lm_bigram,
         "bloom_prefilter": _q_bloom_prefilter,
         "pii_redaction": _q_pii_redaction,
-        "token_counts": _q_token_counts,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_topk_c256": _q_ann_ivf_topk_c256,
-        "dedup_embedding_cosine": _q_dedup_embedding,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "media_features": _q_media_features,
-        "kg_eval_metrics": _q_eval_metrics,
-        "kg_awareness": _q_awareness,
         "url_parse": _q_url_parse,
         "domain_stats": _q_domain_stats,
-        "kg_ee_probabilities": _q_ee_probabilities,
         "lang_id_trigram": _q_lang_id_trigram,
         "stratified_sample": _q_stratified_sample,
         "split_assignment": _q_split_assignment,
         "bm25_search": _q_bm25_search,
-        "embedding_kmeans": _q_embedding_kmeans,
-        "media_decode_stats": _q_media_decode,
-        "sequence_packing": _q_sequence_packing,
         "vocab_topk": _q_vocab_topk,
-        "corpus_curation": _q_corpus_curation,
-        "link_pagerank": _q_link_pagerank,
         "link_triangles": _q_link_triangles,
         "anchor_text_rollup": _q_anchor_rollup,
         "ccnet_buckets": _q_ccnet_buckets,
-        "nfc_normalize": _q_nfc_normalize,
-        "script_profile": _q_script_profile,
         "cms_wordcounts": _q_cms_wordcounts,
-        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
-        "link_communities": _q_link_communities,
         "zorder_layout": _q_zorder_layout,
         "tokenizer_fertility": _q_tokenizer_fertility,
-        "html_links": _q_html_links,
         "html_metadata": _q_html_metadata,
         "sample_k_per_source": _q_sample_k_per_source,
         "cdc_apply": _q_cdc_apply,
         "hll_user_windows": _q_hll_user_windows,
         "lsh_band_hits": _q_lsh_band_hits,
-        "dup_spans": _q_dup_spans,
         "exactsubstr_dedup": _q_exactsubstr_dedup,
         "frontier_expansion": _q_frontier_expansion,
         "crawl_plan": _q_crawl_plan,
         "frontier_schedule": _q_frontier_schedule,
         "robots_gate": _q_robots_gate,
         "mixing_plan": _q_mixing_plan,
-        "quality_classifier": _q_quality_classifier,
         "line_boilerplate": _q_line_boilerplate,
         "line_dedup_first": _q_line_dedup_first,
         "mixture_rates": _q_mixture_rates,
@@ -2236,9 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "hll_vocab": _q_hll_vocab,
         "kmv_overlap": _q_kmv_overlap,
-        "events_asof": _q_events_asof,
         "events_asof_forward": _q_events_asof_forward,
-        "semdedup_prune": _q_semdedup,
         "dsir_selection": _q_dsir,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "snapshot_diff": _q_snapshot_diff,
@@ -2249,50 +2268,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "length_percentiles": _q_length_percentiles,
         "source_lang_rollup": _q_source_lang_rollup,
-        "events_interval_join": _q_events_interval_join,
-        "dedup_levenshtein": _q_dedup_levenshtein,
-        "shingle_containment": _q_shingle_containment,
         "embedding_quantize": _q_embedding_quantize,
         "host_cocitation": _q_host_cocitation,
         "link_hits": _q_link_hits,
         "domain_reputation": _q_domain_reputation,
-        "embedding_jl": _q_embedding_jl,
         "url_spam_features": _q_url_spam,
-        "training_order": _q_training_order,
-        "ann_ivfpq": _q_ann_ivfpq,
-        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "events_anomalies": _q_events_anomalies,
-        "link_ppr": _q_link_ppr,
         "sentence_stats": _q_sentence_stats,
         "link_seed_distances": _q_link_seed_distances,
-        "link_walks": _q_link_walks,
         "bm25_ndcg": _q_bm25_ndcg,
         "badwords_filter": _q_badwords_filter,
-        "crawl_schedule_delays": _q_crawl_schedule_delays,
         "weighted_sample_k": _q_weighted_sample,
-        "events_funnel": _q_events_funnel,
         "link_adamic_adar": _q_link_adamic_adar,
         "char_entropy": _q_char_entropy,
-        "tpch_pricing_summary": _q_tpch_pricing,
         "tpch_shipping_priority": _q_tpch_shipping,
         "tpch_local_volume": _q_tpch_local_volume,
-        "tpch_part_margin": _q_tpch_part_margin,
-        "events_retention": _q_events_retention,
         "tpch_order_priority": _q_tpch_order_priority,
         "link_kcore": _q_link_kcore,
         "neardup_recall": _q_neardup_recall,
-        "ann_lsh_multiprobe": _q_ann_multiprobe,
-        "hll_shard_merge": _q_hll_shard_merge,
         "host_lang_profile": _q_host_lang_profile,
         "hashed_doc_vectors": _q_hashed_vectors,
         "events_props_extract": _q_events_props,
         "table_profile": _q_table_profile,
         "web_curation": _q_web_curation,
         "graph_stats": _q_graph_stats,
-        "winnowing_pairs": _q_winnowing_pairs,
         "embedding_class_stats": _q_embedding_class_stats,
         "sitemap_seeds": _q_sitemap_seeds,
-        "tpch_returned_items": _q_tpch_returned_items,
     }
 
 
@@ -5455,6 +5456,35 @@ FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
 """
 
 
+_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "golden")
+
+# Fixture-anchored oracles for the two non-SQL-expressible queries
+# (timegraph closure / awareness scoring): the synthetic corpus is a pure
+# function of doc_id, so each query's per-document output is precomputed
+# once by tools/make_oracle_fixtures.py (replaying the single-document
+# core computation, itself golden-anchored against the compiled
+# reference) and committed as parquet covering doc_id < 50000 (sf0.001
+# through sf1.0). The JOIN against the registered ``documents`` view
+# restricts the fixture to the SF under test, so one fixture serves every
+# gate; the hash then verifies the distributed execution (mapInPandas
+# batching, cogroup bucketing, Arrow round-trip) reproduces the
+# per-document core bit-for-bit.
+_CONSISTENT_ORACLE = f"""
+SELECT f.doc_id, f.subj, f.pred, f.obj
+FROM read_parquet(
+  '{os.path.join(_GOLDEN_DIR, "consistent_triples_expected.parquet")}') f
+JOIN (SELECT DISTINCT doc_id FROM documents) d USING (doc_id)
+"""
+
+_AWARENESS_ORACLE = f"""
+SELECT f.doc_id, f.precision, f.recall, f.f1, f.sys_total, f.gold_total
+FROM read_parquet(
+  '{os.path.join(_GOLDEN_DIR, "awareness_expected.parquet")}') f
+JOIN (SELECT DISTINCT doc_id FROM documents) d USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -5508,6 +5538,8 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "events_sessions": _SESSIONS_ORACLE,
         "media_features": _MEDIA_ORACLE,
         "kg_eval_metrics": _EVAL_ORACLE,
+        "kg_consistent_triples": _CONSISTENT_ORACLE,
+        "kg_awareness": _AWARENESS_ORACLE,
         "url_parse": _URL_PARSE_ORACLE,
         "domain_stats": _DOMAIN_STATS_ORACLE,
         "stratified_sample": _stratified_oracle(),

@@ -95,9 +95,10 @@ def awareness_scores(gold: DataFrame, pred: DataFrame,
     golden-anchored against the reference's own evaluation tool).
 
     Distributed shape: the metric is document-local (a timegraph never
-    spans documents), so gold/pred cogroup and each document runs the
-    exact closure-based scorer inside one Arrow-batched applyInPandas -
-    one shuffle of each side, no driver loop. The cogroup key is
+    spans documents), so gold and pred rows are tagged, unioned, and
+    grouped; each document runs the exact closure-based scorer inside
+    one Arrow-batched applyInPandas - ONE shuffle total, no driver
+    loop. The grouping key is
     ``crc32(url) % n_buckets``, NOT the raw url: documents are tiny
     groups (tens of relations), and per-group Arrow/pandas overhead
     dominates scoring cost at millions of single-doc groups (measured
@@ -120,20 +121,16 @@ def awareness_scores(gold: DataFrame, pred: DataFrame,
     out_schema = ("url string, precision double, recall double, f1 double,"
                   " sys_total long, gold_total long")
 
-    def score(key, gold_pdf, pred_pdf):
+    def score(key, pdf):
         import pandas as pd
 
         from ..core.awareness import temporal_awareness
 
-        # a side with no rows for this bucket arrives as a column-less
-        # empty frame
-        def by_url(pdf):
-            if "src" not in pdf.columns or len(pdf) == 0:
-                return {}
+        def by_url(side):
             return {u: list(zip(g["src"], g["tgt"], g["rel"]))
-                    for u, g in pdf.groupby("url", sort=False)}
-        gold_by = by_url(gold_pdf)
-        pred_by = by_url(pred_pdf)
+                    for u, g in side.groupby("url", sort=False)}
+        gold_by = by_url(pdf[pdf["is_gold"] == 1])
+        pred_by = by_url(pdf[pdf["is_gold"] == 0])
         out = []
         for url in sorted(set(gold_by) | set(pred_by)):
             m = temporal_awareness(sorted(gold_by.get(url, [])),
@@ -144,8 +141,19 @@ def awareness_scores(gold: DataFrame, pred: DataFrame,
                 "sys_total": m["sys_total"], "gold_total": m["gold_total"]})
         return pd.DataFrame(out)
 
+    # Tag-union-split, NOT groupBy.cogroup(groupBy): when gold and pred
+    # derive from the same parent frame (the common case - pred is a
+    # perturbation/selection of gold, or both come from one extraction),
+    # FlatMapCoGroupsInPandas' attribute deduplication can prune the
+    # right side's data columns entirely (observed on Spark 4.1: the
+    # right branch's Project emitted ONLY the grouping key and the UDF
+    # saw a column-less pred frame -> every score silently 0). A
+    # self-union has no such ambiguity, and it also halves the shuffles:
+    # one Exchange of the tagged rows instead of one per cogroup side.
     bucket = (F.crc32(F.col("url")) % n_buckets).alias("bucket")
-    g = gold.select(bucket, "url", "src", "tgt", "rel")
-    p = pred.select(bucket, "url", "src", "tgt", "rel")
-    return (g.groupBy("bucket").cogroup(p.groupBy("bucket"))
+    g = gold.select(bucket, "url", "src", "tgt", "rel",
+                    F.lit(1).alias("is_gold"))
+    p = pred.select(bucket, "url", "src", "tgt", "rel",
+                    F.lit(0).alias("is_gold"))
+    return (g.unionByName(p).groupBy("bucket")
             .applyInPandas(score, schema=out_schema))

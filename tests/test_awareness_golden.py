@@ -132,3 +132,28 @@ def test_spark_awareness_matches_core(spark):
                spark.createDataFrame(rows_g, schema),
                spark.createDataFrame(rows_s, schema)).collect()}
     assert got == want
+
+
+def test_spark_awareness_shared_lineage_full_collect(spark):
+    """Regression: when gold and pred derive from the SAME parent frame
+    (pred = filter/perturbation of gold - the kg_awareness shape), the
+    old groupBy.cogroup(groupBy) formulation hit a Spark 4.1 attribute-
+    dedup mis-plan that pruned the pred side's data columns: a FULL
+    collect returned sys_total=0 / precision=0 for every document while
+    a filtered collect looked fine. The tag-union-split rewrite must
+    score the pred side on a full collect."""
+    from pyspark.sql import functions as F
+
+    from eventrelationextractor_spark.spark.evaluate import awareness_scores
+    rows = [(str(u), f"e{i}", f"e{i+1}", "BEFORE")
+            for u in range(40) for i in range(4)]
+    gold = spark.createDataFrame(
+        rows, "url string, src string, tgt string, rel string") \
+        .localCheckpoint()
+    pred = gold.filter(~((F.col("url").cast("long") % 3 == 0)
+                         & (F.col("src") == "e1")))
+    out = awareness_scores(gold, pred).collect()
+    assert len(out) == 40
+    assert all(r.sys_total > 0 for r in out)
+    assert {r.url for r in out if r.recall < 1.0} \
+        == {str(u) for u in range(0, 40, 3)}
