@@ -1702,7 +1702,7 @@ def _q_crawl_schedule_delays(spark, sf_dir):
     robots = spark.createDataFrame(
         [("news.example.com",
           "User-agent: *\nCrawl-delay: 2\nDisallow: /admin\n"),
-         ("blog.example.org", "User-agent: *\nCrawl-delay: 10\n"),
+         ("blog.example.org", "User-agent: *\ncrawl-Delay: 10\n"),
          ("www.sample.net", "User-agent: *\nDisallow: /p\n"),
          ("shop.example.co", "Crawl-delay: 1\nUser-agent: *\n")],
         "host string, robots_txt string")
@@ -4842,7 +4842,7 @@ WITH w AS ({_WEB_URLS}),
 robots AS (SELECT * FROM (VALUES
   ('news.example.com', 'User-agent: *' || chr(10) || 'Crawl-delay: 2'
      || chr(10) || 'Disallow: /admin' || chr(10)),
-  ('blog.example.org', 'User-agent: *' || chr(10) || 'Crawl-delay: 10'
+  ('blog.example.org', 'User-agent: *' || chr(10) || 'crawl-Delay: 10'
      || chr(10)),
   ('www.sample.net', 'User-agent: *' || chr(10) || 'Disallow: /p'
      || chr(10)),
@@ -4850,9 +4850,9 @@ robots AS (SELECT * FROM (VALUES
      || chr(10))) r(host, robots_txt)),
 delays AS (SELECT lower(host) AS host,
   CAST(CASE WHEN regexp_extract(robots_txt,
-         '(?m)^Crawl-delay:\\s*([0-9]+)\\s*$', 1) = '' THEN 5
+         '(?mi)^crawl-delay:\\s*([0-9]+)\\s*$', 1) = '' THEN 5
        ELSE CAST(regexp_extract(robots_txt,
-         '(?m)^Crawl-delay:\\s*([0-9]+)\\s*$', 1) AS BIGINT) END
+         '(?mi)^crawl-delay:\\s*([0-9]+)\\s*$', 1) AS BIGINT) END
        AS BIGINT) AS crawl_delay
   FROM robots),
 fr AS (SELECT url, lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))

@@ -119,11 +119,17 @@ def ndcg_at_k(results: DataFrame, judgments: DataFrame, k: int = 25,
     returned docs count rel 0. Scale shape: one broadcast-sized join
     (results are top-k), one global top-k over the POSITIVE judgments
     only (rel > 0 filter precedes the window, so the ideal ranking
-    never sorts the corpus), two scalar aggregates."""
+    never sorts the corpus), two scalar aggregates.
+
+    Judgments are aggregated to one row per doc (max rel) first:
+    duplicate judgment rows would otherwise fan out the DCG join
+    (double-counting a returned doc) and occupy multiple ideal ranks in
+    IDCG - both skew the metric silently."""
     res = results.filter(F.col(rank_col) <= k).select(
         F.col(rank_col).alias("rnk"), F.col(id_col).alias("rid"))
-    j = judgments.select(F.col(id_col).alias("rid"),
-                         F.col(rel_col).alias("rel"))
+    j = (judgments.select(F.col(id_col).alias("rid"),
+                          F.col(rel_col).alias("rel"))
+         .groupBy("rid").agg(F.max("rel").alias("rel")))
     gain = (F.pow(F.lit(2.0), F.coalesce("rel", F.lit(0)).cast("double"))
             - 1.0) / F.log2(F.col("rnk") + 1.0)
     dcg = (res.join(j, "rid", "left")

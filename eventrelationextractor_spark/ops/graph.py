@@ -365,10 +365,15 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                  .unionByName(e.select(F.col("dst").alias("node")))
                  .distinct())
     nodes = nodes.select("node").localCheckpoint()
-    sd = seeds.select("node").distinct()
+    # Intersect seeds with the node universe BEFORE sizing the teleport
+    # vector: a seed absent from the graph would otherwise keep its 1/ns
+    # share of teleport mass while the left join silently drops it, and
+    # ranks would no longer sum to 1.
+    sd = seeds.select("node").distinct().join(nodes, "node")
     ns = sd.count()
     if ns == 0:
-        raise ValueError("personalized_pagerank needs a non-empty seed set")
+        raise ValueError("personalized_pagerank needs a non-empty seed set"
+                         " that intersects the graph's node universe")
     svec = (nodes.join(sd.withColumn("s0", F.lit(1.0 / ns)), "node", "left")
             .select("node", F.coalesce("s0", F.lit(0.0)).alias("s"))
             .localCheckpoint())

@@ -35,9 +35,21 @@ def _with_cosine(pairs: DataFrame) -> DataFrame:
     fans out to many pairs, so norms are computed once per vector at the
     select that builds the side, not per pair (bit-identical - a norm is
     a deterministic function of the vector - and it cuts the per-pair
-    aggregate-lambda work 3x; A/B in BENCH/BASELINE.md)."""
+    aggregate-lambda work 3x; A/B in BENCH/BASELINE.md).
+
+    Degenerate-vector guard: a zero-norm vector makes the divisor 0,
+    which THROWS under ANSI mode (Spark 4 default) and yields NULL/NaN
+    otherwise - either way the ranking breaks or diverges across
+    engines. Pin degenerate pairs to cosine -1.0 (below any real
+    cosine) via a short-circuiting CASE, so the division never
+    evaluates on a zero divisor."""
+    denom = F.col("qn") * F.col("cn")
     return pairs.withColumn(
-        "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        "cosine",
+        F.when(denom > 0,
+               F.nanvl(_dot(F.col("qv"), F.col("cv")) / denom,
+                       F.lit(-1.0)))
+        .otherwise(F.lit(-1.0)))
 
 
 def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,

@@ -102,9 +102,11 @@ def crawl_delays(robots: DataFrame, robots_col: str = "robots_txt",
     (global-section subset, like ``robots_filter``; first match wins,
     absent or non-numeric -> ``default_sec``). Host-cardinality map-side
     parse - feeds ``frontier_schedule(delays=...)`` so politeness uses
-    each host's OWN declared pacing instead of one global constant."""
+    each host's OWN declared pacing instead of one global constant.
+    Directive matching is case-insensitive ((?i)) per the robots.txt
+    convention - real sites write Crawl-Delay / crawl-delay freely."""
     d = F.regexp_extract(F.col(robots_col),
-                         r"(?m)^Crawl-delay:\s*([0-9]+)\s*$", 1)
+                         r"(?mi)^crawl-delay:\s*([0-9]+)\s*$", 1)
     return robots.select(
         F.lower(F.col("host")).alias("host"),
         F.when(d == "", F.lit(default_sec))

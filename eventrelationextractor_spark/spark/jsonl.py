@@ -25,25 +25,38 @@ from pyspark.sql import functions as F
 CORRUPT_COL = "_corrupt_record"
 
 
-def read_jsonl(spark: SparkSession, path: str, schema: str):
+def read_jsonl(spark: SparkSession, path: str, schema: str,
+               staging_path: str | None = None):
     """-> (good, bad): ``good`` = rows matching ``schema`` (corrupt
     column pruned), ``bad`` = (raw_line) rows for every line that
     failed to parse. ``schema`` is a DDL string WITHOUT the corrupt
-    column (added internally)."""
+    column (added internally).
+
+    ``staging_path`` (production path at ingest scale): land the parsed
+    batch to parquet there and split off the staging READ - nothing is
+    pinned in executor memory, the stage is resumable, and downstream
+    scans get parquet pushdown. Without it the parsed batch is
+    ``.cache()``d (per-batch working state); call
+    ``good.sparkSession.catalog.clearCache()`` - or hold the returned
+    frames' shared parent via ``good`` itself - only for small batches.
+    A 100-TB ingest should ALWAYS pass ``staging_path``: the cache
+    variant pins the whole corpus in executor memory/disk for the
+    session lifetime."""
     full = f"{schema}, {CORRUPT_COL} string"
     df = (spark.read.schema(full)
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", CORRUPT_COL)
-          .json(path)
-          # Spark REFUSES any filter on the corrupt column over the raw
-          # scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN:
-          # the column is populated lazily during parsing, so a
-          # corrupt-only query could skip the very parse that fills it);
-          # its documented remedy is materializing the parse first. The
-          # cache is per-ingest-batch working state - a production run
-          # lands the parsed batch to a staging table and splits THERE,
-          # which is this same materialize-then-filter shape durably.
-          .cache())
+          .json(path))
+    # Spark REFUSES any filter on the corrupt column over the raw
+    # scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN:
+    # the column is populated lazily during parsing, so a
+    # corrupt-only query could skip the very parse that fills it);
+    # its documented remedy is materializing the parse first.
+    if staging_path is not None:
+        df.write.mode("overwrite").parquet(staging_path)
+        df = spark.read.parquet(staging_path)
+    else:
+        df = df.cache()
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()) \
         .withColumnRenamed(CORRUPT_COL, "raw_line")

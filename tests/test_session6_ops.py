@@ -718,3 +718,58 @@ def test_sitemap_seeds_parse(spark):
            for r in urls.sitemap_seeds(robots).collect()}
     assert out == {("a.example", "https://a.example/s1.xml"),
                    ("a.example", "https://a.example/s2.xml")}
+
+
+def test_personalized_pagerank_ignores_phantom_seeds(spark):
+    """A seed absent from the graph must not leak teleport mass
+    (ADVICE r3): ranks with the phantom seed equal ranks without it,
+    and mass sums to 1."""
+    import math as _m
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    real = spark.createDataFrame([(0,)], "node long")
+    phantom = spark.createDataFrame([(0,), (999,)], "node long")
+    r1 = {r.node: r.rank
+          for r in graph.personalized_pagerank(e, real, n_iter=6).collect()}
+    r2 = {r.node: r.rank
+          for r in graph.personalized_pagerank(e, phantom,
+                                               n_iter=6).collect()}
+    assert r1 == r2
+    assert _m.isclose(sum(r2.values()), 1.0, abs_tol=1e-12)
+    import pytest
+    only_phantom = spark.createDataFrame([(999,)], "node long")
+    with pytest.raises(ValueError):
+        graph.personalized_pagerank(e, only_phantom, n_iter=2)
+
+
+def test_ndcg_dedups_duplicate_judgments(spark):
+    """Duplicate judgment rows must not fan out the DCG join or occupy
+    two ideal ranks (ADVICE r3): max(rel) per doc wins."""
+    from eventrelationextractor_spark.ops import bm25
+    res = spark.createDataFrame([(1, 10), (2, 20)], "rank long, doc_id long")
+    dup = spark.createDataFrame([(10, 3), (10, 1), (20, 2)],
+                                "doc_id long, rel long")
+    uniq = spark.createDataFrame([(10, 3), (20, 2)],
+                                 "doc_id long, rel long")
+    got_dup = bm25.ndcg_at_k(res, dup, k=2).collect()[0]
+    got_uniq = bm25.ndcg_at_k(res, uniq, k=2).collect()[0]
+    assert (got_dup.dcg, got_dup.idcg, got_dup.ndcg) \
+        == (got_uniq.dcg, got_uniq.idcg, got_uniq.ndcg)
+
+
+def test_brute_force_topk_zero_norm_ranks_last(spark):
+    """Degenerate zero-norm vectors produce NaN cosine, and NaN sorts
+    ABOVE every real value in Spark's descending order - the nanvl(-1)
+    guard must pin them below all real neighbors (ADVICE r3)."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+         (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = [(r.rank, r.neighbor_id, r.cosine)
+           for r in simsearch.brute_force_topk(df, n_queries=1, k=4)
+           .collect()]
+    # query = vec 0 (self excluded); zero-norm vec 2 pins to -1.0 (tied
+    # with the true opposite vec 3, id tie-break) instead of throwing
+    # under ANSI or floating to the top as NaN
+    assert [n for _, n, _ in out] == [1, 2, 3]
+    assert out[1][2] == -1.0 and out[2][2] == -1.0
+    assert out[0][2] > 0.9
