@@ -47,9 +47,23 @@ def _append_manifest(out_dir: str, record: dict) -> None:
         f.write(json.dumps(record) + "\n")
 
 
+def _iceberg_ddl(table: str, n_buckets: int) -> str:
+    """DDL for the Iceberg triples table. The manifest's bucket id is an
+    identity partition (it already IS crc32(url) % n, so the layout
+    equals a ``bucket(n, url)`` transform while staying readable by the
+    resume manifest); swap to the native transform when the writer's
+    hash is not pinned by resume compatibility."""
+    return (f"CREATE TABLE IF NOT EXISTS {table} ("
+            " url STRING, subj STRING, pred STRING, obj STRING,"
+            " stage STRING, pair_type STRING, bucket INT)"
+            " USING iceberg PARTITIONED BY (bucket)")
+
+
 def write_triples_resumable(pages: DataFrame, out_dir: str,
                             n_buckets: int = 8, mode: str = "both",
-                            extract=None, compact: bool = False) -> dict:
+                            extract=None, compact: bool = False,
+                            catalog: str = "parquet",
+                            table: str | None = None) -> dict:
     """Extract triples with url-hash bucketing and resume, in ONE pass.
 
     All pending buckets are written by a single extraction job:
@@ -81,9 +95,24 @@ def write_triples_resumable(pages: DataFrame, out_dir: str,
     maps to ``bucket(n, url)`` partition transforms with snapshot-based
     resume (see module docstring).
 
+    ``catalog='iceberg'`` (requires ``table``, e.g.
+    ``'local.db.triples'``, and an Iceberg catalog configured on the
+    session): the DDL above is issued if the table is absent and the
+    pending buckets land via ``writeTo(table).overwritePartitions()`` -
+    Iceberg's atomic replace-only-partitions-present-in-the-new-data,
+    the exact semantics the parquet branch emulates with dynamic
+    partition overwrite. The stale-partial cleanup is unnecessary
+    there: an uncommitted write is invisible (snapshot isolation), so a
+    crashed run leaves no partial partition to count. The jsonl
+    manifest still records per-bucket lineage next to the table.
+
     Returns {'written': [...], 'skipped': [...]}."""
     from .stages import extract_triples
     extract = extract or extract_triples
+    if catalog not in ("parquet", "iceberg"):
+        raise ValueError(f"unknown catalog {catalog!r}")
+    if catalog == "iceberg" and not table:
+        raise ValueError("catalog='iceberg' requires a table name")
 
     done = read_manifest(out_dir)
     pending = [b for b in range(n_buckets) if b not in done]
@@ -92,10 +121,11 @@ def write_triples_resumable(pages: DataFrame, out_dir: str,
         return {"written": [], "skipped": skipped}
 
     t0 = time.perf_counter()
-    for b in pending:          # drop stale partials from a crashed run
-        d = os.path.join(out_dir, f"bucket={b}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+    if catalog == "parquet":
+        for b in pending:      # drop stale partials from a crashed run
+            d = os.path.join(out_dir, f"bucket={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
     bucket_of = F.crc32(F.col("url")) % n_buckets
     pending_pages = (pages.withColumn("bucket", bucket_of)
                      .filter(F.col("bucket").isin([int(b) for b in pending]))
@@ -104,13 +134,22 @@ def write_triples_resumable(pages: DataFrame, out_dir: str,
         .withColumn("bucket", bucket_of)
     if compact:
         trips = trips.repartition("bucket")
-    (trips.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("bucket").parquet(out_dir))
+    spark = pages.sparkSession
+    if catalog == "iceberg":
+        spark.sql(_iceberg_ddl(table, n_buckets))
+        trips.withColumn("bucket", F.col("bucket").cast("int")) \
+            .writeTo(table).overwritePartitions()
+    else:
+        (trips.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").parquet(out_dir))
     wall = round(time.perf_counter() - t0, 3)
 
-    spark = pages.sparkSession
-    if glob.glob(os.path.join(out_dir, "bucket=*")):
+    if catalog == "iceberg":
+        stats = (spark.read.table(table)
+                 .filter(F.col("bucket").isin([int(b) for b in pending]))
+                 .groupBy("bucket", "pred").count().collect())
+    elif glob.glob(os.path.join(out_dir, "bucket=*")):
         stats = (read_triples(spark, out_dir)
                  .filter(F.col("bucket").isin([int(b) for b in pending]))
                  .groupBy("bucket", "pred").count().collect())

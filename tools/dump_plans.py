@@ -118,17 +118,19 @@ def main() -> None:
 
     p = add("kg_awareness (distributed TempEval-3 scorer)",
             qs["kg_awareness"](spark, sf),
-            "Gold/pred cogroup on url; each document scores inside one "
-            "Arrow FlatMapCoGroupsInPandas (the timegraph is doc-local). "
-            "One hash Exchange per side feeds the cogroup - no driver "
-            "loop, no cross-document state. (The two extra Exchanges "
-            "here are the harness's deliberate CPU-repartitions of the "
-            "tiny doc_id column inside the fused page generators, "
-            "absent at production scan widths - same note as the "
-            "flagship plan.)")
-    assert "FlatMapCoGroupsInPandas" in p
-    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 4, \
-        "awareness cogroup gained shuffles"
+            "Gold/pred rows tagged with is_gold, unioned, grouped on the "
+            "crc32 bucket; each document scores inside one Arrow "
+            "FlatMapGroupsInPandas (the timegraph is doc-local). The "
+            "tag-union-split shape replaced groupBy.cogroup(groupBy) "
+            "after a Spark 4.1 attribute-dedup mis-plan pruned the pred "
+            "side's columns when both sides shared a parent frame - and "
+            "it costs ONE hash Exchange instead of two. (The extra "
+            "Exchanges below it are the harness's deliberate "
+            "CPU-repartitions of the tiny doc_id column inside the fused "
+            "page generators, absent at production scan widths.)")
+    assert "FlatMapGroupsInPandas" in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 3, \
+        "awareness grouping gained shuffles"
 
     p = add("bm25_search (lexical top-k)",
             qs["bm25_search"](spark, sf),
@@ -291,6 +293,49 @@ def main() -> None:
             "ride broadcast joins off the same aggregates "
             "(ReuseExchange).", max_lines=120)
     assert "CartesianProduct" not in p
+
+    p = add("dedup_resolution (transitive near-dup clusters)",
+            qs["dedup_resolution"](spark, sf),
+            "LSH candidate pairs (df-capped) feed pointer-jumping "
+            "connected components: each round is a self-joined hop "
+            "aggregation whose repeated subtree dedupes through "
+            "ReuseExchange, with ONE localCheckpoint per round "
+            "truncating the lazy plan (per-round intermediate "
+            "checkpoints were the round-2 4x-overhead lesson). The "
+            "FINAL visible plan is the post-checkpoint join-back only "
+            "(each round's plan was truncated at its checkpoint); no "
+            "cartesian product, no Window over the full edge set.",
+            max_lines=120)
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 3
+
+    p = add("winnowing_pairs (MOSS fingerprint overlap)",
+            qs["winnowing_pairs"](spark, sf),
+            "Window-min fingerprint selection is per-document "
+            "(hash-partitioned on doc, never a global sort); pair "
+            "formation is an equi-join on the fingerprint hash with "
+            "hot-fingerprint caps filtering BEFORE any pair explode; "
+            "overlap counts are partial-agged. Cost family is the "
+            "md5-expression volume (shared with minhash - A/B'd, "
+            "JVM-side wins), not a shuffle defect.", max_lines=120)
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p.lower().replace(
+        "rangepartitioning(doc", "X"), "winnowing gained a global sort"
+
+    p = add("kg_canonical_components (alias CC over mention clusters)",
+            qs["kg_canonical_components"](spark, sf),
+            "Entity-linking broadcast join feeds pointer-jumping CC - "
+            "same single-lazy-plan round shape as dedup_resolution: "
+            "ceil(log2(diameter)) rounds, ReuseExchange-deduped hop "
+            "self-join, one plan-truncating checkpoint per round; "
+            "1M-edge adversarial ladder finishes in 71.5s at local[8] "
+            "(BENCH/BASELINE.md). Fixed shuffle overhead dominates at "
+            "toy scale; the shape is the scale story. (The broadcast "
+            "alias join lives upstream of the rounds' plan-truncating "
+            "checkpoints, so the FINAL visible plan is the label "
+            "join-back only.)", max_lines=120)
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 4
 
     doc_scan = spark.read.parquet(os.path.join(sf, "documents.parquet")) \
         .select("doc_id")
