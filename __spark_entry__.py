@@ -28,7 +28,7 @@ from eventrelationextractor_spark.ops import bm25, cluster, packing, pq  # noqa:
 from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
 from eventrelationextractor_spark.ops import bloom, bpe, graph, linededup  # noqa: E402
 from eventrelationextractor_spark.ops import htmltext, mixing, pii  # noqa: E402
-from eventrelationextractor_spark.ops import quality  # noqa: E402
+from eventrelationextractor_spark.ops import maintenance, quality  # noqa: E402
 from eventrelationextractor_spark.ops import simsearch, sketches, textstats, urls  # noqa: E402
 from eventrelationextractor_spark.spark import kg, stages  # noqa: E402
 
@@ -2147,6 +2147,173 @@ def _q_training_order(spark, sf_dir):
     return mixing.training_order(_docs(spark, sf_dir), n_shards=8)
 
 
+def _q_tpch_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 volume shipping: discounted revenue flowing between two
+    nations per ship year. Five-way join where BOTH nation dims and the
+    supplier dim broadcast; lineitem (the fact) is the only shuffled
+    side, once, on orderkey. Money in exact integer cents (c2 scale)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cu = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    su = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    na = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    rev = (_cents(F.col("l_extendedprice"))
+           * (100 - _cents(F.col("l_discount")))).alias("rev_c2")
+    # the nation PAIR is data-driven (the two lexicographically-first
+    # nation names) so the query is non-vacuous at every SF regardless
+    # of the generator's naming scheme; the dim is 25 rows, so the
+    # selection window is free and the dim still broadcasts
+    from pyspark.sql import Window as _W
+    na2 = (na.withColumn("nrank", F.row_number().over(
+        _W.orderBy("n_name"))).filter(F.col("nrank") <= 2)
+        .select("n_nationkey", "n_name"))
+    sn = (su.join(F.broadcast(na2), su.s_nationkey == na2.n_nationkey)
+          .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cn = (cu.join(F.broadcast(na2), cu.c_nationkey == na2.n_nationkey)
+          .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    j = (li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+         .join(od, li.l_orderkey == od.o_orderkey)
+         .join(F.broadcast(cn), od.o_custkey == cn.c_custkey)
+         .filter(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(rev).alias("rev_sum_c2"))
+            .select("supp_nation", "cust_nation", "l_year",
+                    (F.col("rev_sum_c2") / 10000.0).alias("revenue")))
+
+
+def _q_tpch_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 promo-revenue share, widened to every ship month: the
+    part-type dimension broadcasts; one conditional-sum groupBy of the
+    fact. share = 100 * promo / total computed from exact integer c2
+    sums, so the hash carries no float-merge-order risk."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    pa = spark.read.parquet(os.path.join(sf_dir, "part.parquet")) \
+        .select("p_partkey", "p_type")
+    rev = (_cents(F.col("l_extendedprice"))
+           * (100 - _cents(F.col("l_discount")))).alias("rev_c2")
+    j = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    return (j.groupBy(F.date_format("l_shipdate", "yyyy-MM")
+                      .alias("ship_month"))
+            .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                       .otherwise(F.lit(0))).alias("promo_c2"),
+                 F.sum(rev).alias("total_c2"))
+            .select("ship_month",
+                    (F.col("promo_c2") / 10000.0).alias("promo_revenue"),
+                    (F.col("total_c2") / 10000.0).alias("total_revenue"),
+                    F.round(100.0 * F.col("promo_c2") / F.col("total_c2"),
+                            6).alias("promo_share")))
+
+
+def _q_tpch_top_supplier(spark, sf_dir):
+    """TPC-H Q15 top supplier: per-supplier quarterly revenue, keep the
+    max (view + scalar-subquery shape). The revenue aggregate is ONE
+    partial-agged groupBy; the max rides back as a broadcast single-row
+    dimension (no second scan, no window over all suppliers). Exact
+    integer c2 revenue makes the max unambiguous across engines."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    su = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    rev = (_cents(F.col("l_extendedprice"))
+           * (100 - _cents(F.col("l_discount")))).alias("rev_c2")
+    per_supp = (li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy("l_suppkey").agg(F.sum(rev).alias("total_c2")))
+    mx = per_supp.agg(F.max("total_c2").alias("max_c2"))
+    return (per_supp.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_c2") == F.col("max_c2"))
+            .join(F.broadcast(su), per_supp.l_suppkey == su.s_suppkey)
+            .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                    "s_name",
+                    (F.col("total_c2") / 10000.0).alias("total_revenue")))
+
+
+def _q_tpch_large_orders(spark, sf_dir):
+    """TPC-H Q18 large-volume orders: orders whose line quantities sum
+    past 250 units, with customer context. The HAVING pre-aggregate
+    shrinks the fact to the qualifying orderkeys BEFORE any dimension
+    join - the classic aggregate-then-join ordering that a naive
+    join-then-filter plan gets wrong at scale."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cu = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+           .filter(F.col("total_qty") > 250))
+    return (big.join(od, big.l_orderkey == od.o_orderkey)
+            .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+            .select(F.col("c_name"),
+                    F.col("c_custkey").cast("long").alias("c_custkey"),
+                    F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    (_cents(F.col("o_totalprice")) / 100.0)
+                    .alias("o_totalprice"),
+                    "total_qty"))
+
+
+def _q_tpch_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders (here: none since 2000-01-01; the synthetic corpus gives
+    every customer SOME order, so the classic no-orders-ever predicate
+    is vacuous), rolled up by nation. Anti-join + broadcast scalar
+    average; the above-average comparison runs in count-scaled integer
+    cents (bal_c * n_custs > sum_c) so no float mean can flip a
+    boundary customer between engines."""
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cu = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")) \
+        .withColumn("bal_c", _cents(F.col("c_acctbal")))
+    na = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    avg_row = (cu.filter(F.col("bal_c") > 0)
+               .agg(F.sum("bal_c").alias("sum_c"),
+                    F.count(F.lit(1)).alias("n_pos")))
+    recent = od.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")) \
+        .select("o_custkey").distinct()
+    idle = (cu.crossJoin(F.broadcast(avg_row))
+            .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_c"))
+            .join(recent, cu.c_custkey == recent.o_custkey, "left_anti"))
+    return (idle.join(F.broadcast(na), idle.c_nationkey == na.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 (F.sum("bal_c") / 100.0).alias("total_acctbal")))
+
+
+def _q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (ops/maintenance.py): a
+    deterministic file manifest synthesized from the documents table
+    (partition = doc_id mod 8, size from n_chars) bin-packed to 256KB
+    merge groups - per-partition window cumsum, append-stable."""
+    d = _docs(spark, sf_dir)
+    files = d.select(
+        (F.col("doc_id") % 8).cast("long").alias("partition"),
+        F.format_string("part-%08d.parquet", F.col("doc_id")).alias("path"),
+        (F.col("n_chars") * 997 + 4096).cast("long").alias("size_bytes"))
+    return maintenance.compaction_plan(files, target_bytes=256 * 1024)
+
+
+def _q_skew_profile(spark, sf_dir):
+    """Key-skew profiling (ops/maintenance.py) over events.user_id: the
+    top-20 heaviest keys, their row share, and the salt fan-out a
+    200-partition shuffle on this key needs."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return maintenance.skew_profile(ev, "user_id", n_partitions=200,
+                                    top_k=20)
+
+
+def _q_kanon_suppress(spark, sf_dir):
+    """k-anonymity suppression (ops/maintenance.py): quasi-identifier =
+    (lang, source, n_chars div 200); groups smaller than k=5 are marked
+    suppressed before any per-group stats could be released."""
+    d = _docs(spark, sf_dir).withColumn(
+        "len_bucket", F.expr("cast(n_chars as bigint) div 200"))
+    out = maintenance.kanon_suppress(
+        d.select("doc_id", "lang", "source", "len_bucket"),
+        ["lang", "source", "len_bucket"], k=5)
+    return out.select("doc_id", "lang", "source", "len_bucket",
+                      "group_n", "is_suppressed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -2195,6 +2362,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": _q_tpch_pricing,
         "tpch_part_margin": _q_tpch_part_margin,
         "tpch_returned_items": _q_tpch_returned_items,
+        "tpch_volume_shipping": _q_tpch_volume_shipping,
+        "tpch_promo_revenue": _q_tpch_promo_revenue,
+        "tpch_top_supplier": _q_tpch_top_supplier,
+        "tpch_large_orders": _q_tpch_large_orders,
+        "tpch_idle_customers": _q_tpch_idle_customers,
+        "compaction_plan": _q_compaction_plan,
+        "skew_profile": _q_skew_profile,
+        "kanon_suppress": _q_kanon_suppress,
         "link_pagerank": _q_link_pagerank,
         "link_ppr": _q_link_ppr,
         "link_communities": _q_link_communities,
@@ -5456,6 +5631,139 @@ FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
 """
 
 
+_Q7_ORACLE = """
+WITH rev AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice*100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount*100, 0) AS BIGINT)) AS rev_c2
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN (SELECT n_nationkey, n_name FROM
+        (SELECT n_nationkey, n_name,
+                row_number() OVER (ORDER BY n_name) AS nrank FROM nation)
+        WHERE nrank <= 2) n1 ON s_nationkey = n1.n_nationkey
+  JOIN (SELECT n_nationkey, n_name FROM
+        (SELECT n_nationkey, n_name,
+                row_number() OVER (ORDER BY n_name) AS nrank FROM nation)
+        WHERE nrank <= 2) n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name)
+SELECT supp_nation, cust_nation, l_year,
+       sum(rev_c2) / 10000.0 AS revenue
+FROM rev GROUP BY 1, 2, 3
+"""
+
+_Q14_ORACLE = """
+WITH rev AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, p_type,
+         CAST(round(l_extendedprice*100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount*100, 0) AS BIGINT)) AS rev_c2
+  FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT ship_month,
+       sum(CASE WHEN p_type = 'PROMO' THEN rev_c2 ELSE 0 END)
+         / 10000.0 AS promo_revenue,
+       sum(rev_c2) / 10000.0 AS total_revenue,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev_c2
+                         ELSE 0 END) / sum(rev_c2), 6) AS promo_share
+FROM rev GROUP BY 1
+"""
+
+_Q15_ORACLE = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount*100, 0) AS BIGINT)))
+           AS total_c2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       total_c2 / 10000.0 AS total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_c2 = (SELECT max(total_c2) FROM per_supp)
+"""
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(o_totalprice*100, 0) AS BIGINT) / 100.0 AS o_totalprice,
+       total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+_Q22_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal*100, 0) AS BIGINT) AS bal_c
+  FROM customer),
+pos AS (SELECT sum(bal_c) AS sum_c, count(*) AS n_pos
+        FROM c WHERE bal_c > 0),
+recent AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+idle AS (
+  SELECT c.* FROM c, pos
+  WHERE c.bal_c * pos.n_pos > pos.sum_c
+    AND c.c_custkey NOT IN (SELECT o_custkey FROM recent))
+SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_custs,
+       sum(bal_c) / 100.0 AS total_acctbal
+FROM idle JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+_COMPACTION_ORACLE = """
+WITH files AS (
+  SELECT CAST(doc_id % 8 AS BIGINT) AS partition,
+         printf('part-%08d.parquet', doc_id) AS path,
+         CAST(n_chars * 997 + 4096 AS BIGINT) AS size_bytes
+  FROM documents),
+c AS (
+  SELECT partition, path, size_bytes,
+         CAST(sum(size_bytes) OVER (PARTITION BY partition ORDER BY path)
+              - size_bytes AS BIGINT) AS bin_offset
+  FROM files)
+SELECT partition, path, size_bytes, bin_offset,
+       bin_offset // 262144 AS bin
+FROM c
+"""
+
+_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM counts),
+ranked AS (
+  SELECT key, n, total,
+         row_number() OVER (ORDER BY n DESC, key) AS rnk
+  FROM counts, t)
+SELECT key, n, round(n * 1.0 / total, 6) AS share,
+       CAST(ceil(n * 200.0 / total) AS BIGINT) AS salt_factor
+FROM ranked WHERE rnk <= 20
+"""
+
+_KANON_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang, source,
+         CAST(n_chars AS BIGINT) // 200 AS len_bucket
+  FROM documents)
+SELECT doc_id, lang, source, len_bucket,
+       CAST(count(*) OVER (PARTITION BY lang, source, len_bucket)
+            AS BIGINT) AS group_n,
+       count(*) OVER (PARTITION BY lang, source, len_bucket) < 5
+         AS is_suppressed
+FROM d
+"""
+
+
 _GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "tests", "golden")
 
@@ -5540,6 +5848,14 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "kg_eval_metrics": _EVAL_ORACLE,
         "kg_consistent_triples": _CONSISTENT_ORACLE,
         "kg_awareness": _AWARENESS_ORACLE,
+        "tpch_volume_shipping": _Q7_ORACLE,
+        "tpch_promo_revenue": _Q14_ORACLE,
+        "tpch_top_supplier": _Q15_ORACLE,
+        "tpch_large_orders": _Q18_ORACLE,
+        "tpch_idle_customers": _Q22_ORACLE,
+        "compaction_plan": _COMPACTION_ORACLE,
+        "skew_profile": _SKEW_ORACLE,
+        "kanon_suppress": _KANON_ORACLE,
         "url_parse": _URL_PARSE_ORACLE,
         "domain_stats": _DOMAIN_STATS_ORACLE,
         "stratified_sample": _stratified_oracle(),
