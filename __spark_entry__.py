@@ -2314,6 +2314,45 @@ def _q_kanon_suppress(spark, sf_dir):
                       "group_n", "is_suppressed")
 
 
+def _q_cdx_fetchlist(spark, sf_dir):
+    """Common-Crawl CDX index selection (spark/cdx.py): deterministic
+    CDX(J) lines staged from doc_ids (two captures for every third url,
+    404s, non-html mimes, shared digests across adjacent docs, plus
+    corrupt lines for doc_id%13==0 that must route to the bad frame,
+    not crash or leak into the fetch list) -> parse -> latest-capture
+    per urlkey -> status/mime gate -> digest-level canonical marking.
+    The whole WHICH-bytes-to-fetch decision a 100-TB crawl read makes
+    before opening any WARC."""
+    from eventrelationextractor_spark.spark import cdx as cdxmod
+    d = _docs(spark, sf_dir).select("doc_id")
+    js = ('{"url": "https://example.org/doc/%08d", "status": "%s",'
+          ' "mime": "%s", "digest": "%s", "length": "%d",'
+          ' "filename": "crawl-%d.warc.gz", "offset": "%d"}')
+    status = F.when(F.col("doc_id") % 7 == 0, "404").otherwise("200")
+    mime = F.when(F.col("doc_id") % 11 == 0,
+                  "application/pdf").otherwise("text/html")
+    digest = F.md5(F.expr("cast(doc_id div 2 as string)"))
+    length = (1000 + F.col("doc_id") % 5000).cast("long")
+
+    def capture(ts, cap_idx):
+        return F.format_string(
+            "org,example)/doc/%08d " + ts + " " + js,
+            F.col("doc_id"), F.col("doc_id"), status, mime, digest,
+            length, (F.col("doc_id") % 100).cast("long"),
+            (F.col("doc_id") * 1000 + cap_idx).cast("long"))
+
+    lines = (d.select(capture("20240101000000", 1).alias("line"))
+             .unionByName(d.filter(F.col("doc_id") % 3 == 0)
+                          .select(capture("20240201000000", 2)
+                                  .alias("line")))
+             .unionByName(d.filter(F.col("doc_id") % 13 == 0)
+                          .select(F.format_string(
+                              "corrupt-entry-%d not_a_timestamp {bad",
+                              F.col("doc_id")).alias("line"))))
+    good, _bad = cdxmod.parse_cdx(lines)
+    return cdxmod.select_captures(good)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -2370,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": _q_compaction_plan,
         "skew_profile": _q_skew_profile,
         "kanon_suppress": _q_kanon_suppress,
+        "cdx_fetchlist": _q_cdx_fetchlist,
         "link_pagerank": _q_link_pagerank,
         "link_ppr": _q_link_ppr,
         "link_communities": _q_link_communities,
@@ -5764,6 +5804,36 @@ FROM d
 """
 
 
+_CDX_ORACLE = """
+WITH caps AS (
+  SELECT doc_id, CAST(20240101000000 AS BIGINT) AS capture_ts,
+         CAST(doc_id * 1000 + 1 AS BIGINT) AS "offset" FROM documents
+  UNION ALL
+  SELECT doc_id, 20240201000000, doc_id * 1000 + 2
+  FROM documents WHERE doc_id % 3 = 0),
+r AS (
+  SELECT printf('org,example)/doc/%08d', doc_id) AS urlkey, capture_ts,
+         printf('https://example.org/doc/%08d', doc_id) AS url,
+         CASE WHEN doc_id % 7 = 0 THEN '404' ELSE '200' END AS status,
+         CASE WHEN doc_id % 11 = 0 THEN 'application/pdf'
+              ELSE 'text/html' END AS mime,
+         md5(CAST(doc_id // 2 AS VARCHAR)) AS digest,
+         CAST(1000 + doc_id % 5000 AS BIGINT) AS length,
+         printf('crawl-%d.warc.gz', doc_id % 100) AS filename,
+         "offset"
+  FROM caps),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY urlkey
+              ORDER BY capture_ts DESC, "offset" DESC) AS rn
+  FROM r WHERE status = '200' AND mime = 'text/html'),
+kept AS (SELECT urlkey, capture_ts, url, status, mime, digest, length,
+                filename, "offset" FROM latest WHERE rn = 1)
+SELECT *, urlkey = min(urlkey) OVER (PARTITION BY digest)
+         AS is_canonical
+FROM kept
+"""
+
+
 _GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "tests", "golden")
 
@@ -5856,6 +5926,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,
         "kanon_suppress": _KANON_ORACLE,
+        "cdx_fetchlist": _CDX_ORACLE,
         "url_parse": _URL_PARSE_ORACLE,
         "domain_stats": _DOMAIN_STATS_ORACLE,
         "stratified_sample": _stratified_oracle(),

@@ -115,3 +115,41 @@ def test_read_jsonl_routes_corrupt_lines(spark, tmp_path):
     # the good side feeds the text operators directly
     from eventrelationextractor_spark.ops import textstats
     assert textstats.quality_score(good).count() == 3
+
+
+def test_parse_cdx_routes_corrupt_lines(spark):
+    from eventrelationextractor_spark.spark import cdx
+    lines = spark.createDataFrame(
+        [('org,ex)/a 20240101000000 {"url": "https://ex.org/a",'
+          ' "status": "200", "mime": "text/html", "digest": "D1",'
+          ' "length": "10", "filename": "f.warc.gz", "offset": "5"}',),
+         ("garbage without structure",),
+         ('org,ex)/b 20240101000000 {"status": "200"}',)],  # no url
+        "line string")
+    good, bad = cdx.parse_cdx(lines)
+    g = good.collect()
+    assert len(g) == 1 and g[0].urlkey == "org,ex)/a"
+    assert g[0].capture_ts == 20240101000000 and g[0].offset == 5
+    assert bad.count() == 2
+
+
+def test_select_captures_latest_and_digest_dedup(spark):
+    from eventrelationextractor_spark.spark import cdx
+    rows = [
+        # urlkey a: two captures - later ts wins
+        ("a", 20240101000000, "u", "200", "text/html", "D1", 1, "f", 1),
+        ("a", 20240201000000, "u", "200", "text/html", "D1", 1, "f", 2),
+        # urlkey b: same digest as a -> non-canonical (a < b)
+        ("b", 20240101000000, "u", "200", "text/html", "D1", 1, "f", 3),
+        # c: filtered by status; d: filtered by mime
+        ("c", 20240101000000, "u", "404", "text/html", "D2", 1, "f", 4),
+        ("d", 20240101000000, "u", "200", "app/pdf", "D3", 1, "f", 5),
+    ]
+    schema = ("urlkey string, capture_ts long, url string, status string,"
+              " mime string, digest string, length long, filename string,"
+              " offset long")
+    out = {(r.urlkey, r.capture_ts): r.is_canonical
+           for r in cdx.select_captures(
+               spark.createDataFrame(rows, schema)).collect()}
+    assert out == {("a", 20240201000000): True,
+                   ("b", 20240101000000): False}
