@@ -2353,6 +2353,37 @@ def _q_cdx_fetchlist(spark, sf_dir):
     return cdxmod.select_captures(good)
 
 
+ROBOTS_FULL = [
+    # specific erexbot group + a star group that must be IGNORED for us
+    ("news.example.com",
+     "User-agent: erexbot\nDisallow: /d1/\nAllow: /d1/d2/\n"
+     "\nUser-agent: *\nDisallow: /\n"),
+    # star-only: allow/disallow tie on /d1 (tie -> allow) + a deeper block
+    ("blog.example.org",
+     "User-agent: *\nDisallow: /d1\nAllow: /d1\nDisallow: /d1/d2/\n"
+     "Crawl-delay: 4\nDisallow:\n"),
+    # consecutive-UA group header naming us second
+    ("www.sample.net",
+     "User-agent: googlebot\nUser-agent: erexbot\nDisallow: /p\n"),
+    # names neither us nor * -> no governing group -> everything allowed
+    ("shop.example.co", "User-agent: other\nDisallow: /\n"),
+]
+
+
+def _q_robots_gate_full(spark, sf_dir):
+    """RFC 9309 group-aware robots verdicts (ops/urls.py::
+    robots_gate_full): per-user-agent group selection (exact token,
+    else *; consecutive UA lines head one group), Allow/Disallow
+    longest-match precedence with allow winning ties, empty rule values
+    ignored, hosts without robots (or without a governing group)
+    allowed. Staged robots exercise every branch; the frontier is the
+    deterministic multi-domain url slice."""
+    frontier = _web_urls(spark, sf_dir).select("url")
+    robots = spark.createDataFrame(ROBOTS_FULL,
+                                   "host string, robots_txt string")
+    return urls.robots_gate_full(frontier, robots, agent="erexbot")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -2410,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": _q_skew_profile,
         "kanon_suppress": _q_kanon_suppress,
         "cdx_fetchlist": _q_cdx_fetchlist,
+        "robots_gate_full": _q_robots_gate_full,
         "link_pagerank": _q_link_pagerank,
         "link_ppr": _q_link_ppr,
         "link_communities": _q_link_communities,
@@ -5834,6 +5866,88 @@ FROM kept
 """
 
 
+_ROBOTS_FULL_ORACLE = """
+WITH robots(host, robots_txt) AS (VALUES
+  ('news.example.com',
+   'User-agent: erexbot' || chr(10) || 'Disallow: /d1/' || chr(10) ||
+   'Allow: /d1/d2/' || chr(10) || chr(10) || 'User-agent: *' || chr(10) ||
+   'Disallow: /' || chr(10)),
+  ('blog.example.org',
+   'User-agent: *' || chr(10) || 'Disallow: /d1' || chr(10) ||
+   'Allow: /d1' || chr(10) || 'Disallow: /d1/d2/' || chr(10) ||
+   'Crawl-delay: 4' || chr(10) || 'Disallow:' || chr(10)),
+  ('www.sample.net',
+   'User-agent: googlebot' || chr(10) || 'User-agent: erexbot' ||
+   chr(10) || 'Disallow: /p' || chr(10)),
+  ('shop.example.co',
+   'User-agent: other' || chr(10) || 'Disallow: /' || chr(10))),
+splits AS (
+  SELECT host, string_split(robots_txt, chr(10)) AS parts FROM robots),
+lines AS (
+  -- no WITH ORDINALITY in this DuckDB: bounded range + length guard
+  SELECT host, r.pos, parts[r.pos] AS line
+  FROM splits, range(1, 16) r(pos) WHERE r.pos <= len(parts)),
+tagged AS (
+  SELECT host, pos,
+    lower(regexp_extract(line,
+      '(?i)^\s*user-agent:\s*(\S+)\s*$', 1)) AS ua,
+    lower(regexp_extract(line,
+      '(?i)^\s*(allow|disallow):\s*(\S*)\s*$', 1)) AS rtype,
+    regexp_extract(line,
+      '(?i)^\s*(allow|disallow):\s*(\S*)\s*$', 2) AS rpath
+  FROM lines),
+marked AS (
+  SELECT *, (ua <> '') AND NOT coalesce(
+      lag(ua <> '') OVER (PARTITION BY host ORDER BY pos), FALSE)
+      AS starts_group
+  FROM tagged),
+grouped AS (
+  SELECT *, sum(CASE WHEN starts_group THEN 1 ELSE 0 END)
+      OVER (PARTITION BY host ORDER BY pos) AS grp
+  FROM marked),
+gflags AS (
+  SELECT host, grp,
+         max(CASE WHEN ua = 'erexbot' THEN 1 ELSE 0 END) AS has_agent,
+         max(CASE WHEN ua = '*' THEN 1 ELSE 0 END) AS has_star
+  FROM grouped WHERE ua <> '' GROUP BY 1, 2),
+hflags AS (SELECT host, max(has_agent) AS host_has_agent
+           FROM gflags GROUP BY 1),
+rules AS (
+  SELECT g.host, g.rpath AS rule_path, g.rtype = 'allow' AS is_allow,
+         CAST(length(g.rpath) AS BIGINT) AS plen
+  FROM grouped g JOIN gflags USING (host, grp) JOIN hflags USING (host)
+  WHERE g.rtype <> '' AND g.rpath <> ''
+    AND ((host_has_agent = 1 AND has_agent = 1)
+         OR (host_has_agent = 0 AND has_star = 1))),
+fr AS (
+  SELECT 'https://' ||
+    (['news.example.com','blog.example.org','www.sample.net',
+      'docs.mirror.example.com','shop.example.co'])[doc_id % 5 + 1]
+    || '/' ||
+    CASE WHEN doc_id % 3 = 0 THEN ''
+         WHEN doc_id % 3 = 1 THEN 'd1/'
+         ELSE 'd1/d2/' END || 'p' || doc_id AS url
+  FROM documents),
+parsed AS (
+  SELECT url,
+    lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS host,
+    CASE WHEN regexp_replace(url, '^[a-zA-Z]+://[^/]*', '') = ''
+         THEN '/' ELSE regexp_replace(url, '^[a-zA-Z]+://[^/]*', '')
+    END AS path
+  FROM fr),
+verdicts AS (
+  SELECT p.url, p.host, p.path, r.is_allow, r.plen,
+         row_number() OVER (PARTITION BY p.url
+             ORDER BY r.plen DESC, r.is_allow DESC) AS rn,
+         count(r.rule_path) OVER (PARTITION BY p.url) AS n_match
+  FROM parsed p LEFT JOIN rules r
+    ON p.host = r.host AND starts_with(p.path, r.rule_path))
+SELECT url, host, path,
+       CASE WHEN n_match = 0 THEN TRUE ELSE is_allow END AS allowed
+FROM verdicts WHERE rn = 1
+"""
+
+
 _GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "tests", "golden")
 
@@ -5927,6 +6041,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "skew_profile": _SKEW_ORACLE,
         "kanon_suppress": _KANON_ORACLE,
         "cdx_fetchlist": _CDX_ORACLE,
+        "robots_gate_full": _ROBOTS_FULL_ORACLE,
         "url_parse": _URL_PARSE_ORACLE,
         "domain_stats": _DOMAIN_STATS_ORACLE,
         "stratified_sample": _stratified_oracle(),

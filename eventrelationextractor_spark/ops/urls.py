@@ -372,3 +372,104 @@ def sitemap_seeds(robots: DataFrame, robots_col: str = "robots_txt") -> DataFram
                    "'(?m)^Sitemap:\\\\s*(\\\\S+)\\\\s*$', 1)")
     return (robots.select(F.lower(F.col("host")).alias("host"),
                           F.explode(urls_).alias("sitemap_url")))
+
+
+def robots_rules(robots: DataFrame, agent: str = "*",
+                 robots_col: str = "robots_txt") -> DataFrame:
+    """RFC 9309 group-aware rule extraction: (host, rule_path, is_allow,
+    plen) - the Allow/Disallow rules that govern ``agent`` on each host.
+
+    Group semantics (RFC 9309 §2.2.1): consecutive ``User-agent:`` lines
+    head ONE group; a User-agent line after rule lines starts a NEW
+    group. A host's effective rules are those of the groups naming the
+    agent token exactly (case-insensitive) when any exist, else the
+    ``*`` groups; multiple matching groups combine. Empty rule values
+    are ignored (``Disallow:`` alone allows everything, per the RFC).
+    Path wildcards ($ / *) are treated literally - documented subset,
+    same tier note as robots_filter.
+
+    Shape: the sequential group structure is recovered with ONE lag +
+    running-sum window per host over the exploded LINES of a
+    host-cardinality dimension - never the frontier. Everything
+    downstream of the parse is host-cardinality too."""
+    from pyspark.sql import Window
+    lines = robots.select(
+        F.lower(F.col("host")).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\n"))
+        .alias("pos", "line"))
+    ua = F.regexp_extract("line", r"(?i)^\s*user-agent:\s*(\S+)\s*$", 1)
+    rtype = F.lower(F.regexp_extract(
+        "line", r"(?i)^\s*(allow|disallow):\s*(\S*)\s*$", 1))
+    rpath = F.regexp_extract(
+        "line", r"(?i)^\s*(allow|disallow):\s*(\S*)\s*$", 2)
+    w = Window.partitionBy("host").orderBy("pos")
+    tagged = (lines
+              .withColumn("ua", F.lower(ua))
+              .withColumn("rtype", rtype)
+              .withColumn("rpath", rpath)
+              .withColumn("is_ua", F.col("ua") != "")
+              .withColumn("starts_group",
+                          F.col("is_ua")
+                          & ~F.coalesce(F.lag("is_ua").over(w),
+                                        F.lit(False)))
+              .withColumn("grp", F.sum(F.col("starts_group").cast("int"))
+                          .over(w)))
+    group_flags = (tagged.filter("is_ua")
+                   .groupBy("host", "grp")
+                   .agg(F.max((F.col("ua") == agent.lower()).cast("int"))
+                        .alias("has_agent"),
+                        F.max((F.col("ua") == "*").cast("int"))
+                        .alias("has_star")))
+    host_flags = group_flags.groupBy("host").agg(
+        F.max("has_agent").alias("host_has_agent"))
+    rules = (tagged.filter((F.col("rtype") != "") & (F.col("rpath") != ""))
+             .join(group_flags, ["host", "grp"])
+             .join(host_flags, "host")
+             .filter(((F.col("host_has_agent") == 1)
+                      & (F.col("has_agent") == 1))
+                     | ((F.col("host_has_agent") == 0)
+                        & (F.col("has_star") == 1))))
+    return rules.select("host", F.col("rpath").alias("rule_path"),
+                        (F.col("rtype") == "allow").alias("is_allow"),
+                        F.length("rpath").cast("long").alias("plen"))
+
+
+def robots_gate_full(frontier: DataFrame, robots: DataFrame,
+                     agent: str = "*", url_col: str = "url",
+                     robots_col: str = "robots_txt") -> DataFrame:
+    """Real-crawler robots verdicts: (url, host, path, allowed) under
+    RFC 9309 precedence - among the governing group's rules whose path
+    is a prefix of the URL path, the LONGEST match wins; on a length
+    tie Allow wins; no match (or no robots.txt) allows.
+
+    The rule table (robots_rules) collects to one array of structs per
+    host and broadcasts; the verdict is a pure-codegen aggregate() fold
+    over that array per frontier row - the frontier is never exploded,
+    shuffled, or Python-touched."""
+    per_host = (robots_rules(robots, agent, robots_col)
+                .groupBy("host")
+                .agg(F.collect_list(F.struct("plen", "rule_path",
+                                             "is_allow")).alias("rules")))
+    host = F.lower(F.regexp_extract(F.col(url_col),
+                                    r"^[a-zA-Z]+://([^/?#]+)", 1))
+    path = F.regexp_replace(F.col(url_col), r"^[a-zA-Z]+://[^/]*", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    fr = frontier.select(F.col(url_col).alias("url"), host.alias("host"),
+                         path.alias("path"))
+    best = F.aggregate(
+        "rules",
+        F.struct(F.lit(-1).cast("long").alias("plen"),
+                 F.lit(True).alias("is_allow")),
+        lambda acc, r: F.when(
+            F.col("path").startswith(r["rule_path"])
+            & ((r["plen"] > acc["plen"])
+               | ((r["plen"] == acc["plen"]) & r["is_allow"])),
+            F.struct(r["plen"].alias("plen"),
+                     r["is_allow"].alias("is_allow"))).otherwise(acc))
+    return (fr.join(F.broadcast(per_host), "host", "left")
+            .withColumn("_b", best)
+            .select("url", "host", "path",
+                    F.when(F.col("rules").isNull(), F.lit(True))
+                    .otherwise(F.col("_b.is_allow")
+                               | (F.col("_b.plen") == -1))
+                    .alias("allowed")))

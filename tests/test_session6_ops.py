@@ -773,3 +773,36 @@ def test_brute_force_topk_zero_norm_ranks_last(spark):
     assert [n for _, n, _ in out] == [1, 2, 3]
     assert out[1][2] == -1.0 and out[2][2] == -1.0
     assert out[0][2] > 0.9
+
+
+def test_robots_gate_full_group_selection_and_precedence(spark):
+    """RFC 9309 semantics: specific-agent group beats *, consecutive UA
+    lines share a group, longest-match precedence, allow wins ties,
+    empty rule values ignored, ungoverned hosts allowed."""
+    robots = spark.createDataFrame(
+        [("a.ex", "User-agent: mybot\nDisallow: /x/\nAllow: /x/y/\n"
+                  "\nUser-agent: *\nDisallow: /\n"),
+         ("b.ex", "User-agent: *\nDisallow: /t\nAllow: /t\nDisallow:\n"),
+         ("c.ex", "User-agent: other\nUser-agent: mybot\n"
+                  "Disallow: /q\n"),
+         ("d.ex", "User-agent: other\nDisallow: /\n")],
+        "host string, robots_txt string")
+    frontier = spark.createDataFrame(
+        [("https://a.ex/x/1",), ("https://a.ex/x/y/1",),
+         ("https://a.ex/ok",), ("https://b.ex/t9",),
+         ("https://c.ex/q1",), ("https://c.ex/r",),
+         ("https://d.ex/anything",), ("https://e.ex/norobots",)],
+        "url string")
+    out = {r.url: r.allowed
+           for r in urls.robots_gate_full(frontier, robots,
+                                          agent="mybot").collect()}
+    assert out == {
+        "https://a.ex/x/1": False,      # specific group Disallow /x/
+        "https://a.ex/x/y/1": True,     # longer Allow overrides
+        "https://a.ex/ok": True,        # star group's Disallow / IGNORED
+        "https://b.ex/t9": True,        # equal-length tie -> allow
+        "https://c.ex/q1": False,       # consecutive-UA group governs
+        "https://c.ex/r": True,
+        "https://d.ex/anything": True,  # no governing group
+        "https://e.ex/norobots": True,  # no robots.txt
+    }
