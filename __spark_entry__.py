@@ -2279,6 +2279,349 @@ def _q_tpch_idle_customers(spark, sf_dir):
                  (F.sum("bal_c") / 100.0).alias("total_acctbal")))
 
 
+def _q_tpch_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 forecasting-revenue change: one pushed-down scan of
+    lineitem (date window + discount band + quantity cap, all reaching
+    the parquet reader as PushedFilters) and one partial-agged global
+    sum - the canonical scan-dominated query whose 100-TB cost is
+    pure IO. Revenue in exact integer c2 (price-cents x discount-
+    percent) so the single output row hashes engine-exact."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & _cents(F.col("l_discount")).between(3, 7)
+        & (F.col("l_quantity") < 24))
+    return (f.agg(F.sum(_cents(F.col("l_extendedprice"))
+                        * _cents(F.col("l_discount"))).alias("rev_c2"),
+                  F.count(F.lit(1)).alias("n_lines"))
+            .select((F.col("rev_c2") / 10000.0).alias("revenue"),
+                    "n_lines"))
+
+
+def _q_tpch_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier: for small STANDARD parts, the
+    EUROPE supplier(s) achieving the minimum supply cost. The driver
+    schema ships no partsupp, so the supply relation is derived from
+    lineitem - min line price per (part, supplier) stands in for
+    ps_supplycost (the oracle replays the substitution). The correlated
+    MIN subquery is de-correlated the way a 100-TB plan wants it:
+    aggregate per part, then equi-join back on (partkey, cost) - never
+    a per-row re-scan. Dimensions (region->nation->supplier, filtered
+    part) broadcast; the only fact-scale shuffle is the (part,supp)
+    groupBy."""
+    rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    region = rd("region").filter(F.col("r_name") == "EUROPE")
+    eu = (rd("supplier")
+          .join(F.broadcast(rd("nation").join(
+              F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+              .select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "s_name", "n_name",
+                  _cents(F.col("s_acctbal")).alias("bal_c")))
+    part = rd("part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)) \
+        .select("p_partkey", "p_name")
+    supply = (rd("lineitem")
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(_cents(F.col("l_extendedprice"))).alias("cost_c")))
+    cand = (supply.join(F.broadcast(eu),
+                        supply.l_suppkey == eu.s_suppkey)
+            .join(F.broadcast(part), supply.l_partkey == part.p_partkey))
+    mn = cand.groupBy(F.col("p_partkey").alias("pk")) \
+        .agg(F.min("cost_c").alias("min_c"))
+    return (cand.join(F.broadcast(mn),
+                      (cand.p_partkey == mn.pk)
+                      & (cand.cost_c == mn.min_c))
+            .select((F.col("bal_c") / 100.0).alias("s_acctbal"),
+                    "s_name", "n_name",
+                    F.col("p_partkey").cast("long").alias("p_partkey"),
+                    "p_name",
+                    (F.col("cost_c") / 100.0).alias("cost")))
+
+
+def _q_tpch_market_share(spark, sf_dir):
+    """TPC-H Q8 national market share: of the ECONOMY-part volume sold
+    into AMERICA-region customers during 1996-1997, the share supplied
+    by nation 11 (selected by nationkey - the synthetic generators
+    spell nation NAMES differently across SFs, keys are stable), per
+    order year. Share = ratio of two exact integer-c2
+    sums, divided once at the end and rounded 6dp on both engines - the
+    conditional-sum-over-join shape (no second scan for the
+    numerator). part / nation / supplier broadcast; orders->lineitem is
+    the fact spine."""
+    rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    region = rd("region").filter(F.col("r_name") == "AMERICA")
+    am_nations = rd("nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")) \
+        .select("n_nationkey")
+    cust = rd("customer").join(
+        F.broadcast(am_nations),
+        F.col("c_nationkey") == F.col("n_nationkey")).select("c_custkey")
+    orders = rd("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))) \
+        .select("o_orderkey", "o_custkey",
+                F.year("o_orderdate").cast("long").alias("o_year"))
+    part = rd("part").filter(F.col("p_type") == "ECONOMY") \
+        .select("p_partkey")
+    snat = rd("supplier").select(
+        "s_suppkey", F.col("s_nationkey").cast("long").alias("supp_nkey"))
+    li = rd("lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (_cents(F.col("l_extendedprice"))
+         * (100 - _cents(F.col("l_discount")))).alias("vol_c2"))
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(snat), li.l_suppkey == snat.s_suppkey))
+    g = j.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nkey") == 11,
+                     F.col("vol_c2")).otherwise(F.lit(0)))
+        .alias("nat_c2"),
+        F.sum("vol_c2").alias("total_c2"))
+    return g.select(
+        "o_year",
+        (F.col("nat_c2") / 10000.0).alias("nation_volume"),
+        (F.col("total_c2") / 10000.0).alias("total_volume"),
+        F.round(F.col("nat_c2") / F.col("total_c2"), 6).alias("mkt_share"))
+
+
+def _q_tpch_important_parts(spark, sf_dir):
+    """TPC-H Q11 important stock: parts whose inventory value held by
+    nation-7 suppliers (keyed, not named - nation-name spellings vary
+    across the SF generators) exceeds TWICE the mean part value - the
+    mean-relative form of Q11's fixed-fraction HAVING, chosen because
+    a fixed share of a growing corpus empties as SF rises while the
+    above-mean set stays populated at every SF. The driver schema
+    ships no partsupp, so value per part = sum of line prices from
+    that nation's suppliers (oracle replays the substitution). The
+    global (total, n_parts) rides back as a broadcast single-row
+    dimension and the HAVING comparison runs count-scaled in exact
+    integers (value_c * n > 2 * total_c) - no float mean can flip a
+    boundary part between engines."""
+    rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    supp = rd("supplier").filter(F.col("s_nationkey") == 7) \
+        .select("s_suppkey")
+    li = rd("lineitem").join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")) \
+        .select("l_partkey", _cents(F.col("l_extendedprice")).alias("pc"))
+    per_part = li.groupBy("l_partkey").agg(F.sum("pc").alias("value_c"))
+    total = per_part.agg(F.sum("value_c").alias("total_c"),
+                         F.count(F.lit(1)).alias("n_parts"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("value_c") * F.col("n_parts")
+                    > 2 * F.col("total_c"))
+            .select(F.col("l_partkey").cast("long").alias("p_partkey"),
+                    (F.col("value_c") / 100.0).alias("value")))
+
+
+def _q_tpch_late_line_priority(spark, sf_dir):
+    """TPC-H Q12 shipping-mode priority split: lines shipped in 1997
+    more than 90 days after their order date, split per line category
+    into critical- vs non-critical-priority order counts. The driver
+    schema has no l_shipmode, so l_returnflag stands in as the line
+    category (oracle replays the substitution). The canonical
+    conditional-aggregation-over-join: ONE pass, the CASE does the
+    pivot - never two scans."""
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")) \
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))) \
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    j = li.join(od, (li.l_orderkey == od.o_orderkey)
+                & (li.l_shipdate
+                   > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")))
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.groupBy("l_returnflag")
+            .agg(F.sum(F.when(crit, 1).otherwise(0))
+                 .cast("long").alias("high_line_count"),
+                 F.sum(F.when(crit, 0).otherwise(1))
+                 .cast("long").alias("low_line_count")))
+
+
+def _q_tpch_order_counts(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join so
+    order-less customers land in the zero bucket, then a second
+    aggregation folds per-customer counts into a histogram. The
+    priority filter sits ON THE JOIN's right side (not a post-filter,
+    which would silently turn the outer join inner). Two partial-agged
+    shuffles; customer-count histogram is tiny by construction."""
+    cu = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")) \
+        .select("c_custkey")
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED") \
+        .select("o_orderkey", "o_custkey")
+    per_cust = (cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def _q_tpch_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 parts/supplier relationship: distinct supplier count
+    per (brand, type, size) for selected sizes, excluding one brand,
+    one type, and suppliers with negative balances (the schema has no
+    comment column, so negative s_acctbal stands in for the customer-
+    complaints exclusion - oracle replays it). The supply relation is
+    the DISTINCT (part, supplier) projection of lineitem; the
+    complaint exclusion is a broadcast LEFT ANTI join BEFORE the
+    count-distinct shuffle so excluded pairs never travel."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")) \
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet")) \
+        .filter((F.col("p_brand") != "Brand#1")
+                & (F.col("p_type") != "PROMO")
+                & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)) \
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    kept = pairs.join(F.broadcast(bad),
+                      pairs.l_suppkey == bad.s_suppkey, "left_anti")
+    return (kept.join(F.broadcast(part), kept.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_type",
+                     F.col("p_size").cast("long").alias("p_size"))
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def _q_tpch_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue: for one brand's MEDIUM
+    parts, total price of lines below 20% of that part's average
+    quantity, scaled to a yearly figure. The correlated AVG is
+    de-correlated as aggregate-then-broadcast-join, and the 0.2*avg
+    comparison runs count-scaled in exact integers
+    (5*qty*cnt < sum_qty) so no float mean can flip a boundary line."""
+    pp = spark.read.parquet(os.path.join(sf_dir, "part.parquet")) \
+        .filter((F.col("p_brand") == "Brand#23")
+                & (F.col("p_type") == "MEDIUM")).select("p_partkey")
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")) \
+        .select("l_partkey",
+                F.col("l_quantity").cast("long").alias("qty"),
+                _cents(F.col("l_extendedprice")).alias("pc"))
+    sel = li.join(F.broadcast(pp), li.l_partkey == pp.p_partkey)
+    stats = sel.groupBy(F.col("l_partkey").alias("pk")) \
+        .agg(F.sum("qty").alias("sum_qty"),
+             F.count(F.lit(1)).alias("cnt"))
+    small = (sel.join(F.broadcast(stats), sel.l_partkey == stats.pk)
+             .filter(5 * F.col("qty") * F.col("cnt") < F.col("sum_qty")))
+    return (small.agg(F.sum("pc").alias("rev_c"),
+                      F.count(F.lit(1)).alias("n_lines"))
+            .select(F.round(F.col("rev_c") / 700.0, 6).alias("avg_yearly"),
+                    "n_lines"))
+
+
+def _q_tpch_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 discounted revenue under three OR'd (brand, size
+    range, quantity range) clauses - the disjunctive-predicate query.
+    The part attributes needed by every disjunct ride a broadcast
+    join; the OR evaluates once post-join in codegen (no union of
+    three scans). Revenue in exact integer c2."""
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet")) \
+        .select("p_partkey", "p_brand", "p_size")
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")) \
+        .select("l_partkey", F.col("l_quantity").cast("long").alias("qty"),
+                _cents(F.col("l_extendedprice")).alias("pc"),
+                _cents(F.col("l_discount")).alias("dc"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    d1 = ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+          & F.col("qty").between(1, 11))
+    d2 = ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+          & F.col("qty").between(10, 20))
+    d3 = ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+          & F.col("qty").between(20, 30))
+    return (j.filter(d1 | d2 | d3)
+            .agg(F.sum(F.col("pc") * (100 - F.col("dc"))).alias("rev_c2"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .select((F.col("rev_c2") / 10000.0).alias("revenue"),
+                    "n_lines"))
+
+
+def _q_tpch_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 potential part promotion: EUROPE suppliers who shipped
+    more than half of their total volume of a 'blue' part during 1996.
+    The partsupp availability check becomes a per-(part, supplier)
+    shipped-quantity profile from lineitem (oracle replays it); the
+    more-than-half comparison is exact integers (2*qty_1996 >
+    qty_total). Qualification flows supplier-ward through a LEFT SEMI
+    join - the probe side is never multiplied."""
+    rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    blue = rd("part").filter(F.col("p_name").startswith("blue")) \
+        .select("p_partkey")
+    li = rd("lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate",
+        F.col("l_quantity").cast("long").alias("qty"))
+    in96 = ((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    prof = (li.join(F.broadcast(blue), li.l_partkey == blue.p_partkey)
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum("qty").alias("qty_total"),
+                 F.sum(F.when(in96, F.col("qty")).otherwise(0))
+                 .alias("qty_1996")))
+    excess = prof.filter(2 * F.col("qty_1996") > F.col("qty_total")) \
+        .select("l_suppkey").distinct()
+    region = rd("region").filter(F.col("r_name") == "EUROPE")
+    nat = rd("nation").join(F.broadcast(region),
+                            F.col("n_regionkey") == F.col("r_regionkey")) \
+        .select("n_nationkey")
+    eu = rd("supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    return (eu.join(excess, eu.s_suppkey == excess.l_suppkey, "left_semi")
+            .select("s_name",
+                    (_cents(F.col("s_acctbal")) / 100.0).alias("s_acctbal")))
+
+
+def _q_tpch_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 suppliers who kept orders waiting: for finished ('F')
+    orders, AMERICA suppliers with a late line (shipped >60 days after
+    the order date - the schema ships no receipt/commit dates, so
+    order-relative lateness stands in, as in Q4) on a multi-supplier
+    order where NO other supplier was late. EXISTS -> LEFT SEMI,
+    NOT EXISTS -> LEFT ANTI, both against the SAME pre-joined
+    line+order frame (one scan, reused); top 20 by wait count ranked
+    on the exact long + name tie-break."""
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")) \
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    base = li.join(od, li.l_orderkey == od.o_orderkey) \
+        .withColumn("late", F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")) \
+        .select("l_orderkey", "l_suppkey", "late")
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet")) \
+        .filter(F.col("r_name") == "AMERICA")
+    nat = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")) \
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey")) \
+        .select("n_nationkey")
+    am = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")) \
+        .join(F.broadcast(nat),
+              F.col("s_nationkey") == F.col("n_nationkey")) \
+        .select("s_suppkey", "s_name")
+    l1 = base.filter(F.col("late")) \
+        .join(F.broadcast(am), F.col("l_suppkey") == F.col("s_suppkey"))
+    other = base.select(F.col("l_orderkey").alias("ok2"),
+                        F.col("l_suppkey").alias("sk2"),
+                        F.col("late").alias("late2"))
+    waited = (l1.join(other, (l1.l_orderkey == other.ok2)
+                      & (l1.l_suppkey != other.sk2), "left_semi")
+              .join(other.filter(F.col("late2")),
+                    (l1.l_orderkey == F.col("ok2"))
+                    & (l1.l_suppkey != F.col("sk2")), "left_anti"))
+    counts = waited.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("numwait"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 20)
+            .select("s_name", "numwait",
+                    F.col("rnk").cast("long").alias("rnk")))
+
+
 def _q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (ops/maintenance.py): a
     deterministic file manifest synthesized from the documents table
@@ -2541,6 +2884,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _q_graph_stats,
         "embedding_class_stats": _q_embedding_class_stats,
         "sitemap_seeds": _q_sitemap_seeds,
+        "tpch_revenue_delta": _q_tpch_revenue_delta,
+        "tpch_min_cost_supplier": _q_tpch_min_cost_supplier,
+        "tpch_market_share": _q_tpch_market_share,
+        "tpch_important_parts": _q_tpch_important_parts,
+        "tpch_late_line_priority": _q_tpch_late_line_priority,
+        "tpch_order_counts": _q_tpch_order_counts,
+        "tpch_supplier_variety": _q_tpch_supplier_variety,
+        "tpch_small_qty_revenue": _q_tpch_small_qty_revenue,
+        "tpch_disjunctive_revenue": _q_tpch_disjunctive_revenue,
+        "tpch_excess_suppliers": _q_tpch_excess_suppliers,
+        "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
     }
 
 
@@ -5791,6 +6145,190 @@ FROM idle JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1
 """
 
+_TPCH_Q6_ORACLE = """
+SELECT sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+           * CAST(round(l_discount*100, 0) AS BIGINT)) / 10000.0
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount*100, 0) AS BIGINT) BETWEEN 3 AND 7
+  AND l_quantity < 24
+"""
+
+_TPCH_Q2_ORACLE = """
+WITH eu AS (
+  SELECT s_suppkey, s_name, n_name,
+         CAST(round(s_acctbal*100, 0) AS BIGINT) AS bal_c
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+supply AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS cost_c
+  FROM lineitem GROUP BY 1, 2),
+cand AS (
+  SELECT p_partkey, p_name, s_name, n_name, bal_c, cost_c
+  FROM supply JOIN eu ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD' AND p_size <= 10),
+mn AS (SELECT p_partkey AS pk, min(cost_c) AS min_c FROM cand GROUP BY 1)
+SELECT bal_c / 100.0 AS s_acctbal, s_name, n_name,
+       CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+       cost_c / 100.0 AS cost
+FROM cand JOIN mn ON p_partkey = pk AND cost_c = min_c
+"""
+
+_TPCH_Q8_ORACLE = """
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(s_nationkey AS BIGINT) AS supp_nkey,
+         CAST(round(l_extendedprice*100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount*100, 0) AS BIGINT)) AS vol_c2
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o_year,
+       sum(CASE WHEN supp_nkey = 11 THEN vol_c2 ELSE 0 END)
+         / 10000.0 AS nation_volume,
+       sum(vol_c2) / 10000.0 AS total_volume,
+       round(sum(CASE WHEN supp_nkey = 11 THEN vol_c2
+                 ELSE 0 END) * 1.0 / sum(vol_c2), 6) AS mkt_share
+FROM vol GROUP BY 1
+"""
+
+_TPCH_Q11_ORACLE = """
+WITH nat_li AS (
+  SELECT l_partkey, CAST(round(l_extendedprice*100, 0) AS BIGINT) AS pc
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 7),
+per_part AS (
+  SELECT l_partkey, sum(pc) AS value_c FROM nat_li GROUP BY 1),
+t AS (SELECT sum(value_c) AS total_c, count(*) AS n FROM per_part)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey, value_c / 100.0 AS value
+FROM per_part, t WHERE value_c * n > 2 * total_c
+"""
+
+_TPCH_Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+_TPCH_Q13_ORACLE = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY 1)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1
+"""
+
+_TPCH_Q16_ORACLE = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+kept AS (
+  SELECT l_partkey, l_suppkey FROM pairs
+  WHERE l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM kept JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY 1, 2, 3
+"""
+
+_TPCH_Q17_ORACLE = """
+WITH sel AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice*100, 0) AS BIGINT) AS pc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'),
+stats AS (
+  SELECT l_partkey AS pk, sum(qty) AS sum_qty, count(*) AS cnt
+  FROM sel GROUP BY 1)
+SELECT round(sum(pc) / 700.0, 6) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM sel JOIN stats ON l_partkey = pk
+WHERE 5 * qty * cnt < sum_qty
+"""
+
+_TPCH_Q19_ORACLE = """
+SELECT sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount*100, 0) AS BIGINT)))
+         / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)
+"""
+
+_TPCH_Q20_ORACLE = """
+WITH prof AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS BIGINT)) AS qty_total,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_1996
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'blue%' GROUP BY 1, 2),
+excess AS (
+  SELECT DISTINCT l_suppkey FROM prof WHERE 2 * qty_1996 > qty_total)
+SELECT s_name, CAST(round(s_acctbal*100, 0) AS BIGINT) / 100.0 AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (SELECT l_suppkey FROM excess)
+"""
+
+_TPCH_Q21_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+am AS (
+  SELECT s_suppkey, s_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'AMERICA'),
+waited AS (
+  SELECT l1.l_orderkey, s_name
+  FROM base l1 JOIN am ON l1.l_suppkey = s_suppkey
+  WHERE l1.late
+    AND EXISTS (SELECT 1 FROM base l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM base l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)),
+counts AS (
+  SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+  FROM waited GROUP BY 1)
+SELECT s_name, numwait, rnk FROM (
+  SELECT s_name, numwait,
+         CAST(row_number() OVER (ORDER BY numwait DESC, s_name)
+              AS BIGINT) AS rnk
+  FROM counts) WHERE rnk <= 20
+"""
+
 _COMPACTION_ORACLE = """
 WITH files AS (
   SELECT CAST(doc_id % 8 AS BIGINT) AS partition,
@@ -5866,7 +6404,7 @@ FROM kept
 """
 
 
-_ROBOTS_FULL_ORACLE = """
+_ROBOTS_FULL_ORACLE = r"""
 WITH robots(host, robots_txt) AS (VALUES
   ('news.example.com',
    'User-agent: erexbot' || chr(10) || 'Disallow: /d1/' || chr(10) ||
@@ -6155,6 +6693,17 @@ FROM hashed
         "embedding_class_stats": _CLASS_STATS_ORACLE,
         "sitemap_seeds": _SITEMAP_ORACLE,
         "tpch_returned_items": _TPCH_Q10_ORACLE,
+        "tpch_revenue_delta": _TPCH_Q6_ORACLE,
+        "tpch_min_cost_supplier": _TPCH_Q2_ORACLE,
+        "tpch_market_share": _TPCH_Q8_ORACLE,
+        "tpch_important_parts": _TPCH_Q11_ORACLE,
+        "tpch_late_line_priority": _TPCH_Q12_ORACLE,
+        "tpch_order_counts": _TPCH_Q13_ORACLE,
+        "tpch_supplier_variety": _TPCH_Q16_ORACLE,
+        "tpch_small_qty_revenue": _TPCH_Q17_ORACLE,
+        "tpch_disjunctive_revenue": _TPCH_Q19_ORACLE,
+        "tpch_excess_suppliers": _TPCH_Q20_ORACLE,
+        "tpch_waiting_suppliers": _TPCH_Q21_ORACLE,
     }
 
 
