@@ -324,3 +324,60 @@ def test_resumable_write_iceberg_branch(spark, tmp_path):
         pages, out, n_buckets=4, mode="temporal",
         catalog="iceberg", table="spark_catalog.erexdb.triples")
     assert r2["written"] == [] and sorted(r2["skipped"]) == list(range(4))
+
+
+# ------------------------------------------------- TPC-H suite plan shapes
+
+
+def test_tpch_suite_no_nested_loop_joins(spark):
+    """None of the 22 TPC-H query shapes may plan a CartesianProduct or
+    BroadcastNestedLoopJoin (the single-row broadcast scalars in
+    Q11/Q15/Q22 are deliberate crossJoins of ONE row and must stay
+    BNLJ-of-1 only - everything fact-scale must be hash/merge). The
+    inequality residuals in Q21's semi/anti joins are the classic way
+    to accidentally plan a nested loop; this pins them to equi-joins
+    on the orderkey with the inequality as a post-join condition."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    scalar_cross = {  # single-row broadcast scalar is the intended shape
+        "tpch_top_supplier", "tpch_idle_customers", "tpch_important_parts"}
+    for name in [q for q in qs if q.startswith("tpch_")]:
+        plan = _physical(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        if name not in scalar_cross:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_tpch_waiting_suppliers_semi_anti_are_equi(spark):
+    """Q21: EXISTS -> LeftSemi and NOT EXISTS -> LeftAnti must both be
+    keyed on the orderkey (SortMergeJoin/ShuffledHashJoin residual
+    form), with the supplier inequality riding as a join condition -
+    never a nested loop over the fact."""
+    import __spark_entry__ as entry
+
+    df = entry._q_tpch_waiting_suppliers(spark, "/root/testdata/sf0.001")
+    plan = _physical(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    df.collect()  # shape must also execute
+
+
+def test_tpch_order_counts_keeps_outer_join(spark):
+    """Q13: the priority filter lives ON the join (right side), so
+    order-less customers must survive into the zero bucket - a
+    post-join filter would silently turn the outer join inner."""
+    import __spark_entry__ as entry
+
+    df = entry._q_tpch_order_counts(spark, "/root/testdata/sf0.001")
+    plan = _physical(df)
+    assert "LeftOuter" in plan
+    rows = {r.c_count: r.custdist for r in df.collect()}
+    import duckdb
+    n_cust = duckdb.sql(
+        "SELECT count(*) FROM "
+        "read_parquet('/root/testdata/sf0.001/customer.parquet')"
+    ).fetchone()[0]
+    assert sum(rows.values()) == n_cust  # every customer lands in a bucket

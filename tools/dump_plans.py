@@ -337,6 +337,28 @@ def main() -> None:
     assert "CartesianProduct" not in p
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 4
 
+    p = add("tpch_waiting_suppliers (Q21 EXISTS/NOT-EXISTS chain)",
+            qs["tpch_waiting_suppliers"](spark, sf),
+            "EXISTS -> LeftSemi and NOT EXISTS -> LeftAnti, both keyed "
+            "on the orderkey with the supplier inequality riding as a "
+            "join residual - the classic query where a careless plan "
+            "nests a loop over the fact. Both probes hit the SAME "
+            "pre-joined line+order frame; dimension joins broadcast.",
+            max_lines=120)
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+    p = add("tpch_market_share (Q8 conditional-share over the fact spine)",
+            qs["tpch_market_share"](spark, sf),
+            "Numerator and denominator are ONE conditional aggregation "
+            "over a single pass of the joined fact - never two scans; "
+            "part/nation/supplier broadcast, orders->lineitem the only "
+            "fact-scale joins.", max_lines=120)
+    assert "CartesianProduct" not in p
+    # one scan per table (7 tables incl. region+nation), no re-scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 7
+
     doc_scan = spark.read.parquet(os.path.join(sf, "documents.parquet")) \
         .select("doc_id")
     p = formatted(doc_scan)
