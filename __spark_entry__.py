@@ -239,6 +239,21 @@ def _q_bm25_search(spark, sf_dir):
     return bm25.bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=25)
 
 
+def _q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval (ops/bm25.py::rrf_fuse): reciprocal-rank fusion
+    of the lexical BM25 top-50 and the dense cosine top-50 for one
+    query (document 0's embedding), top-25 fused. RRF contributions
+    are exact integers (1e9 div (60+rank)) so the fused ordering is
+    merge-order-proof; the oracle composes the standalone BM25 and ANN
+    oracle fragments and replays the integer fusion."""
+    sparse = bm25.bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=50)
+    dense = (simsearch.brute_force_topk(_emb(spark, sf_dir),
+                                        n_queries=1, k=50)
+             .select(F.col("neighbor_id").alias("doc_id"), "rank"))
+    return bm25.rrf_fuse([sparse.select("doc_id", "rank"), dense],
+                         k_rrf=60, topk=25)
+
+
 def _q_corpus_curation(spark, sf_dir):
     """END-TO-END curation chain - the actual product of a training-data
     pipeline, showing the operators COMPOSE: augmented corpus (known
@@ -2895,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_disjunctive_revenue": _q_tpch_disjunctive_revenue,
         "tpch_excess_suppliers": _q_tpch_excess_suppliers,
         "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
     }
 
 
@@ -6329,6 +6345,56 @@ SELECT s_name, numwait, rnk FROM (
   FROM counts) WHERE rnk <= 20
 """
 
+_HYBRID_RRF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks
+       GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+          FROM dl),
+qt AS (SELECT * FROM (VALUES ('hash'),('join'),('spark'),('window'),
+                             ('stream')) q(term)),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM toks JOIN qt USING (term) GROUP BY doc_id, term),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6)
+           AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+sparse AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored QUALIFY rank <= 50),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 1),
+pairs AS (SELECT q.qid, e.vec_id AS cid,
+  list_dot_product(q.qv, e.v)
+    / (sqrt(list_dot_product(q.qv, q.qv))
+       * sqrt(list_dot_product(e.v, e.v))) AS cosine
+  FROM q, e WHERE e.vec_id <> q.qid),
+dense AS (
+  SELECT cid AS doc_id,
+         row_number() OVER (ORDER BY cosine DESC, cid) AS rank
+  FROM pairs QUALIFY rank <= 50),
+u AS (SELECT doc_id, rank FROM sparse
+      UNION ALL SELECT doc_id, rank FROM dense),
+fused AS (
+  SELECT doc_id, sum(1000000000 // (60 + rank)) AS s_ppb,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY s_ppb DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, s_ppb / 1000000000.0 AS rrf_score, n_lists
+FROM fused QUALIFY rank <= 25
+"""
+
 _COMPACTION_ORACLE = """
 WITH files AS (
   SELECT CAST(doc_id % 8 AS BIGINT) AS partition,
@@ -6704,6 +6770,7 @@ FROM hashed
         "tpch_disjunctive_revenue": _TPCH_Q19_ORACLE,
         "tpch_excess_suppliers": _TPCH_Q20_ORACLE,
         "tpch_waiting_suppliers": _TPCH_Q21_ORACLE,
+        "hybrid_search_rrf": _HYBRID_RRF_ORACLE,
     }
 
 

@@ -148,3 +148,48 @@ def ndcg_at_k(results: DataFrame, judgments: DataFrame, k: int = 25,
                     F.round(F.when(F.col("idcg") > 0,
                                    F.col("dcg") / F.col("idcg"))
                             .otherwise(F.lit(0.0)), 6).alias("ndcg")))
+
+
+def rrf_fuse(rankings: list, k_rrf: int = 60, topk: int = 20,
+             id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of N ranked retrieval lists -> (rank, doc_id, rrf_score, n_lists).
+
+    The production hybrid-retrieval combiner: fuse a lexical BM25 list
+    with a dense embedding list (or any mix of rankers) without score
+    calibration - only RANKS matter, so the rankers' incomparable score
+    scales never touch each other.
+
+    Determinism contract: the textbook 1/(k+r) contribution is a float
+    whose SUM depends on partial-aggregation merge order once a doc
+    appears in 3+ lists. Contributions here are exact integers instead
+    - 1e9 div (k_rrf + rank) - summed losslessly in any merge order and
+    divided back once at the end, and the final ranking orders on the
+    exact integer sum + id tie-break. Same playbook as the integer-
+    cents TPC-H money arithmetic; floor(1e9/x) loses <1e-9 of the
+    textbook value per term, far below any ranking-relevant gap.
+
+    Scale shape: each input is a top-k list (broadcast-sized by
+    construction); the union + one partial-agged groupBy + one global
+    WindowGroupLimit is the whole plan. Fusing D docs across N lists
+    shuffles at most N*k rows regardless of corpus size."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contrib = F.expr(f"1000000000L div ({int(k_rrf)} + rank)")
+    tagged = [r.select(F.col(id_col).alias("doc_id"),
+                       F.col(rank_col).cast("long").alias("rank"))
+              for r in rankings]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    fused = (u.select("doc_id", contrib.alias("c_ppb"))
+             .groupBy("doc_id")
+             .agg(F.sum("c_ppb").alias("s_ppb"),
+                  F.count(F.lit(1)).alias("n_lists")))
+    w = Window.orderBy(F.col("s_ppb").desc(), F.col("doc_id"))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select(F.col("rank").cast("long").alias("rank"), "doc_id",
+                    (F.col("s_ppb") / 1e9).alias("rrf_score"),
+                    "n_lists"))

@@ -126,3 +126,39 @@ def test_bm25_rank_ordering_and_k(spark):
 def test_bm25_query_terms_join_is_broadcast(spark):
     df = bm25.bm25_topk(_docs_df(spark, ["a b c", "b c d"]), ["b"], k=5)
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_rrf_fuse_exact_semantics(spark):
+    """RRF contributions are exact integers 1e9 div (k+rank): a doc in
+    both lists sums both terms; singles keep one; ranking is on the
+    exact sum with doc_id tie-break; topk truncates."""
+    from eventrelationextractor_spark.ops import bm25
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)],
+                              "doc_id long, rank long")
+    b = spark.createDataFrame([(11, 1), (10, 2), (13, 3)],
+                              "doc_id long, rank long")
+    out = {r.doc_id: r for r in
+           bm25.rrf_fuse([a, b], k_rrf=60, topk=3).collect()}
+    c = lambda r: 1_000_000_000 // (60 + r)  # noqa: E731
+    # 10 and 11 tie exactly (1/61+1/62 both): doc_id breaks the tie
+    assert out[10].rank == 1 and out[11].rank == 2
+    assert out[10].n_lists == 2 and out[11].n_lists == 2
+    assert abs(out[10].rrf_score - (c(1) + c(2)) / 1e9) < 1e-12
+    # 12 vs 13: identical single-list rank 3 -> same score, id tie-break
+    assert 12 in out and 13 not in out  # topk=3 cuts after the tie loser
+    ranks = [r.rank for r in out.values()]
+    assert sorted(ranks) == [1, 2, 3]
+
+
+def test_rrf_fuse_three_lists_and_validation(spark):
+    from eventrelationextractor_spark.ops import bm25
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25.rrf_fuse([])
+    lists = [spark.createDataFrame([(7, 1)], "doc_id long, rank long")
+             for _ in range(3)]
+    row = bm25.rrf_fuse(lists, k_rrf=60, topk=5).collect()[0]
+    assert row.n_lists == 3
+    assert abs(row.rrf_score - 3 * (1_000_000_000 // 61) / 1e9) < 1e-12
