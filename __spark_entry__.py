@@ -2791,9 +2791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_part_margin": _q_tpch_part_margin,
         "tpch_returned_items": _q_tpch_returned_items,
         "tpch_volume_shipping": _q_tpch_volume_shipping,
-        "tpch_promo_revenue": _q_tpch_promo_revenue,
+        "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
         "tpch_top_supplier": _q_tpch_top_supplier,
-        "tpch_large_orders": _q_tpch_large_orders,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
         "tpch_idle_customers": _q_tpch_idle_customers,
         "compaction_plan": _q_compaction_plan,
         "skew_profile": _q_skew_profile,
@@ -2909,8 +2909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_small_qty_revenue": _q_tpch_small_qty_revenue,
         "tpch_disjunctive_revenue": _q_tpch_disjunctive_revenue,
         "tpch_excess_suppliers": _q_tpch_excess_suppliers,
-        "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
-        "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "tpch_promo_revenue": _q_tpch_promo_revenue,
+        "tpch_large_orders": _q_tpch_large_orders,
     }
 
 
