@@ -254,6 +254,29 @@ def _q_hybrid_search_rrf(spark, sf_dir):
                          k_rrf=60, topk=25)
 
 
+def _q_mmr_diversify(spark, sf_dir):
+    """Diversity-aware selection (ops/simsearch.py::mmr_rerank):
+    greedy maximal-marginal-relevance over the dense top-50 for one
+    query - the step after retrieval that stops near-duplicate hits
+    crowding the budget. rel = the 6dp-rounded retrieval cosine;
+    pairwise candidate cosines 6dp-rounded; objective = the identical
+    IEEE expression on those rounded doubles both engines (the oracle
+    pins lam AND 1-lam as DOUBLE arithmetic - DuckDB would otherwise
+    evaluate 1-0.7 in exact DECIMAL, which is NOT the IEEE
+    0.30000000000000004 the Python side uses). Oracle unrolls all ten
+    greedy steps as chained CTEs (the GD-iterations / Lloyd-replay
+    pattern)."""
+    emb = _emb(spark, sf_dir)
+    top = simsearch.brute_force_topk(emb, n_queries=1, k=50)
+    vecs = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"))
+    cand = (top.select(F.col("neighbor_id").alias("doc_id"),
+                       F.col("cosine").alias("rel"))
+            .join(vecs, "doc_id"))
+    return simsearch.mmr_rerank(cand, k=10, lam=0.7)
+
+
 def _q_corpus_curation(spark, sf_dir):
     """END-TO-END curation chain - the actual product of a training-data
     pipeline, showing the operators COMPOSE: augmented corpus (known
@@ -2794,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
         "tpch_top_supplier": _q_tpch_top_supplier,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "mmr_diversify": _q_mmr_diversify,
         "tpch_idle_customers": _q_tpch_idle_customers,
         "compaction_plan": _q_compaction_plan,
         "skew_profile": _q_skew_profile,
@@ -6395,6 +6419,55 @@ SELECT CAST(row_number() OVER (ORDER BY s_ppb DESC, doc_id) AS BIGINT)
 FROM fused QUALIFY rank <= 25
 """
 
+def _mmr_oracle(k: int = 10, n_cand: int = 50) -> str:
+    """Unrolled greedy-MMR twin: candidate list + pairwise sims once,
+    then one (objective, argmax, accumulate) CTE triple per step - the
+    same replay pattern as the GD iterations / Lloyd rounds. lam and
+    (1 - lam) are DOUBLE arithmetic (consts CTE): DuckDB would parse
+    0.7 as DECIMAL and make 1-0.7 an exact 0.3, while the Python side
+    computes IEEE 1.0-0.7 = 0.30000000000000004."""
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f"""
+obj{i} AS MATERIALIZED (
+  SELECT c.id, lam * c.rel - (1 - lam) *
+         (SELECT max(s.s) FROM sims s
+          WHERE s.a = c.id AND s.b IN (SELECT id FROM acc{i - 1})) AS o
+  FROM cand c, consts WHERE c.id NOT IN (SELECT id FROM acc{i - 1})),
+picked{i} AS MATERIALIZED (
+  SELECT id, {i} AS step, floor(o * 1000000 + 0.5) / 1000000.0 AS obj
+  FROM obj{i} ORDER BY o DESC, id LIMIT 1),
+acc{i} AS MATERIALIZED (
+  SELECT id FROM acc{i - 1} UNION ALL SELECT id FROM picked{i})""")
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM picked{i}" for i in range(1, k + 1))
+    return f"""
+WITH consts AS (SELECT CAST(0.7 AS DOUBLE) AS lam),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 1),
+pairs AS (SELECT e.vec_id AS cid, e.v,
+  list_dot_product(q.qv, e.v)
+    / (sqrt(list_dot_product(q.qv, q.qv))
+       * sqrt(list_dot_product(e.v, e.v))) AS cosine
+  FROM q, e WHERE e.vec_id <> q.qid),
+cand AS MATERIALIZED (
+         SELECT cid AS id, round(cosine, 6) AS rel, v FROM pairs
+         QUALIFY row_number() OVER (ORDER BY cosine DESC, cid)
+                 <= {n_cand}),
+sims AS MATERIALIZED (SELECT a.id AS a, b.id AS b,
+         floor(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v)))
+               * 1000000 + 0.5) / 1000000.0 AS s
+         FROM cand a JOIN cand b ON a.id <> b.id),
+picked1 AS MATERIALIZED (SELECT id, 1 AS step, rel AS obj
+            FROM cand ORDER BY rel DESC, id LIMIT 1),
+acc1 AS MATERIALIZED (SELECT id FROM picked1),{",".join(steps)}
+SELECT CAST(step AS BIGINT) AS step, id AS doc_id, obj AS mmr_score
+FROM ({union})
+"""
+
+
 _COMPACTION_ORACLE = """
 WITH files AS (
   SELECT CAST(doc_id % 8 AS BIGINT) AS partition,
@@ -6771,6 +6844,7 @@ FROM hashed
         "tpch_excess_suppliers": _TPCH_Q20_ORACLE,
         "tpch_waiting_suppliers": _TPCH_Q21_ORACLE,
         "hybrid_search_rrf": _HYBRID_RRF_ORACLE,
+        "mmr_diversify": _mmr_oracle(),
     }
 
 

@@ -459,3 +459,85 @@ def hyperplane_multiprobe_topk(emb: DataFrame, n_queries: int = 10,
                     F.col("rank").cast("long").alias("rank"),
                     F.col("cid").alias("neighbor_id"),
                     F.round("cosine", 6).alias("cosine")))
+
+
+def mmr_rerank(cand: DataFrame, k: int = 10, lam: float = 0.7,
+               id_col: str = "doc_id", rel_col: str = "rel",
+               vec_col: str = "vec") -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein,
+    SIGIR 1998) of a candidate list -> (step, doc_id, mmr_score):
+    greedily pick the candidate maximizing
+
+        lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)
+
+    - the diversity-aware selection a curation / RAG pipeline runs
+    AFTER retrieval (rrf_fuse / ANN top-k) so near-duplicate hits
+    don't crowd the budget.
+
+    Input contract: ``cand`` is a retrieval top-k list - broadcast-
+    sized BY CONSTRUCTION (tens to low thousands of rows), never the
+    corpus. The greedy recurrence is inherently sequential in k, so it
+    runs as ONE executor-side Arrow batch (single-group
+    applyInPandas): no per-step shuffle, no driver collect, and the
+    cost is k scans of a k-sized similarity matrix computed once by
+    numpy. Feeding a corpus-scale frame here is misuse; the operator
+    fails fast above ``max_rows``.
+
+    Determinism contract (both engines): rel and pairwise cosines are
+    6dp-rounded BEFORE the greedy; each step's objective is the same
+    two-multiply-one-subtract IEEE expression on those rounded doubles;
+    ties break on the id ascending. Zero-norm candidate vectors pin
+    sim = -1.0 (the _with_cosine guard's convention). step 1's
+    objective is rel itself (nothing selected yet)."""
+    max_rows = 10_000
+
+    def greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) > max_rows:
+            raise ValueError(
+                f"mmr_rerank got {len(pdf)} candidates (> {max_rows}); "
+                "it reranks top-k lists, not corpora")
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype=np.float64).round(6)
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        n = np.sqrt((V * V).sum(axis=1))
+        denom = np.outer(n, n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.where(denom > 0, (V @ V.T) / denom, -1.0)
+        # floor(x*1e6+0.5)/1e6, NOT .round(): numpy rounds half-even
+        # and DuckDB half-away - they disagree exactly at 6dp
+        # boundaries (the embedding_quantize lesson); floor(+0.5) is
+        # the same IEEE expression on both engines
+        S = np.floor(np.nan_to_num(S, nan=-1.0) * 1e6 + 0.5) / 1e6
+        kk = min(k, len(ids))
+        picked, scores = [], []
+        avail = np.ones(len(ids), dtype=bool)
+        for step in range(kk):
+            if step == 0:
+                obj = rel.copy()
+            else:
+                maxsim = S[:, picked].max(axis=1)
+                obj = lam * rel - (1.0 - lam) * maxsim
+            obj = np.where(avail, obj, -np.inf)
+            # argmax returns the FIRST max: rows are id-sorted, so equal
+            # objectives break toward the smaller id (= SQL
+            # ORDER BY obj DESC, id LIMIT 1)
+            j = int(np.argmax(obj))
+            picked.append(j)
+            import math
+            scores.append(math.floor(float(obj[j]) * 1e6 + 0.5) / 1e6)
+            avail[j] = False
+        return pd.DataFrame({
+            "step": np.arange(1, kk + 1, dtype=np.int64),
+            "doc_id": ids[picked],
+            "mmr_score": np.array(scores, dtype=np.float64)})
+
+    out_schema = "step long, doc_id long, mmr_score double"
+    # a bare F.lit in groupBy resolves as a GROUP BY ordinal under
+    # Spark 4.1's hybrid analyzer - materialize the constant first
+    return (cand.withColumn("_g", F.lit(1)).groupBy("_g")
+            .applyInPandas(lambda pdf: greedy(pdf.drop(columns="_g")),
+                           out_schema))

@@ -162,3 +162,42 @@ def test_rrf_fuse_three_lists_and_validation(spark):
     row = bm25.rrf_fuse(lists, k_rrf=60, topk=5).collect()[0]
     assert row.n_lists == 3
     assert abs(row.rrf_score - 3 * (1_000_000_000 // 61) / 1e9) < 1e-12
+
+
+def test_mmr_rerank_diversity_beats_pure_relevance(spark):
+    """Three candidates: two near-identical high-rel vectors and one
+    orthogonal lower-rel vector. Pure relevance would rank the twin
+    second; MMR (lam=0.7) must demote it below the orthogonal doc.
+    Also pins: step-1 objective = rel, id tie-break, k truncation."""
+    from eventrelationextractor_spark.ops import simsearch
+
+    rows = [
+        (1, 0.90, [1.0, 0.0, 0.0]),
+        (2, 0.89, [0.999, 0.001, 0.0]),   # near-dup of 1
+        (3, 0.50, [0.0, 1.0, 0.0]),       # orthogonal
+    ]
+    cand = spark.createDataFrame(
+        rows, "doc_id long, rel double, vec array<double>")
+    out = simsearch.mmr_rerank(cand, k=3, lam=0.7)
+    got = sorted((r.step, r.doc_id) for r in out.collect())
+    assert got == [(1, 1), (2, 3), (3, 2)]
+    scores = {r.step: r.mmr_score for r in out.collect()}
+    assert abs(scores[1] - 0.90) < 1e-9          # step 1 = rel itself
+    # step 2: doc 3 objective = 0.7*0.5 - 0.3*sim(3,1)=0.35 - 0.3*0
+    assert abs(scores[2] - 0.35) < 1e-9
+    # k truncation
+    assert simsearch.mmr_rerank(cand, k=2, lam=0.7).count() == 2
+
+
+def test_mmr_rerank_zero_norm_and_misuse_guard(spark):
+    from eventrelationextractor_spark.ops import simsearch
+
+    rows = [(1, 0.9, [1.0, 0.0]), (2, 0.8, [0.0, 0.0]),
+            (3, 0.7, [1.0, 0.0])]
+    cand = spark.createDataFrame(
+        rows, "doc_id long, rel double, vec array<double>")
+    out = {r.step: r.doc_id
+           for r in simsearch.mmr_rerank(cand, k=3, lam=0.7).collect()}
+    # zero-norm doc 2 pins sim=-1 (maximally diverse): picked 2nd
+    # (0.7*0.8 + 0.3 = 0.86 > doc 3's 0.7*0.7 - 0.3*1 = 0.19)
+    assert out == {1: 1, 2: 2, 3: 3}
