@@ -28,7 +28,7 @@ from eventrelationextractor_spark.ops import bm25, cluster, packing, pq  # noqa:
 from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
 from eventrelationextractor_spark.ops import bloom, bpe, graph, linededup  # noqa: E402
 from eventrelationextractor_spark.ops import htmltext, mixing, pii  # noqa: E402
-from eventrelationextractor_spark.ops import maintenance, quality  # noqa: E402
+from eventrelationextractor_spark.ops import maintenance, mining, quality  # noqa: E402
 from eventrelationextractor_spark.ops import simsearch, sketches, textstats, urls  # noqa: E402
 from eventrelationextractor_spark.spark import kg, stages  # noqa: E402
 
@@ -252,6 +252,17 @@ def _q_hybrid_search_rrf(spark, sf_dir):
              .select(F.col("neighbor_id").alias("doc_id"), "rank"))
     return bm25.rrf_fuse([sparse.select("doc_id", "rank"), dense],
                          k_rrf=60, topk=25)
+
+
+def _q_contrastive_mining(spark, sf_dir):
+    """Contrastive training-pair mining (ops/mining.py): per anchor
+    (doc_id < 20) the embedding top-1 positive and the hardest lexical
+    negative (max shared 3-shingles among candidates with anchor
+    cosine < 0.5). Oracle composes the ANN cosine fragment with the
+    shingle CTE fragment and replays both argmax windows."""
+    return mining.contrastive_pairs(
+        _docs(spark, sf_dir), _emb(spark, sf_dir),
+        n_anchors=20, shingle_k=3, sem_threshold=0.5)
 
 
 def _q_mmr_diversify(spark, sf_dir):
@@ -2818,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_supplier": _q_tpch_top_supplier,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "mmr_diversify": _q_mmr_diversify,
+        "contrastive_mining": _q_contrastive_mining,
         "tpch_idle_customers": _q_tpch_idle_customers,
         "compaction_plan": _q_compaction_plan,
         "skew_profile": _q_skew_profile,
@@ -6419,6 +6431,43 @@ SELECT CAST(row_number() OVER (ORDER BY s_ppb DESC, doc_id) AS BIGINT)
 FROM fused QUALIFY rank <= 25
 """
 
+_CONTRASTIVE_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+cpairs AS (SELECT q.qid, e.vec_id AS cid,
+  round(list_dot_product(q.qv, e.v)
+    / (sqrt(list_dot_product(q.qv, q.qv))
+       * sqrt(list_dot_product(e.v, e.v))), 6) AS cos6
+  FROM q, e WHERE e.vec_id <> q.qid),
+pos AS (SELECT qid AS anchor_id, cid AS positive_id, cos6 AS pos_cosine
+        FROM cpairs
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos6 DESC, cid) = 1),
+norm AS (SELECT doc_id, {{_NORM}} AS t FROM documents),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL unnest(generate_series(1, len(w) - 2)) AS g(i)
+        WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+shared AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                  CAST(count(*) AS BIGINT) AS n_shared
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < 20 AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+negc AS (SELECT s.a, s.b, s.n_shared, p.cos6
+         FROM shared s JOIN cpairs p ON p.qid = s.a AND p.cid = s.b
+         WHERE p.cos6 < 0.5),
+neg AS (SELECT a AS anchor_id, b AS negative_id, n_shared,
+               cos6 AS neg_cosine
+        FROM negc
+        QUALIFY row_number() OVER (PARTITION BY a
+                                   ORDER BY n_shared DESC, b) = 1)
+SELECT p.anchor_id, p.positive_id, p.pos_cosine,
+       n.negative_id, n.n_shared, n.neg_cosine
+FROM pos p LEFT JOIN neg n USING (anchor_id)
+""".replace("{_NORM}", _NORM)
+
+
 def _mmr_oracle(k: int = 10, n_cand: int = 50) -> str:
     """Unrolled greedy-MMR twin: candidate list + pairwise sims once,
     then one (objective, argmax, accumulate) CTE triple per step - the
@@ -6845,6 +6894,7 @@ FROM hashed
         "tpch_waiting_suppliers": _TPCH_Q21_ORACLE,
         "hybrid_search_rrf": _HYBRID_RRF_ORACLE,
         "mmr_diversify": _mmr_oracle(),
+        "contrastive_mining": _CONTRASTIVE_ORACLE,
     }
 
 

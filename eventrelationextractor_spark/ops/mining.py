@@ -1,0 +1,86 @@
+"""Contrastive training-pair mining for embedding-model training.
+
+The data op behind dense-retriever / sentence-embedding training sets
+(DPR, E5, GTE style): for each anchor document emit
+
+* a POSITIVE - the semantically closest corpus document (top-1 by
+  embedding cosine), and
+* a HARD NEGATIVE - the most lexically confusable document that is
+  semantically DISTANT (max shared k-word shingles among candidates
+  whose anchor cosine sits below ``sem_threshold``): exactly the pair a
+  contrastive loss learns the most from, because surface overlap alone
+  would mis-rank it.
+
+Scale shape:
+
+* Anchors are a SAMPLE by contract (tens to thousands), so both the
+  cosine side and the shingle side broadcast the anchor dimension; the
+  corpus is scanned once per side and never self-joined.
+* The lexical join is keyed on the shingle with the anchor side
+  broadcast - candidate volume is (anchor shingles x corpus hits), not
+  O(n^2); the semantic gate then prunes to below-threshold candidates
+  before the per-anchor argmax window.
+* Determinism: cosines are 6dp-rounded before ranking and the argmax
+  windows tie-break on the id (the ivfpq ranked-float contract);
+  shingle overlap counts are exact integers.
+
+No counterpart in /root/reference (no embedding-training surface
+there); semantics follow Karpukhin et al. 2020 (DPR) hard-negative
+mining, with lexical confusability standing in for the BM25 retriever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import dedup
+from .simsearch import _norm, _with_cosine
+
+
+def contrastive_pairs(docs: DataFrame, emb: DataFrame,
+                      n_anchors: int = 20, shingle_k: int = 3,
+                      sem_threshold: float = 0.5,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      vec_id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(anchor_id, positive_id, pos_cosine, negative_id, n_shared,
+    neg_cosine); negative columns are NULL when no candidate shares a
+    shingle with the anchor below the semantic threshold (left join -
+    the anchor still yields its positive)."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(vec_id_col).alias("cid"), vec.alias("cv")) \
+        .withColumn("cn", _norm(F.col("cv")))
+    anchors = (emb.filter(F.col(vec_id_col) < n_anchors)
+               .select(F.col(vec_id_col).alias("qid"), vec.alias("qv"))
+               .withColumn("qn", _norm(F.col("qv"))))
+    cos6 = _with_cosine(base.crossJoin(F.broadcast(anchors))
+                        .filter(F.col("qid") != F.col("cid"))) \
+        .select("qid", "cid", F.round("cosine", 6).alias("cos6"))
+
+    wpos = Window.partitionBy("qid").orderBy(F.col("cos6").desc(),
+                                             F.col("cid"))
+    pos = (cos6.withColumn("r", F.row_number().over(wpos))
+           .filter(F.col("r") == 1)
+           .select(F.col("qid").alias("anchor_id"),
+                   F.col("cid").alias("positive_id"),
+                   F.col("cos6").alias("pos_cosine")))
+
+    sh = dedup.shingles(docs, id_col, text_col, shingle_k)
+    asha = sh.filter(F.col(id_col) < n_anchors) \
+        .select(F.col(id_col).alias("a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("b"), "shingle")
+    shared = (shb.join(F.broadcast(asha), "shingle")
+              .filter(F.col("a") != F.col("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared")))
+    negc = (shared.join(cos6, (shared.a == cos6.qid)
+                        & (shared.b == cos6.cid))
+            .filter(F.col("cos6") < sem_threshold))
+    wneg = Window.partitionBy("a").orderBy(F.col("n_shared").desc(),
+                                           F.col("b"))
+    neg = (negc.withColumn("r", F.row_number().over(wneg))
+           .filter(F.col("r") == 1)
+           .select(F.col("a").alias("anchor_id"),
+                   F.col("b").alias("negative_id"), "n_shared",
+                   F.col("cos6").alias("neg_cosine")))
+    return pos.join(neg, "anchor_id", "left_outer")
