@@ -2776,6 +2776,37 @@ def _q_robots_gate_full(spark, sf_dir):
     return urls.robots_gate_full(frontier, robots, agent="erexbot")
 
 
+def _q_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build
+    (ops/events.py::scd2_history): per-user event_type version history
+    with [valid_from, valid_to) validity. One Exchange on user_id, two
+    windows over one sort. Time base is integer microseconds
+    (unix_micros / epoch_us) so the cross-engine compare is exact."""
+    h = events.scd2_history(_events(spark, sf_dir))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))  # noqa: E731
+    return h.select("user_id", "attr_value",
+                    us("valid_from").alias("valid_from_us"),
+                    us("valid_to").alias("valid_to_us"),
+                    "version", "is_current")
+
+
+def _q_allen_relations(spark, sf_dir):
+    """Allen interval algebra (ops/events.py::allen_relations): the 13
+    exhaustive interval relations between per-(user, event_type)
+    activity spans - the full-resolution algebra CATENA's TLINK
+    vocabulary coarsens (CandidateLinks.java). Intervals are integer
+    microseconds; the classifier is a chained CASE evaluated in the
+    same fixed order on both engines (point intervals make guards
+    overlap, so order IS the semantics)."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    iv = (ev.groupBy("user_id", "event_type")
+          .agg(F.min(us).alias("start_ts"), F.max(us).alias("end_ts")))
+    return events.allen_relations(
+        iv, key_col="user_id", id_col="event_type",
+        start_col="start_ts", end_col="end_ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -2947,6 +2978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_excess_suppliers": _q_tpch_excess_suppliers,
         "tpch_promo_revenue": _q_tpch_promo_revenue,
         "tpch_large_orders": _q_tpch_large_orders,
+        "scd2_history": _q_scd2_history,
+        "allen_relations": _q_allen_relations,
     }
 
 
@@ -6703,6 +6736,48 @@ JOIN (SELECT DISTINCT doc_id FROM documents) d USING (doc_id)
 """
 
 
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev
+  FROM events),
+chg AS (
+  SELECT user_id, event_type AS attr_value,
+         epoch_us(ts) AS valid_from_us, event_id
+  FROM ordered WHERE prev IS NULL OR event_type <> prev)
+SELECT user_id, attr_value, valid_from_us,
+  lead(valid_from_us) OVER w AS valid_to_us,
+  row_number() OVER w AS version,
+  (lead(valid_from_us) OVER w IS NULL) AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)
+"""
+
+_ALLEN_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_type,
+         min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+  FROM events GROUP BY 1, 2)
+SELECT a.user_id, a.event_type AS id_a, b.event_type AS id_b,
+  CASE WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+       WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+       WHEN a.s = b.s AND a.e > b.e THEN 'started_by'
+       WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
+       WHEN a.e = b.e AND a.s < b.s THEN 'finished_by'
+       WHEN a.e = b.s THEN 'meets'
+       WHEN a.s = b.e THEN 'met_by'
+       WHEN a.e < b.s THEN 'before'
+       WHEN a.s > b.e THEN 'after'
+       WHEN a.s < b.s AND a.e > b.s AND a.e < b.e THEN 'overlaps'
+       WHEN b.s < a.s AND b.e > a.s AND b.e < a.e THEN 'overlapped_by'
+       WHEN a.s > b.s AND a.e < b.e THEN 'during'
+       ELSE 'contains' END AS relation
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -6762,6 +6837,8 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "tpch_promo_revenue": _Q14_ORACLE,
         "tpch_top_supplier": _Q15_ORACLE,
         "tpch_large_orders": _Q18_ORACLE,
+        "scd2_history": _SCD2_ORACLE,
+        "allen_relations": _ALLEN_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

@@ -545,3 +545,99 @@ def streaming_window_anomalies(counts: DataFrame,
 
     return counts.groupBy("event_type").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+
+
+def scd2_history(events: DataFrame, key_col: str = "user_id",
+                 attr_col: str = "event_type", ts_col: str = "ts",
+                 id_col: str = "event_id") -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event/snapshot
+    stream: one row per (key, attribute-version) with
+    [valid_from, valid_to) validity, version number, and an is_current
+    flag. A new version opens whenever ``attr_col`` differs from the
+    previous row's value (per key, ordered by (ts, id) - the id
+    tie-break makes the ordering total, so the output is deterministic
+    under any partitioning).
+
+    Scale shape: two windows over the SAME (key, ts, id) ordering - one
+    to tag change rows, one to close them with lead() - so Catalyst
+    plans a single Exchange on key_col and sorts once. No global sort,
+    no join; the classic MERGE-free SCD2 derivation a warehouse
+    backfill runs over 100 TB of CDC events.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev = F.lag(attr_col).over(w)
+    changes = (events
+               .withColumn("_chg", prev.isNull()
+                           | (F.col(attr_col) != prev))
+               .filter(F.col("_chg"))
+               .select(key_col, F.col(attr_col).alias("attr_value"),
+                       F.col(ts_col).alias("valid_from"),
+                       F.col(id_col).alias("_id")))
+    w2 = Window.partitionBy(key_col).orderBy("valid_from", "_id")
+    return (changes
+            .withColumn("valid_to", F.lead("valid_from").over(w2))
+            .withColumn("version", F.row_number().over(w2))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .drop("_id"))
+
+
+# Allen's interval algebra (Allen 1983, CACM 26(11)): the 13 exhaustive,
+# mutually exclusive relations between two intervals. CATENA's TLINK
+# vocabulary (BEFORE/AFTER/INCLUDES/IS_INCLUDED/SIMULTANEOUS/...,
+# /root/reference/src/catena/model/CandidateLinks.java) is a coarsening
+# of exactly this algebra, so the KG pipeline gets the full-resolution
+# operator as a first-class relational primitive.
+_ALLEN_CASES = (
+    # (name, predicate builder) - evaluated IN ORDER on both engines;
+    # point intervals (start == end) make some guards overlap, so the
+    # fixed evaluation order IS the semantics.
+    ("equals", lambda s1, e1, s2, e2: (s1 == s2) & (e1 == e2)),
+    ("starts", lambda s1, e1, s2, e2: (s1 == s2) & (e1 < e2)),
+    ("started_by", lambda s1, e1, s2, e2: (s1 == s2) & (e1 > e2)),
+    ("finishes", lambda s1, e1, s2, e2: (e1 == e2) & (s1 > s2)),
+    ("finished_by", lambda s1, e1, s2, e2: (e1 == e2) & (s1 < s2)),
+    ("meets", lambda s1, e1, s2, e2: e1 == s2),
+    ("met_by", lambda s1, e1, s2, e2: s1 == e2),
+    ("before", lambda s1, e1, s2, e2: e1 < s2),
+    ("after", lambda s1, e1, s2, e2: s1 > e2),
+    ("overlaps", lambda s1, e1, s2, e2: (s1 < s2) & (e1 > s2) & (e1 < e2)),
+    ("overlapped_by",
+     lambda s1, e1, s2, e2: (s2 < s1) & (e2 > s1) & (e2 < e1)),
+    ("during", lambda s1, e1, s2, e2: (s1 > s2) & (e1 < e2)),
+    ("contains", lambda s1, e1, s2, e2: (s1 < s2) & (e1 > e2)),
+)
+
+
+def allen_relations(intervals: DataFrame, key_col: str = "user_id",
+                    id_col: str = "interval_id",
+                    start_col: str = "start_ts",
+                    end_col: str = "end_ts") -> DataFrame:
+    """Pairwise Allen-interval-algebra relations between intervals that
+    share a key. For every pair (a, b) with a.id < b.id the relation of
+    a RELATIVE TO b is emitted (the < ordering halves the join and the
+    13-relation vocabulary covers both directions, so no information is
+    lost).
+
+    Scale shape: a key-equi self-join - one Exchange on key_col, and
+    the pair fan-out per key is C(n_intervals_per_key, 2), bounded
+    when intervals are per-(key, category) rollups (the driver query
+    rolls events up to one interval per (user, event_type) first).
+    The classifier is a chained CASE, pure codegen.
+    """
+    a = intervals.select(F.col(key_col).alias("k"),
+                         F.col(id_col).alias("id_a"),
+                         F.col(start_col).alias("s1"),
+                         F.col(end_col).alias("e1"))
+    b = intervals.select(F.col(key_col).alias("k"),
+                         F.col(id_col).alias("id_b"),
+                         F.col(start_col).alias("s2"),
+                         F.col(end_col).alias("e2"))
+    pairs = a.join(b, "k").filter(F.col("id_a") < F.col("id_b"))
+    s1, e1 = F.col("s1"), F.col("e1")
+    s2, e2 = F.col("s2"), F.col("e2")
+    rel = F
+    for name, pred in _ALLEN_CASES:
+        rel = rel.when(pred(s1, e1, s2, e2), name) \
+            if rel is not F else F.when(pred(s1, e1, s2, e2), name)
+    return (pairs.select(F.col("k").alias(key_col), "id_a", "id_b",
+                         rel.alias("relation")))

@@ -1,0 +1,95 @@
+"""SCD2 history build + Allen interval algebra (ops/events.py).
+
+The Allen matrix covers all 13 relations with hand-constructed
+intervals, plus the point-interval ambiguity cases where the fixed
+CASE evaluation order is the contract (a guard like `meets` also
+fires for `starts` when the left interval is a point; the earlier
+branch must win identically on both engines).
+"""
+
+from pyspark.sql import Row
+
+from eventrelationextractor_spark.ops import events as ev
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=1, interval_id=i, start_ts=s, end_ts=e)
+         for i, s, e in rows],
+        "user_id long, interval_id string, start_ts long, end_ts long")
+
+
+def _rel(spark, a, b):
+    df = _iv(spark, [("a", a[0], a[1]), ("b", b[0], b[1])])
+    out = ev.allen_relations(df, id_col="interval_id").collect()
+    assert len(out) == 1
+    return out[0].relation
+
+
+def test_allen_all_13(spark):
+    cases = {
+        "before": ((0, 10), (20, 30)),
+        "after": ((20, 30), (0, 10)),
+        "meets": ((0, 10), (10, 30)),
+        "met_by": ((10, 30), (0, 10)),
+        "overlaps": ((0, 20), (10, 30)),
+        "overlapped_by": ((10, 30), (0, 20)),
+        "starts": ((0, 10), (0, 30)),
+        "started_by": ((0, 30), (0, 10)),
+        "during": ((10, 20), (0, 30)),
+        "contains": ((0, 30), (10, 20)),
+        "finishes": ((20, 30), (0, 30)),
+        "finished_by": ((0, 30), (20, 30)),
+        "equals": ((5, 15), (5, 15)),
+    }
+    for want, (a, b) in cases.items():
+        assert _rel(spark, a, b) == want, want
+
+
+def test_allen_point_interval_order(spark):
+    # point interval a = [10,10] with b = [10,30]: both `starts`
+    # (s1=s2, e1<e2) and `meets` (e1=s2) guards are true; `starts` is
+    # evaluated first and must win (same CASE order in the SQL twin).
+    assert _rel(spark, (10, 10), (10, 30)) == "starts"
+    # point b at the right end: `finishes` beats `met_by`.
+    assert _rel(spark, (30, 30), (10, 30)) == "finishes"
+    # identical points: equals beats everything.
+    assert _rel(spark, (7, 7), (7, 7)) == "equals"
+
+
+def test_allen_pair_direction(spark):
+    # only a.id < b.id pairs are emitted; the relation is a-relative-to-b
+    df = _iv(spark, [("a", 0, 10), ("b", 20, 30), ("c", 25, 40)])
+    got = {(r.id_a, r.id_b): r.relation
+           for r in ev.allen_relations(df, id_col="interval_id").collect()}
+    assert got == {("a", "b"): "before", ("a", "c"): "before",
+                   ("b", "c"): "overlaps"}
+
+
+def test_scd2_history(spark):
+    rows = [
+        # user 1: A A B B A  -> versions A, B, A
+        Row(user_id=1, event_type="A", ts=10, event_id=1),
+        Row(user_id=1, event_type="A", ts=20, event_id=2),
+        Row(user_id=1, event_type="B", ts=30, event_id=3),
+        Row(user_id=1, event_type="B", ts=40, event_id=4),
+        Row(user_id=1, event_type="A", ts=50, event_id=5),
+        # user 2: single row -> one open version
+        Row(user_id=2, event_type="C", ts=15, event_id=6),
+        # user 3: tie on ts broken by event_id (7 before 8)
+        Row(user_id=3, event_type="X", ts=5, event_id=7),
+        Row(user_id=3, event_type="Y", ts=5, event_id=8),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long")
+    out = {(r.user_id, r.version):
+           (r.attr_value, r.valid_from, r.valid_to, r.is_current)
+           for r in ev.scd2_history(df).collect()}
+    assert out == {
+        (1, 1): ("A", 10, 30, False),
+        (1, 2): ("B", 30, 50, False),
+        (1, 3): ("A", 50, None, True),
+        (2, 1): ("C", 15, None, True),
+        (3, 1): ("X", 5, 5, False),
+        (3, 2): ("Y", 5, None, True),
+    }
