@@ -2776,6 +2776,19 @@ def _q_robots_gate_full(spark, sf_dir):
     return urls.robots_gate_full(frontier, robots, agent="erexbot")
 
 
+def _q_hdr_quantiles(spark, sf_dir):
+    """Mergeable log-linear quantile sketch (ops/sketches.py::hdr_*,
+    HdrHistogram/DDSketch family): per-source shard sketches -> count
+    addition merge -> p50/p90/p99 extraction. Bucketing is pure
+    string/integer arithmetic (2 leading digits x decimal magnitude,
+    <= 10% bucket width) - no float log, so the sketch is bit-identical
+    on any engine; the oracle replays buckets, ceil-rank and midpoint
+    with the same integer div."""
+    sharded = sketches.hdr_buckets(_docs(spark, sf_dir), "n_chars",
+                                   group_cols=("source",))
+    return sketches.hdr_quantiles(sketches.hdr_merge(sharded))
+
+
 def _q_scd2_history(spark, sf_dir):
     """Slowly-changing-dimension type-2 build
     (ops/events.py::scd2_history): per-user event_type version history
@@ -2847,7 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": _q_nfc_normalize,
         "script_profile": _q_script_profile,
         "lm_bigram": _q_lm_bigram,
-        "hll_shard_merge": _q_hll_shard_merge,
+        "hdr_quantiles": _q_hdr_quantiles,
         "events_asof": _q_events_asof,
         "events_interval_join": _q_events_interval_join,
         "events_funnel": _q_events_funnel,
@@ -2980,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_large_orders": _q_tpch_large_orders,
         "scd2_history": _q_scd2_history,
         "allen_relations": _q_allen_relations,
+        "hll_shard_merge": _q_hll_shard_merge,
     }
 
 
@@ -6736,6 +6750,38 @@ JOIN (SELECT DISTINCT doc_id FROM documents) d USING (doc_id)
 """
 
 
+_HDR_ORACLE = """
+WITH vals AS (
+  SELECT n_chars AS v FROM documents WHERE n_chars >= 1),
+b AS (
+  SELECT
+    CASE WHEN length(CAST(v AS VARCHAR)) <= 2 THEN v
+         ELSE CAST(substr(CAST(v AS VARCHAR), 1, 2) AS BIGINT)
+              * CAST('1' || repeat('0', length(CAST(v AS VARCHAR)) - 2)
+                     AS BIGINT) END AS bucket_lo,
+    CASE WHEN length(CAST(v AS VARCHAR)) <= 2 THEN v
+         ELSE CAST(substr(CAST(v AS VARCHAR), 1, 2) AS BIGINT)
+              * CAST('1' || repeat('0', length(CAST(v AS VARCHAR)) - 2)
+                     AS BIGINT)
+              + CAST('1' || repeat('0', length(CAST(v AS VARCHAR)) - 2)
+                     AS BIGINT) - 1 END AS bucket_hi
+  FROM vals),
+sk AS (
+  SELECT bucket_lo, bucket_hi, count(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT bucket_lo, bucket_hi,
+         sum(cnt) OVER (ORDER BY bucket_lo) AS cum,
+         sum(cnt) OVER () AS n_total
+  FROM sk),
+spec(q_label, num, den) AS (
+  VALUES ('1/2', 1, 2), ('9/10', 9, 10), ('99/100', 99, 100))
+SELECT q_label, (num * n_total + den - 1) // den AS rank, n_total,
+       bucket_lo, bucket_hi, (bucket_lo + bucket_hi) // 2 AS estimate
+FROM cum, spec
+WHERE cum >= (num * n_total + den - 1) // den
+QUALIFY row_number() OVER (PARTITION BY q_label ORDER BY bucket_lo) = 1
+"""
+
 _SCD2_ORACLE = """
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
@@ -6839,6 +6885,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "tpch_large_orders": _Q18_ORACLE,
         "scd2_history": _SCD2_ORACLE,
         "allen_relations": _ALLEN_ORACLE,
+        "hdr_quantiles": _HDR_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

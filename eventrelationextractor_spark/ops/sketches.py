@@ -217,3 +217,86 @@ def cms_lookup(sketch: DataFrame, keys: DataFrame, key_col: str,
     return (probes.join(F.broadcast(sketch), ["row", "col"], "left")
             .groupBy("key")
             .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est")))
+
+
+# ------------------------------------------------------------------ HDR
+# Log-linear quantile histogram (HdrHistogram / DDSketch family): buckets
+# are (decimal order of magnitude x 2 leading significant digits), so
+# relative bucket width is <= 10% and the quantile estimate (bucket
+# midpoint) carries a <= ~5% relative-error guarantee. The bucket key is
+# derived with PURE string/integer arithmetic (no float log anywhere),
+# so it is exact and identical on any engine - the property float-log
+# bucketing (classic DDSketch gamma^i) cannot promise across libm
+# implementations. Counts are one map-side-combinable groupBy and merge
+# across shards/days by addition; the whole sketch is <= 90 rows per
+# decade, so quantile extraction is driver-trivial no matter the input
+# scale.
+
+
+def hdr_buckets(df: DataFrame, value_col: str,
+                group_cols: tuple = ()) -> DataFrame:
+    """Bucket counts for positive integer values (rows with value < 1
+    are out of the sketch's domain and are dropped - callers scale
+    floats to integer units first, e.g. cents or microseconds).
+
+    Returns (*group_cols, bucket_lo, bucket_hi, cnt): [lo, hi] is the
+    inclusive value range of the bucket; values with <= 2 digits get
+    exact singleton buckets."""
+    v = F.col(value_col).cast("long")
+    s = v.cast("string")
+    ln = F.length(s)
+    scale = F.expr(
+        f"cast(concat('1', repeat('0', length(cast(cast({value_col} as "
+        f"long) as string)) - 2)) as long)")
+    lo = F.when(ln <= 2, v).otherwise(
+        F.substring(s, 1, 2).cast("long") * scale)
+    hi = F.when(ln <= 2, v).otherwise(
+        F.substring(s, 1, 2).cast("long") * scale + scale - 1)
+    return (df.filter(v >= 1)
+            .select(*group_cols, lo.alias("bucket_lo"), hi.alias("bucket_hi"))
+            .groupBy(*group_cols, "bucket_lo", "bucket_hi")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hdr_merge(sketch: DataFrame) -> DataFrame:
+    """Merge per-shard sketches (drop the shard columns, add counts):
+    sketch union is count addition, exactly - partial aggregation at
+    parquet-footer cost."""
+    return (sketch.groupBy("bucket_lo", "bucket_hi")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def hdr_quantiles(sketch: DataFrame,
+                  qs: tuple = ((1, 2), (9, 10), (99, 100))) -> DataFrame:
+    """Quantile extraction: for q = num/den, rank = ceil(q*n) in exact
+    integer arithmetic, answer = midpoint of the first bucket whose
+    cumulative count reaches the rank. The cumulative window runs over
+    the SKETCH (<= ~90 rows/decade by construction), not the data, so
+    the single-partition sort is a non-issue at any input scale.
+
+    Returns (q_label, rank, n_total, bucket_lo, bucket_hi, estimate).
+    """
+    from pyspark.sql import Window
+    w = Window.orderBy("bucket_lo") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    cum = (sketch
+           .withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n_total", F.sum("cnt").over(wall)))
+    spec = sketch.sparkSession.createDataFrame(
+        [(f"{num}/{den}", num, den) for num, den in qs],
+        "q_label string, num long, den long")
+    # pure integer ceil-division on BOTH engines (never float-divide
+    # then truncate: the double round-trip is not cross-engine-pinned)
+    rank = F.expr("(num * n_total + den - 1) div den")
+    hit = (cum.crossJoin(F.broadcast(spec))
+           .withColumn("rank", rank)
+           .filter(F.col("cum") >= F.col("rank")))
+    first = F.min(F.struct("bucket_lo", "bucket_hi")).alias("b")
+    return (hit.groupBy("q_label", "rank", "n_total").agg(first)
+            .select("q_label", "rank", "n_total",
+                    F.col("b.bucket_lo").alias("bucket_lo"),
+                    F.col("b.bucket_hi").alias("bucket_hi"),
+                    F.expr("(b.bucket_lo + b.bucket_hi) div 2")
+                    .alias("estimate")))

@@ -52,3 +52,48 @@ def test_kmv_estimates_large_overlap(spark):
     # true union 1500, true jaccard 500/1500 = 0.333
     assert abs(row.est_union - 1500) / 1500 < 0.25
     assert abs(row.est_jaccard - 1 / 3) < 0.12
+
+
+# ------------------------------------------------------------------ HDR
+
+
+def test_hdr_merge_is_exact(spark):
+    """Sketching shards then merging == sketching the whole input."""
+    from pyspark.sql import functions as F
+
+    from eventrelationextractor_spark.ops import sketches as sk
+    df = spark.range(1, 5000).select(
+        (F.col("id") * 37 % 90000 + 1).alias("v"),
+        (F.col("id") % 7).alias("shard"))
+    direct = {(r.bucket_lo, r.bucket_hi): r.cnt
+              for r in sk.hdr_buckets(df, "v").collect()}
+    merged = {(r.bucket_lo, r.bucket_hi): r.cnt
+              for r in sk.hdr_merge(
+                  sk.hdr_buckets(df, "v", group_cols=("shard",))).collect()}
+    assert direct == merged and direct
+
+
+def test_hdr_quantile_error_bound(spark):
+    """Bucket width is <= 10% of the bucket floor, so the midpoint
+    estimate is within 10% of the true rank-order statistic."""
+    from pyspark.sql import functions as F
+
+    from eventrelationextractor_spark.ops import sketches as sk
+    vals = [(i * i * 13) % 70000 + 1 for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = {r.q_label: r for r in sk.hdr_quantiles(
+        sk.hdr_buckets(df, "v")).collect()}
+    exact = sorted(vals)
+    for num, den in ((1, 2), (9, 10), (99, 100)):
+        rank = -(-num * len(vals) // den)      # ceil
+        true = exact[rank - 1]
+        got = out[f"{num}/{den}"]
+        assert got.bucket_lo <= true <= got.bucket_hi
+        assert abs(got.estimate - true) <= 0.1 * true
+    # small values (<= 2 digits) get exact singleton buckets
+    small = spark.createDataFrame([(v,) for v in [3, 3, 7, 99]], "v long")
+    rows = sk.hdr_buckets(small, "v").collect()
+    assert all(r.bucket_lo == r.bucket_hi for r in rows)
+    # nonpositive values are outside the domain and dropped
+    mixed = spark.createDataFrame([(0,), (-5,), (10,)], "v long")
+    assert sk.hdr_buckets(mixed, "v").count() == 1
