@@ -2789,6 +2789,18 @@ def _q_hdr_quantiles(spark, sf_dir):
     return sketches.hdr_quantiles(sketches.hdr_merge(sharded))
 
 
+def _q_hdr_group_quantiles(spark, sf_dir):
+    """Per-source p50/p90/p99 from grouped HDR sketches
+    (ops/sketches.py::hdr_group_quantiles): the cumulative window is
+    partitioned per group and runs over the <=90-row-per-decade sketch,
+    never the data - grouped quantiles with NO per-group data sort, the
+    only sane shape at 100 TB. Oracle replays bucketing + per-group
+    ceil-rank in integer arithmetic."""
+    sk = sketches.hdr_buckets(_docs(spark, sf_dir), "n_chars",
+                              group_cols=("source",))
+    return sketches.hdr_group_quantiles(sk, ("source",))
+
+
 def _q_scd2_history(spark, sf_dir):
     """Slowly-changing-dimension type-2 build
     (ops/events.py::scd2_history): per-user event_type version history
@@ -2994,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "allen_relations": _q_allen_relations,
         "hll_shard_merge": _q_hll_shard_merge,
+        "hdr_group_quantiles": _q_hdr_group_quantiles,
     }
 
 
@@ -6782,6 +6795,40 @@ WHERE cum >= (num * n_total + den - 1) // den
 QUALIFY row_number() OVER (PARTITION BY q_label ORDER BY bucket_lo) = 1
 """
 
+_HDR_GROUP_ORACLE = """
+WITH vals AS (
+  SELECT source, n_chars AS v FROM documents WHERE n_chars >= 1),
+b AS (
+  SELECT source,
+    CASE WHEN length(CAST(v AS VARCHAR)) <= 2 THEN v
+         ELSE CAST(substr(CAST(v AS VARCHAR), 1, 2) AS BIGINT)
+              * CAST('1' || repeat('0', length(CAST(v AS VARCHAR)) - 2)
+                     AS BIGINT) END AS bucket_lo,
+    CASE WHEN length(CAST(v AS VARCHAR)) <= 2 THEN v
+         ELSE CAST(substr(CAST(v AS VARCHAR), 1, 2) AS BIGINT)
+              * CAST('1' || repeat('0', length(CAST(v AS VARCHAR)) - 2)
+                     AS BIGINT)
+              + CAST('1' || repeat('0', length(CAST(v AS VARCHAR)) - 2)
+                     AS BIGINT) - 1 END AS bucket_hi
+  FROM vals),
+sk AS (
+  SELECT source, bucket_lo, bucket_hi, count(*) AS cnt
+  FROM b GROUP BY 1, 2, 3),
+cum AS (
+  SELECT source, bucket_lo, bucket_hi,
+         sum(cnt) OVER (PARTITION BY source ORDER BY bucket_lo) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS n_total
+  FROM sk),
+spec(q_label, num, den) AS (
+  VALUES ('1/2', 1, 2), ('9/10', 9, 10), ('99/100', 99, 100))
+SELECT source, q_label, (num * n_total + den - 1) // den AS rank, n_total,
+       bucket_lo, bucket_hi, (bucket_lo + bucket_hi) // 2 AS estimate
+FROM cum, spec
+WHERE cum >= (num * n_total + den - 1) // den
+QUALIFY row_number() OVER (PARTITION BY source, q_label
+                           ORDER BY bucket_lo) = 1
+"""
+
 _SCD2_ORACLE = """
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
@@ -6886,6 +6933,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "scd2_history": _SCD2_ORACLE,
         "allen_relations": _ALLEN_ORACLE,
         "hdr_quantiles": _HDR_ORACLE,
+        "hdr_group_quantiles": _HDR_GROUP_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

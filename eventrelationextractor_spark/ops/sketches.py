@@ -300,3 +300,42 @@ def hdr_quantiles(sketch: DataFrame,
                     F.col("b.bucket_hi").alias("bucket_hi"),
                     F.expr("(b.bucket_lo + b.bucket_hi) div 2")
                     .alias("estimate")))
+
+
+def hdr_group_quantiles(sketch: DataFrame, group_cols: tuple,
+                        qs: tuple = ((1, 2), (9, 10), (99, 100))
+                        ) -> DataFrame:
+    """Per-group quantile extraction from a grouped sketch
+    (``hdr_buckets(df, v, group_cols=...)``): the cumulative window is
+    PARTITIONED by the group columns, so every group's scan stays inside
+    its own <=~90-rows-per-decade sketch - grouped p50/p99 over any
+    number of groups without ever sorting the data, the shape a 100-TB
+    per-source latency/length dashboard needs (percentile_approx gives
+    no cross-engine-replayable bucket; a global sort per group is a
+    non-starter).
+
+    Returns (*group_cols, q_label, rank, n_total, bucket_lo, bucket_hi,
+    estimate)."""
+    from pyspark.sql import Window
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy("bucket_lo") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(*gcols) \
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = (sketch
+           .withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n_total", F.sum("cnt").over(wall)))
+    spec = sketch.sparkSession.createDataFrame(
+        [(f"{num}/{den}", num, den) for num, den in qs],
+        "q_label string, num long, den long")
+    rank = F.expr("(num * n_total + den - 1) div den")
+    hit = (cum.crossJoin(F.broadcast(spec))
+           .withColumn("rank", rank)
+           .filter(F.col("cum") >= F.col("rank")))
+    first = F.min(F.struct("bucket_lo", "bucket_hi")).alias("b")
+    return (hit.groupBy(*gcols, "q_label", "rank", "n_total").agg(first)
+            .select(*gcols, "q_label", "rank", "n_total",
+                    F.col("b.bucket_lo").alias("bucket_lo"),
+                    F.col("b.bucket_hi").alias("bucket_hi"),
+                    F.expr("(b.bucket_lo + b.bucket_hi) div 2")
+                    .alias("estimate")))

@@ -97,3 +97,28 @@ def test_hdr_quantile_error_bound(spark):
     # nonpositive values are outside the domain and dropped
     mixed = spark.createDataFrame([(0,), (-5,), (10,)], "v long")
     assert sk.hdr_buckets(mixed, "v").count() == 1
+
+
+def test_hdr_group_quantiles_match_per_group(spark):
+    """Grouped extraction == running the ungrouped extraction on each
+    group's own slice."""
+    from pyspark.sql import functions as F
+
+    from eventrelationextractor_spark.ops import sketches as sk
+    df = spark.range(1, 4000).select(
+        (F.col("id") * 91 % 40000 + 1).alias("v"),
+        (F.col("id") % 3).alias("g"))
+    grouped = {(r.g, r.q_label): (r.rank, r.n_total, r.bucket_lo,
+                                  r.bucket_hi, r.estimate)
+               for r in sk.hdr_group_quantiles(
+                   sk.hdr_buckets(df, "v", group_cols=("g",)),
+                   ("g",)).collect()}
+    assert len(grouped) == 9
+    for g in range(3):
+        solo = {r.q_label: (r.rank, r.n_total, r.bucket_lo, r.bucket_hi,
+                            r.estimate)
+                for r in sk.hdr_quantiles(
+                    sk.hdr_buckets(df.filter(F.col("g") == g),
+                                   "v")).collect()}
+        for q, row in solo.items():
+            assert grouped[(g, q)] == row
