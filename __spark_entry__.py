@@ -2706,6 +2706,42 @@ def _q_kanon_suppress(spark, sf_dir):
                       "group_n", "is_suppressed")
 
 
+def _q_ldiversity_suppress(spark, sf_dir):
+    """l-diversity gate (ops/maintenance.py::ldiversity_suppress):
+    same quasi-identifier as kanon_suppress, sensitive attribute =
+    lang; groups whose members all share one lang are homogeneity
+    leaks even when k-anonymous."""
+    d = _docs(spark, sf_dir).withColumn(
+        "len_bucket", F.expr("cast(n_chars as bigint) div 200"))
+    out = maintenance.ldiversity_suppress(
+        d.select("doc_id", "lang", "source", "len_bucket"),
+        ["source", "len_bucket"], "lang", l=2)
+    return out.select("doc_id", "lang", "source", "len_bucket",
+                      "group_n", "sensitive_n", "is_suppressed")
+
+
+def _q_ivm_refresh(spark, sf_dir):
+    """Incremental view maintenance (ops/maintenance.py::{rollup_build,
+    ivm_refresh}): the per-(event_type, day) money rollup is refreshed
+    from an append-only delta (event_id div 10 == 0 rows) WITHOUT
+    touching the base rows again - count/sum add, min/max fold. The
+    oracle recomputes the rollup over base UNION delta directly, so the
+    hash gate asserts the IVM equivalence itself. Money rides exact
+    integer cents (floor(v*100 + 0.5) - HALF_UP round diverges across
+    engines on negative halves); day = integer epoch-day, the
+    timezone-proof bucket convention from events_retention."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type",
+        F.expr("cast(floor(unix_timestamp(ts) / 86400) as bigint)")
+        .alias("day"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"))
+    base = ev.filter(F.expr("event_id % 10 != 0"))
+    delta = ev.filter(F.expr("event_id % 10 = 0"))
+    snap = maintenance.rollup_build(base, ["event_type", "day"], "cents")
+    drol = maintenance.rollup_build(delta, ["event_type", "day"], "cents")
+    return maintenance.ivm_refresh(snap, drol)
+
+
 def _q_cdx_fetchlist(spark, sf_dir):
     """Common-Crawl CDX index selection (spark/cdx.py): deterministic
     CDX(J) lines staged from doc_ids (two captures for every third url,
@@ -3007,6 +3043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allen_relations": _q_allen_relations,
         "hll_shard_merge": _q_hll_shard_merge,
         "hdr_group_quantiles": _q_hdr_group_quantiles,
+        "ivm_refresh": _q_ivm_refresh,
+        "ldiversity_suppress": _q_ldiversity_suppress,
     }
 
 
@@ -6795,6 +6833,30 @@ WHERE cum >= (num * n_total + den - 1) // den
 QUALIFY row_number() OVER (PARTITION BY q_label ORDER BY bucket_lo) = 1
 """
 
+_IVM_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT event_type, day, count(*) AS n, sum(cents) AS sum_m,
+       min(cents) AS min_m, max(cents) AS max_m
+FROM ev GROUP BY 1, 2
+"""
+
+_LDIV_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars // 200 AS len_bucket
+  FROM documents),
+g AS (
+  SELECT source, len_bucket, count(*) AS group_n,
+         count(DISTINCT lang) AS sensitive_n
+  FROM d GROUP BY 1, 2)
+SELECT doc_id, lang, d.source, d.len_bucket, group_n, sensitive_n,
+       sensitive_n < 2 AS is_suppressed
+FROM d JOIN g ON d.source = g.source AND d.len_bucket = g.len_bucket
+"""
+
 _HDR_GROUP_ORACLE = """
 WITH vals AS (
   SELECT source, n_chars AS v FROM documents WHERE n_chars >= 1),
@@ -6934,6 +6996,8 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "allen_relations": _ALLEN_ORACLE,
         "hdr_quantiles": _HDR_ORACLE,
         "hdr_group_quantiles": _HDR_GROUP_ORACLE,
+        "ivm_refresh": _IVM_ORACLE,
+        "ldiversity_suppress": _LDIV_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

@@ -83,3 +83,72 @@ def kanon_suppress(df: DataFrame, quasi_cols: list, k: int = 5) -> DataFrame:
     return (df.withColumn("group_n",
                           F.count(F.lit(1)).over(w).cast("long"))
             .withColumn("is_suppressed", F.col("group_n") < k))
+
+
+def ldiversity_suppress(df: DataFrame, quasi_cols: list,
+                        sensitive_col: str, l: int = 2) -> DataFrame:
+    """l-diversity gate, the companion to :func:`kanon_suppress`:
+    a quasi-identifier group that is large enough for k-anonymity can
+    still leak if every member shares the same SENSITIVE value (the
+    homogeneity attack) - mark groups carrying fewer than ``l``
+    distinct sensitive values.
+
+    -> input columns + (group_n, sensitive_n, is_suppressed). Same
+    single-Exchange window shape as kanon_suppress; the distinct count
+    rides ``collect_set`` over the group window, which is bounded by
+    the sensitive attribute's per-group cardinality (small by nature
+    for the attributes this gate protects), never by group size."""
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    w = Window.partitionBy(*quasi_cols)
+    return (df.withColumn("group_n",
+                          F.count(F.lit(1)).over(w).cast("long"))
+            .withColumn("sensitive_n",
+                        F.size(F.collect_set(sensitive_col).over(w))
+                        .cast("long"))
+            .withColumn("is_suppressed", F.col("sensitive_n") < l))
+
+
+# ------------------------------------------------------- incremental view
+# Incremental view maintenance (insert-only): refresh a materialized
+# rollup from a delta batch WITHOUT rescanning the base table. The
+# algebra is the classic self-maintainable-aggregate set: count and sum
+# merge by addition, min/max by min/max - all correct under INSERTS
+# (deletes would need the full group re-scan for min/max; this operator
+# deliberately models the append-only lakehouse ingest path, where the
+# delta is a day's partition). At 100 TB the refresh cost is
+# O(|delta| + |rollup key cardinality|): the snapshot side is an
+# already-aggregated table, the base data is never touched.
+
+
+def rollup_build(df: DataFrame, keys: list, measure_col: str) -> DataFrame:
+    """Materialize the rollup shape (*keys, n, sum_m, min_m, max_m)
+    over a LONG measure column (callers convert money to integer cents
+    first - integer sums are partial-agg-merge-order-proof, float sums
+    are not). One map-side-combinable groupBy."""
+    m = F.col(measure_col).cast("long")
+    return (df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(m).alias("sum_m"),
+                 F.min(m).alias("min_m"),
+                 F.max(m).alias("max_m")))
+
+
+def ivm_refresh(snapshot: DataFrame, delta_rollup: DataFrame) -> DataFrame:
+    """Merge a rollup snapshot with a delta batch's rollup (both in
+    :func:`rollup_build` shape, same key columns): union + one
+    re-aggregation, where n/sum add and min/max fold. The output is
+    bit-identical to rebuilding the rollup over base UNION delta -
+    that equivalence IS the driver query's oracle gate. Group count
+    bounds the shuffle, not row count; new keys appear, existing keys
+    update, untouched keys pass through."""
+    keys = [c for c in snapshot.columns
+            if c not in ("n", "sum_m", "min_m", "max_m")]
+    return (snapshot.unionByName(delta_rollup)
+            .groupBy(*keys)
+            .agg(F.sum("n").alias("n"),
+                 F.sum("sum_m").alias("sum_m"),
+                 F.min("min_m").alias("min_m"),
+                 F.max("max_m").alias("max_m")))

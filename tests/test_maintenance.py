@@ -64,3 +64,43 @@ def test_kanon_suppress_marks_small_groups(spark):
     assert out[99] == (1, True)
     with pytest.raises(ValueError):
         maintenance.kanon_suppress(df, [], k=5)
+
+
+def test_ldiversity_flags_homogeneous_groups(spark):
+    rows = [
+        # group A: 3 rows, 1 distinct sensitive value -> suppressed
+        ("a", "g1", "flu"), ("b", "g1", "flu"), ("c", "g1", "flu"),
+        # group B: 2 rows, 2 distinct -> kept
+        ("d", "g2", "flu"), ("e", "g2", "cold"),
+    ]
+    df = spark.createDataFrame(rows, "id string, quasi string, dx string")
+    out = {r.id: r for r in maintenance.ldiversity_suppress(
+        df, ["quasi"], "dx", l=2).collect()}
+    assert out["a"].is_suppressed and out["a"].sensitive_n == 1
+    assert out["a"].group_n == 3
+    assert not out["d"].is_suppressed and out["d"].sensitive_n == 2
+    with pytest.raises(ValueError):
+        maintenance.ldiversity_suppress(df, [], "dx")
+    with pytest.raises(ValueError):
+        maintenance.ldiversity_suppress(df, ["quasi"], "dx", l=0)
+
+
+def test_ivm_refresh_equals_full_rebuild(spark):
+    base = spark.createDataFrame(
+        [("x", 1, 10), ("x", 1, 30), ("y", 1, 5)],
+        "k string, day long, m long")
+    delta = spark.createDataFrame(
+        # updates x/1 (new min), creates z/2 (new key)
+        [("x", 1, 2), ("z", 2, 7)],
+        "k string, day long, m long")
+    snap = maintenance.rollup_build(base, ["k", "day"], "m")
+    drol = maintenance.rollup_build(delta, ["k", "day"], "m")
+    refreshed = {(r.k, r.day): (r.n, r.sum_m, r.min_m, r.max_m)
+                 for r in maintenance.ivm_refresh(snap, drol).collect()}
+    rebuilt = {(r.k, r.day): (r.n, r.sum_m, r.min_m, r.max_m)
+               for r in maintenance.rollup_build(
+                   base.unionByName(delta), ["k", "day"], "m").collect()}
+    assert refreshed == rebuilt
+    assert refreshed[("x", 1)] == (3, 42, 2, 30)   # delta lowered the min
+    assert refreshed[("z", 2)] == (1, 7, 7, 7)     # key born in the delta
+    assert refreshed[("y", 1)] == (1, 5, 5, 5)     # untouched passthrough
