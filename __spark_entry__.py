@@ -2706,6 +2706,23 @@ def _q_kanon_suppress(spark, sf_dir):
                       "group_n", "is_suppressed")
 
 
+def _q_events_stream_enrich(spark, sf_dir):
+    """view->click attribution within 30 min
+    (ops/events.py::interval_enrich). The SAME expression is Spark's
+    watermarked stream-stream inner join under readStream (batch
+    equivalence + watermark state eviction are pytest-gated in
+    test_spark_stages.py); in batch it plans as an equi-join on the
+    user key + residual range filter. At scale the hot-key-safe batch
+    variant is interval_join_bucketed; this query gates the streaming
+    operator's semantics."""
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id",
+                                       "event_type")
+    return events.interval_enrich(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        minutes=30, watermark="60 days")
+
+
 def _q_ldiversity_suppress(spark, sf_dir):
     """l-diversity gate (ops/maintenance.py::ldiversity_suppress):
     same quasi-identifier as kanon_suppress, sensitive attribute =
@@ -3045,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_group_quantiles": _q_hdr_group_quantiles,
         "ivm_refresh": _q_ivm_refresh,
         "ldiversity_suppress": _q_ldiversity_suppress,
+        "events_stream_enrich": _q_events_stream_enrich,
     }
 
 
@@ -6844,6 +6862,18 @@ SELECT event_type, day, count(*) AS n, sum(cents) AS sum_m,
 FROM ev GROUP BY 1, 2
 """
 
+_ENRICH_ORACLE = """
+WITH l AS (
+  SELECT user_id, event_id AS l_id, event_type AS l_type, ts AS l_ts
+  FROM events WHERE event_type = 'view'),
+r AS (
+  SELECT user_id, event_id AS r_id, event_type AS r_type, ts AS r_ts
+  FROM events WHERE event_type = 'click')
+SELECT l.user_id, l_id, l_type, l_ts, r_id, r_type, r_ts
+FROM l JOIN r ON l.user_id = r.user_id
+WHERE r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 30 MINUTE
+"""
+
 _LDIV_ORACLE = """
 WITH d AS (
   SELECT doc_id, lang, source, n_chars // 200 AS len_bucket
@@ -6998,6 +7028,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "hdr_group_quantiles": _HDR_GROUP_ORACLE,
         "ivm_refresh": _IVM_ORACLE,
         "ldiversity_suppress": _LDIV_ORACLE,
+        "events_stream_enrich": _ENRICH_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

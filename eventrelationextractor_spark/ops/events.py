@@ -641,3 +641,42 @@ def allen_relations(intervals: DataFrame, key_col: str = "user_id",
             if rel is not F else F.when(pred(s1, e1, s2, e2), name)
     return (pairs.select(F.col("k").alias(key_col), "id_a", "id_b",
                          rel.alias("relation")))
+
+
+def interval_enrich(left: DataFrame, right: DataFrame,
+                    on: str = "user_id", minutes: int = 30,
+                    watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval enrichment: every right-side event that
+    follows a left-side event by the same key within ``minutes`` -
+    impression->click attribution, request->error correlation. Works on
+    BOTH streaming and static frames (``withWatermark`` is a documented
+    no-op in batch), so the batch run of the identical expression is
+    the streaming run's equivalence oracle.
+
+    Under readStream this is Spark's watermarked stream-stream inner
+    join: both sides buffer state only inside the watermark+bound
+    horizon - left rows are evicted once the right watermark passes
+    ``l_ts + minutes``, so state is bounded by (event rate x horizon)
+    regardless of total stream length, the property that makes the join
+    runnable forever at ingest scale. The time-range predicate is what
+    enables that eviction: an unconstrained stream-stream join would
+    have to buffer both streams in full.
+
+    Returns (on, l_id, l_type, l_ts, r_id, r_type, r_ts)."""
+    l = (left.select(F.col(on).alias("k"),
+                     F.col("event_id").alias("l_id"),
+                     F.col("event_type").alias("l_type"),
+                     F.col("ts").cast("timestamp_ltz").alias("l_ts"))
+         .withWatermark("l_ts", watermark))
+    r = (right.select(F.col(on).alias("rk"),
+                      F.col("event_id").alias("r_id"),
+                      F.col("event_type").alias("r_type"),
+                      F.col("ts").cast("timestamp_ltz").alias("r_ts"))
+         .withWatermark("r_ts", watermark))
+    cond = ((l["k"] == r["rk"])
+            & (r["r_ts"] >= l["l_ts"])
+            & (r["r_ts"] <= l["l_ts"] + F.expr(
+                f"INTERVAL {int(minutes)} MINUTES")))
+    return (l.join(r, cond, "inner")
+            .select(F.col("k").alias(on), "l_id", "l_type", "l_ts",
+                    "r_id", "r_type", "r_ts"))

@@ -903,3 +903,83 @@ def test_streaming_window_anomalies_prequential(spark, tmp_path):
         m2 += d * (x - mean)
     # early windows (no history) are never flagged
     assert not got[datetime(2024, 1, 1, 0)].anomaly
+
+
+def test_streaming_interval_enrich_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join == the identical join
+    expression run in batch (withWatermark is a no-op in batch), when
+    the watermark horizon covers the data span so no state is evicted:
+    view->click attribution within 30 minutes over the sf0.001 events."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "ts", "user_id", "event_type")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    batch = {(r.user_id, r.l_id, r.r_id)
+             for r in ev_ops.interval_enrich(
+                 views, clicks, minutes=30, watermark="60 days").collect()}
+    assert batch   # the corpus must actually exercise the join
+
+    lsrc, rsrc = str(tmp_path / "ie_l"), str(tmp_path / "ie_r")
+    views.write.parquet(lsrc)
+    clicks.write.parquet(rsrc)
+    out = ev_ops.interval_enrich(
+        spark.readStream.schema(views.schema).parquet(lsrc),
+        spark.readStream.schema(clicks.schema).parquet(rsrc),
+        minutes=30, watermark="60 days")
+    q = (out.writeStream.format("memory").queryName("ie_join")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.l_id, r.r_id)
+           for r in spark.sql("select * from ie_join").collect()}
+    assert got == batch
+
+
+def test_streaming_interval_enrich_evicts_beyond_watermark(spark, tmp_path):
+    """The time-range predicate lets Spark evict join state: once both
+    watermarks pass l_ts + bound, a left row is gone and a late right
+    partner cannot match (the documented bounded-state trade). Matches
+    inside the horizon in the same run DO emit."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    far = base + datetime.timedelta(days=10)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    lsrc, rsrc = str(tmp_path / "ev_l"), str(tmp_path / "ev_r")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+    lbatches = [
+        [(1, base, 7, "view")],                       # b0: the left row
+        [(-1, far, -9, "view")],                      # b1: advance wm
+    ]
+    rbatches = [
+        [(100, base + datetime.timedelta(minutes=1), 8, "click")],
+        [(-100, far, -9, "click")],                   # b1: advance wm
+        # b2: spacer trigger - state eviction runs at END of a
+        # micro-batch, so one more trigger must complete before the
+        # advanced watermark has actually dropped left id 1's state
+        [(-101, far + datetime.timedelta(minutes=1), -8, "click")],
+        # b3: in-bound partner for left id 1, but its state is gone
+        [(101, base + datetime.timedelta(minutes=5), 7, "click")],
+    ]
+    for src, batches in ((lsrc, lbatches), (rsrc, rbatches)):
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.parquet(os.path.join(src, f"b{i}"))
+            time.sleep(1.1)
+    out = ev_ops.interval_enrich(
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(lsrc + "/*"),
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(rsrc + "/*"),
+        minutes=30, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("ie_evict")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.l_id, r.r_id)
+           for r in spark.sql("select * from ie_evict").collect()}
+    assert (7, 1, 101) not in got          # evicted: partner came too late
+    assert (-9, -1, -100) in got           # same-horizon match emitted
