@@ -381,3 +381,49 @@ def test_tpch_order_counts_keeps_outer_join(spark):
         "read_parquet('/root/testdata/sf0.001/customer.parquet')"
     ).fetchone()[0]
     assert sum(rows.values()) == n_cust  # every customer lands in a bucket
+
+
+def test_stream_enrich_is_equi_join_with_residual_range(spark):
+    """interval_enrich's batch plan must be a keyed join (the user-id
+    equality) with the 30-min bound as a residual condition - never a
+    nested loop over the event stream. (The streaming plan is a
+    SymmetricHashJoin on the same key by construction.)"""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["events_stream_enrich"](
+        spark, "/root/testdata/sf0.001")
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hdr_group_quantiles_single_sketch_shuffle(spark):
+    """Grouped HDR extraction: exactly one Exchange builds the grouped
+    sketch; the quantile windows repartition by the group key over
+    SKETCH rows (<= ~90/decade/group), never the data, and the q-spec
+    join is a broadcast of a 3-row literal."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["hdr_group_quantiles"](
+        spark, "/root/testdata/sf0.001")
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    # the only join is the broadcast of the tiny quantile spec
+    assert plan.count("SortMergeJoin") == 0
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivm_refresh_no_base_rescan_shape(spark):
+    """ivm_refresh(snapshot, delta_rollup) over ALREADY-AGGREGATED
+    frames plans as union + one aggregate: no join, no window - the
+    refresh cost is bounded by rollup cardinality."""
+    from eventrelationextractor_spark.ops import maintenance
+
+    snap = spark.createDataFrame(
+        [("a", 1, 2, 10, 4, 6)], "k string, day long, n long, "
+        "sum_m long, min_m long, max_m long")
+    delta = spark.createDataFrame(
+        [("a", 1, 1, 5, 5, 5)], snap.schema)
+    plan = _physical(maintenance.ivm_refresh(snap, delta))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 1
