@@ -239,6 +239,17 @@ def _q_bm25_search(spark, sf_dir):
     return bm25.bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=25)
 
 
+def _q_rm3_expansion(spark, sf_dir):
+    """RM3 pseudo-relevance feedback (ops/bm25.py::rm3_expand): BM25
+    top-10 as pseudo-relevant, relevance model interpolated 0.6/0.4
+    with the uniform query model, top-15 expansion terms. The feedback
+    stage touches only the 10 survivors' tokens (broadcast top-k join),
+    so expansion cost is corpus-size-independent. Oracle replays the
+    whole chain as CTEs over the same 6dp-rounded scores."""
+    return bm25.rm3_expand(_docs(spark, sf_dir), BM25_QUERY_TERMS,
+                           fb_docs=10, fb_terms=15, orig_weight=0.6)
+
+
 def _q_hybrid_search_rrf(spark, sf_dir):
     """Hybrid retrieval (ops/bm25.py::rrf_fuse): reciprocal-rank fusion
     of the lexical BM25 top-50 and the dense cosine top-50 for one
@@ -3063,6 +3074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_refresh": _q_ivm_refresh,
         "ldiversity_suppress": _q_ldiversity_suppress,
         "events_stream_enrich": _q_events_stream_enrich,
+        "rm3_expansion": _q_rm3_expansion,
     }
 
 
@@ -6862,6 +6874,49 @@ SELECT event_type, day, count(*) AS n, sum(cents) AS sum_m,
 FROM ev GROUP BY 1, 2
 """
 
+_RM3_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT * FROM (VALUES ('hash'),('join'),('spark'),('window'),('stream')) q(term)),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM toks JOIN qt USING (term) GROUP BY doc_id, term),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6)
+           AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+top AS (
+  SELECT doc_id, score FROM scored
+  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10),
+total AS (SELECT sum(score) AS total FROM top),
+fb AS (SELECT t.doc_id, t.term, top.score FROM toks t JOIN top USING (doc_id)),
+fdl AS (SELECT doc_id, score, count(*) AS dl FROM fb GROUP BY 1, 2),
+ftf AS (SELECT doc_id, term, count(*) AS tf FROM fb GROUP BY 1, 2),
+prel AS (
+  SELECT term, sum((ftf.tf / fdl.dl) * (fdl.score / total.total)) AS p_rel
+  FROM ftf JOIN fdl USING (doc_id) CROSS JOIN total GROUP BY term),
+qm AS (SELECT term, 1.0 / 5 AS p_q FROM qt),
+merged AS (
+  SELECT coalesce(prel.term, qm.term) AS term,
+         0.6 * coalesce(p_q, 0) + 0.4 * coalesce(p_rel, 0) AS w
+  FROM prel FULL OUTER JOIN qm ON prel.term = qm.term),
+ranked AS (SELECT term, round(w, 6) AS weight FROM merged)
+SELECT CAST(row_number() OVER (ORDER BY weight DESC, term) AS BIGINT) AS rank,
+       term, weight
+FROM ranked
+QUALIFY rank <= 15
+"""
+
 _ENRICH_ORACLE = """
 WITH l AS (
   SELECT user_id, event_id AS l_id, event_type AS l_type, ts AS l_ts
@@ -7029,6 +7084,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "ivm_refresh": _IVM_ORACLE,
         "ldiversity_suppress": _LDIV_ORACLE,
         "events_stream_enrich": _ENRICH_ORACLE,
+        "rm3_expansion": _RM3_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

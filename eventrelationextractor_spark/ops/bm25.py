@@ -193,3 +193,61 @@ def rrf_fuse(rankings: list, k_rrf: int = 60, topk: int = 20,
             .select(F.col("rank").cast("long").alias("rank"), "doc_id",
                     (F.col("s_ppb") / 1e9).alias("rrf_score"),
                     "n_lists"))
+
+
+def rm3_expand(docs: DataFrame, query_terms: list, fb_docs: int = 10,
+               fb_terms: int = 15, orig_weight: float = 0.6,
+               k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """RM3 pseudo-relevance-feedback query expansion (Lavrenko &
+    Croft relevance models, the Anserini/Galago default): run BM25,
+    treat the top ``fb_docs`` results as pseudo-relevant, estimate the
+    relevance model P(t|R) = sum_d P(t|d) * w(d) with w(d) = the doc's
+    normalized (6dp-rounded) BM25 score and P(t|d) = tf/dl, then
+    interpolate with the uniform original-query model:
+
+        weight(t) = orig_weight * P(t|Q) + (1-orig_weight) * P(t|R)
+
+    and keep the ``fb_terms`` heaviest terms - the expanded weighted
+    query for a second retrieval pass. ``query_terms`` must be unique.
+
+    Scale shape: the first pass is :func:`bm25_topk` (broadcast query
+    dim, one tf shuffle); the feedback side then touches ONLY the
+    fb_docs survivors' tokens (join against the broadcast top-k), so
+    the expansion stage costs O(fb_docs x doc length) regardless of
+    corpus size. Weights round to 6dp and rank ties break by term -
+    the float-ranking determinism contract every ranked surface here
+    follows.
+
+    Returns (rank, term, weight)."""
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be unique")
+    spark = docs.sparkSession
+    top = bm25_topk(docs, query_terms, k=fb_docs, k1=k1, b=b,
+                    id_col=id_col, text_col=text_col) \
+        .select("doc_id", "score")
+    total = top.agg(F.sum("score").alias("total"))
+    toks = tokenize(docs, id_col, text_col)
+    fb = toks.join(F.broadcast(top), "doc_id")
+    dl = fb.groupBy("doc_id", "score") \
+        .agg(F.count("*").alias("dl"))
+    tf = fb.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    p_rel = (tf.join(F.broadcast(dl), "doc_id")
+             .crossJoin(F.broadcast(total))
+             .groupBy("term")
+             .agg(F.sum((F.col("tf") / F.col("dl"))
+                        * (F.col("score") / F.col("total")))
+                  .alias("p_rel")))
+    qm = spark.createDataFrame(
+        [(t, 1.0 / len(query_terms)) for t in query_terms],
+        "term string, p_q double")
+    merged = (p_rel.join(qm, "term", "full_outer")
+              .select("term",
+                      (F.lit(orig_weight) * F.coalesce("p_q", F.lit(0.0))
+                       + F.lit(1.0 - orig_weight)
+                       * F.coalesce("p_rel", F.lit(0.0))).alias("w")))
+    ranked = merged.select("term", F.round("w", 6).alias("weight")) \
+        .orderBy(F.col("weight").desc(), F.col("term")).limit(fb_terms)
+    w = Window.orderBy(F.col("weight").desc(), F.col("term"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long")) \
+        .select("rank", "term", "weight")

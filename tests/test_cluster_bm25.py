@@ -201,3 +201,33 @@ def test_mmr_rerank_zero_norm_and_misuse_guard(spark):
     # zero-norm doc 2 pins sim=-1 (maximally diverse): picked 2nd
     # (0.7*0.8 + 0.3 = 0.86 > doc 3's 0.7*0.7 - 0.3*1 = 0.19)
     assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_rm3_expand_semantics(spark):
+    """RM3: original query terms carry the interpolated uniform mass;
+    terms frequent in the pseudo-relevant top docs enter the expansion;
+    terms only in non-retrieved docs do not."""
+    from eventrelationextractor_spark.ops import bm25 as bm
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle shuffle partition"),
+         (2, "spark shuffle executor"),
+         (3, "gardening tulips daffodil soil"),   # never retrieved
+         (4, "spark partition skew")],
+        "doc_id long, text string")
+    out = bm.rm3_expand(docs, ["spark"], fb_docs=3, fb_terms=8,
+                        orig_weight=0.6)
+    rows = {r.term: r for r in out.collect()}
+    # the query term gets 0.6 * 1.0 plus its feedback mass -> rank 1
+    assert min(rows, key=lambda t: rows[t].rank) == "spark"
+    assert rows["spark"].weight > 0.6
+    # feedback terms from retrieved docs appear with positive weight
+    assert "shuffle" in rows and rows["shuffle"].weight > 0
+    # vocabulary of the never-retrieved doc is absent
+    assert "tulips" not in rows and "soil" not in rows
+    # ranks are 1..n dense and ordered by (weight desc, term)
+    got = [(r.rank, r.weight, r.term) for r in out.collect()]
+    assert [g[0] for g in got] == list(range(1, len(got) + 1))
+    assert got == sorted(got, key=lambda g: (g[0],))
+    with pytest.raises(ValueError):
+        bm.rm3_expand(docs, ["spark", "spark"])
