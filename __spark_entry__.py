@@ -250,6 +250,19 @@ def _q_rm3_expansion(spark, sf_dir):
                            fb_docs=10, fb_terms=15, orig_weight=0.6)
 
 
+def _q_optimal_segmentation(spark, sf_dir):
+    """Fewest-pieces subword segmentation (ops/bpe.py::optimal_segment)
+    under the corpus top-200 gram vocabulary (ops/bpe.py::gram_vocab):
+    pure integer DP, so optimal piece counts and fertility are
+    cross-engine exact - no greedy-matcher or float-Viterbi ambiguity.
+    Vocab over ALL docs; segmentation gated on the doc_id % 10 == 0
+    slice to bound the oracle's recursive-CTE DP replay."""
+    docs = _docs(spark, sf_dir)
+    vocab = bpe.gram_vocab(docs, min_len=2, max_len=4, k=200)
+    subset = docs.filter(F.expr("doc_id % 10 = 0"))
+    return bpe.optimal_segment(subset, vocab, max_len=4)
+
+
 def _q_hybrid_search_rrf(spark, sf_dir):
     """Hybrid retrieval (ops/bm25.py::rrf_fuse): reciprocal-rank fusion
     of the lexical BM25 top-50 and the dense cosine top-50 for one
@@ -2088,6 +2101,25 @@ def _q_table_profile(spark, sf_dir):
     return textstats.profile_table(_docs(spark, sf_dir))
 
 
+def _q_profile_drift(spark, sf_dir):
+    """Snapshot-to-snapshot profile drift
+    (ops/textstats.py::profile_drift over two profile_table passes):
+    the new snapshot drops `source`, adds `len_bucket`, and nulls lang
+    on the doc_id % 7 slice - exercising removed/added/kept statuses,
+    the null-rate-jump flag and -1 sentinels. All rates are integer ppm
+    (div), never float ratios."""
+    docs = _docs(spark, sf_dir)
+    old = docs.select("doc_id", "lang", "source")
+    new = docs.select(
+        "doc_id",
+        F.when(F.expr("doc_id % 7 = 0"),
+               F.lit(None).cast("string")).otherwise(F.col("lang"))
+        .alias("lang"),
+        F.expr("cast(n_chars as bigint) div 200").alias("len_bucket"))
+    return textstats.profile_drift(textstats.profile_table(old),
+                                   textstats.profile_table(new))
+
+
 def _q_web_curation(spark, sf_dir):
     """Session-6 composition showcase (the crawl-side corpus_curation):
     multi-host staging -> quality_score -> badwords gate -> sentence
@@ -3075,6 +3107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ldiversity_suppress": _q_ldiversity_suppress,
         "events_stream_enrich": _q_events_stream_enrich,
         "rm3_expansion": _q_rm3_expansion,
+        "optimal_segmentation": _q_optimal_segmentation,
+        "profile_drift": _q_profile_drift,
     }
 
 
@@ -6874,6 +6908,100 @@ SELECT event_type, day, count(*) AS n, sum(cents) AS sum_m,
 FROM ev GROUP BY 1, 2
 """
 
+_DRIFT_ORACLE = """
+WITH o AS (
+  SELECT 'doc_id' AS col, count(*) AS o_rows,
+         count(*) - count(doc_id) AS o_nulls,
+         count(DISTINCT doc_id) AS o_distinct FROM documents
+  UNION ALL
+  SELECT 'lang', count(*), count(*) - count(lang),
+         count(DISTINCT lang) FROM documents
+  UNION ALL
+  SELECT 'source', count(*), count(*) - count(source),
+         count(DISTINCT source) FROM documents),
+nd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+         n_chars // 200 AS len_bucket
+  FROM documents),
+n AS (
+  SELECT 'doc_id' AS col, count(*) AS n_rows,
+         count(*) - count(doc_id) AS n_nulls,
+         count(DISTINCT doc_id) AS n_distinct FROM nd
+  UNION ALL
+  SELECT 'lang', count(*), count(*) - count(lang),
+         count(DISTINCT lang) FROM nd
+  UNION ALL
+  SELECT 'len_bucket', count(*), count(*) - count(len_bucket),
+         count(DISTINCT len_bucket) FROM nd),
+j AS (
+  SELECT coalesce(o.col, n.col) AS col, o_rows, o_nulls, o_distinct,
+         n_rows, n_nulls, n_distinct
+  FROM o FULL OUTER JOIN n ON o.col = n.col),
+ppm AS (
+  SELECT *,
+    CASE WHEN o_rows IS NULL THEN NULL
+         WHEN o_rows > 0 THEN (o_nulls * 1000000) // o_rows
+         ELSE 0 END AS o_ppm,
+    CASE WHEN n_rows IS NULL THEN NULL
+         WHEN n_rows > 0 THEN (n_nulls * 1000000) // n_rows
+         ELSE 0 END AS n_ppm
+  FROM j)
+SELECT col AS "column",
+  CASE WHEN o_rows IS NULL THEN 'added'
+       WHEN n_rows IS NULL THEN 'removed'
+       ELSE 'kept' END AS status,
+  coalesce(o_ppm, -1) AS old_null_ppm,
+  coalesce(n_ppm, -1) AS new_null_ppm,
+  coalesce(o_distinct, -1) AS old_distinct,
+  coalesce(n_distinct, -1) AS new_distinct,
+  coalesce(n_ppm, 0) - coalesce(o_ppm, 0) > 10000 AS null_rate_jump,
+  (o_rows IS NOT NULL AND n_rows IS NOT NULL
+   AND n_distinct * 1000000 < o_distinct * 500000
+   AND n_rows > 0) AS distinct_collapse
+FROM ppm
+"""
+
+_OPTSEG_ORACLE = """
+WITH RECURSIVE lens(L) AS (VALUES (2), (3), (4)),
+grams AS (
+  SELECT substr(text, i, L) AS gram, count(*) AS n
+  FROM documents
+  CROSS JOIN lens
+  CROSS JOIN LATERAL unnest(range(1, length(text) - L + 2)) AS u(i)
+  WHERE length(text) >= L
+  GROUP BY 1),
+vocab AS (
+  SELECT gram FROM grams
+  QUALIFY row_number() OVER (ORDER BY n DESC, gram) <= 200),
+docs AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE doc_id % 10 = 0),
+dp AS (
+  SELECT doc_id, text, n, 0 AS pos,
+         CAST(0 AS BIGINT) AS d0, CAST(0 AS BIGINT) AS d1,
+         CAST(0 AS BIGINT) AS d2, CAST(0 AS BIGINT) AS d3
+  FROM docs
+  UNION ALL
+  SELECT doc_id, text, n, pos + 1,
+         1 + least(d0,
+             CASE WHEN pos >= 1 AND v2.gram IS NOT NULL
+                  THEN d1 ELSE 1152921504606846976 END,
+             CASE WHEN pos >= 2 AND v3.gram IS NOT NULL
+                  THEN d2 ELSE 1152921504606846976 END,
+             CASE WHEN pos >= 3 AND v4.gram IS NOT NULL
+                  THEN d3 ELSE 1152921504606846976 END),
+         d0, d1, d2
+  FROM dp
+  LEFT JOIN vocab v2 ON v2.gram = substr(text, pos, 2)
+  LEFT JOIN vocab v3 ON v3.gram = substr(text, pos - 1, 3)
+  LEFT JOIN vocab v4 ON v4.gram = substr(text, pos - 2, 4)
+  WHERE pos < n)
+SELECT doc_id, n AS n_chars, d0 AS n_pieces,
+       CASE WHEN n = 0 THEN 0 ELSE (d0 * 1000) // n END AS fertility_x1000
+FROM dp WHERE pos = n
+"""
+
 _RM3_ORACLE = """
 WITH toks AS (
   SELECT doc_id, t.term
@@ -7085,6 +7213,8 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "ldiversity_suppress": _LDIV_ORACLE,
         "events_stream_enrich": _ENRICH_ORACLE,
         "rm3_expansion": _RM3_ORACLE,
+        "optimal_segmentation": _OPTSEG_ORACLE,
+        "profile_drift": _DRIFT_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

@@ -162,3 +162,89 @@ def encode_bpe(df: DataFrame, merges: list, id_col: str = "doc_id",
             .select(id_col, "n_tokens", "stream_md5",
                     F.coalesce("id_checksum", F.lit(0)).cast("long")
                     .alias("id_checksum")))
+
+
+# ------------------------------------------------- optimal segmentation
+# Fewest-pieces subword segmentation (the WordPiece/SentencePiece
+# decode-side problem): given a corpus-derived gram vocabulary, find the
+# MINIMUM number of pieces that tile each document, single characters
+# always available as fallback. Unlike greedy longest-match (MaxMatch),
+# the DP answer is optimal; unlike unigram-LM Viterbi it needs no float
+# log-probabilities, so the DP is pure integer min() - bit-identical on
+# any engine, no libm/tie-break knife edges. Tokens-per-char from the
+# OPTIMAL segmentation is the vocabulary-quality number tokenizer
+# ablations want (greedy fertility confounds vocab quality with matcher
+# greediness).
+
+
+def gram_vocab(df: DataFrame, min_len: int = 2, max_len: int = 4,
+               k: int = 200, text_col: str = "text") -> DataFrame:
+    """(gram, n): the corpus's k most frequent character n-grams of
+    length min_len..max_len over the RAW text (no case folding - Python
+    and SQL lowercasing diverge on Unicode edge cases, and a vocabulary
+    does not need it). All-JVM: per-length substring explode (narrow),
+    one partial-agged count, TakeOrdered top-k. Tie-break (n desc,
+    gram asc)."""
+    parts = []
+    for L in range(min_len, max_len + 1):
+        parts.append(
+            df.filter(F.length(text_col) >= L)
+            .select(F.explode(F.expr(
+                f"transform(sequence(1, length({text_col}) - {L} + 1), "
+                f"i -> substring({text_col}, i, {L}))")).alias("gram")))
+    allg = parts[0]
+    for p in parts[1:]:
+        allg = allg.unionByName(p)
+    counts = allg.groupBy("gram").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("gram")).limit(k)
+
+
+def optimal_segment(df: DataFrame, vocab: DataFrame, max_len: int = 4,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_pieces, fertility_x1000): minimal piece
+    count tiling each text with vocabulary grams (length 2..max_len)
+    plus always-available single characters, via the classic O(n *
+    max_len) integer DP. fertility_x1000 = pieces*1000 div chars -
+    integer, merge-order-proof.
+
+    The vocabulary is a model-sized table (top-k rows) - collected and
+    closed over, the broadcast-model pattern of ops/cluster.py /
+    ops/quality.py; the segmentation itself is an Arrow-batched
+    mapInPandas over a narrow (id, text) projection: zero shuffle,
+    corpus-parallel, per-doc cost linear in text length. Python is the
+    right tool here by design, not accident: a position-indexed DP is
+    per-row sequential state no relational operator expresses (the
+    DuckDB twin needs a recursive CTE carrying a sliding dp window to
+    say the same thing)."""
+    grams = frozenset(r[0] for r in vocab.select(vocab.columns[0])
+                      .collect())
+    out_schema = (f"{id_col} long, n_chars long, n_pieces long, "
+                  "fertility_x1000 long")
+
+    def fn(batches):
+        import pandas as pd
+        big = 1 << 60
+        for b in batches:
+            ids, ncs, nps, fert = [], [], [], []
+            for i, t in zip(b[id_col], b[text_col]):
+                t = t if isinstance(t, str) else ""
+                n = len(t)
+                dp = [0] + [big] * n
+                for p in range(1, n + 1):
+                    best = dp[p - 1] + 1
+                    for j in range(2, max_len + 1):
+                        if p - j >= 0 and t[p - j:p] in grams:
+                            cand = dp[p - j] + 1
+                            if cand < best:
+                                best = cand
+                    dp[p] = best
+                ids.append(i)
+                ncs.append(n)
+                nps.append(dp[n])
+                fert.append(0 if n == 0 else dp[n] * 1000 // n)
+            yield pd.DataFrame({id_col: ids, "n_chars": ncs,
+                                "n_pieces": nps,
+                                "fertility_x1000": fert})
+
+    return df.select(id_col, text_col).mapInPandas(fn, out_schema)

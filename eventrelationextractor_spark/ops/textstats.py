@@ -971,3 +971,60 @@ def profile_table(df: DataFrame, columns: list | None = None) -> DataFrame:
     return wide.select(F.expr(
         f"stack({len(cols)}, {stack}) AS "
         "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"))
+
+
+def profile_drift(old_profile: DataFrame, new_profile: DataFrame,
+                  null_rate_x1e6_threshold: int = 10000,
+                  distinct_ratio_x1e6_low: int = 500000) -> DataFrame:
+    """Schema/profile drift between two :func:`profile_table` snapshots
+    - the alert layer on top of the onboarding pass: columns appearing
+    or vanishing, null-rate jumps, and distinct-count collapse (a join
+    key going constant) are the three upstream-breakage signatures that
+    precede silently-wrong joins.
+
+    Full-outer join on the column name (profile tables are
+    column-count-sized, the join is trivially broadcastable at any data
+    scale - drift detection costs nothing beyond the two profile
+    passes). Rates are exact integers scaled by 1e6 (ppm): ratio
+    comparisons in floats would put the alert threshold on a
+    merge-order knife edge.
+
+    Flags per column: status (added|removed|kept), null_rate_jump
+    (new null ppm - old null ppm > threshold), distinct_collapse
+    (new distinct < old distinct * low/1e6 with data still present)."""
+    o = old_profile.select(
+        F.col("column"), F.col("n_rows").alias("o_rows"),
+        F.col("n_nulls").alias("o_nulls"),
+        F.col("n_distinct").alias("o_distinct"))
+    n = new_profile.select(
+        F.col("column"), F.col("n_rows").alias("n_rows"),
+        F.col("n_nulls").alias("n_nulls"),
+        F.col("n_distinct").alias("n_distinct"))
+    j = o.join(n, "column", "full_outer")
+    # pure integer div: double-divide-then-truncate is not pinned
+    # across engines (the sequence_packing lesson). The isNull branch
+    # must come FIRST: a null n_rows would otherwise fall into
+    # .otherwise(0) and mask the added/removed sentinel.
+    o_ppm = (F.when(F.col("o_rows").isNull(), F.lit(None))
+             .when(F.col("o_rows") > 0,
+                   F.expr("(o_nulls * 1000000) div o_rows"))
+             .otherwise(F.lit(0)))
+    n_ppm = (F.when(F.col("n_rows").isNull(), F.lit(None))
+             .when(F.col("n_rows") > 0,
+                   F.expr("(n_nulls * 1000000) div n_rows"))
+             .otherwise(F.lit(0)))
+    status = (F.when(F.col("o_rows").isNull(), "added")
+              .when(F.col("n_rows").isNull(), "removed")
+              .otherwise("kept"))
+    return (j.select(
+        "column", status.alias("status"),
+        F.coalesce(o_ppm, F.lit(-1)).alias("old_null_ppm"),
+        F.coalesce(n_ppm, F.lit(-1)).alias("new_null_ppm"),
+        F.coalesce("o_distinct", F.lit(-1)).alias("old_distinct"),
+        F.coalesce("n_distinct", F.lit(-1)).alias("new_distinct"),
+        (F.coalesce(n_ppm, F.lit(0)) - F.coalesce(o_ppm, F.lit(0))
+         > null_rate_x1e6_threshold).alias("null_rate_jump"),
+        ((status == "kept")
+         & (F.col("n_distinct") * 1000000
+            < F.col("o_distinct") * distinct_ratio_x1e6_low)
+         & (F.col("n_rows") > 0)).alias("distinct_collapse")))

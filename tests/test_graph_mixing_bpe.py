@@ -304,3 +304,38 @@ def test_anchor_rollup_counts_and_tie_order(spark):
     assert r10.top_terms == "coffee beans"
     assert (got[20].n_inlinks, got[20].n_srcs,
             got[20].top_terms) == (1, 1, "page solo")
+
+
+def test_optimal_segment_beats_greedy_and_handles_edges(spark):
+    """DP optimality on the classic greedy trap: with vocab {ab, bc}
+    over 'aabc', greedy longest-match from the left gives a|ab|c = 3
+    pieces via 'ab', but a|a|bc is also 3 - construct a real trap:
+    vocab {ab, abc}: 'xabc' -> x|abc = 2 while greedy 'ab' first gives
+    x|ab|c = 3. Also: empty text, text with no vocab hits."""
+    from eventrelationextractor_spark.ops import bpe
+
+    vocab = spark.createDataFrame([("ab",), ("abcd",)], "gram string")
+    docs = spark.createDataFrame(
+        [(1, "xabcd"),      # greedy: x|ab|c|d = 4; optimal: x|abcd = 2
+         (2, ""),           # empty
+         (3, "zzz"),        # no vocab hits -> 3 singles
+         (4, "abab")],      # ab|ab = 2
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in bpe.optimal_segment(
+        docs, vocab, max_len=4).collect()}
+    assert out[1].n_pieces == 2 and out[1].n_chars == 5
+    assert out[1].fertility_x1000 == 2 * 1000 // 5
+    assert out[2].n_pieces == 0 and out[2].fertility_x1000 == 0
+    assert out[3].n_pieces == 3
+    assert out[4].n_pieces == 2
+
+
+def test_gram_vocab_topk_deterministic(spark):
+    from eventrelationextractor_spark.ops import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "ababab"), (2, "abxy")], "doc_id long, text string")
+    got = [(r.gram, r.n) for r in bpe.gram_vocab(
+        docs, min_len=2, max_len=2, k=3).collect()]
+    # counts: ab=4 (3 + 1), ba=2, bx=1, xy=1 -> tie at 1 broken by gram
+    assert got == [("ab", 4), ("ba", 2), ("bx", 1)]

@@ -329,3 +329,35 @@ def test_bigram_formation_is_map_side(spark):
     plan = textstats.doc_bigrams(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_profile_drift_statuses_and_flags(spark):
+    """added/removed columns carry -1 sentinels; a null-rate jump and a
+    distinct collapse on kept columns are flagged; healthy kept columns
+    are not."""
+    from eventrelationextractor_spark.ops import textstats as ts
+
+    old = spark.createDataFrame(
+        [(1, "en", "a"), (2, "de", "b"), (3, "fr", "c"), (4, "en", "d")],
+        "id long, lang string, key string")
+    # new snapshot: key dropped, extra added, lang half-null,
+    # id distinct collapses to 1
+    new = spark.createDataFrame(
+        [(7, "en", 1.5), (7, None, None), (7, "de", 3.5), (7, None, None)],
+        "id long, lang string, extra double")
+    drift = {r.column: r for r in ts.profile_drift(
+        ts.profile_table(old), ts.profile_table(new)).collect()}
+    assert drift["key"].status == "removed"
+    assert drift["key"].new_null_ppm == -1
+    assert drift["key"].new_distinct == -1
+    assert not drift["key"].null_rate_jump
+    assert drift["extra"].status == "added"
+    assert drift["extra"].old_null_ppm == -1
+    assert drift["extra"].null_rate_jump        # born 500000 ppm null
+    assert drift["lang"].status == "kept"
+    assert drift["lang"].old_null_ppm == 0
+    assert drift["lang"].new_null_ppm == 500000
+    assert drift["lang"].null_rate_jump
+    assert drift["id"].status == "kept"
+    assert drift["id"].distinct_collapse        # 4 -> 1 distinct
+    assert not drift["lang"].distinct_collapse  # 3 -> 2 is above 50%
