@@ -853,6 +853,30 @@ def _link_edges(spark, sf_dir):
     return e, nodes
 
 
+def _q_kg_cc_incremental(spark, sf_dir):
+    """Incremental connected components (spark/kg.py::cc_incremental):
+    canonical-cluster labels refreshed from a delta edge batch by
+    contract-and-solve - the inner CC runs on the CONTRACTED delta
+    graph only, never the base (the graph analogue of ivm_refresh).
+    The oracle computes a full recursive-closure CC over base UNION
+    delta, so the hash gate asserts refresh == recompute. Graph capped
+    at doc_id < 300 to keep the closure oracle quadratic-safe at any
+    SF; the Spark operator itself is the scale-proven pointer-jumping
+    CC underneath."""
+    docs = _docs(spark, sf_dir).select("doc_id")         .filter(F.col("doc_id") < 300)
+    n = docs.count()
+    linked = docs.filter(F.col("doc_id") % 17 != 0)
+    e = (linked.select(F.col("doc_id").alias("src"),
+                       ((F.col("doc_id") * 7 + 1) % n).alias("dst"))
+         .unionByName(
+             linked.select(F.col("doc_id").alias("src"),
+                           ((F.col("doc_id") * 13 + 3) % n).alias("dst"))))
+    base = e.filter((F.col("src") * 31 + F.col("dst")) % 5 != 0)
+    delta = e.filter((F.col("src") * 31 + F.col("dst")) % 5 == 0)
+    labels = kg.connected_components(base)
+    return kg.cc_incremental(labels, delta)
+
+
 def _q_link_pagerank(spark, sf_dir):
     """PageRank over the synthetic link graph (ops/graph.py): 5 power
     iterations, uniform teleport + dangling redistribution; each
@@ -3109,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_expansion": _q_rm3_expansion,
         "optimal_segmentation": _q_optimal_segmentation,
         "profile_drift": _q_profile_drift,
+        "kg_cc_incremental": _q_kg_cc_incremental,
     }
 
 
@@ -6908,6 +6933,25 @@ SELECT event_type, day, count(*) AS n, sum(cents) AS sum_m,
 FROM ev GROUP BY 1, 2
 """
 
+_CC_INC_ORACLE = """
+WITH RECURSIVE
+caps AS (SELECT doc_id AS s FROM documents WHERE doc_id < 300),
+params AS (SELECT count(*) AS n FROM caps),
+linked AS (SELECT s FROM caps WHERE s % 17 <> 0),
+e0 AS (
+  SELECT s AS a, (s * 7 + 1) % n AS b FROM linked, params
+  UNION ALL
+  SELECT s, (s * 13 + 3) % n FROM linked, params),
+edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+canon AS (SELECT src AS vertex, least(src, min(dst)) AS component
+          FROM reach GROUP BY src)
+SELECT vertex, component FROM canon
+"""
+
 _DRIFT_ORACLE = """
 WITH o AS (
   SELECT 'doc_id' AS col, count(*) AS o_rows,
@@ -7215,6 +7259,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "rm3_expansion": _RM3_ORACLE,
         "optimal_segmentation": _OPTSEG_ORACLE,
         "profile_drift": _DRIFT_ORACLE,
+        "kg_cc_incremental": _CC_INC_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

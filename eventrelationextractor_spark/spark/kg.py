@@ -125,3 +125,56 @@ def canonicalize(linked_mentions: DataFrame, triples: DataFrame,
     """(vertex, component): canonical cluster id per mention node."""
     return connected_components(canonical_edges(linked_mentions, triples),
                                 max_iterations)
+
+
+def cc_incremental(labels: DataFrame, delta_edges: DataFrame,
+                   src: str = "src", dst: str = "dst",
+                   stats: dict | None = None) -> DataFrame:
+    """Incremental connected components: refresh (vertex, component)
+    labels with a batch of NEW edges without re-running CC over the
+    base edge set - the graph analogue of ops/maintenance.py's
+    ivm_refresh, and the shape an entity-resolution/canonicalization
+    pipeline needs at 100 TB, where the mention graph grows by a crawl
+    batch a day and the base has 10^11 edges.
+
+    Contract-and-solve: map each delta endpoint through its old label
+    (unknown vertices keep themselves), run :func:`connected_components`
+    on the CONTRACTED delta graph - whose size is bounded by the delta,
+    never the base - then compose: every old label is rewritten through
+    the contracted solution. Exactness: an old component's label IS its
+    min member, so min over merged label-vertices equals min over the
+    merged membership - the composed labels are bit-identical to a full
+    CC over base UNION delta (the driver oracle asserts exactly that
+    equivalence, via an independent recursive-closure formulation).
+
+    Insert-only, like every self-maintainable aggregate: deleting an
+    edge can split a component, which needs a base re-scan by nature.
+    """
+    e = delta_edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    ls = labels.select(F.col("vertex").alias("s"),
+                       F.col("component").alias("s_c"))
+    ld = labels.select(F.col("vertex").alias("d"),
+                       F.col("component").alias("d_c"))
+    contracted = (e.join(ls, "s", "left").join(ld, "d", "left")
+                  .select(F.coalesce("s_c", F.col("s")).alias("src"),
+                          F.coalesce("d_c", F.col("d")).alias("dst")))
+    sub = connected_components(contracted, stats=stats) \
+        .withColumnRenamed("vertex", "old_component") \
+        .withColumnRenamed("component", "new_component")
+    # old vertices: rewrite their label through the contracted solution
+    updated = (labels.join(sub, labels.component == sub.old_component,
+                           "left")
+               .select("vertex",
+                       F.coalesce("new_component", "component")
+                       .alias("component")))
+    # vertices born in the delta: their contracted id is themselves
+    known = labels.select(F.col("vertex").alias("v"))
+    fresh = (e.select(F.col("s").alias("v"))
+             .unionByName(e.select(F.col("d").alias("v")))
+             .distinct()
+             .join(known, "v", "left_anti")
+             .join(sub, F.col("v") == sub.old_component, "left")
+             .select(F.col("v").alias("vertex"),
+                     F.coalesce("new_component", F.col("v"))
+                     .alias("component")))
+    return updated.unionByName(fresh)

@@ -983,3 +983,51 @@ def test_streaming_interval_enrich_evicts_beyond_watermark(spark, tmp_path):
            for r in spark.sql("select * from ie_evict").collect()}
     assert (7, 1, 101) not in got          # evicted: partner came too late
     assert (-9, -1, -100) in got           # same-horizon match emitted
+
+
+def test_cc_incremental_equals_full_recompute(spark):
+    """cc_incremental(CC(base), delta) must be bit-identical to
+    CC(base UNION delta): delta merges two old components (the one
+    with the SMALLER label arriving second, so the rewrite direction
+    is exercised), attaches a brand-new vertex to an old component,
+    and creates an isolated brand-new pair."""
+    base = spark.createDataFrame(
+        [(10, 11), (11, 12),          # component 10
+         (1, 2),                      # component 1
+         (20, 21)],                   # component 20
+        "src long, dst long")
+    delta = spark.createDataFrame(
+        [(12, 1),                     # merges comp 10 into comp 1
+         (21, 30),                    # new vertex 30 joins comp 20
+         (40, 41)],                   # brand-new component
+        "src long, dst long")
+    labels = kg.connected_components(base)
+    inc = {(r.vertex, r.component)
+           for r in kg.cc_incremental(labels, delta).collect()}
+    full = {(r.vertex, r.component)
+            for r in kg.connected_components(
+                base.unionByName(delta)).collect()}
+    assert inc == full
+    got = dict(inc)
+    assert got[12] == 1 and got[10] == 1       # merged through delta
+    assert got[30] == 20                       # new vertex, old comp
+    assert got[41] == 40 and got[40] == 40     # delta-only component
+    # untouched component keeps its label
+    assert got[20] == 20
+
+
+def test_cc_incremental_delta_only_cost(spark):
+    """The contracted subproblem the refresh solves is delta-sized:
+    with a 1000-vertex base and a 2-edge delta, the inner CC runs on
+    <= 4 contracted vertices (stats['rounds'] converges immediately)."""
+    n = 1000
+    base = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    labels = kg.connected_components(base)
+    delta = spark.createDataFrame(
+        [(5000, 5001), (0, 5000)], "src long, dst long")
+    stats = {}
+    inc = kg.cc_incremental(labels, delta, stats=stats)
+    got = {r.vertex: r.component for r in inc.collect()}
+    assert got[5001] == 0 and got[5000] == 0 and got[999] == 0
+    assert stats["rounds"] <= 3   # 3-vertex contracted graph
