@@ -853,6 +853,27 @@ def _link_edges(spark, sf_dir):
     return e, nodes
 
 
+def _q_link_modularity(spark, sf_dir):
+    """Newman modularity per community (ops/graph.py::modularity) of a
+    deterministic id-block partition over the synthetic link graph.
+    The per-community contribution is the exact integer numerator
+    4*m*e_c - d_c^2 over 4m^2 - no float ever enters an aggregation
+    (integer-cents discipline for a graph metric)."""
+    e, nodes = _link_edges(spark, sf_dir)
+    labels = nodes.select("node", F.expr("node div 64").alias("label"))
+    return graph.modularity(e, labels)
+
+
+def _q_mixture_apportion(spark, sf_dir):
+    """Largest-remainder apportionment
+    (ops/mixing.py::apportion_counts): exactly 1000 sample slots split
+    across sources proportionally to their total chars - float shares
+    times a budget never sum to the budget; Hamilton's method does,
+    in pure integer arithmetic (div/mod + remainder rank)."""
+    return mixing.apportion_counts(_docs(spark, sf_dir), "source",
+                                   "n_chars", total=1000)
+
+
 def _q_kg_cc_incremental(spark, sf_dir):
     """Incremental connected components (spark/kg.py::cc_incremental):
     canonical-cluster labels refreshed from a delta edge batch by
@@ -2956,18 +2977,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
         # --- per operator family; the full set is gated locally either way
+        # --- beyond the driver window (still in the local gate + bench)
         "kg_temporal_triples": _q_kg_temporal,
         "kg_causal_triples": _q_kg_causal,
         "kg_fixture_temporal": _q_fixture_temporal,
         "kg_text_identity": _q_text_identity,
-        "kg_entity_linking": _q_entity_linking,
+        "rm3_expansion": _q_rm3_expansion,
         "kg_canonical_components": _q_canonical_components,
         "kg_eval_metrics": _q_eval_metrics,
-        "kg_ee_probabilities": _q_ee_probabilities,
+        "ivm_refresh": _q_ivm_refresh,
         "kg_consistent_triples": _q_consistent_triples,
         "kg_awareness": _q_awareness,
         "sequence_packing": _q_sequence_packing,
-        "token_counts": _q_token_counts,
+        "optimal_segmentation": _q_optimal_segmentation,
         "corpus_curation": _q_corpus_curation,
         "training_order": _q_training_order,
         "html_text_extract": _q_html_text_extract,
@@ -2991,7 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "nfc_normalize": _q_nfc_normalize,
         "script_profile": _q_script_profile,
-        "lm_bigram": _q_lm_bigram,
+        "events_stream_enrich": _q_events_stream_enrich,
         "hdr_quantiles": _q_hdr_quantiles,
         "events_asof": _q_events_asof,
         "events_interval_join": _q_events_interval_join,
@@ -3006,6 +3028,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "mmr_diversify": _q_mmr_diversify,
         "contrastive_mining": _q_contrastive_mining,
+        "token_counts": _q_token_counts,
+        "kg_entity_linking": _q_entity_linking,
+        "kg_ee_probabilities": _q_ee_probabilities,
+        "lm_bigram": _q_lm_bigram,
         "tpch_idle_customers": _q_tpch_idle_customers,
         "compaction_plan": _q_compaction_plan,
         "skew_profile": _q_skew_profile,
@@ -3018,7 +3044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_walks": _q_link_walks,
         "crawl_schedule_delays": _q_crawl_schedule_delays,
         "media_decode_stats": _q_media_decode,
-        # --- beyond the driver window (still in the local gate + bench)
         "kg_temporal_salted": _q_kg_temporal_salted,
         "kg_doc_stats": _q_doc_stats,
         "kg_candidates": _q_candidates,
@@ -3127,13 +3152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allen_relations": _q_allen_relations,
         "hll_shard_merge": _q_hll_shard_merge,
         "hdr_group_quantiles": _q_hdr_group_quantiles,
-        "ivm_refresh": _q_ivm_refresh,
         "ldiversity_suppress": _q_ldiversity_suppress,
-        "events_stream_enrich": _q_events_stream_enrich,
-        "rm3_expansion": _q_rm3_expansion,
-        "optimal_segmentation": _q_optimal_segmentation,
         "profile_drift": _q_profile_drift,
         "kg_cc_incremental": _q_kg_cc_incremental,
+        "link_modularity": _q_link_modularity,
+        "mixture_apportion": _q_mixture_apportion,
     }
 
 
@@ -6933,6 +6956,49 @@ SELECT event_type, day, count(*) AS n, sum(cents) AS sum_m,
 FROM ev GROUP BY 1, 2
 """
 
+_MODULARITY_ORACLE = """
+WITH params AS (SELECT count(*) AS n FROM documents),
+linked AS (SELECT doc_id AS s FROM documents WHERE doc_id % 17 <> 0),
+e AS (
+  SELECT s AS a, (s * 7 + 1) % n AS b FROM linked, params
+  UNION ALL
+  SELECT s, (s * 13 + 3) % n FROM linked, params),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a),
+per_c AS (
+  SELECT a // 64 AS label, count(*) AS n_nodes, sum(deg) AS d_tot
+  FROM deg GROUP BY 1),
+ein AS (
+  SELECT a // 64 AS label, count(*) AS e_in
+  FROM e WHERE a // 64 = b // 64 GROUP BY 1),
+mm AS (SELECT count(*) AS m FROM e)
+SELECT label, n_nodes, d_tot, coalesce(e_in, 0) AS e_in, mm.m AS m,
+       4 * mm.m * coalesce(e_in, 0) - d_tot * d_tot AS q_num
+FROM per_c LEFT JOIN ein USING (label) CROSS JOIN mm
+"""
+
+_APPORTION_ORACLE = """
+WITH w AS (
+  SELECT source AS stratum, sum(n_chars) AS weight
+  FROM documents GROUP BY 1),
+t AS (SELECT sum(weight) AS wsum FROM w),
+q AS (
+  SELECT stratum, weight,
+         (weight * 1000) // wsum AS base,
+         (weight * 1000) % wsum AS rem
+  FROM w, t),
+l AS (SELECT 1000 - sum(base) AS leftover FROM q),
+r AS (
+  SELECT stratum, weight, base, rem,
+         row_number() OVER (ORDER BY rem DESC, stratum) AS rnk
+  FROM q)
+SELECT stratum, weight, base,
+       CAST(CASE WHEN rnk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS extra,
+       base + CASE WHEN rnk <= l.leftover THEN 1 ELSE 0 END AS alloc
+FROM r, l
+"""
+
 _CC_INC_ORACLE = """
 WITH RECURSIVE
 caps AS (SELECT doc_id AS s FROM documents WHERE doc_id < 300),
@@ -7260,6 +7326,8 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "optimal_segmentation": _OPTSEG_ORACLE,
         "profile_drift": _DRIFT_ORACLE,
         "kg_cc_incremental": _CC_INC_ORACLE,
+        "link_modularity": _MODULARITY_ORACLE,
+        "mixture_apportion": _APPORTION_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

@@ -599,3 +599,46 @@ def graph_stats(edges: DataFrame, src: str = "src",
                     F.round(F.col("n_reciprocal")
                             / F.col("n_edges"), 6).alias("reciprocity"),
                     "max_out_degree", "avg_out_degree"))
+
+
+def modularity(edges: DataFrame, labels: DataFrame,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Newman modularity of a community assignment, per community -
+    the quality number for :func:`label_propagation` output (is this
+    partition denser-than-chance, and which communities carry it?).
+
+    Q = sum_c [ e_c/m - (d_c/2m)^2 ]; this emits the per-community
+    contribution as the EXACT INTEGER numerator over the common
+    denominator 4m^2:  q_num_c = 4*m*e_c - d_c^2  (so the global
+    modularity is sum(q_num)/4m^2, and a float never enters an
+    aggregation - cross-engine exact by construction, the integer-cents
+    discipline applied to a graph metric).
+
+    Three partial-agged aggregations, all keyed small: degrees (node
+    cardinality), within-community edge counts and degree sums
+    (community cardinality), one broadcast single-row m.
+
+    Returns (label, n_nodes, d_tot, e_in, m, q_num)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    both = e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+    deg = both.groupBy("a").agg(F.count("*").alias("deg"))
+    lab = labels.select(F.col(labels.columns[0]).alias("a"),
+                        F.col(labels.columns[1]).alias("label"))
+    per_c = (deg.join(lab, "a")
+             .groupBy("label")
+             .agg(F.count("*").alias("n_nodes"),
+                  F.sum("deg").alias("d_tot")))
+    ls = lab.select(F.col("a"), F.col("label").alias("l_src"))
+    ld = lab.select(F.col("a").alias("b"), F.col("label").alias("l_dst"))
+    e_in = (e.join(ls, "a").join(ld, "b")
+            .filter(F.col("l_src") == F.col("l_dst"))
+            .groupBy(F.col("l_src").alias("label"))
+            .agg(F.count("*").alias("e_in")))
+    m = e.agg(F.count("*").alias("m"))
+    return (per_c.join(e_in, "label", "left")
+            .crossJoin(F.broadcast(m))
+            .select("label", "n_nodes", "d_tot",
+                    F.coalesce("e_in", F.lit(0)).alias("e_in"), "m",
+                    (4 * F.col("m") * F.coalesce("e_in", F.lit(0))
+                     - F.col("d_tot") * F.col("d_tot")).alias("q_num")))

@@ -210,3 +210,40 @@ def training_order(df: DataFrame, n_shards: int = 8,
     return (df.select(F.col(id_col), h.alias("h"), shard.alias("shard"))
             .withColumn("pos", F.row_number().over(w).cast("long"))
             .select(id_col, "shard", "pos"))
+
+
+def apportion_counts(df: DataFrame, stratum_col: str, weight_col: str,
+                     total: int) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer budget
+    across strata: exactly ``total`` sample slots split proportionally
+    to integer weights, the deterministic final step after
+    :func:`mixing_plan` decides the proportions - float shares times a
+    budget never sum to the budget; this does, provably.
+
+    base_c = (w_c * total) div W; the leftover total - sum(base) slots
+    go to the largest remainders (w_c * total) mod W, ties broken by
+    stratum ascending. Pure integer arithmetic end to end. One groupBy
+    to stratum cardinality, a broadcast 1-row total, and rank windows
+    over the STRATA table (never data rows).
+
+    Returns (stratum, weight, base, extra, alloc) with sum(alloc) ==
+    total."""
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    w = (df.groupBy(F.col(stratum_col).alias("stratum"))
+         .agg(F.sum(F.col(weight_col).cast("long")).alias("weight")))
+    tot = w.agg(F.sum("weight").alias("wsum"),
+                F.count("*").alias("n_strata"))
+    q = (w.crossJoin(F.broadcast(tot))
+         .withColumn("base", F.expr(f"(weight * {int(total)}) div wsum"))
+         .withColumn("rem", F.expr(f"(weight * {int(total)}) % wsum")))
+    leftovers = Window.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing)
+    rank_w = Window.orderBy(F.col("rem").desc(), F.col("stratum"))
+    return (q.withColumn("leftover",
+                         F.lit(total) - F.sum("base").over(leftovers))
+            .withColumn("rnk", F.row_number().over(rank_w))
+            .withColumn("extra",
+                        (F.col("rnk") <= F.col("leftover")).cast("long"))
+            .select("stratum", "weight", "base", "extra",
+                    (F.col("base") + F.col("extra")).alias("alloc")))

@@ -339,3 +339,46 @@ def test_gram_vocab_topk_deterministic(spark):
         docs, min_len=2, max_len=2, k=3).collect()]
     # counts: ab=4 (3 + 1), ba=2, bx=1, xy=1 -> tie at 1 broken by gram
     assert got == [("ab", 4), ("ba", 2), ("bx", 1)]
+
+
+def test_modularity_integer_formulation(spark):
+    """Two triangles joined by one bridge, communities = the triangles:
+    m=7, within edges 3+3, degrees (2,2,3)x2 -> d_tot=7 each;
+    q_num = 4*7*3 - 49 = 35 per community; Q = 70/196 ~ 0.357."""
+    from eventrelationextractor_spark.ops import graph as g
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long")
+    labels = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "b")],
+        "node string, label string")
+    out = {r.label: r for r in g.modularity(edges, labels).collect()}
+    for lbl in ("a", "b"):
+        assert out[lbl].e_in == 3 and out[lbl].d_tot == 7
+        assert out[lbl].m == 7 and out[lbl].q_num == 35
+    # everything in ONE community: Q must be exactly 0 (e_in=m, d=2m)
+    one = spark.createDataFrame([(i, "x") for i in range(1, 7)],
+                                "node string, label string")
+    row = g.modularity(edges, one).collect()[0]
+    assert row.q_num == 0
+
+
+def test_apportion_counts_exact_budget(spark):
+    from eventrelationextractor_spark.ops import mixing
+
+    df = spark.createDataFrame(
+        [("web", 5), ("wiki", 3), ("code", 3)], "s string, w long")
+    out = {r.stratum: r for r in mixing.apportion_counts(
+        df, "s", "w", total=10).collect()}
+    # quotas: web 50/11=4 r6, wiki 30/11=2 r8, code 30/11=2 r8
+    # leftover 2 -> largest remainders (code, wiki tie broken asc)
+    assert sum(r.alloc for r in out.values()) == 10
+    assert out["web"].alloc == 4
+    assert out["wiki"].alloc == 3 and out["code"].alloc == 3
+    # degenerate: total smaller than strata count still sums exactly
+    out2 = mixing.apportion_counts(df, "s", "w", total=2).collect()
+    assert sum(r.alloc for r in out2) == 2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mixing.apportion_counts(df, "s", "w", total=-1)
