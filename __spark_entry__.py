@@ -263,6 +263,18 @@ def _q_optimal_segmentation(spark, sf_dir):
     return bpe.optimal_segment(subset, vocab, max_len=4)
 
 
+def _q_rm3_search(spark, sf_dir):
+    """The full RM3 retrieval loop: expansion
+    (ops/bm25.py::rm3_expand) feeding the weighted second pass
+    (ops/bm25.py::bm25_topk_weighted). Both passes share the broadcast-
+    query-dim shape; the 15 expansion weights are 6dp-rounded before
+    pass 2 on BOTH engines, so the chained oracle stays exact."""
+    docs = _docs(spark, sf_dir)
+    expq = bm25.rm3_expand(docs, BM25_QUERY_TERMS, fb_docs=10,
+                           fb_terms=15, orig_weight=0.6)         .select("term", "weight")
+    return bm25.bm25_topk_weighted(docs, expq, k=25)
+
+
 def _q_hybrid_search_rrf(spark, sf_dir):
     """Hybrid retrieval (ops/bm25.py::rrf_fuse): reciprocal-rank fusion
     of the lexical BM25 top-50 and the dense cosine top-50 for one
@@ -3157,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cc_incremental": _q_kg_cc_incremental,
         "link_modularity": _q_link_modularity,
         "mixture_apportion": _q_mixture_apportion,
+        "rm3_search": _q_rm3_search,
     }
 
 
@@ -7112,6 +7125,65 @@ SELECT doc_id, n AS n_chars, d0 AS n_pieces,
 FROM dp WHERE pos = n
 """
 
+_RM3_SEARCH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT * FROM (VALUES ('hash'),('join'),('spark'),('window'),('stream')) q(term)),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM toks JOIN qt USING (term) GROUP BY doc_id, term),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6)
+           AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+top AS (
+  SELECT doc_id, score FROM scored
+  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10),
+total AS (SELECT sum(score) AS total FROM top),
+fb AS (SELECT t.doc_id, t.term, top.score FROM toks t JOIN top USING (doc_id)),
+fdl AS (SELECT doc_id, score, count(*) AS dl FROM fb GROUP BY 1, 2),
+ftf AS (SELECT doc_id, term, count(*) AS tf FROM fb GROUP BY 1, 2),
+prel AS (
+  SELECT term, sum((ftf.tf / fdl.dl) * (fdl.score / total.total)) AS p_rel
+  FROM ftf JOIN fdl USING (doc_id) CROSS JOIN total GROUP BY term),
+qm AS (SELECT term, 1.0 / 5 AS p_q FROM qt),
+merged AS (
+  SELECT coalesce(prel.term, qm.term) AS term,
+         0.6 * coalesce(p_q, 0) + 0.4 * coalesce(p_rel, 0) AS w
+  FROM prel FULL OUTER JOIN qm ON prel.term = qm.term),
+ranked AS (SELECT term, round(w, 6) AS weight FROM merged),
+expq AS (
+  SELECT term, weight FROM ranked
+  QUALIFY row_number() OVER (ORDER BY weight DESC, term) <= 15),
+tf2 AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks JOIN expq USING (term) GROUP BY 1, 2),
+dfs2 AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf2 GROUP BY term),
+scored2 AS (
+  SELECT tf2.doc_id,
+         round(sum(expq.weight
+               * ln(1 + (s.n_docs - dfs2.df + 0.5) / (dfs2.df + 0.5))
+               * tf2.tf * (1.2 + 1.0)
+               / (tf2.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6)
+           AS score
+  FROM tf2 JOIN expq USING (term) JOIN dfs2 USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf2.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id, score
+FROM scored2
+QUALIFY rank <= 25
+"""
+
 _RM3_ORACLE = """
 WITH toks AS (
   SELECT doc_id, t.term
@@ -7328,6 +7400,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "kg_cc_incremental": _CC_INC_ORACLE,
         "link_modularity": _MODULARITY_ORACLE,
         "mixture_apportion": _APPORTION_ORACLE,
+        "rm3_search": _RM3_SEARCH_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

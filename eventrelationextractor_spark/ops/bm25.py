@@ -251,3 +251,48 @@ def rm3_expand(docs: DataFrame, query_terms: list, fb_docs: int = 10,
     w = Window.orderBy(F.col("weight").desc(), F.col("term"))
     return ranked.withColumn("rank", F.row_number().over(w).cast("long")) \
         .select("rank", "term", "weight")
+
+
+def bm25_topk_weighted(docs: DataFrame, weighted_terms: DataFrame,
+                       k: int = 20, k1: float = 1.2, b: float = 0.75,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Weighted-query BM25 - the second retrieval pass after
+    :func:`rm3_expand`: identical scoring to :func:`bm25_topk` but each
+    term's contribution is scaled by its query weight (an RM3 expansion
+    weight, a user boost, a synonym discount).
+
+    ``weighted_terms`` is (term, weight) - a handful of rows, broadcast
+    exactly like the unweighted query dimension, so the scale shape is
+    unchanged: the weight rides the same semi-join that drops
+    non-query tokens before anything wide. Scores round to 6dp, ties
+    rank by doc_id."""
+    toks = tokenize(docs, id_col, text_col)
+    qt = weighted_terms.select(F.col(weighted_terms.columns[0])
+                               .alias("term"),
+                               F.col(weighted_terms.columns[1])
+                               .cast("double").alias("qw"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    tf = (toks.join(F.broadcast(qt), "term")
+          .groupBy("doc_id", "term", "qw").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf
+              .join(F.broadcast(df_), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("idf", F.log(
+                  F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)))
+              .withColumn("part", F.col("qw") * F.col("idf") * F.col("tf")
+                          * (k1 + 1.0)
+                          / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                                 / F.col("avgdl"))))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum("part"), 6).alias("score")))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("rank").cast("long").alias("rank"), "doc_id",
+                    "score"))

@@ -231,3 +231,31 @@ def test_rm3_expand_semantics(spark):
     assert got == sorted(got, key=lambda g: (g[0],))
     with pytest.raises(ValueError):
         bm.rm3_expand(docs, ["spark", "spark"])
+
+
+def test_bm25_weighted_reduces_to_unweighted_at_weight_one(spark):
+    """With every weight = 1.0 the weighted pass must equal bm25_topk
+    exactly; doubling one term's weight doubles its contribution."""
+    from eventrelationextractor_spark.ops import bm25 as bm
+
+    docs = spark.createDataFrame(
+        [(i, ("spark shuffle " * (i % 3 + 1)) + "filler text")
+         for i in range(1, 8)],
+        "doc_id long, text string")
+    plain = [(r.rank, r.doc_id, r.score)
+             for r in bm.bm25_topk(docs, ["spark", "shuffle"], k=5)
+             .collect()]
+    ones = spark.createDataFrame([("spark", 1.0), ("shuffle", 1.0)],
+                                 "term string, weight double")
+    weighted = [(r.rank, r.doc_id, r.score)
+                for r in bm.bm25_topk_weighted(docs, ones, k=5).collect()]
+    assert plain == weighted
+    # a zero-weight term contributes nothing
+    zero = spark.createDataFrame([("spark", 1.0), ("shuffle", 0.0)],
+                                 "term string, weight double")
+    only_spark = {r.doc_id: r.score
+                  for r in bm.bm25_topk_weighted(docs, zero, k=5)
+                  .collect()}
+    solo = {r.doc_id: r.score
+            for r in bm.bm25_topk(docs, ["spark"], k=5).collect()}
+    assert only_spark == solo
