@@ -2954,6 +2954,16 @@ def _q_hdr_group_quantiles(spark, sf_dir):
     return sketches.hdr_group_quantiles(sk, ("source",))
 
 
+def _q_winsorize_lengths(spark, sf_dir):
+    """Sketch-driven winsorization (ops/sketches.py::winsorize_by_hdr):
+    n_chars clipped at the HDR-estimated p1/p99 - two passes, one
+    map-side clip against two broadcast integer thresholds; no sort,
+    no percentile_approx, engine-exact boundaries."""
+    return sketches.winsorize_by_hdr(_docs(spark, sf_dir), "n_chars",
+                                     "doc_id", lo=(1, 100),
+                                     hi=(99, 100))
+
+
 def _q_scd2_history(spark, sf_dir):
     """Slowly-changing-dimension type-2 build
     (ops/events.py::scd2_history): per-user event_type version history
@@ -3170,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_modularity": _q_link_modularity,
         "mixture_apportion": _q_mixture_apportion,
         "rm3_search": _q_rm3_search,
+        "winsorize_lengths": _q_winsorize_lengths,
     }
 
 
@@ -7286,6 +7297,47 @@ QUALIFY row_number() OVER (PARTITION BY source, q_label
                            ORDER BY bucket_lo) = 1
 """
 
+_WINSORIZE_ORACLE = """
+WITH vals AS (
+  SELECT n_chars AS v FROM documents WHERE n_chars >= 1),
+b AS (
+  SELECT
+    CASE WHEN length(CAST(v AS VARCHAR)) <= 2 THEN v
+         ELSE CAST(substr(CAST(v AS VARCHAR), 1, 2) AS BIGINT)
+              * CAST('1' || repeat('0', length(CAST(v AS VARCHAR)) - 2)
+                     AS BIGINT) END AS bucket_lo,
+    CASE WHEN length(CAST(v AS VARCHAR)) <= 2 THEN v
+         ELSE CAST(substr(CAST(v AS VARCHAR), 1, 2) AS BIGINT)
+              * CAST('1' || repeat('0', length(CAST(v AS VARCHAR)) - 2)
+                     AS BIGINT)
+              + CAST('1' || repeat('0', length(CAST(v AS VARCHAR)) - 2)
+                     AS BIGINT) - 1 END AS bucket_hi
+  FROM vals),
+sk AS (
+  SELECT bucket_lo, bucket_hi, count(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT bucket_lo, bucket_hi,
+         sum(cnt) OVER (ORDER BY bucket_lo) AS cum,
+         sum(cnt) OVER () AS n_total
+  FROM sk),
+spec(q_label, num, den) AS (VALUES ('1/100', 1, 100), ('99/100', 99, 100)),
+hits AS (
+  SELECT q_label, bucket_lo, bucket_hi,
+         row_number() OVER (PARTITION BY q_label ORDER BY bucket_lo) AS rn
+  FROM cum, spec
+  WHERE cum >= (num * n_total + den - 1) // den),
+thr AS (
+  SELECT min(CASE WHEN q_label = '1/100'
+                  THEN (bucket_lo + bucket_hi) // 2 END) AS lo_est,
+         min(CASE WHEN q_label <> '1/100'
+                  THEN (bucket_lo + bucket_hi) // 2 END) AS hi_est
+  FROM hits WHERE rn = 1)
+SELECT doc_id AS id, n_chars AS value,
+       least(greatest(n_chars, lo_est), hi_est) AS clipped,
+       n_chars <> least(greatest(n_chars, lo_est), hi_est) AS was_clipped
+FROM documents, thr
+"""
+
 _SCD2_ORACLE = """
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
@@ -7401,6 +7453,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "link_modularity": _MODULARITY_ORACLE,
         "mixture_apportion": _APPORTION_ORACLE,
         "rm3_search": _RM3_SEARCH_ORACLE,
+        "winsorize_lengths": _WINSORIZE_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

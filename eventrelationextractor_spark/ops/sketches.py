@@ -339,3 +339,32 @@ def hdr_group_quantiles(sketch: DataFrame, group_cols: tuple,
                     F.col("b.bucket_hi").alias("bucket_hi"),
                     F.expr("(b.bucket_lo + b.bucket_hi) div 2")
                     .alias("estimate")))
+
+
+def winsorize_by_hdr(df: DataFrame, value_col: str, id_col: str,
+                     lo=(1, 100), hi=(99, 100)) -> DataFrame:
+    """Sketch-driven winsorization: clip a positive integer column at
+    the HDR-estimated lo/hi quantiles - outlier taming for training
+    statistics (doc lengths, latencies, prices) where a global sort for
+    exact percentiles is off the table and float percentile_approx
+    isn't engine-replayable.
+
+    Two passes over the column: one to build the (<= 90 rows/decade)
+    sketch, one map-side clip against the TWO broadcast threshold rows.
+    Thresholds are the integer bucket midpoints from
+    :func:`hdr_quantiles`, so the clip boundary is exact on any engine.
+
+    Returns (id, value, clipped, was_clipped)."""
+    q = hdr_quantiles(hdr_buckets(df, value_col), qs=(lo, hi))
+    lo_lbl = f"{lo[0]}/{lo[1]}"
+    thr = (q.groupBy()
+           .agg(F.min(F.when(F.col("q_label") == lo_lbl,
+                             F.col("estimate"))).alias("lo_est"),
+                F.min(F.when(F.col("q_label") != lo_lbl,
+                             F.col("estimate"))).alias("hi_est")))
+    v = F.col(value_col).cast("long")
+    return (df.crossJoin(F.broadcast(thr))
+            .select(F.col(id_col).alias("id"), v.alias("value"),
+                    F.least(F.greatest(v, F.col("lo_est")),
+                            F.col("hi_est")).alias("clipped"))
+            .withColumn("was_clipped", F.col("value") != F.col("clipped")))

@@ -122,3 +122,22 @@ def test_hdr_group_quantiles_match_per_group(spark):
                                    "v")).collect()}
         for q, row in solo.items():
             assert grouped[(g, q)] == row
+
+
+def test_winsorize_by_hdr_clips_both_tails(spark):
+    from pyspark.sql import functions as F
+
+    from eventrelationextractor_spark.ops import sketches as sk
+    # 1000 mid values + extreme tails on both sides
+    df = spark.range(1, 1001).select(
+        F.col("id").alias("doc"), (F.col("id") % 50 + 500).alias("v")) \
+        .unionByName(spark.createDataFrame(
+            [(9001, 1), (9002, 1000000)], "doc long, v long"))
+    out = {r.id: r for r in sk.winsorize_by_hdr(df, "v", "doc").collect()}
+    assert out[9001].was_clipped and out[9001].clipped > 1
+    assert out[9002].was_clipped and out[9002].clipped < 1000000
+    mid = out[525]    # v=525, safely inside [p1, p99]
+    assert not mid.was_clipped and mid.clipped == mid.value
+    # clip bounds are the HDR midpoints: all clipped values inside them
+    los = {r.clipped for r in out.values()}
+    assert min(los) == out[9001].clipped and max(los) == out[9002].clipped
