@@ -609,6 +609,22 @@ def _q_stratified_sample(spark, sf_dir):
     return samp.select("doc_id", F.col("predicted_lang").alias("lang"))
 
 
+def _q_spoof_hosts(spark, sf_dir):
+    """IDN homograph detection (ops/urls.py::spoof_clusters): the
+    doc_id % 7 slice re-registers its host with Cyrillic
+    \u0435/\u043e lookalikes; confusable skeletons collide the
+    variants back onto the Latin host (TR39-style, translate()-exact
+    on both engines). Staged chars use explicit escapes - the nfc
+    lesson: visually-identical literals get silently normalized by
+    edit tooling."""
+    d = urls.parse_urls(_web_urls(spark, sf_dir)).select("doc_id", "host")
+    staged = d.select(
+        F.when(F.expr("doc_id % 7 = 0"),
+               F.translate("host", "eo", "\u0435\u043e"))
+        .otherwise(F.col("host")).alias("host"))
+    return urls.spoof_clusters(staged)
+
+
 def _q_url_parse(spark, sf_dir):
     return urls.parse_urls(_web_urls(spark, sf_dir)) \
         .select("doc_id", "host", "domain", "tld", "path_depth")
@@ -3181,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_apportion": _q_mixture_apportion,
         "rm3_search": _q_rm3_search,
         "winsorize_lengths": _q_winsorize_lengths,
+        "spoof_hosts": _q_spoof_hosts,
     }
 
 
@@ -7297,6 +7314,33 @@ QUALIFY row_number() OVER (PARTITION BY source, q_label
                            ORDER BY bucket_lo) = 1
 """
 
+_SPOOF_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         CASE (doc_id % 5)
+           WHEN 0 THEN 'news.example.com'
+           WHEN 1 THEN 'blog.example.org'
+           WHEN 2 THEN 'www.sample.net'
+           WHEN 3 THEN 'docs.mirror.example.com'
+           ELSE 'shop.example.co' END AS host
+  FROM documents),
+staged AS (
+  SELECT CASE WHEN doc_id % 7 = 0
+              THEN translate(host, 'eo', chr(1077) || chr(1086))
+              ELSE host END AS host
+  FROM u),
+hosts AS (SELECT DISTINCT host FROM staged),
+sk AS (
+  SELECT host,
+         translate(lower(host), chr(48) || chr(49) || chr(1072) || chr(1077) || chr(1086) || chr(1088) || chr(1089) || chr(1109) || chr(1110) || chr(1112) || chr(1091) || chr(1093) || chr(959) || chr(945) || chr(949) || chr(953) || chr(957), 'olaeopcsijyxoaein')
+           AS skeleton
+  FROM hosts),
+g AS (SELECT skeleton, count(DISTINCT host) AS n_variants
+      FROM sk GROUP BY 1)
+SELECT host, sk.skeleton, n_variants, n_variants > 1 AS is_spoof_cluster
+FROM sk JOIN g USING (skeleton)
+"""
+
 _WINSORIZE_ORACLE = """
 WITH vals AS (
   SELECT n_chars AS v FROM documents WHERE n_chars >= 1),
@@ -7454,6 +7498,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "mixture_apportion": _APPORTION_ORACLE,
         "rm3_search": _RM3_SEARCH_ORACLE,
         "winsorize_lengths": _WINSORIZE_ORACLE,
+        "spoof_hosts": _SPOOF_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

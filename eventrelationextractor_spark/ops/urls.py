@@ -8,7 +8,7 @@ quality, dedup scoping all group by it).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HOST_RE = r"^[a-z]+://([^/]+)"
@@ -473,3 +473,40 @@ def robots_gate_full(frontier: DataFrame, robots: DataFrame,
                     .otherwise(F.col("_b.is_allow")
                                | (F.col("_b.plen") == -1))
                     .alias("allowed")))
+
+
+# Unicode-confusable skeleton (the TR39 idea at dashboard scale): map
+# the common Cyrillic/Greek lookalikes + digit substitutions onto their
+# Latin targets so visually-identical hostnames collide. A deliberately
+# SMALL, documented table - full TR39 includes multi-char mappings that
+# translate() cannot express; this covers the homograph families real
+# phishing hosts actually use.
+CONFUSABLE_FROM = ("01"
+                   "аеорсѕіј"
+                   "ух"
+                   "οαειν")
+CONFUSABLE_TO = "olaeopcsijyxoaein"
+
+
+def spoof_skeleton(col):
+    """Column expression: lowercase + confusable->Latin translate
+    (identical translate semantics in Spark and DuckDB)."""
+    return F.translate(F.lower(col), CONFUSABLE_FROM, CONFUSABLE_TO)
+
+
+def spoof_clusters(df, host_col: str = "host"):
+    """Homograph-spoof candidates: hosts whose confusable SKELETONS
+    collide while the raw strings differ - the IDN phishing detector
+    (аpple.com vs apple.com) run over the whole host table.
+
+    -> (host, skeleton, n_variants, is_spoof_cluster): one window over
+    the skeleton key (host-cardinality input, single Exchange - the
+    kanon_suppress shape). n_variants counts DISTINCT raw hosts per
+    skeleton; clusters of one are the normal case and flagged false."""
+    sk = df.select(F.col(host_col).alias("host")).distinct() \
+        .withColumn("skeleton", spoof_skeleton(F.col("host")))
+    w = Window.partitionBy("skeleton")
+    return (sk.withColumn("n_variants",
+                          F.size(F.collect_set("host").over(w))
+                          .cast("long"))
+            .withColumn("is_spoof_cluster", F.col("n_variants") > 1))

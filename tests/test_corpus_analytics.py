@@ -954,3 +954,26 @@ def test_apply_cdc_is_aggregation_not_window(spark):
     plan = _physical(dedup.apply_cdc(log))
     assert "Window" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_spoof_clusters_homograph_detection(spark):
+    """Cyrillic/Greek lookalikes and digit substitutions collide onto
+    the Latin skeleton; unrelated hosts do not; a skeleton with a
+    single host is not a cluster."""
+    from eventrelationextractor_spark.ops import urls as u
+
+    hosts = [
+        ("apple.com",),
+        ("аpple.com",),        # Cyrillic a
+        ("applе.com",),        # Cyrillic e
+        ("g00gle.com",), ("google.com",),   # digit zero
+        ("example.org",),           # singleton
+    ]
+    df = spark.createDataFrame(hosts, "host string")
+    out = {r.host: r for r in u.spoof_clusters(df).collect()}
+    assert out["apple.com"].is_spoof_cluster
+    assert out["apple.com"].n_variants == 3
+    assert out["аpple.com"].skeleton == "apple.com"
+    assert out["g00gle.com"].skeleton == "google.com"
+    assert out["g00gle.com"].is_spoof_cluster
+    assert not out["example.org"].is_spoof_cluster
