@@ -29,6 +29,7 @@ from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: 
 from eventrelationextractor_spark.ops import bloom, bpe, graph, linededup  # noqa: E402
 from eventrelationextractor_spark.ops import htmltext, mixing, pii  # noqa: E402
 from eventrelationextractor_spark.ops import maintenance, mining, quality  # noqa: E402
+from eventrelationextractor_spark.ops import linkage  # noqa: E402
 from eventrelationextractor_spark.ops import simsearch, sketches, textstats, urls  # noqa: E402
 from eventrelationextractor_spark.spark import kg, stages  # noqa: E402
 
@@ -3011,6 +3012,66 @@ def _q_allen_relations(spark, sf_dir):
         start_col="start_ts", end_col="end_ts")
 
 
+# --- record linkage: shared derivation strings (valid Spark SQL AND
+# --- DuckDB SQL verbatim - the WRAP_TEMPLATE lockstep pattern)
+
+def _case_pick(expr: str, options: list[str]) -> str:
+    whens = " ".join(f"WHEN {i} THEN '{w}'" for i, w in enumerate(options))
+    return f"CASE ({expr}) {whens} END"
+
+
+_LINK_SURNAME = _case_pick("(doc_id*7+3)%16", [
+    "smith", "jones", "taylor", "brown", "wilson", "evans", "thomas",
+    "walker", "white", "green", "hall", "wood", "clarke", "hughes",
+    "lewis", "young"])
+_LINK_FIRST = _case_pick("(doc_id*11+5)%12", [
+    "beth", "ben", "carl", "dana", "eli", "fay", "gus", "hana",
+    "ivan", "josh", "kim", "lena"])
+_LINK_CITY = _case_pick("doc_id%8", [
+    "aston", "boone", "cadiz", "derry", "ely", "fargo", "gary", "hilo"])
+_LINK_BASE_FIELDS = (
+    "doc_id AS rec_id",
+    f"{_LINK_SURNAME} AS surname",
+    f"{_LINK_FIRST} AS first_name",
+    f"{_LINK_CITY} AS city",
+    "10000 + (doc_id*37)%900 AS zipc")
+_LINK_PERTURB = (
+    "rec_id",
+    "CASE WHEN rec_id%5=0 THEN translate(surname,'a','e') "
+    "ELSE surname END AS surname",
+    "CASE WHEN rec_id%5=2 THEN substr(first_name,1,length(first_name)-1) "
+    "ELSE first_name END AS first_name",
+    "city",
+    "CASE WHEN rec_id%5=1 THEN zipc+1 ELSE zipc END AS zipc")
+_LINK_COMPARISONS = [("surname", "lev1", 240, -180),
+                     ("first_name", "exact", 180, -120),
+                     ("zipc", "exact", 300, -150),
+                     ("city", "exact", 90, -60)]
+
+
+def _linkage_records(spark, sf_dir):
+    base = _docs(spark, sf_dir).selectExpr(*_LINK_BASE_FIELDS)
+    left = base.where("rec_id % 3 <> 2")
+    right = base.where("rec_id % 2 = 0").selectExpr(*_LINK_PERTURB)
+    block = ["zipc div 10 AS zb", "substr(surname,1,1) AS sb"]
+    return (left.selectExpr("*", *block), right.selectExpr("*", *block))
+
+
+def _q_record_linkage(spark, sf_dir):
+    """Fellegi-Sunter record linkage (ops/linkage.py::link_records):
+    two record sources derived from the doc universe (the right side
+    perturbed - surname vowel typos, zip off-by-one, truncated first
+    names), blocked on (zipc div 10, surname initial), scored with
+    integer centiban agree/disagree weights, classified match /
+    possible / nonmatch. The blocked equi-join is the only pair
+    generator - no all-pairs anywhere; field comparisons (incl. the
+    banded thresholded levenshtein) are pure codegen."""
+    left, right = _linkage_records(spark, sf_dir)
+    return linkage.link_records(left, right, ["zb", "sb"],
+                                _LINK_COMPARISONS, match_threshold=500,
+                                possible_threshold=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -3198,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_search": _q_rm3_search,
         "winsorize_lengths": _q_winsorize_lengths,
         "spoof_hosts": _q_spoof_hosts,
+        "record_linkage": _q_record_linkage,
     }
 
 
@@ -7314,6 +7376,37 @@ QUALIFY row_number() OVER (PARTITION BY source, q_label
                            ORDER BY bucket_lo) = 1
 """
 
+_LINKAGE_ORACLE = f"""
+WITH base AS (
+  SELECT {", ".join(_LINK_BASE_FIELDS)}
+  FROM documents),
+l AS (SELECT * FROM base WHERE rec_id % 3 <> 2),
+r AS (SELECT {", ".join(_LINK_PERTURB)}
+      FROM base WHERE rec_id % 2 = 0),
+p AS (
+  SELECT l.rec_id AS left_id, r.rec_id AS right_id,
+         levenshtein(l.surname, r.surname) <= 1 AS surname_agree,
+         l.first_name = r.first_name AS first_name_agree,
+         l.zipc = r.zipc AS zipc_agree,
+         l.city = r.city AS city_agree
+  FROM l JOIN r
+    ON l.zipc // 10 = r.zipc // 10
+   AND substr(l.surname, 1, 1) = substr(r.surname, 1, 1)),
+s AS (
+  SELECT *,
+         (CASE WHEN surname_agree THEN 240 ELSE -180 END
+          + CASE WHEN first_name_agree THEN 180 ELSE -120 END
+          + CASE WHEN zipc_agree THEN 300 ELSE -150 END
+          + CASE WHEN city_agree THEN 90 ELSE -60 END) AS raw_score
+  FROM p)
+SELECT left_id, right_id, surname_agree, first_name_agree, zipc_agree,
+       city_agree, CAST(raw_score AS BIGINT) AS score,
+       CASE WHEN raw_score >= 500 THEN 'match'
+            WHEN raw_score >= 0 THEN 'possible'
+            ELSE 'nonmatch' END AS decision
+FROM s
+"""
+
 _SPOOF_ORACLE = """
 WITH u AS (
   SELECT doc_id,
@@ -7499,6 +7592,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "rm3_search": _RM3_SEARCH_ORACLE,
         "winsorize_lengths": _WINSORIZE_ORACLE,
         "spoof_hosts": _SPOOF_ORACLE,
+        "record_linkage": _LINKAGE_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,
