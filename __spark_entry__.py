@@ -1824,6 +1824,23 @@ def _q_bm25_ndcg(spark, sf_dir):
     return bm25.ndcg_at_k(res, rel, k=25)
 
 
+def _q_bm25_map_mrr(spark, sf_dir):
+    """AP@25 / MRR / recall@25 of the BM25 run
+    (ops/bm25.py::map_mrr_at_k) against binary judgments (any query
+    term present). AP's rank-reciprocal sum rides lcm(1..25)-scaled
+    exact integers, so the metric is engine-deterministic regardless
+    of aggregation merge order; the oracle shares the run CTEs with
+    the ndcg oracle so both metrics grade the same run."""
+    docs = _docs(spark, sf_dir)
+    res = bm25.bm25_topk(docs, BM25_QUERY_TERMS, k=25)
+    qt = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS],
+                               "term string")
+    rel = (bm25.tokenize(docs).select("doc_id", "term").distinct()
+           .join(F.broadcast(qt), "term")
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("rel")))
+    return bm25.map_mrr_at_k(res, rel, k=25)
+
+
 BADWORDS = ["slow", "big", "error"]  # stand-in blocklist, present in corpus
 
 
@@ -3260,6 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_lengths": _q_winsorize_lengths,
         "spoof_hosts": _q_spoof_hosts,
         "record_linkage": _q_record_linkage,
+        "bm25_map_mrr": _q_bm25_map_mrr,
     }
 
 
@@ -5744,8 +5762,10 @@ w{t} AS (SELECT w.start,
     return "".join(parts)
 
 
-_BM25_NDCG_ORACLE = """
-WITH toks AS (
+# BM25 run + judgments CTE block shared by the ndcg and map/mrr
+# oracles - one definition so the two metrics can never grade
+# different runs.
+_BM25_RUN_CTES = """toks AS (
   SELECT doc_id, t.term
   FROM documents,
        unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
@@ -5769,7 +5789,10 @@ topk AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
          doc_id FROM scored
          QUALIFY rnk <= 25),
 rel AS (SELECT doc_id, count(DISTINCT term) AS rel
-        FROM toks JOIN qt USING (term) GROUP BY doc_id),
+        FROM toks JOIN qt USING (term) GROUP BY doc_id)"""
+
+_BM25_NDCG_ORACLE = f"""
+WITH {_BM25_RUN_CTES},
 dcg AS (SELECT coalesce(sum((pow(2.0, CAST(coalesce(rel, 0) AS DOUBLE)) - 1.0)
         / log2(rnk + 1.0)), 0.0) AS dcg
         FROM topk LEFT JOIN rel USING (doc_id)),
@@ -5782,6 +5805,35 @@ SELECT CAST(25 AS BIGINT) AS k, round(dcg, 6) AS dcg,
   round(idcg, 6) AS idcg,
   round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
 FROM dcg CROSS JOIN idcg
+"""
+
+# lcm(1..25): every AP term (hits_so_far / rank) scaled by this is an
+# exact integer - the sum can't drift with aggregation merge order.
+_LCM25 = 26771144400
+
+_BM25_MAP_ORACLE = f"""
+WITH {_BM25_RUN_CTES},
+relevant AS (SELECT doc_id FROM rel WHERE rel > 0),
+rtot AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM relevant),
+hits AS (SELECT rnk,
+                CAST(row_number() OVER (ORDER BY rnk) AS BIGINT) AS hsf
+         FROM topk JOIN relevant USING (doc_id)),
+aggd AS (SELECT
+           CAST(coalesce(sum(({_LCM25} // rnk) * hsf), 0) AS BIGINT)
+             AS ap_num,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(coalesce(min(rnk), 0) AS BIGINT) AS first_rank
+         FROM hits)
+SELECT CAST(25 AS BIGINT) AS k, n_rel, n_hits, first_rank,
+  round(CASE WHEN least(n_rel, 25) > 0
+        THEN CAST(ap_num AS DOUBLE)
+             / ({_LCM25}.0 * CAST(least(n_rel, 25) AS DOUBLE))
+        ELSE 0.0 END, 6) AS ap,
+  round(CASE WHEN first_rank > 0 THEN 1.0 / first_rank
+        ELSE 0.0 END, 6) AS mrr,
+  round(CASE WHEN n_rel > 0 THEN CAST(n_hits AS DOUBLE) / n_rel
+        ELSE 0.0 END, 6) AS recall
+FROM aggd CROSS JOIN rtot
 """
 
 
@@ -7593,6 +7645,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "winsorize_lengths": _WINSORIZE_ORACLE,
         "spoof_hosts": _SPOOF_ORACLE,
         "record_linkage": _LINKAGE_ORACLE,
+        "bm25_map_mrr": _BM25_MAP_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

@@ -150,6 +150,76 @@ def ndcg_at_k(results: DataFrame, judgments: DataFrame, k: int = 25,
                             .otherwise(F.lit(0.0)), 6).alias("ndcg")))
 
 
+def _lcm_upto(k: int) -> int:
+    """lcm(1..k) - the common denominator that turns every 1/rank and
+    precision@rank term into an exact integer (k=25 -> 26,771,144,400,
+    comfortably inside int64 even after the cumulative-hit multiply)."""
+    from math import gcd
+    out = 1
+    for i in range(2, k + 1):
+        out = out * i // gcd(out, i)
+    return out
+
+
+def map_mrr_at_k(results: DataFrame, judgments: DataFrame, k: int = 25,
+                 rank_col: str = "rank", id_col: str = "doc_id",
+                 rel_col: str = "rel") -> DataFrame:
+    """AP@k / MRR / recall@k of a ranked run against binary relevance
+    (rel > 0) -> ONE row (k, n_rel, n_hits, first_rank, ap, mrr,
+    recall). The binary-relevance companions to ndcg_at_k: MRR grades
+    known-item search, AP grades the whole ranking, recall@k grades
+    candidate-generation budgets (e.g. is the ANN recall stage feeding
+    the reranker enough positives).
+
+    Exactness contract: AP is a sum of hits_so_far/rank rationals whose
+    denominators all divide lcm(1..k), so the sum is computed as an
+    exact INTEGER in lcm-scaled units and divided exactly once at the
+    end - the money-in-cents lesson applied to rank reciprocals; a
+    float sum here would depend on partial-aggregation merge order.
+    MRR and recall are single divisions of exact integers. Judgments
+    are deduped to max(rel) per doc first (the ndcg fan-out lesson).
+
+    Scale shape: the run is top-k (broadcast-sized); the only
+    corpus-scale work is the judgment dedup groupBy. The hit window
+    orders <= k rows."""
+    lcm = _lcm_upto(k)
+    res = results.filter(F.col(rank_col) <= k).select(
+        F.col(rank_col).cast("long").alias("rnk"),
+        F.col(id_col).alias("rid"))
+    j = (judgments.select(F.col(id_col).alias("rid"),
+                          F.col(rel_col).alias("rel"))
+         .groupBy("rid").agg(F.max("rel").alias("rel")))
+    relevant = j.filter(F.col("rel") > 0).select("rid")
+    n_rel = relevant.agg(F.count(F.lit(1)).alias("n_rel"))
+    w = Window.orderBy("rnk")
+    hits = (res.join(relevant, "rid")
+            .withColumn("hsf", F.row_number().over(w).cast("long")))
+    aggd = hits.agg(
+        F.coalesce(F.sum(F.expr(f"({lcm} div rnk) * hsf")),
+                   F.lit(0)).cast("long").alias("ap_num"),
+        F.count(F.lit(1)).alias("n_hits"),
+        F.coalesce(F.min("rnk"), F.lit(0)).cast("long").alias("first_rank"))
+    return (aggd.crossJoin(n_rel)
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                F.col("n_rel").cast("long").alias("n_rel"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                "first_rank",
+                F.round(F.when(
+                    F.least(F.col("n_rel"), F.lit(k)) > 0,
+                    F.col("ap_num").cast("double")
+                    / (F.lit(float(lcm))
+                       * F.least(F.col("n_rel"), F.lit(k)).cast("double")))
+                    .otherwise(F.lit(0.0)), 6).alias("ap"),
+                F.round(F.when(F.col("first_rank") > 0,
+                               F.lit(1.0) / F.col("first_rank"))
+                        .otherwise(F.lit(0.0)), 6).alias("mrr"),
+                F.round(F.when(F.col("n_rel") > 0,
+                               F.col("n_hits").cast("double")
+                               / F.col("n_rel"))
+                        .otherwise(F.lit(0.0)), 6).alias("recall")))
+
+
 def rrf_fuse(rankings: list, k_rrf: int = 60, topk: int = 20,
              id_col: str = "doc_id",
              rank_col: str = "rank") -> DataFrame:

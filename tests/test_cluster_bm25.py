@@ -259,3 +259,27 @@ def test_bm25_weighted_reduces_to_unweighted_at_weight_one(spark):
     solo = {r.doc_id: r.score
             for r in bm.bm25_topk(docs, ["spark"], k=5).collect()}
     assert only_spark == solo
+
+
+def test_map_mrr_at_k_known_values(spark):
+    # run: ranks 1..5; relevant = {a, c, f} (f never returned).
+    res = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")],
+        "rank long, doc_id string")
+    # duplicate judgment rows for 'a' must not fan out the hit join
+    jud = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("c", 1), ("f", 3), ("b", 0)],
+        "doc_id string, rel long")
+    row = bm25.map_mrr_at_k(res, jud, k=5).collect()[0]
+    assert (row.n_rel, row.n_hits, row.first_rank) == (3, 2, 1)
+    # AP = (1/3) * (1/1 + 2/3) = 5/9
+    assert row.ap == round(5.0 / 9.0, 6)
+    assert row.mrr == 1.0
+    assert row.recall == round(2.0 / 3.0, 6)
+
+
+def test_map_mrr_at_k_no_hits(spark):
+    res = spark.createDataFrame([(1, "x")], "rank long, doc_id string")
+    jud = spark.createDataFrame([("a", 1)], "doc_id string, rel long")
+    row = bm25.map_mrr_at_k(res, jud, k=5).collect()[0]
+    assert (row.n_hits, row.first_rank, row.ap, row.mrr) == (0, 0, 0.0, 0.0)
