@@ -1764,6 +1764,41 @@ def _q_events_anomalies(spark, sf_dir):
     return events.window_anomalies(ev.unionByName(burst), minutes=60)
 
 
+def _q_events_cusum(spark, sf_dir):
+    """CUSUM volume-shift alarms (ops/events.py::cusum_alarms) over
+    per-(event_type, minute) counts with per-type integer-floor mean
+    targets; the same deterministic click burst as events_anomalies is
+    injected so the alarm provably fires at every SF. The clipped
+    recursion rides the prefix-sum/running-min closed form - two
+    stacked windows, zero iteration, exact integers end to end."""
+    ev = _events(spark, sf_dir).select("ts", "event_type")
+    burst = _events(spark, sf_dir).filter(F.col("event_id") % 5 == 0) \
+        .select(F.lit("2024-01-02 00:15:00").cast("timestamp").alias("ts"),
+                F.lit("click").alias("event_type"))
+    counts = (ev.unionByName(burst)
+              .groupBy("event_type",
+                       F.date_trunc("minute", F.col("ts")).alias("minute"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tgt = counts.groupBy("event_type").agg(
+        F.expr("sum(n) div count(1)").alias("target"))
+    series = counts.join(F.broadcast(tgt), "event_type")
+    out = events.cusum_alarms(series, "event_type", "minute", "n",
+                              "target", slack=1, threshold=50)
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("minute").cast("timestamp_ltz"))
+        .alias("minute_us"),
+        "n", "cusum", "alarm")
+
+
+def _q_session_transitions(spark, sf_dir):
+    """First-order Markov next-event matrix
+    (ops/events.py::session_transitions): one lead window per user
+    stream (event_id tie-break), integer transition counts, row-
+    normalized by a single exact division."""
+    return events.session_transitions(_events(spark, sf_dir))
+
+
 def _q_link_ppr(spark, sf_dir):
     """Personalized PageRank from a seed set (ops/graph.py::
     personalized_pagerank, Haveliwala 2002): teleport + dangling mass
@@ -3278,6 +3313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spoof_hosts": _q_spoof_hosts,
         "record_linkage": _q_record_linkage,
         "bm25_map_mrr": _q_bm25_map_mrr,
+        "events_cusum": _q_events_cusum,
+        "session_transitions": _q_session_transitions,
     }
 
 
@@ -7459,6 +7496,43 @@ SELECT left_id, right_id, surname_agree, first_name_agree, zipc_agree,
 FROM s
 """
 
+_CUSUM_ORACLE = """
+WITH ev AS (
+  SELECT ts, event_type FROM events
+  UNION ALL
+  SELECT TIMESTAMP '2024-01-02 00:15:00' AS ts, 'click' AS event_type
+  FROM events WHERE event_id % 5 = 0),
+c AS (SELECT event_type, date_trunc('minute', ts) AS minute,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2),
+t AS (SELECT event_type, sum(n) // count(*) AS target
+      FROM c GROUP BY 1),
+s AS (SELECT c.event_type, minute, n,
+        sum(n - target - 1) OVER (PARTITION BY c.event_type
+                                  ORDER BY minute) AS p
+      FROM c JOIN t USING (event_type)),
+m AS (SELECT event_type, minute, n, p,
+        min(p) OVER (PARTITION BY event_type ORDER BY minute) AS pmin
+      FROM s)
+SELECT event_type, epoch_us(minute) AS minute_us, n,
+       CAST(p - least(0, pmin) AS BIGINT) AS cusum,
+       (p - least(0, pmin)) >= 50 AS alarm
+FROM m
+"""
+
+_TRANSITIONS_ORACLE = """
+WITH p AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events),
+c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE dst IS NOT NULL GROUP BY 1, 2)
+SELECT src, dst, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+FROM c
+"""
+
 _SPOOF_ORACLE = """
 WITH u AS (
   SELECT doc_id,
@@ -7646,6 +7720,8 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "spoof_hosts": _SPOOF_ORACLE,
         "record_linkage": _LINKAGE_ORACLE,
         "bm25_map_mrr": _BM25_MAP_ORACLE,
+        "events_cusum": _CUSUM_ORACLE,
+        "session_transitions": _TRANSITIONS_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

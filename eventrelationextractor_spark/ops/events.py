@@ -680,3 +680,64 @@ def interval_enrich(left: DataFrame, right: DataFrame,
     return (l.join(r, cond, "inner")
             .select(F.col("k").alias(on), "l_id", "l_type", "l_ts",
                     "r_id", "r_type", "r_ts"))
+
+
+def cusum_alarms(series: DataFrame, key_col: str, order_col: str,
+                 value_col: str, target_col: str, slack: int = 0,
+                 threshold: int = 8) -> DataFrame:
+    """Upper-sided CUSUM change detection (Page 1954) over per-key
+    ordered series -> (key, order, value, cusum, alarm).
+
+    s_t = max(0, s_{t-1} + (x_t - target - slack)); alarm when
+    s_t >= threshold. The recursion is NOT computed recursively: the
+    clipped sum has the closed form s_t = P_t - min(0, min_{j<=t} P_j)
+    with P = running sum of the drifts, so the whole detector is two
+    stacked cumulative windows per key - one Exchange on key, no
+    mapInPandas, no iteration, and exact INTEGER arithmetic throughout
+    (value/target/slack/threshold are integers by contract - counts,
+    cents, ppm - so the alarm boundary is engine-deterministic).
+
+    The complementary lower-sided detector is the same identity on
+    negated drifts. CATENA has no counterpart; this is the
+    volume-regression tripwire a 100-TB ingest pipeline points at
+    per-source document counts (vs window_anomalies' z-scores, which
+    grade each window against global moments rather than tracking
+    small persistent shifts)."""
+    d = (F.col(value_col).cast("long") - F.col(target_col).cast("long")
+         - F.lit(int(slack)))
+    w = (Window.partitionBy(key_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (series
+           .withColumn("_p", F.sum(d).over(w))
+           .withColumn("_pmin", F.min("_p").over(w))
+           .withColumn("cusum",
+                       (F.col("_p") - F.least(F.lit(0), F.col("_pmin")))
+                       .cast("long"))
+           .withColumn("alarm", F.col("cusum") >= int(threshold)))
+    return out.drop("_p", "_pmin")
+
+
+def session_transitions(events: DataFrame, user_col: str = "user_id",
+                        ts_col: str = "ts", type_col: str = "event_type",
+                        tie_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams -> (src, dst, n, p): the empirical next-action model
+    behind clickstream analysis, funnel design, and next-event
+    prediction baselines.
+
+    One window (lead over user-partitioned, ts-then-tie ordered
+    streams - the tie column pins ordering when timestamps collide)
+    and one partial-agged groupBy. p = n / row-total of exact integer
+    counts, a single division rounded 6dp - no float accumulation."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    pairs = (events
+             .withColumn("_dst", F.lead(type_col).over(w))
+             .filter(F.col("_dst").isNotNull())
+             .select(F.col(type_col).alias("src"),
+                     F.col("_dst").alias("dst")))
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    tot = Window.partitionBy("src")
+    return counts.withColumn(
+        "p", F.round(F.col("n").cast("double")
+                     / F.sum("n").over(tot).cast("double"), 6))

@@ -93,3 +93,39 @@ def test_scd2_history(spark):
         (3, 1): ("X", 5, 5, False),
         (3, 2): ("Y", 5, None, True),
     }
+
+
+def test_cusum_matches_literal_recursion(spark):
+    from eventrelationextractor_spark.ops import events as ev
+    vals = [3, 3, 9, 1, 0, 8, 8, 2]  # target 4, slack 1
+    rows = [("k", i, v, 4) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "key string, t long, n long, target long")
+    out = {r.t: (r.cusum, r.alarm)
+           for r in ev.cusum_alarms(df, "key", "t", "n", "target",
+                                    slack=1, threshold=6).collect()}
+    s, expect = 0, {}
+    for i, v in enumerate(vals):
+        s = max(0, s + (v - 4 - 1))
+        expect[i] = (s, s >= 6)
+    assert out == expect
+    assert any(a for _, a in out.values())      # the burst fires
+    assert out[4][0] == 0                       # clip resets to zero
+
+
+def test_session_transitions_counts_and_ties(spark):
+    from eventrelationextractor_spark.ops import events as ev
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [  # user 1: a->b->a ; user 2: a->b with a TS TIE broken by id
+        (1, t0, 1, "a"), (2, t0 + dt.timedelta(minutes=1), 1, "b"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "a"),
+        (4, t0, 2, "a"), (5, t0, 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r.src, r.dst): (r.n, r.p)
+           for r in ev.session_transitions(df).collect()}
+    # user 1 contributes a->b, b->a; user 2's tie resolves to a->b
+    assert got == {("a", "b"): (2, 1.0),
+                   ("b", "a"): (1, 1.0)}
