@@ -1764,6 +1764,40 @@ def _q_events_anomalies(spark, sf_dir):
     return events.window_anomalies(ev.unionByName(burst), minutes=60)
 
 
+def _q_annotator_agreement(spark, sf_dir):
+    """Cohen's kappa (ops/quality.py::cohens_kappa) between two
+    synthetic annotators over the doc length buckets: annotator B
+    recomputes A's label from length(text) and the doc_id%7 slice is
+    shifted one bucket up - so agreement is high but not total and
+    kappa must discount the skewed-marginal chance floor. Exact
+    integer contingency terms, three single divisions."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "least(cast(n_chars as bigint) div 150, 5) AS ann_a",
+        "CASE WHEN doc_id % 7 = 0 "
+        "THEN least(least(cast(length(text) as bigint) div 150, 5) + 1, 5) "
+        "ELSE least(cast(length(text) as bigint) div 150, 5) END AS ann_b")
+    return quality.cohens_kappa(d, "ann_a", "ann_b")
+
+
+def _q_mad_outliers(spark, sf_dir):
+    """Hampel/MAD robust outlier flags over document lengths
+    (ops/textstats.py::mad_outliers): both medians ride the value-
+    histogram walk (no full-data sort - the hdr 'window over sketch
+    rows' shape), and the 3-MAD fence is evaluated in doubled/
+    quadrupled integers so flags are engine-exact."""
+    return textstats.mad_outliers(_docs(spark, sf_dir), "n_chars",
+                                  "doc_id")
+
+
+def _q_events_gini(spark, sf_dir):
+    """Gini concentration of events over users
+    (ops/maintenance.py::gini_concentration): the scalar skew monitor -
+    rank-formula numerator/denominator in exact integers, one window
+    over user cardinality."""
+    return maintenance.gini_concentration(_events(spark, sf_dir),
+                                          "user_id")
+
+
 def _q_events_cusum(spark, sf_dir):
     """CUSUM volume-shift alarms (ops/events.py::cusum_alarms) over
     per-(event_type, minute) counts with per-type integer-floor mean
@@ -3315,6 +3349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_map_mrr": _q_bm25_map_mrr,
         "events_cusum": _q_events_cusum,
         "session_transitions": _q_session_transitions,
+        "annotator_agreement": _q_annotator_agreement,
+        "mad_outliers": _q_mad_outliers,
+        "events_gini": _q_events_gini,
     }
 
 
@@ -7496,6 +7533,72 @@ SELECT left_id, right_id, surname_agree, first_name_agree, zipc_agree,
 FROM s
 """
 
+_KAPPA_ORACLE = """
+WITH lab AS (
+  SELECT least(n_chars // 150, 5) AS a,
+         CASE WHEN doc_id % 7 = 0
+              THEN least(least(length(text) // 150, 5) + 1, 5)
+              ELSE least(length(text) // 150, 5) END AS b
+  FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_agree
+        FROM lab),
+ma AS (SELECT CAST(a AS VARCHAR) AS lbl, CAST(count(*) AS BIGINT) AS na
+       FROM lab GROUP BY 1),
+mb AS (SELECT CAST(b AS VARCHAR) AS lbl, CAST(count(*) AS BIGINT) AS nb
+       FROM lab GROUP BY 1),
+pe AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS pe_num
+       FROM ma JOIN mb USING (lbl))
+SELECT n, n_agree,
+  round(CAST(n_agree AS DOUBLE) / n, 6) AS po,
+  round(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+  round(CASE WHEN n * n <> pe_num
+        THEN CAST(n * n_agree - pe_num AS DOUBLE)
+             / CAST(n * n - pe_num AS DOUBLE)
+        ELSE 1.0 END, 6) AS kappa
+FROM tot CROSS JOIN pe
+"""
+
+_MAD_ORACLE = """
+WITH v AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+vc AS (SELECT x AS val, count(*) AS c FROM v GROUP BY 1),
+cum AS (SELECT val, sum(c) OVER (ORDER BY val) AS cum FROM vc),
+lo AS (SELECT min(val) AS lo FROM cum, tot WHERE cum >= (n + 1) // 2),
+hi AS (SELECT min(val) AS hi FROM cum, tot WHERE cum >= (n + 2) // 2),
+med AS (SELECT CAST(lo + hi AS BIGINT) AS med2 FROM lo, hi),
+dev AS (SELECT doc_id, x, med2,
+               CAST(abs(2 * x - med2) AS BIGINT) AS dev2
+        FROM v, med),
+dvc AS (SELECT dev2 AS val, count(*) AS c FROM dev GROUP BY 1),
+dcum AS (SELECT val, sum(c) OVER (ORDER BY val) AS cum FROM dvc),
+dlo AS (SELECT min(val) AS lo FROM dcum, tot WHERE cum >= (n + 1) // 2),
+dhi AS (SELECT min(val) AS hi FROM dcum, tot WHERE cum >= (n + 2) // 2),
+mad AS (SELECT CAST(lo + hi AS BIGINT) AS mad4 FROM dlo, dhi)
+SELECT doc_id, x AS n_chars, med2, mad4, dev2,
+       (2 * dev2 > 3 * mad4) AS is_outlier
+FROM dev, mad
+"""
+
+_GINI_ORACLE = """
+WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, key) AS BIGINT) AS i
+      FROM c),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(x) AS BIGINT) AS total,
+             CAST(sum(i * x) AS BIGINT) AS t
+      FROM r)
+SELECT n_groups, total,
+  round(CASE WHEN n_groups > 0 AND total > 0
+        THEN CAST(2 * t - (n_groups + 1) * total AS DOUBLE)
+             / CAST(n_groups * total AS DOUBLE)
+        ELSE 0.0 END, 6) AS gini
+FROM a
+"""
+
 _CUSUM_ORACLE = """
 WITH ev AS (
   SELECT ts, event_type FROM events
@@ -7722,6 +7825,9 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "bm25_map_mrr": _BM25_MAP_ORACLE,
         "events_cusum": _CUSUM_ORACLE,
         "session_transitions": _TRANSITIONS_ORACLE,
+        "annotator_agreement": _KAPPA_ORACLE,
+        "mad_outliers": _MAD_ORACLE,
+        "events_gini": _GINI_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

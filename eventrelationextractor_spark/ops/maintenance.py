@@ -152,3 +152,35 @@ def ivm_refresh(snapshot: DataFrame, delta_rollup: DataFrame) -> DataFrame:
                  F.sum("sum_m").alias("sum_m"),
                  F.min("min_m").alias("min_m"),
                  F.max("max_m").alias("max_m")))
+
+
+def gini_concentration(df: DataFrame, key_col: str) -> DataFrame:
+    """ONE row (n_groups, total, gini): Gini coefficient of how rows
+    concentrate over keys (docs over hosts, events over users, bytes
+    over partitions) - the scalar skew_profile: 0 = perfectly even,
+    ->1 = one key owns everything. Feed it per-source document counts
+    to watch corpus concentration drift between crawls.
+
+    Rank formula over ASC-sorted group sizes: gini = (2*sum(i*x_i) -
+    (n+1)*sum(x)) / (n*sum(x)) - exact integer numerator and
+    denominator, one division, 6dp. The only window runs over KEY
+    cardinality (the groupBy output), never rows; ties in x are
+    rank-order-invariant for the sum (permuting equal x's leaves
+    sum(i*x_i) unchanged), with the key tie-break pinned anyway."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")) \
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.orderBy(F.col("x"), F.col("key"))
+    ranked = counts.withColumn("i", F.row_number().over(w).cast("long"))
+    return (ranked.agg(F.count(F.lit(1)).cast("long").alias("n_groups"),
+                       F.sum("x").cast("long").alias("total"),
+                       F.sum(F.col("i") * F.col("x")).cast("long")
+                       .alias("t"))
+            .select("n_groups", "total",
+                    F.round(F.when(
+                        (F.col("n_groups") > 0) & (F.col("total") > 0),
+                        (F.lit(2) * F.col("t")
+                         - (F.col("n_groups") + 1) * F.col("total"))
+                        .cast("double")
+                        / (F.col("n_groups") * F.col("total"))
+                        .cast("double")).otherwise(F.lit(0.0)), 6)
+                    .alias("gini")))

@@ -150,3 +150,45 @@ def score_quality(df: DataFrame, weights: list, bias: float,
                     F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(
                         -F.coalesce("margin", F.lit(float(bias))))), 6)
                     .alias("prob")))
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement between two label
+    columns -> ONE row (n, n_agree, po, pe, kappa). The label-quality
+    gate for any human- or model-annotated training slice: raw
+    agreement (po) overstates reliability when the label distribution
+    is skewed; kappa subtracts the chance-agreement floor (pe).
+
+    kappa = (n*agree - sum_k nA_k*nB_k) / (n^2 - sum_k nA_k*nB_k) -
+    every term an exact integer (two marginal groupBys over LABEL
+    cardinality joined on label, one crossJoin of single-row
+    aggregates), then three single divisions rounded 6dp. No float
+    accumulates across rows, so the statistic is engine-exact.
+    n^2 caps the exact branch at ~3e9 items per call; shard the
+    corpus and kappa per shard beyond that."""
+    base = df.select(F.col(a_col).cast("string").alias("a"),
+                     F.col(b_col).cast("string").alias("b"))
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                   F.sum(F.when(F.col("a") == F.col("b"), 1)
+                         .otherwise(0)).cast("long").alias("n_agree"))
+    ma = base.groupBy(F.col("a").alias("lbl")).agg(
+        F.count(F.lit(1)).cast("long").alias("na"))
+    mb = base.groupBy(F.col("b").alias("lbl")).agg(
+        F.count(F.lit(1)).cast("long").alias("nb"))
+    pe = (ma.join(mb, "lbl")
+          .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+               .cast("long").alias("pe_num")))
+    return (tot.crossJoin(pe)
+            .select("n", "n_agree",
+                    F.round(F.col("n_agree").cast("double")
+                            / F.col("n"), 6).alias("po"),
+                    F.round(F.col("pe_num").cast("double")
+                            / (F.col("n") * F.col("n")).cast("double"), 6)
+                    .alias("pe"),
+                    F.round(F.when(
+                        F.col("n") * F.col("n") != F.col("pe_num"),
+                        (F.col("n") * F.col("n_agree")
+                         - F.col("pe_num")).cast("double")
+                        / (F.col("n") * F.col("n")
+                           - F.col("pe_num")).cast("double"))
+                        .otherwise(F.lit(1.0)), 6).alias("kappa")))

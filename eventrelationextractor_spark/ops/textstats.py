@@ -1028,3 +1028,59 @@ def profile_drift(old_profile: DataFrame, new_profile: DataFrame,
          & (F.col("n_distinct") * 1000000
             < F.col("o_distinct") * distinct_ratio_x1e6_low)
          & (F.col("n_rows") > 0)).alias("distinct_collapse")))
+
+
+def _hist_median2(vals: DataFrame, col: str) -> DataFrame:
+    """ONE row (med2,): TWICE the exact median of an integer column.
+
+    Median via the value-histogram walk, not a data sort: groupBy the
+    value (cardinality of distinct values, not rows), one cumulative
+    window over those histogram rows (the hdr-sketch precedent -
+    windows over SKETCH rows are fine; windows over data are not), and
+    the two middle order statistics read off the cumulative counts.
+    med2 = lo+hi keeps the even-n half-step in exact integers."""
+    vc = vals.groupBy(F.col(col).cast("long").alias("v")) \
+        .agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    tot = vc.agg(F.sum("c").alias("n"))
+    cum = vc.withColumn("cum", F.sum("c").over(w)).crossJoin(
+        F.broadcast(tot))
+    lo = cum.filter(F.col("cum") >= F.expr("(n+1) div 2")) \
+        .agg(F.min("v").alias("lo"))
+    hi = cum.filter(F.col("cum") >= F.expr("(n+2) div 2")) \
+        .agg(F.min("v").alias("hi"))
+    return lo.crossJoin(hi).select(
+        (F.col("lo") + F.col("hi")).cast("long").alias("med2"))
+
+
+def mad_outliers(df: DataFrame, val_col: str, id_col: str = "doc_id",
+                 k_num: int = 3, k_den: int = 1) -> DataFrame:
+    """Robust outlier flags via Median Absolute Deviation ->
+    (id, val, med2, mad4, dev2, is_outlier): flag rows with
+    |x - median| > (k_num/k_den) * MAD. The robust sibling of the
+    z-score anomaly ops - median/MAD don't move when the outliers
+    themselves get bigger, so the fence is stable under contamination
+    (Hampel's identifier; the winsorize/HDR family's flagging cousin).
+
+    Exactness: everything stays integer by carrying doubled values -
+    med2 = 2*median (lo+hi order stats), dev2 = 2*|x - median| =
+    |2x - med2|, mad4 = 2*median(dev2) = 4*MAD - and the fence
+    |x-med| > (kn/kd)*MAD becomes kd*2*dev2 > kn*mad4: no float
+    anywhere, engine-exact flags. Both medians ride the
+    value-histogram walk (_hist_median2): zero full-data sorts, two
+    tiny windows over distinct-value cardinality. For continuous
+    (non-integer) columns, quantize to ppm first or use the HDR
+    sketch path."""
+    vals = df.select(F.col(id_col), F.col(val_col).cast("long").alias("x"))
+    med = _hist_median2(vals, "x")
+    dev = vals.crossJoin(F.broadcast(med)).withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("x") - F.col("med2")).cast("long"))
+    mad = _hist_median2(dev, "dev2").select(
+        F.col("med2").alias("mad4"))
+    return (dev.crossJoin(F.broadcast(mad))
+            .select(F.col(id_col), F.col("x").alias(val_col),
+                    "med2", "mad4", "dev2",
+                    (F.lit(2 * int(k_den)) * F.col("dev2")
+                     > F.lit(int(k_num)) * F.col("mad4"))
+                    .alias("is_outlier")))

@@ -104,3 +104,14 @@ def test_ivm_refresh_equals_full_rebuild(spark):
     assert refreshed[("x", 1)] == (3, 42, 2, 30)   # delta lowered the min
     assert refreshed[("z", 2)] == (1, 7, 7, 7)     # key born in the delta
     assert refreshed[("y", 1)] == (1, 5, 5, 5)     # untouched passthrough
+
+
+def test_gini_concentration_known_and_even(spark):
+    from eventrelationextractor_spark.ops import maintenance
+    df = spark.createDataFrame([("a",), ("b",), ("b",), ("b",)],
+                               "k string")
+    row = maintenance.gini_concentration(df, "k").collect()[0]
+    # sizes (1,3): gini = (2*(1*1+2*3) - 3*4) / (2*4) = 0.25
+    assert (row.n_groups, row.total, row.gini) == (2, 4, 0.25)
+    even = spark.createDataFrame([("a",), ("b",)], "k string")
+    assert maintenance.gini_concentration(even, "k").collect()[0].gini == 0.0

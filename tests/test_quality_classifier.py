@@ -75,3 +75,23 @@ def test_score_plan_broadcasts_model(spark):
     plan = _physical(quality.score_quality(docs, [0.1] * 64, 0.0))
     assert "BroadcastHashJoin" in plan     # model side, never shuffled
     assert "Window" not in plan
+
+
+def test_cohens_kappa_known_contingency(spark):
+    from eventrelationextractor_spark.ops import quality
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "y"), ("y", "y")],
+        "ann_a string, ann_b string")
+    row = quality.cohens_kappa(df, "ann_a", "ann_b").collect()[0]
+    # n=4 agree=3 po=0.75; pe_num = 2*1 + 2*3 = 8 -> pe=0.5
+    # kappa = (4*3 - 8) / (16 - 8) = 0.5
+    assert (row.n, row.n_agree, row.po, row.pe, row.kappa) == \
+        (4, 3, 0.75, 0.5, 0.5)
+
+
+def test_cohens_kappa_perfect_agreement(spark):
+    from eventrelationextractor_spark.ops import quality
+    df = spark.createDataFrame([("x", "x")] * 3, "ann_a string, ann_b string")
+    row = quality.cohens_kappa(df, "ann_a", "ann_b").collect()[0]
+    # single label: pe_num = n*n -> chance-degenerate, defined as 1.0
+    assert (row.po, row.kappa) == (1.0, 1.0)

@@ -361,3 +361,23 @@ def test_profile_drift_statuses_and_flags(spark):
     assert drift["id"].status == "kept"
     assert drift["id"].distinct_collapse        # 4 -> 1 distinct
     assert not drift["lang"].distinct_collapse  # 3 -> 2 is above 50%
+
+
+def test_mad_outliers_known_values(spark):
+    from eventrelationextractor_spark.ops import textstats
+    df = spark.createDataFrame([(i, v) for i, v in
+                                enumerate([1, 1, 2, 4, 10])],
+                               "doc_id long, v long")
+    rows = {r.doc_id: r for r in
+            textstats.mad_outliers(df, "v", "doc_id").collect()}
+    # median=2 (med2=4); dev2=[2,2,0,4,16]; MAD=1 (mad4=4)
+    assert rows[0].med2 == 4 and rows[0].mad4 == 4
+    assert [rows[i].is_outlier for i in range(5)] == \
+        [False, False, False, False, True]
+
+
+def test_mad_outliers_even_n_half_median(spark):
+    from eventrelationextractor_spark.ops import textstats
+    df = spark.createDataFrame([(0, 1), (1, 3)], "doc_id long, v long")
+    rows = textstats.mad_outliers(df, "v", "doc_id").collect()
+    assert rows[0].med2 == 4  # median 2.0 carried as exact 2x integer
