@@ -1764,6 +1764,19 @@ def _q_events_anomalies(spark, sf_dir):
     return events.window_anomalies(ev.unionByName(burst), minutes=60)
 
 
+def _q_label_spread(spark, sf_dir):
+    """Semi-supervised label spread
+    (ops/graph.py::seeded_label_propagation): every 10th doc seeds its
+    language label; 3 synchronous clamped rounds push labels over the
+    synthetic link graph (min-label ties, keep-current when no labeled
+    neighbor). The oracle unrolls the identical rounds as chained
+    CTEs."""
+    e, nodes = _link_edges(spark, sf_dir)
+    seeds = _docs(spark, sf_dir).filter("doc_id % 10 = 0").select(
+        F.col("doc_id").alias("node"), F.col("lang").alias("label"))
+    return graph.seeded_label_propagation(e, seeds, n_iter=3, nodes=nodes)
+
+
 def _q_annotator_agreement(spark, sf_dir):
     """Cohen's kappa (ops/quality.py::cohens_kappa) between two
     synthetic annotators over the doc length buckets: annotator B
@@ -3352,6 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotator_agreement": _q_annotator_agreement,
         "mad_outliers": _q_mad_outliers,
         "events_gini": _q_events_gini,
+        "label_spread": _q_label_spread,
     }
 
 
@@ -4760,6 +4774,43 @@ b{i} AS (SELECT v, label FROM v{i}
 {c} AS (SELECT n.node, coalesce(b.label, n.node) AS label
         FROM nodes n LEFT JOIN b{i} b ON b.v = n.node)""")
     parts.append(f"\nSELECT node, label FROM l{n_iter}")
+    return "".join(parts)
+
+
+def _label_spread_oracle(n_iter: int = 3) -> str:
+    """Unrolled seeded label-propagation rounds mirroring
+    ops/graph.py::seeded_label_propagation: clamped seeds, labeled-
+    neighbor majority votes, min-label ties, keep-current fallback."""
+    parts = ["""WITH nodes AS (SELECT doc_id AS node FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*7+1) % (SELECT count(*) FROM documents) AS dst
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 17 <> 0),
+sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+base AS (SELECT n.node, d.lang AS seed_label, d.lang IS NOT NULL AS is_seed
+         FROM nodes n LEFT JOIN (SELECT doc_id, lang FROM documents
+                                 WHERE doc_id % 10 = 0) d
+           ON n.node = d.doc_id),
+l0 AS (SELECT node, seed_label AS label FROM base)"""]
+    for i in range(n_iter):
+        parts.append(f""",
+v{i} AS (SELECT s.dst AS v, l.label, count(*) AS c
+         FROM sym s JOIN l{i} l ON l.node = s.src
+         WHERE l.label IS NOT NULL
+         GROUP BY 1, 2),
+b{i} AS (SELECT v, label FROM v{i}
+         QUALIFY row_number() OVER (PARTITION BY v
+                                    ORDER BY c DESC, label ASC) = 1),
+l{i + 1} AS (SELECT base.node,
+           CASE WHEN base.is_seed THEN base.seed_label
+                ELSE coalesce(b.label, p.label) END AS label
+           FROM base LEFT JOIN b{i} b ON b.v = base.node
+                     JOIN l{i} p ON p.node = base.node)""")
+    parts.append(f"""
+SELECT base.node, l.label, base.is_seed
+FROM base JOIN l{n_iter} l ON l.node = base.node""")
     return "".join(parts)
 
 
@@ -7828,6 +7879,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "annotator_agreement": _KAPPA_ORACLE,
         "mad_outliers": _MAD_ORACLE,
         "events_gini": _GINI_ORACLE,
+        "label_spread": _label_spread_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

@@ -642,3 +642,73 @@ def modularity(edges: DataFrame, labels: DataFrame,
                     F.coalesce("e_in", F.lit(0)).alias("e_in"), "m",
                     (4 * F.col("m") * F.coalesce("e_in", F.lit(0))
                      - F.col("d_tot") * F.col("d_tot")).alias("q_num")))
+
+
+def seeded_label_propagation(edges: DataFrame, seeds: DataFrame,
+                             n_iter: int = 3,
+                             nodes: DataFrame | None = None,
+                             src: str = "src", dst: str = "dst",
+                             node_col: str = "node",
+                             label_col: str = "label",
+                             checkpoint_interval: int = 4) -> DataFrame:
+    """Semi-supervised label spread (Zhu & Ghahramani 2002, hard-clamp
+    variant) -> (node, label, is_seed): seed nodes carry known labels
+    that NEVER change; unlabeled nodes adopt, each synchronous round,
+    the most frequent label among their currently-labeled neighbors
+    (ties -> smallest label; no labeled neighbor -> keep the current
+    label, possibly NULL). Fixed ``n_iter`` - deterministic and
+    engine-replayable, like label_propagation (the unseeded community
+    variant above), but spreading EXTERNAL labels (language, topic,
+    spam verdicts) over the link graph instead of discovering
+    communities.
+
+    Labels are opaque strings, so the per-node argmax cannot ride the
+    max(struct(c, -label)) trick: it is a max-count aggregation, a
+    semi-join back on (node, count), then min(label) - two partial-
+    agged shuffles on the same key per round (the second reuses the
+    first's partitioning), still never a per-node row_number window
+    over the ballot stream."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"))) \
+        .localCheckpoint(eager=False)
+    if nodes is None:
+        nodes = sym.select(F.col("src").alias("node")).distinct()
+    sd = seeds.select(F.col(node_col).alias("node"),
+                      F.col(label_col).cast("string").alias("seed_label"))
+    base = (nodes.select("node").join(sd, "node", "left")
+            .select("node", "seed_label",
+                    F.col("seed_label").isNotNull().alias("is_seed"))
+            .localCheckpoint())
+
+    labels = base.select("node", F.col("seed_label").alias("label"))
+    for it in range(n_iter):
+        ballots = (labels.filter(F.col("label").isNotNull())
+                   .join(sym, labels.node == sym.src)
+                   .select(F.col("dst").alias("v"), "label"))
+        votes = ballots.groupBy("v", "label").agg(
+            F.count(F.lit(1)).alias("c"))
+        # rename the aggregated side before the self-lineage join:
+        # votes.v and mx's v are the SAME attribute reference, and an
+        # equi-join on them silently resolves to a trivially-true
+        # self-comparison (the cogroup-shared-lineage lesson, join
+        # flavor)
+        mx = (votes.groupBy("v").agg(F.max("c").alias("mc"))
+              .select(F.col("v").alias("mv"), "mc"))
+        best = (votes.join(mx, (votes.v == F.col("mv"))
+                           & (votes.c == F.col("mc")))
+                .groupBy(votes.v.alias("bv"))
+                .agg(F.min("label").alias("blabel")))
+        labels = (base.join(best, base.node == F.col("bv"), "left")
+                  .join(labels.select(F.col("node").alias("pn"),
+                                      F.col("label").alias("plabel")),
+                        base.node == F.col("pn"), "left")
+                  .select("node",
+                          F.when(F.col("is_seed"), F.col("seed_label"))
+                          .otherwise(F.coalesce("blabel", "plabel"))
+                          .alias("label")))
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < n_iter:
+            labels = labels.localCheckpoint(eager=False)
+    return (base.select("node", "is_seed")
+            .join(labels, "node")
+            .select("node", "label", "is_seed"))

@@ -382,3 +382,32 @@ def test_apportion_counts_exact_budget(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         mixing.apportion_counts(df, "s", "w", total=-1)
+
+
+def test_seeded_label_propagation_clamp_ties_and_isolates(spark):
+    from eventrelationextractor_spark.ops import graph
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)],
+                                  "node long")
+    seeds = spark.createDataFrame([(1, "b"), (3, "a")],
+                                  "node long, label string")
+    out = {r.node: (r.label, r.is_seed)
+           for r in graph.seeded_label_propagation(
+               edges, seeds, n_iter=2, nodes=nodes).collect()}
+    assert out[1] == ("b", True) and out[3] == ("a", True)  # clamped
+    assert out[2] == ("a", False)   # tie b/a -> min label wins
+    assert out[4] == (None, False)  # isolated: never labeled
+
+
+def test_seeded_label_propagation_multi_hop(spark):
+    from eventrelationextractor_spark.ops import graph
+    # chain 1-2-3-4, single seed at 1: label reaches 4 in 3 rounds
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                  "src long, dst long")
+    seeds = spark.createDataFrame([(1, "x")], "node long, label string")
+    got3 = {r.node: r.label for r in graph.seeded_label_propagation(
+        edges, seeds, n_iter=3).collect()}
+    assert got3 == {1: "x", 2: "x", 3: "x", 4: "x"}
+    got1 = {r.node: r.label for r in graph.seeded_label_propagation(
+        edges, seeds, n_iter=1).collect()}
+    assert got1 == {1: "x", 2: "x", 3: None, 4: None}
