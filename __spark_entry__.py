@@ -1764,6 +1764,34 @@ def _q_events_anomalies(spark, sf_dir):
     return events.window_anomalies(ev.unionByName(burst), minutes=60)
 
 
+def _q_calibration_bins(spark, sf_dir):
+    """Reliability diagram (ops/quality.py::calibration_table) for a
+    synthetic ppm confidence (length-derived, clipped at 999999)
+    against a threshold label: per-bin confidence mean, positive rate,
+    and calibration gap - every column an exact integer, so the whole
+    diagram rides the hash gate with zero float tolerance."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "least(999999, (1000000 * cast(n_chars as bigint)) div 300)"
+        " AS score_ppm",
+        "n_chars >= 150 AS label")
+    return quality.calibration_table(d, "score_ppm", "label", n_bins=10)
+
+
+def _q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth (ops/bm25.py::vocab_growth):
+    distinct vocabulary after each tenth of the id space. First-
+    sighting per term is one vocab-cardinality groupBy; checkpoints
+    are VALUE-based id boundaries (no doc ranking anywhere); the
+    cumulative window runs over the 10 checkpoint rows. The corpus
+    vocabulary is a fixed word list (every term first appears in
+    checkpoint 1 - a plateau), so a marker token per 50-doc block is
+    staged in to exercise actual growth."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "concat(text, ' tok', cast(doc_id div 50 as string)) AS text")
+    return bm25.vocab_growth(d, n_checkpoints=10)
+
+
 def _q_label_spread(spark, sf_dir):
     """Semi-supervised label spread
     (ops/graph.py::seeded_label_propagation): every 10th doc seeds its
@@ -3366,6 +3394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _q_mad_outliers,
         "events_gini": _q_events_gini,
         "label_spread": _q_label_spread,
+        "calibration_bins": _q_calibration_bins,
+        "vocab_growth": _q_vocab_growth,
     }
 
 
@@ -7584,6 +7614,54 @@ SELECT left_id, right_id, surname_agree, first_name_agree, zipc_agree,
 FROM s
 """
 
+_CALIBRATION_ORACLE = """
+WITH b AS (
+  SELECT least(999999, (1000000 * n_chars) // 300) AS conf,
+         CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS pos
+  FROM documents),
+agg AS (SELECT conf // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(conf) AS BIGINT) AS conf_sum
+        FROM b GROUP BY 1)
+SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+       CAST(conf_sum // n AS BIGINT) AS avg_conf_ppm,
+       CAST((1000000 * n_pos) // n AS BIGINT) AS pos_rate_ppm,
+       CAST(abs(conf_sum // n - (1000000 * n_pos) // n) AS BIGINT)
+         AS gap_ppm,
+       CAST(n * abs(conf_sum // n - (1000000 * n_pos) // n) AS BIGINT)
+         AS ece_num
+FROM agg
+"""
+
+_VOCAB_GROWTH_ORACLE = """
+WITH staged AS (
+  SELECT doc_id,
+         text || ' tok' || CAST(doc_id // 50 AS VARCHAR) AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id, t.term
+  FROM staged,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''),
+firsts AS (SELECT term, CAST(min(doc_id) AS BIGINT) AS first_id
+           FROM toks GROUP BY 1),
+rng AS (SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+               CAST(max(doc_id) AS BIGINT) AS hi
+        FROM staged),
+bk AS (SELECT least(10, 1 + ((first_id - lo)
+                             // (((hi - lo + 1) + 9) // 10)))
+         AS checkpoint, lo, hi
+       FROM firsts, rng),
+c AS (SELECT checkpoint, lo, hi, CAST(count(*) AS BIGINT) AS new_terms
+      FROM bk GROUP BY 1, 2, 3)
+SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
+  CAST(least(hi, lo + checkpoint * (((hi - lo + 1) + 9) // 10) - 1)
+       AS BIGINT) AS boundary_id,
+  new_terms,
+  CAST(sum(new_terms) OVER (ORDER BY checkpoint) AS BIGINT) AS vocab
+FROM c
+"""
+
 _KAPPA_ORACLE = """
 WITH lab AS (
   SELECT least(n_chars // 150, 5) AS a,
@@ -7880,6 +7958,8 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "mad_outliers": _MAD_ORACLE,
         "events_gini": _GINI_ORACLE,
         "label_spread": _label_spread_oracle(),
+        "calibration_bins": _CALIBRATION_ORACLE,
+        "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

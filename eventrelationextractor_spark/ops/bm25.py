@@ -366,3 +366,50 @@ def bm25_topk_weighted(docs: DataFrame, weighted_terms: DataFrame,
             .filter(F.col("rank") <= k)
             .select(F.col("rank").cast("long").alias("rank"), "doc_id",
                     "score"))
+
+
+def vocab_growth(docs: DataFrame, n_checkpoints: int = 10,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Heaps-law vocabulary-growth curve -> (checkpoint, boundary_id,
+    new_terms, vocab): distinct vocabulary size after each slice of
+    the id space. Sublinear growth is the healthy shape; a kink up
+    signals an encoding break or a new junk source entering the crawl,
+    a plateau signals the corpus re-crawling itself - cheap corpus
+    telemetry next to hll_vocab's single total.
+
+    Scale shape: first-sighting doc per term (one vocab-cardinality
+    groupBy), bucket by VALUE-based id checkpoints (min + k*(range/K),
+    exact integers - no doc ranking, so nothing ever sorts or windows
+    over doc cardinality), then a cumulative window over the K
+    checkpoint rows only."""
+    toks = tokenize(docs, id_col, text_col)
+    first = toks.groupBy("term").agg(
+        F.min(F.col(id_col).cast("long")).alias("first_id"))
+    rng = docs.agg(F.min(F.col(id_col).cast("long")).alias("lo"),
+                   F.max(F.col(id_col).cast("long")).alias("hi"))
+    k = int(n_checkpoints)
+    # checkpoint c covers first_id in [lo + (c-1)*span, lo + c*span)
+    # with span = ceil((hi - lo + 1) / k); the last bucket absorbs the
+    # remainder.
+    bucketed = (first.crossJoin(F.broadcast(rng))
+                .select(F.least(
+                    F.lit(k),
+                    F.expr(f"1 + ((first_id - lo) div "
+                           f"(((hi - lo + 1) + {k} - 1) div {k}))"))
+                    .alias("checkpoint"),
+                    "lo", "hi"))
+    counts = bucketed.groupBy("checkpoint", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("new_terms"))
+    w = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (counts
+            .withColumn("boundary_id",
+                        F.least(
+                            F.col("hi"),
+                            F.col("lo") + F.col("checkpoint")
+                            * F.expr(f"((hi - lo + 1) + {k} - 1) div {k}")
+                            - 1).cast("long"))
+            .withColumn("vocab", F.sum("new_terms").over(w).cast("long"))
+            .select(F.col("checkpoint").cast("long").alias("checkpoint"),
+                    "boundary_id", "new_terms", "vocab"))

@@ -741,3 +741,46 @@ def session_transitions(events: DataFrame, user_col: str = "user_id",
     return counts.withColumn(
         "p", F.round(F.col("n").cast("double")
                      / F.sum("n").over(tot).cast("double"), 6))
+
+
+def streaming_cusum_alarms(counts: DataFrame, slack: int = 0,
+                           threshold: int = 8) -> DataFrame:
+    """ONLINE CUSUM over a stream of per-(event_type, window) counts
+    (the ``streaming_windowed_counts`` output shape plus a ``target``
+    column) -> (event_type, window_start, n, cusum, alarm).
+
+    State per key is TWO integers - the running drift prefix sum and
+    its running minimum - because the batch closed form
+    s_t = P_t - min(0, min P_j) is itself incremental; unlike the
+    prequential z-score op above, this detector is EXACTLY
+    batch-equivalent to ``cusum_alarms`` (integer arithmetic, no
+    moments), which the tests assert. Same ordered-source contract as
+    the other NoTimeout operators (windows arrive in event-time order
+    per key)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("event_type string, window_start timestamp, n long, "
+                  "cusum long, alarm boolean")
+    state_schema = "p long, pmin long"
+    sl, th = int(slack), int(threshold)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        p, pmin = state.get if state.exists else (0, 0)
+        ws, ns, cs, flags = [], [], [], []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("window_start").iterrows():
+                p += int(row["n"]) - int(row["target"]) - sl
+                pmin = min(pmin, p)
+                s = p - pmin
+                ws.append(row["window_start"])
+                ns.append(int(row["n"]))
+                cs.append(s)
+                flags.append(s >= th)
+        state.update((p, pmin))
+        if ws:
+            yield pd.DataFrame({"event_type": key[0], "window_start": ws,
+                                "n": ns, "cusum": cs, "alarm": flags})
+
+    return counts.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)

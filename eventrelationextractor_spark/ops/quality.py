@@ -192,3 +192,38 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
                         / (F.col("n") * F.col("n")
                            - F.col("pe_num")).cast("double"))
                         .otherwise(F.lit(1.0)), 6).alias("kappa")))
+
+
+def calibration_table(df: DataFrame, score_ppm_col: str, label_col: str,
+                      n_bins: int = 10) -> DataFrame:
+    """Reliability diagram for a [0,1)-score in exact integer ppm ->
+    (bin, n, n_pos, avg_conf_ppm, pos_rate_ppm, gap_ppm, ece_num):
+    does a classifier's confidence mean anything, per confidence bin?
+    The acceptance check before a quality/spam score gates corpus
+    admission at scale - an uncalibrated score silently reweights the
+    corpus.
+
+    Everything is integer: bins by ppm div, per-bin confidence mean
+    and positive rate as floor divisions of exact sums, gap =
+    |conf - rate| in ppm, and ece_num = n * gap (sum it and divide by
+    total n for the scalar ECE - left to the caller so the table stays
+    engine-exact). One partial-agged groupBy over n_bins output rows."""
+    width = 1000000 // int(n_bins)
+    b = df.select(
+        F.expr(f"cast({score_ppm_col} as bigint) div {width}").alias("bin"),
+        F.col(score_ppm_col).cast("long").alias("conf"),
+        F.when(F.col(label_col).cast("boolean"), F.lit(1))
+        .otherwise(F.lit(0)).alias("pos"))
+    agg = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("conf").cast("long").alias("conf_sum"))
+    return (agg.select(
+        "bin", "n", "n_pos",
+        F.expr("conf_sum div n").alias("avg_conf_ppm"),
+        F.expr("(1000000 * n_pos) div n").alias("pos_rate_ppm"))
+        .withColumn("gap_ppm",
+                    F.abs(F.col("avg_conf_ppm") - F.col("pos_rate_ppm"))
+                    .cast("long"))
+        .withColumn("ece_num", (F.col("n") * F.col("gap_ppm"))
+                    .cast("long")))

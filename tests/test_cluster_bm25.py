@@ -283,3 +283,15 @@ def test_map_mrr_at_k_no_hits(spark):
     jud = spark.createDataFrame([("a", 1)], "doc_id string, rel long")
     row = bm25.map_mrr_at_k(res, jud, k=5).collect()[0]
     assert (row.n_hits, row.first_rank, row.ap, row.mrr) == (0, 0, 0.0, 0.0)
+
+
+def test_vocab_growth_checkpoints(spark):
+    docs = spark.createDataFrame(
+        [(i, f"x t{i // 5}") for i in range(10)],
+        "doc_id long, text string")
+    rows = {r.checkpoint: r for r in
+            bm25.vocab_growth(docs, n_checkpoints=2).collect()}
+    assert rows[1].new_terms == 2 and rows[1].vocab == 2   # x, t0
+    assert rows[1].boundary_id == 4
+    assert rows[2].new_terms == 1 and rows[2].vocab == 3   # t1
+    assert rows[2].boundary_id == 9

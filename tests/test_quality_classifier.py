@@ -95,3 +95,18 @@ def test_cohens_kappa_perfect_agreement(spark):
     row = quality.cohens_kappa(df, "ann_a", "ann_b").collect()[0]
     # single label: pe_num = n*n -> chance-degenerate, defined as 1.0
     assert (row.po, row.kappa) == (1.0, 1.0)
+
+
+def test_calibration_table_integer_columns(spark):
+    from eventrelationextractor_spark.ops import quality
+    df = spark.createDataFrame(
+        [(50000, False), (150000, True), (160000, False)],
+        "score_ppm long, label boolean")
+    rows = {r.bin: r for r in
+            quality.calibration_table(df, "score_ppm", "label",
+                                      n_bins=10).collect()}
+    assert rows[0].n == 1 and rows[0].n_pos == 0
+    b1 = rows[1]
+    assert (b1.n, b1.n_pos, b1.avg_conf_ppm, b1.pos_rate_ppm) == \
+        (2, 1, 155000, 500000)
+    assert b1.gap_ppm == 345000 and b1.ece_num == 690000

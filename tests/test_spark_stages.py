@@ -1031,3 +1031,42 @@ def test_cc_incremental_delta_only_cost(spark):
     got = {r.vertex: r.component for r in inc.collect()}
     assert got[5001] == 0 and got[5000] == 0 and got[999] == 0
     assert stats["rounds"] <= 3   # 3-vertex contracted graph
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    """The CUSUM closed form is incremental (two integers of state), so
+    the streaming detector must agree with the batch windows EXACTLY -
+    including across a trigger boundary splitting one key's series."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0 + dt.timedelta(minutes=i), n, 4)
+            for i, n in enumerate([3, 3, 9, 1, 0, 8, 8, 2])] + \
+           [("b", t0 + dt.timedelta(minutes=i), n, 2)
+            for i, n in enumerate([1, 9, 9, 0])]
+    schema = "event_type string, window_start timestamp, n long, target long"
+    batch_df = spark.createDataFrame(rows, schema)
+    want = {(r.event_type, r.window_start): (r.cusum, r.alarm)
+            for r in ev_ops.cusum_alarms(
+                batch_df, "event_type", "window_start", "n", "target",
+                slack=1, threshold=6).collect()}
+
+    src = str(tmp_path / "cusum_src")
+    os.makedirs(src)
+    first = [r for r in rows if r[1] < t0 + dt.timedelta(minutes=3)]
+    second = [r for r in rows if r[1] >= t0 + dt.timedelta(minutes=3)]
+    for i, part in enumerate((first, second)):
+        spark.createDataFrame(part, schema).coalesce(1) \
+            .write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false") \
+        .parquet(src + "/*")
+    q = (ev_ops.streaming_cusum_alarms(stream, slack=1, threshold=6)
+         .writeStream.format("memory").queryName("cusum_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.event_type, r.window_start): (r.cusum, r.alarm)
+           for r in spark.sql("select * from cusum_out").collect()}
+    assert got == want
+    assert any(a for _, a in got.values())
