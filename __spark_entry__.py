@@ -3396,6 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spread": _q_label_spread,
         "calibration_bins": _q_calibration_bins,
         "vocab_growth": _q_vocab_growth,
+        "hilbert_layout": _q_hilbert_layout,
     }
 
 
@@ -4755,6 +4756,59 @@ SELECT src_url, href,
   anchor
 FROM flat WHERE href NOT LIKE '#%'
 """
+
+
+def _q_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve layout envelope telemetry
+    (ops/layout.py::hilbert_layout_stats): same per-file min/max
+    envelope report as zorder_layout over doc_id-derived dimensions,
+    but on the Hilbert index - consecutive keys are always grid
+    neighbors (property-tested: bijection + unit-step adjacency), so
+    no file ever spans a Z-jump. The unrolled rotate-and-flip walk is
+    pure integer codegen, one named projection per level."""
+    from eventrelationextractor_spark.ops import layout
+    pts = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 64).alias("x"),
+        ((F.col("doc_id") * 11 + 5) % 64).alias("y"))
+    return layout.hilbert_layout_stats(pts, "x", "y", n_files=8, bits=6)
+
+
+def _hilbert_oracle(n_files: int = 8, bits: int = 6) -> str:
+    """Unrolled Hilbert xy2d levels + quantile file assignment
+    mirroring ops/layout.py::hilbert_key / hilbert_layout_stats
+    expression-for-expression (quadrant = 3*rx + ry - 2*rx*ry, flip
+    constant (2^bits)-1, swap on ry=0)."""
+    m = (1 << bits) - 1
+    parts = [f"""
+WITH pts AS (SELECT doc_id % 64 AS x, (doc_id * 11 + 5) % 64 AS y
+             FROM documents),
+h{bits} AS (SELECT x, y, CAST(x AS BIGINT) AS hx, CAST(y AS BIGINT) AS hy,
+            CAST(0 AS BIGINT) AS hd FROM pts)"""]
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        parts.append(f""",
+h{k} AS (SELECT x, y,
+  CASE WHEN ((hy >> {k}) & 1) = 0
+       THEN CASE WHEN ((hx >> {k}) & 1) = 1 THEN {m} - hy ELSE hy END
+       ELSE hx END AS hx,
+  CASE WHEN ((hy >> {k}) & 1) = 0
+       THEN CASE WHEN ((hx >> {k}) & 1) = 1 THEN {m} - hx ELSE hx END
+       ELSE hy END AS hy,
+  hd + {s * s} * (3 * ((hx >> {k}) & 1) + ((hy >> {k}) & 1)
+                  - 2 * ((hx >> {k}) & 1) * ((hy >> {k}) & 1)) AS hd
+  FROM h{k + 1})""")
+    qs = ", ".join(repr(i / n_files) for i in range(1, n_files))
+    parts.append(f""",
+keyed AS (SELECT x, y, hd AS hkey FROM h0),
+bounds AS (SELECT quantile_cont(hkey, [{qs}]) AS bs FROM keyed),
+filed AS (SELECT x, y,
+          1 + len(list_filter(bs, b -> b < hkey)) AS file
+          FROM keyed CROSS JOIN bounds)
+SELECT file, count(*) AS n_rows,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM filed GROUP BY file""")
+    return "".join(parts)
 
 
 def _zorder_oracle(n_files: int = 8, bits: int = 6) -> str:
@@ -7960,6 +8014,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "label_spread": _label_spread_oracle(),
         "calibration_bins": _CALIBRATION_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
+        "hilbert_layout": _hilbert_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
         "skew_profile": _SKEW_ORACLE,

@@ -41,6 +41,94 @@ def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
     return out
 
 
+def hilbert_key(df: DataFrame, x_col: str, y_col: str, bits: int = 8,
+                out_col: str = "hkey") -> DataFrame:
+    """Append the Hilbert-curve index of (x, y) over the
+    2^bits x 2^bits grid - the locality-preserving upgrade over
+    morton_key: consecutive Hilbert indices are always GRID NEIGHBORS
+    (no Z-shaped jumps across the plane), so range-partitioned files
+    get strictly tighter worst-case dimension envelopes (the reason
+    Delta/Iceberg grew HILBERT alongside ZORDER clustering).
+
+    The classic per-level rotate-and-flip walk (Wikipedia xy2d),
+    unrolled to ``bits`` levels of pure integer codegen. Each level is
+    materialized as named projection columns (withColumn), NOT nested
+    into one expression: every level references the previous x/y
+    twice, and Catalyst expressions are trees - one inlined expression
+    would blow up ~4^bits nodes. The quadrant term (3*rx) XOR ry is
+    carried as the arithmetic identity 3*rx + ry - 2*rx*ry (both
+    operands are bits), avoiding engine XOR spelling differences.
+    Returns a frame with ``out_col``; intermediate columns dropped.
+    2*bits <= 62; inputs are masked to the low ``bits`` bits."""
+    if 2 * bits > 62:
+        raise ValueError("2*bits must fit a signed long")
+    m = (1 << bits) - 1
+    out = df.withColumn("_hx", F.col(x_col).cast("long").bitwiseAND(m)) \
+            .withColumn("_hy", F.col(y_col).cast("long").bitwiseAND(m)) \
+            .withColumn("_hd", F.lit(0).cast("long"))
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        rx = F.shiftright(F.col("_hx"), k) % 2
+        ry = F.shiftright(F.col("_hy"), k) % 2
+        out = (out
+               .withColumn("_rx", rx.cast("long"))
+               .withColumn("_ry", ry.cast("long")))
+        quad = (F.lit(3) * F.col("_rx") + F.col("_ry")
+                - F.lit(2) * F.col("_rx") * F.col("_ry"))
+        flip = F.col("_rx") == 1
+        xf = F.when(flip, F.lit(m) - F.col("_hx")).otherwise(F.col("_hx"))
+        yf = F.when(flip, F.lit(m) - F.col("_hy")).otherwise(F.col("_hy"))
+        out = (out
+               .withColumn("_hd2", (F.col("_hd")
+                                    + F.lit(s * s).cast("long") * quad)
+                           .cast("long"))
+               .withColumn("_hx2", F.when(F.col("_ry") == 0, yf)
+                           .otherwise(F.col("_hx")).cast("long"))
+               .withColumn("_hy2", F.when(F.col("_ry") == 0, xf)
+                           .otherwise(F.col("_hy")).cast("long"))
+               .drop("_hx", "_hy", "_hd", "_rx", "_ry")
+               .withColumnRenamed("_hx2", "_hx")
+               .withColumnRenamed("_hy2", "_hy")
+               .withColumnRenamed("_hd2", "_hd"))
+    return out.withColumnRenamed("_hd", out_col).drop("_hx", "_hy")
+
+
+def _ranged_file_stats(keyed: DataFrame, key_col: str, n_files: int,
+                       approx: bool) -> DataFrame:
+    """Shared tail of the layout-stats ops: quantile file boundaries
+    on ``key_col``, file = 1 + #boundaries strictly below the key,
+    per-file dimension envelopes."""
+    qs = "array(" + ", ".join(repr(i / n_files)
+                              for i in range(1, n_files)) + ")"
+    fn = "percentile_approx" if approx else "percentile"
+    acc = ", 10000" if approx else ""
+    bounds = keyed.agg(F.expr(f"{fn}({key_col}, {qs}{acc})").alias("bs"))
+    filed = (keyed.crossJoin(F.broadcast(bounds))
+             .select("x", "y",
+                     (F.lit(1) + F.aggregate(
+                         "bs", F.lit(0),
+                         lambda a, b: a + F.when(b < F.col(key_col), 1)
+                         .otherwise(0))).alias("file")))
+    return (filed.groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                 F.min("y").alias("min_y"), F.max("y").alias("max_y")))
+
+
+def hilbert_layout_stats(df: DataFrame, x_col: str, y_col: str,
+                         n_files: int = 16, bits: int = 8,
+                         approx: bool = False) -> DataFrame:
+    """zorder_layout_stats with the Hilbert key: the same per-file
+    envelope report, so the two curves' pruning quality is directly
+    comparable on identical data (Hilbert's guarantee: no file ever
+    spans a Z-jump)."""
+    keyed = hilbert_key(
+        df.select(F.col(x_col).cast("long").alias("x"),
+                  F.col(y_col).cast("long").alias("y")),
+        "x", "y", bits)
+    return _ranged_file_stats(keyed, "hkey", n_files, approx)
+
+
 def zorder_layout_stats(df: DataFrame, x_col: str, y_col: str,
                         n_files: int = 16, bits: int = 16,
                         approx: bool = False) -> DataFrame:
@@ -58,19 +146,4 @@ def zorder_layout_stats(df: DataFrame, x_col: str, y_col: str,
     keyed = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"),
                       morton_key(F.col(x_col), F.col(y_col), bits)
                       .alias("zkey"))
-    qs = "array(" + ", ".join(repr(i / n_files)
-                              for i in range(1, n_files)) + ")"
-    fn = "percentile_approx" if approx else "percentile"
-    acc = ", 10000" if approx else ""
-    bounds = keyed.agg(
-        F.expr(f"{fn}(zkey, {qs}{acc})").alias("bs"))
-    filed = (keyed.crossJoin(F.broadcast(bounds))
-             .select("x", "y",
-                     (F.lit(1) + F.aggregate(
-                         "bs", F.lit(0),
-                         lambda a, b: a + F.when(b < F.col("zkey"), 1)
-                         .otherwise(0))).alias("file")))
-    return (filed.groupBy("file")
-            .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.min("x").alias("min_x"), F.max("x").alias("max_x"),
-                 F.min("y").alias("min_y"), F.max("y").alias("max_y")))
+    return _ranged_file_stats(keyed, "zkey", n_files, approx)

@@ -977,3 +977,39 @@ def test_spoof_clusters_homograph_detection(spark):
     assert out["g00gle.com"].skeleton == "google.com"
     assert out["g00gle.com"].is_spoof_cluster
     assert not out["example.org"].is_spoof_cluster
+
+
+def test_hilbert_key_bijection_and_adjacency(spark):
+    """The two properties that pin the rotate-and-flip unroll: the key
+    is a bijection on the grid, and consecutive indices are GRID
+    NEIGHBORS (Hilbert's defining locality guarantee - morton fails
+    this at every Z-jump)."""
+    from eventrelationextractor_spark.ops import layout
+    bits = 4
+    n = 1 << bits
+    pts = spark.createDataFrame([(x, y) for x in range(n)
+                                 for y in range(n)], "x long, y long")
+    rows = layout.hilbert_key(pts, "x", "y", bits).collect()
+    keys = sorted(r.hkey for r in rows)
+    assert keys == list(range(n * n))          # bijection onto [0, n^2)
+    by_d = sorted(rows, key=lambda r: r.hkey)
+    assert all(abs(a.x - b.x) + abs(a.y - b.y) == 1
+               for a, b in zip(by_d, by_d[1:]))
+
+
+def test_hilbert_layout_tighter_worst_envelope_than_zorder(spark):
+    """On the full grid, the worst per-file envelope area of the
+    Hilbert layout must not exceed z-order's - the reason the second
+    curve exists."""
+    from eventrelationextractor_spark.ops import layout
+    n = 1 << 5
+    pts = spark.createDataFrame([(x, y) for x in range(n)
+                                 for y in range(n)], "x long, y long")
+    def worst(stats):
+        return max((r.max_x - r.min_x + 1) * (r.max_y - r.min_y + 1)
+                   for r in stats.collect())
+    hz = worst(layout.hilbert_layout_stats(pts, "x", "y",
+                                           n_files=8, bits=5))
+    zz = worst(layout.zorder_layout_stats(pts, "x", "y",
+                                          n_files=8, bits=5))
+    assert hz <= zz
