@@ -427,3 +427,42 @@ def test_ivm_refresh_no_base_rescan_shape(spark):
     plan = _physical(maintenance.ivm_refresh(snap, delta))
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_session4_new_shapes_no_nested_loops(spark):
+    """Round-4 session-4 operator shapes: record_linkage's blocked pair
+    generation must be an equi-join (a nested loop here is the
+    all-pairs catastrophe blocking exists to prevent); label_spread's
+    vote rounds and events_cusum's window stack must stay hash/merge.
+    Single-row scalar crossJoins (kappa/MAD medians, MAP/MRR totals,
+    vocab_growth's range row, layout quantile bounds) are the intended
+    BNLJ-of-1 and exempt."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    fact_scale = ["record_linkage", "label_spread", "events_cusum",
+                  "session_transitions"]
+    for name in fact_scale:
+        plan = _physical(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    scalar_cross = ["annotator_agreement", "mad_outliers", "events_gini",
+                    "bm25_map_mrr", "calibration_bins", "vocab_growth",
+                    "hilbert_layout"]
+    for name in scalar_cross:
+        plan = _physical(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_record_linkage_blocked_equi_join(spark):
+    """The linkage pair generator must key on the block columns (a
+    shuffled equi-join), with the field comparisons as projections -
+    never as join conditions that degrade the join to a loop."""
+    import __spark_entry__ as entry
+
+    plan = _physical(entry.queries()["record_linkage"](
+        spark, "/root/testdata/sf0.001"))
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    assert "BroadcastNestedLoopJoin" not in plan
