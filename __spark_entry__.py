@@ -959,6 +959,32 @@ def _q_link_triangles(spark, sf_dir):
     return graph.triangle_counts(e.unionByName(clique), nodes=nodes)
 
 
+def _q_link_truss(spark, sf_dir):
+    """Bounded 5-truss peeling (ops/graph.py::ktruss_peel, 3 rounds)
+    over a graph built to exercise every peel regime: pagerank noise
+    edges (zero support - drop round 1), banded blocks of 8 with
+    deltas 1-3 (a 4-truss-but-not-5-truss - they CASCADE out as each
+    round's drops starve the next), and a 5-clique per 32nd doc (every
+    edge in 3 triangles - the surviving 5-truss core). The oracle
+    replays identical rounds as chained CTEs with id-ordered triangle
+    enumeration - same triangle set, so identical supports; the Spark
+    side enumerates degree-ordered (hub-proof O(m^1.5) wedges)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    e, _nodes = _link_edges(spark, sf_dir)
+    for delta in (1, 2, 3):
+        e = e.unionByName(
+            docs.filter(d % 8 <= 7 - delta)
+            .select(d.alias("src"), (d + delta).alias("dst")))
+    pairs = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    clique = (docs.filter(d % 32 == 0)
+              .select(F.explode(F.array(*[
+                  F.struct((d + i).alias("s"), (d + j).alias("t"))
+                  for i, j in pairs])).alias("p"))
+              .select(F.col("p.s").alias("src"), F.col("p.t").alias("dst")))
+    return graph.ktruss_peel(e.unionByName(clique), k=5, rounds=3)
+
+
 def _q_zorder_layout(spark, sf_dir):
     """Z-order layout envelope telemetry (ops/layout.py): morton-key
     file assignment over two doc_id-derived dimensions and the
@@ -1775,6 +1801,34 @@ def _q_calibration_bins(spark, sf_dir):
         " AS score_ppm",
         "n_chars >= 150 AS label")
     return quality.calibration_table(d, "score_ppm", "label", n_bins=10)
+
+
+def _q_frequent_pairs(spark, sf_dir):
+    """A-priori size-2 frequent itemsets (ops/mining.py::
+    frequent_pairs) over event-type baskets per (user, day):
+    support / confidence / lift in exact integer ppm. Items below
+    min_support are pruned BEFORE the basket self-join (downward
+    closure) and the pair generator is a basket-keyed equi-join,
+    never an all-pairs product."""
+    ev = _events(spark, sf_dir).selectExpr(
+        "concat(cast(user_id as string), '|', cast(to_date(ts) as string))"
+        " AS basket",
+        "event_type AS item")
+    return mining.frequent_pairs(ev, "basket", "item", min_support=2)
+
+
+def _q_roc_auc(spark, sf_dir):
+    """Tie-aware ROC AUC (ops/quality.py::roc_auc) of the length-
+    derived ppm score against a noisy threshold label (the doc_id%7
+    slice flips, so the ranking is good but not perfect and the score
+    has heavy ties across docs of equal length). Mann-Whitney over
+    score GROUPS - auc_num2/auc_den2 exact integers, one groupBy plus
+    a window over score-distinct rows only."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "least(999999, (1000000 * cast(n_chars as bigint)) div 300)"
+        " AS score_ppm",
+        "(n_chars >= 150) != (doc_id % 7 = 0) AS label")
+    return quality.roc_auc(d, "score_ppm", "label")
 
 
 def _q_vocab_growth(spark, sf_dir):
@@ -3395,6 +3449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gini": _q_events_gini,
         "label_spread": _q_label_spread,
         "calibration_bins": _q_calibration_bins,
+        "roc_auc": _q_roc_auc,
+        "frequent_pairs": _q_frequent_pairs,
+        "link_truss": _q_link_truss,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
     }
@@ -7716,6 +7773,106 @@ SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
 FROM c
 """
 
+def _ktruss_oracle(rounds: int = 3, min_supp: int = 3) -> str:
+    """Chained-CTE replay of _q_link_truss: identical edge set, then
+    per round an id-ordered triangle enumeration (same triangle SET as
+    Spark's degree-ordered one), 3-edge explode, support count, and
+    the >= k-2 filter feeding the next round's edge CTE."""
+    cliques = "\n  UNION ALL ".join(
+        f"SELECT doc_id + {i}, doc_id + {j} FROM documents "
+        "WHERE doc_id % 32 = 0"
+        for i in range(5) for j in range(i + 1, 5))
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, doc_id + {delta} FROM documents "
+        f"WHERE doc_id % 8 <= {7 - delta}"
+        for delta in (1, 2, 3))
+    sql = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS s, (doc_id*7+1) % n AS d FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % n FROM documents, nn WHERE doc_id % 17 <> 0
+  UNION ALL {bands}
+  UNION ALL {cliques}),
+e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       FROM raw WHERE s <> d)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+t{r} AS MATERIALIZED (SELECT x.a AS u, x.b AS v1, y.b AS v2
+        FROM e{p} x JOIN e{p} y ON x.a = y.a AND x.b < y.b
+        JOIN e{p} z ON z.a = x.b AND z.b = y.b),
+ex{r} AS (SELECT u AS a, v1 AS b FROM t{r}
+         UNION ALL SELECT u, v2 FROM t{r}
+         UNION ALL SELECT v1, v2 FROM t{r}),
+s{r} AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        FROM ex{r} GROUP BY 1, 2),
+sc{r} AS MATERIALIZED (
+  SELECT e.a, e.b, CAST(coalesce(s.c, 0) AS BIGINT) AS support
+  FROM e{p} e LEFT JOIN s{r} s USING (a, b)),
+e{r} AS MATERIALIZED (SELECT a, b FROM sc{r} WHERE support >= {min_supp})"""
+    finals = [f"SELECT a, b, support, CAST(0 AS BIGINT) AS dropped_round "
+              f"FROM sc{rounds} WHERE support >= {min_supp}"]
+    finals += [f"SELECT a, b, support, CAST({r} AS BIGINT) "
+               f"FROM sc{r} WHERE support < {min_supp}"
+               for r in range(1, rounds + 1)]
+    return sql + "\n" + "\nUNION ALL ".join(finals)
+
+
+_KTRUSS_ORACLE = _ktruss_oracle()
+
+_FREQ_PAIRS_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT
+         CAST(user_id AS VARCHAR) || '|' ||
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS basket,
+         event_type AS item
+  FROM events WHERE event_type IS NOT NULL),
+nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+c AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+      FROM b GROUP BY 1 HAVING count(*) >= 2),
+fb AS (SELECT b.basket, b.item FROM b JOIN c USING (item)),
+p AS (SELECT l.item AS item_a, r.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM fb l JOIN fb r ON l.basket = r.basket AND l.item < r.item
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT item_a, item_b, n_ab, ca.n_item AS n_a, cb.n_item AS n_b,
+       CAST((1000000 * n_ab) // n_baskets AS BIGINT) AS support_ppm,
+       CAST((1000000 * n_ab) // ca.n_item AS BIGINT) AS confidence_ppm,
+       CAST((1000000 * n_ab * n_baskets) // (ca.n_item * cb.n_item)
+            AS BIGINT) AS lift_ppm
+FROM p JOIN c ca ON p.item_a = ca.item
+       JOIN c cb ON p.item_b = cb.item
+       CROSS JOIN nb
+"""
+
+_ROC_AUC_ORACLE = """
+WITH b AS (
+  SELECT least(999999, (1000000 * n_chars) // 300) AS score,
+         CASE WHEN (n_chars >= 150) <> (doc_id % 7 = 0)
+              THEN 1 ELSE 0 END AS pos
+  FROM documents),
+g AS (SELECT score, CAST(sum(pos) AS BIGINT) AS np,
+             CAST(sum(1 - pos) AS BIGINT) AS nn
+      FROM b GROUP BY 1),
+t AS (SELECT np, nn,
+             CAST(coalesce(sum(nn) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_nn
+      FROM g),
+agg AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS auc_num2
+        FROM t)
+SELECT n_pos, n_neg, auc_num2,
+       CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den2,
+       round(CASE WHEN n_pos * n_neg > 0
+             THEN CAST(auc_num2 AS DOUBLE) / (2.0 * n_pos * n_neg)
+             END, 6) AS auc
+FROM agg
+"""
+
 _KAPPA_ORACLE = """
 WITH lab AS (
   SELECT least(n_chars // 150, 5) AS a,
@@ -8013,6 +8170,9 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "events_gini": _GINI_ORACLE,
         "label_spread": _label_spread_oracle(),
         "calibration_bins": _CALIBRATION_ORACLE,
+        "roc_auc": _ROC_AUC_ORACLE,
+        "frequent_pairs": _FREQ_PAIRS_ORACLE,
+        "link_truss": _KTRUSS_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "hilbert_layout": _hilbert_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,

@@ -38,6 +38,59 @@ from . import dedup
 from .simsearch import _norm, _with_cosine
 
 
+def frequent_pairs(df: DataFrame, basket_col: str, item_col: str,
+                   min_support: int = 2) -> DataFrame:
+    """A-priori size-2 frequent-itemset mining (Agrawal & Srikant 1994)
+    over (basket, item) rows -> (item_a, item_b, n_ab, n_a, n_b,
+    support_ppm, confidence_ppm, lift_ppm), item_a < item_b. The
+    market-basket classic, here the co-occurrence miner for corpus
+    telemetry (event types per user, tags per document, hosts per
+    session): which items co-occur more than their marginals predict.
+
+    Scale shape — the a-priori pruning IS the scale story:
+
+    * Baskets dedupe to distinct (basket, item) first (one groupBy).
+    * Items below ``min_support`` are pruned BEFORE the pair join
+      (downward closure: an infrequent item can't be in a frequent
+      pair), so the self-join fans out only over frequent items.
+    * The pair generator is a basket-keyed equi-join with item_a <
+      item_b — never an all-pairs product; hot baskets fan out as
+      deg^2, so cap basket size upstream if the domain has them.
+    * lift_ppm = 1e6 * P(ab) / (P(a)P(b)) = (1e6 * n_ab * n_baskets)
+      div (n_a * n_b) — exact integers end to end, hash-gate safe.
+    """
+    b = (df.select(F.col(basket_col).alias("basket"),
+                   F.col(item_col).alias("item"))
+         .where(F.col("item").isNotNull()).distinct())
+    n_baskets = b.select("basket").distinct() \
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    counts = b.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item"))
+    freq = counts.filter(F.col("n_item") >= min_support)
+    fb = b.join(F.broadcast(freq.select("item")), "item")
+    left = fb.select("basket", F.col("item").alias("item_a"))
+    right = fb.select("basket", F.col("item").alias("item_b"))
+    pairs = (left.join(right, "basket")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+             .filter(F.col("n_ab") >= min_support))
+    ca = freq.select(F.col("item").alias("item_a"),
+                     F.col("n_item").alias("n_a"))
+    cb = freq.select(F.col("item").alias("item_b"),
+                     F.col("n_item").alias("n_b"))
+    return (pairs.join(F.broadcast(ca), "item_a")
+            .join(F.broadcast(cb), "item_b")
+            .crossJoin(F.broadcast(n_baskets))
+            .select("item_a", "item_b", "n_ab", "n_a", "n_b",
+                    F.expr("(1000000 * n_ab) div n_baskets")
+                    .alias("support_ppm"),
+                    F.expr("(1000000 * n_ab) div n_a")
+                    .alias("confidence_ppm"),
+                    F.expr("(1000000 * n_ab * n_baskets) div (n_a * n_b)")
+                    .alias("lift_ppm")))
+
+
 def contrastive_pairs(docs: DataFrame, emb: DataFrame,
                       n_anchors: int = 20, shingle_k: int = 3,
                       sem_threshold: float = 0.5,

@@ -194,6 +194,58 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
                         .otherwise(F.lit(1.0)), 6).alias("kappa")))
 
 
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Tie-aware ROC AUC in exact integer arithmetic -> ONE row
+    (n_pos, n_neg, auc_num2, auc_den2, auc). The ranking-quality twin
+    of ``calibration_table``: calibration asks whether the score's
+    VALUE means anything, AUC asks whether its ORDER does — the gate
+    on any scorer used to rank (not just threshold) corpus admission.
+
+    AUC is the Mann–Whitney statistic: P(score_pos > score_neg) +
+    0.5*P(tie). Computed over SCORE GROUPS, not rows: one groupBy
+    collapses the corpus to (score -> n_pos_g, n_neg_g), then a
+    window ordered by score accumulates negatives-strictly-below, and
+
+        auc_num2 = sum_g n_pos_g * (2*cum_neg_below_g + n_neg_g)
+        auc_den2 = 2 * n_pos * n_neg
+
+    — every term an exact integer (ties contribute the n_neg_g term,
+    i.e. exactly 1/2 each), so the statistic is engine-exact; the only
+    float is the final 6dp division. Degenerate single-class input
+    yields auc = NULL rather than a fabricated 0.5.
+
+    Scale shape: one partial-agged groupBy over score cardinality,
+    then the unpartitioned cumulative window runs over SCORE-DISTINCT
+    rows only (the HDR-sketch 'window over sketch rows' shape) — fine
+    for bounded scores (ppm, centiban, quantized); for unbounded float
+    scores bucketize first, which is what a 100-TB ranking eval does
+    anyway."""
+    from pyspark.sql import Window
+
+    g = (df.select(F.col(score_col).cast("long").alias("score"),
+                   F.when(F.col(label_col).cast("boolean"), 1)
+                   .otherwise(0).alias("pos"))
+         .groupBy("score")
+         .agg(F.sum("pos").cast("long").alias("np"),
+              F.sum(F.expr("1 - pos")).cast("long").alias("nn")))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    terms = g.select(
+        "np", "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cum_nn"))
+    agg = terms.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("cum_nn") + F.col("nn")))
+        .cast("long").alias("auc_num2"))
+    return agg.select(
+        "n_pos", "n_neg", "auc_num2",
+        (2 * F.col("n_pos") * F.col("n_neg")).alias("auc_den2"),
+        F.round(F.when(F.col("n_pos") * F.col("n_neg") > 0,
+                       F.col("auc_num2").cast("double")
+                       / (2.0 * F.col("n_pos") * F.col("n_neg"))), 6)
+        .alias("auc"))
+
+
 def calibration_table(df: DataFrame, score_ppm_col: str, label_col: str,
                       n_bins: int = 10) -> DataFrame:
     """Reliability diagram for a [0,1)-score in exact integer ppm ->

@@ -411,3 +411,63 @@ def test_seeded_label_propagation_multi_hop(spark):
     got1 = {r.node: r.label for r in graph.seeded_label_propagation(
         edges, seeds, n_iter=1).collect()}
     assert got1 == {1: "x", 2: "x", 3: None, 4: None}
+
+
+# -------------------------------------------------------------- k-truss
+
+
+def _truss(spark, edges, k, rounds=3):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return {(r.a, r.b): (r.support, r.dropped_round)
+            for r in graph.ktruss_peel(e, k=k, rounds=rounds).collect()}
+
+
+def test_ktruss_clique_survives(spark):
+    # K5: every edge closes 3 triangles -> the whole clique is a
+    # 5-truss; nothing drops, support stays 3
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    got = _truss(spark, k5, k=5)
+    assert len(got) == 10
+    assert all(v == (3, 0) for v in got.values())
+
+
+def test_ktruss_cascade_diamond(spark):
+    # diamond: triangles (0,1,2) and (0,2,3) share edge 0-2. At k=4 the
+    # four outer edges (support 1) drop in round 1, which starves 0-2
+    # (support falls 2 -> 0): it drops in round 2. Pure cascade.
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    got = _truss(spark, edges, k=4)
+    assert got[(0, 2)] == (0, 2)
+    for e in [(0, 1), (1, 2), (2, 3), (0, 3)]:
+        assert got[e] == (1, 1)
+
+
+def test_ktruss_ignores_direction_duplicates_selfloops(spark):
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 0)]
+    got = _truss(spark, edges, k=3)   # k=3: support >= 1 survives
+    assert got == {(0, 1): (1, 0), (1, 2): (1, 0), (0, 2): (1, 0)}
+
+
+def test_ktruss_matches_python_peel(spark):
+    # hub-plus-ring graph vs a reference synchronous peel
+    n = 10
+    edges = [(0, i) for i in range(1, n)] + \
+        [(i, i % (n - 1) + 1) for i in range(1, n)] + \
+        [(1, 3), (3, 5), (5, 7)]
+    k, rounds = 4, 3
+    live = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    want = {}
+    supp = {}
+    for r in range(1, rounds + 1):
+        adj = {}
+        for a, b in live:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        supp = {(a, b): len(adj[a] & adj[b]) for a, b in live}
+        weak = {e for e in live if supp[e] < k - 2}
+        for e in weak:
+            want[e] = (supp[e], r)
+        live -= weak
+    for e in live:
+        want[e] = (supp[e], 0)
+    assert _truss(spark, edges, k=k, rounds=rounds) == want

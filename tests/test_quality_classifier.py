@@ -110,3 +110,51 @@ def test_calibration_table_integer_columns(spark):
     assert (b1.n, b1.n_pos, b1.avg_conf_ppm, b1.pos_rate_ppm) == \
         (2, 1, 155000, 500000)
     assert b1.gap_ppm == 345000 and b1.ece_num == 690000
+
+
+# ------------------------------------------------------------- roc auc
+
+
+def test_roc_auc_tie_aware_known_value(spark):
+    from eventrelationextractor_spark.ops import quality
+    # pos scores {1, 3}, neg scores {1, 2}: pairwise outcomes are
+    # tie(1v1)=0.5, loss(1v2)=0, win(3v1)=1, win(3v2)=1 -> AUC 0.625
+    df = spark.createDataFrame(
+        [(1, False), (1, True), (2, False), (3, True)],
+        "score long, label boolean")
+    row = quality.roc_auc(df, "score", "label").collect()[0]
+    assert (row.n_pos, row.n_neg) == (2, 2)
+    assert (row.auc_num2, row.auc_den2) == (5, 8)
+    assert row.auc == 0.625
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    from eventrelationextractor_spark.ops import quality
+    df = spark.createDataFrame(
+        [(i, i >= 5) for i in range(10)], "score long, label boolean")
+    assert quality.roc_auc(df, "score", "label").collect()[0].auc == 1.0
+    inv = spark.createDataFrame(
+        [(10 - i, i >= 5) for i in range(10)], "score long, label boolean")
+    assert quality.roc_auc(inv, "score", "label").collect()[0].auc == 0.0
+
+
+def test_roc_auc_single_class_is_null(spark):
+    from eventrelationextractor_spark.ops import quality
+    df = spark.createDataFrame([(1, True), (2, True)],
+                               "score long, label boolean")
+    row = quality.roc_auc(df, "score", "label").collect()[0]
+    assert row.n_neg == 0 and row.auc is None
+
+
+def test_roc_auc_matches_bruteforce_pair_count(spark):
+    from eventrelationextractor_spark.ops import quality
+    # deterministic pseudo-random scores with heavy ties (mod 5)
+    data = [((i * 7 + 3) % 5, (i * 13 + 1) % 3 == 0) for i in range(40)]
+    df = spark.createDataFrame(data, "score long, label boolean")
+    row = quality.roc_auc(df, "score", "label").collect()[0]
+    pos = [s for s, l in data if l]
+    neg = [s for s, l in data if not l]
+    num2 = sum(2 if p > n else 1 if p == n else 0
+               for p in pos for n in neg)
+    assert (row.auc_num2, row.auc_den2) == (num2, 2 * len(pos) * len(neg))
+    assert row.auc == round(num2 / (2.0 * len(pos) * len(neg)), 6)
