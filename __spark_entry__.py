@@ -1831,6 +1831,56 @@ def _q_roc_auc(spark, sf_dir):
     return quality.roc_auc(d, "score_ppm", "label")
 
 
+def _q_pr_curve(spark, sf_dir):
+    """Precision/recall curve (ops/quality.py::pr_curve) of a length-
+    derived ppm score against a noisy threshold label (doc_id%5 slice
+    flips) - one row per distinct score, tp/fp/fn and the ppm ratios
+    all exact integers. The threshold-sweep companion of roc_auc:
+    same groupBy-to-score-cardinality + window-over-distinct-scores
+    shape, different staging so the two gates are independent."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "least(999999, (1000000 * cast(n_chars as bigint)) div 250)"
+        " AS score_ppm",
+        "(n_chars >= 120) != (doc_id % 5 = 0) AS label")
+    return quality.pr_curve(d, "score_ppm", "label")
+
+
+def _q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift (ops/quality.py::
+    ks_two_sample) between the doc_id%3=0 slice and the rest, with a
+    staged +25-char shift on the flagged slice so D is materially
+    nonzero. d_num = max|cum_a*n_b - cum_b*n_a| over the merged value
+    support - exact integer, one groupBy + one window over value-
+    distinct rows."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "n_chars + if(doc_id % 3 = 0, 25, 0) AS v",
+        "doc_id % 3 = 0 AS flag")
+    return quality.ks_two_sample(d, "v", "flag")
+
+
+def _q_chi2_independence(spark, sf_dir):
+    """Chi-square independence cells (ops/quality.py::
+    chi_square_independence) between event_type and the user_id%4
+    shard - is the event mix independent of the sharding key. Counts
+    exact integers; expected/contrib are per-ROW 6dp floats over those
+    integers (no cross-partition float sum)."""
+    ev = _events(spark, sf_dir).selectExpr(
+        "event_type AS a", "user_id % 4 AS b")
+    return quality.chi_square_independence(ev, "a", "b")
+
+
+def _q_benford_digits(spark, sf_dir):
+    """Benford first-digit profile (ops/quality.py::benford_profile)
+    of order totals in integer cents (floor(x*100 + 0.5) - the
+    repo-standard rounding twin). Digit extraction from the decimal
+    string of the exact integer, expected_ppm the shared literal
+    table; 9 spine rows, zero-count digits included."""
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .selectExpr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                    " AS cents")
+    return quality.benford_profile(od, "cents")
+
+
 def _q_vocab_growth(spark, sf_dir):
     """Heaps-law vocabulary growth (ops/bm25.py::vocab_growth):
     distinct vocabulary after each tenth of the id space. First-
@@ -3452,6 +3502,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": _q_roc_auc,
         "frequent_pairs": _q_frequent_pairs,
         "link_truss": _q_link_truss,
+        "pr_curve": _q_pr_curve,
+        "ks_drift": _q_ks_drift,
+        "chi2_independence": _q_chi2_independence,
+        "benford_digits": _q_benford_digits,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
     }
@@ -7873,6 +7927,104 @@ SELECT n_pos, n_neg, auc_num2,
 FROM agg
 """
 
+_PR_CURVE_ORACLE = """
+WITH b AS (
+  SELECT least(999999, (1000000 * n_chars) // 250) AS threshold,
+         CASE WHEN (n_chars >= 120) <> (doc_id % 5 = 0)
+              THEN 1 ELSE 0 END AS pos
+  FROM documents),
+g AS (SELECT threshold, CAST(sum(pos) AS BIGINT) AS np,
+             CAST(sum(1 - pos) AS BIGINT) AS nn
+      FROM b GROUP BY 1),
+c AS (SELECT threshold,
+             CAST(sum(np) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS tp,
+             CAST(sum(nn) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS fp,
+             CAST(sum(np) OVER () AS BIGINT) AS n_pos
+      FROM g)
+SELECT threshold, tp, fp, CAST(n_pos - tp AS BIGINT) AS fn,
+       CAST((1000000 * tp) // (tp + fp) AS BIGINT) AS precision_ppm,
+       CASE WHEN n_pos > 0
+            THEN CAST((1000000 * tp) // n_pos AS BIGINT) END AS recall_ppm,
+       CASE WHEN n_pos > 0
+            THEN CAST((2000000 * tp) // (2 * tp + fp + (n_pos - tp))
+                      AS BIGINT) END AS f1_ppm
+FROM c
+"""
+
+_KS_DRIFT_ORACLE = """
+WITH b AS (
+  SELECT n_chars + CASE WHEN doc_id % 3 = 0 THEN 25 ELSE 0 END AS v,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS ia
+  FROM documents),
+g AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+             CAST(sum(1 - ia) AS BIGINT) AS cb
+      FROM b GROUP BY 1),
+c AS (SELECT CAST(sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_a,
+             CAST(sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_b
+      FROM g),
+s AS (SELECT cum_a, cum_b,
+             CAST(max(cum_a) OVER () AS BIGINT) AS ta,
+             CAST(max(cum_b) OVER () AS BIGINT) AS tb
+      FROM c),
+agg AS (SELECT CAST(max(ta) AS BIGINT) AS n_a,
+               CAST(max(tb) AS BIGINT) AS n_b,
+               CAST(max(abs(cum_a * tb - cum_b * ta)) AS BIGINT) AS d_num
+        FROM s)
+SELECT n_a, n_b, d_num,
+       CASE WHEN n_a * n_b > 0
+            THEN CAST((1000000 * d_num) // (n_a * n_b) AS BIGINT)
+            END AS d_ppm
+FROM agg
+"""
+
+_CHI2_ORACLE = """
+WITH d AS (SELECT event_type AS a, user_id % 4 AS b FROM events),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS observed
+          FROM d GROUP BY 1, 2),
+r AS (SELECT a, CAST(count(*) AS BIGINT) AS row_n FROM d GROUP BY 1),
+c AS (SELECT b, CAST(count(*) AS BIGINT) AS col_n FROM d GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+SELECT a, b, observed, row_n, col_n, n,
+       round(row_n * col_n / CAST(n AS DOUBLE), 6) AS expected,
+       round(pow(observed - row_n * col_n / CAST(n AS DOUBLE), 2)
+             / (row_n * col_n / CAST(n AS DOUBLE)), 6) AS contrib
+FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN nn
+"""
+
+_BENFORD_ORACLE = """
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS amt
+  FROM orders),
+dg AS (SELECT CAST(substring(CAST(amt AS VARCHAR), 1, 1) AS INTEGER)
+              AS digit,
+              CAST(count(*) AS BIGINT) AS n
+       FROM cents WHERE amt > 0 GROUP BY 1),
+spine AS (SELECT * FROM (VALUES
+  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+  (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+  AS t(digit, expected_ppm)),
+j AS (SELECT s.digit, CAST(coalesce(dg.n, 0) AS BIGINT) AS n,
+             CAST(s.expected_ppm AS BIGINT) AS expected_ppm
+      FROM spine s LEFT JOIN dg USING (digit)),
+t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS total FROM j)
+SELECT digit, n,
+       CASE WHEN total > 0
+            THEN CAST((1000000 * n) // total AS BIGINT) END AS observed_ppm,
+       expected_ppm,
+       CASE WHEN total > 0
+            THEN CAST(abs((1000000 * n) // total - expected_ppm) AS BIGINT)
+            END AS dev_ppm
+FROM t
+"""
+
 _KAPPA_ORACLE = """
 WITH lab AS (
   SELECT least(n_chars // 150, 5) AS a,
@@ -8173,6 +8325,10 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "roc_auc": _ROC_AUC_ORACLE,
         "frequent_pairs": _FREQ_PAIRS_ORACLE,
         "link_truss": _KTRUSS_ORACLE,
+        "pr_curve": _PR_CURVE_ORACLE,
+        "ks_drift": _KS_DRIFT_ORACLE,
+        "chi2_independence": _CHI2_ORACLE,
+        "benford_digits": _BENFORD_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "hilbert_layout": _hilbert_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,

@@ -279,3 +279,190 @@ def calibration_table(df: DataFrame, score_ppm_col: str, label_col: str,
                     .cast("long"))
         .withColumn("ece_num", (F.col("n") * F.col("gap_ppm"))
                     .cast("long")))
+
+
+def pr_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Precision/recall curve over score thresholds -> one row per
+    DISTINCT score, descending-threshold semantics ("predict positive
+    when score >= threshold"): (threshold, tp, fp, fn, precision_ppm,
+    recall_ppm, f1_ppm) — every column an exact integer, so the curve
+    is engine-exact under the value-hash gate. The threshold-sweep
+    companion of ``roc_auc``: AUC summarizes the ranking in one number,
+    the curve shows WHERE the precision/recall trade sits for picking
+    an operating point (the actual decision a corpus-admission filter
+    has to make).
+
+    precision_ppm = 1e6*tp div (tp+fp); recall_ppm = 1e6*tp div n_pos;
+    f1_ppm = 2e6*tp div (2*tp + fp + fn) — the exact-integer harmonic
+    mean (denominator never zero when tp+fp >= 1 and n_pos >= 1; rows
+    exist only at observed scores so tp+fp >= 1 always, and a zero-
+    positive corpus yields recall/f1 NULL via the when() guard rather
+    than an ANSI division error).
+
+    Scale shape: same as ``roc_auc`` — one partial-agged groupBy to
+    score cardinality, then the cumulative window runs over SCORE-
+    DISTINCT rows only; bucketize unbounded float scores upstream."""
+    from pyspark.sql import Window
+
+    g = (df.select(F.col(score_col).cast("long").alias("threshold"),
+                   F.when(F.col(label_col).cast("boolean"), 1)
+                   .otherwise(0).alias("pos"))
+         .groupBy("threshold")
+         .agg(F.sum("pos").cast("long").alias("np"),
+              F.sum(F.expr("1 - pos")).cast("long").alias("nn")))
+    w = Window.orderBy(F.col("threshold").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    cum = g.select(
+        "threshold",
+        F.sum("np").over(w).cast("long").alias("tp"),
+        F.sum("nn").over(w).cast("long").alias("fp"),
+        F.sum("np").over(wall).cast("long").alias("n_pos"))
+    return cum.select(
+        "threshold", "tp", "fp",
+        (F.col("n_pos") - F.col("tp")).cast("long").alias("fn"),
+        F.expr("(1000000 * tp) div (tp + fp)").alias("precision_ppm"),
+        F.when(F.col("n_pos") > 0, F.expr("(1000000 * tp) div n_pos"))
+        .alias("recall_ppm"),
+        F.when(F.col("n_pos") > 0,
+               F.expr("(2000000 * tp) div (2 * tp + fp + (n_pos - tp))"))
+        .alias("f1_ppm"))
+
+
+def ks_two_sample(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance in exact integer
+    arithmetic -> ONE row (n_a, n_b, d_num, d_ppm). The distribution-
+    drift gate between two corpus slices (this week's crawl vs last
+    week's, one source vs another): D = max_v |ECDF_a(v) - ECDF_b(v)|,
+    computed as the integer
+
+        d_num = max_v |cum_a(v) * n_b  -  cum_b(v) * n_a|
+
+    over the merged value support, so d_ppm = 1e6 * d_num div
+    (n_a * n_b) is engine-exact (``flag_col`` true -> sample a).
+    Degenerate empty side yields d_ppm NULL via the when() guard.
+
+    Scale shape: one partial-agged groupBy to value cardinality, then
+    the cumulative window runs over VALUE-DISTINCT rows only (the
+    ``roc_auc`` shape) — bucketize unbounded float values upstream,
+    which is what a 100-TB drift monitor does anyway."""
+    from pyspark.sql import Window
+
+    g = (df.select(F.col(value_col).cast("long").alias("v"),
+                   F.when(F.col(flag_col).cast("boolean"), 1)
+                   .otherwise(0).alias("ia"))
+         .groupBy("v")
+         .agg(F.sum("ia").cast("long").alias("ca"),
+              F.sum(F.expr("1 - ia")).cast("long").alias("cb")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    cum = g.select(
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"))
+    scored = cum.select(
+        "cum_a", "cum_b",
+        F.max("cum_a").over(wall).alias("ta"),
+        F.max("cum_b").over(wall).alias("tb"))
+    agg = scored.agg(
+        F.max("ta").cast("long").alias("n_a"),
+        F.max("tb").cast("long").alias("n_b"),
+        F.max(F.abs(F.col("cum_a") * F.col("tb")
+                    - F.col("cum_b") * F.col("ta")))
+        .cast("long").alias("d_num"))
+    return agg.select(
+        "n_a", "n_b", "d_num",
+        F.when(F.col("n_a") * F.col("n_b") > 0,
+               F.expr("(1000000 * d_num) div (n_a * n_b)"))
+        .alias("d_ppm"))
+
+
+def chi_square_independence(df: DataFrame, a_col: str,
+                            b_col: str) -> DataFrame:
+    """Pearson chi-square independence diagnostics between two
+    categorical columns -> one row per observed cell: (a, b, observed,
+    row_n, col_n, n, expected, contrib). Counts are exact integers;
+    ``expected`` = row_n*col_n/n and ``contrib`` = (observed-expected)^2
+    /expected are 6dp-rounded per-ROW float expressions over those
+    exact integers (no cross-partition float sum, so merge order can't
+    bite — the reader sums ``contrib`` for the chi-square statistic and
+    compares to the df=(R-1)(C-1) critical value). The independence
+    screen for corpus telemetry: is event mix independent of weekday,
+    is language independent of source, does a sharding key correlate
+    with a quality tier.
+
+    Scale shape: three partial-agged groupBys (cells, row margins, col
+    margins — cell cardinality R*C), margins broadcast back onto the
+    cell table; no window, no driver arithmetic."""
+    d = df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    cells = d.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("observed"))
+    rows = d.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("row_n"))
+    cols = d.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("col_n"))
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (cells.join(F.broadcast(rows), "a")
+            .join(F.broadcast(cols), "b")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "a", "b", "observed", "row_n", "col_n", "n",
+                F.round(F.col("row_n") * F.col("col_n")
+                        / F.col("n").cast("double"), 6).alias("expected"),
+                F.round(
+                    F.pow(F.col("observed")
+                          - F.col("row_n") * F.col("col_n")
+                          / F.col("n").cast("double"), F.lit(2.0))
+                    / (F.col("row_n") * F.col("col_n")
+                       / F.col("n").cast("double")), 6).alias("contrib")))
+
+
+#: round(log10(1 + 1/d) * 1e6) for d = 1..9 — sums to exactly 1e6.
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+               51153, 45757)
+
+
+def benford_profile(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-significant-digit profile vs Benford's law -> one row per
+    digit 1..9: (digit, n, observed_ppm, expected_ppm, dev_ppm). The
+    classic anomaly screen for magnitude-spanning positive quantities
+    (order totals, transfer amounts, view counts): organic multi-scale
+    data follows log10(1 + 1/d); fabricated or truncated feeds don't.
+
+    ``amount_col`` must be a positive integer magnitude (money in
+    cents, counts) — non-positive rows are excluded from n. The first
+    digit comes from the decimal string of the exact integer (no float
+    log), expected_ppm is the shared literal table ``BENFORD_PPM``
+    (sums to exactly 1e6), and observed_ppm = 1e6*n_d div n — every
+    column an exact integer, digits with zero observations still
+    emitted (left join against the 1..9 spine).
+
+    Scale shape: one map-side digit extraction + one partial-agged
+    9-group groupBy; the spine is 9 literal rows."""
+    from pyspark.sql import Window
+
+    digits = (df.select(F.col(amount_col).cast("long").alias("amt"))
+              .filter(F.col("amt") > 0)
+              .select(F.substring(F.col("amt").cast("string"), 1, 1)
+                      .cast("int").alias("digit"))
+              .groupBy("digit")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d, int(BENFORD_PPM[d - 1])) for d in range(1, 10)],
+        "digit int, expected_ppm long")
+    joined = (spine.join(digits, "digit", "left")
+              .select("digit", F.coalesce("n", F.lit(0)).cast("long")
+                      .alias("n"), "expected_ppm"))
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    return (joined
+            .withColumn("total", F.sum("n").over(wall).cast("long"))
+            .select("digit", "n",
+                    F.when(F.col("total") > 0,
+                           F.expr("(1000000 * n) div total"))
+                    .alias("observed_ppm"),
+                    "expected_ppm",
+                    F.when(F.col("total") > 0,
+                           F.abs(F.expr("(1000000 * n) div total")
+                                 - F.col("expected_ppm")))
+                    .alias("dev_ppm")))

@@ -158,3 +158,102 @@ def test_roc_auc_matches_bruteforce_pair_count(spark):
                for p in pos for n in neg)
     assert (row.auc_num2, row.auc_den2) == (num2, 2 * len(pos) * len(neg))
     assert row.auc == round(num2 / (2.0 * len(pos) * len(neg)), 6)
+
+
+# ------------------------------------------- pr curve / ks / chi2 / benford
+
+
+def test_pr_curve_descending_thresholds(spark):
+    from eventrelationextractor_spark.ops import quality
+    df = spark.createDataFrame(
+        [(1, False), (1, True), (2, False), (3, True)],
+        "score long, label boolean")
+    rows = {r.threshold: r for r in
+            quality.pr_curve(df, "score", "label").collect()}
+    assert (rows[3].tp, rows[3].fp, rows[3].fn) == (1, 0, 1)
+    assert rows[3].precision_ppm == 1_000_000
+    assert rows[3].recall_ppm == 500_000
+    assert rows[3].f1_ppm == 2_000_000 // 3
+    assert (rows[1].tp, rows[1].fp, rows[1].fn) == (2, 2, 0)
+    assert rows[1].recall_ppm == 1_000_000
+
+
+def test_pr_curve_no_positives_yields_null_recall(spark):
+    from eventrelationextractor_spark.ops import quality
+    df = spark.createDataFrame([(5, False), (7, False)],
+                               "score long, label boolean")
+    for r in quality.pr_curve(df, "score", "label").collect():
+        assert r.recall_ppm is None and r.f1_ppm is None
+        assert r.precision_ppm == 0
+
+
+def test_ks_identical_and_disjoint(spark):
+    from eventrelationextractor_spark.ops import quality
+    same = spark.createDataFrame(
+        [(v, f) for v in (1, 2, 3) for f in (True, False)],
+        "v long, flag boolean")
+    r = quality.ks_two_sample(same, "v", "flag").collect()[0]
+    assert (r.d_num, r.d_ppm) == (0, 0)
+    disj = spark.createDataFrame(
+        [(1, True), (2, True), (10, False)], "v long, flag boolean")
+    r = quality.ks_two_sample(disj, "v", "flag").collect()[0]
+    assert (r.n_a, r.n_b, r.d_num, r.d_ppm) == (2, 1, 2, 1_000_000)
+
+
+def test_ks_empty_side_is_null(spark):
+    from eventrelationextractor_spark.ops import quality
+    df = spark.createDataFrame([(1, True), (2, True)],
+                               "v long, flag boolean")
+    r = quality.ks_two_sample(df, "v", "flag").collect()[0]
+    assert r.n_b == 0 and r.d_ppm is None
+
+
+def test_ks_matches_bruteforce_ecdf(spark):
+    from fractions import Fraction
+
+    from eventrelationextractor_spark.ops import quality
+    data = [((i * 11 + 2) % 7, i % 3 == 0) for i in range(30)]
+    df = spark.createDataFrame(data, "v long, flag boolean")
+    r = quality.ks_two_sample(df, "v", "flag").collect()[0]
+    a = sorted(v for v, f in data if f)
+    b = sorted(v for v, f in data if not f)
+    d = max(abs(Fraction(sum(1 for x in a if x <= v), len(a))
+                - Fraction(sum(1 for x in b if x <= v), len(b)))
+            for v in set(a) | set(b))
+    assert Fraction(r.d_num, r.n_a * r.n_b) == d
+
+
+def test_chi2_exact_independence_has_zero_contrib(spark):
+    from eventrelationextractor_spark.ops import quality
+    rows = [(a, b) for a in ("x", "y") for b in ("p", "q")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    for r in quality.chi_square_independence(df, "a", "b").collect():
+        assert r.contrib == 0.0 and r.expected == 3.0
+
+
+def test_chi2_known_2x2(spark):
+    from eventrelationextractor_spark.ops import quality
+    # x rows: 8 p, 2 q; y rows: 2 p, 8 q  ->  chi2 = 7.2
+    rows = [("x", "p")] * 8 + [("x", "q")] * 2 + \
+        [("y", "p")] * 2 + [("y", "q")] * 8
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = quality.chi_square_independence(df, "a", "b").collect()
+    assert abs(sum(r.contrib for r in got) - 7.2) < 1e-9
+    cell = {(r.a, r.b): r for r in got}
+    assert cell[("x", "p")].observed == 8
+    assert cell[("x", "p")].expected == 5.0
+    assert cell[("x", "p")].contrib == 1.8
+
+
+def test_benford_excludes_nonpositive_and_zero_fills(spark):
+    from eventrelationextractor_spark.ops import quality
+    df = spark.createDataFrame(
+        [(v,) for v in [1, 19, 145, 2, 0, -7]], "amt long")
+    rows = {r.digit: r for r in
+            quality.benford_profile(df, "amt").collect()}
+    assert len(rows) == 9
+    assert rows[1].n == 3 and rows[2].n == 1 and rows[5].n == 0
+    assert rows[1].observed_ppm == 750_000
+    assert rows[5].observed_ppm == 0
+    assert rows[5].dev_ppm == rows[5].expected_ppm
+    assert sum(quality.BENFORD_PPM) == 1_000_000
