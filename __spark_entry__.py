@@ -1881,6 +1881,37 @@ def _q_benford_digits(spark, sf_dir):
     return quality.benford_profile(od, "cents")
 
 
+def _daily_counts(spark, sf_dir):
+    """(key=event_type, o=epoch day, x=count) — the bounded per-key
+    series (30 points per key at every SF grain) feeding the trend/
+    autocorrelation ops; the aggregation grain IS their scale
+    contract (never raw event rows)."""
+    return (_events(spark, sf_dir)
+            .selectExpr("event_type AS key",
+                        "datediff(to_date(ts), DATE'1970-01-01') AS o")
+            .groupBy("key", "o")
+            .agg(F.count(F.lit(1)).cast("long").alias("x")))
+
+
+def _q_trend_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test (ops/events.py::mann_kendall) per
+    event_type over the daily-count series: S and the tie-corrected
+    18*Var(S) exact integers, z the only float. The pairwise join
+    runs over the 30-row aggregated series per key."""
+    return events.mann_kendall(_daily_counts(spark, sf_dir),
+                                   "key", "o", "x")
+
+
+def _q_events_acf(spark, sf_dir):
+    """Autocorrelation at lags 1..5 (ops/events.py::acf) per
+    event_type over the daily-count series, in n-scaled integer
+    centered form: num/den exact integers, acf the per-row 6dp
+    ratio. Gaps in the day spine drop pairs rather than injecting
+    zeros (join on o + lag)."""
+    return events.acf(_daily_counts(spark, sf_dir),
+                          "key", "o", "x", max_lag=5)
+
+
 def _q_vocab_growth(spark, sf_dir):
     """Heaps-law vocabulary growth (ops/bm25.py::vocab_growth):
     distinct vocabulary after each tenth of the id space. First-
@@ -3506,6 +3537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": _q_ks_drift,
         "chi2_independence": _q_chi2_independence,
         "benford_digits": _q_benford_digits,
+        "trend_mann_kendall": _q_trend_mann_kendall,
+        "events_acf": _q_events_acf,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
     }
@@ -8025,6 +8058,62 @@ SELECT digit, n,
 FROM t
 """
 
+_DAILY_CTE = """
+daily AS (
+  SELECT event_type AS key,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS o,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2)"""
+
+_MANN_KENDALL_ORACLE = f"""
+WITH {_DAILY_CTE},
+p AS (SELECT a.key,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM daily a JOIN daily b ON a.key = b.key AND a.o < b.o
+      GROUP BY 1),
+n AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+ties AS (SELECT key, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                AS tie18
+         FROM (SELECT key, x, CAST(count(*) AS BIGINT) AS t
+               FROM daily GROUP BY 1, 2) GROUP BY 1),
+base AS (
+  SELECT n.key, n.n, CAST(coalesce(p.s, 0) AS BIGINT) AS s,
+         CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie18 AS BIGINT)
+           AS var18
+  FROM n LEFT JOIN p ON n.key = p.key JOIN ties ON n.key = ties.key)
+SELECT key, n, s, var18,
+       round(CASE WHEN s = 0 OR var18 <= 0 THEN 0.0
+             ELSE (s - sign(s)) / sqrt(var18 / 18.0) END, 6) AS z
+FROM base
+"""
+
+_ACF_ORACLE = f"""
+WITH {_DAILY_CTE},
+tot AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS ssum
+        FROM daily GROUP BY 1),
+c AS (SELECT d.key, d.o, tot.n,
+             CAST(tot.n * d.x - tot.ssum AS BIGINT) AS cx
+      FROM daily d JOIN tot USING (key)),
+den AS (SELECT key, CAST(sum(cx * cx) AS BIGINT) AS den,
+               CAST(max(n) AS BIGINT) AS n
+        FROM c GROUP BY 1),
+lags AS (SELECT unnest([1, 2, 3, 4, 5]) AS lag),
+num AS (SELECT a.key, lags.lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(a.cx * b.cx) AS BIGINT) AS num
+        FROM c a CROSS JOIN lags
+        JOIN c b ON a.key = b.key AND a.o + lags.lag = b.o
+        GROUP BY 1, 2)
+SELECT key, CAST(lag AS INTEGER) AS lag, den.n AS n, n_pairs, num,
+       den.den AS den,
+       CASE WHEN den.den > 0
+            THEN round(num / CAST(den.den AS DOUBLE), 6) END AS acf
+FROM num JOIN den USING (key)
+"""
+
 _KAPPA_ORACLE = """
 WITH lab AS (
   SELECT least(n_chars // 150, 5) AS a,
@@ -8329,6 +8418,8 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "ks_drift": _KS_DRIFT_ORACLE,
         "chi2_independence": _CHI2_ORACLE,
         "benford_digits": _BENFORD_ORACLE,
+        "trend_mann_kendall": _MANN_KENDALL_ORACLE,
+        "events_acf": _ACF_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "hilbert_layout": _hilbert_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,

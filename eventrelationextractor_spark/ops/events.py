@@ -784,3 +784,97 @@ def streaming_cusum_alarms(counts: DataFrame, slack: int = 0,
 
     return counts.groupBy("event_type").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+
+
+def mann_kendall(series: DataFrame, key_col: str, order_col: str,
+                 value_col: str) -> DataFrame:
+    """Mann–Kendall trend test per key over an ordered series ->
+    (key, n, s, var18, z): the nonparametric "is this metric trending"
+    gate for corpus telemetry (daily volume per source, weekly dup
+    rate). S = sum over ordered pairs of sign(x_j - x_i) and the
+    tie-corrected 18*Var(S) = n(n-1)(2n+5) - sum_t t(t-1)(2t+5) are
+    EXACT integers; only the normal-approximation z-score
+    (continuity-corrected (S -/+ 1)/sqrt(var), 0 when S = 0 or the
+    variance is degenerate) is a per-row 6dp float over them.
+
+    Scale shape: the pairwise S is a within-key equi-join (keyed, no
+    cartesian) over the AGGREGATED series — n per key is bounded by
+    the upstream rollup grain (days, weeks), not corpus size, the same
+    bounded-series contract as ``cusum_alarms``; the tie correction is
+    one extra per-(key, value) groupBy. Never feed raw event rows."""
+    s = series.select(F.col(key_col).alias("key"),
+                      F.col(order_col).cast("long").alias("o"),
+                      F.col(value_col).cast("long").alias("x"))
+    a = s.select("key", F.col("o").alias("oi"), F.col("x").alias("xi"))
+    b = s.select("key", F.col("o").alias("oj"), F.col("x").alias("xj"))
+    sign = (F.when(F.col("xj") > F.col("xi"), 1)
+            .when(F.col("xj") < F.col("xi"), -1).otherwise(0))
+    pairs = (a.join(b, "key").filter(F.col("oi") < F.col("oj"))
+             .groupBy("key")
+             .agg(F.sum(sign).cast("long").alias("s")))
+    n = s.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (s.groupBy("key", "x")
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .groupBy("key")
+            .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+                 .cast("long").alias("tie18")))
+    out = (n.join(pairs, "key", "left").join(ties, "key")
+           .select("key", "n",
+                   F.coalesce("s", F.lit(0)).cast("long").alias("s"),
+                   (F.expr("n * (n - 1) * (2 * n + 5)") - F.col("tie18"))
+                   .cast("long").alias("var18")))
+    z = (F.when((F.col("s") == 0) | (F.col("var18") <= 0), F.lit(0.0))
+         .otherwise((F.col("s") - F.signum(F.col("s")))
+                    / F.sqrt(F.col("var18") / F.lit(18.0))))
+    return out.select("key", "n", "s", "var18",
+                      F.round(z, 6).alias("z"))
+
+
+def acf(series: DataFrame, key_col: str, order_col: str, value_col: str,
+        max_lag: int = 5) -> DataFrame:
+    """Autocorrelation function per key at lags 1..max_lag ->
+    (key, lag, n, n_pairs, num, den, acf): seasonality/memory telemetry
+    for per-source volume series (a weekly crawl cadence shows as a
+    lag-7 spike). Uses the full-series mean in N-SCALED integer form:
+    with integer values x and S = sum(x),
+
+        num(k) = sum_t (n*x_t - S) * (n*x_{t+k} - S)   over valid t
+        den    = sum_t (n*x_t - S)^2
+
+    — both exact integers (engine-exact under the hash gate), and
+    acf = num/den is the only float (6dp, per-row). Missing order
+    points simply contribute no pair (the join is on order + lag, so
+    gaps behave as series holes, not zeros).
+
+    Scale shape: one per-key agg for (n, S) broadcast back, then ONE
+    keyed equi-join on (key, o + lag = o) after a map-side explode of
+    the 1..max_lag literal array — bounded series per key (the
+    ``mann_kendall`` contract), no window, no cartesian."""
+    s = series.select(F.col(key_col).alias("key"),
+                      F.col(order_col).cast("long").alias("o"),
+                      F.col(value_col).cast("long").alias("x"))
+    tot = s.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n"),
+                               F.sum("x").cast("long").alias("ssum"))
+    c = (s.join(F.broadcast(tot), "key")
+         .select("key", "o", "n",
+                 (F.col("n") * F.col("x") - F.col("ssum")).alias("cx")))
+    den = c.groupBy("key").agg(
+        F.sum(F.col("cx") * F.col("cx")).cast("long").alias("den"),
+        F.max("n").cast("long").alias("n"))
+    lags = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)]))
+    left = c.select("key", "o", F.col("cx").alias("cx_t")) \
+        .withColumn("lag", lags) \
+        .withColumn("o_j", F.col("o") + F.col("lag"))
+    right = c.select("key", F.col("o").alias("o_j"),
+                     F.col("cx").alias("cx_tk"))
+    num = (left.join(right, ["key", "o_j"])
+           .groupBy("key", "lag")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum(F.col("cx_t") * F.col("cx_tk")).cast("long")
+                .alias("num")))
+    return (num.join(F.broadcast(den), "key")
+            .select("key", F.col("lag").cast("int").alias("lag"), "n",
+                    "n_pairs", "num", "den",
+                    F.when(F.col("den") > 0,
+                           F.round(F.col("num") / F.col("den"), 6))
+                    .alias("acf")))

@@ -129,3 +129,71 @@ def test_session_transitions_counts_and_ties(spark):
     # user 1 contributes a->b, b->a; user 2's tie resolves to a->b
     assert got == {("a", "b"): (2, 1.0),
                    ("b", "a"): (1, 1.0)}
+
+
+# ---------------------------------------------------- mann-kendall / acf
+
+
+def _series(spark, vals, key="k"):
+    return spark.createDataFrame(
+        [(key, i, v) for i, v in enumerate(vals)],
+        "key string, o long, x long")
+
+
+def test_mann_kendall_monotone_series(spark):
+    n = 6
+    r = ev.mann_kendall(_series(spark, list(range(n))),
+                        "key", "o", "x").collect()[0]
+    # strictly increasing: S = C(n,2), no ties
+    assert (r.n, r.s) == (n, n * (n - 1) // 2)
+    assert r.var18 == n * (n - 1) * (2 * n + 5)
+    import math
+    assert r.z == round((r.s - 1) / math.sqrt(r.var18 / 18.0), 6)
+    dec = ev.mann_kendall(_series(spark, list(range(n))[::-1]),
+                          "key", "o", "x").collect()[0]
+    assert dec.s == -r.s and dec.z == -r.z
+
+
+def test_mann_kendall_constant_series_degenerate(spark):
+    r = ev.mann_kendall(_series(spark, [7] * 5),
+                        "key", "o", "x").collect()[0]
+    # all tied: S = 0 and the tie correction zeroes var18 exactly
+    assert (r.s, r.var18, r.z) == (0, 0, 0.0)
+
+
+def test_mann_kendall_tie_correction_known(spark):
+    vals = [1, 2, 2, 3]                     # one tie group of size 2
+    r = ev.mann_kendall(_series(spark, vals), "key", "o", "x").collect()[0]
+    assert r.s == 5                          # 6 pairs, one tied
+    assert r.var18 == 4 * 3 * 13 - 2 * 1 * 9
+
+
+def test_acf_alternating_series_is_negative_lag1(spark):
+    vals = [0, 10, 0, 10, 0, 10]
+    rows = {r.lag: r for r in ev.acf(_series(spark, vals), "key", "o",
+                                     "x", max_lag=2).collect()}
+    # mean 5, centered +-5: lag1 all opposite-sign, lag2 all same-sign
+    assert rows[1].acf < 0 < rows[2].acf
+    n = len(vals)
+    cx = [n * v - sum(vals) for v in vals]
+    for k in (1, 2):
+        assert rows[k].num == sum(cx[i] * cx[i + k] for i in range(n - k))
+        assert rows[k].den == sum(c * c for c in cx)
+        assert rows[k].n_pairs == n - k
+
+
+def test_acf_gap_drops_pairs(spark):
+    df = spark.createDataFrame(
+        [("k", 0, 1), ("k", 1, 2), ("k", 3, 4)],   # o=2 missing
+        "key string, o long, x long")
+    rows = {r.lag: r for r in ev.acf(df, "key", "o", "x",
+                                     max_lag=2).collect()}
+    assert rows[1].n_pairs == 1               # only (0,1); (1,2),(2,3) gone
+    assert rows[2].n_pairs == 1               # (1,3)
+    assert 3 not in rows
+
+
+def test_acf_constant_series_null(spark):
+    rows = ev.acf(_series(spark, [4] * 5), "key", "o", "x",
+                  max_lag=1).collect()
+    assert rows[0].den == 0 and rows[0].acf is None
