@@ -985,6 +985,35 @@ def _q_link_truss(spark, sf_dir):
     return graph.ktruss_peel(e.unionByName(clique), k=5, rounds=3)
 
 
+def _q_link_jaccard(spark, sf_dir):
+    """Neighborhood-Jaccard link scores (ops/graph.py::jaccard_links)
+    over the synthetic link graph: exact-integer |∩| div |∪| ppm per
+    co-neighbor pair, hub-capped candidate generation (the adamic-adar
+    cap semantics), true degrees in the denominator, is_edge splitting
+    prediction from confirmation. Oracle enumerates the same pairs
+    via an id-ordered wedge self-join."""
+    e, _nodes = _link_edges(spark, sf_dir)
+    return graph.jaccard_links(e, max_degree=100)
+
+
+def _q_link_assortativity(spark, sf_dir):
+    """Degree assortativity (ops/graph.py::degree_assortativity) of
+    the link graph plus the per-10th-doc 3-cliques (degree variety so
+    the variance term is nonzero): one row of exact-integer moment
+    sums m2/sx/sxy/sx2 and the 6dp Pearson r."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    e, _nodes = _link_edges(spark, sf_dir)
+    d = F.col("doc_id")
+    cl = docs.filter(d % 10 == 0)
+    clique = (cl.select(d.alias("src"), ((d + 1) % n).alias("dst"))
+              .unionByName(cl.select(((d + 1) % n).alias("src"),
+                                     ((d + 2) % n).alias("dst")))
+              .unionByName(cl.select(d.alias("src"),
+                                     ((d + 2) % n).alias("dst"))))
+    return graph.degree_assortativity(e.unionByName(clique))
+
+
 def _q_zorder_layout(spark, sf_dir):
     """Z-order layout envelope telemetry (ops/layout.py): morton-key
     file assignment over two doc_id-derived dimensions and the
@@ -3539,6 +3568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": _q_benford_digits,
         "trend_mann_kendall": _q_trend_mann_kendall,
         "events_acf": _q_events_acf,
+        "link_jaccard": _q_link_jaccard,
+        "link_assortativity": _q_link_assortativity,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
     }
@@ -8114,6 +8145,69 @@ SELECT key, CAST(lag AS INTEGER) AS lag, den.n AS n, n_pairs, num,
 FROM num JOIN den USING (key)
 """
 
+_LINK_JACCARD_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id*7+1) % n AS d FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % n FROM documents, nn
+  WHERE doc_id % 17 <> 0),
+sym AS (SELECT DISTINCT s, d FROM (
+  SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0) WHERE s <> d),
+deg AS (SELECT s AS z, CAST(count(*) AS BIGINT) AS dg
+        FROM sym GROUP BY s),
+quiet AS (SELECT z FROM deg WHERE dg BETWEEN 2 AND 100),
+p AS (SELECT l.d AS a, r.d AS b
+      FROM sym l JOIN sym r ON l.s = r.s AND l.d < r.d
+      JOIN quiet ON quiet.z = l.s),
+common AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
+           FROM p GROUP BY a, b),
+canon AS (SELECT DISTINCT s AS a, d AS b FROM sym WHERE s < d)
+SELECT c.a, c.b, c.n_common,
+       da.dg AS deg_a, db.dg AS deg_b,
+       CAST((1000000 * c.n_common)
+            // (da.dg + db.dg - c.n_common) AS BIGINT) AS jaccard_ppm,
+       (canon.a IS NOT NULL) AS is_edge
+FROM common c
+JOIN deg da ON da.z = c.a
+JOIN deg db ON db.z = c.b
+LEFT JOIN canon ON canon.a = c.a AND canon.b = c.b
+"""
+
+_ASSORTATIVITY_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id*7+1) % n AS d FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % n FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id+1) % n FROM documents, nn WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT (doc_id+1) % n, (doc_id+2) % n FROM documents, nn
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, (doc_id+2) % n FROM documents, nn WHERE doc_id % 10 = 0),
+sym AS (SELECT DISTINCT s, d FROM (
+  SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0) WHERE s <> d),
+deg AS (SELECT s AS z, CAST(count(*) AS BIGINT) AS dg
+        FROM sym GROUP BY s),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+               CAST(sum(da.dg) AS BIGINT) AS sx,
+               CAST(sum(da.dg * db.dg) AS BIGINT) AS sxy,
+               CAST(sum(da.dg * da.dg) AS BIGINT) AS sx2
+        FROM sym JOIN deg da ON da.z = sym.s
+                 JOIN deg db ON db.z = sym.d)
+SELECT m2, sx, sxy, sx2,
+       CASE WHEN m2 * sx2 - sx * sx > 0
+            THEN round(CAST(m2 * sxy - sx * sx AS DOUBLE)
+                       / CAST(m2 * sx2 - sx * sx AS DOUBLE), 6)
+            END AS r
+FROM agg
+"""
+
 _KAPPA_ORACLE = """
 WITH lab AS (
   SELECT least(n_chars // 150, 5) AS a,
@@ -8420,6 +8514,8 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "benford_digits": _BENFORD_ORACLE,
         "trend_mann_kendall": _MANN_KENDALL_ORACLE,
         "events_acf": _ACF_ORACLE,
+        "link_jaccard": _LINK_JACCARD_ORACLE,
+        "link_assortativity": _ASSORTATIVITY_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "hilbert_layout": _hilbert_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,

@@ -777,3 +777,97 @@ def seeded_label_propagation(edges: DataFrame, seeds: DataFrame,
     return (base.select("node", "is_seed")
             .join(labels, "node")
             .select("node", "label", "is_seed"))
+
+
+def jaccard_links(edges: DataFrame, src: str = "src", dst: str = "dst",
+                  max_degree: int = 100) -> DataFrame:
+    """Neighborhood-Jaccard link scores over the undirected
+    simplification -> (a, b, n_common, deg_a, deg_b, jaccard_ppm,
+    is_edge) for every pair a < b sharing at least one sufficiently-
+    quiet common neighbor: jaccard_ppm = 1e6*|N(a) ∩ N(b)| div
+    |N(a) ∪ N(b)| — exact integers end to end (the set-overlap
+    counterpart of ``adamic_adar``'s log-weighted score; is_edge
+    splits the ranking into link prediction over non-edges vs link
+    CONFIRMATION strength over existing ones).
+
+    Same skew discipline as ``adamic_adar``/``cocitation``: pair
+    enumeration through a common neighbor z is deg(z)^2, so z above
+    ``max_degree`` is dropped before any pair forms (pairs reachable
+    only through hubs are not scored — the standard cap semantics);
+    deg_a/deg_b are TRUE degrees in the full simplification, so the
+    union denominator is uncapped."""
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = (e0.unionByName(e0.select(F.col("d").alias("s"),
+                                    F.col("s").alias("d")))
+           .filter(F.col("s") != F.col("d")).distinct())
+    full_deg = sym.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("dg"))
+    quiet = full_deg.filter((F.col("dg") >= 2)
+                            & (F.col("dg") <= max_degree))
+    groups = (sym.join(quiet.select("s"), "s")
+              .groupBy("s")
+              .agg(F.sort_array(F.collect_list("d")).alias("ns")))
+    pairs = groups.select(F.explode(F.expr(
+        "flatten(transform(ns, (x, i) -> "
+        "transform(slice(ns, i + 2, size(ns)), "
+        "y -> struct(x as a, y as b))))")).alias("p")) \
+        .select("p.a", "p.b")
+    common = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"))
+    da = full_deg.select(F.col("s").alias("a"), F.col("dg").alias("deg_a"))
+    db = full_deg.select(F.col("s").alias("b"), F.col("dg").alias("deg_b"))
+    canon = sym.filter(F.col("s") < F.col("d")) \
+        .select(F.col("s").alias("a"), F.col("d").alias("b"),
+                F.lit(True).alias("edge_flag"))
+    return (common.join(da, "a").join(db, "b")
+            .join(canon, ["a", "b"], "left")
+            .select("a", "b", "n_common", "deg_a", "deg_b",
+                    F.expr("(1000000 * n_common) div "
+                           "(deg_a + deg_b - n_common)")
+                    .alias("jaccard_ppm"),
+                    F.coalesce("edge_flag", F.lit(False)).alias("is_edge")))
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Newman degree assortativity (Newman 2002) of the undirected
+    simplification -> ONE row (m2, sx, sxy, sx2, r): the Pearson
+    correlation of endpoint degrees over the symmetric edge list (each
+    undirected edge contributes both orientations, making the x/y
+    marginals identical — so only one set of moment sums is needed).
+    Social graphs run positive (hubs befriend hubs); web/link and
+    citation graphs run negative (hubs point at leaves) — a one-row
+    fingerprint of whether a crawl frontier is drilling into hub
+    cores or fanning out.
+
+        r = (m2*sxy - sx^2) / (m2*sx2 - sx^2)
+
+    with m2 = |sym edges|, sx = Σ deg(s), sxy = Σ deg(s)*deg(d),
+    sx2 = Σ deg(s)^2 — all EXACT integers (one agg row); r is the
+    only float (6dp, per-row on one row; NULL for the degenerate
+    regular graph where the variance term is 0).
+
+    Scale shape: one degree groupBy, two keyed equi-joins to attach
+    endpoint degrees, one partial-agged global agg — no window, no
+    driver arithmetic beyond the final row."""
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = (e0.unionByName(e0.select(F.col("d").alias("s"),
+                                    F.col("s").alias("d")))
+           .filter(F.col("s") != F.col("d")).distinct())
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    scored = (sym.join(deg, "s")
+              .join(deg.select(F.col("s").alias("d"),
+                               F.col("dg").alias("dg_d")), "d"))
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("dg").cast("long").alias("sx"),
+        F.sum(F.col("dg") * F.col("dg_d")).cast("long").alias("sxy"),
+        F.sum(F.col("dg") * F.col("dg")).cast("long").alias("sx2"))
+    return agg.select(
+        "m2", "sx", "sxy", "sx2",
+        F.when(F.col("m2") * F.col("sx2") - F.col("sx") * F.col("sx") > 0,
+               F.round((F.col("m2") * F.col("sxy")
+                        - F.col("sx") * F.col("sx")).cast("double")
+                       / (F.col("m2") * F.col("sx2")
+                          - F.col("sx") * F.col("sx")).cast("double"), 6))
+        .alias("r"))

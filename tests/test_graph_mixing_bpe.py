@@ -471,3 +471,76 @@ def test_ktruss_matches_python_peel(spark):
     for e in live:
         want[e] = (supp[e], 0)
     assert _truss(spark, edges, k=k, rounds=rounds) == want
+
+
+# ---------------------------------------- jaccard links / assortativity
+
+
+def test_jaccard_links_analytic_square(spark):
+    # square 0-1-2-3-0: opposite corners share BOTH neighbors
+    # (|cap|=2, |cup|=2+2-2=2 -> jaccard 1.0) and are non-edges;
+    # adjacent corners share none so no row is emitted for them
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.a, r.b): r for r in graph.jaccard_links(e).collect()}
+    assert set(got) == {(0, 2), (1, 3)}
+    r = got[(0, 2)]
+    assert (r.n_common, r.deg_a, r.deg_b) == (2, 2, 2)
+    assert r.jaccard_ppm == 1_000_000 and r.is_edge is False
+
+
+def test_jaccard_links_flags_existing_edges(spark):
+    # triangle + pendant: pair (0,1) IS an edge and shares neighbor 2
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.a, r.b): r for r in graph.jaccard_links(e).collect()}
+    r = got[(0, 1)]
+    # N(0)={1,2}, N(1)={0,2}: common {2}, union size 2+2-1=3
+    assert r.is_edge is True and r.n_common == 1
+    assert r.jaccard_ppm == 1_000_000 // 3
+    # 3's only co-neighbor pairs come through hub-eligible node 2
+    assert (0, 3) in got and got[(0, 3)].deg_b == 1
+
+
+def test_jaccard_links_hub_cap_drops_pairs(spark):
+    # star: all pairs share only the hub; capping below the hub degree
+    # removes every candidate
+    edges = [(9, i) for i in range(5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    assert graph.jaccard_links(e, max_degree=4).count() == 0
+    assert graph.jaccard_links(e, max_degree=5).count() == 10
+
+
+def test_assortativity_star_is_negative_one(spark):
+    # star graph: endpoint degrees are perfectly anti-correlated
+    e = spark.createDataFrame([(0, i) for i in range(1, 5)],
+                              "src long, dst long")
+    r = graph.degree_assortativity(e).collect()[0]
+    assert r.m2 == 8 and r.r == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    # cycle: every degree is 2 -> zero variance -> NULL, not a crash
+    e = spark.createDataFrame([(i, (i + 1) % 5) for i in range(5)],
+                              "src long, dst long")
+    r = graph.degree_assortativity(e).collect()[0]
+    assert r.r is None
+
+
+def test_assortativity_matches_numpy(spark):
+    import math
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (3, 4), (4, 5), (5, 6),
+             (6, 3), (2, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    r = graph.degree_assortativity(e).collect()[0]
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    xs = [deg[a] for a, b in sym]
+    ys = [deg[b] for a, b in sym]
+    m = len(sym)
+    num = m * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = math.sqrt((m * sum(x * x for x in xs) - sum(xs) ** 2)
+                    * (m * sum(y * y for y in ys) - sum(ys) ** 2))
+    assert r.r == round(num / den, 6)
