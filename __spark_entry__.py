@@ -1941,6 +1941,19 @@ def _q_events_acf(spark, sf_dir):
                           "key", "o", "x", max_lag=5)
 
 
+def _q_tcloseness(spark, sf_dir):
+    """t-closeness audit (ops/maintenance.py::tcloseness_groups)
+    completing the k-anon / l-diversity release triad: per
+    (lang, source) group, the ordinal EMD between the group's length-
+    bucket distribution and the global one, in exact integer ppm
+    (emd_num = sum |cum_c*N - cum_C*n_g| over the ladder's first m-1
+    rungs). Threshold 200000 ppm = the paper's t=0.2."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "lang", "source", "least(n_chars div 100, 5) AS bucket")
+    return maintenance.tcloseness_groups(
+        d, ["lang", "source"], "bucket", t_ppm=200_000)
+
+
 def _q_vocab_growth(spark, sf_dir):
     """Heaps-law vocabulary growth (ops/bm25.py::vocab_growth):
     distinct vocabulary after each tenth of the id space. First-
@@ -3570,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_acf": _q_events_acf,
         "link_jaccard": _q_link_jaccard,
         "link_assortativity": _q_link_assortativity,
+        "tcloseness_audit": _q_tcloseness,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
     }
@@ -8208,6 +8222,50 @@ SELECT m2, sx, sxy, sx2,
 FROM agg
 """
 
+_TCLOSENESS_ORACLE = """
+WITH d AS (SELECT lang, source,
+                  least(n_chars // 100, 5) AS sv
+           FROM documents),
+gdist AS (SELECT sv, CAST(count(*) AS BIGINT) AS gc FROM d GROUP BY 1),
+ladder AS (SELECT sv, gc,
+                  CAST(sum(gc) OVER (ORDER BY sv
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_gc,
+                  CAST(sum(gc) OVER () AS BIGINT) AS n_all,
+                  CAST(count(*) OVER () AS BIGINT) AS m,
+                  row_number() OVER (ORDER BY sv) AS rung
+           FROM gdist),
+cells AS (SELECT lang, source, sv, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2, 3),
+grp AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS group_n
+        FROM d GROUP BY 1, 2),
+spine AS (SELECT g.lang, g.source, g.group_n, l.sv, l.cum_gc, l.n_all,
+                 l.m, l.rung, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+          FROM grp g CROSS JOIN ladder l
+          LEFT JOIN cells c ON c.lang = g.lang AND c.source = g.source
+                            AND c.sv = l.sv),
+pref AS (SELECT *, CAST(sum(c) OVER (PARTITION BY lang, source
+           ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_c
+         FROM spine),
+agg AS (SELECT lang, source,
+               CAST(max(group_n) AS BIGINT) AS group_n,
+               CAST(max(m) AS BIGINT) AS m,
+               CAST(max(n_all) AS BIGINT) AS n_all,
+               CAST(sum(CASE WHEN rung < m
+                    THEN abs(cum_c * n_all - cum_gc * group_n)
+                    ELSE 0 END) AS BIGINT) AS emd_num
+        FROM pref GROUP BY 1, 2)
+SELECT lang, source, group_n, m, emd_num,
+       CAST(CASE WHEN m > 1
+            THEN (1000000 * emd_num) // ((m - 1) * group_n * n_all)
+            ELSE 0 END AS BIGINT) AS t_ppm,
+       (CASE WHEN m > 1
+             THEN (1000000 * emd_num) // ((m - 1) * group_n * n_all)
+             ELSE 0 END) > 200000 AS is_suppressed
+FROM agg
+"""
+
 _KAPPA_ORACLE = """
 WITH lab AS (
   SELECT least(n_chars // 150, 5) AS a,
@@ -8516,6 +8574,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "events_acf": _ACF_ORACLE,
         "link_jaccard": _LINK_JACCARD_ORACLE,
         "link_assortativity": _ASSORTATIVITY_ORACLE,
+        "tcloseness_audit": _TCLOSENESS_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "hilbert_layout": _hilbert_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,

@@ -184,3 +184,78 @@ def gini_concentration(df: DataFrame, key_col: str) -> DataFrame:
                         / (F.col("n_groups") * F.col("total"))
                         .cast("double")).otherwise(F.lit(0.0)), 6)
                     .alias("gini")))
+
+
+def tcloseness_groups(df: DataFrame, quasi_cols: list, sensitive_col,
+                      t_ppm: int = 200_000) -> DataFrame:
+    """t-closeness gate (Li, Li & Venkatasubramanian 2007), completing
+    the k-anonymity / l-diversity release triad: a group can be large
+    (k) and varied (l) yet still leak if its sensitive DISTRIBUTION
+    diverges from the table's - e.g. one zip code whose salary mix
+    skews far above the global mix. Emits ONE row per quasi-identifier
+    group: (*quasi_cols, group_n, m, emd_num, t_ppm, is_suppressed).
+
+    Distance is the ordinal Earth-Mover's Distance over the GLOBAL
+    sensitive-value ladder (m distinct values, ascending), in exact
+    integer form: with group counts c_i (n_g total) and global counts
+    C_i (N total),
+
+        emd_num = sum over the first m-1 ladder rungs of
+                  | cum_c(i) * N  -  cum_C(i) * n_g |
+
+    and EMD = emd_num / ((m-1) * n_g * N), so t_ppm = 1e6 * emd_num
+    div ((m-1)*n_g*N) is engine-exact. ``sensitive_col`` must be
+    ordinal (ints, bucketed magnitudes); m = 1 degenerates to t_ppm 0.
+
+    Scale shape: global ladder = one groupBy at sensitive cardinality
+    (broadcast); each group's prefix sums run over the group x ladder
+    spine (groups * m rows - m is small by the same argument as
+    l-diversity's collect_set), one window partitioned by group, one
+    partial-agged groupBy back to group grain. Never a row-level
+    window over the corpus."""
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    d = df.select(*[F.col(c) for c in quasi_cols],
+                  F.col(sensitive_col).cast("long").alias("sv"))
+    glob = d.groupBy("sv").agg(F.count(F.lit(1)).cast("long").alias("gc"))
+    ladder = glob.select(
+        "sv", "gc",
+        F.sum("gc").over(Window.orderBy("sv")
+                         .rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("cum_gc"),
+        F.sum("gc").over(Window.rowsBetween(Window.unboundedPreceding,
+                                            Window.unboundedFollowing))
+        .cast("long").alias("n_all"),
+        F.count(F.lit(1)).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long").alias("m"),
+        F.row_number().over(Window.orderBy("sv")).alias("rung"))
+    cells = d.groupBy(*quasi_cols, "sv").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    groups = d.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"))
+    spine = groups.crossJoin(F.broadcast(ladder))
+    filled = (spine.join(cells, [*quasi_cols, "sv"], "left")
+              .withColumn("c", F.coalesce("c", F.lit(0)).cast("long")))
+    wg = Window.partitionBy(*quasi_cols).orderBy("sv") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    pref = filled.withColumn("cum_c",
+                             F.sum("c").over(wg).cast("long"))
+    terms = pref.withColumn(
+        "term",
+        F.when(F.col("rung") < F.col("m"),
+               F.abs(F.col("cum_c") * F.col("n_all")
+                     - F.col("cum_gc") * F.col("group_n")))
+        .otherwise(F.lit(0)))
+    agg = terms.groupBy(*quasi_cols).agg(
+        F.max("group_n").cast("long").alias("group_n"),
+        F.max("m").cast("long").alias("m"),
+        F.max("n_all").cast("long").alias("n_all"),
+        F.sum("term").cast("long").alias("emd_num"))
+    return agg.select(
+        *quasi_cols, "group_n", "m", "emd_num",
+        F.when(F.col("m") > 1,
+               F.expr(f"(1000000 * emd_num) div "
+                      f"((m - 1) * group_n * n_all)"))
+        .otherwise(F.lit(0)).cast("long").alias("t_ppm")) \
+        .withColumn("is_suppressed", F.col("t_ppm") > t_ppm)

@@ -115,3 +115,61 @@ def test_gini_concentration_known_and_even(spark):
     assert (row.n_groups, row.total, row.gini) == (2, 4, 0.25)
     even = spark.createDataFrame([("a",), ("b",)], "k string")
     assert maintenance.gini_concentration(even, "k").collect()[0].gini == 0.0
+
+
+# ----------------------------------------------------------- t-closeness
+
+
+def test_tcloseness_matching_distribution_is_zero(spark):
+    # every group mirrors the global mix exactly -> EMD 0, kept
+    rows = [(g, sv) for g in ("a", "b") for sv in (1, 1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, sv long")
+    for r in maintenance.tcloseness_groups(df, ["g"], "sv").collect():
+        assert (r.emd_num, r.t_ppm, r.is_suppressed) == (0, 0, False)
+
+
+def test_tcloseness_skewed_group_analytic(spark):
+    # global: values 1,2 with 3+3; group x all-1s, group y all-2s.
+    # ladder m=2, one rung: |cum_c*N - cum_C*n_g| = |3*6 - 3*3| = 9
+    # EMD = 9 / (1*3*6) = 0.5 exactly
+    rows = [("x", 1)] * 3 + [("y", 2)] * 3
+    df = spark.createDataFrame(rows, "g string, sv long")
+    got = {r.g: r for r in maintenance.tcloseness_groups(
+        df, ["g"], "sv", t_ppm=400_000).collect()}
+    for g in ("x", "y"):
+        assert got[g].emd_num == 9
+        assert got[g].t_ppm == 500_000
+        assert got[g].is_suppressed is True
+
+
+def test_tcloseness_single_value_degenerate(spark):
+    df = spark.createDataFrame([("a", 7), ("b", 7)], "g string, sv long")
+    for r in maintenance.tcloseness_groups(df, ["g"], "sv").collect():
+        assert r.m == 1 and r.t_ppm == 0 and r.is_suppressed is False
+
+
+def test_tcloseness_matches_bruteforce_emd(spark):
+    from fractions import Fraction
+    data = [("g%d" % (i % 3), (i * 7 + 2) % 4) for i in range(24)]
+    df = spark.createDataFrame(data, "g string, sv long")
+    got = {r.g: r for r in
+           maintenance.tcloseness_groups(df, ["g"], "sv").collect()}
+    values = sorted({sv for _, sv in data})
+    n_all = len(data)
+    for g in ("g0", "g1", "g2"):
+        member = [sv for gg, sv in data if gg == g]
+        emd = Fraction(0)
+        cp = cq = Fraction(0)
+        for v in values[:-1]:
+            cp += Fraction(sum(1 for x in member if x == v), len(member))
+            cq += Fraction(sum(1 for _, x in data if x == v), n_all)
+            emd += abs(cp - cq)
+        emd /= (len(values) - 1)
+        assert Fraction(got[g].emd_num,
+                        (len(values) - 1) * len(member) * n_all) == emd
+
+
+def test_tcloseness_requires_quasi_cols(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, sv long")
+    with pytest.raises(ValueError):
+        maintenance.tcloseness_groups(df, [], "sv")
