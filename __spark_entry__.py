@@ -1954,6 +1954,17 @@ def _q_tcloseness(spark, sf_dir):
         d, ["lang", "source"], "bucket", t_ppm=200_000)
 
 
+def _q_token_label_mi(spark, sf_dir):
+    """Mutual-information + G^2 feature selection (ops/quality.py::
+    token_label_mi) between hashed-bigram presence and the doc_id%10
+    label - the same feature space and label as quality_classifier, so
+    selected buckets map onto classifier weights. Exact integer cell
+    counts; mi/g2 are per-row 4-term float expressions (6dp)."""
+    d = _docs(spark, sf_dir)
+    return quality.token_label_mi(d, F.expr("doc_id % 10 = 0"),
+                                  n_buckets=64)
+
+
 def _q_vocab_growth(spark, sf_dir):
     """Heaps-law vocabulary growth (ops/bm25.py::vocab_growth):
     distinct vocabulary after each tenth of the id space. First-
@@ -3584,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_jaccard": _q_link_jaccard,
         "link_assortativity": _q_link_assortativity,
         "tcloseness_audit": _q_tcloseness,
+        "token_label_mi": _q_token_label_mi,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
     }
@@ -8266,6 +8278,59 @@ SELECT lang, source, group_n, m, emd_num,
 FROM agg
 """
 
+_TOKEN_MI_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id,
+          list_filter(string_split(t, ' '), w -> w <> '') AS ws FROM norm),
+grams AS (SELECT doc_id,
+    CAST(('0x' || substr(md5(ws[CAST(i AS BIGINT)] || ' '
+                             || ws[CAST(i + 1 AS BIGINT)]), 1, 8))::UBIGINT
+         % 64 AS BIGINT) AS bucket
+  FROM words, LATERAL unnest(generate_series(1, len(ws) - 1)) AS r(i)
+  WHERE len(ws) >= 2),
+pres AS (SELECT DISTINCT doc_id, bucket FROM grams),
+lab AS (SELECT doc_id,
+        CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS y FROM documents),
+tot AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+               CAST(sum(1 - y) AS BIGINT) AS n0 FROM lab),
+bc AS (SELECT bucket, CAST(sum(y) AS BIGINT) AS n11,
+              CAST(sum(1 - y) AS BIGINT) AS n10
+       FROM pres JOIN lab USING (doc_id) GROUP BY 1),
+base AS (SELECT bucket, n11, n10,
+                CAST(n1 - n11 AS BIGINT) AS n01,
+                CAST(n0 - n10 AS BIGINT) AS n00,
+                CAST(n1 + n0 AS BIGINT) AS nn
+         FROM bc CROSS JOIN tot)
+SELECT bucket, n11, n10, n01, n00,
+  round(
+    (CASE WHEN n11 > 0 THEN n11 / CAST(nn AS DOUBLE)
+       * log2(nn * n11 / (CAST((n11+n10) AS DOUBLE) * (n11+n01)))
+       ELSE 0.0 END)
+  + (CASE WHEN n10 > 0 THEN n10 / CAST(nn AS DOUBLE)
+       * log2(nn * n10 / (CAST((n11+n10) AS DOUBLE) * (n10+n00)))
+       ELSE 0.0 END)
+  + (CASE WHEN n01 > 0 THEN n01 / CAST(nn AS DOUBLE)
+       * log2(nn * n01 / (CAST((n01+n00) AS DOUBLE) * (n11+n01)))
+       ELSE 0.0 END)
+  + (CASE WHEN n00 > 0 THEN n00 / CAST(nn AS DOUBLE)
+       * log2(nn * n00 / (CAST((n01+n00) AS DOUBLE) * (n10+n00)))
+       ELSE 0.0 END), 6) AS mi,
+  round(2.0 * (
+    (CASE WHEN n11 > 0 THEN n11
+       * ln(nn * n11 / (CAST((n11+n10) AS DOUBLE) * (n11+n01)))
+       ELSE 0.0 END)
+  + (CASE WHEN n10 > 0 THEN n10
+       * ln(nn * n10 / (CAST((n11+n10) AS DOUBLE) * (n10+n00)))
+       ELSE 0.0 END)
+  + (CASE WHEN n01 > 0 THEN n01
+       * ln(nn * n01 / (CAST((n01+n00) AS DOUBLE) * (n11+n01)))
+       ELSE 0.0 END)
+  + (CASE WHEN n00 > 0 THEN n00
+       * ln(nn * n00 / (CAST((n01+n00) AS DOUBLE) * (n10+n00)))
+       ELSE 0.0 END)), 6) AS g2
+FROM base
+"""
+
 _KAPPA_ORACLE = """
 WITH lab AS (
   SELECT least(n_chars // 150, 5) AS a,
@@ -8575,6 +8640,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "link_jaccard": _LINK_JACCARD_ORACLE,
         "link_assortativity": _ASSORTATIVITY_ORACLE,
         "tcloseness_audit": _TCLOSENESS_ORACLE,
+        "token_label_mi": _TOKEN_MI_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "hilbert_layout": _hilbert_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,

@@ -466,3 +466,66 @@ def benford_profile(df: DataFrame, amount_col: str) -> DataFrame:
                            F.abs(F.expr("(1000000 * n) div total")
                                  - F.col("expected_ppm")))
                     .alias("dev_ppm")))
+
+
+def token_label_mi(df: DataFrame, label, n_buckets: int = 64,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Mutual information + G^2 feature selection between hashed-bigram
+    PRESENCE and a document label -> one row per observed bucket:
+    (bucket, n11, n10, n01, n00, mi, g2). The question every filter
+    pipeline asks before trusting a lexical feature: which token
+    buckets actually carry signal about the label (quality tier,
+    source, spam verdict), and which are noise. MI in bits ranks;
+    Dunning's G^2 = 2*sum c*ln(N*c/(row*col)) gives the significance
+    scale (chi-square with 1 df).
+
+    Counts are document-level presence over the SAME feature space as
+    ``train_quality_classifier``/DSIR (md5 bigram buckets), so selected
+    buckets map directly onto classifier weights. n11/n10 come from one
+    presence-distinct groupBy; n01/n00 derive from the broadcast label
+    marginals (docs with < 2 words have no buckets and count as
+    feature-absent, like any other doc without the feature). The four
+    cell terms are per-ROW float expressions over exact integer counts
+    (zero cells contribute 0 via when() guards), rounded 6dp.
+
+    Scale shape: one distinct + one partial-agged groupBy at bucket
+    cardinality, one 1-row broadcast — no window, no collect."""
+    feat = hashed_bigram_features(df, id_col, text_col, n_buckets)
+    pres = feat.select(id_col, "bucket").distinct()
+    lab = df.select(F.col(id_col), label.cast("int").alias("y")) \
+        .filter(F.col("y").isNotNull())
+    tot = lab.agg(F.sum("y").cast("long").alias("n1"),
+                  F.sum(F.expr("1 - y")).cast("long").alias("n0"))
+    bc = (pres.join(lab, id_col)
+          .groupBy("bucket")
+          .agg(F.sum("y").cast("long").alias("n11"),
+               F.sum(F.expr("1 - y")).cast("long").alias("n10")))
+    base = (bc.crossJoin(F.broadcast(tot))
+            .select("bucket", "n11", "n10",
+                    (F.col("n1") - F.col("n11")).cast("long").alias("n01"),
+                    (F.col("n0") - F.col("n10")).cast("long").alias("n00"),
+                    (F.col("n1") + F.col("n0")).cast("long").alias("nn")))
+
+    def _cell(c, row, col):
+        ratio = (F.col("nn") * F.col(c)).cast("double") \
+            / (row * col).cast("double")
+        mi_t = F.when(F.col(c) > 0,
+                      F.col(c) / F.col("nn").cast("double")
+                      * F.log2(ratio)).otherwise(F.lit(0.0))
+        g2_t = F.when(F.col(c) > 0,
+                      F.col(c).cast("double") * F.log(ratio)) \
+            .otherwise(F.lit(0.0))
+        return mi_t, g2_t
+
+    r1 = (F.col("n11") + F.col("n10"))     # feature present
+    r0 = (F.col("n01") + F.col("n00"))     # feature absent
+    c1 = (F.col("n11") + F.col("n01"))     # label 1
+    c0 = (F.col("n10") + F.col("n00"))     # label 0
+    cells = [_cell("n11", r1, c1), _cell("n10", r1, c0),
+             _cell("n01", r0, c1), _cell("n00", r0, c0)]
+    mi = sum((m for m, _ in cells), F.lit(0.0))
+    g2 = sum((g for _, g in cells), F.lit(0.0))
+    return base.select("bucket", "n11", "n10", "n01", "n00",
+                       F.round(mi, 6).alias("mi"),
+                       F.round(2.0 * g2, 6).alias("g2"))

@@ -257,3 +257,49 @@ def test_benford_excludes_nonpositive_and_zero_fills(spark):
     assert rows[5].observed_ppm == 0
     assert rows[5].dev_ppm == rows[5].expected_ppm
     assert sum(quality.BENFORD_PPM) == 1_000_000
+
+
+# ------------------------------------------------------- token-label MI
+
+
+def test_token_label_mi_matches_bruteforce(spark):
+    import math
+    docs = [(i, ("alpha beta " if i % 2 == 0 else "gamma delta ") * 2)
+            for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.bucket: r for r in quality.token_label_mi(
+        df, F.expr("doc_id % 2 = 0"), n_buckets=8).collect()}
+    # brute force from the op's own presence counts (cells are the
+    # contract; mi/g2 recomputed from them independently)
+    for r in got.values():
+        nn = r.n11 + r.n10 + r.n01 + r.n00
+        assert nn == 12
+        mi = g2 = 0.0
+        for c, row, col in [(r.n11, r.n11 + r.n10, r.n11 + r.n01),
+                            (r.n10, r.n11 + r.n10, r.n10 + r.n00),
+                            (r.n01, r.n01 + r.n00, r.n11 + r.n01),
+                            (r.n00, r.n01 + r.n00, r.n10 + r.n00)]:
+            if c > 0:
+                mi += c / nn * math.log2(nn * c / (row * col))
+                g2 += c * math.log(nn * c / (row * col))
+        assert r.mi == round(mi, 6) and r.g2 == round(2 * g2, 6)
+
+
+def test_token_label_mi_perfect_predictor_is_one_bit(spark):
+    # feature present iff label=1, balanced labels -> MI = 1 bit
+    docs = [(i, "zq zq zq" if i % 2 == 0 else "xx") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = quality.token_label_mi(df, F.expr("doc_id % 2 = 0"),
+                                  n_buckets=4).collect()
+    # 'xx' docs have < 2 words -> featureless, count as absent
+    assert all(r.mi == 1.0 for r in rows)
+    assert all(r.n10 == 0 and r.n01 == 0 for r in rows)
+
+
+def test_token_label_mi_independent_feature_is_zero(spark):
+    # same text everywhere -> presence row is (all, 0): MI exactly 0
+    docs = [(i, "common words here") for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = quality.token_label_mi(df, F.expr("doc_id % 2 = 0"),
+                                  n_buckets=4).collect()
+    assert rows and all(r.mi == 0.0 and r.g2 == 0.0 for r in rows)
