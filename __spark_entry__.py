@@ -1954,6 +1954,27 @@ def _q_tcloseness(spark, sf_dir):
         d, ["lang", "source"], "bucket", t_ppm=200_000)
 
 
+def _q_events_linfit(spark, sf_dir):
+    """Per-event-type OLS over the daily-count series (ops/events.py::
+    linfit): five exact-integer moment sums from ONE groupBy, slope/
+    intercept/r2 per-row 6dp floats - the effect-size companion of
+    trend_mann_kendall on the same staging."""
+    return events.linfit(_daily_counts(spark, sf_dir), "key", "o", "x")
+
+
+def _q_psi_drift(spark, sf_dir):
+    """Population Stability Index cells (ops/quality.py::psi_buckets)
+    between the doc_id%3=0 slice (staged +25-char shift, the ks_drift
+    staging) and the rest, over 50-char length buckets capped at 19.
+    Proportions exact integer ppm floored at the 100-ppm smoothing;
+    psi_term per-row float."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "least((n_chars + if(doc_id % 3 = 0, 25, 0)) div 50, 19)"
+        " AS bucket",
+        "doc_id % 3 = 0 AS flag")
+    return quality.psi_buckets(d, "bucket", "flag", smooth_ppm=100)
+
+
 def _q_token_label_mi(spark, sf_dir):
     """Mutual-information + G^2 feature selection (ops/quality.py::
     token_label_mi) between hashed-bigram presence and the doc_id%10
@@ -3596,6 +3617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_assortativity": _q_link_assortativity,
         "tcloseness_audit": _q_tcloseness,
         "token_label_mi": _q_token_label_mi,
+        "events_linfit": _q_events_linfit,
+        "psi_drift": _q_psi_drift,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
     }
@@ -8331,6 +8354,54 @@ SELECT bucket, n11, n10, n01, n00,
 FROM base
 """
 
+_LINFIT_ORACLE = f"""
+WITH {_DAILY_CTE},
+agg AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(o) AS BIGINT) AS sx,
+               CAST(sum(x) AS BIGINT) AS sy,
+               CAST(sum(o * x) AS BIGINT) AS sxy,
+               CAST(sum(o * o) AS BIGINT) AS sx2,
+               CAST(sum(x * x) AS BIGINT) AS sy2
+        FROM daily GROUP BY 1)
+SELECT key, n, sx, sy, sxy, sx2, sy2,
+       round(CASE WHEN n * sx2 - sx * sx > 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sx2 - sx * sx AS DOUBLE) END, 6) AS slope,
+       round(CASE WHEN n * sx2 - sx * sx > 0
+             THEN (sy - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sx2 - sx * sx AS DOUBLE)) * sx)
+                  / CAST(n AS DOUBLE) END, 6) AS intercept,
+       round(CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (CAST(n * sx2 - sx * sx AS DOUBLE)
+                     * CAST(n * sy2 - sy * sy AS DOUBLE)) END, 6) AS r2
+FROM agg
+"""
+
+_PSI_ORACLE = """
+WITH d AS (
+  SELECT least((n_chars + CASE WHEN doc_id % 3 = 0 THEN 25 ELSE 0 END)
+               // 50, 19) AS bucket,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS ia
+  FROM documents),
+g AS (SELECT bucket, CAST(sum(ia) AS BIGINT) AS n_a,
+             CAST(sum(1 - ia) AS BIGINT) AS n_b
+      FROM d GROUP BY 1),
+tot AS (SELECT CAST(sum(ia) AS BIGINT) AS ta,
+               CAST(sum(1 - ia) AS BIGINT) AS tb FROM d),
+p AS (SELECT bucket, n_a, n_b,
+             CASE WHEN ta > 0 THEN CAST(greatest(
+               (1000000 * n_a) // ta, 100) AS BIGINT) END AS p_a_ppm,
+             CASE WHEN tb > 0 THEN CAST(greatest(
+               (1000000 * n_b) // tb, 100) AS BIGINT) END AS p_b_ppm
+      FROM g CROSS JOIN tot)
+SELECT bucket, n_a, n_b, p_a_ppm, p_b_ppm,
+       round((p_a_ppm - p_b_ppm) / 1e6
+             * ln(CAST(p_a_ppm AS DOUBLE) / p_b_ppm), 6) AS psi_term
+FROM p
+"""
+
 _KAPPA_ORACLE = """
 WITH lab AS (
   SELECT least(n_chars // 150, 5) AS a,
@@ -8641,6 +8712,8 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "link_assortativity": _ASSORTATIVITY_ORACLE,
         "tcloseness_audit": _TCLOSENESS_ORACLE,
         "token_label_mi": _TOKEN_MI_ORACLE,
+        "events_linfit": _LINFIT_ORACLE,
+        "psi_drift": _PSI_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "hilbert_layout": _hilbert_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,

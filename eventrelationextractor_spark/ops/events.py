@@ -878,3 +878,49 @@ def acf(series: DataFrame, key_col: str, order_col: str, value_col: str,
                     F.when(F.col("den") > 0,
                            F.round(F.col("num") / F.col("den"), 6))
                     .alias("acf")))
+
+
+def linfit(series: DataFrame, key_col: str, order_col: str,
+           value_col: str) -> DataFrame:
+    """Per-key ordinary least squares over an ordered series ->
+    (key, n, sx, sy, sxy, sx2, sy2, slope, intercept, r2): the effect-
+    size companion of ``mann_kendall`` (MK says WHETHER a series
+    trends; the fitted slope says how fast, r2 how linearly). All five
+    moment sums are EXACT integers from one partial-agged groupBy;
+    slope/intercept/r2 are per-row 6dp floats over them:
+
+        slope = (n*sxy - sx*sy) / (n*sx2 - sx^2)
+        intercept = (sy - slope*sx) / n
+        r2 = (n*sxy - sx*sy)^2 / ((n*sx2 - sx^2) * (n*sy2 - sy^2))
+
+    Degenerate keys (constant x, or n < 2) yield NULL slope/r2 via
+    when() guards rather than an ANSI division error; constant y with
+    varying x fits slope 0 with r2 NULL (zero variance to explain).
+
+    Scale shape: ONE groupBy, no window, no join — works on raw rows
+    at any cardinality (unlike the pairwise ``mann_kendall``, this
+    needs no bounded-series contract)."""
+    s = series.select(F.col(key_col).alias("key"),
+                      F.col(order_col).cast("long").alias("x"),
+                      F.col(value_col).cast("long").alias("y"))
+    agg = s.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"))
+    dx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(dx > 0, cov.cast("double") / dx.cast("double"))
+    return agg.select(
+        "key", "n", "sx", "sy", "sxy", "sx2", "sy2",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.when(dx > 0,
+                       (F.col("sy") - slope * F.col("sx"))
+                       / F.col("n").cast("double")), 6).alias("intercept"),
+        F.round(F.when((dx > 0) & (dy > 0),
+                       cov.cast("double") * cov.cast("double")
+                       / (dx.cast("double") * dy.cast("double"))), 6)
+        .alias("r2"))

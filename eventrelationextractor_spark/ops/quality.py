@@ -529,3 +529,44 @@ def token_label_mi(df: DataFrame, label, n_buckets: int = 64,
     return base.select("bucket", "n11", "n10", "n01", "n00",
                        F.round(mi, 6).alias("mi"),
                        F.round(2.0 * g2, 6).alias("g2"))
+
+
+def psi_buckets(df: DataFrame, bucket_col: str, flag_col: str,
+                smooth_ppm: int = 100) -> DataFrame:
+    """Population Stability Index cells between two corpus slices ->
+    one row per bucket: (bucket, n_a, n_b, p_a_ppm, p_b_ppm, psi_term)
+    over the union of observed buckets (``flag_col`` true -> slice a,
+    the candidate; false -> b, the baseline). PSI = sum(psi_term) with
+    the industry reading: < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    broken — the bucketed companion of ``ks_two_sample`` (KS feels the
+    worst single point; PSI integrates shape change).
+
+    Proportions are exact integer ppm floored at ``smooth_ppm`` (the
+    standard zero-bucket smoothing — an empty cell otherwise makes the
+    log term infinite), so psi_term = (p_a - p_b) * ln(p_a / p_b) is a
+    per-ROW float over engine-exact integers (6dp). Degenerate empty
+    slices yield NULL terms via when() guards.
+
+    Scale shape: one partial-agged groupBy at bucket cardinality plus
+    a 1-row broadcast of the slice totals — bucketize unbounded values
+    upstream (the ks_two_sample contract)."""
+    d = df.select(F.col(bucket_col).alias("bucket"),
+                  F.when(F.col(flag_col).cast("boolean"), 1)
+                  .otherwise(0).alias("ia"))
+    g = d.groupBy("bucket").agg(
+        F.sum("ia").cast("long").alias("n_a"),
+        F.sum(F.expr("1 - ia")).cast("long").alias("n_b"))
+    tot = d.agg(F.sum("ia").cast("long").alias("ta"),
+                F.sum(F.expr("1 - ia")).cast("long").alias("tb"))
+    base = g.crossJoin(F.broadcast(tot))
+    pa = F.when(F.col("ta") > 0,
+                F.greatest(F.expr("(1000000 * n_a) div ta"),
+                           F.lit(int(smooth_ppm))).cast("long"))
+    pb = F.when(F.col("tb") > 0,
+                F.greatest(F.expr("(1000000 * n_b) div tb"),
+                           F.lit(int(smooth_ppm))).cast("long"))
+    term = ((pa - pb).cast("double") / 1e6
+            * F.log(pa.cast("double") / pb.cast("double")))
+    return base.select("bucket", "n_a", "n_b",
+                       pa.alias("p_a_ppm"), pb.alias("p_b_ppm"),
+                       F.round(term, 6).alias("psi_term"))

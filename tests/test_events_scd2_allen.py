@@ -197,3 +197,35 @@ def test_acf_constant_series_null(spark):
     rows = ev.acf(_series(spark, [4] * 5), "key", "o", "x",
                   max_lag=1).collect()
     assert rows[0].den == 0 and rows[0].acf is None
+
+
+# ------------------------------------------------------------------ OLS
+
+
+def test_linfit_exact_line(spark):
+    # y = 3x + 2 exactly: slope/intercept recovered, r2 = 1
+    r = ev.linfit(_series(spark, [2, 5, 8, 11]), "key", "o",
+                  "x").collect()[0]
+    assert (r.slope, r.intercept, r.r2) == (3.0, 2.0, 1.0)
+
+
+def test_linfit_constant_y_zero_slope_null_r2(spark):
+    r = ev.linfit(_series(spark, [7, 7, 7]), "key", "o", "x").collect()[0]
+    assert r.slope == 0.0 and r.r2 is None
+
+
+def test_linfit_single_point_degenerate(spark):
+    r = ev.linfit(_series(spark, [9]), "key", "o", "x").collect()[0]
+    assert r.n == 1 and r.slope is None and r.intercept is None
+
+
+def test_linfit_matches_numpy(spark):
+    import numpy as np
+    ys = [(i * 13 + 5) % 17 for i in range(12)]
+    r = ev.linfit(_series(spark, ys), "key", "o", "x").collect()[0]
+    xs = np.arange(12.0)
+    slope, intercept = np.polyfit(xs, np.array(ys, dtype=float), 1)
+    corr = np.corrcoef(xs, np.array(ys, dtype=float))[0, 1]
+    assert r.slope == round(float(slope), 6)
+    assert r.intercept == round(float(intercept), 6)
+    assert r.r2 == round(float(corr ** 2), 6)

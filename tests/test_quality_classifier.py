@@ -303,3 +303,42 @@ def test_token_label_mi_independent_feature_is_zero(spark):
     rows = quality.token_label_mi(df, F.expr("doc_id % 2 = 0"),
                                   n_buckets=4).collect()
     assert rows and all(r.mi == 0.0 and r.g2 == 0.0 for r in rows)
+
+
+# ----------------------------------------------------------------- psi
+
+
+def test_psi_identical_slices_zero(spark):
+    df = spark.createDataFrame(
+        [(b, f) for b in (0, 1, 2) for f in (True, False)] * 4,
+        "bucket long, flag boolean")
+    for r in quality.psi_buckets(df, "bucket", "flag").collect():
+        assert r.psi_term == 0.0 and r.p_a_ppm == r.p_b_ppm
+
+
+def test_psi_zero_bucket_smoothing(spark):
+    # bucket 1 absent from slice a: p_a floors at smooth_ppm, the term
+    # stays finite and negative (baseline mass missing from candidate)
+    rows = [(0, True)] * 4 + [(0, False), (1, False), (1, False),
+                              (1, False)]
+    df = spark.createDataFrame(rows, "bucket long, flag boolean")
+    got = {r.bucket: r for r in
+           quality.psi_buckets(df, "bucket", "flag",
+                               smooth_ppm=100).collect()}
+    import math
+    assert got[1].p_a_ppm == 100
+    assert got[1].p_b_ppm == 750_000
+    want = (100 - 750_000) / 1e6 * math.log(100 / 750_000)
+    assert got[1].psi_term == round(want, 6)
+    assert got[1].psi_term > 0       # drift terms are positive
+    assert got[0].p_a_ppm == 1_000_000
+
+
+def test_psi_total_flags_known_shift(spark):
+    # candidate shifted one bucket right: total PSI well above 0.25
+    rows = [(b, False) for b in (0, 0, 0, 1)] + \
+        [(b + 1, True) for b in (0, 0, 0, 1)]
+    df = spark.createDataFrame(rows, "bucket long, flag boolean")
+    total = sum(r.psi_term for r in
+                quality.psi_buckets(df, "bucket", "flag").collect())
+    assert total > 0.25
