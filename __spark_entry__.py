@@ -1975,6 +1975,15 @@ def _q_psi_drift(spark, sf_dir):
     return quality.psi_buckets(d, "bucket", "flag", smooth_ppm=100)
 
 
+def _q_phrase_search(spark, sf_dir):
+    """Exact-phrase search (ops/bm25.py::phrase_search) for the
+    REPEATED-token phrase "table table" - the classic PhraseQuery
+    subtlety the distinct-offset count exists for (a lone 'table'
+    satisfies one offset, never both). Postings shift onto a common
+    anchor; one groupBy, no self-join chain."""
+    return bm25.phrase_search(_docs(spark, sf_dir), ["table", "table"])
+
+
 def _q_token_label_mi(spark, sf_dir):
     """Mutual-information + G^2 feature selection (ops/quality.py::
     token_label_mi) between hashed-bigram presence and the doc_id%10
@@ -3619,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_label_mi": _q_token_label_mi,
         "events_linfit": _q_events_linfit,
         "psi_drift": _q_psi_drift,
+        "phrase_search": _q_phrase_search,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
     }
@@ -8402,6 +8412,28 @@ SELECT bucket, n_a, n_b, p_a_ppm, p_b_ppm,
 FROM p
 """
 
+_PHRASE_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+idx AS (SELECT doc_id, ws[CAST(i AS BIGINT)] AS term,
+               CAST(i - 1 AS BIGINT) AS pos
+        FROM words, LATERAL unnest(generate_series(1, len(ws))) r(i)),
+offs AS (SELECT * FROM (VALUES ('table', 0), ('table', 1))
+         AS t(term, i)),
+anchored AS (SELECT idx.doc_id, idx.pos - offs.i AS anchor, offs.i
+             FROM idx JOIN offs USING (term)
+             WHERE idx.pos - offs.i >= 0),
+starts AS (SELECT doc_id, anchor
+           FROM anchored GROUP BY doc_id, anchor
+           HAVING count(DISTINCT i) = 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(anchor) AS BIGINT) AS first_pos
+FROM starts GROUP BY doc_id
+"""
+
 _KAPPA_ORACLE = """
 WITH lab AS (
   SELECT least(n_chars // 150, 5) AS a,
@@ -8714,6 +8746,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "token_label_mi": _TOKEN_MI_ORACLE,
         "events_linfit": _LINFIT_ORACLE,
         "psi_drift": _PSI_ORACLE,
+        "phrase_search": _PHRASE_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "hilbert_layout": _hilbert_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,

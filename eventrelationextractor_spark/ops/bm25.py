@@ -413,3 +413,52 @@ def vocab_growth(docs: DataFrame, n_checkpoints: int = 10,
             .withColumn("vocab", F.sum("new_terms").over(w).cast("long"))
             .select(F.col("checkpoint").cast("long").alias("checkpoint"),
                     "boundary_id", "new_terms", "vocab"))
+
+
+def positional_index(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, term): the positional inverted-index rows —
+    ``tokenize`` plus the 0-based token offset within the document's
+    filtered token stream. At 100 TB this is the table you materialize
+    ONCE (bucketed by term) so phrase queries never rescan text."""
+    terms = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                     lambda t: t != "")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(terms).alias("pos", "term"))
+
+
+def phrase_search(docs: DataFrame, phrase: list, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact-phrase search via the positional index (the Lucene
+    PhraseQuery plan, distributed) -> (doc_id, n_matches, first_pos)
+    per matching document. A k-token phrase matches at anchor a when
+    token i sits at position a+i for ALL i — so each phrase term's
+    postings shift by -i onto a common anchor and one groupBy counts
+    distinct satisfied offsets (count(distinct i) = k). Repeated
+    phrase tokens ("table table") are handled by the distinct-offset
+    count, the classic phrase-query subtlety.
+
+    Scale shape: the (term, i) offsets are a <= k-row broadcast; the
+    postings side selects ONLY the phrase's terms (predicate pushdown
+    into the index scan when ``positional_index`` is materialized),
+    then one partial-agged groupBy on (doc, anchor) and one per-doc
+    rollup — no window, no self-join chain growing with k, no text
+    rescan at query time."""
+    if not phrase:
+        raise ValueError("phrase must have at least one token")
+    k = len(phrase)
+    spark = docs.sparkSession
+    offs = spark.createDataFrame(
+        [(str(t), i) for i, t in enumerate(phrase)], "term string, i int")
+    idx = positional_index(docs, id_col, text_col)
+    anchored = (idx.join(F.broadcast(offs), "term")
+                .select("doc_id", (F.col("pos") - F.col("i"))
+                        .alias("anchor"), "i")
+                .filter(F.col("anchor") >= 0))
+    starts = (anchored.groupBy("doc_id", "anchor")
+              .agg(F.countDistinct("i").alias("hit"))
+              .filter(F.col("hit") == k))
+    return (starts.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
+                 F.min("anchor").cast("long").alias("first_pos")))

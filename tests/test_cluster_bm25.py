@@ -295,3 +295,43 @@ def test_vocab_growth_checkpoints(spark):
     assert rows[1].boundary_id == 4
     assert rows[2].new_terms == 1 and rows[2].vocab == 3   # t1
     assert rows[2].boundary_id == 9
+
+
+# --------------------------------------------------------- phrase search
+
+
+def _phrase(spark, texts, phrase):
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    from eventrelationextractor_spark.ops import bm25
+    return {r.doc_id: (r.n_matches, r.first_pos)
+            for r in bm25.phrase_search(docs, phrase).collect()}
+
+
+def test_phrase_search_counts_and_positions(spark):
+    got = _phrase(spark, ["a b c a b", "b a", "a b"], ["a", "b"])
+    assert got == {0: (2, 0), 2: (1, 0)}    # doc 1 has "b a", not "a b"
+
+
+def test_phrase_search_repeated_token(spark):
+    # the distinct-offset subtlety: a single 'x' must NOT match "x x"
+    got = _phrase(spark, ["x y x x z x x x", "x y", "y x x y"], ["x", "x"])
+    # doc 0: anchors at 2,5,6; doc 2: anchor 1
+    assert got == {0: (3, 2), 2: (1, 1)}
+
+
+def test_phrase_search_punctuation_and_case(spark):
+    got = _phrase(spark, ["Fast, TABLE! scan", "fasttable"],
+                  ["fast", "table"])
+    assert got == {0: (1, 0)}
+
+
+def test_phrase_search_single_token_and_empty(spark):
+    import pytest as _pytest
+
+    from eventrelationextractor_spark.ops import bm25
+    got = _phrase(spark, ["w w", "v"], ["w"])
+    assert got == {0: (2, 0)}
+    docs = spark.createDataFrame([(0, "w")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25.phrase_search(docs, [])
