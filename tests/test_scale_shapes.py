@@ -466,3 +466,48 @@ def test_record_linkage_blocked_equi_join(spark):
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session5_new_shapes_no_nested_loops(spark):
+    """Round-4 session-5 operator shapes: the pairwise generators
+    (frequent_pairs' basket self-join, jaccard_links' wedge join,
+    mann_kendall's within-key pair join, ktruss's per-round wedge
+    joins, phrase_search's postings join) must all stay keyed equi-
+    joins - a nested loop in any of them is the all-pairs blowup the
+    operator's blocking exists to prevent. Single-row scalar
+    crossJoins (roc_auc/ks totals, MI label marginals, PSI totals,
+    frequent_pairs' n_baskets row, assortativity's final row) are the
+    intended BNLJ-of-1 and exempt from the BNLJ assert."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    fact_scale = ["link_truss", "link_jaccard", "trend_mann_kendall",
+                  "events_acf", "phrase_search",
+                  "events_linfit", "pr_curve"]
+    for name in fact_scale:
+        plan = _physical(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # tcloseness's group x ladder spine is an intended broadcast
+    # crossJoin of the m-row sensitive ladder (m small by contract)
+    scalar_cross = ["frequent_pairs", "roc_auc", "ks_drift",
+                    "benford_digits", "token_label_mi", "psi_drift",
+                    "link_assortativity", "tcloseness_audit",
+                    "chi2_independence"]
+    for name in scalar_cross:
+        plan = _physical(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_frequent_pairs_prunes_before_self_join(spark):
+    """Downward closure must land BEFORE the basket self-join: the
+    frequent-item filter feeds a broadcast semi-reduction of the
+    basket table, and the pair generator keys on basket (equi)."""
+    import __spark_entry__ as entry
+
+    plan = _physical(entry.queries()["frequent_pairs"](
+        spark, "/root/testdata/sf0.001"))
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    assert "CartesianProduct" not in plan
