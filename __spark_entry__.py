@@ -1975,6 +1975,18 @@ def _q_psi_drift(spark, sf_dir):
     return quality.psi_buckets(d, "bucket", "flag", smooth_ppm=100)
 
 
+def _q_holt_forecast(spark, sf_dir):
+    """Holt double-exponential smoothing (ops/events.py::holt_smooth)
+    over the daily-count series per event_type - level/trend/one-step
+    forecast in exact integer micro-units with FLOOR division on both
+    engines (the oracle's recursive CTE emulates floor div as
+    (a - ((a%m+m)%m))/m because SQL div truncates toward zero and
+    trend terms go negative on downswings)."""
+    return events.holt_smooth(_daily_counts(spark, sf_dir),
+                              "key", "o", "x",
+                              alpha_ppm=300_000, beta_ppm=100_000)
+
+
 def _q_phrase_search(spark, sf_dir):
     """Exact-phrase search (ops/bm25.py::phrase_search) for the
     REPEATED-token phrase "table table" - the classic PhraseQuery
@@ -3629,6 +3641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_linfit": _q_events_linfit,
         "psi_drift": _q_psi_drift,
         "phrase_search": _q_phrase_search,
+        "holt_forecast": _q_holt_forecast,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
     }
@@ -8434,6 +8447,43 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
 FROM starts GROUP BY doc_id
 """
 
+def _holt_oracle(alpha_ppm: int = 300_000,
+                 beta_ppm: int = 100_000) -> str:
+    """Recursive-CTE replay of holt_smooth: floor division emulated as
+    (a - ((a % m + m) % m)) // m (exact — the subtraction makes the
+    numerator divisible), because SQL's div/% truncate toward zero
+    while the operator's contract is floor."""
+    a, b, m = alpha_ppm, beta_ppm, 1_000_000
+
+    def fdiv(expr):
+        return (f"(({expr}) - ((({expr}) % {m} + {m}) % {m})) // {m}")
+
+    l2 = fdiv(f"{a} * nxt.x * {m} + {m - a} * (r.level_u + r.trend_u)")
+    t2 = fdiv(f"{b} * (({l2}) - r.level_u) + {m - b} * r.trend_u")
+    return f"""
+WITH RECURSIVE {_DAILY_CTE},
+ord AS (SELECT key, o, x,
+               row_number() OVER (PARTITION BY key ORDER BY o) AS rn
+        FROM daily),
+rec AS (
+  SELECT o1.key, o1.o, o1.x, o1.rn,
+         CAST(o1.x * {m} AS BIGINT) AS level_u,
+         CAST(coalesce((o2.x - o1.x) * {m}, 0) AS BIGINT) AS trend_u,
+         CAST(NULL AS BIGINT) AS forecast_u
+  FROM ord o1 LEFT JOIN ord o2 ON o2.key = o1.key AND o2.rn = 2
+  WHERE o1.rn = 1
+  UNION ALL
+  SELECT nxt.key, nxt.o, nxt.x, nxt.rn,
+         CAST({l2} AS BIGINT) AS level_u,
+         CAST({t2} AS BIGINT) AS trend_u,
+         CAST(r.level_u + r.trend_u AS BIGINT) AS forecast_u
+  FROM rec r JOIN ord nxt ON nxt.key = r.key AND nxt.rn = r.rn + 1)
+SELECT key, o, x, level_u, trend_u, forecast_u FROM rec
+"""
+
+
+_HOLT_ORACLE = _holt_oracle()
+
 _KAPPA_ORACLE = """
 WITH lab AS (
   SELECT least(n_chars // 150, 5) AS a,
@@ -8747,6 +8797,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "events_linfit": _LINFIT_ORACLE,
         "psi_drift": _PSI_ORACLE,
         "phrase_search": _PHRASE_ORACLE,
+        "holt_forecast": _HOLT_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "hilbert_layout": _hilbert_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,

@@ -924,3 +924,61 @@ def linfit(series: DataFrame, key_col: str, order_col: str,
                        cov.cast("double") * cov.cast("double")
                        / (dx.cast("double") * dy.cast("double"))), 6)
         .alias("r2"))
+
+
+def holt_smooth(series: DataFrame, key_col: str, order_col: str,
+                value_col: str, alpha_ppm: int = 300_000,
+                beta_ppm: int = 100_000) -> DataFrame:
+    """Holt double-exponential smoothing per key in EXACT integer
+    micro-unit arithmetic -> (key, o, x, level_u, trend_u, forecast_u):
+    the one-step-ahead volume forecaster (level + trend) whose residual
+    against forecast_u is the alarm signal ``cusum_alarms`` then
+    tracks. State lives in micro-units (1e6 x value) and every update
+    is a FLOOR integer division, so the whole recursion is engine-
+    deterministic — no float accumulates anywhere:
+
+        L_t = (a*x_t*1e6 + (1e6-a)*(L_{t-1}+T_{t-1})) fdiv 1e6
+        T_t = (b*(L_t - L_{t-1}) + (1e6-b)*T_{t-1})   fdiv 1e6
+
+    with L_0 = x_0*1e6 and the standard first-difference trend init
+    T_0 = (x_1-x_0)*1e6 (0 for a 1-point series); forecast_u =
+    L_{t-1}+T_{t-1} (NULL on the first point). fdiv is FLOOR division
+    on both engines — Python's native ``//`` here, and the oracle
+    emulates it in SQL as (a - ((a%b+b)%b))/b because SQL's div/%
+    truncate toward zero on negatives (trend terms go negative; a
+    bare div twin diverges on the first downswing).
+
+    Scale shape: the recursion is inherently sequential per key, so it
+    runs as one applyInPandas over the AGGREGATED bounded series (the
+    ``mann_kendall`` contract: days/weeks per key, never raw rows) —
+    one Exchange on key, state O(1) per key."""
+    a, b = int(alpha_ppm), int(beta_ppm)
+    m = 1_000_000
+
+    def fn(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values("o").reset_index(drop=True)
+        xs = [int(v) for v in pdf["x"]]
+        lvl = xs[0] * m
+        tr = (xs[1] - xs[0]) * m if len(xs) > 1 else 0
+        levels, trends, fcasts = [lvl], [tr], [None]
+        for x in xs[1:]:
+            f = lvl + tr
+            new_l = (a * x * m + (m - a) * f) // m
+            tr = (b * (new_l - lvl) + (m - b) * tr) // m
+            lvl = new_l
+            levels.append(lvl)
+            trends.append(tr)
+            fcasts.append(f)
+        return pd.DataFrame({"key": pdf["key"], "o": pdf["o"],
+                             "x": pdf["x"], "level_u": levels,
+                             "trend_u": trends,
+                             "forecast_u": pd.array(fcasts,
+                                                    dtype="Int64")})
+
+    s = series.select(F.col(key_col).alias("key"),
+                      F.col(order_col).cast("long").alias("o"),
+                      F.col(value_col).cast("long").alias("x"))
+    return s.groupBy("key").applyInPandas(
+        fn, "key string, o long, x long, level_u long, trend_u long, "
+            "forecast_u long")

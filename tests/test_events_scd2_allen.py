@@ -229,3 +229,39 @@ def test_linfit_matches_numpy(spark):
     assert r.slope == round(float(slope), 6)
     assert r.intercept == round(float(intercept), 6)
     assert r.r2 == round(float(corr ** 2), 6)
+
+
+# ----------------------------------------------------------------- holt
+
+
+def test_holt_matches_literal_recursion(spark):
+    a, b, m = 300_000, 100_000, 1_000_000
+    vals = [20, 18, 15, 9, 3, 2, 30]       # decline drives trend < 0
+    got = {r.o: r for r in ev.holt_smooth(
+        _series(spark, vals), "key", "o", "x",
+        alpha_ppm=a, beta_ppm=b).collect()}
+    lvl, tr = vals[0] * m, (vals[1] - vals[0]) * m
+    assert (got[0].level_u, got[0].trend_u) == (lvl, tr)
+    assert got[0].forecast_u is None
+    for i, x in enumerate(vals[1:], start=1):
+        f = lvl + tr
+        new_l = (a * x * m + (m - a) * f) // m
+        tr = (b * (new_l - lvl) + (m - b) * tr) // m
+        lvl = new_l
+        r = got[i]
+        assert (r.level_u, r.trend_u, r.forecast_u) == (lvl, tr, f)
+    # the negative-trend floor behavior actually got exercised
+    assert any(got[i].trend_u < 0 for i in range(len(vals)))
+
+
+def test_holt_single_point_zero_trend(spark):
+    r = ev.holt_smooth(_series(spark, [42]), "key", "o", "x").collect()[0]
+    assert (r.level_u, r.trend_u, r.forecast_u) == (42_000_000, 0, None)
+
+
+def test_holt_constant_series_tracks_exactly(spark):
+    rows = ev.holt_smooth(_series(spark, [5] * 6), "key", "o",
+                          "x").collect()
+    for r in sorted(rows, key=lambda r: r.o)[1:]:
+        assert r.level_u == 5_000_000 and r.trend_u == 0
+        assert r.forecast_u == 5_000_000
