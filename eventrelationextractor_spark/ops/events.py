@@ -982,3 +982,68 @@ def holt_smooth(series: DataFrame, key_col: str, order_col: str,
     return s.groupBy("key").applyInPandas(
         fn, "key string, o long, x long, level_u long, trend_u long, "
             "forecast_u long")
+
+
+def streaming_holt(series: DataFrame, alpha_ppm: int = 300_000,
+                   beta_ppm: int = 100_000) -> DataFrame:
+    """ONLINE Holt smoothing over a stream of per-key series points
+    (key, o, x) — the stateful twin of ``holt_smooth``, and EXACTLY
+    batch-equivalent (the recursion is pure integer arithmetic, so
+    there is no moment drift to diverge on; the tests assert equality
+    across a trigger boundary splitting one key's series).
+
+    State per key is four integers (n_seen, first point, level_u,
+    trend_u). The one semantic consequence of the batch init
+    T_0 = (x_1 - x_0)*1e6 is that a key's FIRST row cannot be emitted
+    until its second point arrives — a 1-point key stays pending in
+    state (same trade as ``streaming_sessionize``'s open session;
+    tests flush with a sentinel). Same ordered-source contract as the
+    other NoTimeout operators (points arrive o-ordered per key across
+    triggers)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    a, b = int(alpha_ppm), int(beta_ppm)
+    m = 1_000_000
+    out_schema = ("key string, o long, x long, level_u long, "
+                  "trend_u long, forecast_u long")
+    state_schema = "n long, o0 long, x0 long, level_u long, trend_u long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        n, o0, x0, lvl, tr = (state.get if state.exists
+                              else (0, None, None, None, None))
+        out = {"o": [], "x": [], "level_u": [], "trend_u": [],
+               "forecast_u": []}
+
+        def emit(o, x, lv, t, f):
+            out["o"].append(o)
+            out["x"].append(x)
+            out["level_u"].append(lv)
+            out["trend_u"].append(t)
+            out["forecast_u"].append(f)
+
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("o").iterrows():
+                o, x = int(row["o"]), int(row["x"])
+                if n == 0:
+                    o0, x0, n = o, x, 1
+                    continue
+                if n == 1:
+                    lvl, tr = x0 * m, (x - x0) * m
+                    emit(o0, x0, lvl, tr, None)
+                f = lvl + tr
+                new_l = (a * x * m + (m - a) * f) // m
+                tr = (b * (new_l - lvl) + (m - b) * tr) // m
+                lvl = new_l
+                emit(o, x, lvl, tr, f)
+                n += 1
+        state.update((n, o0, x0, lvl, tr))
+        if out["o"]:
+            yield pd.DataFrame(
+                {"key": key[0], "o": out["o"], "x": out["x"],
+                 "level_u": out["level_u"], "trend_u": out["trend_u"],
+                 "forecast_u": pd.array(out["forecast_u"],
+                                        dtype="Int64")})
+
+    return series.groupBy("key").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
