@@ -3452,16 +3452,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": _q_html_links,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_jaccard": _q_dedup_minhash,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "holt_forecast": _q_holt_forecast,
         "dedup_resolution": _q_dedup_resolution,
         "dedup_levenshtein": _q_dedup_levenshtein,
-        "shingle_containment": _q_shingle_containment,
+        "token_label_mi": _q_token_label_mi,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "dup_spans": _q_dup_spans,
         "winnowing_pairs": _q_winnowing_pairs,
         "semdedup_prune": _q_semdedup,
         "ann_ivfpq": _q_ann_ivfpq,
-        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
+        "link_truss": _q_link_truss,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "embedding_kmeans": _q_embedding_kmeans,
         "embedding_jl": _q_embedding_jl,
@@ -3627,7 +3627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": _q_calibration_bins,
         "roc_auc": _q_roc_auc,
         "frequent_pairs": _q_frequent_pairs,
-        "link_truss": _q_link_truss,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "shingle_containment": _q_shingle_containment,
+        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "pr_curve": _q_pr_curve,
         "ks_drift": _q_ks_drift,
         "chi2_independence": _q_chi2_independence,
@@ -3637,11 +3639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_jaccard": _q_link_jaccard,
         "link_assortativity": _q_link_assortativity,
         "tcloseness_audit": _q_tcloseness,
-        "token_label_mi": _q_token_label_mi,
         "events_linfit": _q_events_linfit,
         "psi_drift": _q_psi_drift,
         "phrase_search": _q_phrase_search,
-        "holt_forecast": _q_holt_forecast,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
     }
