@@ -1014,6 +1014,18 @@ def _q_link_assortativity(spark, sf_dir):
     return graph.degree_assortativity(e.unionByName(clique))
 
 
+def _q_link_hyperball(spark, sf_dir):
+    """HyperBall 3-hop ball-size estimation (ops/graph.py::hyperball)
+    over the link graph: per-node 16-register HLL, registers init from
+    md5(node), max-merged along edges for 3 rounds (register max =
+    sketch union, so the sketch holds exactly the <=3-hop ball). All
+    state exact integers; the estimate is the only float (4dp), and
+    register_checksum pins full state under the hash gate. The oracle
+    replays identical rounds as chained CTEs."""
+    e, _nodes = _link_edges(spark, sf_dir)
+    return graph.hyperball(e, rounds=3, m_b=4)
+
+
 def _q_zorder_layout(spark, sf_dir):
     """Z-order layout envelope telemetry (ops/layout.py): morton-key
     file assignment over two doc_id-derived dimensions and the
@@ -3642,6 +3654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_linfit": _q_events_linfit,
         "psi_drift": _q_psi_drift,
         "phrase_search": _q_phrase_search,
+        "link_hyperball": _q_link_hyperball,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
     }
@@ -8484,6 +8497,52 @@ SELECT key, o, x, level_u, trend_u, forecast_u FROM rec
 
 _HOLT_ORACLE = _holt_oracle()
 
+def _hyperball_oracle(rounds: int = 3) -> str:
+    """Chained-CTE replay of _q_link_hyperball: same md5 register
+    construction (m = 16, width = 56), same per-round union + max."""
+    sql = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id*7+1) % n AS d FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % n FROM documents, nn
+  WHERE doc_id % 17 <> 0),
+sym AS MATERIALIZED (SELECT DISTINCT s, d FROM (
+  SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0) WHERE s <> d),
+hx AS (SELECT node,
+  CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))::UBIGINT
+       AS BIGINT) AS h
+  FROM (SELECT DISTINCT s AS node FROM sym)),
+r0 AS MATERIALIZED (SELECT node, h % 16 AS bucket,
+  CAST(CASE WHEN (h >> 4) = 0 THEN 57
+       ELSE 57 - length(bin(h >> 4)) END AS BIGINT) AS rho
+  FROM hx)"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+r{k} AS MATERIALIZED (
+  SELECT node, bucket, CAST(max(rho) AS BIGINT) AS rho FROM (
+    SELECT node, bucket, rho FROM r{k - 1}
+    UNION ALL
+    SELECT sym.d AS node, p.bucket, p.rho
+    FROM sym JOIN r{k - 1} p ON p.node = sym.s)
+  GROUP BY 1, 2)"""
+    return sql + f""",
+ag AS (SELECT node, sum(power(2.0, -rho)) AS z, count(*) AS nonzero,
+              CAST(sum(rho) AS BIGINT) AS register_checksum
+       FROM r{rounds} GROUP BY 1)
+SELECT node,
+  round(CASE WHEN (0.673 * 256 / (z + (16 - nonzero))) <= 40.0
+                  AND (16 - nonzero) > 0
+        THEN 16 * ln(16.0 / (16 - nonzero))
+        ELSE 0.673 * 256 / (z + (16 - nonzero)) END, 4) AS est_ball,
+  register_checksum
+FROM ag
+"""
+
+
+_HYPERBALL_ORACLE = _hyperball_oracle()
+
 _KAPPA_ORACLE = """
 WITH lab AS (
   SELECT least(n_chars // 150, 5) AS a,
@@ -8798,6 +8857,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "psi_drift": _PSI_ORACLE,
         "phrase_search": _PHRASE_ORACLE,
         "holt_forecast": _HOLT_ORACLE,
+        "link_hyperball": _HYPERBALL_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "hilbert_layout": _hilbert_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,

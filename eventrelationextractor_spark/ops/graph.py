@@ -871,3 +871,73 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
                        / (F.col("m2") * F.col("sx2")
                           - F.col("sx") * F.col("sx")).cast("double"), 6))
         .alias("r"))
+
+
+#: alpha_m bias constants (Flajolet et al. 2007) for the small per-node
+#: register counts HyperBall uses; >= 128 uses the closed form.
+_HB_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hyperball(edges: DataFrame, rounds: int = 3, m_b: int = 4,
+              src: str = "src", dst: str = "dst") -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013) neighborhood-size estimation ->
+    (node, est_ball, register_checksum): per node, an HLL estimate of
+    |ball(node, rounds)| over the undirected simplification — THE
+    web-graph centrality/spam primitive (tiny balls = isolated cliques
+    and link farms; huge balls = genuine hubs), computable where exact
+    k-hop neighborhoods explode combinatorially.
+
+    Each node carries its own m = 2^m_b-register HLL (m small — 16 by
+    default — is the whole point: sketch state per node is constant).
+    Registers init from md5(node) (the engine-replayable construction
+    of ``ops/sketches.py``: bucket = low bits, rho = exact leading-
+    zero count via binary-string length, no float anywhere in state)
+    and each round max-merges every node's registers with its
+    neighbors' — register max IS sketch union, so after r rounds node
+    v's sketch holds exactly the set {u : d(u, v) <= r}. The estimate
+    is the standard biased-corrected HLL with linear counting, the
+    only float, computed per-row at the end and rounded 4dp;
+    register_checksum pins the full integer state under the hash gate.
+
+    Scale shape: per round ONE keyed equi-join (edges x registers,
+    fanout = deg * registers-held, bounded by deg * m) and one
+    partial-agged groupBy(node, bucket) max — the pointer-jumping/CC
+    shuffle discipline, lazily checkpointed per round so the plan
+    stays linear in rounds. The oracle replays identical rounds as
+    chained CTEs."""
+    m = 1 << m_b
+    alpha = _HB_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+    width = 60 - m_b
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = (e0.unionByName(e0.select(F.col("d").alias("s"),
+                                    F.col("s").alias("d")))
+           .filter(F.col("s") != F.col("d")).distinct()
+           .localCheckpoint(eager=False))
+    nodes = (sym.select(F.col("s").alias("node")).distinct())
+    h = F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 15),
+               16, 10).cast("long")
+    rest = F.shiftright(h, m_b)
+    rho = F.when(rest == 0, F.lit(width + 1)) \
+        .otherwise(F.lit(width) - F.length(F.bin(rest)) + 1)
+    regs = nodes.select("node", (h % m).alias("bucket"),
+                        rho.cast("long").alias("rho")) \
+        .localCheckpoint(eager=False)
+    for _ in range(rounds):
+        from_nb = (sym.join(regs.withColumnRenamed("node", "s"), "s")
+                   .select(F.col("d").alias("node"), "bucket", "rho"))
+        regs = (regs.unionByName(from_nb)
+                .groupBy("node", "bucket")
+                .agg(F.max("rho").cast("long").alias("rho"))
+                .localCheckpoint(eager=False))
+    agg = regs.groupBy("node").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z"),
+        F.count(F.lit(1)).alias("nonzero"),
+        F.sum("rho").cast("long").alias("register_checksum"))
+    mf = float(m)
+    raw = F.lit(alpha * mf * mf) / (F.col("z") + (mf - F.col("nonzero")))
+    zeros = F.lit(m) - F.col("nonzero")
+    linear = F.lit(mf) * F.log(F.lit(mf) / zeros)
+    est = F.when((raw <= F.lit(2.5 * mf)) & (zeros > 0), linear) \
+        .otherwise(raw)
+    return agg.select("node", F.round(est, 4).alias("est_ball"),
+                      "register_checksum")

@@ -544,3 +544,65 @@ def test_assortativity_matches_numpy(spark):
     den = math.sqrt((m * sum(x * x for x in xs) - sum(xs) ** 2)
                     * (m * sum(y * y for y in ys) - sum(ys) ** 2))
     assert r.r == round(num / den, 6)
+
+
+# ------------------------------------------------------------- hyperball
+
+
+def _py_hyperball(edges, rounds, m_b=4):
+    """Bit-exact python replay of the register propagation."""
+    import hashlib
+    m, width = 1 << m_b, 60 - m_b
+    sym = {(a, b) for a, b in edges if a != b}
+    sym |= {(b, a) for a, b in sym}
+    nodes = {a for a, _ in sym}
+    regs = {}
+    for v in nodes:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        rest = h >> m_b
+        rho = width + 1 if rest == 0 else width - rest.bit_length() + 1
+        regs[v] = {h % m: rho}
+    for _ in range(rounds):
+        nxt = {v: dict(r) for v, r in regs.items()}
+        for s, d in sym:
+            for b, r in regs[s].items():
+                if nxt[d].get(b, 0) < r:
+                    nxt[d][b] = r
+        regs = nxt
+    return regs
+
+
+def test_hyperball_registers_match_python_replay(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 3), (5, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.register_checksum
+           for r in graph.hyperball(e, rounds=2).collect()}
+    want = {v: sum(r.values())
+            for v, r in _py_hyperball(edges, rounds=2).items()}
+    assert got == want
+
+
+def test_hyperball_ball_grows_with_rounds(spark):
+    # path graph: node 0's ball doubles as rounds increase, and the
+    # checksum (sketch state) is monotone under union
+    edges = [(i, i + 1) for i in range(9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    sums = []
+    for r in (1, 2, 4):
+        rows = {x.node: x for x in graph.hyperball(e, rounds=r).collect()}
+        sums.append(sum(x.register_checksum for x in rows.values()))
+    assert sums[0] <= sums[1] <= sums[2]
+
+
+def test_hyperball_clique_saturates(spark):
+    # diameter-1 graph: one round reaches everything; more rounds
+    # change nothing (sketch fixpoint)
+    k = [(a, b) for a in range(6) for b in range(6) if a < b]
+    e = spark.createDataFrame(k, "src long, dst long")
+    one = {(r.node, r.register_checksum, r.est_ball)
+           for r in graph.hyperball(e, rounds=1).collect()}
+    three = {(r.node, r.register_checksum, r.est_ball)
+             for r in graph.hyperball(e, rounds=3).collect()}
+    assert one == three
+    # all six sketches merged the same 6-element set -> identical
+    assert len({c for _, c, _ in one}) == 1
