@@ -1999,6 +1999,19 @@ def _q_holt_forecast(spark, sf_dir):
                               alpha_ppm=300_000, beta_ppm=100_000)
 
 
+def _q_events_attribution(spark, sf_dir):
+    """Multi-touch attribution (ops/events.py::attribution): view/
+    click touches within 2h before each purchase, first/last/linear
+    weights in exact integer ppm (linear remainder to the last touch
+    so each conversion sums to exactly 1e6). The pairing is the
+    bucketed interval equi-join; the oracle is the naive range join
+    (same pairs, no loop on the Spark side)."""
+    return events.attribution(_events(spark, sf_dir),
+                              conv_type="purchase",
+                              touch_types=("view", "click"),
+                              horizon_minutes=120)
+
+
 def _q_phrase_search(spark, sf_dir):
     """Exact-phrase search (ops/bm25.py::phrase_search) for the
     REPEATED-token phrase "table table" - the classic PhraseQuery
@@ -3655,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _q_psi_drift,
         "phrase_search": _q_phrase_search,
         "link_hyperball": _q_link_hyperball,
+        "events_attribution": _q_events_attribution,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
     }
@@ -8543,6 +8557,33 @@ FROM ag
 
 _HYPERBALL_ORACLE = _hyperball_oracle()
 
+_ATTRIBUTION_ORACLE = """
+WITH convs AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
+               FROM events WHERE event_type = 'purchase'),
+touches AS (SELECT user_id, ts, event_id AS touch_id,
+                   event_type AS touch_type
+            FROM events WHERE event_type IN ('view', 'click')),
+paired AS (SELECT c.conv_id, c.conv_ts, t.touch_id, t.touch_type,
+                  t.ts AS touch_ts
+           FROM convs c JOIN touches t ON t.user_id = c.user_id
+            AND t.ts >= c.conv_ts - INTERVAL 120 MINUTE
+            AND t.ts < c.conv_ts),
+ranked AS (SELECT *,
+                  row_number() OVER (PARTITION BY conv_id
+                    ORDER BY touch_ts, touch_id) AS rk,
+                  CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+                    AS n_touches
+           FROM paired)
+SELECT conv_id, conv_ts, touch_id, touch_type, touch_ts, n_touches,
+  CAST(CASE WHEN rk = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS first_ppm,
+  CAST(CASE WHEN rk = n_touches THEN 1000000 ELSE 0 END AS BIGINT)
+    AS last_ppm,
+  CAST(1000000 // n_touches
+       + CASE WHEN rk = n_touches THEN 1000000 % n_touches ELSE 0 END
+       AS BIGINT) AS linear_ppm
+FROM ranked
+"""
+
 _KAPPA_ORACLE = """
 WITH lab AS (
   SELECT least(n_chars // 150, 5) AS a,
@@ -8858,6 +8899,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "phrase_search": _PHRASE_ORACLE,
         "holt_forecast": _HOLT_ORACLE,
         "link_hyperball": _HYPERBALL_ORACLE,
+        "events_attribution": _ATTRIBUTION_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "hilbert_layout": _hilbert_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,

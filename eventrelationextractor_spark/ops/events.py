@@ -1047,3 +1047,65 @@ def streaming_holt(series: DataFrame, alpha_ppm: int = 300_000,
 
     return series.groupBy("key").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+
+
+def attribution(events: DataFrame, conv_type: str = "purchase",
+                touch_types: tuple = ("view", "click"),
+                horizon_minutes: int = 120,
+                user_col: str = "user_id", ts_col: str = "ts",
+                type_col: str = "event_type",
+                id_col: str = "event_id") -> DataFrame:
+    """Multi-touch conversion attribution -> one row per (conversion,
+    touch) pair within the lookback horizon: (conv_id, conv_ts,
+    touch_id, touch_type, touch_ts, n_touches, first_ppm, last_ppm,
+    linear_ppm). The product-analytics classic, and the labeled-pair
+    generator for training conversion models off event logs.
+
+    A touch attributes to a conversion when same user, touch_ts in
+    [conv_ts - horizon, conv_ts). All three standard models ride one
+    result in exact integer ppm: first/last give 1e6 to the earliest/
+    latest touch (ties broken by the id column, deterministically);
+    linear gives each of the k touches 1e6 div k with the REMAINDER
+    (1e6 mod k) assigned to the last touch, so every conversion's
+    weights sum to exactly 1e6 under the hash gate.
+
+    Scale shape: the conversion->lookback-window pairing is the
+    bucketed ``interval_join_bucketed`` equi-join (never a per-user
+    nested loop), then one window partitioned by conversion ranks
+    touches — cardinality bounded by touches-per-horizon, not corpus
+    size."""
+    convs = (events.filter(F.col(type_col) == conv_type)
+             .select(F.col(user_col),
+                     F.col(id_col).alias("conv_id"),
+                     F.col(ts_col).alias("conv_ts"))
+             .withColumn("start", F.col("conv_ts")
+                         - F.expr(f"INTERVAL {int(horizon_minutes)} "
+                                  "MINUTES"))
+             .withColumnRenamed("conv_ts", "end"))
+    touches = (events.filter(F.col(type_col).isin(*touch_types))
+               .select(F.col(user_col), F.col(ts_col),
+                       F.col(id_col).alias("touch_id"),
+                       F.col(type_col).alias("touch_type")))
+    paired = interval_join_bucketed(
+        touches, convs, on=user_col, ts_col=ts_col,
+        start_col="start", end_col="end",
+        bucket_minutes=max(1, horizon_minutes // 4)) \
+        .withColumnRenamed("end", "conv_ts")
+    w = Window.partitionBy("conv_id")
+    asc = w.orderBy(F.col(ts_col).asc(), F.col("touch_id").asc())
+    ranked = (paired
+              .withColumn("rk", F.row_number().over(asc))
+              .withColumn("n_touches",
+                          F.count(F.lit(1)).over(w).cast("long")))
+    first_w = F.when(F.col("rk") == 1, F.lit(1_000_000)) \
+        .otherwise(F.lit(0)).cast("long")
+    last_w = F.when(F.col("rk") == F.col("n_touches"),
+                    F.lit(1_000_000)).otherwise(F.lit(0)).cast("long")
+    lin = F.expr("1000000 div n_touches") \
+        + F.when(F.col("rk") == F.col("n_touches"),
+                 F.expr("1000000 % n_touches")).otherwise(F.lit(0))
+    return ranked.select(
+        "conv_id", "conv_ts", "touch_id", "touch_type",
+        F.col(ts_col).alias("touch_ts"), "n_touches",
+        first_w.alias("first_ppm"), last_w.alias("last_ppm"),
+        lin.cast("long").alias("linear_ppm"))

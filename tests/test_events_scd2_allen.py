@@ -265,3 +265,49 @@ def test_holt_constant_series_tracks_exactly(spark):
     for r in sorted(rows, key=lambda r: r.o)[1:]:
         assert r.level_u == 5_000_000 and r.trend_u == 0
         assert r.forecast_u == 5_000_000
+
+
+# ------------------------------------------------------------ attribution
+
+
+def test_attribution_models_analytic(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [(1, 1, at(0), "view"), (2, 1, at(10), "click"),
+            (3, 1, at(20), "view"), (4, 1, at(30), "purchase"),
+            (5, 1, at(-300), "view"),       # outside the horizon
+            (6, 2, at(5), "purchase"),      # conversion with no touches
+            (7, 3, at(0), "view"), (8, 3, at(1), "purchase")]
+    evd = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string")
+    got = {(r.conv_id, r.touch_id): r for r in ev.attribution(
+        evd, horizon_minutes=120).collect()}
+    assert set(got) == {(4, 1), (4, 2), (4, 3), (8, 7)}
+    # linear: 3 touches -> 333333 each, remainder 1 to the LAST
+    assert got[(4, 1)].linear_ppm == 333_333
+    assert got[(4, 3)].linear_ppm == 333_334
+    assert sum(got[(4, t)].linear_ppm for t in (1, 2, 3)) == 1_000_000
+    assert got[(4, 1)].first_ppm == 1_000_000
+    assert got[(4, 3)].last_ppm == 1_000_000
+    assert got[(4, 2)].first_ppm == got[(4, 2)].last_ppm == 0
+    assert got[(8, 7)].n_touches == 1
+    assert (got[(8, 7)].first_ppm, got[(8, 7)].last_ppm,
+            got[(8, 7)].linear_ppm) == (1_000_000,) * 3
+
+
+def test_attribution_tie_breaks_on_id(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(10, 1, t0, "view"), (11, 1, t0, "view"),
+            (12, 1, t0 + dt.timedelta(minutes=1), "purchase")]
+    evd = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string")
+    got = {r.touch_id: r for r in ev.attribution(evd).collect()}
+    assert got[10].first_ppm == 1_000_000 and got[11].first_ppm == 0
+    assert got[11].last_ppm == 1_000_000 and got[10].last_ppm == 0
