@@ -2012,6 +2012,16 @@ def _q_events_attribution(spark, sf_dir):
                               horizon_minutes=120)
 
 
+def _q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword scores (ops/bm25.py::textrank_keywords):
+    weighted PageRank over the corpus term co-occurrence graph
+    (window 2, 5 iterations). The oracle unrolls the same iterations
+    as chained CTEs over the identical co-occurrence edge CTE; ranks
+    compare at the 6dp gate (the pagerank oracle contract)."""
+    return bm25.textrank_keywords(_docs(spark, sf_dir), window=2,
+                                  n_iter=5)
+
+
 def _q_phrase_search(spark, sf_dir):
     """Exact-phrase search (ops/bm25.py::phrase_search) for the
     REPEATED-token phrase "table table" - the classic PhraseQuery
@@ -3669,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "link_hyperball": _q_link_hyperball,
         "events_attribution": _q_events_attribution,
+        "textrank_keywords": _q_textrank_keywords,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
     }
@@ -8584,6 +8595,50 @@ SELECT conv_id, conv_ts, touch_id, touch_type, touch_ts, n_touches,
 FROM ranked
 """
 
+def _textrank_oracle(window: int = 2, n_iter: int = 5,
+                     d: float = 0.85) -> str:
+    """Unrolled TextRank iterations as chained CTEs over the identical
+    co-occurrence edge construction (the _pagerank_oracle pattern)."""
+    sql = f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+idx AS MATERIALIZED (SELECT doc_id, ws[CAST(i AS BIGINT)] AS term,
+               CAST(i - 1 AS BIGINT) AS pos
+        FROM words, LATERAL unnest(generate_series(1, len(ws))) r(i)),
+raw AS (SELECT a.term AS u, b.term AS v
+        FROM idx a JOIN idx b ON a.doc_id = b.doc_id
+         AND b.pos - a.pos BETWEEN 1 AND {window}
+         AND a.term <> b.term),
+e AS MATERIALIZED (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
+  SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw) GROUP BY 1, 2),
+terms AS MATERIALIZED (SELECT DISTINCT term FROM idx),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM terms),
+strength AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS w_out
+                          FROM e GROUP BY 1),
+ce AS MATERIALIZED (SELECT e.u, e.v, w / CAST(w_out AS DOUBLE) AS share
+                    FROM e JOIN strength USING (u)),
+r0 AS (SELECT term AS v, 1.0 / cnt AS pr FROM terms CROSS JOIN nn)"""
+    for k in range(1, n_iter + 1):
+        sql += f""",
+r{k} AS MATERIALIZED (
+  SELECT t.term AS v,
+         (1.0 - {d}) / cnt + {d} * coalesce(infl.s, 0.0) AS pr
+  FROM terms t CROSS JOIN nn
+  LEFT JOIN (SELECT ce.v, sum(ce.share * p.pr) AS s
+             FROM ce JOIN r{k - 1} p ON p.v = ce.u
+             GROUP BY ce.v) infl ON infl.v = t.term)"""
+    return sql + f"""
+SELECT r.v AS term, CAST(coalesce(s.w_out, 0) AS BIGINT) AS w_out,
+       round(r.pr, 6) AS "rank"
+FROM r{n_iter} r LEFT JOIN strength s ON s.u = r.v
+"""
+
+
+_TEXTRANK_ORACLE = _textrank_oracle()
+
 _KAPPA_ORACLE = """
 WITH lab AS (
   SELECT least(n_chars // 150, 5) AS a,
@@ -8900,6 +8955,7 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "holt_forecast": _HOLT_ORACLE,
         "link_hyperball": _HYPERBALL_ORACLE,
         "events_attribution": _ATTRIBUTION_ORACLE,
+        "textrank_keywords": _TEXTRANK_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "hilbert_layout": _hilbert_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,

@@ -462,3 +462,69 @@ def phrase_search(docs: DataFrame, phrase: list, id_col: str = "doc_id",
     return (starts.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
                  F.min("anchor").cast("long").alias("first_pos")))
+
+
+def textrank_keywords(docs: DataFrame, window: int = 2, n_iter: int = 5,
+                      damping: float = 0.85, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004) -> (term, w_out,
+    rank): weighted PageRank over the corpus-level term co-occurrence
+    graph (terms co-occurring within ``window`` positions share an
+    edge, weight = corpus co-occurrence count, symmetrized). The
+    unsupervised keyword/keyphrase baseline — corpus-level here, the
+    vocabulary-as-graph reading of importance that raw term frequency
+    (``top_terms``) and tf-idf both miss: a term matters when it
+    co-occurs with other terms that matter.
+
+    Scale split: the EXPENSIVE side is co-occurrence extraction — one
+    positional-index self-equi-join on doc_id with a residual <=window
+    position filter, then a partial-agged groupBy to edge grain
+    (vocabulary^2-bounded, corpus-independent after aggregation). The
+    rank iteration then runs over the VOCABULARY graph: per iteration
+    one keyed join + one partial-agged sum, lazily checkpointed — the
+    ``pagerank`` loop discipline at term cardinality. Isolated terms
+    (documents with a single token) carry no edge and get the teleport
+    floor via the left join against the term universe.
+
+    Ranks are raw doubles replayed iteration-for-iteration by the SQL
+    oracle and compared at 6dp (the pagerank oracle contract)."""
+    idx = positional_index(docs, id_col, text_col)
+    a = idx.select("doc_id", F.col("pos").alias("pa"),
+                   F.col("term").alias("ta"))
+    b = idx.select("doc_id", F.col("pos").alias("pb"),
+                   F.col("term").alias("tb"))
+    raw = (a.join(b, "doc_id")
+           .filter((F.col("pb") - F.col("pa") >= 1)
+                   & (F.col("pb") - F.col("pa") <= window)
+                   & (F.col("ta") != F.col("tb")))
+           .select(F.col("ta").alias("u"), F.col("tb").alias("v")))
+    e = (raw.unionByName(raw.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+         .groupBy("u", "v").agg(F.count(F.lit(1)).cast("long")
+                                .alias("w"))
+         .localCheckpoint(eager=False))
+    terms = idx.select("term").distinct().localCheckpoint(eager=False)
+    n = terms.count()
+    strength = e.groupBy("u").agg(F.sum("w").cast("long").alias("w_out"))
+    ce = e.join(strength, "u").select(
+        "u", "v", (F.col("w") / F.col("w_out")).alias("share"))
+    d = float(damping)
+    ranks = terms.select(F.col("term").alias("v"),
+                         F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (ce.join(ranks.withColumnRenamed("v", "u"), "u")
+                   .groupBy("v")
+                   .agg(F.sum(F.col("share") * F.col("rank"))
+                        .alias("inflow")))
+        ranks = (terms.select(F.col("term").alias("v"))
+                 .join(contrib, "v", "left")
+                 .select("v", (F.lit((1.0 - d) / n)
+                               + F.lit(d) * F.coalesce("inflow",
+                                                       F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=False))
+    return (ranks.join(strength.withColumnRenamed("u", "v"), "v", "left")
+            .select(F.col("v").alias("term"),
+                    F.coalesce("w_out", F.lit(0)).cast("long")
+                    .alias("w_out"),
+                    F.round("rank", 6).alias("rank")))

@@ -335,3 +335,53 @@ def test_phrase_search_single_token_and_empty(spark):
     docs = spark.createDataFrame([(0, "w")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         bm25.phrase_search(docs, [])
+
+
+# ------------------------------------------------------------- textrank
+
+
+def test_textrank_matches_python_power_iteration(spark):
+    from eventrelationextractor_spark.ops import bm25
+    texts = ["graph rank graph node", "node rank weight",
+             "isolated"]                     # 1-token doc -> no edges
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {r.term: r for r in
+           bm25.textrank_keywords(docs, window=2, n_iter=4).collect()}
+
+    # python replay: same co-occurrence construction
+    from collections import Counter
+    e = Counter()
+    for t in texts:
+        ws = t.split()
+        for i, u in enumerate(ws):
+            for j in range(i + 1, min(i + 3, len(ws))):
+                if u != ws[j]:
+                    e[(u, ws[j])] += 1
+                    e[(ws[j], u)] += 1
+    terms = sorted({w for t in texts for w in t.split()})
+    n, d = len(terms), 0.85
+    w_out = {u: sum(w for (a, _), w in e.items() if a == u)
+             for u in terms}
+    r = {t: 1.0 / n for t in terms}
+    for _ in range(4):
+        infl = {t: 0.0 for t in terms}
+        for (u, v), w in e.items():
+            infl[v] += w / w_out[u] * r[u]
+        r = {t: (1.0 - d) / n + d * infl[t] for t in terms}
+    for t in terms:
+        assert got[t].rank == round(r[t], 6), t
+        assert got[t].w_out == w_out.get(t, 0)
+    # the isolated term sits at the teleport floor
+    assert got["isolated"].rank == round((1 - d) / n, 6)
+    assert got["isolated"].w_out == 0
+
+
+def test_textrank_hub_term_outranks_leaf(spark):
+    from eventrelationextractor_spark.ops import bm25
+    docs = spark.createDataFrame(
+        [(i, f"core term{i}") for i in range(6)],
+        "doc_id long, text string")
+    got = {r.term: r.rank for r in
+           bm25.textrank_keywords(docs, n_iter=5).collect()}
+    assert all(got["core"] > got[f"term{i}"] for i in range(6))
