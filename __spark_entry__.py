@@ -2012,6 +2012,57 @@ def _q_events_attribution(spark, sf_dir):
                               horizon_minutes=120)
 
 
+def _q_zone_map_prune(spark, sf_dir):
+    """Zone-map data-skipping audit (ops/maintenance.py::
+    zone_map_prune) of the SAME n_chars range predicate over two
+    competing file layouts: insertion order (doc_id div 64 - every
+    file spans the value range, nothing prunes) vs value-clustered
+    (n_chars div 50 - almost everything prunes). The survivor counts
+    are the layout lesson made hash-gateable."""
+    d = _docs(spark, sf_dir).selectExpr("doc_id", "n_chars")
+    staged = d.selectExpr("'seq' AS layout", "doc_id div 64 AS file_id",
+                          "n_chars") \
+        .unionByName(d.selectExpr("'bylen' AS layout",
+                                  "n_chars div 50 AS file_id",
+                                  "n_chars"))
+    return maintenance.zone_map_prune(staged, "layout", "file_id",
+                                      "n_chars", lo=150, hi=200)
+
+
+def _q_url_templates(spark, sf_dir):
+    """URL path templating rollup (ops/urls.py::url_templates) over a
+    staged mix of product pages (/product/{n}/view), session-id pages
+    (/session/{h}/cart - md5 hex collapses to {h}), and a static page:
+    the crawl cartographer that turns a million vanity URLs into a
+    page-type inventory. n_urls >> n_distinct_tails flags duplicate
+    content behind vanity ids."""
+    i = F.col("doc_id")
+    host = F.concat(F.lit("site"), (i % 3).cast("string"),
+                    F.lit(".example.com"))
+    path = (F.when(i % 3 == 0,
+                   F.concat(F.lit("/product/"), i.cast("string"),
+                            F.lit("/view")))
+            .when(i % 3 == 1,
+                  F.concat(F.lit("/session/"),
+                           F.md5(i.cast("string")), F.lit("/cart")))
+            .otherwise(F.lit("/about/team")))
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://"), host, path).alias("url"))
+    return urls.url_templates(d, min_count=2)
+
+
+def _q_als_rank1(spark, sf_dir):
+    """Rank-1 ALS (ops/mining.py::als_rank1, 3 iterations) over
+    implicit (user, event_type) interaction counts: both factors in
+    1e-3 integer fixed point, every cross-partition sum exact integer
+    (the integer-cents discipline applied to matrix factorization).
+    The oracle replays u/v updates as chained integer-div CTEs."""
+    r = (_events(spark, sf_dir)
+         .groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("r")))
+    return mining.als_rank1(r, "user_id", "event_type", "r", n_iter=3)
+
+
 def _q_textrank_keywords(spark, sf_dir):
     """TextRank keyword scores (ops/bm25.py::textrank_keywords):
     weighted PageRank over the corpus term co-occurrence graph
@@ -3680,6 +3731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hyperball": _q_link_hyperball,
         "events_attribution": _q_events_attribution,
         "textrank_keywords": _q_textrank_keywords,
+        "zone_map_prune": _q_zone_map_prune,
+        "als_rank1": _q_als_rank1,
+        "url_templates": _q_url_templates,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
     }
@@ -8639,6 +8693,82 @@ FROM r{n_iter} r LEFT JOIN strength s ON s.u = r.v
 
 _TEXTRANK_ORACLE = _textrank_oracle()
 
+_ZONE_MAP_ORACLE = """
+WITH staged AS (
+  SELECT 'seq' AS layout, doc_id // 64 AS file_id, n_chars AS v
+  FROM documents
+  UNION ALL
+  SELECT 'bylen', n_chars // 50, n_chars FROM documents),
+zones AS (SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(min(v) AS BIGINT) AS min_v,
+                 CAST(max(v) AS BIGINT) AS max_v
+          FROM staged GROUP BY 1, 2)
+SELECT layout, file_id, n_rows, min_v, max_v,
+       (min_v < 200 AND max_v >= 150) AS survives
+FROM zones
+"""
+
+def _als_oracle(n_iter: int = 3) -> str:
+    """Chained-CTE replay of als_rank1: u_k from v_{k-1}, v_k from
+    u_k, all integer-div updates; output joins u_n x v_n."""
+    sql = """
+WITH r AS (SELECT user_id AS u_id, event_type AS item,
+                  CAST(count(*) AS BIGINT) AS r
+           FROM events GROUP BY 1, 2),
+v0 AS (SELECT DISTINCT item, CAST(1000 AS BIGINT) AS v_q FROM r)"""
+    for k in range(1, n_iter + 1):
+        sql += f""",
+u{k} AS MATERIALIZED (
+  SELECT u_id, CAST((1000000 * sum(r * v_q)) // sum(v_q * v_q)
+               AS BIGINT) AS u_q
+  FROM r JOIN v{k - 1} USING (item) GROUP BY u_id),
+v{k} AS MATERIALIZED (
+  SELECT item, CAST((1000000 * sum(r * u_q)) // sum(u_q * u_q)
+               AS BIGINT) AS v_q
+  FROM r JOIN u{k} USING (u_id) GROUP BY item)"""
+    return sql + f"""
+SELECT u_id AS user_id, item AS event_type, r, u_q, v_q,
+       CAST((u_q * v_q) // 1000 AS BIGINT) AS pred_milli
+FROM r JOIN u{n_iter} USING (u_id) JOIN v{n_iter} USING (item)
+"""
+
+
+_ALS_ORACLE = _als_oracle()
+
+_URL_TEMPLATES_ORACLE = """
+WITH u AS (
+  SELECT 'https://site' || CAST(doc_id % 3 AS VARCHAR) || '.example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '/product/' || CAST(doc_id AS VARCHAR) || '/view'
+                 WHEN doc_id % 3 = 1
+                 THEN '/session/' || md5(CAST(doc_id AS VARCHAR))
+                      || '/cart'
+                 ELSE '/about/team' END AS url
+  FROM documents),
+parts AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         list_filter(string_split(
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)?', 1), '/'),
+           s -> s <> '') AS segs
+  FROM u),
+staged AS (
+  SELECT host,
+         '/' || coalesce(array_to_string(list_transform(segs, s ->
+           CASE WHEN regexp_matches(s, '^[0-9]+$') THEN '{n}'
+                WHEN length(s) >= 16 AND regexp_matches(s, '^[0-9a-f]+$')
+                THEN '{h}'
+                ELSE s END), '/'), '') AS template,
+         coalesce(array_to_string(list_filter(segs, s ->
+           regexp_matches(s, '^[0-9]+$')
+           OR (length(s) >= 16 AND regexp_matches(s, '^[0-9a-f]+$'))),
+           chr(1)), '') AS tail
+  FROM parts)
+SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT tail) AS BIGINT) AS n_distinct_tails
+FROM staged GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
 _KAPPA_ORACLE = """
 WITH lab AS (
   SELECT least(n_chars // 150, 5) AS a,
@@ -8956,6 +9086,9 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM keyed GROUP BY fingerprint
         "link_hyperball": _HYPERBALL_ORACLE,
         "events_attribution": _ATTRIBUTION_ORACLE,
         "textrank_keywords": _TEXTRANK_ORACLE,
+        "zone_map_prune": _ZONE_MAP_ORACLE,
+        "als_rank1": _ALS_ORACLE,
+        "url_templates": _URL_TEMPLATES_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "hilbert_layout": _hilbert_oracle(),
         "tpch_idle_customers": _Q22_ORACLE,

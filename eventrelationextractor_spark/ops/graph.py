@@ -191,6 +191,8 @@ def ktruss_peel(edges: DataFrame, k: int = 4, rounds: int = 3,
     decisions, fixed round budget keeps it ONE lazy plan. The oracle
     replays identical rounds as chained CTEs (id-ordered triangle
     enumeration there - same triangle SET, so identical support)."""
+    if rounds < 1:
+        raise ValueError("ktruss_peel needs rounds >= 1")
     live = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
             .filter(F.col("s") != F.col("d"))
             .select(F.least("s", "d").alias("a"),

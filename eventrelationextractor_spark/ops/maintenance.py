@@ -259,3 +259,36 @@ def tcloseness_groups(df: DataFrame, quasi_cols: list, sensitive_col,
                       f"((m - 1) * group_n * n_all)"))
         .otherwise(F.lit(0)).cast("long").alias("t_ppm")) \
         .withColumn("is_suppressed", F.col("t_ppm") > t_ppm)
+
+
+def zone_map_prune(df: DataFrame, layout_col: str, file_col: str,
+                   value_col: str, lo: int, hi: int) -> DataFrame:
+    """Zone-map (min/max data-skipping) pruning telemetry -> one row
+    per (layout, file): (layout, file_id, n_rows, min_v, max_v,
+    survives) for the predicate ``lo <= v < hi``. The lakehouse
+    data-skipping audit: every columnar format (parquet row groups,
+    Iceberg manifests, ORC stripes) prunes files whose [min, max]
+    envelope misses the predicate, so HOW MUCH a layout prunes is a
+    direct function of how value-clustered its files are. Run the same
+    predicate over competing layout assignments (insertion order vs
+    z-order vs value-sorted — the ``ops/layout.py`` keys) and the
+    survivor counts ARE the layout decision.
+
+    survives = (min_v < hi) AND (max_v >= lo) — file-level envelope
+    overlap, exactly the skip test the reader would apply; a file can
+    survive while containing no matching row (envelope false
+    positives), which is the point the telemetry makes visible.
+
+    Scale shape: one partial-agged groupBy at file cardinality — this
+    is the MANIFEST scan, never the data scan."""
+    d = df.select(F.col(layout_col).alias("layout"),
+                  F.col(file_col).cast("long").alias("file_id"),
+                  F.col(value_col).cast("long").alias("v"))
+    zones = d.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("v").cast("long").alias("min_v"),
+        F.max("v").cast("long").alias("max_v"))
+    return zones.select(
+        "layout", "file_id", "n_rows", "min_v", "max_v",
+        ((F.col("min_v") < F.lit(int(hi)))
+         & (F.col("max_v") >= F.lit(int(lo)))).alias("survives"))

@@ -137,3 +137,68 @@ def contrastive_pairs(docs: DataFrame, emb: DataFrame,
                    F.col("b").alias("negative_id"), "n_shared",
                    F.col("cos6").alias("neg_cosine")))
     return pos.join(neg, "anchor_id", "left_outer")
+
+
+def als_rank1(ratings: DataFrame, user_col: str, item_col: str,
+              rating_col: str, n_iter: int = 3) -> DataFrame:
+    """Rank-1 alternating least squares (the Netflix-prize primitive at
+    its smallest honest size) over implicit-count ratings -> one row
+    per observed (user, item): (user, item, r, u_q, v_q, pred_milli).
+    The dominant singular pair of the ratings matrix: u ranks users by
+    activity intensity, v ranks items by popularity-given-u, u*v is
+    the baseline 'expected interaction count' whose residual feeds
+    anomaly/novelty scoring.
+
+    EVERYTHING cross-partition is an exact integer: both factors live
+    in 1e-3 fixed point (u_q = u*1e3, v_q = v*1e3, init v_q = 1000),
+    and each ALS update
+
+        u_q = (1e6 * sum_j r_ij * v_qj) div (sum_j v_qj^2)
+        v_q = (1e6 * sum_i r_ij * u_qi) div (sum_i u_qi^2)
+
+    is an integer ratio of integer partial-agg sums — no float ever
+    crosses a partition boundary, so the factorization is engine-exact
+    under the hash gate (the integer-cents discipline applied to ALS;
+    quantization noise is the documented contract, ~1e-3 relative per
+    component). pred_milli = (u_q * v_q) div 1000 = 1e3 * u*v.
+    Ratings must be non-negative integers (counts), which keeps every
+    numerator/denominator positive so div's truncation direction never
+    matters.
+
+    Scale shape: the user-side update is one partial-agged groupBy
+    over the ratings table joined to the BROADCAST item factor; the
+    item factor (item cardinality by construction — event types,
+    product catalog shards) is the only collect, the kmeans/LR 'only
+    collect is the model' contract. n_iter fixed, no convergence
+    test."""
+    r = ratings.select(F.col(user_col).alias("u_id"),
+                       F.col(item_col).alias("item"),
+                       F.col(rating_col).cast("long").alias("r"))
+    spark = r.sparkSession
+    items = [row.item for row in r.select("item").distinct().collect()]
+    v_rows = [(it, 1000) for it in sorted(items)]
+    users = None
+    for _ in range(n_iter):
+        vdf = spark.createDataFrame(v_rows, "item string, v_q long")
+        users = (r.join(F.broadcast(vdf), "item")
+                 .groupBy("u_id")
+                 .agg(F.sum(F.col("r") * F.col("v_q")).cast("long")
+                      .alias("num"),
+                      F.sum(F.col("v_q") * F.col("v_q")).cast("long")
+                      .alias("den"))
+                 .selectExpr("u_id", "(1000000 * num) div den AS u_q"))
+        v_rows = [(row.item, int(row.v_q)) for row in
+                  (r.join(users, "u_id")
+                   .groupBy("item")
+                   .agg(F.sum(F.col("r") * F.col("u_q")).cast("long")
+                        .alias("num"),
+                        F.sum(F.col("u_q") * F.col("u_q")).cast("long")
+                        .alias("den"))
+                   .selectExpr("item", "(1000000 * num) div den AS v_q")
+                   .collect())]
+        v_rows.sort()
+    vdf = spark.createDataFrame(v_rows, "item string, v_q long")
+    return (r.join(users, "u_id").join(F.broadcast(vdf), "item")
+            .select(F.col("u_id").alias(user_col),
+                    F.col("item").alias(item_col), "r", "u_q", "v_q",
+                    F.expr("(u_q * v_q) div 1000").alias("pred_milli")))

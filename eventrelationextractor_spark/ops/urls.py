@@ -510,3 +510,49 @@ def spoof_clusters(df, host_col: str = "host"):
                           F.size(F.collect_set("host").over(w))
                           .cast("long"))
             .withColumn("is_spoof_cluster", F.col("n_variants") > 1))
+
+
+def url_templates(df: DataFrame, url_col: str = "url",
+                  min_count: int = 2) -> DataFrame:
+    """URL path templating rollup -> (host, template, n_urls,
+    n_distinct_tails): collapse every all-digit path segment to {n}
+    and every long-hex segment (>= 16 chars of [0-9a-f]) to {h}, then
+    count URLs per (host, template). The crawl cartographer: a million
+    product pages become ONE row (`/product/{n}`), surfacing the
+    site's actual page-type inventory, the infinite-URL traps
+    (calendars, session ids - huge n_urls on one template), and where
+    crawl budget actually went.
+
+    n_distinct_tails counts distinct substituted segment tuples per
+    template - a template with n_urls >> n_distinct_tails is serving
+    duplicate content behind vanity ids. Pure map-side expressions +
+    one partial-agged groupBy; templates below ``min_count`` are
+    dropped (the long tail is by definition untemplated)."""
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+(/[^?#]*)?",
+                            1)
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?#]+)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+
+    # lambda args must be used DIRECTLY (an F.expr("x ...") inside a
+    # higher-order function does not bind to the lambda variable - the
+    # documented F.transform pitfall)
+    def _is_sub(x):
+        return x.rlike("^[0-9]+$") | ((F.length(x) >= 16)
+                                      & x.rlike("^[0-9a-f]+$"))
+
+    def _sub(x):
+        return (F.when(x.rlike("^[0-9]+$"), F.lit("{n}"))
+                .when((F.length(x) >= 16) & x.rlike("^[0-9a-f]+$"),
+                      F.lit("{h}"))
+                .otherwise(x))
+
+    tmpl = F.concat(F.lit("/"),
+                    F.concat_ws("/", F.transform(segs, _sub)))
+    tail = F.concat_ws("\x01", F.filter(segs, _is_sub))
+    staged = df.select(host.alias("host"), tmpl.alias("template"),
+                       tail.alias("tail"))
+    return (staged.groupBy("host", "template")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                 F.countDistinct("tail").cast("long")
+                 .alias("n_distinct_tails"))
+            .filter(F.col("n_urls") >= int(min_count)))

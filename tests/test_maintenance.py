@@ -173,3 +173,44 @@ def test_tcloseness_requires_quasi_cols(spark):
     df = spark.createDataFrame([("a", 1)], "g string, sv long")
     with pytest.raises(ValueError):
         maintenance.tcloseness_groups(df, [], "sv")
+
+
+# ------------------------------------------------------------- zone maps
+
+
+def test_zone_map_prune_layout_contrast(spark):
+    # seq layout: file 0 spans the whole value range -> survives any
+    # predicate; value-clustered layout prunes every non-overlapping file
+    rows = [("seq", 0, v) for v in (10, 500, 160)] + \
+        [("byv", v // 100, v) for v in (10, 500, 160)]
+    df = spark.createDataFrame(rows, "layout string, f long, v long")
+    got = {(r.layout, r.file_id): r for r in
+           maintenance.zone_map_prune(df, "layout", "f", "v",
+                                      lo=150, hi=200).collect()}
+    assert got[("seq", 0)].survives is True
+    assert got[("byv", 1)].survives is True       # holds 160
+    assert got[("byv", 0)].survives is False
+    assert got[("byv", 5)].survives is False
+    assert got[("seq", 0)].min_v == 10 and got[("seq", 0)].max_v == 500
+
+
+def test_zone_map_envelope_false_positive(spark):
+    # file holds {100, 300}: envelope [100,300] overlaps [150,200) but
+    # no row matches - the file SURVIVES (skip tests are envelope-level)
+    df = spark.createDataFrame([("l", 0, 100), ("l", 0, 300)],
+                               "layout string, f long, v long")
+    r = maintenance.zone_map_prune(df, "layout", "f", "v",
+                                   lo=150, hi=200).collect()[0]
+    assert r.survives is True and r.n_rows == 2
+
+
+def test_zone_map_boundary_semantics(spark):
+    # lo inclusive, hi exclusive: max_v = 149 misses, min_v = 200 misses,
+    # min_v = 199 survives
+    df = spark.createDataFrame(
+        [("l", 0, 149), ("l", 1, 200), ("l", 2, 199)],
+        "layout string, f long, v long")
+    got = {r.file_id: r.survives for r in
+           maintenance.zone_map_prune(df, "layout", "f", "v",
+                                      lo=150, hi=200).collect()}
+    assert got == {0: False, 1: False, 2: True}

@@ -56,3 +56,44 @@ def test_frequent_pairs_prunes_infrequent_before_join(spark):
     out = mining.frequent_pairs(df, "basket", "item", min_support=2)
     got = [(r.item_a, r.item_b) for r in out.collect()]
     assert got == [("a", "b")]
+
+
+def test_als_rank1_matches_python_replay(spark):
+    rows = [("u1", "a", 10), ("u1", "b", 2), ("u2", "a", 8),
+            ("u2", "b", 1), ("u3", "b", 5), ("u3", "c", 7)]
+    df = spark.createDataFrame(rows, "u string, it string, r long")
+    got = {(x.u, x.it): x for x in
+           mining.als_rank1(df, "u", "it", "r", n_iter=3).collect()}
+
+    v = {it: 1000 for it in ("a", "b", "c")}
+    u = {}
+    for _ in range(3):
+        for uu in ("u1", "u2", "u3"):
+            mine = [(it, r) for us, it, r in rows if us == uu]
+            num = sum(r * v[it] for it, r in mine)
+            den = sum(v[it] ** 2 for it, _ in mine)
+            u[uu] = (1_000_000 * num) // den
+        nv = {}
+        for it in v:
+            mine = [(us, r) for us, i2, r in rows if i2 == it]
+            num = sum(r * u[us] for us, r in mine)
+            den = sum(u[us] ** 2 for us, _ in mine)
+            nv[it] = (1_000_000 * num) // den
+        v = nv
+    for us, it, r in rows:
+        g = got[(us, it)]
+        assert (g.u_q, g.v_q) == (u[us], v[it]), (us, it)
+        assert g.pred_milli == (u[us] * v[it]) // 1000
+
+
+def test_als_rank1_reconstructs_rank1_matrix(spark):
+    # exactly rank-1 ratings r = a_i * b_j: predictions recover r to
+    # within the fixed-point quantization
+    a = {"u1": 2, "u2": 6, "u3": 3}
+    b = {"x": 4, "y": 1, "z": 9}
+    rows = [(uu, it, a[uu] * b[it]) for uu in a for it in b]
+    df = spark.createDataFrame(rows, "u string, it string, r long")
+    out = mining.als_rank1(df, "u", "it", "r", n_iter=4).collect()
+    for row in out:
+        assert abs(row.pred_milli / 1000.0 - row.r) <= max(
+            0.01 * row.r, 0.05), (row.u, row.it)

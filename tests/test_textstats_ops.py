@@ -381,3 +381,35 @@ def test_mad_outliers_even_n_half_median(spark):
     df = spark.createDataFrame([(0, 1), (1, 3)], "doc_id long, v long")
     rows = textstats.mad_outliers(df, "v", "doc_id").collect()
     assert rows[0].med2 == 4  # median 2.0 carried as exact 2x integer
+
+
+# --------------------------------------------------------- url templates
+
+
+def test_url_templates_collapse_and_tails(spark):
+    from eventrelationextractor_spark.ops import urls as u
+    rows = [("https://s.com/product/12/view",),
+            ("https://s.com/product/99/view",),
+            ("https://s.com/product/12/view",),   # duplicate tail 12
+            ("https://s.com/" + "a1b2c3d4e5f60718" + "/x",),
+            ("https://s.com/" + "ffffffffffffffff" + "/x",),
+            ("https://s.com/about",)]             # below min_count
+    df = spark.createDataFrame(rows, "url string")
+    got = {r.template: r for r in
+           u.url_templates(df, min_count=2).collect()}
+    assert set(got) == {"/product/{n}/view", "/{h}/x"}
+    p = got["/product/{n}/view"]
+    assert (p.n_urls, p.n_distinct_tails) == (3, 2)
+    assert got["/{h}/x"].n_distinct_tails == 2
+
+
+def test_url_templates_short_hex_not_collapsed(spark):
+    from eventrelationextractor_spark.ops import urls as u
+    # 'abcdef' is hex but < 16 chars: stays literal; query strings and
+    # fragments are excluded from the path
+    rows = [("https://s.com/abcdef/p?id=1",),
+            ("https://s.com/abcdef/p#frag",)]
+    df = spark.createDataFrame(rows, "url string")
+    got = u.url_templates(df, min_count=2).collect()
+    assert len(got) == 1 and got[0].template == "/abcdef/p"
+    assert got[0].n_distinct_tails == 1     # both tails are ''
