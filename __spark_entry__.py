@@ -2082,6 +2082,17 @@ def _q_phrase_search(spark, sf_dir):
     return bm25.phrase_search(_docs(spark, sf_dir), ["table", "table"])
 
 
+def _q_proximity_minspan(spark, sf_dir):
+    """Minimal-window proximity (ops/bm25.py::min_span_proximity) for
+    the 3-term query {scan, merge, window}: shortest token window per
+    doc containing all three, cover count, and the end position of the
+    first minimal window. Pure-integer sweep over ONE doc-partitioned
+    window spec; postings filtered to the query terms before the
+    exchange."""
+    return bm25.min_span_proximity(_docs(spark, sf_dir),
+                                   ["scan", "merge", "window"])
+
+
 def _q_token_label_mi(spark, sf_dir):
     """Mutual-information + G^2 feature selection (ops/quality.py::
     token_label_mi) between hashed-bigram presence and the doc_id%10
@@ -3736,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": _q_url_templates,
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
+        "proximity_minspan": _q_proximity_minspan,
     }
 
 
@@ -8517,6 +8529,36 @@ SELECT bucket, n_a, n_b, p_a_ppm, p_b_ppm,
 FROM p
 """
 
+_PROXIMITY_MINSPAN_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+idx AS (SELECT doc_id, ws[CAST(i AS BIGINT)] AS term,
+               CAST(i - 1 AS BIGINT) AS pos
+        FROM words, LATERAL unnest(generate_series(1, len(ws))) r(i)),
+hits AS (SELECT * FROM idx WHERE term IN ('merge', 'scan', 'window')),
+lasts AS (SELECT doc_id, pos,
+                 max(CASE WHEN term = 'merge' THEN pos END) OVER w AS l0,
+                 max(CASE WHEN term = 'scan' THEN pos END) OVER w AS l1,
+                 max(CASE WHEN term = 'window' THEN pos END) OVER w AS l2
+          FROM hits
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+spans AS (SELECT doc_id, pos, pos - least(l0, l1, l2) + 1 AS span
+          FROM lasts
+          WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL),
+m AS (SELECT doc_id, pos, span,
+             min(span) OVER (PARTITION BY doc_id) AS doc_min
+      FROM spans)
+SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span,
+       CAST(count(*) AS BIGINT) AS n_covers,
+       CAST(min(CASE WHEN span = doc_min THEN pos END) AS BIGINT)
+           AS best_end
+FROM m GROUP BY doc_id
+"""
+
 _PHRASE_ORACLE = """
 WITH words AS (
   SELECT doc_id,
@@ -9224,6 +9266,7 @@ FROM hashed
         "hybrid_search_rrf": _HYBRID_RRF_ORACLE,
         "mmr_diversify": _mmr_oracle(),
         "contrastive_mining": _CONTRASTIVE_ORACLE,
+        "proximity_minspan": _PROXIMITY_MINSPAN_ORACLE,
     }
 
 

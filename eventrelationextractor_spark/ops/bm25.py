@@ -464,6 +464,64 @@ def phrase_search(docs: DataFrame, phrase: list, id_col: str = "doc_id",
                  F.min("anchor").cast("long").alias("first_pos")))
 
 
+def min_span_proximity(docs: DataFrame, terms: list,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Minimal-window proximity ranking (the Clarke/Cormack ``min
+    cover`` statistic; Lucene SpanNearQuery's scoring primitive) ->
+    one row per document containing ALL query terms:
+    (doc_id, min_span, n_covers, best_end) where ``min_span`` is the
+    length in tokens of the SHORTEST window [i..j] whose token stream
+    contains every distinct query term, ``n_covers`` counts positions
+    at which such a window ends, and ``best_end`` is the end position
+    of the first minimal window. Pure integers end to end.
+
+    Sweep formulation (no self-join chain in k): walk each document's
+    postings for the k query terms in position order keeping, per
+    term, the LAST position seen; the smallest window ending at the
+    current row is ``pos - least(last_1..last_k) + 1`` once every
+    term has been sighted. All k running maxima ride ONE window spec
+    (partitionBy doc, orderBy pos) so the whole statistic costs a
+    single hash-partition shuffle of the k-term postings — and those
+    postings are filtered to the k query terms BEFORE the exchange,
+    so the shuffled volume is the match list, not the corpus (at
+    100 TB with a materialized positional index this is an index
+    lookup + one window over ~ppm of the data).
+
+    Duplicate query terms collapse (a span statistic is over the
+    distinct vocabulary); empty/absent terms simply never produce a
+    full cover, so docs missing any term drop out — the semantics a
+    proximity *filter* wants."""
+    want = sorted(set(str(t) for t in terms))
+    if not want:
+        raise ValueError("terms must have at least one token")
+    idx = positional_index(docs, id_col, text_col)
+    hits = idx.filter(F.col("term").isin(want))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lasts = [F.max(F.when(F.col("term") == t, F.col("pos"))).over(w)
+             .alias(f"last_{i}") for i, t in enumerate(want)]
+    seen = hits.select("doc_id", "pos", *lasts)
+    last_cols = [F.col(f"last_{i}") for i in range(len(want))]
+    all_seen = last_cols[0].isNotNull()
+    for c in last_cols[1:]:
+        all_seen = all_seen & c.isNotNull()
+    # least() skips NULLs on BOTH engines, so an explicit all-terms-
+    # sighted guard is load-bearing (a doc holding one term would
+    # otherwise score a bogus 1-token "cover").
+    spans = (seen.filter(all_seen)
+             .withColumn("span",
+                         F.col("pos") - F.least(*last_cols) + F.lit(1)))
+    doc_min = F.min("span").over(Window.partitionBy("doc_id"))
+    spans = spans.withColumn("doc_min", doc_min)
+    return (spans.groupBy("doc_id")
+            .agg(F.min("span").cast("long").alias("min_span"),
+                 F.count(F.lit(1)).cast("long").alias("n_covers"),
+                 F.min(F.when(F.col("span") == F.col("doc_min"),
+                              F.col("pos")))
+                 .cast("long").alias("best_end")))
+
+
 def textrank_keywords(docs: DataFrame, window: int = 2, n_iter: int = 5,
                       damping: float = 0.85, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:

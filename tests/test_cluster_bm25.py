@@ -385,3 +385,49 @@ def test_textrank_hub_term_outranks_leaf(spark):
     got = {r.term: r.rank for r in
            bm25.textrank_keywords(docs, n_iter=5).collect()}
     assert all(got["core"] > got[f"term{i}"] for i in range(6))
+
+
+# --------------------------------------------------- min-span proximity
+
+
+def _minspan(spark, texts, terms):
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    from eventrelationextractor_spark.ops import bm25
+    return {r.doc_id: (r.min_span, r.n_covers, r.best_end)
+            for r in bm25.min_span_proximity(docs, terms).collect()}
+
+
+def test_min_span_basic(spark):
+    # doc 0: "a x x b" -> only cover ends at b (pos 3), span 4
+    # doc 1: "a b" -> span 2; doc 2 misses 'b' entirely -> dropped
+    got = _minspan(spark, ["a x x b", "a b", "a a a"], ["a", "b"])
+    assert got == {0: (4, 1, 3), 1: (2, 1, 1)}
+
+
+def test_min_span_shrinks_on_repeat(spark):
+    # covers end only AT query-term occurrences: pos2 (span 3) and
+    # pos4 (span 5 - still anchored at a@0)
+    got = _minspan(spark, ["a x b x b"], ["a", "b"])
+    assert got == {0: (3, 2, 2)}
+    got = _minspan(spark, ["a x b a b"], ["a", "b"])
+    assert got == {0: (2, 2, 4)}
+
+
+def test_min_span_single_term_missing_guard(spark):
+    # a doc holding ONE of the terms must not emit a bogus 1-cover
+    got = _minspan(spark, ["a a a", "b", "b a"], ["a", "b"])
+    assert got == {2: (2, 1, 1)}
+
+
+def test_min_span_duplicate_query_terms_collapse(spark):
+    got = _minspan(spark, ["a x b"], ["a", "b", "a", "b"])
+    assert got == {0: (3, 1, 2)}
+
+
+def test_min_span_three_terms(spark):
+    got = _minspan(spark, ["c a x b a c"], ["a", "b", "c"])
+    # covers: pos3 (span 4: c..b), pos4 (b,a at 3,4 + c at 0 -> span 5)?
+    # last positions at pos4: a=4,b=3,c=0 -> span 5; pos5: a=4,b=3,c=5
+    # -> span 3 (b a c). min=3 at pos5.
+    assert got == {0: (3, 3, 5)}
