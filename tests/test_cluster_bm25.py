@@ -410,8 +410,10 @@ def test_min_span_shrinks_on_repeat(spark):
     # pos4 (span 5 - still anchored at a@0)
     got = _minspan(spark, ["a x b x b"], ["a", "b"])
     assert got == {0: (3, 2, 2)}
+    # "a x b a b": covers at pos2 (span 3), pos3 (a@3,b@2 -> span 2),
+    # pos4 (a@3,b@4 -> span 2); first minimal window ends at pos3
     got = _minspan(spark, ["a x b a b"], ["a", "b"])
-    assert got == {0: (2, 2, 4)}
+    assert got == {0: (2, 3, 3)}
 
 
 def test_min_span_single_term_missing_guard(spark):
