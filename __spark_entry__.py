@@ -2093,6 +2093,21 @@ def _q_proximity_minspan(spark, sf_dir):
                                    ["scan", "merge", "window"])
 
 
+def _q_pareto_docs(spark, sf_dir):
+    """Per-language 2-D Pareto front (ops/mining.py::pareto_front):
+    docs not dominated on (n_chars, distinct-term count) — the multi-
+    objective curation pick. Spark runs the sweep formulation (per-x
+    champion reduce + one statistic-scale window + keyed join-back);
+    the oracle is the INDEPENDENT quadratic NOT-EXISTS dominance
+    anti-join, so the gate cross-checks two different algorithms."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "n_chars",
+        F.size(F.array_distinct(F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: t != ""))).cast("long").alias("n_terms"))
+    return mining.pareto_front(d, "n_chars", "n_terms", ["lang"])
+
+
 def _q_token_label_mi(spark, sf_dir):
     """Mutual-information + G^2 feature selection (ops/quality.py::
     token_label_mi) between hashed-bigram presence and the doc_id%10
@@ -3748,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": _q_vocab_growth,
         "hilbert_layout": _q_hilbert_layout,
         "proximity_minspan": _q_proximity_minspan,
+        "pareto_docs": _q_pareto_docs,
     }
 
 
@@ -8559,6 +8575,22 @@ SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span,
 FROM m GROUP BY doc_id
 """
 
+_PARETO_DOCS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             w -> w <> ''))) AS BIGINT) AS n_terms
+  FROM documents)
+SELECT lang, n_chars, n_terms, doc_id
+FROM t a
+WHERE NOT EXISTS (
+  SELECT 1 FROM t b
+  WHERE b.lang = a.lang
+    AND b.n_chars >= a.n_chars AND b.n_terms >= a.n_terms
+    AND (b.n_chars > a.n_chars OR b.n_terms > a.n_terms))
+"""
+
 _PHRASE_ORACLE = """
 WITH words AS (
   SELECT doc_id,
@@ -9267,6 +9299,7 @@ FROM hashed
         "mmr_diversify": _mmr_oracle(),
         "contrastive_mining": _CONTRASTIVE_ORACLE,
         "proximity_minspan": _PROXIMITY_MINSPAN_ORACLE,
+        "pareto_docs": _PARETO_DOCS_ORACLE,
     }
 
 

@@ -202,3 +202,39 @@ def als_rank1(ratings: DataFrame, user_col: str, item_col: str,
             .select(F.col("u_id").alias(user_col),
                     F.col("item").alias(item_col), "r", "u_q", "v_q",
                     F.expr("(u_q * v_q) div 1000").alias("pred_milli")))
+
+
+def pareto_front(df: DataFrame, x_col: str, y_col: str,
+                 group_cols: list | None = None) -> DataFrame:
+    """2-D Pareto skyline (Borzsony/Kossmann SKYLINE OF): keep the rows
+    not dominated within their group, where row b dominates row a iff
+    b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y), both axes
+    maximizing. Duplicate points on the front all survive (neither
+    dominates the other). THE multi-objective selection primitive for
+    corpus curation: "longest docs that are also the most lexically
+    diverse", "highest-quality pages per crawl cost", etc.
+
+    Scale shape — NOT the quadratic NOT-EXISTS self-join: 2-D skyline
+    is a sweep. (1) reduce to one row per distinct x (max y, partial-
+    agg groupBy); (2) one window over that per-group x-frame sorted by
+    x DESC takes the running max of y over STRICTLY greater x (rows
+    1-preceding); an x-column survives iff its max-y beats it;
+    (3) equi-join the surviving (x, max_y) pairs back to pick up every
+    tied original row. The window frame holds |distinct x| rows per
+    group — corpus-scale input, statistic-scale frame — and the join
+    back is a keyed equi-join (broadcastable when the front is small,
+    which it almost always is). Dominance correctness splits into the
+    two window facts: y < max y at same x => dominated by the same-x
+    champion; y <= max y at greater x => dominated by that row."""
+    gcols = list(group_cols or [])
+    x, y = F.col(x_col), F.col(y_col)
+    champ = (df.groupBy(*gcols, x_col)
+             .agg(F.max(y).alias("_gx")))
+    w = (Window.partitionBy(*gcols).orderBy(F.col(x_col).desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    front = (champ
+             .withColumn("_prev", F.max("_gx").over(w))
+             .filter(F.col("_prev").isNull() |
+                     (F.col("_gx") > F.col("_prev")))
+             .select(*gcols, x_col, F.col("_gx").alias(y_col)))
+    return df.join(front, gcols + [x_col, y_col])

@@ -97,3 +97,41 @@ def test_als_rank1_reconstructs_rank1_matrix(spark):
     for row in out:
         assert abs(row.pred_milli / 1000.0 - row.r) <= max(
             0.01 * row.r, 0.05), (row.u, row.it)
+
+
+# ------------------------------------------------------- pareto front
+
+
+def _front(spark, rows, groups=None):
+    df = spark.createDataFrame(rows, "id long, g string, x long, y long")
+    got = mining.pareto_front(df, "x", "y", groups or []).collect()
+    return sorted((r.id) for r in got)
+
+
+def test_pareto_basic_dominance(spark):
+    rows = [(0, "a", 1, 9), (1, "a", 5, 5), (2, "a", 9, 1),
+            (3, "a", 4, 4), (4, "a", 5, 4), (5, "a", 1, 8)]
+    # (4,4),(5,4),(1,8) dominated; staircase 0,1,2 survives
+    assert _front(spark, rows) == [0, 1, 2]
+
+
+def test_pareto_duplicate_points_both_survive(spark):
+    rows = [(0, "a", 3, 3), (1, "a", 3, 3), (2, "a", 1, 1)]
+    assert _front(spark, rows) == [0, 1]
+
+
+def test_pareto_same_x_champion_only(spark):
+    rows = [(0, "a", 3, 7), (1, "a", 3, 5), (2, "a", 2, 9)]
+    assert _front(spark, rows) == [0, 2]
+
+
+def test_pareto_groups_independent(spark):
+    rows = [(0, "a", 1, 1), (1, "b", 9, 9), (2, "a", 2, 2)]
+    assert _front(spark, rows, ["g"]) == [1, 2]
+
+
+def test_pareto_single_row_and_collinear(spark):
+    assert _front(spark, [(0, "a", 5, 5)]) == [0]
+    # strictly increasing on both axes -> only the max survives
+    rows = [(i, "a", i, i) for i in range(5)]
+    assert _front(spark, rows) == [4]
