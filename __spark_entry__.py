@@ -2249,6 +2249,21 @@ def _q_link_seed_distances(spark, sf_dir):
     return graph.seed_distances(e, seeds, max_hops=4)
 
 
+def _q_link_shortest_paths(spark, sf_dir):
+    """Weighted shortest paths within a 4-hop budget (ops/graph.py::
+    weighted_seed_distances): delta-frontier Bellman-Ford over the
+    synthetic link graph with integer edge weights
+    (src*3 + dst*5) % 9 + 1, seeds = doc_id % 97 == 0. Exact integer
+    distances; the oracle enumerates every <=4-edge path from the
+    seed set in a recursive CTE and takes min(dist) — an independent
+    formulation of the same semantics."""
+    e, nodes = _link_edges(spark, sf_dir)
+    we = e.withColumn(
+        "w", ((F.col("src") * 3 + F.col("dst") * 5) % 9 + 1))
+    seeds = nodes.filter(F.col("node") % 97 == 0)
+    return graph.weighted_seed_distances(we, seeds, max_hops=4)
+
+
 def _q_link_walks(spark, sf_dir):
     """Deterministic random walks (ops/graph.py::random_walks,
     DeepWalk sampling): one 4-step walk per node, transition =
@@ -3764,6 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_layout": _q_hilbert_layout,
         "proximity_minspan": _q_proximity_minspan,
         "pareto_docs": _q_pareto_docs,
+        "link_shortest_paths": _q_link_shortest_paths,
     }
 
 
@@ -8575,6 +8591,26 @@ SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span,
 FROM m GROUP BY doc_id
 """
 
+_LINK_SHORTEST_PATHS_ORACLE = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+linked AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+e AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+  FROM linked
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM nn) FROM linked),
+we AS (SELECT src, dst, (src * 3 + dst * 5) % 9 + 1 AS w FROM e),
+seeds AS (SELECT doc_id AS node FROM documents WHERE doc_id % 97 = 0),
+walk(node, dist, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+  UNION ALL
+  SELECT we.dst, walk.dist + we.w, walk.hops + 1
+  FROM walk JOIN we ON we.src = walk.node
+  WHERE walk.hops < 4)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
 _PARETO_DOCS_ORACLE = """
 WITH t AS (
   SELECT doc_id, lang, n_chars,
@@ -9300,6 +9336,7 @@ FROM hashed
         "contrastive_mining": _CONTRASTIVE_ORACLE,
         "proximity_minspan": _PROXIMITY_MINSPAN_ORACLE,
         "pareto_docs": _PARETO_DOCS_ORACLE,
+        "link_shortest_paths": _LINK_SHORTEST_PATHS_ORACLE,
     }
 
 

@@ -943,3 +943,52 @@ def hyperball(edges: DataFrame, rounds: int = 3, m_b: int = 4,
         .otherwise(raw)
     return agg.select("node", F.round(est, 4).alias("est_ball"),
                       "register_checksum")
+
+
+def weighted_seed_distances(edges: DataFrame, seeds: DataFrame,
+                            max_hops: int = 4, src: str = "src",
+                            dst: str = "dst", weight: str = "w",
+                            checkpoint_interval: int = 2) -> DataFrame:
+    """Weighted single-source(-set) shortest paths, bounded to paths of
+    at most ``max_hops`` edges -> (node, dist): the Bellman-Ford
+    recurrence dist_h[v] = min(dist_{h-1}[v], min over in-edges
+    (dist_{h-1}[u] + w(u,v))), run for a FIXED hop budget so the
+    result is well-defined on both engines regardless of convergence
+    (it equals the cheapest path using <= max_hops edges — exactly the
+    crawl scheduler's "cheapest route within depth budget" semantics).
+    Integer weights, no floats anywhere.
+
+    Delta formulation (provably the same sequence as all-edge
+    Bellman-Ford): each round relaxes only FROM nodes whose distance
+    improved last round — a node whose label is stale was fully
+    relaxed the round it last improved, so re-relaxing it cannot
+    produce anything new. Per round: one keyed equi-join (frontier x
+    out-edges), one partial-agged min-merge into the settled map, one
+    join to diff out non-improvements — frontier-proportional work,
+    like the unweighted BFS in ``seed_distances``, with the usual lazy
+    plan + periodic truncation checkpoints. At 10^12 nodes the
+    frontier join is the only corpus-scale exchange and it shrinks as
+    labels settle."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                     F.col(weight).cast("long").alias("w"))
+    dist = (seeds.select("node").distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint())
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        relaxed = (frontier.join(e, frontier.node == e.s)
+                   .groupBy(F.col("d").alias("node"))
+                   .agg(F.min(F.col("dist") + F.col("w"))
+                        .cast("long").alias("cand")))
+        improved = (relaxed.join(dist, "node", "left_outer")
+                    .filter(F.col("dist").isNull() |
+                            (F.col("cand") < F.col("dist")))
+                    .select("node", F.col("cand").alias("dist")))
+        dist = (dist.unionByName(improved)
+                .groupBy("node")
+                .agg(F.min("dist").cast("long").alias("dist")))
+        frontier = improved
+        if h % checkpoint_interval == 0 and h < max_hops:
+            frontier = frontier.localCheckpoint(eager=False)
+            dist = dist.localCheckpoint(eager=False)
+    return dist

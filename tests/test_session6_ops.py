@@ -806,3 +806,28 @@ def test_robots_gate_full_group_selection_and_precedence(spark):
         "https://d.ex/anything": True,  # no governing group
         "https://e.ex/norobots": True,  # no robots.txt
     }
+
+
+def test_weighted_seed_distances_prefers_cheap_long_path(spark):
+    # 0->3 direct costs 10; 0->1->2->3 costs 3 but needs 3 hops
+    e = spark.createDataFrame(
+        [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)],
+        "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+
+    def run(h):
+        return {r.node: r.dist for r in graph.weighted_seed_distances(
+            e, seeds, max_hops=h).collect()}
+
+    # within 2 hops the direct edge wins; at 3 the cheap path takes over
+    assert run(2) == {0: 0, 1: 1, 2: 2, 3: 10}
+    assert run(3) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_weighted_seed_distances_multi_seed_min_merge(spark):
+    e = spark.createDataFrame([(0, 2, 5), (1, 2, 2), (2, 3, 1)],
+                              "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    d = {r.node: r.dist for r in graph.weighted_seed_distances(
+        e, seeds, max_hops=4).collect()}
+    assert d == {0: 0, 1: 0, 2: 2, 3: 3}
