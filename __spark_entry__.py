@@ -2093,6 +2093,15 @@ def _q_proximity_minspan(spark, sf_dir):
                                    ["scan", "merge", "window"])
 
 
+def _q_events_seasonality(spark, sf_dir):
+    """Ratio-to-moving-average seasonal decomposition (ops/events.py::
+    seasonal_decompose): per (event_type, epoch-dow) seasonal index in
+    exact integer ppm — centered 7-row trend over the observed day
+    series, full windows only, integer div throughout (the
+    sequence_packing lesson: no cross-engine float arithmetic)."""
+    return events.seasonal_decompose(_events(spark, sf_dir))
+
+
 def _q_pareto_docs(spark, sf_dir):
     """Per-language 2-D Pareto front (ops/mining.py::pareto_front):
     docs not dominated on (n_chars, distinct-term count) — the multi-
@@ -3780,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_minspan": _q_proximity_minspan,
         "pareto_docs": _q_pareto_docs,
         "link_shortest_paths": _q_link_shortest_paths,
+        "events_seasonality": _q_events_seasonality,
     }
 
 
@@ -8591,6 +8601,29 @@ SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span,
 FROM m GROUP BY doc_id
 """
 
+_EVENTS_SEASONALITY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+t AS (
+  SELECT event_type, day, cnt,
+         sum(cnt) OVER w AS s, count(cnt) OVER w AS k
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+ratio AS (
+  SELECT event_type,
+         CAST(CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS BIGINT)
+             AS dow,
+         (7 * 1000000 * cnt) // s AS ratio_ppm
+  FROM t WHERE k = 7)
+SELECT event_type, dow,
+       CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS seasonal_ppm,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM ratio GROUP BY event_type, dow
+"""
+
 _LINK_SHORTEST_PATHS_ORACLE = """
 WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
 linked AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
@@ -9337,6 +9370,7 @@ FROM hashed
         "proximity_minspan": _PROXIMITY_MINSPAN_ORACLE,
         "pareto_docs": _PARETO_DOCS_ORACLE,
         "link_shortest_paths": _LINK_SHORTEST_PATHS_ORACLE,
+        "events_seasonality": _EVENTS_SEASONALITY_ORACLE,
     }
 
 

@@ -1109,3 +1109,44 @@ def attribution(events: DataFrame, conv_type: str = "purchase",
         F.col(ts_col).alias("touch_ts"), "n_touches",
         first_w.alias("first_ppm"), last_w.alias("last_ppm"),
         lin.cast("long").alias("linear_ppm"))
+
+
+def seasonal_decompose(events: DataFrame, ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       period: int = 7) -> DataFrame:
+    """Classical multiplicative seasonal decomposition of the per-day
+    event counts -> one row per (event_type, dow): the day-of-week
+    seasonal index in exact integer ppm, plus the day count behind it.
+    The ratio-to-moving-average method every ops dashboard uses
+    ("Mondays run 18% hot"), in arithmetic both engines replay bit-
+    for-bit: trend = centered ``period``-row sum over the per-type
+    day series (only FULL windows count — edges yield no ratio), and
+    ratio_ppm = (period * 1_000_000 * day_count) div trend_sum, so no
+    float division ever happens; the per-dow index is the integer mean
+    of its ratios. Day-of-week is epoch-day mod 7 (1970-01-01 = Thu =
+    dow 0) — locale/engine-neutral, unlike dayofweek() whose origin
+    differs per engine.
+
+    The ROW frame runs over the *observed* consecutive days per type
+    (a gap day is absent, not zero) — deterministic on both engines
+    and the standard treatment for sparse series. Scale shape: one
+    partial-agged groupBy to day grain (corpus-scale -> 365·k rows),
+    then a window and a groupBy over statistic-scale data."""
+    half = period // 2
+    daily = (events.groupBy(F.col(type_col).alias("event_type"),
+                            F.to_date(F.col(ts_col)).alias("day"))
+             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-half, half))
+    t = (daily.withColumn("s", F.sum("cnt").over(w))
+         .withColumn("k", F.count("cnt").over(w))
+         .filter(F.col("k") == period))
+    ratio = t.select(
+        "event_type",
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % period)
+        .cast("long").alias("dow"),
+        F.expr(f"({period} * 1000000 * cnt) div s").alias("ratio_ppm"))
+    return (ratio.groupBy("event_type", "dow")
+            .agg(F.expr("sum(ratio_ppm) div count(1)")
+                 .alias("seasonal_ppm"),
+                 F.count(F.lit(1)).cast("long").alias("n_days")))

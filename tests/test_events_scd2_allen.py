@@ -311,3 +311,42 @@ def test_attribution_tie_breaks_on_id(spark):
     got = {r.touch_id: r for r in ev.attribution(evd).collect()}
     assert got[10].first_ppm == 1_000_000 and got[11].first_ppm == 0
     assert got[11].last_ppm == 1_000_000 and got[10].last_ppm == 0
+
+
+# ----------------------------------------------- seasonal decomposition
+
+
+def test_seasonal_decompose_integer_ratios(spark):
+    # 14 consecutive days, one type: counts 1..14. Centered 7-day sums
+    # exist for days 4..11 (index 3..10). Ratio for day d (cnt=d+1,
+    # 1-based c): 7e6*c div (7c) = 1e6 exactly when counts are linear?
+    # No - sum of 7 consecutive ints centered at c is 7c, so every full
+    # window yields exactly 1_000_000.
+    rows = [(f"2024-01-{d+1:02d} 12:00:00", "t") for d in range(14)
+            for _ in range(d + 1)]
+    df = spark.createDataFrame(rows, "ts string, event_type string") \
+        .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    out = {(r.event_type, r.dow): (r.seasonal_ppm, r.n_days)
+           for r in ev.seasonal_decompose(df).collect()}
+    # 8 full-window days spread over 8 distinct dows? 14 days -> dows
+    # cycle; days 4..11 of Jan 2024 cover 8 consecutive dows mod 7,
+    # one dow twice
+    assert all(v[0] == 1_000_000 for v in out.values())
+    assert sum(v[1] for v in out.values()) == 8
+    assert len(out) == 7
+
+
+def test_seasonal_decompose_weekly_spike(spark):
+    # 21 days, count 8 on day%7==0 else 1: weekly mean 2 -> spike index
+    # 7e6*8 div 14 = 4_000_000, flat days 7e6*1 div 14 = 500_000
+    rows = []
+    for d in range(21):
+        c = 8 if d % 7 == 0 else 1
+        rows += [(f"2024-03-{d+1:02d} 00:30:00", "t")] * c
+    df = spark.createDataFrame(rows, "ts string, event_type string") \
+        .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    out = {r.dow: r.seasonal_ppm
+           for r in ev.seasonal_decompose(df).collect()}
+    spike_dow = (19783 + 0) % 7  # 2024-03-01 epoch day = 19783
+    assert out[spike_dow] == 4_000_000
+    assert all(v == 500_000 for d, v in out.items() if d != spike_dow)
