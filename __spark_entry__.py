@@ -1706,6 +1706,16 @@ def _q_shingle_containment(spark, sf_dir):
                                    threshold=0.8)
 
 
+def _q_prefix_filter_pairs(spark, sf_dir):
+    """EXACT all-pairs Jaccard join (ops/dedup.py::prefix_filter_pairs,
+    AllPairs prefix filtering): recall-1 near-dup tier next to the
+    probabilistic MinHash one, over the augmented corpus with planted
+    near/exact dups. All filters in integer ppm; the oracle replays
+    df-rank prefixes, the size gate, and exact verification."""
+    return dedup.prefix_filter_pairs(_augmented_docs(spark, sf_dir),
+                                     t_ppm=800_000)
+
+
 def _q_embedding_quantize(spark, sf_dir):
     """Int8 scalar quantization + reconstruction SSE
     (ops/simsearch.py::quantize_int8): per-vector scale 127/max|x|,
@@ -3790,6 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_docs": _q_pareto_docs,
         "link_shortest_paths": _q_link_shortest_paths,
         "events_seasonality": _q_events_seasonality,
+        "prefix_filter_pairs": _q_prefix_filter_pairs,
     }
 
 
@@ -5961,6 +5972,41 @@ JOIN sizes na ON na.doc_id = i.a
 JOIN sizes nb ON nb.doc_id = i.b
 WHERE round(i.n_inter / na.n, 6) >= 0.8
    OR round(i.n_inter / nb.n, 6) >= 0.8
+"""
+
+_PREFIX_FILTER_ORACLE = f"""
+WITH {_AUG},
+norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL unnest(generate_series(1, len(w) - 2)) AS g(i)
+        WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+dfc AS (SELECT shingle, count(*) AS dfc FROM sh GROUP BY shingle),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ranked AS (SELECT s.doc_id, s.shingle, z.n,
+                  row_number() OVER (PARTITION BY s.doc_id
+                                     ORDER BY d.dfc, s.shingle) AS r
+           FROM sh s JOIN dfc d USING (shingle)
+           JOIN sizes z USING (doc_id)),
+pref AS (SELECT * FROM ranked
+         WHERE r <= n - ((800000 * n + 999999) // 1000000) + 1),
+cand AS (SELECT DISTINCT pa.doc_id AS a, pb.doc_id AS b,
+                pa.n AS na, pb.n AS nb
+         FROM pref pa JOIN pref pb ON pa.shingle = pb.shingle
+          AND pa.doc_id < pb.doc_id
+         WHERE 1000000 * least(pa.n, pb.n)
+               >= 800000 * greatest(pa.n, pb.n)),
+inter AS (SELECT c.a, c.b, c.na, c.nb, count(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.a
+          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+          GROUP BY c.a, c.b, c.na, c.nb)
+SELECT a, b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(na + nb - n_inter AS BIGINT) AS n_union,
+       round(n_inter / (na + nb - n_inter), 6) AS jaccard
+FROM inter
+WHERE 1000000 * n_inter >= 800000 * (na + nb - n_inter)
 """
 
 _QUANTIZE_ORACLE = """
@@ -9371,6 +9417,7 @@ FROM hashed
         "pareto_docs": _PARETO_DOCS_ORACLE,
         "link_shortest_paths": _LINK_SHORTEST_PATHS_ORACLE,
         "events_seasonality": _EVENTS_SEASONALITY_ORACLE,
+        "prefix_filter_pairs": _PREFIX_FILTER_ORACLE,
     }
 
 

@@ -831,3 +831,54 @@ def test_weighted_seed_distances_multi_seed_min_merge(spark):
     d = {r.node: r.dist for r in graph.weighted_seed_distances(
         e, seeds, max_hops=4).collect()}
     assert d == {0: 0, 1: 0, 2: 2, 3: 3}
+
+
+# -------------------------------------------- prefix-filter exact join
+
+
+def _pf_corpus(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        (0, base),
+        (1, base + " extra"),                 # near-dup of 0
+        (2, "totally different words here with no overlap at all ok"),
+        (3, base),                            # exact dup of 0
+        (4, "alpha beta gamma " + "x y z w v u t s r q"),  # low overlap
+    ]
+    return spark.createDataFrame(texts, "doc_id long, text string")
+
+
+def test_prefix_filter_matches_bruteforce(spark):
+    from eventrelationextractor_spark.ops import dedup
+    docs = _pf_corpus(spark)
+    got = {(r.a, r.b): r.jaccard
+           for r in dedup.prefix_filter_pairs(docs, t_ppm=500_000)
+           .collect()}
+    brute = {(r.a, r.b): r.jaccard
+             for r in dedup.exact_jaccard_pairs(docs, threshold=0.5)
+             .collect()}
+    assert got.keys() == brute.keys() and got == brute
+    assert (0, 3) in got and got[(0, 3)] == 1.0
+
+
+def test_prefix_filter_counts_and_threshold(spark):
+    from eventrelationextractor_spark.ops import dedup
+    docs = _pf_corpus(spark)
+    rows = {(r.a, r.b): (r.n_inter, r.n_union)
+            for r in dedup.prefix_filter_pairs(docs, t_ppm=800_000)
+            .collect()}
+    # doc0: 8 shingles; doc1 adds one word -> 9 shingles, inter 8,
+    # union 9 -> 8/9 = .888889 >= .8; doc4 shares only 1 shingle
+    assert rows[(0, 3)] == (8, 8)
+    assert rows[(0, 1)] == (8, 9)
+    assert (0, 4) not in rows and (0, 2) not in rows
+
+
+def test_prefix_filter_size_gate_prunes(spark):
+    from eventrelationextractor_spark.ops import dedup
+    # sizes 3 vs 10: min/max = .3 < .8 -> no candidate survives even
+    # though they share their rarest shingle
+    docs = spark.createDataFrame(
+        [(0, "p q r s t"), (1, "p q r s t u v w x y z a b")],
+        "doc_id long, text string")
+    assert dedup.prefix_filter_pairs(docs, t_ppm=800_000).count() == 0
