@@ -2112,6 +2112,15 @@ def _q_events_seasonality(spark, sf_dir):
     return events.seasonal_decompose(_events(spark, sf_dir))
 
 
+def _q_events_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival for time-to-first-purchase per user
+    (ops/events.py::kaplan_meier): right-censoring at the user's last
+    observed event, integer-microsecond durations, risk sets from one
+    descending cumulative window, survival = exp(sum ln) at the 6dp
+    gate with an exact-zero guard when a risk set dies out."""
+    return events.kaplan_meier(_events(spark, sf_dir))
+
+
 def _q_pareto_docs(spark, sf_dir):
     """Per-language 2-D Pareto front (ops/mining.py::pareto_front):
     docs not dominated on (n_chars, distinct-term count) — the multi-
@@ -3801,6 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_shortest_paths": _q_link_shortest_paths,
         "events_seasonality": _q_events_seasonality,
         "prefix_filter_pairs": _q_prefix_filter_pairs,
+        "events_kaplan_meier": _q_events_kaplan_meier,
     }
 
 
@@ -8647,6 +8657,38 @@ SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span,
 FROM m GROUP BY doc_id
 """
 
+_KAPLAN_MEIER_ORACLE = """
+WITH subj AS (
+  SELECT user_id, min(ts) AS t0, max(ts) AS t_last,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_evt
+  FROM events GROUP BY user_id),
+s2 AS (SELECT CAST((epoch_us(coalesce(t_evt, t_last)) - epoch_us(t0))
+                   // 60000000 AS BIGINT) AS duration_min,
+              CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS observed
+       FROM subj),
+times AS (SELECT duration_min, CAST(sum(observed) AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM s2 GROUP BY duration_min),
+ar AS (SELECT *, CAST(sum(c) OVER (ORDER BY duration_min DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_risk
+       FROM times),
+km AS (SELECT * FROM ar WHERE d > 0),
+fin AS (SELECT duration_min, n_risk, d,
+               max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w2
+                   AS dead,
+               sum(CASE WHEN d < n_risk
+                        THEN ln((n_risk - d) * 1.0 / n_risk)
+                        ELSE 0.0 END) OVER w2 AS lsum
+        FROM km
+        WINDOW w2 AS (ORDER BY duration_min
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT duration_min, n_risk, d AS n_events,
+       CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lsum), 6) END
+           AS survival
+FROM fin
+"""
+
 _EVENTS_SEASONALITY_ORACLE = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
@@ -9418,6 +9460,7 @@ FROM hashed
         "link_shortest_paths": _LINK_SHORTEST_PATHS_ORACLE,
         "events_seasonality": _EVENTS_SEASONALITY_ORACLE,
         "prefix_filter_pairs": _PREFIX_FILTER_ORACLE,
+        "events_kaplan_meier": _KAPLAN_MEIER_ORACLE,
     }
 
 

@@ -1150,3 +1150,62 @@ def seasonal_decompose(events: DataFrame, ts_col: str = "ts",
             .agg(F.expr("sum(ratio_ppm) div count(1)")
                  .alias("seasonal_ppm"),
                  F.count(F.lit(1)).cast("long").alias("n_days")))
+
+
+def kaplan_meier(events: DataFrame, interest: str = "purchase",
+                 ts_col: str = "ts", user_col: str = "user_id",
+                 type_col: str = "event_type") -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-``interest`` per
+    user -> one row per event time: (duration_min, n_risk, n_events,
+    survival). Right-censoring done properly: a user who never fires
+    the event of interest is censored at their LAST observed event
+    (they contribute to the risk sets up to that point, then leave) —
+    the estimator every retention/conversion analysis wants instead
+    of the biased "% converted by day d over everyone".
+
+    Arithmetic contract: durations are integer minutes (epoch-MICRO-
+    second difference, integer div — unix_timestamp()/epoch() disagree
+    on sub-second truncation across engines), risk/death counts are
+    exact integers
+    from ONE cumulative window in descending duration order (n_risk
+    at t = subjects with duration >= t, so the cumsum needs no
+    separate total), and the survival product is
+    exp(sum over ln((n-d)/n)) rounded 6dp — sums of a handful of logs,
+    the same determinism envelope as the pagerank/bm25 float gates.
+    A time where the whole remaining risk set dies (n == d) pins the
+    curve to exact 0.0 via a cumulative flag rather than feeding
+    ln(0) to either engine.
+
+    Scale shape: one groupBy to subjects (corpus-scale, partial-
+    agged), one groupBy to distinct durations, then windows over the
+    duration table only — statistic-scale (bounded by the time
+    resolution, not the corpus)."""
+    is_evt = F.col(type_col) == interest
+    subj = (events.groupBy(user_col)
+            .agg(F.min(ts_col).alias("t0"),
+                 F.max(ts_col).alias("t_last"),
+                 F.min(F.when(is_evt, F.col(ts_col))).alias("t_evt")))
+    subj = subj.select(
+        F.expr("(unix_micros(cast(coalesce(t_evt, t_last) as timestamp))"
+               " - unix_micros(cast(t0 as timestamp))) div 60000000")
+        .alias("duration_min"),
+        F.col("t_evt").isNotNull().cast("long").alias("observed"))
+    times = (subj.groupBy("duration_min")
+             .agg(F.sum("observed").cast("long").alias("d"),
+                  F.count(F.lit(1)).cast("long").alias("c")))
+    w_desc = (Window.orderBy(F.col("duration_min").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    at_risk = times.withColumn("n_risk",
+                               F.sum("c").over(w_desc).cast("long"))
+    km = at_risk.filter(F.col("d") > 0)
+    w_asc = (Window.orderBy("duration_min")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    dead = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(w_asc)
+    log_term = F.when(F.col("d") < F.col("n_risk"),
+                      F.log((F.col("n_risk") - F.col("d"))
+                            / F.col("n_risk"))).otherwise(F.lit(0.0))
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(log_term).over(w_asc)), 6))
+    return km.select(F.col("duration_min").cast("long"),
+                     "n_risk", F.col("d").alias("n_events"),
+                     surv.alias("survival"))

@@ -350,3 +350,50 @@ def test_seasonal_decompose_weekly_spike(spark):
     spike_dow = (19783 + 0) % 7  # 2024-03-01 epoch day = 19783
     assert out[spike_dow] == 4_000_000
     assert all(v == 500_000 for d, v in out.items() if d != spike_dow)
+
+
+# --------------------------------------------------------- Kaplan-Meier
+
+
+def _km(spark, rows):
+    df = spark.createDataFrame(rows, "ts string, user_id long, "
+                                     "event_type string") \
+        .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                    "event_type")
+    return {r.duration_min: (r.n_risk, r.n_events, r.survival)
+            for r in ev.kaplan_meier(df).collect()}
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    # 4 users: u0 converts at 10min, u1 at 20min, u2 censored at 15min,
+    # u3 censored at 30min.
+    rows = [("2024-01-01 00:00:00", 0, "view"),
+            ("2024-01-01 00:10:00", 0, "purchase"),
+            ("2024-01-01 00:00:00", 1, "view"),
+            ("2024-01-01 00:20:00", 1, "purchase"),
+            ("2024-01-01 00:00:00", 2, "view"),
+            ("2024-01-01 00:15:00", 2, "view"),
+            ("2024-01-01 00:00:00", 3, "view"),
+            ("2024-01-01 00:30:00", 3, "view")]
+    got = _km(spark, rows)
+    # t=10: n=4,d=1 -> S=.75; t=20: at risk {u1,u3}=2, d=1 -> S=.375
+    assert got == {10: (4, 1, 0.75), 20: (2, 1, 0.375)}
+
+
+def test_kaplan_meier_full_death_pins_zero(spark):
+    rows = [("2024-01-01 00:00:00", 0, "view"),
+            ("2024-01-01 00:05:00", 0, "purchase"),
+            ("2024-01-01 00:00:00", 1, "view"),
+            ("2024-01-01 00:05:00", 1, "purchase")]
+    got = _km(spark, rows)
+    assert got == {5: (2, 2, 0.0)}
+
+
+def test_kaplan_meier_instant_conversion_and_subminute(spark):
+    # u0's first event IS the purchase (duration 0); u1 converts at
+    # 90s -> floor to 1 min
+    rows = [("2024-01-01 00:00:00", 0, "purchase"),
+            ("2024-01-01 00:00:00", 1, "view"),
+            ("2024-01-01 00:01:30", 1, "purchase")]
+    got = _km(spark, rows)
+    assert got == {0: (2, 1, 0.5), 1: (1, 1, 0.0)}
