@@ -846,6 +846,47 @@ def _media_pngs(doc_ids_df: DataFrame) -> DataFrame:
     return doc_ids_df.mapInPandas(gen, multimodal.MEDIA_SCHEMA)
 
 
+def _media_wavs(doc_ids_df: DataFrame) -> DataFrame:
+    """Deterministic 8 kHz mono WAV payloads, a pure function of
+    doc_id: n = 800 + (d%7)*160 + (d%3)*53 int16 samples (exercising
+    partial trailing frames), sample i = 0 when ((i//160)+d) % 5 < 2
+    (two-frame silence blocks) else ((i*37 + d*11) % 2048) - 1024.
+    Encoded via codecs.encode_wav_pcm16 (NO float rescale) so the SQL
+    oracle replays every frame statistic from this closed form."""
+    from eventrelationextractor_spark.ops import codecs as _codecs
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 800 + (d % 7) * 160 + (d % 3) * 53
+                i = np.arange(n, dtype=np.int64)
+                v = np.where(((i // 160) + d) % 5 < 2, 0,
+                             ((i * 37 + d * 11) % 2048) - 1024)
+                ids.append(d)
+                payloads.append(
+                    _codecs.encode_wav_pcm16(8000, v.astype(np.int16)))
+            k = len(ids)
+            yield pd.DataFrame({"media_id": ids, "kind": ["audio"] * k,
+                                "payload": payloads,
+                                "width": [0] * k, "height": [0] * k})
+
+    return doc_ids_df.mapInPandas(gen, multimodal.MEDIA_SCHEMA)
+
+
+def _q_audio_frame_stats(spark, sf_dir):
+    """Frame-energy / silence-run telemetry from a REAL WAV decode
+    (ops/multimodal.py::audio_frame_stats): all-integer VAD statistics
+    under the value hash — the oracle recomputes energies, silent
+    frames, and gaps-and-islands silence runs from the staged
+    closed-form PCM pattern."""
+    ids = _docs(spark, sf_dir).select("doc_id")
+    return multimodal.audio_frame_stats(_media_wavs(ids))
+
+
 def _q_media_decode(spark, sf_dir):
     """REAL image decode under the value-hash gate: PNG payloads are
     genuinely decoded (ops/codecs.py filter inverses) and featurized;
@@ -3811,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonality": _q_events_seasonality,
         "prefix_filter_pairs": _q_prefix_filter_pairs,
         "events_kaplan_meier": _q_events_kaplan_meier,
+        "audio_frame_stats": _q_audio_frame_stats,
     }
 
 
@@ -8657,6 +8699,42 @@ SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span,
 FROM m GROUP BY doc_id
 """
 
+_AUDIO_FRAME_ORACLE = """
+WITH p AS (SELECT doc_id,
+                  CAST(800 + (doc_id % 7) * 160 + (doc_id % 3) * 53
+                       AS BIGINT) AS n
+           FROM documents),
+s AS (SELECT p.doc_id, p.n, i.i AS i,
+             CASE WHEN ((i.i // 160) + p.doc_id) % 5 < 2 THEN 0
+                  ELSE ((i.i * 37 + p.doc_id * 11) % 2048) - 1024
+             END AS v
+      FROM p, range(1866) i(i) WHERE i.i < p.n),
+fr AS (SELECT doc_id, n, i // 160 AS f, count(*) AS cnt,
+              sum(v * v) AS e, max(abs(v)) AS pk
+       FROM s GROUP BY doc_id, n, i // 160),
+fl AS (SELECT doc_id, n, f, cnt, e, pk,
+              CASE WHEN e < cnt * 262144 THEN 1 ELSE 0 END AS silent
+       FROM fr),
+runs AS (SELECT doc_id,
+                f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+                    AS grp
+         FROM fl WHERE silent = 1),
+mx AS (SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run
+       FROM (SELECT doc_id, grp, count(*) AS rl
+             FROM runs GROUP BY doc_id, grp)
+       GROUP BY doc_id)
+SELECT fl.doc_id AS media_id, CAST(8000 AS BIGINT) AS rate,
+       any_value(fl.n) AS n_samples,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(fl.silent) AS BIGINT) AS n_silent,
+       CAST(coalesce(any_value(mx.max_run), 0) AS BIGINT)
+           AS max_silent_run,
+       CAST(max(fl.pk) AS BIGINT) AS peak,
+       CAST(sum(fl.e) AS BIGINT) AS energy_total
+FROM fl LEFT JOIN mx ON mx.doc_id = fl.doc_id
+GROUP BY fl.doc_id
+"""
+
 _KAPLAN_MEIER_ORACLE = """
 WITH subj AS (
   SELECT user_id, min(ts) AS t0, max(ts) AS t_last,
@@ -9461,6 +9539,7 @@ FROM hashed
         "events_seasonality": _EVENTS_SEASONALITY_ORACLE,
         "prefix_filter_pairs": _PREFIX_FILTER_ORACLE,
         "events_kaplan_meier": _KAPLAN_MEIER_ORACLE,
+        "audio_frame_stats": _AUDIO_FRAME_ORACLE,
     }
 
 

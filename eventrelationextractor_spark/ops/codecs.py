@@ -171,3 +171,21 @@ def encode_wav(rate: int, samples: np.ndarray) -> bytes:
         f.setframerate(rate)
         f.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+def encode_wav_pcm16(rate: int, pcm: np.ndarray) -> bytes:
+    """int16 samples (n,) or (n, ch) -> WAV bytes with NO float
+    rescale: the exact inverse of ``decode_wav``'s /32768.0 (which is
+    dyadic and lossless in float64), so integer sample patterns
+    round-trip bit-exactly — what a SQL oracle needs to replay frame
+    statistics from a closed form."""
+    pcm = np.asarray(pcm, dtype="<i2")
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(pcm.shape[1])
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()

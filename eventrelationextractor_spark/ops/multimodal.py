@@ -233,3 +233,79 @@ def extract_features(media: DataFrame, dim: int = 8,
                                 "feature": feats})
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("rate", LongType(), False),
+    StructField("n_samples", LongType(), False),
+    StructField("n_frames", LongType(), False),
+    StructField("n_silent", LongType(), False),
+    StructField("max_silent_run", LongType(), False),
+    StructField("peak", LongType(), False),
+    StructField("energy_total", LongType(), False),
+])
+
+
+def audio_frame_stats(media: DataFrame, frame_len: int = 160,
+                      silence_thresh: int = 512) -> DataFrame:
+    """Frame-level audio telemetry from a REAL WAV decode -> one row
+    per clip: (media_id, rate, n_samples, n_frames, n_silent,
+    max_silent_run, peak, energy_total). Frames are ``frame_len``
+    samples (trailing partial frame included with its true length); a
+    frame is silent iff its energy < n * silence_thresh^2 — i.e. mean
+    square below the threshold squared, stated as a pure-INTEGER
+    cross-multiplication so no float division exists anywhere. The
+    silence-run statistic is the VAD primitive (speech/music
+    segmentation, dead-air trimming) a 100-TB audio curation pass
+    keys on.
+
+    Exactness contract: 16-bit PCM decodes to dyadic float64
+    (pcm/32768.0, lossless), the kernel reconstructs the integer
+    samples and all statistics are int64 sums/maxima — a SQL oracle
+    replays them from the staged closed-form pattern bit-for-bit
+    (``encode_wav_pcm16`` exists so staging never passes through the
+    lossy float rescale). Energy bound: frame_len * 32768^2 ~ 1.7e11,
+    clip totals ~1e13 per hour of 8 kHz mono — int64-safe through
+    ~10^5 hours per clip.
+
+    Scale shape: pure map-side Arrow-batched mapInPandas over the
+    binary column (the decode is the cost; Spark's job is exactly the
+    partition-parallel batching), no shuffle at all; downstream aggs
+    run on 8-column telemetry rows, not payloads."""
+    import numpy as np
+    import pandas as pd
+
+    thr2 = int(silence_thresh) * int(silence_thresh)
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = codecs.decode_wav(bytes(payload))
+                mono = samples[:, 0]
+                pcm = np.round(mono * 32768.0).astype(np.int64)
+                n = len(pcm)
+                n_frames = (n + frame_len - 1) // frame_len
+                n_silent = 0
+                run_len = 0
+                max_run = 0
+                peak = 0
+                energy_total = 0
+                for f in range(n_frames):
+                    fr = pcm[f * frame_len:(f + 1) * frame_len]
+                    e = int((fr * fr).sum())
+                    energy_total += e
+                    peak = max(peak, int(np.abs(fr).max()))
+                    if e < len(fr) * thr2:
+                        n_silent += 1
+                        run_len += 1
+                        max_run = max(max_run, run_len)
+                    else:
+                        run_len = 0
+                out.append((int(mid), int(rate), n, int(n_frames),
+                            n_silent, max_run, peak, energy_total))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             AUDIO_FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(run, AUDIO_FRAME_SCHEMA)

@@ -129,3 +129,42 @@ def test_unsupported_formats_still_fail_loudly():
         multimodal.decode_image(b"RIFF....WEBPVP8 ")
     with pytest.raises(NotImplementedError):
         multimodal.decode_video_frame(b"x", 0)
+
+
+# ------------------------------------------------- audio frame stats
+
+
+def test_encode_wav_pcm16_exact_roundtrip():
+    import numpy as np
+
+    from eventrelationextractor_spark.ops import codecs
+    pcm = np.array([0, 1, -1, 1023, -1024, 32767, -32768], dtype=np.int16)
+    rate, s = codecs.decode_wav(codecs.encode_wav_pcm16(8000, pcm))
+    assert rate == 8000
+    back = np.round(s[:, 0] * 32768.0).astype(np.int64)
+    assert back.tolist() == pcm.astype(np.int64).tolist()
+
+
+def test_audio_frame_stats_silence_runs(spark):
+    import numpy as np
+    import pandas as pd
+
+    from eventrelationextractor_spark.ops import codecs, multimodal
+
+    # 5 frames of 4 samples: loud, silent, silent, loud, partial-silent
+    pcm = np.array([1000, -1000, 1000, -1000,
+                    0, 0, 0, 0,
+                    3, -3, 2, 0,
+                    900, 900, 900, 900,
+                    0, 0], dtype=np.int16)
+    payload = codecs.encode_wav_pcm16(8000, pcm)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [7], "kind": ["audio"],
+                      "payload": [payload], "width": [0], "height": [0]}),
+        schema=multimodal.MEDIA_SCHEMA)
+    r = multimodal.audio_frame_stats(media, frame_len=4,
+                                     silence_thresh=10).collect()[0]
+    assert (r.n_samples, r.n_frames) == (18, 5)
+    assert (r.n_silent, r.max_silent_run) == (3, 2)
+    assert r.peak == 1000
+    assert r.energy_total == int((pcm.astype(np.int64) ** 2).sum())
