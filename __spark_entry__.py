@@ -2188,6 +2188,18 @@ def _q_token_label_mi(spark, sf_dir):
                                   n_buckets=64)
 
 
+def _q_naive_bayes(spark, sf_dir):
+    """Bernoulli naive Bayes (ops/quality.py::naive_bayes_classify)
+    over the shared hashed-bigram space, label doc_id%10==0 — the
+    generative sibling of quality_classifier/token_label_mi. Integer
+    counts + add-one smoothing; scores are log-sums at the 6dp gate
+    and the decision compares ROUNDED scores so both engines argmax
+    identically."""
+    d = _docs(spark, sf_dir)
+    return quality.naive_bayes_classify(d, F.expr("doc_id % 10 = 0"),
+                                        n_buckets=64)
+
+
 def _q_vocab_growth(spark, sf_dir):
     """Heaps-law vocabulary growth (ops/bm25.py::vocab_growth):
     distinct vocabulary after each tenth of the id space. First-
@@ -3853,6 +3865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_filter_pairs": _q_prefix_filter_pairs,
         "events_kaplan_meier": _q_events_kaplan_meier,
         "audio_frame_stats": _q_audio_frame_stats,
+        "naive_bayes": _q_naive_bayes,
     }
 
 
@@ -8568,6 +8581,43 @@ SELECT lang, source, group_n, m, emd_num,
 FROM agg
 """
 
+_NAIVE_BAYES_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id,
+          list_filter(string_split(t, ' '), w -> w <> '') AS ws FROM norm),
+grams AS (SELECT doc_id,
+    CAST(('0x' || substr(md5(ws[CAST(i AS BIGINT)] || ' '
+                             || ws[CAST(i + 1 AS BIGINT)]), 1, 8))::UBIGINT
+         % 64 AS BIGINT) AS bucket
+  FROM words, LATERAL unnest(generate_series(1, len(ws) - 1)) AS r(i)
+  WHERE len(ws) >= 2),
+pres AS (SELECT DISTINCT doc_id, bucket FROM grams),
+lab AS (SELECT doc_id,
+        CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS y FROM documents),
+tot AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+               CAST(sum(1 - y) AS BIGINT) AS n0 FROM lab),
+model AS (SELECT bucket, CAST(sum(y) AS BIGINT) AS m1,
+                 CAST(sum(1 - y) AS BIGINT) AS m0
+          FROM pres JOIN lab USING (doc_id) GROUP BY 1),
+lik AS (SELECT doc_id,
+               sum(ln((m0 + 1) / CAST(n0 + 2 AS DOUBLE))) AS l0,
+               sum(ln((m1 + 1) / CAST(n1 + 2 AS DOUBLE))) AS l1
+        FROM pres JOIN model USING (bucket) CROSS JOIN tot
+        GROUP BY doc_id),
+prior AS (SELECT doc_id, y,
+                 ln(n0 / CAST(n0 + n1 AS DOUBLE)) AS p0,
+                 ln(n1 / CAST(n0 + n1 AS DOUBLE)) AS p1
+          FROM lab CROSS JOIN tot),
+sc AS (SELECT p.doc_id, p.y,
+              round(p.p0 + coalesce(l.l0, 0.0), 6) AS score0,
+              round(p.p1 + coalesce(l.l1, 0.0), 6) AS score1
+       FROM prior p LEFT JOIN lik l ON l.doc_id = p.doc_id)
+SELECT doc_id, CAST(y AS BIGINT) AS y, score0, score1,
+       CAST(CASE WHEN score1 > score0 THEN 1 ELSE 0 END AS BIGINT)
+           AS pred
+FROM sc
+"""
+
 _TOKEN_MI_ORACLE = f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
 words AS (SELECT doc_id,
@@ -9540,6 +9590,7 @@ FROM hashed
         "prefix_filter_pairs": _PREFIX_FILTER_ORACLE,
         "events_kaplan_meier": _KAPLAN_MEIER_ORACLE,
         "audio_frame_stats": _AUDIO_FRAME_ORACLE,
+        "naive_bayes": _NAIVE_BAYES_ORACLE,
     }
 
 

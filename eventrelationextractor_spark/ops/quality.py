@@ -570,3 +570,59 @@ def psi_buckets(df: DataFrame, bucket_col: str, flag_col: str,
     return base.select("bucket", "n_a", "n_b",
                        pa.alias("p_a_ppm"), pb.alias("p_b_ppm"),
                        F.round(term, 6).alias("psi_term"))
+
+
+def naive_bayes_classify(df: DataFrame, label, n_buckets: int = 64,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Bernoulli-presence naive Bayes over the hashed-bigram feature
+    space -> (doc_id, y, score0, score1, pred): the GENERATIVE
+    counterpart to ``train_quality_classifier``'s discriminative LR,
+    over the SAME buckets so weight/likelihood comparisons line up.
+    Scoring uses presence terms only with add-one smoothing:
+    score_c = ln(n_c / N) + sum over present buckets of
+    ln((m_bc + 1) / (n_c + 2)); ``pred`` compares the two scores
+    AFTER the 6dp round (ties -> class 0), so the argmax is the same
+    decision both engines hash.
+
+    Everything before the final ln() is exact integer counting: one
+    presence-distinct groupBy builds the <= n_buckets-row likelihood
+    table (broadcast-pinned — its true cardinality is bounded by
+    construction, the AQE-estimate lesson in reverse), one 1-row
+    prior aggregate rides a broadcast cross join, and docs too short
+    to emit bigrams still classify on the prior alone via the left
+    join from the label side. Scores are sums of <= n_buckets+1 logs
+    of small-integer ratios — the pagerank determinism envelope.
+
+    Scale shape: train + inference are ONE pass each over the feature
+    rows (no iteration, unlike LR's GD): corpus-scale work is two
+    partial-agged groupBys and a broadcast join; nothing wider than
+    (doc, bucket) ever shuffles."""
+    feat = hashed_bigram_features(df, id_col, text_col, n_buckets)
+    pres = feat.select(id_col, "bucket").distinct()
+    lab = df.select(F.col(id_col), label.cast("int").alias("y")) \
+        .filter(F.col("y").isNotNull())
+    tot = lab.agg(F.sum("y").cast("long").alias("n1"),
+                  F.sum(F.expr("1 - y")).cast("long").alias("n0"))
+    model = (pres.join(lab, id_col)
+             .groupBy("bucket")
+             .agg(F.sum("y").cast("long").alias("m1"),
+                  F.sum(F.expr("1 - y")).cast("long").alias("m0")))
+    lik = (pres.join(F.broadcast(model), "bucket")
+           .crossJoin(F.broadcast(tot))
+           .groupBy(id_col)
+           .agg(F.sum(F.log((F.col("m0") + 1)
+                            / (F.col("n0") + 2))).alias("l0"),
+                F.sum(F.log((F.col("m1") + 1)
+                            / (F.col("n1") + 2))).alias("l1")))
+    prior = lab.crossJoin(F.broadcast(tot)).select(
+        id_col, "y",
+        F.log(F.col("n0") / (F.col("n0") + F.col("n1"))).alias("p0"),
+        F.log(F.col("n1") / (F.col("n0") + F.col("n1"))).alias("p1"))
+    s0 = F.round(F.col("p0") + F.coalesce("l0", F.lit(0.0)), 6)
+    s1 = F.round(F.col("p1") + F.coalesce("l1", F.lit(0.0)), 6)
+    return (prior.join(lik, id_col, "left_outer")
+            .select(id_col, F.col("y").cast("long").alias("y"),
+                    s0.alias("score0"), s1.alias("score1"),
+                    F.when(s1 > s0, F.lit(1)).otherwise(F.lit(0))
+                    .cast("long").alias("pred")))

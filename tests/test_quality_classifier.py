@@ -342,3 +342,39 @@ def test_psi_total_flags_known_shift(spark):
     total = sum(r.psi_term for r in
                 quality.psi_buckets(df, "bucket", "flag").collect())
     assert total > 0.25
+
+
+# ----------------------------------------------------------- naive Bayes
+
+
+def test_naive_bayes_separates_obvious_classes(spark):
+    from pyspark.sql import functions as F
+
+    from eventrelationextractor_spark.ops import quality
+    rows = ([(i, "spam spam buy now cheap pills " * 3) for i in range(6)]
+            + [(i + 10, "quarterly report revenue analysis notes " * 3)
+               for i in range(6)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality.naive_bayes_classify(
+        df, F.expr("doc_id < 10"), n_buckets=32).collect()}
+    assert all(out[i].pred == 1 for i in range(6))
+    assert all(out[i + 10].pred == 0 for i in range(6))
+    # scores rounded to 6dp and finite
+    assert all(abs(r.score0) < 1e6 and abs(r.score1) < 1e6
+               for r in out.values())
+
+
+def test_naive_bayes_short_doc_falls_back_to_prior(spark):
+    from pyspark.sql import functions as F
+
+    from eventrelationextractor_spark.ops import quality
+    rows = [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"), (3, "x")]  # doc 3: no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality.naive_bayes_classify(
+        df, F.expr("doc_id = 0"), n_buckets=16).collect()}
+    # prior: n1=1, n0=3 -> doc 3 scores = priors only -> pred 0
+    import math
+    assert out[3].pred == 0
+    assert abs(out[3].score0 - round(math.log(3 / 4), 6)) < 1e-9
+    assert abs(out[3].score1 - round(math.log(1 / 4), 6)) < 1e-9
