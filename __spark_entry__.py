@@ -2188,6 +2188,29 @@ def _q_token_label_mi(spark, sf_dir):
                                   n_buckets=64)
 
 
+def _q_zipf_fit(spark, sf_dir):
+    """Zipf exponent of the corpus term distribution (ops/bm25.py::
+    zipf_fit): OLS of ln(freq) on ln(rank) over the top-50 terms.
+    Top-n cut is TakeOrdered (freq DESC, term ASC — deterministic
+    under ties); the regression aggregates 50 rows."""
+    return bm25.zipf_fit(_docs(spark, sf_dir), top_n=50)
+
+
+def _q_weighted_median(spark, sf_dir):
+    """Quantity-weighted median unit price per return flag over
+    lineitem (ops/textstats.py::weighted_median): exact lower weighted
+    median via cumulative integer weights — 2*cum >= total, no
+    interpolation, no floats. Money in integer cents (floor(x*100+.5))
+    and quantities as exact integers, the repo-standard twins."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")) \
+        .selectExpr("l_returnflag",
+                    "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+                    " AS cents",
+                    "cast(floor(l_quantity + 0.5) as bigint) AS qty")
+    return textstats.weighted_median(li, ["l_returnflag"], "cents",
+                                     "qty")
+
+
 def _q_naive_bayes(spark, sf_dir):
     """Bernoulli naive Bayes (ops/quality.py::naive_bayes_classify)
     over the shared hashed-bigram space, label doc_id%10==0 — the
@@ -3866,6 +3889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kaplan_meier": _q_events_kaplan_meier,
         "audio_frame_stats": _q_audio_frame_stats,
         "naive_bayes": _q_naive_bayes,
+        "zipf_fit": _q_zipf_fit,
+        "weighted_median": _q_weighted_median,
     }
 
 
@@ -8581,6 +8606,50 @@ SELECT lang, source, group_n, m, emd_num,
 FROM agg
 """
 
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT t.term FROM documents,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             w -> w <> '')) AS t(term)),
+tf AS (SELECT term, count(*) AS freq FROM toks GROUP BY term
+       ORDER BY freq DESC, term LIMIT 50),
+xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term)
+                      AS DOUBLE)) AS x,
+              ln(CAST(freq AS DOUBLE)) AS y
+       FROM tf),
+agg AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+               sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+               sum(y * y) AS syy
+        FROM xy)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6) AS alpha,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS intercept,
+       round(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+             * (sxy - sx * sy / n) / (syy - sy * sy / n), 6) AS r2
+FROM agg
+"""
+
+_WEIGHTED_MEDIAN_ORACLE = """
+WITH li AS (SELECT l_returnflag,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+            FROM lineitem),
+vals AS (SELECT l_returnflag, cents, CAST(sum(qty) AS BIGINT) AS w
+         FROM li GROUP BY l_returnflag, cents),
+c AS (SELECT l_returnflag, cents, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM vals)
+SELECT l_returnflag, CAST(min(cents) AS BIGINT) AS wmedian,
+       CAST(min(tot) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag
+"""
+
 _NAIVE_BAYES_ORACLE = f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
 words AS (SELECT doc_id,
@@ -9591,6 +9660,8 @@ FROM hashed
         "events_kaplan_meier": _KAPLAN_MEIER_ORACLE,
         "audio_frame_stats": _AUDIO_FRAME_ORACLE,
         "naive_bayes": _NAIVE_BAYES_ORACLE,
+        "zipf_fit": _ZIPF_ORACLE,
+        "weighted_median": _WEIGHTED_MEDIAN_ORACLE,
     }
 
 

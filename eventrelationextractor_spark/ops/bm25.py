@@ -586,3 +586,43 @@ def textrank_keywords(docs: DataFrame, window: int = 2, n_iter: int = 5,
                     F.coalesce("w_out", F.lit(0)).cast("long")
                     .alias("w_out"),
                     F.round("rank", 6).alias("rank")))
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 100, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Zipf-law fit over the corpus term-frequency distribution -> ONE
+    row: (n_terms, alpha, intercept, r2). OLS of ln(freq) on ln(rank)
+    over the top ``top_n`` terms; alpha = -slope is the Zipf exponent
+    (natural corpora ~1.0) — the canonical smell test for synthetic /
+    template / spam-heavy corpora, whose exponents run flat or steep.
+
+    Rank order is (freq DESC, term ASC) — fully deterministic under
+    ties. Scale shape: term counting is one partial-agged groupBy;
+    the top-n cut is orderBy+limit = distributed TakeOrdered (each
+    partition ships only its local top-n — never a global sort of
+    the vocabulary); the regression then aggregates ``top_n`` rows.
+    Float work is confined to lns of exact integer counts and sums of
+    top_n such terms (6dp envelope)."""
+    terms = F.explode(F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "")).alias("term")
+    tf = (docs.select(terms)
+          .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+          .orderBy(F.col("freq").desc(), F.col("term")).limit(top_n))
+    w = Window.orderBy(F.col("freq").desc(), F.col("term"))
+    xy = tf.select(F.log(F.row_number().over(w).cast("double")).alias("x"),
+                   F.log(F.col("freq").cast("double")).alias("y"))
+    agg = xy.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).alias("syy"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    ssr = slope * (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+    return agg.select(F.col("n").cast("long").alias("n_terms"),
+                      F.round(-slope, 6).alias("alpha"),
+                      F.round(intercept, 6).alias("intercept"),
+                      F.round(ssr / sst, 6).alias("r2"))

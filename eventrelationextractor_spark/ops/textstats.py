@@ -1084,3 +1084,33 @@ def mad_outliers(df: DataFrame, val_col: str, id_col: str = "doc_id",
                     (F.lit(2 * int(k_den)) * F.col("dev2")
                      > F.lit(int(k_num)) * F.col("mad4"))
                     .alias("is_outlier")))
+
+
+def weighted_median(df: DataFrame, key_cols: list, value_col: str,
+                    weight_col: str) -> DataFrame:
+    """Exact lower weighted median per key -> (keys..., wmedian,
+    total_weight): the smallest value v whose cumulative weight
+    reaches half the total (2*cum >= total, pure-integer test when
+    weights are integers — no percentile interpolation, no floats).
+    THE robust center for skewed operational data (spend per user,
+    bytes per host) where the mean is hostage to whales and
+    percentile_approx is... approximate.
+
+    Scale shape: one partial-agged groupBy collapses to (key, value)
+    grain first — the window then runs over DISTINCT values per key,
+    not raw rows, so a key with a billion identical readings costs
+    one window row. Cumulative sum + first-qualifying-row pick are
+    one window pass; ties need no tie-break because values are
+    grouped before ranking."""
+    vals = (df.groupBy(*key_cols, value_col)
+            .agg(F.sum(weight_col).cast("long").alias("w")))
+    wk = Window.partitionBy(*key_cols).orderBy(value_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy(*key_cols)
+    c = (vals.withColumn("cum", F.sum("w").over(wk))
+         .withColumn("tot", F.sum("w").over(tot))
+         .filter(F.lit(2) * F.col("cum") >= F.col("tot")))
+    best = (c.groupBy(*key_cols)
+            .agg(F.min(value_col).alias("wmedian"),
+                 F.min("tot").cast("long").alias("total_weight")))
+    return best

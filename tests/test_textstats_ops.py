@@ -413,3 +413,42 @@ def test_url_templates_short_hex_not_collapsed(spark):
     got = u.url_templates(df, min_count=2).collect()
     assert len(got) == 1 and got[0].template == "/abcdef/p"
     assert got[0].n_distinct_tails == 1     # both tails are ''
+
+
+# ------------------------------------------------------ weighted median
+
+
+def test_weighted_median_exact_lower(spark):
+    from eventrelationextractor_spark.ops import textstats
+    rows = [("a", 1, 1), ("a", 2, 1), ("a", 3, 1), ("a", 100, 1),
+            ("b", 5, 9), ("b", 50, 1)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {r.g: (r.wmedian, r.total_weight)
+           for r in textstats.weighted_median(df, ["g"], "v", "w")
+           .collect()}
+    # a: total 4, cum at v=2 is 2 -> 2*2>=4 -> lower median 2
+    # b: weight 9 at 5 dominates
+    assert got == {"a": (2, 4), "b": (5, 10)}
+
+
+def test_weighted_median_duplicate_values_collapse(spark):
+    from eventrelationextractor_spark.ops import textstats
+    rows = [("a", 7, 1)] * 5 + [("a", 9, 2)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    r = textstats.weighted_median(df, ["g"], "v", "w").collect()[0]
+    assert (r.wmedian, r.total_weight) == (7, 7)
+
+
+def test_zipf_fit_on_exact_power_law(spark):
+    from eventrelationextractor_spark.ops import bm25
+    # freq(rank r) = 2^(10-r): a perfect ln-linear law with slope
+    # -ln 2 -> alpha = ln 2, r2 = 1
+    import math
+    rows = []
+    for r in range(1, 9):
+        rows += [(r * 1000 + i, f"term{r}") for i in range(2 ** (10 - r))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25.zipf_fit(df, top_n=8).collect()[0]
+    assert out.n_terms == 8
+    assert abs(out.alpha - round(math.log(2), 6)) < 1e-6
+    assert abs(out.r2 - 1.0) < 1e-6
