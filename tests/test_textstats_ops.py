@@ -441,14 +441,13 @@ def test_weighted_median_duplicate_values_collapse(spark):
 
 def test_zipf_fit_on_exact_power_law(spark):
     from eventrelationextractor_spark.ops import bm25
-    # freq(rank r) = 2^(10-r): a perfect ln-linear law with slope
-    # -ln 2 -> alpha = ln 2, r2 = 1
-    import math
+    # freq(rank r) = 840 / r (lcm(1..8) keeps it exact): a perfect
+    # power law with exponent 1 -> alpha = 1, r2 = 1
     rows = []
     for r in range(1, 9):
-        rows += [(r * 1000 + i, f"term{r}") for i in range(2 ** (10 - r))]
+        rows += [(r * 10000 + i, f"term{r}") for i in range(840 // r)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = bm25.zipf_fit(df, top_n=8).collect()[0]
     assert out.n_terms == 8
-    assert abs(out.alpha - round(math.log(2), 6)) < 1e-6
+    assert abs(out.alpha - 1.0) < 1e-6
     assert abs(out.r2 - 1.0) < 1e-6
