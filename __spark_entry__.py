@@ -1000,6 +1000,27 @@ def _q_link_triangles(spark, sf_dir):
     return graph.triangle_counts(e.unionByName(clique), nodes=nodes)
 
 
+def _q_link_clustering(spark, sf_dir):
+    """Local clustering coefficients in exact integer ppm (ops/
+    graph.py::clustering_coefficients) over the same clique-augmented
+    link graph as link_triangles — the injected 3-cliques surface as
+    high-cc nodes. Integer div keeps the gate exact; the oracle
+    extends the brute-force triangle count with a degree join and the
+    identical ppm formula."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    e, nodes = _link_edges(spark, sf_dir)
+    d = F.col("doc_id")
+    cl = docs.filter(d % 10 == 0)
+    clique = (cl.select(d.alias("src"), ((d + 1) % n).alias("dst"))
+              .unionByName(cl.select(((d + 1) % n).alias("src"),
+                                     ((d + 2) % n).alias("dst")))
+              .unionByName(cl.select(d.alias("src"),
+                                     ((d + 2) % n).alias("dst"))))
+    return graph.clustering_coefficients(e.unionByName(clique),
+                                         nodes=nodes)
+
+
 def _q_link_truss(spark, sf_dir):
     """Bounded 5-truss peeling (ops/graph.py::ktruss_peel, 3 rounds)
     over a graph built to exercise every peel regime: pagerank noise
@@ -3891,6 +3912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_bayes": _q_naive_bayes,
         "zipf_fit": _q_zipf_fit,
         "weighted_median": _q_weighted_median,
+        "link_clustering": _q_link_clustering,
     }
 
 
@@ -5446,6 +5468,42 @@ SELECT d.doc_id AS node, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles
 FROM documents d LEFT JOIN cnt ON cnt.node = d.doc_id
 """
 
+
+_LINK_CLUSTERING_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id*7+1) % n AS d FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % n FROM documents, nn WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id+1) % n FROM documents, nn WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT (doc_id+1) % n, (doc_id+2) % n FROM documents, nn
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, (doc_id+2) % n FROM documents, nn WHERE doc_id % 10 = 0),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM e0 WHERE s <> d),
+tri AS (SELECT x.a AS u, x.b AS v1, y.b AS v2
+        FROM e x JOIN e y ON x.a = y.a AND x.b < y.b
+        JOIN e z ON z.a = x.b AND z.b = y.b),
+corners AS (SELECT unnest([u, v1, v2]) AS node FROM tri),
+cnt AS (SELECT node, count(*) AS c FROM corners GROUP BY node),
+deg AS (SELECT node, count(*) AS degree FROM (
+          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node)
+SELECT d.doc_id AS node,
+       CAST(coalesce(g.degree, 0) AS BIGINT) AS degree,
+       CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN coalesce(g.degree, 0) >= 2
+                 THEN (2 * coalesce(cnt.c, 0) * 1000000)
+                      // (g.degree * (g.degree - 1))
+                 ELSE 0 END AS BIGINT) AS cc_ppm
+FROM documents d
+LEFT JOIN cnt ON cnt.node = d.doc_id
+LEFT JOIN deg g ON g.node = d.doc_id
+"""
 
 _CCNET_ORACLE = f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
@@ -9662,6 +9720,7 @@ FROM hashed
         "naive_bayes": _NAIVE_BAYES_ORACLE,
         "zipf_fit": _ZIPF_ORACLE,
         "weighted_median": _WEIGHTED_MEDIAN_ORACLE,
+        "link_clustering": _LINK_CLUSTERING_ORACLE,
     }
 
 

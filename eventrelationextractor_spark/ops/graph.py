@@ -992,3 +992,38 @@ def weighted_seed_distances(edges: DataFrame, seeds: DataFrame,
             frontier = frontier.localCheckpoint(eager=False)
             dist = dist.localCheckpoint(eager=False)
     return dist
+
+
+def clustering_coefficients(edges: DataFrame, nodes: DataFrame | None = None,
+                            src: str = "src", dst: str = "dst") -> DataFrame:
+    """Local clustering coefficient per node in exact integer ppm ->
+    (node, degree, n_triangles, cc_ppm) where cc_ppm =
+    (2 * tri * 1e6) div (deg * (deg-1)), 0 for degree < 2. The
+    triangle-density spam/community signal normalized to comparable
+    scale — a page whose neighbors all interlink (link farm) pins near
+    1e6, organic hubs sit low.
+
+    Composition, not new machinery: triangles from the degree-ordered
+    node-iterator (``triangle_counts``, wedge volume sqrt(m)-bounded)
+    and degrees from one distinct-edge groupBy; the ratio is integer
+    div, so the value gate is exact. One extra equi-join over the
+    statistic-scale (node, count) tables."""
+    tri = triangle_counts(edges, nodes=nodes, src=src, dst=dst)
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s") != F.col("d"))
+         .select(F.least("s", "d").alias("a"),
+                 F.greatest("s", "d").alias("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).cast("long")
+                                .alias("degree")))
+    return (tri.join(deg, "node", "left_outer")
+            .select("node",
+                    F.coalesce("degree", F.lit(0)).cast("long")
+                    .alias("degree"),
+                    "n_triangles",
+                    F.when(F.coalesce("degree", F.lit(0)) >= 2,
+                           F.expr("(2 * n_triangles * 1000000) div "
+                                  "(degree * (degree - 1))"))
+                    .otherwise(F.lit(0)).cast("long").alias("cc_ppm")))

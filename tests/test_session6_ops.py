@@ -882,3 +882,16 @@ def test_prefix_filter_size_gate_prunes(spark):
         [(0, "p q r s t"), (1, "p q r s t u v w x y z a b")],
         "doc_id long, text string")
     assert dedup.prefix_filter_pairs(docs, t_ppm=800_000).count() == 0
+
+
+def test_clustering_coefficients_triangle_plus_tail(spark):
+    # triangle 0-1-2 plus pendant 2-3: cc(0)=cc(1)=1e6; node 2 has
+    # deg 3, 1 triangle -> 2*1e6/6 = 333333; node 3 deg 1 -> 0
+    e = spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)],
+                              "src long, dst long")
+    got = {r.node: (r.degree, r.n_triangles, r.cc_ppm)
+           for r in graph.clustering_coefficients(e).collect()}
+    assert got[0] == (2, 1, 1_000_000)
+    assert got[1] == (2, 1, 1_000_000)
+    assert got[2] == (3, 1, 333_333)
+    assert got[3] == (1, 0, 0)
