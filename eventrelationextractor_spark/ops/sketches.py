@@ -368,3 +368,101 @@ def winsorize_by_hdr(df: DataFrame, value_col: str, id_col: str,
                     F.least(F.greatest(v, F.col("lo_est")),
                             F.col("hi_est")).alias("clipped"))
             .withColumn("was_clipped", F.col("value") != F.col("clipped")))
+
+
+# --------------------------------------------------------- Space-Saving
+
+SS_OUT_SCHEMA = ("key string, item long, est_count long, err long, n_seen long")
+
+
+def _ss_replay(items, counters: dict, k: int):
+    """The Metwally Space-Saving update, shared verbatim by the batch
+    and streaming twins: counters maps item -> (count, err); eviction
+    picks the (count, item)-smallest counter so ties are deterministic.
+    The classic guarantees hold: count overestimates the true
+    frequency by at most err, and every item with true frequency
+    > n/k is tracked at the end."""
+    for it in items:
+        it = int(it)
+        if it in counters:
+            c, e = counters[it]
+            counters[it] = (c + 1, e)
+        elif len(counters) < k:
+            counters[it] = (1, 0)
+        else:
+            victim = min(counters, key=lambda x: (counters[x][0], x))
+            vc = counters[victim][0]
+            del counters[victim]
+            counters[it] = (vc + 1, vc)
+    return counters
+
+
+def spacesaving_topk(df: DataFrame, k: int = 8, key_col: str = "event_type",
+                     item_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id") -> DataFrame:
+    """Batch Space-Saving heavy hitters per key -> (key, item, count,
+    err): the bounded-memory top-k frequency sketch (Metwally et al.
+    2005) for 'which items dominate each stream' when the item
+    cardinality is too large for exact counting. Rows replay in
+    (ts, id) order per key — the SAME deterministic order the
+    streaming twin consumes — so the two are bit-equivalent and the
+    tests assert it. k counters per key, O(k) state; the group work
+    is one applyInPandas over each key's rows."""
+    import pandas as pd
+
+    kk = int(k)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = str(pdf[key_col].iloc[0])
+        pdf = pdf.sort_values([ts_col, id_col])
+        counters = _ss_replay(pdf[item_col], {}, kk)
+        n = len(pdf)
+        rows = [(key, it, c, e, n) for it, (c, e) in counters.items()]
+        return pd.DataFrame(rows, columns=["key", "item", "est_count", "err",
+                                           "n_seen"])
+
+    return (df.select(key_col, item_col, ts_col, id_col)
+            .groupBy(key_col).applyInPandas(fn, SS_OUT_SCHEMA))
+
+
+def streaming_spacesaving(stream: DataFrame, k: int = 8,
+                          key_col: str = "event_type",
+                          item_col: str = "user_id", ts_col: str = "ts",
+                          id_col: str = "event_id") -> DataFrame:
+    """Streaming twin of ``spacesaving_topk``: applyInPandasWithState
+    carries the k counters per key across micro-batches and emits the
+    full counter snapshot after each batch (append mode — the LAST
+    batch's snapshot is the final sketch, which the equivalence test
+    compares against the batch twin). Same ordered-source contract as
+    the other NoTimeout operators: rows arrive (ts, id)-ordered per
+    key across batches; within a batch the kernel sorts."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    state_schema = ("items array<long>, counts array<long>, errs array<long>, n long")
+    kk = int(k)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        if state.exists:
+            its, cs, es, n = state.get
+            counters = {int(i): (int(c), int(e))
+                        for i, c, e in zip(its, cs, es)}
+            n = int(n)
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            counters = _ss_replay(pdf[item_col], counters, kk)
+            n += len(pdf)
+        items = sorted(counters)
+        state.update((items, [counters[i][0] for i in items],
+                      [counters[i][1] for i in items], n))
+        rows = [(str(key[0]), it, c, e, n)
+                for it, (c, e) in counters.items()]
+        yield pd.DataFrame(rows, columns=["key", "item", "est_count", "err",
+                                          "n_seen"])
+
+    return stream.select(key_col, item_col, ts_col, id_col) \
+        .groupBy(key_col).applyInPandasWithState(
+            fn, SS_OUT_SCHEMA, state_schema, "append",
+            GroupStateTimeout.NoTimeout)

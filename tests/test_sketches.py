@@ -141,3 +141,81 @@ def test_winsorize_by_hdr_clips_both_tails(spark):
     # clip bounds are the HDR midpoints: all clipped values inside them
     los = {r.clipped for r in out.values()}
     assert min(los) == out[9001].clipped and max(los) == out[9002].clipped
+
+
+# --------------------------------------------------------- Space-Saving
+
+
+def test_spacesaving_guarantees_and_determinism(spark):
+    from eventrelationextractor_spark.ops import sketches
+    # stream for one key: item i appears (20 - i) times, i in 0..11;
+    # k=4 tracks a superset of the top items, counts overestimate by
+    # <= err, and every item with freq > n/k is present
+    rows = []
+    t = 0
+    for rep in range(20):
+        for i in range(12):
+            if rep < 20 - i:
+                rows.append((t, f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}",
+                             "k", i))
+                t += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, user_id long") \
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts",
+                    "event_type", "user_id")
+    out = sketches.spacesaving_topk(df, k=4).collect()
+    n = len(rows)
+    true = {i: 20 - i for i in range(12)}
+    assert len(out) == 4
+    for r in out:
+        assert r.n_seen == n
+        assert r.est_count >= true.get(r.item, 0)          # never undercount
+        assert r.est_count - r.err <= true.get(r.item, 0)  # bounded over
+    tracked = {r.item for r in out}
+    for i, f in true.items():
+        if f > n / 4:
+            assert i in tracked
+    # determinism: re-run bit-identical
+    again = sketches.spacesaving_topk(df, k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_streaming_spacesaving_matches_batch(spark, tmp_path):
+    import os
+    import time
+
+    from eventrelationextractor_spark.ops import sketches
+    rows = [(i, f"2024-01-01 00:00:{i:02d}", "a", i % 3) for i in range(30)]
+    rows += [(100 + i, f"2024-01-01 00:01:{i:02d}", "a", 50 + i)
+             for i in range(10)]        # long tail forcing evictions
+    rows += [(200 + i, f"2024-01-01 00:02:{i:02d}", "b", 7)
+             for i in range(5)]
+    schema = "event_id long, ts string, event_type string, user_id long"
+
+    def to_df(rs):
+        return spark.createDataFrame(rs, schema).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) ts", "event_type",
+            "user_id")
+
+    batch = {tuple(r) for r in
+             sketches.spacesaving_topk(to_df(rows), k=4).collect()}
+
+    src = str(tmp_path / "ss_src")
+    os.makedirs(src)
+    half = len(rows) // 2
+    for i, part in enumerate((rows[:half], rows[half:])):
+        to_df(part).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)
+    stream = spark.readStream.schema(to_df(rows).schema) \
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false") \
+        .parquet(src + "/*")
+    q = (sketches.streaming_spacesaving(stream, k=4)
+         .writeStream.format("memory").queryName("ss_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows_out = spark.sql("SELECT * FROM ss_out").collect()
+    last_n = {}
+    for r in rows_out:
+        last_n[r.key] = max(last_n.get(r.key, 0), r.n_seen)
+    snap = {tuple(r) for r in rows_out if r.n_seen == last_n[r.key]}
+    assert snap == batch
