@@ -3706,8 +3706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_jaccard": _q_dedup_minhash,
         "holt_forecast": _q_holt_forecast,
         "dedup_resolution": _q_dedup_resolution,
-        "dedup_levenshtein": _q_dedup_levenshtein,
-        "token_label_mi": _q_token_label_mi,
+        "prefix_filter_pairs": _q_prefix_filter_pairs,
+        "naive_bayes": _q_naive_bayes,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "dup_spans": _q_dup_spans,
         "winnowing_pairs": _q_winnowing_pairs,
@@ -3726,11 +3726,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_interval_join": _q_events_interval_join,
         "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
+        "events_kaplan_meier": _q_events_kaplan_meier,
         "tpch_pricing_summary": _q_tpch_pricing,
         "tpch_part_margin": _q_tpch_part_margin,
         "tpch_returned_items": _q_tpch_returned_items,
-        "tpch_volume_shipping": _q_tpch_volume_shipping,
+        "audio_frame_stats": _q_audio_frame_stats,
         "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
         "tpch_top_supplier": _q_tpch_top_supplier,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
@@ -3906,13 +3906,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_docs": _q_pareto_docs,
         "link_shortest_paths": _q_link_shortest_paths,
         "events_seasonality": _q_events_seasonality,
-        "prefix_filter_pairs": _q_prefix_filter_pairs,
-        "events_kaplan_meier": _q_events_kaplan_meier,
-        "audio_frame_stats": _q_audio_frame_stats,
-        "naive_bayes": _q_naive_bayes,
         "zipf_fit": _q_zipf_fit,
         "weighted_median": _q_weighted_median,
         "link_clustering": _q_link_clustering,
+        "dedup_levenshtein": _q_dedup_levenshtein,
+        "token_label_mi": _q_token_label_mi,
+        "events_retention": _q_events_retention,
+        "tpch_volume_shipping": _q_tpch_volume_shipping,
     }
 
 
