@@ -511,3 +511,44 @@ def test_frequent_pairs_prunes_before_self_join(spark):
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
     assert "CartesianProduct" not in plan
+
+
+def test_session7_new_shapes_no_nested_loops(spark):
+    """Round-4 session-7 shapes: prefix_filter_pairs' prefix-to-prefix
+    candidate join + full-set verify join, pareto's champion join-back,
+    weighted Bellman-Ford's per-round frontier joins, weighted_median's
+    value-grain windows, min-span proximity's postings window, and
+    naive Bayes' model join must all stay keyed equi-joins / windows —
+    never a loop join. naive_bayes and kaplan_meier carry intended
+    1-row broadcast scalar crossJoins (priors / risk totals) and are
+    asserted CartesianProduct-free only."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    strict = ["prefix_filter_pairs", "pareto_docs",
+              "link_shortest_paths", "proximity_minspan",
+              "weighted_median", "link_clustering",
+              "events_seasonality"]
+    for name in strict:
+        plan = _physical(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    for name in ["naive_bayes", "events_kaplan_meier", "zipf_fit"]:
+        plan = _physical(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_prefix_filter_model_join_is_hash(spark):
+    """The naive-Bayes likelihood join must broadcast the <=n_buckets
+    model (pinned — bounded by construction), and prefix_filter's
+    verify join must be a shuffled/hash equi-join on the shingle key."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    plan = _physical(qs["naive_bayes"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    plan = _physical(qs["prefix_filter_pairs"](
+        spark, "/root/testdata/sf0.001"))
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
