@@ -2046,6 +2046,39 @@ def _q_events_linfit(spark, sf_dir):
     return events.linfit(_daily_counts(spark, sf_dir), "key", "o", "x")
 
 
+def _q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust slope per event_type over the shared daily-
+    count staging (ops/events.py::theil_sen): lower weighted median
+    of 6dp-rounded pairwise slopes — the outlier-immune companion to
+    events_linfit/trend_mann_kendall on identical inputs."""
+    return events.theil_sen(_daily_counts(spark, sf_dir), "key", "o",
+                            "x")
+
+
+def _q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b between the n_chars ranking and the distinct-term
+    ranking per source, over the doc_id%5 sample (ops/quality.py::
+    kendall_tau). Exact integer pair classification from one keyed
+    equi-join; single sqrt per key at the 6dp gate."""
+    t = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "source", "n_chars",
+        F.size(F.array_distinct(F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda w: w != ""))).cast("long").alias("nt"))
+    return quality.kendall_tau(t, "source", "n_chars", "nt")
+
+
+def _q_flesch_readability(spark, sf_dir):
+    """Flesch reading ease (ops/textstats.py::flesch_readability) over
+    docs with staged sentence boundaries (every ' row ' becomes
+    '. row ' — literal regexp_replace, global on BOTH engines).
+    Sentences via the shared SENTENCE_PATTERN, syllables = [aeiouy]+
+    runs with a 1/word floor; two integer divisions at 6dp."""
+    d = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", " row ", ". row "))
+    return textstats.flesch_readability(d)
+
+
 def _q_psi_drift(spark, sf_dir):
     """Population Stability Index cells (ops/quality.py::psi_buckets)
     between the doc_id%3=0 slice (staged +25-char shift, the ks_drift
@@ -3909,6 +3942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _q_zipf_fit,
         "weighted_median": _q_weighted_median,
         "link_clustering": _q_link_clustering,
+        "theil_sen": _q_theil_sen,
+        "kendall_tau": _q_kendall_tau,
+        "flesch_readability": _q_flesch_readability,
         "dedup_levenshtein": _q_dedup_levenshtein,
         "token_label_mi": _q_token_label_mi,
         "events_retention": _q_events_retention,
@@ -8508,6 +8544,98 @@ daily AS (
          CAST(count(*) AS BIGINT) AS x
   FROM events GROUP BY 1, 2)"""
 
+_THEIL_SEN_ORACLE = f"""
+WITH {_DAILY_CTE},
+pairs AS (SELECT a.key AS k,
+                 round((b.x - a.x) / CAST(b.o - a.o AS DOUBLE), 6)
+                     AS slope6
+          FROM daily a JOIN daily b
+          ON a.key = b.key AND a.o < b.o),
+vals AS (SELECT k, slope6, CAST(count(*) AS BIGINT) AS w
+         FROM pairs GROUP BY k, slope6),
+c AS (SELECT k, slope6, w,
+             sum(w) OVER (PARTITION BY k ORDER BY slope6
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+             sum(w) OVER (PARTITION BY k) AS tot
+      FROM vals)
+SELECT k AS key, CAST(min(tot) AS BIGINT) AS n_pairs,
+       min(slope6) AS slope
+FROM c WHERE 2 * cum >= tot GROUP BY k
+"""
+
+_KENDALL_TAU_ORACLE = """
+WITH t AS (SELECT doc_id, source, n_chars,
+                  CAST(len(list_distinct(list_filter(
+                      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      w -> w <> ''))) AS BIGINT) AS nt
+           FROM documents WHERE doc_id % 5 = 0),
+p AS (SELECT a.source AS k,
+             sign(b.n_chars - a.n_chars) AS sx,
+             sign(b.nt - a.nt) AS sy
+      FROM t a JOIN t b
+      ON a.source = b.source AND a.doc_id < b.doc_id),
+agg AS (SELECT k, CAST(count(*) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS concordant,
+               CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS discordant,
+               CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ties_x,
+               CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ties_y
+        FROM p GROUP BY k),
+counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM t GROUP BY source)
+SELECT c.source, c.n,
+       coalesce(a.concordant, 0) AS concordant,
+       coalesce(a.discordant, 0) AS discordant,
+       coalesce(a.ties_x, 0) AS ties_x,
+       coalesce(a.ties_y, 0) AS ties_y,
+       CASE WHEN (a.n0 - a.ties_x) * (a.n0 - a.ties_y) > 0
+            THEN round((a.concordant - a.discordant)
+                 / sqrt(CAST((a.n0 - a.ties_x) * (a.n0 - a.ties_y)
+                             AS DOUBLE)), 6) END AS tau
+FROM counts c LEFT JOIN agg a ON a.k = c.source
+"""
+
+_FLESCH_ORACLE = """
+WITH staged AS (SELECT doc_id,
+                       regexp_replace(text, ' row ', '. row ', 'g')
+                           AS text
+                FROM documents),
+toks AS (SELECT doc_id, u.w
+         FROM staged, LATERAL unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS u(w)),
+per_w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(greatest(1,
+                     len(regexp_extract_all(w, '[aeiouy]+'))))
+                     AS BIGINT) AS n_syllables
+          FROM toks GROUP BY doc_id),
+s0 AS (SELECT doc_id,
+              list_filter(list_transform(
+                  regexp_extract_all(text, '[^.!?]+[.!?]?'),
+                  x -> trim(x)), x -> x <> '') AS ss
+       FROM staged),
+sents AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sentences
+          FROM s0 WHERE len(ss) > 0),
+base AS (SELECT d.doc_id,
+                coalesce(w.n_words, 0) AS n_words,
+                coalesce(s.n_sentences, 0) AS n_sentences,
+                coalesce(w.n_syllables, 0) AS n_syllables
+         FROM documents d
+         LEFT JOIN per_w w ON w.doc_id = d.doc_id
+         LEFT JOIN sents s ON s.doc_id = d.doc_id)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_sentences > 0 AND n_words > 0
+            THEN round(206.835
+                 - 1.015 * n_words / CAST(n_sentences AS DOUBLE)
+                 - 84.6 * n_syllables / CAST(n_words AS DOUBLE), 6)
+       END AS flesch
+FROM base
+"""
+
 _MANN_KENDALL_ORACLE = f"""
 WITH {_DAILY_CTE},
 p AS (SELECT a.key,
@@ -9721,6 +9849,9 @@ FROM hashed
         "zipf_fit": _ZIPF_ORACLE,
         "weighted_median": _WEIGHTED_MEDIAN_ORACLE,
         "link_clustering": _LINK_CLUSTERING_ORACLE,
+        "theil_sen": _THEIL_SEN_ORACLE,
+        "kendall_tau": _KENDALL_TAU_ORACLE,
+        "flesch_readability": _FLESCH_ORACLE,
     }
 
 

@@ -1209,3 +1209,37 @@ def kaplan_meier(events: DataFrame, interest: str = "purchase",
     return km.select(F.col("duration_min").cast("long"),
                      "n_risk", F.col("d").alias("n_events"),
                      surv.alias("survival"))
+
+
+def theil_sen(series: DataFrame, key_col: str, order_col: str,
+              value_col: str) -> DataFrame:
+    """Theil-Sen robust trend per key -> (key, n_pairs, slope): the
+    lower weighted median of all pairwise slopes
+    (y_j - y_i) / (x_j - x_i), i < j — the estimator that shrugs off
+    the outlier days OLS (``linfit``) gets dragged by; the robust
+    companion to ``mann_kendall``'s trend TEST over the same
+    within-key pair join. Slopes are 6dp-rounded BEFORE the median
+    selection, so the pick (a min over the cumulative-weight window)
+    lands on an identical grid on both engines — the ranked-float
+    contract every ranked surface here uses.
+
+    Pair volume is O(n_k^2) per key — the documented contract shared
+    with mann_kendall: a per-key series is statistic-scale (days,
+    windows), never corpus-scale; the join is a keyed equi-join on
+    the key column, not a loop."""
+    from .textstats import weighted_median
+    a = series.select(F.col(key_col).alias("k"),
+                      F.col(order_col).alias("x1"),
+                      F.col(value_col).alias("y1"))
+    b = series.select(F.col(key_col).alias("k"),
+                      F.col(order_col).alias("x2"),
+                      F.col(value_col).alias("y2"))
+    pairs = (a.join(b, "k").filter(F.col("x1") < F.col("x2"))
+             .select("k", F.round((F.col("y2") - F.col("y1"))
+                                  / (F.col("x2") - F.col("x1")), 6)
+                     .alias("slope6"),
+                     F.lit(1).alias("one")))
+    med = weighted_median(pairs, ["k"], "slope6", "one")
+    return med.select(F.col("k").alias(key_col),
+                      F.col("total_weight").alias("n_pairs"),
+                      F.col("wmedian").alias("slope"))

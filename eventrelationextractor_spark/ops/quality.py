@@ -626,3 +626,59 @@ def naive_bayes_classify(df: DataFrame, label, n_buckets: int = 64,
                     s0.alias("score0"), s1.alias("score1"),
                     F.when(s1 > s0, F.lit(1)).otherwise(F.lit(0))
                     .cast("long").alias("pred")))
+
+
+def kendall_tau(df: DataFrame, key_col: str, x_col: str, y_col: str,
+                id_col: str = "doc_id") -> DataFrame:
+    """Kendall tau-b rank correlation per key -> (key, n, concordant,
+    discordant, ties_x, ties_y, tau): do two scoring surfaces agree on
+    ORDER — the ranking-stability check run whenever a quality model,
+    index or sampler is swapped (Spearman answers 'same ranks', tau-b
+    answers 'same pairwise decisions', which is what top-k selection
+    actually consumes). Tie-corrected: tau_b = (C - D) /
+    sqrt((n0 - T_x) * (n0 - T_y)) with n0 = n(n-1)/2 and T_* = pairs
+    tied on that axis (both-ties count in each). Every count is an
+    exact integer from sign comparisons on the pair join; the single
+    sqrt+division happens once per key, 6dp.
+
+    Pair volume is O(n_k^2) per key — the mann_kendall/theil_sen
+    contract: run it on rankings (top-k lists, per-source samples),
+    which are statistic-scale by construction; the pair generator is
+    a keyed equi-join on the key column, never a loop join."""
+    a = df.select(F.col(key_col).alias("k"), F.col(id_col).alias("ia"),
+                  F.col(x_col).alias("xa"), F.col(y_col).alias("ya"))
+    b = df.select(F.col(key_col).alias("k"), F.col(id_col).alias("ib"),
+                  F.col(x_col).alias("xb"), F.col(y_col).alias("yb"))
+    sx = F.signum((F.col("xb") - F.col("xa")).cast("double"))
+    sy = F.signum((F.col("yb") - F.col("ya")).cast("double"))
+    pairs = (a.join(b, "k").filter(F.col("ia") < F.col("ib"))
+             .select("k", sx.alias("sx"), sy.alias("sy")))
+    agg = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("sx") * F.col("sy") > 0, 1).otherwise(0))
+        .cast("long").alias("concordant"),
+        F.sum(F.when(F.col("sx") * F.col("sy") < 0, 1).otherwise(0))
+        .cast("long").alias("discordant"),
+        F.sum(F.when(F.col("sx") == 0, 1).otherwise(0))
+        .cast("long").alias("ties_x"),
+        F.sum(F.when(F.col("sy") == 0, 1).otherwise(0))
+        .cast("long").alias("ties_y"))
+    denom = F.sqrt(((F.col("n0") - F.col("ties_x"))
+                    * (F.col("n0") - F.col("ties_y"))).cast("double"))
+    tau = F.when(denom > 0,
+                 F.round((F.col("concordant") - F.col("discordant"))
+                         / denom, 6))
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long")
+                                     .alias("n"))
+    return (counts.join(agg.withColumnRenamed("k", key_col), key_col,
+                        "left_outer")
+            .select(key_col, "n",
+                    F.coalesce("concordant", F.lit(0)).cast("long")
+                    .alias("concordant"),
+                    F.coalesce("discordant", F.lit(0)).cast("long")
+                    .alias("discordant"),
+                    F.coalesce("ties_x", F.lit(0)).cast("long")
+                    .alias("ties_x"),
+                    F.coalesce("ties_y", F.lit(0)).cast("long")
+                    .alias("ties_y"),
+                    tau.alias("tau")))

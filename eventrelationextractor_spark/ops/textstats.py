@@ -1114,3 +1114,49 @@ def weighted_median(df: DataFrame, key_cols: list, value_col: str,
             .agg(F.min(value_col).alias("wmedian"),
                  F.min("tot").cast("long").alias("total_weight")))
     return best
+
+
+def flesch_readability(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per doc -> (id, n_words, n_sentences,
+    n_syllables, flesch): 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words), the classic readability gate in web-text
+    quality stacks (C4-style heuristics keep mid-range scores; tables
+    and boilerplate pin the extremes). Sentence segmentation is the
+    shared ``sentence_split`` contract; words are the standard
+    [^a-z0-9]+ tokenizer; syllables are counted as [aeiouy]+ vowel
+    runs with a 1-per-word floor (the textbook approximation, stated
+    so the SQL twin replays it exactly). Docs with zero sentences or
+    zero words emit NULL flesch (they fail the upstream filters
+    anyway). Counting is map-side explode + one partial-agged groupBy;
+    the only floats are two divisions of exact integers, 6dp."""
+    toks = (df.select(
+        F.col(id_col),
+        F.explode(F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: t != "")).alias("w")))
+    syl = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("w"), F.lit("[aeiouy]+"),
+                                    F.lit(0))))
+    per_w = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(syl).cast("long").alias("n_syllables"))
+    sents = (sentence_split(df, id_col, text_col)
+             .groupBy(id_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_sentences")))
+    base = (df.select(id_col)
+            .join(per_w, id_col, "left").join(sents, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                    F.coalesce("n_sentences", F.lit(0))
+                    .alias("n_sentences"),
+                    F.coalesce("n_syllables", F.lit(0))
+                    .alias("n_syllables")))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * F.col("n_words") / F.col("n_sentences")
+              - F.lit(84.6) * F.col("n_syllables") / F.col("n_words"))
+    return base.withColumn(
+        "flesch",
+        F.when((F.col("n_sentences") > 0) & (F.col("n_words") > 0),
+               F.round(flesch, 6)))

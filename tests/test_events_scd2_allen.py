@@ -397,3 +397,12 @@ def test_kaplan_meier_instant_conversion_and_subminute(spark):
             ("2024-01-01 00:01:30", 1, "purchase")]
     got = _km(spark, rows)
     assert got == {0: (2, 1, 0.5), 1: (1, 1, 0.0)}
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    # y = 2x except one wild outlier; OLS would bend, Theil-Sen holds 2
+    rows = [("k", x, 2 * x) for x in range(10)] + [("k", 10, 1000)]
+    df = spark.createDataFrame(rows, "key string, o long, x long")
+    r = ev.theil_sen(df, "key", "o", "x").collect()[0]
+    assert r.n_pairs == 55
+    assert r.slope == 2.0

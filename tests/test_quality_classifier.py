@@ -378,3 +378,27 @@ def test_naive_bayes_short_doc_falls_back_to_prior(spark):
     assert out[3].pred == 0
     assert abs(out[3].score0 - round(math.log(3 / 4), 6)) < 1e-9
     assert abs(out[3].score1 - round(math.log(1 / 4), 6)) < 1e-9
+
+
+def test_kendall_tau_perfect_and_reversed(spark):
+    from eventrelationextractor_spark.ops import quality
+    up = [("a", i, i, i * 2) for i in range(5)]
+    down = [("b", i, i, 10 - i) for i in range(5)]
+    df = spark.createDataFrame(up + down,
+                               "g string, doc_id long, x long, y long")
+    got = {r.g: r for r in
+           quality.kendall_tau(df, "g", "x", "y").collect()}
+    assert got["a"].tau == 1.0 and got["a"].concordant == 10
+    assert got["b"].tau == -1.0 and got["b"].discordant == 10
+
+
+def test_kendall_tau_tie_corrections(spark):
+    from eventrelationextractor_spark.ops import quality
+    # x: 1,1,2 ; y: 1,2,2 -> pairs: (1,2): sx=0 sy>0 tie_x;
+    # (1,3): sx>0 sy>0 C; (2,3): sx>0 sy=0 tie_y
+    rows = [("g", 1, 1, 1), ("g", 2, 1, 2), ("g", 3, 2, 2)]
+    df = spark.createDataFrame(rows, "g string, doc_id long, x long, y long")
+    r = quality.kendall_tau(df, "g", "x", "y").collect()[0]
+    assert (r.concordant, r.discordant, r.ties_x, r.ties_y) == (1, 0, 1, 1)
+    # tau_b = 1 / sqrt((3-1)*(3-1)) = 0.5
+    assert r.tau == 0.5

@@ -451,3 +451,20 @@ def test_zipf_fit_on_exact_power_law(spark):
     assert out.n_terms == 8
     assert abs(out.alpha - 1.0) < 1e-6
     assert abs(out.r2 - 1.0) < 1e-6
+
+
+def test_flesch_readability_known_value(spark):
+    from eventrelationextractor_spark.ops import textstats
+    # "the cat sat. the dog ran." -> 6 words, 2 sentences, 6 syllables
+    # flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    df = spark.createDataFrame(
+        [(0, "the cat sat. the dog ran."), (1, ""), (2, "xyzzy")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textstats.flesch_readability(df).collect()}
+    assert (got[0].n_words, got[0].n_sentences, got[0].n_syllables) \
+        == (6, 2, 6)
+    assert abs(got[0].flesch - 119.19) < 1e-6
+    assert got[1].flesch is None and got[1].n_words == 0
+    # 'xyzzy' has vowel run 'y','y' -> 2 syllables, 1 sentence, 1 word
+    assert (got[2].n_syllables, got[2].flesch is not None) == (2, True)
