@@ -1778,6 +1778,16 @@ def _q_prefix_filter_pairs(spark, sf_dir):
                                      t_ppm=800_000)
 
 
+def _q_novelty_scores(spark, sf_dir):
+    """Incremental-ingest novelty (ops/dedup.py::novelty_scores): ppm
+    of each incoming doc's shingles unseen in the reference corpus.
+    Incoming = the augmented corpus (exact copies score 0, ' extra'
+    near-dups score the 2-3 new suffix shingles, base docs score 0
+    against themselves); integer div keeps the gate exact."""
+    return dedup.novelty_scores(_augmented_docs(spark, sf_dir),
+                                _docs(spark, sf_dir))
+
+
 def _q_embedding_quantize(spark, sf_dir):
     """Int8 scalar quantization + reconstruction SSE
     (ops/simsearch.py::quantize_int8): per-vector scale 127/max|x|,
@@ -3945,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": _q_theil_sen,
         "kendall_tau": _q_kendall_tau,
         "flesch_readability": _q_flesch_readability,
+        "novelty_scores": _q_novelty_scores,
         "dedup_levenshtein": _q_dedup_levenshtein,
         "token_label_mi": _q_token_label_mi,
         "events_retention": _q_events_retention,
@@ -6191,6 +6202,35 @@ SELECT a, b, CAST(n_inter AS BIGINT) AS n_inter,
        round(n_inter / (na + nb - n_inter), 6) AS jaccard
 FROM inter
 WHERE 1000000 * n_inter >= 800000 * (na + nb - n_inter)
+"""
+
+_NOVELTY_ORACLE = f"""
+WITH {_AUG},
+norm AS (SELECT doc_id, {_NORM} AS t FROM aug),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL unnest(generate_series(1, len(w) - 2)) AS g(i)
+        WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+rnorm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+rwords AS (SELECT doc_id, string_split(t, ' ') AS w FROM rnorm),
+rsh0 AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         FROM rwords, LATERAL unnest(generate_series(1, len(w) - 2))
+             AS g(i)
+         WHERE len(w) >= 3),
+ref AS (SELECT DISTINCT shingle FROM rsh0),
+per AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM sh s LEFT JOIN ref r ON r.shingle = s.shingle
+        GROUP BY s.doc_id)
+SELECT a.doc_id,
+       coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(p.n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(p.n_shingles, 0) > 0
+            THEN CAST((1000000 * p.n_novel) // p.n_shingles AS BIGINT)
+       END AS novelty_ppm
+FROM aug a LEFT JOIN per p ON p.doc_id = a.doc_id
 """
 
 _QUANTIZE_ORACLE = """
@@ -9852,6 +9892,7 @@ FROM hashed
         "theil_sen": _THEIL_SEN_ORACLE,
         "kendall_tau": _KENDALL_TAU_ORACLE,
         "flesch_readability": _FLESCH_ORACLE,
+        "novelty_scores": _NOVELTY_ORACLE,
     }
 
 

@@ -1102,3 +1102,42 @@ def prefix_filter_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.col("n_inter").cast("long").alias("n_inter"),
                     uni.cast("long").alias("n_union"),
                     F.round(F.col("n_inter") / uni, 6).alias("jaccard")))
+
+
+def novelty_scores(new_docs: DataFrame, ref_docs: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   k: int = 3) -> DataFrame:
+    """Incremental-ingest novelty -> (doc_id, n_shingles, n_novel,
+    novelty_ppm): per incoming document, the fraction of its distinct
+    k-shingles absent from the reference corpus, in exact integer ppm.
+    THE triage stat for continuous crawls: near-0 means re-crawl/
+    boilerplate (skip), near-1e6 means genuinely new text (keep,
+    prioritize the host). Complements the dedup tiers: those find
+    WHICH existing doc matches; this scores HOW MUCH is new without
+    naming a match.
+
+    Shape: the reference side collapses to DISTINCT shingles once
+    (the thing you materialize and bucket by shingle at 100 TB — the
+    same table ExactSubstr/winnowing probe), then one left join
+    marks presence and one partial-agged groupBy counts. No windows,
+    no pair blowup — cost is linear in shingle volume. Docs too short
+    to shingle (< k words) emit 0 shingles and NULL novelty_ppm
+    (the upstream length filters own them)."""
+    sh_new = shingles(new_docs, id_col, text_col, k)
+    ref = (shingles(ref_docs, id_col, text_col, k)
+           .select("shingle").distinct()
+           .withColumn("seen", F.lit(1)))
+    marked = sh_new.join(ref, "shingle", "left_outer")
+    per = (marked.groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_novel")))
+    return (new_docs.select(id_col).join(per, id_col, "left_outer")
+            .select(id_col,
+                    F.coalesce("n_shingles", F.lit(0)).cast("long")
+                    .alias("n_shingles"),
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"),
+                    F.when(F.col("n_shingles") > 0,
+                           F.expr("(1000000 * n_novel) div n_shingles"))
+                    .cast("long").alias("novelty_ppm")))

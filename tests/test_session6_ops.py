@@ -895,3 +895,22 @@ def test_clustering_coefficients_triangle_plus_tail(spark):
     assert got[1] == (2, 1, 1_000_000)
     assert got[2] == (3, 1, 333_333)
     assert got[3] == (1, 0, 0)
+
+
+def test_novelty_scores_tiers(spark):
+    from eventrelationextractor_spark.ops import dedup
+    ref = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"),      # exact -> 0
+         (11, "alpha beta gamma delta epsilon zeta"), # 1 new of 4
+         (12, "totally fresh words appearing here"),  # all new
+         (13, "xy")],                                 # too short
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.n_novel, r.novelty_ppm)
+           for r in dedup.novelty_scores(new, ref).collect()}
+    assert got[10] == (3, 0, 0)
+    assert got[11] == (4, 1, 250_000)
+    assert got[12] == (3, 3, 1_000_000)
+    assert got[13] == (0, 0, None)
