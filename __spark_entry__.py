@@ -2089,6 +2089,17 @@ def _q_flesch_readability(spark, sf_dir):
     return textstats.flesch_readability(d)
 
 
+def _q_extractive_summary(spark, sf_dir):
+    """Top-2 IDF-weighted sentences per doc (ops/bm25.py::
+    extractive_topk) over the staged sentence boundaries (' row ' ->
+    '. row '). Mean smoothed IDF over distinct terms, ranked on the
+    6dp grid with sent_idx tie-break; WindowGroupLimit keeps k rows
+    per doc before the final exchange."""
+    d = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", " row ", ". row "))
+    return bm25.extractive_topk(d, k=2)
+
+
 def _q_psi_drift(spark, sf_dir):
     """Population Stability Index cells (ops/quality.py::psi_buckets)
     between the doc_id%3=0 slice (staged +25-char shift, the ks_drift
@@ -3956,6 +3967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau": _q_kendall_tau,
         "flesch_readability": _q_flesch_readability,
         "novelty_scores": _q_novelty_scores,
+        "extractive_summary": _q_extractive_summary,
         "dedup_levenshtein": _q_dedup_levenshtein,
         "token_label_mi": _q_token_label_mi,
         "events_retention": _q_events_retention,
@@ -8639,6 +8651,45 @@ SELECT c.source, c.n,
 FROM counts c LEFT JOIN agg a ON a.k = c.source
 """
 
+_EXTRACTIVE_ORACLE = """
+WITH staged AS (SELECT doc_id,
+                       regexp_replace(text, ' row ', '. row ', 'g')
+                           AS text
+                FROM documents),
+dterms AS (SELECT DISTINCT doc_id, u.term
+           FROM staged, LATERAL unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS u(term)),
+dfc AS (SELECT term, count(*) AS df FROM dterms GROUP BY term),
+nn AS (SELECT count(*) AS n_docs FROM staged),
+idf AS (SELECT term, ln((1.0 + n_docs) / (1.0 + df)) AS idf
+        FROM dfc, nn),
+s0 AS (SELECT doc_id,
+              list_filter(list_transform(
+                  regexp_extract_all(text, '[^.!?]+[.!?]?'),
+                  x -> trim(x)), x -> x <> '') AS ss
+       FROM staged),
+sents AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+                 ss[CAST(i AS BIGINT)] AS sentence
+          FROM s0, LATERAL unnest(generate_series(1, len(ss))) r(i)),
+st AS (SELECT DISTINCT doc_id, sent_idx, u.term
+       FROM sents, LATERAL unnest(list_filter(
+           regexp_split_to_array(lower(sentence), '[^a-z0-9]+'),
+           x -> x <> '')) AS u(term)),
+scored AS (SELECT doc_id, sent_idx,
+                  round(sum(i.idf) / count(*), 6) AS score
+           FROM st JOIN idf i USING (term)
+           GROUP BY doc_id, sent_idx),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, sent_idx) AS rank
+           FROM scored)
+SELECT r.doc_id, r.sent_idx, CAST(r.rank AS BIGINT) AS rank, r.score,
+       s.sentence
+FROM ranked r JOIN sents s
+ON s.doc_id = r.doc_id AND s.sent_idx = r.sent_idx
+WHERE r.rank <= 2
+"""
+
 _FLESCH_ORACLE = """
 WITH staged AS (SELECT doc_id,
                        regexp_replace(text, ' row ', '. row ', 'g')
@@ -9893,6 +9944,7 @@ FROM hashed
         "kendall_tau": _KENDALL_TAU_ORACLE,
         "flesch_readability": _FLESCH_ORACLE,
         "novelty_scores": _NOVELTY_ORACLE,
+        "extractive_summary": _EXTRACTIVE_ORACLE,
     }
 
 

@@ -626,3 +626,53 @@ def zipf_fit(docs: DataFrame, top_n: int = 100, id_col: str = "doc_id",
                       F.round(-slope, 6).alias("alpha"),
                       F.round(intercept, 6).alias("intercept"),
                       F.round(ssr / sst, 6).alias("r2"))
+
+
+def extractive_topk(docs: DataFrame, k: int = 2, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """IDF-weighted extractive summary -> the top ``k`` sentences per
+    document: (doc_id, sent_idx, rank, score, sentence). Sentence
+    score = mean smoothed IDF over its DISTINCT terms
+    (idf = ln((1+N)/(1+df)), df = documents containing the term) —
+    mean, not sum, so verbose sentences don't win on length; ranking
+    is (6dp score DESC, sent_idx ASC), the ranked-float contract.
+    This is the cheap doc-compression pass an LLM-data pipeline runs
+    to build short previews / dedup keys / context-window-sized
+    variants of long pages without a model.
+
+    Scale shape: df is one distinct + one partial-agged groupBy over
+    (doc, term); N is a 1-row broadcast aggregate (never a driver
+    count); sentence scoring is one term-keyed equi-join + one
+    groupBy at sentence grain; top-k per doc is a WindowGroupLimit
+    (rank filter pushes into the window operator), so only k rows
+    per doc survive the final exchange."""
+    from .textstats import sentence_split
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    doc_terms = (docs.select(F.col(id_col),
+                             F.explode(toks).alias("term"))
+                 .distinct())
+    dfc = doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (dfc.crossJoin(F.broadcast(n_docs))
+           .select("term", F.log((F.lit(1.0) + F.col("n_docs"))
+                                 / (F.lit(1.0) + F.col("df")))
+                   .alias("idf")))
+    sents = sentence_split(docs, id_col, text_col)
+    stoks = F.filter(F.split(F.lower(F.col("sentence")), "[^a-z0-9]+"),
+                     lambda t: t != "")
+    s_terms = (sents.select(id_col, "sent_idx",
+                            F.explode(F.array_distinct(stoks))
+                            .alias("term")))
+    scored = (s_terms.join(idf, "term")
+              .groupBy(id_col, "sent_idx")
+              .agg(F.round(F.sum("idf") / F.count(F.lit(1)), 6)
+                   .alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("sent_idx"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .join(sents, [id_col, "sent_idx"])
+            .select(id_col, "sent_idx",
+                    F.col("rank").cast("long").alias("rank"),
+                    "score", "sentence"))

@@ -433,3 +433,33 @@ def test_min_span_three_terms(spark):
     # last positions at pos4: a=4,b=3,c=0 -> span 5; pos5: a=4,b=3,c=5
     # -> span 3 (b a c). min=3 at pos5.
     assert got == {0: (3, 3, 5)}
+
+
+# ------------------------------------------------- extractive summary
+
+
+def test_extractive_topk_prefers_rare_terms(spark):
+    from eventrelationextractor_spark.ops import bm25
+    # 'zebra quagga' appears in one doc only -> high idf; 'the common'
+    # words appear everywhere -> near-zero idf
+    docs = spark.createDataFrame(
+        [(0, "the common words. zebra quagga here. the common again."),
+         (1, "the common words. more of the common."),
+         (2, "the common words here too.")],
+        "doc_id long, text string")
+    out = [r for r in bm25.extractive_topk(docs, k=1).collect()
+           if r.doc_id == 0]
+    assert len(out) == 1
+    assert "zebra" in out[0].sentence and out[0].rank == 1
+
+
+def test_extractive_topk_rank_and_tiebreak(spark):
+    from eventrelationextractor_spark.ops import bm25
+    # identical sentences tie on score -> sent_idx breaks the tie
+    docs = spark.createDataFrame(
+        [(0, "same words here. same words here. different unique gem.")],
+        "doc_id long, text string")
+    out = sorted(bm25.extractive_topk(docs, k=2).collect(),
+                 key=lambda r: r.rank)
+    assert out[0].sentence.startswith("different")
+    assert out[1].sent_idx == 0      # tie between 0 and 1 -> lower idx
