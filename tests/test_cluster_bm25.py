@@ -455,11 +455,13 @@ def test_extractive_topk_prefers_rare_terms(spark):
 
 def test_extractive_topk_rank_and_tiebreak(spark):
     from eventrelationextractor_spark.ops import bm25
-    # identical sentences tie on score -> sent_idx breaks the tie
+    # identical sentences tie on score -> sent_idx breaks the tie;
+    # doc 1 deflates the idf of the repeated sentence's terms
     docs = spark.createDataFrame(
-        [(0, "same words here. same words here. different unique gem.")],
+        [(0, "same words here. same words here. different unique gem."),
+         (1, "same words here and more.")],
         "doc_id long, text string")
-    out = sorted(bm25.extractive_topk(docs, k=2).collect(),
-                 key=lambda r: r.rank)
+    out = sorted((r for r in bm25.extractive_topk(docs, k=2).collect()
+                  if r.doc_id == 0), key=lambda r: r.rank)
     assert out[0].sentence.startswith("different")
     assert out[1].sent_idx == 0      # tie between 0 and 1 -> lower idx
