@@ -2089,6 +2089,19 @@ def _q_flesch_readability(spark, sf_dir):
     return textstats.flesch_readability(d)
 
 
+def _q_events_breakpoint(spark, sf_dir):
+    """Step-change localization (ops/events.py::step_breakpoint) over
+    the daily-count series with a staged +25 level shift from epoch
+    day 19743 (2024-01-21) — the detector must place the break at the
+    staged boundary. One cumulative window evaluates every split via
+    prefix-sum SSE decomposition; argmin on the 6dp grid, earlier
+    split wins ties."""
+    d = _daily_counts(spark, sf_dir).selectExpr(
+        "key", "o",
+        "x + CASE WHEN o >= 19743 THEN 25 ELSE 0 END AS x")
+    return events.step_breakpoint(d, "key", "o", "x")
+
+
 def _q_extractive_summary(spark, sf_dir):
     """Top-2 IDF-weighted sentences per doc (ops/bm25.py::
     extractive_topk) over the staged sentence boundaries (' row ' ->
@@ -3968,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flesch_readability": _q_flesch_readability,
         "novelty_scores": _q_novelty_scores,
         "extractive_summary": _q_extractive_summary,
+        "events_breakpoint": _q_events_breakpoint,
         "dedup_levenshtein": _q_dedup_levenshtein,
         "token_label_mi": _q_token_label_mi,
         "events_retention": _q_events_retention,
@@ -8596,6 +8610,36 @@ daily AS (
          CAST(count(*) AS BIGINT) AS x
   FROM events GROUP BY 1, 2)"""
 
+_BREAKPOINT_ORACLE = f"""
+WITH {_DAILY_CTE},
+st AS (SELECT key, o,
+              CAST(x + CASE WHEN o >= 19743 THEN 25 ELSE 0 END
+                   AS DOUBLE) AS y
+       FROM daily),
+pre AS (SELECT key, o, y,
+               count(y) OVER w AS nl, sum(y) OVER w AS sl,
+               sum(y * y) OVER w AS s2l,
+               count(y) OVER t AS n, sum(y) OVER t AS stt,
+               sum(y * y) OVER t AS s2t
+        FROM st
+        WINDOW w AS (PARTITION BY key ORDER BY o
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               t AS (PARTITION BY key)),
+cand AS (SELECT key, o, n,
+                round(s2l - sl * sl / nl
+                      + (s2t - s2l) - (stt - sl) * (stt - sl) / (n - nl),
+                      6) AS cost,
+                round(sl / nl, 6) AS mean_left,
+                round((stt - sl) / (n - nl), 6) AS mean_right
+         FROM pre WHERE nl < n),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY key
+               ORDER BY cost, o) AS r
+           FROM cand)
+SELECT key, CAST(n AS BIGINT) AS n, o AS break_after, cost,
+       mean_left, mean_right
+FROM ranked WHERE r = 1
+"""
+
 _THEIL_SEN_ORACLE = f"""
 WITH {_DAILY_CTE},
 pairs AS (SELECT a.key AS k,
@@ -9945,6 +9989,7 @@ FROM hashed
         "flesch_readability": _FLESCH_ORACLE,
         "novelty_scores": _NOVELTY_ORACLE,
         "extractive_summary": _EXTRACTIVE_ORACLE,
+        "events_breakpoint": _BREAKPOINT_ORACLE,
     }
 
 

@@ -1073,8 +1073,16 @@ def prefix_filter_pairs(df: DataFrame, id_col: str = "doc_id",
     on the post-LSH survivors or mid-sized corpora where exactness is
     contractual."""
     sh = _shingle_source(df, id_col, text_col, k, shingle_table_path)
-    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    # every dimension below (shingle dfs, doc sizes, the opposite
+    # prefix side, the candidate set) is vocabulary/corpus-scale BY
+    # CONSTRUCTION, while its post-agg size estimate is small — the
+    # exact AQE-broadcast OOM the ngram_dup_stats lesson documents;
+    # hint("merge") pins them out of the broadcast planner (reproduced:
+    # sf1.0 driver OOM without the hints)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc")) \
+        .hint("merge")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")) \
+        .hint("merge")
     w = Window.partitionBy(id_col).orderBy("dfc", "shingle")
     ranked = (sh.join(dfc, "shingle").join(sizes, id_col)
               .withColumn("r", F.row_number().over(w)))
@@ -1085,14 +1093,15 @@ def prefix_filter_pairs(df: DataFrame, id_col: str = "doc_id",
                      F.col("n").alias("na"))
     pb = pref.select(F.col(id_col).alias("b"), "shingle",
                      F.col("n").alias("nb"))
-    cand = (pa.join(pb, "shingle")
+    cand = (pa.join(pb.hint("merge"), "shingle")
             .filter((F.col("a") < F.col("b")) &
                     (F.lit(1_000_000) * F.least("na", "nb") >=
                      F.lit(t_ppm) * F.greatest("na", "nb")))
             .select("a", "b", "na", "nb").distinct())
     sa = sh.select(F.col(id_col).alias("a"), "shingle")
     sb = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (cand.join(sa, "a").join(sb, ["b", "shingle"])
+    inter = (cand.hint("merge").join(sa, "a")
+             .join(sb.hint("merge"), ["b", "shingle"])
              .groupBy("a", "b", "na", "nb")
              .agg(F.count(F.lit(1)).alias("n_inter")))
     uni = F.col("na") + F.col("nb") - F.col("n_inter")

@@ -1243,3 +1243,50 @@ def theil_sen(series: DataFrame, key_col: str, order_col: str,
     return med.select(F.col("k").alias(key_col),
                       F.col("total_weight").alias("n_pairs"),
                       F.col("wmedian").alias("slope"))
+
+
+def step_breakpoint(series: DataFrame, key_col: str, order_col: str,
+                    value_col: str) -> DataFrame:
+    """Single-breakpoint step-change detection per key -> (key, n,
+    break_after, cost, mean_left, mean_right): the split of the
+    ordered series into two segments of constant mean minimizing
+    total SSE — "when did this metric change level", the first
+    question after a drift alarm (CUSUM says THAT it moved; this says
+    WHERE). SSE decomposes over prefix sums (cost(b) = S2L - SL^2/nL
+    + S2R - SR^2/nR), so every candidate split is evaluated from ONE
+    cumulative window pass — O(n) per key, not O(n^2). The argmin
+    runs on the 6dp-rounded cost with the earlier split winning ties
+    (the ranked-float contract).
+
+    Keys with n < 2 emit no row (no split exists). Scale contract as
+    the other series ops: per-key series are statistic-scale."""
+    s = series.select(F.col(key_col).alias("k"),
+                      F.col(order_col).alias("o"),
+                      F.col(value_col).cast("double").alias("y"))
+    w = (Window.partitionBy("k").orderBy("o")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy("k")
+    pre = (s.withColumn("nl", F.count("y").over(w))
+           .withColumn("sl", F.sum("y").over(w))
+           .withColumn("s2l", F.sum(F.col("y") * F.col("y")).over(w))
+           .withColumn("n", F.count("y").over(tot))
+           .withColumn("st", F.sum("y").over(tot))
+           .withColumn("s2t", F.sum(F.col("y") * F.col("y")).over(tot))
+           .filter(F.col("nl") < F.col("n")))
+    nr = F.col("n") - F.col("nl")
+    sr = F.col("st") - F.col("sl")
+    s2r = F.col("s2t") - F.col("s2l")
+    cost = (F.col("s2l") - F.col("sl") * F.col("sl") / F.col("nl")
+            + s2r - sr * sr / nr)
+    cand = pre.select("k", "o", "n",
+                      F.round(cost, 6).alias("cost"),
+                      F.round(F.col("sl") / F.col("nl"), 6)
+                      .alias("mean_left"),
+                      F.round(sr / nr, 6).alias("mean_right"))
+    pick = Window.partitionBy("k").orderBy("cost", "o")
+    return (cand.withColumn("r", F.row_number().over(pick))
+            .filter(F.col("r") == 1)
+            .select(F.col("k").alias(key_col),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("o").alias("break_after"),
+                    "cost", "mean_left", "mean_right"))

@@ -550,5 +550,8 @@ def test_prefix_filter_model_join_is_hash(spark):
     assert "BroadcastHashJoin" in plan
     plan = _physical(qs["prefix_filter_pairs"](
         spark, "/root/testdata/sf0.001"))
-    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-            or "BroadcastHashJoin" in plan)
+    # every dimension in this operator is vocabulary/corpus-scale by
+    # construction: merge hints must pin ALL of its joins out of the
+    # broadcast planner (the sf1.0 driver-OOM regression guard)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
