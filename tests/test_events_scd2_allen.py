@@ -406,3 +406,26 @@ def test_theil_sen_robust_to_outlier(spark):
     r = ev.theil_sen(df, "key", "o", "x").collect()[0]
     assert r.n_pairs == 55
     assert r.slope == 2.0
+
+
+def test_step_breakpoint_finds_staged_shift(spark):
+    rows = [("k", x, 10) for x in range(10)] + \
+           [("k", x, 30) for x in range(10, 20)]
+    df = spark.createDataFrame(rows, "key string, o long, x long")
+    r = ev.step_breakpoint(df, "key", "o", "x").collect()[0]
+    assert (r.break_after, r.n) == (9, 20)
+    assert (r.mean_left, r.mean_right) == (10.0, 30.0)
+    assert r.cost == 0.0
+
+
+def test_step_breakpoint_tie_prefers_earlier_split(spark):
+    # constant series: every split costs 0 -> earliest split wins
+    df = spark.createDataFrame([("k", x, 5) for x in range(6)],
+                               "key string, o long, x long")
+    r = ev.step_breakpoint(df, "key", "o", "x").collect()[0]
+    assert r.break_after == 0 and r.cost == 0.0
+
+
+def test_step_breakpoint_singleton_emits_nothing(spark):
+    df = spark.createDataFrame([("k", 1, 5)], "key string, o long, x long")
+    assert ev.step_breakpoint(df, "key", "o", "x").count() == 0
