@@ -359,6 +359,39 @@ def main() -> None:
     # one scan per table (7 tables incl. region+nation), no re-scan
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 7
 
+    p = add("prefix_filter_pairs (exact AllPairs Jaccard join)",
+            qs["prefix_filter_pairs"](spark, sf),
+            "Recall-1 similarity join: df-rank prefixes -> prefix-to-"
+            "prefix equi-join -> exact verify. EVERY dimension here "
+            "(shingle dfs, doc sizes, the opposite prefix, the "
+            "candidate set) is vocabulary/corpus-scale by construction "
+            "with a deceptively small post-agg size estimate, so all "
+            "of them carry merge hints - zero BroadcastHashJoin is the "
+            "assertion (the sf1.0 driver-OOM regression).",
+            max_lines=140)
+    assert "BroadcastHashJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+    p = add("link_shortest_paths (delta-frontier Bellman-Ford)",
+            qs["link_shortest_paths"](spark, sf),
+            "Four relax rounds as ONE lazy plan: per round a keyed "
+            "frontier x edges equi-join, a partial-agged min-merge, "
+            "and an improvement diff - frontier-proportional work, "
+            "no loop join anywhere.", max_lines=140)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+    p = add("pareto_docs (2-D skyline sweep)",
+            qs["pareto_docs"](spark, sf),
+            "NOT the quadratic dominance anti-join: per-x champion "
+            "reduce, one statistic-scale window over distinct x, and "
+            "a keyed join-back for ties. The oracle runs the "
+            "NOT-EXISTS formulation - two algorithms, one hash.",
+            max_lines=100)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
     doc_scan = spark.read.parquet(os.path.join(sf, "documents.parquet")) \
         .select("doc_id")
     p = formatted(doc_scan)
