@@ -1435,6 +1435,20 @@ def _q_crawl_plan(spark, sf_dir):
                                   delay_sec=5)
 
 
+def _q_crawl_waterfill(spark, sf_dir):
+    """Max-min-fair crawl-budget split (ops/urls.py::waterfill_budget):
+    caps = sum(1 + doc_id%13) per source (diverse integers at every
+    SF), budget = 3 * n_docs (below the cap sum, so the level
+    genuinely binds). Closed-form water level from one sorted window
+    + a 1-row (K, prefix_K) broadcast; sum(quota) == budget exactly."""
+    d = _docs(spark, sf_dir)
+    caps = (d.groupBy(F.col("source").alias("host"))
+            .agg(F.sum(F.col("doc_id") % 13 + 1).cast("long")
+                 .alias("cap")))
+    budget = d.count() * 3
+    return urls.waterfill_budget(caps, budget)
+
+
 def _q_dup_spans(spark, sf_dir):
     """Duplicated-span telemetry (ops/dedup.py::dup_spans, ExactSubstr
     semantics: any second occurrence corpus-wide). Over the augmented
@@ -3982,6 +3996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_scores": _q_novelty_scores,
         "extractive_summary": _q_extractive_summary,
         "events_breakpoint": _q_events_breakpoint,
+        "crawl_waterfill": _q_crawl_waterfill,
         "dedup_levenshtein": _q_dedup_levenshtein,
         "token_label_mi": _q_token_label_mi,
         "events_retention": _q_events_retention,
@@ -8610,6 +8625,37 @@ daily AS (
          CAST(count(*) AS BIGINT) AS x
   FROM events GROUP BY 1, 2)"""
 
+_WATERFILL_ORACLE = """
+WITH caps AS (SELECT source AS host,
+                     CAST(sum(doc_id % 13 + 1) AS BIGINT) AS cap
+              FROM documents GROUP BY source),
+bb AS (SELECT 3 * count(*) AS b FROM documents),
+s AS (SELECT host, cap,
+             CAST(row_number() OVER (ORDER BY cap, host) AS BIGINT) AS r,
+             sum(cap) OVER (ORDER BY cap, host
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS pre,
+             count(*) OVER () AS n
+      FROM caps),
+kk AS (SELECT coalesce(max(CASE WHEN cap * (n - r + 1)
+                                     <= (SELECT b FROM bb)
+                                        - (pre - cap)
+                                THEN r END), 0) AS k,
+              coalesce(max(CASE WHEN cap * (n - r + 1)
+                                     <= (SELECT b FROM bb)
+                                        - (pre - cap)
+                                THEN pre END), 0) AS prek
+       FROM s)
+SELECT s.host, s.cap,
+       CAST(CASE WHEN s.r <= kk.k THEN s.cap
+            ELSE ((SELECT b FROM bb) - kk.prek) // (s.n - kk.k)
+                 + CASE WHEN s.r > s.n - (((SELECT b FROM bb) - kk.prek)
+                                          % (s.n - kk.k))
+                        THEN 1 ELSE 0 END
+            END AS BIGINT) AS quota
+FROM s, kk
+"""
+
 _BREAKPOINT_ORACLE = f"""
 WITH {_DAILY_CTE},
 st AS (SELECT key, o,
@@ -9990,6 +10036,7 @@ FROM hashed
         "novelty_scores": _NOVELTY_ORACLE,
         "extractive_summary": _EXTRACTIVE_ORACLE,
         "events_breakpoint": _BREAKPOINT_ORACLE,
+        "crawl_waterfill": _WATERFILL_ORACLE,
     }
 
 

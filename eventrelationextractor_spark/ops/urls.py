@@ -556,3 +556,53 @@ def url_templates(df: DataFrame, url_col: str = "url",
                  F.countDistinct("tail").cast("long")
                  .alias("n_distinct_tails"))
             .filter(F.col("n_urls") >= int(min_count)))
+
+
+def waterfill_budget(hosts: DataFrame, budget: int,
+                     host_col: str = "host",
+                     cap_col: str = "cap") -> DataFrame:
+    """Water-filling crawl-budget allocation -> (host, cap, quota):
+    split ``budget`` fetch slots across hosts so no host exceeds its
+    cap (pages available / politeness ceiling) and the un-capped
+    hosts all sit at one fair level — max-min fairness, the classic
+    scheduler allocation (small hosts fully served, big hosts share
+    the residue evenly). Exactly sum(quota) = min(budget, sum caps),
+    all in integers.
+
+    Closed form, no iteration: sort hosts by (cap, host) ascending
+    with prefix sums; a prefix of fully-funded hosts is the largest K
+    with cap_r * (n - r + 1) <= budget - prefix_{r-1} (prefix-closed
+    because caps ascend — proved in-line), then the water level is
+    lambda = (budget - prefix_K) div (n - K) with the mod-remainder
+    going to the LAST ``rem`` rows in the same order (deterministic
+    tie rule). One statistic-scale window over the host table + a
+    1-row broadcast of (K, prefix_K) — hosts are bounded cardinality
+    next to pages, so nothing here is corpus-scale."""
+    b = int(budget)
+    w = Window.orderBy(cap_col, host_col)
+    s = (hosts.select(F.col(host_col).alias("host"),
+                      F.col(cap_col).cast("long").alias("cap"))
+         .withColumn("r", F.row_number().over(w).cast("long"))
+         .withColumn("pre", F.sum("cap").over(
+             w.rowsBetween(Window.unboundedPreceding,
+                           Window.currentRow)))
+         .withColumn("n", F.count(F.lit(1)).over(
+             Window.partitionBy())))
+    qual = (F.col("cap") * (F.col("n") - F.col("r") + 1)
+            <= F.lit(b) - (F.col("pre") - F.col("cap")))
+    kk = s.agg(
+        F.coalesce(F.max(F.when(qual, F.col("r"))), F.lit(0))
+        .alias("k"),
+        F.coalesce(F.max(F.when(qual, F.col("pre"))), F.lit(0))
+        .alias("prek"))
+    out = s.crossJoin(F.broadcast(kk))
+    uncapped = F.col("n") - F.col("k")
+    lam = F.when(uncapped > 0, F.expr(f"({b} - prek) div (n - k)")) \
+        .otherwise(F.lit(0))
+    rem = F.when(uncapped > 0, F.expr(f"({b} - prek) % (n - k)")) \
+        .otherwise(F.lit(0))
+    quota = F.when(F.col("r") <= F.col("k"), F.col("cap")) \
+        .otherwise(lam + F.when(F.col("r") > F.col("n") - rem, 1)
+                   .otherwise(0))
+    return out.select(F.col("host").alias(host_col), "cap",
+                      quota.cast("long").alias("quota"))

@@ -914,3 +914,35 @@ def test_novelty_scores_tiers(spark):
     assert got[11] == (4, 1, 250_000)
     assert got[12] == (3, 3, 1_000_000)
     assert got[13] == (0, 0, None)
+
+
+def test_waterfill_budget_level_and_caps(spark):
+    from eventrelationextractor_spark.ops import urls as u
+    caps = spark.createDataFrame(
+        [("a", 2), ("b", 5), ("c", 100), ("d", 100)],
+        "host string, cap long")
+    got = {r.host: r.quota
+           for r in u.waterfill_budget(caps, 30).collect()}
+    # a,b fully funded (7); remaining 23 over c,d -> 11 and 12 (the
+    # later row in (cap, host) order takes the remainder)
+    assert got == {"a": 2, "b": 5, "c": 11, "d": 12}
+    assert sum(got.values()) == 30
+
+
+def test_waterfill_budget_exceeds_caps(spark):
+    from eventrelationextractor_spark.ops import urls as u
+    caps = spark.createDataFrame([("a", 3), ("b", 4)],
+                                 "host string, cap long")
+    got = {r.host: r.quota
+           for r in u.waterfill_budget(caps, 100).collect()}
+    assert got == {"a": 3, "b": 4}
+
+
+def test_waterfill_budget_tiny_budget(spark):
+    from eventrelationextractor_spark.ops import urls as u
+    caps = spark.createDataFrame([("a", 50), ("b", 50), ("c", 50)],
+                                 "host string, cap long")
+    got = {r.host: r.quota
+           for r in u.waterfill_budget(caps, 4).collect()}
+    assert sum(got.values()) == 4
+    assert sorted(got.values()) == [1, 1, 2]
