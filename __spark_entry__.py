@@ -1435,6 +1435,15 @@ def _q_crawl_plan(spark, sf_dir):
                                   delay_sec=5)
 
 
+def _q_source_divergence(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence from the corpus unigram
+    distribution (ops/textstats.py::source_js_divergence) — the
+    mixture-drift telemetry. Group-support-sized sums via the
+    absent-term ln 2 closed form; corpus term table merge-hinted
+    (vocabulary-scale build side)."""
+    return textstats.source_js_divergence(_docs(spark, sf_dir))
+
+
 def _q_crawl_waterfill(spark, sf_dir):
     """Max-min-fair crawl-budget split (ops/urls.py::waterfill_budget):
     caps = sum(1 + doc_id%13) per source (diverse integers at every
@@ -3997,6 +4006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extractive_summary": _q_extractive_summary,
         "events_breakpoint": _q_events_breakpoint,
         "crawl_waterfill": _q_crawl_waterfill,
+        "source_divergence": _q_source_divergence,
         "dedup_levenshtein": _q_dedup_levenshtein,
         "token_label_mi": _q_token_label_mi,
         "events_retention": _q_events_retention,
@@ -8625,6 +8635,37 @@ daily AS (
          CAST(count(*) AS BIGINT) AS x
   FROM events GROUP BY 1, 2)"""
 
+_SOURCE_JSD_ORACLE = """
+WITH toks AS (
+  SELECT source AS g, u.term
+  FROM documents,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             w -> w <> '')) AS u(term)),
+gt AS (SELECT g, term, count(*) AS c FROM toks GROUP BY g, term),
+gn AS (SELECT g, sum(c) AS gn FROM gt GROUP BY g),
+ct AS (SELECT term, count(*) AS cc FROM toks GROUP BY term),
+cn AS (SELECT count(*) AS cn FROM toks),
+j AS (SELECT gt.g, gt.c, gn.gn, ct.cc, cn.cn
+      FROM gt JOIN ct USING (term) JOIN gn USING (g) CROSS JOIN cn),
+per AS (SELECT g, CAST(count(*) AS BIGINT) AS n_terms,
+               sum((c / CAST(gn AS DOUBLE))
+                   * ln((c / CAST(gn AS DOUBLE))
+                        / ((c / CAST(gn AS DOUBLE)
+                            + cc / CAST(cn AS DOUBLE)) / 2))
+                   + (cc / CAST(cn AS DOUBLE))
+                   * ln((cc / CAST(cn AS DOUBLE))
+                        / ((c / CAST(gn AS DOUBLE)
+                            + cc / CAST(cn AS DOUBLE)) / 2)))
+                   AS core,
+               sum(cc / CAST(cn AS DOUBLE)) AS overlap_q
+        FROM j GROUP BY g)
+SELECT g AS source, n_terms, round(overlap_q, 6) AS overlap_q,
+       round(0.5 * core
+             + 0.5 * 0.6931471805599453 * (1.0 - overlap_q), 6) AS jsd
+FROM per
+"""
+
 _WATERFILL_ORACLE = """
 WITH caps AS (SELECT source AS host,
                      CAST(sum(doc_id % 13 + 1) AS BIGINT) AS cap
@@ -10037,6 +10078,7 @@ FROM hashed
         "extractive_summary": _EXTRACTIVE_ORACLE,
         "events_breakpoint": _BREAKPOINT_ORACLE,
         "crawl_waterfill": _WATERFILL_ORACLE,
+        "source_divergence": _SOURCE_JSD_ORACLE,
     }
 
 

@@ -1160,3 +1160,51 @@ def flesch_readability(df: DataFrame, id_col: str = "doc_id",
         "flesch",
         F.when((F.col("n_sentences") > 0) & (F.col("n_words") > 0),
                F.round(flesch, 6)))
+
+
+def source_js_divergence(df: DataFrame, group_col: str = "source",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Jensen-Shannon divergence of each group's unigram distribution
+    from the corpus distribution -> (group, n_terms, overlap_q, jsd):
+    the mixture-health number a multi-source pipeline tracks per
+    snapshot — a source drifting from the corpus (template flood,
+    language shift, spam burst) moves its JSD long before eyeballs
+    notice. Bounded [0, ln 2], symmetric, finite on disjoint support
+    (KL is not, which is why JSD is the production choice).
+
+    Absent-term closed form keeps the sum group-support-sized: for
+    terms missing from the group, the integrand collapses to
+    q*ln 2, so JSD = 0.5*(sum over the group's terms of p*ln(p/m) +
+    q*ln(q/m)) + 0.5*ln 2*(1 - overlap_q) where overlap_q is the
+    corpus mass on the group's support — NO scan over the full
+    vocabulary per group. One term-keyed join of the group
+    distribution against the corpus distribution + a group-grain
+    aggregate; counts are exact integers and the float terms are
+    per-row lns at the 6dp gate."""
+    toks = (df.select(F.col(group_col).alias("g"),
+                      F.explode(F.filter(
+                          F.split(F.lower(F.col(text_col)),
+                                  "[^a-z0-9]+"),
+                          lambda t: t != "")).alias("term")))
+    gt = toks.groupBy("g", "term").agg(F.count(F.lit(1)).alias("c"))
+    gn = gt.groupBy("g").agg(F.sum("c").alias("gn"))
+    ct = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cc")) \
+        .hint("merge")
+    cn = toks.agg(F.sum(F.lit(1)).alias("cn"))
+    j = (gt.join(ct, "term").join(gn, "g")
+         .crossJoin(F.broadcast(cn)))
+    p = F.col("c") / F.col("gn")
+    q = F.col("cc") / F.col("cn")
+    m = (p + q) / 2
+    per = j.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(p * F.log(p / m) + q * F.log(q / m)).alias("core"),
+        F.sum(q).alias("overlap_q"))
+    ln2 = 0.6931471805599453
+    return per.select(
+        F.col("g").alias(group_col), "n_terms",
+        F.round("overlap_q", 6).alias("overlap_q"),
+        F.round(0.5 * F.col("core")
+                + F.lit(0.5 * ln2) * (F.lit(1.0) - F.col("overlap_q")),
+                6).alias("jsd"))

@@ -468,3 +468,32 @@ def test_flesch_readability_known_value(spark):
     assert got[1].flesch is None and got[1].n_words == 0
     # 'xyzzy' has vowel run 'y','y' -> 2 syllables, 1 sentence, 1 word
     assert (got[2].n_syllables, got[2].flesch is not None) == (2, True)
+
+
+def test_source_js_divergence_identical_and_disjoint(spark):
+    import math
+
+    from eventrelationextractor_spark.ops import textstats
+    # group 'a' == half of a two-group corpus where 'b' is disjoint:
+    # p_a = {x:1}; corpus q = {x: .5, y: .5}
+    df = spark.createDataFrame(
+        [(0, "a", "x x x x"), (1, "b", "y y y y")],
+        "doc_id long, source string, text string")
+    got = {r.source: r for r in
+           textstats.source_js_divergence(df).collect()}
+    # closed form: p=1, q=.5 on x -> core = 1*ln(4/3) + .5*ln(2/3);
+    # jsd = .5*core + .5*ln2*(1-.5)
+    core = math.log(4 / 3) + 0.5 * math.log(2 / 3)
+    want = round(0.5 * core + 0.5 * math.log(2) * 0.5, 6)
+    assert abs(got["a"].jsd - want) < 1e-6
+    assert got["a"].overlap_q == 0.5 and got["a"].n_terms == 1
+    # symmetric corpus -> same value for b
+    assert abs(got["b"].jsd - want) < 1e-6
+
+
+def test_source_js_divergence_zero_for_single_source(spark):
+    from eventrelationextractor_spark.ops import textstats
+    df = spark.createDataFrame([(0, "a", "x y z"), (1, "a", "x y")],
+                               "doc_id long, source string, text string")
+    r = textstats.source_js_divergence(df).collect()[0]
+    assert r.jsd == 0.0 and r.overlap_q == 1.0
