@@ -1435,6 +1435,17 @@ def _q_crawl_plan(spark, sf_dir):
                                   delay_sec=5)
 
 
+def _q_ql_search(spark, sf_dir):
+    """Dirichlet query-likelihood retrieval (ops/bm25.py::
+    query_likelihood_topk) for {table, scan, merge}, mu=1000, top-20:
+    the language-modeling scorer beside bm25_search/rm3_search —
+    absent query terms contribute smoothed mass (tf=0 rows), which
+    BM25 structurally cannot, so the two rankings genuinely differ."""
+    return bm25.query_likelihood_topk(_docs(spark, sf_dir),
+                                      ["table", "scan", "merge"],
+                                      k=20, mu=1000)
+
+
 def _q_source_divergence(spark, sf_dir):
     """Per-source Jensen-Shannon divergence from the corpus unigram
     distribution (ops/textstats.py::source_js_divergence) — the
@@ -4007,6 +4018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_breakpoint": _q_events_breakpoint,
         "crawl_waterfill": _q_crawl_waterfill,
         "source_divergence": _q_source_divergence,
+        "ql_search": _q_ql_search,
         "dedup_levenshtein": _q_dedup_levenshtein,
         "token_label_mi": _q_token_label_mi,
         "events_retention": _q_events_retention,
@@ -8635,6 +8647,39 @@ daily AS (
          CAST(count(*) AS BIGINT) AS x
   FROM events GROUP BY 1, 2)"""
 
+_QL_SEARCH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, u.term
+  FROM documents,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             w -> w <> '')) AS u(term)),
+qt AS (SELECT * FROM (VALUES ('table'), ('scan'), ('merge'))
+       AS t(term)),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+cstat AS (SELECT count(*) AS clen FROM toks),
+ctf AS (SELECT term, count(*) AS ctf FROM toks JOIN qt USING (term)
+        GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM toks JOIN qt USING (term) GROUP BY doc_id, term),
+cands AS (SELECT DISTINCT doc_id FROM tf),
+grid AS (SELECT c.doc_id, x.term, x.ctf FROM cands c, ctf x),
+scored AS (SELECT g.doc_id,
+                  round(sum(ln((coalesce(t.tf, 0)
+                                + 1000.0 * g.ctf / cs.clen)
+                               / (d.dl + 1000.0))), 6) AS score
+           FROM grid g
+           LEFT JOIN tf t ON t.doc_id = g.doc_id AND t.term = g.term
+           JOIN dl d ON d.doc_id = g.doc_id
+           CROSS JOIN cstat cs
+           GROUP BY g.doc_id),
+ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+               AS rank
+           FROM scored)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM ranked WHERE rank <= 20
+"""
+
 _SOURCE_JSD_ORACLE = """
 WITH toks AS (
   SELECT source AS g, u.term
@@ -10079,6 +10124,7 @@ FROM hashed
         "events_breakpoint": _BREAKPOINT_ORACLE,
         "crawl_waterfill": _WATERFILL_ORACLE,
         "source_divergence": _SOURCE_JSD_ORACLE,
+        "ql_search": _QL_SEARCH_ORACLE,
     }
 
 

@@ -676,3 +676,53 @@ def extractive_topk(docs: DataFrame, k: int = 2, id_col: str = "doc_id",
             .select(id_col, "sent_idx",
                     F.col("rank").cast("long").alias("rank"),
                     "score", "sentence"))
+
+
+def query_likelihood_topk(docs: DataFrame, query_terms: list,
+                          k: int = 20, mu: int = 1000,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001) -> (rank, doc_id, score): the language-modeling scorer next
+    to BM25 — score(d, Q) = sum over query terms of
+    ln((tf + mu*P(t|C)) / (dl + mu)). Candidates are docs matching at
+    least one query term (the inverted-index contract shared with
+    bm25_topk); absent terms still contribute their smoothed mass via
+    a tf=0 row, which is what separates QL from BM25 on partial
+    matches. Ranking on the 6dp-rounded score + doc_id tie-break.
+
+    Scale shape mirrors bm25_topk: broadcast query-term semi-join
+    prunes the token stream BEFORE anything wide; collection term
+    stats are a <= |Q|-row broadcast; the candidate x query-term
+    expansion is candidates * |Q| rows (a broadcast nested join of
+    the |Q|-row dim is the intended tiny cross); top-k is one
+    WindowGroupLimit."""
+    spark = docs.sparkSession
+    toks = tokenize(docs, id_col, text_col)
+    qt = spark.createDataFrame([(str(t),) for t in query_terms],
+                               "term string")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    cstat = toks.agg(F.count("*").alias("clen"))
+    ctf = (toks.join(F.broadcast(qt), "term")
+           .groupBy("term").agg(F.count("*").alias("ctf")))
+    tf = (toks.join(F.broadcast(qt), "term")
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    cands = tf.select("doc_id").distinct()
+    # a query term absent from the whole collection carries no signal
+    # (its smoothed probability is 0 -> ln 0): drop it, the standard
+    # treatment, rather than -inf every candidate equally
+    grid = cands.crossJoin(F.broadcast(qt.join(ctf, "term")))
+    scored = (grid.join(tf, ["doc_id", "term"], "left_outer")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(cstat))
+              .withColumn("part", F.log(
+                  (F.coalesce("tf", F.lit(0))
+                   + F.lit(float(mu)) * F.col("ctf") / F.col("clen"))
+                  / (F.col("dl") + F.lit(float(mu)))))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum("part"), 6).alias("score")))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("rank").cast("long").alias("rank"),
+                    "doc_id", "score"))

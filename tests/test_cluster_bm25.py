@@ -465,3 +465,40 @@ def test_extractive_topk_rank_and_tiebreak(spark):
                   if r.doc_id == 0), key=lambda r: r.rank)
     assert out[0].sentence.startswith("different")
     assert out[1].sent_idx == 0      # tie between 0 and 1 -> lower idx
+
+
+# ------------------------------------------------- query likelihood
+
+
+def test_query_likelihood_matches_reference(spark):
+    import math
+
+    from eventrelationextractor_spark.ops import bm25
+    texts = ["cat cat dog", "dog mouse", "bird bird bird", "cat"]
+    out = {r.doc_id: r.score for r in bm25.query_likelihood_topk(
+        _docs_df(spark, texts), ["cat", "dog"], k=10, mu=10).collect()}
+    toks = [t.split() for t in texts]
+    clen = sum(len(t) for t in toks)
+    ctf = {"cat": 3, "dog": 2}
+    exp = {}
+    for d, t in enumerate(toks):
+        if not (set(t) & set(ctf)):
+            continue   # not a candidate
+        s = 0.0
+        for term, c in ctf.items():
+            s += math.log((t.count(term) + 10 * c / clen)
+                          / (len(t) + 10))
+        exp[d] = round(s, 6)
+    assert set(out) == set(exp) == {0, 1, 3}
+    for d in exp:
+        assert abs(out[d] - exp[d]) < 1e-6
+
+
+def test_query_likelihood_absent_corpus_term_dropped(spark):
+    from eventrelationextractor_spark.ops import bm25
+    out = bm25.query_likelihood_topk(
+        _docs_df(spark, ["cat dog", "dog"]), ["cat", "unseenzz"],
+        k=5).collect()
+    # no -inf anywhere; doc 0 ranks first on the remaining term
+    assert all(r.score == r.score and r.score > -1e9 for r in out)
+    assert out[0].doc_id == 0
