@@ -2101,15 +2101,17 @@ def _q_theil_sen(spark, sf_dir):
 
 def _q_kendall_tau(spark, sf_dir):
     """Kendall tau-b between the n_chars ranking and the distinct-term
-    ranking per source, over the doc_id%5 sample (ops/quality.py::
-    kendall_tau). Exact integer pair classification from one keyed
-    equi-join; single sqrt per key at the 6dp gate."""
+    ranking per doc_id%16 stratum, over the doc_id%5 sample (ops/
+    quality.py::kendall_tau). Keyed on an id stratum, NOT source —
+    the sf1.0 corpus has per-doc-unique sources, which would
+    degenerate every group to n=1. Exact integer pair classification
+    from one keyed equi-join; single sqrt per key at the 6dp gate."""
     t = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0).select(
-        "doc_id", "source", "n_chars",
+        "doc_id", (F.col("doc_id") % 16).alias("grp"), "n_chars",
         F.size(F.array_distinct(F.filter(
             F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
             lambda w: w != ""))).cast("long").alias("nt"))
-    return quality.kendall_tau(t, "source", "n_chars", "nt")
+    return quality.kendall_tau(t, "grp", "n_chars", "nt")
 
 
 def _q_flesch_readability(spark, sf_dir):
@@ -8793,16 +8795,16 @@ FROM c WHERE 2 * cum >= tot GROUP BY k
 """
 
 _KENDALL_TAU_ORACLE = """
-WITH t AS (SELECT doc_id, source, n_chars,
+WITH t AS (SELECT doc_id, doc_id % 16 AS grp, n_chars,
                   CAST(len(list_distinct(list_filter(
                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                       w -> w <> ''))) AS BIGINT) AS nt
            FROM documents WHERE doc_id % 5 = 0),
-p AS (SELECT a.source AS k,
+p AS (SELECT a.grp AS k,
              sign(b.n_chars - a.n_chars) AS sx,
              sign(b.nt - a.nt) AS sy
       FROM t a JOIN t b
-      ON a.source = b.source AND a.doc_id < b.doc_id),
+      ON a.grp = b.grp AND a.doc_id < b.doc_id),
 agg AS (SELECT k, CAST(count(*) AS BIGINT) AS n0,
                CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS concordant,
@@ -8813,9 +8815,9 @@ agg AS (SELECT k, CAST(count(*) AS BIGINT) AS n0,
                CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS ties_y
         FROM p GROUP BY k),
-counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-           FROM t GROUP BY source)
-SELECT c.source, c.n,
+counts AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+           FROM t GROUP BY grp)
+SELECT c.grp, c.n,
        coalesce(a.concordant, 0) AS concordant,
        coalesce(a.discordant, 0) AS discordant,
        coalesce(a.ties_x, 0) AS ties_x,
@@ -8824,7 +8826,7 @@ SELECT c.source, c.n,
             THEN round((a.concordant - a.discordant)
                  / sqrt(CAST((a.n0 - a.ties_x) * (a.n0 - a.ties_y)
                              AS DOUBLE)), 6) END AS tau
-FROM counts c LEFT JOIN agg a ON a.k = c.source
+FROM counts c LEFT JOIN agg a ON a.k = c.grp
 """
 
 _EXTRACTIVE_ORACLE = """
