@@ -3784,6 +3784,31 @@ def _q_record_linkage(spark, sf_dir):
                                 possible_threshold=0)
 
 
+# ------------------------------------------------------------ session-5
+# image perceptual-hash dedup tier
+
+
+def _q_media_phash(spark, sf_dir):
+    """Image dHash fingerprints from a REAL PNG decode (ops/
+    multimodal.py::perceptual_hash): channel-sum gray, nearest-neighbor
+    9x8 grid, left<right gradient bits packed into four 16-bit bands -
+    every step integer, so the oracle replays the hash from the
+    closed-form pixel pattern of _media_pngs. Any decode or sampling
+    bug flips bits and breaks the value hash."""
+    media = _media_pngs(_docs(spark, sf_dir).select("doc_id"))
+    return multimodal.perceptual_hash(media)
+
+
+def _q_media_phash_pairs(spark, sf_dir):
+    """Image near-duplicate pairs: the multimodal member of the dedup
+    tier family (ops/multimodal.py::perceptual_hash_pairs). 4x16-bit
+    Manku banding (exact for hamming<=3) + capped_bucket_pairs hot-
+    bucket guard + codegen bit_count verify - the same scale shape as
+    the text tiers, over genuinely decoded pixels."""
+    media = _media_pngs(_docs(spark, sf_dir).select("doc_id"))
+    return multimodal.perceptual_hash_pairs(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4025,6 +4050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_label_mi": _q_token_label_mi,
         "events_retention": _q_events_retention,
         "tpch_volume_shipping": _q_tpch_volume_shipping,
+        # --- session 5
+        "media_phash": _q_media_phash,
+        "media_phash_pairs": _q_media_phash_pairs,
     }
 
 
@@ -9865,6 +9893,76 @@ FROM iv a JOIN iv b
 """
 
 
+# ------------------------------------------------------- session-5 oracles
+
+# dHash replayed from the closed-form pixel pattern of _media_pngs:
+# pixel[y,x,c] = (x*3 + y*7 + c*11 + d) % 256, h = 8+(d%5)*4,
+# w = 8+((d//5)%5)*4. Gray = channel sum (three mod terms), samples at
+# nearest-neighbor grid (gy*h//8, gx*w//9), bit k=gy*8+gx set iff
+# gray < next gray in the row, packed MSB-first into 16-bit bands.
+_PHASH_CTE = """
+dims AS (SELECT doc_id AS media_id,
+                8 + (doc_id % 5) * 4 AS h,
+                8 + ((doc_id // 5) % 5) * 4 AS w
+         FROM documents),
+samp AS (SELECT media_id, gy, gx,
+                ((gx * w) // 9) * 3 + ((gy * h) // 8) * 7 + media_id AS t
+         FROM dims,
+              LATERAL unnest(generate_series(0, 7)) AS r(gy),
+              LATERAL unnest(generate_series(0, 8)) AS c(gx)),
+g AS (SELECT media_id, gy, gx,
+             t % 256 + (t + 11) % 256 + (t + 22) % 256 AS gray
+      FROM samp),
+bits AS (SELECT media_id, gy * 8 + gx AS k,
+                CASE WHEN gray < lead(gray) OVER
+                     (PARTITION BY media_id, gy ORDER BY gx)
+                     THEN 1 ELSE 0 END AS bit
+         FROM g QUALIFY gx <= 7),
+ph AS (SELECT media_id,
+              CAST(sum(CASE WHEN k // 16 = 0
+                   THEN bit * (1 << (15 - k % 16)) ELSE 0 END) AS BIGINT)
+                  AS b0,
+              CAST(sum(CASE WHEN k // 16 = 1
+                   THEN bit * (1 << (15 - k % 16)) ELSE 0 END) AS BIGINT)
+                  AS b1,
+              CAST(sum(CASE WHEN k // 16 = 2
+                   THEN bit * (1 << (15 - k % 16)) ELSE 0 END) AS BIGINT)
+                  AS b2,
+              CAST(sum(CASE WHEN k // 16 = 3
+                   THEN bit * (1 << (15 - k % 16)) ELSE 0 END) AS BIGINT)
+                  AS b3
+       FROM bits GROUP BY media_id)
+"""
+
+_MEDIA_PHASH_ORACLE = f"""
+WITH {_PHASH_CTE}
+SELECT media_id, b0, b1, b2, b3 FROM ph
+"""
+
+_MEDIA_PHASH_PAIRS_ORACLE = f"""
+WITH {_PHASH_CTE},
+bands AS (SELECT media_id, bd AS band,
+                 CASE bd WHEN 0 THEN b0 WHEN 1 THEN b1
+                         WHEN 2 THEN b2 ELSE b3 END AS bucket
+          FROM ph, LATERAL unnest(generate_series(0, 3)) AS u(bd)),
+sizes AS (SELECT band, bucket, count(*) AS bn FROM bands GROUP BY 1, 2),
+capped AS (SELECT b.media_id, b.band, b.bucket FROM bands b
+           JOIN sizes z ON z.band = b.band AND z.bucket = b.bucket
+           WHERE z.bn BETWEEN 2 AND 100),
+cand AS (SELECT DISTINCT l.media_id AS a, r.media_id AS b
+         FROM capped l JOIN capped r
+         ON l.band = r.band AND l.bucket = r.bucket
+            AND l.media_id < r.media_id),
+ham AS (SELECT c.a, c.b,
+        CAST(bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+           + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+             AS BIGINT) AS hamming
+        FROM cand c JOIN ph pa ON pa.media_id = c.a
+                    JOIN ph pb ON pb.media_id = c.b)
+SELECT a, b, hamming FROM ham WHERE hamming <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -10127,6 +10225,8 @@ FROM hashed
         "crawl_waterfill": _WATERFILL_ORACLE,
         "source_divergence": _SOURCE_JSD_ORACLE,
         "ql_search": _QL_SEARCH_ORACLE,
+        "media_phash": _MEDIA_PHASH_ORACLE,
+        "media_phash_pairs": _MEDIA_PHASH_PAIRS_ORACLE,
     }
 
 

@@ -309,3 +309,98 @@ def audio_frame_stats(media: DataFrame, frame_len: int = 160,
                                              AUDIO_FRAME_SCHEMA.fields])
 
     return media.mapInPandas(run, AUDIO_FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("b0", LongType(), False),
+    StructField("b1", LongType(), False),
+    StructField("b2", LongType(), False),
+    StructField("b3", LongType(), False),
+])
+
+
+def perceptual_hash(media: DataFrame, rows: int = 8,
+                    cols: int = 8) -> DataFrame:
+    """dHash (difference hash) over REALLY decoded pixels - the
+    image-side near-duplicate fingerprint (the standard pHash-family
+    scheme: same image re-encoded, re-filtered or lightly edited keeps
+    a hamming-close hash, while byte-level dedup sees nothing).
+
+    Deliberately integer-exact so a SQL twin can replay it from a
+    closed-form pixel pattern: gray = per-pixel CHANNEL SUM (no /3, no
+    luma floats), the ``rows x (cols+1)`` grid is NEAREST-NEIGHBOR
+    sampled at (i*h//rows, j*w//(cols+1)) (no interpolation), and bit
+    (i,j) = 1 iff gray[i,j] < gray[i,j+1], packed row-major MSB-first
+    into four 16-bit bands (b0..b3) - the banding
+    ``perceptual_hash_pairs`` joins on.
+
+    Scale shape: pure map-side Arrow-batched mapInPandas over the
+    binary column; emits 5 integers per image, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    n_bits = rows * cols
+    if n_bits % 4:
+        raise ValueError("rows*cols must split into 4 bands")
+    per = n_bits // 4
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(bytes(payload)).astype(np.int64)
+                gray = arr.sum(axis=2)
+                h, w = gray.shape
+                ys = (np.arange(rows) * h) // rows
+                xs = (np.arange(cols + 1) * w) // (cols + 1)
+                s = gray[np.ix_(ys, xs)]
+                bits = (s[:, :-1] < s[:, 1:]).astype(np.int64).ravel()
+                bands = []
+                for b in range(4):
+                    v = 0
+                    for bit in bits[b * per:(b + 1) * per]:
+                        v = v * 2 + int(bit)
+                    bands.append(v)
+                out.append((int(mid), *bands))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             PHASH_SCHEMA.fields])
+
+    return media.mapInPandas(run, PHASH_SCHEMA)
+
+
+def perceptual_hash_pairs(media: DataFrame, max_hamming: int = 3,
+                          max_bucket_size: int = 100) -> DataFrame:
+    """Image near-duplicate pairs (a < b, hamming) with dHash hamming
+    distance <= ``max_hamming``: the multimodal member of the dedup
+    tier family (MinHash/SimHash/embedding-cosine on text, this on
+    pixels).
+
+    Same scale shape as every near-dup tier (Manku WWW'07 banding): a
+    64-bit hash within hamming k of another must agree EXACTLY on one
+    of k+1 disjoint bands, so with 4 x 16-bit bands the scheme is
+    exact for max_hamming <= 3. Candidates = band equi-join with hot
+    buckets dropped before any member list materializes
+    (ops/dedup.py::capped_bucket_pairs); only candidates pay the exact
+    hamming check (bit_count over the four banded XORs, pure
+    codegen)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import capped_bucket_pairs
+
+    hashes = perceptual_hash(media)
+    bands = hashes.select(
+        F.col("media_id").alias("id"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3"))
+        .alias("band", "bucket"))
+    cands = capped_bucket_pairs(bands, max_bucket_size)
+    ha = hashes.select(F.col("media_id").alias("a"),
+                       *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)])
+    hb = hashes.select(F.col("media_id").alias("b"),
+                       *[F.col(f"b{i}").alias(f"b{i}_") for i in range(4)])
+    ham = sum(F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}_")))
+              for i in range(4))
+    return (cands.join(ha, "a").join(hb, "b")
+            .withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))

@@ -168,3 +168,56 @@ def test_audio_frame_stats_silence_runs(spark):
     assert (r.n_silent, r.max_silent_run) == (3, 2)
     assert r.peak == 1000
     assert r.energy_total == int((pcm.astype(np.int64) ** 2).sum())
+
+
+def _png_media(spark, rows):
+    return spark.createDataFrame(
+        [(i, "image", bytearray(codecs.encode_png(arr, row_filter=rf)),
+          arr.shape[1], arr.shape[0])
+         for i, arr, rf in rows], multimodal.MEDIA_SCHEMA)
+
+
+def test_perceptual_hash_known_gradients(spark):
+    # x-increasing ramp: every left<right comparison true -> all-ones
+    # bands; reversed ramp -> all-zeros. 9 columns so the 9 sample
+    # columns are exactly the 9 pixel columns.
+    x = np.tile(np.arange(9, dtype=np.uint8) * 20, (8, 1))
+    inc = np.repeat(x[:, :, None], 3, axis=2)
+    dec = np.repeat((180 - x)[:, :, None].astype(np.uint8), 3, axis=2)
+    out = {r.media_id: r for r in multimodal.perceptual_hash(
+        _png_media(spark, [(1, inc, 0), (2, dec, 1)])).collect()}
+    assert [out[1][f"b{i}"] for i in range(4)] == [65535] * 4
+    assert [out[2][f"b{i}"] for i in range(4)] == [0] * 4
+
+
+def test_perceptual_hash_reencode_invariant(spark):
+    # The point of a perceptual hash: identical pixels under different
+    # PNG row filters (different BYTES, different exact fingerprint)
+    # hash identically.
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    rows = [(i, arr, rf) for i, rf in enumerate((0, 1, 2))]
+    got = multimodal.perceptual_hash(_png_media(spark, rows)).collect()
+    sigs = {tuple(r[f"b{i}"] for i in range(4)) for r in got}
+    assert len(sigs) == 1
+
+
+def test_perceptual_hash_pairs_banding_exact(spark):
+    # A single-pixel edit on a sampled grid cell flips few bits: the
+    # banded join must still surface the pair (exactness for
+    # hamming<=3), while an unrelated random image stays unpaired.
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    near = base.copy()
+    near[3, 4, :] = 255 - near[3, 4, :]
+    far = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    media = _png_media(spark, [(1, base, 0), (2, near, 0), (3, far, 2)])
+    hashes = {r.media_id: r for r in
+              multimodal.perceptual_hash(media).collect()}
+    ham12 = sum(bin(hashes[1][f"b{i}"] ^ hashes[2][f"b{i}"]).count("1")
+                for i in range(4))
+    pairs = {(r.a, r.b): r.hamming
+             for r in multimodal.perceptual_hash_pairs(media).collect()}
+    if ham12 <= 3:
+        assert pairs[(1, 2)] == ham12
+    assert all(h <= 3 for h in pairs.values())
