@@ -3799,6 +3799,49 @@ def _q_media_phash(spark, sf_dir):
     return multimodal.perceptual_hash(media)
 
 
+def _q_dedup_bcubed(spark, sf_dir):
+    """B-cubed precision/recall/F1 (ops/cluster.py::bcubed) of the
+    end-to-end fuzzy dedup (dedup_resolution's transitive clusters)
+    against the GENERATOR's truth on the augmented corpus: gold
+    cluster = base id (d, its d+1e6 near-copy, and the d+2e6 exact
+    copy every 10th doc). The acceptance gate for dedup-tier changes -
+    a recall drop means missed duplicates, a precision drop means
+    over-merging. All integer ppm; the oracle replays the clusters via
+    the recursive-CTE closure and the same cell arithmetic. Runs on
+    the doc_id%5 stratum: the fixed-vocabulary synthetic corpus grows
+    near-dup cluster sizes with N, and the ORACLE's quadratic closure
+    (not the Spark side) needs the pair space bounded at sf1.0."""
+    sample = _augmented_docs(spark, sf_dir).filter(
+        F.col("doc_id") % 5 == 0)
+    res = dedup.dedup_resolution(sample, threshold=0.5)
+    assign = res.select(F.col("canonical_id").alias("pred"),
+                        (F.col("doc_id") % 1000000).alias("gold"))
+    return cluster.bcubed(assign)
+
+
+def _q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration curve (ops/quality.py::
+    isotonic_calibrate) per (doc_id div 12)%4 stratum (independent of the bin key - doc_id%4
+    would be a function of the bin) over 12 score bins with a
+    deliberately NON-monotone empirical rate (the bin target oscillates
+    via x*2 + (x%3)*3, forcing real pooling). Exact integer PAV -
+    cross-multiplied merge test, ppm floor output; the oracle computes
+    the same curve through the closed minimax formula
+    max_{j<=i} min_{k>=i} mean(j..k), which floor-scaling commutes
+    with."""
+    d = _docs(spark, sf_dir).select(
+        (F.expr("doc_id div 12") % 4).alias("grp"),
+        (F.col("doc_id") % 12).alias("x"),
+        F.when((F.col("doc_id") * 13 + 5) % 29
+               < ((F.col("doc_id") % 12) * 2
+                  + ((F.col("doc_id") % 12) % 3) * 3), 1)
+        .otherwise(0).alias("y"))
+    bins = d.groupBy("grp", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"))
+    return quality.isotonic_calibrate(bins)
+
+
 def _q_media_phash_pairs(spark, sf_dir):
     """Image near-duplicate pairs: the multimodal member of the dedup
     tier family (ops/multimodal.py::perceptual_hash_pairs). 4x16-bit
@@ -4053,6 +4096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- session 5
         "media_phash": _q_media_phash,
         "media_phash_pairs": _q_media_phash_pairs,
+        "dedup_bcubed": _q_dedup_bcubed,
+        "isotonic_calibration": _q_isotonic_calibration,
     }
 
 
@@ -9934,6 +9979,54 @@ ph AS (SELECT media_id,
        FROM bits GROUP BY media_id)
 """
 
+_DEDUP_BCUBED_ORACLE = f"""
+WITH pred AS ({{resolution}}),
+lab AS (SELECT canonical_id AS p, doc_id % 1000000 AS g FROM pred),
+np AS (SELECT p, count(*) AS sp FROM lab GROUP BY p),
+ng AS (SELECT g, count(*) AS sg FROM lab GROUP BY g),
+cells AS (SELECT p, g, count(*) AS c FROM lab GROUP BY p, g),
+contrib AS (SELECT c.c,
+                   (c.c * c.c * 1000000) // np.sp AS pc,
+                   (c.c * c.c * 1000000) // ng.sg AS rc
+            FROM cells c JOIN np ON np.p = c.p JOIN ng ON ng.g = c.g),
+agg AS (SELECT sum(c) AS n, sum(pc) AS psum, sum(rc) AS rsum
+        FROM contrib)
+SELECT CAST(n AS BIGINT) AS n_items,
+       CAST(psum // n AS BIGINT) AS b3_precision_ppm,
+       CAST(rsum // n AS BIGINT) AS b3_recall_ppm,
+       CAST(CASE WHEN psum // n + rsum // n > 0 THEN
+            2 * (psum // n) * (rsum // n) // (psum // n + rsum // n)
+            ELSE 0 END AS BIGINT) AS b3_f1_ppm
+FROM agg
+"""
+
+_ISOTONIC_ORACLE = """
+WITH raw AS (SELECT (doc_id // 12) % 4 AS grp, doc_id % 12 AS x,
+    CASE WHEN (doc_id * 13 + 5) % 29
+              < ((doc_id % 12) * 2 + ((doc_id % 12) % 3) * 3)
+         THEN 1 ELSE 0 END AS y
+  FROM documents),
+bins AS (SELECT grp, x, count(*) AS n, sum(y) AS pos,
+                row_number() OVER (PARTITION BY grp ORDER BY x) AS i
+         FROM raw GROUP BY grp, x),
+pre AS (SELECT grp, x, n, pos, i,
+               sum(n) OVER w AS cn, sum(pos) OVER w AS cp
+        FROM bins WINDOW w AS (PARTITION BY grp ORDER BY i)),
+seg AS (SELECT a.grp, a.i AS ji, b.i AS ki,
+               ((b.cp - a.cp + a.pos) * 1000000)
+                   // (b.cn - a.cn + a.n) AS ms
+        FROM pre a JOIN pre b ON a.grp = b.grp AND b.i >= a.i),
+inner_min AS (SELECT t.grp, t.i, s.ji, min(s.ms) AS mn
+              FROM bins t JOIN seg s
+              ON s.grp = t.grp AND s.ji <= t.i AND s.ki >= t.i
+              GROUP BY t.grp, t.i, s.ji),
+iso AS (SELECT grp, i, max(mn) AS rate_ppm
+        FROM inner_min GROUP BY grp, i)
+SELECT b.grp, b.x, CAST(b.n AS BIGINT) AS n, CAST(b.pos AS BIGINT) AS pos,
+       CAST(o.rate_ppm AS BIGINT) AS rate_ppm
+FROM bins b JOIN iso o ON o.grp = b.grp AND o.i = b.i
+"""
+
 _MEDIA_PHASH_ORACLE = f"""
 WITH {_PHASH_CTE}
 SELECT media_id, b0, b1, b2, b3 FROM ph
@@ -10225,8 +10318,17 @@ FROM hashed
         "crawl_waterfill": _WATERFILL_ORACLE,
         "source_divergence": _SOURCE_JSD_ORACLE,
         "ql_search": _QL_SEARCH_ORACLE,
+        "isotonic_calibration": _ISOTONIC_ORACLE,
         "media_phash": _MEDIA_PHASH_ORACLE,
         "media_phash_pairs": _MEDIA_PHASH_PAIRS_ORACLE,
+        # bcubed runs resolution on the doc_id%5 stratum: rewrite every
+        # base-table read in the embedded resolution oracle to the
+        # sampled subquery (6 occurrences: _AUG x2 + aug2 x3 + minhash).
+        "dedup_bcubed": _DEDUP_BCUBED_ORACLE.format(
+            resolution=_DEDUP_RESOLUTION_ORACLE.replace(
+                "FROM documents",
+                "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "
+                "documents")),
     }
 
 

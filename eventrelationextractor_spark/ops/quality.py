@@ -682,3 +682,63 @@ def kendall_tau(df: DataFrame, key_col: str, x_col: str, y_col: str,
                     F.coalesce("ties_y", F.lit(0)).cast("long")
                     .alias("ties_y"),
                     tau.alias("tau")))
+
+
+ISOTONIC_SCHEMA = ("grp long, x long, n long, pos long, "
+                   "rate_ppm long")
+
+
+def isotonic_calibrate(bins: DataFrame, group_col: str = "grp",
+                       x_col: str = "x", n_col: str = "n",
+                       pos_col: str = "pos") -> DataFrame:
+    """Isotonic (PAV) calibration per group over pre-aggregated score
+    bins -> (grp, x, n, pos, rate_ppm): the monotone-nondecreasing
+    rate curve closest (weighted least squares) to the empirical
+    per-bin positive rates. The standard scorer-calibration step
+    (Zadrozny & Elkan KDD'02) after the calibration-diagram telemetry
+    says a quality/spam scorer's raw scores aren't probabilities.
+
+    Pool-adjacent-violators with EXACT integer arithmetic: block means
+    are never materialized as floats - the merge test compares
+    pos_prev * n_cur >= pos_cur * n_prev (cross multiplication), and
+    adjacent equal-mean blocks DO merge (>=, not >), which makes the
+    blocking canonical. Emitted rate_ppm = block_pos * 10^6 div
+    block_n, which equals floor(10^6 * minimax value) - the SQL twin
+    computes it via the closed minimax formula max_{j<=i} min_{k>=i}
+    mean(y[j..k]) with the same floor scaling (floor is monotone, so
+    it commutes with the min/max).
+
+    Scale shape: input is one row per (group, bin) - statistic-scale
+    by construction (the caller aggregates raw rows first, one
+    partial-agged groupBy); the PAV itself is a per-group
+    applyInPandas over <= n_bins rows. No window over raw data, no
+    collect."""
+    import pandas as pd
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x").reset_index(drop=True)
+        # stack of blocks: [start_idx, n, pos]
+        blocks = []
+        for i in range(len(pdf)):
+            blocks.append([i, int(pdf["n"][i]), int(pdf["pos"][i])])
+            while (len(blocks) >= 2 and
+                   blocks[-2][2] * blocks[-1][1]
+                   >= blocks[-1][2] * blocks[-2][1]):
+                s, n2, p2 = blocks.pop()
+                blocks[-1][1] += n2
+                blocks[-1][2] += p2
+        rate = [0] * len(pdf)
+        bounds = [b[0] for b in blocks] + [len(pdf)]
+        for b, (s, n2, p2) in enumerate(blocks):
+            r = p2 * 1000000 // n2
+            for i in range(s, bounds[b + 1]):
+                rate[i] = r
+        out = pdf[["grp", "x", "n", "pos"]].copy()
+        out["rate_ppm"] = rate
+        return out
+
+    staged = bins.select(F.col(group_col).alias("grp"),
+                         F.col(x_col).alias("x"),
+                         F.col(n_col).alias("n"),
+                         F.col(pos_col).alias("pos"))
+    return staged.groupBy("grp").applyInPandas(pav, ISOTONIC_SCHEMA)

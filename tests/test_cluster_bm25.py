@@ -502,3 +502,30 @@ def test_query_likelihood_absent_corpus_term_dropped(spark):
     # no -inf anywhere; doc 0 ranks first on the remaining term
     assert all(r.score == r.score and r.score > -1e9 for r in out)
     assert out[0].doc_id == 0
+
+
+def test_bcubed_perfect_and_merged(spark):
+    from eventrelationextractor_spark.ops.cluster import bcubed
+    # perfect clustering: every metric = 1e6 exactly
+    rows = [(1, 10), (1, 10), (2, 20), (2, 20), (3, 30)]
+    perfect = spark.createDataFrame(
+        [(p, p * 10) for p, _ in [(r[0], 0) for r in rows]], "pred long, gold long")
+    got = bcubed(perfect).collect()[0]
+    assert (got.b3_precision_ppm, got.b3_recall_ppm, got.b3_f1_ppm) == \
+        (1000000, 1000000, 1000000)
+    # everything merged into one predicted cluster over 2 gold clusters
+    # of sizes 2 and 3: recall stays 1, precision = (2*2/5 + 3*3/5)/5
+    merged = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20), (1, 20), (1, 20)], "pred long, gold long")
+    got = bcubed(merged).collect()[0]
+    assert got.n_items == 5
+    assert got.b3_recall_ppm == 1000000
+    # per-cell micro-units: 4*1e6//5 + 9*1e6//5 = 800000+1800000, /5
+    assert got.b3_precision_ppm == (4 * 1000000 // 5 + 9 * 1000000 // 5) // 5
+    # over-splitting: each item its own cluster -> precision 1,
+    # recall = mean(1/|gold|) = (2*(1e6//2) + 3*(1e6//3))//5
+    split = spark.createDataFrame(
+        [(i, 10 if i < 2 else 20) for i in range(5)], "pred long, gold long")
+    got = bcubed(split).collect()[0]
+    assert got.b3_precision_ppm == 1000000
+    assert got.b3_recall_ppm == (2 * (1000000 // 2) + 3 * (1000000 // 3)) // 5

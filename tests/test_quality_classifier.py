@@ -402,3 +402,41 @@ def test_kendall_tau_tie_corrections(spark):
     assert (r.concordant, r.discordant, r.ties_x, r.ties_y) == (1, 0, 1, 1)
     # tau_b = 1 / sqrt((3-1)*(3-1)) = 0.5
     assert r.tau == 0.5
+
+
+def test_isotonic_calibrate_hand_case(spark):
+    from eventrelationextractor_spark.ops.quality import isotonic_calibrate
+    # rates 0.4, 0.2, 0.6: first two violate -> pool to 6/20 = 0.3
+    bins = spark.createDataFrame(
+        [(1, 0, 10, 4), (1, 1, 10, 2), (1, 2, 10, 6)],
+        "grp long, x long, n long, pos long")
+    got = {r.x: r.rate_ppm for r in isotonic_calibrate(bins).collect()}
+    assert got == {0: 300000, 1: 300000, 2: 600000}
+    # already monotone input is untouched
+    mono = spark.createDataFrame(
+        [(1, 0, 10, 1), (1, 1, 10, 5), (1, 2, 10, 9)],
+        "grp long, x long, n long, pos long")
+    got = {r.x: r.rate_ppm for r in isotonic_calibrate(mono).collect()}
+    assert got == {0: 100000, 1: 500000, 2: 900000}
+
+
+def test_isotonic_matches_minimax_bruteforce(spark):
+    from eventrelationextractor_spark.ops.quality import isotonic_calibrate
+    # adversarial zig-zag incl. equal-mean adjacent blocks and a zero bin
+    rows = [(7, x, n, p) for x, (n, p) in enumerate(
+        [(4, 2), (4, 2), (3, 0), (5, 5), (2, 1), (6, 1), (1, 1)])]
+    bins = spark.createDataFrame(rows, "grp long, x long, n long, pos long")
+    got = {r.x: r.rate_ppm for r in isotonic_calibrate(bins).collect()}
+    ns = [r[2] for r in rows]
+    ps = [r[3] for r in rows]
+    m = len(rows)
+    for i in range(m):
+        best = None
+        for j in range(i + 1):
+            worst = None
+            for k in range(i, m):
+                num, den = sum(ps[j:k + 1]), sum(ns[j:k + 1])
+                v = num * 1000000 // den
+                worst = v if worst is None else min(worst, v)
+            best = worst if best is None else max(best, worst)
+        assert got[i] == best, (i, got[i], best)
