@@ -3842,6 +3842,40 @@ def _q_isotonic_calibration(spark, sf_dir):
     return quality.isotonic_calibrate(bins)
 
 
+def _q_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrases (ops/mining.py::rake_keyphrases): top-3
+    stopword-delimited phrases per document by integer micro-score -
+    the model-free multi-word companion to textrank_keywords. The
+    oracle replays tokenization, the stopword-run segmentation
+    (cumulative-stopword window), freq/degree, and the floor-scaled
+    scoring."""
+    return mining.rake_keyphrases(_docs(spark, sf_dir))
+
+
+def _q_dedup_multitier(spark, sf_dir):
+    """Single resolution over ALL dedup tiers (ops/dedup.py::
+    multitier_resolution): exact fingerprint STAR edges + MinHash
+    Jaccard pairs + SimHash hamming pairs -> one connected-components
+    pass -> keep decision. Same doc_id%5 stratum as dedup_bcubed (the
+    ORACLE's recursive closure is quadratic in cluster size at sf1.0);
+    the oracle unions the three tiers' pair CTEs and re-derives the
+    clusters via transitive closure."""
+    sample = _augmented_docs(spark, sf_dir).filter(
+        F.col("doc_id") % 5 == 0)
+    return dedup.multitier_resolution(sample, threshold=0.5)
+
+
+def _q_link_rings(spark, sf_dir):
+    """Directed link-ring detection (ops/graph.py::bounded_rings) over
+    the synthetic crawl graph: nodes mutually reachable within 3 hops
+    clustered into rings - the link-exchange/PBN signal undirected CC
+    cannot see (it merges on ANY path, direction ignored). The oracle
+    replays the bounded reachability as a depth-capped recursive CTE,
+    the mutual join, and the ring clusters via transitive closure."""
+    e, _nodes = _link_edges(spark, sf_dir)
+    return graph.bounded_rings(e, k=3)
+
+
 def _q_media_phash_pairs(spark, sf_dir):
     """Image near-duplicate pairs: the multimodal member of the dedup
     tier family (ops/multimodal.py::perceptual_hash_pairs). 4x16-bit
@@ -4098,6 +4132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_pairs": _q_media_phash_pairs,
         "dedup_bcubed": _q_dedup_bcubed,
         "isotonic_calibration": _q_isotonic_calibration,
+        "rake_keyphrases": _q_rake_keyphrases,
+        "dedup_multitier": _q_dedup_multitier,
+        "link_rings": _q_link_rings,
     }
 
 
@@ -10027,6 +10064,96 @@ SELECT b.grp, b.x, CAST(b.n AS BIGINT) AS n, CAST(b.pos AS BIGINT) AS pos,
 FROM bins b JOIN iso o ON o.grp = b.grp AND o.i = b.i
 """
 
+_RAKE_ORACLE = """
+WITH toks0 AS (SELECT doc_id, u.w AS w, u.pos AS pos FROM documents,
+        LATERAL unnest(list_transform(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+            (x, i) -> {'w': x, 'pos': i})) AS sub(u)),
+toks AS (SELECT doc_id, w, pos,
+                CASE WHEN w IN ('a', 'the', 'and', 'of', 'is', 'to') THEN 1 ELSE 0 END AS st,
+                sum(CASE WHEN w IN ('a', 'the', 'and', 'of', 'is', 'to') THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         FROM toks0 WHERE w <> ''),
+wp AS (SELECT *, count(*) OVER (PARTITION BY doc_id, g) AS plen
+       FROM toks WHERE st = 0),
+wstat AS (SELECT doc_id, w, count(*) AS freq, sum(plen) AS degree
+          FROM wp GROUP BY doc_id, w),
+scored AS (SELECT wp.doc_id, wp.g, wp.pos, wp.w,
+                  (s.degree * 1000000) // s.freq AS wscore
+           FROM wp JOIN wstat s
+           ON s.doc_id = wp.doc_id AND s.w = wp.w),
+ph AS (SELECT doc_id, g, string_agg(w, ' ' ORDER BY pos) AS phrase,
+              sum(wscore) AS score_micro
+       FROM scored GROUP BY doc_id, g),
+dist AS (SELECT DISTINCT doc_id, phrase, score_micro FROM ph)
+SELECT doc_id, phrase, CAST(score_micro AS BIGINT) AS score_micro,
+       CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score_micro DESC, phrase) AS BIGINT) AS rank
+FROM dist
+QUALIFY row_number() OVER (PARTITION BY doc_id
+        ORDER BY score_micro DESC, phrase) <= 3
+"""
+
+_MULTITIER_ORACLE = f"""
+WITH RECURSIVE
+mh AS (SELECT a, b FROM ({_MINHASH_ORACLE}) mhq),
+sh AS (SELECT a, b FROM ({_SIMHASH_PAIRS_ORACLE}) shq),
+{_AUG},
+fp AS (SELECT doc_id, md5({_NORM}) AS fingerprint FROM aug),
+mins AS (SELECT fingerprint, min(doc_id) AS mn FROM fp
+         GROUP BY fingerprint),
+star AS (SELECT m.mn AS a, f.doc_id AS b
+         FROM fp f JOIN mins m USING (fingerprint)
+         WHERE f.doc_id <> m.mn),
+allp AS (SELECT a, b FROM star
+         UNION SELECT a, b FROM mh
+         UNION SELECT a, b FROM sh),
+edges AS (SELECT a, b FROM allp UNION SELECT b, a FROM allp),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+canon AS (SELECT src AS v, least(src, min(dst)) AS c
+          FROM reach GROUP BY src),
+aug2 AS (SELECT doc_id FROM documents
+         UNION ALL SELECT doc_id + 1000000 FROM documents
+         UNION ALL SELECT doc_id + 2000000 FROM documents
+         WHERE doc_id % 10 = 0)
+SELECT a2.doc_id, coalesce(c.c, a2.doc_id) AS canonical_id,
+       coalesce(c.c, a2.doc_id) = a2.doc_id AS is_kept
+FROM aug2 a2 LEFT JOIN canon c ON c.v = a2.doc_id
+"""
+
+_LINK_RINGS_ORACLE = """
+WITH RECURSIVE
+params AS (SELECT count(*) AS n FROM documents),
+linked AS (SELECT doc_id AS s FROM documents WHERE doc_id % 17 <> 0),
+e AS (SELECT s AS u, (s * 7 + 1) % n AS v FROM linked, params
+      UNION ALL SELECT s, (s * 13 + 3) % n FROM linked, params),
+reach(u, v, d) AS (
+  SELECT DISTINCT u, v, 1 FROM e
+  UNION
+  SELECT r.u, e.v, r.d + 1 FROM reach r JOIN e ON e.u = r.v
+  WHERE r.d < 3
+),
+rr AS (SELECT DISTINCT u, v FROM reach),
+mutual AS (SELECT a.u AS a, a.v AS b FROM rr a JOIN rr b
+           ON b.u = a.v AND b.v = a.u WHERE a.u < a.v),
+medges AS (SELECT a, b FROM mutual UNION SELECT b, a FROM mutual),
+closure(src, dst) AS (
+  SELECT a, b FROM medges
+  UNION
+  SELECT c.src, m.b FROM closure c JOIN medges m ON m.a = c.dst
+),
+canon AS (SELECT src AS node, least(src, min(dst)) AS ring_id
+          FROM closure GROUP BY src),
+sizes AS (SELECT ring_id, count(*) AS ring_size FROM canon
+          GROUP BY ring_id)
+SELECT c.node, c.ring_id, CAST(s.ring_size AS BIGINT) AS ring_size
+FROM canon c JOIN sizes s USING (ring_id) WHERE s.ring_size > 1
+"""
+
 _MEDIA_PHASH_ORACLE = f"""
 WITH {_PHASH_CTE}
 SELECT media_id, b0, b1, b2, b3 FROM ph
@@ -10319,6 +10446,12 @@ FROM hashed
         "source_divergence": _SOURCE_JSD_ORACLE,
         "ql_search": _QL_SEARCH_ORACLE,
         "isotonic_calibration": _ISOTONIC_ORACLE,
+        "rake_keyphrases": _RAKE_ORACLE,
+        "link_rings": _LINK_RINGS_ORACLE,
+        "dedup_multitier": _MULTITIER_ORACLE.replace(
+            "FROM documents",
+            "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "
+            "documents"),
         "media_phash": _MEDIA_PHASH_ORACLE,
         "media_phash_pairs": _MEDIA_PHASH_PAIRS_ORACLE,
         # bcubed runs resolution on the doc_id%5 stratum: rewrite every

@@ -1150,3 +1150,52 @@ def novelty_scores(new_docs: DataFrame, ref_docs: DataFrame,
                     F.when(F.col("n_shingles") > 0,
                            F.expr("(1000000 * n_novel) div n_shingles"))
                     .cast("long").alias("novelty_ppm")))
+
+
+def multitier_resolution(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 3,
+                         threshold: float = 0.5,
+                         max_hamming: int = 3) -> DataFrame:
+    """ONE dedup resolution over EVERY tier's evidence: exact
+    fingerprint groups + MinHash-verified Jaccard pairs + SimHash
+    hamming pairs feed a single connected-components pass -> (id,
+    canonical_id, is_kept). This is how production dedup actually
+    ships: each tier catches duplicates the others miss (byte-level
+    re-uploads / shingle-level paraphrases / bit-level templating),
+    and the keep decision must be made once over the union or the
+    tiers disagree about survivors.
+
+    The exact tier contributes STAR edges (group-min -> member), not
+    within-group all-pairs: for connected components the star is
+    equivalent and linear in group size, so a pathological exact-dup
+    group (the hottest real-world skew: one boilerplate page uploaded
+    a million times) costs O(n) edges instead of O(n^2). The fuzzy
+    tiers keep their capped-bucket candidate generation; CC is the
+    pointer-jumping loop from spark/kg.py (O(log diameter) rounds)."""
+    from ..spark.kg import connected_components
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(normalized_text(F.col(text_col))).alias("fingerprint"))
+    mins = keyed.groupBy("fingerprint").agg(F.min(id_col).alias("mn"))
+    star = (keyed.join(mins, "fingerprint")
+            .filter(F.col(id_col) != F.col("mn"))
+            .select(F.col("mn").alias("a"), F.col(id_col).alias("b")))
+    mh = jaccard_pairs(df, id_col, text_col, k, threshold) \
+        .select("a", "b")
+    sh = simhash_neardup(df, id_col, text_col,
+                         max_hamming=max_hamming).select("a", "b")
+    pairs = star.unionByName(mh).unionByName(sh)
+    pad = 12
+    edges = pairs.select(
+        F.lpad(F.col("a").cast("string"), pad, "0").alias("src"),
+        F.lpad(F.col("b").cast("string"), pad, "0").alias("dst"))
+    comp = connected_components(edges)
+    canon = comp.select(
+        F.col("vertex").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("canonical_id"))
+    return (df.select(id_col).join(canon, id_col, "left")
+            .select(id_col,
+                    F.coalesce("canonical_id", F.col(id_col))
+                    .alias("canonical_id"))
+            .withColumn("is_kept",
+                        F.col("canonical_id") == F.col(id_col)))

@@ -1027,3 +1027,52 @@ def clustering_coefficients(edges: DataFrame, nodes: DataFrame | None = None,
                            F.expr("(2 * n_triangles * 1000000) div "
                                   "(degree * (degree - 1))"))
                     .otherwise(F.lit(0)).cast("long").alias("cc_ppm")))
+
+
+def bounded_rings(edges: DataFrame, k: int = 3, src_col: str = "src",
+                  dst_col: str = "dst") -> DataFrame:
+    """Link-ring detection over a DIRECTED graph: nodes mutually
+    reachable within ``k`` hops are grouped into rings (connected
+    components over the mutual-reachability pairs) -> (node, ring_id,
+    ring_size) for rings of size > 1. The spam-fighting primitive the
+    undirected suite can't express: link exchanges and PBN rings are
+    SHORT directed cycles (A->B->C->A), invisible to connected
+    components (which merges everything the moment any path exists,
+    direction ignored) and diluted in PageRank. Bounded-hop mutuality
+    is the honest tractable contract: real rings are tight, and k caps
+    both semantics and cost (full SCC over adversarial diameters needs
+    a different engine-level algorithm).
+
+    Scale shape: k-1 self-joins expand the frontier (each round
+    DISTINCT-deduped, so growth is bounded by reachable-set size, ~
+    out_degree^k); mutual pairs = one self-join of the reach relation
+    on the swapped key; clusters via the pointer-jumping CC
+    (O(log diameter) rounds). No window over raw edges, no collect;
+    every join is a keyed equi-join (broadcast only if AQE proves the
+    side small - reach relations are corpus-scale by construction, so
+    nothing is pinned broadcast)."""
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    reach = e.distinct()
+    frontier = reach
+    for _ in range(k - 1):
+        frontier = (frontier.join(e.withColumnRenamed("u", "v2")
+                                  .withColumnRenamed("v", "w"),
+                                  F.col("v") == F.col("v2"))
+                    .select("u", F.col("w").alias("v")).distinct())
+        reach = reach.unionByName(frontier).distinct()
+    swapped = reach.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    mutual = (reach.join(swapped, ["u", "v"])
+              .filter(F.col("u") < F.col("v")))
+    from ..spark.kg import connected_components
+    pad = 12
+    cedges = mutual.select(
+        F.lpad(F.col("u").cast("string"), pad, "0").alias("src"),
+        F.lpad(F.col("v").cast("string"), pad, "0").alias("dst"))
+    comp = connected_components(cedges)
+    labeled = comp.select(F.col("vertex").cast("long").alias("node"),
+                          F.col("component").cast("long").alias("ring_id"))
+    sizes = labeled.groupBy("ring_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ring_size"))
+    return (labeled.join(sizes, "ring_id")
+            .filter(F.col("ring_size") > 1)
+            .select("node", "ring_id", "ring_size"))

@@ -238,3 +238,66 @@ def pareto_front(df: DataFrame, x_col: str, y_col: str,
                      (F.col("_gx") > F.col("_prev")))
              .select(*gcols, x_col, F.col("_gx").alias(y_col)))
     return df.join(front, gcols + [x_col, y_col])
+
+
+RAKE_STOPWORDS = ("a", "the", "and", "of", "is", "to")
+
+
+def rake_keyphrases(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    stopwords: tuple = RAKE_STOPWORDS,
+                    k: int = 3) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) -> top-``k``
+    phrases per document with (phrase, score_micro, rank): candidate
+    phrases are maximal stopword-free token runs; word score =
+    degree/freq where freq counts the word's occurrences in the
+    document's candidates and degree additionally credits
+    co-occurrence (sum of lengths of the phrases it appears in);
+    phrase score = sum of member-token scores. The model-free
+    keyphrase baseline next to TextRank (which ranks single terms via
+    the co-occurrence graph) - RAKE surfaces multi-word phrases with
+    zero iteration.
+
+    Integer-exact cross-engine: word score = degree * 10^6 div freq
+    (floor), phrase score = integer SUM of member micro-scores (merge
+    order cannot move it); identical phrase instances in one document
+    collapse before ranking (they tie exactly by construction), and
+    the final rank breaks ties (score desc, phrase asc) - fully
+    deterministic.
+
+    Scale shape: one posexplode + a per-DOCUMENT cumulative-sum window
+    (partition = doc_id, bounded by document length - never a global
+    sort), two partial-agged groupBys for freq/degree at (doc, word)
+    cardinality, one join back on (doc, phrase-run), top-k via
+    per-doc row_number."""
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.posexplode(F.split(F.lower(F.col(text_col)),
+                                           "[^a-z0-9]+"))
+                      .alias("pos", "w"))
+            .filter(F.col("w") != ""))
+    is_stop = F.col("w").isin(*stopwords)
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    toks = toks.withColumn("g", F.sum(is_stop.cast("long")).over(win))
+    words = toks.filter(~is_stop)
+    plen = Window.partitionBy("doc_id", "g")
+    words = words.withColumn("plen", F.count(F.lit(1)).over(plen))
+    wstat = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"))
+    scored = words.join(wstat, ["doc_id", "w"]).withColumn(
+        "wscore", F.expr("degree * 1000000 div freq"))
+    phrases = (scored.groupBy("doc_id", "g")
+               .agg(F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list(
+                                F.struct("pos", "w"))),
+                            lambda s: s["w"]), " ").alias("phrase"),
+                    F.sum("wscore").alias("score_micro"))
+               .select("doc_id", "phrase", "score_micro").distinct())
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("phrase"))
+    return (phrases.withColumn("rank", F.row_number().over(rk))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "phrase",
+                    F.col("score_micro").cast("long").alias("score_micro"),
+                    F.col("rank").cast("long").alias("rank")))

@@ -606,3 +606,31 @@ def test_hyperball_clique_saturates(spark):
     assert one == three
     # all six sketches merged the same 6-element set -> identical
     assert len({c for _, c, _ in one}) == 1
+
+
+def test_bounded_rings_directed_semantics(spark):
+    from eventrelationextractor_spark.ops.graph import bounded_rings
+    # triangle 1->2->3->1 (ring), 2-cycle 10<->11 (ring), chain 20->21
+    # (no ring), and 30->1 feeding the triangle (path in, no way back)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10), (20, 21), (30, 1)],
+        "src long, dst long")
+    got = {r.node: (r.ring_id, r.ring_size)
+           for r in bounded_rings(edges, k=3).collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3),
+                   10: (10, 2), 11: (10, 2)}
+
+
+def test_bounded_rings_hop_cap_is_the_contract(spark):
+    from eventrelationextractor_spark.ops.graph import bounded_rings
+    # 4-cycle: opposite corners need 2 hops each way, adjacent nodes
+    # need 1 + 3. k=3 sees the whole ring; k=2 sees only the diagonals.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    full = bounded_rings(edges, k=3).collect()
+    assert {r.node for r in full} == {1, 2, 3, 4}
+    assert all(r.ring_size == 4 for r in full)
+    half = bounded_rings(edges, k=2).collect()
+    assert {(r.node, r.ring_size) for r in half} == {
+        (1, 2), (3, 2), (2, 2), (4, 2)}
+    assert {r.node: r.ring_id for r in half} == {1: 1, 3: 1, 2: 2, 4: 2}

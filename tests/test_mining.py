@@ -135,3 +135,27 @@ def test_pareto_single_row_and_collinear(spark):
     # strictly increasing on both axes -> only the max survives
     rows = [(i, "a", i, i) for i in range(5)]
     assert _front(spark, rows) == [4]
+
+
+def test_rake_keyphrases_hand_case(spark):
+    from eventrelationextractor_spark.ops.mining import rake_keyphrases
+    df = spark.createDataFrame(
+        [(1, "deep learning of deep deep models the fast track")],
+        "doc_id long, text string")
+    got = [(r.phrase, r.score_micro, r.rank)
+           for r in rake_keyphrases(df).orderBy("rank").collect()]
+    # freq(deep)=3, degree(deep)=2+3+3=8 -> 2666666; models 3/1; rest 2/1
+    assert got == [("deep deep models", 2666666 * 2 + 3000000, 1),
+                   ("deep learning", 2666666 + 2000000, 2),
+                   ("fast track", 4000000, 3)]
+
+
+def test_rake_duplicate_phrase_instances_collapse(spark):
+    from eventrelationextractor_spark.ops.mining import rake_keyphrases
+    df = spark.createDataFrame(
+        [(1, "fast track the fast track the slow lane")],
+        "doc_id long, text string")
+    rows = rake_keyphrases(df, k=10).collect()
+    phrases = [r.phrase for r in rows]
+    assert phrases.count("fast track") == 1
+    assert len(rows) == 2

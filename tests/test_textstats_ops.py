@@ -497,3 +497,23 @@ def test_source_js_divergence_zero_for_single_source(spark):
                                "doc_id long, source string, text string")
     r = textstats.source_js_divergence(df).collect()[0]
     assert r.jsd == 0.0 and r.overlap_q == 1.0
+
+
+def test_multitier_resolution_chains_tiers(spark):
+    """A byte-exact copy (exact tier) of a near-duplicate (jaccard
+    tier) must land in ONE cluster even though no single tier links
+    the endpoints directly."""
+    from eventrelationextractor_spark.ops.dedup import multitier_resolution
+    base = "key agg row scan slow fast table value part hash merge"
+    df = spark.createDataFrame(
+        [(1, base),
+         (2, base + " extra"),      # near-dup of 1 (jaccard tier)
+         (3, base + " extra"),      # exact copy of 2 (exact tier)
+         (9, "completely different words about nothing shared here")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.canonical_id, r.is_kept)
+           for r in multitier_resolution(df).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)
+    assert got[9] == (9, True)
