@@ -555,3 +555,22 @@ def test_prefix_filter_model_join_is_hash(spark):
     # broadcast planner (the sf1.0 driver-OOM regression guard)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_session8_new_shapes_no_nested_loops(spark):
+    """Round-4 session-8 shapes: the perceptual-hash band join + verify,
+    the multi-tier pair union feeding CC, bounded_rings' frontier
+    self-joins + mutual join, RAKE's freq/degree join-back, and the
+    B-cubed cell/size joins must all stay keyed equi-joins - never a
+    loop join. isotonic_calibration is a per-group applyInPandas over
+    bin rows (no join at all) and is asserted loop-free too."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    for name in ["media_phash_pairs", "dedup_multitier", "link_rings",
+                 "rake_keyphrases", "dedup_bcubed",
+                 "isotonic_calibration"]:
+        plan = _physical(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -392,6 +392,31 @@ def main() -> None:
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
+    p = add("media_phash_pairs (image near-dup: decode + banded join)",
+            qs["media_phash_pairs"](spark, sf),
+            "The decode+hash stage is ONE map-side Arrow mapInPandas "
+            "over the binary column (5 integers out per image - "
+            "payloads never shuffle); candidates come from the 4x16-bit "
+            "band equi-join with the shared capped_bucket_pairs "
+            "hot-bucket guard, and only candidates pay the codegen "
+            "bit_count verify. Same scale shape as the text dedup "
+            "tiers, pixels instead of shingles.", max_lines=120)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = add("link_rings (bounded directed mutual reachability)",
+            qs["link_rings"](spark, sf),
+            "k-1 DISTINCT-deduped frontier self-joins expand "
+            "reachability (growth bounded by out_degree^k, never the "
+            "transitive closure), mutuality is one self-join on the "
+            "swapped key, clusters ride the plan-truncating "
+            "pointer-jumping CC - the visible plan is the post-"
+            "checkpoint size join-back. All equi-joins; reach "
+            "relations are corpus-scale so nothing is pinned "
+            "broadcast.", max_lines=120)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
     doc_scan = spark.read.parquet(os.path.join(sf, "documents.parquet")) \
         .select("doc_id")
     p = formatted(doc_scan)
