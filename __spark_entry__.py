@@ -3876,6 +3876,28 @@ def _q_link_rings(spark, sf_dir):
     return graph.bounded_rings(e, k=3)
 
 
+def _q_kanon_generalize(spark, sf_dir):
+    """Full-domain k-anonymity generalization (ops/maintenance.py::
+    kanon_generalize): the zipc quasi-identifier walks the ladder
+    exact -> div 10 -> div 100 -> constant and the release lands at
+    the minimal level where every group reaches k=5 - the constructive
+    companion to kanon_suppress/l-diversity/t-closeness. The oracle
+    replays every level's counts and the argmin level choice."""
+    base = _docs(spark, sf_dir).select(
+        (F.lit(10000) + (F.col("doc_id") * 37) % 900).alias("zipc"))
+    return maintenance.kanon_generalize(
+        base, ["zipc", "zipc div 10", "zipc div 100", "0"], k=5)
+
+
+def _q_embedding_kcenter(spark, sf_dir):
+    """Farthest-first k-center selection trace (ops/cluster.py::
+    kcenter_select) over the embeddings table: 6 maximally spread
+    vectors, ranked-float discipline (6dp-rounded squared L2 + id
+    tie-break). The oracle replays the greedy chain as chained CTEs -
+    same argmax, same full-precision least() accumulation."""
+    return cluster.kcenter_select(_emb(spark, sf_dir), k=6)
+
+
 def _q_media_phash_pairs(spark, sf_dir):
     """Image near-duplicate pairs: the multimodal member of the dedup
     tier family (ops/multimodal.py::perceptual_hash_pairs). 4x16-bit
@@ -4135,6 +4157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keyphrases": _q_rake_keyphrases,
         "dedup_multitier": _q_dedup_multitier,
         "link_rings": _q_link_rings,
+        "kanon_generalize": _q_kanon_generalize,
+        "embedding_kcenter": _q_embedding_kcenter,
     }
 
 
@@ -10154,6 +10178,54 @@ SELECT c.node, c.ring_id, CAST(s.ring_size AS BIGINT) AS ring_size
 FROM canon c JOIN sizes s USING (ring_id) WHERE s.ring_size > 1
 """
 
+_KANON_GENERALIZE_ORACLE = """
+WITH base AS (SELECT 10000 + (doc_id * 37) % 900 AS zipc
+              FROM documents),
+per AS (
+  SELECT CAST(zipc AS VARCHAR) AS qi, count(*) AS n, 0 AS level
+  FROM base GROUP BY 1
+  UNION ALL
+  SELECT CAST(zipc // 10 AS VARCHAR), count(*), 1 FROM base GROUP BY 1
+  UNION ALL
+  SELECT CAST(zipc // 100 AS VARCHAR), count(*), 2 FROM base GROUP BY 1
+  UNION ALL
+  SELECT CAST(0 AS VARCHAR), count(*), 3 FROM base),
+mins AS (SELECT level, min(n) AS mn FROM per GROUP BY level),
+chosen AS (SELECT coalesce(min(level) FILTER (WHERE mn >= 5), 3)
+               AS level FROM mins)
+SELECT p.qi, CAST(p.n AS BIGINT) AS n, CAST(p.level AS BIGINT) AS level
+FROM per p JOIN chosen c ON c.level = p.level
+"""
+
+def _kcenter_oracle(k: int = 6) -> str:
+    """Chained-CTE replay of kcenter_select's greedy trace (the kmeans
+    oracle pattern): s1 = min id, then per round the argmax of the
+    6dp-rounded running min-distance, accumulated in full precision."""
+    ctes = ["""e AS (SELECT vec_id AS id,
+      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)""",
+            "s1 AS (SELECT id, v FROM e ORDER BY id LIMIT 1)",
+            "d1 AS (SELECT e.id, e.v, pow(list_distance(e.v, s1.v), 2)"
+            " AS dm FROM e, s1)"]
+    sel = ["SELECT 1 AS rank, id AS vec_id, 0.0 AS dist6 FROM s1"]
+    excl = "SELECT id FROM s1"
+    for r in range(2, k + 1):
+        prev = f"d{r - 1}"
+        ctes.append(
+            f"p{r} AS (SELECT id, v, round(dm, 6) AS d6 FROM {prev} "
+            f"WHERE id NOT IN ({excl}) "
+            f"ORDER BY round(dm, 6) DESC, id LIMIT 1)")
+        if r < k:
+            ctes.append(
+                f"d{r} AS (SELECT d.id, d.v, least(d.dm, "
+                f"pow(list_distance(d.v, p{r}.v), 2)) AS dm "
+                f"FROM {prev} d, p{r})")
+        sel.append(f"SELECT {r} AS rank, id AS vec_id, d6 AS dist6"
+                   f" FROM p{r}")
+        excl += f" UNION SELECT id FROM p{r}"
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
 _MEDIA_PHASH_ORACLE = f"""
 WITH {_PHASH_CTE}
 SELECT media_id, b0, b1, b2, b3 FROM ph
@@ -10448,6 +10520,8 @@ FROM hashed
         "isotonic_calibration": _ISOTONIC_ORACLE,
         "rake_keyphrases": _RAKE_ORACLE,
         "link_rings": _LINK_RINGS_ORACLE,
+        "kanon_generalize": _KANON_GENERALIZE_ORACLE,
+        "embedding_kcenter": _kcenter_oracle(6),
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

@@ -242,3 +242,51 @@ def bcubed(assign: DataFrame, pred_col: str = "pred",
         "CAST(CASE WHEN psum div n + rsum div n > 0 THEN "
         "2 * (psum div n) * (rsum div n) div (psum div n + rsum div n) "
         "ELSE 0 END AS BIGINT) AS b3_f1_ppm")
+
+
+def kcenter_select(emb: DataFrame, k: int = 6, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Farthest-first traversal (Gonzalez 1985; the 2-approximation to
+    k-center) -> the selection trace (rank, vec_id, dist6): greedy
+    max-coverage picking of ``k`` maximally spread vectors - the
+    diversity/coreset sampler (seed eval sets, kmeans++-style inits,
+    'cover the embedding space with k probes') that complements
+    similarity-driven selection everywhere else in the suite.
+
+    Determinism contract (the suite's ranked-float discipline): start
+    at the MINIMUM id; each round picks argmax of the 6dp-ROUNDED
+    squared-L2 distance to the nearest already-selected center, id
+    ascending on ties; distances accumulate as full-precision
+    least(...) chains and round only at pick time - the DuckDB twin
+    replays the same chain as k-1 chained CTEs. dist6 of rank 1 is
+    0.0 by definition.
+
+    Scale shape: each round is ONE distributed scan (the running
+    min-distance column extends by a single zip_with fold against the
+    newest center, a 64-double literal) + a TakeOrdered(1); the only
+    collects are the k 1-row picks - model-scale, like kmeans'
+    centroid gather. O(k) passes, no pairwise blowup, no window."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("id"), vec.alias("v"))
+
+    def l2sq(vlit):
+        arr = F.array(*[F.lit(float(x)) for x in vlit])
+        return F.aggregate(F.zip_with("v", arr,
+                                      lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    first = base.orderBy("id").limit(1).collect()[0]
+    picked = [(1, int(first.id), 0.0)]
+    chosen_ids = [int(first.id)]
+    cur = base.withColumn("dm", l2sq(first.v))
+    for rank in range(2, k + 1):
+        top = (cur.filter(~F.col("id").isin(chosen_ids))
+               .select("id", "v", F.round("dm", 6).alias("d6"))
+               .orderBy(F.col("d6").desc(), F.col("id"))
+               .limit(1).collect()[0])
+        picked.append((rank, int(top.id), float(top.d6)))
+        chosen_ids.append(int(top.id))
+        cur = cur.withColumn("dm", F.least(F.col("dm"), l2sq(top.v)))
+    spark = emb.sparkSession
+    return spark.createDataFrame(picked, "rank long, vec_id long, "
+                                         "dist6 double")

@@ -292,3 +292,40 @@ def zone_map_prune(df: DataFrame, layout_col: str, file_col: str,
         "layout", "file_id", "n_rows", "min_v", "max_v",
         ((F.col("min_v") < F.lit(int(hi)))
          & (F.col("max_v") >= F.lit(int(lo)))).alias("survives"))
+
+
+def kanon_generalize(df: DataFrame, level_exprs: list,
+                     k: int = 5) -> DataFrame:
+    """Full-domain k-anonymity GENERALIZATION (Samarati/Sweeney): walk
+    a coarsening ladder of quasi-identifier expressions (level 0 =
+    exact value ... last = coarsest) and release group counts at the
+    MINIMAL level where EVERY group reaches size >= ``k`` -> (qi, n,
+    level). The constructive half of the privacy family next to
+    kanon_suppress (which drops small groups at a fixed granularity,
+    costing rows; generalization keeps every row, costing precision).
+    Falls back to the coarsest level when none satisfies.
+
+    ``level_exprs`` are Spark SQL expression strings (integer
+    arithmetic only - the cross-engine `div` discipline); the DuckDB
+    oracle mirrors each level in its own dialect.
+
+    Scale shape: one partial-agged groupBy per level over the raw
+    rows (levels are few and fixed; for strictly NESTED hierarchies -
+    zip -> zip//10 -> zip//100 - a single ROLLUP pass computes every
+    level at once, noted here for the 100-TB path), a level-cardinality
+    min aggregation, and a 1-row broadcast join to select the chosen
+    level. No collect, no window over raw rows."""
+    per = None
+    for lvl, ex in enumerate(level_exprs):
+        g = (df.groupBy(F.expr(ex).cast("string").alias("qi"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("level", F.lit(lvl)))
+        per = g if per is None else per.unionByName(g)
+    mins = per.groupBy("level").agg(F.min("n").alias("min_n"))
+    chosen = (mins.filter(F.col("min_n") >= k)
+              .agg(F.min("level").alias("lvl"))
+              .select(F.coalesce("lvl", F.lit(len(level_exprs) - 1))
+                      .alias("level")))
+    return (per.join(F.broadcast(chosen), "level")
+            .select("qi", F.col("n").cast("long").alias("n"),
+                    F.col("level").cast("long").alias("level")))

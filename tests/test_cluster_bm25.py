@@ -529,3 +529,23 @@ def test_bcubed_perfect_and_merged(spark):
     got = bcubed(split).collect()[0]
     assert got.b3_precision_ppm == 1000000
     assert got.b3_recall_ppm == (2 * (1000000 // 2) + 3 * (1000000 // 3)) // 5
+
+
+def test_kcenter_select_planted_geometry(spark):
+    """Three tight planted blobs + the min-id start: the first three
+    picks must visit all three blobs before any within-blob pick."""
+    from eventrelationextractor_spark.ops.cluster import kcenter_select
+    import itertools
+    blobs = {0: [0.0, 0.0], 1: [10.0, 0.0], 2: [0.0, 10.0]}
+    rows = []
+    for vid, (b, jitter) in enumerate(itertools.product(range(3),
+                                                        range(4))):
+        cx, cy = blobs[b]
+        rows.append((vid, [cx + jitter * 0.01, cy - jitter * 0.01], b))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = kcenter_select(emb, k=3).orderBy("rank").collect()
+    assert got[0].vec_id == 0 and got[0].dist6 == 0.0
+    picked_blobs = [rows[r.vec_id][2] for r in got]
+    assert sorted(picked_blobs) == [0, 1, 2]
+    assert got[1].dist6 > 90 and got[2].dist6 > 90

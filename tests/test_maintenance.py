@@ -214,3 +214,20 @@ def test_zone_map_boundary_semantics(spark):
            maintenance.zone_map_prune(df, "layout", "f", "v",
                                       lo=150, hi=200).collect()}
     assert got == {0: False, 1: False, 2: True}
+
+
+def test_kanon_generalize_picks_minimal_level(spark):
+    from eventrelationextractor_spark.ops.maintenance import kanon_generalize
+    # 6 rows: exact values are singletons, v div 10 groups {1x:4, 2x:2}
+    df = spark.createDataFrame([(10,), (11,), (12,), (13,), (20,), (21,)],
+                               "v long")
+    got = kanon_generalize(df, ["v", "v div 10", "0"], k=2).collect()
+    assert all(r.level == 1 for r in got)
+    assert {(r.qi, r.n) for r in got} == {("1", 4), ("2", 2)}
+    # k too large for any real level -> coarsest constant wins
+    got = kanon_generalize(df, ["v", "v div 10", "0"], k=5).collect()
+    assert [(r.qi, r.n, r.level) for r in got] == [("0", 6, 2)]
+    # already k-anonymous at level 0 -> untouched release
+    df2 = spark.createDataFrame([(7,), (7,), (8,), (8,)], "v long")
+    got = kanon_generalize(df2, ["v", "v div 10", "0"], k=2).collect()
+    assert all(r.level == 0 for r in got) and len(got) == 2
