@@ -3908,6 +3908,76 @@ def _q_media_phash_pairs(spark, sf_dir):
     return multimodal.perceptual_hash_pairs(media)
 
 
+def _q_frequent_triples(spark, sf_dir):
+    """A-priori size-3 frequent itemsets (ops/mining.py::
+    frequent_triples) over the same (user, day) event-type baskets as
+    frequent_pairs. Downward closure applied at both levels before any
+    triple materializes; the oracle counts triples directly (pruning
+    is performance-only - count monotonicity guarantees identical
+    output)."""
+    ev = _events(spark, sf_dir).selectExpr(
+        "concat(cast(user_id as string), '|', cast(to_date(ts) as string))"
+        " AS basket",
+        "event_type AS item")
+    return mining.frequent_triples(ev, "basket", "item", min_support=2)
+
+
+def _q_dp_noisy_counts(spark, sf_dir):
+    """Differentially-private per-source doc counts (ops/maintenance.
+    py::dp_noisy_counts, Laplace mechanism, eps=0.5): deterministic
+    md5-seeded inverse-CDF noise so both engines draw the identical
+    Laplace sample; noisy_n rides the 6dp-rounded float discipline."""
+    return maintenance.dp_noisy_counts(_docs(spark, sf_dir), "source",
+                                       epsilon=0.5)
+
+
+def _q_constraint_audit(spark, sf_dir):
+    """Data-quality expectation suite (ops/maintenance.py::
+    expectation_counts + fk_orphans): five single-scan row constraints
+    on lineitem (one partial-agg pass, stack() unpivot), two
+    referential-integrity anti-joins (lineitem->orders,
+    orders->customer) and a key-uniqueness audit on orders - the
+    pre-publish audit a lakehouse table runs after every batch load.
+    All counts exact integers."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cu = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    suite = maintenance.expectation_counts(li, {
+        "li_quantity_range": "NOT (l_quantity >= 1 AND l_quantity <= 50)",
+        "li_discount_range": "NOT (l_discount >= 0 AND l_discount <= 0.25)",
+        "li_price_positive": "NOT (l_extendedprice > 0)",
+        "li_shipdate_not_null": "l_shipdate IS NULL",
+        "li_returnflag_domain": "l_returnflag NOT IN ('A', 'N', 'R')",
+    })
+    fk1 = maintenance.fk_orphans(li, "l_orderkey", od, "o_orderkey",
+                                 "li_order_fk")
+    fk2 = maintenance.fk_orphans(od, "o_custkey", cu, "c_custkey",
+                                 "ord_cust_fk")
+    uniq = od.agg(
+        F.count(F.lit(1)).cast("long").alias("checked"),
+        F.countDistinct("o_orderkey").cast("long").alias("nd")) \
+        .select(F.lit("ord_key_unique").alias("check_name"), "checked",
+                (F.col("checked") - F.col("nd")).cast("long")
+                .alias("violations"),
+                F.expr("(1000000 * (checked - nd)) div checked")
+                .alias("violation_ppm"))
+    return suite.unionByName(fk1).unionByName(fk2).unionByName(uniq)
+
+
+def _q_join_size_estimate(spark, sf_dir):
+    """Correlated-sampling join-cardinality estimation (ops/
+    maintenance.py::sampled_join_estimate, rate 1/8) for orders ><
+    lineitem on orderkey - the optimizer-statistics op that prices a
+    join before running it. Same md5 gate on both sides (coordinated
+    sampling: unbiased for equi-join size); the exact pass runs here
+    only because the toy gate can afford the audit."""
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return maintenance.sampled_join_estimate(od, "o_orderkey",
+                                             li, "l_orderkey",
+                                             rate_denom=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4159,6 +4229,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_rings": _q_link_rings,
         "kanon_generalize": _q_kanon_generalize,
         "embedding_kcenter": _q_embedding_kcenter,
+        # --- session 6
+        "frequent_triples": _q_frequent_triples,
+        "dp_noisy_counts": _q_dp_noisy_counts,
+        "constraint_audit": _q_constraint_audit,
+        "join_size_estimate": _q_join_size_estimate,
     }
 
 
@@ -10255,6 +10330,106 @@ SELECT a, b, hamming FROM ham WHERE hamming <= 3
 """
 
 
+_FREQ_TRIPLES_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT
+         CAST(user_id AS VARCHAR) || '|' ||
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS basket,
+         event_type AS item
+  FROM events WHERE event_type IS NOT NULL),
+nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+t AS (SELECT x.item AS item_a, y.item AS item_b, z.item AS item_c,
+             CAST(count(*) AS BIGINT) AS n_abc
+      FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+               JOIN b z ON y.basket = z.basket AND y.item < z.item
+      GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+SELECT item_a, item_b, item_c, n_abc,
+       CAST((1000000 * n_abc) // n_baskets AS BIGINT) AS support_ppm
+FROM t CROSS JOIN nb
+"""
+
+_DP_NOISY_ORACLE = """
+WITH g AS (SELECT source AS "group", CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+x AS (SELECT "group", n,
+             greatest(CAST(('0x' || substr(md5('dp' || "group"), 1, 13))
+                           ::UBIGINT AS DOUBLE) / 4503599627370496.0,
+                      5e-16) AS v
+      FROM g)
+SELECT "group", n,
+       round(n + (-2.0) * sign(v - 0.5) * ln(1 - 2 * abs(v - 0.5)), 6)
+           AS noisy_n
+FROM x
+"""
+
+_CONSTRAINT_AUDIT_ORACLE = """
+WITH li AS (SELECT CAST(count(*) AS BIGINT) AS checked,
+  CAST(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+                     OR l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_qty,
+  CAST(sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.25)
+                     OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_disc,
+  CAST(sum(CASE WHEN NOT (l_extendedprice > 0)
+                     OR l_extendedprice IS NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS v_price,
+  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_ship,
+  CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                     OR l_returnflag IS NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS v_flag
+  FROM lineitem),
+suite AS (
+  SELECT 'li_quantity_range' AS check_name, checked, v_qty AS violations
+  FROM li
+  UNION ALL SELECT 'li_discount_range', checked, v_disc FROM li
+  UNION ALL SELECT 'li_price_positive', checked, v_price FROM li
+  UNION ALL SELECT 'li_shipdate_not_null', checked, v_ship FROM li
+  UNION ALL SELECT 'li_returnflag_domain', checked, v_flag FROM li),
+fk1 AS (SELECT 'li_order_fk' AS check_name,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS checked,
+               CAST(count(*) AS BIGINT) AS violations
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL),
+fk2 AS (SELECT 'ord_cust_fk' AS check_name,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders) AS checked,
+               CAST(count(*) AS BIGINT) AS violations
+        FROM orders d LEFT JOIN customer c ON d.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL),
+uniq AS (SELECT 'ord_key_unique' AS check_name,
+                CAST(count(*) AS BIGINT) AS checked,
+                CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                    AS violations
+         FROM orders),
+allc AS (SELECT * FROM suite UNION ALL SELECT * FROM fk1
+         UNION ALL SELECT * FROM fk2 UNION ALL SELECT * FROM uniq)
+SELECT check_name, checked, violations,
+       CAST((1000000 * violations) // checked AS BIGINT) AS violation_ppm
+FROM allc
+"""
+
+_JOIN_SIZE_EST_ORACLE = """
+WITH lk AS (SELECT o_orderkey AS k FROM orders),
+rk AS (SELECT l_orderkey AS k FROM lineitem),
+ls AS (SELECT k FROM lk
+       WHERE ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 13))::UBIGINT
+             % 8 = 0),
+rs AS (SELECT k FROM rk
+       WHERE ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 13))::UBIGINT
+             % 8 = 0),
+s AS (SELECT CAST(count(*) AS BIGINT) AS sampled_pairs
+      FROM ls JOIN rs USING (k)),
+t AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs
+      FROM lk JOIN rk USING (k))
+SELECT sampled_pairs,
+       CAST(sampled_pairs * 8 AS BIGINT) AS est_pairs,
+       true_pairs,
+       CAST((1000000 * abs(sampled_pairs * 8 - true_pairs)) // true_pairs
+            AS BIGINT) AS err_ppm
+FROM s CROSS JOIN t
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -10522,6 +10697,10 @@ FROM hashed
         "link_rings": _LINK_RINGS_ORACLE,
         "kanon_generalize": _KANON_GENERALIZE_ORACLE,
         "embedding_kcenter": _kcenter_oracle(6),
+        "frequent_triples": _FREQ_TRIPLES_ORACLE,
+        "dp_noisy_counts": _DP_NOISY_ORACLE,
+        "constraint_audit": _CONSTRAINT_AUDIT_ORACLE,
+        "join_size_estimate": _JOIN_SIZE_EST_ORACLE,
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

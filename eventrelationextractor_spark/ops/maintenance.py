@@ -329,3 +329,134 @@ def kanon_generalize(df: DataFrame, level_exprs: list,
     return (per.join(F.broadcast(chosen), "level")
             .select("qi", F.col("n").cast("long").alias("n"),
                     F.col("level").cast("long").alias("level")))
+
+
+def dp_noisy_counts(df: DataFrame, group_col: str, epsilon: float = 1.0,
+                    seed_salt: str = "dp") -> DataFrame:
+    """(group, n, noisy_n): per-group counts released under
+    epsilon-differential privacy via the Laplace mechanism (Dwork et
+    al. 2006) - count queries have sensitivity 1, so noise is
+    Laplace(1/epsilon), added per released cell.
+
+    Determinism contract (the cross-engine hash gate): the noise draw
+    is PSEUDO-random from the released key itself - u =
+    md5(salt||group) first 13 hex digits / 16^13, a uniform in [0,1)
+    with 52 exact mantissa bits - then the standard inverse-CDF
+    transform noise = -b*sign(u-0.5)*ln(1-2|u-0.5|). Both engines
+    evaluate the identical closed form; noisy_n is 6dp-rounded (the
+    ranked-float discipline). A production release would swap the md5
+    seed for a vetted DRBG - the mechanism, sensitivity accounting and
+    plan shape are unchanged.
+
+    NOTE key-derived noise means repeated releases reuse the same
+    draw (no privacy-budget refresh across releases) - that is the
+    standard 'sticky noise' trick (RAPPOR's permanent randomized
+    response) and is what makes the op idempotent/retryable at scale.
+
+    Scale shape: one partial-agged groupBy; noise is a per-OUTPUT-row
+    codegen expression (group cardinality, not row count). No UDF, no
+    collect."""
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    b = 1.0 / float(epsilon)
+    g = df.groupBy(F.col(group_col).cast("string").alias("grp")) \
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    v = F.greatest(
+        F.expr(f"conv(substring(md5(concat('{seed_salt}', grp)), 1, 13),"
+               " 16, 10)").cast("double") / F.lit(float(16 ** 13)),
+        F.lit(5e-16))
+    u = v - F.lit(0.5)
+    noise = (F.lit(-b) * F.signum(u)
+             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u)))
+    return g.select(F.col("grp").alias("group"), "n",
+                    F.round(F.col("n") + noise, 6).alias("noisy_n"))
+
+
+def expectation_counts(df: DataFrame, checks: dict) -> DataFrame:
+    """Great-Expectations-style single-pass data-quality audit:
+    ``checks`` maps constraint name -> Spark SQL BOOLEAN expression
+    string that is TRUE when the row VIOLATES the constraint. Returns
+    (check_name, checked, violations, violation_ppm), one row per
+    check. (``constraint`` is a reserved word in DuckDB - the column
+    is named check_name so the SQL twin needs no quoting.)
+
+    Scale shape - the whole suite is ONE scan: every check compiles to
+    a conditional sum inside a single partial aggregation (no
+    per-check pass, no shuffle beyond the 1-row agg), then a stack()
+    unpivot over the single result row. NULL expression results count
+    as violations (an unevaluable constraint is a failing one).
+    Cross-table checks (FK orphans) don't fit a one-scan suite - see
+    fk_orphans."""
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    aggs = [F.sum(F.when(F.expr(ex).isNull() | F.expr(ex), 1)
+                  .otherwise(0)).cast("long").alias(f"v_{i}")
+            for i, (_, ex) in enumerate(sorted(checks.items()))]
+    row = df.agg(F.count(F.lit(1)).cast("long").alias("checked"), *aggs)
+    pairs = ", ".join(f"'{name}', v_{i}"
+                      for i, name in enumerate(sorted(checks)))
+    return (row.select(
+        "checked",
+        F.expr(f"stack({len(checks)}, {pairs}) AS (check_name, violations)"))
+        .select("check_name", "checked", "violations",
+                F.expr("(1000000 * violations) div checked")
+                .alias("violation_ppm")))
+
+
+def fk_orphans(child: DataFrame, child_key: str, parent: DataFrame,
+               parent_key: str, name: str) -> DataFrame:
+    """One referential-integrity check -> (check_name, checked,
+    violations, violation_ppm): child rows whose key has no parent.
+    LEFT ANTI join on the key (null child keys are orphans by
+    convention: anti-join keeps them since a null never matches) +
+    1-row counts; union rows from several checks into one audit
+    report. The anti join is a keyed shuffle (or broadcast when the
+    parent is a dimension) - never a nested loop."""
+    total = child.agg(F.count(F.lit(1)).cast("long").alias("checked"))
+    orphans = (child.select(F.col(child_key).alias("k"))
+               .join(parent.select(F.col(parent_key).alias("k")), "k",
+                     "left_anti")
+               .agg(F.count(F.lit(1)).cast("long").alias("violations")))
+    return (total.crossJoin(orphans)
+            .select(F.lit(name).alias("check_name"), "checked",
+                    "violations",
+                    F.expr("(1000000 * violations) div checked")
+                    .alias("violation_ppm")))
+
+
+def sampled_join_estimate(left: DataFrame, left_key: str, right: DataFrame,
+                          right_key: str, rate_denom: int = 8) -> DataFrame:
+    """Correlated-sampling join-size estimation (the join-synopsis
+    estimator of Vengerov et al. 2015 / end-biased sampling): both
+    sides keep exactly the keys with md5(key) % rate_denom == 0 - the
+    SAME hash on both sides, so a sampled key survives on both or
+    neither - then est = |sample_left >< sample_right| * rate_denom.
+    Coordinated key sampling is unbiased for equi-join size, unlike
+    independent row sampling (which misses matches at rate 1/r^2).
+
+    Output: 1 row (sampled_pairs, est_pairs, true_pairs, err_ppm).
+    The TRUE join size is computed here for the audit/verification
+    query; the 100-TB deployment runs only the sampled side (that is
+    the point - the estimate costs 1/r of the join) and err_ppm is
+    reported as NULL-free only because the toy gate can afford the
+    exact pass. All-integer arithmetic end to end."""
+    if rate_denom < 1:
+        raise ValueError("rate_denom must be >= 1")
+    gate = ("cast(conv(substring(md5(cast(k as string)), 1, 13), 16, 10)"
+            f" as bigint) % {int(rate_denom)} = 0")
+    lk = left.select(F.col(left_key).alias("k"))
+    rk = right.select(F.col(right_key).alias("k"))
+    ls = lk.filter(F.expr(gate))
+    rs = rk.filter(F.expr(gate))
+    sampled = ls.join(rs, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("sampled_pairs"))
+    true = lk.join(rk, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("true_pairs"))
+    return (sampled.crossJoin(true)
+            .select("sampled_pairs",
+                    (F.col("sampled_pairs") * rate_denom).cast("long")
+                    .alias("est_pairs"),
+                    "true_pairs",
+                    F.expr("(1000000 * abs(sampled_pairs * "
+                           f"{int(rate_denom)} - true_pairs))"
+                           " div true_pairs").alias("err_ppm")))

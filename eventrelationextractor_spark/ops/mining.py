@@ -91,6 +91,65 @@ def frequent_pairs(df: DataFrame, basket_col: str, item_col: str,
                     .alias("lift_ppm")))
 
 
+def frequent_triples(df: DataFrame, basket_col: str, item_col: str,
+                     min_support: int = 2) -> DataFrame:
+    """A-priori size-3 frequent-itemset mining -> (item_a, item_b,
+    item_c, n_abc, support_ppm), item_a < item_b < item_c. The level-3
+    pass of Agrawal & Srikant 1994 on top of :func:`frequent_pairs`'
+    level-2 machinery.
+
+    Scale shape — downward closure applied at BOTH levels before any
+    triple is materialized:
+
+    * Items below ``min_support`` are pruned before pair formation;
+      basket-pairs are then semi-joined against the FREQUENT pair set
+      (an infrequent pair can't extend to a frequent triple), so the
+      triple generator fans out only over (frequent pair x frequent
+      item) within a basket, never deg^3 over raw items.
+    * The two downward-closure semi-joins on (a,c) and (b,c) prune
+      candidates BEFORE the counting shuffle.
+    * Pruning is performance-only: any triple with n_abc >=
+      min_support necessarily has all its pairs and items frequent
+      (count monotonicity), so the SQL oracle may count triples
+      directly — same result, different plan.
+    """
+    b = (df.select(F.col(basket_col).alias("basket"),
+                   F.col(item_col).alias("item"))
+         .where(F.col("item").isNotNull()).distinct())
+    n_baskets = b.select("basket").distinct() \
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    freq = (b.groupBy("item")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+            .filter(F.col("n_item") >= min_support))
+    fb = b.join(F.broadcast(freq.select("item")), "item")
+    left = fb.select("basket", F.col("item").alias("item_a"))
+    right = fb.select("basket", F.col("item").alias("item_b"))
+    bpairs = left.join(right, "basket") \
+        .filter(F.col("item_a") < F.col("item_b"))
+    fpairs = (bpairs.groupBy("item_a", "item_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+              .filter(F.col("n_ab") >= min_support)
+              .select("item_a", "item_b"))
+    fbp = bpairs.join(fpairs, ["item_a", "item_b"], "left_semi")
+    cand = (fbp.join(fb.select("basket", F.col("item").alias("item_c")),
+                     "basket")
+            .filter(F.col("item_c") > F.col("item_b")))
+    cand = cand.join(
+        fpairs.select(F.col("item_a"), F.col("item_b").alias("item_c")),
+        ["item_a", "item_c"], "left_semi")
+    cand = cand.join(
+        fpairs.select(F.col("item_a").alias("item_b"),
+                      F.col("item_b").alias("item_c")),
+        ["item_b", "item_c"], "left_semi")
+    return (cand.groupBy("item_a", "item_b", "item_c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_abc"))
+            .filter(F.col("n_abc") >= min_support)
+            .crossJoin(F.broadcast(n_baskets))
+            .select("item_a", "item_b", "item_c", "n_abc",
+                    F.expr("(1000000 * n_abc) div n_baskets")
+                    .alias("support_ppm")))
+
+
 def contrastive_pairs(docs: DataFrame, emb: DataFrame,
                       n_anchors: int = 20, shingle_k: int = 3,
                       sem_threshold: float = 0.5,

@@ -231,3 +231,66 @@ def test_kanon_generalize_picks_minimal_level(spark):
     df2 = spark.createDataFrame([(7,), (7,), (8,), (8,)], "v long")
     got = kanon_generalize(df2, ["v", "v div 10", "0"], k=2).collect()
     assert all(r.level == 0 for r in got) and len(got) == 2
+
+
+def test_dp_noisy_counts_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(30)], "id long, src string")
+    a = {r.group: (r.n, r.noisy_n)
+         for r in maintenance.dp_noisy_counts(df, "src",
+                                              epsilon=0.5).collect()}
+    b = {r.group: (r.n, r.noisy_n)
+         for r in maintenance.dp_noisy_counts(df, "src",
+                                              epsilon=0.5).collect()}
+    assert a == b                      # sticky noise: idempotent release
+    assert set(a) == {"s0", "s1", "s2"}
+    for n, noisy in a.values():
+        assert n == 10
+        # Laplace(b=2) puts |noise| <= b*ln(1e15) ~ 69 at the 5e-16 clamp
+        assert abs(noisy - n) <= 70.0
+    # a different salt draws different noise
+    c = {r.group: r.noisy_n
+         for r in maintenance.dp_noisy_counts(df, "src", epsilon=0.5,
+                                              seed_salt="x").collect()}
+    assert any(c[k] != a[k][1] for k in c)
+    with pytest.raises(ValueError):
+        maintenance.dp_noisy_counts(df, "src", epsilon=0.0)
+
+
+def test_expectation_counts_null_is_violation(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 200.0)], "id long, v double")
+    out = {r.check_name: (r.checked, r.violations, r.violation_ppm)
+           for r in maintenance.expectation_counts(
+               df, {"v_range": "NOT (v >= 0 AND v <= 100)",
+                    "id_positive": "id <= 0"}).collect()}
+    # NULL v -> unevaluable -> violation; 200.0 -> violation
+    assert out["v_range"] == (3, 2, 666666)
+    assert out["id_positive"] == (3, 0, 0)
+    with pytest.raises(ValueError):
+        maintenance.expectation_counts(df, {})
+
+
+def test_fk_orphans_counts_null_and_missing(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long")
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = maintenance.fk_orphans(child, "fk", parent, "pk", "c_fk") \
+        .collect()[0]
+    assert (r.check_name, r.checked, r.violations) == ("c_fk", 4, 2)
+
+
+def test_sampled_join_estimate_rate1_is_exact(spark):
+    left = spark.createDataFrame([(i,) for i in range(20)], "k long")
+    right = spark.createDataFrame([(i % 10,) for i in range(40)],
+                                  "j long")
+    r = maintenance.sampled_join_estimate(left, "k", right, "j",
+                                          rate_denom=1).collect()[0]
+    assert r.sampled_pairs == r.true_pairs == r.est_pairs == 40
+    assert r.err_ppm == 0
+    # sampled estimate is count * rate and uses the SAME key gate on
+    # both sides (a surviving key contributes its full fan-out)
+    r8 = maintenance.sampled_join_estimate(left, "k", right, "j",
+                                           rate_denom=4).collect()[0]
+    assert r8.est_pairs == r8.sampled_pairs * 4
+    assert r8.sampled_pairs % 4 == 0   # whole keys (fanout 4) survive

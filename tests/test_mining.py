@@ -159,3 +159,26 @@ def test_rake_duplicate_phrase_instances_collapse(spark):
     phrases = [r.phrase for r in rows]
     assert phrases.count("fast track") == 1
     assert len(rows) == 2
+
+
+def test_frequent_triples_downward_closure_semantics(spark):
+    # baskets: {a,b,c} x3, {a,b} x1, {a,c,d} x1 -> only (a,b,c) with
+    # n_abc=3 survives min_support=2; d is infrequent as an item-with-
+    # pairs and prunes out before the triple join
+    rows = []
+    for i in range(3):
+        rows += [(f"b{i}", "a"), (f"b{i}", "b"), (f"b{i}", "c")]
+    rows += [("b3", "a"), ("b3", "b")]
+    rows += [("b4", "a"), ("b4", "c"), ("b4", "d")]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    out = mining.frequent_triples(df, "basket", "item",
+                                  min_support=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.item_c, r.n_abc) == ("a", "b", "c", 3)
+    assert r.support_ppm == 600000      # 3 of 5 baskets
+    # duplicate (basket, item) rows dedupe before counting
+    dup = spark.createDataFrame(rows + rows, "basket string, item string")
+    out2 = mining.frequent_triples(dup, "basket", "item",
+                                   min_support=2).collect()
+    assert [tuple(r) for r in out2] == [tuple(x) for x in out]
