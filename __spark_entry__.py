@@ -3964,6 +3964,49 @@ def _q_constraint_audit(spark, sf_dir):
     return suite.unionByName(fk1).unionByName(fk2).unionByName(uniq)
 
 
+def _q_stopword_discovery(spark, sf_dir):
+    """Corpus-adaptive stopword discovery (ops/bm25.py::
+    stopword_profile): top-40 document-frequency terms with exact
+    integer df_ppm and 6dp cross-source entropy (floats enter only
+    through ln of exact integers). TakeOrderedAndProject top-k, never
+    a vocabulary-wide sort."""
+    return bm25.stopword_profile(_docs(spark, sf_dir), k=40,
+                                 threshold_ppm=500000)
+
+
+def _q_bm25f_search(spark, sf_dir):
+    """Fielded BM25F retrieval (ops/bm25.py::bm25f_topk, Zaragoza et
+    al. 2004 simple BM25F) over (body, anchor) with anchor weight 2.5:
+    per-field length-normalized tfs combine BEFORE one shared
+    saturation - the web-search formulation where anchor text is the
+    high-weight off-page signal. The anchor field is a pure function
+    of doc_id (topic tag + page name + verb), mirrored in the SQL
+    twin; scores 6dp + id tie-break."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        F.concat(F.lit("topic"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(" page"), F.col("doc_id").cast("string"),
+                 F.lit(" "),
+                 F.element_at(F.array(F.lit("click"), F.lit("read"),
+                                      F.lit("link")),
+                              (F.col("doc_id") % 3 + 1).cast("int")))
+        .alias("anchor"))
+    return bm25.bm25f_topk(d, ["merge", "topic3", "click"],
+                           [("text", 1.0, 0.75), ("anchor", 2.5, 0.5)],
+                           k=15)
+
+
+def _q_mutual_nn_pairs(spark, sf_dir):
+    """Reciprocal-nearest-neighbor pairs (ops/simsearch.py::
+    mutual_nn_pairs) over the embeddings table: hyperplane-LSH bucket
+    candidates (hot buckets capped), per-vector argmax AGGREGATION on
+    the 6dp-rounded cosine with id tie-break, one self-equi-join for
+    mutuality. The strict-precision member of the embedding dedup
+    family."""
+    return simsearch.mutual_nn_pairs(_emb(spark, sf_dir), n_planes=8,
+                                     cap=1000)
+
+
 def _q_join_size_estimate(spark, sf_dir):
     """Correlated-sampling join-cardinality estimation (ops/
     maintenance.py::sampled_join_estimate, rate 1/8) for orders ><
@@ -4234,6 +4277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_noisy_counts": _q_dp_noisy_counts,
         "constraint_audit": _q_constraint_audit,
         "join_size_estimate": _q_join_size_estimate,
+        "stopword_discovery": _q_stopword_discovery,
+        "bm25f_search": _q_bm25f_search,
+        "mutual_nn_pairs": _q_mutual_nn_pairs,
     }
 
 
@@ -10408,6 +10454,125 @@ SELECT check_name, checked, violations,
 FROM allc
 """
 
+_STOPWORD_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, source, t.term
+  FROM documents,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             w -> w <> '')) AS t(term)),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM documents),
+ps AS (SELECT term, source, CAST(count(*) AS BIGINT) AS ns
+       FROM toks GROUP BY 1, 2),
+st AS (SELECT term, CAST(sum(ns) AS BIGINT) AS df,
+              sum(ns * ln(ns)) AS snln
+       FROM ps GROUP BY 1),
+top AS (SELECT * FROM st ORDER BY df DESC, term LIMIT 40)
+SELECT CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS rank,
+       term, df,
+       CAST((1000000 * df) // n_docs AS BIGINT) AS df_ppm,
+       round(ln(df) - snln / df, 6) AS source_entropy,
+       ((1000000 * df) // n_docs) >= 500000 AS is_stopword
+FROM top CROSS JOIN nd
+"""
+
+_BM25F_ORACLE = """
+WITH d AS (SELECT doc_id, text AS body,
+  'topic' || CAST(doc_id % 7 AS VARCHAR) || ' page'
+          || CAST(doc_id AS VARCHAR) || ' '
+          || (['click', 'read', 'link'])[CAST(doc_id % 3 AS INTEGER) + 1]
+      AS anchor
+  FROM documents),
+qt AS (SELECT * FROM (VALUES ('merge'), ('topic3'), ('click')) q(term)),
+tt AS (
+  SELECT doc_id, 'text' AS field, t.term FROM d,
+    LATERAL unnest(list_filter(regexp_split_to_array(lower(body),
+                                                     '[^a-z0-9]+'),
+                               w -> w <> '')) AS t(term)
+  UNION ALL
+  SELECT doc_id, 'anchor', t.term FROM d,
+    LATERAL unnest(list_filter(regexp_split_to_array(lower(anchor),
+                                                     '[^a-z0-9]+'),
+                               w -> w <> '')) AS t(term)),
+dl AS (
+  SELECT doc_id, 'text' AS field,
+         CAST(len(list_filter(regexp_split_to_array(lower(body),
+                                                    '[^a-z0-9]+'),
+                              w -> w <> '')) AS BIGINT) AS dl
+  FROM d
+  UNION ALL
+  SELECT doc_id, 'anchor',
+         CAST(len(list_filter(regexp_split_to_array(lower(anchor),
+                                                    '[^a-z0-9]+'),
+                              w -> w <> '')) AS BIGINT)
+  FROM d),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+avgf AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY 1),
+tf AS (SELECT doc_id, field, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tt JOIN qt USING (term) GROUP BY 1, 2, 3),
+norm AS (
+  SELECT tf.doc_id, tf.term,
+         sum((CASE WHEN tf.field = 'text' THEN 1.0 ELSE 2.5 END) * tf.tf
+             / (1.0 - (CASE WHEN tf.field = 'text' THEN 0.75
+                            ELSE 0.5 END)
+                + (CASE WHEN tf.field = 'text' THEN 0.75 ELSE 0.5 END)
+                  * dl.dl / avgf.avgdl)) AS tfn
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id AND tf.field = dl.field
+          JOIN avgf ON avgf.field = tf.field
+  GROUP BY 1, 2),
+dfp AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM norm GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tfn / (1.2 + tfn)), 6) AS score
+  FROM norm JOIN dfp USING (term) CROSS JOIN nd
+  GROUP BY doc_id),
+rk AS (SELECT doc_id, score,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       FROM scored)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM rk WHERE rank <= 15
+"""
+
+_MUTUAL_NN_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+planes AS (SELECT unnest(range(0, 8)) AS p),
+dots AS (
+  SELECT e.vec_id, pl.p,
+    list_sum(list_transform(range(1, 65),
+      i -> e.v[i] * (CASE WHEN strpos('02468ace',
+                          substr(md5(pl.p || ':' || (i-1)), 1, 1)) > 0
+                     THEN 1.0 ELSE -1.0 END))) AS dot
+  FROM e, planes pl),
+sig AS (SELECT vec_id,
+        CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+        AS signature FROM dots GROUP BY vec_id),
+es0 AS (SELECT e.vec_id, e.v, s.signature
+        FROM e JOIN sig s USING (vec_id)),
+keep AS (SELECT signature FROM es0 GROUP BY 1
+         HAVING count(*) <= 1000),
+es AS (SELECT es0.* FROM es0 JOIN keep USING (signature)),
+pairs AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+  round(CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v)) > 0
+             THEN list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v)))
+             ELSE -1.0 END, 6) AS cos6
+  FROM es a JOIN es b
+  ON a.signature = b.signature AND a.vec_id <> b.vec_id),
+best AS (SELECT aid, bid AS best_id, cos6,
+                row_number() OVER (PARTITION BY aid
+                                   ORDER BY cos6 DESC, bid) AS rn
+         FROM pairs),
+b1 AS (SELECT aid, best_id, cos6 FROM best WHERE rn = 1)
+SELECT x.aid AS id_a, x.best_id AS id_b, x.cos6 AS cosine
+FROM b1 x JOIN b1 y ON y.aid = x.best_id AND y.best_id = x.aid
+WHERE x.aid < x.best_id
+"""
+
 _JOIN_SIZE_EST_ORACLE = """
 WITH lk AS (SELECT o_orderkey AS k FROM orders),
 rk AS (SELECT l_orderkey AS k FROM lineitem),
@@ -10701,6 +10866,9 @@ FROM hashed
         "dp_noisy_counts": _DP_NOISY_ORACLE,
         "constraint_audit": _CONSTRAINT_AUDIT_ORACLE,
         "join_size_estimate": _JOIN_SIZE_EST_ORACLE,
+        "stopword_discovery": _STOPWORD_ORACLE,
+        "bm25f_search": _BM25F_ORACLE,
+        "mutual_nn_pairs": _MUTUAL_NN_ORACLE,
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

@@ -726,3 +726,131 @@ def query_likelihood_topk(docs: DataFrame, query_terms: list,
             .filter(F.col("rank") <= k)
             .select(F.col("rank").cast("long").alias("rank"),
                     "doc_id", "score"))
+
+
+def stopword_profile(docs: DataFrame, k: int = 40,
+                     threshold_ppm: int = 500000, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     source_col: str = "source") -> DataFrame:
+    """Corpus-driven stopword discovery -> (rank, term, df, df_ppm,
+    source_entropy, is_stopword) for the ``k`` highest-document-
+    frequency terms. A term is a stopword candidate when it is BOTH
+    ubiquitous (df_ppm >= threshold) and topically flat - high entropy
+    of its document distribution across sources means no source 'owns'
+    it (Manning & Schuetze ch.15 stop-listing, the corpus-adaptive
+    variant every LM-data pipeline builds instead of shipping a fixed
+    list).
+
+    source_entropy = ln(df) - sum(n_s * ln(n_s)) / df over per-source
+    doc counts n_s - computed from ONE (term, source) partial agg, 6dp
+    rounded (floats enter only through ln of exact integers, the bm25
+    idf discipline). df_ppm is exact integer `div`.
+
+    Scale shape: distinct (doc, source, term) -> two partial-agged
+    groupBys (term x source, then term) -> orderBy().limit(k) =
+    TakeOrderedAndProject (distributed top-k merge, never a global
+    sort over the vocabulary); the rank window runs over the k
+    survivors only. n_docs rides as a broadcast 1-row dimension."""
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(source_col).alias("source"),
+                        F.explode(F.filter(
+                            F.split(F.lower(F.col(text_col)),
+                                    "[^a-z0-9]+"),
+                            lambda t: t != "")).alias("term"))
+            .distinct())
+    nd = docs.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    per_src = toks.groupBy("term", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"))
+    stats = per_src.groupBy("term").agg(
+        F.sum("ns").cast("long").alias("df"),
+        F.sum(F.col("ns") * F.log(F.col("ns"))).alias("snln"))
+    top = stats.orderBy(F.col("df").desc(), F.col("term")).limit(k)
+    w = Window.orderBy(F.col("df").desc(), F.col("term"))
+    return (top.crossJoin(F.broadcast(nd))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", "term", "df",
+                    F.expr("(1000000 * df) div n_docs").alias("df_ppm"),
+                    F.round(F.log("df") - F.col("snln") / F.col("df"), 6)
+                    .alias("source_entropy"),
+                    (F.expr("(1000000 * df) div n_docs")
+                     >= F.lit(int(threshold_ppm))).alias("is_stopword")))
+
+
+def bm25f_topk(docs: DataFrame, query_terms: list, fields: list,
+               k: int = 20, k1: float = 1.2,
+               id_col: str = "doc_id") -> DataFrame:
+    """Fielded BM25 (the 'simple BM25F' of Zaragoza et al. CIKM 2004)
+    -> (rank, doc_id, score): per-field term frequencies are length-
+    normalized and WEIGHT-combined BEFORE one shared saturation,
+
+        tf~(t,d) = sum_f w_f * tf_f / (1 - b_f + b_f * dl_f/avgdl_f)
+        s(d,q)   = sum_t idf(t) * tf~ / (k1 + tf~)
+
+    which is what separates it from naively summing per-field BM25
+    scores (that would saturate each field independently and over-
+    reward a term hitting many fields). The canonical use: web search
+    over (body, anchor-text) where anchors carry high weight - the
+    off-page relevance signal.
+
+    ``fields`` is a list of (text_col, weight, b) triples; df/idf
+    count a doc once if the term appears in ANY field (the union
+    document frequency). Scores 6dp-rounded + doc_id tie-break (the
+    ranked-float discipline).
+
+    Scale shape: one tokenize+explode per field unioned with a field
+    tag (narrow), broadcast query-term semi-join BEFORE any shuffle,
+    per-(field) avgdl as a broadcast few-row dimension, one (doc,
+    term) combine shuffle, top-k via row_number <= k."""
+    spark = docs.sparkSession
+    qt = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+    tagged = None
+    dls = None
+    for fname, _w, _b in fields:
+        terms = F.split(F.lower(F.col(fname)), "[^a-z0-9]+")
+        t = docs.select(F.col(id_col).alias("doc_id"),
+                        F.lit(fname).alias("field"),
+                        F.explode(F.filter(terms, lambda x: x != ""))
+                        .alias("term"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+        d = docs.select(
+            F.col(id_col).alias("doc_id"), F.lit(fname).alias("field"),
+            F.size(F.filter(terms, lambda x: x != "")).cast("long")
+            .alias("dl"))
+        dls = d if dls is None else dls.unionByName(d)
+
+    avg = dls.groupBy("field").agg(F.avg("dl").alias("avgdl"))
+    tf = (tagged.join(F.broadcast(qt), "term")
+          .groupBy("doc_id", "field", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    wmap = F.create_map(*[x for fname, w, _b in fields
+                          for x in (F.lit(fname), F.lit(float(w)))])
+    bmap = F.create_map(*[x for fname, _w, b in fields
+                          for x in (F.lit(fname), F.lit(float(b)))])
+    norm = (tf.join(dls, ["doc_id", "field"])
+            .join(F.broadcast(avg), "field")
+            .withColumn("wf", wmap[F.col("field")])
+            .withColumn("bf", bmap[F.col("field")])
+            .withColumn("part",
+                        F.col("wf") * F.col("tf")
+                        / (F.lit(1.0) - F.col("bf")
+                           + F.col("bf") * F.col("dl") / F.col("avgdl")))
+            .groupBy("doc_id", "term").agg(F.sum("part").alias("tfn")))
+    df_ = norm.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (norm.join(F.broadcast(df_), "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("idf", F.log(
+                  F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)))
+              .withColumn("s", F.col("idf") * F.col("tfn")
+                          / (F.lit(float(k1)) + F.col("tfn")))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum("s"), 6).alias("score")))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("rank").cast("long").alias("rank"), "doc_id",
+                    "score"))

@@ -541,3 +541,54 @@ def mmr_rerank(cand: DataFrame, k: int = 10, lam: float = 0.7,
     return (cand.withColumn("_g", F.lit(1)).groupBy("_g")
             .applyInPandas(lambda pdf: greedy(pdf.drop(columns="_g")),
                            out_schema))
+
+
+def mutual_nn_pairs(emb: DataFrame, n_planes: int = 8, dim: int = 64,
+                    cap: int = 1000, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Reciprocal-nearest-neighbor pairs -> (id_a, id_b, cosine),
+    id_a < id_b: emit (a, b) only when b is a's best in-bucket
+    neighbor AND a is b's. Mutual-NN is the high-precision member of
+    the embedding dedup family (used for cross-corpus alignment and
+    translation-pair mining since Artetxe & Schwenk 2019 - margin
+    criterion's strict parent): a one-directional NN merely says b is
+    the least-far candidate from a; mutuality makes the match
+    symmetric evidence.
+
+    Candidate generation is hyperplane-LSH bucketing (the
+    ann_lsh/simhash family): pairs form only INSIDE a signature
+    bucket, and buckets above ``cap`` members are dropped before pair
+    formation (the capped_bucket_pairs hot-bucket guard - at web
+    scale a degenerate bucket would otherwise go quadratic; more
+    planes or banding shrink buckets instead). Best-neighbor is an
+    ARGMAX AGGREGATION over a struct of (6dp-rounded cosine,
+    negated candidate id) - the ranked-float discipline, no per-pair
+    window; mutuality is one self-equi-join of the n_docs-row best
+    table."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    es = emb.select(F.col(id_col).alias("vid"), vec.alias("v"),
+                    hyperplane_signature(emb, n_planes, dim, vec_col)) \
+        .withColumn("n", _norm(F.col("v")))
+    sizes = es.groupBy("signature").agg(F.count(F.lit(1)).alias("bn"))
+    es = es.join(F.broadcast(sizes.filter(F.col("bn") <= cap)
+                             .select("signature")), "signature")
+    a = es.select(F.col("vid").alias("aid"), F.col("v").alias("qv"),
+                  F.col("n").alias("qn"), "signature")
+    b = es.select(F.col("vid").alias("bid"), F.col("v").alias("cv"),
+                  F.col("n").alias("cn"), "signature")
+    pairs = a.join(b, "signature").filter(F.col("aid") != F.col("bid"))
+    scored = _with_cosine(pairs).withColumn(
+        "cos6", F.round(F.col("cosine"), 6))
+    best = (scored.groupBy("aid")
+            .agg(F.max(F.struct(F.col("cos6"), (-F.col("bid"))
+                                .alias("nbid"))).alias("m"))
+            .select("aid", (-F.col("m.nbid")).alias("best_id"),
+                    F.col("m.cos6").alias("cos6")))
+    m2 = best.select(F.col("aid").alias("bb"),
+                     F.col("best_id").alias("ba"))
+    return (best.join(m2, (F.col("aid") == F.col("ba"))
+                      & (F.col("best_id") == F.col("bb")))
+            .filter(F.col("aid") < F.col("best_id"))
+            .select(F.col("aid").alias("id_a"),
+                    F.col("best_id").alias("id_b"),
+                    F.col("cos6").alias("cosine")))

@@ -549,3 +549,46 @@ def test_kcenter_select_planted_geometry(spark):
     picked_blobs = [rows[r.vec_id][2] for r in got]
     assert sorted(picked_blobs) == [0, 1, 2]
     assert got[1].dist6 > 90 and got[2].dist6 > 90
+
+
+def test_stopword_profile_entropy_and_threshold(spark):
+    # 'the' in all 4 docs across both sources (flat -> high entropy);
+    # 'rare' in one doc of one source (entropy 0)
+    rows = [(1, "the cat", "s0"), (2, "the dog", "s0"),
+            (3, "the fox", "s1"), (4, "the rare", "s1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string,"
+                               " source string")
+    out = {r.term: r for r in bm25.stopword_profile(
+        df, k=10, threshold_ppm=750000).collect()}
+    the = out["the"]
+    assert (the.rank, the.df, the.df_ppm) == (1, 4, 1000000)
+    assert the.is_stopword
+    # entropy of (2,2) over sources = ln(2)
+    assert abs(the.source_entropy - 0.693147) < 1e-6
+    rare = out["rare"]
+    assert (rare.df, rare.df_ppm, rare.is_stopword) == (1, 250000, False)
+    assert rare.source_entropy == 0.0
+
+
+def test_bm25f_anchor_weight_beats_body_tf(spark):
+    # q in doc 1's anchor (weight 4) vs TWICE in doc 2's body: fielded
+    # combination must outrank the body-only doc; doc 3 has no hit
+    rows = [(1, "alpha beta gamma", "q zzz"),
+            (2, "q beta q gamma", "other link"),
+            (3, "alpha beta gamma", "other link")]
+    df = spark.createDataFrame(rows, "doc_id long, text string,"
+                               " anchor string")
+    out = bm25.bm25f_topk(df, ["q"],
+                          [("text", 1.0, 0.75), ("anchor", 4.0, 0.5)],
+                          k=5).collect()
+    assert [r.doc_id for r in out] == [1, 2]      # no zero-score rows
+    assert out[0].score > out[1].score
+    # single saturation: a doc hitting BOTH fields scores less than the
+    # sum of two independently saturated per-field scores would suggest
+    both = spark.createDataFrame(
+        [(1, "q beta", "q link"), (2, "alpha beta", "other zzz")],
+        "doc_id long, text string, anchor string")
+    r = bm25.bm25f_topk(both, ["q"],
+                        [("text", 1.0, 0.75), ("anchor", 1.0, 0.5)],
+                        k=5).collect()
+    assert [x.doc_id for x in r] == [1]

@@ -946,3 +946,24 @@ def test_waterfill_budget_tiny_budget(spark):
            for r in u.waterfill_budget(caps, 4).collect()}
     assert sum(got.values()) == 4
     assert sorted(got.values()) == [1, 1, 2]
+
+
+def test_mutual_nn_pairs_planted_mutual_and_chain(spark):
+    from eventrelationextractor_spark.ops import simsearch
+    # 64-dim: two tight planted pairs on distinct axes plus a chain
+    # vector whose NN (v0) prefers its twin -> chain must NOT emit
+    def vec(axis, eps_axis=None, eps=0.0):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        if eps_axis is not None:
+            v[eps_axis] = eps
+        return v
+    rows = [(0, vec(0)), (1, vec(0, 1, 0.05)),        # mutual pair
+            (2, vec(7)), (3, vec(7, 8, 0.02)),        # mutual pair
+            (4, vec(0, 2, 0.40))]                     # chain: NN is 0/1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.id_a, r.id_b): r.cosine
+           for r in simsearch.mutual_nn_pairs(df, n_planes=4).collect()}
+    assert (0, 1) in out and (2, 3) in out
+    assert all(a < b for a, b in out)
+    assert (0, 4) not in out and (1, 4) not in out
