@@ -4021,6 +4021,53 @@ def _q_join_size_estimate(spark, sf_dir):
                                              rate_denom=8)
 
 
+def _q_bucketed_batching(spark, sf_dir):
+    """Length-bucketed batching pad-waste pricing (ops/packing.py::
+    bucketed_batches): power-of-two bucket per doc via BINARY-STRING
+    length (no float log2), exact-integer pad/waste_ppm, one map-side
+    combinable groupBy reducing the corpus to ~11 rows. The
+    pad-to-bucket twin of sequence_packing's concatenate layout."""
+    return packing.bucketed_batches(_docs(spark, sf_dir), batch_size=16,
+                                    max_len=1024)
+
+
+def _q_posting_bytes(spark, sf_dir):
+    """Inverted-index storage pricing (ops/bm25.py::
+    posting_list_sizes): per-term delta-gap LEB128-varint posting
+    bytes, exact integer staircase (1+[gap>=2^7]+...), top-30 by
+    bytes via TakeOrderedAndProject. The index-layout planning op."""
+    return bm25.posting_list_sizes(_docs(spark, sf_dir), k=30)
+
+
+def _q_query_completion(spark, sf_dir):
+    """Query-autocompletion index (ops/bm25.py::prefix_completions):
+    top-3 completions per 2..4-char term prefix, (count desc, term)
+    ties, prefixes below min_count=5 best-support dropped. Prefix
+    explode runs at VOCAB cardinality, never corpus rows."""
+    return bm25.prefix_completions(_docs(spark, sf_dir), min_len=2,
+                                   max_len=4, per_prefix=3, min_count=5)
+
+
+def _q_ams_f2(spark, sf_dir):
+    """AMS F2 (self-join size) sketch (ops/sketches.py::ams_f2): 32
+    md5-signed sketch rows + exact-integer middle-two median + the
+    exact F2 audit, all BIGINT end-to-end (median kept as the SUM of
+    the two middle order stats - no /2 float)."""
+    return sketches.ams_f2(_docs(spark, sf_dir), n_rows=32)
+
+
+def _q_harmonic_centrality(spark, sf_dir):
+    """Seed-sampled harmonic centrality (ops/graph.py::
+    harmonic_from_seeds, Boldi-Vigna 2014) over the synthetic link
+    graph: |seeds| simultaneous BFS sharing each hop's single
+    equi-join, exact integer sum(1000000 div d) - integer-cents for a
+    graph metric. Oracle = recursive CTE min-distance + same sum."""
+    e, _ = _link_edges(spark, sf_dir)
+    seeds = _docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0) \
+        .select(F.col("doc_id").alias("node"))
+    return graph.harmonic_from_seeds(e, seeds, max_hops=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4280,6 +4327,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_discovery": _q_stopword_discovery,
         "bm25f_search": _q_bm25f_search,
         "mutual_nn_pairs": _q_mutual_nn_pairs,
+        "bucketed_batching": _q_bucketed_batching,
+        "posting_bytes": _q_posting_bytes,
+        "query_completion": _q_query_completion,
+        "ams_f2": _q_ams_f2,
+        "harmonic_centrality": _q_harmonic_centrality,
     }
 
 
@@ -10595,6 +10647,111 @@ FROM s CROSS JOIN t
 """
 
 
+_BUCKET_BATCH_ORACLE = r"""
+WITH t AS (
+  SELECT CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
+         AS BIGINT) AS toks FROM documents),
+c AS (SELECT greatest(least(toks, 1024), 1) AS nt FROM t),
+b AS (SELECT CASE WHEN nt <= 1 THEN CAST(1 AS BIGINT)
+             ELSE CAST(1 AS BIGINT) << length(bin(nt - 1)) END
+        AS bucket_len, nt FROM c)
+SELECT bucket_len,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST((count(*) + 15) // 16 AS BIGINT) AS n_batches,
+  CAST(sum(nt) AS BIGINT) AS token_sum,
+  CAST(sum(bucket_len - nt) AS BIGINT) AS pad_tokens,
+  CAST((1000000 * sum(bucket_len - nt)) // (count(*) * bucket_len)
+       AS BIGINT) AS waste_ppm
+FROM b GROUP BY bucket_len
+"""
+
+_POSTING_BYTES_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term FROM documents,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             w -> w <> '')) AS t(term)),
+g AS (SELECT term,
+        doc_id - coalesce(lag(doc_id) OVER
+                          (PARTITION BY term ORDER BY doc_id), 0) AS gap
+      FROM toks),
+s AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        CAST(sum(1 + (gap >= 128)::INT + (gap >= 16384)::INT
+                 + (gap >= 2097152)::INT + (gap >= 268435456)::INT)
+             AS BIGINT) AS bytes
+      FROM g GROUP BY term),
+top AS (SELECT * FROM s ORDER BY bytes DESC, term LIMIT 30)
+SELECT CAST(row_number() OVER (ORDER BY bytes DESC, term) AS BIGINT)
+         AS rank,
+       term, df, bytes,
+       CAST((1000000 * bytes) // df AS BIGINT) AS bytes_per_posting_ppm
+FROM top
+"""
+
+_COMPLETION_ORACLE = """
+WITH cnt AS (
+  SELECT t.term, CAST(count(*) AS BIGINT) AS n FROM documents,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             w -> w <> '')) AS t(term)
+  GROUP BY 1),
+pref AS (SELECT substr(term, 1, p) AS prefix, term, n
+         FROM cnt, LATERAL unnest(generate_series(2, 4)) AS g(p)
+         WHERE length(term) >= p),
+ranked AS (SELECT prefix, term, n,
+             CAST(row_number() OVER (PARTITION BY prefix
+                    ORDER BY n DESC, term) AS BIGINT) AS rank,
+             max(n) OVER (PARTITION BY prefix) AS best
+           FROM pref)
+SELECT prefix, rank, term, n FROM ranked WHERE rank <= 3 AND best >= 5
+"""
+
+_AMS_F2_ORACLE = """
+WITH cnt AS (
+  SELECT t.term, CAST(count(*) AS BIGINT) AS cnt FROM documents,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             w -> w <> '')) AS t(term)
+  GROUP BY 1),
+s AS (SELECT j,
+        CAST(sum(CASE WHEN ('0x' || substr(md5('ams' || CAST(j AS VARCHAR)
+                   || ':' || term), 32, 1))::UBIGINT % 2 = 0
+                 THEN cnt ELSE -cnt END) AS BIGINT) AS sv
+      FROM cnt, LATERAL unnest(generate_series(0, 31)) AS g(j)
+      GROUP BY j),
+sq AS (SELECT j, sv * sv AS value FROM s)
+SELECT 'sketch' AS kind, CAST(j AS BIGINT) AS j,
+       CAST(value AS BIGINT) AS value FROM sq
+UNION ALL
+SELECT 'median2x', CAST(-1 AS BIGINT), CAST(sum(value) AS BIGINT)
+FROM (SELECT value, row_number() OVER (ORDER BY value) AS r FROM sq)
+WHERE r IN (16, 17)
+UNION ALL
+SELECT 'exact_f2', CAST(-2 AS BIGINT),
+       CAST(sum(cnt * cnt) AS BIGINT) FROM cnt
+"""
+
+_HARMONIC_ORACLE = """
+WITH RECURSIVE
+e AS (
+  SELECT doc_id AS src, (doc_id*7+1) % (SELECT count(*) FROM documents)
+    AS dst FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 17 <> 0),
+seeds AS (SELECT doc_id AS node FROM documents WHERE doc_id % 50 = 0),
+r(seed, node, d) AS (
+  SELECT node, node, 0 FROM seeds
+  UNION ALL
+  SELECT r.seed, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node
+  WHERE r.d < 4),
+md AS (SELECT seed, node, min(d) AS dist FROM r GROUP BY seed, node)
+SELECT node, CAST(count(*) AS BIGINT) AS n_seeds_reaching,
+       CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm
+FROM md WHERE dist >= 1 GROUP BY node
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -10869,6 +11026,11 @@ FROM hashed
         "stopword_discovery": _STOPWORD_ORACLE,
         "bm25f_search": _BM25F_ORACLE,
         "mutual_nn_pairs": _MUTUAL_NN_ORACLE,
+        "bucketed_batching": _BUCKET_BATCH_ORACLE,
+        "posting_bytes": _POSTING_BYTES_ORACLE,
+        "query_completion": _COMPLETION_ORACLE,
+        "ams_f2": _AMS_F2_ORACLE,
+        "harmonic_centrality": _HARMONIC_ORACLE,
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

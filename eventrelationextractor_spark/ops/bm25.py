@@ -103,6 +103,83 @@ def top_terms(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
         .select("rank", "term", "n")
 
 
+def posting_list_sizes(docs: DataFrame, k: int = 30,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Delta-gap varint index sizing - the storage-planning op an
+    inverted-index build runs BEFORE materializing postings: per term,
+    the byte cost of the posting list under the standard
+    delta-gap + LEB128-varint layout (Lucene/PForDelta-family
+    baseline). -> top-k terms by (bytes desc, term asc):
+    (rank, term, df, bytes, bytes_per_posting_ppm).
+
+    The gap for a term's first posting is the doc id itself; later
+    gaps are id - previous id over the ascending-id posting order.
+    Varint width is the exact integer staircase 1 + [gap>=2^7] +
+    [gap>=2^14] + [gap>=2^21] + [gap>=2^28] - no float log anywhere,
+    so the cross-engine hash is arithmetic-exact.
+
+    Scale shape: DISTINCT (term, doc) -> one window per term (postings
+    of one term co-locate by the index's own layout) -> partial-agg
+    sum -> TakeOrderedAndProject top-k. The full-width stage is the
+    posting dedup; everything after is per-term-sized."""
+    postings = tokenize(docs, id_col, text_col).distinct()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gap = F.col("doc_id") - F.coalesce(
+        F.lag("doc_id").over(w), F.lit(0).cast("long"))
+    nbytes = (F.lit(1).cast("long")
+              + (gap >= (1 << 7)).cast("long")
+              + (gap >= (1 << 14)).cast("long")
+              + (gap >= (1 << 21)).cast("long")
+              + (gap >= (1 << 28)).cast("long"))
+    sized = (postings.withColumn("nb", nbytes)
+             .groupBy("term")
+             .agg(F.count("*").alias("df"),
+                  F.sum("nb").alias("bytes")))
+    top = sized.orderBy(F.col("bytes").desc(), F.col("term")).limit(k)
+    rw = Window.orderBy(F.col("bytes").desc(), F.col("term"))
+    return (top.withColumn("rank", F.row_number().over(rw).cast("long"))
+            .select("rank", "term", "df", "bytes",
+                    F.expr("(1000000 * bytes) div df")
+                    .alias("bytes_per_posting_ppm")))
+
+
+def prefix_completions(docs: DataFrame, min_len: int = 2,
+                       max_len: int = 4, per_prefix: int = 3,
+                       min_count: int = 5, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Query-autocompletion index: for every term prefix of length
+    ``min_len..max_len``, the ``per_prefix`` most frequent completing
+    terms -> (prefix, rank, term, n). The suggest-as-you-type
+    dictionary of a search frontend, built corpus-side.
+
+    Ties break (n desc, term asc); prefixes whose BEST completion has
+    n < ``min_count`` are dropped (a suggestion nobody typed is
+    noise). Scale shape: term counts reduce the corpus to vocabulary
+    cardinality FIRST (partial-agg), then the prefix explode runs at
+    vocab scale (<= max_len-min_len+1 rows per term), then one window
+    per prefix ranks a handful of candidates - the corpus-sized stage
+    never sees a prefix row."""
+    counts = (tokenize(docs, id_col, text_col)
+              .groupBy("term").agg(F.count("*").alias("n")))
+    lens = list(range(int(min_len), int(max_len) + 1))
+    pref = (counts
+            .filter(F.length("term") >= int(min_len))
+            .select("term", "n", F.explode(F.array(
+                *[F.when(F.length("term") >= p,
+                         F.substring("term", 1, p)) for p in lens]))
+                .alias("prefix"))
+            .filter(F.col("prefix").isNotNull()))
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("n").desc(), F.col("term"))
+    return (pref.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= int(per_prefix))
+            .withColumn("best", F.max(F.col("n")).over(
+                Window.partitionBy("prefix")))
+            .filter(F.col("best") >= int(min_count))
+            .select("prefix", "rank", "term", "n"))
+
+
 def ndcg_at_k(results: DataFrame, judgments: DataFrame, k: int = 25,
               rank_col: str = "rank", id_col: str = "doc_id",
               rel_col: str = "rel") -> DataFrame:

@@ -503,6 +503,48 @@ def seed_distances(edges: DataFrame, seeds: DataFrame,
     return dist
 
 
+def harmonic_from_seeds(edges: DataFrame, seeds: DataFrame,
+                        max_hops: int = 4, src: str = "src",
+                        dst: str = "dst") -> DataFrame:
+    """Seed-sampled harmonic centrality (Boldi-Vigna 2014, the
+    centrality that stays finite on disconnected graphs): for each
+    REACHED node v, sum over seeds s of 1/d(s, v) - approximated from
+    a k-seed BFS sample exactly the way production centrality runs do
+    (full all-pairs distances are quadratic; a seed sample is the
+    standard estimator, cf. HyperBall which this repo also ships).
+
+    -> (node, n_seeds_reaching, harmonic_ppm): harmonic_ppm is the
+    EXACT integer sum of (1_000_000 div d) per reaching seed at d>=1
+    (seeds themselves contribute nothing at d=0, matching the
+    convention that excludes the self term) - integer-cents
+    discipline for a graph metric, so the cross-engine hash cannot
+    drift on float summation order.
+
+    Scale shape: one BFS per seed via a seed-tagged frontier (the
+    settled set keys on (seed, node)), i.e. |seeds| simultaneous BFS
+    sharing each hop's single equi-join - hop cost proportional to the
+    union frontier. The final reduce is one partial-agg groupBy."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    frontier = seeds.select(F.col("node").alias("seed"),
+                            F.col("node")).distinct().localCheckpoint()
+    dist = frontier.withColumn("dist", F.lit(0).cast("long"))
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier.node == e.s)
+               .select("seed", F.col("d").alias("node")).distinct()
+               .join(dist.select("seed", "node"), ["seed", "node"],
+                     "left_anti"))
+        dist = dist.unionByName(
+            nxt.withColumn("dist", F.lit(h).cast("long")))
+        frontier = nxt
+        if h % 2 == 0 and h < max_hops:
+            frontier = frontier.localCheckpoint(eager=False)
+            dist = dist.localCheckpoint(eager=False)
+    return (dist.filter(F.col("dist") >= 1)
+            .groupBy("node")
+            .agg(F.count("*").alias("n_seeds_reaching"),
+                 F.sum(F.expr("1000000 div dist")).alias("harmonic_ppm")))
+
+
 def random_walks(edges: DataFrame, nodes: DataFrame | None = None,
                  walk_len: int = 4, salt: str = "walk1",
                  max_out_degree: int = 100,

@@ -63,6 +63,51 @@ def pack_sequences(docs: DataFrame, seq_len: int = 512,
                                f" div {int(seq_len)}")))
 
 
+def bucketed_batches(docs: DataFrame, batch_size: int = 16,
+                     max_len: int = 1024, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Length-bucketed batching telemetry - the OTHER training layout
+    next to ``pack_sequences`` (which concatenates): pad-to-bucket
+    batching groups docs into power-of-two length buckets and pads each
+    doc to its bucket length, so attention masks stay per-doc at the
+    cost of pad waste. This op prices that waste per bucket BEFORE a
+    run commits to a layout.
+
+    -> one row per bucket: (bucket_len, n_docs, n_batches, token_sum,
+    pad_tokens, waste_ppm). bucket_len = smallest power of two >=
+    clamp(ws_tokens, 1, max_len); n_batches = ceil(n_docs/batch_size);
+    waste_ppm = 1e6 * pad / (bucket capacity actually allocated).
+
+    Exact-integer discipline throughout: the power-of-two exponent is
+    the BINARY-STRING length of (n-1) (``shiftleft(1, length(bin(
+    n-1)))``), never a float log2 (whose edge behavior at exact powers
+    of two differs between libm builds); ppm via integer ``div``. One
+    map-side-combinable groupBy over <= log2(max_len)+1 keys - the
+    whole corpus reduces to ~11 rows, merge-safe across shards."""
+    from .textstats import WS_PATTERN
+    toks = F.size(F.split(F.trim(F.col(text_col)), WS_PATTERN)) \
+        .cast("long")
+    clamped = F.greatest(F.least(toks, F.lit(int(max_len)).cast("long")),
+                         F.lit(1).cast("long"))
+    b = int(batch_size)
+    return (docs
+            .select(clamped.alias("nt"))
+            .withColumn("bucket_len", F.expr(
+                "CASE WHEN nt <= 1 THEN 1L "
+                "ELSE shiftleft(1L, length(bin(nt - 1))) END"))
+            .groupBy("bucket_len")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("nt").alias("token_sum"),
+                 F.sum(F.col("bucket_len") - F.col("nt"))
+                 .alias("pad_tokens"))
+            .select("bucket_len", "n_docs",
+                    F.expr(f"(n_docs + {b - 1}) div {b}")
+                    .alias("n_batches"),
+                    "token_sum", "pad_tokens",
+                    F.expr("(1000000 * pad_tokens) div "
+                           "(n_docs * bucket_len)").alias("waste_ppm")))
+
+
 def chunk_documents(df: DataFrame, chunk_size: int = 64, stride: int = 48,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

@@ -466,3 +466,62 @@ def streaming_spacesaving(stream: DataFrame, k: int = 8,
         .groupBy(key_col).applyInPandasWithState(
             fn, SS_OUT_SCHEMA, state_schema, "append",
             GroupStateTimeout.NoTimeout)
+
+
+def ams_f2(docs, n_rows: int = 32, salt: str = "ams",
+           id_col: str = "doc_id", text_col: str = "text"):
+    """AMS second-frequency-moment (F2) sketch over the corpus term
+    distribution - the classic join-size / self-join-size estimator
+    (Alon-Matias-Szegedy 1996): each of ``n_rows`` sketch rows keeps
+    S_j = sum over terms of sign_j(term) * count(term), sign_j drawn
+    from the parity of md5(salt||j||term); S_j^2 is an unbiased F2
+    estimate and the row median tames variance.
+
+    -> (kind, j, value) BIGINT rows: one ('sketch', j, S_j^2) per row,
+    ('median2x', -1, middle-two sum) - kept as the SUM of the two
+    middle order statistics so the median stays an exact integer (no
+    /2 float) - and ('exact_f2', -2, sum count^2) as the audit the toy
+    gate can afford. All arithmetic integer end-to-end; the sketch is
+    a deterministic function of the term SET+counts (order-free), so
+    the DuckDB oracle replays it exactly.
+
+    Scale shape: term counts partial-agg first (vocab cardinality),
+    then n_rows conditional sums in ONE map-side-combinable aggregate
+    producing n_rows scalars - the sketch costs one reduced row per
+    sketch row, merges across shards by addition, and never holds more
+    than the vocabulary."""
+    from pyspark.sql import Window
+    from .bm25 import tokenize
+    counts = (tokenize(docs, id_col, text_col)
+              .groupBy("term").agg(F.count("*").alias("cnt")))
+    sign_cols = []
+    for j in range(int(n_rows)):
+        parity = F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{salt}{j}:"), F.col("term"))),
+            32, 1), 16, 10).cast("long") % 2
+        sign = F.when(parity == 0, F.lit(1)).otherwise(F.lit(-1))
+        sign_cols.append(F.sum(sign * F.col("cnt")).alias(f"s{j}"))
+    row = counts.agg(*sign_cols,
+                     F.sum(F.col("cnt") * F.col("cnt")).alias("f2"))
+    sq = row.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(j).cast("long").alias("j"),
+                     (F.col(f"s{j}") * F.col(f"s{j}")).alias("value"))
+            for j in range(int(n_rows))])).alias("e"),
+        F.col("f2"))
+    sketch = sq.select(F.lit("sketch").alias("kind"),
+                       F.col("e.j").alias("j"),
+                       F.col("e.value").cast("long").alias("value"))
+    mid = int(n_rows) // 2
+    ordered = sq.select(F.col("e.value").alias("v")) \
+        .withColumn("r", F.row_number().over(
+            Window.orderBy(F.col("v")))) \
+        .filter((F.col("r") == mid) | (F.col("r") == mid + 1)) \
+        .agg(F.sum("v").alias("value")) \
+        .select(F.lit("median2x").alias("kind"),
+                F.lit(-1).cast("long").alias("j"),
+                F.col("value").cast("long"))
+    exact = row.select(F.lit("exact_f2").alias("kind"),
+                       F.lit(-2).cast("long").alias("j"),
+                       F.col("f2").cast("long").alias("value"))
+    return sketch.unionByName(ordered).unionByName(exact)

@@ -1,0 +1,138 @@
+"""Round-4 session-4 operators: bucketed batching, posting sizing,
+prefix completions, AMS F2 sketch, harmonic centrality."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eventrelationextractor_spark.ops import bm25, graph, packing, sketches  # noqa: E402
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- batching
+
+def test_bucketed_batches_pow2_and_waste(spark):
+    # token counts 1, 2, 3, 5, 16, 17 -> buckets 1, 2, 4, 8, 16, 32
+    rows = [(0, "a"), (1, "a b"), (2, "a b c"), (3, "a b c d e"),
+            (4, " ".join(["t"] * 16)), (5, " ".join(["t"] * 17))]
+    got = {r.bucket_len: r for r in
+           packing.bucketed_batches(_docs(spark, rows),
+                                    batch_size=2).collect()}
+    assert sorted(got) == [1, 2, 4, 8, 16, 32]
+    # bucket 4 holds the 3-token doc: pad 1, waste 1e6*1//4 = 250000
+    assert got[4].n_docs == 1 and got[4].pad_tokens == 1
+    assert got[4].waste_ppm == 250000
+    # exact power of two stays in its own bucket with zero pad
+    assert got[16].pad_tokens == 0 and got[16].waste_ppm == 0
+    # 17 tokens -> bucket 32, pad 15
+    assert got[32].pad_tokens == 15
+
+
+def test_bucketed_batches_ceil_batches_and_clamp(spark):
+    rows = [(i, "a b c") for i in range(5)]  # 5 docs, bucket 4
+    r = packing.bucketed_batches(_docs(spark, rows), batch_size=2).collect()
+    assert len(r) == 1 and r[0].n_batches == 3  # ceil(5/2)
+    # clamp: a 10-token doc with max_len=8 lands in bucket 8 with 0 pad
+    long_doc = [(0, " ".join(["t"] * 10))]
+    r = packing.bucketed_batches(_docs(spark, long_doc), batch_size=2,
+                                 max_len=8).collect()
+    assert r[0].bucket_len == 8 and r[0].token_sum == 8
+
+
+# ---------------------------------------------------------------- postings
+
+def test_posting_list_sizes_varint_staircase(spark):
+    # term 'x' in docs 0 and 200: gaps 0 (1 byte) and 200 (2 bytes)
+    rows = [(0, "x"), (200, "x y"), (201, "y")]
+    got = {r.term: r for r in
+           bm25.posting_list_sizes(_docs(spark, rows), k=10).collect()}
+    assert got["x"].df == 2 and got["x"].bytes == 3
+    # 'y': first posting doc 200 -> gap 200 (2 bytes), then gap 1 (1 byte)
+    assert got["y"].df == 2 and got["y"].bytes == 3
+    assert got["x"].bytes_per_posting_ppm == 1500000
+
+
+def test_posting_list_sizes_topk_plan(spark):
+    df = bm25.posting_list_sizes(_docs(spark, [(0, "a b"), (1, "b")]), k=5)
+    plan = df._jdf.queryExecution().toString().split(
+        "== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------------- completions
+
+def test_prefix_completions_ranks(spark):
+    rows = [(i, "apple apply ant") for i in range(5)] + \
+           [(100 + i, "apple") for i in range(3)]
+    got = bm25.prefix_completions(_docs(spark, rows), min_len=2, max_len=3,
+                                  per_prefix=2, min_count=5).collect()
+    by_prefix = {}
+    for r in got:
+        by_prefix.setdefault(r.prefix, []).append((r.rank, r.term, r.n))
+    # 'ap': apple (8) then apply (5)
+    assert sorted(by_prefix["ap"]) == [(1, "apple", 8), (2, "apply", 5)]
+    # 'an': best completion 'ant' has n=5 -> kept
+    assert sorted(by_prefix["an"]) == [(1, "ant", 5)]
+    # per_prefix=2 never exceeded
+    assert all(len(v) <= 2 for v in by_prefix.values())
+
+
+def test_prefix_completions_min_count_drops(spark):
+    got = bm25.prefix_completions(_docs(spark, [(0, "zebra")]),
+                                  min_count=5).collect()
+    assert got == []
+
+
+# ------------------------------------------------------------------ AMS F2
+
+def test_ams_f2_exact_and_bounds(spark):
+    rows = [(0, "a a b"), (1, "a c")]  # counts: a=3, b=1, c=1
+    got = {(r.kind, r.j): r.value for r in
+           sketches.ams_f2(_docs(spark, rows), n_rows=8).collect()}
+    assert got[("exact_f2", -2)] == 9 + 1 + 1
+    total = 3 + 1 + 1
+    sketch_vals = [v for (k, _), v in got.items() if k == "sketch"]
+    assert len(sketch_vals) == 8
+    assert all(0 <= v <= total * total for v in sketch_vals)
+    ordered = sorted(sketch_vals)
+    assert got[("median2x", -1)] == ordered[3] + ordered[4]
+
+
+def test_ams_f2_depends_only_on_frequencies(spark):
+    a = sketches.ams_f2(_docs(spark, [(0, "x y"), (1, "x")]), n_rows=8)
+    b = sketches.ams_f2(_docs(spark, [(7, "x x y")]), n_rows=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ------------------------------------------------------------ harmonic
+
+def test_harmonic_from_seeds_exact(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: (r.n_seeds_reaching, r.harmonic_ppm) for r in
+           graph.harmonic_from_seeds(edges, seeds, max_hops=4).collect()}
+    assert got == {2: (1, 1000000), 3: (1, 500000), 4: (1, 1000000)}
+
+
+def test_harmonic_from_seeds_two_seeds_sum(spark):
+    # 1 -> 2, 3 -> 2: node 2 reached by both seeds at d=1
+    edges = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (3,)], "node long")
+    got = {r.node: (r.n_seeds_reaching, r.harmonic_ppm) for r in
+           graph.harmonic_from_seeds(edges, seeds, max_hops=3).collect()}
+    assert got == {2: (2, 2000000)}
+
+
+def test_harmonic_min_distance_wins(spark):
+    # two routes to node 3: direct (d=1) and via 2 (d=2) -> min d=1
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.harmonic_ppm for r in
+           graph.harmonic_from_seeds(edges, seeds, max_hops=4).collect()}
+    assert got[3] == 1000000
