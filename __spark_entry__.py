@@ -4068,6 +4068,38 @@ def _q_harmonic_centrality(spark, sf_dir):
     return graph.harmonic_from_seeds(e, seeds, max_hops=4)
 
 
+def _q_link_simrank(spark, sf_dir):
+    """Sparse threshold-SimRank (ops/graph.py::simrank_pairs, Jeh-
+    Widom 2002) over the synthetic link graph: 3 exact-integer ppm
+    iterations (score = (4*sum) div (5*da*db)), per-round min_ppm
+    pruning keeps the pair frontier sparse instead of materializing
+    the O(n^2) pair matrix. Oracle unrolls the identical rounds."""
+    e, _ = _link_edges(spark, sf_dir)
+    return graph.simrank_pairs(e, n_iter=3, min_ppm=1000)
+
+
+def _q_decision_stump(spark, sf_dir):
+    """1-R decision stump (ops/quality.py::decision_stump, Holte
+    1993): best single n_chars threshold for lang='en' by weighted
+    Gini over a common integer denominator - the interpretable
+    baseline a curation gate ships when it can't justify a model.
+    One partial-agg groupBy to the bucket spine, then windows at
+    statistic scale."""
+    return quality.decision_stump(_docs(spark, sf_dir),
+                                  F.col("lang") == "en",
+                                  feature_col="n_chars", bucket_width=16)
+
+
+def _q_maxsim_search(spark, sf_dir):
+    """Late-interaction MaxSim retrieval (ops/simsearch.py::
+    maxsim_topk, the ColBERT scoring shape) over deterministic hashed
+    16-dim token vectors: per-query-token max cosine summed in one
+    fixed-order expression. Vocab-cardinality vector compute, posting
+    equi-join, partial-agg maxes, TakeOrderedAndProject."""
+    return simsearch.maxsim_topk(_docs(spark, sf_dir),
+                                 ["hash", "join", "stream"], k=15)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4332,6 +4364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_completion": _q_query_completion,
         "ams_f2": _q_ams_f2,
         "harmonic_centrality": _q_harmonic_centrality,
+        "link_simrank": _q_link_simrank,
+        "decision_stump": _q_decision_stump,
+        "maxsim_search": _q_maxsim_search,
     }
 
 
@@ -10752,6 +10787,121 @@ FROM md WHERE dist >= 1 GROUP BY node
 """
 
 
+def _simrank_oracle(n_iter: int = 3, min_ppm: int = 1000) -> str:
+    """Unrolls ops/graph.py::simrank_pairs round-for-round: distinct
+    in-edge sets, diagonal contribution 1e6 per common in-neighbor,
+    off-diagonal from the previous round's pruned sparse scores, the
+    same integer (4*s) // (5*da*db) and min_ppm cut each round."""
+    parts = ["""WITH
+e0 AS (
+  SELECT doc_id AS src, (doc_id*7+1) % (SELECT count(*) FROM documents)
+    AS dst FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 17 <> 0),
+e AS (SELECT DISTINCT dst AS node, src AS inn FROM e0),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY node)"""]
+    prev = None
+    for r in range(1, n_iter + 1):
+        diag = f"""
+d{r} AS (SELECT x.node AS a, y.node AS b,
+         CAST(count(*) AS BIGINT) * 1000000 AS s
+       FROM e x JOIN e y ON x.inn = y.inn AND x.node < y.node
+       GROUP BY 1, 2)"""
+        if prev is None:
+            total = f"t{r} AS (SELECT a, b, s FROM d{r})"
+        else:
+            total = f"""
+sym{r} AS (SELECT a AS i, b AS j, score_ppm FROM {prev}
+           UNION ALL SELECT b, a, score_ppm FROM {prev}),
+o{r} AS (SELECT ea.node AS a, eb.node AS b,
+           CAST(sum(sy.score_ppm) AS BIGINT) AS s
+         FROM e ea JOIN sym{r} sy ON ea.inn = sy.i
+         JOIN e eb ON eb.inn = sy.j
+         WHERE ea.node < eb.node GROUP BY 1, 2),
+t{r} AS (SELECT a, b, CAST(sum(s) AS BIGINT) AS s FROM
+         (SELECT * FROM d{r} UNION ALL SELECT * FROM o{r}) GROUP BY a, b)"""
+        score = f"""
+s{r} AS (SELECT t.a, t.b,
+           CAST((4 * t.s) // (5 * da.deg * db.deg) AS BIGINT) AS score_ppm
+         FROM t{r} t JOIN deg da ON t.a = da.node
+         JOIN deg db ON t.b = db.node
+         WHERE (4 * t.s) // (5 * da.deg * db.deg) >= {int(min_ppm)})"""
+        parts.append("," + diag + ",")
+        parts.append(total + ",")
+        parts.append(score)
+        prev = f"s{r}"
+    parts.append(f"\nSELECT a, b, score_ppm FROM {prev}")
+    return "".join(parts)
+
+
+_STUMP_ORACLE = """
+WITH per AS (
+  SELECT n_chars // 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((lang = 'en')::INT) AS BIGINT) AS pos
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+               CAST(sum(pos) AS BIGINT) AS tp FROM per),
+cum AS (SELECT bucket AS threshold,
+          CAST(sum(n) OVER w AS BIGINT) AS l_n,
+          CAST(sum(pos) OVER w AS BIGINT) AS l_pos, tn, tp
+        FROM per, tot
+        WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
+g AS (SELECT threshold, l_n, l_pos,
+        tn - l_n AS r_n, tp - l_pos AS r_pos,
+        CAST((2000000 * (l_pos*(l_n-l_pos)*(tn-l_n)
+                         + (tp-l_pos)*((tn-l_n)-(tp-l_pos))*l_n))
+             // (l_n * (tn-l_n) * tn) AS BIGINT) AS gini_ppm
+      FROM cum WHERE l_n >= 1 AND tn - l_n >= 1),
+b AS (SELECT min(gini_ppm) AS bg FROM g),
+bt AS (SELECT min(threshold) AS btr FROM g, b WHERE gini_ppm = bg)
+SELECT threshold, l_n, l_pos, r_n, r_pos, gini_ppm,
+       (gini_ppm = bg AND threshold = btr) AS is_best
+FROM g, b, bt
+"""
+
+
+def _maxsim_oracle(terms, k: int = 15) -> str:
+    """Replays ops/simsearch.py::maxsim_topk digit-for-digit: 16-dim
+    integer token vectors x_i = 2*hexdigit_i(md5(term)) - 15, query
+    vectors inlined as Python-computed literals (hashlib md5 == engine
+    md5), cosines rounded 6dp BEFORE the max, maxes added in the same
+    fixed order."""
+    import hashlib as _hl
+    dims = ", ".join(
+        f"(('0x' || substr(md5(term), {i + 1}, 1))::INT * 2 - 15) AS x{i}"
+        for i in range(16))
+    tn2 = " + ".join(f"x{i}*x{i}" for i in range(16))
+    cos_exprs = []
+    for qi, q in enumerate(terms):
+        qv = [2 * int(c, 16) - 15
+              for c in _hl.md5(q.encode()).hexdigest()[:16]]
+        qn2 = sum(x * x for x in qv)
+        dot = " + ".join(f"({w})*x{i}" for i, w in enumerate(qv))
+        cos_exprs.append(
+            f"round(({dot}) / sqrt(CAST(({tn2}) * {qn2} AS DOUBLE)), 6)"
+            f" AS cos{qi}")
+    msum = " + ".join(f"m{qi}" for qi in range(len(terms)))
+    maxes = ", ".join(f"max(cos{qi}) AS m{qi}" for qi in range(len(terms)))
+    return f"""
+WITH postings AS (
+  SELECT DISTINCT doc_id, t.term FROM documents,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             w -> w <> '')) AS t(term)),
+vocab AS (SELECT DISTINCT term FROM postings),
+vd AS (SELECT term, {dims} FROM vocab),
+vc AS (SELECT term, {", ".join(cos_exprs)} FROM vd),
+mx AS (SELECT doc_id, {maxes}
+       FROM postings JOIN vc USING (term) GROUP BY doc_id),
+sc AS (SELECT doc_id, round({msum}, 6) AS score FROM mx),
+top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT {int(k)})
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id, score
+FROM top
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -11031,6 +11181,9 @@ FROM hashed
         "query_completion": _COMPLETION_ORACLE,
         "ams_f2": _AMS_F2_ORACLE,
         "harmonic_centrality": _HARMONIC_ORACLE,
+        "link_simrank": _simrank_oracle(),
+        "decision_stump": _STUMP_ORACLE,
+        "maxsim_search": _maxsim_oracle(["hash", "join", "stream"]),
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

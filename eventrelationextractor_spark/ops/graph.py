@@ -503,6 +503,74 @@ def seed_distances(edges: DataFrame, seeds: DataFrame,
     return dist
 
 
+def simrank_pairs(edges: DataFrame, n_iter: int = 3,
+                  c_num: int = 4, c_den: int = 5,
+                  min_ppm: int = 1000, src: str = "src",
+                  dst: str = "dst") -> DataFrame:
+    """Sparse SimRank (Jeh-Widom 2002): 'two pages are similar if
+    similar pages link to them' - the structural-similarity score for
+    related-page discovery and link-spam clustering. Fixed ``n_iter``
+    iterations of s(a,b) = C/(|I(a)||I(b)|) * sum s(i,j) over
+    in-neighbor pairs, C = c_num/c_den (default 0.8), diagonal pinned
+    at 1.
+
+    -> (a, b, score_ppm), a < b canonical. EXACT-INTEGER iteration:
+    scores live as ppm and each round computes
+    ``(c_num * 1e6-scaled sum) div (c_den * inA * inB)`` - integer
+    floor-division both engines, so the fixed point of the hash gate
+    cannot drift on float merge order (integer-cents discipline; the
+    floor loses < 1 ppm/round, identically on both sides).
+
+    Scale shape: the naive algorithm is O(n^2 d^2); this one stays
+    SPARSE - each round is two keyed equi-joins (in-edges x current
+    scores x in-edges) + one partial-agg groupBy, and pairs below
+    ``min_ppm`` are pruned each round (the standard threshold-SimRank
+    cutoff) so the frontier tracks genuinely-similar pairs instead of
+    materializing the pair matrix. Duplicate edges collapse first:
+    in-neighbor SETS, per Jeh-Widom."""
+    e = edges.select(F.col(dst).alias("node"),
+                     F.col(src).alias("inn")).distinct()
+    indeg = e.groupBy("node").agg(F.count("*").alias("deg"))
+    scores = None  # sparse off-diagonal scores, a < b, ppm
+    for _ in range(int(n_iter)):
+        if scores is None:
+            sym = None
+        else:
+            sym = scores.unionByName(
+                scores.select(F.col("b").alias("a"), F.col("a").alias("b"),
+                              "score_ppm"))
+        ea = e.select(F.col("node").alias("a"), F.col("inn").alias("i"))
+        eb = e.select(F.col("node").alias("b"), F.col("inn").alias("j"))
+        # in-neighbor pair (i, j): diagonal i == j contributes 1e6;
+        # off-diagonal contributes the previous round's sparse score
+        diag = (ea.join(eb.withColumnRenamed("j", "i"), "i")
+                .filter(F.col("a") < F.col("b"))
+                .groupBy("a", "b")
+                .agg((F.count("*") * F.lit(1000000)).alias("s")))
+        if sym is not None:
+            off = (ea.join(sym.withColumnRenamed("a", "i")
+                           .withColumnRenamed("b", "j"), "i")
+                   .join(eb, "j")
+                   .filter(F.col("a") < F.col("b"))
+                   .groupBy("a", "b")
+                   .agg(F.sum("score_ppm").alias("s")))
+            total = diag.unionByName(off).groupBy("a", "b") \
+                .agg(F.sum("s").alias("s"))
+        else:
+            total = diag
+        scores = (total
+                  .join(indeg.select(F.col("node").alias("a"),
+                                     F.col("deg").alias("da")), "a")
+                  .join(indeg.select(F.col("node").alias("b"),
+                                     F.col("deg").alias("db")), "b")
+                  .select("a", "b", F.expr(
+                      f"({int(c_num)} * s) div ({int(c_den)} * da * db)")
+                      .alias("score_ppm"))
+                  .filter(F.col("score_ppm") >= int(min_ppm))
+                  .localCheckpoint(eager=False))
+    return scores
+
+
 def harmonic_from_seeds(edges: DataFrame, seeds: DataFrame,
                         max_hops: int = 4, src: str = "src",
                         dst: str = "dst") -> DataFrame:

@@ -742,3 +742,62 @@ def isotonic_calibrate(bins: DataFrame, group_col: str = "grp",
                          F.col(n_col).alias("n"),
                          F.col(pos_col).alias("pos"))
     return staged.groupBy("grp").applyInPandas(pav, ISOTONIC_SCHEMA)
+
+
+def decision_stump(df: DataFrame, label, feature_col: str = "n_chars",
+                   bucket_width: int = 16) -> DataFrame:
+    """1-R decision-stump induction (Holte 1993 - the baseline every
+    learned quality gate must beat, and the interpretable fallback a
+    curation pipeline ships when it can't justify a model): the best
+    single threshold split of a numeric feature by weighted Gini
+    impurity.
+
+    -> one row per CANDIDATE threshold (bucketed ``feature_col div
+    bucket_width`` cuts - candidate count is bounded by the bucket
+    range, not the corpus): (threshold, l_n, l_pos, r_n, r_pos,
+    gini_ppm, is_best). ``threshold`` t means the left branch takes
+    bucket <= t; splits with an empty side are excluded. gini_ppm is
+    the EXACT integer
+    ``(2e6 * (l_pos*l_neg*r_n + r_pos*r_neg*l_n)) div (l_n*r_n*n)``
+    (weighted two-sided Gini over a common denominator - never a
+    float comparison, so the argmin + lowest-threshold tie-break is
+    engine-exact). is_best marks the stump the rule would ship.
+
+    Scale shape: ONE partial-agg groupBy collapses the corpus to
+    per-bucket (n, pos) counts; every candidate split then reads two
+    cumulative windows over the bucket spine (statistic scale, ~range/
+    bucket_width rows). No per-threshold pass over the data."""
+    from pyspark.sql import Window
+    lab = label if not isinstance(label, str) else F.col(label)
+    bw = int(bucket_width)
+    per = (df.select(F.expr(f"cast({feature_col} as bigint) div {bw}")
+                     .alias("bucket"),
+                     lab.cast("long").alias("y"))
+           .groupBy("bucket")
+           .agg(F.count("*").alias("n"), F.sum("y").alias("pos")))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("pos").alias("tp"))
+    cand = (per
+            .withColumn("l_n", F.sum("n").over(w))
+            .withColumn("l_pos", F.sum("pos").over(w))
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("bucket").alias("threshold"),
+                    "l_n", "l_pos",
+                    (F.col("tn") - F.col("l_n")).alias("r_n"),
+                    (F.col("tp") - F.col("l_pos")).alias("r_pos"),
+                    F.col("tn"))
+            .filter((F.col("l_n") >= 1) & (F.col("r_n") >= 1))
+            .withColumn("gini_ppm", F.expr(
+                "(2000000 * (l_pos*(l_n-l_pos)*r_n + r_pos*(r_n-r_pos)*l_n))"
+                " div (l_n * r_n * tn)")))
+    best = Window.partitionBy(F.lit(1))
+    return (cand
+            .withColumn("best_g", F.min("gini_ppm").over(best))
+            .withColumn("best_t", F.min(F.when(
+                F.col("gini_ppm") == F.col("best_g"),
+                F.col("threshold"))).over(best))
+            .select("threshold", "l_n", "l_pos", "r_n", "r_pos",
+                    "gini_ppm",
+                    ((F.col("gini_ppm") == F.col("best_g"))
+                     & (F.col("threshold") == F.col("best_t")))
+                    .alias("is_best")))

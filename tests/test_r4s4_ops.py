@@ -6,7 +6,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from eventrelationextractor_spark.ops import bm25, graph, packing, sketches  # noqa: E402
+from eventrelationextractor_spark.ops import bm25, graph, packing, quality, simsearch, sketches  # noqa: E402
 
 
 def _docs(spark, rows):
@@ -136,3 +136,104 @@ def test_harmonic_min_distance_wins(spark):
     got = {r.node: r.harmonic_ppm for r in
            graph.harmonic_from_seeds(edges, seeds, max_hops=4).collect()}
     assert got[3] == 1000000
+
+
+# ------------------------------------------------------------------ simrank
+
+def test_simrank_single_common_parent(spark):
+    # 3 -> 1, 3 -> 2: identical in-neighbor sets -> C = 0.8 exactly
+    e = spark.createDataFrame([(3, 1), (3, 2)], "src long, dst long")
+    got = sorted(map(tuple, graph.simrank_pairs(e, n_iter=3).collect()))
+    assert got == [(1, 2, 800000)]
+
+
+def test_simrank_second_order(spark):
+    # I(3) = I(4) = {1, 2}; 1 and 2 have no in-links so s(1,2) = 0:
+    # s(3,4) = 0.8/4 * (s(1,1) + s(2,2)) = 0.4 at every round
+    e = spark.createDataFrame([(1, 3), (2, 3), (1, 4), (2, 4)],
+                              "src long, dst long")
+    got = sorted(map(tuple, graph.simrank_pairs(e, n_iter=2).collect()))
+    assert got == [(3, 4, 400000)]
+
+
+def test_simrank_off_diagonal_feeds_next_round(spark):
+    # parents 1,2 made similar by a shared grandparent 0; children 5,6
+    # then pick up BOTH the diagonal and the off-diagonal term:
+    # round1: s(1,2) = 0.8; round2: s(5,6) = 0.8/1 * s(1,2)... with
+    # I(5)={1}, I(6)={2}: s(5,6) = 0.8 * s(1,2) = 640000
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 5), (2, 6)], "src long, dst long")
+    got = {(r.a, r.b): r.score_ppm for r in
+           graph.simrank_pairs(e, n_iter=2).collect()}
+    assert got[(1, 2)] == 800000
+    assert got[(5, 6)] == 640000
+
+
+def test_simrank_min_ppm_prunes(spark):
+    e = spark.createDataFrame([(3, 1), (3, 2)], "src long, dst long")
+    got = graph.simrank_pairs(e, n_iter=1, min_ppm=900000).collect()
+    assert got == []
+
+
+# -------------------------------------------------------------------- stump
+
+def test_decision_stump_perfect_split(spark):
+    import pyspark.sql.functions as F
+    rows = [(i, 1) for i in range(0, 64, 16)] + \
+           [(i, 0) for i in range(64, 128, 16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {r.threshold: r for r in quality.decision_stump(
+        df, F.col("y") == 1, feature_col="x", bucket_width=16).collect()}
+    # threshold 3 separates perfectly: gini 0
+    assert got[3].gini_ppm == 0 and got[3].is_best
+    assert got[3].l_pos == 4 and got[3].r_pos == 0
+    assert sum(1 for r in got.values() if r.is_best) == 1
+
+
+def test_decision_stump_tie_breaks_lowest_threshold(spark):
+    import pyspark.sql.functions as F
+    # symmetric data -> several thresholds tie; lowest must win
+    rows = [(0, 1), (16, 1), (32, 1), (48, 1)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = [r for r in quality.decision_stump(
+        df, F.col("y") == 1, feature_col="x", bucket_width=16).collect()
+        if r.is_best]
+    assert len(got) == 1 and got[0].threshold == 0
+
+
+# ------------------------------------------------------------------- maxsim
+
+def test_maxsim_exact_match_scores_highest(spark):
+    rows = [(0, "hash join stream"), (1, "hash only here"),
+            (2, "totally unrelated words")]
+    got = simsearch.maxsim_topk(_docs(spark, rows),
+                                ["hash", "join", "stream"], k=3).collect()
+    by_id = {r.doc_id: (r.rank, r.score) for r in got}
+    assert by_id[0][0] == 1 and abs(by_id[0][1] - 3.0) < 1e-9
+    # doc 1 contains one exact term -> its max for 'hash' is 1.0
+    assert by_id[1][1] < 3.0 and by_id[1][1] > by_id[2][1] - 3.0
+
+
+def test_maxsim_python_replay(spark):
+    import hashlib
+    import math
+    rows = [(0, "alpha beta"), (1, "gamma delta epsilon")]
+    terms = ["alpha", "zeta"]
+
+    def vec(t):
+        return [2 * int(c, 16) - 15
+                for c in hashlib.md5(t.encode()).hexdigest()[:16]]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / math.sqrt(sum(x * x for x in a)
+                                   * sum(y * y for y in b)), 6)
+
+    expected = {}
+    for doc_id, text in rows:
+        toks = set(text.split())
+        s = sum(max(cos(vec(q), vec(t)) for t in toks) for q in terms)
+        expected[doc_id] = round(s, 6)
+    got = {r.doc_id: r.score for r in simsearch.maxsim_topk(
+        _docs(spark, rows), terms, k=5).collect()}
+    assert got == expected
