@@ -4100,6 +4100,55 @@ def _q_maxsim_search(spark, sf_dir):
                                  ["hash", "join", "stream"], k=15)
 
 
+def _q_scc_pivot(spark, sf_dir):
+    """FW-BW pivot SCC round (ops/graph.py::scc_pivot, Fleischer et
+    al.): forward + backward hop-bounded BFS from the min-id pivot,
+    FW ∩ BW = the pivot's SCC, the complement sets = the recursion
+    partitions. Two frontier sweeps + one full-outer join; oracle =
+    two recursive CTEs intersected."""
+    e, _ = _link_edges(spark, sf_dir)
+    return graph.scc_pivot(e, max_hops=8)
+
+
+def _q_ltr_features(spark, sf_dir):
+    """Learning-to-rank feature extraction (ops/bm25.py::
+    ltr_features): per matching doc the lexical feature vector
+    (match counts, tf stats, df bounds, doc length, shared-formula
+    bm25) - broadcast query semi-join before any shuffle, one
+    partial-agg groupBy, no top-k cut (LTR wants every candidate)."""
+    return bm25.ltr_features(_docs(spark, sf_dir), BM25_QUERY_TERMS)
+
+
+def _q_trending_terms(spark, sf_dir):
+    """Trending-term lift between corpus slices (ops/textstats.py::
+    term_lift): every 10th doc is the 'new batch' and stages a drift
+    suffix (pure function of doc_id, mirrored in SQL) so the detector
+    has planted positives; exact-integer rate-lift ppm with add-one
+    smoothing, one partial-agg groupBy + TakeOrderedAndProject."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 9,
+               F.concat(F.col("text"),
+                        F.lit(" gpu cluster training gpu")))
+        .otherwise(F.col("text")).alias("text"),
+        (F.col("doc_id") % 10 == 9).alias("is_new"))
+    return textstats.term_lift(d, flag_col="is_new", k=20, min_new=5)
+
+
+GAZETTEER_PHRASES = ["hash scan", "join order", "sort table scan",
+                     "batch batch", "spark window", "stream"]
+
+
+def _q_gazetteer_spans(spark, sf_dir):
+    """Dictionary entity tagging with leftmost-longest resolution
+    (ops/mining.py::gazetteer_spans, the Aho-Corasick reporting
+    convention): overlapping shorter matches suppressed. Broadcast
+    gazetteer, one zero-shuffle mapInPandas; oracle = candidate scan
+    as a recursive CTE carrying last_end."""
+    return mining.gazetteer_spans(_docs(spark, sf_dir),
+                                  GAZETTEER_PHRASES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4367,6 +4416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_simrank": _q_link_simrank,
         "decision_stump": _q_decision_stump,
         "maxsim_search": _q_maxsim_search,
+        "scc_pivot": _q_scc_pivot,
+        "ltr_features": _q_ltr_features,
+        "trending_terms": _q_trending_terms,
+        "gazetteer_spans": _q_gazetteer_spans,
     }
 
 
@@ -10902,6 +10955,139 @@ FROM top
 """
 
 
+_SCC_ORACLE = """
+WITH RECURSIVE
+e0 AS (
+  SELECT doc_id AS src, (doc_id*7+1) % (SELECT count(*) FROM documents)
+    AS dst FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 17 <> 0),
+piv AS (SELECT min(src) AS node FROM e0),
+fwr(node, d) AS (
+  SELECT node, 0 FROM piv
+  UNION
+  SELECT e0.dst, fwr.d + 1 FROM fwr JOIN e0 ON e0.src = fwr.node
+  WHERE fwr.d < 8),
+bwr(node, d) AS (
+  SELECT node, 0 FROM piv
+  UNION
+  SELECT e0.src, bwr.d + 1 FROM bwr JOIN e0 ON e0.dst = bwr.node
+  WHERE bwr.d < 8),
+f AS (SELECT DISTINCT node FROM fwr),
+b AS (SELECT DISTINCT node FROM bwr)
+SELECT coalesce(f.node, b.node) AS node,
+       f.node IS NOT NULL AS fw,
+       b.node IS NOT NULL AS bw,
+       (f.node IS NOT NULL AND b.node IS NOT NULL) AS in_scc
+FROM f FULL OUTER JOIN b ON f.node = b.node
+"""
+
+_LTR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len
+       FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(CAST(doc_len AS DOUBLE)) AS avgdl FROM dl),
+qt AS (SELECT * FROM (VALUES ('hash'),('join'),('spark'),('window'),
+                             ('stream')) q(term)),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks JOIN qt USING (term) GROUP BY doc_id, term),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+  CAST(count(*) AS BIGINT) AS n_matched,
+  CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
+  CAST(min(tf.tf) AS BIGINT) AS min_tf,
+  CAST(max(tf.tf) AS BIGINT) AS max_tf,
+  CAST(min(dl.doc_len) AS BIGINT) AS doc_len,
+  CAST(min(dfs.df) AS BIGINT) AS min_df,
+  CAST(max(dfs.df) AS BIGINT) AS max_df,
+  round(sum(ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+        * tf.tf * (1.2 + 1.0)
+        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len / s.avgdl))), 6)
+    AS bm25
+FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+GROUP BY tf.doc_id
+"""
+
+_TRENDING_ORACLE = """
+WITH d AS (
+  SELECT CASE WHEN doc_id % 10 = 9
+         THEN text || ' gpu cluster training gpu' ELSE text END AS text,
+         doc_id % 10 = 9 AS is_new
+  FROM documents),
+toks AS (SELECT is_new, t.term FROM d,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             w -> w <> '')) AS t(term)),
+per AS (SELECT term,
+          CAST(sum(is_new::INT) AS BIGINT) AS new_cnt,
+          CAST(sum((NOT is_new)::INT) AS BIGINT) AS ref_cnt
+        FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(new_cnt) AS BIGINT) AS new_total,
+               CAST(sum(ref_cnt) AS BIGINT) AS ref_total FROM per),
+sc AS (SELECT term, new_cnt, ref_cnt,
+         CAST((1000000 * new_cnt * ref_total)
+              // ((ref_cnt + 1) * new_total) AS BIGINT) AS lift_ppm
+       FROM per, tot WHERE new_cnt >= 5),
+top AS (SELECT * FROM sc ORDER BY lift_ppm DESC, term LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY lift_ppm DESC, term) AS BIGINT)
+         AS rank,
+       term, new_cnt, ref_cnt, lift_ppm
+FROM top
+"""
+
+
+def _gazetteer_oracle(phrases) -> str:
+    """Recursive-CTE twin of ops/mining.py::gazetteer_spans: candidate
+    scan ordered (start asc, len desc) carrying last_end - the
+    sequential leftmost-longest state SQL can only say as recursion."""
+    import re as _re
+    pts = sorted({tuple(t for t in _re.split(r"[^a-z0-9]+", p.lower())
+                        if t) for p in phrases if p})
+    branches = []
+    for pt in pts:
+        ln = len(pt)
+        arr = "[" + ", ".join(f"'{t}'" for t in pt) + "]"
+        branches.append(
+            f"SELECT doc_id, g.p AS start_tok, {ln} AS plen,\n"
+            f"       '{' '.join(pt)}' AS phrase\n"
+            f"FROM base, LATERAL unnest(generate_series(1, "
+            f"len(ws) - {ln} + 1)) AS g(p)\n"
+            f"WHERE len(ws) >= {ln} AND ws[g.p:g.p + {ln} - 1] = {arr}")
+    cand = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH RECURSIVE
+base AS (SELECT doc_id,
+  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+              x -> x <> '') AS ws FROM documents),
+cand AS ({cand}),
+c2 AS (SELECT doc_id, start_tok, plen,
+         start_tok + plen - 1 AS end_tok, phrase,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY start_tok, plen DESC) AS rn
+       FROM cand),
+rec(doc_id, rn, last_end, start_tok, end_tok, phrase, kept) AS (
+  SELECT doc_id, 0, 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS VARCHAR), false
+  FROM (SELECT DISTINCT doc_id FROM c2)
+  UNION ALL
+  SELECT c.doc_id, c.rn,
+         CASE WHEN c.start_tok > r.last_end THEN c.end_tok
+              ELSE r.last_end END,
+         c.start_tok, c.end_tok, c.phrase, c.start_tok > r.last_end
+  FROM rec r JOIN c2 c ON c.doc_id = r.doc_id AND c.rn = r.rn + 1)
+SELECT doc_id, CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(end_tok AS BIGINT) AS end_tok, phrase
+FROM rec WHERE kept
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -11184,6 +11370,10 @@ FROM hashed
         "link_simrank": _simrank_oracle(),
         "decision_stump": _STUMP_ORACLE,
         "maxsim_search": _maxsim_oracle(["hash", "join", "stream"]),
+        "scc_pivot": _SCC_ORACLE,
+        "ltr_features": _LTR_ORACLE,
+        "trending_terms": _TRENDING_ORACLE,
+        "gazetteer_spans": _gazetteer_oracle(GAZETTEER_PHRASES),
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

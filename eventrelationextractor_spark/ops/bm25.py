@@ -180,6 +180,54 @@ def prefix_completions(docs: DataFrame, min_len: int = 2,
             .select("prefix", "rank", "term", "n"))
 
 
+def ltr_features(docs: DataFrame, query_terms: list,
+                 k1: float = 1.2, b: float = 0.75,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Learning-to-rank feature extraction - the labeled-example
+    generator feeding every LTR trainer (LambdaMART et al.): for each
+    document matching >= 1 query term, the standard lexical feature
+    vector -> (doc_id, n_matched, sum_tf, min_tf, max_tf, doc_len,
+    min_df, max_df, bm25). Counts/lengths are exact integers; bm25 is
+    the 6dp-rounded score shared with ``bm25_topk``'s formulation so
+    the ranker feature and the ranker agree.
+
+    Scale shape: identical join geometry to bm25_topk - broadcast
+    query-term semi-join BEFORE any shuffle (the corpus-sized scan
+    only keeps matching postings), term df + corpus stats as broadcast
+    dimensions, ONE partial-agg groupBy per doc. No top-k cut: LTR
+    wants every candidate, and the output is bounded by the matching
+    set, not the corpus."""
+    spark = docs.sparkSession
+    toks = tokenize(docs, id_col, text_col)
+    qt = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.avg("doc_len").alias("avgdl"))
+    tf = (toks.join(F.broadcast(qt), "term")
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return (tf
+            .join(F.broadcast(df_), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("idf", F.log(
+                F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)))
+            .withColumn("part", F.col("idf") * F.col("tf") * (k1 + 1.0)
+                        / (F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len")
+                                               / F.col("avgdl"))))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_matched"),
+                 F.sum("tf").alias("sum_tf"),
+                 F.min("tf").alias("min_tf"),
+                 F.max("tf").alias("max_tf"),
+                 F.first("doc_len").alias("doc_len"),
+                 F.min("df").alias("min_df"),
+                 F.max("df").alias("max_df"),
+                 F.round(F.sum("part"), 6).alias("bm25")))
+
+
 def ndcg_at_k(results: DataFrame, judgments: DataFrame, k: int = 25,
               rank_col: str = "rank", id_col: str = "doc_id",
               rel_col: str = "rel") -> DataFrame:

@@ -571,6 +571,57 @@ def simrank_pairs(edges: DataFrame, n_iter: int = 3,
     return scores
 
 
+def scc_pivot(edges: DataFrame, max_hops: int = 8, src: str = "src",
+              dst: str = "dst") -> DataFrame:
+    """One round of the FW-BW distributed SCC algorithm (Fleischer-
+    Hendrickson-Pinar; the building block Spark SCC implementations
+    iterate): pick the minimum node id as pivot, compute its forward
+    (reachable) and backward (co-reachable) sets within ``max_hops``,
+    and intersect - FW ∩ BW IS the pivot's strongly connected
+    component, and FW\\BW / BW\\FW / neither are the three recursion
+    partitions that cannot share an SCC with it.
+
+    -> (node, fw, bw, in_scc) for every node in either set. The hop
+    budget bounds the loop the way every traversal here does
+    (seed_distances, hyperball): at web scale the budget IS the
+    semantic - an SCC stretched over more than ``max_hops`` link hops
+    is beyond any crawl-frontier horizon this pipeline schedules.
+
+    Scale shape: two frontier BFS sweeps (forward on src->dst,
+    backward on the transposed edges) - per hop one equi-join + one
+    anti-join, frontier-proportional; the intersect is a full-outer
+    join of two node sets. Nothing here is quadratic in the graph."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # pivot = min node WITH out-edges: a dangling pivot's forward set
+    # is itself, degenerating the round; FW-BW picks pivots from the
+    # live frontier for exactly this reason
+    pivot = e.agg(F.min("s").alias("node"))
+
+    def _reach(ed):
+        frontier = pivot.localCheckpoint()
+        seen = frontier
+        for h in range(1, max_hops + 1):
+            nxt = (frontier.join(ed, frontier.node == ed.s)
+                   .select(F.col("d").alias("node")).distinct()
+                   .join(seen, "node", "left_anti"))
+            seen = seen.unionByName(nxt)
+            frontier = nxt
+            if h % 2 == 0 and h < max_hops:
+                frontier = frontier.localCheckpoint(eager=False)
+                seen = seen.localCheckpoint(eager=False)
+        return seen
+
+    fw = _reach(e).withColumn("fw", F.lit(True))
+    bw = _reach(e.select(F.col("d").alias("s"), F.col("s").alias("d"))) \
+        .withColumn("bw", F.lit(True))
+    return (fw.join(bw, "node", "full_outer")
+            .select("node",
+                    F.coalesce("fw", F.lit(False)).alias("fw"),
+                    F.coalesce("bw", F.lit(False)).alias("bw"),
+                    (F.coalesce("fw", F.lit(False))
+                     & F.coalesce("bw", F.lit(False))).alias("in_scc")))
+
+
 def harmonic_from_seeds(edges: DataFrame, seeds: DataFrame,
                         max_hops: int = 4, src: str = "src",
                         dst: str = "dst") -> DataFrame:

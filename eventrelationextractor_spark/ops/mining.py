@@ -360,3 +360,58 @@ def rake_keyphrases(df: DataFrame, id_col: str = "doc_id",
             .select("doc_id", "phrase",
                     F.col("score_micro").cast("long").alias("score_micro"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def gazetteer_spans(docs: DataFrame, phrases: list,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Multi-phrase gazetteer matching with LEFTMOST-LONGEST conflict
+    resolution (the Aho-Corasick reporting convention every
+    dictionary-based entity tagger uses: at each position take the
+    longest match, then resume past it - overlapping shorter matches
+    are suppressed). -> (doc_id, start_tok, end_tok, phrase), token
+    positions 1-based over the shared bm25 tokenizer contract
+    (lowercase, [^a-z0-9]+ split, empties dropped).
+
+    The gazetteer is a model-sized list - closed over, the
+    broadcast-model pattern; matching + resolution run in ONE
+    Arrow-batched mapInPandas over the narrow (id, text) projection:
+    zero shuffle, corpus-parallel. Resolution is the candidate scan
+    ordered (start asc, len desc) keeping any match that starts past
+    the last kept end - per-row sequential state no relational
+    operator expresses (the DuckDB twin says it as a recursive CTE
+    carrying last_end)."""
+    import re as _re
+    pts = [tuple(t for t in _re.split(r"[^a-z0-9]+", p.lower()) if t)
+           for p in phrases]
+    pts = sorted({t for t in pts if t}, key=lambda t: (-len(t), t))
+    out_schema = (f"{id_col} long, start_tok long, end_tok long, "
+                  "phrase string")
+
+    def fn(batches):
+        import pandas as pd
+        for b in batches:
+            ids, starts, ends, names = [], [], [], []
+            for i, t in zip(b[id_col], b[text_col]):
+                toks = [w for w in _re.split(
+                    r"[^a-z0-9]+", (t or "").lower()) if w]
+                cands = []
+                for p, _ in enumerate(toks):
+                    for pt in pts:
+                        ln = len(pt)
+                        if tuple(toks[p:p + ln]) == pt:
+                            cands.append((p + 1, -ln, " ".join(pt)))
+                cands.sort()
+                last_end = 0
+                for start, neg_ln, name in cands:
+                    if start > last_end:
+                        end = start - neg_ln - 1
+                        ids.append(i)
+                        starts.append(start)
+                        ends.append(end)
+                        names.append(name)
+                        last_end = end
+            yield pd.DataFrame({id_col: ids, "start_tok": starts,
+                                "end_tok": ends, "phrase": names})
+
+    return docs.select(id_col, text_col).mapInPandas(fn, out_schema)

@@ -1208,3 +1208,45 @@ def source_js_divergence(df: DataFrame, group_col: str = "source",
         F.round(0.5 * F.col("core")
                 + F.lit(0.5 * ln2) * (F.lit(1.0) - F.col("overlap_q")),
                 6).alias("jsd"))
+
+
+def term_lift(docs: DataFrame, flag_col: str = "is_new", k: int = 20,
+              min_new: int = 5, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Trending-term detection between a reference slice and a new
+    batch (the term-level drift report a continuous-crawl pipeline
+    publishes next to novelty_scores' doc-level ppm): per-term rate
+    lift of the ``flag_col``-marked batch over the reference ->
+    top-k (rank, term, new_cnt, ref_cnt, lift_ppm).
+
+    lift_ppm is the EXACT integer
+    ``(1e6 * new_cnt * ref_total) div ((ref_cnt + 1) * new_total)``
+    - the +1 is add-one smoothing so unseen-in-reference terms rank
+    by their new-batch mass instead of dividing by zero; totals are
+    token totals per slice, making the lift a rate ratio, not a raw
+    count ratio. Terms with new_cnt < ``min_new`` are dropped (a
+    one-off token is not a trend).
+
+    Scale shape: ONE groupBy collapses the corpus to (term, slice)
+    counts with map-side combine; the two 1-row slice totals broadcast;
+    TakeOrderedAndProject emits k. Lexical twin of the bm25 tokenizer
+    so the SQL oracle shares the split."""
+    terms = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    toks = docs.select(
+        F.col(flag_col),
+        F.explode(F.filter(terms, lambda t: t != "")).alias("term"))
+    per = (toks.groupBy("term")
+           .agg(F.sum(F.col(flag_col).cast("long")).alias("new_cnt"),
+                F.sum((~F.col(flag_col)).cast("long")).alias("ref_cnt")))
+    tot = per.agg(F.sum("new_cnt").alias("new_total"),
+                  F.sum("ref_cnt").alias("ref_total"))
+    scored = (per.filter(F.col("new_cnt") >= int(min_new))
+              .crossJoin(F.broadcast(tot))
+              .withColumn("lift_ppm", F.expr(
+                  "(1000000 * new_cnt * ref_total) div "
+                  "((ref_cnt + 1) * new_total)")))
+    top = scored.orderBy(F.col("lift_ppm").desc(), F.col("term")) \
+        .limit(int(k))
+    w = Window.orderBy(F.col("lift_ppm").desc(), F.col("term"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", "term", "new_cnt", "ref_cnt", "lift_ppm"))

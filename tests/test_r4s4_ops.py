@@ -6,7 +6,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from eventrelationextractor_spark.ops import bm25, graph, packing, quality, simsearch, sketches  # noqa: E402
+from eventrelationextractor_spark.ops import bm25, graph, mining, packing, quality, simsearch, sketches, textstats  # noqa: E402
 
 
 def _docs(spark, rows):
@@ -237,3 +237,112 @@ def test_maxsim_python_replay(spark):
     got = {r.doc_id: r.score for r in simsearch.maxsim_topk(
         _docs(spark, rows), terms, k=5).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------- scc pivot
+
+def test_scc_pivot_cycle_vs_tail(spark):
+    # cycle 1->2->3->1 plus tail 3->4: pivot=1, SCC={1,2,3}, fw-only={4}
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (3, 4)],
+                              "src long, dst long")
+    got = {r.node: (r.fw, r.bw, r.in_scc) for r in
+           graph.scc_pivot(e, max_hops=8).collect()}
+    assert got[1] == (True, True, True)
+    assert got[2] == (True, True, True)
+    assert got[3] == (True, True, True)
+    assert got[4] == (True, False, False)
+
+
+def test_scc_pivot_skips_dangling_min_node(spark):
+    # node 0 is a pure sink; pivot must be 1 (min src), whose SCC is {1,2}
+    e = spark.createDataFrame([(1, 0), (1, 2), (2, 1)],
+                              "src long, dst long")
+    got = {r.node: r.in_scc for r in graph.scc_pivot(e).collect()}
+    assert got == {0: False, 1: True, 2: True}
+
+
+# --------------------------------------------------------------------- ltr
+
+def test_ltr_features_exact_counts(spark):
+    rows = [(0, "hash hash join other"), (1, "nothing relevant"),
+            (2, "join")]
+    got = {r.doc_id: r for r in bm25.ltr_features(
+        _docs(spark, rows), ["hash", "join"]).collect()}
+    assert 1 not in got  # no match -> no row
+    assert got[0].n_matched == 2 and got[0].sum_tf == 3
+    assert got[0].min_tf == 1 and got[0].max_tf == 2
+    assert got[0].doc_len == 4
+    assert got[2].n_matched == 1 and got[2].doc_len == 1
+    # df: hash in 1 doc, join in 2 docs
+    assert got[0].min_df == 1 and got[0].max_df == 2
+    assert got[2].min_df == 2 and got[2].max_df == 2
+
+
+def test_ltr_bm25_matches_topk_score(spark):
+    rows = [(i, f"hash join term{i}") for i in range(6)]
+    feats = {r.doc_id: r.bm25 for r in bm25.ltr_features(
+        _docs(spark, rows), ["hash", "join"]).collect()}
+    topk = {r.doc_id: r.score for r in bm25.bm25_topk(
+        _docs(spark, rows), ["hash", "join"], k=10).collect()}
+    assert feats == topk
+
+
+# ---------------------------------------------------------------- trending
+
+def test_term_lift_detects_planted_drift(spark):
+    from pyspark.sql import functions as F
+    rows = [(i, "common words here") for i in range(20)] + \
+           [(100 + i, "common words here fresh fresh fresh fresh fresh")
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("is_new", F.col("doc_id") >= 100)
+    got = textstats.term_lift(df, k=5, min_new=3).collect()
+    assert got[0].term == "fresh" and got[0].ref_cnt == 0
+    assert got[0].new_cnt == 20
+    # stationary terms have lift ~1e6; fresh must dominate
+    assert got[0].lift_ppm > 2 * got[1].lift_ppm
+
+
+def test_term_lift_min_support(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(0, "base text"), (1, "base text rare")],
+        "doc_id long, text string").withColumn("is_new",
+                                               F.col("doc_id") == 1)
+    got = textstats.term_lift(df, min_new=2).collect()
+    assert all(r.term != "rare" for r in got)
+
+
+# ---------------------------------------------------------------- gazetteer
+
+def test_gazetteer_leftmost_longest(spark):
+    # "sort table scan" must beat "sort table"-less shorter overlap
+    rows = [(0, "the sort table scan runs"), (1, "hash scan hash scan")]
+    got = sorted((r.doc_id, r.start_tok, r.end_tok, r.phrase) for r in
+                 mining.gazetteer_spans(
+                     _docs(spark, rows),
+                     ["sort table scan", "table scan", "scan",
+                      "hash scan"]).collect())
+    assert (0, 2, 4, "sort table scan") in got
+    # the contained "table scan" / "scan" matches are suppressed
+    assert not any(d == 0 and p != "sort table scan" for d, _, _, p in got)
+    # non-overlapping repeats both reported
+    assert (1, 1, 2, "hash scan") in got and (1, 3, 4, "hash scan") in got
+
+
+def test_gazetteer_resumes_past_match(spark):
+    # "a b" at 1-2, then "b c" starting at 2 overlaps -> suppressed;
+    # "c d" at 3-4 clears the kept end -> reported
+    rows = [(0, "a b c d")]
+    got = sorted((r.start_tok, r.phrase) for r in mining.gazetteer_spans(
+        _docs(spark, rows), ["a b", "b c", "c d"]).collect())
+    assert got == [(1, "a b"), (3, "c d")]
+
+
+def test_gazetteer_tokenizer_contract(spark):
+    # punctuation splits; case folds
+    rows = [(0, "Hash-SCAN, then: stream!")]
+    got = [(r.start_tok, r.end_tok, r.phrase) for r in
+           mining.gazetteer_spans(_docs(spark, rows),
+                                  ["hash scan", "stream"]).collect()]
+    assert sorted(got) == [(1, 2, "hash scan"), (4, 4, "stream")]
