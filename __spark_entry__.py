@@ -4169,7 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "training_order": _q_training_order,
         "html_text_extract": _q_html_text_extract,
-        "html_links": _q_html_links,
+        "gazetteer_spans": _q_gazetteer_spans,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_jaccard": _q_dedup_minhash,
         "holt_forecast": _q_holt_forecast,
@@ -4182,7 +4182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": _q_semdedup,
         "ann_ivfpq": _q_ann_ivfpq,
         "link_truss": _q_link_truss,
-        "ann_lsh_multiprobe": _q_ann_multiprobe,
+        "maxsim_search": _q_maxsim_search,
         "embedding_kmeans": _q_embedding_kmeans,
         "embedding_jl": _q_embedding_jl,
         "dedup_embedding_cosine": _q_dedup_embedding,
@@ -4196,7 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "events_kaplan_meier": _q_events_kaplan_meier,
         "tpch_pricing_summary": _q_tpch_pricing,
-        "tpch_part_margin": _q_tpch_part_margin,
+        "link_simrank": _q_link_simrank,
         "tpch_returned_items": _q_tpch_returned_items,
         "audio_frame_stats": _q_audio_frame_stats,
         "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
@@ -4413,9 +4413,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_completion": _q_query_completion,
         "ams_f2": _q_ams_f2,
         "harmonic_centrality": _q_harmonic_centrality,
-        "link_simrank": _q_link_simrank,
         "decision_stump": _q_decision_stump,
-        "maxsim_search": _q_maxsim_search,
+        "ann_lsh_multiprobe": _q_ann_multiprobe,
+        "html_links": _q_html_links,
+        "tpch_part_margin": _q_tpch_part_margin,
         "scc_pivot": _q_scc_pivot,
         "ltr_features": _q_ltr_features,
         "trending_terms": _q_trending_terms,

@@ -574,3 +574,58 @@ def test_session8_new_shapes_no_nested_loops(spark):
         plan = _physical(qs[name](spark, sf))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_session9_new_shapes_no_nested_loops(spark):
+    """Round-4 session-9 shapes: SimRank's per-round in-edge x score x
+    in-edge joins, SCC's frontier sweeps + full-outer intersect,
+    harmonic's seed-tagged BFS, LTR's broadcast query semi-join,
+    posting sizing's per-term window, MaxSim's vocab equi-join and the
+    prefix/trending/stump/batching aggregations must all stay keyed -
+    never a loop join. (ams_f2 / bucketed_batching are pure
+    aggregations; gazetteer_spans is a zero-shuffle mapInPandas.)"""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    for name in ["link_simrank", "scc_pivot", "harmonic_centrality",
+                 "posting_bytes", "maxsim_search",
+                 "query_completion",
+                 "bucketed_batching", "ams_f2", "gazetteer_spans"]:
+        plan = _physical(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_single_row_dimension_crossjoins(spark):
+    """ltr_features and trending_terms share bm25_topk's geometry:
+    their ONLY nested-loop join is the broadcast of a 1-row
+    corpus-stats/totals dimension (a single-row crossJoin is the
+    correct plan at any scale); every data join must stay keyed."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ["ltr_features", "trending_terms", "decision_stump"]:
+        plan = _physical(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") == 1, name
+
+
+def test_gazetteer_spans_zero_shuffle(spark):
+    """The tagger is map-side only: no Exchange anywhere in the plan."""
+    import __spark_entry__ as entry
+
+    plan = _physical(entry.queries()["gazetteer_spans"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+
+
+def test_maxsim_query_side_stays_scalar(spark):
+    """MaxSim's query vectors are inlined literals: the plan must not
+    contain a join against a query-vector table (one equi-join total -
+    postings x vocab) and the top-k must be TakeOrderedAndProject."""
+    import __spark_entry__ as entry
+
+    plan = _physical(entry.queries()["maxsim_search"](
+        spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
