@@ -4149,6 +4149,26 @@ def _q_gazetteer_spans(spark, sf_dir):
                                   GAZETTEER_PHRASES)
 
 
+def _q_split_leakage(spark, sf_dir):
+    """Train/test contamination audit (ops/maintenance.py::
+    split_leakage) over the augmented corpus (planted exact-dup sets):
+    closed-form pair counts per split pair - C(n,2) within, n*m across
+    - from the per-fingerprint split histogram; NO pair
+    materialization, two partial-agg shuffles total."""
+    return maintenance.split_leakage(
+        _augmented_docs(spark, sf_dir),
+        {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+def _q_katz_centrality(spark, sf_dir):
+    """Katz centrality (ops/graph.py::katz_centrality): 3 exact-integer
+    ppm iterations of 1e6 + (in-neighbor sum) div 8 over the synthetic
+    link graph - PageRank's loop geometry without out-degree division
+    or dangling mass. Oracle unrolls identical chained CTEs."""
+    e, nodes = _link_edges(spark, sf_dir)
+    return graph.katz_centrality(e, nodes=nodes, n_iter=3, atten_den=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4414,6 +4434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2": _q_ams_f2,
         "harmonic_centrality": _q_harmonic_centrality,
         "decision_stump": _q_decision_stump,
+        "split_leakage": _q_split_leakage,
+        "katz_centrality": _q_katz_centrality,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "html_links": _q_html_links,
         "tpch_part_margin": _q_tpch_part_margin,
@@ -11089,6 +11111,61 @@ FROM rec WHERE kept
 """
 
 
+_SPLIT_LEAK_ORACLE = f"""
+WITH {_AUG},
+keyed AS (SELECT doc_id, md5({_NORM}) AS fingerprint FROM aug),
+fate AS (SELECT fingerprint,
+  CAST(('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+       ::UBIGINT % 10000 AS BIGINT) AS h
+  FROM keyed),
+sp AS (SELECT fingerprint,
+         CASE WHEN h < 1000 THEN 'test'
+              WHEN h < 9000 THEN 'train'
+              ELSE 'val' END AS split
+       FROM fate),
+per AS (SELECT fingerprint,
+          CAST(sum((split = 'test')::INT) AS BIGINT) AS n0,
+          CAST(sum((split = 'train')::INT) AS BIGINT) AS n1,
+          CAST(sum((split = 'val')::INT) AS BIGINT) AS n2
+        FROM sp GROUP BY fingerprint)
+SELECT 'test' AS split_a, 'test' AS split_b,
+       CAST(sum((n0 * (n0 - 1)) // 2) AS BIGINT) AS n_pairs,
+       false AS is_leak FROM per
+UNION ALL SELECT 'test', 'train', CAST(sum(n0 * n1) AS BIGINT), true
+FROM per
+UNION ALL SELECT 'test', 'val', CAST(sum(n0 * n2) AS BIGINT), true
+FROM per
+UNION ALL SELECT 'train', 'train',
+       CAST(sum((n1 * (n1 - 1)) // 2) AS BIGINT), false FROM per
+UNION ALL SELECT 'train', 'val', CAST(sum(n1 * n2) AS BIGINT), true
+FROM per
+UNION ALL SELECT 'val', 'val',
+       CAST(sum((n2 * (n2 - 1)) // 2) AS BIGINT), false FROM per
+"""
+
+
+def _katz_oracle(n_iter: int = 3, atten_den: int = 8) -> str:
+    """Unrolled Katz ppm iterations, multiplicity kept (UNION ALL
+    edges), mirroring ops/graph.py::katz_centrality."""
+    parts = ["""WITH nodes AS (SELECT doc_id AS node FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id*7+1) % (SELECT count(*) FROM documents)
+    AS dst FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 17 <> 0),
+k0 AS (SELECT node, CAST(1000000 AS BIGINT) AS katz FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+c{i} AS (SELECT e.dst AS node, CAST(sum(k.katz) AS BIGINT) AS m
+  FROM k{i-1} k JOIN e ON e.src = k.node GROUP BY e.dst),
+k{i} AS (SELECT nodes.node,
+  CAST(1000000 + coalesce(c.m, 0) // {int(atten_den)} AS BIGINT) AS katz
+  FROM nodes LEFT JOIN c{i} c ON nodes.node = c.node)""")
+    parts.append(f"\nSELECT node, katz AS katz_ppm FROM k{n_iter}")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -11375,6 +11452,8 @@ FROM hashed
         "ltr_features": _LTR_ORACLE,
         "trending_terms": _TRENDING_ORACLE,
         "gazetteer_spans": _gazetteer_oracle(GAZETTEER_PHRASES),
+        "split_leakage": _SPLIT_LEAK_ORACLE,
+        "katz_centrality": _katz_oracle(),
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

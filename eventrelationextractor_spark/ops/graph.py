@@ -571,6 +571,48 @@ def simrank_pairs(edges: DataFrame, n_iter: int = 3,
     return scores
 
 
+def katz_centrality(edges: DataFrame, nodes: DataFrame | None = None,
+                    n_iter: int = 3, atten_den: int = 8,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """Katz centrality (Katz 1953 - path-count authority where a node
+    is central if MANY walks of ANY length reach it, each damped by
+    beta^length): fixed ``n_iter`` iterations of
+    k(v) <- 1 + beta * sum over in-edges (u, v) of k(u), beta =
+    1/atten_den. Unlike PageRank there is no out-degree division, so
+    hubs transmit full weight along every edge - the centrality of
+    choice when a page linking 1000 places should endorse each fully.
+
+    -> (node, katz_ppm): EXACT-INTEGER ppm recursion
+    ``1_000_000 + (sum katz_ppm of in-neighbors) div atten_den`` -
+    multiplicity kept (parallel edges count twice: walk counting),
+    floor-div identical on both engines, merge-order-proof because the
+    sum is integer.
+
+    Scale shape: per iteration ONE keyed equi-join (ranks x edges on
+    the source) + one partial-agg groupBy on dst + a left join back to
+    the node universe - the PageRank loop's geometry without the
+    dangling-mass term. Fixed iteration count, one lazy plan with
+    truncation checkpoints."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if nodes is None:
+        nodes = e.select(F.col("s").alias("node")).unionByName(
+            e.select(F.col("d").alias("node"))).distinct()
+    nodes = nodes.select("node").localCheckpoint(eager=False)
+    k = nodes.withColumn("katz_ppm", F.lit(1000000).cast("long"))
+    for it in range(int(n_iter)):
+        inc = (k.join(e, k.node == e.s)
+               .groupBy(F.col("d").alias("node"))
+               .agg(F.sum("katz_ppm").alias("m")))
+        k = (nodes.join(inc, "node", "left")
+             .select("node",
+                     (F.lit(1000000)
+                      + F.expr(f"coalesce(m, 0L) div {int(atten_den)}"))
+                     .cast("long").alias("katz_ppm")))
+        if it % 2 == 1 and it < n_iter - 1:
+            k = k.localCheckpoint(eager=False)
+    return k
+
+
 def scc_pivot(edges: DataFrame, max_hops: int = 8, src: str = "src",
               dst: str = "dst") -> DataFrame:
     """One round of the FW-BW distributed SCC algorithm (Fleischer-

@@ -460,3 +460,50 @@ def sampled_join_estimate(left: DataFrame, left_key: str, right: DataFrame,
                     F.expr("(1000000 * abs(sampled_pairs * "
                            f"{int(rate_denom)} - true_pairs))"
                            " div true_pairs").alias("err_ppm")))
+
+
+def split_leakage(docs, weights: dict, id_col: str = "doc_id",
+                  text_col: str = "text", salt: str = "split1"):
+    """Train/test contamination audit - the QA gate a training-data
+    release runs AFTER splitting: how many exact-duplicate pairs
+    straddle split boundaries (a duplicate of a training doc inside
+    the test split silently inflates eval). Composes the exact-dedup
+    fingerprint (ops/textstats.py::fingerprint) with assign_split's
+    md5 fate ranges -> one row per unordered split pair
+    (split_a <= split_b): (split_a, split_b, n_pairs, is_leak).
+
+    NO pair materialization anywhere: per fingerprint the split
+    histogram collapses to k conditional counts, and pair counts
+    follow in closed form - C(n_s, 2) within a split, n_s * n_t
+    across (is_leak = true) - so a fingerprint with a million copies
+    costs one row, not 5e11 pairs. Two partial-agg shuffles total
+    (fingerprint groupBy, then the k*(k+1)/2-row final agg); the
+    all-zero rows are kept so the audit's schema is stable for
+    dashboards."""
+    from pyspark.sql import functions as F
+
+    from .textstats import assign_split, fingerprint
+    names = sorted(weights)
+    assigned = assign_split(fingerprint(docs, text_col), weights,
+                            id_col=id_col, salt=salt) \
+        .select("fingerprint", F.coalesce("split", F.lit("heldout"))
+                .alias("split"))
+    if sum(int(round(w * 10000)) for w in weights.values()) < 10000:
+        names = sorted(names + ["heldout"])
+    per = assigned.groupBy("fingerprint").agg(
+        *[F.sum((F.col("split") == n).cast("long")).alias(f"n_{i}")
+          for i, n in enumerate(names)])
+    combos = []
+    for i, a in enumerate(names):
+        for j, b in enumerate(names[i:], start=i):
+            cnt = F.expr(f"(n_{i} * (n_{i} - 1)) div 2") if i == j \
+                else F.col(f"n_{i}") * F.col(f"n_{j}")
+            combos.append(F.struct(
+                F.lit(a).alias("split_a"), F.lit(b).alias("split_b"),
+                cnt.alias("p"), F.lit(i != j).alias("is_leak")))
+    return (per.select(F.explode(F.array(*combos)).alias("c"))
+            .groupBy(F.col("c.split_a").alias("split_a"),
+                     F.col("c.split_b").alias("split_b"),
+                     F.col("c.is_leak").alias("is_leak"))
+            .agg(F.sum("c.p").alias("n_pairs"))
+            .select("split_a", "split_b", "n_pairs", "is_leak"))

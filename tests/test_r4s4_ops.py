@@ -346,3 +346,50 @@ def test_gazetteer_tokenizer_contract(spark):
            mining.gazetteer_spans(_docs(spark, rows),
                                   ["hash scan", "stream"]).collect()]
     assert sorted(got) == [(1, 2, "hash scan"), (4, 4, "stream")]
+
+
+# ----------------------------------------------------------- split leakage
+
+def test_split_leakage_closed_form(spark):
+    from eventrelationextractor_spark.ops import maintenance
+    # 4 copies of one text: whatever splits they land in, total pairs
+    # must be C(4,2) = 6 across all cells; a unique doc adds nothing
+    rows = [(i, "same text everywhere") for i in range(4)] + \
+           [(100, "unique snowflake")]
+    got = maintenance.split_leakage(
+        _docs(spark, rows), {"train": 0.5, "val": 0.5}).collect()
+    assert sum(r.n_pairs for r in got) == 6
+    cells = {(r.split_a, r.split_b): r for r in got}
+    assert set(cells) == {("train", "train"), ("train", "val"),
+                          ("val", "val")}
+    assert cells[("train", "val")].is_leak
+    assert not cells[("train", "train")].is_leak
+
+
+def test_split_leakage_heldout_bucket(spark):
+    from eventrelationextractor_spark.ops import maintenance
+    got = maintenance.split_leakage(
+        _docs(spark, [(0, "x"), (1, "x")]), {"train": 0.5}).collect()
+    assert {(r.split_a, r.split_b) for r in got} == \
+        {("heldout", "heldout"), ("heldout", "train"), ("train", "train")}
+    assert sum(r.n_pairs for r in got) == 1
+
+
+# -------------------------------------------------------------------- katz
+
+def test_katz_exact_hand_rolled(spark):
+    # chain 1 -> 2 -> 3: after enough rounds
+    # k(1) = 1e6, k(2) = 1e6 + k(1)//8, k(3) = 1e6 + k(2)//8
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r.node: r.katz_ppm for r in
+           graph.katz_centrality(e, n_iter=3).collect()}
+    assert got[1] == 1000000
+    assert got[2] == 1000000 + 1000000 // 8
+    assert got[3] == 1000000 + got[2] // 8
+
+
+def test_katz_parallel_edges_count_twice(spark):
+    e = spark.createDataFrame([(1, 2), (1, 2)], "src long, dst long")
+    got = {r.node: r.katz_ppm for r in
+           graph.katz_centrality(e, n_iter=1).collect()}
+    assert got[2] == 1000000 + 2000000 // 8
