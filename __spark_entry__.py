@@ -4169,6 +4169,49 @@ def _q_katz_centrality(spark, sf_dir):
     return graph.katz_centrality(e, nodes=nodes, n_iter=3, atten_den=8)
 
 
+PRUNE_WORKLOAD = [(1, 0, 7, 0, 63), (2, 0, 63, 0, 7), (3, 10, 20, 10, 20),
+                  (4, 32, 63, 32, 63), (5, 5, 5, 0, 63)]
+
+
+def _q_layout_prune_ab(spark, sf_dir):
+    """Layout A/B pricing (ops/layout.py::layout_prune_ab): zone-map
+    prune rate of natural ingest order vs a Z-order rewrite for a
+    5-rectangle workload - the decision table consulted BEFORE paying
+    for an OPTIMIZE. Envelope builds are the only corpus-sized work;
+    pricing is (n_files x workload) rows."""
+    from eventrelationextractor_spark.ops import layout
+    pts = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 64).alias("x"),
+        ((F.col("doc_id") * 7 + 3) % 64).alias("y"),
+        F.col("doc_id"))
+    return layout.layout_prune_ab(pts, "x", "y", "doc_id",
+                                  PRUNE_WORKLOAD, n_files=8, bits=6)
+
+
+def _q_cluster_labels(spark, sf_dir):
+    """c-TF-IDF cluster labeling (ops/bm25.py::class_tfidf_labels,
+    BERTopic's labeler) over the lang strata: per class top-5 terms by
+    tf_class * ln(n_classes/df_classes). One corpus-sized partial agg;
+    everything after runs at class-vocabulary scale."""
+    return bm25.class_tfidf_labels(_docs(spark, sf_dir), "lang", k=5)
+
+
+def _q_landmark_distances(spark, sf_dir):
+    """ALT landmark distance bounds (ops/graph.py::landmark_bounds,
+    Goldberg-Harrelson) over the symmetrized link graph: one
+    seed-tagged BFS, then each query pair answered by two keyed joins
+    against the landmark-distance table - graph touched once."""
+    e, _ = _link_edges(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    landmarks = docs.filter(F.col("doc_id") % 50 == 0) \
+        .select(F.col("doc_id").alias("node"))
+    pairs = docs.filter(F.col("doc_id") % 13 == 0).select(
+        F.col("doc_id").alias("u"),
+        ((F.col("doc_id") * 31 + 7) % n).alias("v"))
+    return graph.landmark_bounds(e, landmarks, pairs, max_hops=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4436,6 +4479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decision_stump": _q_decision_stump,
         "split_leakage": _q_split_leakage,
         "katz_centrality": _q_katz_centrality,
+        "layout_prune_ab": _q_layout_prune_ab,
+        "cluster_labels": _q_cluster_labels,
+        "landmark_distances": _q_landmark_distances,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "html_links": _q_html_links,
         "tpch_part_margin": _q_tpch_part_margin,
@@ -11166,6 +11212,96 @@ k{i} AS (SELECT nodes.node,
     return "".join(parts)
 
 
+def _prune_ab_oracle(workload, n_files: int = 8, bits: int = 6) -> str:
+    """Replays layout_prune_ab: both envelope builds (natural =
+    quantile ranges on doc_id, zorder = the shared morton expression),
+    then the rectangle-intersection scan test per workload row."""
+    morton = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits))
+    qs = ", ".join(repr(i / n_files) for i in range(1, n_files))
+    wl = ", ".join(f"({q}, {a}, {b}, {c}, {d})"
+                   for q, a, b, c, d in workload)
+    return f"""
+WITH pts AS (SELECT doc_id % 64 AS x, (doc_id * 7 + 3) % 64 AS y,
+                    doc_id AS ord FROM documents),
+zk AS (SELECT x, y, {morton} AS zkey FROM pts),
+zb AS (SELECT quantile_cont(zkey, [{qs}]) AS bs FROM zk),
+zf AS (SELECT x, y, 1 + len(list_filter(bs, b -> b < zkey)) AS file
+       FROM zk CROSS JOIN zb),
+ze AS (SELECT 'zorder' AS layout, file,
+         min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y FROM zf GROUP BY file),
+nb AS (SELECT quantile_cont(ord, [{qs}]) AS bs FROM pts),
+nf AS (SELECT x, y, 1 + len(list_filter(bs, b -> b < ord)) AS file
+       FROM pts CROSS JOIN nb),
+ne AS (SELECT 'natural' AS layout, file,
+         min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y FROM nf GROUP BY file),
+env AS (SELECT * FROM ze UNION ALL SELECT * FROM ne),
+wl(qid, x_lo, x_hi, y_lo, y_hi) AS (SELECT * FROM (VALUES {wl}))
+SELECT layout, CAST(qid AS BIGINT) AS qid,
+  CAST(count(*) AS BIGINT) AS files_total,
+  CAST(sum((NOT (max_x < x_lo OR min_x > x_hi OR max_y < y_lo
+                 OR min_y > y_hi))::INT) AS BIGINT) AS files_scanned,
+  CAST((1000000 * (count(*) - sum((NOT (max_x < x_lo OR min_x > x_hi
+        OR max_y < y_lo OR min_y > y_hi))::INT))) // count(*) AS BIGINT)
+    AS prune_ppm
+FROM env CROSS JOIN wl
+GROUP BY layout, qid
+"""
+
+
+_CLUSTER_LABELS_ORACLE = """
+WITH toks AS (SELECT lang AS class, t.term FROM documents,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             w -> w <> '')) AS t(term)),
+ct AS (SELECT class, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df_classes
+        FROM ct GROUP BY 1),
+nc AS (SELECT CAST(count(DISTINCT class) AS DOUBLE) AS n_classes FROM ct),
+sc AS (SELECT class, term, tf, df_classes,
+         round(tf * ln(n_classes / df_classes), 6) AS score
+       FROM ct JOIN dfc USING (term) CROSS JOIN nc),
+rk AS (SELECT class, term, tf, df_classes, score,
+         CAST(row_number() OVER (PARTITION BY class
+                ORDER BY score DESC, term) AS BIGINT) AS rank
+       FROM sc)
+SELECT class, rank, term, tf, df_classes, score FROM rk WHERE rank <= 5
+"""
+
+_LANDMARK_ORACLE = """
+WITH RECURSIVE
+nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*7+1) % n AS dst FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % n FROM documents, nn
+  WHERE doc_id % 17 <> 0),
+und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+seeds AS (SELECT doc_id AS node FROM documents WHERE doc_id % 50 = 0),
+r(seed, node, d) AS (
+  SELECT node, node, 0 FROM seeds
+  UNION ALL
+  SELECT r.seed, und.dst, r.d + 1 FROM r JOIN und ON und.src = r.node
+  WHERE r.d < 4),
+md AS (SELECT seed, node, CAST(min(d) AS BIGINT) AS dist
+       FROM r GROUP BY seed, node),
+pairs AS (SELECT doc_id AS u, (doc_id*31+7) % n AS v
+          FROM documents, nn WHERE doc_id % 13 = 0)
+SELECT p.u, p.v, CAST(count(*) AS BIGINT) AS n_landmarks,
+       CAST(max(abs(du.dist - dv.dist)) AS BIGINT) AS lower,
+       CAST(min(du.dist + dv.dist) AS BIGINT) AS upper
+FROM pairs p
+JOIN md du ON du.node = p.u
+JOIN md dv ON dv.node = p.v AND dv.seed = du.seed
+GROUP BY p.u, p.v
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -11454,6 +11590,9 @@ FROM hashed
         "gazetteer_spans": _gazetteer_oracle(GAZETTEER_PHRASES),
         "split_leakage": _SPLIT_LEAK_ORACLE,
         "katz_centrality": _katz_oracle(),
+        "layout_prune_ab": _prune_ab_oracle(PRUNE_WORKLOAD),
+        "cluster_labels": _CLUSTER_LABELS_ORACLE,
+        "landmark_distances": _LANDMARK_ORACLE,
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

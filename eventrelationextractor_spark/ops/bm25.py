@@ -979,3 +979,40 @@ def bm25f_topk(docs: DataFrame, query_terms: list, fields: list,
             .filter(F.col("rank") <= k)
             .select(F.col("rank").cast("long").alias("rank"), "doc_id",
                     "score"))
+
+
+def class_tfidf_labels(docs: DataFrame, class_col: str, k: int = 5,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Class-based TF-IDF cluster labeling (the c-TF-IDF of BERTopic,
+    Grootendorst 2022): treat each class/cluster as ONE pseudo-document
+    and rank its terms by tf_class * ln(n_classes / df_class) - the
+    human-readable label generator for any clustering this repo
+    produces (kmeans cells, LPA communities, lang/source strata).
+
+    -> (class, rank, term, tf, df_classes, score): score 6dp, ties
+    (score desc, term asc). tf/df are exact integers; the single ln
+    runs per (class, term) row at class-vocabulary scale.
+
+    Scale shape: ONE partial-agg groupBy to (class, term) counts (the
+    corpus-sized stage), a term-keyed groupBy for df_class, a
+    broadcast 1-row class count, and a per-class top-k window over
+    class-vocabulary rows. No doc-level rows survive the first agg."""
+    toks = docs.select(F.col(class_col).alias("class"),
+                       F.explode(F.filter(
+                           F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                           lambda t: t != "")).alias("term"))
+    ct = toks.groupBy("class", "term").agg(F.count("*").alias("tf"))
+    dfc = ct.groupBy("term").agg(F.count("*").alias("df_classes"))
+    ncls = ct.select("class").distinct().agg(
+        F.count("*").alias("n_classes"))
+    scored = (ct.join(dfc, "term")
+              .crossJoin(F.broadcast(ncls))
+              .withColumn("score", F.round(
+                  F.col("tf") * F.log(F.col("n_classes")
+                                      / F.col("df_classes")), 6)))
+    w = Window.partitionBy("class").orderBy(
+        F.col("score").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= int(k))
+            .select("class", "rank", "term", "tf", "df_classes", "score"))

@@ -706,6 +706,58 @@ def harmonic_from_seeds(edges: DataFrame, seeds: DataFrame,
                  F.sum(F.expr("1000000 div dist")).alias("harmonic_ppm")))
 
 
+def landmark_bounds(edges: DataFrame, landmarks: DataFrame,
+                    pairs: DataFrame, max_hops: int = 4,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """ALT landmark distance estimation (Goldberg-Harrelson 2005):
+    precompute hop distances from a small landmark set, then answer
+    pairwise distance queries in O(|landmarks|) WITHOUT touching the
+    graph - lower bound max|d(L,u) - d(L,v)|, upper bound
+    min(d(L,u) + d(L,v)) by the triangle inequality. The navigation
+    oracle a crawl scheduler consults millions of times per plan;
+    edges are treated as undirected (symmetrized) so the bounds hold
+    both ways.
+
+    -> (u, v, n_landmarks, lower, upper) for pairs where at least one
+    landmark reaches BOTH endpoints within ``max_hops`` (bounds from a
+    one-sided landmark are not valid and are excluded). All exact
+    integers.
+
+    Scale shape: the graph is touched ONCE (the seed-tagged
+    simultaneous BFS of harmonic_from_seeds); each query pair is then
+    two keyed equi-joins against the (landmark, node) distance table
+    + one partial-agg groupBy - query cost independent of graph
+    size."""
+    und = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .unionByName(edges.select(F.col(dst).alias("src"),
+                                  F.col(src).alias("dst")))
+    e = und.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+    frontier = landmarks.select(F.col("node").alias("seed"),
+                                F.col("node")).distinct().localCheckpoint()
+    dist = frontier.withColumn("dist", F.lit(0).cast("long"))
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier.node == e.s)
+               .select("seed", F.col("d").alias("node")).distinct()
+               .join(dist.select("seed", "node"), ["seed", "node"],
+                     "left_anti"))
+        dist = dist.unionByName(
+            nxt.withColumn("dist", F.lit(h).cast("long")))
+        frontier = nxt
+        if h % 2 == 0 and h < max_hops:
+            frontier = frontier.localCheckpoint(eager=False)
+            dist = dist.localCheckpoint(eager=False)
+    du = dist.select("seed", F.col("node").alias("u"),
+                     F.col("dist").alias("d_u"))
+    dv = dist.select("seed", F.col("node").alias("v"),
+                     F.col("dist").alias("d_v"))
+    return (pairs.select("u", "v")
+            .join(du, "u").join(dv, ["seed", "v"])
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("n_landmarks"),
+                 F.max(F.abs(F.col("d_u") - F.col("d_v"))).alias("lower"),
+                 F.min(F.col("d_u") + F.col("d_v")).alias("upper")))
+
+
 def random_walks(edges: DataFrame, nodes: DataFrame | None = None,
                  walk_len: int = 4, salt: str = "walk1",
                  max_out_degree: int = 100,

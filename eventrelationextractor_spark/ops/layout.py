@@ -147,3 +147,52 @@ def zorder_layout_stats(df: DataFrame, x_col: str, y_col: str,
                       morton_key(F.col(x_col), F.col(y_col), bits)
                       .alias("zkey"))
     return _ranged_file_stats(keyed, "zkey", n_files, approx)
+
+
+def layout_prune_ab(df: DataFrame, x_col: str, y_col: str,
+                    order_col: str, workload: list,
+                    n_files: int = 8, bits: int = 6,
+                    approx: bool = False) -> DataFrame:
+    """Layout A/B pricing: how much zone-map pruning would a Z-order
+    rewrite buy over the natural (ingest-order) layout, for a concrete
+    predicate workload - the decision table a 100-TB table owner
+    consults BEFORE paying for the rewrite (an OPTIMIZE that doesn't
+    move the prune rate is pure cost).
+
+    ``workload`` is a list of (qid, x_lo, x_hi, y_lo, y_hi) rectangle
+    predicates. Both layouts are priced with the SAME machinery: file
+    envelopes from ``_ranged_file_stats`` (natural = range-partitioned
+    on ``order_col``, i.e. what ingestion order gives you; zorder =
+    the morton key), then a file is SCANNED iff its (min,max) envelope
+    intersects the rectangle - exactly the parquet-footer / Iceberg-
+    manifest test. -> (layout, qid, files_total, files_scanned,
+    prune_ppm), all exact integers.
+
+    Scale shape: the corpus-sized work is the two envelope builds (one
+    quantile + one groupBy each, the approx branch for real scale);
+    the pricing itself is (n_files x |workload|) rows - driver-trivial
+    forever. The workload frame is a broadcast literal."""
+    spark = df.sparkSession
+    base = df.select(F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"),
+                     F.col(order_col).cast("long").alias("ord"))
+    nat = _ranged_file_stats(base, "ord", n_files, approx) \
+        .withColumn("layout", F.lit("natural"))
+    zed = zorder_layout_stats(base, "x", "y", n_files, bits, approx) \
+        .withColumn("layout", F.lit("zorder"))
+    env = nat.unionByName(zed)
+    wl = spark.createDataFrame(
+        [(int(q), int(a), int(b), int(c), int(d))
+         for q, a, b, c, d in workload],
+        "qid long, x_lo long, x_hi long, y_lo long, y_hi long")
+    hit = ~((F.col("max_x") < F.col("x_lo"))
+            | (F.col("min_x") > F.col("x_hi"))
+            | (F.col("max_y") < F.col("y_lo"))
+            | (F.col("min_y") > F.col("y_hi")))
+    return (env.crossJoin(F.broadcast(wl))
+            .groupBy("layout", "qid")
+            .agg(F.count("*").alias("files_total"),
+                 F.sum(hit.cast("long")).alias("files_scanned"))
+            .select("layout", "qid", "files_total", "files_scanned",
+                    F.expr("(1000000 * (files_total - files_scanned))"
+                           " div files_total").alias("prune_ppm")))

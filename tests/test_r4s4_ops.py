@@ -393,3 +393,83 @@ def test_katz_parallel_edges_count_twice(spark):
     got = {r.node: r.katz_ppm for r in
            graph.katz_centrality(e, n_iter=1).collect()}
     assert got[2] == 1000000 + 2000000 // 8
+
+
+# --------------------------------------------------------------- layout A/B
+
+def test_layout_prune_ab_zorder_wins_on_squares(spark):
+    from eventrelationextractor_spark.ops import layout
+    # points on a 32x32 grid in natural row-major order: a y-slab
+    # predicate prunes nothing under natural order but prunes under
+    # zorder; file counts always equal n_files
+    rows = [(i % 32, (i * 17 + 5) % 32, i) for i in range(512)]
+    df = spark.createDataFrame(rows, "x long, y long, ord long")
+    got = {(r.layout, r.qid): r for r in layout.layout_prune_ab(
+        df, "x", "y", "ord", [(1, 0, 3, 0, 3)], n_files=8,
+        bits=5).collect()}
+    assert got[("natural", 1)].files_total == 8
+    assert got[("zorder", 1)].files_total == 8
+    # zorder must scan no MORE files than natural for a small square
+    assert got[("zorder", 1)].files_scanned <= \
+        got[("natural", 1)].files_scanned
+    for r in got.values():
+        assert r.prune_ppm == 1000000 * (r.files_total - r.files_scanned) \
+            // r.files_total
+
+
+def test_layout_prune_full_range_scans_everything(spark):
+    from eventrelationextractor_spark.ops import layout
+    rows = [(i % 16, i % 16, i) for i in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long, ord long")
+    got = layout.layout_prune_ab(df, "x", "y", "ord",
+                                 [(1, 0, 15, 0, 15)], n_files=4,
+                                 bits=4).collect()
+    assert all(r.files_scanned == r.files_total and r.prune_ppm == 0
+               for r in got)
+
+
+# ------------------------------------------------------------ cluster labels
+
+def test_class_tfidf_distinctive_terms_win(spark):
+    rows = [(0, "alpha alpha shared", "c1"), (1, "beta shared", "c2"),
+            (2, "gamma shared", "c3")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, cls string")
+    got = {(r["class"], r.rank): r for r in
+           bm25.class_tfidf_labels(df, "cls", k=2).collect()}
+    # distinctive terms rank first; 'shared' (df=3, ln(1)=0) scores 0
+    assert got[("c1", 1)].term == "alpha" and got[("c1", 1)].tf == 2
+    assert got[("c2", 1)].term == "beta"
+    assert got[("c1", 2)].term == "shared" and got[("c1", 2)].score == 0.0
+
+
+# ------------------------------------------------------------- landmarks
+
+def test_landmark_bounds_exact_on_path(spark):
+    # undirected path 0-1-2-3, landmark {0}, pair (1, 3):
+    # lower = |1-3| = 2, upper = 1+3 = 4 (true distance 2)
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                              "src long, dst long")
+    lm = spark.createDataFrame([(0,)], "node long")
+    pr = spark.createDataFrame([(1, 3)], "u long, v long")
+    got = graph.landmark_bounds(e, lm, pr, max_hops=4).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_landmarks, r.lower, r.upper) == (1, 2, 4)
+
+
+def test_landmark_bounds_tighten_with_more_landmarks(spark):
+    # adding landmark 2 (adjacent to both 1 and 3) tightens upper to 2
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                              "src long, dst long")
+    lm = spark.createDataFrame([(0,), (2,)], "node long")
+    pr = spark.createDataFrame([(1, 3)], "u long, v long")
+    r = graph.landmark_bounds(e, lm, pr, max_hops=4).collect()[0]
+    assert r.n_landmarks == 2 and r.lower == 2 and r.upper == 2
+
+
+def test_landmark_one_sided_excluded(spark):
+    # landmark reaches u but not v within the hop budget -> no row
+    e = spark.createDataFrame([(0, 1), (5, 6)], "src long, dst long")
+    lm = spark.createDataFrame([(0,)], "node long")
+    pr = spark.createDataFrame([(1, 6)], "u long, v long")
+    assert graph.landmark_bounds(e, lm, pr, max_hops=4).collect() == []
