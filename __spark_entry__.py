@@ -4212,6 +4212,33 @@ def _q_landmark_distances(spark, sf_dir):
     return graph.landmark_bounds(e, landmarks, pairs, max_hops=4)
 
 
+def _q_burrows_delta(spark, sf_dir):
+    """Burrows's Delta stylometric source distances (ops/textstats.py::
+    burrows_delta): top-30 function-word z-score L1 over the 20
+    sources - 190 pair rows, everything after one corpus partial agg
+    at statistic scale. The corpus-forensics sibling of spoof_hosts."""
+    return textstats.burrows_delta(_docs(spark, sf_dir), "source",
+                                   n_words=30)
+
+
+def _q_llr_collocations(spark, sf_dir):
+    """Dunning log-likelihood collocations (ops/textstats.py::
+    llr_collocations): the significance-test counterpart of
+    pmi_collocations - same two partial-agg counts + vocabulary-scale
+    joins, LLR = fixed 4-term 2x2 contingency expression over exact
+    integer counts, 6dp-rounded before the top-50 cut."""
+    return textstats.llr_collocations(_docs(spark, sf_dir),
+                                      min_count=5, k=50)
+
+
+def _q_mattr_diversity(spark, sf_dir):
+    """Moving-average TTR lexical diversity (ops/textstats.py::
+    mattr_diversity): window-enumeration-free sliding-window distinct
+    counts via one lag() per (doc, term) - exact integer ppm, two
+    shuffles total."""
+    return textstats.mattr_diversity(_docs(spark, sf_dir), window=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4482,6 +4509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_prune_ab": _q_layout_prune_ab,
         "cluster_labels": _q_cluster_labels,
         "landmark_distances": _q_landmark_distances,
+        "burrows_delta": _q_burrows_delta,
+        "llr_collocations": _q_llr_collocations,
+        "mattr_diversity": _q_mattr_diversity,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "html_links": _q_html_links,
         "tpch_part_margin": _q_tpch_part_margin,
@@ -11302,6 +11332,94 @@ GROUP BY p.u, p.v
 """
 
 
+_BURROWS_ORACLE = """
+WITH toks AS (SELECT source AS src, t.term FROM documents,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             w -> w <> '')) AS t(term)),
+ct AS (SELECT src, term, CAST(count(*) AS BIGINT) AS cnt
+       FROM toks GROUP BY 1, 2),
+totals AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS total
+           FROM ct GROUP BY 1),
+top AS (SELECT term FROM
+        (SELECT term, CAST(sum(cnt) AS BIGINT) AS n FROM ct GROUP BY 1)
+        ORDER BY n DESC, term LIMIT 30),
+grid AS (SELECT totals.src, top.term,
+           CAST((1000000 * coalesce(ct.cnt, 0)) // totals.total
+                AS BIGINT) AS f_ppm
+         FROM totals CROSS JOIN top
+         LEFT JOIN ct ON ct.src = totals.src AND ct.term = top.term),
+stats AS (SELECT term, CAST(count(*) AS BIGINT) AS ns,
+            CAST(sum(f_ppm) AS BIGINT) AS s1,
+            CAST(sum(f_ppm * f_ppm) AS BIGINT) AS s2
+          FROM grid GROUP BY 1),
+z AS (SELECT src, grid.term,
+        CASE WHEN ns * s2 - s1 * s1 = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor((ns * f_ppm - s1) * 1000000.0
+                    / sqrt(CAST(ns * s2 - s1 * s1 AS DOUBLE)) + 0.5)
+                  AS BIGINT)
+        END AS z_u
+      FROM grid JOIN stats ON grid.term = stats.term)
+SELECT a.src AS src_a, b.src AS src_b,
+       CAST(sum(abs(a.z_u - b.z_u)) // count(*) AS BIGINT) AS delta_uppm
+FROM z a JOIN z b ON a.term = b.term AND a.src < b.src
+GROUP BY 1, 2
+"""
+
+
+_LLR_TERM = ("CASE WHEN {k} > 0 THEN {k} * ln(CAST({k} AS DOUBLE) * b_total"
+             " / (CAST({r} AS DOUBLE) * {c})) ELSE 0.0 END")
+
+_LLR_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id,
+          list_filter(string_split(t, ' '), w -> w <> '') AS ws FROM norm),
+bg0 AS (SELECT ws[CAST(i AS BIGINT)] AS w1, ws[CAST(i + 1 AS BIGINT)] AS w2
+        FROM words,
+          LATERAL unnest(generate_series(1, len(ws) - 1)) AS r(i)
+        WHERE len(ws) >= 2),
+bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+       FROM bg0 GROUP BY 1, 2),
+lft AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_1dot FROM bg GROUP BY 1),
+rgt AS (SELECT w2, CAST(sum(c_xy) AS BIGINT) AS c_dot2 FROM bg GROUP BY 1),
+btot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS b_total FROM bg)
+SELECT w1, w2, c_xy, c_1dot AS c_x, c_dot2 AS c_y,
+  round(2.0 * ({_LLR_TERM.format(k="c_xy", r="c_1dot", c="c_dot2")}
+    + {_LLR_TERM.format(k="(c_1dot - c_xy)", r="c_1dot",
+                        c="(b_total - c_dot2)")}
+    + {_LLR_TERM.format(k="(c_dot2 - c_xy)", r="(b_total - c_1dot)",
+                        c="c_dot2")}
+    + {_LLR_TERM.format(k="(b_total - c_1dot - c_dot2 + c_xy)",
+                        r="(b_total - c_1dot)", c="(b_total - c_dot2)")}),
+  6) AS llr
+FROM bg JOIN lft USING (w1) JOIN rgt USING (w2), btot
+WHERE c_xy >= 5
+ORDER BY llr DESC, w1, w2 LIMIT 50
+"""
+
+_MATTR_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id,
+          list_filter(string_split(t, ' '), w -> w <> '') AS ws FROM norm),
+toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(i - 1 AS BIGINT) AS pos, ws[CAST(i AS BIGINT)] AS term
+         FROM words, LATERAL unnest(generate_series(1, len(ws))) AS r(i)
+         WHERE len(ws) >= 20),
+lagged AS (SELECT doc_id, n_tokens, pos,
+             coalesce(lag(pos) OVER (PARTITION BY doc_id, term
+                                     ORDER BY pos), -1) AS pp
+           FROM toks),
+contrib AS (SELECT doc_id, n_tokens,
+              greatest(0, least(pos, n_tokens - 20)
+                          - greatest(pos - 20 + 1, pp + 1, 0) + 1) AS c
+            FROM lagged)
+SELECT doc_id, n_tokens, CAST(n_tokens - 19 AS BIGINT) AS n_windows,
+  CAST(sum(c) AS BIGINT) AS sum_distinct,
+  (1000000 * CAST(sum(c) AS BIGINT)) // ((n_tokens - 19) * 20) AS mattr_ppm
+FROM contrib GROUP BY doc_id, n_tokens
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -11593,6 +11711,9 @@ FROM hashed
         "layout_prune_ab": _prune_ab_oracle(PRUNE_WORKLOAD),
         "cluster_labels": _CLUSTER_LABELS_ORACLE,
         "landmark_distances": _LANDMARK_ORACLE,
+        "burrows_delta": _BURROWS_ORACLE,
+        "llr_collocations": _LLR_ORACLE,
+        "mattr_diversity": _MATTR_ORACLE,
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

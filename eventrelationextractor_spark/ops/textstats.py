@@ -1250,3 +1250,173 @@ def term_lift(docs: DataFrame, flag_col: str = "is_new", k: int = 20,
     w = Window.orderBy(F.col("lift_ppm").desc(), F.col("term"))
     return (top.withColumn("rank", F.row_number().over(w).cast("long"))
             .select("rank", "term", "new_cnt", "ref_cnt", "lift_ppm"))
+
+
+def burrows_delta(docs: DataFrame, group_col: str = "source",
+                  n_words: int = 30, text_col: str = "text") -> DataFrame:
+    """Burrows's Delta (Burrows 2002) - the standard stylometric
+    distance for authorship/source attribution, here over corpus
+    sources: z-score the relative frequencies of the top function
+    words across sources, Delta(a, b) = mean |z_a - z_b|. The corpus-
+    forensics op that flags a 'new' source as a relabeled existing one
+    (spoof_hosts' stylistic sibling).
+
+    -> (src_a, src_b, delta) for src_a < src_b, delta 6dp. Function
+    words = the corpus-wide top ``n_words`` terms (Delta's standard
+    marker set: high-frequency closed-class words). Relative
+    frequencies are EXACT integer ppm (1e6*cnt div total); means/stds
+    are population moments over the source axis; a zero-variance term
+    contributes z = 0 everywhere (guarded - ANSI division).
+
+    Scale shape: ONE corpus-sized partial agg to (source, term)
+    counts; everything after (top-k, the sources x n_words grid via
+    crossJoin of two broadcast-sized dims, z-scores, the source-pair
+    join) runs at statistic scale - #sources * n_words rows."""
+    toks = docs.select(
+        F.col(group_col).alias("src"),
+        F.explode(F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: t != "")).alias("term"))
+    ct = toks.groupBy("src", "term").agg(F.count("*").alias("cnt"))
+    totals = ct.groupBy("src").agg(F.sum("cnt").alias("total"))
+    top = (ct.groupBy("term").agg(F.sum("cnt").alias("n"))
+           .orderBy(F.col("n").desc(), F.col("term"))
+           .limit(int(n_words)).select("term"))
+    grid = (totals.crossJoin(F.broadcast(top))
+            .join(ct, ["src", "term"], "left")
+            .select("src", "term",
+                    F.expr("(1000000 * coalesce(cnt, 0L)) div total")
+                    .alias("f_ppm")))
+    # moments as EXACT integers: z = (f - mu)/sigma rewritten as
+    # (n*f - s1) / sqrt(n*s2 - s1^2) - one IEEE sqrt + one division
+    # over exact integer operands, bit-identical on both engines
+    # (stddev_pop's Welford-vs-naive accumulation is NOT pinned
+    # cross-engine; this form is)
+    stats = grid.groupBy("term").agg(
+        F.count("*").alias("ns"), F.sum("f_ppm").alias("s1"),
+        F.sum(F.col("f_ppm") * F.col("f_ppm")).alias("s2"))
+    # micro-z as an exact integer via floor(x + 0.5) (the
+    # embedding_quantize rounding convention - F.round HALF_UP vs SQL
+    # round diverge on negative halves): from here on the delta is
+    # pure integer arithmetic, immune to partial-agg merge order (a
+    # float avg of 30 |z| diffs landed exactly on a 6dp rounding
+    # boundary in testing - one ulp flipped the emitted digit)
+    z = (grid.join(stats, "term")
+         .withColumn("varnum", F.col("ns") * F.col("s2")
+                     - F.col("s1") * F.col("s1"))
+         .select("src", "term", F.when(
+             F.col("varnum") == 0, F.lit(0).cast("long")).otherwise(
+             F.floor((F.col("ns") * F.col("f_ppm") - F.col("s1"))
+                     .cast("double") * 1000000.0
+                     / F.sqrt(F.col("varnum").cast("double")) + 0.5)
+             .cast("long")).alias("z_u")))
+    za = z.select(F.col("src").alias("src_a"), "term",
+                  F.col("z_u").alias("z_a"))
+    zb = z.select(F.col("src").alias("src_b"), "term",
+                  F.col("z_u").alias("z_b"))
+    return (za.join(zb, "term")
+            .filter(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.expr("sum(abs(z_a - z_b)) div count(*)")
+                 .alias("delta_uppm")))
+
+
+def llr_collocations(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", min_count: int = 5,
+                     k: int = 50) -> DataFrame:
+    """Top-``k`` bigram collocations by Dunning's log-likelihood ratio
+    (Dunning 1993) - the significance-test sibling of
+    ``pmi_collocations``. PMI over-rewards rare pairs (two hapaxes that
+    co-occur once get the max score); LLR weights the evidence by the
+    full 2x2 contingency table over the bigram event space, so it
+    surfaces *statistically supported* multi-word expressions:
+
+        k11 = c(w1 w2)            k12 = c(w1 .) - k11
+        k21 = c(. w2) - k11       k22 = B - c(w1 .) - c(. w2) + k11
+        llr = 2 * sum_ij  k_ij * ln( k_ij * B / (row_i * col_j) )
+
+    with c(w1 .) / c(. w2) POSITIONAL marginals (bigrams starting with
+    w1 / ending with w2 - computed over ALL bigrams, before the
+    min_count cut) and B the bigram total. Zero cells contribute 0.
+
+    Scale shape: identical to pmi_collocations - the bigram count is
+    one partial-aggregated groupBy of map-side within-row pairs, the
+    marginals are two more partial aggs of that vocabulary-scale table,
+    the joins are vocabulary x vocabulary with the min_count filter
+    applied to the probe side first, totals ride a broadcast 1-row
+    frame, and the top-k is a TakeOrdered. LLR is a fixed 4-term
+    expression (deterministic summation order) over exact integer
+    counts, rounded to 6 decimals BEFORE ranking; ties break (w1, w2)."""
+    bg_all = (doc_bigrams(df, id_col, text_col)
+              .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy")))
+    left = bg_all.groupBy("w1").agg(F.sum("c_xy").alias("c_1dot"))
+    right = bg_all.groupBy("w2").agg(F.sum("c_xy").alias("c_dot2"))
+    btot = bg_all.agg(F.sum("c_xy").alias("b_total"))
+    cand = (bg_all.filter(F.col("c_xy") >= int(min_count))
+            .join(left, "w1").join(right, "w2")
+            .crossJoin(F.broadcast(btot)))
+    term = ("CASE WHEN {k} > 0 THEN {k} * ln(CAST({k} AS DOUBLE) * b_total"
+            " / (CAST({r} AS DOUBLE) * {c})) ELSE 0.0 END")
+    llr = ("2.0 * (" + " + ".join([
+        term.format(k="c_xy", r="c_1dot", c="c_dot2"),
+        term.format(k="(c_1dot - c_xy)", r="c_1dot",
+                    c="(b_total - c_dot2)"),
+        term.format(k="(c_dot2 - c_xy)", r="(b_total - c_1dot)",
+                    c="c_dot2"),
+        term.format(k="(b_total - c_1dot - c_dot2 + c_xy)",
+                    r="(b_total - c_1dot)", c="(b_total - c_dot2)"),
+    ]) + ")")
+    scored = cand.withColumn("llr", F.round(F.expr(llr), 6))
+    return (scored.orderBy(F.col("llr").desc(), "w1", "w2").limit(int(k))
+            .select("w1", "w2", "c_xy",
+                    F.col("c_1dot").alias("c_x"),
+                    F.col("c_dot2").alias("c_y"), "llr"))
+
+
+def mattr_diversity(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    window: int = 20) -> DataFrame:
+    """Moving-Average Type-Token Ratio (Covington & McFall 2010) - the
+    length-independent lexical-diversity score (plain TTR collapses as
+    documents grow; MATTR averages TTR over every ``window``-token
+    sliding window, so a 50-token and a 5000-token doc are comparable).
+    The corpus-quality signal that separates template spam (diversity
+    near 1/window) from natural prose.
+
+    Window-enumeration-free: an occurrence of term t at 0-based
+    position p with previous occurrence at pp (-1 if none) is the
+    FIRST t inside window start s iff max(p-W+1, pp+1, 0) <= s <=
+    min(p, n-W); summing that interval length over occurrences equals
+    sum-over-windows of the distinct count - one lag() per (doc, term)
+    plus one groupBy, never materializing the n_windows x W blowup.
+
+    mattr_ppm = (1e6 * sum_distinct) div (n_windows * window) - exact
+    integer arithmetic end to end (merge-order-proof). Docs shorter
+    than ``window`` tokens are excluded (MATTR is undefined there).
+
+    Scale shape: tokens carry n from size(ws) BEFORE the explode (no
+    per-doc count window), then exactly two shuffles: the lag's
+    (doc, term) partition and the per-doc sum."""
+    w = int(window)
+    toks = (df.select(F.col(id_col), _word_array(F.col(text_col))
+                      .alias("ws"))
+            .filter(F.size("ws") >= w)
+            .select(id_col, F.size("ws").cast("long").alias("n_tokens"),
+                    F.posexplode("ws").alias("pos", "term")))
+    lag_w = Window.partitionBy(id_col, "term").orderBy("pos")
+    contrib = (toks
+               .withColumn("pp", F.coalesce(
+                   F.lag("pos").over(lag_w), F.lit(-1)))
+               .withColumn("c", F.greatest(
+                   F.lit(0),
+                   F.least(F.col("pos"), F.col("n_tokens") - w)
+                   - F.greatest(F.col("pos") - w + 1, F.col("pp") + 1,
+                                F.lit(0)) + 1)))
+    return (contrib.groupBy(id_col, "n_tokens")
+            .agg(F.sum("c").cast("long").alias("sum_distinct"))
+            .select(id_col, "n_tokens",
+                    (F.col("n_tokens") - w + 1).cast("long")
+                    .alias("n_windows"), "sum_distinct",
+                    F.expr(f"(1000000 * sum_distinct) div "
+                           f"((n_tokens - {w} + 1) * {w})")
+                    .alias("mattr_ppm")))
