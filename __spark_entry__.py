@@ -4239,6 +4239,60 @@ def _q_mattr_diversity(spark, sf_dir):
     return textstats.mattr_diversity(_docs(spark, sf_dir), window=20)
 
 
+def _q_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation (ops/quality.py::spearman_rho) on the
+    same strata/measures as kendall_tau - the O(n log n) rank-space
+    twin of tau's O(n^2) pair join, so the two queries document the
+    toy-vs-scale trade explicitly. Tie-averaged ranks kept exact via
+    rank_asc + n + 1 - rank_desc; integer moments, one sqrt per key."""
+    t = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", (F.col("doc_id") % 16).alias("grp"), "n_chars",
+        F.size(F.array_distinct(F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda w: w != ""))).cast("long").alias("nt"))
+    return quality.spearman_rho(t, "grp", "n_chars", "nt")
+
+
+def _q_brier_bins(spark, sf_dir):
+    """Murphy Brier decomposition per confidence bin (ops/quality.py::
+    brier_decomposition) over the calibration_bins score/label pair -
+    reliability vs resolution numerators plus per-bin MSE, all exact
+    integer ppm^2, one n_bins-row groupBy + a 1-row broadcast."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "least(999999, (1000000 * cast(n_chars as bigint)) div 300)"
+        " AS score_ppm",
+        "n_chars >= 150 AS label")
+    return quality.brier_decomposition(d, "score_ppm", "label",
+                                       n_bins=10)
+
+
+def _q_equidepth_hist(spark, sf_dir):
+    """Equi-depth histogram of n_chars (ops/maintenance.py::
+    equidepth_histogram): 8 CBO-style buckets with count/min/max/ndv.
+    Exact ntile branch under the gate; the percentile_approx branch is
+    the same-schema 100-TB path (length_percentiles contract)."""
+    return maintenance.equidepth_histogram(_docs(spark, sf_dir),
+                                           "n_chars", n_buckets=8)
+
+
+def _q_encoding_advisor(spark, sf_dir):
+    """Columnar-encoding advisor (ops/maintenance.py::
+    encoding_advisor) over documents (source, lang, n_chars):
+    layout-aware run counts per (column, source-partition) + exact
+    integer plain/dict/RLE size estimates and the argmin pick."""
+    return maintenance.encoding_advisor(
+        _docs(spark, sf_dir), ["source", "lang", "n_chars"])
+
+
+def _q_rendezvous_shards(spark, sf_dir):
+    """Rendezvous-hash shard balance (ops/maintenance.py::
+    rendezvous_shards): HRW argmax over 16 shards per doc key as a
+    partial-aggregable string max (no window), then statistic-scale
+    counts - the consistent-hashing planning query."""
+    return maintenance.rendezvous_shards(_docs(spark, sf_dir),
+                                         "doc_id", n_shards=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4512,6 +4566,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burrows_delta": _q_burrows_delta,
         "llr_collocations": _q_llr_collocations,
         "mattr_diversity": _q_mattr_diversity,
+        "spearman_rho": _q_spearman_rho,
+        "brier_bins": _q_brier_bins,
+        "equidepth_hist": _q_equidepth_hist,
+        "encoding_advisor": _q_encoding_advisor,
+        "rendezvous_shards": _q_rendezvous_shards,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "html_links": _q_html_links,
         "tpch_part_margin": _q_tpch_part_margin,
@@ -11420,6 +11479,132 @@ FROM contrib GROUP BY doc_id, n_tokens
 """
 
 
+_SPEARMAN_ORACLE = """
+WITH t AS (SELECT doc_id, doc_id % 16 AS grp, n_chars,
+                  CAST(len(list_distinct(list_filter(
+                      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      w -> w <> ''))) AS BIGINT) AS nt
+           FROM documents WHERE doc_id % 5 = 0),
+r AS (SELECT grp,
+        CAST(rank() OVER (PARTITION BY grp ORDER BY n_chars ASC)
+             + count(*) OVER (PARTITION BY grp) + 1
+             - rank() OVER (PARTITION BY grp ORDER BY n_chars DESC)
+             AS BIGINT) AS rx2,
+        CAST(rank() OVER (PARTITION BY grp ORDER BY nt ASC)
+             + count(*) OVER (PARTITION BY grp) + 1
+             - rank() OVER (PARTITION BY grp ORDER BY nt DESC)
+             AS BIGINT) AS ry2
+      FROM t),
+agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+          CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+          CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+          CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+        FROM r GROUP BY 1)
+SELECT grp, n,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       THEN round((n * sxy - sx * sy)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS rho
+FROM agg
+"""
+
+_BRIER_ORACLE = """
+WITH b AS (SELECT
+    CAST(least(999999, (1000000 * CAST(n_chars AS BIGINT)) // 300)
+         AS BIGINT) AS conf,
+    CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS pos
+  FROM documents),
+agg AS (SELECT conf // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS n_pos,
+          CAST(sum(conf) AS BIGINT) AS conf_sum,
+          CAST(sum((conf - 1000000 * pos) * (conf - 1000000 * pos))
+               AS BIGINT) AS se_sum
+        FROM b GROUP BY 1),
+gl AS (SELECT CAST((1000000 * sum(n_pos)) // sum(n) AS BIGINT)
+               AS global_o_ppm FROM agg)
+SELECT bin, n, n_pos,
+  conf_sum // n AS mean_p_ppm,
+  (1000000 * n_pos) // n AS mean_o_ppm,
+  global_o_ppm,
+  se_sum // n AS mse_pp2,
+  CAST(n * (conf_sum // n - (1000000 * n_pos) // n)
+         * (conf_sum // n - (1000000 * n_pos) // n)
+       AS BIGINT) AS rel_num_pp2,
+  CAST(n * ((1000000 * n_pos) // n - global_o_ppm)
+         * ((1000000 * n_pos) // n - global_o_ppm)
+       AS BIGINT) AS res_num_pp2
+FROM agg, gl
+"""
+
+
+_EQUIDEPTH_ORACLE = """
+WITH b AS (SELECT n_chars,
+    CAST(ntile(8) OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS bucket
+  FROM documents)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+  CAST(min(n_chars) AS BIGINT) AS min_val,
+  CAST(max(n_chars) AS BIGINT) AS max_val,
+  CAST(count(DISTINCT n_chars) AS BIGINT) AS ndv
+FROM b GROUP BY 1
+"""
+
+_ENCODING_ORACLE = """
+WITH long_t AS (
+  SELECT source AS grp, doc_id AS rid, 'source' AS col_name,
+         CAST(source AS VARCHAR) AS val FROM documents
+  UNION ALL SELECT source, doc_id, 'lang', CAST(lang AS VARCHAR)
+  FROM documents
+  UNION ALL SELECT source, doc_id, 'n_chars', CAST(n_chars AS VARCHAR)
+  FROM documents),
+runs AS (SELECT col_name, val,
+    (row_number() OVER w = 1
+     OR val IS DISTINCT FROM lag(val) OVER w) AS is_head
+  FROM long_t WINDOW w AS (PARTITION BY col_name, grp ORDER BY rid)),
+base AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(coalesce(length(val), 0)) AS BIGINT) AS total_bytes,
+    CAST(sum(CASE WHEN is_head THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+    CAST(sum(CASE WHEN is_head THEN coalesce(length(val), 0) ELSE 0 END)
+         AS BIGINT) AS run_head_bytes
+  FROM runs GROUP BY 1),
+dist AS (SELECT col_name, CAST(count(*) AS BIGINT) AS ndv,
+    CAST(sum(coalesce(length(val), 0)) AS BIGINT) AS distinct_bytes
+  FROM (SELECT DISTINCT col_name, val FROM long_t) GROUP BY 1),
+est AS (SELECT b.col_name, n, ndv, total_bytes, n_runs,
+    total_bytes + 4 * n AS plain_bytes,
+    distinct_bytes
+      + (n * CAST(length(bin(greatest(ndv - 1, 1))) AS BIGINT) + 7) // 8
+      AS dict_bytes,
+    run_head_bytes + 4 * n_runs AS rle_bytes
+  FROM base b JOIN dist d USING (col_name))
+SELECT col_name, n, ndv, total_bytes, n_runs,
+  CAST(plain_bytes AS BIGINT) AS plain_bytes,
+  CAST(dict_bytes AS BIGINT) AS dict_bytes,
+  CAST(rle_bytes AS BIGINT) AS rle_bytes,
+  CASE WHEN plain_bytes <= dict_bytes AND plain_bytes <= rle_bytes
+       THEN 'plain'
+       WHEN dict_bytes <= rle_bytes THEN 'dict' ELSE 'rle' END
+  AS encoding
+FROM est
+"""
+
+_RENDEZVOUS_ORACLE = """
+WITH keys AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k
+              FROM documents),
+tagged AS (SELECT k,
+    md5(k || ':' || CAST(s AS VARCHAR)) || ':'
+      || lpad(CAST(s AS VARCHAR), 2, '0') AS hs
+  FROM keys, LATERAL unnest(generate_series(0, 15)) AS t(s)),
+best AS (SELECT k, max(hs) AS win FROM tagged GROUP BY 1),
+counts AS (SELECT CAST(right(win, 2) AS BIGINT) AS shard,
+                  CAST(count(*) AS BIGINT) AS n_keys
+           FROM best GROUP BY 1),
+tot AS (SELECT CAST(sum(n_keys) AS BIGINT) AS t FROM counts)
+SELECT shard, n_keys, (1000000 * n_keys) // t AS pct_ppm
+FROM counts, tot
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -11714,6 +11899,11 @@ FROM hashed
         "burrows_delta": _BURROWS_ORACLE,
         "llr_collocations": _LLR_ORACLE,
         "mattr_diversity": _MATTR_ORACLE,
+        "spearman_rho": _SPEARMAN_ORACLE,
+        "brier_bins": _BRIER_ORACLE,
+        "equidepth_hist": _EQUIDEPTH_ORACLE,
+        "encoding_advisor": _ENCODING_ORACLE,
+        "rendezvous_shards": _RENDEZVOUS_ORACLE,
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

@@ -41,7 +41,7 @@ have no features and are skipped in training; scoring gives them
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hashed_bigram_features", "train_quality_classifier",
@@ -801,3 +801,98 @@ def decision_stump(df: DataFrame, label, feature_col: str = "n_chars",
                     ((F.col("gini_ppm") == F.col("best_g"))
                      & (F.col("threshold") == F.col("best_t")))
                     .alias("is_best")))
+
+
+def spearman_rho(df: DataFrame, key_col: str, x_col: str, y_col: str) \
+        -> DataFrame:
+    """Spearman rank correlation per key -> (key, n, rho): the
+    rank-space complement of ``kendall_tau`` ("same ranks" vs "same
+    pairwise decisions") and the SCALE path of the two - tau's pair
+    join is O(n_k^2) per key, Spearman is two sorts and one agg, so
+    it's the one you run when the groups are corpus-sized.
+
+    Tie handling via average ranks kept EXACT: 2*avg_rank(v) =
+    rank_asc(v) + n + 1 - rank_desc(v) (min asc rank + max asc rank),
+    an integer - both rank() windows share the key partition, so
+    Catalyst plans ONE Exchange with two Sorts (ReuseExchange). rho is
+    then the Pearson correlation of the doubled ranks: every moment
+    (sum, sum of squares, cross sum) is an exact integer aggregate,
+    and the only floats are one sqrt + one division per key, rounded
+    6dp. Degenerate keys (either axis constant) emit rho = NULL."""
+    n_w = Window.partitionBy(key_col)
+    rx_a = F.rank().over(Window.partitionBy(key_col).orderBy(
+        F.col(x_col).asc()))
+    rx_d = F.rank().over(Window.partitionBy(key_col).orderBy(
+        F.col(x_col).desc()))
+    ry_a = F.rank().over(Window.partitionBy(key_col).orderBy(
+        F.col(y_col).asc()))
+    ry_d = F.rank().over(Window.partitionBy(key_col).orderBy(
+        F.col(y_col).desc()))
+    cnt = F.count(F.lit(1)).over(n_w)
+    ranked = df.select(
+        F.col(key_col),
+        (rx_a + cnt + 1 - rx_d).cast("long").alias("rx2"),
+        (ry_a + cnt + 1 - ry_d).cast("long").alias("ry2"))
+    agg = ranked.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"))
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    rho = F.when((vx > 0) & (vy > 0), F.round(
+        num.cast("double")
+        / F.sqrt(vx.cast("double") * vy.cast("double")), 6))
+    return agg.select(key_col, "n", rho.alias("rho"))
+
+
+def brier_decomposition(df: DataFrame, score_ppm_col: str,
+                        label_col: str, n_bins: int = 10) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over confidence
+    bins -> one row per bin, EVERY column an exact integer: the
+    diagnostic one level deeper than ``calibration_table`` -
+    reliability (is the score honest?) and resolution (does it
+    actually separate classes?) are different failure modes that the
+    raw Brier number conflates, and a corpus-quality scorer can be
+    well-calibrated yet useless (rel ~ 0, res ~ 0).
+
+    Per bin k:  mse_pp2      = sum((p_i - o_i*1e6)^2) div n_k
+                rel_num_pp2  = n_k * (mean_p - mean_o)^2
+                res_num_pp2  = n_k * (mean_o_k - mean_o_global)^2
+    (pp2 = ppm-squared; sum the *_num columns and div by N for the
+    scalar REL / RES, Brier = UNC + REL - RES). Means are integer-div
+    ppm - the decomposition is DEFINED on those, so the table is
+    engine-exact with zero float tolerance, merge-order-proof.
+
+    Scale shape: one partial-agged groupBy to n_bins rows + a 1-row
+    broadcast of the global positive rate."""
+    width = 1000000 // int(n_bins)
+    b = df.select(
+        F.expr(f"cast({score_ppm_col} as bigint) div {width}")
+        .alias("bin"),
+        F.col(score_ppm_col).cast("long").alias("conf"),
+        F.when(F.col(label_col).cast("boolean"), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("pos"))
+    agg = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("conf").cast("long").alias("conf_sum"),
+        F.sum((F.col("conf") - 1000000 * F.col("pos"))
+              * (F.col("conf") - 1000000 * F.col("pos")))
+        .cast("long").alias("se_sum"))
+    glob = agg.agg(F.sum("n").alias("n_tot"),
+                   F.sum("n_pos").alias("pos_tot")).select(
+        F.expr("(1000000 * pos_tot) div n_tot").alias("global_o_ppm"))
+    out = (agg.crossJoin(F.broadcast(glob))
+           .withColumn("mean_p_ppm", F.expr("conf_sum div n"))
+           .withColumn("mean_o_ppm", F.expr("(1000000 * n_pos) div n")))
+    gap = F.col("mean_p_ppm") - F.col("mean_o_ppm")
+    dev = F.col("mean_o_ppm") - F.col("global_o_ppm")
+    return out.select(
+        "bin", "n", "n_pos", "mean_p_ppm", "mean_o_ppm", "global_o_ppm",
+        F.expr("se_sum div n").alias("mse_pp2"),
+        (F.col("n") * gap * gap).cast("long").alias("rel_num_pp2"),
+        (F.col("n") * dev * dev).cast("long").alias("res_num_pp2"))
