@@ -30,7 +30,7 @@ from eventrelationextractor_spark.ops import bloom, bpe, graph, linededup  # noq
 from eventrelationextractor_spark.ops import htmltext, mixing, pii  # noqa: E402
 from eventrelationextractor_spark.ops import maintenance, mining, quality  # noqa: E402
 from eventrelationextractor_spark.ops import linkage  # noqa: E402
-from eventrelationextractor_spark.ops import simsearch, sketches, textstats, urls  # noqa: E402
+from eventrelationextractor_spark.ops import simsearch, sketches, spell, textstats, urls  # noqa: E402
 from eventrelationextractor_spark.spark import kg, stages  # noqa: E402
 
 # broadcast-able entity-linking dictionary: synthetic-corpus event lemmas
@@ -4293,6 +4293,79 @@ def _q_rendezvous_shards(spark, sf_dir):
                                          "doc_id", n_shards=16)
 
 
+def _q_lateness_profile(spark, sf_dir):
+    """Watermark-sizing lateness histogram (ops/events.py::
+    lateness_profile): per-key running-max event time in arrival order
+    minus own event time, exact integer microseconds, 10-min buckets
+    capped at 10 - the question answered before anyone picks a
+    withWatermark duration. The synthetic stream arrives in order, so
+    the query scrambles arrival deterministically (each 16-block of
+    event_ids reversed) to exercise the non-zero buckets; identical
+    integer arithmetic on the oracle side."""
+    ev = _events(spark, sf_dir).withColumn(
+        "arr", F.expr("(event_id div 16) * 16 + (15 - event_id % 16)"))
+    return events.lateness_profile(ev, arrival_col="arr",
+                                   bucket_seconds=600)
+
+
+def _q_symspell_correct(spark, sf_dir):
+    """SymSpell edit-distance-1 correction (ops/spell.py::
+    symspell_correct): dictionary = corpus terms with cnt>=5 and
+    length>=4; queries = deterministic single-char deletions of the
+    top-100 dictionary terms (position = cnt mod length). Both sides
+    publish delete keys map-side, meet in one equi-join, verify with
+    levenshtein, rank (dist, cnt desc, term)."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: t != "")).alias("term"))
+    dic = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+           .filter((F.col("cnt") >= 5) & (F.length("term") >= 4)))
+    top = dic.orderBy(F.col("cnt").desc(), "term").limit(100)
+    qs = top.select(F.expr(
+        "concat(substr(term, 1, cnt % length(term)), "
+        "substr(term, cnt % length(term) + 2))").alias("q"))
+    return spell.symspell_correct(qs, dic)
+
+
+def _q_boruvka_mst(spark, sf_dir):
+    """Minimum spanning forest by Boruvka (ops/graph.py::boruvka_mst)
+    over a deterministic weighted graph on the doc_id%10 stratum
+    (three generators incl. a ring, so it's connected; w = (31u+17v)
+    mod 997, ties broken by eid). Every round is one incidence groupBy
+    + a component-graph CC at statistic scale; <= log2(V) rounds. The
+    oracle replays Kruskal under the identical (w, eid) order in a
+    single-row recursive CTE carrying the label list - same unique
+    forest. sf1.0 note: the oracle's list recursion is O(V*E)
+    (verification-only wall, the winnowing_pairs contract); Spark does
+    the same graph in log-rounds of joins."""
+    ks = (_docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+          .select(F.expr("doc_id div 10").alias("k")))
+    m = ks.count()
+    gen = ks.select("k", F.explode(F.array(
+        (F.col("k") * 7 + 1) % m, (F.col("k") * 13 + 3) % m,
+        (F.col("k") + 1) % m)).alias("g"))
+    e = (gen.select(F.least("k", "g").alias("u"),
+                    F.greatest("k", "g").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .select((F.col("u") * m + F.col("v")).alias("eid"), "u", "v",
+                 ((F.col("u") * 31 + F.col("v") * 17) % 997)
+                 .alias("w")))
+    return graph.boruvka_mst(e)
+
+
+def _q_media_sobel(spark, sf_dir):
+    """Integer Sobel edge statistics over REAL PNG decode
+    (ops/multimodal.py::sobel_stats) on the closed-form pixel corpus
+    (_media_pngs): gray = (r+g+b) div 3, mag2 = Gx^2+Gy^2, no sqrt -
+    so actual decoded pixels sit under the value hash with zero float
+    tolerance. The oracle re-derives every interior gradient from the
+    closed pixel form (the media_decode_stats contract, one step
+    deeper: a 3x3 stencil, not just channel means)."""
+    return multimodal.sobel_stats(
+        _media_pngs(_docs(spark, sf_dir).select("doc_id")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4571,6 +4644,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_hist": _q_equidepth_hist,
         "encoding_advisor": _q_encoding_advisor,
         "rendezvous_shards": _q_rendezvous_shards,
+        "lateness_profile": _q_lateness_profile,
+        "symspell_correct": _q_symspell_correct,
+        "boruvka_mst": _q_boruvka_mst,
+        "media_sobel": _q_media_sobel,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "html_links": _q_html_links,
         "tpch_part_margin": _q_tpch_part_margin,
@@ -11605,6 +11682,127 @@ FROM counts, tot
 """
 
 
+_LATENESS_ORACLE = """
+WITH e AS (SELECT user_id, ts,
+    (event_id // 16) * 16 + (15 - event_id % 16) AS arr FROM events),
+l AS (SELECT
+    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY arr
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    - epoch_us(ts) AS late_us
+  FROM e),
+b AS (SELECT least(late_us // 600000000, 10) AS bucket, late_us FROM l)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(late_us) AS BIGINT) AS sum_late_us,
+  CAST(max(late_us) AS BIGINT) AS max_late_us
+FROM b GROUP BY 1
+"""
+
+_SYMSPELL_ORACLE = f"""
+WITH norm AS (SELECT doc_id, lower(text) AS t FROM documents),
+toks AS (SELECT u.term FROM norm,
+  LATERAL unnest(list_filter(regexp_split_to_array(t, '[^a-z0-9]+'),
+                             w -> w <> '')) AS u(term)),
+dic AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        GROUP BY 1 HAVING count(*) >= 5 AND length(term) >= 4),
+top AS (SELECT term, cnt FROM dic ORDER BY cnt DESC, term LIMIT 100),
+qs AS (SELECT DISTINCT substr(term, 1, CAST(cnt % length(term) AS INT))
+         || substr(term, CAST(cnt % length(term) + 2 AS INT)) AS q
+       FROM top),
+qk AS (SELECT q, k.key FROM qs, LATERAL unnest(list_concat([q],
+         list_transform(range(1, length(q) + 1),
+           i -> substr(q, 1, CAST(i - 1 AS INT))
+                || substr(q, CAST(i + 1 AS INT))))) AS k(key)),
+dk AS (SELECT term, cnt, k.key FROM dic, LATERAL unnest(list_concat(
+         [term], list_transform(range(1, length(term) + 1),
+           i -> substr(term, 1, CAST(i - 1 AS INT))
+                || substr(term, CAST(i + 1 AS INT))))) AS k(key)),
+pairs AS (SELECT DISTINCT q, term, cnt FROM qk JOIN dk USING (key)),
+scored AS (SELECT q, term, cnt, levenshtein(q, term) AS dist
+           FROM pairs WHERE levenshtein(q, term) <= 1),
+ranked AS (SELECT q, term, dist, cnt,
+             row_number() OVER (PARTITION BY q
+               ORDER BY dist, cnt DESC, term) AS rn
+           FROM scored)
+SELECT q, term AS match, CAST(dist AS BIGINT) AS dist,
+       CAST(cnt AS BIGINT) AS match_cnt
+FROM ranked WHERE rn = 1
+"""
+
+
+_BORUVKA_ORACLE = """
+WITH RECURSIVE
+p AS (SELECT count(*) AS m FROM documents WHERE doc_id % 10 = 0),
+ks AS (SELECT doc_id // 10 AS k FROM documents WHERE doc_id % 10 = 0),
+gen AS (SELECT k, t.g FROM ks, p,
+        LATERAL unnest([(k*7+1) % m, (k*13+3) % m, (k+1) % m]) AS t(g)),
+e AS (SELECT DISTINCT least(k, g) AS u, greatest(k, g) AS v
+      FROM gen WHERE k <> g),
+g2 AS (SELECT u * m + v AS eid, u, v, (u*31 + v*17) % 997 AS w
+       FROM e, p),
+es AS (SELECT row_number() OVER (ORDER BY w, eid) AS i, eid, u, v
+       FROM g2),
+cnt AS (SELECT count(*) AS ne FROM es),
+nodes AS (SELECT DISTINCT u AS node FROM g2
+          UNION SELECT v FROM g2),
+kr AS (
+  SELECT CAST(0 AS BIGINT) AS i,
+         list(node ORDER BY node) AS nds,
+         list(node ORDER BY node) AS lbl,
+         CAST([] AS BIGINT[]) AS mst
+  FROM nodes
+  UNION ALL
+  SELECT kr.i + 1, kr.nds,
+    CASE WHEN t.lu <> t.lv
+         THEN list_transform(kr.lbl,
+                x -> CASE WHEN x = t.lv THEN t.lu ELSE x END)
+         ELSE kr.lbl END,
+    CASE WHEN t.lu <> t.lv THEN list_append(kr.mst, e.eid)
+         ELSE kr.mst END
+  FROM kr JOIN es e ON e.i = kr.i + 1,
+       LATERAL (SELECT kr.lbl[list_position(kr.nds, e.u)] AS lu,
+                       kr.lbl[list_position(kr.nds, e.v)] AS lv) t
+),
+fin AS (SELECT mst FROM kr, cnt WHERE kr.i = cnt.ne),
+ou AS (SELECT unnest(mst) AS eid FROM fin)
+SELECT g2.eid, CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(w AS BIGINT) AS w
+FROM g2 JOIN ou USING (eid)
+"""
+
+
+def _sobel_oracle(edge_mag2: int = 10000) -> str:
+    """Re-derives sobel_stats from _media_pngs' closed pixel form:
+    gray(y, x) is inlined for each of the 8 stencil neighbours, so the
+    whole oracle is one map-side expression over the (doc, y, x)
+    interior grid - no joins, pure integers."""
+    def g(dy, dx):
+        base = f"((x + {dx}) * 3 + (y + {dy}) * 7 + doc_id)"
+        return (f"((({base}) % 256 + ({base} + 11) % 256"
+                f" + ({base} + 22) % 256) // 3)")
+
+    gx = (f"({g(-1, 1)} + 2 * {g(0, 1)} + {g(1, 1)}"
+          f" - {g(-1, -1)} - 2 * {g(0, -1)} - {g(1, -1)})")
+    gy = (f"({g(1, -1)} + 2 * {g(1, 0)} + {g(1, 1)}"
+          f" - {g(-1, -1)} - 2 * {g(-1, 0)} - {g(-1, 1)})")
+    return f"""
+WITH dims AS (SELECT doc_id, 8 + (doc_id % 5) * 4 AS h,
+                     8 + ((doc_id // 5) % 5) * 4 AS w
+              FROM documents),
+px AS (SELECT d.doc_id, d.h, d.w,
+         {gx} AS gx, {gy} AS gy
+       FROM dims d, range(24) yy(y), range(24) xx(x)
+       WHERE y >= 1 AND y <= h - 2 AND x >= 1 AND x <= w - 2)
+SELECT doc_id AS media_id, CAST(any_value(h) AS BIGINT) AS h,
+  CAST(any_value(w) AS BIGINT) AS w,
+  CAST(count(*) AS BIGINT) AS n_interior,
+  CAST(sum(gx * gx + gy * gy) AS BIGINT) AS sum_mag2,
+  CAST(max(gx * gx + gy * gy) AS BIGINT) AS max_mag2,
+  CAST(sum(CASE WHEN gx * gx + gy * gy >= {int(edge_mag2)}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_edges
+FROM px GROUP BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -11904,6 +12102,10 @@ FROM hashed
         "equidepth_hist": _EQUIDEPTH_ORACLE,
         "encoding_advisor": _ENCODING_ORACLE,
         "rendezvous_shards": _RENDEZVOUS_ORACLE,
+        "lateness_profile": _LATENESS_ORACLE,
+        "symspell_correct": _SYMSPELL_ORACLE,
+        "boruvka_mst": _BORUVKA_ORACLE,
+        "media_sobel": _sobel_oracle(),
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

@@ -1331,3 +1331,78 @@ def bounded_rings(edges: DataFrame, k: int = 3, src_col: str = "src",
     return (labeled.join(sizes, "ring_id")
             .filter(F.col("ring_size") > 1)
             .select("node", "ring_id", "ring_size"))
+
+
+def boruvka_mst(edges: DataFrame, nodes: DataFrame | None = None,
+                max_rounds: int = 20,
+                stats: dict | None = None) -> DataFrame:
+    """Minimum spanning forest by Boruvka's algorithm -> the MST edge
+    set (eid, u, v, w): THE textbook distributed MST (every round is
+    pure data-parallel aggregation - no priority queue, no sequential
+    union-find - which is why it, not Kruskal/Prim, is the shape used
+    at cluster scale). Pipeline uses: minimal backbone of a similarity
+    graph (single-linkage clustering IS Boruvka run to completion),
+    cheapest crawl/replication topology over host RTTs.
+
+    Requires a deterministic total order on edges: ties on ``w`` break
+    by ``eid`` everywhere (min struct(w, eid, ...)), so the forest is
+    unique and equals Kruskal's under the same order - which is exactly
+    what the oracle replays.
+
+    Per round: (1) drop intra-component edges (two broadcast-or-shuffle
+    hash joins of edges against labels), (2) every component picks its
+    min incident edge - ONE partial-aggregable groupBy of the two-sided
+    incidence explode, (3) merge the chosen component pairs by running
+    connected_components on the COMPONENT graph (statistic scale: at
+    most one node per surviving component, so the inner pointer-jump
+    works on a frame that at least halves every round), (4) relabel
+    via one join. Components at least halve per round => <= log2(V)
+    rounds; one localCheckpoint per frame per round (the CC
+    round-loop lesson: never checkpoint intermediates).
+
+    cf. reference graph usage: the reference's timegraph closes over
+    chains sequentially; this is its scale-out counterpart for
+    weighted backbone extraction."""
+    from eventrelationextractor_spark.spark.kg import (
+        connected_components,
+    )
+    e0 = edges.select("eid", "u", "v", "w").localCheckpoint()
+    if nodes is None:
+        nodes = (e0.select(F.col("u").alias("node"))
+                 .unionByName(e0.select(F.col("v").alias("node")))
+                 .distinct())
+    nodes = nodes.select("node").localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    spark = edges.sparkSession
+    mst = spark.createDataFrame([], "eid long, u long, v long, w long")
+    rounds = 0
+    for _ in range(int(max_rounds)):
+        lu = labels.select(F.col("node").alias("u"),
+                           F.col("comp").alias("cu"))
+        lv = labels.select(F.col("node").alias("v"),
+                           F.col("comp").alias("cv"))
+        live = (e0.join(lu, "u").join(lv, "v")
+                .filter(F.col("cu") != F.col("cv")))
+        s = F.struct("w", "eid", "u", "v", "cu", "cv").alias("s")
+        inc = (live.select(F.col("cu").alias("c"), s)
+               .unionByName(live.select(F.col("cv").alias("c"), s)))
+        sel = (inc.groupBy("c").agg(F.min("s").alias("s"))
+               .select("s.*").distinct().localCheckpoint())
+        if sel.isEmpty():
+            break
+        rounds += 1
+        mst = (mst.unionByName(sel.select("eid", "u", "v", "w"))
+               .localCheckpoint(eager=False))
+        comp_cc = connected_components(
+            sel.select(F.col("cu").cast("string").alias("src"),
+                       F.col("cv").cast("string").alias("dst")))
+        remap = comp_cc.select(
+            F.col("vertex").cast("long").alias("comp"),
+            F.col("component").cast("long").alias("newc"))
+        labels = (labels.join(remap, "comp", "left")
+                  .select("node", F.coalesce("newc", "comp")
+                          .alias("comp"))
+                  .localCheckpoint(eager=False))
+    if stats is not None:
+        stats["rounds"] = rounds
+    return mst

@@ -404,3 +404,62 @@ def perceptual_hash_pairs(media: DataFrame, max_hamming: int = 3,
             .withColumn("hamming", ham.cast("long"))
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))
+
+
+SOBEL_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("h", LongType(), False),
+    StructField("w", LongType(), False),
+    StructField("n_interior", LongType(), False),
+    StructField("sum_mag2", LongType(), False),
+    StructField("max_mag2", LongType(), False),
+    StructField("n_edges", LongType(), False),
+])
+
+
+def sobel_stats(media: DataFrame, edge_mag2: int = 10000) -> DataFrame:
+    """Sobel edge statistics over REAL image decode -> (media_id, h, w,
+    n_interior, sum_mag2, max_mag2, n_edges): the canonical cheap
+    image-quality/content signal (blank or synthetic-flat images score
+    near zero; busy photographs high) that a multimodal curation
+    pipeline runs right after decode - the visual sibling of
+    ``repetition_stats``.
+
+    EVERY output is an exact integer: gray = (r+g+b) div 3 on uint8
+    channels, Gx/Gy are the integer Sobel kernels over interior pixels,
+    mag2 = Gx^2 + Gy^2 (no sqrt), n_edges counts mag2 >= ``edge_mag2``.
+    So a REAL PNG/JPEG/GIF decode sits under the value-hash gate with
+    zero float tolerance (the media_decode_stats contract, one step
+    deeper into pixel processing).
+
+    Scale shape: one mapInPandas over the payload column - peer
+    batches of binaries in, 7 integers per image out; partitioning is
+    whatever the media table already has, no shuffle at all."""
+    thr = int(edge_mag2)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "h", "w", "n_interior",
+                                   "sum_mag2", "max_mag2", "n_edges")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(bytes(payload)).astype("int64")
+                g = arr.sum(axis=2) // arr.shape[2]
+                # integer Sobel on the interior via shifted slices
+                gx = ((g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+                      - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2]))
+                gy = ((g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+                      - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:]))
+                mag2 = gx * gx + gy * gy
+                out["media_id"].append(int(mid))
+                out["h"].append(int(arr.shape[0]))
+                out["w"].append(int(arr.shape[1]))
+                out["n_interior"].append(int(mag2.size))
+                out["sum_mag2"].append(int(mag2.sum()))
+                out["max_mag2"].append(int(mag2.max())
+                                       if mag2.size else 0)
+                out["n_edges"].append(int((mag2 >= thr).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=SOBEL_SCHEMA)
