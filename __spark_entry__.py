@@ -4366,6 +4366,54 @@ def _q_media_sobel(spark, sf_dir):
         _media_pngs(_docs(spark, sf_dir).select("doc_id")))
 
 
+def _q_woe_iv(spark, sf_dir):
+    """Weight-of-Evidence / Information-Value feature screen
+    (ops/quality.py::woe_iv) over length bins vs an id-derived label:
+    Laplace-smoothed woe as exact-integer 2k+1 halves, iv terms from
+    the same counts - one n_bins groupBy + a 1-row class-total
+    broadcast."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "least(n_chars div 40, 9) AS bin",
+        "doc_id % 3 = 0 AS label")
+    return quality.woe_iv(d, "bin", "label")
+
+
+def _q_target_encode(spark, sf_dir):
+    """Leakage-free K-fold target encoding (ops/quality.py::
+    target_encode_oof): per (source, (doc_id div 20)%5 fold - div 20
+    first because source IS doc_id%20, so a bare %5 fold would be
+    degenerate: one fold per source) the out-of-fold
+    category mean in exact integer ppm, global-prior fallback for
+    single-fold categories. One (cat, fold) partial agg; per-cat
+    totals derive from it at statistic scale."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "source", "(doc_id div 20) % 5 AS fold",
+        "cast(n_chars >= 150 as int) AS t")
+    return quality.target_encode_oof(d, "source", "fold", "t")
+
+
+def _q_skipgram_ppmi(spark, sf_dir):
+    """Skip-gram PPMI matrix top-50 (ops/textstats.py::skipgram_ppmi):
+    the word2vec co-occurrence preprocessing - +-2 context window
+    generated by EQUI-join probe keys (doc, p+1..p+2), never a range
+    join; directed-pair marginals; 6dp PPMI before the TakeOrdered
+    cut."""
+    return textstats.skipgram_ppmi(_docs(spark, sf_dir), window=2,
+                                   min_count=5, k=50)
+
+
+def _q_link_coloring(spark, sf_dir):
+    """Jones-Plassmann priority coloring (ops/graph.py::
+    priority_coloring) of the synthetic link graph: round r colors the
+    md5-priority local maxima among still-uncolored nodes - each round
+    an independent set, remaining frame shrinks every round. color(v)
+    = longest strictly priority-increasing path out of v, which the
+    oracle computes as a DEDUPLICATING recursive CTE over the
+    low->high DAG (rows bounded V x max_color, no path enumeration)."""
+    e, nodes = _link_edges(spark, sf_dir)
+    return graph.priority_coloring(e, nodes)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4648,6 +4696,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symspell_correct": _q_symspell_correct,
         "boruvka_mst": _q_boruvka_mst,
         "media_sobel": _q_media_sobel,
+        "woe_iv": _q_woe_iv,
+        "target_encode": _q_target_encode,
+        "skipgram_ppmi": _q_skipgram_ppmi,
+        "link_coloring": _q_link_coloring,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "html_links": _q_html_links,
         "tpch_part_margin": _q_tpch_part_margin,
@@ -11803,6 +11855,102 @@ FROM px GROUP BY doc_id
 """
 
 
+_WOE_ORACLE = """
+WITH b AS (SELECT least(n_chars // 40, 9) AS bin,
+                  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS pos
+           FROM documents),
+agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos FROM b GROUP BY 1),
+tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+               CAST(sum(n - n_pos) AS BIGINT) AS tn FROM agg)
+SELECT bin, n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+  round(ln(CAST((2 * n_pos + 1) * tn AS DOUBLE)
+           / CAST((2 * (n - n_pos) + 1) * tp AS DOUBLE)), 6) AS woe,
+  round((CAST(n_pos AS DOUBLE) / tp - CAST(n - n_pos AS DOUBLE) / tn)
+        * ln(CAST((2 * n_pos + 1) * tn AS DOUBLE)
+             / CAST((2 * (n - n_pos) + 1) * tp AS DOUBLE)), 6)
+  AS iv_term
+FROM agg, tot
+"""
+
+_TARGET_ENCODE_ORACLE = """
+WITH b AS (SELECT source AS cat, (doc_id // 20) % 5 AS fold,
+                  CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS t
+           FROM documents),
+cf AS (SELECT cat, fold, CAST(count(*) AS BIGINT) AS n_cf,
+              CAST(sum(t) AS BIGINT) AS s_cf FROM b GROUP BY 1, 2),
+c AS (SELECT cat, CAST(sum(n_cf) AS BIGINT) AS n_c,
+             CAST(sum(s_cf) AS BIGINT) AS s_c FROM cf GROUP BY 1),
+g AS (SELECT CAST(sum(n_cf) AS BIGINT) AS n_g,
+             CAST(sum(s_cf) AS BIGINT) AS s_g FROM cf)
+SELECT cat, CAST(fold AS BIGINT) AS fold, n_cf,
+  CASE WHEN n_c > n_cf THEN (1000000 * (s_c - s_cf)) // (n_c - n_cf)
+       ELSE (1000000 * s_g) // n_g END AS oof_mean_ppm
+FROM cf JOIN c USING (cat), g
+"""
+
+_SKIPGRAM_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id AS d,
+          list_filter(string_split(t, ' '), w -> w <> '') AS ws
+          FROM norm),
+toks AS (SELECT d, CAST(i - 1 AS BIGINT) AS p,
+                ws[CAST(i AS BIGINT)] AS t
+         FROM words, LATERAL unnest(generate_series(1, len(ws)))
+           AS r(i)),
+probes AS (SELECT d, t AS a, p + o AS p2 FROM toks,
+           LATERAL unnest([1, 2]) AS q(o)),
+fwd AS (SELECT pr.a, tk.t AS b FROM probes pr JOIN toks tk
+        ON pr.d = tk.d AND pr.p2 = tk.p),
+pairs AS (SELECT a AS w_center, b AS w_context FROM fwd
+          UNION ALL SELECT b, a FROM fwd),
+cnt AS (SELECT w_center, w_context, CAST(count(*) AS BIGINT) AS c_xy
+        FROM pairs GROUP BY 1, 2),
+lft AS (SELECT w_center, CAST(sum(c_xy) AS BIGINT) AS c_c
+        FROM cnt GROUP BY 1),
+rgt AS (SELECT w_context, CAST(sum(c_xy) AS BIGINT) AS c_x
+        FROM cnt GROUP BY 1),
+tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS t_total FROM cnt)
+SELECT w_center, w_context, c_xy,
+  round(greatest(0.0, ln(CAST(c_xy * t_total AS DOUBLE)
+                         / CAST(c_c * c_x AS DOUBLE))), 6) AS ppmi
+FROM cnt JOIN lft USING (w_center) JOIN rgt USING (w_context), tot
+WHERE c_xy >= 5
+ORDER BY ppmi DESC, w_center, w_context LIMIT 50
+"""
+
+
+_COLORING_ORACLE = """
+WITH RECURSIVE
+nodes AS (SELECT doc_id AS node FROM documents),
+e0 AS (
+  SELECT doc_id AS src,
+         (doc_id*7+1) % (SELECT count(*) FROM documents) AS dst
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 17 <> 0),
+und AS (SELECT DISTINCT a, b FROM (
+          SELECT src AS a, dst AS b FROM e0
+          UNION ALL SELECT dst, src FROM e0)
+        WHERE a <> b),
+pr AS (SELECT node,
+         md5(CAST(node AS VARCHAR)) || CAST(node AS VARCHAR) AS p
+       FROM nodes),
+dag AS (SELECT DISTINCT
+          CASE WHEN pa.p < pb.p THEN e.a ELSE e.b END AS lo,
+          CASE WHEN pa.p < pb.p THEN e.b ELSE e.a END AS hi
+        FROM und e JOIN pr pa ON pa.node = e.a
+                   JOIN pr pb ON pb.node = e.b),
+reach AS (
+  SELECT node, CAST(0 AS BIGINT) AS r FROM nodes
+  UNION
+  SELECT d.lo, reach.r + 1 FROM reach JOIN dag d ON d.hi = reach.node
+)
+SELECT node, CAST(max(r) AS BIGINT) AS color FROM reach GROUP BY node
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -12106,6 +12254,10 @@ FROM hashed
         "symspell_correct": _SYMSPELL_ORACLE,
         "boruvka_mst": _BORUVKA_ORACLE,
         "media_sobel": _sobel_oracle(),
+        "woe_iv": _WOE_ORACLE,
+        "target_encode": _TARGET_ENCODE_ORACLE,
+        "skipgram_ppmi": _SKIPGRAM_ORACLE,
+        "link_coloring": _COLORING_ORACLE,
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

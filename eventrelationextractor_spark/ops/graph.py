@@ -1406,3 +1406,63 @@ def boruvka_mst(edges: DataFrame, nodes: DataFrame | None = None,
     if stats is not None:
         stats["rounds"] = rounds
     return mst
+
+
+def priority_coloring(edges: DataFrame, nodes: DataFrame | None = None,
+                      src: str = "src", dst: str = "dst",
+                      max_rounds: int = 64,
+                      stats: dict | None = None) -> DataFrame:
+    """Distributed greedy graph coloring by priority peeling
+    (Jones & Plassmann 1993) -> (node, color): round r removes every
+    node whose hash priority beats all its still-uncolored neighbours
+    and colors it r - each round's removals are an independent set by
+    construction (two adjacent nodes cannot both be local maxima), so
+    the result is always a proper coloring. The scheduling primitive a
+    lakehouse uses to batch CONFLICTING maintenance jobs (compactions
+    touching shared partitions, crawl fetches sharing a host): same
+    color = safe to run concurrently.
+
+    The priority is md5(node) || node - a deterministic total order
+    (the appended node id breaks any hex tie), so the coloring is a
+    pure function of the graph: color(v) equals the longest strictly
+    priority-increasing path out of v, which is exactly what the
+    oracle computes as a deduplicating recursive CTE over the
+    low->high DAG.
+
+    Scale shape: per round, survivors = one equi-join of the adjacency
+    against the remaining set (both orientations) + an anti-join for
+    the maxima; the remaining frame SHRINKS every round (expected
+    O(log n) rounds on random priorities) and gets one localCheckpoint
+    - the CC loop discipline. No window, no global sort."""
+    adj = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .filter(F.col("a") != F.col("b")))
+    adj = (adj.unionByName(adj.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b")))
+           .distinct().localCheckpoint())
+    if nodes is None:
+        nodes = adj.select(F.col("a").alias("node")).distinct()
+    pri = F.concat(F.md5(F.col("node").cast("string")),
+                   F.col("node").cast("string"))
+    rem = nodes.select("node", pri.alias("p")).localCheckpoint()
+    spark = edges.sparkSession
+    colored = spark.createDataFrame([], "node long, color long")
+    rounds = 0
+    for r in range(int(max_rounds)):
+        if rem.isEmpty():
+            break
+        rounds = r
+        ru = rem.select(F.col("node").alias("b"),
+                        F.col("p").alias("pb"))
+        surv = (rem.join(adj, rem.node == adj.a)
+                .join(ru, "b")
+                .filter(F.col("pb") > F.col("p"))
+                .select("node", "p").distinct()
+                .localCheckpoint())
+        maxima = rem.join(surv.select("node"), "node", "left_anti")
+        colored = (colored.unionByName(
+            maxima.select("node", F.lit(r).cast("long").alias("color")))
+            .localCheckpoint(eager=False))
+        rem = surv
+    if stats is not None:
+        stats["rounds"] = rounds + 1
+    return colored

@@ -896,3 +896,83 @@ def brier_decomposition(df: DataFrame, score_ppm_col: str,
         F.expr("se_sum div n").alias("mse_pp2"),
         (F.col("n") * gap * gap).cast("long").alias("rel_num_pp2"),
         (F.col("n") * dev * dev).cast("long").alias("res_num_pp2"))
+
+
+def woe_iv(df: DataFrame, bin_col: str, label_col: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value table per feature bin ->
+    (bin, n, n_pos, n_neg, woe, iv_term): the standard scorecard
+    feature-screening transform (Siddiqi 2006) - how predictive is a
+    binned feature of a binary outcome, bin by bin, and in total
+    (IV = sum(iv_term): <0.02 useless, >0.3 strong). The feature-
+    engineering sibling of ``brier_decomposition`` (that one grades a
+    score, this one grades a raw feature).
+
+        woe_k = ln( ((2*pos_k+1)/(2*POS)) / ((2*neg_k+1)/(2*NEG)) )
+        iv_k  = (pos_k/POS - neg_k/NEG) * woe_k
+
+    with the +0.5 Laplace half (as the exact integer 2k+1 over 2N) so
+    empty cells stay finite. Counts are exact integers; woe/iv are a
+    fixed expression DAG over those integers, rounded 6dp - engine-
+    deterministic (the pmi/bm25 ln contract).
+
+    Scale shape: one partial-agged groupBy to n_bins rows + a 1-row
+    broadcast of the class totals."""
+    b = df.select(F.col(bin_col).alias("bin"),
+                  F.when(F.col(label_col).cast("boolean"), 1)
+                  .otherwise(0).cast("long").alias("pos"))
+    agg = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"))
+    tot = agg.agg(F.sum("n_pos").alias("tp"),
+                  F.sum(F.col("n") - F.col("n_pos")).alias("tn"))
+    out = (agg.crossJoin(F.broadcast(tot))
+           .withColumn("n_neg", (F.col("n") - F.col("n_pos"))
+                       .cast("long")))
+    woe = F.log(((2 * F.col("n_pos") + 1) * F.col("tn"))
+                .cast("double")
+                / ((2 * F.col("n_neg") + 1) * F.col("tp"))
+                .cast("double"))
+    iv = ((F.col("n_pos") / F.col("tp")
+           - F.col("n_neg") / F.col("tn")) * woe)
+    return out.select("bin", "n", "n_pos", "n_neg",
+                      F.round(woe, 6).alias("woe"),
+                      F.round(iv, 6).alias("iv_term"))
+
+
+def target_encode_oof(df: DataFrame, cat_col: str, fold_col: str,
+                      target_col: str) -> DataFrame:
+    """Leakage-free (out-of-fold) target encoding -> one row per
+    (category, fold): (cat, fold, n_cf, oof_mean_ppm). THE standard
+    high-cardinality categorical encoder for tabular/ranking models -
+    and the classic leakage bug factory: encoding a row with a mean
+    that includes the row's own target leaks the label. The fix is
+    K-fold: rows in fold f get the category mean computed over every
+    OTHER fold,
+
+        oof_ppm = 1e6 * (sum_cat - sum_cat_fold)
+                  div (n_cat - n_cat_fold)
+
+    falling back to the global prior when the category only occurs in
+    that fold. Everything exact integer ppm (target is an integer by
+    contract - a 0/1 label or cents).
+
+    Scale shape: one (cat, fold) partial agg; per-cat totals derive
+    from IT (statistic scale, never re-reading the corpus); the global
+    prior is a 1-row broadcast. Join keys are (cat) and constants -
+    no window, no corpus-sized join."""
+    b = df.select(F.col(cat_col).alias("cat"),
+                  F.col(fold_col).cast("long").alias("fold"),
+                  F.col(target_col).cast("long").alias("t"))
+    cf = b.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cf"),
+        F.sum("t").cast("long").alias("s_cf"))
+    c = cf.groupBy("cat").agg(F.sum("n_cf").alias("n_c"),
+                              F.sum("s_cf").alias("s_c"))
+    g = cf.agg(F.sum("n_cf").alias("n_g"), F.sum("s_cf").alias("s_g"))
+    out = cf.join(c, "cat").crossJoin(F.broadcast(g))
+    oof = F.when(
+        F.col("n_c") > F.col("n_cf"),
+        F.expr("(1000000 * (s_c - s_cf)) div (n_c - n_cf)")).otherwise(
+        F.expr("(1000000 * s_g) div n_g"))
+    return out.select("cat", "fold", "n_cf",
+                      oof.cast("long").alias("oof_mean_ppm"))

@@ -1420,3 +1420,55 @@ def mattr_diversity(df: DataFrame, id_col: str = "doc_id",
                     F.expr(f"(1000000 * sum_distinct) div "
                            f"((n_tokens - {w} + 1) * {w})")
                     .alias("mattr_ppm")))
+
+
+def skipgram_ppmi(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", window: int = 2,
+                  min_count: int = 5, k: int = 50) -> DataFrame:
+    """Top-``k`` (center, context) pairs by positive PMI over a
+    +-``window`` skip-gram context -> (w_center, w_context, c_xy,
+    ppmi): the word2vec/GloVe preprocessing matrix (Levy & Goldberg
+    2014 showed SGNS implicitly factorizes exactly this), one step
+    wider than ``pmi_collocations``' adjacent-bigram view.
+
+        ppmi = max(0, ln( c_xy * T / (c_center * c_context) ))
+
+    with marginals/total over the DIRECTED pair space (each
+    co-occurrence counts once per direction, the standard symmetric-
+    context convention) and c_xy >= min_count before any join.
+
+    Scale shape: contexts are generated by an EQUI-join - each token
+    at position p emits probe keys (doc, p+1..p+window), joined back
+    to the token table on (doc, pos); no inequality/range join, no
+    per-doc crossJoin. Counts partial-agg map-side; marginals derive
+    from the pair table (one more partial agg); total rides a 1-row
+    broadcast; final cut is a TakeOrdered on the 6dp-rounded score
+    (ties (w_center, w_context))."""
+    w = int(window)
+    toks = (df.select(F.col(id_col).alias("d"),
+                      _word_array(F.col(text_col)).alias("ws"))
+            .select("d", F.posexplode("ws").alias("p", "t")))
+    probes = toks.select(
+        "d", F.col("t").alias("a"),
+        F.explode(F.expr(f"sequence(p + 1, p + {w})")).alias("p"))
+    fwd = probes.join(toks, ["d", "p"]).select(F.col("a"),
+                                               F.col("t").alias("b"))
+    pairs = (fwd.select(F.col("a").alias("w_center"),
+                        F.col("b").alias("w_context"))
+             .unionByName(fwd.select(F.col("b").alias("w_center"),
+                                     F.col("a").alias("w_context"))))
+    cnt = (pairs.groupBy("w_center", "w_context")
+           .agg(F.count(F.lit(1)).alias("c_xy")))
+    left = cnt.groupBy("w_center").agg(F.sum("c_xy").alias("c_c"))
+    right = cnt.groupBy("w_context").agg(F.sum("c_xy").alias("c_x"))
+    tot = cnt.agg(F.sum("c_xy").alias("t_total"))
+    scored = (cnt.filter(F.col("c_xy") >= int(min_count))
+              .join(left, "w_center").join(right, "w_context")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("ppmi", F.round(F.greatest(F.lit(0.0), F.log(
+                  (F.col("c_xy") * F.col("t_total")).cast("double")
+                  / (F.col("c_c") * F.col("c_x")).cast("double"))), 6)))
+    return (scored.orderBy(F.col("ppmi").desc(), "w_center",
+                           "w_context").limit(int(k))
+            .select("w_center", "w_context",
+                    F.col("c_xy").cast("long").alias("c_xy"), "ppmi"))

@@ -130,3 +130,71 @@ def test_sobel_flat_image_is_zero_and_step_edge_counts(spark):
     # step: |gx| = 4*255 = 1020 on the two columns flanking the edge
     assert got[1].max_mag2 == 1020 * 1020
     assert got[1].n_edges == 12      # 6 interior rows x 2 columns
+
+
+# ---------------------------------------------------------------- coloring
+
+def test_priority_coloring_is_proper_and_matches_longest_path(spark):
+    import hashlib
+    edges = [(i, (i * 3 + 1) % 20) for i in range(20)] + \
+            [(i, (i * 7 + 2) % 20) for i in range(20)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats = {}
+    got = {r.node: r.color for r in
+           graph.priority_coloring(df, stats=stats).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # proper: no edge joins two same-colored nodes
+    for a, b in edges:
+        assert got[a] != got[b]
+    # equals the longest strictly priority-increasing path length
+    pri = {v: hashlib.md5(str(v).encode()).hexdigest() + str(v)
+           for v in adj}
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def longest(v):
+        ups = [u for u in adj[v] if pri[u] > pri[v]]
+        return 0 if not ups else 1 + max(longest(u) for u in ups)
+
+    for v in adj:
+        assert got[v] == longest(v), v
+    assert stats["rounds"] == max(got.values()) + 1
+
+
+# ------------------------------------------------------------ woe / target
+
+def test_woe_signs_and_target_encode_oof_excludes_own_fold(spark):
+    rows = [("a", 0, 1), ("a", 0, 1), ("a", 1, 0),
+            ("b", 0, 0), ("b", 1, 0), ("b", 1, 1)]
+    df = spark.createDataFrame(rows, "cat string, fold long, t long")
+    woe = {r.bin: r for r in quality.woe_iv(df, "cat", "t").collect()}
+    # 'a' is positive-heavy -> woe > 0; 'b' negative-heavy -> woe < 0
+    assert woe["a"].woe > 0 > woe["b"].woe
+    assert woe["a"].iv_term > 0 and woe["b"].iv_term > 0
+
+    oof = {(r.cat, r.fold): r.oof_mean_ppm for r in
+           quality.target_encode_oof(df, "cat", "fold", "t").collect()}
+    # cat a, fold 0: other-fold rows = [(a,1,0)] -> mean 0
+    assert oof[("a", 0)] == 0
+    # cat a, fold 1: other-fold rows = [(a,0,1), (a,0,1)] -> 1.0
+    assert oof[("a", 1)] == 1000000
+    # cat b fold 1 -> other fold = [(b,0,0)] -> 0
+    assert oof[("b", 1)] == 0
+
+
+# ---------------------------------------------------------------- skipgram
+
+def test_skipgram_window_counts(spark):
+    # "x y z" window 2: directed pairs (x,y),(x,z),(y,z) + reverses
+    df = spark.createDataFrame([(i, "x y z") for i in range(5)],
+                               "doc_id long, text string")
+    got = {(r.w_center, r.w_context): r.c_xy for r in
+           textstats.skipgram_ppmi(df, window=2, min_count=5,
+                                   k=50).collect()}
+    assert got[("x", "y")] == 5 and got[("y", "x")] == 5
+    assert got[("x", "z")] == 5 and got[("z", "y")] == 5
+    assert len(got) == 6
