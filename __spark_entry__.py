@@ -4213,12 +4213,17 @@ def _q_landmark_distances(spark, sf_dir):
 
 
 def _q_burrows_delta(spark, sf_dir):
-    """Burrows's Delta stylometric source distances (ops/textstats.py::
-    burrows_delta): top-30 function-word z-score L1 over the 20
-    sources - 190 pair rows, everything after one corpus partial agg
-    at statistic scale. The corpus-forensics sibling of spoof_hosts."""
-    return textstats.burrows_delta(_docs(spark, sf_dir), "source",
-                                   n_words=30)
+    """Burrows's Delta stylometric distances (ops/textstats.py::
+    burrows_delta) over a doc_id%20 stratum - 190 pair rows,
+    everything after one corpus partial agg at statistic scale. Keyed
+    on an id stratum, NOT source (the kendall_tau lesson): the sf1.0
+    corpus has per-doc-unique sources, which turns the source-pair
+    join into n_docs^2 - reproduced as a 20+GB shuffle-spill blowup
+    before this pin. The operator's contract is a statistic-scale
+    group column. The corpus-forensics sibling of spoof_hosts."""
+    d = _docs(spark, sf_dir).withColumn(
+        "src20", F.concat(F.lit("s"), (F.col("doc_id") % 20)))
+    return textstats.burrows_delta(d, "src20", n_words=30)
 
 
 def _q_llr_collocations(spark, sf_dir):
@@ -11521,7 +11526,8 @@ GROUP BY p.u, p.v
 
 
 _BURROWS_ORACLE = """
-WITH toks AS (SELECT source AS src, t.term FROM documents,
+WITH toks AS (SELECT 's' || CAST(doc_id % 20 AS VARCHAR) AS src, t.term
+  FROM documents,
   LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
                                                    '[^a-z0-9]+'),
                              w -> w <> '')) AS t(term)),

@@ -1271,7 +1271,13 @@ def burrows_delta(docs: DataFrame, group_col: str = "source",
     Scale shape: ONE corpus-sized partial agg to (source, term)
     counts; everything after (top-k, the sources x n_words grid via
     crossJoin of two broadcast-sized dims, z-scores, the source-pair
-    join) runs at statistic scale - #sources * n_words rows."""
+    join) runs at statistic scale - #sources * n_words rows.
+
+    CONTRACT: ``group_col`` must be statistic-scale (tens-hundreds of
+    groups). The pair join is O(#groups^2): on a corpus with
+    per-document-unique sources this goes n_docs^2 (reproduced as a
+    20+GB spill blowup at sf1.0 before the driver query was re-keyed
+    to a doc_id stratum - the kendall_tau lesson)."""
     toks = docs.select(
         F.col(group_col).alias("src"),
         F.explode(F.filter(
