@@ -4419,6 +4419,29 @@ def _q_link_coloring(spark, sf_dir):
     return graph.priority_coloring(e, nodes)
 
 
+def _q_fd_violations(spark, sf_dir):
+    """Functional-dependency audit (ops/maintenance.py::
+    fd_violations): g3 repair distance for three candidate FDs over
+    documents - one that holds exactly (doc_id -> source) and two
+    that don't. Per FD one (lhs, rhs) partial agg + statistic-scale
+    majority sums; exact integers."""
+    return maintenance.fd_violations(_docs(spark, sf_dir), [
+        ("doc_to_source", "doc_id", "source"),
+        ("len_to_lang", "n_chars", "lang"),
+        ("source_to_lang", "source", "lang")])
+
+
+def _q_matryoshka_eval(spark, sf_dir):
+    """Matryoshka truncation evaluation (ops/simsearch.py::
+    matryoshka_agreement): per prefix dim (8/16/32/64), does
+    brute-force cosine top-1 agree with the full vector? Cosine
+    6dp-rounded BEFORE argmax + id tie-break (ivfpq contract);
+    broadcast query side, one corpus stream per dim."""
+    return simsearch.matryoshka_agreement(_emb(spark, sf_dir),
+                                          dims=(8, 16, 32, 64),
+                                          n_queries=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4705,6 +4728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": _q_target_encode,
         "skipgram_ppmi": _q_skipgram_ppmi,
         "link_coloring": _q_link_coloring,
+        "fd_violations": _q_fd_violations,
+        "matryoshka_eval": _q_matryoshka_eval,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "html_links": _q_html_links,
         "tpch_part_margin": _q_tpch_part_margin,
@@ -11957,6 +11982,64 @@ SELECT node, CAST(max(r) AS BIGINT) AS color FROM reach GROUP BY node
 """
 
 
+def _fd_oracle(fds) -> str:
+    """Per-FD g3 blocks, unioned - each block reads only its two
+    columns, mirroring fd_violations' independent aggregations."""
+    blocks = []
+    for name, lhs, rhs in fds:
+        blocks.append(f"""
+SELECT '{name}' AS fd,
+  CAST(sum(nk) AS BIGINT) AS n_rows,
+  CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violating_keys,
+  CAST(sum(nk - maj) AS BIGINT) AS g3_rows
+FROM (SELECT k, sum(c) AS nk, max(c) AS maj, count(*) AS ndv
+      FROM (SELECT {lhs} AS k, {rhs} AS v, count(*) AS c
+            FROM documents GROUP BY 1, 2)
+      GROUP BY k)""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+def _matryoshka_oracle(dims=(8, 16, 32, 64), n_queries: int = 10) -> str:
+    """Per-dim brute-force cosine top-1 replay: 6dp-rounded score +
+    id tie-break (list_dot_product summation-order drift absorbed by
+    the rounding, the jl/ivfpq contract)."""
+    full = max(dims)
+    parts, units = [], []
+    for d in dims:
+        parts.append(f"""
+b{d} AS (SELECT vec_id AS cid,
+         list_transform(embedding[1:{d}], x -> CAST(x AS DOUBLE)) AS cv
+         FROM embeddings),
+q{d} AS (SELECT vec_id AS qid,
+         list_transform(embedding[1:{d}], x -> CAST(x AS DOUBLE)) AS qv
+         FROM embeddings WHERE vec_id < {n_queries}),
+s{d} AS (SELECT qid, cid,
+   round(CASE WHEN sqrt(list_dot_product(qv, qv))
+                   * sqrt(list_dot_product(cv, cv)) > 0
+         THEN list_dot_product(qv, cv)
+              / (sqrt(list_dot_product(qv, qv))
+                 * sqrt(list_dot_product(cv, cv)))
+         ELSE -1.0 END, 6) AS c6
+   FROM q{d}, b{d} WHERE qid <> cid),
+t{d} AS (SELECT CAST({d} AS BIGINT) AS dim, qid AS query_id,
+                cid AS top1_id,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY c6 DESC, cid) AS rn
+         FROM s{d})""")
+        units.append(f"SELECT dim, query_id, top1_id FROM t{d} "
+                     f"WHERE rn = 1")
+    u = "\nUNION ALL\n".join(units)
+    return ("WITH " + ",".join(parts) + f""",
+allt AS ({u}),
+ref AS (SELECT query_id, top1_id AS ref_id FROM allt
+        WHERE dim = {full})
+SELECT dim, a.query_id, a.top1_id, a.top1_id = ref.ref_id AS agree
+FROM allt a JOIN ref ON a.query_id = ref.query_id
+""")
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -12264,6 +12347,11 @@ FROM hashed
         "target_encode": _TARGET_ENCODE_ORACLE,
         "skipgram_ppmi": _SKIPGRAM_ORACLE,
         "link_coloring": _COLORING_ORACLE,
+        "fd_violations": _fd_oracle([
+            ("doc_to_source", "doc_id", "source"),
+            ("len_to_lang", "n_chars", "lang"),
+            ("source_to_lang", "source", "lang")]),
+        "matryoshka_eval": _matryoshka_oracle(),
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

@@ -648,3 +648,41 @@ def rendezvous_shards(df: DataFrame, key_col: str,
     return (counts.crossJoin(F.broadcast(tot))
             .select("shard", "n_keys",
                     F.expr("(1000000 * n_keys) div t").alias("pct_ppm")))
+
+
+def fd_violations(df: DataFrame, fds: list) -> DataFrame:
+    """Functional-dependency audit -> one row per candidate FD:
+    (fd, n_rows, n_keys, n_violating_keys, g3_rows). ``fds`` is a
+    list of (name, lhs_col, rhs_col): does lhs determine rhs?
+    The schema-inference / data-contract check run before declaring a
+    column derivable (and the dedup-safety check before collapsing on
+    a key): g3 (Kivinen & Mannila) = the minimum rows to delete for
+    the FD to hold exactly = n - sum over keys of the majority-value
+    count.
+
+    All exact integers: per FD one (lhs, rhs) partial agg, a
+    statistic-scale per-lhs max/sum, one output row. Candidates run as
+    a union of independent aggregations - no unpivot of the corpus,
+    each FD reads only its two columns (column pruning reaches the
+    scan)."""
+    outs = []
+    for name, lhs, rhs in fds:
+        pair = (df.groupBy(F.col(lhs).alias("k"),
+                           F.col(rhs).alias("v"))
+                .agg(F.count(F.lit(1)).alias("c")))
+        per_key = pair.groupBy("k").agg(
+            F.sum("c").alias("nk"),
+            F.max("c").alias("maj"),
+            F.count(F.lit(1)).alias("ndv"))
+        outs.append(per_key.agg(
+            F.lit(name).alias("fd"),
+            F.sum("nk").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("ndv") > 1, 1).otherwise(0))
+            .cast("long").alias("n_violating_keys"),
+            F.sum(F.col("nk") - F.col("maj")).cast("long")
+            .alias("g3_rows")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

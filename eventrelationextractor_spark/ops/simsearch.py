@@ -653,3 +653,56 @@ def maxsim_topk(docs: DataFrame, query_terms: list, k: int = 15,
     return (scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .select("rank", "doc_id", "score"))
+
+
+def matryoshka_agreement(emb: DataFrame, dims=(8, 16, 32, 64),
+                         n_queries: int = 10, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-truncation evaluation (Matryoshka representation
+    check, Kusupati et al. 2022) -> (dim, query_id, top1_id, agree):
+    for each prefix length, does brute-force cosine retrieval return
+    the SAME top-1 neighbor as the full vector? The decision table
+    behind storing truncated embeddings (4x-8x cheaper ANN index) - if
+    agreement holds at dim 16, the 64-dim index is wasted money.
+
+    Ranking determinism: cosine is 6dp-ROUNDED BEFORE the argmax with
+    an id tie-break (the ivfpq contract), so the verdict table is
+    engine-exact. Zero-norm prefixes (a vector whose first d entries
+    are all 0) pin to cosine -1.0 via the shared guard.
+
+    Scale shape: per dim, the query side (n_queries rows) is broadcast
+    against one corpus stream - same geometry as brute_force_topk, 4
+    passes (or one pass per dim of a sampled corpus at 100 TB; the
+    metric is a sample statistic by nature)."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    full = max(dims)
+    outs = []
+    for d in dims:
+        sl = F.slice(F.col("v"), 1, int(d))
+        base = (emb.select(F.col(id_col).alias("cid"), vec.alias("v"))
+                .select("cid", sl.alias("cv"))
+                .withColumn("cn", _norm(F.col("cv"))))
+        queries = (emb.filter(F.col(id_col) < n_queries)
+                   .select(F.col(id_col).alias("qid"), vec.alias("v"))
+                   .select("qid", sl.alias("qv"))
+                   .withColumn("qn", _norm(F.col("qv"))))
+        pairs = base.crossJoin(F.broadcast(queries)) \
+            .filter(F.col("qid") != F.col("cid"))
+        scored = _with_cosine(pairs).withColumn(
+            "c6", F.round("cosine", 6))
+        w = Window.partitionBy("qid").orderBy(F.col("c6").desc(),
+                                              F.col("cid"))
+        outs.append(scored.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .select(F.lit(int(d)).cast("long").alias("dim"),
+                            F.col("qid").alias("query_id"),
+                            F.col("cid").alias("top1_id")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    ref = (out.filter(F.col("dim") == full)
+           .select("query_id", F.col("top1_id").alias("ref_id")))
+    return (out.join(ref, "query_id")
+            .select("dim", "query_id", "top1_id",
+                    (F.col("top1_id") == F.col("ref_id"))
+                    .alias("agree")))

@@ -629,3 +629,52 @@ def test_maxsim_query_side_stays_scalar(spark):
     plan = _physical(entry.queries()["maxsim_search"](
         spark, "/root/testdata/sf0.001"))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_session10_new_shapes_no_nested_loops(spark):
+    """Round-4 session-10 shapes: skip-gram's probe-key equi-join (a
+    range join would BNLJ), symspell's delete-key equi-join, MATTR's
+    per-(doc,term) lag, the fd/encoding/brier aggregations and the
+    spearman rank windows must all stay keyed."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    for name in ["symspell_correct", "mattr_diversity",
+                 "fd_violations", "encoding_advisor", "spearman_rho",
+                 "lateness_profile", "equidepth_hist"]:
+        plan = _physical(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # these carry exactly ONE legitimate nested-loop join: the 1-row
+    # totals/prior broadcast (the ltr_features contract); every DATA
+    # join must stay keyed
+    for name in ["skipgram_ppmi", "llr_collocations", "target_encode",
+                 "rendezvous_shards", "woe_iv", "brier_bins"]:
+        plan = _physical(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") == 1, name
+
+
+def test_media_sobel_zero_shuffle(spark):
+    """Sobel is one mapInPandas over payloads: no Exchange anywhere."""
+    import __spark_entry__ as entry
+
+    plan = _physical(entry.queries()["media_sobel"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+
+
+def test_matryoshka_broadcasts_query_side_only(spark):
+    """Each per-dim pass streams the corpus once against a broadcast
+    n_queries-row side: every nested-loop join in the plan must be a
+    broadcast of that tiny side (one per dim), never a shuffle-side
+    cartesian."""
+    import __spark_entry__ as entry
+
+    plan = _physical(entry.queries()["matryoshka_eval"](
+        spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    # 4 per-dim query-side broadcasts (+1 planner artifact under AQE);
+    # the bound is what matters: no corpus-x-corpus loop join
+    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 5
