@@ -4442,6 +4442,35 @@ def _q_matryoshka_eval(spark, sf_dir):
                                           n_queries=10)
 
 
+def _q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap mean CI (ops/quality.py::poisson_bootstrap_ci)
+    over document lengths: the one-pass mergeable bootstrap (per-row
+    Poisson(1) weights from md5 u32 vs precomputed integer CDF
+    thresholds - both engines draw identical weights), 200 replicates,
+    fixed order statistics 5/100/196."""
+    return quality.poisson_bootstrap_ci(_docs(spark, sf_dir),
+                                        "doc_id", "n_chars",
+                                        n_boot=200, seed="bs")
+
+
+def _q_cuped_ab(spark, sf_dir):
+    """CUPED-adjusted A/B readout (ops/quality.py::cuped_ab): per-user
+    pre/post cent sums (even/odd event ids - correlated through user
+    activity, so theta bites), arm = user parity; pooled theta,
+    adjusted means and the two-sample z, all from one pass of exact
+    integer moments."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"))
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_id") % 2 == 0, F.col("cents"))
+              .otherwise(0)).cast("long").alias("x"),
+        F.sum(F.when(F.col("event_id") % 2 == 1, F.col("cents"))
+              .otherwise(0)).cast("long").alias("y"))
+    d = pu.select((F.col("user_id") % 2).alias("arm"), "y", "x")
+    return quality.cuped_ab(d, "arm", "y", "x")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4471,8 +4500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_bayes": _q_naive_bayes,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "dup_spans": _q_dup_spans,
-        "winnowing_pairs": _q_winnowing_pairs,
-        "semdedup_prune": _q_semdedup,
+        "boruvka_mst": _q_boruvka_mst,
+        "media_sobel": _q_media_sobel,
         "ann_ivfpq": _q_ann_ivfpq,
         "link_truss": _q_link_truss,
         "maxsim_search": _q_maxsim_search,
@@ -4722,14 +4751,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": _q_rendezvous_shards,
         "lateness_profile": _q_lateness_profile,
         "symspell_correct": _q_symspell_correct,
-        "boruvka_mst": _q_boruvka_mst,
-        "media_sobel": _q_media_sobel,
         "woe_iv": _q_woe_iv,
         "target_encode": _q_target_encode,
         "skipgram_ppmi": _q_skipgram_ppmi,
         "link_coloring": _q_link_coloring,
+        "winnowing_pairs": _q_winnowing_pairs,
+        "semdedup_prune": _q_semdedup,
         "fd_violations": _q_fd_violations,
         "matryoshka_eval": _q_matryoshka_eval,
+        "bootstrap_ci": _q_bootstrap_ci,
+        "cuped_ab": _q_cuped_ab,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "html_links": _q_html_links,
         "tpch_part_margin": _q_tpch_part_margin,
@@ -12040,6 +12071,89 @@ FROM allt a JOIN ref ON a.query_id = ref.query_id
 """)
 
 
+def _bootstrap_oracle(n_boot: int = 200, seed: str = "bs") -> str:
+    from eventrelationextractor_spark.ops.quality import POISSON1_THRESH
+    ladder = "CASE " + " ".join(
+        f"WHEN u32 < {t} THEN {k}"
+        for k, t in enumerate(POISSON1_THRESH)) + " ELSE 9 END"
+    b = int(n_boot)
+    k_lo = max(1, -(-25 * b // 1000))
+    k_hi = b - k_lo + 1
+    k_med = b // 2
+    return f"""
+WITH rep AS (SELECT doc_id AS rid, CAST(n_chars AS BIGINT) AS x, r.r
+             FROM documents,
+             LATERAL unnest(generate_series(0, {b - 1})) AS r(r)),
+u AS (SELECT rid, x, r,
+        CAST(('0x' || substr(md5('{seed}:' || CAST(rid AS VARCHAR)
+          || ':' || CAST(r AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+        AS u32
+      FROM rep),
+w AS (SELECT r, x, {ladder} AS w FROM u),
+means AS (SELECT r, CAST(sum(w * x) AS BIGINT) AS swx,
+                 CAST(sum(w) AS BIGINT) AS sw
+          FROM w GROUP BY r),
+m AS (SELECT (1000000 * swx) // sw AS m FROM means WHERE sw > 0),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rk FROM m),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            (1000000 * CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT))
+              // count(*) AS mean_ppm
+          FROM documents)
+SELECT n_rows, CAST({b} AS BIGINT) AS n_boot, mean_ppm,
+  (SELECT m FROM ranked WHERE rk = {k_lo}) AS lo_ppm,
+  (SELECT m FROM ranked WHERE rk = {k_med}) AS med_ppm,
+  (SELECT m FROM ranked WHERE rk = {k_hi}) AS hi_ppm
+FROM stats
+"""
+
+
+_CUPED_ORACLE = """
+WITH ev AS (SELECT user_id, event_id,
+   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+pu AS (SELECT user_id,
+   CAST(sum(CASE WHEN event_id % 2 = 0 THEN cents ELSE 0 END)
+        AS BIGINT) AS x,
+   CAST(sum(CASE WHEN event_id % 2 = 1 THEN cents ELSE 0 END)
+        AS BIGINT) AS y
+   FROM ev GROUP BY 1),
+b AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm, y, x
+      FROM pu),
+per AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx,
+          CAST(sum(y * y) AS BIGINT) AS syy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM b GROUP BY 1),
+g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+        CAST(sum(sy) AS BIGINT) AS gsy, CAST(sum(sx) AS BIGINT) AS gsx,
+        CAST(sum(syy) AS BIGINT) AS gsyy,
+        CAST(sum(sxx) AS BIGINT) AS gsxx,
+        CAST(sum(sxy) AS BIGINT) AS gsxy FROM per),
+j AS (SELECT per.*, g.gsx AS ggsx, g.gn AS ggn,
+        CASE WHEN gn * gsxx - gsx * gsx > 0 THEN
+          CAST(gn * gsxy - gsx * gsy AS DOUBLE)
+          / CAST(gn * gsxx - gsx * gsx AS DOUBLE) ELSE 0.0 END AS theta
+      FROM per, g),
+k AS (SELECT arm, n, theta,
+        CAST(sy AS DOUBLE) / n - theta * (CAST(sx AS DOUBLE) / n
+          - CAST(ggsx AS DOUBLE) / ggn) AS mean_adj,
+        (CAST(syy AS DOUBLE) - 2 * theta * sxy
+          + theta * theta * sxx) / n
+          - (CAST(sy AS DOUBLE) / n - theta * sx / n)
+          * (CAST(sy AS DOUBLE) / n - theta * sx / n) AS var_adj
+      FROM j),
+a AS (SELECT n AS n_a, mean_adj AS ma, var_adj AS va, theta
+      FROM k WHERE arm = 0),
+c AS (SELECT n AS n_b, mean_adj AS mb, var_adj AS vb
+      FROM k WHERE arm = 1)
+SELECT n_a, n_b, round(ma, 6) AS mean_a_adj, round(mb, 6) AS mean_b_adj,
+  round(theta, 6) AS theta, round(mb - ma, 6) AS delta,
+  round(CASE WHEN va / n_a + vb / n_b > 0 THEN
+          (mb - ma) / sqrt(va / n_a + vb / n_b) ELSE 0.0 END, 6) AS z
+FROM a, c
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -12352,6 +12466,8 @@ FROM hashed
             ("len_to_lang", "n_chars", "lang"),
             ("source_to_lang", "source", "lang")]),
         "matryoshka_eval": _matryoshka_oracle(),
+        "bootstrap_ci": _bootstrap_oracle(),
+        "cuped_ab": _CUPED_ORACLE,
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

@@ -1325,3 +1325,41 @@ def lateness_profile(events: DataFrame, key_col: str = "user_id",
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("late_us").cast("long").alias("sum_late_us"),
         F.max("late_us").cast("long").alias("max_late_us"))
+
+
+def streaming_lateness(events: DataFrame) -> DataFrame:
+    """ONLINE per-event lateness over a stream of (key, arr, ts_us)
+    rows - the stateful twin of :func:`lateness_profile`'s window, and
+    EXACTLY batch-equivalent (the running max is pure integer state,
+    so there is no moment drift): late_us = max event time seen so far
+    for the key minus this event's time. The live feed for a watermark
+    dashboard - the batch operator sizes the watermark offline, this
+    one tracks whether reality still fits it.
+
+    State per key is ONE integer (the running max). Same
+    arrival-ordered contract as the other NoTimeout operators (rows
+    arrive arr-ordered per key across triggers; within a batch the
+    group is sorted)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "key long, arr long, late_us long"
+    state_schema = "mx long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        (mx,) = state.get if state.exists else (None,)
+        out = {"arr": [], "late_us": []}
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("arr").iterrows():
+                arr, ts = int(row["arr"]), int(row["ts_us"])
+                mx = ts if mx is None else max(mx, ts)
+                out["arr"].append(arr)
+                out["late_us"].append(mx - ts)
+        state.update((mx,))
+        if out["arr"]:
+            yield pd.DataFrame({"key": key[0], "arr": out["arr"],
+                                "late_us": out["late_us"]})
+
+    return events.groupBy("key").applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)

@@ -976,3 +976,135 @@ def target_encode_oof(df: DataFrame, cat_col: str, fold_col: str,
         F.expr("(1000000 * s_g) div n_g"))
     return out.select("cat", "fold", "n_cf",
                       oof.cast("long").alias("oof_mean_ppm"))
+
+
+# Poisson(1) CDF thresholds scaled by 2^32 (exact integers, shared with
+# the SQL oracle): a 32-bit md5-uniform u draws k = first index with
+# u < THRESH[k], else 9. floor(CDF_k * 2^32) computed once offline.
+POISSON1_THRESH = (1580030168, 3160060337, 3950075421, 4213413783,
+                   4279248373, 4292415291, 4294609777, 4294923276,
+                   4294962463)
+
+
+def poisson_bootstrap_ci(df: DataFrame, id_col: str, value_col: str,
+                         n_boot: int = 200,
+                         seed: str = "bs") -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean -> ONE row
+    (n_rows, n_boot, mean_ppm, lo_ppm, med_ppm, hi_ppm). THE
+    distributed bootstrap (Chamandy et al., Google 2012): classic
+    resampling needs the whole dataset per replicate, but Binomial(n,
+    1/n) -> Poisson(1) as n grows, so every row independently draws a
+    per-replicate weight in ONE streaming pass - mergeable, no
+    coordination, the only bootstrap that works at 100 TB.
+
+    Determinism: the weight is a CASE ladder of exact-integer
+    comparisons - u32 = first 8 md5 hex digits of (seed:id:replicate)
+    vs precomputed floor(CDF*2^32) thresholds - so both engines draw
+    IDENTICAL weights. Replicate means are exact integer ppm; the CI
+    picks fixed order statistics (rank ceil(0.025B) / B/2 / B -
+    ceil(0.025B) + 1 of the sorted replicate means - rank 5/100/196
+    at B=200).
+
+    Scale shape: the explode is n_boot rows per input row, all
+    map-side, collapsed by ONE (replicate) partial agg to n_boot rows;
+    the order statistics are a window over n_boot rows. Value must be
+    an integer by contract (counts/cents/ppm)."""
+    b = int(n_boot)
+    ladder = "CASE "
+    for k, t in enumerate(POISSON1_THRESH):
+        ladder += f"WHEN u32 < {t} THEN {k} "
+    ladder += "ELSE 9 END"
+    rep = (df.select(F.col(id_col).alias("rid"),
+                     F.col(value_col).cast("long").alias("x"))
+           .select("rid", "x", F.explode(F.sequence(
+               F.lit(0), F.lit(b - 1))).alias("r"))
+           .withColumn("u32", F.conv(F.substring(F.md5(F.concat_ws(
+               ":", F.lit(seed), F.col("rid"), F.col("r"))), 1, 8),
+               16, 10).cast("long"))
+           .withColumn("w", F.expr(ladder)))
+    means = (rep.groupBy("r").agg(
+        F.sum(F.col("w") * F.col("x")).alias("swx"),
+        F.sum("w").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .select(F.expr("(1000000 * swx) div sw").alias("m")))
+    k_lo = max(1, -(-25 * b // 1000))            # ceil(0.025 * B)
+    k_hi = b - k_lo + 1
+    k_med = b // 2
+    w = Window.orderBy("m")
+    ranked = means.withColumn("rk", F.row_number().over(w))
+    pick = ranked.filter(F.col("rk").isin(k_lo, k_med, k_hi))
+    stats = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr(f"(1000000 * sum(cast({value_col} as bigint)))"
+               f" div count(*)").alias("mean_ppm"))
+    agg = pick.agg(
+        F.min(F.when(F.col("rk") == k_lo, F.col("m"))).cast("long")
+        .alias("lo_ppm"),
+        F.min(F.when(F.col("rk") == k_med, F.col("m"))).cast("long")
+        .alias("med_ppm"),
+        F.min(F.when(F.col("rk") == k_hi, F.col("m"))).cast("long")
+        .alias("hi_ppm"))
+    return (stats.crossJoin(F.broadcast(agg))
+            .select("n_rows", F.lit(b).cast("long").alias("n_boot"),
+                    "mean_ppm", "lo_ppm", "med_ppm", "hi_ppm"))
+
+
+def cuped_ab(df: DataFrame, arm_col: str, y_col: str,
+             x_col: str) -> DataFrame:
+    """CUPED-adjusted A/B readout (Deng et al. WSDM'13) -> ONE row
+    (n_a, n_b, mean_a_adj, mean_b_adj, theta, delta, z): variance
+    reduction using a pre-experiment covariate x,
+
+        y_adj = y - theta * (x - mean_x),  theta = cov(x, y) / var(x)
+
+    (theta POOLED over both arms - the standard unbiased choice), then
+    the two-sample z on the adjusted means. The experimentation
+    primitive behind every guardrail dashboard; at 100-TB event scale
+    the whole thing is one pass of integer moment sums.
+
+    Every aggregate is an exact integer (y/x are counts/cents by
+    contract); theta/means/z are one fixed expression DAG over those
+    integers, 6dp - engine-deterministic, merge-order-proof."""
+    b = df.select(
+        F.when(F.col(arm_col).cast("boolean"), 1).otherwise(0)
+        .alias("arm"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(x_col).cast("long").alias("x"))
+    per = b.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"))
+    g = per.agg(F.sum("n").alias("gn"), F.sum("sy").alias("gsy"),
+                F.sum("sx").alias("gsx"), F.sum("syy").alias("gsyy"),
+                F.sum("sxx").alias("gsxx"), F.sum("sxy").alias("gsxy"))
+    j = (per.crossJoin(F.broadcast(g))
+         .withColumn("theta", F.expr(
+             "CASE WHEN gn * gsxx - gsx * gsx > 0 THEN "
+             "CAST(gn * gsxy - gsx * gsy AS DOUBLE)"
+             " / CAST(gn * gsxx - gsx * gsx AS DOUBLE) ELSE 0.0 END"))
+         .withColumn("mean_adj", F.expr(
+             "CAST(sy AS DOUBLE) / n - theta *"
+             " (CAST(sx AS DOUBLE) / n - CAST(gsx AS DOUBLE) / gn)"))
+         .withColumn("var_adj", F.expr(
+             "(CAST(syy AS DOUBLE) - 2 * theta * sxy"
+             " + theta * theta * sxx) / n"
+             " - (CAST(sy AS DOUBLE) / n - theta * sx / n)"
+             " * (CAST(sy AS DOUBLE) / n - theta * sx / n)")))
+    a = j.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("mean_adj").alias("ma"),
+        F.col("var_adj").alias("va"), "theta")
+    c = j.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("mean_adj").alias("mb"),
+        F.col("var_adj").alias("vb"))
+    out = a.crossJoin(F.broadcast(c))
+    z = F.expr("CASE WHEN va / n_a + vb / n_b > 0 THEN "
+               "(mb - ma) / sqrt(va / n_a + vb / n_b) ELSE 0.0 END")
+    return out.select(
+        "n_a", "n_b", F.round("ma", 6).alias("mean_a_adj"),
+        F.round("mb", 6).alias("mean_b_adj"),
+        F.round("theta", 6).alias("theta"),
+        F.round(F.col("mb") - F.col("ma"), 6).alias("delta"),
+        F.round(z, 6).alias("z"))

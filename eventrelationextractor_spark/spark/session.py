@@ -23,6 +23,16 @@ def build_session(master: str | None = None, app_name: str = "erex-spark",
     builder = (SparkSession.builder
                .master(master)
                .appName(app_name)
+               # local mode shares ONE JVM heap across all executor
+               # threads; Spark's 1g default starves 32 concurrent task
+               # buffers on this 128 GiB box (reproduced: heavy dedup
+               # tiers OOM at sf0.1 and TaskResultLost at sf1.0 under
+               # 1g). Only effective if the JVM isn't already up -
+               # i.e. for fresh processes, which is how bench/tests/
+               # jobs run. A cluster deployment sizes executors
+               # explicitly and overrides via SPARK_GRAFT_DRIVER_MEM.
+               .config("spark.driver.memory",
+                       os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
                .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
                .config("spark.sql.session.timeZone", "UTC")
                .config("spark.sql.adaptive.enabled", "true")

@@ -7,7 +7,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from eventrelationextractor_spark.ops import (  # noqa: E402
-    codecs, graph, multimodal, quality, spell, textstats,
+    codecs, graph, maintenance, multimodal, quality, spell, textstats,
 )
 
 
@@ -198,3 +198,99 @@ def test_skipgram_window_counts(spark):
     assert got[("x", "y")] == 5 and got[("y", "x")] == 5
     assert got[("x", "z")] == 5 and got[("z", "y")] == 5
     assert len(got) == 6
+
+
+# ---------------------------------------------------------------- bootstrap
+
+def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    import hashlib
+    rows = [(i, 100 + (i * 37) % 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    r1 = quality.poisson_bootstrap_ci(df, "doc_id", "n_chars",
+                                      n_boot=40, seed="t").collect()[0]
+    r2 = quality.poisson_bootstrap_ci(df, "doc_id", "n_chars",
+                                      n_boot=40, seed="t").collect()[0]
+    assert r1 == r2                        # fully deterministic
+    assert r1.lo_ppm <= r1.mean_ppm <= r1.hi_ppm
+    assert r1.lo_ppm < r1.hi_ppm           # non-degenerate interval
+    # weight ladder draws the documented Poisson(1) weight
+    u = int(hashlib.md5(b"t:0:0").hexdigest()[:8], 16)
+    w_expected = next((k for k, t in enumerate(quality.POISSON1_THRESH)
+                       if u < t), 9)
+    assert 0 <= w_expected <= 9            # ladder covers the draw
+
+
+# ---------------------------------------------------------------- cuped
+
+def test_cuped_reduces_to_plain_diff_when_theta_zero_and_adjusts(spark):
+    # x constant -> var(x)=0 -> theta=0 -> adjusted means = raw means
+    rows = [(0, 10, 5), (0, 12, 5), (1, 20, 5), (1, 22, 5)]
+    df = spark.createDataFrame(rows, "arm long, y long, x long")
+    r = quality.cuped_ab(df, "arm", "y", "x").collect()[0]
+    assert r.theta == 0.0
+    assert r.mean_a_adj == 11.0 and r.mean_b_adj == 21.0
+    assert r.delta == 10.0
+    # y perfectly explained by x -> adjusted delta collapses to ~0
+    rows2 = ([(0, i * 2, i) for i in range(1, 9)]
+             + [(1, i * 2, i) for i in range(5, 13)])
+    df2 = spark.createDataFrame(rows2, "arm long, y long, x long")
+    r2 = quality.cuped_ab(df2, "arm", "y", "x").collect()[0]
+    assert r2.theta == 2.0
+    assert abs(r2.delta) < 1e-9
+
+
+# ---------------------------------------------------------------- fd
+
+def test_fd_g3_counts(spark):
+    rows = [(1, "a"), (1, "a"), (1, "b"),    # key 1: majority a, g3 = 1
+            (2, "c"), (2, "c"),              # key 2: holds
+            (3, "d")]                        # key 3: holds
+    df = spark.createDataFrame(rows, "k long, v string")
+    r = maintenance.fd_violations(df, [("kv", "k", "v")]).collect()[0]
+    assert r.n_rows == 6 and r.n_keys == 3
+    assert r.n_violating_keys == 1 and r.g3_rows == 1
+
+
+# ------------------------------------------------------ streaming lateness
+
+def test_streaming_lateness_matches_batch_across_triggers(spark, tmp_path):
+    """streaming_lateness == the batch running-max window even when one
+    key's series is split across two triggers (state carries the max)."""
+    import os
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eventrelationextractor_spark.ops import events as ev
+
+    b1 = [(7, 0, 1000), (7, 1, 5000), (8, 0, 9000)]
+    b2 = [(7, 2, 3000),   # late vs the max carried from trigger 1
+          (8, 1, 2000), (7, 3, 6000)]
+    schema = "key long, arr long, ts_us long"
+    batch = spark.createDataFrame(b1 + b2, schema)
+    w = (Window.partitionBy("key").orderBy("arr")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {(r.key, r.arr, r.late)
+            for r in batch.select("key", "arr",
+                                  (F.max("ts_us").over(w)
+                                   - F.col("ts_us")).alias("late"))
+            .collect()}
+    assert (7, 2, 2000) in want          # the genuinely late row
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    for i, part in enumerate((b1, b2)):
+        spark.createDataFrame(part, schema).coalesce(1) \
+            .write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1") \
+        .option("latestFirst", "false").parquet(src + "/*")
+    q = (ev.streaming_lateness(stream)
+         .writeStream.format("memory").queryName("late_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.key, r.arr, r.late_us)
+           for r in spark.sql("select * from late_out").collect()}
+    assert got == want
