@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from eventrelationextractor_spark import fixtures as fx  # noqa: E402
 from eventrelationextractor_spark.ops import bm25, cluster, packing, pq  # noqa: E402
 from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
-from eventrelationextractor_spark.ops import bloom, bpe, graph, linededup  # noqa: E402
+from eventrelationextractor_spark.ops import bloom, bpe, graph, iforest, linededup  # noqa: E402
 from eventrelationextractor_spark.ops import htmltext, mixing, pii  # noqa: E402
 from eventrelationextractor_spark.ops import maintenance, mining, quality  # noqa: E402
 from eventrelationextractor_spark.ops import linkage  # noqa: E402
@@ -4471,6 +4471,41 @@ def _q_cuped_ab(spark, sf_dir):
     return quality.cuped_ab(d, "arm", "y", "x")
 
 
+def _q_texttiling(spark, sf_dir):
+    """TextTiling topic segmentation (ops/textstats.py::
+    texttile_boundaries): vocabulary-shift chunking for RAG - block
+    cosine valleys in exact integer micro-cosines, depth from +-2
+    neighbouring gaps, top-2 deepest gaps per doc as boundaries. All
+    windows run at gap cardinality (doc_len/block), never over
+    tokens."""
+    return textstats.texttile_boundaries(_docs(spark, sf_dir),
+                                         block=10, depth_window=2,
+                                         n_boundaries=2)
+
+
+_IF_SPIKES = [(9000001, 99999, 999999, 5), (9000002, 1, 1, 96),
+              (9000003, 50000, 3, 50)]
+
+
+def _q_isolation_forest(spark, sf_dir):
+    """Level-synchronous isolation forest (ops/iforest.py::
+    isolation_scores) over (n_chars, byte length, id-noise) with three
+    planted extreme rows: 8 md5-seeded trees built depth-by-depth (one
+    partial-agg groupBy per level for ALL nodes of ALL trees), top-20
+    earliest-isolating points. The oracle replays every level as
+    chained CTEs - the forest is a pure function of data + seed."""
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("f0"),
+        F.length("text").cast("long").alias("f1"),
+        (F.col("doc_id") % 97).cast("long").alias("f2"))
+    spikes = spark.createDataFrame(
+        _IF_SPIKES, "doc_id long, f0 long, f1 long, f2 long")
+    return iforest.isolation_scores(base.unionByName(spikes),
+                                    "doc_id", ["f0", "f1", "f2"],
+                                    n_trees=8, max_depth=6, seed="if",
+                                    k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4761,6 +4796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_eval": _q_matryoshka_eval,
         "bootstrap_ci": _q_bootstrap_ci,
         "cuped_ab": _q_cuped_ab,
+        "texttiling": _q_texttiling,
+        "isolation_forest": _q_isolation_forest,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "html_links": _q_html_links,
         "tpch_part_margin": _q_tpch_part_margin,
@@ -12154,6 +12191,112 @@ FROM a, c
 """
 
 
+_TEXTTILE_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id,
+          list_filter(string_split(t, ' '), w -> w <> '') AS ws
+          FROM norm),
+toks AS (SELECT doc_id AS d, CAST((i - 1) // 10 AS BIGINT) AS b,
+                ws[CAST(i AS BIGINT)] AS t
+         FROM words, LATERAL unnest(generate_series(1, len(ws)))
+           AS r(i)),
+ct AS (SELECT d, b, t, CAST(count(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2, 3),
+norms AS (SELECT d, b, CAST(sum(c * c) AS BIGINT) AS n2
+          FROM ct GROUP BY 1, 2),
+nblocks AS (SELECT d, CAST(count(*) AS BIGINT) AS n_blocks
+            FROM norms GROUP BY 1),
+dots AS (SELECT l.d, l.b, CAST(sum(l.c * r.c) AS BIGINT) AS dot
+         FROM ct l JOIN ct r
+           ON l.d = r.d AND l.t = r.t AND r.b = l.b + 1
+         GROUP BY 1, 2),
+gaps AS (SELECT n.d, n.b AS gap,
+    CAST(floor(CAST(coalesce(dot, 0) AS DOUBLE) * 1000000.0
+         / sqrt(CAST(n.n2 AS DOUBLE) * CAST(r2.n2 AS DOUBLE)) + 0.5)
+      AS BIGINT) AS ucos
+  FROM norms n JOIN norms r2 ON n.d = r2.d AND r2.b = n.b + 1
+  LEFT JOIN dots ON dots.d = n.d AND dots.b = n.b),
+dep AS (SELECT d, gap, ucos,
+   CAST(greatest(coalesce(max(ucos) OVER (PARTITION BY d ORDER BY gap
+          ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), ucos) - ucos, 0)
+      + greatest(coalesce(max(ucos) OVER (PARTITION BY d ORDER BY gap
+          ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING), ucos) - ucos, 0)
+     AS BIGINT) AS depth_u
+  FROM gaps),
+rk AS (SELECT *, row_number() OVER (PARTITION BY d
+         ORDER BY depth_u DESC, gap) AS rn FROM dep)
+SELECT rk.d AS doc_id, gap, n_blocks, ucos, depth_u,
+  (rn <= 2 AND depth_u > 0) AS is_boundary
+FROM rk JOIN nblocks ON nblocks.d = rk.d
+"""
+
+
+def _iforest_oracle(n_trees: int = 8, max_depth: int = 6,
+                    seed: str = "if", k: int = 20) -> str:
+    """Replays isolation_scores level by level as chained CTEs: per
+    level one (tree, node) min/max agg, md5-derived feature/threshold,
+    frozen nodes drain into dn{L}, survivors re-assign to child
+    nodes."""
+    def u32(purpose):
+        return (f"('0x' || substr(md5('{seed}:' || CAST(tree AS "
+                f"VARCHAR) || ':' || CAST(node AS VARCHAR) || "
+                f"':{purpose}'), 1, 8))::UBIGINT")
+
+    spikes = ", ".join(f"({d}, {a}, {b}, {c})"
+                       for d, a, b, c in _IF_SPIKES)
+    parts = [f"""
+WITH pts AS (
+  SELECT doc_id AS pid, CAST(n_chars AS BIGINT) AS x0,
+         CAST(length(text) AS BIGINT) AS x1,
+         CAST(doc_id % 97 AS BIGINT) AS x2 FROM documents
+  UNION ALL
+  SELECT CAST(pid AS BIGINT), CAST(x0 AS BIGINT), CAST(x1 AS BIGINT),
+         CAST(x2 AS BIGINT)
+  FROM (VALUES {spikes}) v(pid, x0, x1, x2)),
+a0 AS (SELECT pid, x0, x1, x2, t.tree, CAST(1 AS BIGINT) AS node
+       FROM pts, LATERAL unnest(generate_series(0, {n_trees - 1}))
+         AS t(tree))"""]
+    for lv in range(max_depth):
+        parts.append(f""",
+b{lv} AS (SELECT tree, node, CAST(count(*) AS BIGINT) AS cnt,
+    CAST(min(x0) AS BIGINT) AS mn0, CAST(max(x0) AS BIGINT) AS mx0,
+    CAST(min(x1) AS BIGINT) AS mn1, CAST(max(x1) AS BIGINT) AS mx1,
+    CAST(min(x2) AS BIGINT) AS mn2, CAST(max(x2) AS BIGINT) AS mx2
+  FROM a{lv} GROUP BY 1, 2),
+c{lv} AS (SELECT tree, node, cnt,
+    CAST({u32('f')} % 3 AS BIGINT) AS fi,
+    CAST({u32('t')} AS DOUBLE) / 4294967296.0 AS u,
+    mn0, mx0, mn1, mx1, mn2, mx2 FROM b{lv}),
+d{lv} AS (SELECT tree, node, cnt, fi, u,
+    CASE fi WHEN 1 THEN mn1 WHEN 2 THEN mn2 ELSE mn0 END AS mn,
+    CASE fi WHEN 1 THEN mx1 WHEN 2 THEN mx2 ELSE mx0 END AS mx
+  FROM c{lv}),
+e{lv} AS (SELECT tree, node, fi, mn + (mx - mn) * u AS thr,
+    (cnt <= 1 OR mn = mx) AS frozen FROM d{lv}),
+dn{lv} AS (SELECT a.pid, a.tree, CAST({lv} AS BIGINT) AS depth
+  FROM a{lv} a JOIN e{lv} e USING (tree, node) WHERE e.frozen),
+a{lv + 1} AS (SELECT a.pid, a.x0, a.x1, a.x2, a.tree,
+    a.node * 2 + CASE WHEN (CASE e.fi WHEN 1 THEN a.x1
+                            WHEN 2 THEN a.x2 ELSE a.x0 END) >= e.thr
+                 THEN 1 ELSE 0 END AS node
+  FROM a{lv} a JOIN e{lv} e USING (tree, node) WHERE NOT e.frozen)""")
+    dns = " UNION ALL ".join(
+        [f"SELECT * FROM dn{lv}" for lv in range(max_depth)]
+        + [f"SELECT pid, tree, CAST({max_depth} AS BIGINT) "
+           f"FROM a{max_depth}"])
+    parts.append(f""",
+alldone AS ({dns}),
+scores AS (SELECT pid, CAST(sum(depth) AS BIGINT) AS sum_depth
+           FROM alldone GROUP BY 1),
+ranked AS (SELECT pid AS doc_id, sum_depth,
+             CAST(row_number() OVER (ORDER BY sum_depth, pid)
+                  AS BIGINT) AS rank
+           FROM scores)
+SELECT doc_id, sum_depth, rank FROM ranked WHERE rank <= {k}
+""")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -12468,6 +12611,8 @@ FROM hashed
         "matryoshka_eval": _matryoshka_oracle(),
         "bootstrap_ci": _bootstrap_oracle(),
         "cuped_ab": _CUPED_ORACLE,
+        "texttiling": _TEXTTILE_ORACLE,
+        "isolation_forest": _iforest_oracle(),
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

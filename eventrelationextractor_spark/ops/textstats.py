@@ -1478,3 +1478,76 @@ def skipgram_ppmi(df: DataFrame, id_col: str = "doc_id",
                            "w_context").limit(int(k))
             .select("w_center", "w_context",
                     F.col("c_xy").cast("long").alias("c_xy"), "ppmi"))
+
+
+def texttile_boundaries(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", block: int = 10,
+                        depth_window: int = 2,
+                        n_boundaries: int = 2) -> DataFrame:
+    """TextTiling topic segmentation (Hearst 1997, the windowed-cosine
+    variant) -> one row per inter-block gap: (doc_id, gap, n_blocks,
+    ucos, depth_u, is_boundary). The structure-aware chunker for RAG /
+    training-window splitting: ``doc_chunking`` cuts at fixed offsets,
+    this cuts where the VOCABULARY shifts - gaps whose block-to-block
+    cosine sits in a valley relative to the neighbouring
+    ``depth_window`` gaps.
+
+        ucos_g  = floor(1e6 * cosine(counts(block g), counts(g+1)) + .5)
+        depth_g = (max ucos over the w gaps left) - ucos_g
+                + (max ucos over the w gaps right) - ucos_g   (floor 0)
+
+    boundaries = the ``n_boundaries`` deepest gaps per doc (depth desc,
+    gap asc - fixed ranks, no corpus moments, so the cut is
+    deterministic and engine-exact: ucos is an exact integer via the
+    floor(x+0.5) convention and depth is pure integer arithmetic on
+    it).
+
+    Scale shape: one (doc, block, term) partial agg; the gap dot
+    product is a keyed self-join on (doc, term, block+1); norms one
+    more partial agg; the depth/rank windows run per doc over
+    GAP-cardinality rows (doc_len/block - statistic scale). No
+    all-pairs, no global sort."""
+    k, w, nb = int(block), int(depth_window), int(n_boundaries)
+    toks = (df.select(F.col(id_col).alias("d"),
+                      _word_array(F.col(text_col)).alias("ws"))
+            .select("d", F.posexplode("ws").alias("p", "t"))
+            .select("d", F.expr(f"p div {k}").alias("b"), "t"))
+    ct = toks.groupBy("d", "b", "t").agg(F.count(F.lit(1)).alias("c"))
+    norms = ct.groupBy("d", "b").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2"))
+    nb_blocks = norms.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"))
+    right = ct.select("d", (F.col("b") - 1).alias("b"),
+                      F.col("t"), F.col("c").alias("c2"))
+    dots = (ct.join(right, ["d", "b", "t"])
+            .groupBy("d", "b").agg(F.sum(F.col("c") * F.col("c2"))
+                                   .alias("dot")))
+    n2r = norms.select("d", (F.col("b") - 1).alias("b"),
+                       F.col("n2").alias("n2r"))
+    gaps = (norms.join(n2r, ["d", "b"])
+            .join(dots, ["d", "b"], "left")
+            .select("d", F.col("b").alias("gap"),
+                    F.floor(F.coalesce(F.col("dot"), F.lit(0))
+                            .cast("double") * 1000000.0
+                            / F.sqrt(F.col("n2").cast("double")
+                                     * F.col("n2r").cast("double"))
+                            + 0.5).cast("long").alias("ucos")))
+    wl = (Window.partitionBy("d").orderBy("gap")
+          .rowsBetween(-w, -1))
+    wr = (Window.partitionBy("d").orderBy("gap")
+          .rowsBetween(1, w))
+    depth = (F.greatest(F.coalesce(F.max("ucos").over(wl),
+                                   F.col("ucos")) - F.col("ucos"),
+                        F.lit(0))
+             + F.greatest(F.coalesce(F.max("ucos").over(wr),
+                                     F.col("ucos")) - F.col("ucos"),
+                          F.lit(0)))
+    scored = gaps.withColumn("depth_u", depth.cast("long"))
+    rk = Window.partitionBy("d").orderBy(F.col("depth_u").desc(),
+                                         F.col("gap"))
+    return (scored.withColumn("rn", F.row_number().over(rk))
+            .join(nb_blocks, "d")
+            .select(F.col("d").alias(id_col), "gap", "n_blocks",
+                    "ucos", "depth_u",
+                    ((F.col("rn") <= nb) & (F.col("depth_u") > 0))
+                    .alias("is_boundary")))

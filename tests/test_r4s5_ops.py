@@ -294,3 +294,39 @@ def test_streaming_lateness_matches_batch_across_triggers(spark, tmp_path):
     got = {(r.key, r.arr, r.late_us)
            for r in spark.sql("select * from late_out").collect()}
     assert got == want
+
+
+# --------------------------------------------------------------- texttiling
+
+def test_texttiling_finds_vocabulary_shift(spark):
+    # 30 tokens of topic A, then 30 of topic B -> with block=10 the
+    # deepest valley must be the gap between blocks 2 and 3
+    a = " ".join(["alpha beta gamma delta epsilon"] * 6)
+    b = " ".join(["omega psi chi phi upsilon"] * 6)
+    df = spark.createDataFrame([(0, a + " " + b)],
+                               "doc_id long, text string")
+    rows = {r.gap: r for r in textstats.texttile_boundaries(
+        df, block=10, depth_window=2, n_boundaries=1).collect()}
+    assert rows[2].is_boundary          # the topic shift gap
+    assert rows[2].ucos == 0            # disjoint vocabularies
+    assert all(not r.is_boundary for g, r in rows.items() if g != 2)
+    assert rows[0].ucos == 1000000      # identical blocks inside A
+
+
+# ------------------------------------------------------------------ iforest
+
+def test_isolation_forest_isolates_planted_extreme(spark):
+    from eventrelationextractor_spark.ops import iforest
+    pts = [(i, 100 + (i * 17) % 25, 200 + (i * 31) % 40)
+           for i in range(200)] + [(999, 100000, 1)]
+    df = spark.createDataFrame(pts, "doc_id long, f0 long, f1 long")
+    got = iforest.isolation_scores(df, "doc_id", ["f0", "f1"],
+                                   n_trees=6, max_depth=6,
+                                   seed="t", k=5).collect()
+    byrank = {r.rank: r for r in got}
+    assert byrank[1].doc_id == 999      # the extreme point isolates first
+    # deterministic across invocations
+    again = iforest.isolation_scores(df, "doc_id", ["f0", "f1"],
+                                     n_trees=6, max_depth=6,
+                                     seed="t", k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
