@@ -4506,6 +4506,45 @@ def _q_isolation_forest(spark, sf_dir):
                                     k=20)
 
 
+def _q_temporal_reach(spark, sf_dir):
+    """Time-respecting earliest-arrival reachability (ops/graph.py::
+    temporal_reachability) over the link graph with deterministic edge
+    times (31src+17dst mod 100), seeds = node%50==0 at t=0: paths must
+    move forward in time. Bounded 8-hop label-correcting relaxation -
+    one keyed frontier join + min-merge per round."""
+    e, nodes = _link_edges(spark, sf_dir)
+    te = e.withColumn(
+        "t", ((F.col("src") * 31 + F.col("dst") * 17) % 100))
+    seeds = nodes.filter(F.col("node") % 50 == 0)
+    return graph.temporal_reachability(te, seeds, max_hops=8)
+
+
+def _q_impute_median(spark, sf_dir):
+    """Group-median NULL imputation (ops/maintenance.py::
+    impute_group_median): doc_id%13 rows nulled, repaired by per-lang
+    exact lower median with a global-median fallback - windows over
+    the (group, value)-collapsed grain only."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("n_chars")).cast("long").alias("val"))
+    return maintenance.impute_group_median(d, "lang", "val")
+
+
+def _q_fd_repair(spark, sf_dir):
+    """Majority-vote near-FD repair (ops/maintenance.py::fd_repair):
+    tag = pure function of doc_id%50 except a doc_id%53 corruption
+    stripe; repair rewrites each key's minority values to the
+    majority (count desc, value asc - as a partial-aggregable
+    min-struct, no window)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 50).alias("k0"),
+        F.when(F.col("doc_id") % 53 == 0, F.lit("zz"))
+        .otherwise(F.concat(F.lit("v"), ((F.col("doc_id") % 50) % 7)
+                            .cast("string"))).alias("tag"))
+    return maintenance.fd_repair(d, "k0", "tag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4798,6 +4837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_ab": _q_cuped_ab,
         "texttiling": _q_texttiling,
         "isolation_forest": _q_isolation_forest,
+        "temporal_reach": _q_temporal_reach,
+        "impute_median": _q_impute_median,
+        "fd_repair": _q_fd_repair,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "html_links": _q_html_links,
         "tpch_part_margin": _q_tpch_part_margin,
@@ -12297,6 +12339,69 @@ SELECT doc_id, sum_depth, rank FROM ranked WHERE rank <= {k}
     return "".join(parts)
 
 
+def _temporal_reach_oracle(max_hops: int = 8) -> str:
+    parts = ["""
+WITH nodes AS (SELECT doc_id AS node FROM documents),
+e AS (SELECT src, dst, (src * 31 + dst * 17) % 100 AS t FROM (
+  SELECT doc_id AS src,
+         (doc_id*7+1) % (SELECT count(*) FROM documents) AS dst
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 17 <> 0)),
+r0 AS (SELECT node, CAST(0 AS BIGINT) AS earliest FROM nodes
+       WHERE node % 50 = 0)"""]
+    for i in range(max_hops):
+        parts.append(f""",
+r{i + 1} AS (SELECT node, CAST(min(earliest) AS BIGINT) AS earliest
+  FROM (SELECT node, earliest FROM r{i}
+        UNION ALL
+        SELECT e.dst, CAST(e.t AS BIGINT) FROM r{i} f JOIN e
+          ON e.src = f.node AND e.t >= f.earliest)
+  GROUP BY node)""")
+    parts.append(f"\nSELECT node, earliest FROM r{max_hops}\n")
+    return "".join(parts)
+
+
+_IMPUTE_ORACLE = """
+WITH d AS (SELECT doc_id, lang,
+    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END AS val
+  FROM documents),
+vals AS (SELECT lang, val AS v, count(*) AS c FROM d
+         WHERE val IS NOT NULL GROUP BY 1, 2),
+med AS (SELECT lang, CAST(min(v) AS BIGINT) AS grp_median FROM (
+    SELECT lang, v,
+      sum(c) OVER (PARTITION BY lang ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+      sum(c) OVER (PARTITION BY lang) AS n
+    FROM vals) WHERE 2 * cum >= n GROUP BY 1),
+g AS (SELECT CAST(min(v) AS BIGINT) AS global_median FROM (
+    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER () AS n
+    FROM (SELECT val AS v, count(*) AS c FROM d
+          WHERE val IS NOT NULL GROUP BY 1)) WHERE 2 * cum >= n)
+SELECT doc_id, lang, CAST(val AS BIGINT) AS value,
+  CAST(coalesce(val, grp_median, global_median) AS BIGINT) AS imputed,
+  val IS NULL AS was_imputed
+FROM d LEFT JOIN med USING (lang), g
+"""
+
+_FD_REPAIR_ORACLE = """
+WITH d AS (SELECT doc_id, doc_id % 50 AS k0,
+    CASE WHEN doc_id % 53 = 0 THEN 'zz'
+         ELSE 'v' || CAST((doc_id % 50) % 7 AS VARCHAR) END AS tag
+  FROM documents),
+pair AS (SELECT k0, tag AS v, count(*) AS c FROM d GROUP BY 1, 2),
+best AS (SELECT k0, v AS majority FROM (
+    SELECT k0, v, row_number() OVER (PARTITION BY k0
+      ORDER BY c DESC, v) AS rn FROM pair) WHERE rn = 1)
+SELECT doc_id, CAST(k0 AS BIGINT) AS lhs, tag AS rhs,
+  majority AS rhs_repaired,
+  tag IS DISTINCT FROM majority AS was_repaired
+FROM d JOIN best USING (k0)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -12613,6 +12718,9 @@ FROM hashed
         "cuped_ab": _CUPED_ORACLE,
         "texttiling": _TEXTTILE_ORACLE,
         "isolation_forest": _iforest_oracle(),
+        "temporal_reach": _temporal_reach_oracle(),
+        "impute_median": _IMPUTE_ORACLE,
+        "fd_repair": _FD_REPAIR_ORACLE,
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

@@ -1466,3 +1466,41 @@ def priority_coloring(edges: DataFrame, nodes: DataFrame | None = None,
     if stats is not None:
         stats["rounds"] = rounds + 1
     return colored
+
+
+def temporal_reachability(edges: DataFrame, seeds: DataFrame,
+                          max_hops: int = 8,
+                          src: str = "src", dst: str = "dst",
+                          t_col: str = "t") -> DataFrame:
+    """Time-respecting earliest-arrival reachability (Holme & Saramaki
+    temporal networks) -> (node, earliest): from the seed set at time
+    0, a node is reached at time t only via an edge whose timestamp is
+    >= the arrival time at its tail - paths must move FORWARD in time,
+    which is what makes temporal reachability different from (and
+    much smaller than) static reachability. The infection/influence/
+    provenance primitive: "what could this compromised host have
+    touched, respecting when links were live?".
+
+    Bounded-hop label-correcting relaxation (the link_seed_distances
+    contract): per round ONE keyed join of the arrival frontier
+    against the edge table (tail key) with the time guard
+    t_edge >= arrival, then a partial-agged min-merge. ``max_hops``
+    bounds rounds; earliest-arrival relaxations monotonically
+    decrease, so re-expansion is bounded by distinct edge times per
+    node. Arrival times are exact integers."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                     F.col(t_col).cast("long").alias("te")) \
+        .localCheckpoint()
+    arrival = (seeds.select(F.col("node"),
+                            F.lit(0).cast("long").alias("earliest"))
+               .distinct().localCheckpoint())
+    for _ in range(int(max_hops)):
+        hops = (arrival.join(e, arrival.node == e.u)
+                .filter(F.col("te") >= F.col("earliest"))
+                .select(F.col("v").alias("node"),
+                        F.col("te").alias("earliest")))
+        arrival = (arrival.unionByName(hops)
+                   .groupBy("node")
+                   .agg(F.min("earliest").alias("earliest"))
+                   .localCheckpoint(eager=False))
+    return arrival

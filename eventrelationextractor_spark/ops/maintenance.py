@@ -686,3 +686,80 @@ def fd_violations(df: DataFrame, fds: list) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def impute_group_median(df: DataFrame, group_col: str, value_col: str,
+                        id_col: str = "doc_id") -> DataFrame:
+    """NULL imputation by exact per-group lower median, global-median
+    fallback -> input keys + (value, imputed, was_imputed): the
+    data-repair step between profiling (``table_profile`` finds the
+    nulls) and modeling (which can't eat them). Median, not mean - a
+    whale in the group would drag every imputed row with it (the
+    weighted_median rationale applied to repair).
+
+    Lower median = smallest v with 2*cum_count(v) >= n over NON-NULL
+    values, computed per group on the (group, value)-collapsed grain
+    (windows touch distinct values only, never corpus rows) - exact
+    integers, engine-deterministic. Groups that are all-NULL fall back
+    to the global lower median (one broadcast row)."""
+    vals = (df.filter(F.col(value_col).isNotNull())
+            .groupBy(group_col, F.col(value_col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    wcum = (Window.partitionBy(group_col).orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = Window.partitionBy(group_col)
+    med = (vals.withColumn("cum", F.sum("c").over(wcum))
+           .withColumn("n", F.sum("c").over(wn))
+           .filter(2 * F.col("cum") >= F.col("n"))
+           .groupBy(group_col).agg(F.min("v").alias("grp_median")))
+    gvals = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(F.col(value_col).alias("v"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    gw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    gmed = (gvals.withColumn("cum", F.sum("c").over(gw))
+            .crossJoin(F.broadcast(gvals.agg(F.sum("c").alias("n"))))
+            .filter(2 * F.col("cum") >= F.col("n"))
+            .agg(F.min("v").alias("global_median")))
+    out = (df.join(med, group_col, "left")
+           .crossJoin(F.broadcast(gmed)))
+    imputed = F.coalesce(F.col(value_col), F.col("grp_median"),
+                         F.col("global_median"))
+    return out.select(
+        id_col, group_col, F.col(value_col).alias("value"),
+        imputed.cast("long").alias("imputed"),
+        F.col(value_col).isNull().alias("was_imputed"))
+
+
+def fd_repair(df: DataFrame, lhs_col: str, rhs_col: str,
+              id_col: str = "doc_id") -> DataFrame:
+    """Majority-vote repair of a near-functional dependency ->
+    (id, lhs, rhs, rhs_repaired, was_repaired): once
+    :func:`fd_violations` says lhs -> rhs ALMOST holds, the standard
+    g3-minimal repair rewrites each key's minority values to the
+    key's majority value (ties break to the LEXICOGRAPHICALLY
+    smallest majority value, pinned). The ETL-hygiene step for
+    denormalized columns that drifted (a source whose language tag
+    flapped, a host whose registered owner changed casing).
+
+    One (lhs, rhs) partial agg, a per-key argmax at statistic scale
+    (max of the (count, reversed-value) struct - no window), one join
+    back. Exactly the rows g3 counts are rewritten."""
+    pair = (df.groupBy(F.col(lhs_col).alias("_fdk"),
+                       F.col(rhs_col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    # argmax by (count desc, value asc) as a partial-aggregable max:
+    # order on (c, negated-lexicographic v) via a struct of (c, rank)
+    # is not expressible without a total order on v descending - use
+    # min over a struct of (-c, v) instead (min = highest count,
+    # then smallest value)
+    best = (pair.groupBy("_fdk")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("v").alias("v"))).alias("s"))
+            .select("_fdk", F.col("s.v").alias("majority")))
+    return (df.join(best, df[lhs_col] == best["_fdk"])
+            .select(id_col, F.col(lhs_col).alias("lhs"),
+                    F.col(rhs_col).alias("rhs"),
+                    F.col("majority").alias("rhs_repaired"),
+                    (~F.col(rhs_col).eqNullSafe(F.col("majority")))
+                    .alias("was_repaired")))

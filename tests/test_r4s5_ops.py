@@ -330,3 +330,37 @@ def test_isolation_forest_isolates_planted_extreme(spark):
                                      n_trees=6, max_depth=6,
                                      seed="t", k=5).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+# ------------------------------------------------------- temporal / repair
+
+def test_temporal_reachability_respects_time(spark):
+    # seed 0; 0->1 at t=5, 1->2 at t=3 (BEFORE arrival at 1: blocked),
+    # 1->3 at t=7 (after: reached)
+    e = spark.createDataFrame([(0, 1, 5), (1, 2, 3), (1, 3, 7)],
+                              "src long, dst long, t long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.earliest for r in
+           graph.temporal_reachability(e, seeds, max_hops=4).collect()}
+    assert got == {0: 0, 1: 5, 3: 7}    # node 2 unreachable in time
+
+
+def test_impute_and_fd_repair_semantics(spark):
+    d = spark.createDataFrame(
+        [(0, "a", 10), (1, "a", 30), (2, "a", None), (3, "b", None)],
+        "doc_id long, lang string, val long")
+    got = {r.doc_id: r for r in
+           maintenance.impute_group_median(d, "lang", "val").collect()}
+    assert got[2].imputed == 10         # lower median of {10, 30}
+    assert got[3].imputed == 10         # all-null group -> global median
+    assert got[0].imputed == 10 and not got[0].was_imputed
+
+    f = spark.createDataFrame(
+        [(0, 1, "x"), (1, 1, "x"), (2, 1, "y"),
+         (3, 2, "p"), (4, 2, "q")],   # 2: tie p/q -> lexicographic p
+        "doc_id long, k long, v string")
+    rep = {r.doc_id: r for r in
+           maintenance.fd_repair(f, "k", "v").collect()}
+    assert rep[2].rhs_repaired == "x" and rep[2].was_repaired
+    assert rep[3].rhs_repaired == "p" and not rep[3].was_repaired
+    assert rep[4].rhs_repaired == "p" and rep[4].was_repaired
