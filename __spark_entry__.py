@@ -4545,6 +4545,44 @@ def _q_fd_repair(spark, sf_dir):
     return maintenance.fd_repair(d, "k0", "tag")
 
 
+def _q_event_seq_pairs(spark, sf_dir):
+    """Gap-bounded sequential patterns (ops/mining.py::
+    sequential_pairs): 'A then B within 3 steps' over (user, day)
+    sessions, support = distinct sessions - the ordered complement of
+    frequent_pairs and the noisy-funnel complement of
+    session_transitions. Contexts via equi-join probe keys, never a
+    range join."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir).select(
+        F.concat_ws("|", F.col("user_id"), F.to_date("ts")).alias("s"),
+        "event_id", "event_type")
+    pos = F.row_number().over(
+        W.partitionBy("s").orderBy("event_id")).cast("long")
+    t = ev.withColumn("pos", pos)
+    return mining.sequential_pairs(t, "s", "pos", "event_type",
+                                   max_gap=3, min_support=2, k=30)
+
+
+def _q_soundex_blocking(spark, sf_dir):
+    """Soundex phonetic blocking keys (Spark's built-in F.soundex)
+    over the top-200 alpha-only corpus terms - the classic
+    record-linkage blocking function beside the md5/fingerprint
+    blockers. The oracle re-implements American Soundex from scratch
+    in SQL (h/w transparency, first-letter participation in the
+    collapse, vowel separators - each semantics pinned by a probe
+    word in its construction), so the builtin is verified
+    term-for-term, not trusted."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: t != "")).alias("term"))
+    dic = (toks.filter(F.col("term").rlike("^[a-z]+$"))
+           .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
+    top = dic.orderBy(F.col("cnt").desc(), "term").limit(200)
+    return top.select("term", F.col("cnt").cast("long").alias("cnt"),
+                      F.soundex("term").alias("sdx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4840,6 +4878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach": _q_temporal_reach,
         "impute_median": _q_impute_median,
         "fd_repair": _q_fd_repair,
+        "event_seq_pairs": _q_event_seq_pairs,
+        "soundex_blocking": _q_soundex_blocking,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "html_links": _q_html_links,
         "tpch_part_margin": _q_tpch_part_margin,
@@ -12402,6 +12442,67 @@ FROM d JOIN best USING (k0)
 """
 
 
+_SEQ_PAIRS_ORACLE = """
+WITH t AS (SELECT
+    CAST(user_id AS VARCHAR) || '|' || CAST(CAST(ts AS DATE) AS VARCHAR)
+      AS s,
+    event_type AS it,
+    CAST(row_number() OVER (PARTITION BY
+      CAST(user_id AS VARCHAR) || '|' || CAST(CAST(ts AS DATE)
+        AS VARCHAR)
+      ORDER BY event_id) AS BIGINT) AS p
+  FROM events),
+probes AS (SELECT s, it AS a, p + o AS p2 FROM t,
+           LATERAL unnest([1, 2, 3]) AS q(o)),
+pairs AS (SELECT pr.s, pr.a, tk.it AS b FROM probes pr
+          JOIN t tk ON pr.s = tk.s AND pr.p2 = tk.p),
+agg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT s) AS BIGINT) AS n_sessions
+        FROM pairs GROUP BY 1, 2 HAVING count(DISTINCT s) >= 2),
+tot AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS t_sessions FROM t)
+SELECT a AS item_a, b AS item_b, n_pairs, n_sessions,
+  (1000000 * n_sessions) // t_sessions AS support_ppm
+FROM agg, tot ORDER BY n_sessions DESC, a, b LIMIT 30
+"""
+
+
+_SOUNDEX_ORACLE = """
+WITH t0 AS (SELECT u.term FROM documents,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), w -> w <> '')) AS u(term)),
+dic AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t0
+        WHERE regexp_matches(term, '^[a-z]+$') GROUP BY 1),
+toks AS (SELECT term AS w, cnt FROM dic
+         ORDER BY cnt DESC, term LIMIT 200),
+chars AS (SELECT w, i, substr(w, CAST(i AS INT), 1) AS ch
+  FROM toks, LATERAL unnest(generate_series(1, length(w))) r(i)),
+coded AS (SELECT w, i,
+  CASE WHEN ch IN ('b','f','p','v') THEN 1
+       WHEN ch IN ('c','g','j','k','q','s','x','z') THEN 2
+       WHEN ch IN ('d','t') THEN 3
+       WHEN ch = 'l' THEN 4
+       WHEN ch IN ('m','n') THEN 5
+       WHEN ch = 'r' THEN 6
+       WHEN ch IN ('h','w') THEN -1
+       ELSE 0 END AS code
+  FROM chars),
+nohw AS (SELECT * FROM coded WHERE code <> -1 OR i = 1),
+digits AS (SELECT w, i, code,
+   lag(code) OVER (PARTITION BY w ORDER BY i) AS prev
+  FROM nohw),
+emit AS (SELECT w, i, code,
+   row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+  FROM digits
+  WHERE i > 1 AND code > 0 AND (prev IS NULL OR code <> prev)),
+d3 AS (SELECT w, string_agg(CAST(code AS VARCHAR), '' ORDER BY i)
+         AS ds
+       FROM emit WHERE rn <= 3 GROUP BY w)
+SELECT toks.w AS term, toks.cnt,
+  upper(substr(toks.w, 1, 1)) || rpad(coalesce(ds, ''), 3, '0') AS sdx
+FROM toks LEFT JOIN d3 ON d3.w = toks.w
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -12721,6 +12822,8 @@ FROM hashed
         "temporal_reach": _temporal_reach_oracle(),
         "impute_median": _IMPUTE_ORACLE,
         "fd_repair": _FD_REPAIR_ORACLE,
+        "event_seq_pairs": _SEQ_PAIRS_ORACLE,
+        "soundex_blocking": _SOUNDEX_ORACLE,
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "
