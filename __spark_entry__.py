@@ -4583,6 +4583,40 @@ def _q_soundex_blocking(spark, sf_dir):
                       F.soundex("term").alias("sdx"))
 
 
+def _q_jw_linkage(spark, sf_dir):
+    """Blocked fuzzy matching (ops/linkage.py::blocked_jw_pairs):
+    soundex blocks over the top-100 alpha dictionary terms UNION their
+    deterministic single-deletion mangles (the symspell staging), then
+    Jaro-Winkler >= 0.85 on block-collided pairs only. The JW kernel
+    is pure Python verified BIT-identical to DuckDB's
+    jaro_winkler_similarity, so the oracle calls the builtin."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: t != "")).alias("term"))
+    dic = (toks.filter(F.col("term").rlike("^[a-z]+$")
+                       & (F.length("term") >= 4))
+           .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
+    top = dic.orderBy(F.col("cnt").desc(), "term").limit(100)
+    mang = top.select(F.expr(
+        "concat(substr(term, 1, cnt % length(term)), "
+        "substr(term, cnt % length(term) + 2))").alias("term"))
+    allt = top.select("term").unionByName(mang).distinct()
+    t = allt.select("term", F.soundex("term").alias("sdx"))
+    return linkage.blocked_jw_pairs(t, "sdx", "term", threshold=0.85)
+
+
+def _q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney rank-sum test (ops/quality.py::mann_whitney_u):
+    parity arms over the doc_id%5 length sample - the heavy-tail-robust
+    companion to cuped_ab's mean z. Doubled tie-averaged ranks keep
+    2*U1 exact integer; tie correction from exact t^3-t sums; one
+    fixed-DAG z at 6dp."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") % 2).alias("arm"), "n_chars")
+    return quality.mann_whitney_u(d, "arm", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4880,6 +4914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_repair": _q_fd_repair,
         "event_seq_pairs": _q_event_seq_pairs,
         "soundex_blocking": _q_soundex_blocking,
+        "jw_linkage": _q_jw_linkage,
+        "mann_whitney": _q_mann_whitney,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "html_links": _q_html_links,
         "tpch_part_margin": _q_tpch_part_margin,
@@ -12503,6 +12539,84 @@ FROM toks LEFT JOIN d3 ON d3.w = toks.w
 """
 
 
+_JW_LINKAGE_ORACLE = """
+WITH t0 AS (SELECT u.term FROM documents,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), w -> w <> '')) AS u(term)),
+dic AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t0
+        WHERE regexp_matches(term, '^[a-z]+$') AND length(term) >= 4
+        GROUP BY 1),
+top AS (SELECT term, cnt FROM dic ORDER BY cnt DESC, term LIMIT 100),
+mang AS (SELECT DISTINCT
+           substr(term, 1, CAST(cnt % length(term) AS INT))
+           || substr(term, CAST(cnt % length(term) + 2 AS INT)) AS term
+         FROM top),
+allt AS (SELECT term FROM top UNION SELECT term FROM mang),
+chars AS (SELECT term AS w, i, substr(term, CAST(i AS INT), 1) AS ch
+  FROM allt, LATERAL unnest(generate_series(1, length(term))) r(i)),
+coded AS (SELECT w, i,
+  CASE WHEN ch IN ('b','f','p','v') THEN 1
+       WHEN ch IN ('c','g','j','k','q','s','x','z') THEN 2
+       WHEN ch IN ('d','t') THEN 3
+       WHEN ch = 'l' THEN 4
+       WHEN ch IN ('m','n') THEN 5
+       WHEN ch = 'r' THEN 6
+       WHEN ch IN ('h','w') THEN -1
+       ELSE 0 END AS code
+  FROM chars),
+nohw AS (SELECT * FROM coded WHERE code <> -1 OR i = 1),
+digits AS (SELECT w, i, code,
+   lag(code) OVER (PARTITION BY w ORDER BY i) AS prev
+  FROM nohw),
+emit AS (SELECT w, i, code,
+   row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+  FROM digits
+  WHERE i > 1 AND code > 0 AND (prev IS NULL OR code <> prev)),
+d3 AS (SELECT w, string_agg(CAST(code AS VARCHAR), '' ORDER BY i)
+         AS ds
+       FROM emit WHERE rn <= 3 GROUP BY w),
+blocked AS (SELECT allt.term,
+    upper(substr(allt.term, 1, 1)) || rpad(coalesce(ds, ''), 3, '0')
+      AS sdx
+  FROM allt LEFT JOIN d3 ON d3.w = allt.term),
+pairs AS (SELECT l.term AS a, r.term AS b
+          FROM blocked l JOIN blocked r
+            ON l.sdx = r.sdx AND l.term < r.term)
+SELECT a, b, round(jaro_winkler_similarity(a, b), 6) AS jw
+FROM pairs WHERE round(jaro_winkler_similarity(a, b), 6) >= 0.85
+"""
+
+
+_MW_Z = ("CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 AND "
+         "(CAST(n1 AS DOUBLE) * n2 / 3.0) * ((n1 + n2 + 1) "
+         " - CAST(tt AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1))) > 0 "
+         "THEN (CAST(sr2 - n1 * (n1 + 1) AS DOUBLE) - "
+         "CAST(n1 AS DOUBLE) * n2) "
+         "/ sqrt((CAST(n1 AS DOUBLE) * n2 / 3.0) * ((n1 + n2 + 1) "
+         " - CAST(tt AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1)))) "
+         "ELSE 0.0 END")
+
+_MANN_WHITNEY_ORACLE = f"""
+WITH b AS (SELECT CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS arm,
+                  CAST(n_chars AS BIGINT) AS x
+           FROM documents WHERE doc_id % 5 = 0),
+ranked AS (SELECT arm,
+    CAST(rank() OVER (ORDER BY x ASC) + count(*) OVER ()
+         + 1 - rank() OVER (ORDER BY x DESC) AS BIGINT) AS r2
+  FROM b),
+ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tt FROM (
+   SELECT count(*) AS t FROM b GROUP BY x)),
+agg AS (SELECT
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN arm = 1 THEN r2 ELSE 0 END) AS BIGINT) AS sr2
+  FROM ranked)
+SELECT n1, n2, CAST(sr2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+  round({_MW_Z}, 6) AS z
+FROM agg, ties
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -12824,6 +12938,8 @@ FROM hashed
         "fd_repair": _FD_REPAIR_ORACLE,
         "event_seq_pairs": _SEQ_PAIRS_ORACLE,
         "soundex_blocking": _SOUNDEX_ORACLE,
+        "jw_linkage": _JW_LINKAGE_ORACLE,
+        "mann_whitney": _MANN_WHITNEY_ORACLE,
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

@@ -1108,3 +1108,56 @@ def cuped_ab(df: DataFrame, arm_col: str, y_col: str,
         F.round("theta", 6).alias("theta"),
         F.round(F.col("mb") - F.col("ma"), 6).alias("delta"),
         F.round(z, 6).alias("z"))
+
+
+def mann_whitney_u(df: DataFrame, arm_col: str, value_col: str) \
+        -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum test -> ONE row (n1, n2,
+    u1_x2, z): the nonparametric two-sample location test - does arm 1
+    stochastically dominate arm 0? The robust companion to
+    ``cuped_ab``'s mean-based z when the metric is heavy-tailed
+    (session lengths, byte counts - where a whale invalidates the
+    t-statistic but not the rank statistic).
+
+    Integer-exact core: doubled tie-averaged pooled ranks via
+    rank_asc + n + 1 - rank_desc (the spearman_rho identity), so
+    2*U1 = sum(R2 over arm 1) - n1*(n1+1) is an exact integer;
+    tie correction T = sum(t^3 - t) over value-tie groups is an exact
+    integer aggregate; z = (2*U1 - n1*n2) / sqrt(n1*n2/3 * ((n+1) -
+    T/(n*(n-1)))) is one fixed expression DAG over those integers
+    (the /3 not /12 absorbs the doubling), 6dp.
+
+    Contract: pooled GLOBAL ranks - run it on a statistic-scale sample
+    or stratum (the mann_kendall contract), not a raw 100-TB column."""
+    b = df.select(
+        F.when(F.col(arm_col).cast("boolean"), 1).otherwise(0)
+        .alias("arm"), F.col(value_col).cast("long").alias("x"))
+    ra = F.rank().over(Window.orderBy(F.col("x").asc()))
+    rd = F.rank().over(Window.orderBy(F.col("x").desc()))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = b.select("arm", "x",
+                      (ra + cnt + 1 - rd).cast("long").alias("r2"))
+    ties = (b.groupBy("x").agg(F.count(F.lit(1)).alias("t"))
+            .agg(F.sum(F.col("t") * F.col("t") * F.col("t")
+                       - F.col("t")).cast("long").alias("tt")))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("arm") == 1, F.col("r2")).otherwise(0))
+        .cast("long").alias("sr2"))
+    j = agg.crossJoin(F.broadcast(ties))
+    z = F.expr(
+        "CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 AND "
+        "(CAST(n1 AS DOUBLE) * n2 / 3.0) * ((n1 + n2 + 1) "
+        " - CAST(tt AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1))) > 0 "
+        "THEN (CAST(sr2 - n1 * (n1 + 1) AS DOUBLE) - "
+        "CAST(n1 AS DOUBLE) * n2) "
+        "/ sqrt((CAST(n1 AS DOUBLE) * n2 / 3.0) * ((n1 + n2 + 1) "
+        " - CAST(tt AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1)))) "
+        "ELSE 0.0 END")
+    return j.select("n1", "n2",
+                    (F.col("sr2") - F.col("n1") * (F.col("n1") + 1))
+                    .cast("long").alias("u1_x2"),
+                    F.round(z, 6).alias("z"))

@@ -364,3 +364,30 @@ def test_impute_and_fd_repair_semantics(spark):
     assert rep[2].rhs_repaired == "x" and rep[2].was_repaired
     assert rep[3].rhs_repaired == "p" and not rep[3].was_repaired
     assert rep[4].rhs_repaired == "p" and rep[4].was_repaired
+
+
+# ------------------------------------------------------------ jw / mann-w
+
+def test_jaro_winkler_textbook_values():
+    from eventrelationextractor_spark.ops import linkage
+    assert round(linkage.jaro_winkler("martha", "marhta"), 6) == 0.961111
+    assert round(linkage.jaro_winkler("dixon", "dicksonx"), 6) == 0.813333
+    assert round(linkage.jaro_winkler("dwayne", "duane"), 6) == 0.84
+    assert linkage.jaro_winkler("abc", "xyz") == 0.0
+    assert linkage.jaro_winkler("same", "same") == 1.0
+    # boost only above 0.7: crate/trace share no prefix -> unchanged
+    assert round(linkage.jaro_winkler("crate", "trace"), 6) == 0.733333
+
+
+def test_mann_whitney_separated_and_mixed(spark):
+    # arm 1 strictly above arm 0 -> maximal 2*U1 = 2*n1*n2, large z
+    rows = [(0, v) for v in (1, 2, 3, 4)] + [(1, v) for v in (10, 11, 12, 13)]
+    df = spark.createDataFrame(rows, "arm long, x long")
+    r = quality.mann_whitney_u(df, "arm", "x").collect()[0]
+    assert r.u1_x2 == 2 * 4 * 4 and r.z > 2
+    # identical distributions incl. ties -> U1 at its mean, z = 0
+    rows2 = [(0, v) for v in (5, 5, 7)] + [(1, v) for v in (5, 5, 7)]
+    r2 = quality.mann_whitney_u(
+        spark.createDataFrame(rows2, "arm long, x long"),
+        "arm", "x").collect()[0]
+    assert r2.u1_x2 == 3 * 3 and r2.z == 0.0
