@@ -4617,6 +4617,29 @@ def _q_mann_whitney(spark, sf_dir):
     return quality.mann_whitney_u(d, "arm", "n_chars")
 
 
+def _q_greedy_matching(spark, sf_dir):
+    """Maximal matching by parallel local-max rounds (ops/graph.py::
+    greedy_matching) over the boruvka stratum graph (doc_id%10 - the
+    oracle's sequential replay is O(E*V) list work, so the query keeps
+    the oracle wall at the Kruskal-replay scale; the full link graph
+    at sf1.0 put the replay into the hours - the Spark side itself is
+    round-logarithmic at any size): equals sequential greedy under the
+    md5(eid) priority order, replayed in a single-row recursive CTE
+    carrying the matched-vertex list."""
+    ks = (_docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+          .select(F.expr("doc_id div 10").alias("k")))
+    m = ks.count()
+    gen = ks.select("k", F.explode(F.array(
+        (F.col("k") * 7 + 1) % m, (F.col("k") * 13 + 3) % m,
+        (F.col("k") + 1) % m)).alias("g"))
+    und = (gen.select(F.least("k", "g").alias("u"),
+                      F.greatest("k", "g").alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct()
+           .select((F.col("u") * m + F.col("v")).alias("eid"),
+                   "u", "v"))
+    return graph.greedy_matching(und)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): one risky representative
@@ -4916,6 +4939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soundex_blocking": _q_soundex_blocking,
         "jw_linkage": _q_jw_linkage,
         "mann_whitney": _q_mann_whitney,
+        "greedy_matching": _q_greedy_matching,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "html_links": _q_html_links,
         "tpch_part_margin": _q_tpch_part_margin,
@@ -12617,6 +12641,42 @@ FROM agg, ties
 """
 
 
+_MATCHING_ORACLE = """
+WITH RECURSIVE
+p AS (SELECT count(*) AS m FROM documents WHERE doc_id % 10 = 0),
+ks AS (SELECT doc_id // 10 AS k FROM documents WHERE doc_id % 10 = 0),
+gen AS (SELECT k, t.g FROM ks, p,
+        LATERAL unnest([(k*7+1) % m, (k*13+3) % m, (k+1) % m]) AS t(g)),
+und AS (SELECT DISTINCT least(k, g) AS u, greatest(k, g) AS v
+        FROM gen WHERE k <> g),
+g2 AS (SELECT u * m + v AS eid, u, v FROM und, p),
+es AS (SELECT row_number() OVER (ORDER BY
+         md5(CAST(eid AS VARCHAR)) || CAST(eid AS VARCHAR) DESC)
+         AS i, eid, u, v
+       FROM g2),
+cnt AS (SELECT count(*) AS ne FROM es),
+kr AS (
+  SELECT CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS mv,
+         CAST([] AS BIGINT[]) AS took
+  FROM (VALUES (1)) t(x)
+  UNION ALL
+  SELECT kr.i + 1,
+    CASE WHEN NOT list_contains(kr.mv, e.u)
+              AND NOT list_contains(kr.mv, e.v)
+         THEN list_append(list_append(kr.mv, e.u), e.v)
+         ELSE kr.mv END,
+    CASE WHEN NOT list_contains(kr.mv, e.u)
+              AND NOT list_contains(kr.mv, e.v)
+         THEN list_append(kr.took, e.eid) ELSE kr.took END
+  FROM kr JOIN es e ON e.i = kr.i + 1
+),
+fin AS (SELECT took FROM kr, cnt WHERE kr.i = cnt.ne),
+ou AS (SELECT unnest(took) AS eid FROM fin)
+SELECT g2.eid, CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v
+FROM g2 JOIN ou USING (eid)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -12940,6 +13000,7 @@ FROM hashed
         "soundex_blocking": _SOUNDEX_ORACLE,
         "jw_linkage": _JW_LINKAGE_ORACLE,
         "mann_whitney": _MANN_WHITNEY_ORACLE,
+        "greedy_matching": _MATCHING_ORACLE,
         "dedup_multitier": _MULTITIER_ORACLE.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "

@@ -1504,3 +1504,61 @@ def temporal_reachability(edges: DataFrame, seeds: DataFrame,
                    .agg(F.min("earliest").alias("earliest"))
                    .localCheckpoint(eager=False))
     return arrival
+
+
+def greedy_matching(edges: DataFrame, max_rounds: int = 25,
+                    stats: dict | None = None) -> DataFrame:
+    """Maximal matching by parallel local-max rounds (Israeli-Itai
+    shape) -> the matched edge set (eid, u, v): every round, an alive
+    edge joins the matching iff its priority beats every alive edge
+    sharing an endpoint - those picks are conflict-free by
+    construction, and the result EQUALS the sequential greedy matching
+    under the same priority order (the globally-highest alive edge is
+    always a local max; induct), which is exactly what the oracle
+    replays edge-by-edge. The pairing primitive: dedup canonical-pair
+    assignment, one-to-one task/resource matching, crawl host pairing.
+
+    Priority = md5(eid) || eid (total order). Per round: one two-sided
+    incidence explode + a partial-agged max per endpoint, one join
+    back to find edges that win BOTH endpoints, one anti-join to drop
+    edges touching newly matched vertices; the alive frame shrinks
+    every round (expected O(log E) rounds on random priorities), one
+    localCheckpoint each."""
+    e0 = (edges.select("eid", "u", "v")
+          .withColumn("p", F.concat(
+              F.md5(F.col("eid").cast("string")),
+              F.col("eid").cast("string")))
+          .localCheckpoint())
+    spark = edges.sparkSession
+    matched = spark.createDataFrame([], "eid long, u long, v long")
+    alive = e0
+    rounds = 0
+    for _ in range(int(max_rounds)):
+        if alive.isEmpty():
+            break
+        rounds += 1
+        inc = (alive.select(F.col("u").alias("x"), "p")
+               .unionByName(alive.select(F.col("v").alias("x"), "p")))
+        best = inc.groupBy("x").agg(F.max("p").alias("bp"))
+        bu = best.select(F.col("x").alias("u"),
+                         F.col("bp").alias("bpu"))
+        bv = best.select(F.col("x").alias("v"),
+                         F.col("bp").alias("bpv"))
+        take = (alive.join(bu, "u").join(bv, "v")
+                .filter((F.col("p") == F.col("bpu"))
+                        & (F.col("p") == F.col("bpv")))
+                .select("eid", "u", "v").localCheckpoint())
+        matched = matched.unionByName(take) \
+            .localCheckpoint(eager=False)
+        mv = (take.select(F.col("u").alias("x"))
+              .unionByName(take.select(F.col("v").alias("x")))
+              .distinct())
+        alive = (alive
+                 .join(mv.select(F.col("x").alias("u")), "u",
+                       "left_anti")
+                 .join(mv.select(F.col("x").alias("v")), "v",
+                       "left_anti")
+                 .localCheckpoint(eager=False))
+    if stats is not None:
+        stats["rounds"] = rounds
+    return matched

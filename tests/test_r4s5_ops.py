@@ -391,3 +391,30 @@ def test_mann_whitney_separated_and_mixed(spark):
         spark.createDataFrame(rows2, "arm long, x long"),
         "arm", "x").collect()[0]
     assert r2.u1_x2 == 3 * 3 and r2.z == 0.0
+
+
+# ----------------------------------------------------------------- matching
+
+def test_greedy_matching_properties_and_greedy_equality(spark):
+    import hashlib
+    edges = [(i, i % 9, (i * 5 + 2) % 9) for i in range(25)]
+    edges = [(e, u, v) for e, u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "eid long, u long, v long")
+    stats = {}
+    got = {(r.eid, r.u, r.v) for r in
+           graph.greedy_matching(df, stats=stats).collect()}
+    # brute-force sequential greedy under the same priority order
+    pri = {e: hashlib.md5(str(e).encode()).hexdigest() + str(e)
+           for e, _, _ in edges}
+    taken, used = set(), set()
+    for e, u, v in sorted(edges, key=lambda t: pri[t[0]], reverse=True):
+        if u not in used and v not in used:
+            taken.add((e, u, v))
+            used.update((u, v))
+    assert got == taken
+    # matching: no vertex twice; maximal: every edge touches a match
+    vs = [x for _, u, v in got for x in (u, v)]
+    assert len(vs) == len(set(vs))
+    for e, u, v in edges:
+        assert u in set(vs) or v in set(vs)
+    assert stats["rounds"] >= 1
