@@ -84,7 +84,7 @@ def main() -> None:
         best = dt if best is None or dt < best else best
     docs_sec = round(n_docs / best, 2)
 
-    out = {
+    full = {
         "metric": "headline_queries_total",
         "value": round(total, 4),
         "unit": "sec",
@@ -99,7 +99,32 @@ def main() -> None:
         "docs_per_sec": docs_sec,
         "cpus": int(cpus),
     }
-    print(json.dumps(out))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "bench_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    # The driver keeps only the LAST 2000 chars of stdout: the full
+    # per-query dict outgrew that once the registry passed ~150 queries
+    # (BENCH_r03/r04 "parsed": null), so the LAST line is now a compact
+    # summary (top-10 slowest only) guaranteed to fit; the complete
+    # timing dict lives in BENCH/bench_full.json.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf_dir,
+        "n_docs": n_docs,
+        "n_queries": len(timings),
+        "docs_per_sec": docs_sec,
+        "cpus": int(cpus),
+        "full": "BENCH/bench_full.json",
+    }
+    line = json.dumps(out)
+    assert len(line) < 1900, f"summary line too long ({len(line)} chars)"
+    print(line)
     spark.stop()
 
 

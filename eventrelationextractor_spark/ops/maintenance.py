@@ -753,11 +753,18 @@ def fd_repair(df: DataFrame, lhs_col: str, rhs_col: str,
     # is not expressible without a total order on v descending - use
     # min over a struct of (-c, v) instead (min = highest count,
     # then smallest value)
+    # NULL rhs sorts LAST among equal counts (prefer a real value as
+    # the majority; boolean false < true on both engines) so the
+    # tie-break never leans on engine struct-null ordering
     best = (pair.groupBy("_fdk")
             .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("v").isNull().alias("vnull"),
                                 F.col("v").alias("v"))).alias("s"))
             .select("_fdk", F.col("s.v").alias("majority")))
-    return (df.join(best, df[lhs_col] == best["_fdk"])
+    # eqNullSafe: rows with a NULL lhs form their own key class and
+    # get repaired against it — a plain equi-join silently DROPPED
+    # them from the output, breaking the one-row-per-input contract
+    return (df.join(best, df[lhs_col].eqNullSafe(best["_fdk"]))
             .select(id_col, F.col(lhs_col).alias("lhs"),
                     F.col(rhs_col).alias("rhs"),
                     F.col("majority").alias("rhs_repaired"),

@@ -45,7 +45,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hashed_bigram_features", "train_quality_classifier",
-           "score_quality"]
+           "score_quality", "train_quality_classifier_fixedpoint",
+           "score_quality_fixedpoint"]
 
 
 def hashed_bigram_features(df: DataFrame, id_col: str = "doc_id",
@@ -130,6 +131,111 @@ def train_quality_classifier(df: DataFrame, label,
                    for b, w in enumerate(weights)]
         bias = round(bias - lr * g_bias, 9)
     return weights, bias
+
+
+_UPM = 1_000_000  # fixed-point scale: 1.0 == 1e6 micro-units
+
+
+def _fast_sigmoid_upm(m):
+    """f(x) = 1/2 + x / (2 * (1 + |x|)) in integer micro-units: a
+    rational sigmoid surrogate (Elliott 1993) whose evaluation is pure
+    BIGINT +,*,abs,trunc-div — NO exp(), so it is bit-identical on any
+    engine/libm, unlike the true logistic whose last-ulp exp() drift
+    flips 6dp-rounded outputs across JVM/DuckDB builds. Monotone,
+    range (0, 1), f(0) = 1/2 exactly."""
+    return (F.lit(500_000).cast("long")
+            + F.expr(f"(500000 * ({m})) div (2 * ({_UPM} + abs({m})))"))
+
+
+def _margins_upm(feat: DataFrame, weights_upm: list, bias_upm: int,
+                 id_col: str) -> DataFrame:
+    """(id, margin_upm): b + sum_b tdiv(w_b * cnt_b, n) — each term
+    trunc-divided BEFORE the sum so every intermediate is a BIGINT and
+    the aggregation is an exact integer sum (commutative under any
+    partial-agg merge order, unlike a float sum)."""
+    spark = feat.sparkSession
+    wdf = spark.createDataFrame(
+        [(i, int(w)) for i, w in enumerate(weights_upm)],
+        "bucket long, w_upm long")
+    return (feat.join(F.broadcast(wdf), "bucket")
+            .groupBy(id_col)
+            .agg((F.lit(int(bias_upm)).cast("long")
+                  + F.sum(F.expr("(w_upm * cnt) div n")))
+                 .alias("margin_upm")))
+
+
+def train_quality_classifier_fixedpoint(
+        df: DataFrame, label, n_buckets: int = 64, n_iter: int = 2,
+        lr_x: int = 5, id_col: str = "doc_id",
+        text_col: str = "text"):
+    """Deterministic fixed-point twin of ``train_quality_classifier``:
+    the whole training loop — margins, the sigmoid surrogate, errors,
+    gradients, weight updates — runs in BIGINT micro-units (1e-6), so
+    the learned model is bit-identical across engines, JVM builds,
+    partial-agg merge orders AND libm versions. This is the
+    reproducible-training formulation production pipelines use when a
+    model must be re-derivable from the data lineage (deterministic
+    fixed-point accumulation); the float version stays for callers who
+    want the exact logistic.
+
+    ``lr_x`` is an integer learning rate (default 5 == the float
+    version's lr=5.0). Returns ``(weights_upm, bias_upm)`` — ints.
+    Iteration 1 from zero weights gives margin 0 and p == 500000
+    micro exactly (the oracle's closed form)."""
+    feat = hashed_bigram_features(df, id_col, text_col, n_buckets).cache()
+    lab = df.select(F.col(id_col), label.cast("double").alias("y")) \
+        .filter(F.col("y").isNotNull()) \
+        .select(id_col, (F.col("y") * _UPM).cast("long").alias("y_upm"))
+    fl = feat.join(lab, id_col)
+    n_train = fl.select(id_col).distinct().count()
+    if n_train == 0:
+        raise ValueError("no labeled documents with >= 2 words to train on")
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    weights = [0] * n_buckets
+    bias = 0
+    for _ in range(n_iter):
+        m = _margins_upm(fl, weights, bias, id_col)
+        err = (m.join(lab, id_col)
+               .select(id_col,
+                       (_fast_sigmoid_upm("margin_upm")
+                        - F.col("y_upm")).alias("err_upm")))
+        g_rows = (fl.join(err, id_col)
+                  .groupBy("bucket")
+                  .agg(F.sum(F.expr("(err_upm * cnt) div n"))
+                       .alias("g_num"))
+                  .collect())
+        gb_num = err.agg(F.sum("err_upm").alias("g")).first().g
+        g = {int(r.bucket): int(r.g_num) for r in g_rows}
+        weights = [w - lr_x * tdiv(g.get(b, 0), n_train)
+                   for b, w in enumerate(weights)]
+        bias = bias - lr_x * tdiv(int(gb_num), n_train)
+    return weights, bias
+
+
+def score_quality_fixedpoint(df: DataFrame, weights_upm: list,
+                             bias_upm: int, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """(id, n_bigrams, score_upm): integer micro-unit quality score for
+    EVERY document under a fixed-point model (docs without features
+    score the sigmoid surrogate of the bias with n_bigrams = 0). Same
+    plan shape as ``score_quality``; every output column is BIGINT."""
+    feat = hashed_bigram_features(df, id_col, text_col, len(weights_upm))
+    m = _margins_upm(feat, weights_upm, bias_upm, id_col)
+    n = feat.groupBy(id_col).agg(F.max("n").alias("n_bigrams"))
+    base = (df.select(id_col).join(m, id_col, "left")
+            .join(n, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce("margin_upm",
+                               F.lit(int(bias_upm)).cast("long"))
+                    .alias("m_upm")))
+    return base.select(id_col, "n_bigrams",
+                       _fast_sigmoid_upm("m_upm").alias("score_upm"))
 
 
 def score_quality(df: DataFrame, weights: list, bias: float,
@@ -840,12 +946,18 @@ def spearman_rho(df: DataFrame, key_col: str, x_col: str, y_col: str) \
         F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
         F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
         F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"))
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    rho = F.when((vx > 0) & (vy > 0), F.round(
-        num.cast("double")
-        / F.sqrt(vx.cast("double") * vy.cast("double")), 6))
+    # moment sums cast to DOUBLE BEFORE the cross products: doubled
+    # ranks reach 2n, so the integer product n*sxx grows as 4n^4 and
+    # wraps 2^63 near n ~ 39k rows per key — far short of the
+    # corpus-sized-groups contract above. rho is a float surface;
+    # double products are IEEE-identical on both engines (the oracle
+    # mirrors the casts), same fix as cuped_ab's theta.
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    vx = nd * F.col("sxx").cast("double") - sxd * sxd
+    vy = nd * F.col("syy").cast("double") - syd * syd
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    rho = F.when((vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6))
     return agg.select(key_col, "n", rho.alias("rho"))
 
 
@@ -1027,23 +1139,34 @@ def poisson_bootstrap_ci(df: DataFrame, id_col: str, value_col: str,
         F.sum("w").alias("sw"))
         .filter(F.col("sw") > 0)
         .select(F.expr("(1000000 * swx) div sw").alias("m")))
-    k_lo = max(1, -(-25 * b // 1000))            # ceil(0.025 * B)
-    k_hi = b - k_lo + 1
-    k_med = b // 2
+    # order statistics rank over the SURVIVING replicate count, not the
+    # requested n_boot: on tiny inputs a replicate whose total weight
+    # is 0 is dropped above, and fixed ranks k_hi = B - k_lo + 1 would
+    # then overshoot the tail (NULL hi_ppm) and shift the quantiles
     w = Window.orderBy("m")
-    ranked = means.withColumn("rk", F.row_number().over(w))
-    pick = ranked.filter(F.col("rk").isin(k_lo, k_med, k_hi))
+    cw = Window.partitionBy()
+    ranked = (means.withColumn("rk", F.row_number().over(w))
+              .withColumn("be", F.count(F.lit(1)).over(cw))
+              .withColumn("k_lo", F.greatest(
+                  F.lit(1).cast("long"),
+                  F.expr("-((-25 * be) div 1000)")))  # ceil(0.025 * be)
+              .withColumn("k_med", F.expr("greatest(1L, be div 2)"))
+              .withColumn("k_hi", F.expr(
+                  "be - greatest(1L, -((-25 * be) div 1000)) + 1")))
+    pick = ranked.filter((F.col("rk") == F.col("k_lo"))
+                         | (F.col("rk") == F.col("k_med"))
+                         | (F.col("rk") == F.col("k_hi")))
     stats = df.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.expr(f"(1000000 * sum(cast({value_col} as bigint)))"
                f" div count(*)").alias("mean_ppm"))
     agg = pick.agg(
-        F.min(F.when(F.col("rk") == k_lo, F.col("m"))).cast("long")
-        .alias("lo_ppm"),
-        F.min(F.when(F.col("rk") == k_med, F.col("m"))).cast("long")
-        .alias("med_ppm"),
-        F.min(F.when(F.col("rk") == k_hi, F.col("m"))).cast("long")
-        .alias("hi_ppm"))
+        F.min(F.when(F.col("rk") == F.col("k_lo"), F.col("m")))
+        .cast("long").alias("lo_ppm"),
+        F.min(F.when(F.col("rk") == F.col("k_med"), F.col("m")))
+        .cast("long").alias("med_ppm"),
+        F.min(F.when(F.col("rk") == F.col("k_hi"), F.col("m")))
+        .cast("long").alias("hi_ppm"))
     return (stats.crossJoin(F.broadcast(agg))
             .select("n_rows", F.lit(b).cast("long").alias("n_boot"),
                     "mean_ppm", "lo_ppm", "med_ppm", "hi_ppm"))
@@ -1081,10 +1204,20 @@ def cuped_ab(df: DataFrame, arm_col: str, y_col: str,
                 F.sum("sx").alias("gsx"), F.sum("syy").alias("gsyy"),
                 F.sum("sxx").alias("gsxx"), F.sum("sxy").alias("gsxy"))
     j = (per.crossJoin(F.broadcast(g))
+         # moment sums cast to DOUBLE BEFORE the cross products: the
+         # integer products gn*gsxx / gn*gsxy overflow 2^63 around 1e9
+         # rows of cents-scale values (silent wrap non-ANSI, error
+         # under ANSI), far short of the one-pass 100-TB contract;
+         # theta is a float surface anyway, and double arithmetic is
+         # IEEE-identical on both engines (oracle mirrors the casts)
          .withColumn("theta", F.expr(
-             "CASE WHEN gn * gsxx - gsx * gsx > 0 THEN "
-             "CAST(gn * gsxy - gsx * gsy AS DOUBLE)"
-             " / CAST(gn * gsxx - gsx * gsx AS DOUBLE) ELSE 0.0 END"))
+             "CASE WHEN CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)"
+             " - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) > 0 THEN "
+             "(CAST(gn AS DOUBLE) * CAST(gsxy AS DOUBLE)"
+             " - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE))"
+             " / (CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)"
+             " - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE))"
+             " ELSE 0.0 END"))
          .withColumn("mean_adj", F.expr(
              "CAST(sy AS DOUBLE) / n - theta *"
              " (CAST(sx AS DOUBLE) / n - CAST(gsx AS DOUBLE) / gn)"))

@@ -63,6 +63,44 @@ def test_score_no_feature_doc_gets_bias_sigmoid(spark):
     assert got[2].n_bigrams == 1
 
 
+def test_fixedpoint_classifier_separates_and_is_integer_pure(spark):
+    docs = _toy(spark)
+    w, b = quality.train_quality_classifier_fixedpoint(
+        docs, F.col("y"), n_buckets=32, n_iter=3, lr_x=5)
+    assert all(isinstance(x, int) for x in w) and isinstance(b, int)
+    scored = quality.score_quality_fixedpoint(docs, w, b)
+    assert [f.dataType.simpleString() for f in scored.schema.fields] == \
+        ["bigint", "bigint", "bigint"]
+    got = {r.doc_id: r.score_upm for r in scored.collect()}
+    worst_pos = min(v for d, v in got.items() if d < 100)
+    best_neg = max(v for d, v in got.items() if d >= 100)
+    assert worst_pos > best_neg
+
+
+def test_fixedpoint_training_is_run_deterministic(spark):
+    """Two independent trainings over a repartitioned copy produce the
+    SAME integer model — the whole point of fixed-point accumulation
+    (a float-sum gradient can drift with partial-agg merge order)."""
+    docs = _toy(spark, n_each=8)
+    w1, b1 = quality.train_quality_classifier_fixedpoint(
+        docs, F.col("y"), n_buckets=16, n_iter=2)
+    w2, b2 = quality.train_quality_classifier_fixedpoint(
+        docs.repartition(13), F.col("y"), n_buckets=16, n_iter=2)
+    assert (w1, b1) == (w2, b2)
+
+
+def test_fixedpoint_no_feature_doc_scores_bias_surrogate(spark):
+    docs = spark.createDataFrame([(1, "single"), (2, "two words")],
+                                 "doc_id long, text string")
+    b = 400_000
+    got = {r.doc_id: r for r in
+           quality.score_quality_fixedpoint(docs, [0] * 8, b).collect()}
+    assert got[1].n_bigrams == 0
+    # f(0.4) = 0.5 + 0.4/(2*1.4) -> 500000 + 200000*10**6 // 2800000
+    assert got[1].score_upm == 500_000 + (500_000 * b) // (2 * (10**6 + b))
+    assert got[2].n_bigrams == 1
+
+
 def test_train_requires_labeled_features(spark):
     docs = spark.createDataFrame([(1, "only", None)],
                                  "doc_id long, text string, y double")

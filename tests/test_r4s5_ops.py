@@ -220,6 +220,47 @@ def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     assert 0 <= w_expected <= 9            # ladder covers the draw
 
 
+def test_poisson_bootstrap_small_input_ranks_over_survivors(spark):
+    """Zero-value single-row input: many replicates draw weight 0 or a
+    zero total and are dropped; the order statistics must rank over
+    the SURVIVING count (fixed ranks from n_boot previously yielded a
+    NULL hi_ppm here)."""
+    df = spark.createDataFrame([(1, 7)], "doc_id long, n_chars long")
+    r = quality.poisson_bootstrap_ci(df, "doc_id", "n_chars",
+                                     n_boot=50, seed="tiny").collect()[0]
+    assert r.mean_ppm == 7_000_000
+    assert r.lo_ppm is not None and r.hi_ppm is not None
+    assert r.med_ppm is not None
+    # one row, weight w>0 -> every surviving mean is exactly the value
+    assert r.lo_ppm == r.med_ppm == r.hi_ppm == 7_000_000
+
+
+def test_fd_repair_keeps_null_lhs_rows(spark):
+    """NULL lhs forms its own key class (eqNullSafe join): the row must
+    survive with the null-group majority, preserving the
+    one-row-per-input contract (an equi-join silently dropped it)."""
+    f = spark.createDataFrame(
+        [(0, 1, "x"), (1, 1, "x"), (2, None, "a"), (3, None, "a"),
+         (4, None, "b")],
+        "doc_id long, k long, v string")
+    rep = {r.doc_id: r for r in
+           maintenance.fd_repair(f, "k", "v").collect()}
+    assert set(rep) == {0, 1, 2, 3, 4}
+    assert rep[4].rhs_repaired == "a" and rep[4].was_repaired
+    assert rep[2].rhs_repaired == "a" and not rep[2].was_repaired
+
+
+def test_fd_repair_null_rhs_majority_prefers_real_value_on_tie(spark):
+    # k=1: one NULL rhs vs one 'z' -> tie on count; the pinned
+    # tie-break prefers the real value over NULL
+    f = spark.createDataFrame(
+        [(0, 1, None), (1, 1, "z")], "doc_id long, k long, v string")
+    rep = {r.doc_id: r for r in
+           maintenance.fd_repair(f, "k", "v").collect()}
+    assert rep[0].rhs_repaired == "z" and rep[0].was_repaired
+    assert rep[1].rhs_repaired == "z" and not rep[1].was_repaired
+
+
 # ---------------------------------------------------------------- cuped
 
 def test_cuped_reduces_to_plain_diff_when_theta_zero_and_adjusts(spark):
