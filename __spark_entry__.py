@@ -2439,8 +2439,7 @@ def _q_events_cusum(spark, sf_dir):
                               "target", slack=1, threshold=50)
     return out.select(
         "event_type",
-        F.unix_micros(F.col("minute").cast("timestamp_ltz"))
-        .alias("minute_us"),
+        events.ntz_epoch_us("minute").alias("minute_us"),
         "n", "cusum", "alarm")
 
 
@@ -3558,13 +3557,22 @@ def _q_events_stream_enrich(spark, sf_dir):
     test_spark_stages.py); in batch it plans as an equi-join on the
     user key + residual range filter. At scale the hot-key-safe batch
     variant is interval_join_bucketed; this query gates the streaming
-    operator's semantics."""
+    operator's semantics. The emitted l_ts/r_ts are cast back to
+    TIMESTAMP_NTZ: the operator's event time must be ltz (watermark
+    contract), which renders session-zone instants — the ntz
+    round-trip restores the original wall time under ANY session
+    timezone (window-sweep-caught divergence)."""
     ev = _events(spark, sf_dir).select("event_id", "ts", "user_id",
                                        "event_type")
-    return events.interval_enrich(
+    out = events.interval_enrich(
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "click"),
         minutes=30, watermark="60 days")
+    return out.select(
+        "user_id", "l_id", "l_type",
+        F.col("l_ts").cast("timestamp_ntz").alias("l_ts"),
+        "r_id", "r_type",
+        F.col("r_ts").cast("timestamp_ntz").alias("r_ts"))
 
 
 def _q_ldiversity_suppress(spark, sf_dir):
@@ -3589,17 +3597,19 @@ def _q_ivm_refresh(spark, sf_dir):
     oracle recomputes the rollup over base UNION delta directly, so the
     hash gate asserts the IVM equivalence itself. Money rides exact
     integer cents (floor(v*100 + 0.5) - HALF_UP round diverges across
-    engines on negative halves); day = integer epoch-day computed from
-    integer MICROSECONDS end to end (unix_micros on timestamp_ltz vs
-    DuckDB epoch_us - the scd2_history convention): the previous
-    unix_timestamp(ts) base was session-TZ-interpretable on Spark while
-    the oracle's epoch(ts) was naive AND epoch()'s return type changed
-    across DuckDB versions - the likely source of the driver-only
-    hash-red in CORRECTNESS_r04 (locally green under every session
-    config tried)."""
+    engines on negative halves); day = integer epoch-day from
+    ops/events.py::ntz_epoch_us - pure NTZ calendar-field extraction,
+    identical under ANY session timezone. ROOT CAUSE of the r03/r04
+    driver-only hash-red, finally reproduced by the round-5 window
+    sweep: the parquet ts is TIMESTAMP_NTZ, so BOTH the original
+    unix_timestamp(ts) AND the first unix_micros(cast(ts as
+    timestamp_ltz)) fix interpret the wall time in the SESSION zone -
+    a driver harness with a non-UTC JVM default shifts every epoch by
+    the zone offset while DuckDB's epoch(ts) stays naive."""
     ev = _events(spark, sf_dir).select(
         "event_id", "event_type",
-        F.expr("unix_micros(cast(ts as timestamp_ltz)) div 86400000000")
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
         .alias("day"),
         F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"))
     base = ev.filter(F.expr("event_id % 10 != 0"))
@@ -3718,10 +3728,11 @@ def _q_scd2_history(spark, sf_dir):
     """Slowly-changing-dimension type-2 build
     (ops/events.py::scd2_history): per-user event_type version history
     with [valid_from, valid_to) validity. One Exchange on user_id, two
-    windows over one sort. Time base is integer microseconds
-    (unix_micros / epoch_us) so the cross-engine compare is exact."""
+    windows over one sort. Time base is integer microseconds via
+    ntz_epoch_us (TZ-proof field extraction; the former ltz cast was
+    session-zone-interpreted on the NTZ parquet ts) vs epoch_us."""
     h = events.scd2_history(_events(spark, sf_dir))
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))  # noqa: E731
+    us = lambda c: events.ntz_epoch_us(c)  # noqa: E731
     return h.select("user_id", "attr_value",
                     us("valid_from").alias("valid_from_us"),
                     us("valid_to").alias("valid_to_us"),
@@ -3737,7 +3748,7 @@ def _q_allen_relations(spark, sf_dir):
     same fixed order on both engines (point intervals make guards
     overlap, so order IS the semantics)."""
     ev = _events(spark, sf_dir)
-    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    us = events.ntz_epoch_us("ts")
     iv = (ev.groupBy("user_id", "event_type")
           .agg(F.min(us).alias("start_ts"), F.max(us).alias("end_ts")))
     return events.allen_relations(
@@ -4604,6 +4615,72 @@ def _q_soundex_blocking(spark, sf_dir):
                       F.soundex("term").alias("sdx"))
 
 
+def _stage_cat(spark, sf_dir):
+    """Deterministic CAT XML corpus, a pure function of doc_id (the
+    cdx_fetchlist staging convention): 5-6 tokens over 2 sentences, one
+    EVENT (class cycles by %3), one TIMEX3 whose anchor is MULTI-token
+    for even ids, a C-SIGNAL every 5th doc, a TLINK (relType cycles)
+    and a CLINK every 4th doc — every spark/cat.py branch exercised,
+    and the oracle can emit the expected parse in closed form."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = (F.lit(5) + F.col("doc_id") % 2).cast("int")
+    tok = F.array_join(F.transform(F.sequence(F.lit(1), n), lambda i:
+        F.format_string(
+            '<token t_id="%d" sentence="%d" number="%d">tok%dx%d</token>',
+            i, F.when(i <= 3, 1).otherwise(2),
+            F.when(i <= 3, i).otherwise(i - 3),
+            F.col("doc_id"), i)), "")
+    cls = F.when(F.col("doc_id") % 3 == 0, "OCCURRENCE").otherwise("STATE")
+    tmx_anch = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit('<token_anchor t_id="3"/><token_anchor t_id="4"/>')) \
+        .otherwise(F.lit('<token_anchor t_id="3"/>'))
+    sig = F.when(F.col("doc_id") % 5 == 0,
+                 F.lit('<C-SIGNAL m_id="3">'
+                       '<token_anchor t_id="1"/></C-SIGNAL>')) \
+        .otherwise(F.lit(""))
+    rel = F.element_at(F.array(F.lit("BEFORE"), F.lit("AFTER"),
+                               F.lit("INCLUDES")),
+                       (F.col("doc_id") % 3 + 1).cast("int"))
+    clink = F.when(F.col("doc_id") % 4 == 0,
+                   F.lit('<CLINK r_id="5"><source m_id="1"/>'
+                         '<target m_id="2"/></CLINK>')).otherwise(F.lit(""))
+    xml = F.concat(
+        F.format_string('<Document doc_name="d%d.xml">', F.col("doc_id")),
+        tok,
+        F.lit('<Markables><EVENT m_id="1" class="'), cls,
+        F.lit('"><token_anchor t_id="2"/></EVENT>'
+              '<TIMEX3 m_id="2" type="DATE" value="2024-01-0'),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit('">'), tmx_anch, F.lit("</TIMEX3>"), sig,
+        F.lit('</Markables><Relations><TLINK r_id="4" relType="'), rel,
+        F.lit('"><source m_id="1"/><target m_id="2"/></TLINK>'), clink,
+        F.lit("</Relations></Document>"))
+    return d.select("doc_id", xml.alias("xml"))
+
+
+def _q_cat_columns(spark, sf_dir):
+    """CAT XML -> column files (spark/cat.py::cat_to_columns, the
+    convertCATToColumns.py:1-75 surface — its `converter` backend is
+    absent from the reference, so semantics follow the public
+    Causal-TimeBank CAT format): typed from_xml parse, anchor explode,
+    smallest-m_id overlap pinning. Oracle = the staging's closed form."""
+    from eventrelationextractor_spark.spark import cat as catmod
+    return catmod.cat_to_columns(_stage_cat(spark, sf_dir))
+
+
+def _q_cat_roundtrip(spark, sf_dir):
+    """CAT -> TimeML -> CAT -> columns (convertCATToTimeML +
+    convertTimeMLToCAT round trip): the hash gate asserts the full
+    re-parse equals the closed-form expectation with the two documented
+    lossy axes applied (sentences collapse to 1 with running numbers;
+    C-SIGNAL has no TimeML inline form)."""
+    from eventrelationextractor_spark.spark import cat as catmod
+    staged = _stage_cat(spark, sf_dir)
+    back = catmod.timeml_to_cat(catmod.cat_to_timeml(staged))
+    return catmod.cat_to_columns(back)
+
+
 def _q_jw_linkage(spark, sf_dir):
     """Blocked fuzzy matching (ops/linkage.py::blocked_jw_pairs):
     soundex blocks over the top-100 alpha dictionary terms UNION their
@@ -4785,11 +4862,14 @@ def _q_diag_env(spark, sf_dir):
     if not m or m.group(0) != _DIAG_PIN_SPARK:
         v = [int(x) for x in (m.groups() if m else ("9", "9", "9"))]
         code += (v[0] * 10000 + v[1] * 100 + v[2]) * 4
-    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    # NB conf.get(key, default) VALIDATES the default when the key is
+    # unset (an empty-string default throws INVALID_CONF_VALUE) — use
+    # None and coalesce in Python
+    tz = spark.conf.get("spark.sql.session.timeZone", None) or ""
     if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
         code += 2
-    if str(spark.conf.get("spark.sql.ansi.enabled", "false")).lower() \
-            == "true":
+    if str(spark.conf.get("spark.sql.ansi.enabled", None) or "false") \
+            .lower() == "true":
         code += 1
     rows = [(f"spark:{i}",) for i in range(1, code + 1)]
     return spark.createDataFrame(rows, "probe string")
@@ -4951,6 +5031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
         "tpch_top_supplier": _q_tpch_top_supplier,
         "contrastive_mining": _q_contrastive_mining,
+        "cat_columns": _q_cat_columns,
+        "cat_roundtrip": _q_cat_roundtrip,
         "token_counts": _q_token_counts,
         "kg_entity_linking": _q_entity_linking,
         "kg_ee_probabilities": _q_ee_probabilities,
@@ -12109,6 +12191,36 @@ FROM contrib GROUP BY doc_id, n_tokens
 """
 
 
+_CAT_COLS_ORACLE = """
+WITH d AS (SELECT doc_id, 5 + doc_id % 2 AS n FROM documents),
+t AS (SELECT doc_id, u.i
+      FROM d, LATERAL unnest(generate_series(1, d.n)) AS u(i))
+SELECT doc_id, CAST(i AS BIGINT) AS t_id,
+  CAST(CASE WHEN i <= 3 THEN 1 ELSE 2 END AS BIGINT) AS sent_id,
+  CAST(CASE WHEN i <= 3 THEN i ELSE i - 3 END AS BIGINT) AS number,
+  'tok' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR) AS token,
+  CASE WHEN i = 2 THEN 'e1' ELSE 'O' END AS ev,
+  CASE WHEN i = 3 OR (i = 4 AND doc_id % 2 = 0) THEN 't2' ELSE 'O' END
+    AS tmx,
+  CASE WHEN i = 1 AND doc_id % 5 = 0 THEN 's3' ELSE 'O' END AS sig
+FROM t
+"""
+
+_CAT_RT_ORACLE = """
+WITH d AS (SELECT doc_id, 5 + doc_id % 2 AS n FROM documents),
+t AS (SELECT doc_id, u.i
+      FROM d, LATERAL unnest(generate_series(1, d.n)) AS u(i))
+SELECT doc_id, CAST(i AS BIGINT) AS t_id,
+  CAST(1 AS BIGINT) AS sent_id,
+  CAST(i AS BIGINT) AS number,
+  'tok' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR) AS token,
+  CASE WHEN i = 2 THEN 'e1' ELSE 'O' END AS ev,
+  CASE WHEN i = 3 OR (i = 4 AND doc_id % 2 = 0) THEN 't2' ELSE 'O' END
+    AS tmx,
+  'O' AS sig
+FROM t
+"""
+
 _SPEARMAN_ORACLE = """
 WITH t AS (SELECT doc_id, doc_id % 16 AS grp, n_chars,
                   CAST(len(list_distinct(list_filter(
@@ -13282,6 +13394,8 @@ FROM hashed
         "temporal_reach": _temporal_reach_oracle(),
         "impute_median": _IMPUTE_ORACLE,
         "fd_repair": _FD_REPAIR_ORACLE,
+        "cat_columns": _CAT_COLS_ORACLE,
+        "cat_roundtrip": _CAT_RT_ORACLE,
         "event_seq_pairs": _SEQ_PAIRS_ORACLE,
         "soundex_blocking": _SOUNDEX_ORACLE,
         "jw_linkage": _JW_LINKAGE_ORACLE,

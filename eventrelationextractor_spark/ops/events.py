@@ -10,8 +10,27 @@ additive capability, not a parity surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def ntz_epoch_us(col) -> Column:
+    """TZ-proof epoch microseconds of a TIMESTAMP_NTZ wall time —
+    pure calendar-field extraction (datediff + hour/minute +
+    fractional-second date_part), so the result is identical under ANY
+    session timezone. ``unix_micros(cast(x AS timestamp_ltz))`` is NOT:
+    for an NTZ input the cast interprets the wall time in the SESSION
+    zone, shifting every epoch by the zone offset (reproduced: -5h
+    under America/New_York — the round-4 driver-only hash-red
+    mechanism for absolute-time surfaces). Equals DuckDB's
+    ``epoch_us(ts)`` on the same naive timestamp, bit-exactly."""
+    c = col if isinstance(col, Column) else F.col(col)
+    day = F.datediff(c.cast("date"),
+                     F.lit("1970-01-01").cast("date")).cast("long")
+    mins = (F.hour(c) * 3600 + F.minute(c) * 60).cast("long")
+    # date_part SECOND on NTZ is DECIMAL(8,6) incl. the micro fraction
+    frac = (F.date_part(F.lit("SECOND"), c) * 1000000).cast("long")
+    return day * F.lit(86400000000).cast("long") + mins * 1000000 + frac
 
 
 def windowed_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
@@ -663,6 +682,13 @@ def interval_enrich(left: DataFrame, right: DataFrame,
     have to buffer both streams in full.
 
     Returns (on, l_id, l_type, l_ts, r_id, r_type, r_ts)."""
+    # event time MUST be TIMESTAMP (ltz) — streaming watermarks reject
+    # NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). For an NTZ input the
+    # cast interprets the wall time in the SESSION zone; the join's
+    # interval arithmetic is shift-invariant (both sides move
+    # together), but the emitted l_ts/r_ts are session-zone instants:
+    # callers needing a TZ-proof surface cast them back to
+    # timestamp_ntz (exact wall-time round trip within one session)
     l = (left.select(F.col(on).alias("k"),
                      F.col("event_id").alias("l_id"),
                      F.col("event_type").alias("l_type"),
