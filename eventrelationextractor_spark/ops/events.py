@@ -360,7 +360,14 @@ def window_anomalies(events: DataFrame, minutes: int = 60,
     ``windowed_counts``), so moments are over OBSERVED windows -
     documented contract, matched by the oracle."""
     sec = minutes * 60
-    bucket = (F.floor(F.unix_timestamp("ts") / sec) * sec).cast("long")
+    # TZ-proof tumbling bucket from the NTZ wall time (ntz_epoch_us):
+    # unix_timestamp(ts) interprets an NTZ column in the SESSION zone,
+    # shifting every bucket boundary with the timezone (the round-5
+    # full-registry sweep caught exactly this here). All-integer:
+    # us - us % window is divisible by 1e6, so the /1e6 is exact.
+    us = ntz_epoch_us("ts")
+    wus = F.lit(sec * 1000000).cast("long")
+    bucket = ((us - us % wus) / F.lit(1000000)).cast("long")
     wc = (events.select("event_type", bucket.alias("win_start"))
           .groupBy("event_type", "win_start")
           .agg(F.count(F.lit(1)).alias("n")))

@@ -1335,7 +1335,8 @@ def bounded_rings(edges: DataFrame, k: int = 3, src_col: str = "src",
 
 def boruvka_mst(edges: DataFrame, nodes: DataFrame | None = None,
                 max_rounds: int = 20,
-                stats: dict | None = None) -> DataFrame:
+                stats: dict | None = None,
+                carry_live: bool = False) -> DataFrame:
     """Minimum spanning forest by Boruvka's algorithm -> the MST edge
     set (eid, u, v, w): THE textbook distributed MST (every round is
     pure data-parallel aggregation - no priority queue, no sequential
@@ -1402,6 +1403,15 @@ def boruvka_mst(edges: DataFrame, nodes: DataFrame | None = None,
         labels = (labels.join(remap, "comp", "left")
                   .select("node", F.coalesce("newc", "comp")
                           .alias("comp"))
+                  .localCheckpoint(eager=False))
+        if carry_live:
+            # edge cleanup: intra-component edges never re-qualify, so
+            # later rounds can scan the (shrinking) cross-edge survivor
+            # set instead of the full e0. Costs one extra checkpoint
+            # per round — a loss at toy scale where fixed overhead
+            # dominates, a win once the edge set dwarfs the rounds
+            # (A/B'd per the house rule; see BENCH/BASELINE.md)
+            e0 = (live.select("eid", "u", "v", "w")
                   .localCheckpoint(eager=False))
     if stats is not None:
         stats["rounds"] = rounds

@@ -263,6 +263,56 @@ def test_window_anomalies_flags_injected_burst(spark):
     assert all(r.n == 1 for r in out.values() if not r.anomaly)
 
 
+def test_ntz_epoch_us_is_session_tz_proof(spark):
+    """ntz_epoch_us = naive-as-UTC epoch micros under ANY session zone
+    (the ltz-cast alternative shifts by the zone offset — the r03/r04
+    driver-only hash-red mechanism)."""
+    from datetime import datetime
+
+    from eventrelationextractor_spark.ops import events as ev_ops
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 9, 58, 778549),)], "ts timestamp_ntz")
+    want = 1704067798778549
+    assert df.select(ev_ops.ntz_epoch_us("ts").alias("us")) \
+        .collect()[0].us == want
+    old = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = df.select(ev_ops.ntz_epoch_us("ts").alias("us")) \
+            .collect()[0].us
+        shifted = df.select(
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us")
+        ).collect()[0].us
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", old)
+    assert got == want
+    assert shifted == want + 5 * 3600 * 1000000   # the ltz-cast trap
+
+
+def test_window_anomalies_buckets_are_tz_proof(spark):
+    from datetime import datetime
+
+    from eventrelationextractor_spark.ops import events as ev_ops
+    rows = [(datetime(2024, 1, 1, h, 5), "click") for h in range(6)]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, event_type string")
+    base = sorted(r.win_start for r in
+                  ev_ops.window_anomalies(df).collect())
+    old = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+    try:
+        got = sorted(r.win_start for r in
+                     ev_ops.window_anomalies(df).collect())
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", old)
+    assert got == base == [1704067200 + 3600 * h for h in range(6)]
+
+
 def test_personalized_pagerank_mass_and_locality(spark):
     import math as _m
     # chain 0->1->2->3 plus far component 10->11; seed = {0}

@@ -1,0 +1,148 @@
+"""Consolidated sf1.0 correctness sweep (round-4 verdict item #7): run
+EVERY oracled ``queries()`` entry at the 100x corpus (/tmp/sf1.0,
+regenerable via ``tools/make_sf.py --sf 1.0``) and write ONE auditable
+artifact, ``CORRECTNESS_sf1_r5.json``, with per-query status/rows/
+seconds. Queries whose ORACLE (not the Spark side) is a documented
+verification-only wall at this SF are excluded and listed in the
+artifact:
+
+* ``winnowing_pairs``     — ~30 min of DuckDB-side scalar md5 (Spark
+                            side does 105k docs in 71 s)
+* ``optimal_segmentation``— ~37 min of DuckDB recursive-CTE DP
+* ``boruvka_mst`` / ``greedy_matching`` / ``jones_plassmann`` /
+  ``kruskal_stratum``-family sequential-replay oracles run on the
+  doc_id%10 stratum graph by design and ARE included; only the two
+  above are excluded.
+
+Usage: python tools/sf1_gate.py [query ...]
+Env:   SF1_DIR (default /tmp/sf1.0), SF1_OUT (default
+       CORRECTNESS_sf1_r5.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from check_correctness import TABLES, value_hash  # noqa: E402
+
+EXCLUDED = {
+    "winnowing_pairs": "DuckDB oracle ~30 min scalar md5 (verification-only)",
+    "optimal_segmentation": "DuckDB oracle ~37 min recursive-CTE DP "
+                            "(verification-only)",
+    # the per-column digest probes compare against sf0.01-pinned
+    # digests BY DESIGN (their whole job is localizing driver-side
+    # divergence at the driver's gate SF)
+    "diag_tpch_pricing": "digest pins are sf0.01-specific by design",
+    "diag_quality_clf": "digest pins are sf0.01-specific by design",
+    "diag_ivm": "digest pins are sf0.01-specific by design",
+    "diag_packing": "digest pins are sf0.01-specific by design",
+    "diag_hdr": "digest pins are sf0.01-specific by design",
+}
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entry
+    from eventrelationextractor_spark.spark.session import build_session
+
+    sf_dir = os.environ.get("SF1_DIR", "/tmp/sf1.0")
+    out_path = os.environ.get("SF1_OUT",
+                              os.path.join(REPO, "CORRECTNESS_sf1_r5.json"))
+    only = set(sys.argv[1:])
+
+    spark = build_session(master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    results: dict = {}
+    n_fail = 0
+    t_start = time.time()
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name in EXCLUDED and not only:
+            results[name] = {"status": "excluded",
+                             "reason": EXCLUDED[name]}
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            results[name] = {"status": "spark_error",
+                             "err": str(e)[:200]}
+            print(f"FAIL {name}: spark {str(e)[:120]}", flush=True)
+            continue
+        if name not in oracles:
+            results[name] = {"status": "rows_only", "rows": len(srows)}
+            print(f"ok   {name}: rows-only {len(srows)}", flush=True)
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            results[name] = {"status": "oracle_error",
+                             "err": str(e)[:200]}
+            print(f"FAIL {name}: oracle {str(e)[:120]}", flush=True)
+            continue
+        ok = (len(srows) == len(orows)
+              and sorted(scols) == sorted(ocols)
+              and value_hash(scols, srows) == value_hash(ocols, orows))
+        dt = round(time.time() - t0, 1)
+        if ok:
+            results[name] = {"status": "ok", "rows": len(srows),
+                             "secs": dt}
+            print(f"ok   {name}: {len(srows)} rows {dt}s", flush=True)
+        else:
+            n_fail += 1
+            results[name] = {"status": "hash_fail",
+                             "spark_rows": len(srows),
+                             "oracle_rows": len(orows), "secs": dt}
+            print(f"FAIL {name}: {len(srows)} vs {len(orows)}",
+                  flush=True)
+
+    artifact = {
+        "sf": 1.0,
+        "dataset": "tools/make_sf.py --sf 1.0 (50,000 docs / 50,000 "
+                   "embeddings / 1,000,000 events; driver testdata is "
+                   "read-only and capped at sf0.1)",
+        "command": "python tools/sf1_gate.py   (SF1_DIR=/tmp/sf1.0, "
+                   "local[32], 12g driver heap via build_session)",
+        "n_queries": len(results),
+        "n_ok": sum(1 for v in results.values()
+                    if v["status"] in ("ok", "rows_only")),
+        "n_fail": n_fail,
+        "n_excluded": sum(1 for v in results.values()
+                          if v["status"] == "excluded"),
+        "wall_sec": round(time.time() - t_start, 1),
+        "queries": results,
+    }
+    if not only:
+        with open(out_path, "w") as fh:
+            json.dump(artifact, fh, indent=1)
+        print("wrote", out_path)
+    print("failures:", n_fail)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
