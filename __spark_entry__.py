@@ -4956,6 +4956,111 @@ SELECT CAST(floor(exp(1.0) * 1e15) AS BIGINT)  AS exp1,
 """
 
 
+def _q_events_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard for time-to-first-purchase
+    (ops/events.py::nelson_aalen): the INTEGER-PURE survival curve —
+    per-time increment (1e6*d) div n_risk, cumulative window sum, no
+    exp/ln anywhere (contrast kaplan_meier's float survival)."""
+    return events.nelson_aalen(_events(spark, sf_dir))
+
+
+def _q_events_logrank(spark, sf_dir):
+    """Two-sample log-rank test between user_id%2 arms
+    (ops/events.py::logrank_test): O/E/V accumulate as lockstep
+    integer micro-units (documented div sequence bounds intermediates
+    ~1e16 where the exact fraction would overflow); z is one float
+    expression over exact integers, no merge-order exposure."""
+    return events.logrank_test(_events(spark, sf_dir))
+
+
+def _q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (ops/linkage.py::
+    sorted_neighborhood): pairs within a w=8 sliding window of the
+    global (lang|text-prefix, doc_id) sort order. Distributed as
+    bucket-offset global ranks + a BANDED equi-self-join (no
+    single-partition window, no range join); the oracle is the
+    textbook one-sorted-list formulation."""
+    d = _docs(spark, sf_dir)
+    key = F.concat_ws(
+        "|", F.col("lang"),
+        F.substring(F.regexp_replace(F.lower(F.col("text")),
+                                     "[^a-z0-9 ]", ""), 1, 16))
+    return linkage.sorted_neighborhood(d, "doc_id", key, window=8,
+                                       bucket_prefix=3)
+
+
+def _q_conformal_intervals(spark, sf_dir):
+    """Split-conformal prediction intervals per lang
+    (ops/quality.py::conformal_intervals): calibration = even doc_ids,
+    group-median predictor, q_hat = exact ceil((n+1)*0.9)-th absolute
+    residual, test-side coverage in integer ppm — Vovk's
+    finite-sample marginal-coverage construction, integer-pure."""
+    return quality.conformal_intervals(
+        _docs(spark, sf_dir), "lang", "n_chars",
+        F.expr("doc_id % 2 = 0"), alpha_pct=10)
+
+
+def _q_ppjoin_pairs(spark, sf_dir):
+    """PPJoin positional-filter similarity join (ops/dedup.py::
+    ppjoin_pairs, Xiao WWW'08): prefix filtering + the per-pair
+    overlap upper bound from first-shared-prefix-token positions,
+    recall-1 at Jaccard >= 0.8 over the augmented near-dup corpus.
+    The oracle is the INDEPENDENT quadratic shingle self-join (exact
+    Jaccard, no filtering), so the gate cross-checks two algorithms."""
+    return dedup.ppjoin_pairs(_augmented_docs(spark, sf_dir),
+                              t_ppm=800_000)
+
+
+def _q_perm_fdr(spark, sf_dir):
+    """Permutation test + Benjamini-Hochberg FDR, fully integer
+    (ops/quality.py::perm_fdr): which top-30 tokens differ between
+    even/odd doc sides beyond chance at FDR 0.05; 64 md5-seeded
+    sign-flip permutations give RATIONAL p-values, so BH's step-up is
+    an exact integer comparison on both engines."""
+    d = _docs(spark, sf_dir)
+    toks = (d.select("doc_id",
+                     F.explode(F.filter(
+                         F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                         lambda t: t != "")).alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    return quality.perm_fdr(toks, F.expr("doc_id % 2 = 0"),
+                            top_m=30, n_perm=64)
+
+
+def _q_ipf_raking(spark, sf_dir):
+    """Iterative proportional fitting (ops/mixing.py::ipf_raking):
+    rake the (event_type, dow) contingency table to uniform margins
+    (tot div n_rows / tot div n_cols), 3 lockstep rounds in integer
+    micro-units via Spark DECIMAL(38,0) div == DuckDB HUGEINT // —
+    the survey-weighting primitive for training-data mixing. Day
+    buckets via datediff (TZ-proof, the NTZ lesson)."""
+    ev = _events(spark, sf_dir)
+    dow = (F.expr("datediff(cast(ts as date), DATE'1970-01-01') % 7")
+           .cast("long").alias("dow"))
+    cells = (ev.select("event_type", dow)
+             .groupBy("event_type", "dow")
+             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    t = cells.agg(F.sum("cnt").alias("tot"),
+                  F.countDistinct("event_type").alias("nr"),
+                  F.countDistinct("dow").alias("nc"))
+    rt = (cells.select("event_type").distinct().crossJoin(t)
+          .select("event_type", F.expr("tot div nr").alias("target")))
+    ct = (cells.select("dow").distinct().crossJoin(t)
+          .select("dow", F.expr("tot div nc").alias("target")))
+    return mixing.ipf_raking(cells, "event_type", "dow", rt, ct,
+                             n_iter=3)
+
+
+def _q_user_event_topk(spark, sf_dir):
+    """Exact per-user top-4 event types (ops/events.py::
+    user_event_topk): one partial-agged groupBy + a partitioned rank
+    window. Batch twin of the streaming space-saving sketch
+    (ops/events.py::streaming_topk) — equivalence pytest-pinned in
+    the exactness regime, overestimate bound pinned under eviction."""
+    return events.user_event_topk(_events(spark, sf_dir), k=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): diag probes first (the
@@ -5279,6 +5384,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_pivot": _q_scc_pivot,
         "ltr_features": _q_ltr_features,
         "trending_terms": _q_trending_terms,
+        "events_nelson_aalen": _q_events_nelson_aalen,
+        "events_logrank": _q_events_logrank,
+        "sorted_neighborhood": _q_sorted_neighborhood,
+        "conformal_intervals": _q_conformal_intervals,
+        "ppjoin_pairs": _q_ppjoin_pairs,
+        "perm_fdr": _q_perm_fdr,
+        "ipf_raking": _q_ipf_raking,
+        "user_event_topk": _q_user_event_topk,
     }
 
 
@@ -13063,6 +13176,239 @@ SELECT g2.eid, CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v
 FROM g2 JOIN ou USING (eid)
 """
 
+_SURVIVAL_SUBJECTS_SQL = """
+subj AS (
+  SELECT user_id, min(ts) AS t0, max(ts) AS t_last,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_evt
+  FROM events GROUP BY user_id),
+s2 AS (SELECT user_id,
+              CAST((epoch_us(coalesce(t_evt, t_last)) - epoch_us(t0))
+                   // 60000000 AS BIGINT) AS duration_min,
+              CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS observed
+       FROM subj)
+"""
+
+_NELSON_AALEN_ORACLE = f"""
+WITH {_SURVIVAL_SUBJECTS_SQL},
+times AS (SELECT duration_min, CAST(sum(observed) AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM s2 GROUP BY duration_min),
+ar AS (SELECT *, CAST(sum(c) OVER (ORDER BY duration_min DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_risk
+       FROM times),
+na AS (SELECT * FROM ar WHERE d > 0)
+SELECT duration_min, n_risk, d AS n_events,
+       CAST(sum((1000000 * d) // n_risk)
+            OVER (ORDER BY duration_min
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cumhaz_ppm
+FROM na
+"""
+
+_LOGRANK_ORACLE = f"""
+WITH {_SURVIVAL_SUBJECTS_SQL},
+s3 AS (SELECT duration_min, observed,
+              CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm
+       FROM s2),
+cell AS (SELECT duration_min, arm, CAST(sum(observed) AS BIGINT) AS da,
+                CAST(count(*) AS BIGINT) AS ca
+         FROM s3 GROUP BY duration_min, arm),
+per_t AS (SELECT duration_min,
+    CAST(sum(CASE WHEN arm = 1 THEN da ELSE 0 END) AS BIGINT) AS d1,
+    CAST(sum(da) AS BIGINT) AS d,
+    CAST(sum(CASE WHEN arm = 1 THEN ca ELSE 0 END) AS BIGINT) AS c1,
+    CAST(sum(ca) AS BIGINT) AS c
+  FROM cell GROUP BY duration_min),
+risk AS (SELECT *,
+    CAST(sum(c1) OVER wd AS BIGINT) AS n1,
+    CAST(sum(c) OVER wd AS BIGINT) AS n
+  FROM per_t
+  WINDOW wd AS (ORDER BY duration_min DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+lt AS (SELECT *, (1000000 * d * n1) // n AS a
+       FROM risk WHERE d > 0),
+lt2 AS (SELECT *, (a * (n - n1)) // n AS b FROM lt),
+lt3 AS (SELECT *, CASE WHEN n > 1 THEN (b * (n - d)) // (n - 1)
+                       ELSE 0 END AS v
+        FROM lt2),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+               CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(a) AS BIGINT) AS e1_micro,
+               CAST(sum(v) AS BIGINT) AS v_micro
+        FROM lt3)
+SELECT n_times, o1, e1_micro, v_micro,
+       CASE WHEN v_micro > 0
+            THEN round((o1 - e1_micro / 1e6) / sqrt(v_micro / 1e6), 6)
+       END AS z
+FROM agg
+"""
+
+_SORTED_NEIGHBORHOOD_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         lang || '|' || substr(regexp_replace(lower(text),
+                               '[^a-z0-9 ]', '', 'g'), 1, 16) AS k
+  FROM documents),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS r
+      FROM keyed)
+SELECT ra.doc_id AS a, rb.doc_id AS b, CAST(rb.r - ra.r AS BIGINT) AS gap
+FROM r ra JOIN r rb ON rb.r > ra.r AND rb.r <= ra.r + 7
+"""
+
+_CONFORMAL_ORACLE = """
+WITH cal AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS x
+             FROM documents WHERE doc_id % 2 = 0),
+n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY g),
+vals AS (SELECT g, x, count(*) AS c FROM cal GROUP BY g, x),
+cum AS (SELECT g, x, sum(c) OVER (PARTITION BY g ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM vals),
+med AS (SELECT c.g, n.n_cal, CAST(min(x) AS BIGINT) AS pred
+        FROM cum c JOIN n ON n.g = c.g
+        WHERE 2 * cum >= n_cal + 1 GROUP BY c.g, n.n_cal),
+res AS (SELECT cal.g, abs(x - pred) AS res
+        FROM cal JOIN med ON med.g = cal.g),
+rr AS (SELECT g, res,
+              row_number() OVER (PARTITION BY g ORDER BY res) AS rn
+       FROM res),
+q AS (SELECT rr.g, CAST(res AS BIGINT) AS q_hat
+      FROM rr JOIN med ON med.g = rr.g
+      WHERE rn = least(n_cal, ((n_cal + 1) * 90 + 99) // 100)),
+test AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS x
+         FROM documents WHERE doc_id % 2 <> 0),
+per AS (SELECT med.g, med.n_cal, med.pred, q.q_hat,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN abs(x - pred) <= q_hat
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        FROM test JOIN med ON med.g = test.g JOIN q ON q.g = test.g
+        GROUP BY med.g, med.n_cal, med.pred, q.q_hat)
+SELECT g AS lang, n_cal, pred, q_hat, n_test, n_covered,
+       (1000000 * n_covered) // n_test AS coverage_ppm
+FROM per
+"""
+
+# independent quadratic exact-Jaccard join (no prefix/positional
+# filtering) — cross-checks the PPJoin algorithm, not a replay of it
+_PPJOIN_ORACLE = """
+WITH aug AS (SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 1000000, text || ' extra'
+                       FROM documents
+             UNION ALL SELECT doc_id + 2000000, text FROM documents
+                       WHERE doc_id % 10 = 0),
+norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM aug),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM words, LATERAL unnest(generate_series(1, len(w) - 2)) AS g(i)
+        WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM sh GROUP BY doc_id),
+inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b,
+                 CAST(count(*) AS BIGINT) AS n_inter
+          FROM sh sa JOIN sh sb
+            ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+          GROUP BY sa.doc_id, sb.doc_id)
+SELECT a, b, n_inter,
+       CAST(za.n + zb.n - n_inter AS BIGINT) AS n_union,
+       round(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
+FROM inter JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
+WHERE 1000000 * n_inter >= 800000 * (za.n + zb.n - n_inter)
+"""
+
+_PERM_FDR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS token
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(text), '[^a-z0-9]+',
+                            ' ', 'g'), ' ') AS ws
+        FROM documents) s, LATERAL unnest(ws) AS t(tok)
+  WHERE t.tok <> ''),
+dtc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY doc_id, token),
+top AS (SELECT token FROM (
+          SELECT token, sum(cnt) AS tot FROM dtc GROUP BY token
+          ORDER BY tot DESC, token LIMIT 30)),
+dt AS (SELECT d.doc_id, d.token, d.cnt,
+              CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END AS s
+       FROM dtc d JOIN top USING (token)),
+obs AS (SELECT token, CAST(abs(sum(cnt * (1 - 2 * s))) AS BIGINT)
+               AS t_obs
+        FROM dt GROUP BY token),
+perms AS (SELECT dt.*, bb.b FROM dt,
+          (SELECT unnest(generate_series(0, 63)) AS b) bb),
+nullt AS (SELECT token, b,
+    CAST(abs(sum(cnt * (1 - 2 * ((s + CAST(
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(b AS VARCHAR)), 1, 1))::UBIGINT % 2
+        AS INT)) % 2)))) AS BIGINT) AS t_b
+  FROM perms GROUP BY token, b),
+cge AS (SELECT o.token, o.t_obs,
+               CAST(sum(CASE WHEN n.t_b >= o.t_obs THEN 1 ELSE 0 END)
+                    AS BIGINT) AS perm_ge
+        FROM nullt n JOIN obs o USING (token)
+        GROUP BY o.token, o.t_obs),
+rk AS (SELECT *, CAST(row_number() OVER (ORDER BY perm_ge, token)
+                      AS BIGINT) AS rank,
+              count(*) OVER () AS m
+       FROM cge),
+fl AS (SELECT *, CASE WHEN 20 * m * (1 + perm_ge) <= rank * 65
+                      THEN rank ELSE 0 END AS okr
+       FROM rk),
+km AS (SELECT coalesce(max(okr), 0) AS kmax FROM fl)
+SELECT token, t_obs, perm_ge, rank,
+       CAST(CASE WHEN rank <= kmax THEN 1 ELSE 0 END AS BIGINT)
+           AS rejected
+FROM fl, km
+"""
+
+_IPF_STEP_ROW = ("CASE WHEN sum({w}) OVER (PARTITION BY event_type) > 0"
+                 " THEN (CAST({w} AS HUGEINT) * rt * 1000000)"
+                 " // sum({w}) OVER (PARTITION BY event_type)"
+                 " ELSE 0 END")
+_IPF_STEP_COL = ("CASE WHEN sum({w}) OVER (PARTITION BY dow) > 0"
+                 " THEN (CAST({w} AS HUGEINT) * ctg * 1000000)"
+                 " // sum({w}) OVER (PARTITION BY dow)"
+                 " ELSE 0 END")
+
+_IPF_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+              AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, 2),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+             CAST(count(DISTINCT dow) AS BIGINT) AS nc
+      FROM cells),
+rts AS (SELECT event_type, tot // nr AS rt
+        FROM (SELECT DISTINCT event_type FROM cells) r, t),
+cts AS (SELECT dow, tot // nc AS ctg
+        FROM (SELECT DISTINCT dow FROM cells) c, t),
+w0 AS (SELECT c.event_type, c.dow, c.cnt AS n_obs,
+              CAST(c.cnt AS HUGEINT) * 1000000 AS w, rts.rt, cts.ctg
+       FROM cells c JOIN rts USING (event_type) JOIN cts USING (dow)),
+r1 AS (SELECT *, {_IPF_STEP_ROW.format(w='w')} AS wa FROM w0),
+c1 AS (SELECT *, {_IPF_STEP_COL.format(w='wa')} AS wb FROM r1),
+r2 AS (SELECT *, {_IPF_STEP_ROW.format(w='wb')} AS wc FROM c1),
+c2 AS (SELECT *, {_IPF_STEP_COL.format(w='wc')} AS wd FROM r2),
+r3 AS (SELECT *, {_IPF_STEP_ROW.format(w='wd')} AS we FROM c2),
+c3 AS (SELECT *, {_IPF_STEP_COL.format(w='we')} AS wf FROM r3)
+SELECT event_type, dow, n_obs, CAST(wf AS BIGINT) AS w_micro
+FROM c3
+"""
+
+_USER_TOPK_ORACLE = """
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY user_id, event_type),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY cnt DESC, event_type) AS BIGINT) AS rnk
+      FROM c)
+SELECT user_id, event_type, cnt, rnk FROM r WHERE rnk <= 4
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
@@ -13415,6 +13761,14 @@ FROM hashed
                 "FROM documents",
                 "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0) "
                 "documents")),
+        "events_nelson_aalen": _NELSON_AALEN_ORACLE,
+        "events_logrank": _LOGRANK_ORACLE,
+        "sorted_neighborhood": _SORTED_NEIGHBORHOOD_ORACLE,
+        "conformal_intervals": _CONFORMAL_ORACLE,
+        "ppjoin_pairs": _PPJOIN_ORACLE,
+        "perm_fdr": _PERM_FDR_ORACLE,
+        "ipf_raking": _IPF_ORACLE,
+        "user_event_topk": _USER_TOPK_ORACLE,
     }
 
 

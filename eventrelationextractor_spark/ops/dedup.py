@@ -1199,3 +1199,71 @@ def multitier_resolution(df: DataFrame, id_col: str = "doc_id",
                     .alias("canonical_id"))
             .withColumn("is_kept",
                         F.col("canonical_id") == F.col(id_col)))
+
+
+def ppjoin_pairs(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3,
+                 t_ppm: int = 800_000) -> DataFrame:
+    """PPJoin (Xiao et al., WWW'08): prefix filtering + the POSITIONAL
+    filter -> (a, b, n_inter, n_union, jaccard), every pair with
+    Jaccard >= t_ppm/1e6 (exact, recall=1 — same output contract as
+    ``prefix_filter_pairs``, strictly fewer verified candidates).
+
+    The positional upgrade: when prefixes of a and b first share a
+    token at positions pa (of na tokens) and pb (of nb), the overlap
+    can be at most ubound = 1 + min(na - pa, nb - pb); a candidate
+    survives only if 1e6 * ubound >= t_ppm * (na + nb) / (1 + t) — in
+    integers, (1e6 + t_ppm) * 1e6 * ubound >= t_ppm * 1e6 * (na + nb)
+    reduces to (1_000_000 + t_ppm) * ubound >= t_ppm * (na + nb),
+    using O >= t/(1+t) * (na+nb) (equivalent to J >= t via
+    O = J*U and U = na+nb-O). The FIRST shared prefix token is
+    selected per pair by a min-aggregation (not a window) so the
+    filter is one groupBy over the prefix join output.
+
+    Scale shape: identical joins to prefix_filter_pairs (df-ranked
+    prefixes, merge-hinted corpus-scale sides) with the candidate set
+    cut by the positional bound BEFORE the expensive verification
+    join — the WWW'08 measurement is 2-5x fewer verifications at
+    text-corpus skew. Verification recomputes exact intersections, so
+    the bound only ever removes work, never rows."""
+    sh = _shingle_source(df, id_col, text_col, k, None)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc")) \
+        .hint("merge")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")) \
+        .hint("merge")
+    w = Window.partitionBy(id_col).orderBy("dfc", "shingle")
+    ranked = (sh.join(dfc, "shingle").join(sizes, id_col)
+              .withColumn("r", F.row_number().over(w)))
+    pref = ranked.filter(
+        F.col("r") <= F.col("n")
+        - F.expr(f"({t_ppm} * n + 999999) div 1000000") + F.lit(1))
+    pa = pref.select(F.col(id_col).alias("a"), "shingle",
+                     F.col("n").alias("na"), F.col("r").alias("pa"))
+    pb = pref.select(F.col(id_col).alias("b"), "shingle",
+                     F.col("n").alias("nb"), F.col("r").alias("pb"))
+    joined = (pa.join(pb.hint("merge"), "shingle")
+              .filter((F.col("a") < F.col("b")) &
+                      (F.lit(1_000_000) * F.least("na", "nb") >=
+                       F.lit(t_ppm) * F.greatest("na", "nb"))))
+    # positional filter on the FIRST (lowest-rank-sum) shared prefix
+    # token: ubound = 1 + min(na-pa, nb-pb), computed by min-agg so
+    # candidate dedup and the filter are the same shuffle
+    cand = (joined.groupBy("a", "b", "na", "nb")
+            .agg(F.max(F.least(F.col("na") - F.col("pa"),
+                               F.col("nb") - F.col("pb")))
+                 .alias("slack"))
+            .filter(F.lit(1_000_000 + t_ppm) * (1 + F.col("slack"))
+                    >= F.lit(t_ppm) * (F.col("na") + F.col("nb"))))
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (cand.hint("merge").join(sa, "a")
+             .join(sb.hint("merge"), ["b", "shingle"])
+             .groupBy("a", "b", "na", "nb")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    uni = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (inter.filter(F.lit(1_000_000) * F.col("n_inter")
+                         >= F.lit(t_ppm) * uni)
+            .select("a", "b",
+                    F.col("n_inter").cast("long").alias("n_inter"),
+                    uni.cast("long").alias("n_union"),
+                    F.round(F.col("n_inter") / uni, 6).alias("jaccard")))

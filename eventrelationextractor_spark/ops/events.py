@@ -1213,16 +1213,8 @@ def kaplan_meier(events: DataFrame, interest: str = "purchase",
     agged), one groupBy to distinct durations, then windows over the
     duration table only — statistic-scale (bounded by the time
     resolution, not the corpus)."""
-    is_evt = F.col(type_col) == interest
-    subj = (events.groupBy(user_col)
-            .agg(F.min(ts_col).alias("t0"),
-                 F.max(ts_col).alias("t_last"),
-                 F.min(F.when(is_evt, F.col(ts_col))).alias("t_evt")))
-    subj = subj.select(
-        F.expr("(unix_micros(cast(coalesce(t_evt, t_last) as timestamp))"
-               " - unix_micros(cast(t0 as timestamp))) div 60000000")
-        .alias("duration_min"),
-        F.col("t_evt").isNotNull().cast("long").alias("observed"))
+    subj = _survival_subjects(events, interest, ts_col, user_col,
+                              type_col).drop(user_col)
     times = (subj.groupBy("duration_min")
              .agg(F.sum("observed").cast("long").alias("d"),
                   F.count(F.lit(1)).cast("long").alias("c")))
@@ -1242,6 +1234,122 @@ def kaplan_meier(events: DataFrame, interest: str = "purchase",
     return km.select(F.col("duration_min").cast("long"),
                      "n_risk", F.col("d").alias("n_events"),
                      surv.alias("survival"))
+
+
+def _survival_subjects(events: DataFrame, interest: str, ts_col: str,
+                       user_col: str, type_col: str) -> DataFrame:
+    """Shared subject table for the survival estimators: one row per
+    user with (user, duration_min, observed). Right-censoring and the
+    integer-microsecond duration contract are exactly kaplan_meier's
+    (see its docstring); factored out so Nelson-Aalen and the log-rank
+    test cannot drift from the KM subject definition."""
+    is_evt = F.col(type_col) == interest
+    subj = (events.groupBy(user_col)
+            .agg(F.min(ts_col).alias("t0"),
+                 F.max(ts_col).alias("t_last"),
+                 F.min(F.when(is_evt, F.col(ts_col))).alias("t_evt")))
+    return subj.select(
+        F.col(user_col),
+        F.expr("(unix_micros(cast(coalesce(t_evt, t_last) as timestamp))"
+               " - unix_micros(cast(t0 as timestamp))) div 60000000")
+        .alias("duration_min"),
+        F.col("t_evt").isNotNull().cast("long").alias("observed"))
+
+
+def nelson_aalen(events: DataFrame, interest: str = "purchase",
+                 ts_col: str = "ts", user_col: str = "user_id",
+                 type_col: str = "event_type") -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator for time-to-first-
+    ``interest`` per user -> (duration_min, n_risk, n_events,
+    cumhaz_ppm): H(t) = sum over event times t_i <= t of d_i / n_i.
+    The additive sibling of ``kaplan_meier`` — preferred when hazards
+    are the modelling target (exp(-H) is an alternative survival
+    estimate) and, here, the INTEGER-PURE member of the survival
+    family: each per-time increment is (1_000_000 * d) div n_risk and
+    the curve is a cumulative window sum of those exact integers, so
+    the output is bit-identical across engines, libm builds, and
+    partial-agg merge orders (no exp/ln anywhere, unlike KM's float
+    survival column).
+
+    Scale shape: identical to kaplan_meier — one corpus-scale groupBy
+    to subjects, one to distinct durations, then windows over the
+    statistic-scale duration table only."""
+    subj = _survival_subjects(events, interest, ts_col, user_col,
+                              type_col)
+    times = (subj.groupBy("duration_min")
+             .agg(F.sum("observed").cast("long").alias("d"),
+                  F.count(F.lit(1)).cast("long").alias("c")))
+    w_desc = (Window.orderBy(F.col("duration_min").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    at_risk = times.withColumn("n_risk",
+                               F.sum("c").over(w_desc).cast("long"))
+    na = at_risk.filter(F.col("d") > 0)
+    w_asc = (Window.orderBy("duration_min")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    inc = F.expr("(1000000 * d) div n_risk")
+    return na.select(
+        F.col("duration_min").cast("long"),
+        "n_risk", F.col("d").alias("n_events"),
+        F.sum(inc).over(w_asc).cast("long").alias("cumhaz_ppm"))
+
+
+def logrank_test(events: DataFrame, interest: str = "purchase",
+                 ts_col: str = "ts", user_col: str = "user_id",
+                 type_col: str = "event_type") -> DataFrame:
+    """Two-sample log-rank test (Mantel-Cox) comparing time-to-first-
+    ``interest`` between arms user_id % 2 -> ONE row (n_times, o1,
+    e1_micro, v_micro, z). At each pooled event time: observed arm-1
+    deaths d1, expected E1 = d * n1 / n, variance
+    V = d * (n1/n) * (1 - n1/n) * (n - d) / (n - 1); the test sums
+    them over event times and z = (O1 - E1) / sqrt(V).
+
+    Determinism contract: E1/V accumulate as LOCKSTEP integer
+    micro-units — a = (1e6*d*n1) div n, b = (a*(n-n1)) div n,
+    v = (b*(n-d)) div (n-1) — an identical div sequence on both
+    engines (documented rather than exact-rational: it also bounds
+    intermediates to ~1e16 at n ~ 1e5 subjects, where the exact
+    single-fraction numerator would overflow 2^63). z is then a
+    single-row float over those exact integers (no merge-order
+    exposure), rounded 6dp.
+
+    Scale shape: subjects groupBy (corpus-scale, partial-agged), a
+    (duration, arm) groupBy, then windows over the statistic-scale
+    pooled duration grid."""
+    subj = _survival_subjects(events, interest, ts_col, user_col,
+                              type_col)
+    subj = subj.withColumn("arm",
+                           (F.col(user_col) % 2 == 1).cast("int"))
+    cell = (subj.groupBy("duration_min", "arm")
+            .agg(F.sum("observed").cast("long").alias("da"),
+                 F.count(F.lit(1)).cast("long").alias("ca")))
+    per_t = (cell.groupBy("duration_min")
+             .agg(F.sum(F.when(F.col("arm") == 1, F.col("da"))
+                        .otherwise(F.lit(0))).alias("d1"),
+                  F.sum("da").alias("d"),
+                  F.sum(F.when(F.col("arm") == 1, F.col("ca"))
+                        .otherwise(F.lit(0))).alias("c1"),
+                  F.sum("ca").alias("c")))
+    w_desc = (Window.orderBy(F.col("duration_min").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = (per_t
+            .withColumn("n1", F.sum("c1").over(w_desc).cast("long"))
+            .withColumn("n", F.sum("c").over(w_desc).cast("long"))
+            .filter(F.col("d") > 0))
+    risk = risk.withColumn("a", F.expr("(1000000 * d * n1) div n"))
+    risk = risk.withColumn("b", F.expr("(a * (n - n1)) div n"))
+    risk = risk.withColumn(
+        "v", F.when(F.col("n") > 1,
+                    F.expr("(b * (n - d)) div (n - 1)"))
+        .otherwise(F.lit(0)).cast("long"))
+    agg = risk.agg(F.count(F.lit(1)).cast("long").alias("n_times"),
+                   F.sum("d1").cast("long").alias("o1"),
+                   F.sum("a").cast("long").alias("e1_micro"),
+                   F.sum("v").cast("long").alias("v_micro"))
+    z = F.when(F.col("v_micro") > 0,
+               F.round((F.col("o1") - F.col("e1_micro") / 1e6)
+                       / F.sqrt(F.col("v_micro") / 1e6), 6))
+    return agg.select("n_times", "o1", "e1_micro", "v_micro",
+                      z.alias("z"))
 
 
 def theil_sen(series: DataFrame, key_col: str, order_col: str,
@@ -1394,5 +1502,92 @@ def streaming_lateness(events: DataFrame) -> DataFrame:
                                 "late_us": out["late_us"]})
 
     return events.groupBy("key").applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+
+
+def user_event_topk(events: DataFrame, k: int = 4,
+                    user_col: str = "user_id",
+                    type_col: str = "event_type") -> DataFrame:
+    """Exact per-user top-k event types -> (user_id, event_type, cnt,
+    rnk): one partial-agged groupBy then a PARTITIONED rank window
+    (cnt desc, type asc — total order, engine-deterministic). The
+    batch twin of ``streaming_topk`` below; with streaming capacity
+    >= the user's distinct-type cardinality, space-saving is exact
+    and the two agree row-for-row (pytest-pinned)."""
+    counts = (events.groupBy(user_col, type_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w = Window.partitionBy(user_col).orderBy(F.col("cnt").desc(),
+                                             type_col)
+    return (counts.withColumn("rnk",
+                              F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k))
+
+
+def streaming_topk(stream: DataFrame, k: int = 4, capacity: int = 8,
+                   user_col: str = "user_id",
+                   type_col: str = "event_type") -> DataFrame:
+    """Streaming heavy-hitters per key (applyInPandasWithState):
+    the space-saving sketch (Metwally et al., ICDT'05) with
+    ``capacity`` monitored counters per user. When a new item arrives
+    with the monitor table full, the minimum counter is evicted and
+    inherited (the classic overestimate-bounded replacement:
+    cnt_est - err <= true count <= cnt_est). Emits, per trigger in
+    which a key's table changed, the current top-``k`` rows
+    (user_id, event_type, cnt_est, err, rnk, ver) where ver is the
+    per-key trigger revision — downstream (and the batch-equivalence
+    test) keeps each key's max-ver rows.
+
+    With capacity >= the key's true distinct cardinality nothing is
+    ever evicted, err stays 0, and the output equals the exact batch
+    ``user_event_topk`` — the exactness regime the equivalence test
+    pins; a second test pins the overestimate bound under
+    capacity < ndv. State is fixed-arity (three parallel arrays
+    bounded by ``capacity`` + the revision counter)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (f"{user_col} long, event_type string, cnt_est long, "
+                  "err long, rnk long, ver long")
+    state_schema = ("items array<string>, counts array<long>, "
+                    "errs array<long>, ver long")
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        if state.exists:
+            items, counts, errs, ver = state.get
+            tab = {i: [c, e] for i, c, e in zip(items, counts, errs)}
+        else:
+            tab, ver = {}, 0
+        changed = False
+        for pdf in pdfs:
+            for ty in pdf[type_col]:
+                changed = True
+                if ty in tab:
+                    tab[ty][0] += 1
+                elif len(tab) < capacity:
+                    tab[ty] = [1, 0]
+                else:
+                    # evict the min counter (ties by item string so
+                    # both any-replay orders pick identically)
+                    victim = min(tab, key=lambda t: (tab[t][0], t))
+                    vc = tab[victim][0]
+                    del tab[victim]
+                    tab[ty] = [vc + 1, vc]
+        if not changed:
+            return
+        ver += 1
+        state.update((list(tab.keys()),
+                      [v[0] for v in tab.values()],
+                      [v[1] for v in tab.values()], ver))
+        top = sorted(tab.items(), key=lambda t: (-t[1][0], t[0]))[:k]
+        yield pd.DataFrame(
+            {user_col: key[0],
+             "event_type": [t[0] for t in top],
+             "cnt_est": [t[1][0] for t in top],
+             "err": [t[1][1] for t in top],
+             "rnk": list(range(1, len(top) + 1)),
+             "ver": ver})
+
+    return stream.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout)

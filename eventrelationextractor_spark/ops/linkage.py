@@ -175,3 +175,67 @@ def blocked_jw_pairs(terms: DataFrame, block_col: str = "sdx",
         "jw", F.round(jw_udf(F.col("a"), F.col("b")), 6))
     return scored.filter(F.col("jw") >= float(threshold)) \
         .select("a", "b", "jw")
+
+
+def sorted_neighborhood(df: DataFrame, id_col: str, key,
+                        window: int = 8,
+                        bucket_prefix: int = 3) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD'95)
+    -> (a, b, gap): candidate pairs whose GLOBAL positions in the
+    (key, id) sort order differ by < ``window``. The classic
+    complement to hash blocking (soundex_blocking): hash blocks miss
+    near-misses that straddle a block boundary, SNM catches anything
+    that SORTS nearby regardless of exact key equality.
+
+    Distributed shape — no single-partition window anywhere:
+    1. bucket = the first ``bucket_prefix`` chars of the key. Because
+       the bucket is a PREFIX of the sort key, buckets are contiguous
+       runs of the global order, so global_rank = bucket_offset +
+       local row_number. Bucket offsets come from one tiny groupBy
+       (O(#buckets) rows) cumulated with a statistic-scale window and
+       broadcast back — the corpus-scale table only ever sees a
+       PARTITIONED window.
+    2. The neighborhood self-join is BANDED: band = rank div w; the
+       right side duplicates into (band, band-1), the equi-join on
+       band covers every pair with rank gap < w exactly once after
+       the 1 <= gap <= w-1 filter. Equi-join + 2x fanout, no range
+       join, no BNLJ.
+
+    Determinism: order is (key, id) — total, engine-agnostic. Output
+    pairs are (a < b by rank) with their rank gap; downstream feeds
+    them to the comparison stage (link_records / jw).
+
+    At 100 TB: buckets must be granular enough that one bucket fits a
+    task (raise ``bucket_prefix``); the band join shuffles on the
+    band integer, which is uniform by construction."""
+    from pyspark.sql import Window
+
+    keyed = df.select(F.col(id_col).alias("rid"), key.alias("k")) \
+        .withColumn("bkt", F.substring("k", 1, bucket_prefix))
+    counts = keyed.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_off = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+    w_loc = Window.partitionBy("bkt").orderBy("k", "rid")
+    ranked = (keyed.join(F.broadcast(offs.select("bkt", "off")), "bkt")
+              .withColumn("r", (F.col("off")
+                                + F.row_number().over(w_loc))
+                          .cast("long"))
+              .select("rid", "k", "r"))
+    wl = F.lit(int(window))
+    left = ranked.select(F.col("rid").alias("a"),
+                         F.col("r").alias("ra"),
+                         (F.col("r") - (F.col("r") % wl)).alias("band"))
+    right = (ranked.select(F.col("rid").alias("b"),
+                           F.col("r").alias("rb"))
+             .withColumn("band", F.explode(F.array(
+                 F.col("rb") - (F.col("rb") % wl),
+                 F.col("rb") - (F.col("rb") % wl) - wl))))
+    return (left.join(right, "band")
+            .filter((F.col("rb") - F.col("ra") >= 1)
+                    & (F.col("rb") - F.col("ra") <= window - 1))
+            .select("a", "b",
+                    (F.col("rb") - F.col("ra")).cast("long")
+                    .alias("gap")))

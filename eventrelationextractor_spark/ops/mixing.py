@@ -247,3 +247,61 @@ def apportion_counts(df: DataFrame, stratum_col: str, weight_col: str,
                         (F.col("rnk") <= F.col("leftover")).cast("long"))
             .select("stratum", "weight", "base", "extra",
                     (F.col("base") + F.col("extra")).alias("alloc")))
+
+
+def ipf_raking(cells: DataFrame, row_col: str, col_col: str,
+               row_targets: DataFrame, col_targets: DataFrame,
+               n_iter: int = 3) -> DataFrame:
+    """Iterative proportional fitting (raking) of a contingency table
+    to target margins -> (row, col, n_obs, w_micro): survey-weighting
+    / post-stratification for training-data mixing — reweight observed
+    (row, col) cell counts so row sums match ``row_targets``
+    (row, target) and column sums match ``col_targets`` (col, target),
+    alternating margin scalings for ``n_iter`` rounds.
+
+    Determinism: weights live in integer MICRO-units and every scaling
+    is the lockstep integer div w' = (w * target * 1e6) div margin_sum
+    — the quality_classifier fixed-point pattern, so both engines (and
+    any partial-agg merge order) walk the identical integer sequence.
+    The product w * target * 1e6 exceeds 2^63, so it runs in Spark
+    DECIMAL(38,0) against DuckDB HUGEINT — measured bit-equal
+    (Spark's decimal ``div`` is exact 128-bit as long as the QUOTIENT
+    fits BIGINT, which it does: the quotient is the rescaled micro
+    mass, <= max target * 1e6). Classical IPF converges
+    geometrically; 3 lockstep rounds is the documented
+    fixed-iteration contract (same stance as embedding_kmeans /
+    lm_quality).
+
+    Scale shape: the CELL table is statistic-scale (|rows| x |cols|),
+    so the margin sums are tiny windows; the corpus-scale work is
+    whatever groupBy produced ``cells`` upstream. Margins with zero
+    observed weight keep their cells at 0 (div guard)."""
+    w_row = Window.partitionBy("_r")
+    w_col = Window.partitionBy("_c")
+    cur = (cells.select(F.col(row_col).alias("_r"),
+                        F.col(col_col).alias("_c"),
+                        F.col("cnt").cast("long").alias("n_obs"))
+           .withColumn("w", F.col("n_obs") * F.lit(1_000_000)))
+    rt = F.broadcast(row_targets.select(F.col(row_col).alias("_r"),
+                                        F.col("target").alias("rt")))
+    ct = F.broadcast(col_targets.select(F.col(col_col).alias("_c"),
+                                        F.col("target").alias("ctg")))
+    cur = cur.join(rt, "_r").join(ct, "_c")
+    rescale = ("cast((cast(w as decimal(38,0)) * {t} * 1000000)"
+               " div cast({s} as decimal(38,0)) as bigint)")
+    for _ in range(n_iter):
+        rsum = F.sum("w").over(w_row)
+        cur = (cur.withColumn("_s", rsum)
+               .withColumn("w", F.when(
+                   F.col("_s") > 0,
+                   F.expr(rescale.format(t="rt", s="_s")))
+                   .otherwise(F.lit(0))).drop("_s"))
+        csum = F.sum("w").over(w_col)
+        cur = (cur.withColumn("_s", csum)
+               .withColumn("w", F.when(
+                   F.col("_s") > 0,
+                   F.expr(rescale.format(t="ctg", s="_s")))
+                   .otherwise(F.lit(0))).drop("_s"))
+    return cur.select(F.col("_r").alias(row_col),
+                      F.col("_c").alias(col_col), "n_obs",
+                      F.col("w").cast("long").alias("w_micro"))

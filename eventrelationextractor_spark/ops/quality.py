@@ -1294,3 +1294,272 @@ def mann_whitney_u(df: DataFrame, arm_col: str, value_col: str) \
                     (F.col("sr2") - F.col("n1") * (F.col("n1") + 1))
                     .cast("long").alias("u1_x2"),
                     F.round(z, 6).alias("z"))
+
+
+def conformal_intervals(df: DataFrame, group_col: str, value_col: str,
+                        cal_pred, alpha_pct: int = 10) -> DataFrame:
+    """Split-conformal prediction intervals per group -> (group,
+    n_cal, pred, q_hat, n_test, n_covered, coverage_ppm).
+    ``cal_pred`` is a boolean Column marking the CALIBRATION split
+    (its complement is the test split). The predictor is the exact
+    lower median of ``value_col`` over the calibration split per
+    group; the conformal radius q_hat is the k-th smallest absolute
+    calibration residual with k = ceil((n_cal + 1) * (1 - alpha)) —
+    the finite-sample marginal-coverage guarantee of Vovk's split
+    conformal (coverage >= 1 - alpha on exchangeable test points).
+
+    Integer-pure: values are BIGINT, the median is rank-picked (no
+    interpolation), k is exact integer ceil arithmetic, residuals and
+    the coverage count are integers, coverage_ppm is an integer div.
+    k is clamped to n_cal (k > n_cal means the conformal set is the
+    whole line; a group that small reports its max residual and the
+    clamp is visible as k == n_cal).
+
+    Scale shape: two partial-agged groupBys over the corpus, windows
+    only PARTITIONED by group (rank-pick of median and q_hat), one
+    broadcast-sized join of per-group scalars back to the test split."""
+    base = df.select(F.col(group_col).alias("g"),
+                     F.col(value_col).cast("long").alias("x"),
+                     cal_pred.alias("is_cal"))
+    cal = base.filter("is_cal")
+    # exact lower median via the cumulative-count pick (value-grouped,
+    # so the window runs over distinct values, not rows)
+    med = (cal.groupBy("g")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+           .join(cal.groupBy("g", "x")
+                 .agg(F.count(F.lit(1)).alias("c")), "g")
+           .withColumn("cum", F.sum("c").over(
+               Window.partitionBy("g").orderBy("x")
+               .rowsBetween(Window.unboundedPreceding, 0)))
+           .filter(F.col("cum") * 2 >= F.col("n_cal") + 1)
+           .groupBy("g", "n_cal")
+           .agg(F.min("x").cast("long").alias("pred")))
+    resid = (cal.join(F.broadcast(med), "g")
+             .select("g", "n_cal",
+                     F.abs(F.col("x") - F.col("pred")).alias("res")))
+    k = F.expr(f"least(n_cal, "
+               f"((n_cal + 1) * (100 - {alpha_pct}) + 99) div 100)")
+    w_res = Window.partitionBy("g").orderBy("res")
+    qhat = (resid.withColumn("rn", F.row_number().over(w_res))
+            .filter(F.col("rn") == k)
+            .select("g", F.col("res").cast("long").alias("q_hat")))
+    test = (base.filter(~F.col("is_cal"))
+            .join(F.broadcast(med.select("g", "n_cal", "pred")), "g")
+            .join(F.broadcast(qhat), "g"))
+    per = (test.groupBy("g", "n_cal", "pred", "q_hat")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_test"),
+                F.sum((F.abs(F.col("x") - F.col("pred"))
+                       <= F.col("q_hat")).cast("long"))
+                .cast("long").alias("n_covered")))
+    return per.select(F.col("g").alias(group_col), "n_cal", "pred",
+                      "q_hat", "n_test", "n_covered",
+                      F.expr("(1000000 * n_covered) div n_test")
+                      .alias("coverage_ppm"))
+
+
+def perm_fdr(doc_terms: DataFrame, side, top_m: int = 30,
+             n_perm: int = 64, alpha_num: int = 1,
+             alpha_den: int = 20) -> DataFrame:
+    """Permutation test + Benjamini-Hochberg FDR, fully INTEGER ->
+    (token, t_obs, perm_ge, rank, rejected): which of the top-m corpus
+    tokens have usage that differs between the two document sides
+    beyond chance, at FDR alpha = alpha_num/alpha_den.
+
+    ``doc_terms`` = (doc_id, token, cnt); ``side`` = boolean Column on
+    doc_id splitting the corpus. Statistic T = |sum_A cnt - sum_B cnt|
+    per token. Null draws: n_perm seeded sign-flip permutations —
+    flip(doc, b) = md5(doc_id:b) low-nibble parity, so BOTH engines
+    draw the identical permutation set (the bootstrap_ci pattern).
+    Empirical p_i = (1 + #{b: T_b >= T}) / (n_perm + 1) is RATIONAL,
+    so the BH step-up condition p_(k) <= alpha*k/m becomes the exact
+    integer comparison alpha_den*m*(1+c) <= alpha_num*k*(n_perm+1);
+    reject every rank <= max qualifying k. No floats anywhere.
+
+    Scale shape: the corpus-scale table is (docs x top_m) after the
+    broadcast vocabulary semi-join; the permutation explode multiplies
+    it by n_perm — the documented cost contract (B passes in one
+    shuffle instead of B jobs). Everything downstream is
+    statistic-scale (m rows)."""
+    top = (doc_terms.groupBy("token")
+           .agg(F.sum("cnt").cast("long").alias("tot"))
+           .orderBy(F.col("tot").desc(), "token").limit(top_m)
+           .select("token"))
+    dt = (doc_terms.join(F.broadcast(top), "token")
+          .groupBy("doc_id", "token")
+          .agg(F.sum("cnt").cast("long").alias("cnt"))
+          .withColumn("s", side.cast("int")))
+    signed = F.col("cnt") * (1 - 2 * F.col("s"))
+    obs = (dt.groupBy("token")
+           .agg(F.abs(F.sum(signed)).cast("long").alias("t_obs")))
+    perms = dt.crossJoin(
+        F.broadcast(dt.sparkSession.range(n_perm)
+                    .select(F.col("id").cast("int").alias("b"))))
+    flip = F.expr("conv(substring(md5(concat(cast(doc_id as string),"
+                  " ':', cast(b as string))), 1, 1), 16, 10) % 2") \
+        .cast("int")
+    sb = (F.col("s") + flip) % 2
+    null_t = (perms.withColumn("sb", sb)
+              .groupBy("token", "b")
+              .agg(F.abs(F.sum(F.col("cnt") * (1 - 2 * F.col("sb"))))
+                   .cast("long").alias("t_b")))
+    cge = (null_t.join(F.broadcast(obs), "token")
+           .groupBy("token", "t_obs")
+           .agg(F.sum((F.col("t_b") >= F.col("t_obs")).cast("long"))
+                .cast("long").alias("perm_ge")))
+    w_rank = Window.orderBy("perm_ge", "token")
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    m = F.count(F.lit(1)).over(w_all)
+    ranked = (cge.withColumn("rank",
+                             F.row_number().over(w_rank).cast("long"))
+              .withColumn("ok", (F.lit(alpha_den) * m
+                                 * (1 + F.col("perm_ge"))
+                                 <= F.lit(alpha_num) * F.col("rank")
+                                 * F.lit(n_perm + 1)).cast("int")))
+    kmax = F.coalesce(F.max(F.when(F.col("ok") == 1, F.col("rank")))
+                      .over(w_all), F.lit(0))
+    return ranked.select("token", "t_obs", "perm_ge", "rank",
+                         (F.col("rank") <= kmax).cast("long")
+                         .alias("rejected"))
+
+
+def ipw_ate(df: DataFrame, stratum_col: str, arm_col, y_col: str) \
+        -> DataFrame:
+    """Inverse-propensity-weighted ATE with EXACT stratum propensities
+    -> per-stratum (stratum, n, n1, sy1, sy0, t1_micro, t0_micro,
+    used, ate_micro): the Horvitz-Thompson treatment-effect estimate
+    where e_s = n1_s/n_s is the exact empirical propensity, so the
+    per-stratum arm means inflate by n_s/n1_s (resp. n_s/n0_s) — the
+    textbook identity under which IPW with estimated-within-stratum
+    propensities EQUALS the stratified estimator. Strata violating
+    positivity (an empty arm) are flagged used=0 and excluded from
+    ate_micro, with their rows kept visible (silently dropping
+    positivity violations is the classic IPW footgun).
+
+    Integer contract: y must be pre-scaled integer units (cents /
+    chars — the mann_whitney statistic-scale contract); terms are
+    lockstep micro-unit divs, ate_micro = sum(t1-t0) div (N of used
+    strata rows). Intermediate bound: 1e6 * sum_y * n per stratum
+    must fit 2^63 — at bigger scales pre-aggregate y to coarser units.
+
+    Scale shape: ONE corpus-scale groupBy (partial-agged conditional
+    sums); everything after runs on the statistic-scale stratum table
+    (unpartitioned windows there are fine)."""
+    arm = arm_col if not isinstance(arm_col, str) else F.col(arm_col)
+    per = (df.groupBy(F.col(stratum_col).alias("stratum"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(arm.cast("long")).cast("long").alias("n1"),
+                F.sum(F.when(arm, F.col(y_col)).otherwise(F.lit(0)))
+                .cast("long").alias("sy1"),
+                F.sum(F.when(~arm, F.col(y_col)).otherwise(F.lit(0)))
+                .cast("long").alias("sy0")))
+    per = per.withColumn("used",
+                         ((F.col("n1") > 0)
+                          & (F.col("n1") < F.col("n"))).cast("long"))
+    per = per.withColumn(
+        "t1_micro", F.when(F.col("used") == 1,
+                           F.expr("(1000000 * sy1 * n) div n1"))
+        .otherwise(F.lit(0)).cast("long"))
+    per = per.withColumn(
+        "t0_micro", F.when(F.col("used") == 1,
+                           F.expr("(1000000 * sy0 * n) div (n - n1)"))
+        .otherwise(F.lit(0)).cast("long"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    # trunc-div twins on negatives too: Spark `div` and DuckDB `//`
+    # both truncate toward zero (measured; diag_norm carries the canary)
+    per = (per
+           .withColumn("_nu", F.sum(F.when(F.col("used") == 1,
+                                           F.col("n")).otherwise(F.lit(0)))
+                       .over(w_all))
+           .withColumn("_df", F.sum(F.col("t1_micro")
+                                    - F.col("t0_micro")).over(w_all)))
+    return per.select(
+        "stratum", "n", "n1", "sy1", "sy0", "t1_micro", "t0_micro",
+        "used",
+        F.when(F.col("_nu") > 0, F.expr("_df div _nu"))
+        .otherwise(F.lit(0)).cast("long").alias("ate_micro"))
+
+
+def did_estimate(df: DataFrame, treat_col, post_col, y_col: str) \
+        -> DataFrame:
+    """Difference-in-differences over a 2x2 (treat, post) design ->
+    ONE row (n_00, n_01, n_10, n_11, m00..m11 micro means,
+    did_micro): DiD = (m_treat_post - m_treat_pre)
+    - (m_ctrl_post - m_ctrl_pre). Cell means are lockstep integer
+    micro-units ((1e6 * sum) div n); the estimate is then exact
+    arithmetic on four integers — merge-order-proof. y must be
+    pre-scaled integer units (cents), the ipw_ate contract.
+
+    Scale shape: one partial-agged groupBy to 4 cells; the pivot is a
+    single-row conditional aggregation."""
+    t = treat_col if not isinstance(treat_col, str) else F.col(treat_col)
+    p = post_col if not isinstance(post_col, str) else F.col(post_col)
+    cells = (df.groupBy(t.cast("int").alias("tr"),
+                        p.cast("int").alias("po"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum(y_col).cast("long").alias("sy")))
+    cells = cells.withColumn("m", F.expr("(1000000 * sy) div n"))
+
+    def pick(col, tr, po):
+        return F.sum(F.when((F.col("tr") == tr) & (F.col("po") == po),
+                            F.col(col)).otherwise(F.lit(0)))
+
+    out = cells.agg(
+        pick("n", 0, 0).cast("long").alias("n_00"),
+        pick("n", 0, 1).cast("long").alias("n_01"),
+        pick("n", 1, 0).cast("long").alias("n_10"),
+        pick("n", 1, 1).cast("long").alias("n_11"),
+        pick("m", 0, 0).cast("long").alias("m00_micro"),
+        pick("m", 0, 1).cast("long").alias("m01_micro"),
+        pick("m", 1, 0).cast("long").alias("m10_micro"),
+        pick("m", 1, 1).cast("long").alias("m11_micro"))
+    return out.withColumn(
+        "did_micro",
+        (F.col("m11_micro") - F.col("m10_micro")
+         - (F.col("m01_micro") - F.col("m00_micro"))).cast("long"))
+
+
+def eb_shrinkage(counts: DataFrame, group_col: str, k_col: str,
+                 n_col: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    per-group rates -> (group, n, k, raw_ppm, strength, shrunk_ppm):
+    the domain-prior smoother a corpus pipeline wants for per-host
+    quality rates — small hosts pull hard toward the corpus mean,
+    big hosts barely move. Prior strength S (pseudo-trials) from
+    moment matching: S ~= m(1-m)/var(rates); posterior mean
+    = (k + S*m) / (n + S).
+
+    Integer contract (all lockstep divs, merge-order-proof):
+    m_ppm = (1e6*K) div N over exact global sums; per-group
+    r_ppm = (1e6*k) div n; var_pp2 = sum((r_ppm - m_ppm)^2) div G
+    (an exact integer sum over the statistic-scale group table);
+    S = clamp((m_ppm * (1e6 - m_ppm)) div max(var_pp2, 1), 1, 1e6);
+    shrunk_ppm = (1e6*k + S*m_ppm) div (n + S). The observed-rate
+    variance slightly overstates the true-rate variance (classic MoM
+    bias -> mildly conservative shrinkage) — documented, not hidden.
+
+    Scale shape: the input is already the per-group count table (one
+    upstream corpus groupBy); windows here run over groups only."""
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    base = counts.select(F.col(group_col).alias("g"),
+                         F.col(n_col).cast("long").alias("n"),
+                         F.col(k_col).cast("long").alias("k"))
+    base = base.withColumn("r_ppm", F.expr("(1000000 * k) div n"))
+    m_ppm = F.expr("(1000000 * sk) div sn")
+    base = (base
+            .withColumn("sk", F.sum("k").over(w_all))
+            .withColumn("sn", F.sum("n").over(w_all))
+            .withColumn("m_ppm", m_ppm))
+    base = base.withColumn(
+        "var_pp2", F.expr("sum((r_ppm - m_ppm) * (r_ppm - m_ppm))"
+                          " over () div count(1) over ()").cast("long"))
+    s = F.expr("least(greatest((m_ppm * (1000000 - m_ppm))"
+               " div greatest(var_pp2, 1), 1), 1000000)")
+    base = base.withColumn("strength", s.cast("long"))
+    return base.select(
+        F.col("g").alias(group_col), "n", "k",
+        F.col("r_ppm").alias("raw_ppm"), "strength",
+        F.expr("(1000000 * k + strength * m_ppm) div (n + strength)")
+        .cast("long").alias("shrunk_ppm"))

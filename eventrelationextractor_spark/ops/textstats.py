@@ -1551,3 +1551,61 @@ def texttile_boundaries(df: DataFrame, id_col: str = "doc_id",
                     "ucos", "depth_u",
                     ((F.col("rn") <= nb) & (F.col("depth_u") > 0))
                     .alias("is_boundary")))
+
+
+def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
+                       id_col: str, bucket_width: int = 256) -> DataFrame:
+    """Quantile normalization across groups -> (id, group, value,
+    qn_value): map each row to the POOLED distribution's value at the
+    same (nearest-rank) quantile, so every group ends up with an
+    identical marginal distribution — the feature-alignment transform
+    (microarray QN, cross-tokenizer length alignment) for mixing
+    corpora whose raw scales differ.
+
+    Nearest-rank contract (integer-exact, no interpolation): a row at
+    within-group rank r of n_g maps to pooled index
+    idx = ((2r - 1) * n_pool + n_g) div (2 * n_g)  (midpoint rank,
+    in [1, n_pool]); qn_value = the pooled value at global rank idx.
+    Ranks order by (value, id) — total and engine-agnostic.
+
+    Distributed shape: within-group ranks are PARTITIONED windows;
+    the pooled GLOBAL rank uses the bucket-offset scheme (value-range
+    buckets of ``bucket_width`` are contiguous in the sort order, so
+    global_rank = bucket offset + local row_number — the
+    sorted_neighborhood trick, no single-partition window); the final
+    lookup is one equi-join on the computed pooled rank."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("rid"),
+                     F.col(group_col).alias("g"),
+                     F.col(value_col).cast("long").alias("x"))
+    w_g = Window.partitionBy("g").orderBy("x", "rid")
+    grp = (base
+           .withColumn("r", F.row_number().over(w_g).cast("long"))
+           .withColumn("n_g", F.count(F.lit(1))
+                       .over(Window.partitionBy("g")).cast("long")))
+    pooled = base.withColumn("bkt", F.expr(f"x div {bucket_width}"))
+    counts = pooled.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_off = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+    w_loc = Window.partitionBy("bkt").orderBy("x", "rid")
+    pr = (pooled.join(F.broadcast(offs.select("bkt", "off")), "bkt")
+          .withColumn("pr", (F.col("off")
+                             + F.row_number().over(w_loc)).cast("long"))
+          .select(F.col("x").alias("px"), "pr"))
+    n_pool = F.sum("cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    npool_df = F.broadcast(
+        offs.select(n_pool.cast("long").alias("n_pool")).limit(1))
+    tgt = (grp.crossJoin(npool_df)
+           .withColumn("idx", F.expr(
+               "((2 * r - 1) * n_pool + n_g) div (2 * n_g)")))
+    return (tgt.join(pr, tgt.idx == pr.pr)
+            .select(F.col("rid").alias(id_col),
+                    F.col("g").alias(group_col),
+                    F.col("x").alias(value_col),
+                    F.col("px").alias("qn_value")))

@@ -1,0 +1,216 @@
+"""Round-5 session-2 operators: survival family (Nelson-Aalen,
+log-rank), sorted-neighborhood blocking, split-conformal intervals,
+PPJoin, permutation+BH FDR, IPF raking, space-saving streaming top-k.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from eventrelationextractor_spark.ops import dedup as dd
+from eventrelationextractor_spark.ops import events as ev
+from eventrelationextractor_spark.ops import linkage as lk
+from eventrelationextractor_spark.ops import mixing as mx
+from eventrelationextractor_spark.ops import quality as ql
+
+
+# --------------------------------------------------------------- survival
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_nelson_aalen_shares_km_risk_sets_and_integer_hazard(spark):
+    """NA and KM are built on the same subject/risk-set table: their
+    (duration, n_risk, n_events) columns must agree row-for-row, and
+    the NA curve is the exact integer cumsum of (1e6*d) div n."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 4 users: two purchase at +10min/+20min, two censored at +30min
+    for u, (mins, typ) in enumerate([(10, "purchase"), (20, "purchase"),
+                                     (30, "view"), (30, "view")]):
+        rows.append((u, base, "signup"))
+        rows.append((u, base + dt.timedelta(minutes=mins), typ))
+    e = _mk_events(spark, rows)
+    km = {r.duration_min: (r.n_risk, r.n_events)
+          for r in ev.kaplan_meier(e).collect()}
+    na = ev.nelson_aalen(e).collect()
+    assert {r.duration_min: (r.n_risk, r.n_events) for r in na} == km
+    got = {r.duration_min: r.cumhaz_ppm for r in na}
+    # t=10: 1/4 risk -> 250000; t=20: +1/3 -> 250000+333333
+    assert got == {10: 250_000, 20: 583_333}
+
+
+def test_logrank_symmetric_arms_score_zero(spark):
+    """Arms with identical duration profiles and even per-time death
+    counts: O1 == E1 exactly (e1_micro == 1e6*o1) and z == 0."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(8):          # users 0..7; arm = u % 2
+        mins = 10 * (u // 2 + 1)   # paired durations across arms
+        rows.append((u, base, "signup"))
+        rows.append((u, base + dt.timedelta(minutes=mins), "purchase"))
+    out = ev.logrank_test(_mk_events(spark, rows)).collect()[0]
+    assert out.o1 * 1_000_000 == out.e1_micro
+    assert out.z == 0.0
+
+
+# ----------------------------------------------------- sorted neighborhood
+
+def test_sorted_neighborhood_equals_global_window(spark):
+    """Bucketed banded SNM == the textbook single-sorted-list pairs,
+    including pairs that straddle bucket boundaries."""
+    rows = [(i, "k%02d" % (i % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    got = {(r.a, r.b, r.gap)
+           for r in lk.sorted_neighborhood(
+               df, "doc_id", F.col("key"), window=5,
+               bucket_prefix=2).collect()}
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {(order[i][0], order[j][0], j - i)
+            for i in range(len(order))
+            for j in range(i + 1, min(i + 5, len(order)))}
+    assert got == want
+
+
+# ------------------------------------------------------------- conformal
+
+def test_conformal_picks_exact_rank_and_counts_coverage(spark):
+    """Hand-checkable group: 9 calibration values 0..800 step 100
+    (median 400), k = ceil(10*0.9) = 9 -> q_hat = max residual 400;
+    test points 0 and 2000 -> covered = 1 of 2."""
+    cal = [(2 * i, "g", 100 * i) for i in range(9)]
+    test = [(1, "g", 0), (3, "g", 2000)]
+    df = spark.createDataFrame(cal + test,
+                               "doc_id long, g string, x long")
+    out = ql.conformal_intervals(df, "g", "x",
+                                 F.expr("doc_id % 2 = 0"),
+                                 alpha_pct=10).collect()[0]
+    assert (out.n_cal, out.pred, out.q_hat) == (9, 400, 400)
+    assert (out.n_test, out.n_covered) == (2, 1)
+    assert out.coverage_ppm == 500_000
+
+
+# ---------------------------------------------------------------- ppjoin
+
+def test_ppjoin_equals_prefix_filter(spark):
+    """PPJoin's positional filter only prunes candidates — the
+    verified output must equal prefix_filter_pairs exactly (recall 1
+    at the same threshold)."""
+    docs = [(i, "alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(4)]
+    docs += [(10, "alpha beta gamma delta epsilon zeta eta iota"),
+             (11, "one two three four five six seven eight"),
+             (12, "totally different words in this document here now")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {(r.a, r.b, r.n_inter, r.n_union, r.jaccard)
+         for r in dd.prefix_filter_pairs(df, t_ppm=700_000).collect()}
+    b = {(r.a, r.b, r.n_inter, r.n_union, r.jaccard)
+         for r in dd.ppjoin_pairs(df, t_ppm=700_000).collect()}
+    assert a == b and len(a) >= 7    # the 5-clique of near-identicals
+
+
+# --------------------------------------------------------------- perm_fdr
+
+def test_perm_fdr_rejects_planted_signal_only(spark):
+    """Token 'aaa' lives only on side A (huge |T|), 'bbb' is balanced:
+    BH must reject aaa and keep bbb."""
+    rows = []
+    for d in range(40):
+        rows.append((d, "bbb", 5))
+        if d % 2 == 0:
+            rows.append((d, "aaa", 50))
+    dt = spark.createDataFrame(rows, "doc_id long, token string, cnt long")
+    out = {r.token: r for r in ql.perm_fdr(
+        dt, F.expr("doc_id % 2 = 0"), top_m=2, n_perm=64).collect()}
+    assert out["aaa"].rejected == 1 and out["aaa"].perm_ge == 0
+    assert out["bbb"].rejected == 0
+
+
+# -------------------------------------------------------------- ipf raking
+
+def test_ipf_converges_to_column_targets(spark):
+    """After the final column step every column mass equals its target
+    micro mass up to one integer-div truncation per cell."""
+    cells = spark.createDataFrame(
+        [("a", 0, 10), ("a", 1, 30), ("b", 0, 40), ("b", 1, 20)],
+        "r string, c long, cnt long")
+    rt = spark.createDataFrame([("a", 60), ("b", 40)],
+                               "r string, target long")
+    ct = spark.createDataFrame([(0, 50), (1, 50)],
+                               "c long, target long")
+    out = mx.ipf_raking(cells, "r", "c", rt, ct, n_iter=4).collect()
+    col_mass = {}
+    for row in out:
+        col_mass[row.c] = col_mass.get(row.c, 0) + row.w_micro
+    for c, target in ((0, 50), (1, 50)):
+        assert abs(col_mass[c] - target * 1_000_000) <= 2
+    # row masses converge too (IPF fixed point when targets are
+    # consistent): within 1% after 4 rounds
+    row_mass = {}
+    for row in out:
+        row_mass[row.r] = row_mass.get(row.r, 0) + row.w_micro
+    for r, target in (("a", 60), ("b", 40)):
+        assert abs(row_mass[r] - target * 1_000_000) < 0.01 * target * 1e6
+
+
+# --------------------------------------------------------- streaming top-k
+
+def _run_stream(spark, tmp_path, batches, name, **kw):
+    schema = "user_id long, event_type string"
+    src = str(tmp_path / f"{name}_src")
+    os.makedirs(src)
+    for i, part in enumerate(batches):
+        spark.createDataFrame(part, schema).coalesce(1) \
+            .write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1") \
+        .option("latestFirst", "false").parquet(src + "/*")
+    q = (ev.streaming_topk(stream, **kw)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql(f"select * from {name}").collect()
+    last_ver = {}
+    for r in rows:
+        last_ver[r.user_id] = max(last_ver.get(r.user_id, 0), r.ver)
+    return [r for r in rows if r.ver == last_ver[r.user_id]]
+
+
+def test_streaming_topk_exact_regime_matches_batch(spark, tmp_path):
+    """capacity >= ndv: nothing evicted, err == 0, final rows equal
+    the exact batch user_event_topk across a 2-trigger split."""
+    b1 = [(1, "a")] * 3 + [(1, "b")] * 2 + [(2, "x")]
+    b2 = [(1, "b")] * 3 + [(1, "c")] + [(2, "y")] * 2
+    got = {(r.user_id, r.event_type, r.cnt_est, r.rnk)
+           for r in _run_stream(spark, tmp_path, (b1, b2),
+                                "topk_exact", k=2, capacity=8)}
+    batch = ev.user_event_topk(
+        spark.createDataFrame(b1 + b2, "user_id long, event_type string")
+        .withColumn("ts", F.current_timestamp()), k=2)
+    want = {(r.user_id, r.event_type, r.cnt, r.rnk)
+            for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_topk_overestimate_bound_under_eviction(spark, tmp_path):
+    """capacity 2 with 3 true types: the space-saving guarantee
+    cnt_est - err <= true <= cnt_est must hold for every emitted row."""
+    b1 = [(5, "a")] * 6 + [(5, "b")] * 4 + [(5, "c")] * 2
+    rows = _run_stream(spark, tmp_path, (b1,), "topk_evict",
+                       k=2, capacity=2)
+    true = {"a": 6, "b": 4, "c": 2}
+    assert rows
+    for r in rows:
+        t = true[r.event_type]
+        assert r.cnt_est >= t
+        assert r.cnt_est - r.err <= t
