@@ -5061,6 +5061,66 @@ def _q_user_event_topk(spark, sf_dir):
     return events.user_event_topk(_events(spark, sf_dir), k=4)
 
 
+def _q_ipw_ate(spark, sf_dir):
+    """Inverse-propensity-weighted ATE with exact stratum propensities
+    (ops/quality.py::ipw_ate): effect of the doc_id-parity 'arm' on
+    n_chars, stratified by source; positivity violations flagged
+    used=0 and excluded, ate_micro in lockstep integer micro-units."""
+    return quality.ipw_ate(_docs(spark, sf_dir), "source",
+                           F.expr("doc_id % 2 = 1"), "n_chars")
+
+
+def _q_did_estimate(spark, sf_dir):
+    """Difference-in-differences (ops/quality.py::did_estimate) on a
+    2x2 of user parity x pre/post the data-derived midpoint day
+    (datediff day buckets — TZ-proof); money in integer cents, cell
+    means and DiD as exact micro-unit integers."""
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        F.expr("datediff(cast(ts as date), DATE'1970-01-01')")
+        .cast("long").alias("day"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"))
+    piv = d.agg(F.expr("(min(day) + max(day) + 1) div 2").alias("pivot"))
+    d = d.crossJoin(F.broadcast(piv))
+    return quality.did_estimate(d, "treat",
+                                F.col("day") >= F.col("pivot"), "cents")
+
+
+def _q_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage (ops/quality.py::
+    eb_shrinkage) of per-source English rates toward the corpus mean:
+    moment-matched prior strength, every step a lockstep integer div."""
+    per = (_docs(spark, sf_dir).groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum((F.col("lang") == "en").cast("long"))
+                .cast("long").alias("k")))
+    return quality.eb_shrinkage(per, "source", "k", "n")
+
+
+def _q_quantile_normalize(spark, sf_dir):
+    """Cross-group quantile normalization (ops/textstats.py::
+    quantile_normalize): per-lang n_chars mapped to the pooled
+    distribution at the same nearest-rank quantile — integer midpoint
+    rank arithmetic, bucket-offset global ranks (no single-partition
+    window), one equi-join lookup."""
+    return textstats.quantile_normalize(_docs(spark, sf_dir), "lang",
+                                        "n_chars", "doc_id")
+
+
+def _q_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink roundtrip: stage documents to ORC (Spark's
+    built-in columnar alternative to parquet), read back with a
+    predicate that reaches the ORC reader as a pushed filter
+    (plan-asserted in tests/test_scale_shapes) — the hash gate proves
+    the roundtrip is value-exact."""
+    path = os.path.join("/tmp", "erex_orc_"
+                        + os.path.basename(os.path.normpath(sf_dir)))
+    _docs(spark, sf_dir).write.mode("overwrite").orc(path)
+    return (spark.read.orc(path).filter(F.col("lang") == "en")
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): diag probes first (the
@@ -5392,6 +5452,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perm_fdr": _q_perm_fdr,
         "ipf_raking": _q_ipf_raking,
         "user_event_topk": _q_user_event_topk,
+        "ipw_ate": _q_ipw_ate,
+        "did_estimate": _q_did_estimate,
+        "eb_shrinkage": _q_eb_shrinkage,
+        "quantile_normalize": _q_quantile_normalize,
+        "orc_roundtrip": _q_orc_roundtrip,
     }
 
 
@@ -13400,6 +13465,109 @@ SELECT event_type, dow, n_obs, CAST(wf AS BIGINT) AS w_micro
 FROM c3
 """
 
+_IPW_ATE_ORACLE = """
+WITH per AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n1,
+    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+         AS BIGINT) AS sy1,
+    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE n_chars END)
+         AS BIGINT) AS sy0
+  FROM documents GROUP BY source),
+u AS (SELECT *, CASE WHEN n1 > 0 AND n1 < n THEN 1 ELSE 0 END AS used
+      FROM per),
+tt AS (SELECT *,
+    CASE WHEN used = 1 THEN (1000000 * sy1 * n) // n1 ELSE 0 END
+        AS t1_micro,
+    CASE WHEN used = 1 THEN (1000000 * sy0 * n) // (n - n1) ELSE 0 END
+        AS t0_micro
+  FROM u),
+ag AS (SELECT CAST(sum(CASE WHEN used = 1 THEN n ELSE 0 END) AS BIGINT)
+              AS nu,
+              CAST(sum(t1_micro - t0_micro) AS BIGINT) AS df
+       FROM tt)
+SELECT stratum, n, n1, sy1, sy0,
+       CAST(t1_micro AS BIGINT) AS t1_micro,
+       CAST(t0_micro AS BIGINT) AS t0_micro,
+       CAST(used AS BIGINT) AS used,
+       CAST(CASE WHEN nu > 0 THEN df // nu ELSE 0 END AS BIGINT)
+           AS ate_micro
+FROM tt, ag
+"""
+
+_DID_ORACLE = """
+WITH d AS (SELECT CAST(user_id % 2 AS INT) AS tr,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+piv AS (SELECT (min(day) + max(day) + 1) // 2 AS pv FROM d),
+c AS (SELECT tr, CASE WHEN day >= pv THEN 1 ELSE 0 END AS po,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sy
+      FROM d, piv GROUP BY tr, 2),
+m AS (SELECT *, (1000000 * sy) // n AS mm FROM c),
+p AS (SELECT
+  CAST(sum(CASE WHEN tr=0 AND po=0 THEN n ELSE 0 END) AS BIGINT) AS n_00,
+  CAST(sum(CASE WHEN tr=0 AND po=1 THEN n ELSE 0 END) AS BIGINT) AS n_01,
+  CAST(sum(CASE WHEN tr=1 AND po=0 THEN n ELSE 0 END) AS BIGINT) AS n_10,
+  CAST(sum(CASE WHEN tr=1 AND po=1 THEN n ELSE 0 END) AS BIGINT) AS n_11,
+  CAST(sum(CASE WHEN tr=0 AND po=0 THEN mm ELSE 0 END) AS BIGINT)
+      AS m00_micro,
+  CAST(sum(CASE WHEN tr=0 AND po=1 THEN mm ELSE 0 END) AS BIGINT)
+      AS m01_micro,
+  CAST(sum(CASE WHEN tr=1 AND po=0 THEN mm ELSE 0 END) AS BIGINT)
+      AS m10_micro,
+  CAST(sum(CASE WHEN tr=1 AND po=1 THEN mm ELSE 0 END) AS BIGINT)
+      AS m11_micro
+  FROM m)
+SELECT *, CAST(m11_micro - m10_micro - (m01_micro - m00_micro)
+               AS BIGINT) AS did_micro
+FROM p
+"""
+
+_EB_SHRINKAGE_ORACLE = """
+WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM documents GROUP BY source),
+b AS (SELECT *, (1000000 * k) // n AS r_ppm,
+             sum(k) OVER () AS sk, sum(n) OVER () AS sn
+      FROM per),
+b2 AS (SELECT *, (1000000 * sk) // sn AS m_ppm FROM b),
+b3 AS (SELECT *, sum((r_ppm - m_ppm) * (r_ppm - m_ppm)) OVER ()
+                 // count(*) OVER () AS var_pp2
+       FROM b2),
+b4 AS (SELECT *, least(greatest((m_ppm * (1000000 - m_ppm))
+                 // greatest(var_pp2, 1), 1), 1000000) AS strength
+       FROM b3)
+SELECT source, n, k, CAST(r_ppm AS BIGINT) AS raw_ppm,
+       CAST(strength AS BIGINT) AS strength,
+       CAST((1000000 * k + strength * m_ppm) // (n + strength)
+            AS BIGINT) AS shrunk_ppm
+FROM b4
+"""
+
+_QN_ORACLE = """
+WITH base AS (SELECT doc_id, lang AS g, CAST(n_chars AS BIGINT) AS x
+              FROM documents),
+grp AS (SELECT *, CAST(row_number() OVER (PARTITION BY g
+                       ORDER BY x, doc_id) AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_g
+        FROM base),
+pool AS (SELECT x AS px, CAST(row_number() OVER (ORDER BY x, doc_id)
+                              AS BIGINT) AS pr
+         FROM base),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_pool FROM base)
+SELECT g.doc_id, g.g AS lang, g.x AS n_chars, p.px AS qn_value
+FROM grp g CROSS JOIN np
+JOIN pool p
+  ON p.pr = ((2 * g.r - 1) * np.n_pool + g.n_g) // (2 * g.n_g)
+"""
+
+_ORC_ROUNDTRIP_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents WHERE lang = 'en'
+"""
+
 _USER_TOPK_ORACLE = """
 WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
            FROM events GROUP BY user_id, event_type),
@@ -13769,6 +13937,11 @@ FROM hashed
         "perm_fdr": _PERM_FDR_ORACLE,
         "ipf_raking": _IPF_ORACLE,
         "user_event_topk": _USER_TOPK_ORACLE,
+        "ipw_ate": _IPW_ATE_ORACLE,
+        "did_estimate": _DID_ORACLE,
+        "eb_shrinkage": _EB_SHRINKAGE_ORACLE,
+        "quantile_normalize": _QN_ORACLE,
+        "orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
     }
 
 

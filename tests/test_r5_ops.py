@@ -214,3 +214,80 @@ def test_streaming_topk_overestimate_bound_under_eviction(spark, tmp_path):
         t = true[r.event_type]
         assert r.cnt_est >= t
         assert r.cnt_est - r.err <= t
+
+
+# ------------------------------------------------------------- causal ops
+
+def test_ipw_ate_recovers_stratified_effect_and_flags_positivity(spark):
+    """Stratum s1: effect +100 (2v2); stratum s2: one-arm only ->
+    used=0 and excluded; ate = +100 exactly."""
+    rows = [("s1", 0, 200), ("s1", 0, 200), ("s1", 1, 300), ("s1", 1, 300),
+            ("s2", 1, 999), ("s2", 1, 999)]
+    df = spark.createDataFrame(rows, "stratum string, arm int, y long")
+    out = {r.stratum: r for r in ql.ipw_ate(
+        df, "stratum", F.col("arm") == 1, "y").collect()}
+    assert out["s2"].used == 0 and out["s2"].t1_micro == 0
+    assert out["s1"].used == 1
+    # t1 = 1e6*600*4/2 = 1.2e9 ; t0 = 1e6*400*4/2 = 8e8 ; /4 -> 1e8
+    assert out["s1"].ate_micro == 100_000_000
+
+
+def test_did_known_2x2(spark):
+    """means 10/20 control, 10/35 treated -> DiD = +15 (micro)."""
+    rows = ([(0, 0, 10)] * 2 + [(0, 1, 20)] * 2
+            + [(1, 0, 10)] * 2 + [(1, 1, 35)] * 2)
+    df = spark.createDataFrame(rows, "tr int, po int, y long")
+    out = ql.did_estimate(df, F.col("tr") == 1, F.col("po") == 1,
+                          "y").collect()[0]
+    assert out.did_micro == 15_000_000
+    assert (out.n_00, out.n_11) == (2, 2)
+
+
+def test_eb_shrinkage_pulls_small_groups_harder(spark):
+    """Two groups with the SAME raw rate deviation from the mean: the
+    10-trial group must land closer to the corpus mean than the
+    1000-trial group."""
+    rows = [("small", 8, 10), ("big", 800, 1000),
+            ("low_s", 2, 10), ("low_b", 200, 1000)]
+    df = spark.createDataFrame(rows, "g string, k long, n long")
+    out = {r.g: r for r in ql.eb_shrinkage(df, "g", "k", "n").collect()}
+    m = 500_000   # corpus mean rate: (8+800+2+200)/(10+1000+10+1000)
+    assert abs(out["small"].shrunk_ppm - m) \
+        < abs(out["big"].shrunk_ppm - m)
+    for g in out:
+        raw, shrunk = out[g].raw_ppm, out[g].shrunk_ppm
+        assert min(raw, m) - 1 <= shrunk <= max(raw, m) + 1
+
+
+# --------------------------------------------------------- quantile norm
+
+def test_quantile_normalize_aligns_equal_size_groups(spark):
+    """Two same-size groups, one shifted by +1000: after QN both carry
+    the identical normalized multiset (the defining QN property)."""
+    from eventrelationextractor_spark.ops import textstats as ts
+
+    rows = [(i, "a", 100 * i) for i in range(10)]
+    rows += [(100 + i, "b", 100 * i + 1000) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, x long")
+    out = ts.quantile_normalize(df, "g", "x", "doc_id").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.qn_value)
+    assert sorted(by_g["a"]) == sorted(by_g["b"])
+    assert len(out) == 20
+
+
+# ----------------------------------------------------------- orc pushdown
+
+def test_orc_roundtrip_pushes_filter_to_scan(spark, tmp_path):
+    """The lang predicate must reach the ORC reader as a pushed
+    filter, and the roundtrip must be value-exact."""
+    src = [(i, "t%d" % i, "en" if i % 2 else "de") for i in range(20)]
+    df = spark.createDataFrame(src, "doc_id long, text string, lang string")
+    path = str(tmp_path / "orc_rt")
+    df.write.orc(path)
+    back = spark.read.orc(path).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "lang" in plan
+    got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
+    assert got == {t for t in src if t[2] == "en"}
