@@ -5108,6 +5108,39 @@ def _q_quantile_normalize(spark, sf_dir):
                                         "n_chars", "doc_id")
 
 
+def _q_butterfly_count(spark, sf_dir):
+    """Bipartite butterfly census (ops/graph.py::butterfly_count) of
+    the doc-token incidence graph: 4-cycle density = templated /
+    near-dup structure signal. Token degree capped at 20 BEFORE pair
+    formation (capped_bucket_pairs contract); all counts exact
+    integers via x*(x-1) div 2."""
+    d = _docs(spark, sf_dir)
+    dt = (d.select("doc_id",
+                   F.explode(F.array_distinct(F.filter(
+                       F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                       lambda t: t != ""))).alias("token")))
+    return graph.butterfly_count(dt, "doc_id", "token", df_cap=20)
+
+
+def _q_suffix_array(spark, sf_dir):
+    """Distributed suffix array + BWT by prefix doubling
+    (ops/suffix.py::suffix_array) over a BOUNDED probe stratum
+    (doc_id < 2000, %40 — ~13 docs at sf0.01, 50 at sf1.0, so the
+    direct-sort oracle stays cheap at every SF). Integer char-code
+    ranks, range-repartition global ranking per round (no RDD, no
+    single-partition window); the oracle is the INDEPENDENT direct
+    ORDER BY substr(s, pos) suffix sort — two algorithms
+    cross-checked bit-exactly."""
+    from eventrelationextractor_spark.ops import suffix as sfx
+    d = (_docs(spark, sf_dir)
+         .filter((F.col("doc_id") < 2000) & (F.col("doc_id") % 40 == 0))
+         .select("doc_id",
+                 F.trim(F.regexp_replace(F.regexp_replace(
+                     F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                     " +", " ")).alias("text")))
+    return sfx.suffix_array(d)
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC source/sink roundtrip: stage documents to ORC (Spark's
     built-in columnar alternative to parquet), read back with a
@@ -5457,6 +5490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eb_shrinkage": _q_eb_shrinkage,
         "quantile_normalize": _q_quantile_normalize,
         "orc_roundtrip": _q_orc_roundtrip,
+        "suffix_array": _q_suffix_array,
+        "butterfly_count": _q_butterfly_count,
     }
 
 
@@ -13563,6 +13598,54 @@ JOIN pool p
   ON p.pr = ((2 * g.r - 1) * np.n_pool + g.n_g) // (2 * g.n_g)
 """
 
+_BUTTERFLY_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok AS token
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(text), '[^a-z0-9]+',
+                            ' ', 'g'), ' ') AS ws
+        FROM documents) s, LATERAL unnest(ws) AS t(tok)
+  WHERE t.tok <> ''),
+deg AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc
+        FROM toks GROUP BY token),
+used AS (SELECT toks.doc_id, toks.token, deg.dfc
+         FROM toks JOIN deg USING (token)
+         WHERE dfc <= 20 AND dfc >= 2),
+pairs AS (SELECT la.doc_id AS a, lb.doc_id AS b,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM used la JOIN used lb
+            ON la.token = lb.token AND la.doc_id < lb.doc_id
+          GROUP BY la.doc_id, lb.doc_id),
+ws AS (SELECT CAST(count(*) AS BIGINT) AS n_rights,
+              CAST(coalesce(sum((dfc * (dfc - 1)) // 2), 0) AS BIGINT)
+                  AS n_wedges
+       FROM (SELECT DISTINCT token, dfc FROM used)),
+ps AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+                  AS n_butterflies
+       FROM pairs)
+SELECT * FROM ws, ps
+"""
+
+# independent direct suffix SORT (not a prefix-doubling replay):
+# ASCII-only text makes byte-wise string order == integer-code order
+_SUFFIX_ARRAY_ORACLE = """
+WITH sel AS (SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '',
+         'g'), ' +', ' ', 'g')) || '!' AS t
+  FROM documents WHERE doc_id < 2000 AND doc_id % 40 = 0),
+s AS (SELECT string_agg(t, '' ORDER BY doc_id) AS s FROM sel),
+idx AS (SELECT s.s AS str, i
+        FROM s, LATERAL unnest(generate_series(1, length(s.s))) AS g(i))
+SELECT CAST(row_number() OVER (ORDER BY substr(str, i)) - 1 AS BIGINT)
+           AS r,
+       CAST(i - 1 AS BIGINT) AS pos,
+       CAST(ascii(substr(str, CASE WHEN i = 1 THEN length(str)
+                                   ELSE i - 1 END, 1)) AS BIGINT)
+           AS bwt_code
+FROM idx
+"""
+
 _ORC_ROUNDTRIP_ORACLE = """
 SELECT doc_id, text, lang, source, n_chars
 FROM documents WHERE lang = 'en'
@@ -13942,6 +14025,8 @@ FROM hashed
         "eb_shrinkage": _EB_SHRINKAGE_ORACLE,
         "quantile_normalize": _QN_ORACLE,
         "orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
+        "suffix_array": _SUFFIX_ARRAY_ORACLE,
+        "butterfly_count": _BUTTERFLY_ORACLE,
     }
 
 

@@ -1572,3 +1572,46 @@ def greedy_matching(edges: DataFrame, max_rounds: int = 25,
     if stats is not None:
         stats["rounds"] = rounds
     return matched
+
+
+def butterfly_count(dt: DataFrame, left_col: str = "doc_id",
+                    right_col: str = "token",
+                    df_cap: int = 20) -> DataFrame:
+    """Butterfly (bipartite 4-cycle) census of a (left, right)
+    incidence table -> ONE row (n_rights, n_wedges, n_pairs,
+    n_butterflies): the bipartite clustering primitive (Sanei-Mehri
+    et al.) — a butterfly is two lefts sharing two rights, the motif
+    whose density separates templated/near-dup structure from organic
+    co-occurrence (4-cycles in the doc-token graph = repeated phrase
+    blocks; in host-url graphs = mirror sites).
+
+    Counting identity (exact): wedges per right = C(d, 2) pairs of
+    lefts; grouping wedges by the left-pair gives shared-right counts
+    c, and butterflies = sum C(c, 2). All integer (x*(x-1) div 2).
+
+    Scale shape: the ONLY quadratic step fans out per right with
+    degree <= ``df_cap`` (cap applied BEFORE pair formation, the
+    capped_bucket_pairs contract — hot rights carry no information
+    about near-duplication anyway); pair volume <= n_rights * C(cap,2).
+    One equi-self-join on the right key + two partial-agged groupBys."""
+    deg = (dt.groupBy(right_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("dfc")))
+    used = (dt.join(deg.filter((F.col("dfc") <= df_cap)
+                               & (F.col("dfc") >= 2)).hint("merge"),
+                    right_col))
+    la = used.select(F.col(right_col).alias("t"),
+                     F.col(left_col).alias("a"))
+    lb = used.select(F.col(right_col).alias("t"),
+                     F.col(left_col).alias("b"))
+    pairs = (la.join(lb, "t").filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    wstats = (used.select(right_col, "dfc").distinct()
+              .agg(F.count(F.lit(1)).cast("long").alias("n_rights"),
+                   F.coalesce(F.sum(F.expr("(dfc * (dfc - 1)) div 2")),
+                              F.lit(0)).cast("long").alias("n_wedges")))
+    pstats = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum(F.expr("(c * (c - 1)) div 2")), F.lit(0))
+        .cast("long").alias("n_butterflies"))
+    return wstats.crossJoin(pstats)

@@ -291,3 +291,52 @@ def test_orc_roundtrip_pushes_filter_to_scan(spark, tmp_path):
     assert "PushedFilters: [" in plan and "lang" in plan
     got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
     assert got == {t for t in src if t[2] == "en"}
+
+
+# ------------------------------------------------------------ suffix array
+
+def _sa_reference(texts):
+    s = "!".join(texts) + "!"
+    n = len(s)
+    suf = sorted(range(n), key=lambda i: s[i:])
+    return {(r, p, ord(s[(p - 1) % n])) for r, p in enumerate(suf)}
+
+
+def test_suffix_array_matches_direct_sort(spark):
+    from eventrelationextractor_spark.ops import suffix as sfx
+
+    texts = ["banana", "bandana", "abracadabra"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r.r, r.pos, r.bwt_code)
+           for r in sfx.suffix_array(df).collect()}
+    assert got == _sa_reference(texts)
+
+
+def test_suffix_array_survives_highly_repetitive_text(spark):
+    """Long common prefixes are the prefix-doubling stress case: the
+    ranks must keep splitting until all distinct (<= log2 n rounds)."""
+    from eventrelationextractor_spark.ops import suffix as sfx
+
+    texts = ["aaaaabaaaab", "aaaabaaaa", "aaaaaaaa"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r.r, r.pos, r.bwt_code)
+           for r in sfx.suffix_array(df).collect()}
+    assert got == _sa_reference(texts)
+
+
+# ------------------------------------------------------------- butterflies
+
+def test_butterfly_k22_and_caps(spark):
+    """K_{2,2} = exactly one butterfly (2 wedges, 1 pair with c=2);
+    a token above the degree cap contributes nothing."""
+    from eventrelationextractor_spark.ops import graph as gr
+
+    rows = [(1, "t1"), (2, "t1"), (1, "t2"), (2, "t2")]
+    rows += [(i, "hot") for i in range(30)]     # df 30 > cap
+    dt = spark.createDataFrame(rows, "doc_id long, token string")
+    out = gr.butterfly_count(dt, "doc_id", "token", df_cap=20) \
+        .collect()[0]
+    assert (out.n_rights, out.n_wedges) == (2, 2)
+    assert (out.n_pairs, out.n_butterflies) == (1, 1)
