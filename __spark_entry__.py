@@ -5154,6 +5154,72 @@ def _q_orc_roundtrip(spark, sf_dir):
             .select("doc_id", "text", "lang", "source", "n_chars"))
 
 
+def _q_link_betweenness(spark, sf_dir):
+    """Hop-bounded EXACT betweenness + stress centrality
+    (ops/graph.py::apsp_centrality) over a bounded ring+chord stratum
+    graph (doc_id % 40 == 0, < 4800 -> 13 nodes at sf0.01, 120 at
+    sf0.1+; dense index i = doc_id div 40, edges i~i+1 and i~3i+1
+    mod m): the bridge/bottleneck detectors PageRank and degree miss.
+    stress is an exact BIGINT; betweenness sums per-TERM
+    (1e6*s1*s2) div s_st integer divisions — never a float sum. The
+    oracle replays the level-synchronous sigma-BFS as 8 chained CTE
+    hops (the operator's hop bound) + the same sigma-decomposition
+    3-way join."""
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 40 == 0) & (F.col("doc_id") < 4800))
+    nodes = docs.select(
+        F.expr("doc_id div 40").cast("long").alias("node"))
+    m = nodes.count()
+    e = (nodes.select(F.col("node").alias("src"),
+                      ((F.col("node") + 1) % m).alias("dst"))
+         .unionByName(nodes.select(
+             F.col("node").alias("src"),
+             ((F.col("node") * 3 + 1) % m).alias("dst"))))
+    return graph.apsp_centrality(e, nodes, max_hops=8)
+
+
+def _q_dbscan_clusters(spark, sf_dir):
+    """Distributed 2-D DBSCAN by exact grid-cell blocking
+    (ops/cluster.py::dbscan_grid, MR-DBSCAN shape): 3 planted integer
+    point clouds (centers c*1000/c*700 + md5-derived jitter in
+    [0,120)) plus pushed-out noise points (doc_id % 23), eps=80,
+    min_pts=3. Candidates only ever form inside a 3x3 cell
+    neighborhood; distances are exact squared integers; cluster label
+    = min pid per core-core component (pointer-jump CC), border takes
+    min core-neighbor label, noise -1. Oracle = brute-force eps-pairs
+    + recursive-CTE closure over the core graph (independent
+    formulation, no grid)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 40 == 0)
+
+    def _h(a, b):
+        return F.conv(F.substring(F.md5(F.concat(
+            F.lit("db:"), F.col("doc_id").cast("string"))), a, b),
+            16, 10).cast("long")
+
+    pts = docs.select(
+        F.col("doc_id").alias("pid"),
+        (F.lit(10000) + (F.col("doc_id") % 3) * 1000 + _h(1, 6) % 120
+         + F.when(F.col("doc_id") % 23 == 0, F.lit(500))
+         .otherwise(F.lit(0))).cast("long").alias("x"),
+        (F.lit(10000) + (F.col("doc_id") % 3) * 700
+         + _h(7, 6) % 120).cast("long").alias("y"))
+    return cluster.dbscan_grid(pts, eps=80, min_pts=3)
+
+
+def _q_stable_assignment(spark, sf_dir):
+    """Capacitated Gale-Shapley deferred acceptance
+    (ops/linkage.py::stable_matching): proposers = doc_id % 20 == 0
+    stratum, 10 shards with capacity ceil(n/10), BOTH sides ranking
+    by md5-derived total orders. 12 synchronous rounds are part of
+    the operator contract (McVitie-Wilson: outcome is proposal-order
+    independent, so the synchronous schedule converges to the
+    sequential stable matching; the unit test asserts convergence +
+    zero blocking pairs). Oracle = 12 chained-CTE round replays."""
+    props = (_docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
+             .select(F.col("doc_id").alias("p")))
+    return linkage.stable_matching(props, n_shards=10, rounds=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): diag probes first (the
@@ -5492,6 +5558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": _q_orc_roundtrip,
         "suffix_array": _q_suffix_array,
         "butterfly_count": _q_butterfly_count,
+        "link_betweenness": _q_link_betweenness,
+        "dbscan_clusters": _q_dbscan_clusters,
+        "stable_assignment": _q_stable_assignment,
     }
 
 
@@ -13651,6 +13720,128 @@ SELECT doc_id, text, lang, source, n_chars
 FROM documents WHERE lang = 'en'
 """
 
+def _betweenness_oracle(hops: int = 8) -> str:
+    """Chained-CTE replay of the level-synchronous sigma-BFS (one CTE
+    pair per hop = the operator's fixed hop bound) + the same exact
+    sigma-decomposition join apsp_centrality runs."""
+    blocks = ["""nn AS MATERIALIZED (SELECT CAST(doc_id // 40 AS BIGINT) AS i
+      FROM documents WHERE doc_id % 40 = 0 AND doc_id < 4800),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM nn),
+e0 AS (SELECT i AS s, (i + 1) % m AS d2 FROM nn, mm
+       UNION SELECT i, (3 * i + 1) % m FROM nn, mm),
+ed AS MATERIALIZED (SELECT s, d2 FROM e0 WHERE s <> d2
+       UNION SELECT d2, s FROM e0 WHERE s <> d2),
+t0 AS MATERIALIZED (SELECT i AS src, i AS v, CAST(0 AS BIGINT) AS d,
+              CAST(1 AS BIGINT) AS sigma FROM nn)"""]
+    prev_t, prev_f = "t0", "t0"
+    for h in range(1, hops + 1):
+        blocks.append(f"""f{h} AS MATERIALIZED (
+  SELECT l.src, e.d2 AS v, CAST({h} AS BIGINT) AS d,
+         CAST(sum(l.sigma) AS BIGINT) AS sigma
+  FROM {prev_f} l JOIN ed e ON l.v = e.s
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_t} p
+                    WHERE p.src = l.src AND p.v = e.d2)
+  GROUP BY l.src, e.d2)""")
+        blocks.append(f"t{h} AS MATERIALIZED (SELECT * FROM {prev_t} "
+                      f"UNION ALL SELECT * FROM f{h})")
+        prev_t, prev_f = f"t{h}", f"f{h}"
+    blocks.append(f"""mid AS (
+  SELECT a.v AS node,
+         CAST(sum(a.sigma * b.sigma) AS BIGINT) AS stress,
+         CAST(sum((1000000 * a.sigma * b.sigma) // ds.sigma)
+              AS BIGINT) AS bc_micro
+  FROM {prev_t} a JOIN {prev_t} b ON a.v = b.src
+  JOIN {prev_t} ds ON ds.src = a.src AND ds.v = b.v
+  WHERE a.d + b.d = ds.d AND a.v <> a.src AND a.v <> b.v
+    AND a.src < b.v
+  GROUP BY a.v)""")
+    return ("WITH " + ",\n".join(blocks) + """
+SELECT nn.i AS node,
+       CAST(coalesce(mid.stress, 0) AS BIGINT) AS stress,
+       CAST(coalesce(mid.bc_micro, 0) AS BIGINT) AS bc_micro
+FROM nn LEFT JOIN mid ON nn.i = mid.node""")
+
+
+_DBSCAN_ORACLE = """
+WITH RECURSIVE pts AS (
+  SELECT doc_id AS pid,
+         CAST(10000 + (doc_id % 3) * 1000
+           + CAST(('0x' || substr(md5('db:' || CAST(doc_id AS VARCHAR)),
+                   1, 6))::UBIGINT AS BIGINT) % 120
+           + CASE WHEN doc_id % 23 = 0 THEN 500 ELSE 0 END
+           AS BIGINT) AS x,
+         CAST(10000 + (doc_id % 3) * 700
+           + CAST(('0x' || substr(md5('db:' || CAST(doc_id AS VARCHAR)),
+                   7, 6))::UBIGINT AS BIGINT) % 120 AS BIGINT) AS y
+  FROM documents WHERE doc_id % 40 = 0),
+prs AS (SELECT a.pid AS pa, b.pid AS pb
+        FROM pts a JOIN pts b ON a.pid <> b.pid
+         AND abs(a.x - b.x) <= 80 AND abs(a.y - b.y) <= 80
+         AND (a.x - b.x) * (a.x - b.x)
+           + (a.y - b.y) * (a.y - b.y) <= 6400),
+cnt AS (SELECT pa AS pid, CAST(count(*) + 1 AS BIGINT) AS n
+        FROM prs GROUP BY pa),
+core AS (SELECT p.pid, coalesce(c.n, 1) >= 3 AS is_core
+         FROM pts p LEFT JOIN cnt c ON p.pid = c.pid),
+cid AS (SELECT pid FROM core WHERE is_core),
+ce AS (SELECT pa, pb FROM prs
+       WHERE pa IN (SELECT pid FROM cid)
+         AND pb IN (SELECT pid FROM cid)),
+reach AS (SELECT pid AS a, pid AS b FROM cid
+          UNION
+          SELECT r.a, e.pb FROM reach r JOIN ce e ON r.b = e.pa),
+lbl AS (SELECT a AS pid, CAST(min(b) AS BIGINT) AS label
+        FROM reach GROUP BY a),
+bl AS (SELECT p.pa AS pid, CAST(min(l.label) AS BIGINT) AS blabel
+       FROM prs p JOIN lbl l ON p.pb = l.pid GROUP BY p.pa)
+SELECT c.pid, c.is_core,
+       CAST(coalesce(l.label, b.blabel, -1) AS BIGINT) AS label
+FROM core c LEFT JOIN lbl l ON c.pid = l.pid
+LEFT JOIN bl b ON c.pid = b.pid
+"""
+
+
+def _stable_matching_oracle(rounds: int = 12) -> str:
+    """Chained-CTE replay of the round-synchronous deferred-acceptance
+    rounds (same md5 preference keys, same cursor-advance rule)."""
+    blocks = ["""pp AS (SELECT doc_id AS p FROM documents
+      WHERE doc_id % 20 = 0),
+npc AS (SELECT CAST((count(*) + 9) // 10 AS BIGINT) AS cap FROM pp),
+sh AS (SELECT CAST(g.s AS BIGINT) AS s
+       FROM generate_series(0, 9) AS g(s)),
+pref AS MATERIALIZED (SELECT p, s,
+           CAST(row_number() OVER (PARTITION BY p ORDER BY
+             md5('p:' || CAST(p AS VARCHAR) || ':'
+                 || CAST(s AS VARCHAR)), s) - 1 AS BIGINT) AS rnk
+         FROM pp CROSS JOIN sh),
+held0 AS (SELECT CAST(NULL AS BIGINT) AS s, CAST(NULL AS BIGINT) AS p
+          WHERE 1 = 0),
+cur0 AS (SELECT p, CAST(0 AS BIGINT) AS cur FROM pp)"""]
+    for k in range(1, rounds + 1):
+        j = k - 1
+        blocks.append(f"""free{k} AS MATERIALIZED (
+  SELECT c.p, c.cur FROM cur{j} c
+  WHERE c.cur < 10 AND NOT EXISTS
+    (SELECT 1 FROM held{j} h WHERE h.p = c.p)),
+props{k} AS MATERIALIZED (SELECT pr.s, f.p FROM free{k} f
+             JOIN pref pr ON pr.p = f.p AND pr.rnk = f.cur),
+pool{k} AS (SELECT s, p FROM held{j}
+            UNION ALL SELECT s, p FROM props{k}),
+held{k} AS MATERIALIZED (SELECT s, p FROM (
+  SELECT s, p, row_number() OVER (PARTITION BY s ORDER BY
+    md5('s:' || CAST(s AS VARCHAR) || ':'
+        || CAST(p AS VARCHAR)), p) AS rn
+  FROM pool{k}) t, npc WHERE t.rn <= npc.cap),
+cur{k} AS MATERIALIZED (SELECT c.p, c.cur + CASE WHEN EXISTS
+             (SELECT 1 FROM props{k} x WHERE x.p = c.p)
+           THEN 1 ELSE 0 END AS cur FROM cur{j} c)""")
+    return ("WITH " + ",\n".join(blocks) + f"""
+SELECT pp.p, CAST(coalesce(h.s, -1) AS BIGINT) AS shard,
+       CAST(c.cur AS BIGINT) AS n_proposals
+FROM pp LEFT JOIN held{rounds} h ON pp.p = h.p
+JOIN cur{rounds} c ON pp.p = c.p""")
+
+
 _USER_TOPK_ORACLE = """
 WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
            FROM events GROUP BY user_id, event_type),
@@ -14027,6 +14218,9 @@ FROM hashed
         "orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
         "suffix_array": _SUFFIX_ARRAY_ORACLE,
         "butterfly_count": _BUTTERFLY_ORACLE,
+        "link_betweenness": _betweenness_oracle(),
+        "dbscan_clusters": _DBSCAN_ORACLE,
+        "stable_assignment": _stable_matching_oracle(),
     }
 
 

@@ -290,3 +290,85 @@ def kcenter_select(emb: DataFrame, k: int = 6, id_col: str = "vec_id",
     spark = emb.sparkSession
     return spark.createDataFrame(picked, "rank long, vec_id long, "
                                          "dist6 double")
+
+
+def dbscan_grid(points: DataFrame, eps: int, min_pts: int,
+                id_col: str = "pid", x_col: str = "x",
+                y_col: str = "y") -> DataFrame:
+    """Distributed 2-D DBSCAN by grid-cell blocking ->
+    (pid, is_core, label): density-based clustering with noise - the
+    spatial/embedding-map analog of the near-dup cluster ops (cluster
+    = maximal set density-connected through core points; border
+    points adopt a core neighbor's cluster; everything else is noise,
+    label -1). The classic MR-DBSCAN shape.
+
+    Exactness of the blocking: coordinates are INTEGERS >= 0 (callers
+    quantize; negative coords would split cells on trunc-div) and the
+    grid cell is eps x eps, so any two points within eps live in
+    ADJACENT cells - expanding each point to its 3x3 cell
+    neighborhood and equi-joining on the cell key yields every
+    eps-pair exactly once per direction (the right side is keyed by
+    its OWN cell). No distance computation ever leaves a cell
+    neighborhood: candidate count is sum over cells of |c| * |N(c)|,
+    never |V|^2 - the capped_bucket_pairs discipline for geometry.
+
+    Distances are exact squared-integer Euclidean (dx*dx + dy*dy <=
+    eps*eps; no sqrt, no float). Core = |eps-neighbors| + 1 >=
+    min_pts (the point itself counts, matching the textbook
+    definition). Cluster labels = min pid per component of the
+    core-core eps-graph (spark/kg.py::connected_components pointer
+    jumping); border points take the MIN label among their core
+    neighbors (deterministic tie-break, mirrored by the oracle's
+    recursive-CTE closure)."""
+    from ..spark.kg import connected_components
+
+    p = points.select(F.col(id_col).alias("pid"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"))
+    p = p.withColumn("cx", F.expr(f"x div {int(eps)}")) \
+         .withColumn("cy", F.expr(f"y div {int(eps)}"))
+    off = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    probe = (p.select("pid", "x", "y", "cx", "cy",
+                      F.explode(off).alias("ox"))
+             .select("pid", "x", "y",
+                     (F.col("cx") + F.col("ox")).alias("px"), "cy")
+             .select("pid", "x", "y", "px", F.explode(off).alias("oy"),
+                     "cy")
+             .select("pid", "x", "y", "px",
+                     (F.col("cy") + F.col("oy")).alias("py")))
+    right = p.select(F.col("pid").alias("pid_b"),
+                     F.col("x").alias("xb"), F.col("y").alias("yb"),
+                     F.col("cx").alias("px"), F.col("cy").alias("py"))
+    dx = F.col("x") - F.col("xb")
+    dy = F.col("y") - F.col("yb")
+    pairs = (probe.join(right, ["px", "py"])
+             .filter((F.col("pid") != F.col("pid_b"))
+                     & (dx * dx + dy * dy <= int(eps) * int(eps)))
+             .select("pid", "pid_b"))
+    pairs = pairs.localCheckpoint(eager=False)
+    ncnt = pairs.groupBy("pid").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_nb"))
+    core = (p.select("pid").join(ncnt, "pid", "left")
+            .select("pid", (F.coalesce(F.col("n_nb"), F.lit(1))
+                            >= int(min_pts)).alias("is_core")))
+    core_ids = core.filter("is_core").select("pid")
+    ce = (pairs.join(core_ids, "pid")
+          .join(core_ids.select(F.col("pid").alias("pid_b")), "pid_b"))
+    # isolated core points (min_pts=1 edge case) still need a label:
+    # CC only sees vertices with edges, so union self-loops
+    comp = connected_components(
+        ce.select(F.col("pid").alias("src"), F.col("pid_b").alias("dst"))
+        .unionByName(core_ids.select(F.col("pid").alias("src"),
+                                     F.col("pid").alias("dst"))))
+    comp = comp.select(F.col("vertex").alias("pid"),
+                       F.col("component").cast("long").alias("label"))
+    border = (pairs.join(core_ids.select(
+        F.col("pid").alias("pid_b")), "pid_b")
+        .join(comp.select(F.col("pid").alias("pid_b"),
+                          F.col("label")), "pid_b")
+        .groupBy("pid").agg(F.min("label").alias("blabel")))
+    return (core.join(comp, "pid", "left")
+            .join(border, "pid", "left")
+            .select("pid", "is_core",
+                    F.coalesce(F.col("label"), F.col("blabel"),
+                               F.lit(-1)).cast("long").alias("label")))

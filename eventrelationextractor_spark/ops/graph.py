@@ -1615,3 +1615,86 @@ def butterfly_count(dt: DataFrame, left_col: str = "doc_id",
         F.coalesce(F.sum(F.expr("(c * (c - 1)) div 2")), F.lit(0))
         .cast("long").alias("n_butterflies"))
     return wstats.crossJoin(pstats)
+
+
+def apsp_centrality(edges: DataFrame, nodes: DataFrame,
+                    max_hops: int = 8,
+                    checkpoint_interval: int = 2) -> DataFrame:
+    """Hop-bounded EXACT betweenness + stress centrality over an
+    undirected graph -> (node, stress, bc_micro): the classic
+    "how much shortest-path traffic crosses this vertex" measures
+    (Freeman betweenness; Shimbel stress), the standard bridge/
+    bottleneck detectors for link graphs and entity-mention graphs
+    that PageRank/degree miss (a low-degree cut vertex carries all
+    cross-cluster traffic).
+
+    Semantics: only (s, t) pairs with d(s, t) <= ``max_hops`` count
+    (ego-betweenness flavor - the hop bound is part of the operator
+    contract, which is what makes a FIXED-depth oracle replay exact).
+    stress(v)   = sum over s < t of sigma_st(v)          (exact int)
+    bc_micro(v) = sum over s < t of (1e6 * sigma_sv * sigma_vt)
+                  div sigma_st  - per-TERM integer floor division,
+    so the sum is engine-lockstep (the house rational-ppm pattern;
+    never a float sum whose merge order could drift).
+
+    Shape: multi-source level-synchronous BFS carrying path COUNTS
+    - state (src, v, d, sigma), one equi-join + one groupBy + one
+    anti-join per hop (frontier-proportional, same family as
+    seed_distances) - then betweenness by the σ-decomposition
+    σ_st(v) = σ_sv * σ_vt when d(s,v) + d(v,t) = d(s,t): ONE
+    self-join pair of the APSP table instead of Brandes's backward
+    sweep (no per-level reverse loop; Catalyst gets a single plan).
+    Scale contract: state is |sources| x reachable-ball; run it on
+    ALL nodes only for a bounded stratum (callers pass a sampled
+    ``nodes`` frame at corpus scale - K-source approximate
+    betweenness, the standard estimator)."""
+    e = edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+    e = (e.unionByName(e.select(F.col("d").alias("s"),
+                                F.col("s").alias("d")))
+         .filter(F.col("s") != F.col("d")).distinct().localCheckpoint())
+    base = nodes.select("node").distinct()
+    frontier = base.select(F.col("node").alias("src"),
+                           F.col("node").alias("v"),
+                           F.lit(1).cast("long").alias("sigma"))
+    settled = frontier.withColumn("d", F.lit(0).cast("long"))
+    for h in range(1, int(max_hops) + 1):
+        nxt = (frontier.join(e, frontier.v == e.s)
+               .select("src", F.col("d").alias("vn"), "sigma")
+               .groupBy("src", "vn")
+               .agg(F.sum("sigma").cast("long").alias("sigma"))
+               .withColumnRenamed("vn", "v")
+               .join(settled.select("src", "v"), ["src", "v"],
+                     "left_anti"))
+        settled = settled.unionByName(
+            nxt.withColumn("d", F.lit(h).cast("long")))
+        frontier = nxt
+        if h % checkpoint_interval == 0 and h < max_hops:
+            frontier = frontier.localCheckpoint(eager=False)
+            settled = settled.localCheckpoint(eager=False)
+    settled = settled.localCheckpoint(eager=False)
+    a = settled.select(F.col("src").alias("s"), F.col("v").alias("m"),
+                       F.col("d").alias("d1"),
+                       F.col("sigma").alias("sig1"))
+    b = settled.select(F.col("src").alias("m2"), F.col("v").alias("t"),
+                       F.col("d").alias("d2"),
+                       F.col("sigma").alias("sig2"))
+    ds = settled.select(F.col("src").alias("s"), F.col("v").alias("t"),
+                        F.col("d").alias("d_st"),
+                        F.col("sigma").alias("sig_st"))
+    mid = (a.join(b, a.m == b.m2)
+           .join(ds, ["s", "t"])
+           .filter((F.col("d1") + F.col("d2") == F.col("d_st"))
+                   & (F.col("m") != F.col("s"))
+                   & (F.col("m") != F.col("t"))
+                   & (F.col("s") < F.col("t")))
+           .groupBy(F.col("m").alias("node"))
+           .agg(F.sum(F.col("sig1") * F.col("sig2"))
+                .cast("long").alias("stress"),
+                F.sum(F.expr("(1000000 * sig1 * sig2) div sig_st"))
+                .cast("long").alias("bc_micro")))
+    return (base.join(mid, "node", "left")
+            .select("node",
+                    F.coalesce(F.col("stress"), F.lit(0))
+                    .cast("long").alias("stress"),
+                    F.coalesce(F.col("bc_micro"), F.lit(0))
+                    .cast("long").alias("bc_micro")))

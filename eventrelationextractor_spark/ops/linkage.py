@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # (field, kind, agree_weight, disagree_weight) - kind: 'exact' | 'lev1'
@@ -239,3 +239,90 @@ def sorted_neighborhood(df: DataFrame, id_col: str, key,
             .select("a", "b",
                     (F.col("rb") - F.col("ra")).cast("long")
                     .alias("gap")))
+
+
+def stable_matching(proposers: DataFrame, n_shards: int,
+                    rounds: int = 12,
+                    salt_p: str = "p", salt_s: str = "s") -> DataFrame:
+    """Capacitated Gale-Shapley deferred acceptance -> (p, shard,
+    n_proposals): assign each proposer (doc / task / user) to one of
+    ``n_shards`` acceptors with capacity ceil(|P| / n_shards), where
+    BOTH sides have genuine preferences (md5-derived total orders -
+    deterministic, engine-replayable). The two-sided-preference
+    assignment primitive: task placement under per-worker affinity,
+    crawl-host assignment under politeness budgets, A/B arm
+    allocation with per-arm quotas - where one-sided greedy
+    (ops/graph.py::greedy_matching, rendezvous sharding) cannot honor
+    the acceptor's ranking. Result is the proposer-optimal stable
+    matching (hospital/residents).
+
+    ROUND-SYNCHRONOUS semantics, fixed ``rounds`` budget as part of
+    the operator contract: each round, every unmatched proposer with
+    preferences left proposes to its next-ranked shard (the cursor
+    advances on every proposal made, accepted or not); each shard
+    pools current holds + new proposals and keeps its top-capacity by
+    ITS preference order. McVitie-Wilson: the stable outcome is
+    independent of proposal order, so the synchronous schedule
+    converges to the same matching as the sequential algorithm - and
+    the fixed round count makes the chained-CTE oracle replay exact
+    even pre-convergence (the stable_matching unit test asserts
+    convergence + no blocking pair at the test SF).
+
+    Scale shape: state is (held: shard x capacity rows) + (cursor:
+    one row per proposer); each round is two equi-joins, one
+    per-shard top-capacity window (n_shards groups - at corpus scale
+    swap the window for the aggregation-based top-k like
+    ops/bm25.py::top_terms), one localCheckpoint. Rounds <= the
+    preference-list length once every proposer exhausts its list."""
+    p = proposers.select(F.col("p").cast("long").alias("p")).distinct()
+    n_p = p.count()
+    cap = (n_p + int(n_shards) - 1) // int(n_shards)
+    shards = p.sparkSession.range(int(n_shards)) \
+        .select(F.col("id").cast("long").alias("s"))
+    pref = (p.crossJoin(F.broadcast(shards))
+            .withColumn("pk", F.md5(F.concat(
+                F.lit(salt_p + ":"), F.col("p").cast("string"),
+                F.lit(":"), F.col("s").cast("string"))))
+            .withColumn("rnk", (F.row_number().over(
+                Window.partitionBy("p").orderBy("pk", "s")) - 1)
+                .cast("long"))
+            .select("p", "s", "rnk").localCheckpoint())
+    held = p.sparkSession.createDataFrame([], "s long, p long")
+    cur = p.withColumn("cur", F.lit(0).cast("long")).localCheckpoint()
+    skey = F.md5(F.concat(F.lit(salt_s + ":"),
+                          F.col("s").cast("string"), F.lit(":"),
+                          F.col("p").cast("string")))
+    # every cross-frame join below renames one side's key first: the
+    # state frames share lineage with `p`/`pref` and Spark's
+    # ambiguous-self-join analysis rejects name-equal join keys
+    # (the round-4 cogroup-shared-lineage lesson, applied to joins)
+    for _ in range(int(rounds)):
+        free = (cur.filter(F.col("cur") < int(n_shards))
+                .join(held.select(F.col("p").alias("hp")),
+                      F.col("p") == F.col("hp"), "left_anti"))
+        props = (free.select(F.col("p").alias("fp"), "cur")
+                 .join(pref, (F.col("fp") == F.col("p"))
+                       & (F.col("cur") == F.col("rnk")))
+                 .select("s", F.col("fp").alias("p")))
+        pool = held.unionByName(props)
+        held = (pool.withColumn("rn", F.row_number().over(
+                    Window.partitionBy("s").orderBy(skey, "p")))
+                .filter(F.col("rn") <= cap).select("s", "p")
+                .localCheckpoint(eager=False))
+        cur = (cur.join(props.select(F.col("p").alias("qp")),
+                        F.col("p") == F.col("qp"), "left")
+               .select("p", (F.col("cur")
+                             + F.when(F.col("qp").isNotNull(),
+                                      F.lit(1)).otherwise(F.lit(0)))
+                       .cast("long").alias("cur"))
+               .localCheckpoint(eager=False))
+    return (p.join(held.select(F.col("p").alias("hp"),
+                               F.col("s").alias("shard")),
+                   F.col("p") == F.col("hp"), "left")
+            .join(cur.select(F.col("p").alias("cp"),
+                             F.col("cur").alias("n_proposals")),
+                  F.col("p") == F.col("cp"), "left")
+            .select("p", F.coalesce(F.col("shard"), F.lit(-1))
+                    .cast("long").alias("shard"),
+                    F.col("n_proposals").cast("long")
+                    .alias("n_proposals")))
