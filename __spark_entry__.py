@@ -5220,6 +5220,44 @@ def _q_stable_assignment(spark, sf_dir):
     return linkage.stable_matching(props, n_shards=10, rounds=12)
 
 
+_STUMP_CANDIDATES = [(0, 150), (0, 280), (0, 400),
+                     (1, 300), (1, 700), (2, 48)]
+
+
+def _q_boosted_stumps(spark, sf_dir):
+    """Weight-doubling boosted decision stumps
+    (ops/quality.py::boosted_stumps): 3 rounds over 3 integer
+    features (n_chars, doc_id%1000, length%97) against the label
+    n_chars > 280 and a fixed 6-stump candidate grid — the
+    nonlinear-threshold sibling of quality_classifier's linear LR.
+    Training is float-free (integer weights double on error, votes
+    are ±1), so the per-example (y, score, w) surface is bit-exact
+    on any engine; the oracle replays the 3 argmin-pick rounds as
+    chained MATERIALIZED CTEs."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_chars") > 280).alias("lbl"),
+        F.col("n_chars").cast("long").alias("c0"),
+        (F.col("doc_id") % 1000).cast("long").alias("c1"),
+        (F.length("text") % 97).cast("long").alias("c2"))
+    return quality.boosted_stumps(d, ["c0", "c1", "c2"], "lbl",
+                                  _STUMP_CANDIDATES, n_rounds=3)
+
+
+def _q_rouge_scores(spark, sf_dir):
+    """ROUGE-2 with clipped counts (ops/textstats.py::rouge_scores):
+    system summary = the first 2/3 of each document's characters
+    (ASCII corpus, so character slicing is engine-identical), scored
+    against the full text as reference. The small shared vocabulary
+    makes repeated bigrams common, so the clipped min(count) path is
+    genuinely exercised; all ratios are ppm integer div."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("ref"),
+        F.expr("substring(text, 1, (length(text) * 2) div 3)")
+        .alias("sys"))
+    return textstats.rouge_scores(d, "ref", "sys", n=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): diag probes first (the
@@ -5561,6 +5599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_betweenness": _q_link_betweenness,
         "dbscan_clusters": _q_dbscan_clusters,
         "stable_assignment": _q_stable_assignment,
+        "boosted_stumps": _q_boosted_stumps,
+        "rouge_scores": _q_rouge_scores,
     }
 
 
@@ -13842,6 +13882,99 @@ FROM pp LEFT JOIN held{rounds} h ON pp.p = h.p
 JOIN cur{rounds} c ON pp.p = c.p""")
 
 
+def _boosted_stumps_oracle(rounds: int = 3) -> str:
+    """Chained-CTE replay of the weight-doubling boost rounds: each
+    round re-scores every candidate stump against the current integer
+    weights, picks the (err, cid) argmin with the same o-orientation
+    tie rule, and applies the doubling update — all integer, so the
+    match is bit-exact, not tolerance-based."""
+    cand_rows = ", ".join(
+        f"({i}, {f}, {t})"
+        for i, (f, t) in enumerate(_STUMP_CANDIDATES))
+    fv = ("CASE c.feat WHEN 0 THEN s.f0 WHEN 1 THEN s.f1"
+          " ELSE s.f2 END")
+    pv = ("CASE p.feat WHEN 0 THEN s.f0 WHEN 1 THEN s.f1"
+          " ELSE s.f2 END")
+    blocks = [f"""cand(cid, feat, thr) AS (VALUES {cand_rows}),
+s0 AS MATERIALIZED (
+  SELECT doc_id AS xid,
+    CAST(CASE WHEN n_chars > 280 THEN 1 ELSE -1 END AS BIGINT) AS y,
+    CAST(n_chars AS BIGINT) AS f0,
+    CAST(doc_id % 1000 AS BIGINT) AS f1,
+    CAST(length(text) % 97 AS BIGINT) AS f2,
+    CAST(1 AS BIGINT) AS w, CAST(0 AS BIGINT) AS score
+  FROM documents)"""]
+    for k in range(1, rounds + 1):
+        j = k - 1
+        blocks.append(f"""e{k} AS (
+  SELECT c.cid, c.feat, c.thr,
+    SUM(CASE WHEN {fv} <= c.thr AND s.y = -1 THEN s.w ELSE 0 END)
+      + SUM(CASE WHEN {fv} > c.thr AND s.y = 1 THEN s.w ELSE 0 END)
+      AS err_a,
+    SUM(CASE WHEN {fv} <= c.thr AND s.y = 1 THEN s.w ELSE 0 END)
+      + SUM(CASE WHEN {fv} > c.thr AND s.y = -1 THEN s.w ELSE 0 END)
+      AS err_b
+  FROM s{j} s CROSS JOIN cand c
+  GROUP BY c.cid, c.feat, c.thr),
+p{k} AS MATERIALIZED (
+  SELECT feat, thr,
+    CASE WHEN err_a <= err_b THEN 0 ELSE 1 END AS o
+  FROM e{k} ORDER BY LEAST(err_a, err_b), cid LIMIT 1),
+s{k} AS MATERIALIZED (
+  SELECT xid, y, f0, f1, f2,
+    CAST(CASE WHEN pred <> y THEN w * 2 ELSE w END AS BIGINT) AS w,
+    CAST(score + pred AS BIGINT) AS score
+  FROM (SELECT s.*,
+          CASE WHEN (({pv}) <= p.thr) = (p.o = 0)
+               THEN 1 ELSE -1 END AS pred
+        FROM s{j} s CROSS JOIN p{k} p) t)""")
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT xid AS doc_id, y, score, w FROM s{rounds}")
+
+
+_ROUGE2_ORACLE = """
+WITH d AS MATERIALIZED (
+  SELECT doc_id AS rid,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS rt,
+    list_filter(regexp_split_to_array(lower(
+        substr(text, 1, (length(text) * 2) // 3)), '[^a-z0-9]+'),
+                t -> t <> '') AS st
+  FROM documents),
+g AS MATERIALIZED (
+  SELECT rid,
+    CASE WHEN len(rt) < 2 THEN rt[1:0] ELSE
+      list_transform(range(1, len(rt)), i -> rt[i] || ' ' || rt[i+1])
+    END AS rg,
+    CASE WHEN len(st) < 2 THEN st[1:0] ELSE
+      list_transform(range(1, len(st)), i -> st[i] || ' ' || st[i+1])
+    END AS sg
+  FROM d),
+rc AS (SELECT rid, u.g AS gram, CAST(count(*) AS BIGINT) AS cr
+       FROM g, LATERAL unnest(rg) AS u(g) GROUP BY rid, u.g),
+sc AS (SELECT rid, u.g AS gram, CAST(count(*) AS BIGINT) AS cs
+       FROM g, LATERAL unnest(sg) AS u(g) GROUP BY rid, u.g),
+m AS (SELECT rc.rid, CAST(SUM(LEAST(cr, cs)) AS BIGINT) AS match_n
+      FROM rc JOIN sc ON rc.rid = sc.rid AND rc.gram = sc.gram
+      GROUP BY rc.rid),
+tot AS (SELECT rid, CAST(len(rg) AS BIGINT) AS ref_n,
+               CAST(len(sg) AS BIGINT) AS sys_n FROM g)
+SELECT t.rid AS doc_id,
+  CAST(COALESCE(m.match_n, 0) AS BIGINT) AS match_n,
+  t.ref_n, t.sys_n,
+  CAST(CASE WHEN t.sys_n > 0
+       THEN (1000000 * COALESCE(m.match_n, 0)) // t.sys_n
+       ELSE 0 END AS BIGINT) AS p_ppm,
+  CAST(CASE WHEN t.ref_n > 0
+       THEN (1000000 * COALESCE(m.match_n, 0)) // t.ref_n
+       ELSE 0 END AS BIGINT) AS r_ppm,
+  CAST(CASE WHEN t.ref_n + t.sys_n > 0
+       THEN (2000000 * COALESCE(m.match_n, 0)) // (t.ref_n + t.sys_n)
+       ELSE 0 END AS BIGINT) AS f_ppm
+FROM tot t LEFT JOIN m ON t.rid = m.rid
+"""
+
+
 _USER_TOPK_ORACLE = """
 WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
            FROM events GROUP BY user_id, event_type),
@@ -14221,6 +14354,8 @@ FROM hashed
         "link_betweenness": _betweenness_oracle(),
         "dbscan_clusters": _DBSCAN_ORACLE,
         "stable_assignment": _stable_matching_oracle(),
+        "boosted_stumps": _boosted_stumps_oracle(),
+        "rouge_scores": _ROUGE2_ORACLE,
     }
 
 

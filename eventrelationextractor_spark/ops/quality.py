@@ -1563,3 +1563,83 @@ def eb_shrinkage(counts: DataFrame, group_col: str, k_col: str,
         F.col("r_ppm").alias("raw_ppm"), "strength",
         F.expr("(1000000 * k + strength * m_ppm) div (n + strength)")
         .cast("long").alias("shrunk_ppm"))
+
+
+def boosted_stumps(df: DataFrame, feature_cols: list,
+                   label_col: str, candidates: list,
+                   n_rounds: int = 3,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Integer-weight boosting over decision stumps -> one row per
+    example (id, y, score, w): the classic ensemble-of-weak-learners
+    quality filter (a FastText-LR sibling that captures threshold
+    nonlinearities the linear model can't), in the boost-by-majority
+    flavor: misclassified examples DOUBLE their integer weight each
+    round (no alpha = no log/exp = no float ever enters the
+    training loop - the quality_classifier fixed-point lesson taken
+    to its cleanest form), and the ensemble votes unweighted
+    (score = sum of +-1 stump votes).
+
+    ``candidates`` is a fixed list of (feature_index, threshold)
+    stumps; each round picks the candidate with minimal weighted
+    error (tie: lowest candidate index), orientation o in {0,1}
+    chosen per candidate (o=0: x <= thr predicts +1; tie -> o=0).
+
+    Scale shape: one broadcast crossJoin per round expands each
+    example by |candidates| rows, partially aggregated back to
+    |candidates| error rows before the exchange; the argmin collect
+    is ONE row (model-scale, the allowed collect class); the weight
+    update is a pure projection. Everything engine-lockstep integer:
+    the DuckDB oracle replays the rounds as chained CTEs."""
+    spark = df.sparkSession
+    feats = df.select(
+        F.col(id_col).alias("xid"),
+        F.when(F.col(label_col), F.lit(1)).otherwise(F.lit(-1))
+        .cast("long").alias("y"),
+        *[F.col(c).cast("long").alias(f"f{i}")
+          for i, c in enumerate(feature_cols)])
+    cand = spark.createDataFrame(
+        [(i, int(f), int(t)) for i, (f, t) in enumerate(candidates)],
+        "cid long, feat long, thr long").localCheckpoint()
+    feat_val = None
+    for i in range(len(feature_cols)):
+        cond = (F.col("feat") == i, F.col(f"f{i}"))
+        feat_val = (F.when(*cond) if feat_val is None
+                    else feat_val.when(*cond))
+    state = feats.withColumn("w", F.lit(1).cast("long")) \
+        .withColumn("score", F.lit(0).cast("long")).localCheckpoint()
+    for _ in range(int(n_rounds)):
+        side = (feat_val <= F.col("thr"))
+        agg = (state.crossJoin(F.broadcast(cand))
+               .groupBy("cid", "feat", "thr")
+               .agg(F.sum(F.when(side & (F.col("y") == -1),
+                                 F.col("w")).otherwise(F.lit(0)))
+                    .cast("long").alias("wl_neg"),
+                    F.sum(F.when(side & (F.col("y") == 1),
+                                 F.col("w")).otherwise(F.lit(0)))
+                    .cast("long").alias("wl_pos"),
+                    F.sum(F.when(~side & (F.col("y") == 1),
+                                 F.col("w")).otherwise(F.lit(0)))
+                    .cast("long").alias("wr_pos"),
+                    F.sum(F.when(~side & (F.col("y") == -1),
+                                 F.col("w")).otherwise(F.lit(0)))
+                    .cast("long").alias("wr_neg")))
+        pick = (agg.select(
+            "cid", "feat", "thr",
+            (F.col("wl_neg") + F.col("wr_pos")).alias("err_a"),
+            (F.col("wl_pos") + F.col("wr_neg")).alias("err_b"))
+            .select("cid", "feat", "thr",
+                    F.when(F.col("err_a") <= F.col("err_b"), F.lit(0))
+                    .otherwise(F.lit(1)).cast("long").alias("o"),
+                    F.least("err_a", "err_b").alias("err"))
+            .orderBy("err", "cid").limit(1).collect()[0])
+        feat_i, thr, o = int(pick["feat"]), int(pick["thr"]), \
+            int(pick["o"])
+        pred = F.when((F.col(f"f{feat_i}") <= thr) == F.lit(o == 0),
+                      F.lit(1)).otherwise(F.lit(-1)).cast("long")
+        state = (state.withColumn(
+            "w", F.when(pred != F.col("y"), F.col("w") * 2)
+            .otherwise(F.col("w")).cast("long"))
+            .withColumn("score",
+                        (F.col("score") + pred).cast("long"))
+            .localCheckpoint(eager=False))
+    return state.select(F.col("xid").alias(id_col), "y", "score", "w")

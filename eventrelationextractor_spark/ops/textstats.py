@@ -1609,3 +1609,70 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
                     F.col("g").alias(group_col),
                     F.col("x").alias(value_col),
                     F.col("px").alias("qn_value")))
+
+
+def rouge_scores(df: DataFrame, ref_col: str, sys_col: str,
+                 id_col: str = "doc_id", n: int = 1) -> DataFrame:
+    """ROUGE-N with clipped counts -> (id, match_n, ref_n, sys_n,
+    p_ppm, r_ppm, f_ppm): the standard summary/overlap metric (Lin
+    2004) - match = sum over n-grams of min(count_ref, count_sys),
+    precision = match/sys, recall = match/ref, F1 = 2pr/(p+r). The
+    eval half of a summarization / decontamination pipeline (its
+    n-gram machinery is the same shape as ops/decontam.py, but scored
+    per document pair instead of thresholded).
+
+    All ratios are ppm via integer div with the rational-F1 spelled
+    as (2 * 1e6 * match) div (ref_n + sys_n) - algebraically equal to
+    2pr/(p+r) on counts, but ONE integer division instead of a
+    float compose (engine-lockstep). Empty sides -> 0 ppm.
+
+    Scale shape: tokenize + posexplode + two groupBys keyed by
+    (id, gram) - everything partial-aggregable; the join back is
+    per-id n-gram counts, never cross-document."""
+    d = df.select(F.col(id_col).alias("rid"),
+                  F.col(ref_col).alias("rtext"),
+                  F.col(sys_col).alias("stext"))
+    for side, col in (("r", "rtext"), ("s", "stext")):
+        toks = F.filter(F.split(F.lower(F.col(col)), "[^a-z0-9]+"),
+                        lambda t: t != "")
+        d = d.withColumn(f"{side}_toks", toks)
+    if n == 1:
+        d = d.withColumn("r_grams", F.col("r_toks")) \
+             .withColumn("s_grams", F.col("s_toks"))
+    else:
+        for side in ("r", "s"):
+            # Guard short docs: Spark sequence(1, 0) DESCENDS ([1, 0])
+            # instead of emitting empty, which would fabricate phantom
+            # grams from out-of-range slices on sub-n-token texts.
+            d = d.withColumn(f"{side}_grams", F.expr(
+                f"CASE WHEN size({side}_toks) < {n}"
+                f" THEN slice({side}_toks, 1, 0)"
+                f" ELSE transform(sequence(1, size({side}_toks)"
+                f" - {n - 1}), i -> concat_ws(' ',"
+                f" slice({side}_toks, i, {n}))) END"))
+    rc = (d.select("rid", F.explode("r_grams").alias("g"))
+          .groupBy("rid", "g")
+          .agg(F.count(F.lit(1)).cast("long").alias("cr")))
+    sc = (d.select("rid", F.explode("s_grams").alias("g"))
+          .groupBy("rid", "g")
+          .agg(F.count(F.lit(1)).cast("long").alias("cs")))
+    match = (rc.join(sc, ["rid", "g"])
+             .groupBy("rid")
+             .agg(F.sum(F.least("cr", "cs")).cast("long")
+                  .alias("match_n")))
+    totals = d.select("rid",
+                      F.size("r_grams").cast("long").alias("ref_n"),
+                      F.size("s_grams").cast("long").alias("sys_n"))
+    out = (totals.join(match, "rid", "left")
+           .select(F.col("rid").alias(id_col), "ref_n", "sys_n",
+                   F.coalesce(F.col("match_n"), F.lit(0))
+                   .cast("long").alias("match_n")))
+    return out.select(
+        id_col, "match_n", "ref_n", "sys_n",
+        F.expr("CASE WHEN sys_n > 0 THEN (1000000 * match_n) div sys_n"
+               " ELSE 0 END").cast("long").alias("p_ppm"),
+        F.expr("CASE WHEN ref_n > 0 THEN (1000000 * match_n) div ref_n"
+               " ELSE 0 END").cast("long").alias("r_ppm"),
+        F.expr("CASE WHEN ref_n + sys_n > 0 THEN"
+               " (2000000 * match_n) div (ref_n + sys_n)"
+               " ELSE 0 END").cast("long").alias("f_ppm"))
