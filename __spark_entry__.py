@@ -27,7 +27,7 @@ from eventrelationextractor_spark import fixtures as fx  # noqa: E402
 from eventrelationextractor_spark.ops import bm25, cluster, packing, pq  # noqa: E402
 from eventrelationextractor_spark.ops import dedup, events, multimodal  # noqa: E402
 from eventrelationextractor_spark.ops import bloom, bpe, graph, iforest, linededup  # noqa: E402
-from eventrelationextractor_spark.ops import htmltext, mixing, pii  # noqa: E402
+from eventrelationextractor_spark.ops import hmm, htmltext, mixing, pii  # noqa: E402
 from eventrelationextractor_spark.ops import maintenance, mining, quality  # noqa: E402
 from eventrelationextractor_spark.ops import linkage  # noqa: E402
 from eventrelationextractor_spark.ops import simsearch, sketches, spell, textstats, urls  # noqa: E402
@@ -5154,6 +5154,55 @@ def _q_orc_roundtrip(spark, sf_dir):
             .select("doc_id", "text", "lang", "source", "n_chars"))
 
 
+def _q_pca_projection(spark, sf_dir):
+    """Fixed-point power-iteration PCA (ops/cluster.py::pca_power):
+    top principal-component projection of the 64-d embeddings with
+    zero float arithmetic after the initial quantize — integer Gram
+    via Arrow-batch numpy, driver-side integer power iteration,
+    integer projection. The oracle replays quantize/means/Gram/8
+    matvec-rescale rounds/sign fix as chained CTEs; every division
+    is trunc-toward-zero on both engines."""
+    return cluster.pca_power(_emb(spark, sf_dir))
+
+
+_HMM_TRANS = [[0, 4, 9], [3, 0, 5], [8, 2, 0]]
+_HMM_EMIT = [[1, 5, 9, 2], [7, 0, 3, 6], [4, 8, 1, 0]]
+_HMM_START = [0, 2, 5]
+
+
+def _q_hmm_viterbi(spark, sf_dir):
+    """Integer min-plus Viterbi decode (ops/hmm.py::viterbi_decode):
+    3 hidden states over 4 token-length classes, the whole
+    per-document DP as ONE JVM-side aggregate fold (no UDF, no
+    shuffle). The oracle replays the identical recurrence as a
+    DuckDB recursive CTE generated from the SAME model tables, so
+    costs, argmin tie-breaks (lowest state), and the full decoded
+    path string are bit-exact."""
+    return hmm.viterbi_decode(_docs(spark, sf_dir), "text",
+                              _HMM_TRANS, _HMM_EMIT, _HMM_START)
+
+
+def _q_csv_roundtrip(spark, sf_dir):
+    """CSV source/sink roundtrip with adversarial quoting: a staged
+    column embeds the separator, double quotes, and a literal
+    newline, so the writer must quote-escape (RFC 4180 doubled-quote
+    style, escape='\"') and the reader must multiLine-parse. The
+    oracle never touches the CSV — it recomputes the projection from
+    the parquet view, so any lossy write/parse shows up as a value
+    mismatch in the hash gate."""
+    path = os.path.join("/tmp", "erex_csv_"
+                        + os.path.basename(os.path.normpath(sf_dir)))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.concat(F.lit('v,"q" '), F.col("lang"),
+                 F.lit("\nx")).alias("tricky"))
+    (d.write.mode("overwrite").option("header", True)
+     .option("escape", '"').csv(path))
+    return (spark.read.schema(d.schema).option("header", True)
+            .option("multiLine", True).option("escape", '"')
+            .csv(path))
+
+
 def _q_link_betweenness(spark, sf_dir):
     """Hop-bounded EXACT betweenness + stress centrality
     (ops/graph.py::apsp_centrality) over a bounded ring+chord stratum
@@ -5601,6 +5650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stable_assignment": _q_stable_assignment,
         "boosted_stumps": _q_boosted_stumps,
         "rouge_scores": _q_rouge_scores,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "hmm_viterbi": _q_hmm_viterbi,
+        "pca_projection": _q_pca_projection,
     }
 
 
@@ -14356,6 +14408,13 @@ FROM hashed
         "stable_assignment": _stable_matching_oracle(),
         "boosted_stumps": _boosted_stumps_oracle(),
         "rouge_scores": _ROUGE2_ORACLE,
+        "csv_roundtrip": """
+SELECT doc_id, text, lang, source, n_chars,
+       'v,"q" ' || lang || chr(10) || 'x' AS tricky
+FROM documents""",
+        "hmm_viterbi": hmm.viterbi_oracle_sql(
+            "documents", "text", _HMM_TRANS, _HMM_EMIT, _HMM_START),
+        "pca_projection": cluster.pca_oracle_sql("embeddings", d=64),
     }
 
 

@@ -372,3 +372,154 @@ def dbscan_grid(points: DataFrame, eps: int, min_pts: int,
             .select("pid", "is_core",
                     F.coalesce(F.col("label"), F.col("blabel"),
                                F.lit(-1)).cast("long").alias("label")))
+
+
+# --------------------------------------------------------------- PCA
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncation-toward-zero integer division — the shared
+    cross-engine semantic (Spark `div`, DuckDB `//`), spelled
+    explicitly because Python's // floors instead."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def pca_power(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", iters: int = 8,
+              q_scale: int = 10000, v_scale: int = 1024) -> DataFrame:
+    """Top principal-component projection by FIXED-POINT power
+    iteration -> (id, pc1_proj): the embedding-space structure op
+    (whitening, drift detection, ABTT-style dominant-direction
+    removal) with zero float arithmetic after the initial quantize,
+    so the result is bit-exact on any engine / merge order.
+
+    Pipeline: quantize each component to ``floor(x * q_scale)``
+    BIGINT (exact: float32 widens to float64 losslessly and the
+    product is one IEEE rounding on both engines — the
+    embedding_quantize precedent); center on the trunc-div integer
+    mean; accumulate the exact integer Gram matrix per Arrow batch
+    (numpy int64 ``Vc.T @ Vc`` — a few thousand BIGINTs per
+    partition, partial-aggregated); drive ``iters`` power-iteration
+    rounds on the driver in pure Python ints, rescaling the vector
+    to max-abs ``v_scale`` each round with trunc division; fix the
+    sign so the largest-|component| coordinate (tie: lowest index)
+    is positive; project every centered row onto the component.
+
+    Scale shape: three scans (means, Gram, projection), all
+    Arrow-vectorized, no shuffle wider than d^2 Gram partials;
+    driver traffic is d sums + d^2 Gram cells + the d-vector
+    (model-scale collects). Overflow budget (documented, not
+    checked per-row): |Gram| < (q_scale)^2 * n_rows and
+    |Gram| * v_scale * d must stay under 2^63 — at q_scale 1e4,
+    v_scale 2^10, d 64 that admits ~1e6 unit-norm rows; drop
+    q_scale to 1e3 for billion-row corpora."""
+    import numpy as np
+
+    d_len = emb.select(F.size(vec_col)).first()[0]
+    q = emb.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(floor("
+               f"CAST(x AS DOUBLE) * {q_scale}) AS BIGINT))")
+        .alias("qarr"))
+    sums = (q.select(F.posexplode("qarr").alias("i", "qv"))
+            .groupBy("i").agg(F.sum("qv").alias("s"),
+                              F.count(F.lit(1)).alias("n"))
+            .collect())
+    means = [0] * d_len
+    for r in sums:
+        means[r["i"]] = _trunc_div(int(r["s"]), int(r["n"]))
+    mu = np.array(means, dtype=np.int64)
+
+    def gram_partial(batches):
+        import pandas as pd
+        g = np.zeros((d_len, d_len), dtype=np.int64)
+        for pdf in batches:
+            v = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)
+            vc = v - mu
+            g += vc.T @ vc
+        ii, jj = np.nonzero(np.ones_like(g))
+        yield pd.DataFrame({"i": ii, "j": jj, "s": g[ii, jj]})
+
+    gram_rows = (q.mapInPandas(gram_partial, "i int, j int, s long")
+                 .groupBy("i", "j").agg(F.sum("s").alias("s"))
+                 .collect())
+    g = [[0] * d_len for _ in range(d_len)]
+    for r in gram_rows:
+        g[r["i"]][r["j"]] = int(r["s"])
+
+    v = [1] * d_len
+    for _ in range(int(iters)):
+        w = [sum(g[i][j] * v[j] for j in range(d_len))
+             for i in range(d_len)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [_trunc_div(x * v_scale, m) for x in w]
+    # sign convention: the max-|value| coordinate (tie: lowest
+    # index) ends positive
+    pivot = max(range(d_len), key=lambda i: (abs(v[i]), -i))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    pc = np.array(v, dtype=np.int64)
+
+    def project(batches):
+        import pandas as pd
+        for pdf in batches:
+            m2 = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)
+            yield pd.DataFrame({
+                "vid": pdf["vid"],
+                "pc1_proj": (m2 - mu) @ pc})
+
+    return (q.mapInPandas(project, "vid long, pc1_proj long")
+            .select(F.col("vid").alias(id_col),
+                    F.col("pc1_proj").cast("long")))
+
+
+def pca_oracle_sql(table_expr: str, id_col: str = "vec_id",
+                   vec_col: str = "embedding", d: int = 64,
+                   iters: int = 8, q_scale: int = 10000,
+                   v_scale: int = 1024) -> str:
+    """DuckDB replay of pca_power: quantize + trunc-div means +
+    self-join Gram + ``iters`` chained matvec/rescale CTEs + the
+    same sign fix and projection. Trunc division is spelled
+    SIGN(a)*(ABS(a)//b) so negative numerators cannot drift."""
+    blocks = [f"""q AS MATERIALIZED (
+  SELECT {id_col} AS vid, gs.i AS i,
+    CAST(floor(CAST({vec_col}[gs.i] AS DOUBLE) * {q_scale})
+         AS BIGINT) AS qv
+  FROM {table_expr},
+    LATERAL (SELECT unnest(generate_series(1, {d})) AS i) gs),
+mu AS MATERIALIZED (
+  SELECT i, CAST(CASE WHEN SUM(qv) >= 0
+    THEN ABS(SUM(qv)) // COUNT(*)
+    ELSE -(ABS(SUM(qv)) // COUNT(*)) END AS BIGINT) AS m
+  FROM q GROUP BY i),
+qc AS MATERIALIZED (
+  SELECT q.vid, q.i, q.qv - mu.m AS c
+  FROM q JOIN mu ON q.i = mu.i),
+g AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.c * b.c) AS BIGINT) AS s
+  FROM qc a JOIN qc b ON a.vid = b.vid GROUP BY a.i, b.i),
+v0 AS (SELECT i, CAST(1 AS BIGINT) AS v
+       FROM (SELECT unnest(generate_series(1, {d})) AS i))"""]
+    for k in range(1, iters + 1):
+        j = k - 1
+        blocks.append(f"""w{k} AS MATERIALIZED (
+  SELECT g.i, CAST(SUM(g.s * v.v) AS BIGINT) AS w
+  FROM g JOIN v{j} v ON g.j = v.i GROUP BY g.i),
+m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}),
+v{k} AS MATERIALIZED (
+  SELECT w.i, CAST(CASE WHEN m.m = 0 THEN
+      (SELECT v FROM v{j} pv WHERE pv.i = w.i)
+    WHEN w.w >= 0 THEN (ABS(w.w) * {v_scale}) // m.m
+    ELSE -((ABS(w.w) * {v_scale}) // m.m) END AS BIGINT) AS v
+  FROM w{k} w, m{k} m)""")
+    return ("WITH " + ",\n".join(blocks) + f""",
+piv AS (SELECT i, v FROM v{iters} ORDER BY ABS(v) DESC, i LIMIT 1),
+pc AS MATERIALIZED (
+  SELECT f.i, CAST(CASE WHEN p.v < 0 THEN -f.v ELSE f.v END
+               AS BIGINT) AS v
+  FROM v{iters} f, piv p)
+SELECT qc.vid AS {id_col},
+  CAST(SUM(qc.c * pc.v) AS BIGINT) AS pc1_proj
+FROM qc JOIN pc ON qc.i = pc.i GROUP BY qc.vid""")

@@ -121,3 +121,84 @@ def test_rouge1_empty_and_punct_only_sides(spark):
     got = _rouge(spark, [(0, "alpha beta", "?!...")], 1)[0]
     assert got == {"doc_id": 0, "match_n": 0, "ref_n": 2, "sys_n": 0,
                    "p_ppm": 0, "r_ppm": 0, "f_ppm": 0}
+
+
+# ------------------------------------------------------------ viterbi
+
+from eventrelationextractor_spark.ops import cluster as cl
+from eventrelationextractor_spark.ops import hmm
+
+
+def _viterbi_reference(text, trans, emit, start):
+    import re
+    toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+    k = len(start)
+    c = [start[i] for i in range(k)]
+    p = [""] * k
+    for tok in toks:
+        cls = len(tok) % len(emit[0])
+        nc, np_ = [], []
+        for j in range(k):
+            cands = [c[i] + trans[i][j] for i in range(k)]
+            best = min(cands)
+            arg = cands.index(best)  # lowest index on ties
+            nc.append(best + emit[j][cls])
+            np_.append(p[arg] + str(j))
+        c, p = nc, np_
+    best = min(c)
+    arg = c.index(best)
+    return arg, best, p[arg]
+
+
+def test_viterbi_matches_python_reference(spark):
+    trans = [[0, 4, 9], [3, 0, 5], [8, 2, 0]]
+    emit = [[1, 5, 9, 2], [7, 0, 3, 6], [4, 8, 1, 0]]
+    start = [0, 2, 5]
+    texts = ["key agg row scan slow", "a bb ccc dddd eeeee",
+             "Hello, World! x2", "one", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["vit_state"], r["vit_cost"], r["vit_path"])
+           for r in hmm.viterbi_decode(df, "text", trans, emit,
+                                       start).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _viterbi_reference(t, trans, emit, start), t
+
+
+def test_viterbi_tie_prefers_lowest_state(spark):
+    """Symmetric 2-state model: every candidate ties, so the decode
+    must stick to state 0 throughout."""
+    df = spark.createDataFrame([(0, "aa bb cc")],
+                               "doc_id long, text string")
+    row = hmm.viterbi_decode(
+        df, "text", trans=[[1, 1], [1, 1]],
+        emit=[[2, 2], [2, 2]], start=[3, 3]).collect()[0]
+    assert row["vit_state"] == 0 and row["vit_path"] == "000"
+    assert row["vit_cost"] == 3 + 1 + 2 + (1 + 2) * 2
+
+
+# ---------------------------------------------------------------- pca
+
+def test_pca_power_recovers_planted_axis(spark):
+    """Variance planted on coordinate 0 (coordinate 2 carries a
+    weaker signal): projections must order by the x0 value and the
+    sign convention makes them increase with it."""
+    rows = [(i, [float(i - 8) * 0.03,
+                 0.001 * ((i * 7) % 5),
+                 float((i % 3) - 1) * 0.005, 0.0])
+            for i in range(17)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["pc1_proj"]
+           for r in cl.pca_power(df, iters=8).collect()}
+    order = sorted(got, key=lambda k: got[k])
+    assert order == list(range(17))  # monotone in x0
+
+
+def test_pca_power_zero_variance_is_stable(spark):
+    """All-identical vectors: Gram is 0, the m=0 guard keeps the
+    all-ones vector, projections are all zero (no div-by-zero)."""
+    rows = [(i, [0.25, -0.5, 0.125]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [r["pc1_proj"] for r in cl.pca_power(df, iters=4).collect()]
+    assert got == [0] * 6

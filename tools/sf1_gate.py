@@ -69,11 +69,32 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    # Resumable: a long sweep that dies (session kill, OOM) keeps its
+    # per-query progress in <out>.partial; completed rows are skipped
+    # on relaunch, failures re-run.
+    partial_path = out_path + ".partial"
     results: dict = {}
+    if not only and os.path.exists(partial_path):
+        with open(partial_path) as fh:
+            prior = json.load(fh)
+        results = {k: v for k, v in prior.get("queries", {}).items()
+                   if v.get("status") in ("ok", "rows_only", "excluded")
+                   and k in qs}
+        print(f"resuming: {len(results)} queries already green",
+              flush=True)
     n_fail = 0
     t_start = time.time()
+
+    def _checkpoint():
+        if only:
+            return
+        with open(partial_path, "w") as fh:
+            json.dump({"queries": results}, fh)
+
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in results:
             continue
         if name in EXCLUDED and not only:
             results[name] = {"status": "excluded",
@@ -89,10 +110,12 @@ def main() -> int:
             results[name] = {"status": "spark_error",
                              "err": str(e)[:200]}
             print(f"FAIL {name}: spark {str(e)[:120]}", flush=True)
+            _checkpoint()
             continue
         if name not in oracles:
             results[name] = {"status": "rows_only", "rows": len(srows)}
             print(f"ok   {name}: rows-only {len(srows)}", flush=True)
+            _checkpoint()
             continue
         try:
             cur = con.execute(oracles[name])
@@ -103,6 +126,7 @@ def main() -> int:
             results[name] = {"status": "oracle_error",
                              "err": str(e)[:200]}
             print(f"FAIL {name}: oracle {str(e)[:120]}", flush=True)
+            _checkpoint()
             continue
         ok = (len(srows) == len(orows)
               and sorted(scols) == sorted(ocols)
@@ -119,6 +143,7 @@ def main() -> int:
                              "oracle_rows": len(orows), "secs": dt}
             print(f"FAIL {name}: {len(srows)} vs {len(orows)}",
                   flush=True)
+        _checkpoint()
 
     artifact = {
         "sf": 1.0,
