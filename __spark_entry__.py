@@ -5307,6 +5307,54 @@ def _q_rouge_scores(spark, sf_dir):
     return textstats.rouge_scores(d, "ref", "sys", n=2)
 
 
+def _q_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling (ops/graph.py::
+    resolve_redirects) over a deterministic functional graph on
+    doc_id: chains of length <= 19 inside each block of 100 (d%100 <
+    19 -> d+1) plus a planted 3-cycle per block of 500 (490->491->
+    492->490). Chains resolve with exact hop counts in log rounds;
+    cycle members emit (NULL, NULL, true). The oracle walks the same
+    edges with a hop-capped recursive CTE."""
+    e = _docs(spark, sf_dir).selectExpr(
+        "doc_id AS src",
+        "CASE WHEN doc_id % 500 IN (490, 491) THEN doc_id + 1 "
+        "WHEN doc_id % 500 = 492 THEN doc_id - 2 "
+        "WHEN doc_id % 100 < 19 THEN doc_id + 1 END AS dst"
+    ).filter("dst IS NOT NULL")
+    return graph.resolve_redirects(e)
+
+
+def _q_media_otsu(spark, sf_dir):
+    """Integer Otsu binarization threshold over REAL PNG decode
+    (ops/multimodal.py::otsu_stats) on the closed-form pixel corpus:
+    per image the 256-bin gray histogram feeds the exact-rational
+    between-class-variance scan (num < 2^53 so the DOUBLE ranking is
+    IEEE-identical cross-engine; ties -> lowest t) and the emitted
+    surface is integers only. The oracle rebuilds the histogram from
+    the closed pixel form and replays the same cumulative argmax."""
+    return multimodal.otsu_stats(
+        _media_pngs(_docs(spark, sf_dir).select("doc_id")))
+
+
+def _q_dhondt_allocation(spark, sf_dir):
+    """D'Hondt divisor-method apportionment (ops/mixing.py::
+    dhondt_allocation) of 21 sampling seats across source strata by
+    document count — the highest-averages sibling of
+    mixture_apportion's Hamilton method, ranked entirely by integer
+    cross-multiplication (no float quotient ever exists)."""
+    return mixing.dhondt_allocation(
+        _docs(spark, sf_dir).selectExpr("source", "1 AS one"),
+        "source", "one", total=21)
+
+
+def _q_anova_f(spark, sf_dir):
+    """One-way ANOVA of n_chars across lang groups (ops/quality.py::
+    anova_f): BIGINT moments and integer-defined scaled sums of
+    squares (overflow-free floor(a*1e6/b) split), with only the final
+    F ratio in exact-scalar DOUBLE, emitted as floor ppm."""
+    return quality.anova_f(_docs(spark, sf_dir), "lang", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): diag probes first (the
@@ -5653,6 +5701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "hmm_viterbi": _q_hmm_viterbi,
         "pca_projection": _q_pca_projection,
+        "redirect_resolution": _q_redirect_resolution,
+        "media_otsu": _q_media_otsu,
+        "dhondt_allocation": _q_dhondt_allocation,
+        "anova_f": _q_anova_f,
     }
 
 
@@ -14037,6 +14089,121 @@ SELECT user_id, event_type, cnt, rnk FROM r WHERE rnk <= 4
 """
 
 
+_REDIRECT_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS x,
+    CASE WHEN doc_id % 500 IN (490, 491) THEN doc_id + 1
+         WHEN doc_id % 500 = 492 THEN doc_id - 2
+         WHEN doc_id % 100 < 19 THEN doc_id + 1 END AS y
+  FROM documents
+  WHERE doc_id % 500 IN (490, 491, 492) OR doc_id % 100 < 19
+),
+walk(src, cur, hops) AS (
+  SELECT x, y, CAST(1 AS BIGINT) FROM e
+  UNION ALL
+  SELECT w.src, e2.y, w.hops + 1
+  FROM walk w JOIN e e2 ON w.cur = e2.x
+  WHERE w.hops < 64
+),
+term AS (
+  SELECT w.src, w.cur AS final, w.hops
+  FROM walk w LEFT JOIN e t ON w.cur = t.x
+  WHERE t.x IS NULL
+)
+SELECT s.x AS src, t.final, t.hops, t.src IS NULL AS is_cycle
+FROM e s LEFT JOIN term t ON s.x = t.src
+"""
+
+
+def _otsu_oracle() -> str:
+    """Rebuilds otsu_stats from _media_pngs' closed pixel form: the
+    gray histogram comes straight off the (doc, y, x) grid, cumulative
+    sums run over OCCUPIED bins only (an unoccupied threshold shares
+    its predecessor's (cn, cs) and therefore its score, so the
+    lowest-t argmax always lands on an occupied bin — same first-hit
+    numpy argmax picks), and the DOUBLE score is exact-scalar IEEE on
+    both engines (num < 2^53)."""
+    base = "(x * 3 + y * 7 + doc_id)"
+    gray = (f"(({base}) % 256 + ({base} + 11) % 256"
+            f" + ({base} + 22) % 256) // 3")
+    return f"""
+WITH dims AS (SELECT doc_id, 8 + (doc_id % 5) * 4 AS h,
+                     8 + ((doc_id // 5) % 5) * 4 AS w
+              FROM documents),
+px AS (SELECT doc_id, {gray} AS gray
+       FROM dims, range(24) yy(y), range(24) xx(x)
+       WHERE y < h AND x < w),
+hist AS (SELECT doc_id, gray, CAST(count(*) AS BIGINT) AS c
+         FROM px GROUP BY 1, 2),
+cum AS (SELECT doc_id, gray AS t,
+          CAST(sum(c) OVER win AS BIGINT) AS cn,
+          CAST(sum(gray * c) OVER win AS BIGINT) AS cs,
+          CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+          CAST(sum(gray * c) OVER (PARTITION BY doc_id) AS BIGINT) AS s
+        FROM hist
+        WINDOW win AS (PARTITION BY doc_id ORDER BY gray)),
+scored AS (SELECT doc_id, t, cn, cs,
+             CAST((cs * n - cn * s) * (cs * n - cn * s) AS DOUBLE)
+               / CAST(cn * (n - cn) AS DOUBLE) AS sc
+           FROM cum WHERE cn < n),
+pick AS (SELECT doc_id, t, cn, cs,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY sc DESC, t) AS rn
+         FROM scored)
+SELECT doc_id AS media_id, CAST(t AS BIGINT) AS otsu_t,
+       cn AS n_below, cs AS sum_below
+FROM pick WHERE rn = 1
+"""
+
+
+_DHONDT_ORACLE = """
+WITH w AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS weight
+           FROM documents GROUP BY 1),
+cand AS (SELECT stratum, weight, k FROM w, range(1, 22) ks(k)),
+nb AS (SELECT c.stratum, c.weight, c.k,
+         (SELECT count(*) FROM cand o
+          WHERE o.weight * c.k > c.weight * o.k
+             OR (o.weight * c.k = c.weight * o.k
+                 AND (o.weight > c.weight
+                      OR (o.weight = c.weight
+                          AND o.stratum < c.stratum)))) AS nbet
+       FROM cand c)
+SELECT stratum, max(weight) AS weight,
+       CAST(sum(CASE WHEN nbet < 21 THEN 1 ELSE 0 END) AS BIGINT)
+         AS seats
+FROM nb GROUP BY 1
+"""
+
+
+_ANOVA_ORACLE = """
+WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(n_chars) AS BIGINT) AS t_g,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS q_g
+           FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(sum(t_g) AS BIGINT) AS t_total,
+          CAST(sum(q_g) AS BIGINT) AS q_total,
+          CAST(sum(((t_g * t_g) // n_g) * 1000000
+               + (((t_g * t_g) % n_g) * 1000000) // n_g) AS BIGINT)
+            AS between_raw
+        FROM g),
+ss AS (SELECT n_rows, n_groups, t_total, q_total,
+         between_raw - (((t_total * t_total) // n_rows) * 1000000
+           + (((t_total * t_total) % n_rows) * 1000000) // n_rows)
+           AS ssb_scaled,
+         q_total * 1000000 - between_raw AS ssw_scaled
+       FROM tot)
+SELECT n_rows, n_groups, t_total, q_total, ssb_scaled, ssw_scaled,
+  CASE WHEN ssw_scaled = 0 OR n_groups <= 1 OR n_rows <= n_groups
+       THEN CAST(NULL AS BIGINT)
+       ELSE CAST(floor((CAST(ssb_scaled AS DOUBLE) / (n_groups - 1))
+            / (CAST(ssw_scaled AS DOUBLE) / (n_rows - n_groups))
+            * 1000000.0) AS BIGINT) END AS f_ppm
+FROM ss
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -14415,6 +14582,10 @@ FROM documents""",
         "hmm_viterbi": hmm.viterbi_oracle_sql(
             "documents", "text", _HMM_TRANS, _HMM_EMIT, _HMM_START),
         "pca_projection": cluster.pca_oracle_sql("embeddings", d=64),
+        "redirect_resolution": _REDIRECT_ORACLE,
+        "media_otsu": _otsu_oracle(),
+        "dhondt_allocation": _DHONDT_ORACLE,
+        "anova_f": _ANOVA_ORACLE,
     }
 
 

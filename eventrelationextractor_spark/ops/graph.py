@@ -1698,3 +1698,59 @@ def apsp_centrality(edges: DataFrame, nodes: DataFrame,
                     .cast("long").alias("stress"),
                     F.coalesce(F.col("bc_micro"), F.lit(0))
                     .cast("long").alias("bc_micro")))
+
+
+def resolve_redirects(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", max_rounds: int = 8,
+                      stats: dict | None = None) -> DataFrame:
+    """Terminal-target resolution of a FUNCTIONAL graph (every node
+    has at most one out-edge) by pointer doubling -> (src, final,
+    hops, is_cycle): the crawl-frontier primitive that collapses HTTP
+    redirect chains (301 -> 301 -> 200) to their landing URL before
+    dedup/canonicalization, and the same shape as symlink resolution
+    or next-version chasing in a CDC log. The reference resolves
+    entity mentions through alias chains one lookup at a time
+    (driver-side maps); at corpus scale the chain walk must be the
+    log-round doubling below.
+
+    Round k squares the pointer map (p <- p . p, hops add), so a
+    chain of length L resolves in ceil(log2 L) rounds; a node on (or
+    leading into) a cycle can never reach a terminal and is emitted
+    as (src, NULL, NULL, true) once the 2^max_rounds hop budget is
+    exhausted - NULL rather than the doubling trajectory's arbitrary
+    on-cycle position, so the output is a pure function of the graph,
+    not of the round count.
+
+    Scale shape: the frame stays exactly |sources| rows the whole
+    time; each round is ONE equi-join of the unresolved slice against
+    the full map (shuffle on the pointer key) + a localCheckpoint to
+    truncate lineage (the CC-loop discipline, spark/kg.py). No
+    windows, no driver-side collect - this is ListRank, the textbook
+    pointer-jumping pattern."""
+    m = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"),
+                     F.lit(1).cast("long").alias("hops"))
+    keys = m.select(F.col("x").alias("k")).distinct()
+    m = (m.join(keys, m.y == keys.k, "left")
+         .select("x", "y", "hops", F.col("k").isNull().alias("done"))
+         .localCheckpoint())
+    rounds = 0
+    for r in range(int(max_rounds)):
+        pending = m.filter(~F.col("done"))
+        if pending.isEmpty():
+            break
+        rounds = r + 1
+        ptr = m.select(F.col("x").alias("px"), F.col("y").alias("py"),
+                       F.col("hops").alias("ph"),
+                       F.col("done").alias("pd"))
+        nd = (pending.join(ptr, F.col("y") == F.col("px"))
+              .select("x", F.col("py").alias("y"),
+                      (F.col("hops") + F.col("ph")).alias("hops"),
+                      F.col("pd").alias("done")))
+        m = m.filter(F.col("done")).unionByName(nd).localCheckpoint()
+    if stats is not None:
+        stats["rounds"] = rounds
+    return m.select(
+        F.col("x").alias("src"),
+        F.when(F.col("done"), F.col("y")).alias("final"),
+        F.when(F.col("done"), F.col("hops")).alias("hops"),
+        (~F.col("done")).alias("is_cycle"))

@@ -305,3 +305,49 @@ def ipf_raking(cells: DataFrame, row_col: str, col_col: str,
     return cur.select(F.col("_r").alias(row_col),
                       F.col("_c").alias(col_col), "n_obs",
                       F.col("w").cast("long").alias("w_micro"))
+
+
+def dhondt_allocation(df: DataFrame, stratum_col: str,
+                      weight_col: str, total: int) -> DataFrame:
+    """Highest-averages (D'Hondt / Jefferson) apportionment of an
+    integer budget across strata -> (stratum, weight, seats): the
+    divisor-method sibling of :func:`apportion_counts` (Hamilton) -
+    D'Hondt favours large strata, is immune to the Alabama paradox,
+    and is the standard proportional scheduler for cache/sampling
+    quota splits.
+
+    Exact-integer contract: candidate (p, k) is stratum p's k-th
+    quotient w_p/k for k = 1..total; the ``total`` best quotients win
+    a seat. NO float quotient is ever formed - (p', k') beats (p, k)
+    iff w'*k > w*k' (cross-multiplication; both factors <= w_max *
+    total, far inside int64), ties broken by larger weight then
+    stratum ascending, so the result is bit-exact on any engine.
+    seats_p = #{k : rank(p, k) <= total}.
+
+    Scale shape: one groupBy to the strata table (statistic scale);
+    the candidate table is |strata| * total rows, compared all-pairs
+    (a deliberate O((S*total)^2) driver-free join on a statistic-
+    scale frame - document the budget if total*|strata| grows past
+    ~10^4, same contract as burrows_delta)."""
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    w = (df.groupBy(F.col(stratum_col).alias("stratum"))
+         .agg(F.sum(F.col(weight_col).cast("long")).alias("weight")))
+    cand = w.select("stratum", "weight",
+                    F.explode(F.sequence(F.lit(1), F.lit(int(total))))
+                    .alias("k"))
+    other = cand.select(F.col("stratum").alias("s2"),
+                        F.col("weight").alias("w2"),
+                        F.col("k").alias("k2"))
+    better = (F.col("w2") * F.col("k") > F.col("weight") * F.col("k2")) | \
+        ((F.col("w2") * F.col("k") == F.col("weight") * F.col("k2"))
+         & ((F.col("w2") > F.col("weight"))
+            | ((F.col("w2") == F.col("weight"))
+               & (F.col("s2") < F.col("stratum")))))
+    n_better = (cand.join(other, better, "left")
+                .groupBy("stratum", "weight", "k")
+                .agg(F.count("s2").alias("nb")))
+    return (n_better.groupBy("stratum")
+            .agg(F.max("weight").alias("weight"),
+                 F.sum(F.when(F.col("nb") < total, 1).otherwise(0))
+                 .cast("long").alias("seats")))

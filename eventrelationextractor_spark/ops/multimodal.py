@@ -463,3 +463,60 @@ def sobel_stats(media: DataFrame, edge_mag2: int = 10000) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=SOBEL_SCHEMA)
+
+
+OTSU_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("otsu_t", LongType(), False),
+    StructField("n_below", LongType(), False),
+    StructField("sum_below", LongType(), False),
+])
+
+
+def otsu_stats(media: DataFrame) -> DataFrame:
+    """Otsu global threshold over REAL image decode -> (media_id,
+    otsu_t, n_below, sum_below): the classic histogram-based
+    binarization statistic (Otsu 1979) a multimodal curation pipeline
+    uses to split scanned-text/diagram images from photographs (a
+    bimodal gray histogram thresholds cleanly; flat noise does not).
+
+    Determinism contract: gray = (r+g+b) div 3 on uint8 channels; the
+    score of threshold t is the between-class variance written as the
+    exact rational num/den with num = (S_t*N - n_t*S)^2 and den =
+    n_t*(N - n_t) over the cumulative histogram - every integer fits
+    int64 (N <= 2^20 pixels keeps num < 2^63) and num < 2^53 at our
+    image sizes, so the DOUBLE division is correctly rounded and
+    IDENTICAL on any IEEE engine; argmax ties break to the LOWEST t
+    (numpy argmax first-hit == SQL ORDER BY score DESC, t ASC). The
+    emitted surface is integers only.
+
+    Scale shape: one mapInPandas over payloads (decode + 256-bin
+    bincount + a 256-step vectorized scan per image), 4 integers out
+    per image, no shuffle - the sobel_stats contract."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "otsu_t", "n_below",
+                                   "sum_below")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(bytes(payload)).astype("int64")
+                gray = arr.sum(axis=2) // arr.shape[2]
+                c = np.bincount(gray.ravel(), minlength=256)
+                cn = np.cumsum(c)
+                cs = np.cumsum(c * np.arange(256, dtype="int64"))
+                n_tot, s_tot = int(cn[-1]), int(cs[-1])
+                num = (cs * n_tot - cn * s_tot) ** 2
+                den = cn * (n_tot - cn)
+                score = np.where(den > 0,
+                                 num.astype("float64")
+                                 / np.where(den > 0, den, 1), -1.0)
+                t = int(np.argmax(score))
+                out["media_id"].append(int(mid))
+                out["otsu_t"].append(t)
+                out["n_below"].append(int(cn[t]))
+                out["sum_below"].append(int(cs[t]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=OTSU_SCHEMA)

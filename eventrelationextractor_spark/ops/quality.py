@@ -1643,3 +1643,53 @@ def boosted_stumps(df: DataFrame, feature_cols: list,
                         (F.col("score") + pred).cast("long"))
             .localCheckpoint(eager=False))
     return state.select(F.col("xid").alias(id_col), "y", "score", "w")
+
+
+def anova_f(df: DataFrame, group_col: str, x_col: str) -> DataFrame:
+    """One-way ANOVA F-test across groups -> one row (n_rows,
+    n_groups, t_total, q_total, ssb_scaled, ssw_scaled, f_ppm): the
+    screening test for "does this integer feature differ across
+    strata" (doc length across sources, latency across shards) that
+    sits next to mann_whitney's rank-based sibling.
+
+    Exact-moment contract: per group the BIGINT moments (n_g, t_g =
+    sum x, and global q = sum x^2) are exact; the sums of squares are
+    DEFINED as the integer expressions
+      ssb_scaled = sum_g floor(t_g^2 * 1e6 / n_g) - floor(T^2*1e6/N)
+      ssw_scaled = q*1e6 - sum_g floor(t_g^2 * 1e6 / n_g)
+    where floor(a*1e6/b) is computed overflow-free as
+    (a div b)*1e6 + ((a % b)*1e6) div b - so every emitted moment is
+    a pure BIGINT with no float merge-order exposure. Only the final
+    F ratio touches DOUBLE (four exact-scalar ops, correctly rounded
+    and identical on any IEEE engine), emitted as floor(F*1e6).
+
+    Scale shape: one partial-agg groupBy to the strata table, then a
+    single-row fold over it - two shuffles of statistic-scale data,
+    nothing else."""
+    g = (df.groupBy(F.col(group_col).alias("g"))
+         .agg(F.count("*").cast("long").alias("n_g"),
+              F.sum(F.col(x_col).cast("long")).alias("t_g"),
+              F.sum(F.col(x_col).cast("long")
+                    * F.col(x_col).cast("long")).alias("q_g")))
+    term = ("((t_g * t_g) div n_g) * 1000000"
+            " + (((t_g * t_g) % n_g) * 1000000) div n_g")
+    tot = g.agg(F.sum("n_g").alias("n_rows"),
+                F.count("*").alias("n_groups"),
+                F.sum("t_g").alias("t_total"),
+                F.sum("q_g").alias("q_total"),
+                F.sum(F.expr(term)).alias("between_raw"))
+    return tot.selectExpr(
+        "n_rows", "cast(n_groups as bigint) as n_groups",
+        "t_total", "q_total",
+        "between_raw - (((t_total * t_total) div n_rows) * 1000000"
+        " + (((t_total * t_total) % n_rows) * 1000000) div n_rows)"
+        " as ssb_scaled",
+        "q_total * 1000000 - between_raw as ssw_scaled",
+    ).selectExpr(
+        "n_rows", "n_groups", "t_total", "q_total",
+        "ssb_scaled", "ssw_scaled",
+        "case when ssw_scaled = 0 or n_groups <= 1"
+        " or n_rows <= n_groups then cast(null as bigint)"
+        " else cast(floor((cast(ssb_scaled as double) / (n_groups - 1))"
+        " / (cast(ssw_scaled as double) / (n_rows - n_groups))"
+        " * 1000000.0) as bigint) end as f_ppm")

@@ -1,0 +1,177 @@
+"""Round-5 session-5 operators: pointer-doubling redirect resolution,
+integer Otsu thresholding over real PNG decode, D'Hondt divisor
+apportionment, and exact-moment one-way ANOVA.
+"""
+
+from __future__ import annotations
+
+from eventrelationextractor_spark.ops import codecs
+from eventrelationextractor_spark.ops import graph as g
+from eventrelationextractor_spark.ops import mixing as mx
+from eventrelationextractor_spark.ops import multimodal as mm
+from eventrelationextractor_spark.ops import quality as q
+
+# --------------------------------------------------------- redirects
+
+
+def test_resolve_redirects_chain_cycle_and_feeder(spark):
+    """Chain 1->2->3->T resolves with exact hops; a 3-cycle and the
+    node feeding INTO it both report is_cycle with NULL target."""
+    edges = [(1, 2), (2, 3), (3, 99),          # chain, terminal 99
+             (10, 11), (11, 12), (12, 10),     # 3-cycle
+             (20, 10)]                          # feeds into the cycle
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["src"]: (r["final"], r["hops"], r["is_cycle"])
+           for r in g.resolve_redirects(df).collect()}
+    assert got[1] == (99, 3, False)
+    assert got[2] == (99, 2, False)
+    assert got[3] == (99, 1, False)
+    for cyc in (10, 11, 12, 20):
+        assert got[cyc] == (None, None, True)
+    assert len(got) == 7
+
+
+def test_resolve_redirects_long_chain_exact_hops(spark):
+    """A 100-link chain resolves in ceil(log2(100)) = 7 doubling
+    rounds with hops == distance-to-terminal for every node."""
+    edges = [(i, i + 1) for i in range(100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats = {}
+    got = {r["src"]: (r["final"], r["hops"])
+           for r in g.resolve_redirects(df, max_rounds=7,
+                                        stats=stats).collect()}
+    assert stats["rounds"] == 7
+    assert all(got[i] == (100, 100 - i) for i in range(100))
+
+
+def test_resolve_redirects_budget_exhaustion_is_cycle_flag(spark):
+    """A chain longer than 2^max_rounds is reported unresolved (the
+    cycle flag doubles as a hop-budget flag, documented)."""
+    edges = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["src"]: r["is_cycle"]
+           for r in g.resolve_redirects(df, max_rounds=2).collect()}
+    # 2 rounds resolve chains of length <= 4
+    assert got[9] is False and got[6] is False
+    assert got[0] is True
+
+
+# -------------------------------------------------------------- otsu
+
+
+def _otsu_reference(gray_vals):
+    """Pure-python Otsu replay: maximize (S_t*N - n_t*S)^2 /
+    (n_t*(N-n_t)) over thresholds, first-hit argmax."""
+    c = [0] * 256
+    for v in gray_vals:
+        c[v] += 1
+    n_tot, s_tot = len(gray_vals), sum(gray_vals)
+    best, cn, cs = None, 0, 0
+    out = None
+    for t in range(256):
+        cn += c[t]
+        cs += t * c[t]
+        den = cn * (n_tot - cn)
+        if den == 0:
+            continue
+        sc = (cs * n_tot - cn * s_tot) ** 2 / den
+        if best is None or sc > best:
+            best, out = sc, (t, cn, cs)
+    return out
+
+
+def test_otsu_matches_python_reference_on_bimodal(spark):
+    """A planted two-level image (quarter at 40, rest at 200, one
+    noise row) must threshold between the modes, matching the exact
+    rational replay."""
+    import numpy as np
+    h, w = 16, 16
+    arr = np.full((h, w, 3), 200, dtype=np.uint8)
+    arr[:4, :, :] = 40
+    arr[15, :, :] = np.arange(16, dtype=np.uint8).reshape(16, 1) * 3 + 90
+    payload = codecs.encode_png(arr)
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(payload), w, h)],
+        "media_id long, kind string, payload binary, width int, height int")
+    row = mm.otsu_stats(media).collect()[0]
+    gray = (arr.astype("int64").sum(axis=2) // 3).ravel().tolist()
+    t, cn, cs = _otsu_reference(gray)
+    assert (row["otsu_t"], row["n_below"], row["sum_below"]) == (t, cn, cs)
+    assert 40 <= row["otsu_t"] < 200
+
+
+# ------------------------------------------------------------ dhondt
+
+
+def test_dhondt_classic_example(spark):
+    """Textbook D'Hondt: 100/80/30/20 votes, 8 seats -> 4/3/1/0."""
+    rows = ([("A",)] * 100 + [("B",)] * 80 + [("C",)] * 30
+            + [("D",)] * 20)
+    df = spark.createDataFrame(rows, "party string")
+    df = df.selectExpr("party", "1 AS one")
+    got = {r["stratum"]: r["seats"]
+           for r in mx.dhondt_allocation(df, "party", "one", 8).collect()}
+    assert got == {"A": 4, "B": 3, "C": 1, "D": 0}
+
+
+def test_dhondt_sums_to_total_and_tie_break(spark):
+    """Equal-weight strata: seats split evenly, remainder to the
+    lexicographically smallest strata; total always exact."""
+    rows = [(s,) for s in "abc" for _ in range(10)]
+    df = spark.createDataFrame(rows, "party string").selectExpr(
+        "party", "1 AS one")
+    got = {r["stratum"]: r["seats"]
+           for r in mx.dhondt_allocation(df, "party", "one", 7).collect()}
+    assert sum(got.values()) == 7
+    assert got == {"a": 3, "b": 2, "c": 2}
+
+
+# ------------------------------------------------------------- anova
+
+
+def test_anova_f_matches_python_replay(spark):
+    """Exact-moment replay: the integer ssb/ssw definitions and the
+    floor-ppm F must match a pure-python computation bit-for-bit."""
+    rows = [(i, "g%d" % (i % 3), 50 + (i * 37) % 100)
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "i long, grp string, x long")
+    row = q.anova_f(df, "grp", "x").collect()[0]
+
+    groups = {}
+    for _, grp, x in rows:
+        n, t = groups.get(grp, (0, 0))
+        groups[grp] = (n + 1, t + x)
+    n_rows = sum(n for n, _ in groups.values())
+    t_total = sum(t for _, t in groups.values())
+    q_total = sum(x * x for _, _, x in rows)
+
+    def f6(a, b):
+        return (a // b) * 1000000 + ((a % b) * 1000000) // b
+
+    between = sum(f6(t * t, n) for n, t in groups.values())
+    ssb = between - f6(t_total * t_total, n_rows)
+    ssw = q_total * 1000000 - between
+    import math
+    f_ppm = math.floor((ssb / (len(groups) - 1))
+                       / (ssw / (n_rows - len(groups))) * 1000000.0)
+    assert (row["n_rows"], row["n_groups"]) == (90, 3)
+    assert (row["t_total"], row["q_total"]) == (t_total, q_total)
+    assert (row["ssb_scaled"], row["ssw_scaled"]) == (ssb, ssw)
+    assert row["f_ppm"] == f_ppm
+
+
+def test_anova_f_separated_groups_large_f(spark):
+    """Two disjoint-range groups -> F far above 1; identical groups
+    (same values in both) -> ssb == 0."""
+    rows = [(i, "lo", 10 + i % 3) for i in range(30)] + \
+           [(i, "hi", 500 + i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "i long, grp string, x long")
+    big = q.anova_f(df, "grp", "x").collect()[0]
+    assert big["f_ppm"] > 1000 * 1000000
+
+    same = [(i, "a", 7) for i in range(10)] + \
+           [(i, "b", 7) for i in range(10)]
+    df2 = spark.createDataFrame(same, "i long, grp string, x long")
+    z = q.anova_f(df2, "grp", "x").collect()[0]
+    assert z["ssb_scaled"] == 0 and z["ssw_scaled"] == 0
+    assert z["f_ppm"] is None  # degenerate variance -> NULL, not /0
