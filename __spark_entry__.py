@@ -5355,6 +5355,50 @@ def _q_anova_f(spark, sf_dir):
     return quality.anova_f(_docs(spark, sf_dir), "lang", "n_chars")
 
 
+def _q_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution (ops/events.py::
+    markov_attribution): per-user journeys truncated at first
+    purchase, exact-ppm transition matrix, 30 rounds of the BIGINT
+    fixed-point absorption recurrence, removal effects and shares in
+    ppm. The oracle unrolls the identical 30 rounds as chained CTEs
+    from the same transition counts — bit-exact by construction."""
+    return events.markov_attribution(_events(spark, sf_dir))
+
+
+def _q_geohash_rollup(spark, sf_dir):
+    """Geohash rollup (ops/layout.py::geohash_key): 5-char geohash of
+    md5-free deterministic milli-degree coordinates derived from
+    doc_id, rolled up by 3-char prefix (cell ~ 156x156 km). The
+    encode is the closed-form integer binary subdivision (validated
+    against the textbook refinement loop on 80k random coordinates),
+    so the oracle recomputes it with // and >> verbatim."""
+    from eventrelationextractor_spark.ops import layout
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "((doc_id * 7919) % 180000) - 90000 AS lat_md",
+        "((doc_id * 104729) % 360000) - 180000 AS lon_md")
+    g = layout.geohash_key(d, "lat_md", "lon_md", chars=5)
+    return (g.groupBy(F.expr("substr(gh, 1, 3)").alias("prefix"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("gh").cast("long").alias("n_cells"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc")))
+
+
+def _q_ols_value_model(spark, sf_dir):
+    """Two-feature closed-form OLS (ops/quality.py::ols2): event
+    value in cents regressed on wall-clock hour (calendar-field
+    extraction on the NTZ ts — TZ-proof) and epoch-day mod 7. Exact
+    BIGINT moments from one partial-agg pass; betas via an
+    exact-scalar DOUBLE Cramer solve in floor-ppm."""
+    d = _events(spark, sf_dir).selectExpr(
+        "cast(floor(value * 100) as bigint) as cents",
+        "cast(hour(ts) as bigint) as hr",
+        "cast(datediff(cast(ts as date), DATE'1970-01-01') % 7"
+        " as bigint) as d7")
+    return quality.ols2(d, "cents", "hr", "d7")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): diag probes first (the
@@ -5705,6 +5749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_otsu": _q_media_otsu,
         "dhondt_allocation": _q_dhondt_allocation,
         "anova_f": _q_anova_f,
+        "markov_attribution": _q_markov_attribution,
+        "geohash_rollup": _q_geohash_rollup,
+        "ols_value_model": _q_ols_value_model,
     }
 
 
@@ -14204,6 +14251,143 @@ FROM ss
 """
 
 
+def _markov_oracle(n_iters: int = 30) -> str:
+    """Replays markov_attribution's fixed-point absorption recurrence
+    as ONE recursive CTE carrying list state (a[si] per removal row),
+    NOT as chained per-iteration CTEs: a 30-deep chained-CTE join
+    tree sent DuckDB's optimizer super-linear (6 iterations = 24 s at
+    sf0.01 — measured, the session's oracle-wall lesson), while the
+    list-carrying recursion runs the same 30 rounds in ~4 s. The
+    transition matrix comes from the same journey/window/truncation
+    logic, probabilities the same trunc-div ppm, and each round
+    a'(s) = pconv[s] + (sum_t P[s][t]*a[t], t != removed) // 1e6 with
+    a(removed) pinned 0; removal index 0 is the full (no-removal)
+    run. States are indexed by ORDER BY s — any fixed order works
+    because the recurrence is index-symmetric."""
+    return f"""
+WITH RECURSIVE ord AS (
+  SELECT user_id AS u, event_type AS t,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS p
+  FROM events),
+convp AS (SELECT u, min(p) AS cp FROM ord
+          WHERE t = 'purchase' GROUP BY u),
+j AS (SELECT o.u, o.t, o.p FROM ord o LEFT JOIN convp c ON o.u = c.u
+      WHERE c.cp IS NULL OR o.p <= c.cp),
+st AS (SELECT u, t, p,
+         coalesce(lag(t) OVER (PARTITION BY u ORDER BY p),
+                  'START') AS prev,
+         max(p) OVER (PARTITION BY u) AS lp
+       FROM j),
+edges AS (
+  SELECT prev AS src, t AS dst FROM st
+  UNION ALL
+  SELECT t AS src, 'NULL' AS dst FROM st
+  WHERE p = lp AND t <> 'purchase'),
+trans AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+          FROM edges GROUP BY 1, 2),
+tt AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM trans GROUP BY 1),
+pp AS (SELECT t.src, t.dst,
+         CAST((t.c * 1000000) // x.n AS BIGINT) AS p
+       FROM trans t JOIN tt x ON t.src = x.src),
+sset AS (SELECT DISTINCT s FROM (SELECT src AS s FROM pp
+         UNION ALL SELECT dst AS s FROM pp) q
+         WHERE s NOT IN ('purchase', 'NULL')),
+idx AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS si
+        FROM sset),
+dense AS (SELECT i.si AS si, jx.si AS ti, coalesce(max(pp.p), 0) AS p
+          FROM idx i CROSS JOIN idx jx
+          LEFT JOIN pp ON pp.src = i.s AND pp.dst = jx.s
+          GROUP BY 1, 2),
+prow AS (SELECT si, list(p ORDER BY ti) AS pr FROM dense GROUP BY si),
+pmat AS (SELECT list(pr ORDER BY si) AS P FROM prow),
+pcv AS (SELECT list(coalesce(c.p, 0) ORDER BY i.si) AS pc
+        FROM idx i LEFT JOIN pp c
+          ON c.src = i.s AND c.dst = 'purchase'),
+removals AS (SELECT CAST(0 AS BIGINT) AS r
+             UNION ALL SELECT si FROM idx WHERE s <> 'START'),
+rec AS (
+  SELECT 0 AS k, r,
+    list_transform(range(1, len(pc) + 1),
+                   x -> CAST(0 AS BIGINT)) AS a, P, pc
+  FROM removals, pmat, pcv
+  UNION ALL
+  SELECT k + 1, r,
+    list_transform(range(1, len(a) + 1), si ->
+      CAST(CASE WHEN si = r THEN 0
+           ELSE pc[si] + list_sum(
+             list_transform(range(1, len(a) + 1), ti ->
+               CASE WHEN ti = r THEN CAST(0 AS BIGINT)
+                    ELSE P[si][ti] * a[ti] END)) // 1000000
+      END AS BIGINT)), P, pc
+  FROM rec WHERE k < {int(n_iters)}),
+stix AS (SELECT si AS s0 FROM idx WHERE s = 'START'),
+fin AS (SELECT r, a[s0] AS a FROM rec, stix
+        WHERE k = {int(n_iters)}),
+base AS (SELECT a AS pf FROM fin WHERE r = 0),
+remo AS (SELECT i.s AS channel, b.pf, f.a AS prem,
+           greatest(b.pf - f.a, 0) AS rm
+         FROM fin f JOIN idx i ON i.si = f.r, base b
+         WHERE f.r <> 0),
+tot AS (SELECT CAST(sum(rm) AS BIGINT) AS tr FROM remo)
+SELECT r.channel, r.pf AS p_full_ppm, r.prem AS p_removed_ppm,
+  r.rm AS removal_ppm,
+  CASE WHEN t.tr > 0 THEN CAST((r.rm * 1000000) // t.tr AS BIGINT)
+  END AS share_ppm
+FROM remo r, tot t
+"""
+
+
+def _geohash_oracle() -> str:
+    from eventrelationextractor_spark.ops import layout as _layout
+    gh = _layout.geohash_sql(
+        "((doc_id * 7919) % 180000) - 90000",
+        "((doc_id * 104729) % 360000) - 180000", chars=5)
+    return f"""
+WITH g AS (SELECT doc_id, {gh} AS gh FROM documents)
+SELECT substr(gh, 1, 3) AS prefix,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT gh) AS BIGINT) AS n_cells,
+  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM g GROUP BY 1
+"""
+
+
+_OLS_ORACLE = """
+WITH d AS (SELECT CAST(floor(value * 100) AS BIGINT) AS y,
+             CAST(hour(ts) AS BIGINT) AS x1,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) % 7 AS BIGINT) AS x2
+           FROM events),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        CAST(sum(x2 * y) AS BIGINT) AS s2y
+      FROM d),
+m AS (SELECT n,
+        n * s11 - s1 * s1 AS m11, n * s22 - s2 * s2 AS m22,
+        n * s12 - s1 * s2 AS m12,
+        n * s1y - s1 * sy AS v1, n * s2y - s2 * sy AS v2
+      FROM a),
+dd AS (SELECT m.*, CAST(m11 AS DOUBLE) * CAST(m22 AS DOUBLE)
+         - CAST(m12 AS DOUBLE) * CAST(m12 AS DOUBLE) AS det FROM m)
+SELECT n, m11, m22, m12, v1, v2,
+  CASE WHEN det = 0.0 THEN CAST(NULL AS BIGINT) ELSE
+    CAST(floor((CAST(m22 AS DOUBLE) * CAST(v1 AS DOUBLE)
+      - CAST(m12 AS DOUBLE) * CAST(v2 AS DOUBLE)) / det
+      * 1000000.0) AS BIGINT) END AS b1_ppm,
+  CASE WHEN det = 0.0 THEN CAST(NULL AS BIGINT) ELSE
+    CAST(floor((CAST(m11 AS DOUBLE) * CAST(v2 AS DOUBLE)
+      - CAST(m12 AS DOUBLE) * CAST(v1 AS DOUBLE)) / det
+      * 1000000.0) AS BIGINT) END AS b2_ppm
+FROM dd
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -14586,6 +14770,9 @@ FROM documents""",
         "media_otsu": _otsu_oracle(),
         "dhondt_allocation": _DHONDT_ORACLE,
         "anova_f": _ANOVA_ORACLE,
+        "markov_attribution": _markov_oracle(),
+        "geohash_rollup": _geohash_oracle(),
+        "ols_value_model": _OLS_ORACLE,
     }
 
 

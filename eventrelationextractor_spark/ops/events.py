@@ -1591,3 +1591,90 @@ def streaming_topk(stream: DataFrame, k: int = 4, capacity: int = 8,
     return stream.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout)
+
+
+def markov_attribution(events: DataFrame, conv_type: str = "purchase",
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       id_col: str = "event_id",
+                       n_iters: int = 30) -> DataFrame:
+    """First-order Markov removal-effect attribution (Anderl et al.
+    2016) -> one row per non-converting channel (channel, p_full_ppm,
+    p_removed_ppm, removal_ppm, share_ppm): the causal upgrade over
+    rule-based multi-touch (:func:`attribution`) — a channel's credit
+    is how much the journey->conversion probability DROPS when every
+    visit to that channel is redirected to the null absorber.
+
+    Journey model: per user, events ordered by (ts, id), truncated at
+    the FIRST conversion (inclusive); transitions START->first,
+    consecutive pairs, and last->NULL for non-converting journeys.
+    Transition probabilities are exact-integer ppm (cnt*1e6 div
+    row-total). Absorption probabilities come from ``n_iters`` rounds
+    of the fixed-point recurrence
+        a'(s) = pconv(s) + (sum_t p(s, t) * a(t)) div 1e6
+    run in pure BIGINT ppm — monotone, bounded, and bit-replayable on
+    any engine (the oracle unrolls the same rounds as chained CTEs).
+    Removing channel c zeroes a(c) and pconv(c) inside the recurrence
+    (its mass flows to NULL, no renormalization — the standard
+    removal-effect definition).
+
+    Scale shape: one window (per-user ordering) + one groupBy to the
+    |channels|^2 transition table; the fixed-point solve runs on the
+    DRIVER over that statistic-scale model (the embedding_kmeans
+    centroid contract — never data rows). Ordering by (ts, id) uses
+    calendar-free comparisons only: TZ-proof on NTZ timestamps."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pos = (events.select(F.col(user_col).alias("u"),
+                         F.col(type_col).alias("t"),
+                         F.row_number().over(w).alias("p"),
+                         F.min(F.when(F.col(type_col) == conv_type,
+                                      F.row_number().over(w)))
+                         .over(Window.partitionBy(user_col))
+                         .alias("conv_p")))
+    j = pos.filter(F.col("conv_p").isNull()
+                   | (F.col("p") <= F.col("conv_p")))
+    wj = Window.partitionBy("u").orderBy("p")
+    steps = j.select(
+        F.coalesce(F.lag("t").over(wj), F.lit("START")).alias("src"),
+        F.col("t").alias("dst"), "u", "p",
+        F.max("p").over(Window.partitionBy("u")).alias("last_p"))
+    tails = (steps.filter((F.col("p") == F.col("last_p"))
+                          & (F.col("dst") != conv_type))
+             .select(F.col("dst").alias("src"),
+                     F.lit("NULL").alias("dst")))
+    trans = (steps.select("src", "dst").unionByName(tails)
+             .groupBy("src", "dst").agg(F.count("*").alias("c")))
+    rows = trans.collect()  # |channels|^2 model rows, never data rows
+    out_tot: dict = {}
+    for r in rows:
+        out_tot[r["src"]] = out_tot.get(r["src"], 0) + r["c"]
+    p_ppm = {(r["src"], r["dst"]):
+             (r["c"] * 1_000_000) // out_tot[r["src"]] for r in rows}
+    states = sorted({s for s, _ in p_ppm} | {t for _, t in p_ppm}
+                    - {conv_type, "NULL"})
+    channels = [s for s in states if s != "START"]
+
+    def absorb(removed):
+        a = {s: 0 for s in states}
+        for _ in range(int(n_iters)):
+            nxt = {}
+            for s in states:
+                if s == removed:
+                    nxt[s] = 0
+                    continue
+                acc = sum(p_ppm.get((s, t), 0) * a[t]
+                          for t in states if t != removed)
+                nxt[s] = p_ppm.get((s, conv_type), 0) + acc // 1_000_000
+            a = nxt
+        return a["START"]
+
+    p_full = absorb(None)
+    p_removed = {c: absorb(c) for c in channels}
+    removal = {c: max(p_full - p_removed[c], 0) for c in channels}
+    tot_rem = sum(removal.values())
+    recs = [(c, p_full, p_removed[c], removal[c],
+             (removal[c] * 1_000_000) // tot_rem if tot_rem > 0
+             else None) for c in channels]
+    return events.sparkSession.createDataFrame(
+        recs, "channel string, p_full_ppm long, p_removed_ppm long, "
+        "removal_ppm long, share_ppm long")

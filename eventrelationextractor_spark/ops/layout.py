@@ -196,3 +196,85 @@ def layout_prune_ab(df: DataFrame, x_col: str, y_col: str,
             .select("layout", "qid", "files_total", "files_scanned",
                     F.expr("(1000000 * (files_total - files_scanned))"
                            " div files_total").alias("prune_ppm")))
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_key(df: DataFrame, lat_md_col: str, lon_md_col: str,
+                chars: int = 6, out_col: str = "gh") -> DataFrame:
+    """Append the geohash of integer MILLI-degree coordinates as a
+    base-32 string of ``chars`` characters — the standard
+    prefix-shardable geo key (common prefix == nearby cell) for
+    rolling up pages/events by location without a geo library.
+
+    Exact-integer contract: the textbook float mid-point refinement
+    loop is replaced by its closed form — bit i of
+    lat_q = ((lat_md + 90000) * 2^lat_bits) div 180000 IS the i-th
+    binary-subdivision decision — so the whole encode is div/shift/
+    substr codegen any engine replays bit-for-bit (``least`` clamps
+    the +90/+180 upper edge into the last cell). Longitude takes the
+    even bit positions counting MSB-first (the geohash convention),
+    latitude the odd; 5*chars <= 60 bits keeps the interleave in a
+    signed long.
+
+    Scale shape: pure per-row expressions (withColumn), no UDF, no
+    shuffle; the key is made for PARTITIONED layouts — groupBy a
+    prefix of it and the shuffle is the only exchange."""
+    if not 1 <= chars <= 12:
+        raise ValueError("chars must be in 1..12")
+    total_bits = 5 * chars
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    d = df.withColumn("_gh_latq", F.expr(
+        f"least(((({lat_md_col}) + 90000) * {1 << lat_bits})"
+        f" div 180000, {(1 << lat_bits) - 1})"))
+    d = d.withColumn("_gh_lonq", F.expr(
+        f"least(((({lon_md_col}) + 180000) * {1 << lon_bits})"
+        f" div 360000, {(1 << lon_bits) - 1})"))
+    terms = []
+    for i in range(total_bits):
+        if i % 2 == 0:
+            src, col = lon_bits - 1 - i // 2, "_gh_lonq"
+        else:
+            src, col = lat_bits - 1 - i // 2, "_gh_latq"
+        terms.append(f"(shiftright({col}, {src}) % 2)"
+                     f" * {1 << (total_bits - 1 - i)}")
+    d = d.withColumn("_gh_g", F.expr(" + ".join(terms)))
+    digits = ", ".join(
+        f"substr('{GEOHASH_ALPHABET}', cast((shiftright(_gh_g,"
+        f" {total_bits - 5 * (c + 1)}) % 32) + 1 as int), 1)"
+        for c in range(chars))
+    d = d.withColumn(out_col, F.expr(f"concat({digits})"))
+    return d.drop("_gh_latq", "_gh_lonq", "_gh_g")
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, chars: int = 6) -> str:
+    """DuckDB scalar expression computing the identical geohash from
+    the same integer milli-degree expressions — the oracle twin of
+    :func:`geohash_key` (``//`` and ``>>`` in place of div/shiftright,
+    everything else verbatim)."""
+    if not 1 <= chars <= 12:
+        raise ValueError("chars must be in 1..12")
+    total_bits = 5 * chars
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    latq = (f"least(((({lat_expr}) + 90000) * {1 << lat_bits})"
+            f" // 180000, {(1 << lat_bits) - 1})")
+    lonq = (f"least(((({lon_expr}) + 180000) * {1 << lon_bits})"
+            f" // 360000, {(1 << lon_bits) - 1})")
+    terms = []
+    for i in range(total_bits):
+        if i % 2 == 0:
+            src, q = lon_bits - 1 - i // 2, lonq
+        else:
+            src, q = lat_bits - 1 - i // 2, latq
+        terms.append(f"((({q}) >> {src}) % 2)"
+                     f" * {1 << (total_bits - 1 - i)}")
+    g = "(" + " + ".join(terms) + ")"
+    digits = " || ".join(
+        f"substr('{GEOHASH_ALPHABET}',"
+        f" CAST((({g} >> {total_bits - 5 * (c + 1)}) % 32) + 1"
+        f" AS INTEGER), 1)"
+        for c in range(chars))
+    return "(" + digits + ")"

@@ -1693,3 +1693,60 @@ def anova_f(df: DataFrame, group_col: str, x_col: str) -> DataFrame:
         " else cast(floor((cast(ssb_scaled as double) / (n_groups - 1))"
         " / (cast(ssw_scaled as double) / (n_rows - n_groups))"
         " * 1000000.0) as bigint) end as f_ppm")
+
+
+def ols2(df: DataFrame, y_col: str, x1_col: str,
+         x2_col: str) -> DataFrame:
+    """Closed-form two-feature least squares via the normal equations
+    -> one row (n, plus the five exact centered moments, plus b0/b1/
+    b2 in floor-ppm): the work-horse "regress metric on two covariates
+    in one pass" primitive (doc quality on length and link count,
+    latency on hour and shard, ...).
+
+    Determinism contract: the raw moments (sums of x, x^2, xy over
+    BIGINT inputs) are exact integers from ONE partial-agg pass — no
+    float ever enters a distributed sum, so partial-merge order cannot
+    matter (the tpch integer-cents lesson). The centered moments
+    m11 = n*Sx1x1 - Sx1^2 etc. stay BIGINT; only the final Cramer
+    solve is DOUBLE — six exact-scalar IEEE ops identical on any
+    engine (the anova_f contract; casting moments to DOUBLE before the
+    cross products is the cuped_ab overflow rule: m*v products can
+    pass 2^63 while each factor is comfortably exact-or-stable).
+    Singular design (det == 0) emits NULL betas rather than an ANSI
+    divide error."""
+    a = df.selectExpr(
+        f"cast({y_col} as bigint) as y",
+        f"cast({x1_col} as bigint) as x1",
+        f"cast({x2_col} as bigint) as x2",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x1 * x1")).alias("s11"),
+        F.sum(F.expr("x2 * x2")).alias("s22"),
+        F.sum(F.expr("x1 * x2")).alias("s12"),
+        F.sum(F.expr("x1 * y")).alias("s1y"),
+        F.sum(F.expr("x2 * y")).alias("s2y"))
+    m = a.selectExpr(
+        "n", "s1", "s2", "sy",
+        "n * s11 - s1 * s1 as m11",
+        "n * s22 - s2 * s2 as m22",
+        "n * s12 - s1 * s2 as m12",
+        "n * s1y - s1 * sy as v1",
+        "n * s2y - s2 * sy as v2")
+    return m.selectExpr(
+        "n", "m11", "m22", "m12", "v1", "v2",
+        "cast(m11 as double) * cast(m22 as double)"
+        " - cast(m12 as double) * cast(m12 as double) as det",
+    ).selectExpr(
+        "n", "m11", "m22", "m12", "v1", "v2",
+        "case when det = 0.0d then cast(null as bigint) else"
+        " cast(floor((cast(m22 as double) * cast(v1 as double)"
+        " - cast(m12 as double) * cast(v2 as double)) / det"
+        " * 1000000.0) as bigint) end as b1_ppm",
+        "case when det = 0.0d then cast(null as bigint) else"
+        " cast(floor((cast(m11 as double) * cast(v2 as double)"
+        " - cast(m12 as double) * cast(v1 as double)) / det"
+        " * 1000000.0) as bigint) end as b2_ppm",
+    ).selectExpr(
+        "n", "m11", "m22", "m12", "v1", "v2", "b1_ppm", "b2_ppm")

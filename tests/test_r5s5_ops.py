@@ -5,7 +5,10 @@ apportionment, and exact-moment one-way ANOVA.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from eventrelationextractor_spark.ops import codecs
+from eventrelationextractor_spark.ops import events as ev
 from eventrelationextractor_spark.ops import graph as g
 from eventrelationextractor_spark.ops import mixing as mx
 from eventrelationextractor_spark.ops import multimodal as mm
@@ -175,3 +178,117 @@ def test_anova_f_separated_groups_large_f(spark):
     z = q.anova_f(df2, "grp", "x").collect()[0]
     assert z["ssb_scaled"] == 0 and z["ssw_scaled"] == 0
     assert z["f_ppm"] is None  # degenerate variance -> NULL, not /0
+
+
+# ------------------------------------------------------ markov chain
+
+
+def test_markov_attribution_two_path_example(spark):
+    """u1: view->click->purchase, u2: view->(drop). Hand-solved
+    absorption: P_full = 0.5; removing view or click each kills the
+    only converting path -> removal 0.5 each, shares 50/50."""
+    rows = [(1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 00:01:00", 1, "click"),
+            (3, "2024-01-01 00:02:00", 1, "purchase"),
+            (4, "2024-01-01 00:00:00", 2, "view")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {r["channel"]: r for r in
+           ev.markov_attribution(df).collect()}
+    assert set(got) == {"view", "click"}
+    for ch in ("view", "click"):
+        r = got[ch]
+        assert r["p_full_ppm"] == 500000
+        assert r["p_removed_ppm"] == 0
+        assert r["removal_ppm"] == 500000
+        assert r["share_ppm"] == 500000
+
+
+def test_markov_attribution_truncates_at_first_purchase(spark):
+    """Events after the first purchase must not create transitions:
+    with the post-purchase tail ignored, every journey converts and
+    P_full is exactly 1."""
+    rows = [(1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 00:01:00", 1, "purchase"),
+            (3, "2024-01-01 00:02:00", 1, "error"),
+            (4, "2024-01-01 00:03:00", 1, "error")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {r["channel"]: r for r in ev.markov_attribution(df).collect()}
+    assert set(got) == {"view"}          # 'error' never entered a journey
+    assert got["view"]["p_full_ppm"] == 1000000
+
+
+# ------------------------------------------------------------ geohash
+
+
+def test_geohash_known_vector_and_prefix_nesting(spark):
+    """(57.649, 10.407) -> 'u4pru' (textbook vector); a 6-char hash
+    always extends the 4-char hash of the same point."""
+    from eventrelationextractor_spark.ops import layout as L
+    df = spark.createDataFrame(
+        [(57649, 10407), (-33860, 151210), (0, 0), (89999, 179999),
+         (-90000, -180000)],
+        "lat_md long, lon_md long")
+    out = {(r["lat_md"], r["lon_md"]): (r["g6"], r["g4"]) for r in
+           L.geohash_key(L.geohash_key(df, "lat_md", "lon_md", 6, "g6"),
+                         "lat_md", "lon_md", 4, "g4").collect()}
+    assert out[(57649, 10407)][0].startswith("u4pru")
+    assert out[(-33860, 151210)][0].startswith("r3gx")  # Sydney
+    for g6, g4 in out.values():
+        assert g6.startswith(g4)
+        assert len(g6) == 6 and len(g4) == 4
+
+
+def test_geohash_matches_python_closed_form(spark):
+    """Spark codegen == the pure-python closed form on 200 points
+    (the same form already validated against the textbook float
+    refinement loop on 80k points)."""
+    from eventrelationextractor_spark.ops import layout as L
+    ALPH = L.GEOHASH_ALPHABET
+
+    def closed(lat_md, lon_md, chars):
+        tb = 5 * chars
+        lonb, latb = (tb + 1) // 2, tb // 2
+        latq = min(((lat_md + 90000) << latb) // 180000, (1 << latb) - 1)
+        lonq = min(((lon_md + 180000) << lonb) // 360000, (1 << lonb) - 1)
+        g = 0
+        for i in range(tb):
+            if i % 2 == 0:
+                bit = (lonq >> (lonb - 1 - i // 2)) & 1
+            else:
+                bit = (latq >> (latb - 1 - i // 2)) & 1
+            g = (g << 1) | bit
+        return "".join(ALPH[(g >> (tb - 5 * (c + 1))) & 31]
+                       for c in range(chars))
+
+    pts = [(((i * 7919) % 180000) - 90000,
+            ((i * 104729) % 360000) - 180000) for i in range(200)]
+    df = spark.createDataFrame(pts, "lat_md long, lon_md long")
+    got = {(r["lat_md"], r["lon_md"]): r["gh"]
+           for r in L.geohash_key(df, "lat_md", "lon_md", 5).collect()}
+    for lat, lon in pts:
+        assert got[(lat, lon)] == closed(lat, lon, 5)
+
+
+# ---------------------------------------------------------------- ols
+
+
+def test_ols2_recovers_exact_plane(spark):
+    """y = 3 + 2*x1 - x2 exactly -> b1 = 2.0, b2 = -1.0 in ppm."""
+    rows = [(3 + 2 * x1 - x2, x1, x2)
+            for x1 in range(10) for x2 in range(7)]
+    df = spark.createDataFrame(rows, "y long, x1 long, x2 long")
+    r = q.ols2(df, "y", "x1", "x2").collect()[0]
+    assert r["b1_ppm"] == 2_000_000
+    assert r["b2_ppm"] == -1_000_000
+
+
+def test_ols2_singular_design_null_betas(spark):
+    """x2 = 2*x1 (collinear) -> det 0 -> NULL betas, no ANSI /0."""
+    rows = [(i * 5 + 1, i, 2 * i) for i in range(20)]
+    df = spark.createDataFrame(rows, "y long, x1 long, x2 long")
+    r = q.ols2(df, "y", "x1", "x2").collect()[0]
+    assert r["b1_ppm"] is None and r["b2_ppm"] is None
