@@ -5399,6 +5399,47 @@ def _q_ols_value_model(spark, sf_dir):
     return quality.ols2(d, "cents", "hr", "d7")
 
 
+def _q_dtw_user_series(spark, sf_dir):
+    """Banded DTW between consecutive users' activity traces
+    (ops/events.py::dtw_banded): per user the first 16 event values
+    in cents-mod-1000 ordered by (ts, event_id) — calendar-free
+    comparisons, TZ-proof — paired (u, u+1) for even u, Sakoe-Chiba
+    band 4. The oracle walks the identical BIGINT min-plus DP by
+    anti-diagonals in one recursive CTE (fuzz-validated vs the op on
+    150 random cases)."""
+    from pyspark.sql import Window
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (e.select(F.col("user_id").alias("id"),
+                  F.expr("cast(floor(value * 100) as bigint) % 1000")
+                  .alias("v"),
+                  F.row_number().over(w).alias("p"))
+         .filter("p <= 16")
+         .groupBy("id")
+         .agg(F.expr("transform(sort_array(collect_list(struct(p, v)))"
+                     ", x -> x.v)").alias("seq"),
+              F.count("*").alias("n"))
+         .filter("n = 16").select("id", "seq"))
+    pairs = (s.selectExpr("id as id1", "id + 1 as id2")
+             .filter("id1 % 2 = 0"))
+    return events.dtw_banded(s, pairs, band=4)
+
+
+def _q_interval_coverage(spark, sf_dir):
+    """Sweep-line interval-union coverage per user (ops/events.py::
+    interval_union_len): intervals [s, s + dur] in epoch seconds with
+    s from the TZ-proof ntz_epoch_us and dur = cents % 600 + 30 —
+    overlap-corrected total active time, island count, one window
+    pass, all BIGINT."""
+    e = _events(spark, sf_dir)
+    d = (e.select("user_id", events.ntz_epoch_us("ts").alias("us"),
+                  F.expr("cast(floor(value * 100) as bigint) % 600"
+                         " + 30").alias("dur"))
+         .selectExpr("user_id", "us div 1000000 as s", "dur")
+         .selectExpr("user_id", "s", "s + dur as e"))
+    return events.interval_union_len(d, "user_id", "s", "e")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): diag probes first (the
@@ -5752,6 +5793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_attribution": _q_markov_attribution,
         "geohash_rollup": _q_geohash_rollup,
         "ols_value_model": _q_ols_value_model,
+        "dtw_user_series": _q_dtw_user_series,
+        "interval_coverage": _q_interval_coverage,
     }
 
 
@@ -14388,6 +14431,69 @@ FROM dd
 """
 
 
+_DTW_ORACLE = """
+WITH RECURSIVE
+base AS (SELECT user_id AS id,
+           CAST(floor(value * 100) AS BIGINT) % 1000 AS v,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS p
+         FROM events),
+seqs AS (SELECT id, list(v ORDER BY p) AS seq FROM base WHERE p <= 16
+         GROUP BY id HAVING count(*) = 16),
+pr AS (SELECT s1.id AS id1, s2.id AS id2, s1.seq AS a, s2.seq AS b
+       FROM seqs s1 JOIN seqs s2 ON s2.id = s1.id + 1
+       WHERE s1.id % 2 = 0),
+dp AS (
+  SELECT 0 AS k, id1, id2, a, b,
+    CAST(NULL AS BIGINT[]) AS prev2,
+    list_transform(range(0, len(b)), j ->
+      CASE WHEN j = 0 THEN CAST(abs(a[1] - b[1]) AS BIGINT)
+           ELSE CAST(1099511627776 AS BIGINT) END) AS prev
+  FROM pr
+  UNION ALL
+  SELECT k + 1, id1, id2, a, b, prev,
+    list_transform(range(0, len(b)), j ->
+      CASE WHEN (k + 1 - j) < 0 OR (k + 1 - j) >= len(a)
+             OR abs((k + 1 - j) - j) > 4
+           THEN CAST(1099511627776 AS BIGINT)
+           ELSE CAST(abs(a[k + 2 - j] - b[j + 1]) AS BIGINT)
+             + least(
+                 CASE WHEN j <= k THEN prev[j + 1]
+                      ELSE CAST(1099511627776 AS BIGINT) END,
+                 CASE WHEN j >= 1 THEN prev[j]
+                      ELSE CAST(1099511627776 AS BIGINT) END,
+                 CASE WHEN j >= 1 AND k >= 1 THEN prev2[j]
+                      ELSE CAST(1099511627776 AS BIGINT) END)
+      END)
+  FROM dp WHERE k < len(a) + len(b) - 2)
+SELECT id1, id2, CAST(len(a) AS BIGINT) AS n1,
+  CAST(len(b) AS BIGINT) AS n2,
+  CASE WHEN prev[len(b)] >= 1099511627776 THEN NULL
+       ELSE prev[len(b)] END AS dtw
+FROM dp WHERE k = len(a) + len(b) - 2
+"""
+
+
+_INTERVAL_COVERAGE_ORACLE = """
+WITH iv AS (SELECT user_id,
+              epoch_us(ts) // 1000000 AS s,
+              epoch_us(ts) // 1000000
+                + (CAST(floor(value * 100) AS BIGINT) % 600 + 30) AS e
+            FROM events),
+x AS (SELECT user_id, s, e,
+        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS pm
+      FROM iv)
+SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_intervals,
+  CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_islands,
+  CAST(sum(greatest(0, e - greatest(s, coalesce(pm, s))))
+       AS BIGINT) AS union_len
+FROM x GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -14773,6 +14879,8 @@ FROM documents""",
         "markov_attribution": _markov_oracle(),
         "geohash_rollup": _geohash_oracle(),
         "ols_value_model": _OLS_ORACLE,
+        "dtw_user_series": _DTW_ORACLE,
+        "interval_coverage": _INTERVAL_COVERAGE_ORACLE,
     }
 
 

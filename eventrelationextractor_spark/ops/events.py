@@ -1678,3 +1678,115 @@ def markov_attribution(events: DataFrame, conv_type: str = "purchase",
     return events.sparkSession.createDataFrame(
         recs, "channel string, p_full_ppm long, p_removed_ppm long, "
         "removal_ppm long, share_ppm long")
+
+
+DTW_SCHEMA = ("id1 long, id2 long, n1 long, n2 long, dtw long")
+
+
+def dtw_banded(seqs: DataFrame, pairs: DataFrame, id_col: str = "id",
+               seq_col: str = "seq", left_col: str = "id1",
+               right_col: str = "id2", band: int = 4) -> DataFrame:
+    """Sakoe-Chiba banded dynamic-time-warping distance between
+    integer sequences -> (id1, id2, n1, n2, dtw): THE alignment
+    metric for "do these two activity traces follow the same shape
+    shifted in time" (user behaviour cohorts, host crawl rhythms,
+    metric-curve matching) that a plain L2 over positions cannot see.
+
+    Cost |a_i - b_j|, band |i - j| <= ``band`` (linear-time DP per
+    pair), all BIGINT min-plus — bit-exact on any engine. A pair the
+    band cannot connect (||a|-|b|| > band) emits NULL. The oracle is
+    ONE recursive CTE walking the DP by ANTI-DIAGONALS (diag k
+    depends only on diags k-1/k-2, so each step is a pure
+    list_transform with no in-row dependency — in-row left-neighbor
+    dependence is what makes the row-by-row formulation inexpressible
+    as a list lambda), fuzz-validated against this op on 150 random
+    (n, m, band) cases including unreachable ones.
+
+    Scale shape: two equi-joins to attach sequences to the pair
+    table, then one mapInPandas (Arrow batches, O(n*band) ints per
+    pair) — the parallel unit is the PAIR, so skew is bounded by the
+    pair list you pass, never by a self-join."""
+    a = seqs.select(F.col(id_col).alias(left_col),
+                    F.col(seq_col).alias("_a"))
+    b = seqs.select(F.col(id_col).alias(right_col),
+                    F.col(seq_col).alias("_b"))
+    joined = pairs.join(a, left_col).join(b, right_col) \
+                  .select(left_col, right_col, "_a", "_b")
+    bd = int(band)
+    inf = 1 << 40
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {k: [] for k in ("id1", "id2", "n1", "n2", "dtw")}
+            for i1, i2, sa, sb in zip(pdf[left_col], pdf[right_col],
+                                      pdf["_a"], pdf["_b"]):
+                av = [int(x) for x in sa]
+                bv = [int(x) for x in sb]
+                n, m = len(av), len(bv)
+                prev = None
+                for i in range(n):
+                    cur = [inf] * m
+                    lo = max(0, i - bd)
+                    hi = min(m - 1, i + bd)
+                    for j in range(lo, hi + 1):
+                        c = abs(av[i] - bv[j])
+                        if i == 0 and j == 0:
+                            cur[j] = c
+                            continue
+                        best = inf
+                        if i and prev[j] < best:
+                            best = prev[j]
+                        if j and cur[j - 1] < best:
+                            best = cur[j - 1]
+                        if i and j and prev[j - 1] < best:
+                            best = prev[j - 1]
+                        if best < inf:
+                            cur[j] = c + best
+                    prev = cur
+                d = prev[m - 1] if n and m else inf
+                out["id1"].append(int(i1))
+                out["id2"].append(int(i2))
+                out["n1"].append(n)
+                out["n2"].append(m)
+                out["dtw"].append(None if d >= inf else int(d))
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(run, schema=DTW_SCHEMA)
+
+
+def interval_union_len(df: DataFrame, key_col: str, start_col: str,
+                       end_col: str) -> DataFrame:
+    """Union length of (possibly overlapping) integer intervals per
+    key -> (key, n_intervals, n_islands, union_len): the
+    sweep-line classic behind "total active seconds per user",
+    "covered crawl-window per host", SLA uptime, and span-coverage
+    metrics — double-counting from overlaps is exactly what a naive
+    sum(end - start) gets wrong.
+
+    One window pass, all BIGINT: ordered by (start, end), prev_max =
+    running max(end) over preceding rows; each row contributes
+    max(0, end - max(start, prev_max)) to the union and opens a new
+    island iff start > prev_max. Empty/negative intervals (end <=
+    start) contribute nothing but still count in n_intervals.
+
+    Scale shape: ONE shuffle (the window partition by key); the
+    running max is streaming within partition — no self-join, no
+    island groupBy round-trip."""
+    w = (Window.partitionBy(key_col).orderBy(start_col, end_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    pm = F.max(F.col(end_col)).over(w)
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col(end_col).cast("long")
+        - F.greatest(F.col(start_col).cast("long"),
+                     F.coalesce(pm.cast("long"),
+                                F.col(start_col).cast("long"))))
+    island = F.when(pm.isNull()
+                    | (F.col(start_col) > pm), 1).otherwise(0)
+    return (df.select(F.col(key_col).alias("key"),
+                      contrib.alias("_c"), island.alias("_i"))
+            .groupBy("key")
+            .agg(F.count("*").cast("long").alias("n_intervals"),
+                 F.sum("_i").cast("long").alias("n_islands"),
+                 F.sum("_c").cast("long").alias("union_len")))

@@ -292,3 +292,94 @@ def test_ols2_singular_design_null_betas(spark):
     df = spark.createDataFrame(rows, "y long, x1 long, x2 long")
     r = q.ols2(df, "y", "x1", "x2").collect()[0]
     assert r["b1_ppm"] is None and r["b2_ppm"] is None
+
+
+# ----------------------------------------------------------- dtw
+
+
+def _dtw_reference(a, b, band):
+    INF = 1 << 40
+    n, m = len(a), len(b)
+    d = [[INF] * m for _ in range(n)]
+    for i in range(n):
+        for j in range(m):
+            if abs(i - j) > band:
+                continue
+            c = abs(a[i] - b[j])
+            if i == 0 and j == 0:
+                d[i][j] = c
+            else:
+                best = min(d[i - 1][j] if i else INF,
+                           d[i][j - 1] if j else INF,
+                           d[i - 1][j - 1] if i and j else INF)
+                if best < INF:
+                    d[i][j] = c + best
+    v = d[n - 1][m - 1]
+    return None if v >= INF else v
+
+
+def test_dtw_banded_matches_reference_and_shift_invariance(spark):
+    """Random pairs match the quadratic reference DP; a sequence vs
+    its 1-step shift aligns near-perfectly inside the band while the
+    banded L2 of the same pair is large."""
+    import random
+    rnd = random.Random(11)
+    seqs = [(i, [rnd.randrange(0, 40) for _ in range(10 + i % 3)])
+            for i in range(8)]
+    shifted = [9, [0] + [v for v in seqs[0][1]][:-1]]
+    sdf = spark.createDataFrame(seqs + [tuple(shifted)],
+                                "id long, seq array<long>")
+    pdf = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5), (6, 7), (0, 9)], "id1 long, id2 long")
+    got = {(r["id1"], r["id2"]): r["dtw"]
+           for r in ev.dtw_banded(sdf, pdf, band=3).collect()}
+    by_id = dict(seqs + [tuple(shifted)])
+    for (i1, i2), d in got.items():
+        assert d == _dtw_reference(by_id[i1], by_id[i2], 3)
+    # the shifted pair aligns: dtw <= first-element cost
+    assert got[(0, 9)] <= abs(seqs[0][1][0] - 0) + 5
+
+
+def test_dtw_banded_unreachable_band_is_null(spark):
+    """||a| - |b|| > band -> no path inside the band -> NULL."""
+    sdf = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5, 6, 7, 8]), (2, [1, 2])],
+        "id long, seq array<long>")
+    pdf = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    r = ev.dtw_banded(sdf, pdf, band=2).collect()[0]
+    assert r["dtw"] is None and (r["n1"], r["n2"]) == (8, 2)
+
+
+# ------------------------------------------------- interval union
+
+
+def test_interval_union_len_overlap_nesting_islands(spark):
+    """[0,10]+[5,15]+[20,25] -> union 20, 2 islands; a nested
+    interval adds nothing; a degenerate [5,5] adds nothing but
+    counts."""
+    rows = [("a", 0, 10), ("a", 5, 15), ("a", 20, 25),
+            ("b", 0, 10), ("b", 2, 3),
+            ("c", 5, 5)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {r["key"]: (r["n_intervals"], r["n_islands"], r["union_len"])
+           for r in ev.interval_union_len(df, "k", "s", "e").collect()}
+    assert got["a"] == (3, 2, 20)
+    assert got["b"] == (2, 1, 10)
+    assert got["c"] == (1, 1, 0)
+
+
+def test_interval_union_len_matches_bruteforce(spark):
+    """120 random intervals across 5 keys vs a python set-of-points
+    brute force."""
+    import random
+    rnd = random.Random(3)
+    rows = [("k%d" % rnd.randrange(5), s, s + rnd.randrange(0, 30))
+            for s in (rnd.randrange(0, 200) for _ in range(120))]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {r["key"]: r["union_len"]
+           for r in ev.interval_union_len(df, "k", "s", "e").collect()}
+    want = {}
+    for k, s, e in rows:
+        want.setdefault(k, set()).update(range(s, e))
+    for k, pts in want.items():
+        assert got[k] == len(pts)
