@@ -5440,6 +5440,31 @@ def _q_interval_coverage(spark, sf_dir):
     return events.interval_union_len(d, "user_id", "s", "e")
 
 
+TRIGRAM_LITERAL = "merge batch"
+
+
+def _q_trigram_search(spark, sf_dir):
+    """Trigram-posting substring search (ops/textstats.py::
+    trigram_search) for a two-word literal over the corpus: the Code
+    Search index shape — AND of trigram postings proposes candidates
+    map-side-filtered before any shuffle, then the verify join
+    separates true matches from the index's false positives (both
+    materialized: verified true/false rows)."""
+    return textstats.trigram_search(_docs(spark, sf_dir),
+                                    TRIGRAM_LITERAL)
+
+
+def _q_media_equalize(spark, sf_dir):
+    """Integer histogram-equalization stats over REAL PNG decode
+    (ops/multimodal.py::equalize_stats) on the closed-form pixel
+    corpus: exact map(v) = ((cdf - cdf_min) * 255) div (n - cdf_min),
+    remapped-luma sum and below-midpoint count per image. The oracle
+    rebuilds the luma histogram from the closed pixel form and
+    applies the identical integer remap over occupied bins."""
+    return multimodal.equalize_stats(
+        _media_pngs(_docs(spark, sf_dir).select("doc_id")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): diag probes first (the
@@ -5795,6 +5820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_value_model": _q_ols_value_model,
         "dtw_user_series": _q_dtw_user_series,
         "interval_coverage": _q_interval_coverage,
+        "trigram_search": _q_trigram_search,
+        "media_equalize": _q_media_equalize,
     }
 
 
@@ -14494,6 +14521,52 @@ FROM x GROUP BY 1
 """
 
 
+def _trigram_oracle(literal: str) -> str:
+    """Candidate set as AND-of-substring-containment per query
+    trigram — equivalent to the posting intersection (a trigram is
+    in the posting for doc d iff it occurs in d's text) without the
+    explode, which is exactly why it is a trustworthy independent
+    oracle for the index path."""
+    grams = sorted({literal[i:i + 3] for i in range(len(literal) - 2)})
+    conds = " AND ".join(
+        f"position('{g}' IN text) > 0" for g in grams)
+    return f"""
+SELECT doc_id, position('{literal}' IN text) > 0 AS verified
+FROM documents WHERE {conds}
+"""
+
+
+def _equalize_oracle() -> str:
+    base = "(x * 3 + y * 7 + doc_id)"
+    gray = (f"(({base}) % 256 + ({base} + 11) % 256"
+            f" + ({base} + 22) % 256) // 3")
+    return f"""
+WITH dims AS (SELECT doc_id, 8 + (doc_id % 5) * 4 AS h,
+                     8 + ((doc_id // 5) % 5) * 4 AS w
+              FROM documents),
+px AS (SELECT doc_id, {gray} AS gray
+       FROM dims, range(24) yy(y), range(24) xx(x)
+       WHERE y < h AND x < w),
+hist AS (SELECT doc_id, gray, CAST(count(*) AS BIGINT) AS c
+         FROM px GROUP BY 1, 2),
+cum AS (SELECT doc_id, gray, c,
+          CAST(sum(c) OVER (PARTITION BY doc_id
+                            ORDER BY gray) AS BIGINT) AS cn,
+          CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        FROM hist),
+cm AS (SELECT doc_id, min(cn) AS cdf_min, max(n) AS n
+       FROM cum GROUP BY 1)
+SELECT c0.doc_id AS media_id, m.n AS n_px, m.cdf_min,
+  CAST(sum(c0.c * (((c0.cn - m.cdf_min) * 255)
+       // (m.n - m.cdf_min))) AS BIGINT) AS sum_eq,
+  CAST(sum(CASE WHEN ((c0.cn - m.cdf_min) * 255)
+                     // (m.n - m.cdf_min) < 128
+           THEN c0.c ELSE 0 END) AS BIGINT) AS n_below128
+FROM cum c0 JOIN cm m ON c0.doc_id = m.doc_id
+GROUP BY 1, 2, 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -14881,6 +14954,8 @@ FROM documents""",
         "ols_value_model": _OLS_ORACLE,
         "dtw_user_series": _DTW_ORACLE,
         "interval_coverage": _INTERVAL_COVERAGE_ORACLE,
+        "trigram_search": _trigram_oracle(TRIGRAM_LITERAL),
+        "media_equalize": _equalize_oracle(),
     }
 
 

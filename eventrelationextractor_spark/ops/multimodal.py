@@ -520,3 +520,55 @@ def otsu_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=OTSU_SCHEMA)
+
+
+EQUALIZE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("n_px", LongType(), False),
+    StructField("cdf_min", LongType(), False),
+    StructField("sum_eq", LongType(), False),
+    StructField("n_below128", LongType(), False),
+])
+
+
+def equalize_stats(media: DataFrame) -> DataFrame:
+    """Histogram-equalization statistics over REAL image decode ->
+    (media_id, n_px, cdf_min, sum_eq, n_below128): the standard
+    contrast-normalization preprocessing (OpenCV equalizeHist) in its
+    exact-integer form — map(v) = ((cdf(v) - cdf_min) * 255) div
+    (n_px - cdf_min) with cdf_min the smallest nonzero cdf — so the
+    remapped-luma sum and below-midpoint count of an ACTUAL decode
+    sit under the value hash with zero float tolerance (the
+    otsu_stats contract on the output side of the histogram).
+    Constant images (n_px == cdf_min) map to all-zero by definition
+    here (guarded, no /0).
+
+    Scale shape: one mapInPandas (decode + 256-bin bincount + an
+    np.take remap), 5 integers out per image, no shuffle."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "n_px", "cdf_min",
+                                   "sum_eq", "n_below128")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(bytes(payload)).astype("int64")
+                gray = arr.sum(axis=2) // arr.shape[2]
+                c = np.bincount(gray.ravel(), minlength=256)
+                cdf = np.cumsum(c)
+                npx = int(cdf[-1])
+                cdf_min = int(cdf[c > 0][0]) if npx else 0
+                den = npx - cdf_min
+                if den > 0:
+                    emap = ((cdf - cdf_min) * 255) // den
+                else:
+                    emap = np.zeros(256, dtype="int64")
+                out["media_id"].append(int(mid))
+                out["n_px"].append(npx)
+                out["cdf_min"].append(cdf_min)
+                out["sum_eq"].append(int((c * emap).sum()))
+                out["n_below128"].append(int(c[emap < 128].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=EQUALIZE_SCHEMA)

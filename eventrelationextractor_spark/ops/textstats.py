@@ -1676,3 +1676,44 @@ def rouge_scores(df: DataFrame, ref_col: str, sys_col: str,
         F.expr("CASE WHEN ref_n + sys_n > 0 THEN"
                " (2000000 * match_n) div (ref_n + sys_n)"
                " ELSE 0 END").cast("long").alias("f_ppm"))
+
+
+def trigram_search(docs: DataFrame, literal: str,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Trigram-posting substring search (the Google Code Search /
+    Zoekt index shape, Cox 2012) -> (doc_id, verified): candidate
+    documents are those containing EVERY trigram of the query
+    literal; ``verified`` then confirms the actual substring. The
+    telemetry point IS the gap — rows with verified = false are the
+    index's false positives (trigrams present, contiguity broken),
+    exactly what you tune posting granularity on. A regex frontend
+    reduces to this by extracting required trigram sets from the
+    pattern's literal fragments (documented extension; the index
+    side is identical).
+
+    Scale shape: positions explode to (doc, gram) pairs but the
+    ``isin(query grams)`` filter is applied MAP-SIDE before the
+    distinct's shuffle — the only exchange carries <= k grams per
+    doc, never the full posting list. The verify join touches only
+    candidates. Needs len(literal) >= 3."""
+    lit = str(literal)
+    if len(lit) < 3:
+        raise ValueError("literal must be >= 3 chars")
+    grams = sorted({lit[i:i + 3] for i in range(len(lit) - 2)})
+    k = len(grams)
+    posts = (docs.select(F.col(id_col).alias("id"),
+                         F.explode(F.expr(
+                             f"transform(sequence(1, greatest("
+                             f"length({text_col}) - 2, 0)),"
+                             f" p -> substr({text_col}, p, 3))"))
+                         .alias("gram"))
+             .filter(F.col("gram").isin(grams))
+             .distinct())
+    cand = (posts.groupBy("id")
+            .agg(F.count("*").alias("hit"))
+            .filter(F.col("hit") == k).select("id"))
+    return (cand.join(docs.select(F.col(id_col).alias("id"),
+                                  F.col(text_col).alias("_t")), "id")
+            .select(F.col("id").alias(id_col),
+                    (F.instr("_t", lit) > 0).alias("verified")))

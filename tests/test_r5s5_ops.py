@@ -383,3 +383,62 @@ def test_interval_union_len_matches_bruteforce(spark):
         want.setdefault(k, set()).update(range(s, e))
     for k, pts in want.items():
         assert got[k] == len(pts)
+
+
+# ------------------------------------------------------ trigram index
+
+
+def test_trigram_search_candidates_and_false_positives(spark):
+    """Docs with every query trigram are candidates; contiguity then
+    splits true matches from index false positives; a doc missing any
+    trigram never appears."""
+    from eventrelationextractor_spark.ops import textstats as ts
+    docs = spark.createDataFrame(
+        [(1, "xx abcde yy"),          # true match
+         (2, "abc bcd cde"),          # all trigrams, not contiguous
+         (3, "abc only here"),        # missing trigrams
+         (4, "zzz")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["verified"]
+           for r in ts.trigram_search(docs, "abcde").collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_trigram_search_rejects_short_literal(spark):
+    import pytest
+    from eventrelationextractor_spark.ops import textstats as ts
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        ts.trigram_search(docs, "ab")
+
+
+# ----------------------------------------------------- equalization
+
+
+def test_equalize_stats_matches_python_replay(spark):
+    """Planted bimodal image vs the exact integer replay; a constant
+    image hits the den == 0 guard (all-zero map)."""
+    import numpy as np
+    arr = np.full((8, 8, 3), 30, dtype=np.uint8)
+    arr[4:, :, :] = 220
+    const = np.full((8, 8, 3), 77, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(codecs.encode_png(arr)), 8, 8),
+         (2, "image", bytearray(codecs.encode_png(const)), 8, 8)],
+        "media_id long, kind string, payload binary, width int, height int")
+    got = {r["media_id"]: r for r in mm.equalize_stats(media).collect()}
+
+    gray = (arr.astype("int64").sum(axis=2) // 3).ravel()
+    c = np.bincount(gray, minlength=256)
+    cdf = np.cumsum(c)
+    npx = int(cdf[-1])
+    cdf_min = int(cdf[c > 0][0])
+    emap = ((cdf - cdf_min) * 255) // (npx - cdf_min)
+    r = got[1]
+    assert r["n_px"] == npx and r["cdf_min"] == cdf_min
+    assert r["sum_eq"] == int((c * emap).sum())
+    assert r["n_below128"] == int(c[emap < 128].sum())
+
+    rc = got[2]
+    assert (rc["n_px"], rc["cdf_min"]) == (64, 64)
+    assert rc["sum_eq"] == 0 and rc["n_below128"] == 64
