@@ -5465,6 +5465,41 @@ def _q_media_equalize(spark, sf_dir):
         _media_pngs(_docs(spark, sf_dir).select("doc_id")))
 
 
+ETLD_HOSTS = [
+    "news.example.com", "media.example.co.uk", "a.b.example.co.uk",
+    "x.github.io", "weird.unknowntld", "example.com", "co.uk",
+    "deep.sub.shop.example.com.au", "only",
+]
+
+
+def _q_etld1_rollup(spark, sf_dir):
+    """PSL registrable-domain rollup (ops/urls.py::etld1): hosts
+    staged over a suffix-shape-exercising array (1/2/3-label rules,
+    private github.io, a host that IS a suffix -> NULL registrable,
+    an unmatched TLD falling back to the '*' rule), longest-match
+    against the broadcast rules table, doc counts per (suffix,
+    registrable)."""
+    hosts = F.array(*[F.lit(h) for h in ETLD_HOSTS])
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.element_at(hosts, (F.col("doc_id") % len(ETLD_HOSTS) + 1)
+                     .cast("int")).alias("host"))
+    reg = urls.etld1(d)
+    return (d.join(reg, "host")
+            .groupBy("suffix", "registrable")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("host").cast("long").alias("n_hosts")))
+
+
+def _q_cdc_chunking(spark, sf_dir):
+    """Content-defined chunking dedup telemetry (ops/dedup.py::
+    cdc_chunk_stats): rolling md5-gram cut points over the corpus
+    text, chunk-level storage dedup ratio in one summary row. The
+    oracle replays the identical cut condition and chunking with a
+    range/LEAD formulation instead of the array lambda."""
+    return dedup.cdc_chunk_stats(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): diag probes first (the
@@ -5822,6 +5857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": _q_interval_coverage,
         "trigram_search": _q_trigram_search,
         "media_equalize": _q_media_equalize,
+        "etld1_rollup": _q_etld1_rollup,
+        "cdc_chunking": _q_cdc_chunking,
     }
 
 
@@ -14567,6 +14604,76 @@ GROUP BY 1, 2, 3
 """
 
 
+def _etld1_oracle() -> str:
+    vals = ", ".join(f"('{r}', {r.count('.') + 1})"
+                     for r in sorted(set(urls.PSL_SUBSET)))
+    arr = "[" + ", ".join(f"'{h}'" for h in ETLD_HOSTS) + "]"
+    return f"""
+WITH hosts AS (
+  SELECT doc_id,
+    ({arr})[CAST(doc_id % {len(ETLD_HOSTS)} AS INT) + 1] AS host
+  FROM documents),
+hu AS (SELECT DISTINCT host FROM hosts),
+lab AS (SELECT host, string_split(host, '.') AS ls,
+          len(string_split(host, '.')) AS n FROM hu),
+rules(suffix, slabels) AS (VALUES {vals}),
+cand AS (SELECT l.host, l.ls, l.n, rj.j
+         FROM lab l,
+           LATERAL unnest(range(1, least(l.n, 4) + 1)) AS rj(j)),
+mt AS (SELECT c.host, max(c.j) AS j
+       FROM cand c JOIN rules r
+         ON array_to_string(c.ls[c.n - c.j + 1 :], '.') = r.suffix
+       GROUP BY 1),
+fin AS (SELECT l.host, coalesce(m.j, 1) AS j, l.ls, l.n
+        FROM lab l LEFT JOIN mt m ON l.host = m.host),
+reg AS (SELECT host,
+          array_to_string(ls[n - j + 1 :], '.') AS suffix,
+          CASE WHEN n >= j + 1
+               THEN array_to_string(ls[n - j :], '.') END
+            AS registrable
+        FROM fin)
+SELECT r.suffix, r.registrable, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT h.host) AS BIGINT) AS n_hosts
+FROM hosts h JOIN reg r ON h.host = r.host
+GROUP BY 1, 2
+"""
+
+
+_CDC_ORACLE = """
+WITH pos AS (
+  SELECT d.doc_id, CAST(rp.p AS BIGINT) AS p
+  FROM documents d,
+       LATERAL unnest(range(2, greatest(length(d.text) - 6, 2)))
+         AS rp(p)
+  WHERE CAST(('0x' || substr(md5(substr(d.text, CAST(rp.p AS INT),
+        8)), 1, 8)) AS BIGINT) % 64 = 0),
+cuts AS (
+  SELECT doc_id, p FROM pos
+  UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM documents
+  UNION ALL SELECT doc_id, CAST(length(text) + 1 AS BIGINT)
+    FROM documents),
+ch0 AS (
+  SELECT doc_id, p,
+    lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+  FROM cuts),
+ch AS (
+  SELECT c0.doc_id,
+    substr(d.text, CAST(c0.p AS INT), CAST(c0.np - c0.p AS INT))
+      AS chunk
+  FROM ch0 c0 JOIN documents d ON c0.doc_id = d.doc_id
+  WHERE c0.np IS NOT NULL AND c0.np > c0.p),
+per AS (SELECT md5(chunk) AS h, CAST(count(*) AS BIGINT) AS c,
+          CAST(min(length(chunk)) AS BIGINT) AS l
+        FROM ch GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+  CAST(sum(c) AS BIGINT) AS n_chunks,
+  CAST(count(*) AS BIGINT) AS n_unique,
+  CAST(sum(c * l) AS BIGINT) AS total_bytes,
+  CAST(sum(l) AS BIGINT) AS unique_bytes
+FROM per
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fixture_temporal = []
     for name in fx.TEMPORAL_FIXTURES:
@@ -14956,6 +15063,8 @@ FROM documents""",
         "interval_coverage": _INTERVAL_COVERAGE_ORACLE,
         "trigram_search": _trigram_oracle(TRIGRAM_LITERAL),
         "media_equalize": _equalize_oracle(),
+        "etld1_rollup": _etld1_oracle(),
+        "cdc_chunking": _CDC_ORACLE,
     }
 
 

@@ -1267,3 +1267,57 @@ def ppjoin_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.col("n_inter").cast("long").alias("n_inter"),
                     uni.cast("long").alias("n_union"),
                     F.round(F.col("n_inter") / uni, 6).alias("jaccard")))
+
+
+def cdc_chunk_stats(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 8,
+                    mask_mod: int = 64) -> DataFrame:
+    """Content-defined chunking dedup telemetry (the Rabin/FastCDC
+    family under every backup/blob store and under LLM-era
+    ExactSubstr variants) -> one row (n_docs, n_chunks, n_unique,
+    total_bytes, unique_bytes): cut points are CONTENT positions
+    (hash of the ``window``-gram at p divisible by ``mask_mod``), so
+    an insertion early in a document shifts only the chunks it
+    touches — byte-offset chunking would re-key everything after it.
+    unique_bytes / total_bytes is the storage dedup ratio.
+
+    Determinism: cut condition = conv(substr(md5(gram),1,8),16,10) %
+    mask_mod == 0 (the repo's standard engine-replayable hash);
+    chunks = [cut_i, cut_{i+1}) over {1} ∪ cuts ∪ {len+1}; chunk
+    identity by md5 on BOTH engines (lockstep, collision odds
+    documented-negligible). Min/max chunk-size clamps of FastCDC are
+    out of scope (documented) — they change WHICH cuts survive, not
+    the shape.
+
+    Scale shape: the cut scan is a pure per-row array expression
+    (sequence + filter, md5 inside the lambda — the winnowing
+    expression-cost family, no shuffle); chunks explode and hit ONE
+    md5-keyed partial-agg groupBy + a single-row fold. Nothing else
+    shuffles."""
+    w = int(window)
+    m = int(mask_mod)
+    cuts = (f"concat(array(1), CASE WHEN length({text_col}) >= {w} + 1"
+            f" THEN filter(sequence(2, length({text_col}) - {w - 1}),"
+            f" p -> conv(substring(md5(substring({text_col}, p, {w})),"
+            f" 1, 8), 16, 10) % {m} = 0) ELSE array() END,"
+            f" array(length({text_col}) + 1))")
+    chunks = (docs
+              .select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("_t"),
+                      F.expr(cuts).alias("_cuts"))
+              .select("id", F.explode(F.expr(
+                  "transform(sequence(1, size(_cuts) - 1), i ->"
+                  " substring(_t, element_at(_cuts, i),"
+                  " element_at(_cuts, i + 1)"
+                  " - element_at(_cuts, i)))")).alias("chunk"))
+              .filter(F.length("chunk") > 0))
+    per = (chunks.groupBy(F.md5("chunk").alias("h"))
+           .agg(F.count("*").alias("c"),
+                F.min(F.length("chunk")).cast("long").alias("l")))
+    nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    return nd.crossJoin(per.agg(
+        F.sum("c").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_unique"),
+        F.sum(F.col("c") * F.col("l")).cast("long")
+        .alias("total_bytes"),
+        F.sum("l").cast("long").alias("unique_bytes")))

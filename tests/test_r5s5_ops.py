@@ -442,3 +442,71 @@ def test_equalize_stats_matches_python_replay(spark):
     rc = got[2]
     assert (rc["n_px"], rc["cdf_min"]) == (64, 64)
     assert rc["sum_eq"] == 0 and rc["n_below128"] == 64
+
+
+# --------------------------------------------------------------- psl
+
+
+def test_etld1_psl_semantics(spark):
+    """Longest-match PSL: 2-label rules beat 1-label; private rules
+    (github.io) count as suffixes; a host that IS a suffix has NULL
+    registrable; unmatched hosts fall back to the '*' rule."""
+    from eventrelationextractor_spark.ops import urls as u
+    hosts = ["news.example.com", "media.example.co.uk",
+             "a.b.example.co.uk", "x.github.io", "weird.unknowntld",
+             "co.uk", "only", "deep.example.com.au"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r["host"]: (r["suffix"], r["registrable"])
+           for r in u.etld1(df).collect()}
+    assert got["news.example.com"] == ("com", "example.com")
+    assert got["media.example.co.uk"] == ("co.uk", "example.co.uk")
+    assert got["a.b.example.co.uk"] == ("co.uk", "example.co.uk")
+    assert got["x.github.io"] == ("github.io", "x.github.io")
+    assert got["weird.unknowntld"] == ("unknowntld",
+                                       "weird.unknowntld")
+    assert got["co.uk"] == ("co.uk", None)
+    assert got["only"] == ("only", None)
+    assert got["deep.example.com.au"] == ("com.au", "example.com.au")
+
+
+# --------------------------------------------------------------- cdc
+
+
+def test_cdc_chunks_partition_text_exactly(spark):
+    """Chunks tile each document with no gap/overlap: total_bytes ==
+    sum of text lengths, and a duplicated document doubles chunk
+    count without adding unique bytes."""
+    from eventrelationextractor_spark.ops import dedup as dd
+    texts = ["the quick brown fox jumps over the lazy dog " * 8,
+             "pack my box with five dozen liquor jugs " * 6]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    r = dd.cdc_chunk_stats(df).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["total_bytes"] == sum(len(t) for t in texts)
+    assert r["n_unique"] <= r["n_chunks"]
+
+    df2 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)]
+        + [(99, texts[0])], "doc_id long, text string")
+    r2 = dd.cdc_chunk_stats(df2).collect()[0]
+    assert r2["total_bytes"] == r["total_bytes"] + len(texts[0])
+    assert r2["unique_bytes"] == r["unique_bytes"]  # nothing new
+
+
+def test_cdc_insertion_shifts_only_local_chunks(spark):
+    """The content-defined property: prepending bytes to a long text
+    leaves the chunk set after the first content cut identical, so
+    unique bytes grow by far less than the text length."""
+    from eventrelationextractor_spark.ops import dedup as dd
+    # varied content so the gram-hash cut condition actually fires
+    # (a tight repeat has too few distinct 8-grams to cut on)
+    base = " ".join(f"token{i}x{i * 7 % 97}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base), (2, "INSERTED-PREFIX-" + base)],
+        "doc_id long, text string")
+    r = dd.cdc_chunk_stats(df).collect()[0]
+    assert r["n_chunks"] > 20          # cuts did fire
+    # if chunking were offset-based, unique_bytes would be ~2x total;
+    # content-defined cuts resynchronize after the insertion
+    assert r["unique_bytes"] < r["total_bytes"] * 6 // 10
