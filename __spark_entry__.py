@@ -4681,13 +4681,12 @@ def _q_cat_roundtrip(spark, sf_dir):
     return catmod.cat_to_columns(back)
 
 
-def _q_jw_linkage(spark, sf_dir):
-    """Blocked fuzzy matching (ops/linkage.py::blocked_jw_pairs):
-    soundex blocks over the top-100 alpha dictionary terms UNION their
-    deterministic single-deletion mangles (the symspell staging), then
-    Jaro-Winkler >= 0.85 on block-collided pairs only. The JW kernel
-    is pure Python verified BIT-identical to DuckDB's
-    jaro_winkler_similarity, so the oracle calls the builtin."""
+def _linkage_blocked_terms(spark, sf_dir):
+    """Shared record-linkage staging: top-100 alpha dictionary terms
+    UNION their deterministic single-deletion mangles (the symspell
+    staging), soundex-blocked. Feeds both the Jaro-Winkler and the
+    Damerau-Levenshtein blocked matchers so the two metrics are
+    compared over the identical candidate set."""
     toks = _docs(spark, sf_dir).select(
         F.explode(F.filter(
             F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
@@ -4700,8 +4699,45 @@ def _q_jw_linkage(spark, sf_dir):
         "concat(substr(term, 1, cnt % length(term)), "
         "substr(term, cnt % length(term) + 2))").alias("term"))
     allt = top.select("term").unionByName(mang).distinct()
-    t = allt.select("term", F.soundex("term").alias("sdx"))
+    return allt.select("term", F.soundex("term").alias("sdx"))
+
+
+def _q_jw_linkage(spark, sf_dir):
+    """Blocked fuzzy matching (ops/linkage.py::blocked_jw_pairs):
+    soundex blocks over the top-100 alpha dictionary terms UNION their
+    deterministic single-deletion mangles (the symspell staging), then
+    Jaro-Winkler >= 0.85 on block-collided pairs only. The JW kernel
+    is pure Python verified BIT-identical to DuckDB's
+    jaro_winkler_similarity, so the oracle calls the builtin."""
+    t = _linkage_blocked_terms(spark, sf_dir)
     return linkage.blocked_jw_pairs(t, "sdx", "term", threshold=0.85)
+
+
+def _q_dl_linkage(spark, sf_dir):
+    """Blocked typo linkage on TRUE (unrestricted) Damerau-Levenshtein
+    (ops/linkage.py::blocked_dl_pairs) over the same soundex-blocked
+    staging as jw_linkage: dl <= 2 on block-collided pairs only.
+    DuckDB's damerau_levenshtein builtin implements the SAME
+    Lowrance-Wagner metric (probed in-session on the DL('CA','ABC')=2
+    discriminator, where the restricted OSA variant says 3), so the
+    oracle calls the builtin and the kernel is verified term-for-term
+    by a pair-product parity test. Pure-BIGINT distance surface -
+    zero float slack under the hash gate."""
+    t = _linkage_blocked_terms(spark, sf_dir)
+    return linkage.blocked_dl_pairs(t, "sdx", "term", max_dist=2)
+
+
+def _q_hamming_topk(spark, sf_dir):
+    """Binary-quantized ANN (ops/simsearch.py::{sign_words,
+    hamming_topk}): each 64-dim float vector packs into two 32-bit
+    sign words, then exact Hamming top-5 for the first 10 query ids.
+    Distances are pure BIGINT bit_count(xor(...)) so ranking is
+    bit-exact on any engine (ties break on neighbor id) - the 1-bit
+    first-pass sketch a re-ranking stage refines at 100 TB. Oracle
+    packs the identical words via a list fold and ranks with the same
+    (hamming, cid) order."""
+    return simsearch.hamming_topk(_emb(spark, sf_dir),
+                                  n_queries=10, k=5)
 
 
 def _q_mann_whitney(spark, sf_dir):
@@ -5868,6 +5904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_equalize": _q_media_equalize,
         "etld1_rollup": _q_etld1_rollup,
         "cdc_chunking": _q_cdc_chunking,
+        "dl_linkage": _q_dl_linkage,
+        "ann_hamming": _q_hamming_topk,
     }
 
 
@@ -13539,7 +13577,7 @@ FROM toks LEFT JOIN d3 ON d3.w = toks.w
 """
 
 
-_JW_LINKAGE_ORACLE = """
+_LINKAGE_PAIRS_CTE = """
 WITH t0 AS (SELECT u.term FROM documents,
   LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
     '[^a-z0-9]+'), w -> w <> '')) AS u(term)),
@@ -13582,8 +13620,43 @@ blocked AS (SELECT allt.term,
 pairs AS (SELECT l.term AS a, r.term AS b
           FROM blocked l JOIN blocked r
             ON l.sdx = r.sdx AND l.term < r.term)
+"""
+
+_JW_LINKAGE_ORACLE = _LINKAGE_PAIRS_CTE + """
 SELECT a, b, round(jaro_winkler_similarity(a, b), 6) AS jw
 FROM pairs WHERE round(jaro_winkler_similarity(a, b), 6) >= 0.85
+"""
+
+_DL_LINKAGE_ORACLE = _LINKAGE_PAIRS_CTE + """
+SELECT a, b, CAST(damerau_levenshtein(a, b) AS BIGINT) AS dl
+FROM pairs WHERE damerau_levenshtein(a, b) <= 2
+"""
+
+_HAMMING_TOPK_ORACLE = """
+WITH w AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(range(32), i ->
+      CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+           THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END))
+      AS BIGINT) AS w0,
+    CAST(list_sum(list_transform(range(32), i ->
+      CASE WHEN embedding[CAST(i + 33 AS INT)] > 0
+           THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END))
+      AS BIGINT) AS w1
+  FROM embeddings),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+    CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))
+      AS BIGINT) AS hamming
+  FROM w q JOIN w c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10),
+r AS (SELECT query_id, cid, hamming,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY hamming, cid) AS rnk
+  FROM p)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, cid AS neighbor_id,
+       hamming
+FROM r WHERE rnk <= 5
 """
 
 
@@ -15077,6 +15150,8 @@ FROM documents""",
         "media_equalize": _equalize_oracle(),
         "etld1_rollup": _etld1_oracle(),
         "cdc_chunking": _CDC_ORACLE,
+        "dl_linkage": _DL_LINKAGE_ORACLE,
+        "ann_hamming": _HAMMING_TOPK_ORACLE,
     }
 
 

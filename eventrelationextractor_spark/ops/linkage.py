@@ -326,3 +326,76 @@ def stable_matching(proposers: DataFrame, n_shards: int,
                     .cast("long").alias("shard"),
                     F.col("n_proposals").cast("long")
                     .alias("n_proposals")))
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """TRUE (unrestricted) Damerau-Levenshtein distance - the
+    alphabet-table DP (Lowrance & Wagner 1975), NOT the restricted
+    optimal-string-alignment variant: DL('CA','ABC') = 2 where OSA
+    says 3. DuckDB's damerau_levenshtein builtin implements the true
+    metric (probed in-session on the CA/ABC discriminator), so this
+    kernel is its exact twin and the oracle can call the builtin -
+    the same exact-twin contract as :func:`jaro_winkler` vs DuckDB's
+    jaro_winkler_similarity (pinned by a pair-product parity test)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxd = la + lb
+    # d is offset by 2: d[i+1][j+1] corresponds to prefixes a[:i], b[:j]
+    d = [[maxd] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    da = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,            # substitute / match
+                d[i + 1][j] + 1,           # insert
+                d[i][j + 1] + 1,           # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1))  # transpose
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def blocked_dl_pairs(terms: DataFrame, block_col: str = "sdx",
+                     term_col: str = "term",
+                     max_dist: int = 2) -> DataFrame:
+    """Blocked fuzzy matching on TRUE Damerau-Levenshtein -> (a, b,
+    dl) for a < b with dl <= ``max_dist``: the transposition-aware
+    sibling of :func:`blocked_jw_pairs` (typo linkage where 'hte' is
+    one edit from 'the', not two). Same record-linkage shape - pairs
+    come ONLY from shared blocking keys, the O(|a|*|b|) kernel runs
+    on block survivors via an Arrow-batched pandas UDF, and the
+    output is pure BIGINT so the hash gate has zero float slack."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dl_kernel(a, b):
+        return pd.Series([damerau_levenshtein(x, y)
+                          for x, y in zip(a, b)])
+
+    _dl_kernel.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                                  "return": pd.Series}
+    dl_udf = pandas_udf(_dl_kernel, "long")
+
+    l = terms.select(F.col(block_col).alias("k"),
+                     F.col(term_col).alias("a"))
+    r = terms.select(F.col(block_col).alias("k"),
+                     F.col(term_col).alias("b"))
+    pairs = (l.join(r, "k").filter(F.col("a") < F.col("b"))
+             .select("a", "b"))
+    scored = pairs.withColumn("dl", dl_udf(F.col("a"), F.col("b")))
+    return scored.filter(F.col("dl") <= int(max_dist)) \
+        .select("a", "b", "dl")

@@ -706,3 +706,62 @@ def matryoshka_agreement(emb: DataFrame, dims=(8, 16, 32, 64),
             .select("dim", "query_id", "top1_id",
                     (F.col("top1_id") == F.col("ref_id"))
                     .alias("agree")))
+
+
+def sign_words(emb: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Binary (sign) quantization of a float embedding into 32-bit
+    BIGINT words -> (id, w0, w1, ...): bit i of word k is set iff
+    element k*32+i is strictly positive. The 1-bit sketch behind
+    binary-quantized vector search (a 32x memory cut vs float32 and a
+    Hamming kernel that is two codegen'd bit_count(xor(..)) calls).
+
+    Words are 32 bits each so no value ever touches the BIGINT sign
+    bit - shift/xor/bit_count semantics stay identical across engines
+    with zero negative-number edge cases. The > 0 comparison is exact
+    on the raw float32, so the quantization is bit-reproducible."""
+    assert dim % 32 == 0
+    cols = [F.col(id_col)]
+    for k in range(dim // 32):
+        cols.append(F.expr(
+            f"aggregate(zip_with(slice({vec_col}, {k * 32 + 1}, 32), "
+            f"sequence(0, 31), (v, i) -> IF(v > 0, shiftleft(1L, i), "
+            f"0L)), 0L, (a, b) -> a + b)").alias(f"w{k}"))
+    return emb.select(*cols)
+
+
+def hamming_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = 64) -> DataFrame:
+    """Binary-quantized ANN -> (query_id, rank, neighbor_id, hamming):
+    exact Hamming top-k over the sign sketch from :func:`sign_words`.
+    The integer twin of :func:`brute_force_topk`: distances are pure
+    BIGINT (bit_count over xor'd words), so ranking is bit-exact on
+    any engine - no float rounding gate needed at all.
+
+    Scale shape: the corpus streams ONCE past a broadcast query side
+    (same broadcast-nested-loop contract as brute_force_topk), and the
+    per-pair kernel is dim/32 codegen'd bit ops instead of a dim-long
+    float fold - this is the cheap first pass that a re-ranking stage
+    (exact cosine on the Hamming survivors) refines at 100 TB."""
+    words = sign_words(emb, id_col, vec_col, dim)
+    nw = dim // 32
+    base = words.select(
+        F.col(id_col).alias("cid"),
+        *[F.col(f"w{k}").alias(f"c{k}") for k in range(nw)])
+    queries = words.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"),
+        *[F.col(f"w{k}").alias(f"q{k}") for k in range(nw)])
+    ham = None
+    for i in range(nw):
+        t = F.bit_count(F.expr(f"q{i} ^ c{i}"))
+        ham = t if ham is None else ham + t
+    pairs = (base.crossJoin(F.broadcast(queries))
+             .filter(F.col("qid") != F.col("cid"))
+             .withColumn("hamming", ham.cast("long")))
+    w = Window.partitionBy("qid").orderBy("hamming", "cid")
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("cid").alias("neighbor_id"), "hamming"))
