@@ -4740,6 +4740,46 @@ def _q_hamming_topk(spark, sf_dir):
                                   n_queries=10, k=5)
 
 
+def _q_knn_shapley(spark, sf_dir):
+    """Exact KNN-Shapley data valuation (ops/simsearch.py::
+    knn_shapley, Jia et al. VLDB 2019): test = first 10 vectors,
+    train = the rest, K=5; top-10 most valuable training points per
+    test point. Contributions are lockstep BIGINT nano-units
+    (sign * (1e9 div max(K, i)) suffix-summed), so the value surface
+    is engine-exact; the distance ranking is 6dp-rounded d^2 with id
+    tie-break. Oracle replays the identical window formulation."""
+    return simsearch.knn_shapley(_emb(spark, sf_dir),
+                                 n_test=10, k_nn=5, topn=10)
+
+
+def _q_hash_ring(spark, sf_dir):
+    """Consistent-hash ring with vnodes + minimal-movement audit
+    (ops/maintenance.py::hash_ring_assign): 8 nodes x 16 vnodes over
+    the documents keys, node 3 dropped for the second assignment.
+    The defining ring property - ONLY the dropped node's keys move -
+    is an output invariant (n_moved_away == n_keys for node 3, zero
+    elsewhere), making the hash gate a property check too."""
+    return maintenance.hash_ring_assign(_docs(spark, sf_dir), "doc_id",
+                                        n_nodes=8, n_vnodes=16,
+                                        drop_node=3)
+
+
+def _q_reuse_distance(spark, sf_dir):
+    """LRU reuse-distance histogram (ops/events.py::
+    reuse_distance_hist, Mattson 1970) over the events stream keyed
+    by props.k: one pass gives the hit-rate curve for every cache
+    size at once. The user_id %% 5 stratum keeps the oracle's
+    correlated count-distinct-in-gap formulation (Theta(n * gap) by
+    construction) at verification scale while the Spark side's
+    per-user sequential replay is linear in the stream."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 5 == 0)
+    acc = ev.select("user_id",
+                    F.get_json_object("props", "$.k").cast("long")
+                    .alias("k"),
+                    "ts", "event_id")
+    return events.reuse_distance_hist(acc)
+
+
 def _q_mann_whitney(spark, sf_dir):
     """Mann-Whitney rank-sum test (ops/quality.py::mann_whitney_u):
     parity arms over the doc_id%5 length sample - the heavy-tail-robust
@@ -5906,6 +5946,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunking": _q_cdc_chunking,
         "dl_linkage": _q_dl_linkage,
         "ann_hamming": _q_hamming_topk,
+        "knn_shapley": _q_knn_shapley,
+        "hash_ring": _q_hash_ring,
+        "reuse_distance": _q_reuse_distance,
     }
 
 
@@ -13632,6 +13675,89 @@ SELECT a, b, CAST(damerau_levenshtein(a, b) AS BIGINT) AS dl
 FROM pairs WHERE damerau_levenshtein(a, b) <= 2
 """
 
+_KNN_SHAPLEY_ORACLE = """
+WITH t AS (SELECT vec_id AS qid, embedding AS qv, label AS qy
+           FROM embeddings WHERE vec_id < 10),
+tr AS (SELECT vec_id AS cid, embedding AS cv, label AS cy
+       FROM embeddings WHERE vec_id >= 10),
+sc AS (SELECT qid, cid,
+    CASE WHEN cy = qy THEN 1 ELSE 0 END AS m,
+    round(list_sum(list_transform(range(1, 65), i ->
+      (CAST(qv[CAST(i AS INT)] AS DOUBLE)
+        - CAST(cv[CAST(i AS INT)] AS DOUBLE))
+      * (CAST(qv[CAST(i AS INT)] AS DOUBLE)
+        - CAST(cv[CAST(i AS INT)] AS DOUBLE)))), 6) AS d2
+  FROM tr, t),
+rk AS (SELECT qid, cid, m,
+    row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS i,
+    count(*) OVER (PARTITION BY qid) AS n
+  FROM sc),
+st AS (SELECT qid, cid, m, i, n,
+    CASE WHEN i = n THEN 0
+         ELSE (m - lead(m) OVER (PARTITION BY qid ORDER BY i))
+              * (1000000000 // greatest(5, i)) END AS term
+  FROM rk),
+sh AS (SELECT qid, cid, i, n,
+    max(CASE WHEN i = n THEN m END) OVER (PARTITION BY qid)
+      * (1000000000 // n)
+    + sum(CASE WHEN i < n THEN term ELSE 0 END)
+        OVER (PARTITION BY qid ORDER BY i DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS shap_nano
+  FROM st),
+top AS (SELECT qid, cid, shap_nano,
+    row_number() OVER (PARTITION BY qid
+                       ORDER BY shap_nano DESC, cid) AS rnk
+  FROM sh)
+SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank,
+       cid AS train_id, CAST(shap_nano AS BIGINT) AS shap_nano
+FROM top WHERE rnk <= 10
+"""
+
+_HASH_RING_ORACLE = """
+WITH ring AS (
+  SELECT i % 8 AS node,
+    md5('n' || CAST(i % 8 AS VARCHAR) || '#'
+        || CAST(i // 8 AS VARCHAR))
+      || ':' || CAST(i % 8 AS VARCHAR) AS e
+  FROM (SELECT unnest(range(128)) AS i)),
+arr AS (SELECT
+    (SELECT list(e ORDER BY e) FROM ring) AS r1,
+    (SELECT list(e ORDER BY e) FROM ring WHERE node <> 3) AS r2),
+ks AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k FROM documents),
+a AS (SELECT md5('k' || k) AS kpos, r1, r2 FROM ks, arr),
+owned AS (SELECT
+    CAST(split_part(coalesce(
+      list_min(list_filter(r1, e -> e > kpos)), r1[1]), ':', 2)
+      AS BIGINT) AS node,
+    CAST(split_part(coalesce(
+      list_min(list_filter(r2, e -> e > kpos)), r2[1]), ':', 2)
+      AS BIGINT) AS node2
+  FROM a)
+SELECT node, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN node <> node2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved_away
+FROM owned GROUP BY node
+"""
+
+_REUSE_DISTANCE_ORACLE = """
+WITH a AS (SELECT user_id AS u,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS key,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS seq
+  FROM events WHERE user_id % 5 = 0),
+p AS (SELECT u, key, seq,
+    lag(seq) OVER (PARTITION BY u, key ORDER BY seq) AS prev
+  FROM a),
+d AS (SELECT CASE WHEN prev IS NULL THEN -1
+    ELSE (SELECT CAST(count(DISTINCT a2.key) AS BIGINT) FROM a a2
+          WHERE a2.u = p.u AND a2.seq > p.prev AND a2.seq < p.seq
+            AND a2.key <> p.key) END AS distance
+  FROM p)
+SELECT distance, CAST(count(*) AS BIGINT) AS n_accesses
+FROM d GROUP BY distance
+"""
+
 _HAMMING_TOPK_ORACLE = """
 WITH w AS (
   SELECT vec_id,
@@ -15152,6 +15278,9 @@ FROM documents""",
         "cdc_chunking": _CDC_ORACLE,
         "dl_linkage": _DL_LINKAGE_ORACLE,
         "ann_hamming": _HAMMING_TOPK_ORACLE,
+        "knn_shapley": _KNN_SHAPLEY_ORACLE,
+        "hash_ring": _HASH_RING_ORACLE,
+        "reuse_distance": _REUSE_DISTANCE_ORACLE,
     }
 
 

@@ -1790,3 +1790,53 @@ def interval_union_len(df: DataFrame, key_col: str, start_col: str,
             .agg(F.count("*").cast("long").alias("n_intervals"),
                  F.sum("_i").cast("long").alias("n_islands"),
                  F.sum("_c").cast("long").alias("union_len")))
+
+
+def reuse_distance_hist(events: DataFrame, user_col: str = "user_id",
+                        key_col: str = "k", ts_col: str = "ts",
+                        seq_col: str = "event_id") -> DataFrame:
+    """LRU reuse-distance (stack-distance) histogram, Mattson et al.
+    1970 -> (distance, n_accesses): for every access in each user's
+    stream, the number of DISTINCT other keys touched since the
+    previous access to the same key (-1 = cold / first touch). One
+    pass yields the hit-rate curve for EVERY cache size at once — an
+    access hits an LRU cache of capacity C iff distance < C — the
+    cache-planning telemetry (shard-local doc cache, dictionary
+    cache, page cache) that per-capacity simulation would need one
+    run per C for.
+
+    Scale shape: exact stack distance is inherently sequential per
+    stream (the textbook algorithm is a balanced tree over one
+    ordered scan), so each USER's stream — bounded by construction —
+    replays in one applyInPandas group while users parallelize
+    freely; per-group state is the LRU stack, bounded by the key
+    cardinality, not the stream length. The output is a
+    statistic-scale integer histogram (partial-aggregable count per
+    distance). Never materializes pairs: the correlated
+    count-distinct-in-gap formulation (the oracle) is Theta(n * gap)
+    by construction and exists only to verify this one."""
+    import pandas as pd
+
+    acc = events.select(
+        F.col(user_col).alias("u"), F.col(key_col).alias("key"),
+        F.col(ts_col).alias("t"), F.col(seq_col).alias("s"))
+
+    def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "s"], kind="mergesort")
+        stack: list = []
+        out = []
+        for key in pdf["key"]:
+            try:
+                idx = stack.index(key)
+            except ValueError:
+                out.append(-1)
+                stack.insert(0, key)
+                continue
+            out.append(idx)
+            del stack[idx]
+            stack.insert(0, key)
+        return pd.DataFrame({"distance": out})
+
+    dists = acc.groupBy("u").applyInPandas(_replay, "distance long")
+    return dists.groupBy("distance").agg(
+        F.count(F.lit(1)).cast("long").alias("n_accesses"))

@@ -770,3 +770,58 @@ def fd_repair(df: DataFrame, lhs_col: str, rhs_col: str,
                     F.col("majority").alias("rhs_repaired"),
                     (~F.col(rhs_col).eqNullSafe(F.col("majority")))
                     .alias("was_repaired")))
+
+
+def hash_ring_assign(df: DataFrame, key_col: str, n_nodes: int = 8,
+                     n_vnodes: int = 16,
+                     drop_node: int | None = None) -> DataFrame:
+    """Consistent-hash RING assignment + minimal-movement telemetry ->
+    (node, n_keys, n_moved_away): the classic Karger ring with virtual
+    nodes, the OTHER consistent-hashing scheme beside
+    :func:`rendezvous_shards` (HRW). Each of ``n_nodes * n_vnodes``
+    ring positions is md5('n<node>#<vnode>'); a key lands on the first
+    ring position clockwise from md5('k<key>') (wrap = global min).
+    With ``drop_node`` set, the assignment is recomputed on the ring
+    MINUS that node's vnodes and n_moved_away counts keys that change
+    owner — the defining ring property is that ONLY the dropped node's
+    keys move, which the output makes auditable per node.
+
+    Scale shape: the ring is a statistic-scale table (n_nodes *
+    n_vnodes rows) collapsed to ONE sorted-array row and broadcast, so
+    assignment is a pure map-side array probe per key — ZERO shuffles
+    until the 8-group count at the end. Entries are 'md5hex:node'
+    strings, so first-clockwise = array_min over a lexicographic
+    filter (hex compares as the number) and everything is
+    engine-exact string/integer logic."""
+    spark = df.sparkSession
+    pad = len(str(int(n_nodes) - 1))
+
+    def ring_arr(excluded: int | None):
+        ring = (spark.range(int(n_nodes) * int(n_vnodes))
+                .select((F.col("id") % n_nodes).alias("node"),
+                        (F.col("id") / n_nodes).cast("long").alias("v")))
+        if excluded is not None:
+            ring = ring.filter(F.col("node") != int(excluded))
+        return ring.select(F.concat(
+            F.md5(F.format_string("n%d#%d", "node", "v")), F.lit(":"),
+            F.lpad(F.col("node").cast("string"), pad, "0")).alias("e")) \
+            .agg(F.sort_array(F.collect_list("e")).alias("ring"))
+
+    keys = df.select(F.col(key_col).cast("string").alias("k")).distinct() \
+        .withColumn("kpos", F.md5(F.concat(F.lit("k"), F.col("k"))))
+    both = (keys.crossJoin(F.broadcast(ring_arr(None).select(
+                F.col("ring").alias("r1"))))
+            .crossJoin(F.broadcast(ring_arr(drop_node).select(
+                F.col("ring").alias("r2")))))
+
+    def owner(arr):
+        hit = F.array_min(F.filter(arr, lambda e: e > F.col("kpos")))
+        return F.substring_index(F.coalesce(hit, F.element_at(arr, 1)),
+                                 ":", -1).cast("long")
+
+    assigned = both.select(owner(F.col("r1")).alias("node"),
+                           owner(F.col("r2")).alias("node2"))
+    return (assigned.groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+                 F.sum(F.when(F.col("node") != F.col("node2"), 1)
+                       .otherwise(0)).cast("long").alias("n_moved_away")))

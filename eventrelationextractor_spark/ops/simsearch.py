@@ -765,3 +765,73 @@ def hamming_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
             .select(F.col("qid").alias("query_id"),
                     F.col("rank").cast("long").alias("rank"),
                     F.col("cid").alias("neighbor_id"), "hamming"))
+
+
+def knn_shapley(emb: DataFrame, n_test: int = 10, k_nn: int = 5,
+                topn: int = 10, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                label_col: str = "label") -> DataFrame:
+    """Exact KNN-Shapley data valuation (Jia et al., VLDB 2019) ->
+    (query_id, rank, train_id, shap_nano): each training vector's
+    exact Shapley contribution to a K-NN classifier's accuracy on the
+    held-out test points - THE closed-form data-valuation method
+    (general Shapley is exponential; the K-NN surrogate admits an
+    O(N log N) exact recurrence), used to find mislabeled / harmful
+    training documents at corpus scale.
+
+    The recurrence s_i = s_{i+1} + (m_i - m_{i+1}) / max(K, i) over
+    train points sorted by distance (i = rank, m_i = label match) is
+    a pure SUFFIX SUM, so it distributes as one window cumsum - no
+    sequential replay, no recursion: the whole computation is two
+    window passes over a broadcast-query scored table (the
+    brute_force_topk shape). Contributions are lockstep BIGINT
+    nano-units (sign * (1e9 div max(K, i)) - the positive-div rule),
+    so the value surface is engine-exact; only the distance RANKING
+    touches floats, 6dp-rounded with id tie-break like every ranked
+    float surface here.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    test = (emb.filter(F.col(id_col) < n_test)
+            .select(F.col(id_col).alias("qid"), vec.alias("qv"),
+                    F.col(label_col).alias("qy")))
+    train = (emb.filter(F.col(id_col) >= n_test)
+             .select(F.col(id_col).alias("cid"), vec.alias("cv"),
+                     F.col(label_col).alias("cy")))
+    pairs = train.crossJoin(F.broadcast(test))
+    d2 = F.round(F.expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
+        "0D, (acc, x) -> acc + x)"), 6)
+    scored = pairs.select(
+        "qid", "cid",
+        F.when(F.col("cy") == F.col("qy"), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("m"),
+        d2.alias("d2"))
+    w_near = Window.partitionBy("qid").orderBy("d2", "cid")
+    part = Window.partitionBy("qid")
+    ranked = scored.select(
+        "qid", "cid", "m",
+        F.row_number().over(w_near).cast("long").alias("i"),
+        F.count(F.lit(1)).over(part).cast("long").alias("n"))
+    w_far = Window.partitionBy("qid").orderBy(F.col("i").desc())
+    w_rank = Window.partitionBy("qid").orderBy("i")
+    term = F.when(
+        F.col("i") == F.col("n"), F.lit(0).cast("long")).otherwise(
+        (F.col("m") - F.lead("m", 1).over(w_rank)) *
+        F.expr(f"1000000000L div greatest(CAST({int(k_nn)} AS BIGINT), i)"))
+    stepped = ranked.withColumn("term", term)
+    base = (F.max(F.when(F.col("i") == F.col("n"), F.col("m"))).over(part)
+            * F.expr("1000000000L div n"))
+    # s_i = s_N + sum_{j=i}^{N-1} term_j: a pure suffix sum, realized
+    # as a running sum over the descending-rank window (term_N = 0)
+    shap = (base
+            + F.sum(F.when(F.col("i") < F.col("n"), F.col("term"))
+                    .otherwise(F.lit(0))).over(
+                w_far.rowsBetween(Window.unboundedPreceding, 0)))
+    valued = stepped.withColumn("shap_nano", shap.cast("long"))
+    w_top = Window.partitionBy("qid").orderBy(
+        F.col("shap_nano").desc(), "cid")
+    return (valued.withColumn("rank", F.row_number().over(w_top))
+            .filter(F.col("rank") <= topn)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("cid").alias("train_id"), "shap_nano"))

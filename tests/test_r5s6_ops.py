@@ -1,10 +1,13 @@
 """Round-5 session-6 operators: TRUE Damerau-Levenshtein blocked
-linkage and binary-sign-quantized Hamming top-k ANN.
+linkage, binary-sign-quantized Hamming top-k ANN, exact KNN-Shapley
+data valuation, consistent-hash ring assignment, and LRU
+reuse-distance histograms.
 """
 
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from eventrelationextractor_spark.ops import linkage, simsearch
 
@@ -123,3 +126,125 @@ def test_hamming_topk_matches_numpy_reference(spark):
     for r in got:
         h, c = want[r.query_id][r.rank - 1]
         assert (r.hamming, r.neighbor_id) == (h, c)
+
+
+# ------------------------------------------------- knn shapley
+
+
+def test_knn_shapley_matches_direct_recurrence(spark):
+    """Window suffix-sum formulation == the textbook sequential
+    recurrence (Jia et al. Thm 1) in identical lockstep nano-units,
+    over every (test, train) pair of a random fixture."""
+    rng = np.random.RandomState(3)
+    N, T, K = 30, 4, 3
+    vecs = rng.randn(N, 8).astype(np.float32)
+    labels = rng.randint(0, 3, N)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], int(labels[i]))
+         for i in range(N)],
+        "vec_id long, embedding array<float>, label int")
+    got = simsearch.knn_shapley(df, n_test=T, k_nn=K, topn=N)
+    rows = {(r.query_id, r.train_id): r.shap_nano for r in got.collect()}
+    for t in range(T):
+        d2 = sorted(
+            (round(float(np.sum((vecs[c].astype(np.float64)
+                                 - vecs[t].astype(np.float64)) ** 2)), 6),
+             c) for c in range(T, N))
+        n = len(d2)
+        m = [1 if labels[c] == labels[t] else 0 for _, c in d2]
+        s = [0] * n
+        s[n - 1] = m[n - 1] * (10 ** 9 // n)
+        for i in range(n - 2, -1, -1):
+            s[i] = s[i + 1] + (m[i] - m[i + 1]) * (10 ** 9 // max(K, i + 1))
+        for i, (_, c) in enumerate(d2):
+            assert rows[(t, c)] == s[i]
+
+
+def test_knn_shapley_identical_point_is_most_valuable(spark):
+    """A training point that duplicates the test point (same vector,
+    same label) ranks #1 with a positive value; the same vector with
+    a WRONG label gets a non-positive value."""
+    base = [1.0] * 4
+    far = [-9.0, 8.0, -7.0, 6.0]
+    rows = [(0, base, 0),            # test point
+            (10, base, 0),           # perfect twin
+            (11, base, 1),           # same vector, wrong label
+            (12, far, 0), (13, far, 1), (14, far, 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = simsearch.knn_shapley(df, n_test=1, k_nn=2, topn=5).collect()
+    byrank = sorted(out, key=lambda r: r.rank)
+    assert byrank[0].train_id == 10 and byrank[0].shap_nano > 0
+    wrong = next(r for r in out if r.train_id == 11)
+    assert wrong.shap_nano <= 0
+
+
+# ------------------------------------------------- hash ring
+
+
+def test_hash_ring_minimal_movement(spark):
+    from eventrelationextractor_spark.ops import maintenance as mt
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    rows = {r.node: (r.n_keys, r.n_moved_away)
+            for r in mt.hash_ring_assign(df, "k", n_nodes=8,
+                                         n_vnodes=16,
+                                         drop_node=3).collect()}
+    assert sum(v[0] for v in rows.values()) == 2000
+    # the defining ring property: ONLY the dropped node's keys move
+    assert rows[3][0] == rows[3][1] and rows[3][0] > 0
+    assert all(v[1] == 0 for n, v in rows.items() if n != 3)
+    # vnodes keep the split within sane bounds (no starved node)
+    assert all(v[0] > 0 for v in rows.values())
+
+
+def test_hash_ring_no_drop_means_no_movement(spark):
+    from eventrelationextractor_spark.ops import maintenance as mt
+    df = spark.range(300).select(F.col("id").alias("k"))
+    rows = mt.hash_ring_assign(df, "k", drop_node=None).collect()
+    assert sum(r.n_keys for r in rows) == 300
+    assert all(r.n_moved_away == 0 for r in rows)
+
+
+# ------------------------------------------------- reuse distance
+
+
+def test_reuse_distance_hand_computed(spark):
+    """Stream A B A C B A per user: distances -1,-1,1,-1,2,2 (LRU
+    stack positions), so the histogram is {-1:3, 1:1, 2:2}."""
+    from eventrelationextractor_spark.ops import events as ev
+    rows = []
+    for u in (1, 2):
+        for i, k in enumerate(["A", "B", "A", "C", "B", "A"]):
+            rows.append((u, k, i, u * 100 + i))
+    df = spark.createDataFrame(
+        rows, "user_id long, k string, ts long, event_id long")
+    got = {r.distance: r.n_accesses
+           for r in ev.reuse_distance_hist(df).collect()}
+    assert got == {-1: 6, 1: 2, 2: 4}
+
+
+def test_reuse_distance_repeat_access_is_zero(spark):
+    from eventrelationextractor_spark.ops import events as ev
+    rows = [(1, "X", i, i) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "user_id long, k string, ts long, event_id long")
+    got = {r.distance: r.n_accesses
+           for r in ev.reuse_distance_hist(df).collect()}
+    assert got == {-1: 1, 0: 4}
+
+
+def test_reuse_distance_conservation(spark):
+    """Histogram mass == total accesses; cold count == distinct
+    (user, key) pairs; max distance < per-user key cardinality."""
+    from eventrelationextractor_spark.ops import events as ev
+    rng = np.random.RandomState(11)
+    rows = [(int(u), f"k{rng.randint(0, 7)}", int(i), int(u * 1000 + i))
+            for u in range(3) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "user_id long, k string, ts long, event_id long")
+    got = {r.distance: r.n_accesses
+           for r in ev.reuse_distance_hist(df).collect()}
+    assert sum(got.values()) == 150
+    n_cold = len({(u, k) for u, k, _, _ in rows})
+    assert got[-1] == n_cold
+    assert max(got) < 7
