@@ -4780,6 +4780,53 @@ def _q_reuse_distance(spark, sf_dir):
     return events.reuse_distance_hist(acc)
 
 
+def _q_wl_colors(spark, sf_dir):
+    """1-WL color refinement census (ops/graph.py::wl_colors) over
+    the synthetic link graph: 3 rounds of neighborhood-multiset
+    rehashing, output = (color, n_nodes) — the structural-role
+    histogram that detects templated/mirrored link farms plain degree
+    or triangle profiles cannot. Pure string/integer logic (md5
+    colors, sorted joins), so the oracle's chained-CTE replay is
+    bit-exact."""
+    e, nodes = _link_edges(spark, sf_dir)
+    return graph.wl_colors(e, nodes=nodes, n_rounds=3)
+
+
+def _q_interleave_eval(spark, sf_dir):
+    """Team-draft interleaving (ops/bm25.py::team_draft_interleave,
+    Radlinski 2008) of two INTEGER rankers per single-term query —
+    raw term frequency vs density (1e6*tf div dl) — with judgments
+    rel = (tf >= 2 AND doc_id %% 3 > 0, chosen so per-query winners
+    split across A/B/tie). The whole surface is exact integers/strings
+    (the md5-coin draft, list credits), so the hash gate checks the
+    full sequential draft protocol; the oracle replays it as one
+    recursive CTE carrying picked/team lists per query."""
+    docs = _docs(spark, sf_dir)
+    toks = bm25.tokenize(docs)
+    qt = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS],
+                               "term string")
+    tf = (toks.join(F.broadcast(qt), "term")
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    from pyspark.sql import Window as W
+    wa = W.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    ra = (tf.select(F.col("term").alias("qid"), "doc_id",
+                    F.row_number().over(wa).alias("rank"))
+          .filter(F.col("rank") <= 10))
+    dens = tf.join(dl, "doc_id").withColumn(
+        "dens", F.expr("(1000000 * tf) div dl"))
+    wb = W.partitionBy("term").orderBy(F.col("dens").desc(), "doc_id")
+    rb = (dens.select(F.col("term").alias("qid"), "doc_id",
+                      F.row_number().over(wb).alias("rank"))
+          .filter(F.col("rank") <= 10))
+    rel = tf.select(F.col("term").alias("qid"), "doc_id",
+                    F.when((F.col("tf") >= 2)
+                           & (F.col("doc_id") % 3 > 0), 1)
+                    .otherwise(0).alias("rel"))
+    return bm25.team_draft_interleave(ra, rb, rel, k=10)
+
+
 def _q_mann_whitney(spark, sf_dir):
     """Mann-Whitney rank-sum test (ops/quality.py::mann_whitney_u):
     parity arms over the doc_id%5 length sample - the heavy-tail-robust
@@ -5949,6 +5996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_shapley": _q_knn_shapley,
         "hash_ring": _q_hash_ring,
         "reuse_distance": _q_reuse_distance,
+        "wl_colors": _q_wl_colors,
+        "interleave_eval": _q_interleave_eval,
     }
 
 
@@ -13758,6 +13807,121 @@ SELECT distance, CAST(count(*) AS BIGINT) AS n_accesses
 FROM d GROUP BY distance
 """
 
+_WL_COLORS_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id*7+1) % n AS d FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % n FROM documents, nn
+  WHERE doc_id % 17 <> 0),
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT s AS src, d AS dst FROM e0
+  UNION ALL SELECT d, s FROM e0)),
+nodes AS (SELECT doc_id AS node FROM documents),
+deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+c0 AS (SELECT n.node, CAST(coalesce(d.deg, 0) AS VARCHAR) AS c
+       FROM nodes n LEFT JOIN deg d USING (node)),
+a1 AS (SELECT u.src AS node, string_agg(c.c, ',' ORDER BY c.c) AS nbs
+       FROM und u JOIN c0 c ON c.node = u.dst GROUP BY u.src),
+c1 AS (SELECT c0.node, md5(c0.c || '|' || coalesce(a1.nbs, '')) AS c
+       FROM c0 LEFT JOIN a1 USING (node)),
+a2 AS (SELECT u.src AS node, string_agg(c.c, ',' ORDER BY c.c) AS nbs
+       FROM und u JOIN c1 c ON c.node = u.dst GROUP BY u.src),
+c2 AS (SELECT c1.node, md5(c1.c || '|' || coalesce(a2.nbs, '')) AS c
+       FROM c1 LEFT JOIN a2 USING (node)),
+a3 AS (SELECT u.src AS node, string_agg(c.c, ',' ORDER BY c.c) AS nbs
+       FROM und u JOIN c2 c ON c.node = u.dst GROUP BY u.src),
+c3 AS (SELECT c2.node, md5(c2.c || '|' || coalesce(a3.nbs, '')) AS c
+       FROM c2 LEFT JOIN a3 USING (node))
+SELECT c AS color, CAST(count(*) AS BIGINT) AS n_nodes
+FROM c3 GROUP BY c
+"""
+
+_INTERLEAVE_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, u.term
+  FROM documents,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             w -> w <> '')) AS u(term)),
+qt AS (SELECT * FROM (VALUES ('hash'), ('join'), ('spark'),
+                             ('window'), ('stream')) AS t(term)),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM toks JOIN qt USING (term) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+ra AS (SELECT term AS qid, doc_id,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id) AS rnk
+       FROM tf),
+rb AS (SELECT t.term AS qid, t.doc_id,
+         row_number() OVER (PARTITION BY t.term
+                            ORDER BY (1000000 * t.tf) // d.dl DESC,
+                                     t.doc_id) AS rnk
+       FROM tf t JOIN dl d USING (doc_id)),
+la AS (SELECT qid, list(doc_id ORDER BY rnk) AS l FROM ra
+       WHERE rnk <= 10 GROUP BY qid),
+lb AS (SELECT qid, list(doc_id ORDER BY rnk) AS l FROM rb
+       WHERE rnk <= 10 GROUP BY qid),
+init AS (SELECT la.qid, la.l AS xa, lb.l AS xb
+         FROM la JOIN lb USING (qid)),
+draft AS (
+  SELECT qid, xa, xb, 0 AS step,
+         CAST([] AS BIGINT[]) AS picked,
+         CAST([] AS BIGINT[]) AS ta, CAST([] AS BIGINT[]) AS tb
+  FROM init
+  UNION ALL
+  SELECT qid, xa, xb, step + 1,
+         list_append(picked, CASE WHEN t = 'A' THEN rem_a[1]
+                                  ELSE rem_b[1] END),
+         CASE WHEN t = 'A' THEN list_append(ta, rem_a[1]) ELSE ta END,
+         CASE WHEN t = 'B' THEN list_append(tb, rem_b[1]) ELSE tb END
+  FROM (
+    SELECT qid, xa, xb, step, picked, ta, tb, rem_a, rem_b,
+           CASE WHEN t0 = 'A' AND len(rem_a) = 0 THEN 'B'
+                WHEN t0 = 'B' AND len(rem_b) = 0 THEN 'A'
+                ELSE t0 END AS t
+    FROM (
+      SELECT *,
+             list_filter(xa, d -> NOT list_contains(picked, d))
+               AS rem_a,
+             list_filter(xb, d -> NOT list_contains(picked, d))
+               AS rem_b,
+             CASE WHEN len(ta) < len(tb) THEN 'A'
+                  WHEN len(tb) < len(ta) THEN 'B'
+                  WHEN ascii(substr(md5(qid || ':'
+                       || CAST(len(picked) AS VARCHAR)), 1, 1))
+                       % 2 = 0 THEN 'A'
+                  ELSE 'B' END AS t0
+      FROM draft WHERE step < 10) s1) s2
+  WHERE len(rem_a) > 0 OR len(rem_b) > 0),
+fin AS (SELECT qid, ta, tb FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY step DESC) AS rn
+          FROM draft) WHERE rn = 1),
+rel AS (SELECT term AS qid, doc_id,
+               CASE WHEN tf >= 2 AND doc_id % 3 > 0
+                    THEN 1 ELSE 0 END AS rel FROM tf),
+exp AS (SELECT qid, u.d AS doc_id, 'A' AS team
+        FROM fin, LATERAL unnest(fin.ta) AS u(d)
+        UNION ALL
+        SELECT qid, u.d, 'B'
+        FROM fin, LATERAL unnest(fin.tb) AS u(d)),
+cred AS (SELECT e.qid,
+           sum(CASE WHEN e.team = 'A' AND r.rel > 0
+               THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN e.team = 'B' AND r.rel > 0
+               THEN 1 ELSE 0 END) AS cb
+         FROM exp e JOIN rel r
+           ON r.qid = e.qid AND r.doc_id = e.doc_id
+         GROUP BY e.qid)
+SELECT qid, CAST(ca AS BIGINT) AS credit_a,
+       CAST(cb AS BIGINT) AS credit_b,
+       CASE WHEN ca > cb THEN 'A' WHEN cb > ca THEN 'B'
+            ELSE 'tie' END AS winner
+FROM cred
+"""
+
 _HAMMING_TOPK_ORACLE = """
 WITH w AS (
   SELECT vec_id,
@@ -15281,6 +15445,8 @@ FROM documents""",
         "knn_shapley": _KNN_SHAPLEY_ORACLE,
         "hash_ring": _HASH_RING_ORACLE,
         "reuse_distance": _REUSE_DISTANCE_ORACLE,
+        "wl_colors": _WL_COLORS_ORACLE,
+        "interleave_eval": _INTERLEAVE_ORACLE,
     }
 
 

@@ -1016,3 +1016,80 @@ def class_tfidf_labels(docs: DataFrame, class_col: str, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= int(k))
             .select("class", "rank", "term", "tf", "df_classes", "score"))
+
+
+def team_draft_interleave(run_a: DataFrame, run_b: DataFrame,
+                          judgments: DataFrame, k: int = 10,
+                          qid_col: str = "qid") -> DataFrame:
+    """Team-draft interleaving (Radlinski et al., CIKM 2008) ->
+    (qid, credit_a, credit_b, winner): the ONLINE ranker-evaluation
+    design — merge two rankers' lists for the same queries into one
+    interleaved list via alternating team picks, then credit each
+    team the clicked documents it contributed. Per-query winners are
+    the sensitive pairwise preference signal that A/B-split absolute
+    metrics need orders of magnitude more traffic to detect.
+
+    Inputs are runs (qid, rank, doc_id) and graded ``judgments``
+    (qid, doc_id, rel); the click model is deterministic — every
+    relevant (rel > 0) doc in the interleaved top-``k`` is clicked —
+    so the whole surface is exact integers. Pick order: the team with
+    fewer picks drafts next; ties flip the md5(qid ':' step) coin
+    (parity of the first hex digit's codepoint — engine-identical
+    string logic). Each draft takes the drafting team's
+    highest-ranked not-yet-picked doc.
+
+    Scale shape: the draft is inherently sequential per query but
+    touches only the two top-k lists (bounded state), so each query
+    replays in one applyInPandas group over the pre-joined
+    runs+judgments rows; queries parallelize freely and the output is
+    one row per query."""
+    import hashlib
+
+    import pandas as pd
+
+    a = run_a.select(F.col(qid_col).alias("qid"), "rank", "doc_id",
+                     F.lit("A").alias("team"))
+    b = run_b.select(F.col(qid_col).alias("qid"), "rank", "doc_id",
+                     F.lit("B").alias("team"))
+    j = judgments.select(F.col(qid_col).alias("qid"), "doc_id",
+                         F.col("rel").cast("long").alias("rel"))
+    rows = (a.unionByName(b)
+            .join(j, ["qid", "doc_id"], "left")
+            .fillna(0, subset=["rel"]))
+
+    def _draft(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["qid"].iloc[0]
+        rel = {}
+        lists = {"A": [], "B": []}
+        for t in ("A", "B"):
+            sub = pdf[pdf["team"] == t].sort_values("rank")
+            lists[t] = list(sub["doc_id"])
+            rel.update(zip(sub["doc_id"], sub["rel"]))
+        picked, teams = [], {"A": set(), "B": set()}
+        while len(picked) < k:
+            remaining = {t: [d for d in lists[t] if d not in picked]
+                         for t in ("A", "B")}
+            if not remaining["A"] and not remaining["B"]:
+                break
+            if len(teams["A"]) < len(teams["B"]):
+                t = "A"
+            elif len(teams["B"]) < len(teams["A"]):
+                t = "B"
+            else:
+                h = hashlib.md5(
+                    f"{qid}:{len(picked)}".encode()).hexdigest()
+                t = "A" if ord(h[0]) % 2 == 0 else "B"
+            if not remaining[t]:
+                t = "A" if t == "B" else "B"
+            doc = remaining[t][0]
+            picked.append(doc)
+            teams[t].add(doc)
+        ca = sum(1 for d in teams["A"] if rel.get(d, 0) > 0)
+        cb = sum(1 for d in teams["B"] if rel.get(d, 0) > 0)
+        win = "A" if ca > cb else ("B" if cb > ca else "tie")
+        return pd.DataFrame({"qid": [qid], "credit_a": [ca],
+                             "credit_b": [cb], "winner": [win]})
+
+    return (rows.groupBy("qid").applyInPandas(
+        _draft, "qid string, credit_a long, credit_b long, "
+                "winner string"))

@@ -1754,3 +1754,45 @@ def resolve_redirects(edges: DataFrame, src: str = "src",
         F.when(F.col("done"), F.col("y")).alias("final"),
         F.when(F.col("done"), F.col("hops")).alias("hops"),
         (~F.col("done")).alias("is_cycle"))
+
+
+def wl_colors(edges: DataFrame, nodes: DataFrame | None = None,
+              n_rounds: int = 3) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement -> (color,
+    n_nodes): the structural-role census behind WL graph kernels and
+    GNN expressivity bounds, and a practical detector of templated /
+    mirrored link structure (two nodes share a color iff their
+    ``n_rounds``-hop neighborhood trees are isomorphic — far stronger
+    than degree or triangle profiles).
+
+    color_0 = degree; round r rehashes each node's own color with the
+    SORTED multiset of its neighbors' colors:
+    md5(c(v) || '|' || sorted_join(c(u) for u~v)). Every color is a
+    32-char md5 hex, so each round is ONE equi-join + ONE groupBy
+    (sort_array over bounded neighbor lists) regardless of round
+    number — fixed state size, no growth, the pagerank cost family.
+    All string/integer logic: the oracle replays rounds as chained
+    CTEs with string_agg(... ORDER BY ...) bit-exactly."""
+    und = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .distinct())
+    if nodes is None:
+        nodes = und.select(F.col("src").alias("node")).distinct()
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    col = (nodes.join(deg, "node", "left")
+           .select("node", F.coalesce(F.col("deg"), F.lit(0))
+                   .cast("string").alias("c")))
+    for _ in range(int(n_rounds)):
+        nb = und.join(col.select(F.col("node").alias("dst"),
+                                 F.col("c").alias("nc")), "dst")
+        agg = nb.groupBy(F.col("src").alias("node")).agg(
+            F.array_join(F.sort_array(F.collect_list("nc")), ",")
+            .alias("nbs"))
+        col = (col.join(agg, "node", "left")
+               .select("node", F.md5(F.concat(
+                   F.col("c"), F.lit("|"),
+                   F.coalesce(F.col("nbs"), F.lit("")))).alias("c")))
+    return col.groupBy(F.col("c").alias("color")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"))

@@ -248,3 +248,128 @@ def test_reuse_distance_conservation(spark):
     n_cold = len({(u, k) for u, k, _, _ in rows})
     assert got[-1] == n_cold
     assert max(got) < 7
+
+
+# ------------------------------------------------- wl colors
+
+
+def test_wl_colors_distinguishes_triangle_from_path(spark):
+    from eventrelationextractor_spark.ops import graph as g
+    # triangle 0-1-2 plus path 10-11-12 (disjoint)
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(r.n_nodes for r in g.wl_colors(df).collect())
+    # triangle: all 3 nodes one color; path: 2 endpoints + 1 middle
+    assert got == [1, 2, 3]
+
+
+def test_wl_colors_isomorphic_components_share_colors(spark):
+    from eventrelationextractor_spark.ops import graph as g
+    # two disjoint 4-cycles: every node degree-2 with identical
+    # neighborhood trees -> ONE color covering all 8 nodes
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0),
+             (10, 11), (11, 12), (12, 13), (13, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = g.wl_colors(df, n_rounds=3).collect()
+    assert len(rows) == 1 and rows[0].n_nodes == 8
+
+
+def test_wl_colors_isolated_node_and_rounds(spark):
+    from eventrelationextractor_spark.ops import graph as g
+    edges = [(0, 1)]
+    nodes = spark.createDataFrame([(0,), (1,), (9,)], "node long")
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = g.wl_colors(df, nodes=nodes, n_rounds=2).collect()
+    # the 0-1 pair is symmetric (one color, 2 nodes); 9 is its own
+    assert sorted(r.n_nodes for r in rows) == [1, 2]
+
+
+# ------------------------------------------------- team draft
+
+
+def _runs(spark, a, b, rel):
+    ra = spark.createDataFrame(
+        [("q", i + 1, d) for i, d in enumerate(a)],
+        "qid string, rank long, doc_id long")
+    rb = spark.createDataFrame(
+        [("q", i + 1, d) for i, d in enumerate(b)],
+        "qid string, rank long, doc_id long")
+    j = spark.createDataFrame(
+        [("q", d, 1) for d in rel] or [("q", -1, 0)],
+        "qid string, doc_id long, rel long")
+    return ra, rb, j
+
+
+def test_team_draft_disjoint_lists_coin_independent(spark):
+    from eventrelationextractor_spark.ops import bm25 as bmod
+    # disjoint lists: whatever the coin does, team A can only ever
+    # contribute {1,2} and team B {3,4}; rel = {1,2} -> A wins 2:0
+    ra, rb, j = _runs(spark, [1, 2], [3, 4], [1, 2])
+    row = bmod.team_draft_interleave(ra, rb, j, k=10).collect()[0]
+    assert (row.credit_a, row.credit_b, row.winner) == (2, 0, "A")
+
+
+def test_team_draft_identical_lists_tie(spark):
+    from eventrelationextractor_spark.ops import bm25 as bmod
+    # identical 4-doc lists, everything relevant: each team drafts
+    # exactly 2 docs regardless of coin order -> 2:2 tie
+    ra, rb, j = _runs(spark, [1, 2, 3, 4], [1, 2, 3, 4], [1, 2, 3, 4])
+    row = bmod.team_draft_interleave(ra, rb, j, k=10).collect()[0]
+    assert (row.credit_a, row.credit_b, row.winner) == (2, 2, "tie")
+
+
+def test_team_draft_exhaustion_and_k_cap(spark):
+    from eventrelationextractor_spark.ops import bm25 as bmod
+    # both lists exhaust after 2 picks; only doc 2 is relevant
+    ra, rb, j = _runs(spark, [1], [2], [2])
+    row = bmod.team_draft_interleave(ra, rb, j, k=10).collect()[0]
+    assert (row.credit_a, row.credit_b, row.winner) == (0, 1, "B")
+    # k=1: only the coin-chosen first pick exists; credits sum <= 1
+    row1 = bmod.team_draft_interleave(ra, rb, j, k=1).collect()[0]
+    assert row1.credit_a + row1.credit_b <= 1
+
+
+# ------------------------------------------------- plan shapes
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().toString() \
+        .split("== Physical Plan ==")[-1]
+
+
+def test_hamming_topk_broadcasts_query_side(spark):
+    """The query side must ride a BroadcastNestedLoopJoin (corpus
+    streams once); no SortMergeJoin may appear anywhere."""
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(64)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>")
+    plan = _physical(simsearch.hamming_topk(df, n_queries=3, k=2))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_ring_assignment_is_map_side(spark):
+    """Ring probing must be a broadcast array lookup: no SortMergeJoin
+    anywhere, both ring sides broadcast, and the only hash exchanges
+    are the key-dedup and the final statistic-scale groupBy(node) —
+    never a shuffle keyed on ring positions."""
+    from eventrelationextractor_spark.ops import maintenance as mt
+    df = spark.range(500).select(F.col("id").alias("k"))
+    plan = _physical(mt.hash_ring_assign(df, "k", drop_node=3))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_knn_shapley_no_shuffle_before_window(spark):
+    """Scoring is a broadcast nested loop; the only exchanges are the
+    qid window partitions (hashpartitioning on qid), never a
+    SortMergeJoin of the train side."""
+    rows = [(i, [float((i + j) % 7) for j in range(64)], i % 2)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    plan = _physical(simsearch.knn_shapley(df, n_test=3, k_nn=2))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
