@@ -4801,6 +4801,19 @@ def _q_interleave_eval(spark, sf_dir):
     (the md5-coin draft, list credits), so the hash gate checks the
     full sequential draft protocol; the oracle replays it as one
     recursive CTE carrying picked/team lists per query."""
+    ra, rb, tf = _ranker_runs(spark, sf_dir)
+    rel = tf.select(F.col("term").alias("qid"), "doc_id",
+                    F.when((F.col("tf") >= 2)
+                           & (F.col("doc_id") % 3 > 0), 1)
+                    .otherwise(0).alias("rel"))
+    return bm25.team_draft_interleave(ra, rb, rel, k=10)
+
+
+def _ranker_runs(spark, sf_dir):
+    """Shared staging for the ranker-comparison queries: two INTEGER
+    rankers per single-term query over the corpus — raw term
+    frequency vs density (1e6*tf div dl) — top-10 each. Returns
+    (run_a, run_b, tf)."""
     docs = _docs(spark, sf_dir)
     toks = bm25.tokenize(docs)
     qt = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS],
@@ -4820,11 +4833,28 @@ def _q_interleave_eval(spark, sf_dir):
     rb = (dens.select(F.col("term").alias("qid"), "doc_id",
                       F.row_number().over(wb).alias("rank"))
           .filter(F.col("rank") <= 10))
-    rel = tf.select(F.col("term").alias("qid"), "doc_id",
-                    F.when((F.col("tf") >= 2)
-                           & (F.col("doc_id") % 3 > 0), 1)
-                    .otherwise(0).alias("rel"))
-    return bm25.team_draft_interleave(ra, rb, rel, k=10)
+    return ra, rb, tf
+
+
+def _q_rbo_rankers(spark, sf_dir):
+    """Truncated rank-biased overlap at p=0.9 (ops/bm25.py::
+    rbo_truncated, Webber 2010) between the tf and density rankers'
+    top-10 lists — the offline how-different-are-they complement of
+    interleave_eval's which-is-better. rbo_e10 is an exact lockstep
+    BIGINT (weights 9^(d-1)*10^(10-d); no float exists anywhere)."""
+    ra, rb, _ = _ranker_runs(spark, sf_dir)
+    return bm25.rbo_truncated(ra, rb, depth=10)
+
+
+def _q_rich_club(spark, sf_dir):
+    """Rich-club profile (ops/graph.py::rich_club) of the synthetic
+    link graph: per distinct degree k, the induced subgraph of
+    deg > k nodes as (n_nodes, n_edges, phi_ppm). Both counts are
+    suffix sums over the degree / edge-min-degree histograms — no
+    per-k pass; the window runs over the statistic-scale histogram
+    only."""
+    e, nodes = _link_edges(spark, sf_dir)
+    return graph.rich_club(e)
 
 
 def _q_mann_whitney(spark, sf_dir):
@@ -5998,6 +6028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reuse_distance": _q_reuse_distance,
         "wl_colors": _q_wl_colors,
         "interleave_eval": _q_interleave_eval,
+        "rbo_rankers": _q_rbo_rankers,
+        "rich_club": _q_rich_club,
     }
 
 
@@ -13807,6 +13839,88 @@ SELECT distance, CAST(count(*) AS BIGINT) AS n_accesses
 FROM d GROUP BY distance
 """
 
+_RBO_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, u.term
+  FROM documents,
+  LATERAL unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             w -> w <> '')) AS u(term)),
+qt AS (SELECT * FROM (VALUES ('hash'), ('join'), ('spark'),
+                             ('window'), ('stream')) AS t(term)),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM toks JOIN qt USING (term) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+ra AS (SELECT * FROM (
+         SELECT term AS qid, doc_id,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id) AS rnk
+         FROM tf) WHERE rnk <= 10),
+rb AS (SELECT * FROM (
+         SELECT t.term AS qid, t.doc_id,
+           row_number() OVER (PARTITION BY t.term
+                              ORDER BY (1000000 * t.tf) // d.dl DESC,
+                                       t.doc_id) AS rnk
+         FROM tf t JOIN dl d USING (doc_id)) WHERE rnk <= 10),
+j AS (SELECT ra.qid, greatest(ra.rnk, rb.rnk) AS m
+      FROM ra JOIN rb ON rb.qid = ra.qid AND rb.doc_id = ra.doc_id
+      WHERE greatest(ra.rnk, rb.rnk) <= 10),
+qs AS (SELECT DISTINCT qid FROM ra),
+dd AS (SELECT qid, gs.d FROM qs,
+       LATERAL unnest(generate_series(1, 10)) AS gs(d)),
+ov AS (SELECT dd.qid, dd.d,
+         sum(CASE WHEN j.m <= dd.d THEN 1 ELSE 0 END) AS ov
+       FROM dd LEFT JOIN j ON j.qid = dd.qid
+       GROUP BY dd.qid, dd.d),
+c AS (SELECT qid, d, ov,
+        (ov * ([1000000000, 900000000, 810000000, 729000000,
+                656100000, 590490000, 531441000, 478296900,
+                430467210, 387420489])[CAST(d AS INT)]) // d AS c
+      FROM ov)
+SELECT qid,
+       CAST(max(CASE WHEN d = 10 THEN ov END) AS BIGINT)
+         AS overlap_at_depth,
+       CAST(sum(c) AS BIGINT) AS rbo_e10
+FROM c GROUP BY qid
+"""
+
+_RICH_CLUB_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id*7+1) % n AS d FROM documents, nn
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % n FROM documents, nn
+  WHERE doc_id % 17 <> 0),
+und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        FROM e0 WHERE s <> d),
+deg AS (SELECT node, count(*) AS deg FROM (
+          SELECT a AS node FROM und
+          UNION ALL SELECT b FROM und) GROUP BY node),
+dh AS (SELECT deg AS k, count(*) AS nk FROM deg GROUP BY 1),
+em AS (SELECT least(x.deg, y.deg) AS k
+       FROM und JOIN deg x ON x.node = und.a
+       JOIN deg y ON y.node = und.b),
+eh AS (SELECT k, count(*) AS ek FROM em GROUP BY 1),
+hist AS (SELECT coalesce(dh.k, eh.k) AS k,
+                coalesce(nk, 0) AS nk, coalesce(ek, 0) AS ek
+         FROM dh FULL JOIN eh ON dh.k = eh.k),
+prof AS (SELECT k,
+    coalesce(sum(nk) OVER (ORDER BY k DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS n_nodes,
+    coalesce(sum(ek) OVER (ORDER BY k DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS n_edges
+  FROM hist)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CASE WHEN n_nodes >= 2 THEN CAST(
+         (2000000 * n_edges) // (n_nodes * (n_nodes - 1)) AS BIGINT)
+       END AS phi_ppm
+FROM prof
+"""
+
 _WL_COLORS_ORACLE = """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 e0 AS (
@@ -15447,6 +15561,8 @@ FROM documents""",
         "reuse_distance": _REUSE_DISTANCE_ORACLE,
         "wl_colors": _WL_COLORS_ORACLE,
         "interleave_eval": _INTERLEAVE_ORACLE,
+        "rbo_rankers": _RBO_ORACLE,
+        "rich_club": _RICH_CLUB_ORACLE,
     }
 
 

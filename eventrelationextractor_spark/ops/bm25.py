@@ -1093,3 +1093,52 @@ def team_draft_interleave(run_a: DataFrame, run_b: DataFrame,
     return (rows.groupBy("qid").applyInPandas(
         _draft, "qid string, credit_a long, credit_b long, "
                 "winner string"))
+
+
+def rbo_truncated(run_a: DataFrame, run_b: DataFrame, depth: int = 10,
+                  qid_col: str = "qid") -> DataFrame:
+    """Truncated rank-biased overlap at p = 0.9 (Webber et al., TOIS
+    2010) -> (qid, overlap_at_depth, rbo_e10): the top-weighted
+    similarity between two rankings that handles NON-conjoint lists —
+    what Kendall/Spearman (which need the same item set) cannot do,
+    and the offline complement of team-draft interleaving: how much do
+    two rankers even differ, before asking which is better?
+
+    RBO@D = (1-p) * sum_{d=1..D} p^(d-1) * |A[:d] n B[:d]| / d. With
+    p = 9/10 the weight (1-p)*p^(d-1) scaled by 1e10 is the EXACT
+    integer 9^(d-1) * 10^(10-d), so each term is a lockstep
+    (overlap_d * w_d) div d and the sum is engine-exact BIGINT
+    (rbo_e10 ~ RBO * 1e10; no float ever exists).
+
+    Overlap needs no per-depth set intersection: doc x is in
+    A[:d] n B[:d] iff max(rank_a, rank_b) <= d, so overlap_d is a
+    running count over the joined runs' max-rank histogram — one
+    equi-join plus a bounded depth-expansion per query."""
+    assert 1 <= depth <= 10
+    w_lit = [9 ** (d - 1) * 10 ** (10 - d) for d in range(1, depth + 1)]
+    a = run_a.select(F.col(qid_col).alias("qid"), "doc_id",
+                     F.col("rank").alias("ra"))
+    b = run_b.select(F.col(qid_col).alias("qid"), "doc_id",
+                     F.col("rank").alias("rb"))
+    j = (a.join(b, ["qid", "doc_id"])
+         .select("qid", F.greatest("ra", "rb").alias("m"))
+         .filter(F.col("m") <= depth))
+    qids = a.select("qid").distinct()
+    ds = qids.select("qid", F.explode(F.sequence(
+        F.lit(1), F.lit(int(depth)))).alias("d"))
+    ov = (ds.join(j, "qid", "left")
+          .groupBy("qid", "d")
+          .agg(F.sum(F.when(F.col("m") <= F.col("d"), 1)
+                     .otherwise(0)).alias("ov")))
+    warr = F.array(*[F.lit(int(x)) for x in w_lit])
+    terms = ov.select(
+        "qid", "d", "ov",
+        (F.col("ov") * F.element_at(warr, F.col("d").cast("int")))
+        .cast("long").alias("num"))
+    contrib = terms.select(
+        "qid", "d", "ov",
+        F.expr("num div d").alias("c"))
+    return (contrib.groupBy("qid")
+            .agg(F.max(F.when(F.col("d") == depth, F.col("ov")))
+                 .cast("long").alias("overlap_at_depth"),
+                 F.sum("c").cast("long").alias("rbo_e10")))

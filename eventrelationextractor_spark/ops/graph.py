@@ -32,7 +32,7 @@ Scale design (100 TB / 10^10 edges):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1796,3 +1796,49 @@ def wl_colors(edges: DataFrame, nodes: DataFrame | None = None,
                    F.coalesce(F.col("nbs"), F.lit("")))).alias("c")))
     return col.groupBy(F.col("c").alias("color")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club profile (Zhou & Mondragon 2004) -> one row per
+    distinct degree value k: (k, n_nodes, n_edges, phi_ppm) where
+    n_nodes/n_edges count the subgraph induced by nodes of degree > k
+    and phi = 2*E_k / (N_k*(N_k-1)) — do the hubs of the link graph
+    preferentially interlink (link farms, collusion rings), beyond
+    what assortativity's single correlation can show?
+
+    NO per-k subgraph pass: an edge survives threshold k iff
+    min(deg_u, deg_v) > k and a node iff deg > k, so both counts are
+    SUFFIX SUMS over the degree / edge-min-degree histograms — two
+    partial-aggregable groupBys and one statistic-scale window,
+    whatever max degree is. phi in lockstep ppm (guarded div);
+    exact integers end to end."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionByName(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    dh = deg.groupBy(F.col("deg").alias("k")).agg(
+        F.count(F.lit(1)).alias("nk"))
+    em = (und.join(deg.select(F.col("node").alias("a"),
+                              F.col("deg").alias("da")), "a")
+          .join(deg.select(F.col("node").alias("b"),
+                           F.col("deg").alias("db")), "b")
+          .select(F.least("da", "db").alias("k")))
+    eh = em.groupBy("k").agg(F.count(F.lit(1)).alias("ek"))
+    hist = (dh.join(eh, "k", "full")
+            .select("k", F.coalesce("nk", F.lit(0)).alias("nk"),
+                    F.coalesce("ek", F.lit(0)).alias("ek")))
+    w = Window.orderBy(F.col("k").desc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    prof = hist.select(
+        "k",
+        F.coalesce(F.sum("nk").over(w), F.lit(0)).alias("n_nodes"),
+        F.coalesce(F.sum("ek").over(w), F.lit(0)).alias("n_edges"))
+    return prof.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.when(F.col("n_nodes") >= 2, F.expr(
+            "(2000000 * n_edges) div (n_nodes * (n_nodes - 1))"))
+        .cast("long").alias("phi_ppm"))

@@ -373,3 +373,80 @@ def test_knn_shapley_no_shuffle_before_window(spark):
     plan = _physical(simsearch.knn_shapley(df, n_test=3, k_nn=2))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------- rich club
+
+
+def test_rich_club_clique_plus_pendant(spark):
+    """4-clique {1..4} + pendant 5-1: at k=1 the induced deg>1
+    subgraph is exactly the clique (phi = 1.0); above the hub degrees
+    the subgraph vanishes (phi NULL)."""
+    from eventrelationextractor_spark.ops import graph as g
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r.k: (r.n_nodes, r.n_edges, r.phi_ppm)
+            for r in g.rich_club(df).collect()}
+    assert rows[1] == (4, 6, 1_000_000)
+    assert rows[3] == (1, 0, None)
+    assert rows[4] == (0, 0, None)
+    assert set(rows) == {1, 3, 4}
+
+
+def test_rich_club_duplicate_and_reversed_edges_collapse(spark):
+    from eventrelationextractor_spark.ops import graph as g
+    edges = [(1, 2), (2, 1), (1, 2), (1, 1)]   # dups + self loop
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r.k: (r.n_nodes, r.n_edges)
+            for r in g.rich_club(df).collect()}
+    assert rows == {1: (0, 0)}   # one edge, both nodes degree 1
+
+
+# ------------------------------------------------- rbo
+
+
+def _rbo_ref(a, b, depth=10):
+    """Independent lockstep reference."""
+    tot, ov10 = 0, 0
+    for d in range(1, depth + 1):
+        ov = len(set(a[:d]) & set(b[:d]))
+        if d == depth:
+            ov10 = ov
+        tot += (ov * (9 ** (d - 1)) * (10 ** (10 - d))) // d
+    return ov10, tot
+
+
+def _rbo_run(spark, name, lst):
+    return spark.createDataFrame(
+        [("q", i + 1, d) for i, d in enumerate(lst)],
+        "qid string, rank long, doc_id long")
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from eventrelationextractor_spark.ops import bm25 as bmod
+    same = list(range(1, 11))
+    ra = _rbo_run(spark, "a", same)
+    row = bmod.rbo_truncated(ra, ra).collect()[0]
+    # sum of all 10 weights = 1e10 - 9^10
+    assert (row.overlap_at_depth, row.rbo_e10) == (10, 6513215599)
+    rb = _rbo_run(spark, "b", list(range(100, 110)))
+    row0 = bmod.rbo_truncated(ra, rb).collect()[0]
+    assert (row0.overlap_at_depth, row0.rbo_e10) == (0, 0)
+
+
+def test_rbo_matches_reference_on_partial_overlap(spark):
+    from eventrelationextractor_spark.ops import bm25 as bmod
+    a = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    b = [3, 1, 11, 2, 12, 5, 13, 4, 14, 6]
+    row = bmod.rbo_truncated(_rbo_run(spark, "a", a),
+                             _rbo_run(spark, "b", b)).collect()[0]
+    ov, tot = _rbo_ref(a, b)
+    assert (row.overlap_at_depth, row.rbo_e10) == (ov, tot)
+    # top-weightedness: sharing the TOP ranks beats sharing the tail
+    top = [1, 2, 99, 98, 97, 96, 95, 94, 93, 92]
+    tail = [91, 92, 93, 94, 95, 96, 97, 98, 1, 2]
+    r_top = bmod.rbo_truncated(_rbo_run(spark, "a", a),
+                               _rbo_run(spark, "b", top)).collect()[0]
+    r_tail = bmod.rbo_truncated(_rbo_run(spark, "a", a),
+                                _rbo_run(spark, "b", tail)).collect()[0]
+    assert r_top.rbo_e10 > r_tail.rbo_e10
