@@ -4857,6 +4857,32 @@ def _q_rich_club(spark, sf_dir):
     return graph.rich_club(e)
 
 
+def _q_bleu_eval(spark, sf_dir):
+    """Corpus-level BLEU sufficient statistics (ops/textstats.py::
+    bleu_stats) over the rouge staging (system = first 2/3 of each
+    document's characters vs the full text as reference): one row per
+    n in 1..4 with clipped matches, modified precision ppm, and the
+    brevity-penalty length totals — all exact BIGINT; the float
+    geometric mean is a caller-side derivation by design."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("ref"),
+        F.expr("substring(text, 1, (length(text) * 2) div 3)")
+        .alias("sys"))
+    return textstats.bleu_stats(d, "ref", "sys", max_n=4)
+
+
+def _q_pps_sample(spark, sf_dir):
+    """Madow systematic PPS sampling (ops/mixing.py::systematic_pps):
+    100 grid draws proportional to n_chars with the deterministic
+    midpoint start — exact-integer weighted corpus subsampling whose
+    global cumsum uses the bucket-offset scheme, never a
+    single-partition window. Oracle = the plain window-cumsum
+    formulation (single-node DuckDB can afford it), proving the
+    distributed cumsum exact."""
+    d = _docs(spark, sf_dir)
+    return mixing.systematic_pps(d, "n_chars", n_samples=100)
+
+
 def _q_mann_whitney(spark, sf_dir):
     """Mann-Whitney rank-sum test (ops/quality.py::mann_whitney_u):
     parity arms over the doc_id%5 length sample - the heavy-tail-robust
@@ -6030,6 +6056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_eval": _q_interleave_eval,
         "rbo_rankers": _q_rbo_rankers,
         "rich_club": _q_rich_club,
+        "bleu_eval": _q_bleu_eval,
+        "pps_sample": _q_pps_sample,
     }
 
 
@@ -13839,6 +13867,66 @@ SELECT distance, CAST(count(*) AS BIGINT) AS n_accesses
 FROM d GROUP BY distance
 """
 
+def _bleu_oracle() -> str:
+    """Generated per-n blocks sharing the base tokenization CTE —
+    the same text staging as the rouge oracle with sys = first 2/3
+    characters."""
+    parts = ["""
+WITH base AS (SELECT doc_id AS rid,
+  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+              w -> w <> '') AS r_toks,
+  list_filter(regexp_split_to_array(lower(
+      substr(text, 1, (length(text) * 2) // 3)), '[^a-z0-9]+'),
+              w -> w <> '') AS s_toks
+  FROM documents),
+lens AS (SELECT CAST(sum(len(r_toks)) AS BIGINT) AS ref_len,
+                CAST(sum(len(s_toks)) AS BIGINT) AS sys_len
+         FROM base)"""]
+    for n in range(1, 5):
+        parts.append(f""",
+rg{n} AS (SELECT rid, u.gm FROM base, LATERAL unnest(
+  list_transform(range(1, len(r_toks) - {n} + 2), i ->
+    array_to_string(list_slice(r_toks, CAST(i AS INT),
+                    CAST(i + {n} - 1 AS INT)), ' '))) AS u(gm)),
+sg{n} AS (SELECT rid, u.gm FROM base, LATERAL unnest(
+  list_transform(range(1, len(s_toks) - {n} + 2), i ->
+    array_to_string(list_slice(s_toks, CAST(i AS INT),
+                    CAST(i + {n} - 1 AS INT)), ' '))) AS u(gm)),
+rc{n} AS (SELECT rid, gm, count(*) AS cr FROM rg{n} GROUP BY 1, 2),
+sc{n} AS (SELECT rid, gm, count(*) AS cs FROM sg{n} GROUP BY 1, 2),
+st{n} AS (SELECT CAST(sum(least(coalesce(cr, 0), cs)) AS BIGINT)
+                   AS match_n,
+                 CAST(sum(cs) AS BIGINT) AS sys_n
+          FROM sc{n} LEFT JOIN rc{n} USING (rid, gm)),
+rn{n} AS (SELECT CAST(sum(CASE WHEN len(r_toks) >= {n}
+                     THEN len(r_toks) - {n} + 1 ELSE 0 END) AS BIGINT)
+                   AS ref_n FROM base)""")
+    sels = []
+    for n in range(1, 5):
+        sels.append(f"""
+SELECT CAST({n} AS BIGINT) AS n, match_n, sys_n, ref_n,
+  CAST(CASE WHEN sys_n > 0 THEN (1000000 * match_n) // sys_n
+       ELSE 0 END AS BIGINT) AS p_ppm, ref_len, sys_len
+FROM st{n}, rn{n}, lens""")
+    return "".join(parts) + " UNION ALL ".join(sels)
+
+
+_PPS_SAMPLE_ORACLE = """
+WITH d AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS w
+           FROM documents WHERE n_chars > 0),
+c AS (SELECT id, w, sum(w) OVER (ORDER BY id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_hi
+      FROM d),
+t AS (SELECT sum(w) AS wtot FROM d),
+p AS (SELECT id, w,
+        ((c_hi * 100 + wtot - wtot // 2) // wtot - 1)
+      - (((c_hi - w) * 100 + wtot - wtot // 2) // wtot - 1)
+        AS n_copies
+      FROM c, t)
+SELECT id AS doc_id, w AS weight, CAST(n_copies AS BIGINT) AS n_copies
+FROM p WHERE n_copies > 0
+"""
+
 _RBO_ORACLE = """
 WITH toks AS (
   SELECT doc_id, u.term
@@ -15563,6 +15651,8 @@ FROM documents""",
         "interleave_eval": _INTERLEAVE_ORACLE,
         "rbo_rankers": _RBO_ORACLE,
         "rich_club": _RICH_CLUB_ORACLE,
+        "bleu_eval": _bleu_oracle(),
+        "pps_sample": _PPS_SAMPLE_ORACLE,
     }
 
 

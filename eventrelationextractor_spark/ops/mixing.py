@@ -351,3 +351,56 @@ def dhondt_allocation(df: DataFrame, stratum_col: str,
             .agg(F.max("weight").alias("weight"),
                  F.sum(F.when(F.col("nb") < total, 1).otherwise(0))
                  .cast("long").alias("seats")))
+
+
+def systematic_pps(df: DataFrame, weight_col: str,
+                   n_samples: int, id_col: str = "doc_id",
+                   bucket_size: int = 1000) -> DataFrame:
+    """Madow systematic probability-proportional-to-size sampling ->
+    (id, weight, n_copies) for every selected row: lay the items on
+    the cumulative-weight line in ``id_col`` order and take the
+    ``n_samples`` grid points (W/n apart, deterministic midpoint
+    start W/2n) — THE classic exact-PPS design for weighted corpus
+    subsampling (quality-weighted doc selection, mixture draws):
+    zero variance in total picks, items with weight > W/n selected
+    multiple times (n_copies), inclusion probability exactly
+    proportional to weight.
+
+    All integer: item i with cumulative interval (C_{i-1}, C_i] gets
+    n_copies = f(C_i) - f(C_{i-1}) where
+    f(C) = (C*n + W - W div 2) div W - 1 — the grid-point count, with
+    the +W shift keeping the dividend positive so Spark's
+    truncate-toward-zero div IS floor div (engine-lockstep).
+
+    Scale shape: the global cumulative sum never uses a
+    single-partition window — per-bucket (id div bucket_size) local
+    cumsums plus a statistic-scale bucket-offset join (the
+    quantile_normalize / suffix_array global-rank scheme)."""
+    d = df.select(F.col(id_col).alias("id"),
+                  F.col(weight_col).cast("long").alias("w")) \
+        .filter(F.col("w") > 0)
+    d = d.withColumn("bkt", F.expr(f"id div {int(bucket_size)}"))
+    wloc = Window.partitionBy("bkt").orderBy("id")
+    d = d.withColumn("loc", F.sum("w").over(wloc))
+    btot = d.groupBy("bkt").agg(F.sum("w").alias("bw"))
+    wb = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1)
+    boff = btot.select("bkt",
+                       F.coalesce(F.sum("bw").over(wb), F.lit(0))
+                       .alias("off"))
+    d = (d.join(F.broadcast(boff), "bkt")
+         .withColumn("c_hi", F.col("off") + F.col("loc"))
+         .withColumn("c_lo", F.col("c_hi") - F.col("w")))
+    tot = d.agg(F.sum("w").alias("wtot"))
+    n = int(n_samples)
+    picked = (d.crossJoin(F.broadcast(tot))
+              .withColumn("f_hi", F.expr(
+                  f"(c_hi * {n} + wtot - wtot div 2) div wtot - 1"))
+              .withColumn("f_lo", F.expr(
+                  f"(c_lo * {n} + wtot - wtot div 2) div wtot - 1"))
+              .withColumn("n_copies",
+                          (F.col("f_hi") - F.col("f_lo"))
+                          .cast("long"))
+              .filter(F.col("n_copies") > 0))
+    return picked.select(F.col("id").alias(id_col),
+                         F.col("w").alias("weight"), "n_copies")

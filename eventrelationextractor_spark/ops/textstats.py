@@ -1717,3 +1717,63 @@ def trigram_search(docs: DataFrame, literal: str,
                                   F.col(text_col).alias("_t")), "id")
             .select(F.col("id").alias(id_col),
                     (F.instr("_t", lit) > 0).alias("verified")))
+
+
+def bleu_stats(df: DataFrame, ref_col: str, sys_col: str,
+               id_col: str = "doc_id", max_n: int = 4) -> DataFrame:
+    """Corpus-level BLEU sufficient statistics (Papineni et al. 2002)
+    -> one row per n in 1..``max_n``: (n, match_n, sys_n, ref_n,
+    p_ppm, ref_len, sys_len). match_n is the CLIPPED n-gram match
+    total (per doc-pair, each sys n-gram counts at most its reference
+    count — BLEU's anti-gaming rule), p_ppm the corpus modified
+    precision, ref_len/sys_len the corpus token totals feeding the
+    brevity penalty. The composed geometric mean + exp brevity term
+    are float surfaces a caller derives from these exact integers;
+    the op emits the sufficient statistics so the whole table is
+    engine-lockstep BIGINT (the rouge_scores discipline extended to
+    multi-n corpus scoring).
+
+    Scale shape mirrors rouge_scores: per n one explode + two
+    (id, gram) partial-aggregable counts and a per-id join; the final
+    corpus totals are statistic-scale."""
+    d = df.select(F.col(id_col).alias("rid"),
+                  F.col(ref_col).alias("rtext"),
+                  F.col(sys_col).alias("stext"))
+    for side, col in (("r", "rtext"), ("s", "stext")):
+        d = d.withColumn(f"{side}_toks", F.filter(
+            F.split(F.lower(F.col(col)), "[^a-z0-9]+"),
+            lambda t: t != ""))
+    lens = d.agg(F.sum(F.size("r_toks")).cast("long").alias("ref_len"),
+                 F.sum(F.size("s_toks")).cast("long").alias("sys_len"))
+    outs = []
+    for n in range(1, int(max_n) + 1):
+        g = d
+        for side in ("r", "s"):
+            g = g.withColumn(f"{side}_grams", F.expr(
+                f"CASE WHEN size({side}_toks) < {n}"
+                f" THEN slice({side}_toks, 1, 0)"
+                f" ELSE transform(sequence(1, size({side}_toks)"
+                f" - {n - 1}), i -> concat_ws(' ',"
+                f" slice({side}_toks, i, {n}))) END"))
+        rc = (g.select("rid", F.explode("r_grams").alias("gm"))
+              .groupBy("rid", "gm").agg(F.count(F.lit(1)).alias("cr")))
+        sc = (g.select("rid", F.explode("s_grams").alias("gm"))
+              .groupBy("rid", "gm").agg(F.count(F.lit(1)).alias("cs")))
+        stats = (sc.join(rc, ["rid", "gm"], "left")
+                 .agg(F.sum(F.least(F.coalesce("cr", F.lit(0)), "cs"))
+                      .cast("long").alias("match_n"),
+                      F.sum("cs").cast("long").alias("sys_n")))
+        refs = g.agg(F.sum(F.size("r_grams")).cast("long")
+                     .alias("ref_n"))
+        outs.append(stats.crossJoin(refs)
+                    .select(F.lit(n).cast("long").alias("n"),
+                            "match_n", "sys_n", "ref_n"))
+    allrows = outs[0]
+    for o in outs[1:]:
+        allrows = allrows.unionByName(o)
+    return (allrows.crossJoin(F.broadcast(lens))
+            .select("n", "match_n", "sys_n", "ref_n",
+                    F.expr("CASE WHEN sys_n > 0 THEN"
+                           " (1000000 * match_n) div sys_n"
+                           " ELSE 0 END").cast("long").alias("p_ppm"),
+                    "ref_len", "sys_len"))

@@ -450,3 +450,90 @@ def test_rbo_matches_reference_on_partial_overlap(spark):
     r_tail = bmod.rbo_truncated(_rbo_run(spark, "a", a),
                                 _rbo_run(spark, "b", tail)).collect()[0]
     assert r_top.rbo_e10 > r_tail.rbo_e10
+
+
+# ------------------------------------------------- bleu
+
+
+def test_bleu_clipping_papineni_example(spark):
+    """The canonical clipping case: sys = 'the' x 7 against a
+    reference with two 'the's -> clipped unigram matches 2/7."""
+    from eventrelationextractor_spark.ops import textstats as ts
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat", "the the the the the the the")],
+        "doc_id long, ref string, sys string")
+    rows = {r.n: r for r in ts.bleu_stats(df, "ref", "sys").collect()}
+    assert (rows[1].match_n, rows[1].sys_n) == (2, 7)
+    assert rows[1].p_ppm == 2 * 10**6 // 7
+    # no sys bigram repeats in the reference -> zero 2-gram matches
+    assert rows[2].match_n == 0 and rows[2].sys_n == 6
+    assert (rows[1].ref_len, rows[1].sys_len) == (6, 7)
+
+
+def test_bleu_identical_text_is_perfect(spark):
+    from eventrelationextractor_spark.ops import textstats as ts
+    df = spark.createDataFrame(
+        [(1, "a b c d e f", "a b c d e f"),
+         (2, "x y z w q r s", "x y z w q r s")],
+        "doc_id long, ref string, sys string")
+    rows = {r.n: r for r in ts.bleu_stats(df, "ref", "sys").collect()}
+    for n in (1, 2, 3, 4):
+        assert rows[n].match_n == rows[n].sys_n == rows[n].ref_n
+        assert rows[n].p_ppm == 1_000_000
+    assert rows[1].ref_len == rows[1].sys_len == 13
+
+
+def test_bleu_clipping_is_per_document(spark):
+    """Clipping happens inside each doc pair BEFORE corpus pooling:
+    a sys 'the' in doc 2 cannot borrow doc 1's reference count."""
+    from eventrelationextractor_spark.ops import textstats as ts
+    df = spark.createDataFrame(
+        [(1, "the the the the", "the"),
+         (2, "cat", "the the")],
+        "doc_id long, ref string, sys string")
+    rows = {r.n: r for r in ts.bleu_stats(df, "ref", "sys").collect()}
+    # doc1 contributes min(1,4)=1; doc2 min(2,0)=0 -> 1 of 3
+    assert (rows[1].match_n, rows[1].sys_n) == (1, 3)
+
+
+# ------------------------------------------------- systematic pps
+
+
+def test_systematic_pps_exact_total_and_multiplicity(spark):
+    from eventrelationextractor_spark.ops import mixing as mx
+    rows = [(i, 10) for i in range(50)] + [(99, 400)]  # one heavy item
+    df = spark.createDataFrame(rows, "doc_id long, wgt long")
+    out = mx.systematic_pps(df, "wgt", n_samples=30).collect()
+    # zero-variance design: total copies == n_samples exactly
+    assert sum(r.n_copies for r in out) == 30
+    heavy = next(r for r in out if r.doc_id == 99)
+    # heavy item spans 400/900 of the line -> floor/ceil of 30*4/9
+    assert heavy.n_copies in (13, 14)
+
+
+def test_systematic_pps_bucket_offsets_match_plain_cumsum(spark):
+    """The distributed bucket-offset cumsum must equal the plain
+    sequential formulation (replayed in python) item for item."""
+    from eventrelationextractor_spark.ops import mixing as mx
+    import numpy as _np
+    rng = _np.random.RandomState(5)
+    rows = [(int(i * 7 % 9973), int(rng.randint(1, 50)))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, wgt long")
+    n = 40
+    got = {r.doc_id: r.n_copies
+           for r in mx.systematic_pps(df, "wgt", n_samples=n,
+                                      bucket_size=100).collect()}
+    srt = sorted(rows)
+    W = sum(w for _, w in srt)
+    s = W // 2
+    c = 0
+    want = {}
+    for i, w in srt:
+        f_lo = (c * n + W - s) // W - 1
+        c += w
+        f_hi = (c * n + W - s) // W - 1
+        if f_hi - f_lo > 0:
+            want[i] = f_hi - f_lo
+    assert got == want
+    assert sum(want.values()) == n
