@@ -4883,6 +4883,28 @@ def _q_pps_sample(spark, sf_dir):
     return mixing.systematic_pps(d, "n_chars", n_samples=100)
 
 
+def _q_attack_robustness(spark, sf_dir):
+    """Hub-removal robustness curve (ops/graph.py::attack_robustness,
+    Albert-Jeong-Barabasi): the doc_id %% 20 stratum graph (the
+    greedy_matching/boruvka sizing rule — the oracle's transitive
+    closure is quadratic in component size BY NATURE) with 5 injected
+    hubs (j %% 4 == 0 -> j %% 5), shattered at k in {0, 1, 8}. Sizes
+    only are compared, so the engines' different component-label
+    orders (string-min vs numeric-min) cannot matter."""
+    js = (_docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
+          .select(F.expr("doc_id div 20").alias("j")))
+    m = js.count()
+    e = (js.select(F.col("j").alias("src"),
+                   ((F.col("j") * 7 + 1) % m).alias("dst"))
+         .unionByName(js.select(F.col("j").alias("src"),
+                                ((F.col("j") * 13 + 3) % m)
+                                .alias("dst")))
+         .unionByName(js.filter(F.col("j") % 4 == 0)
+                      .select(F.col("j").alias("src"),
+                              (F.col("j") % 5).alias("dst"))))
+    return graph.attack_robustness(e, ks=(0, 1, 8))
+
+
 def _q_mann_whitney(spark, sf_dir):
     """Mann-Whitney rank-sum test (ops/quality.py::mann_whitney_u):
     parity arms over the doc_id%5 length sample - the heavy-tail-robust
@@ -6058,6 +6080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": _q_rich_club,
         "bleu_eval": _q_bleu_eval,
         "pps_sample": _q_pps_sample,
+        "attack_robustness": _q_attack_robustness,
     }
 
 
@@ -13911,6 +13934,50 @@ FROM st{n}, rn{n}, lens""")
     return "".join(parts) + " UNION ALL ".join(sels)
 
 
+_ATTACK_ROBUSTNESS_ORACLE = """
+WITH RECURSIVE
+js AS (SELECT doc_id // 20 AS j FROM documents WHERE doc_id % 20 = 0),
+mm AS (SELECT count(*) AS m FROM js),
+e0 AS (SELECT j AS s, (j*7+1) % m AS d FROM js, mm
+       UNION ALL SELECT j, (j*13+3) % m FROM js, mm
+       UNION ALL SELECT j, j % 5 FROM js, mm WHERE j % 4 = 0),
+und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        FROM e0 WHERE s <> d),
+deg AS (SELECT node, count(*) AS deg FROM (
+          SELECT a AS node FROM und
+          UNION ALL SELECT b FROM und) GROUP BY node),
+top AS (SELECT node, rn FROM (
+          SELECT node, row_number() OVER (ORDER BY deg DESC, node)
+            AS rn FROM deg) WHERE rn <= 8),
+kk AS (SELECT unnest([0, 1, 8]) AS k),
+kept AS (SELECT kk.k, u.a, u.b FROM kk, und u
+         LEFT JOIN top ta ON ta.node = u.a
+         LEFT JOIN top tb ON tb.node = u.b
+         WHERE (ta.rn IS NULL OR ta.rn > kk.k)
+           AND (tb.rn IS NULL OR tb.rn > kk.k)),
+edges2 AS (SELECT k, a, b FROM kept UNION SELECT k, b, a FROM kept),
+reach(k, src, dst) AS (
+  SELECT k, a, b FROM edges2
+  UNION
+  SELECT r.k, r.src, e.b FROM reach r
+  JOIN edges2 e ON e.k = r.k AND e.a = r.dst),
+canon AS (SELECT k, src AS v, least(src, min(dst)) AS c
+          FROM reach GROUP BY k, src),
+comp AS (SELECT k, c, count(*) AS sz FROM canon GROUP BY k, c),
+stats AS (SELECT k, max(sz) AS largest_cc,
+                 count(*) AS n_components FROM comp GROUP BY k),
+ec AS (SELECT k, count(*) AS n_edges_left FROM kept GROUP BY k)
+SELECT CAST(kk.k AS BIGINT) AS k,
+       CAST((SELECT count(*) FROM top WHERE rn <= kk.k) AS BIGINT)
+         AS n_removed,
+       CAST(coalesce(ec.n_edges_left, 0) AS BIGINT) AS n_edges_left,
+       CAST(coalesce(stats.largest_cc, 0) AS BIGINT) AS largest_cc,
+       CAST(coalesce(stats.n_components, 0) AS BIGINT)
+         AS n_components
+FROM kk LEFT JOIN stats ON stats.k = kk.k
+LEFT JOIN ec ON ec.k = kk.k
+"""
+
 _PPS_SAMPLE_ORACLE = """
 WITH d AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS w
            FROM documents WHERE n_chars > 0),
@@ -15653,6 +15720,7 @@ FROM documents""",
         "rich_club": _RICH_CLUB_ORACLE,
         "bleu_eval": _bleu_oracle(),
         "pps_sample": _PPS_SAMPLE_ORACLE,
+        "attack_robustness": _ATTACK_ROBUSTNESS_ORACLE,
     }
 
 

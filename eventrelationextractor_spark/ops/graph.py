@@ -1842,3 +1842,66 @@ def rich_club(edges: DataFrame) -> DataFrame:
         F.when(F.col("n_nodes") >= 2, F.expr(
             "(2000000 * n_edges) div (n_nodes * (n_nodes - 1))"))
         .cast("long").alias("phi_ppm"))
+
+
+def attack_robustness(edges: DataFrame, ks=(0, 1, 8)) -> DataFrame:
+    """Targeted-attack robustness curve (Albert, Jeong & Barabasi
+    2000) -> one row per k in ``ks``: remove the top-k hubs (degree
+    desc, node-id tie-break) and report (k, n_removed, n_edges_left,
+    largest_cc, n_components) over the surviving edge set — how fast
+    does the link graph shatter when its hubs go? The scale-free-
+    fragility telemetry behind crawl-frontier hardening and link-spam
+    core removal (components count non-isolated vertices; nodes that
+    lose every edge leave the component census).
+
+    Only the top-max(ks) hubs ever need a RANK: they come from a
+    distributed TakeOrdered (orderBy().limit — never a global
+    row_number window over |V|), and the tiny ranked hub set
+    broadcasts into a per-k left-join filter on both endpoints. The
+    curve is len(ks) connected_components runs (pointer-jumping, log
+    rounds) over shrinking edge sets — never a per-node pass. Output
+    is a pure-integer statistic-scale table."""
+    from ..spark.kg import connected_components
+
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct()
+           .localCheckpoint())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionByName(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    kmax = max(int(k) for k in ks)
+    top = deg.orderBy(F.col("deg").desc(), "node").limit(kmax) \
+        if kmax > 0 else deg.limit(0)
+    w = Window.orderBy(F.col("deg").desc(), "node")
+    ranked = top.select("node", F.row_number().over(w).alias("rn")) \
+        .localCheckpoint()
+    out = None
+    for k in ks:
+        kept = (und.join(F.broadcast(ranked.select(
+                    F.col("node").alias("a"), F.col("rn").alias("ra"))),
+                    "a", "left")
+                .join(F.broadcast(ranked.select(
+                    F.col("node").alias("b"), F.col("rn").alias("rb"))),
+                    "b", "left")
+                .filter((F.col("ra").isNull() | (F.col("ra") > int(k)))
+                        & (F.col("rb").isNull()
+                           | (F.col("rb") > int(k))))
+                .select("a", "b"))
+        labels = connected_components(kept, src="a", dst="b")
+        sizes = labels.groupBy("component").agg(
+            F.count(F.lit(1)).alias("sz"))
+        row = sizes.agg(
+            F.lit(int(k)).cast("long").alias("k"),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("long")
+            .alias("largest_cc"),
+            F.count(F.lit(1)).cast("long").alias("n_components"))
+        ecnt = kept.agg(F.count(F.lit(1)).cast("long")
+                        .alias("n_edges_left"))
+        rcnt = ranked.filter(F.col("rn") <= int(k)).agg(
+            F.count(F.lit(1)).cast("long").alias("n_removed"))
+        one = (row.crossJoin(ecnt).crossJoin(rcnt)
+               .select("k", "n_removed", "n_edges_left",
+                       "largest_cc", "n_components"))
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -537,3 +537,47 @@ def test_systematic_pps_bucket_offsets_match_plain_cumsum(spark):
             want[i] = f_hi - f_lo
     assert got == want
     assert sum(want.values()) == n
+
+
+# ------------------------------------------------- attack robustness
+
+
+def test_attack_robustness_star_shatters_at_k1(spark):
+    """A 6-spoke star: k=0 is one 7-node component; removing the
+    single hub (k=1) leaves no edges at all."""
+    from eventrelationextractor_spark.ops import graph as g
+    edges = [(0, i) for i in range(1, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r.k: r for r in g.attack_robustness(
+        df, ks=(0, 1)).collect()}
+    assert (rows[0].n_removed, rows[0].n_edges_left,
+            rows[0].largest_cc, rows[0].n_components) == (0, 6, 7, 1)
+    assert (rows[1].n_removed, rows[1].n_edges_left,
+            rows[1].largest_cc, rows[1].n_components) == (1, 0, 0, 0)
+
+
+def test_attack_robustness_two_triangles_bridged(spark):
+    """Two triangles joined through a degree-4 bridge node: removing
+    the bridge splits one 7-node component into two triangles."""
+    from eventrelationextractor_spark.ops import graph as g
+    edges = [(1, 2), (2, 3), (1, 3),      # triangle A
+             (4, 5), (5, 6), (4, 6),      # triangle B
+             (0, 1), (0, 4)]              # bridge node 0
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r.k: r for r in g.attack_robustness(
+        df, ks=(0, 1)).collect()}
+    assert (rows[0].largest_cc, rows[0].n_components) == (7, 1)
+    # node 0 has degree 2, the triangle nodes 1 and 4 degree 3: the
+    # top-1 hub (tie-break on id) is node 1. Removing it strands the
+    # {2,3} pair while 0 stays attached to triangle B through 0-4.
+    assert rows[1].n_removed == 1
+    assert (rows[1].largest_cc, rows[1].n_components) == (4, 2)
+
+
+def test_attack_robustness_k_exceeding_nodes(spark):
+    from eventrelationextractor_spark.ops import graph as g
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    rows = {r.k: r for r in g.attack_robustness(
+        df, ks=(0, 8)).collect()}
+    assert rows[8].n_removed == 2        # only 2 nodes exist
+    assert (rows[8].n_edges_left, rows[8].largest_cc) == (0, 0)
