@@ -4905,6 +4905,15 @@ def _q_attack_robustness(spark, sf_dir):
     return graph.attack_robustness(e, ks=(0, 1, 8))
 
 
+def _q_haar_signature(spark, sf_dir):
+    """Haar activity signature (ops/events.py::haar_coefficients):
+    15 unnormalized wavelet coefficients per user over the 16-slot
+    epoch-day-mod-16 activity histogram — TZ-proof day buckets (the
+    NTZ datediff rule), closed-form slice sums, zero recursion, all
+    BIGINT."""
+    return events.haar_coefficients(_events(spark, sf_dir))
+
+
 def _q_mann_whitney(spark, sf_dir):
     """Mann-Whitney rank-sum test (ops/quality.py::mann_whitney_u):
     parity arms over the doc_id%5 length sample - the heavy-tail-robust
@@ -6081,6 +6090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_eval": _q_bleu_eval,
         "pps_sample": _q_pps_sample,
         "attack_robustness": _q_attack_robustness,
+        "haar_signature": _q_haar_signature,
     }
 
 
@@ -13934,6 +13944,33 @@ FROM st{n}, rn{n}, lens""")
     return "".join(parts) + " UNION ALL ".join(sels)
 
 
+def _haar_oracle() -> str:
+    """15 closed-form coefficient SELECTs over the per-user 16-slot
+    epoch-day histogram (naive-date day diff == the Spark NTZ
+    datediff day bucket, bit-exactly)."""
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{i}" for i in range(16))
+    arr = "[" + ", ".join(f"c{i}" for i in range(16)) + "]"
+    sels = []
+    for level in range(1, 5):
+        h = 1 << (level - 1)
+        for pos in range(16 >> level):
+            a = pos << level
+            sels.append(
+                f"SELECT u AS user_id, CAST({level} AS BIGINT) AS"
+                f" level, CAST({pos} AS BIGINT) AS pos,"
+                f" CAST(list_sum(list_slice(x, {a + 1}, {a + h}))"
+                f" - list_sum(list_slice(x, {a + h + 1},"
+                f" {a + 2 * h})) AS BIGINT) AS coeff FROM arr")
+    return (f"""
+WITH bk AS (SELECT user_id AS u,
+  (CAST(ts AS DATE) - DATE '1970-01-01') % 16 AS b FROM events),
+cnt AS (SELECT u, {cols} FROM bk GROUP BY u),
+arr AS (SELECT u, {arr} AS x FROM cnt)
+""" + " UNION ALL ".join(sels))
+
+
 _ATTACK_ROBUSTNESS_ORACLE = """
 WITH RECURSIVE
 js AS (SELECT doc_id // 20 AS j FROM documents WHERE doc_id % 20 = 0),
@@ -15721,6 +15758,7 @@ FROM documents""",
         "bleu_eval": _bleu_oracle(),
         "pps_sample": _PPS_SAMPLE_ORACLE,
         "attack_robustness": _ATTACK_ROBUSTNESS_ORACLE,
+        "haar_signature": _haar_oracle(),
     }
 
 

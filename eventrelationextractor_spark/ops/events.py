@@ -1840,3 +1840,51 @@ def reuse_distance_hist(events: DataFrame, user_col: str = "user_id",
     dists = acc.groupBy("u").applyInPandas(_replay, "distance long")
     return dists.groupBy("distance").agg(
         F.count(F.lit(1)).cast("long").alias("n_accesses"))
+
+
+def haar_coefficients(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      n_buckets: int = 16) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of each user's
+    day-bucketed activity series -> (user_id, level, pos, coeff):
+    the multi-resolution shape signature (which time scale carries a
+    user's burstiness?) behind wavelet-based series indexing and
+    anomaly triage — level 1 contrasts adjacent buckets, the top
+    level contrasts the two halves of the window.
+
+    Integer end to end: buckets are TZ-proof epoch days (datediff
+    from 1970-01-01 — the NTZ rule) mod ``n_buckets``; each
+    coefficient is the CLOSED FORM sum(first half) - sum(second
+    half) over its dyadic support, read off the bucket-count array
+    with two slice folds — no per-level recursion, no window: ONE
+    groupBy builds the 16-slot array via conditional sums and every
+    coefficient is map-side array arithmetic."""
+    assert n_buckets & (n_buckets - 1) == 0, "power of two"
+    day = F.datediff(F.col(ts_col).cast("date"),
+                     F.lit("1970-01-01").cast("date"))
+    b = events.select(F.col(user_col).alias("u"),
+                      (day % n_buckets).alias("b"))
+    counts = b.groupBy("u").agg(*[
+        F.sum(F.when(F.col("b") == i, 1).otherwise(0)).cast("long")
+        .alias(f"c{i}") for i in range(n_buckets)])
+    arr = counts.select("u", F.array(
+        *[F.col(f"c{i}") for i in range(n_buckets)]).alias("x"))
+    rows = []
+    import math
+    n_levels = int(math.log2(n_buckets))
+    for level in range(1, n_levels + 1):
+        h = 1 << (level - 1)
+        for pos in range(n_buckets >> level):
+            a = pos << level
+            rows.append(
+                f"struct({level}L AS level, {pos}L AS pos, "
+                f"aggregate(slice(x, {a + 1}, {h}), 0L,"
+                f" (s, v) -> s + v)"
+                f" - aggregate(slice(x, {a + h + 1}, {h}), 0L,"
+                f" (s, v) -> s + v) AS coeff)")
+    return (arr.select("u", F.explode(F.expr(
+        "array(" + ", ".join(rows) + ")")).alias("w"))
+            .select(F.col("u").alias(user_col),
+                    F.col("w.level").alias("level"),
+                    F.col("w.pos").alias("pos"),
+                    F.col("w.coeff").alias("coeff")))

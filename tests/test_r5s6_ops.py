@@ -581,3 +581,38 @@ def test_attack_robustness_k_exceeding_nodes(spark):
         df, ks=(0, 8)).collect()}
     assert rows[8].n_removed == 2        # only 2 nodes exist
     assert (rows[8].n_edges_left, rows[8].largest_cc) == (0, 0)
+
+
+# ------------------------------------------------- haar
+
+
+def test_haar_hand_computed_series(spark):
+    """Counts [4,2,1,1,0,...]: level-1 contrasts (2, 0, 0, ...),
+    level-4 contrasts the halves (8)."""
+    from eventrelationextractor_spark.ops import events as ev
+    import datetime
+    rows = []
+    day_counts = {0: 4, 1: 2, 2: 1, 3: 1}
+    for day, c in day_counts.items():
+        for _ in range(c):
+            rows.append((7, datetime.datetime(1970, 1, 1 + day)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.level, r.pos): r.coeff
+           for r in ev.haar_coefficients(df).collect()}
+    assert len(got) == 15
+    assert got[(1, 0)] == 2 and got[(1, 1)] == 0
+    assert got[(2, 0)] == (4 + 2) - (1 + 1)
+    assert got[(3, 0)] == 8 and got[(3, 1)] == 0
+    assert got[(4, 0)] == 8            # all mass in the first half
+
+
+def test_haar_uniform_series_is_flat(spark):
+    """A perfectly uniform series has EVERY coefficient zero — the
+    wavelet signature of no structure at any scale."""
+    from eventrelationextractor_spark.ops import events as ev
+    import datetime
+    rows = [(1, datetime.datetime(1970, 1, 1) +
+             datetime.timedelta(days=d)) for d in range(32)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = [r.coeff for r in ev.haar_coefficients(df).collect()]
+    assert len(got) == 15 and all(c == 0 for c in got)
