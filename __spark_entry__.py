@@ -4914,6 +4914,42 @@ def _q_haar_signature(spark, sf_dir):
     return events.haar_coefficients(_events(spark, sf_dir))
 
 
+def _q_wilson_rank(spark, sf_dir):
+    """Wilson lower-bound ranking (ops/quality.py::wilson_rank) of
+    purchase rates per props.k cohort — the
+    how-not-to-sort-by-average fix. The bound is a fixed IEEE
+    arithmetic tree (only + * / sqrt, no libm transcendental), so
+    floor(1e6*L) is bit-exact cross-engine; naive_ppm rides along to
+    show the ranking difference."""
+    d = _events(spark, sf_dir).select(
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("succ"))
+    return quality.wilson_rank(d, "k", "succ")
+
+
+def _q_bitemporal(spark, sf_dir):
+    """Bitemporal as-of reconstruction (ops/maintenance.py::
+    bitemporal_asof): a correction log staged from events (validity
+    axis = abstract integers decoupled from wall time; tx axis =
+    event_id mod 1000 so late transactions REWRITE earlier validity
+    versions; every 7th op a delete), reconstructed as-known-at
+    tx=700, effective-at validity=25. The oracle resolves
+    latest-tx-wins with an independent row_number formulation
+    mirroring the struct-max order."""
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        F.col("user_id").alias("id"),
+        (F.col("event_id") % 50).alias("valid_from"),
+        ((F.col("event_id") % 50) + 1 + F.col("user_id") % 10)
+        .alias("valid_to"),
+        (F.col("event_id") % 1000).alias("tx_time"),
+        F.when(F.col("event_id") % 7 == 0, "D").otherwise("U")
+        .alias("op"),
+        F.get_json_object("props", "$.k").cast("long").alias("value"))
+    return maintenance.bitemporal_asof(log, as_of_tx=700, valid_at=25)
+
+
 def _q_mann_whitney(spark, sf_dir):
     """Mann-Whitney rank-sum test (ops/quality.py::mann_whitney_u):
     parity arms over the doc_id%5 length sample - the heavy-tail-robust
@@ -6091,6 +6127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_sample": _q_pps_sample,
         "attack_robustness": _q_attack_robustness,
         "haar_signature": _q_haar_signature,
+        "wilson_rank": _q_wilson_rank,
+        "bitemporal_asof": _q_bitemporal,
     }
 
 
@@ -13944,6 +13982,48 @@ FROM st{n}, rn{n}, lens""")
     return "".join(parts) + " UNION ALL ".join(sels)
 
 
+_WILSON_ORACLE = """
+WITH a AS (SELECT
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS g,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS sc
+  FROM events),
+agg AS (SELECT g, CAST(sum(sc) AS BIGINT) AS s,
+               count(*) AS n FROM a GROUP BY g),
+sc2 AS (SELECT g, s, n, CAST(n AS DOUBLE) AS nn,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+               1.96 * 1.96 AS zz2 FROM agg),
+w AS (SELECT g, s, n,
+        greatest(CAST(floor(1000000 * ((p + zz2 / (2 * nn)
+          - 1.96 * sqrt(p * (1 - p) / nn + zz2 / (4 * nn * nn)))
+          / (1 + zz2 / nn))) AS BIGINT), 0) AS wilson_ppm
+      FROM sc2)
+SELECT g AS k, s AS successes, CAST(n AS BIGINT) AS trials,
+       CAST((1000000 * s) // n AS BIGINT) AS naive_ppm, wilson_ppm,
+       CAST(row_number() OVER (ORDER BY wilson_ppm DESC, g)
+            AS BIGINT) AS rank
+FROM w
+"""
+
+_BITEMPORAL_ORACLE = """
+WITH log AS (SELECT user_id AS id,
+    event_id % 50 AS valid_from,
+    (event_id % 50) + 1 + user_id % 10 AS valid_to,
+    event_id % 1000 AS tx_time,
+    CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS value
+  FROM events),
+known AS (SELECT * FROM log WHERE tx_time <= 700),
+latest AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY id, valid_from
+      ORDER BY tx_time DESC, op DESC, valid_to DESC, value DESC)
+      AS rn
+    FROM known) WHERE rn = 1)
+SELECT id, valid_from, valid_to, value, tx_time
+FROM latest
+WHERE op = 'U' AND valid_from <= 25 AND valid_to > 25
+"""
+
+
 def _haar_oracle() -> str:
     """15 closed-form coefficient SELECTs over the per-user 16-slot
     epoch-day histogram (naive-date day diff == the Spark NTZ
@@ -15759,6 +15839,8 @@ FROM documents""",
         "pps_sample": _PPS_SAMPLE_ORACLE,
         "attack_robustness": _ATTACK_ROBUSTNESS_ORACLE,
         "haar_signature": _haar_oracle(),
+        "wilson_rank": _WILSON_ORACLE,
+        "bitemporal_asof": _BITEMPORAL_ORACLE,
     }
 
 

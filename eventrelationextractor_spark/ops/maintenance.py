@@ -825,3 +825,36 @@ def hash_ring_assign(df: DataFrame, key_col: str, n_nodes: int = 8,
             .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
                  F.sum(F.when(F.col("node") != F.col("node2"), 1)
                        .otherwise(0)).cast("long").alias("n_moved_away")))
+
+
+def bitemporal_asof(log: DataFrame, as_of_tx, valid_at,
+                    id_col: str = "id") -> DataFrame:
+    """Bitemporal as-of reconstruction -> the table state as KNOWN at
+    transaction time ``as_of_tx``, EFFECTIVE at validity time
+    ``valid_at``: (id, valid_from, valid_to, value, tx_time). The
+    two-axis time-travel query (SQL:2011 application + system time)
+    that SCD2 alone cannot answer — "what did we believe last Tuesday
+    about the price effective next month?" — the audit/backfill
+    primitive over a lakehouse correction log where late-arriving
+    fixes REWRITE history under a newer tx_time.
+
+    Log rows are (id, valid_from, valid_to, tx_time, op, value) with
+    op in ('U', 'D'). One pass: filter tx_time <= as_of_tx (what we
+    knew), latest-tx-wins per (id, valid_from) version via a single
+    partial-aggregable max(struct(tx_time, op, ...)) — the apply_cdc
+    agg-not-window rule — then keep surviving 'U' rows whose
+    [valid_from, valid_to) interval covers ``valid_at``."""
+    known = log.filter(F.col("tx_time") <= F.lit(as_of_tx))
+    latest = (known.groupBy(id_col, "valid_from")
+              .agg(F.max(F.struct("tx_time", "op", "valid_to",
+                                  "value")).alias("w")))
+    return (latest
+            .select(id_col, "valid_from",
+                    F.col("w.valid_to").alias("valid_to"),
+                    F.col("w.value").alias("value"),
+                    F.col("w.tx_time").alias("tx_time"),
+                    F.col("w.op").alias("op"))
+            .filter((F.col("op") == "U")
+                    & (F.col("valid_from") <= F.lit(valid_at))
+                    & (F.col("valid_to") > F.lit(valid_at)))
+            .drop("op"))

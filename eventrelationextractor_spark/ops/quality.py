@@ -1750,3 +1750,42 @@ def ols2(df: DataFrame, y_col: str, x1_col: str,
         " * 1000000.0) as bigint) end as b2_ppm",
     ).selectExpr(
         "n", "m11", "m22", "m12", "v1", "v2", "b1_ppm", "b2_ppm")
+
+
+def wilson_rank(df: DataFrame, group_col: str, success_col: str,
+                z: float = 1.96) -> DataFrame:
+    """Wilson-score lower-bound ranking -> (group, successes, trials,
+    naive_ppm, wilson_ppm, rank): THE how-not-to-sort-by-average fix
+    (Wilson 1927; Miller's classic rating essay) — a 1/1 item must
+    not outrank 98/102, so groups rank by the lower confidence bound
+    of their success rate, which shrinks small samples toward zero.
+
+    One partial-aggregable groupBy produces (s, n); the bound is a
+    fixed arithmetic tree over them evaluated in DOUBLE — every op
+    (+ * / sqrt) is IEEE correctly-rounded, and both engines evaluate
+    the IDENTICAL expression on identical integers, so
+    floor(1e6 * L) is bit-exact cross-engine (the diag_libm class of
+    guarantee: no libm transcendental is involved, sqrt is exact).
+    A p=0 group leaves an ULP residue of ~-2e-17 (floor -> -1 ppm),
+    clamped to 0 identically on both engines. Final rank orders on
+    (wilson_ppm desc, group)."""
+    agg = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.sum(F.col(success_col).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"))
+    zz = float(z)
+    expr = (f"(p + zz2 / (2 * nn) - {zz} * sqrt(p * (1 - p) / nn"
+            f" + zz2 / (4 * nn * nn))) / (1 + zz2 / nn)")
+    scored = (agg.withColumn("nn", F.col("n").cast("double"))
+              .withColumn("p", F.col("s").cast("double") / F.col("nn"))
+              .withColumn("zz2", F.lit(zz) * F.lit(zz))
+              .withColumn("wilson_ppm",
+                          F.expr(f"greatest(CAST(floor(1000000 *"
+                                 f" ({expr})) AS BIGINT), 0L)")))
+    w = Window.orderBy(F.col("wilson_ppm").desc(), "g")
+    return scored.select(
+        F.col("g").alias(group_col),
+        F.col("s").cast("long").alias("successes"),
+        F.col("n").cast("long").alias("trials"),
+        F.expr("(1000000 * s) div n").cast("long").alias("naive_ppm"),
+        "wilson_ppm",
+        F.row_number().over(w).cast("long").alias("rank"))

@@ -616,3 +616,69 @@ def test_haar_uniform_series_is_flat(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     got = [r.coeff for r in ev.haar_coefficients(df).collect()]
     assert len(got) == 15 and all(c == 0 for c in got)
+
+
+# ------------------------------------------------- wilson rank
+
+
+def test_wilson_small_sample_shrinks_below_large(spark):
+    """1/1 must NOT outrank 98/102 — the defining Wilson property
+    the naive average gets backwards."""
+    from eventrelationextractor_spark.ops import quality as q
+    rows = ([("tiny", 1)] +                      # 1/1
+            [("big", 1)] * 98 + [("big", 0)] * 4)  # 98/102
+    df = spark.createDataFrame(rows, "h string, succ int")
+    got = {r.h: r for r in q.wilson_rank(df, "h", "succ").collect()}
+    assert got["tiny"].naive_ppm == 1_000_000
+    assert got["tiny"].naive_ppm > got["big"].naive_ppm
+    assert got["big"].wilson_ppm > got["tiny"].wilson_ppm
+    assert got["big"].rank == 1 and got["tiny"].rank == 2
+
+
+def test_wilson_reference_value(spark):
+    """47/50 at z=1.96 -> lower bound ~0.8363 (textbook check)."""
+    from eventrelationextractor_spark.ops import quality as q
+    rows = [("x", 1)] * 47 + [("x", 0)] * 3
+    df = spark.createDataFrame(rows, "h string, succ int")
+    row = q.wilson_rank(df, "h", "succ").collect()[0]
+    z = 1.96
+    p, n = 47 / 50, 50.0
+    zz = z * z
+    want = ((p + zz / (2 * n)
+             - z * ((p * (1 - p) / n + zz / (4 * n * n)) ** 0.5))
+            / (1 + zz / n))
+    import math
+    assert row.wilson_ppm == math.floor(1_000_000 * want)
+    assert 830_000 < row.wilson_ppm < 840_000
+
+
+def test_wilson_zero_successes(spark):
+    from eventrelationextractor_spark.ops import quality as q
+    df = spark.createDataFrame([("h", 0)] * 10, "h string, succ int")
+    row = q.wilson_rank(df, "h", "succ").collect()[0]
+    assert row.wilson_ppm == 0 and row.naive_ppm == 0
+
+
+# ------------------------------------------------- bitemporal
+
+
+def test_bitemporal_late_tx_rewrites_history(spark):
+    """As-of BEFORE the correction sees value 10; as-of AFTER sees
+    the corrected 99; deletes erase the version; validity bounds are
+    half-open [from, to)."""
+    from eventrelationextractor_spark.ops import maintenance as mt
+    log = spark.createDataFrame(
+        [(1, 10, 20, 100, "U", 10),    # believed v=10 for [10,20)
+         (1, 10, 20, 200, "U", 99),    # later correction to 99
+         (2, 10, 30, 100, "U", 7),
+         (2, 10, 30, 150, "D", 0),     # then retracted
+         (3, 15, 16, 100, "U", 5)],    # [15,16): gone at valid 16
+        "id long, valid_from long, valid_to long, tx_time long, "
+        "op string, value long")
+    asof = lambda tx, v: {r.id: r.value                 # noqa: E731
+                          for r in mt.bitemporal_asof(
+                              log, tx, v).collect()}
+    assert asof(120, 15) == {1: 10, 2: 7, 3: 5}   # before correction
+    assert asof(250, 15) == {1: 99, 3: 5}         # rewritten + delete
+    assert asof(250, 16) == {1: 99}               # half-open valid_to
+    assert asof(50, 15) == {}                     # nothing known yet
