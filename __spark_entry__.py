@@ -5789,8 +5789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "texttiling": _q_texttiling,
         "isolation_forest": _q_isolation_forest,
         "jw_linkage": _q_jw_linkage,
-        "symspell_correct": _q_symspell_correct,
-        "bootstrap_ci": _q_bootstrap_ci,
+        "knn_shapley": _q_knn_shapley,
+        "interleave_eval": _q_interleave_eval,
         "rm3_expansion": _q_rm3_expansion,
         "optimal_segmentation": _q_optimal_segmentation,
         "corpus_curation": _q_corpus_curation,
@@ -5808,15 +5808,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_search": _q_maxsim_search,
         "embedding_kmeans": _q_embedding_kmeans,
         "events_stream_enrich": _q_events_stream_enrich,
-        "events_asof": _q_events_asof,
+        "reuse_distance": _q_reuse_distance,
         "events_interval_join": _q_events_interval_join,
         "events_funnel": _q_events_funnel,
         "events_kaplan_meier": _q_events_kaplan_meier,
         "link_simrank": _q_link_simrank,
         "audio_frame_stats": _q_audio_frame_stats,
+        "wl_colors": _q_wl_colors,
+        "haar_signature": _q_haar_signature,
+        # --- end of the 50-query driver window ---
+        "symspell_correct": _q_symspell_correct,
+        "bootstrap_ci": _q_bootstrap_ci,
+        "events_asof": _q_events_asof,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "mmr_diversify": _q_mmr_diversify,
-        # --- end of the 50-query driver window ---
         "kg_fixture_temporal": _q_fixture_temporal,
         "gazetteer_spans": _q_gazetteer_spans,
         "dedup_exact": _q_dedup_exact,
@@ -6116,17 +6121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunking": _q_cdc_chunking,
         "dl_linkage": _q_dl_linkage,
         "ann_hamming": _q_hamming_topk,
-        "knn_shapley": _q_knn_shapley,
         "hash_ring": _q_hash_ring,
-        "reuse_distance": _q_reuse_distance,
-        "wl_colors": _q_wl_colors,
-        "interleave_eval": _q_interleave_eval,
         "rbo_rankers": _q_rbo_rankers,
         "rich_club": _q_rich_club,
         "bleu_eval": _q_bleu_eval,
         "pps_sample": _q_pps_sample,
         "attack_robustness": _q_attack_robustness,
-        "haar_signature": _q_haar_signature,
         "wilson_rank": _q_wilson_rank,
         "bitemporal_asof": _q_bitemporal,
     }
