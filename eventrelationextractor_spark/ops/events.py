@@ -1888,3 +1888,53 @@ def haar_coefficients(events: DataFrame, user_col: str = "user_id",
                     F.col("w.level").alias("level"),
                     F.col("w.pos").alias("pos"),
                     F.col("w.coeff").alias("coeff")))
+
+
+def streaming_reuse(stream: DataFrame, user_col: str = "user_id",
+                    key_col: str = "k", ts_col: str = "ts",
+                    seq_col: str = "event_id") -> DataFrame:
+    """Streaming LRU reuse-distance (applyInPandasWithState) — the
+    10th custom stateful operator: the online twin of
+    :func:`reuse_distance_hist`, emitting (user_id, key, distance)
+    per access as the stream arrives (-1 = cold). State per user is
+    the LRU stack alone — bounded by the user's key cardinality, not
+    the stream length — so a cache-planning dashboard can aggregate
+    the live hit-rate curve without ever replaying history.
+
+    Rows inside a micro-batch are replayed in (ts, seq) order;
+    cross-batch ordering is the caller's trigger discipline (the
+    sessionizer contract — feed ordered batches or accept
+    arrival-order semantics). The batch-equivalence test pins that
+    the multiset of emitted distances over any trigger split equals
+    the one-shot batch replay."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{user_col} long, key long, distance long"
+    state_schema = "stack array<long>"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        stack = list(state.get[0]) if state.exists else []
+        keys, dists = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, seq_col], kind="mergesort")
+            for kk in pdf[key_col]:
+                kk = int(kk)
+                try:
+                    idx = stack.index(kk)
+                except ValueError:
+                    idx = -1
+                if idx >= 0:
+                    del stack[idx]
+                stack.insert(0, kk)
+                keys.append(kk)
+                dists.append(idx)
+        if not keys:
+            return
+        state.update((stack,))
+        yield pd.DataFrame({user_col: key[0], "key": keys,
+                            "distance": dists})
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)

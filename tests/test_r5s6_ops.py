@@ -682,3 +682,58 @@ def test_bitemporal_late_tx_rewrites_history(spark):
     assert asof(250, 15) == {1: 99, 3: 5}         # rewritten + delete
     assert asof(250, 16) == {1: 99}               # half-open valid_to
     assert asof(50, 15) == {}                     # nothing known yet
+
+
+# ------------------------------------------------- streaming reuse
+
+
+def _run_reuse_stream(spark, tmp_path, batches, name):
+    import os
+    import time
+    schema = "user_id long, k long, ts long, event_id long"
+    src = str(tmp_path / f"{name}_src")
+    os.makedirs(src)
+    for i, part in enumerate(batches):
+        spark.createDataFrame(part, schema).coalesce(1) \
+            .write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)
+    from eventrelationextractor_spark.ops import events as ev
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1") \
+        .option("latestFirst", "false").parquet(src + "/*")
+    q = (ev.streaming_reuse(stream)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def test_streaming_reuse_matches_batch_across_trigger_split(
+        spark, tmp_path):
+    """The multiset of per-access distances over a 2-trigger split
+    equals the one-shot batch replay — LRU state survives the
+    trigger boundary."""
+    from eventrelationextractor_spark.ops import events as ev
+    seq = ["A", "B", "A", "C", "B", "A", "C", "C"]
+    rows = [(1, ord(k), i, i) for i, k in enumerate(seq)]
+    b1, b2 = rows[:4], rows[4:]
+    got = sorted((r.user_id, r.distance)
+                 for r in _run_reuse_stream(spark, tmp_path,
+                                            (b1, b2), "reuse_eq"))
+    batch = ev.reuse_distance_hist(
+        spark.createDataFrame(rows,
+                              "user_id long, k long, ts long, "
+                              "event_id long"))
+    hist = {r.distance: r.n_accesses for r in batch.collect()}
+    want = sorted((1, d) for d, n in hist.items() for _ in range(n))
+    assert got == want
+    # the cross-boundary accesses specifically: A after (B,C) = 2
+    assert (1, 2) in got
+
+
+def test_streaming_reuse_cold_then_hot(spark, tmp_path):
+    rows = [(7, 5, 0, 0), (7, 5, 1, 1), (7, 5, 2, 2)]
+    got = [r.distance
+           for r in _run_reuse_stream(spark, tmp_path, (rows,),
+                                      "reuse_hot")]
+    assert sorted(got) == [-1, 0, 0]
