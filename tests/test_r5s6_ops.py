@@ -737,3 +737,29 @@ def test_streaming_reuse_cold_then_hot(spark, tmp_path):
            for r in _run_reuse_stream(spark, tmp_path, (rows,),
                                       "reuse_hot")]
     assert sorted(got) == [-1, 0, 0]
+
+
+# ------------------------------------------------- registry hygiene
+
+
+def test_registry_oracle_parity_and_no_duplicate_keys():
+    """Every queries() entry has an oracle_sql() twin and vice versa
+    (zero rows-only is the standing contract since round 4), and the
+    queries() dict LITERAL contains no duplicate string keys — the
+    silent last-wins hazard the round-4 ADVICE flagged on
+    gazetteer_spans."""
+    import re
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    assert o == q, (sorted(q - o), sorted(o - q))
+
+    src = open("/root/repo/__spark_entry__.py").read()
+    m = re.search(r'def queries\(\).*?return \{(.*?)\n    \}', src,
+                  re.S)
+    names = re.findall(r'"([a-z0-9_]+)":', m.group(1))
+    dupes = {n for n in names if names.count(n) > 1}
+    assert not dupes, dupes
+    assert len(names) == len(q)
