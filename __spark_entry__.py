@@ -4950,6 +4950,40 @@ def _q_bitemporal(spark, sf_dir):
     return maintenance.bitemporal_asof(log, as_of_tx=700, valid_at=25)
 
 
+def _q_vacuum_plan(spark, sf_dir):
+    """Snapshot-aware vacuum planning (ops/maintenance.py::
+    vacuum_plan): files = the documents (created_day = doc_id %% 60),
+    10 snapshots of which 6..9 are live, manifests reference file f
+    from snapshot s iff f %% 5 != 0 and (f + s) %% 4 == 0 (so every
+    f %% 5 == 0 file is an orphan and the rest split live/expired),
+    retention horizon day 30. One left_anti + one semi join — the
+    Iceberg expire_snapshots + orphan-cleanup decision."""
+    files = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % 60).alias("created_day"),
+        F.col("n_chars").cast("long").alias("size_bytes"))
+    snaps = spark.range(10).select(F.col("id").alias("snapshot_id"))
+    manifests = (files.select("file_id")
+                 .crossJoin(F.broadcast(snaps))
+                 .filter((F.col("file_id") % 5 != 0)
+                         & ((F.col("file_id") + F.col("snapshot_id"))
+                            % 4 == 0)))
+    live = snaps.filter(F.col("snapshot_id") >= 6)
+    return maintenance.vacuum_plan(files, manifests, live,
+                                   retain_min_day=30)
+
+
+def _q_oov_curve(spark, sf_dir):
+    """Tokenizer vocabulary-coverage curve (ops/bm25.py::oov_curve)
+    over word 3-gram units (the closed ~31-word corpus vocabulary
+    makes the unigram curve degenerate; 3-grams give a 16k-unit
+    Zipf-ish vocabulary): oov_ppm at k in {500, 2000, 8000, 32000}
+    (the last exceeding the vocab, pinning the zero-OOV clamp).
+    Global frequency rank via the bucket-offset scheme."""
+    return bm25.oov_curve(_docs(spark, sf_dir),
+                          ks=(500, 2000, 8000, 32000), ngram=3)
+
+
 def _q_mann_whitney(spark, sf_dir):
     """Mann-Whitney rank-sum test (ops/quality.py::mann_whitney_u):
     parity arms over the doc_id%5 length sample - the heavy-tail-robust
@@ -6129,6 +6163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attack_robustness": _q_attack_robustness,
         "wilson_rank": _q_wilson_rank,
         "bitemporal_asof": _q_bitemporal,
+        "vacuum_plan": _q_vacuum_plan,
+        "oov_curve": _q_oov_curve,
     }
 
 
@@ -13982,6 +14018,51 @@ FROM st{n}, rn{n}, lens""")
     return "".join(parts) + " UNION ALL ".join(sels)
 
 
+_VACUUM_ORACLE = """
+WITH files AS (SELECT doc_id AS file_id, doc_id % 60 AS created_day,
+                      CAST(n_chars AS BIGINT) AS size_bytes
+               FROM documents),
+snaps AS (SELECT unnest(range(10)) AS snapshot_id),
+manifests AS (SELECT f.file_id, s.snapshot_id
+              FROM files f, snaps s
+              WHERE f.file_id % 5 <> 0
+                AND (f.file_id + s.snapshot_id) % 4 = 0),
+live_refs AS (SELECT DISTINCT file_id FROM manifests
+              WHERE snapshot_id >= 6),
+any_refs AS (SELECT DISTINCT file_id FROM manifests),
+dead AS (SELECT f.* FROM files f
+         LEFT JOIN live_refs lr ON lr.file_id = f.file_id
+         WHERE lr.file_id IS NULL AND f.created_day < 30)
+SELECT d.file_id, d.created_day, d.size_bytes,
+       CASE WHEN ar.file_id IS NOT NULL THEN 'expired'
+            ELSE 'orphan' END AS reason
+FROM dead d LEFT JOIN any_refs ar ON ar.file_id = d.file_id
+"""
+
+_OOV_CURVE_ORACLE = """
+WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), w -> w <> '') AS toks FROM documents),
+g AS (SELECT u.gm AS term FROM t, LATERAL unnest(
+        list_transform(range(1, len(toks) - 1), i ->
+          array_to_string(list_slice(toks, CAST(i AS INT),
+                          CAST(i + 2 AS INT)), ' '))) AS u(gm)),
+tf AS (SELECT term, count(*) AS tf FROM g GROUP BY term),
+rk AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rn
+       FROM tf),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total,
+               count(*) AS ndv FROM tf),
+ks AS (SELECT unnest([500, 2000, 8000, 32000]) AS k),
+cov AS (SELECT ks.k, sum(rk.tf) AS covered, count(rk.rn) AS used
+        FROM ks LEFT JOIN rk ON rk.rn <= ks.k GROUP BY ks.k)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(least(used, ndv) AS BIGINT) AS vocab_used,
+       CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+       total AS total_tokens,
+       CAST((1000000 * (total - coalesce(covered, 0))) // total
+            AS BIGINT) AS oov_ppm
+FROM cov, tot
+"""
+
 _WILSON_ORACLE = """
 WITH a AS (SELECT
     CAST(json_extract_string(props, '$.k') AS BIGINT) AS g,
@@ -15841,6 +15922,8 @@ FROM documents""",
         "haar_signature": _haar_oracle(),
         "wilson_rank": _WILSON_ORACLE,
         "bitemporal_asof": _BITEMPORAL_ORACLE,
+        "vacuum_plan": _VACUUM_ORACLE,
+        "oov_curve": _OOV_CURVE_ORACLE,
     }
 
 

@@ -1142,3 +1142,69 @@ def rbo_truncated(run_a: DataFrame, run_b: DataFrame, depth: int = 10,
             .agg(F.max(F.when(F.col("d") == depth, F.col("ov")))
                  .cast("long").alias("overlap_at_depth"),
                  F.sum("c").cast("long").alias("rbo_e10")))
+
+
+def oov_curve(docs: DataFrame, ks=(1000, 2000, 4000, 8000),
+              id_col: str = "doc_id", text_col: str = "text",
+              ngram: int = 1) -> DataFrame:
+    """Tokenizer vocabulary-coverage curve -> one row per vocab size
+    k: (k, vocab_used, covered_tokens, total_tokens, oov_ppm) where
+    the vocabulary is the top-k terms by corpus frequency (term
+    tie-break) and oov_ppm the token mass OUTSIDE it — the
+    vocab-size-vs-UNK tradeoff read in ONE pass, the sizing telemetry
+    behind every tokenizer budget decision (fertility tells you
+    tokens-per-word; this tells you what a k-entry vocab fails to
+    cover at all).
+
+    The vocabulary can be corpus-scale (distinct terms grow with the
+    crawl), so the GLOBAL frequency rank never uses a
+    single-partition window: range-repartition by (tf desc, term),
+    local row_number, plus a statistic-scale partition-offset join —
+    the suffix_array global-rank scheme. All exact integers, lockstep
+    ppm div. ``ngram > 1`` switches the vocabulary unit to word
+    n-grams (the BPE-merge-candidate shape) — on a small closed word
+    vocabulary the unigram curve is degenerate while the n-gram one
+    is not."""
+    if ngram > 1:
+        n = int(ngram)
+        arr = docs.select(F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: t != "").alias("toks"))
+        toks = arr.select(F.explode(F.expr(
+            f"CASE WHEN size(toks) < {n} THEN slice(toks, 1, 0)"
+            f" ELSE transform(sequence(1, size(toks) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(toks, i, {n}))) END"))
+            .alias("term"))
+    else:
+        toks = tokenize(docs, id_col, text_col)
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    dp = tf.repartitionByRange(F.col("tf").desc(), F.col("term")) \
+        .withColumn("pid", F.spark_partition_id())
+    cnt = dp.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offs = cnt.withColumn("off", F.coalesce(F.sum("c").over(w_off),
+                                            F.lit(0)))
+    w_loc = Window.partitionBy("pid").orderBy(F.col("tf").desc(),
+                                              "term")
+    ranked = (dp.join(F.broadcast(offs.select("pid", "off")), "pid")
+              .select("tf", (F.col("off")
+                             + F.row_number().over(w_loc))
+                      .cast("long").alias("rn")))
+    tot = tf.agg(F.sum("tf").alias("total"),
+                 F.count(F.lit(1)).alias("ndv"))
+    spark = docs.sparkSession
+    kdf = spark.createDataFrame([(int(k),) for k in ks], "k long")
+    cov = (kdf.join(ranked, F.col("rn") <= F.col("k"), "left")
+           .groupBy("k")
+           .agg(F.sum("tf").alias("covered"),
+                F.count(F.col("rn")).alias("used")))
+    return (cov.crossJoin(F.broadcast(tot))
+            .select("k",
+                    F.least("used", F.col("ndv")).cast("long")
+                    .alias("vocab_used"),
+                    F.coalesce("covered", F.lit(0)).cast("long")
+                    .alias("covered_tokens"),
+                    F.col("total").cast("long").alias("total_tokens"),
+                    F.expr("(1000000 * (total - coalesce(covered, 0)))"
+                           " div total").cast("long").alias("oov_ppm")))

@@ -858,3 +858,31 @@ def bitemporal_asof(log: DataFrame, as_of_tx, valid_at,
                     & (F.col("valid_from") <= F.lit(valid_at))
                     & (F.col("valid_to") > F.lit(valid_at)))
             .drop("op"))
+
+
+def vacuum_plan(files: DataFrame, manifests: DataFrame,
+                live_snapshots: DataFrame, retain_min_day: int,
+                file_col: str = "file_id") -> DataFrame:
+    """Snapshot-aware vacuum planning -> (file_id, created_day,
+    size_bytes, reason) for every DELETABLE file: the lakehouse
+    garbage-collection decision (Iceberg expire_snapshots + orphan
+    cleanup semantics) — a file may be deleted iff NO live snapshot's
+    manifest references it AND it is older than the retention horizon
+    (young orphans survive: they may belong to an in-flight commit).
+
+    One left_anti join against (manifests semi-joined to live
+    snapshots) plus the age filter — no windows, no collects; reason
+    distinguishes 'expired' (referenced only by dead snapshots) from
+    'orphan' (referenced by none) so operators can audit the two
+    failure modes separately."""
+    live_refs = (manifests.join(live_snapshots.select("snapshot_id")
+                                .distinct(), "snapshot_id")
+                 .select(file_col).distinct())
+    any_refs = manifests.select(file_col).distinct()
+    dead = (files.join(live_refs, file_col, "left_anti")
+            .filter(F.col("created_day") < int(retain_min_day)))
+    return (dead.join(any_refs.withColumn("_referenced", F.lit(1)),
+                      file_col, "left")
+            .select(file_col, "created_day", "size_bytes",
+                    F.when(F.col("_referenced").isNotNull(), "expired")
+                    .otherwise("orphan").alias("reason")))

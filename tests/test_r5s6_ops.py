@@ -763,3 +763,52 @@ def test_registry_oracle_parity_and_no_duplicate_keys():
     dupes = {n for n in names if names.count(n) > 1}
     assert not dupes, dupes
     assert len(names) == len(q)
+
+
+# ------------------------------------------------- vacuum plan
+
+
+def test_vacuum_plan_reasons_and_retention(spark):
+    from eventrelationextractor_spark.ops import maintenance as mt
+    files = spark.createDataFrame(
+        [(1, 10, 100),    # referenced by live snap -> NOT deletable
+         (2, 10, 100),    # referenced only by dead snap -> expired
+         (3, 10, 100),    # never referenced -> orphan
+         (4, 50, 100)],   # orphan but too young -> kept
+        "file_id long, created_day long, size_bytes long")
+    manifests = spark.createDataFrame(
+        [(9, 1), (1, 2)], "snapshot_id long, file_id long")
+    live = spark.createDataFrame([(9,)], "snapshot_id long")
+    got = {r.file_id: r.reason
+           for r in mt.vacuum_plan(files, manifests, live,
+                                   retain_min_day=30).collect()}
+    assert got == {2: "expired", 3: "orphan"}
+
+
+# ------------------------------------------------- oov curve
+
+
+def test_oov_curve_hand_corpus(spark):
+    """Corpus 'a a a b b c': vocab ranked a(3) b(2) c(1); k=1 covers
+    3/6 (oov 500000), k=2 covers 5/6, k=10 covers all (clamped
+    vocab_used = ndv = 3, oov 0)."""
+    from eventrelationextractor_spark.ops import bm25 as bmod
+    df = spark.createDataFrame([(1, "a a a b b c")],
+                               "doc_id long, text string")
+    got = {r.k: r for r in bmod.oov_curve(df, ks=(1, 2, 10)).collect()}
+    assert (got[1].covered_tokens, got[1].oov_ppm) == (3, 500000)
+    assert (got[2].covered_tokens, got[2].oov_ppm) == (5, 166666)
+    assert (got[10].vocab_used, got[10].oov_ppm) == (3, 0)
+    assert all(r.total_tokens == 6 for r in got.values())
+
+
+def test_oov_curve_ngram_units(spark):
+    """ngram=3 over 'x y z w': grams 'x y z' and 'y z w', each
+    frequency 1; k=1 covers half the gram mass."""
+    from eventrelationextractor_spark.ops import bm25 as bmod
+    df = spark.createDataFrame([(1, "x y z w")],
+                               "doc_id long, text string")
+    got = {r.k: r
+           for r in bmod.oov_curve(df, ks=(1, 2), ngram=3).collect()}
+    assert got[1].total_tokens == 2 and got[1].oov_ppm == 500000
+    assert got[2].oov_ppm == 0
