@@ -4973,6 +4973,31 @@ def _q_vacuum_plan(spark, sf_dir):
                                    retain_min_day=30)
 
 
+def _q_bowtie_census(spark, sf_dir):
+    """Broder bow-tie census (ops/graph.py::bowtie_census) of the
+    doc_id %% 20 stratum DIRECTED graph (the WCC closure oracle is
+    quadratic in weak-component size — the attack_robustness sizing
+    rule): dangling every-17th nodes plus j -> j %% 5 hub edges for
+    j %% 4 == 0, j >= 5 (j >= 5 keeps the min pivot off a self-loop,
+    whose SCC would be trivially itself). Class membership is
+    label-order-independent (only equality with the core's weak
+    label is tested), so engine label conventions can't matter."""
+    js = (_docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
+          .select(F.expr("doc_id div 20").alias("j")))
+    m = js.count()
+    live = js.filter(F.col("j") % 17 != 0)
+    e = (live.select(F.col("j").alias("src"),
+                     ((F.col("j") * 7 + 1) % m).alias("dst"))
+         .unionByName(live.select(F.col("j").alias("src"),
+                                  ((F.col("j") * 13 + 3) % m)
+                                  .alias("dst")))
+         .unionByName(js.filter((F.col("j") % 4 == 0)
+                                & (F.col("j") >= 5))
+                      .select(F.col("j").alias("src"),
+                              (F.col("j") % 5).alias("dst"))))
+    return graph.bowtie_census(e, max_hops=8)
+
+
 def _q_oov_curve(spark, sf_dir):
     """Tokenizer vocabulary-coverage curve (ops/bm25.py::oov_curve)
     over word 3-gram units (the closed ~31-word corpus vocabulary
@@ -6165,6 +6190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitemporal_asof": _q_bitemporal,
         "vacuum_plan": _q_vacuum_plan,
         "oov_curve": _q_oov_curve,
+        "bowtie_census": _q_bowtie_census,
     }
 
 
@@ -14018,6 +14044,54 @@ FROM st{n}, rn{n}, lens""")
     return "".join(parts) + " UNION ALL ".join(sels)
 
 
+_BOWTIE_ORACLE = """
+WITH RECURSIVE
+js AS (SELECT doc_id // 20 AS j FROM documents WHERE doc_id % 20 = 0),
+mm AS (SELECT count(*) AS m FROM js),
+e0 AS (SELECT j AS s, (j*7+1) % m AS d FROM js, mm
+       WHERE j % 17 <> 0
+       UNION ALL
+       SELECT j, (j*13+3) % m FROM js, mm WHERE j % 17 <> 0
+       UNION ALL
+       SELECT j, j % 5 FROM js, mm WHERE j % 4 = 0 AND j >= 5),
+ed AS (SELECT DISTINCT s, d FROM e0),
+nodes AS (SELECT DISTINCT v FROM (
+            SELECT s AS v FROM ed UNION ALL SELECT d FROM ed)),
+piv AS (SELECT min(s) AS p FROM ed),
+fw(v, h) AS (
+  SELECT p, 0 FROM piv
+  UNION
+  SELECT e.d, r.h + 1 FROM fw r JOIN ed e ON e.s = r.v
+  WHERE r.h < 8),
+bwr(v, h) AS (
+  SELECT p, 0 FROM piv
+  UNION
+  SELECT e.s, r.h + 1 FROM bwr r JOIN ed e ON e.d = r.v
+  WHERE r.h < 8),
+fset AS (SELECT DISTINCT v FROM fw),
+bset AS (SELECT DISTINCT v FROM bwr),
+u2 AS (SELECT s AS a, d AS b FROM ed UNION SELECT d, s FROM ed),
+reach(src, dst) AS (
+  SELECT a, b FROM u2
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN u2 e ON e.a = r.dst),
+canon AS (SELECT src AS v, least(src, min(dst)) AS c
+          FROM reach GROUP BY src),
+corelbl AS (SELECT c.c AS cc FROM canon c, piv WHERE c.v = piv.p),
+tagged AS (SELECT n.v,
+    CASE WHEN f.v IS NOT NULL AND b.v IS NOT NULL THEN 'SCC'
+         WHEN b.v IS NOT NULL THEN 'IN'
+         WHEN f.v IS NOT NULL THEN 'OUT'
+         WHEN cn.c = (SELECT cc FROM corelbl) THEN 'TENDRIL'
+         ELSE 'DISCONNECTED' END AS cls
+  FROM nodes n
+  LEFT JOIN fset f ON f.v = n.v
+  LEFT JOIN bset b ON b.v = n.v
+  LEFT JOIN canon cn ON cn.v = n.v)
+SELECT cls, CAST(count(*) AS BIGINT) AS n_nodes
+FROM tagged GROUP BY cls
+"""
+
 _VACUUM_ORACLE = """
 WITH files AS (SELECT doc_id AS file_id, doc_id % 60 AS created_day,
                       CAST(n_chars AS BIGINT) AS size_bytes
@@ -15924,6 +15998,7 @@ FROM documents""",
         "bitemporal_asof": _BITEMPORAL_ORACLE,
         "vacuum_plan": _VACUUM_ORACLE,
         "oov_curve": _OOV_CURVE_ORACLE,
+        "bowtie_census": _BOWTIE_ORACLE,
     }
 
 

@@ -1905,3 +1905,48 @@ def attack_robustness(edges: DataFrame, ks=(0, 1, 8)) -> DataFrame:
                        "largest_cc", "n_components"))
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def bowtie_census(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Broder bow-tie decomposition of a directed link graph (Broder
+    et al., WWW 2000 — THE web-graph structure result) -> one row per
+    populated class: (cls, n_nodes) over SCC / IN / OUT / TENDRIL /
+    DISCONNECTED. Core = the min-pivot strongly connected component
+    from one FW-BW round (:func:`scc_pivot`; the hop budget IS the
+    semantic, per the traversal-ops contract); IN = nodes reaching
+    the core (bw only), OUT = nodes the core reaches (fw only),
+    TENDRIL = weakly connected to the core but on neither directed
+    side, DISCONNECTED = a different weak component entirely. The
+    crawl-strategy census: IN is where discovery seeds pay off, OUT
+    is where crawl depth does, DISCONNECTED is invisible to both.
+
+    Scale shape: two frontier BFS sweeps (single pivot — rows stay
+    reachable-set-proportional, never pairs), one undirected
+    connected_components run, and a statistic-scale class count; the
+    core's weak-component label arrives via a one-row broadcast
+    join, no collects."""
+    from ..spark.kg import connected_components
+
+    e = edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+    r = scc_pivot(edges, max_hops=max_hops)
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionByName(e.select(F.col("d").alias("node")))
+             .distinct())
+    wcc = connected_components(e, src="s", dst="d")
+    pivot = e.agg(F.min("s").alias("pnode"))
+    core_lbl = (wcc.crossJoin(F.broadcast(pivot))
+                .filter(F.col("vertex") == F.col("pnode"))
+                .select(F.col("component").alias("core_component")))
+    tagged = (nodes.join(r, "node", "left")
+              .join(wcc.select(F.col("vertex").alias("node"),
+                               "component"), "node", "left")
+              .crossJoin(F.broadcast(core_lbl)))
+    cls = (F.when(F.coalesce("in_scc", F.lit(False)), "SCC")
+           .when(F.coalesce("bw", F.lit(False)), "IN")
+           .when(F.coalesce("fw", F.lit(False)), "OUT")
+           .when(F.col("component") == F.col("core_component"),
+                 "TENDRIL")
+           .otherwise("DISCONNECTED"))
+    return (tagged.select(cls.alias("cls"))
+            .groupBy("cls").agg(F.count(F.lit(1)).cast("long")
+                                .alias("n_nodes")))

@@ -812,3 +812,40 @@ def test_oov_curve_ngram_units(spark):
            for r in bmod.oov_curve(df, ks=(1, 2), ngram=3).collect()}
     assert got[1].total_tokens == 2 and got[1].oov_ppm == 500000
     assert got[2].oov_ppm == 0
+
+
+# ------------------------------------------------- bowtie
+
+
+def test_bowtie_all_five_classes(spark):
+    """Hand graph exercising every class around the MIN-PIVOT core
+    (the contract: core = the minimum source node's SCC): core
+    2-cycle {0,1}, IN feeder 2->0, OUT sink 1->3, tendril 5 hanging
+    off the IN node (weakly connected, on neither directed side),
+    disconnected pair {8,9}."""
+    from eventrelationextractor_spark.ops import graph as g
+    edges = [(0, 1), (1, 0),      # core SCC (pivot 0)
+             (2, 0),              # IN
+             (1, 3),              # OUT
+             (2, 5),              # TENDRIL off the IN node
+             (8, 9)]              # disconnected component
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.cls: r.n_nodes for r in g.bowtie_census(df).collect()}
+    assert got == {"SCC": 2, "IN": 1, "OUT": 1, "TENDRIL": 1,
+                   "DISCONNECTED": 2}
+
+
+def test_bowtie_hop_budget_truncates_out(spark):
+    """A 10-link OUT chain with max_hops=3: forward reach from the
+    pivot spends one hop inside the core (1->2), so exactly 2 chain
+    nodes classify OUT; the rest fall to TENDRIL (weakly connected,
+    outside the budgeted forward set) — the budget IS the
+    semantic."""
+    from eventrelationextractor_spark.ops import graph as g
+    edges = [(1, 2), (2, 1)] + [(i, i + 1) for i in range(2, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.cls: r.n_nodes
+           for r in g.bowtie_census(df, max_hops=3).collect()}
+    assert got["SCC"] == 2
+    assert got["OUT"] == 2
+    assert got["TENDRIL"] == 8
