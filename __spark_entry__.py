@@ -4998,6 +4998,31 @@ def _q_bowtie_census(spark, sf_dir):
     return graph.bowtie_census(e, max_hops=8)
 
 
+def _q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg step-up FDR (ops/quality.py::bh_fdr) at
+    q = 1/20 over staged ppm p-values: every 20th doc is a planted
+    signal (p = doc_id %% 50), the rest pseudo-uniform via the Knuth
+    multiplicative hash (doc_id * 2654435761 %% 1e6, < 2^63). The
+    bounded-ppm-domain histogram turns the step-up rank condition
+    into a statistic-scale cumulative count — no global sort."""
+    d = _docs(spark, sf_dir).select(
+        F.when(F.col("doc_id") % 20 == 0, F.col("doc_id") % 50)
+        .otherwise((F.col("doc_id") * 2654435761) % 1000000)
+        .cast("long").alias("p_ppm"))
+    return quality.bh_fdr(d, q_num=1, q_den=20)
+
+
+def _q_huffman_dict(spark, sf_dir):
+    """Huffman dictionary code lengths (ops/maintenance.py::
+    huffman_dictionary) over the corpus word vocabulary: the
+    entropy-coded storage floor beside encoding_advisor's fixed-width
+    estimate. The merge sequence is totally ordered by
+    (freq, min-term), so the oracle's recursive list-state CTE
+    replays it merge for merge."""
+    return maintenance.huffman_dictionary(_docs(spark, sf_dir),
+                                          top_n=64)
+
+
 def _q_oov_curve(spark, sf_dir):
     """Tokenizer vocabulary-coverage curve (ops/bm25.py::oov_curve)
     over word 3-gram units (the closed ~31-word corpus vocabulary
@@ -6191,6 +6216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vacuum_plan": _q_vacuum_plan,
         "oov_curve": _q_oov_curve,
         "bowtie_census": _q_bowtie_census,
+        "bh_fdr": _q_bh_fdr,
+        "huffman_dict": _q_huffman_dict,
     }
 
 
@@ -14044,6 +14071,62 @@ FROM st{n}, rn{n}, lens""")
     return "".join(parts) + " UNION ALL ".join(sels)
 
 
+_BH_FDR_ORACLE = """
+WITH pv AS (SELECT CASE WHEN doc_id % 20 = 0 THEN doc_id % 50
+              ELSE (doc_id * 2654435761) % 1000000 END AS p
+            FROM documents),
+h AS (SELECT p, count(*) AS c FROM pv GROUP BY p),
+tot AS (SELECT sum(c) AS m FROM h),
+cum AS (SELECT p, c, sum(c) OVER (ORDER BY p
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        FROM h),
+ok AS (SELECT p FROM cum, tot WHERE p * 20 * m <= cp * 1000000),
+t AS (SELECT max(p) AS t_ppm FROM ok)
+SELECT CAST(max(tot.m) AS BIGINT) AS m,
+       CAST(max(t.t_ppm) AS BIGINT) AS t_ppm,
+       CAST(sum(CASE WHEN cum.p <= t.t_ppm THEN cum.c ELSE 0 END)
+            AS BIGINT) AS n_rejected
+FROM cum, tot, t
+"""
+
+_HUFFMAN_ORACLE = """
+WITH RECURSIVE
+tf AS (SELECT u.term, count(*) AS freq
+       FROM documents, LATERAL unnest(list_filter(
+         regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         w -> w <> '')) AS u(term)
+       GROUP BY u.term),
+top AS (SELECT term, freq FROM tf
+        ORDER BY freq DESC, term LIMIT 64),
+init AS (SELECT
+    list({'f': freq, 'mt': term, 'terms': [term]} ORDER BY freq, term)
+      AS nodes,
+    list({'term': term, 'len': CAST(0 AS BIGINT)} ORDER BY term)
+      AS lens
+  FROM top),
+bld AS (
+  SELECT nodes, lens FROM init
+  UNION ALL
+  SELECT
+    list_append(
+      list_slice(s, 3, len(s)),
+      {'f': s[1].f + s[2].f, 'mt': least(s[1].mt, s[2].mt),
+       'terms': s[1].terms || s[2].terms}),
+    list_transform(lens, x -> CASE
+      WHEN list_contains(s[1].terms || s[2].terms, x.term)
+      THEN {'term': x.term, 'len': x.len + 1} ELSE x END)
+  FROM (SELECT list_sort(nodes) AS s, lens FROM bld
+        WHERE len(nodes) > 1)),
+fin AS (SELECT lens FROM bld WHERE len(nodes) = 1),
+nterms AS (SELECT count(*) AS nt FROM top)
+SELECT t.term, CAST(t.freq AS BIGINT) AS freq,
+       CAST(CASE WHEN nterms.nt = 1 THEN 1 ELSE u.x.len END
+            AS BIGINT) AS code_len
+FROM fin, LATERAL unnest(fin.lens) AS u(x)
+JOIN top t ON t.term = u.x.term
+CROSS JOIN nterms
+"""
+
 _BOWTIE_ORACLE = """
 WITH RECURSIVE
 js AS (SELECT doc_id // 20 AS j FROM documents WHERE doc_id % 20 = 0),
@@ -15999,6 +16082,8 @@ FROM documents""",
         "vacuum_plan": _VACUUM_ORACLE,
         "oov_curve": _OOV_CURVE_ORACLE,
         "bowtie_census": _BOWTIE_ORACLE,
+        "bh_fdr": _BH_FDR_ORACLE,
+        "huffman_dict": _HUFFMAN_ORACLE,
     }
 
 

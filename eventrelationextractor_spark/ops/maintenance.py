@@ -886,3 +886,48 @@ def vacuum_plan(files: DataFrame, manifests: DataFrame,
             .select(file_col, "created_day", "size_bytes",
                     F.when(F.col("_referenced").isNotNull(), "expired")
                     .otherwise("orphan").alias("reason")))
+
+
+def huffman_dictionary(docs: DataFrame, top_n: int = 64,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Huffman code lengths for a top-``top_n`` term dictionary ->
+    (term, freq, code_len): the optimal-prefix-code storage bound for
+    dictionary-encoded string columns — what :func:`encoding_advisor`
+    prices with fixed-width bit packing, this prices with
+    frequency-shaped codes (sum(freq*code_len) is the entropy-coded
+    byte floor a columnar writer can reach).
+
+    The tree build is inherently sequential over the dictionary — a
+    STATISTIC-SCALE object by construction (top_n via distributed
+    TakeOrdered), so it merges on the driver under the broadcast-
+    model contract (same as k-means centroids). Determinism: each
+    step merges the two nodes smallest by (freq, min-term-in-subtree)
+    — a total order, replayed list-for-list by the oracle's
+    recursive CTE. Degenerate single-term dictionaries get
+    code_len = 1 (a code must still distinguish end-of-stream)."""
+    tf = (docs.select(F.explode(F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: t != "")).alias("term"))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
+    top = tf.orderBy(F.col("freq").desc(), "term").limit(int(top_n))
+    rows = [(r.term, r.freq) for r in top.collect()]
+    lens = {t: 0 for t, _ in rows}
+    nodes = sorted(((f, t, [t]) for t, f in rows),
+                   key=lambda x: (x[0], x[1]))
+    if len(nodes) == 1:
+        lens[nodes[0][1]] = 1
+    while len(nodes) > 1:
+        a = nodes.pop(0)
+        b = nodes.pop(0)
+        for t in a[2] + b[2]:
+            lens[t] += 1
+        merged = (a[0] + b[0], min(a[1], b[1]), a[2] + b[2])
+        import bisect
+        keys = [(f, mt) for f, mt, _ in nodes]
+        nodes.insert(bisect.bisect_right(keys, merged[:2]), merged)
+    spark = docs.sparkSession
+    out = spark.createDataFrame(
+        [(t, int(f), int(lens[t])) for t, f in rows],
+        "term string, freq long, code_len long")
+    return out

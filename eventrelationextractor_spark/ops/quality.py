@@ -1789,3 +1789,38 @@ def wilson_rank(df: DataFrame, group_col: str, success_col: str,
         F.expr("(1000000 * s) div n").cast("long").alias("naive_ppm"),
         "wilson_ppm",
         F.row_number().over(w).cast("long").alias("rank"))
+
+
+def bh_fdr(pvals: DataFrame, p_col: str = "p_ppm",
+           q_num: int = 1, q_den: int = 20) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control -> ONE summary row
+    (m, t_ppm, n_rejected): reject every hypothesis with
+    p <= p_(k*), k* = max{i : p_(i) <= i*q/m} at q = q_num/q_den —
+    THE multiple-testing gate for any metric sweep (which of 10^5
+    per-host drift tests are real?); the step-up threshold is what
+    separates it from naive per-test alpha.
+
+    NO global sort: p values are ppm integers on a BOUNDED domain,
+    so rank(p) = cumulative count over the p-HISTOGRAM (statistic-
+    scale, <= 1e6+1 rows) and the step-up condition
+    p_(i)*q_den*m <= i*q_num*1e6 becomes, per DISTINCT p,
+    p*q_den*m <= c_p*q_num*1e6 with c_p = count(p' <= p) — ties
+    resolve all-or-none exactly as sorted BH does. One corpus
+    groupBy + one statistic-scale window; exact integers end to
+    end."""
+    h = pvals.groupBy(F.col(p_col).alias("p")).agg(
+        F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    tot = h.agg(F.sum("c").alias("m"))
+    cum = (h.withColumn("cp", F.sum("c").over(w))
+           .crossJoin(F.broadcast(tot)))
+    ok = cum.filter(
+        F.col("p") * int(q_den) * F.col("m")
+        <= F.col("cp") * int(q_num) * F.lit(1000000))
+    t = ok.agg(F.max("p").alias("t_ppm"))
+    return (cum.crossJoin(F.broadcast(t))
+            .agg(F.max("m").cast("long").alias("m"),
+                 F.max("t_ppm").cast("long").alias("t_ppm"),
+                 F.sum(F.when(F.col("p") <= F.col("t_ppm"),
+                              F.col("c")).otherwise(0))
+                 .cast("long").alias("n_rejected")))

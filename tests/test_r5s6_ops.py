@@ -849,3 +849,64 @@ def test_bowtie_hop_budget_truncates_out(spark):
     assert got["SCC"] == 2
     assert got["OUT"] == 2
     assert got["TENDRIL"] == 8
+
+
+# ------------------------------------------------- bh fdr
+
+
+def test_bh_fdr_hand_case(spark):
+    """m=4, q=1/4: sorted thresholds i/16 -> ppm 62500/125000/
+    187500/250000 against ps 10000/30000/200000/900000: k*=2,
+    T=30000."""
+    from eventrelationextractor_spark.ops import quality as q
+    df = spark.createDataFrame(
+        [(10000,), (30000,), (200000,), (900000,)], "p_ppm long")
+    row = q.bh_fdr(df, q_num=1, q_den=4).collect()[0]
+    assert (row.m, row.t_ppm, row.n_rejected) == (4, 30000, 2)
+
+
+def test_bh_fdr_step_up_rescues_smaller_ps(spark):
+    """The defining STEP-UP property: p_(1..3) each fail their own
+    threshold but p_(4) passes -> ALL FOUR rejected."""
+    from eventrelationextractor_spark.ops import quality as q
+    df = spark.createDataFrame(
+        [(100000,), (240000,), (250000,), (250000,)], "p_ppm long")
+    row = q.bh_fdr(df, q_num=1, q_den=4).collect()[0]
+    assert (row.t_ppm, row.n_rejected) == (250000, 4)
+
+
+def test_bh_fdr_nothing_rejected(spark):
+    from eventrelationextractor_spark.ops import quality as q
+    df = spark.createDataFrame(
+        [(900000,), (950000,), (990000,)], "p_ppm long")
+    row = q.bh_fdr(df, q_num=1, q_den=20).collect()[0]
+    assert row.t_ppm is None and row.n_rejected == 0
+
+
+# ------------------------------------------------- huffman
+
+
+def test_huffman_clrs_textbook(spark):
+    """CLRS fig 16.5 frequencies -> code lengths a:1 b:3 c:3 d:3
+    e:4 f:4; weighted bits = 224."""
+    from eventrelationextractor_spark.ops import maintenance as mt
+    text = " ".join(["a"] * 45 + ["b"] * 13 + ["c"] * 12
+                    + ["d"] * 16 + ["e"] * 9 + ["f"] * 5)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r.term: (r.freq, r.code_len)
+           for r in mt.huffman_dictionary(df).collect()}
+    assert got == {"a": (45, 1), "b": (13, 3), "c": (12, 3),
+                   "d": (16, 3), "e": (9, 4), "f": (5, 4)}
+    assert sum(f * l for f, l in got.values()) == 224
+
+
+def test_huffman_degenerate_vocabularies(spark):
+    from eventrelationextractor_spark.ops import maintenance as mt
+    one = spark.createDataFrame([(1, "solo solo solo")],
+                                "doc_id long, text string")
+    assert mt.huffman_dictionary(one).collect()[0].code_len == 1
+    two = spark.createDataFrame([(1, "x x x y")],
+                                "doc_id long, text string")
+    got = {r.term: r.code_len
+           for r in mt.huffman_dictionary(two).collect()}
+    assert got == {"x": 1, "y": 1}
