@@ -4998,6 +4998,43 @@ def _q_bowtie_census(spark, sf_dir):
     return graph.bowtie_census(e, max_hops=8)
 
 
+def _q_shapley_r2(spark, sf_dir):
+    """Exact Shapley/LMG R^2 decomposition (ops/quality.py::
+    shapley_r2) for the ols_value_model regression (event cents on
+    TZ-proof hour + epoch-day-mod-7): which calendar feature carries
+    the fit, with shared variance split by the two-order Shapley
+    average (phi1 + phi2 == r2_full by construction). BIGINT moments,
+    identical DOUBLE finale both engines."""
+    d = _events(spark, sf_dir).selectExpr(
+        "cast(floor(value * 100) as bigint) as cents",
+        "cast(hour(ts) as bigint) as hr",
+        "cast(datediff(cast(ts as date), DATE'1970-01-01') % 7"
+        " as bigint) as d7")
+    return quality.shapley_r2(d, "cents", "hr", "d7")
+
+
+def _q_partition_pruning(spark, sf_dir):
+    """Hive-style partitioned write + pruned read (the csv_roundtrip
+    staging discipline): documents written partitioned by
+    bucket = doc_id %% 8, read back filtered to buckets {2, 5} — the
+    scan must touch 2 of 8 directories (PartitionFilters plan-
+    asserted in tests/test_r5s6_ops.py). The oracle never touches
+    the files: it recomputes the projection from the parquet view,
+    so a lossy partition write/discovery shows up as a hash
+    mismatch."""
+    path = os.path.join("/tmp", "erex_part_"
+                        + os.path.basename(os.path.normpath(sf_dir)))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", "lang",
+        (F.col("doc_id") % 8).alias("bucket"))
+    d.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    back = spark.read.parquet(path)
+    return (back.filter(F.col("bucket").isin(2, 5))
+            .select("doc_id", F.col("n_chars").cast("long")
+                    .alias("n_chars"), "lang",
+                    F.col("bucket").cast("long").alias("bucket")))
+
+
 def _q_bh_fdr(spark, sf_dir):
     """Benjamini-Hochberg step-up FDR (ops/quality.py::bh_fdr) at
     q = 1/20 over staged ppm p-values: every 20th doc is a planted
@@ -6218,6 +6255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_census": _q_bowtie_census,
         "bh_fdr": _q_bh_fdr,
         "huffman_dict": _q_huffman_dict,
+        "shapley_r2": _q_shapley_r2,
+        "partition_pruning": _q_partition_pruning,
     }
 
 
@@ -14071,6 +14110,53 @@ FROM st{n}, rn{n}, lens""")
     return "".join(parts) + " UNION ALL ".join(sels)
 
 
+_SHAPLEY_R2_ORACLE = """
+WITH b AS (SELECT CAST(floor(value * 100) AS BIGINT) AS y,
+                  CAST(extract(hour FROM ts) AS BIGINT) AS x1,
+                  CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7
+                       AS BIGINT) AS x2
+           FROM events),
+a AS (SELECT count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+             sum(x1 * x2) AS s12, sum(x1 * y) AS s1y,
+             sum(x2 * y) AS s2y, sum(y * y) AS syy2
+      FROM b),
+m AS (SELECT n,
+        CAST(n * s11 - s1 * s1 AS DOUBLE) AS m11,
+        CAST(n * s22 - s2 * s2 AS DOUBLE) AS m22,
+        CAST(n * s12 - s1 * s2 AS DOUBLE) AS m12,
+        CAST(n * s1y - s1 * sy AS DOUBLE) AS v1,
+        CAST(n * s2y - s2 * sy AS DOUBLE) AS v2,
+        CAST(n * syy2 - sy * sy AS DOUBLE) AS syy
+      FROM a),
+r AS (SELECT n,
+        CASE WHEN m11 = 0 OR syy = 0 THEN NULL
+             ELSE v1 * v1 / (m11 * syy) END AS r1,
+        CASE WHEN m22 = 0 OR syy = 0 THEN NULL
+             ELSE v2 * v2 / (m22 * syy) END AS r2,
+        CASE WHEN m11 * m22 - m12 * m12 = 0 OR syy = 0 THEN NULL
+             ELSE (v1 * (m22 * v1 - m12 * v2)
+                   + v2 * (m11 * v2 - m12 * v1))
+                  / ((m11 * m22 - m12 * m12) * syy) END AS rf
+      FROM m)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(floor(rf * 1000000.0) AS BIGINT) AS r2_full_ppm,
+       CAST(floor(r1 * 1000000.0) AS BIGINT) AS r2_x1_ppm,
+       CAST(floor(r2 * 1000000.0) AS BIGINT) AS r2_x2_ppm,
+       CAST(floor((r1 + (rf - r2)) / 2 * 1000000.0) AS BIGINT)
+         AS phi1_ppm,
+       CAST(floor((r2 + (rf - r1)) / 2 * 1000000.0) AS BIGINT)
+         AS phi2_ppm
+FROM r
+"""
+
+_PARTITION_PRUNING_ORACLE = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang,
+       CAST(doc_id % 8 AS BIGINT) AS bucket
+FROM documents WHERE doc_id % 8 IN (2, 5)
+"""
+
 _BH_FDR_ORACLE = """
 WITH pv AS (SELECT CASE WHEN doc_id % 20 = 0 THEN doc_id % 50
               ELSE (doc_id * 2654435761) % 1000000 END AS p
@@ -16084,6 +16170,8 @@ FROM documents""",
         "bowtie_census": _BOWTIE_ORACLE,
         "bh_fdr": _BH_FDR_ORACLE,
         "huffman_dict": _HUFFMAN_ORACLE,
+        "shapley_r2": _SHAPLEY_R2_ORACLE,
+        "partition_pruning": _PARTITION_PRUNING_ORACLE,
     }
 
 

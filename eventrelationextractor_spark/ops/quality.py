@@ -1824,3 +1824,65 @@ def bh_fdr(pvals: DataFrame, p_col: str = "p_ppm",
                  F.sum(F.when(F.col("p") <= F.col("t_ppm"),
                               F.col("c")).otherwise(0))
                  .cast("long").alias("n_rejected")))
+
+
+def shapley_r2(df: DataFrame, y_col: str, x1_col: str,
+               x2_col: str) -> DataFrame:
+    """Exact Shapley (LMG) R^2 decomposition for the two-feature
+    regression -> one row (n, r2_full_ppm, r2_x1_ppm, r2_x2_ppm,
+    phi1_ppm, phi2_ppm): which covariate CARRIES the fit?
+    phi_i averages feature i's marginal R^2 over both entry orders —
+    exact for two features where the general Shapley is exponential
+    (the knn_shapley contract transplanted to regression), and the
+    principled answer where raw per-feature R^2 double-counts shared
+    variance: phi1 + phi2 == r2_full by construction.
+
+    Same determinism contract as :func:`ols2`: raw sums are exact
+    BIGINT from ONE partial-agg pass; centered moments BIGINT; the
+    finale casts moments to DOUBLE (the cuped overflow rule) through
+    an expression tree written IDENTICALLY on both engines —
+    + * / only, so floor-ppm is engine-exact; zero-variance /
+    singular designs emit NULLs, never a divide error."""
+    a = df.selectExpr(
+        f"cast({y_col} as bigint) as y",
+        f"cast({x1_col} as bigint) as x1",
+        f"cast({x2_col} as bigint) as x2",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x1 * x1")).alias("s11"),
+        F.sum(F.expr("x2 * x2")).alias("s22"),
+        F.sum(F.expr("x1 * x2")).alias("s12"),
+        F.sum(F.expr("x1 * y")).alias("s1y"),
+        F.sum(F.expr("x2 * y")).alias("s2y"),
+        F.sum(F.expr("y * y")).alias("syy2"))
+    m = a.selectExpr(
+        "n",
+        "cast(n * s11 - s1 * s1 as double) as m11",
+        "cast(n * s22 - s2 * s2 as double) as m22",
+        "cast(n * s12 - s1 * s2 as double) as m12",
+        "cast(n * s1y - s1 * sy as double) as v1",
+        "cast(n * s2y - s2 * sy as double) as v2",
+        "cast(n * syy2 - sy * sy as double) as syy")
+    r = m.selectExpr(
+        "n", "m11", "m22", "m12", "v1", "v2", "syy",
+        "m11 * m22 - m12 * m12 as det",
+        "case when m11 = 0.0d or syy = 0.0d then cast(null as double)"
+        " else v1 * v1 / (m11 * syy) end as r1",
+        "case when m22 = 0.0d or syy = 0.0d then cast(null as double)"
+        " else v2 * v2 / (m22 * syy) end as r2",
+    ).selectExpr(
+        "n", "r1", "r2",
+        "case when det = 0.0d or syy = 0.0d then cast(null as double)"
+        " else (v1 * (m22 * v1 - m12 * v2)"
+        " + v2 * (m11 * v2 - m12 * v1)) / (det * syy) end as rf")
+    return r.selectExpr(
+        "n",
+        "cast(floor(rf * 1000000.0) as bigint) as r2_full_ppm",
+        "cast(floor(r1 * 1000000.0) as bigint) as r2_x1_ppm",
+        "cast(floor(r2 * 1000000.0) as bigint) as r2_x2_ppm",
+        "cast(floor((r1 + (rf - r2)) / 2 * 1000000.0) as bigint)"
+        " as phi1_ppm",
+        "cast(floor((r2 + (rf - r1)) / 2 * 1000000.0) as bigint)"
+        " as phi2_ppm")

@@ -910,3 +910,48 @@ def test_huffman_degenerate_vocabularies(spark):
     got = {r.term: r.code_len
            for r in mt.huffman_dictionary(two).collect()}
     assert got == {"x": 1, "y": 1}
+
+
+# ------------------------------------------------- shapley r2
+
+
+def test_shapley_r2_sums_to_full_and_planted_signal(spark):
+    """y = 3*x1 + noise-free, x2 pure noise decorrelated: phi1
+    carries ~all of R^2, phi1 + phi2 == r2_full exactly (integer
+    ppm off-by-one from the two floors at most)."""
+    from eventrelationextractor_spark.ops import quality as q
+    rows = [(3 * i, i, (i * 7 + 3) % 5) for i in range(40)]
+    df = spark.createDataFrame(rows, "y long, x1 long, x2 long")
+    r = q.shapley_r2(df, "y", "x1", "x2").collect()[0]
+    assert r.r2_full_ppm == 1_000_000          # perfect fit
+    assert r.phi1_ppm > 900_000
+    assert abs((r.phi1_ppm + r.phi2_ppm) - r.r2_full_ppm) <= 2
+    assert r.r2_x1_ppm == 1_000_000
+
+
+def test_shapley_r2_shared_variance_split(spark):
+    """x2 = x1 (perfectly collinear): the full design is singular ->
+    NULL full/phi surfaces, while each univariate R^2 stands."""
+    from eventrelationextractor_spark.ops import quality as q
+    rows = [(2 * i + (i % 3), i, i) for i in range(30)]
+    df = spark.createDataFrame(rows, "y long, x1 long, x2 long")
+    r = q.shapley_r2(df, "y", "x1", "x2").collect()[0]
+    assert r.r2_full_ppm is None and r.phi1_ppm is None
+    assert r.r2_x1_ppm == r.r2_x2_ppm and r.r2_x1_ppm > 900_000
+
+
+# ------------------------------------------------- partition pruning
+
+
+def test_partition_pruning_reaches_the_scan(spark, tmp_path):
+    """The bucket filter must become PartitionFilters on the scan —
+    2 of 8 directories touched, zero data-file reads outside them."""
+    d = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 8).alias("bucket"))
+    path = str(tmp_path / "part")
+    d.write.partitionBy("bucket").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("bucket").isin(2, 5))
+    plan = _physical(back)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert back.count() == 16
