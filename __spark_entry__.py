@@ -4768,7 +4768,7 @@ def _q_reuse_distance(spark, sf_dir):
     """LRU reuse-distance histogram (ops/events.py::
     reuse_distance_hist, Mattson 1970) over the events stream keyed
     by props.k: one pass gives the hit-rate curve for every cache
-    size at once. The user_id %% 5 stratum keeps the oracle's
+    size at once. The user_id % 5 stratum keeps the oracle's
     correlated count-distinct-in-gap formulation (Theta(n * gap) by
     construction) at verification scale while the Spark side's
     per-user sequential replay is linear in the stream."""
@@ -4796,7 +4796,7 @@ def _q_interleave_eval(spark, sf_dir):
     """Team-draft interleaving (ops/bm25.py::team_draft_interleave,
     Radlinski 2008) of two INTEGER rankers per single-term query —
     raw term frequency vs density (1e6*tf div dl) — with judgments
-    rel = (tf >= 2 AND doc_id %% 3 > 0, chosen so per-query winners
+    rel = (tf >= 2 AND doc_id % 3 > 0, chosen so per-query winners
     split across A/B/tie). The whole surface is exact integers/strings
     (the md5-coin draft, list credits), so the hash gate checks the
     full sequential draft protocol; the oracle replays it as one
@@ -4885,10 +4885,10 @@ def _q_pps_sample(spark, sf_dir):
 
 def _q_attack_robustness(spark, sf_dir):
     """Hub-removal robustness curve (ops/graph.py::attack_robustness,
-    Albert-Jeong-Barabasi): the doc_id %% 20 stratum graph (the
+    Albert-Jeong-Barabasi): the doc_id % 20 stratum graph (the
     greedy_matching/boruvka sizing rule — the oracle's transitive
     closure is quadratic in component size BY NATURE) with 5 injected
-    hubs (j %% 4 == 0 -> j %% 5), shattered at k in {0, 1, 8}. Sizes
+    hubs (j % 4 == 0 -> j % 5), shattered at k in {0, 1, 8}. Sizes
     only are compared, so the engines' different component-label
     orders (string-min vs numeric-min) cannot matter."""
     js = (_docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
@@ -4952,10 +4952,10 @@ def _q_bitemporal(spark, sf_dir):
 
 def _q_vacuum_plan(spark, sf_dir):
     """Snapshot-aware vacuum planning (ops/maintenance.py::
-    vacuum_plan): files = the documents (created_day = doc_id %% 60),
+    vacuum_plan): files = the documents (created_day = doc_id % 60),
     10 snapshots of which 6..9 are live, manifests reference file f
-    from snapshot s iff f %% 5 != 0 and (f + s) %% 4 == 0 (so every
-    f %% 5 == 0 file is an orphan and the rest split live/expired),
+    from snapshot s iff f % 5 != 0 and (f + s) % 4 == 0 (so every
+    f % 5 == 0 file is an orphan and the rest split live/expired),
     retention horizon day 30. One left_anti + one semi join — the
     Iceberg expire_snapshots + orphan-cleanup decision."""
     files = _docs(spark, sf_dir).select(
@@ -4975,10 +4975,10 @@ def _q_vacuum_plan(spark, sf_dir):
 
 def _q_bowtie_census(spark, sf_dir):
     """Broder bow-tie census (ops/graph.py::bowtie_census) of the
-    doc_id %% 20 stratum DIRECTED graph (the WCC closure oracle is
+    doc_id % 20 stratum DIRECTED graph (the WCC closure oracle is
     quadratic in weak-component size — the attack_robustness sizing
-    rule): dangling every-17th nodes plus j -> j %% 5 hub edges for
-    j %% 4 == 0, j >= 5 (j >= 5 keeps the min pivot off a self-loop,
+    rule): dangling every-17th nodes plus j -> j % 5 hub edges for
+    j % 4 == 0, j >= 5 (j >= 5 keeps the min pivot off a self-loop,
     whose SCC would be trivially itself). Class membership is
     label-order-independent (only equality with the core's weak
     label is tested), so engine label conventions can't matter."""
@@ -5016,7 +5016,7 @@ def _q_shapley_r2(spark, sf_dir):
 def _q_partition_pruning(spark, sf_dir):
     """Hive-style partitioned write + pruned read (the csv_roundtrip
     staging discipline): documents written partitioned by
-    bucket = doc_id %% 8, read back filtered to buckets {2, 5} — the
+    bucket = doc_id % 8, read back filtered to buckets {2, 5} — the
     scan must touch 2 of 8 directories (PartitionFilters plan-
     asserted in tests/test_r5s6_ops.py). The oracle never touches
     the files: it recomputes the projection from the parquet view,
@@ -5038,8 +5038,8 @@ def _q_partition_pruning(spark, sf_dir):
 def _q_bh_fdr(spark, sf_dir):
     """Benjamini-Hochberg step-up FDR (ops/quality.py::bh_fdr) at
     q = 1/20 over staged ppm p-values: every 20th doc is a planted
-    signal (p = doc_id %% 50), the rest pseudo-uniform via the Knuth
-    multiplicative hash (doc_id * 2654435761 %% 1e6, < 2^63). The
+    signal (p = doc_id % 50), the rest pseudo-uniform via the Knuth
+    multiplicative hash (doc_id * 2654435761 % 1e6, < 2^63). The
     bounded-ppm-domain histogram turns the step-up rank condition
     into a statistic-scale cumulative count — no global sort."""
     d = _docs(spark, sf_dir).select(
@@ -8917,7 +8917,7 @@ SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY node
 def _walks_oracle(walk_len: int = 4, salt: str = "walk1",
                   cap: int = 100) -> str:
     """Replays random_walks step-for-step: sorted capped adjacency,
-    md5(salt:start:t) %% degree neighbor pick per chained CTE."""
+    md5(salt:start:t) % degree neighbor pick per chained CTE."""
     parts = [f"""WITH nodes AS (SELECT doc_id AS node FROM documents),
 e0 AS (
   SELECT doc_id AS s, (doc_id*7+1) % (SELECT count(*) FROM documents)
