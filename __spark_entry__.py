@@ -5876,6 +5876,44 @@ def _q_cdc_chunking(spark, sf_dir):
     return dedup.cdc_chunk_stats(_docs(spark, sf_dir))
 
 
+def _q_rfm_segments(spark, sf_dir):
+    """RFM segmentation census (ops/events.py::rfm_segments): per-user
+    recency/frequency/monetary quintiles via the bucket-offset exact
+    NTILE (no single-partition window), then the 5^3-bounded segment
+    grid with user counts and integer-cents revenue. The oracle uses
+    plain NTILE windows ordered by (metric, user_id) — the Spark side
+    must reproduce the SQL-standard larger-tiles-first distribution
+    from rank arithmetic alone."""
+    return events.rfm_segments(_events(spark, sf_dir))
+
+
+_JSON_INFER_STAGE = (
+    'concat(\'{"a":\', cast(event_id % 100 as string), '
+    '\',"b":"\', event_type, \'"\', '
+    'CASE WHEN user_id % 4 = 0 THEN concat(\',"c":\', '
+    '  CASE WHEN user_id % 8 = 0 THEN \'true\' ELSE \'false\' END) '
+    'WHEN user_id % 4 = 1 THEN concat(\',"c":\', '
+    '  cast(event_id % 90 as string), \'.5\') '
+    'WHEN user_id % 4 = 2 THEN \',"c":null\' ELSE \'\' END, '
+    'CASE WHEN event_id % 5 = 0 THEN concat(\',"d":{"e":\', '
+    '  cast(event_id % 7 as string), \'}\') ELSE \'\' END, '
+    "'}')")
+
+
+def _q_json_schema_infer(spark, sf_dir):
+    """Semi-structured schema inference (ops/maintenance.py::
+    json_schema_infer) over a staged JSON column with a deliberately
+    conflicted field: "c" is bool / float / null / missing by
+    user_id stratum, "d" nests one level. Spark parses each doc to
+    map<string,variant> and classes every value via
+    schema_of_variant (typed, no regex guessing — quoting survives,
+    unlike a map<string,string> parse); DuckDB reads the same
+    classes off json_each/json_type. Output = the schema-bounded
+    (path, type-class) census."""
+    d = _events(spark, sf_dir).selectExpr(_JSON_INFER_STAGE + " as js")
+    return maintenance.json_schema_infer(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver hash-gate window (first 50): diag probes first (the
@@ -6257,6 +6295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "huffman_dict": _q_huffman_dict,
         "shapley_r2": _q_shapley_r2,
         "partition_pruning": _q_partition_pruning,
+        "rfm_segments": _q_rfm_segments,
+        "json_schema_infer": _q_json_schema_infer,
     }
 
 
@@ -16172,7 +16212,63 @@ FROM documents""",
         "huffman_dict": _HUFFMAN_ORACLE,
         "shapley_r2": _SHAPLEY_R2_ORACLE,
         "partition_pruning": _PARTITION_PRUNING_ORACLE,
+        "rfm_segments": _RFM_ORACLE,
+        "json_schema_infer": _JSON_INFER_ORACLE,
     }
+
+
+_JSON_INFER_ORACLE = """
+WITH js AS (
+  SELECT concat('{"a":', CAST(event_id % 100 AS VARCHAR),
+    ',"b":"', event_type, '"',
+    CASE WHEN user_id % 4 = 0 THEN concat(',"c":',
+      CASE WHEN user_id % 8 = 0 THEN 'true' ELSE 'false' END)
+    WHEN user_id % 4 = 1 THEN concat(',"c":',
+      CAST(event_id % 90 AS VARCHAR), '.5')
+    WHEN user_id % 4 = 2 THEN ',"c":null' ELSE '' END,
+    CASE WHEN event_id % 5 = 0 THEN concat(',"d":{"e":',
+      CAST(event_id % 7 AS VARCHAR), '}') ELSE '' END,
+    '}')::JSON AS j
+  FROM events),
+top AS (SELECT u.k AS p, json_type(j, u.k) AS t, j FROM js,
+        LATERAL unnest(json_keys(j)) AS u(k)),
+obj AS (SELECT p, j FROM top WHERE t = 'OBJECT'),
+inn AS (SELECT obj.p || '.' || u2.k AS p,
+               json_type(json_extract(obj.j, obj.p), u2.k) AS t
+        FROM obj, LATERAL unnest(json_keys(obj.j, obj.p)) AS u2(k)),
+allp AS (SELECT p, t FROM top UNION ALL SELECT p, t FROM inn)
+SELECT p AS path,
+  CASE WHEN t IS NULL THEN 'null'
+       WHEN t IN ('UBIGINT', 'BIGINT') THEN 'int'
+       WHEN t = 'DOUBLE' THEN 'float'
+       WHEN t = 'BOOLEAN' THEN 'bool'
+       WHEN t = 'VARCHAR' THEN 'string'
+       WHEN t = 'OBJECT' THEN 'object'
+       ELSE 'other' END AS jtype,
+  count(*) AS n
+FROM allp GROUP BY path, jtype
+"""
+
+
+_RFM_ORACLE = """
+WITH ev AS (
+  SELECT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events),
+u AS (SELECT user_id, max(d) AS rec, count(*) AS freq,
+             sum(cents) AS mon
+      FROM ev GROUP BY user_id),
+q AS (SELECT user_id, mon,
+             ntile(5) OVER (ORDER BY rec, user_id) AS r_q,
+             ntile(5) OVER (ORDER BY freq, user_id) AS f_q,
+             ntile(5) OVER (ORDER BY mon, user_id) AS m_q
+      FROM u)
+SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       CAST(m_q AS BIGINT) AS m_q,
+       count(*) AS n_users, sum(mon) AS cents
+FROM q GROUP BY r_q, f_q, m_q
+"""
 
 
 if __name__ == "__main__":

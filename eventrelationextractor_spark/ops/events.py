@@ -1938,3 +1938,87 @@ def streaming_reuse(stream: DataFrame, user_col: str = "user_id",
     return stream.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout)
+
+
+def _exact_ntile(df: DataFrame, value_col: str, id_col: str,
+                 k: int, bucket_width: int) -> DataFrame:
+    """(id, tile): the exact SQL NTILE(k) index (1-based, larger tiles
+    first) of each row under the total order (value, id) — computed
+    WITHOUT a single-partition window.
+
+    Global rank = value-range bucket offset + partitioned row_number
+    (the sorted_neighborhood / quantile_normalize scheme: buckets are
+    contiguous runs of the sort order because the bucket is a monotone
+    function of the leading sort key). The tile index then follows
+    from rank arithmetic alone: with n rows, q = n div k, r = n mod k,
+    the first r tiles hold q+1 rows — identical to the SQL-standard
+    NTILE distribution on both engines."""
+    base = df.select(F.col(id_col).alias("rid"),
+                     F.col(value_col).cast("long").alias("x"))
+    bw = int(bucket_width)
+    bkt = base.withColumn("bkt", F.expr(f"x div {bw}"))
+    counts = bkt.groupBy("bkt").agg(F.count(F.lit(1)).cast("long")
+                                    .alias("cnt"))
+    w_off = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))) \
+        .withColumn("n", F.sum("cnt").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)).cast("long"))
+    w_loc = Window.partitionBy("bkt").orderBy("x", "rid")
+    ranked = (bkt.join(F.broadcast(offs.select("bkt", "off", "n")), "bkt")
+              .withColumn("r", (F.col("off")
+                                + F.row_number().over(w_loc))
+                          .cast("long")))
+    kk = F.lit(int(k))
+    q = (F.col("n") / kk).cast("long")  # floor: n, k positive
+    r = F.col("n") % kk
+    big = r * (q + 1)
+    tile = (F.when(F.col("r") <= big,
+                   ((F.col("r") - 1) / (q + 1)).cast("long") + 1)
+            .otherwise(r + ((F.col("r") - big - 1)
+                            / F.greatest(q, F.lit(1))).cast("long") + 1))
+    return ranked.select(F.col("rid").alias(id_col),
+                         tile.cast("long").alias("tile"))
+
+
+def rfm_segments(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 k: int = 5) -> DataFrame:
+    """RFM segmentation census -> (r_q, f_q, m_q, n_users, cents):
+    the classic recency/frequency/monetary customer grid. Each user
+    gets three ascending NTILE(k) quintile indexes — recency = last
+    active epoch-day (TZ-proof date math, the ntz_epoch_us
+    discipline), frequency = event count, monetary = integer-cents
+    revenue — and the output is the k^3-bounded segment census with
+    user counts and segment revenue.
+
+    Scale shape: one corpus-scale groupBy collapses events to the
+    user table; the three quintile passes run the bucket-offset
+    exact-NTILE (no single-partition window, see _exact_ntile); the
+    final census is a partial-aggregable groupBy on a k^3-bounded
+    key. Money stays BIGINT cents end to end (the
+    tpch_pricing_summary lesson: float sums at money magnitude drift
+    under partial-agg merge order; integer sums cannot)."""
+    ev = events.select(
+        F.col(user_col).alias("uid"),
+        F.datediff(F.col(ts_col).cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("d"),
+        F.floor(F.col(value_col) * 100).cast("long").alias("cents"))
+    users = ev.groupBy("uid").agg(
+        F.max("d").alias("rec"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("cents").alias("mon"))
+    rq = _exact_ntile(users, "rec", "uid", k, 8) \
+        .withColumnRenamed("tile", "r_q")
+    fq = _exact_ntile(users, "freq", "uid", k, 8) \
+        .withColumnRenamed("tile", "f_q")
+    mq = _exact_ntile(users, "mon", "uid", k, 100000) \
+        .withColumnRenamed("tile", "m_q")
+    seg = (users.select("uid", "mon")
+           .join(rq, "uid").join(fq, "uid").join(mq, "uid"))
+    return (seg.groupBy("r_q", "f_q", "m_q")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.sum("mon").alias("cents")))

@@ -931,3 +931,56 @@ def huffman_dictionary(docs: DataFrame, top_n: int = 64,
         [(t, int(f), int(lens[t])) for t, f in rows],
         "term string, freq long, code_len long")
     return out
+
+
+def json_schema_infer(df: DataFrame, json_col: str = "js",
+                      max_depth: int = 2) -> DataFrame:
+    """Semi-structured schema inference -> (path, jtype, n): the
+    (dotted-path, type-class) census of a JSON column, the first step
+    of any lakehouse JSON-ingestion pipeline (what Spark's own
+    ``spark.read.json`` sampler and DuckDB's ``json_structure`` do,
+    re-expressed as an exact full-corpus census so conflicting types
+    per path are VISIBLE instead of silently coerced).
+
+    Engine-native typed parse, no regex guessing: each document is
+    parsed to ``map<string, variant>`` (Spark 4 VARIANT keeps the
+    JSON type of every value, unlike ``map<string,string>`` which
+    erases quoting) and ``schema_of_variant`` names each value's
+    type, folded to the class set {int, float, bool, string, null,
+    object}. Object values additionally recurse one level via
+    ``to_json``/re-parse (``max_depth=2``), emitting ``outer.inner``
+    paths. The DuckDB twin reads the same classes off
+    ``json_each``/``json_type``.
+
+    Scale: parse + explode are narrow map-side work; the census is
+    one partial-aggregable groupBy on a schema-bounded key (paths x
+    classes, not rows). 100-TB JSON profiling is exactly this shape."""
+    def _cls(val: str) -> str:
+        s = f"schema_of_variant({val})"
+        return (f"CASE WHEN {s} = 'BIGINT' THEN 'int' "
+                f"WHEN {s} LIKE 'DECIMAL%' OR {s} = 'DOUBLE' THEN 'float' "
+                f"WHEN {s} = 'BOOLEAN' THEN 'bool' "
+                f"WHEN {s} = 'STRING' THEN 'string' "
+                f"WHEN {s} = 'VOID' THEN 'null' "
+                f"WHEN {s} LIKE 'OBJECT%' THEN 'object' "
+                f"ELSE 'other' END")
+
+    ent = df.select(F.explode(F.expr(
+        f"map_entries(from_json({json_col}, 'map<string,variant>'))"))
+        .alias("e"))
+    top = ent.select(
+        F.col("e.key").alias("path"),
+        F.expr(_cls("e.value")).alias("jtype"))
+    inner = (ent.filter(F.expr(
+        "schema_of_variant(e.value) LIKE 'OBJECT%'"))
+        .select(F.col("e.key").alias("outer_key"),
+                F.explode(F.expr(
+                    "map_entries(from_json(to_json(e.value), "
+                    "'map<string,variant>'))")).alias("e2"))
+        .select(
+            F.concat("outer_key", F.lit("."),
+                     F.col("e2.key")).alias("path"),
+            F.expr(_cls("e2.value")).alias("jtype")))
+    return (top.unionByName(inner)
+            .groupBy("path", "jtype")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))

@@ -1,0 +1,71 @@
+"""Round-5 session-7 operators: exact distributed NTILE / RFM
+segmentation census and VARIANT-typed JSON schema inference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventrelationextractor_spark.ops import events, maintenance
+
+# --------------------------------------------------------- exact ntile
+
+
+def test_exact_ntile_matches_sql_ntile(spark):
+    """The bucket-offset tile arithmetic must reproduce Spark's own
+    NTILE (SQL-standard larger-tiles-first) for n % k != 0, across a
+    value distribution that spans several buckets."""
+    rows = [(i, (i * 37) % 23) for i in range(17)]
+    df = spark.createDataFrame(rows, "uid long, x long")
+    got = {r["uid"]: r["tile"]
+           for r in events._exact_ntile(df, "x", "uid", 5, 4).collect()}
+    want = {r["uid"]: r["t"] for r in df.selectExpr(
+        "uid", "ntile(5) OVER (ORDER BY x, uid) AS t").collect()}
+    assert got == want
+
+
+def test_exact_ntile_fewer_rows_than_tiles(spark):
+    df = spark.createDataFrame([(1, 10), (2, 5), (3, 7)],
+                               "uid long, x long")
+    got = {r["uid"]: r["tile"]
+           for r in events._exact_ntile(df, "x", "uid", 5, 4).collect()}
+    assert got == {2: 1, 3: 2, 1: 3}
+
+
+def test_rfm_segments_shape_and_conservation(spark):
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 9:02d} 10:00:00", i % 7, "c", 1.0 + i)
+         for i in range(40)],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double").withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = events.rfm_segments(df).collect()
+    assert sum(r["n_users"] for r in out) == 7
+    total_cents = sum(r["cents"] for r in out)
+    assert total_cents == sum(100 * (1 + i) + 0 for i in range(40))
+    for r in out:
+        for c in ("r_q", "f_q", "m_q"):
+            assert 1 <= r[c] <= 5
+
+# --------------------------------------------------- json schema infer
+
+
+def test_json_schema_infer_classes(spark):
+    df = spark.createDataFrame(
+        [('{"a":5,"b":"x","c":1.5,"d":{"e":true},"f":null}',),
+         ('{"a":"five","g":-3}',)], "js string")
+    out = {(r["path"], r["jtype"]): r["n"]
+           for r in maintenance.json_schema_infer(df).collect()}
+    assert out == {
+        ("a", "int"): 1, ("a", "string"): 1, ("b", "string"): 1,
+        ("c", "float"): 1, ("d", "object"): 1, ("d.e", "bool"): 1,
+        ("f", "null"): 1, ("g", "int"): 1}
+
+
+def test_json_schema_infer_conflicting_path_counts(spark):
+    df = spark.createDataFrame(
+        [('{"c":true}',), ('{"c":2.5}',), ('{"c":2.5}',),
+         ('{"c":null}',), ('{}',)], "js string")
+    out = {(r["path"], r["jtype"]): r["n"]
+           for r in maintenance.json_schema_infer(df).collect()}
+    assert out == {("c", "bool"): 1, ("c", "float"): 2,
+                   ("c", "null"): 1}
