@@ -5900,6 +5900,41 @@ _JSON_INFER_STAGE = (
     "'}')")
 
 
+def _q_wordpiece(spark, sf_dir):
+    """WordPiece subword tokenizer (ops/bpe.py::wordpiece_vocab +
+    wordpiece_census): position-flavored units (plain at word start,
+    ##gram continuations) from a frequency-derived top-160 vocabulary
+    plus the full both-flavor alphabet, then greedy longest-match-
+    first encoding — the BERT-family counterpart to bpe_encode's
+    merge-list and optimal_segmentation's minimal-piece DP (greedy
+    vs optimal is the point of keeping all three). Words are staged
+    as token || doc_id%97 to open the closed ~31-word corpus
+    vocabulary to ~3k distinct words. The oracle replays the greedy
+    match as a recursive list-state CTE over the same vocab."""
+    wf = (_docs(spark, sf_dir)
+          .select(F.explode(F.split(
+              F.col("text"), " ")).alias("tok"),
+              (F.col("doc_id") % 97).alias("m"))
+          .filter(F.col("tok") != "")
+          .select(F.concat("tok", F.col("m").cast("string"))
+                  .alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).cast("long")
+                            .alias("freq")))
+    vocab = bpe.wordpiece_vocab(wf, k=160, max_len=4)
+    return bpe.wordpiece_census(wf, vocab, max_len=4)
+
+
+def _q_lz_complexity(spark, sf_dir):
+    """LZ76 phrase complexity (ops/textstats.py::lz_complexity) over
+    60-char doc prefixes: greedy shortest-novel-phrase parse, phrase
+    count + ratio_ppm per doc — the codec-free gzip-ratio quality
+    proxy beside repetition_stats and char_entropy. Oracle = one
+    phrase per recursive-CTE iteration with a list_filter/strpos
+    scan, bit-identical parse by construction."""
+    return textstats.lz_complexity(_docs(spark, sf_dir),
+                                   prefix_len=60)
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6297,6 +6332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_pruning": _q_partition_pruning,
         "rfm_segments": _q_rfm_segments,
         "json_schema_infer": _q_json_schema_infer,
+        "wordpiece_census": _q_wordpiece,
+        "lz_complexity": _q_lz_complexity,
     }
 
 
@@ -16214,7 +16251,79 @@ FROM documents""",
         "partition_pruning": _PARTITION_PRUNING_ORACLE,
         "rfm_segments": _RFM_ORACLE,
         "json_schema_infer": _JSON_INFER_ORACLE,
+        "wordpiece_census": _WORDPIECE_ORACLE,
+        "lz_complexity": _LZ_ORACLE,
     }
+
+
+_LZ_ORACLE = """
+WITH RECURSIVE
+s0 AS (SELECT doc_id, substr(text, 1, 60) AS s,
+              length(substr(text, 1, 60)) AS n
+       FROM documents),
+lz(doc_id, s, n, p, c) AS (
+  SELECT doc_id, s, n, 0, 0 FROM s0
+  UNION ALL
+  SELECT doc_id, s, n, p + coalesce(lmin, n - p), c + 1
+  FROM (SELECT doc_id, s, n, p, c,
+          list_min(list_filter(range(1, n - p + 1),
+            l -> strpos(substr(s, 1, p + l - 1),
+                        substr(s, p + 1, l)) = 0)) AS lmin
+        FROM lz WHERE p < n) t),
+fin AS (SELECT doc_id, n, c FROM lz WHERE p >= n)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       CAST(c AS BIGINT) AS n_phrases,
+       CASE WHEN n > 0 THEN CAST(c AS BIGINT) * 1000000 // n
+            ELSE 0 END AS ratio_ppm
+FROM fin
+"""
+
+
+_WORDPIECE_ORACLE = """
+WITH RECURSIVE
+wf AS (SELECT u.tok || CAST(d.doc_id % 97 AS VARCHAR) AS w,
+              count(*) AS freq
+       FROM documents d,
+            LATERAL unnest(string_split(d.text, ' ')) AS u(tok)
+       WHERE u.tok <> ''
+       GROUP BY 1),
+grid AS (SELECT CASE WHEN p.p = 1 THEN substr(w, 1, l.L)
+                     ELSE '##' || substr(w, p.p, l.L) END AS unit,
+                freq
+         FROM wf,
+              LATERAL unnest(range(1, length(w) + 1)) AS p(p),
+              LATERAL unnest(range(1, least(4, length(w) - p.p + 1)
+                                   + 1)) AS l(L)),
+agg AS (SELECT unit, sum(freq) AS cnt FROM grid GROUP BY unit),
+topu AS (SELECT unit FROM agg ORDER BY cnt DESC, unit LIMIT 160),
+chars0 AS (SELECT DISTINCT substr(w, i.i, 1) AS c
+           FROM wf, LATERAL unnest(range(1, length(w) + 1)) AS i(i)),
+vocab AS (SELECT DISTINCT unit FROM (
+            SELECT unit FROM topu
+            UNION ALL SELECT c FROM chars0
+            UNION ALL SELECT '##' || c FROM chars0) z),
+vl AS (SELECT list(unit) AS vs FROM vocab),
+enc(w, freq, pos, pieces) AS (
+  SELECT w, freq, 1, []::VARCHAR[] FROM wf
+  UNION ALL
+  SELECT w, freq, pos + ml,
+         list_append(pieces, CASE WHEN pos = 1 THEN substr(w, pos, ml)
+                     ELSE '##' || substr(w, pos, ml) END)
+  FROM (SELECT e.w, e.freq, e.pos, e.pieces,
+          list_max(list_filter(
+            range(1, least(4, length(e.w) - e.pos + 1) + 1),
+            L -> list_contains(vl.vs,
+              CASE WHEN e.pos = 1 THEN substr(e.w, e.pos, L)
+                   ELSE '##' || substr(e.w, e.pos, L) END))) AS ml
+        FROM enc e, vl WHERE e.pos <= length(e.w)) s
+  WHERE ml IS NOT NULL),
+fin AS (SELECT w, freq, pieces FROM enc WHERE pos > length(w)),
+ex AS (SELECT w, freq, u.piece
+       FROM fin, LATERAL unnest(pieces) AS u(piece))
+SELECT piece AS unit, sum(freq) AS uses,
+       count(DISTINCT w) AS n_words
+FROM ex GROUP BY piece
+"""
 
 
 _JSON_INFER_ORACLE = """

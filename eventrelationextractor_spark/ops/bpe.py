@@ -248,3 +248,90 @@ def optimal_segment(df: DataFrame, vocab: DataFrame, max_len: int = 4,
                                 "fertility_x1000": fert})
 
     return df.select(id_col, text_col).mapInPandas(fn, out_schema)
+
+
+def wordpiece_vocab(words: DataFrame, k: int = 160,
+                    max_len: int = 4) -> DataFrame:
+    """(unit): a WordPiece-style subword vocabulary over a word-
+    frequency table — the top-``k`` character n-grams (length 1..
+    ``max_len``) by corpus frequency, where units are position-
+    flavored exactly as in WordPiece: a gram counted at word start is
+    the plain unit, a gram at any later position is the continuation
+    unit ``##gram``. Every single character seen anywhere is added in
+    BOTH flavors so greedy encoding can never dead-end.
+
+    Scale design: unit counting runs over the WORD-FREQUENCY table
+    (weight = word freq), never the token stream — the same
+    |vocab|-proportional trick as learn_bpe. Tie-break (count desc,
+    unit asc), exact integers."""
+    ml = int(max_len)
+    grid = F.expr(
+        "flatten(transform(sequence(1, length(w)), p -> "
+        f"transform(sequence(1, least({ml}, length(w) - p + 1)), L -> "
+        "CASE WHEN p = 1 THEN substring(w, 1, L) "
+        "ELSE concat('##', substring(w, p, L)) END)))")
+    counts = (words.select(F.col(words.columns[0]).alias("w"),
+                           F.col(words.columns[1]).alias("freq"))
+              .select(F.explode(grid).alias("unit"), "freq")
+              .groupBy("unit").agg(F.sum("freq").alias("cnt")))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("unit")) \
+        .limit(int(k)).select("unit")
+    chars = (words.select(F.explode(F.split(
+                F.col(words.columns[0]), "")).alias("c"))
+             .filter(F.col("c") != "").distinct()
+             .select(F.explode(F.array(
+                 F.col("c"), F.concat(F.lit("##"), F.col("c"))))
+                 .alias("unit")))
+    return top.unionByName(chars).distinct()
+
+
+def wordpiece_census(words: DataFrame, vocab: DataFrame,
+                     max_len: int = 4) -> DataFrame:
+    """(unit, uses, n_words): greedy longest-match-first WordPiece
+    encoding of every distinct word, aggregated to the vocabulary-
+    bounded usage census — ``uses`` weights each occurrence by word
+    frequency (a word containing a unit twice counts it twice),
+    ``n_words`` counts distinct words using the unit.
+
+    The vocabulary is model-sized (top-k + alphabet): collected and
+    closed over (the broadcast-model pattern); encoding is an Arrow-
+    batched mapInPandas over the DISTINCT-WORD table, so per-corpus
+    cost is |vocab_words| x word-length — invariant to corpus row
+    count, exactly how a 100-TB tokenizer pass should amortize. The
+    greedy longest-match recurrence (match at pos, flavor by pos > 0,
+    advance) is per-word sequential state; the DuckDB twin carries it
+    as a recursive CTE with a list-state pieces column."""
+    units = frozenset(r[0] for r in vocab.collect())
+    ml = int(max_len)
+    out_schema = "w string, freq long, piece string"
+
+    def fn(batches):
+        import pandas as pd
+        for b in batches:
+            ws, fs, ps = [], [], []
+            for w, f in zip(b["w"], b["freq"]):
+                w = w if isinstance(w, str) else ""
+                pos, n = 0, len(w)
+                while pos < n:
+                    hit = None
+                    for L in range(min(ml, n - pos), 0, -1):
+                        cand = w[pos:pos + L]
+                        unit = cand if pos == 0 else "##" + cand
+                        if unit in units:
+                            hit = (unit, L)
+                            break
+                    if hit is None:       # unseen char: emit as-is
+                        hit = (w[pos] if pos == 0 else "##" + w[pos], 1)
+                    ws.append(w)
+                    fs.append(int(f))
+                    ps.append(hit[0])
+                    pos += hit[1]
+            yield pd.DataFrame({"w": ws, "freq": fs, "piece": ps})
+
+    enc = (words.select(F.col(words.columns[0]).alias("w"),
+                        F.col(words.columns[1]).cast("long")
+                        .alias("freq"))
+           .mapInPandas(fn, out_schema))
+    return (enc.groupBy(F.col("piece").alias("unit"))
+            .agg(F.sum("freq").alias("uses"),
+                 F.countDistinct("w").cast("long").alias("n_words")))

@@ -1777,3 +1777,56 @@ def bleu_stats(df: DataFrame, ref_col: str, sys_col: str,
                            " (1000000 * match_n) div sys_n"
                            " ELSE 0 END").cast("long").alias("p_ppm"),
                     "ref_len", "sys_len"))
+
+
+def lz_complexity(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  prefix_len: int = 60) -> DataFrame:
+    """Lempel-Ziv (LZ76) phrase complexity -> (id, n_chars,
+    n_phrases, ratio_ppm): the greedy exhaustive-history parse of
+    each document prefix — each phrase is the SHORTEST substring
+    starting at the cursor that has not occurred in the text before
+    it (the final phrase may be contained). Phrase count per
+    character is the classic compressibility proxy (what gzip-ratio
+    quality filters measure, without the codec): natural text lands
+    mid-range, boilerplate/repetition collapses it, noise maxes it —
+    the complexity-side companion to repetition_stats' n-gram ratios
+    and char_entropy's order-0 bound.
+
+    Per-doc sequential state (the cursor) -> Arrow-batched
+    mapInPandas over a narrow (id, prefix) projection: zero shuffle,
+    corpus-parallel, O(prefix_len^2) per doc with ``prefix_len``
+    bounded by contract (60 here; the signal saturates within the
+    first lines of a page). The DuckDB twin advances one phrase per
+    recursive-CTE iteration, finding each phrase length with a
+    list_filter/strpos scan — bit-identical by construction."""
+    pl = int(prefix_len)
+    out_schema = f"{id_col} long, n_chars long, n_phrases long, " \
+                 "ratio_ppm long"
+
+    def fn(batches):
+        import pandas as pd
+        for b in batches:
+            ids, ncs, cs, rs = [], [], [], []
+            for i, t in zip(b[id_col], b["s"]):
+                s = t if isinstance(t, str) else ""
+                n = len(s)
+                p, c = 0, 0
+                while p < n:
+                    phrase = n - p
+                    for l in range(1, n - p + 1):
+                        if s[p:p + l] not in s[:p + l - 1]:
+                            phrase = l
+                            break
+                    c += 1
+                    p += phrase
+                ids.append(int(i))
+                ncs.append(n)
+                cs.append(c)
+                rs.append(c * 1000000 // n if n else 0)
+            yield pd.DataFrame({id_col: ids, "n_chars": ncs,
+                                "n_phrases": cs, "ratio_ppm": rs})
+
+    return (df.select(F.col(id_col),
+                      F.substring(F.col(text_col), 1, pl).alias("s"))
+            .mapInPandas(fn, out_schema))

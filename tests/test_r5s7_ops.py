@@ -69,3 +69,60 @@ def test_json_schema_infer_conflicting_path_counts(spark):
            for r in maintenance.json_schema_infer(df).collect()}
     assert out == {("c", "bool"): 1, ("c", "float"): 2,
                    ("c", "null"): 1}
+
+# ------------------------------------------------------ wordpiece
+
+
+def test_wordpiece_vocab_char_coverage_both_flavors(spark):
+    from eventrelationextractor_spark.ops import bpe
+    words = spark.createDataFrame([("ab", 1), ("ba", 1)],
+                                  "w string, freq long")
+    units = {r["unit"] for r in
+             bpe.wordpiece_vocab(words, k=1, max_len=4).collect()}
+    assert {"a", "b", "##a", "##b"} <= units
+
+
+def test_wordpiece_census_greedy_longest_match(spark):
+    from eventrelationextractor_spark.ops import bpe
+    words = spark.createDataFrame([("hello", 2)], "w string, freq long")
+    vocab = spark.createDataFrame(
+        [(u,) for u in ["he", "##ll", "##o", "h", "e", "l", "o",
+                        "##h", "##e", "##l"]], "unit string")
+    out = {r["unit"]: (r["uses"], r["n_words"])
+           for r in bpe.wordpiece_census(words, vocab).collect()}
+    assert out == {"he": (2, 1), "##ll": (2, 1), "##o": (2, 1)}
+
+
+def test_wordpiece_census_repeat_unit_multiplicity(spark):
+    from eventrelationextractor_spark.ops import bpe
+    words = spark.createDataFrame([("aaaa", 3)], "w string, freq long")
+    vocab = spark.createDataFrame([("a",), ("##a",)], "unit string")
+    out = {r["unit"]: r["uses"]
+           for r in bpe.wordpiece_census(words, vocab).collect()}
+    assert out == {"a": 3, "##a": 9}
+
+# ------------------------------------------------- lz complexity
+
+
+def test_lz_complexity_known_parses(spark):
+    from eventrelationextractor_spark.ops import textstats
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "ababab"), (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_chars"], r["n_phrases"], r["ratio_ppm"])
+           for r in textstats.lz_complexity(df).collect()}
+    assert out[1] == (4, 2, 500000)
+    assert out[2] == (4, 4, 1000000)
+    assert out[3] == (6, 3, 500000)
+    assert out[4] == (0, 0, 0)
+
+
+def test_lz_complexity_repetition_vs_noise_ordering(spark):
+    from eventrelationextractor_spark.ops import textstats
+    rep = "the cat " * 7
+    noise = "qx7zw9vkp2mje4ty8rhu3bn6fgd0csal5io1"
+    df = spark.createDataFrame([(1, rep), (2, noise)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["ratio_ppm"]
+           for r in textstats.lz_complexity(df).collect()}
+    assert out[1] < out[2]
