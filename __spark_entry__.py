@@ -5935,6 +5935,37 @@ def _q_lz_complexity(spark, sf_dir):
                                    prefix_len=60)
 
 
+def _q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H (ops/quality.py::kruskal_wallis) over the
+    doc_id%5 length stratum with 3 synthetic arms (doc_id div 5 mod
+    3) — the k-sample rank companion to mann_whitney and the
+    nonparametric twin of anova_f. Doubled tie-averaged ranks keep
+    every moment BIGINT; the float finale is a g-sorted IEEE left
+    fold + one fixed DAG, mirrored term for term in the oracle."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0).select(
+        ((F.col("doc_id") / 5).cast("long") % 3).alias("g"),
+        F.col("n_chars").alias("x"))
+    return quality.kruskal_wallis(d, "g", "x")
+
+
+def _q_interval_scheduling(spark, sf_dir):
+    """Greedy earliest-end-first interval scheduling (ops/events.py::
+    interval_scheduling) over the user_id%10 stratum: each event is
+    an interval [ts, ts + (event_id%7+1) minutes); per-user maximum
+    non-overlapping admission count. TZ-proof integer start seconds
+    (ntz_epoch_us div 1e6 == DuckDB epoch_us // 1e6); the oracle
+    replays the cursor as a recursive CTE over each user's
+    (end, start, id)-sorted interval list — the stratum keeps the
+    sequential-replay oracle off the greedy_matching wall."""
+    d = (_events(spark, sf_dir)
+         .filter(F.col("user_id") % 10 == 0)
+         .withColumn("us", events.ntz_epoch_us("ts"))
+         .select("user_id", "event_id",
+                 F.expr("us div 1000000").alias("start_s"),
+                 ((F.col("event_id") % 7 + 1) * 60).alias("dur_s")))
+    return events.interval_scheduling(d)
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6334,6 +6365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_schema_infer": _q_json_schema_infer,
         "wordpiece_census": _q_wordpiece,
         "lz_complexity": _q_lz_complexity,
+        "kruskal_wallis": _q_kruskal_wallis,
+        "interval_scheduling": _q_interval_scheduling,
     }
 
 
@@ -16253,7 +16286,59 @@ FROM documents""",
         "json_schema_infer": _JSON_INFER_ORACLE,
         "wordpiece_census": _WORDPIECE_ORACLE,
         "lz_complexity": _LZ_ORACLE,
+        "kruskal_wallis": _KRUSKAL_ORACLE,
+        "interval_scheduling": _INTERVAL_SCHED_ORACLE,
     }
+
+
+_KRUSKAL_ORACLE = """
+WITH b AS (SELECT (doc_id // 5) % 3 AS g, n_chars AS x
+           FROM documents WHERE doc_id % 5 = 0),
+r AS (SELECT g,
+        rank() OVER (ORDER BY x ASC) + count(*) OVER () + 1
+          - rank() OVER (ORDER BY x DESC) AS r2
+      FROM b),
+ties AS (SELECT coalesce(sum(t * t * t - t), 0) AS tt
+         FROM (SELECT count(*) AS t FROM b GROUP BY x) z),
+grp AS (SELECT g, count(*) AS ng, sum(r2) AS dr FROM r GROUP BY g),
+agg AS (SELECT count(*) AS k_groups, sum(ng) AS n,
+          (max(CASE WHEN g = 0 THEN CAST(dr AS DOUBLE) * dr / ng END)
+           + max(CASE WHEN g = 1 THEN CAST(dr AS DOUBLE) * dr / ng END))
+           + max(CASE WHEN g = 2 THEN CAST(dr AS DOUBLE) * dr / ng END)
+            AS s
+        FROM grp)
+SELECT CAST(k_groups AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+       CAST(tt AS BIGINT) AS tt,
+       round(CASE WHEN n > 1 AND CAST(n AS DOUBLE) * n * n - n > tt
+         THEN (3.0 * s / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+            / (1.0 - CAST(tt AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n * n - n))
+         ELSE 0.0 END, 6) AS h
+FROM agg, ties
+"""
+
+_INTERVAL_SCHED_ORACLE = """
+WITH RECURSIVE
+iv AS (SELECT user_id AS u, epoch_us(ts) // 1000000 AS s,
+              ((event_id % 7) + 1) * 60 AS d, event_id AS eid
+       FROM events WHERE user_id % 10 = 0),
+lst AS (SELECT u, count(*) AS n_iv,
+               list({'s': s, 'e': s + d} ORDER BY s + d, s, eid)
+                 AS ivs
+        FROM iv GROUP BY u),
+go(u, n_iv, ivs, i, last_e, taken) AS (
+  SELECT u, n_iv, ivs, 1, CAST(NULL AS BIGINT), 0 FROM lst
+  UNION ALL
+  SELECT u, n_iv, ivs, i + 1,
+    CASE WHEN last_e IS NULL OR ivs[i].s >= last_e
+         THEN ivs[i].e ELSE last_e END,
+    taken + CASE WHEN last_e IS NULL OR ivs[i].s >= last_e
+                 THEN 1 ELSE 0 END
+  FROM go WHERE i <= n_iv)
+SELECT u AS user_id, CAST(n_iv AS BIGINT) AS n_intervals,
+       CAST(taken AS BIGINT) AS n_scheduled
+FROM go WHERE i = n_iv + 1
+"""
 
 
 _LZ_ORACLE = """

@@ -2022,3 +2022,43 @@ def rfm_segments(events: DataFrame, user_col: str = "user_id",
     return (seg.groupBy("r_q", "f_q", "m_q")
             .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
                  F.sum("mon").alias("cents")))
+
+
+def interval_scheduling(df: DataFrame, user_col: str = "user_id",
+                        start_col: str = "start_s",
+                        dur_col: str = "dur_s",
+                        id_col: str = "event_id") -> DataFrame:
+    """Greedy maximum non-overlapping interval selection per user ->
+    (user, n_intervals, n_scheduled): the classic earliest-end-first
+    exchange-argument optimum — how many of a user's sessions/jobs
+    fit without overlap (capacity-1 admission control, ad-slot
+    packing, meeting-room yield). Intervals are [start, start+dur);
+    a candidate is taken iff start >= the last accepted end; order is
+    (end, start, id) — total, engine-agnostic.
+
+    The accepted-set cursor is inherently sequential per user ->
+    applyInPandas per user group (one shuffle), O(n log n) per user.
+    The DuckDB twin replays the same cursor as a recursive CTE over
+    each user's (end, start, id)-sorted interval LIST — run it on a
+    user stratum at large SF (the greedy_matching oracle contract);
+    the Spark side has no such wall."""
+    import pandas as pd
+
+    out_schema = f"{user_col} long, n_intervals long, n_scheduled long"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = int(pdf[user_col].iloc[0])
+        pdf = pdf.assign(end=pdf[start_col] + pdf[dur_col]).sort_values(
+            ["end", start_col, id_col], kind="mergesort")
+        last_end = None
+        taken = 0
+        for s, e in zip(pdf[start_col], pdf["end"]):
+            if last_end is None or s >= last_end:
+                taken += 1
+                last_end = e
+        return pd.DataFrame({user_col: [uid],
+                             "n_intervals": [len(pdf)],
+                             "n_scheduled": [taken]})
+
+    return (df.select(user_col, start_col, dur_col, id_col)
+            .groupBy(user_col).applyInPandas(fn, out_schema))

@@ -1886,3 +1886,55 @@ def shapley_r2(df: DataFrame, y_col: str, x1_col: str,
         " as phi1_ppm",
         "cast(floor((r2 + (rf - r1)) / 2 * 1000000.0) as bigint)"
         " as phi2_ppm")
+
+
+def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) \
+        -> DataFrame:
+    """Kruskal-Wallis rank H test -> ONE row (k_groups, n, tt, h):
+    the k-sample extension of ``mann_whitney_u`` — do any of k arms
+    differ in location, without normality assumptions (the rank
+    analogue of ``anova_f``).
+
+    Integer-exact core, same discipline as mann_whitney: doubled
+    tie-averaged pooled ranks via rank_asc + n + 1 - rank_desc, so
+    each group's doubled rank sum DR_g and the tie term
+    tt = sum(t^3 - t) are exact BIGINTs. With R_g = DR_g/2,
+    H = (12/(N(N+1))) * sum R_g^2/n_g - 3(N+1), tie-corrected by
+    1 - tt/(N^3 - N); substituting doubled ranks turns 12/4 into 3.
+    The float finale folds per-group terms DR_g^2 / n_g in g-sorted
+    order (F.aggregate over a sorted array — a deterministic IEEE
+    left fold, and +0.0 + x == x so the oracle's explicit
+    left-associated sum is bit-identical), then one fixed + * /
+    expression DAG, 6dp.
+
+    Contract: pooled GLOBAL ranks — statistic-scale sample/stratum
+    only (the mann_whitney contract)."""
+    b = df.select(F.col(group_col).cast("long").alias("g"),
+                  F.col(value_col).cast("long").alias("x"))
+    ra = F.rank().over(Window.orderBy(F.col("x").asc()))
+    rd = F.rank().over(Window.orderBy(F.col("x").desc()))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = b.select("g", "x",
+                      (ra + cnt + 1 - rd).cast("long").alias("r2"))
+    ties = (b.groupBy("x").agg(F.count(F.lit(1)).alias("t"))
+            .agg(F.sum(F.col("t") * F.col("t") * F.col("t")
+                       - F.col("t")).cast("long").alias("tt")))
+    grp = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("r2").cast("long").alias("dr"))
+    agg = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("ng").cast("long").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("g", "dr", "ng"))),
+            F.lit(0.0),
+            lambda acc, s: acc + (s["dr"].cast("double") * s["dr"]
+                                  / s["ng"])).alias("s"))
+    j = agg.crossJoin(F.broadcast(ties))
+    h = F.expr(
+        "CASE WHEN n > 1 AND CAST(n AS DOUBLE) * n * n - n > tt "
+        "THEN (3.0 * s / (CAST(n AS DOUBLE) * (n + 1)) "
+        "- 3.0 * (n + 1)) "
+        "/ (1.0 - CAST(tt AS DOUBLE) "
+        "/ (CAST(n AS DOUBLE) * n * n - n)) ELSE 0.0 END")
+    return j.select("k_groups", "n", "tt", F.round(h, 6).alias("h"))

@@ -126,3 +126,45 @@ def test_lz_complexity_repetition_vs_noise_ordering(spark):
     out = {r["doc_id"]: r["ratio_ppm"]
            for r in textstats.lz_complexity(df).collect()}
     assert out[1] < out[2]
+
+# -------------------------------------------------- kruskal-wallis
+
+
+def test_kruskal_wallis_textbook_no_ties(spark):
+    from eventrelationextractor_spark.ops import quality
+    rows = [(0, v) for v in (1, 2, 3)] + [(1, v) for v in (4, 5, 6)] \
+        + [(2, v) for v in (7, 8, 9)]
+    df = spark.createDataFrame(rows, "g long, x long")
+    r = quality.kruskal_wallis(df, "g", "x").collect()[0]
+    assert (r["k_groups"], r["n"], r["tt"]) == (3, 9, 0)
+    assert abs(r["h"] - 7.2) < 1e-9
+
+
+def test_kruskal_wallis_all_tied_guard(spark):
+    from eventrelationextractor_spark.ops import quality
+    df = spark.createDataFrame([(g, 5) for g in (0, 1, 2) for _ in
+                                range(3)], "g long, x long")
+    r = quality.kruskal_wallis(df, "g", "x").collect()[0]
+    assert r["h"] == 0.0
+
+# --------------------------------------------- interval scheduling
+
+
+def test_interval_scheduling_greedy_optimum(spark):
+    from eventrelationextractor_spark.ops import events as ev
+    rows = [(1, 0, 10, 1), (1, 1, 2, 2), (1, 2, 2, 3),
+            (1, 5, 3, 4), (1, 9, 3, 5), (2, 0, 1, 6)]
+    df = spark.createDataFrame(
+        rows, "user_id long, start_s long, dur_s long, event_id long")
+    out = {r["user_id"]: (r["n_intervals"], r["n_scheduled"])
+           for r in ev.interval_scheduling(df).collect()}
+    assert out == {1: (5, 3), 2: (1, 1)}
+
+
+def test_interval_scheduling_touching_endpoints_admit(spark):
+    from eventrelationextractor_spark.ops import events as ev
+    rows = [(1, 0, 5, 1), (1, 5, 5, 2), (1, 10, 5, 3)]
+    df = spark.createDataFrame(
+        rows, "user_id long, start_s long, dur_s long, event_id long")
+    r = ev.interval_scheduling(df).collect()[0]
+    assert (r["n_intervals"], r["n_scheduled"]) == (3, 3)
