@@ -5966,6 +5966,40 @@ def _q_interval_scheduling(spark, sf_dir):
     return events.interval_scheduling(d)
 
 
+def _q_geo_nearest_hub(spark, sf_dir):
+    """Planar nearest-hub assignment (ops/simsearch.py::
+    planar_nearest_hub): staged millidegree point grid vs 32 staged
+    hubs, broadcast cross join + min(struct(d2, hub)) argmin, hub-
+    bounded census with integer mean/min squared distance — geo
+    partitioning / the 2-D IVF coarse assign, integer-pure."""
+    pts = _docs(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("doc_id") * 7919) % 360000 - 180000).alias("x"),
+        ((F.col("doc_id") * 104729) % 180000 - 90000).alias("y"))
+    hubs = spark.range(32).select(
+        F.col("id").alias("hub"),
+        ((F.col("id") * 11003) % 360000 - 180000).alias("hx"),
+        ((F.col("id") * 7507) % 180000 - 90000).alias("hy"))
+    return simsearch.planar_nearest_hub(pts, hubs)
+
+
+def _q_ransac_fit(spark, sf_dir):
+    """Deterministic RANSAC line fit (ops/quality.py::ransac_line)
+    over a staged y = 3x - 40 grid with ppm-scale noise and a +2000
+    outlier spike on every 17th doc: md5-argmin candidate pairs,
+    cross-multiplied integer inlier test, consensus refit via exact
+    BIGINT moments. The robust complement to ols2/theil_sen — the
+    refit slope must land on 3.0 despite ~6% gross outliers."""
+    pts = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("pid"),
+        (F.col("doc_id") % 1000).alias("x"),
+        (3 * (F.col("doc_id") % 1000) - 40
+         + (F.col("doc_id") * 2654435761) % 9 - 4
+         + F.when(F.col("doc_id") % 17 == 0, 2000).otherwise(0))
+        .alias("y"))
+    return quality.ransac_line(pts)
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6367,6 +6401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lz_complexity": _q_lz_complexity,
         "kruskal_wallis": _q_kruskal_wallis,
         "interval_scheduling": _q_interval_scheduling,
+        "geo_nearest_hub": _q_geo_nearest_hub,
+        "ransac_fit": _q_ransac_fit,
     }
 
 
@@ -16288,7 +16324,73 @@ FROM documents""",
         "lz_complexity": _LZ_ORACLE,
         "kruskal_wallis": _KRUSKAL_ORACLE,
         "interval_scheduling": _INTERVAL_SCHED_ORACLE,
+        "geo_nearest_hub": _GEO_HUB_ORACLE,
+        "ransac_fit": _RANSAC_ORACLE,
     }
+
+
+_GEO_HUB_ORACLE = """
+WITH p AS (SELECT doc_id,
+             (doc_id * 7919) % 360000 - 180000 AS x,
+             (doc_id * 104729) % 180000 - 90000 AS y
+           FROM documents),
+h AS (SELECT t.hub,
+             (t.hub * 11003) % 360000 - 180000 AS hx,
+             (t.hub * 7507) % 180000 - 90000 AS hy
+      FROM (SELECT unnest(range(0, 32)) AS hub) t),
+d AS (SELECT p.doc_id,
+             (p.x - h.hx) * (p.x - h.hx)
+             + (p.y - h.hy) * (p.y - h.hy) AS d2, h.hub
+      FROM p, h),
+best AS (SELECT doc_id, min(struct_pack(d2 := d2, hub := hub)) AS m
+         FROM d GROUP BY doc_id)
+SELECT CAST(m.hub AS BIGINT) AS hub, count(*) AS n_points,
+       CAST(sum(m.d2) AS BIGINT) // count(*) AS mean_d2,
+       CAST(min(m.d2) AS BIGINT) AS min_d2
+FROM best GROUP BY m.hub
+"""
+
+_RANSAC_ORACLE = """
+WITH p AS (SELECT doc_id AS pid, doc_id % 1000 AS x,
+             3 * (doc_id % 1000) - 40
+             + (doc_id * 2654435761) % 9 - 4
+             + CASE WHEN doc_id % 17 = 0 THEN 2000 ELSE 0 END AS y
+           FROM documents),
+fan AS (SELECT pid, x, y, t.j FROM p,
+        LATERAL unnest(range(0, 16)) AS t(j)),
+cand0 AS (SELECT j,
+    min(struct_pack(h := md5(j || ':a:' || pid), pid := pid,
+                    x := x, y := y)) AS pa,
+    min(struct_pack(h := md5(j || ':b:' || pid), pid := pid,
+                    x := x, y := y)) AS pb
+  FROM fan GROUP BY j),
+cand AS (SELECT j, pa.x AS xa, pa.y AS ya, pb.x AS xb, pb.y AS yb
+         FROM cand0 WHERE pa.x <> pb.x),
+scored AS (SELECT p.x, p.y, c.*,
+             abs((c.yb - c.ya) * (p.x - c.xa)
+                 - (c.xb - c.xa) * (p.y - c.ya)) AS resid
+           FROM p, cand c),
+tall AS (SELECT j, xa, ya, xb, yb,
+           sum(CASE WHEN resid <= 4 * abs(xb - xa)
+                    THEN 1 ELSE 0 END) AS n_inliers,
+           count(*) AS n_points
+         FROM scored GROUP BY j, xa, ya, xb, yb),
+best AS (SELECT * FROM tall
+         ORDER BY n_inliers DESC, j LIMIT 1),
+refit AS (SELECT count(*) AS rn, sum(s.x) AS sx, sum(s.y) AS sy,
+            sum(s.x * s.x) AS sxx, sum(s.x * s.y) AS sxy
+          FROM scored s, best b
+          WHERE s.j = b.j AND s.resid <= 4 * abs(s.xb - s.xa))
+SELECT b.j AS best_j, CAST(b.n_points AS BIGINT) AS n_points,
+  CAST(b.n_inliers AS BIGINT) AS n_inliers,
+  CAST(floor(CAST(b.yb - b.ya AS DOUBLE) / (b.xb - b.xa)
+             * 1000000.0) AS BIGINT) AS slope_cand_ppm,
+  CASE WHEN r.rn * r.sxx - r.sx * r.sx = 0 THEN NULL
+       ELSE CAST(floor(CAST(r.rn * r.sxy - r.sx * r.sy AS DOUBLE)
+                 / CAST(r.rn * r.sxx - r.sx * r.sx AS DOUBLE)
+                 * 1000000.0) AS BIGINT) END AS slope_refit_ppm
+FROM best b, refit r
+"""
 
 
 _KRUSKAL_ORACLE = """

@@ -1938,3 +1938,74 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) \
         "/ (1.0 - CAST(tt AS DOUBLE) "
         "/ (CAST(n AS DOUBLE) * n * n - n)) ELSE 0.0 END")
     return j.select("k_groups", "n", "tt", F.round(h, 6).alias("h"))
+
+
+def ransac_line(points: DataFrame, id_col: str = "pid",
+                n_cand: int = 16, tol: int = 4) -> DataFrame:
+    """Deterministic RANSAC line fit -> ONE row (best_j, n_points,
+    n_inliers, slope_cand_ppm, slope_refit_ppm): robust regression
+    that an outlier-poisoned OLS (ols2 / theil_sen's complement)
+    cannot match — sample candidate models, score by inlier count,
+    refit on the consensus set. "Random" is md5-derived (the
+    link_walks / isolation-forest discipline): candidate j's two
+    points are the corpus argmins of md5(j:a:id) / md5(j:b:id), so
+    every engine draws the same pairs.
+
+    Integer-exact inlier test — no slope division ever touches the
+    hot path: |(yb-ya)(x-xa) - (xb-xa)(y-ya)| <= tol * |xb-xa|
+    (the cross-multiplied vertical residual). Scale shape: candidate
+    selection = one map-side n_cand-fold fanout + partial-agg argmin
+    (min(struct(md5, id, x, y))); scoring = broadcast candidates,
+    one more fanout + count; refit = exact BIGINT moments over the
+    winner's inliers (the ols2 contract), slopes emitted as
+    floor(double * 1e6) ppm — a fixed IEEE tree, identical both
+    engines. Degenerate candidates (same point twice, vertical
+    pair) are filtered before scoring."""
+    p = points.select(F.col(id_col).cast("long").alias("pid"),
+                      F.col("x").cast("long").alias("x"),
+                      F.col("y").cast("long").alias("y"))
+    nc = int(n_cand)
+    fan = p.select(
+        "pid", "x", "y",
+        F.explode(F.expr(f"sequence(0, {nc - 1})")).alias("j"))
+    cands = (fan.groupBy("j").agg(
+        F.min(F.struct(
+            F.md5(F.concat_ws(":", F.col("j"), F.lit("a"),
+                              F.col("pid"))).alias("h"),
+            F.col("pid").alias("pid"), F.col("x").alias("x"),
+            F.col("y").alias("y"))).alias("pa"),
+        F.min(F.struct(
+            F.md5(F.concat_ws(":", F.col("j"), F.lit("b"),
+                              F.col("pid"))).alias("h"),
+            F.col("pid").alias("pid"), F.col("x").alias("x"),
+            F.col("y").alias("y"))).alias("pb"))
+        .select("j", F.col("pa.x").alias("xa"), F.col("pa.y").alias("ya"),
+                F.col("pb.x").alias("xb"), F.col("pb.y").alias("yb"))
+        .filter("xa != xb"))
+    scored = (p.crossJoin(F.broadcast(cands))
+              .withColumn("resid", F.expr(
+                  "abs((yb - ya) * (x - xa) - (xb - xa) * (y - ya))"))
+              .withColumn("is_in", F.expr(
+                  f"resid <= {int(tol)} * abs(xb - xa)")))
+    tall = (scored.groupBy("j", "xa", "ya", "xb", "yb")
+            .agg(F.sum(F.when(F.col("is_in"), 1).otherwise(0))
+                 .cast("long").alias("n_inliers"),
+                 F.count(F.lit(1)).cast("long").alias("n_points")))
+    best = (tall.orderBy(F.col("n_inliers").desc(), F.col("j"))
+            .limit(1))
+    refit = (scored.join(F.broadcast(best.select("j")), "j")
+             .filter("is_in")
+             .agg(F.count(F.lit(1)).cast("long").alias("rn"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.expr("x * x")).alias("sxx"),
+                  F.sum(F.expr("x * y")).alias("sxy")))
+    return (best.crossJoin(F.broadcast(refit))
+            .selectExpr(
+                "j as best_j", "n_points", "n_inliers",
+                "cast(floor(cast(yb - ya as double) / (xb - xa)"
+                " * 1000000.0) as bigint) as slope_cand_ppm",
+                "case when rn * sxx - sx * sx = 0 then"
+                " cast(null as bigint) else"
+                " cast(floor(cast(rn * sxy - sx * sy as double)"
+                " / cast(rn * sxx - sx * sx as double)"
+                " * 1000000.0) as bigint) end as slope_refit_ppm"))

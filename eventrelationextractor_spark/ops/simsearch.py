@@ -835,3 +835,43 @@ def knn_shapley(emb: DataFrame, n_test: int = 10, k_nn: int = 5,
             .select(F.col("qid").alias("query_id"),
                     F.col("rank").cast("long").alias("rank"),
                     F.col("cid").alias("train_id"), "shap_nano"))
+
+
+def planar_nearest_hub(points: DataFrame, hubs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Nearest-hub assignment census on an integer planar grid ->
+    (hub, n_points, mean_d2, min_d2): every point joins its closest
+    hub under exact squared Euclidean distance with (d2, hub)
+    tie-break — geo partitioning / facility assignment / the 2-D
+    special case of the IVF coarse-assign step, kept integer-pure
+    (millidegree-scale coordinates; planar approximation by contract
+    — this is the ANN assignment pattern, not geodesy).
+
+    Scale shape: the hub table is model-sized -> broadcast cross
+    join (k-fold map-side fanout, NO shuffle before the argmin);
+    per-point argmin = min(struct(d2, hub)) inside a partial-
+    aggregable groupBy; the census is hub-bounded. Integer budget:
+    with |coord| <= 4*10^5 and n <= ~10^7 rows per partition-sum,
+    sum(d2) stays far under 2^63; re-scale coordinates before
+    summing at larger magnitudes (docstring contract)."""
+    p = points.select(F.col(id_col).alias("pid"),
+                      F.col("x").cast("long").alias("x"),
+                      F.col("y").cast("long").alias("y"))
+    h = hubs.select(F.col("hub").cast("long").alias("hub"),
+                    F.col("hx").cast("long").alias("hx"),
+                    F.col("hy").cast("long").alias("hy"))
+    d2 = ((F.col("x") - F.col("hx")) * (F.col("x") - F.col("hx"))
+          + (F.col("y") - F.col("hy")) * (F.col("y") - F.col("hy")))
+    best = (p.crossJoin(F.broadcast(h))
+            .select("pid", d2.alias("d2"), "hub")
+            .groupBy("pid")
+            .agg(F.min(F.struct("d2", "hub")).alias("m"))
+            .select(F.col("m.hub").alias("hub"),
+                    F.col("m.d2").alias("d2")))
+    return (best.groupBy("hub")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_points"),
+                 F.sum("d2").cast("long").alias("sum_d2"),
+                 F.min("d2").cast("long").alias("min_d2"))
+            .select("hub", "n_points",
+                    F.expr("sum_d2 div n_points").alias("mean_d2"),
+                    "min_d2"))

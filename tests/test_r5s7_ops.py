@@ -168,3 +168,36 @@ def test_interval_scheduling_touching_endpoints_admit(spark):
         rows, "user_id long, start_s long, dur_s long, event_id long")
     r = ev.interval_scheduling(df).collect()[0]
     assert (r["n_intervals"], r["n_scheduled"]) == (3, 3)
+
+# ------------------------------------------------ planar nearest hub
+
+
+def test_planar_nearest_hub_assignment_and_ties(spark):
+    from eventrelationextractor_spark.ops import simsearch
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 10, 0), (3, 5, 0)], "doc_id long, x long, y long")
+    hubs = spark.createDataFrame(
+        [(0, 0, 0), (1, 10, 0)], "hub long, hx long, hy long")
+    out = {r["hub"]: (r["n_points"], r["mean_d2"], r["min_d2"])
+           for r in simsearch.planar_nearest_hub(pts, hubs).collect()}
+    # point 3 is equidistant (d2=25) -> tie-break to the smaller hub
+    assert out == {0: (2, 12, 0), 1: (1, 0, 0)}
+
+# ----------------------------------------------------------- ransac
+
+
+def test_ransac_recovers_planted_slope(spark):
+    from eventrelationextractor_spark.ops import quality
+    rows = []
+    for i in range(400):
+        x = i % 100
+        y = 3 * x + 7 + (i * 2654435761) % 5 - 2
+        if i % 11 == 0:
+            y += 1500
+        rows.append((i, x, y))
+    df = spark.createDataFrame(rows, "pid long, x long, y long")
+    r = quality.ransac_line(df, tol=4).collect()[0]
+    assert r["n_points"] == 400
+    # the ~9% outlier spike must be excluded from the consensus set
+    assert r["n_inliers"] >= 300
+    assert abs(r["slope_refit_ppm"] - 3000000) < 60000
