@@ -6000,6 +6000,36 @@ def _q_ransac_fit(spark, sf_dir):
     return quality.ransac_line(pts)
 
 
+def _q_knapsack_mix(spark, sf_dir):
+    """Exact 0/1 knapsack doc selection (ops/mixing.py::
+    knapsack_select) per doc_id%20 shard: weight = n_chars%37+5,
+    value = (doc_id*31)%50+10, budget 200 — optimal selection under
+    a token budget, beside mixture_sample's proportional draws and
+    sequence_packing's greedy fill. The dp fold is item-order-
+    invariant, so no order contract is needed; the oracle steps a
+    recursive CTE whose state is only the 201-slot dp list, joined
+    to an indexed item table."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 20).alias("shard"),
+        (F.col("n_chars") % 37 + 5).alias("w"),
+        ((F.col("doc_id") * 31) % 50 + 10).alias("v"))
+    return mixing.knapsack_select(d, "shard", "w", "v", capacity=200)
+
+
+def _q_ewma_smooth(spark, sf_dir):
+    """Integer EWMA deviation filter (ops/events.py::ewma_anomalies)
+    over per-user cent streams: s += (x-s) div 4 (sign-explicit
+    trunc — Python floors, Spark div / DuckDB // truncate), anomaly
+    when |x - s_prev| > 2000. The geometric-recency sibling of
+    events_anomalies' prequential Welford z and events_cusum. The
+    oracle steps the identical recurrence per user with O(1) state
+    joined to a row_number-indexed event table."""
+    d = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    return events.ewma_anomalies(d)
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6403,6 +6433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_scheduling": _q_interval_scheduling,
         "geo_nearest_hub": _q_geo_nearest_hub,
         "ransac_fit": _q_ransac_fit,
+        "knapsack_mix": _q_knapsack_mix,
+        "ewma_smooth": _q_ewma_smooth,
     }
 
 
@@ -16326,7 +16358,61 @@ FROM documents""",
         "interval_scheduling": _INTERVAL_SCHED_ORACLE,
         "geo_nearest_hub": _GEO_HUB_ORACLE,
         "ransac_fit": _RANSAC_ORACLE,
+        "knapsack_mix": _KNAPSACK_ORACLE,
+        "ewma_smooth": _EWMA_ORACLE,
     }
+
+
+_KNAPSACK_ORACLE = """
+WITH RECURSIVE
+it0 AS (SELECT doc_id % 20 AS g, n_chars % 37 + 5 AS w,
+               (doc_id * 31) % 50 + 10 AS v,
+               row_number() OVER (PARTITION BY doc_id % 20
+                                  ORDER BY doc_id) AS i
+        FROM documents),
+meta AS (SELECT g, count(*) AS n_items, sum(w) AS sum_weight
+         FROM it0 GROUP BY g),
+dp(g, i, d) AS (
+  SELECT g, 0, list_transform(range(0, 201), c -> CAST(0 AS BIGINT))
+  FROM meta
+  UNION ALL
+  SELECT dp.g, dp.i + 1,
+    CASE WHEN it.w > 200 THEN dp.d ELSE
+      list_transform(range(0, 201), c ->
+        CASE WHEN c >= it.w AND dp.d[c - it.w + 1] + it.v > dp.d[c + 1]
+             THEN dp.d[c - it.w + 1] + it.v ELSE dp.d[c + 1] END)
+    END
+  FROM dp JOIN it0 it ON it.g = dp.g AND it.i = dp.i + 1),
+fin AS (SELECT dp.g, dp.d FROM dp JOIN meta m
+        ON dp.g = m.g AND dp.i = m.n_items)
+SELECT m.g AS shard, CAST(m.n_items AS BIGINT) AS n_items,
+       CAST(m.sum_weight AS BIGINT) AS sum_weight,
+       CAST(f.d[201] AS BIGINT) AS best_value
+FROM fin f JOIN meta m ON f.g = m.g
+"""
+
+_EWMA_ORACLE = """
+WITH RECURSIVE
+ev AS (SELECT user_id AS u, CAST(floor(value * 100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+       FROM events),
+meta AS (SELECT u, count(*) AS n FROM ev GROUP BY u),
+st(u, i, s, anom) AS (
+  SELECT e.u, 1, e.x, 0 FROM ev e WHERE e.i = 1
+  UNION ALL
+  SELECT st.u, st.i + 1,
+    st.s + ((abs(e.x - st.s) // 4)
+            * CASE WHEN e.x >= st.s THEN 1 ELSE -1 END),
+    st.anom + CASE WHEN abs(e.x - st.s) > 2000 THEN 1 ELSE 0 END
+  FROM st JOIN ev e ON e.u = st.u AND e.i = st.i + 1),
+fin AS (SELECT st.u, st.s, st.anom FROM st JOIN meta m
+        ON st.u = m.u AND st.i = m.n)
+SELECT f.u AS user_id, CAST(m.n AS BIGINT) AS n_events,
+       CAST(f.anom AS BIGINT) AS n_anomalies,
+       CAST(f.s AS BIGINT) AS s_final
+FROM fin f JOIN meta m ON f.u = m.u
+"""
 
 
 _GEO_HUB_ORACLE = """

@@ -2062,3 +2062,50 @@ def interval_scheduling(df: DataFrame, user_col: str = "user_id",
 
     return (df.select(user_col, start_col, dur_col, id_col)
             .groupBy(user_col).applyInPandas(fn, out_schema))
+
+
+def ewma_anomalies(df: DataFrame, user_col: str = "user_id",
+                   value_col: str = "cents", ts_col: str = "ts",
+                   id_col: str = "event_id", shift_den: int = 4,
+                   threshold: int = 2000) -> DataFrame:
+    """Integer EWMA smoothing + deviation flags per user ->
+    (user, n_events, n_anomalies, s_final): the exponential filter
+    s += (x - s) div 4 (alpha = 1/4 as a pure integer shift-divide —
+    trunc toward zero, written sign-explicitly because Python's //
+    floors while Spark div / DuckDB // truncate) with an anomaly
+    flagged whenever |x - s_prev| > threshold BEFORE the update. The
+    recurrence-structure sibling of events_anomalies (prequential
+    Welford z) and events_cusum (drift sums): EWMA weights recency
+    geometrically, which neither of those does.
+
+    Per-user sequential state -> applyInPandas over (ts, id)-ordered
+    rows; the DuckDB twin steps the identical recurrence as a
+    recursive CTE joined to an indexed per-user event table (state =
+    one (s, count) pair per user)."""
+    import pandas as pd
+
+    den = int(shift_den)
+    thr = int(threshold)
+    out_schema = (f"{user_col} long, n_events long, n_anomalies long, "
+                  "s_final long")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = int(pdf[user_col].iloc[0])
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        s = None
+        anom = 0
+        for x in pdf[value_col]:
+            x = int(x)
+            if s is None:
+                s = x
+                continue
+            d = x - s
+            if abs(d) > thr:
+                anom += 1
+            s = s + (abs(d) // den) * (1 if d >= 0 else -1)
+        return pd.DataFrame({user_col: [uid], "n_events": [len(pdf)],
+                             "n_anomalies": [anom],
+                             "s_final": [s if s is not None else 0]})
+
+    return (df.select(user_col, value_col, ts_col, id_col)
+            .groupBy(user_col).applyInPandas(fn, out_schema))

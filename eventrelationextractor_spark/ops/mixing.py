@@ -404,3 +404,48 @@ def systematic_pps(df: DataFrame, weight_col: str,
               .filter(F.col("n_copies") > 0))
     return picked.select(F.col("id").alias(id_col),
                          F.col("w").alias("weight"), "n_copies")
+
+
+def knapsack_select(df: DataFrame, group_col: str, weight_col: str,
+                    value_col: str, capacity: int = 200) -> DataFrame:
+    """Exact 0/1 knapsack per group -> (group, n_items, sum_weight,
+    best_value): the optimal doc-selection-under-token-budget
+    primitive (pick documents maximizing quality within a fixed
+    context/mixture budget) — the exact counterpart of mixture_
+    sample's proportional draws and sequence_packing's first-fit
+    (greedy packs everything; knapsack PICKS, optimally).
+
+    The classic O(n * capacity) DP is per-group sequential, but its
+    answer is ITEM-ORDER-INVARIANT (the dp table is a max-plus fold,
+    same optimum any order), so determinism needs no order contract
+    at all. applyInPandas per group, dp array of ``capacity + 1``
+    BIGINTs; capacity is a small constant by contract (a budget in
+    coarse units — rescale weights, don't raise capacity). The
+    DuckDB twin steps a recursive CTE whose state is ONLY the dp
+    list, joining each iteration to a pre-materialized indexed item
+    table (state stays O(capacity), not O(items))."""
+    import pandas as pd
+
+    cap = int(capacity)
+    out_schema = (f"{group_col} long, n_items long, sum_weight long, "
+                  "best_value long")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf[group_col].iloc[0])
+        dp = [0] * (cap + 1)
+        for w, v in zip(pdf[weight_col], pdf[value_col]):
+            w, v = int(w), int(v)
+            if w > cap:
+                continue
+            for c in range(cap, w - 1, -1):
+                cand = dp[c - w] + v
+                if cand > dp[c]:
+                    dp[c] = cand
+        return pd.DataFrame({group_col: [g], "n_items": [len(pdf)],
+                             "sum_weight": [int(pdf[weight_col].sum())],
+                             "best_value": [dp[cap]]})
+
+    return (df.select(F.col(group_col).cast("long"),
+                      F.col(weight_col).cast("long"),
+                      F.col(value_col).cast("long"))
+            .groupBy(group_col).applyInPandas(fn, out_schema))

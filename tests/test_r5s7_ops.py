@@ -201,3 +201,33 @@ def test_ransac_recovers_planted_slope(spark):
     # the ~9% outlier spike must be excluded from the consensus set
     assert r["n_inliers"] >= 300
     assert abs(r["slope_refit_ppm"] - 3000000) < 60000
+
+# --------------------------------------------------------- knapsack
+
+
+def test_knapsack_select_exact_optimum(spark):
+    from eventrelationextractor_spark.ops import mixing
+    df = spark.createDataFrame(
+        [(0, 3, 4), (0, 4, 5), (0, 2, 3), (1, 10, 99)],
+        "shard long, w long, v long")
+    out = {r["shard"]: (r["n_items"], r["sum_weight"], r["best_value"])
+           for r in mixing.knapsack_select(df, "shard", "w", "v",
+                                           capacity=5).collect()}
+    assert out[0] == (3, 9, 7)      # (3,4)+(2,3) beats (4,5)+(?)
+    assert out[1] == (1, 10, 0)     # item exceeds the budget
+
+# ------------------------------------------------------------ ewma
+
+
+def test_ewma_anomalies_recurrence_and_trunc_sign(spark):
+    from eventrelationextractor_spark.ops import events as ev
+    rows = [(1, 1, "2024-01-01 00:00:01", 100),
+            (1, 2, "2024-01-01 00:00:02", 100),
+            (1, 3, "2024-01-01 00:00:03", 200),
+            (1, 4, "2024-01-01 00:00:04", 100)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, cents long") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    r = ev.ewma_anomalies(df, threshold=50).collect()[0]
+    # s: 100 -> 100 -> 125 (one anomaly) -> 119 (trunc(-25/4) = -6)
+    assert (r["n_events"], r["n_anomalies"], r["s_final"]) == (4, 1, 119)
