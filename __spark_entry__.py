@@ -6030,6 +6030,23 @@ def _q_ewma_smooth(spark, sf_dir):
     return events.ewma_anomalies(d)
 
 
+def _q_smith_waterman(spark, sf_dir):
+    """Smith-Waterman local alignment (ops/linkage.py::
+    local_alignment_pairs) between 40-char prefixes of neighbor docs
+    (doc_id%10 stratum): +2/-1/-1 integer scores, best local region
+    strength — the LOCAL counterpart of dedup_levenshtein/dl_linkage
+    global distances. Oracle = anti-diagonal recursion (the banded-
+    DTW pattern); the 0-floor makes boundary cells free."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 40).alias("t"))
+    a = t.filter(F.col("doc_id") % 10 == 0) \
+        .select(F.col("doc_id").alias("pid"), F.col("t").alias("a"))
+    b = t.select((F.col("doc_id") - 1).alias("pid"),
+                 F.col("t").alias("b"))
+    pairs = a.join(b, "pid")
+    return linkage.local_alignment_pairs(pairs)
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6435,6 +6452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ransac_fit": _q_ransac_fit,
         "knapsack_mix": _q_knapsack_mix,
         "ewma_smooth": _q_ewma_smooth,
+        "smith_waterman": _q_smith_waterman,
     }
 
 
@@ -16360,7 +16378,43 @@ FROM documents""",
         "ransac_fit": _RANSAC_ORACLE,
         "knapsack_mix": _KNAPSACK_ORACLE,
         "ewma_smooth": _EWMA_ORACLE,
+        "smith_waterman": _SW_ORACLE,
     }
+
+
+_SW_ORACLE = """
+WITH RECURSIVE
+t AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents),
+pr AS (SELECT t1.doc_id AS pid, t1.t AS a, t2.t AS b
+       FROM t t1 JOIN t t2 ON t2.doc_id = t1.doc_id + 1
+       WHERE t1.doc_id % 10 = 0),
+dp AS (
+  SELECT 1 AS k, pid, a, b, length(a) AS n, length(b) AS m,
+    list_transform(range(1, length(b) + 1), j -> CAST(0 AS BIGINT))
+      AS prev2,
+    list_transform(range(1, length(b) + 1), j -> CAST(0 AS BIGINT))
+      AS prev,
+    CAST(0 AS BIGINT) AS best
+  FROM pr
+  UNION ALL
+  SELECT k + 1, pid, a, b, n, m, prev, nxt,
+         greatest(best, coalesce(list_max(nxt), 0))
+  FROM (
+    SELECT *, list_transform(range(1, m + 1), j ->
+      CASE WHEN (k + 1) - j < 1 OR (k + 1) - j > n
+           THEN CAST(0 AS BIGINT)
+      ELSE greatest(0,
+        (CASE WHEN j >= 2 THEN prev2[j - 1] ELSE 0 END)
+          + CASE WHEN substr(a, (k + 1) - j, 1) = substr(b, j, 1)
+                 THEN 2 ELSE -1 END,
+        prev[j] - 1,
+        CASE WHEN j >= 2 THEN prev[j - 1] - 1 ELSE -1 END)
+      END) AS nxt
+    FROM dp WHERE k < n + m) s)
+SELECT pid, CAST(n AS BIGINT) AS n1, CAST(m AS BIGINT) AS n2,
+       best AS sw_score
+FROM dp WHERE k = n + m
+"""
 
 
 _KNAPSACK_ORACLE = """

@@ -399,3 +399,65 @@ def blocked_dl_pairs(terms: DataFrame, block_col: str = "sdx",
     scored = pairs.withColumn("dl", dl_udf(F.col("a"), F.col("b")))
     return scored.filter(F.col("dl") <= int(max_dist)) \
         .select("a", "b", "dl")
+
+
+def smith_waterman(a: str, b: str, match: int = 2, mismatch: int = -1,
+                   gap: int = -1) -> int:
+    """Smith-Waterman local alignment score (integer, linear gaps):
+    the best-scoring pair of substrings under +2/-1/-1 — the LOCAL
+    counterpart of the global edit distances in this module
+    (levenshtein/damerau answer "how far apart are the wholes";
+    local alignment answers "how strong is the best shared region",
+    which is what near-dup forensics and quote detection need)."""
+    n, m = len(a), len(b)
+    best = 0
+    prev = [0] * (m + 1)
+    for i in range(1, n + 1):
+        cur = [0] * (m + 1)
+        ai = a[i - 1]
+        for j in range(1, m + 1):
+            s = match if ai == b[j - 1] else mismatch
+            h = prev[j - 1] + s
+            if prev[j] + gap > h:
+                h = prev[j] + gap
+            if cur[j - 1] + gap > h:
+                h = cur[j - 1] + gap
+            if h < 0:
+                h = 0
+            cur[j] = h
+            if h > best:
+                best = h
+        prev = cur
+    return best
+
+
+def local_alignment_pairs(pairs: DataFrame, id_col: str = "pid",
+                          a_col: str = "a", b_col: str = "b") \
+        -> DataFrame:
+    """(pid, n1, n2, sw_score): Smith-Waterman over a staged pair
+    table. Per-pair O(n*m) sequential DP -> Arrow mapInPandas (zero
+    shuffle, corpus-parallel); lengths are bounded by the caller's
+    staging contract. The DuckDB twin walks the SAME dp by
+    anti-diagonals (the banded-DTW oracle pattern): cells on
+    diagonal k depend only on diagonals k-1 and k-2, and because
+    Smith-Waterman floors at 0, storing 0 for out-of-range cells
+    makes the boundary rows/cols fall out for free."""
+    import pandas as pd
+
+    out_schema = f"{id_col} long, n1 long, n2 long, sw_score long"
+
+    def fn(batches):
+        for bt in batches:
+            ids, n1s, n2s, scs = [], [], [], []
+            for pid, a, b in zip(bt[id_col], bt[a_col], bt[b_col]):
+                a = a if isinstance(a, str) else ""
+                b = b if isinstance(b, str) else ""
+                ids.append(int(pid))
+                n1s.append(len(a))
+                n2s.append(len(b))
+                scs.append(smith_waterman(a, b))
+            yield pd.DataFrame({id_col: ids, "n1": n1s, "n2": n2s,
+                                "sw_score": scs})
+
+    return (pairs.select(id_col, a_col, b_col)
+            .mapInPandas(fn, out_schema))

@@ -231,3 +231,25 @@ def test_ewma_anomalies_recurrence_and_trunc_sign(spark):
     r = ev.ewma_anomalies(df, threshold=50).collect()[0]
     # s: 100 -> 100 -> 125 (one anomaly) -> 119 (trunc(-25/4) = -6)
     assert (r["n_events"], r["n_anomalies"], r["s_final"]) == (4, 1, 119)
+
+# --------------------------------------------------- smith-waterman
+
+
+def test_smith_waterman_scalar_cases():
+    from eventrelationextractor_spark.ops.linkage import smith_waterman
+    assert smith_waterman("abc", "abc") == 6
+    assert smith_waterman("abc", "xbcx") == 4      # local "bc"
+    assert smith_waterman("abcd", "abXd") == 5     # bridge one mismatch
+    assert smith_waterman("aaa", "zzz") == 0
+    assert smith_waterman("", "abc") == 0
+    assert smith_waterman("ab", "ba") == 2
+
+
+def test_local_alignment_pairs_frame(spark):
+    from eventrelationextractor_spark.ops import linkage
+    df = spark.createDataFrame(
+        [(1, "abcd", "abXd"), (2, "aaa", "zzz")],
+        "pid long, a string, b string")
+    out = {r["pid"]: (r["n1"], r["n2"], r["sw_score"])
+           for r in linkage.local_alignment_pairs(df).collect()}
+    assert out == {1: (4, 4, 5), 2: (3, 3, 0)}
