@@ -6047,6 +6047,26 @@ def _q_smith_waterman(spark, sf_dir):
     return linkage.local_alignment_pairs(pairs)
 
 
+def _q_stupid_backoff(spark, sf_dir):
+    """Stupid-backoff trigram scoring (ops/textstats.py::
+    stupid_backoff_score): train counts on the full corpus, score a
+    perturbed eval stream (doc_id%10 docs, every 7th token given a
+    'zz' suffix) so all four branches fire — exact trigram hit,
+    bigram backoff, unigram backoff, unseen-word zero. Pure
+    fixed-point ppm (0.4x = 2x div 5 per level); the trigram/bigram
+    lookup joins are hint('merge')-pinned (n-gram dims are corpus-
+    scale by construction — the ngram_dup_stats lesson). Spark's
+    transform index is 0-based, DuckDB's lambda index 1-based — the
+    oracle offsets accordingly."""
+    train = _docs(spark, sf_dir)
+    ev = train.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.expr("array_join(transform(split(text, ' '), (w, i) -> "
+               "CASE WHEN i % 7 = 0 THEN concat(w, 'zz') "
+               "ELSE w END), ' ')").alias("text"))
+    return textstats.stupid_backoff_score(train, ev)
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6453,6 +6473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knapsack_mix": _q_knapsack_mix,
         "ewma_smooth": _q_ewma_smooth,
         "smith_waterman": _q_smith_waterman,
+        "stupid_backoff": _q_stupid_backoff,
     }
 
 
@@ -16379,7 +16400,68 @@ FROM documents""",
         "knapsack_mix": _KNAPSACK_ORACLE,
         "ewma_smooth": _EWMA_ORACLE,
         "smith_waterman": _SW_ORACLE,
+        "stupid_backoff": _BACKOFF_ORACLE,
     }
+
+
+_BACKOFF_ORACLE = """
+WITH
+tk AS (SELECT d, p, w FROM (
+    SELECT doc_id AS d,
+           unnest(list_transform(string_split(text, ' '),
+                  (w, i) -> {'p': i - 1, 'w': w})) AS x
+    FROM documents) z
+  CROSS JOIN LATERAL (SELECT z.x.p AS p, z.x.w AS w) u
+  WHERE w <> ''),
+bg AS (SELECT a.d, a.p, a.w AS w1, b.w AS w2
+       FROM tk a JOIN tk b ON a.d = b.d AND b.p = a.p + 1),
+tg AS (SELECT bg.w1, bg.w2, c.w AS w3
+       FROM bg JOIN tk c ON bg.d = c.d AND c.p = bg.p + 2),
+tri_c AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg
+          GROUP BY w1, w2, w3),
+big_c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+uni_c AS (SELECT w, count(*) AS c1 FROM tk GROUP BY w),
+n_tot AS (SELECT count(*) AS n_tok FROM tk),
+ev AS (SELECT doc_id,
+         array_to_string(list_transform(string_split(text, ' '),
+           (w, i) -> CASE WHEN (i - 1) % 7 = 0 THEN w || 'zz'
+                          ELSE w END), ' ') AS text
+       FROM documents WHERE doc_id % 10 = 0),
+etk AS (SELECT d, p, w FROM (
+    SELECT doc_id AS d,
+           unnest(list_transform(string_split(text, ' '),
+                  (w, i) -> {'p': i - 1, 'w': w})) AS x
+    FROM ev) z
+  CROSS JOIN LATERAL (SELECT z.x.p AS p, z.x.w AS w) u
+  WHERE w <> ''),
+ep AS (SELECT a.d, a.w AS w1, b.w AS w2, c.w AS w3
+       FROM etk a
+       JOIN etk b ON a.d = b.d AND b.p = a.p + 1
+       JOIN etk c ON a.d = c.d AND c.p = a.p + 2),
+sc AS (SELECT ep.d,
+    CASE WHEN t.c123 IS NOT NULL
+         THEN (t.c123 * 1000000) // b12.c12
+         WHEN b23.c23 IS NOT NULL
+         THEN (2 * ((b23.c23 * 1000000) // u2.c2)) // 5
+         WHEN u3.c3 IS NOT NULL
+         THEN (2 * ((2 * ((u3.c3 * 1000000) // n_tot.n_tok)) // 5))
+              // 5
+         ELSE 0 END AS s
+  FROM ep
+  LEFT JOIN tri_c t ON t.w1 = ep.w1 AND t.w2 = ep.w2
+                    AND t.w3 = ep.w3
+  LEFT JOIN big_c b12 ON b12.w1 = ep.w1 AND b12.w2 = ep.w2
+  LEFT JOIN (SELECT w1 AS w2, w2 AS w3, c12 AS c23 FROM big_c) b23
+         ON b23.w2 = ep.w2 AND b23.w3 = ep.w3
+  LEFT JOIN (SELECT w AS w2, c1 AS c2 FROM uni_c) u2
+         ON u2.w2 = ep.w2
+  LEFT JOIN (SELECT w AS w3, c1 AS c3 FROM uni_c) u3
+         ON u3.w3 = ep.w3
+  CROSS JOIN n_tot)
+SELECT d AS doc_id, count(*) AS n_scored,
+       CAST(sum(s) AS BIGINT) AS sum_score_ppm
+FROM sc GROUP BY d
+"""
 
 
 _SW_ORACLE = """

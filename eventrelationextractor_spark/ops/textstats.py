@@ -1830,3 +1830,91 @@ def lz_complexity(df: DataFrame, id_col: str = "doc_id",
     return (df.select(F.col(id_col),
                       F.substring(F.col(text_col), 1, pl).alias("s"))
             .mapInPandas(fn, out_schema))
+
+
+def stupid_backoff_score(train: DataFrame, eval_docs: DataFrame,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007) ->
+    (doc_id, n_scored, sum_score_ppm): score every trigram position
+    of the EVAL stream against counts from the TRAIN corpus, backing
+    off trigram -> bigram -> unigram with the 0.4 factor, in pure
+    fixed-point integers — S(w3|w1w2) = 1e6*c123 div c12, else
+    0.4 * (1e6*c23 div c2), else 0.4^2 * (1e6*c3 div N), else 0 for
+    an unseen word (0.4x = (2*x) div 5, applied per backoff level;
+    the truncation IS the contract, identical on both engines). The
+    large-corpus LM-quality scorer that needs no discount estimation
+    — exactly why Brants et al. built it for web-scale counts; sits
+    beside unigram_logprob / bigram_logprob (KN), which pay libm for
+    proper probabilities.
+
+    Scale shape: n-gram extraction = positional equi-joins (p+1,
+    p+2 probe keys — the skipgram_ppmi pattern, never a window over
+    the token stream); count tables are vocabulary-scale groupBys;
+    lookups are five LEFT equi-joins pinned hint('merge') because an
+    n-gram dim's true cardinality is corpus-scale (the
+    ngram_dup_stats AQE-broadcast lesson). Whitespace-normalized
+    input contract: positions must be gap-free for adjacency."""
+
+    def toks(df):
+        return (df.select(F.col(id_col).alias("d"),
+                          F.posexplode(F.split(F.col(text_col), " "))
+                          .alias("p", "w"))
+                .filter(F.col("w") != ""))
+
+    tt = toks(train)
+    t1, t2, t3 = tt.alias("t1"), tt.alias("t2"), tt.alias("t3")
+    pairs = (t1.join(t2, (F.col("t1.d") == F.col("t2.d"))
+                     & (F.col("t2.p") == F.col("t1.p") + 1))
+             .select(F.col("t1.d").alias("d"), F.col("t1.p").alias("p"),
+                     F.col("t1.w").alias("w1"), F.col("t2.w").alias("w2")))
+    pr = pairs.alias("pr")
+    tris = (pr.join(t3, (F.col("pr.d") == F.col("t3.d"))
+                    & (F.col("t3.p") == F.col("pr.p") + 2))
+            .select(F.col("pr.w1").alias("w1"),
+                    F.col("pr.w2").alias("w2"),
+                    F.col("t3.w").alias("w3")))
+    tri_c = tris.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c123"))
+    big_c = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12"))
+    uni_c = tt.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c1"))
+    n_tot = tt.agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+
+    et = toks(eval_docs)
+    e1, e2, e3 = et.alias("e1"), et.alias("e2"), et.alias("e3")
+    epos = (e1.join(e2, (F.col("e1.d") == F.col("e2.d"))
+                    & (F.col("e2.p") == F.col("e1.p") + 1))
+            .join(e3, (F.col("e1.d") == F.col("e3.d"))
+                  & (F.col("e3.p") == F.col("e1.p") + 2))
+            .select(F.col("e1.d").alias("d"), F.col("e1.p").alias("p"),
+                    F.col("e1.w").alias("w1"), F.col("e2.w").alias("w2"),
+                    F.col("e3.w").alias("w3")))
+    scored = (epos
+              .join(tri_c.hint("merge"), ["w1", "w2", "w3"], "left")
+              .join(big_c.hint("merge"), ["w1", "w2"], "left")
+              .join(big_c.hint("merge")
+                    .select(F.col("w1").alias("w2"),
+                            F.col("w2").alias("w3"),
+                            F.col("c12").alias("c23")),
+                    ["w2", "w3"], "left")
+              .join(uni_c.hint("merge")
+                    .select(F.col("w").alias("w2"),
+                            F.col("c1").alias("c2")), ["w2"], "left")
+              .join(uni_c.hint("merge")
+                    .select(F.col("w").alias("w3"),
+                            F.col("c1").alias("c3")), ["w3"], "left")
+              .crossJoin(F.broadcast(n_tot)))
+    sc = F.expr(
+        "CASE WHEN c123 IS NOT NULL "
+        "THEN (c123 * 1000000) div c12 "
+        "WHEN c23 IS NOT NULL "
+        "THEN (2 * ((c23 * 1000000) div c2)) div 5 "
+        "WHEN c3 IS NOT NULL "
+        "THEN (2 * ((2 * ((c3 * 1000000) div n_tok)) div 5)) div 5 "
+        "ELSE 0 END")
+    return (scored.select(F.col("d").alias(id_col), sc.alias("s"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_scored"),
+                 F.sum("s").cast("long").alias("sum_score_ppm")))

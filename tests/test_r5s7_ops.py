@@ -253,3 +253,20 @@ def test_local_alignment_pairs_frame(spark):
     out = {r["pid"]: (r["n1"], r["n2"], r["sw_score"])
            for r in linkage.local_alignment_pairs(df).collect()}
     assert out == {1: (4, 4, 5), 2: (3, 3, 0)}
+
+# --------------------------------------------------- stupid backoff
+
+
+def test_stupid_backoff_all_four_branches(spark):
+    from eventrelationextractor_spark.ops import textstats
+    train = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(10, "a b c"), (11, "x b c"), (12, "x y c"), (13, "x y z")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_scored"], r["sum_score_ppm"])
+           for r in textstats.stupid_backoff_score(train, ev).collect()}
+    assert out[10] == (1, 500000)        # trigram hit: 1e6 * 1 div 2
+    assert out[11] == (1, 200000)        # bigram backoff: .4 * 1e6/2
+    assert out[12] == (1, 26666)         # unigram: .4^2 * 1e6/6 trunc
+    assert out[13] == (1, 0)             # unseen word
