@@ -6067,6 +6067,33 @@ def _q_stupid_backoff(spark, sf_dir):
     return textstats.stupid_backoff_score(train, ev)
 
 
+def _q_maxdiff_hist(spark, sf_dir):
+    """MaxDiff(V,F) histogram (ops/maintenance.py::maxdiff_histogram)
+    over n_chars: boundaries at the 7 largest adjacent frequency
+    jumps — the cliff-isolating optimizer-statistics histogram beside
+    equidepth_hist's equal-mass cuts. Integer-exact; the only
+    windows run over the bucket table (statistic scale)."""
+    return maintenance.maxdiff_histogram(_docs(spark, sf_dir),
+                                         "n_chars",
+                                         bucket_width=8, k=8)
+
+
+def _q_shapley_attribution(spark, sf_dir):
+    """Exact Shapley channel attribution (ops/events.py::
+    shapley_attribution): channels staged as event_id%4, conversion
+    as user_id%3==0; credit = the k!-scaled Shapley value over the
+    coalition table built from per-user channel bitmasks — the
+    axiomatically-fair complement of markov_attribution's removal
+    effect. Efficiency axiom (sum phi = k!(v(full)-v(empty)))
+    pytest-pinned."""
+    d = _events(spark, sf_dir).select(
+        "user_id",
+        (F.col("event_id") % 4).cast("int").alias("channel"),
+        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0)
+        .alias("conv"))
+    return events.shapley_attribution(d)
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6474,6 +6501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_smooth": _q_ewma_smooth,
         "smith_waterman": _q_smith_waterman,
         "stupid_backoff": _q_stupid_backoff,
+        "maxdiff_hist": _q_maxdiff_hist,
+        "shapley_attribution": _q_shapley_attribution,
     }
 
 
@@ -16401,7 +16430,58 @@ FROM documents""",
         "ewma_smooth": _EWMA_ORACLE,
         "smith_waterman": _SW_ORACLE,
         "stupid_backoff": _BACKOFF_ORACLE,
+        "maxdiff_hist": _MAXDIFF_ORACLE,
+        "shapley_attribution": _SHAPLEY_ATTR_ORACLE,
     }
+
+
+_MAXDIFF_ORACLE = """
+WITH b AS (SELECT CAST(n_chars AS BIGINT) // 8 AS b, count(*) AS f
+           FROM documents GROUP BY 1),
+d0 AS (SELECT b, f, lag(f) OVER (ORDER BY b) AS pf FROM b),
+d AS (SELECT b, abs(f - pf) AS d FROM d0 WHERE pf IS NOT NULL),
+bounds AS (SELECT b AS bb FROM d ORDER BY d DESC, b LIMIT 7),
+seg AS (SELECT b.b, b.f,
+          (SELECT count(*) FROM bounds WHERE bb <= b.b) AS seg
+        FROM b)
+SELECT CAST(seg AS BIGINT) AS seg, min(b) AS lo_bucket,
+       max(b) AS hi_bucket, count(*) AS n_buckets,
+       CAST(sum(f) AS BIGINT) AS n_rows
+FROM seg GROUP BY seg
+"""
+
+_SHAPLEY_ATTR_ORACLE = """
+WITH um AS (SELECT user_id AS u,
+              bit_or(CAST(1 AS BIGINT) << (event_id % 4)) AS m,
+              max(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS conv
+            FROM events GROUP BY user_id),
+mk AS (SELECT m, sum(conv) AS c FROM um GROUP BY m),
+sub AS (SELECT unnest(range(0, 16)) AS s),
+v AS (SELECT s.s,
+        coalesce((SELECT sum(mk.c) FROM mk
+                  WHERE (mk.m & s.s) = mk.m), 0) AS v
+      FROM sub s),
+ch AS (SELECT unnest(range(0, 4)) AS ch),
+pr AS (SELECT ch.ch, s.s FROM ch, sub s
+       WHERE ((s.s >> ch.ch) & 1) = 0),
+con AS (SELECT pr.ch,
+          factorial(CAST(bit_count(pr.s) AS INT))
+          * factorial(CAST(3 - bit_count(pr.s) AS INT))
+          * (v1.v - v0.v) AS w
+        FROM pr
+        JOIN v v0 ON v0.s = pr.s
+        JOIN v v1 ON v1.s = (pr.s | (CAST(1 AS BIGINT) << pr.ch))),
+solo AS (SELECT ch.ch AS ch_s, v.v AS v_solo FROM ch
+         JOIN v ON v.s = (CAST(1 AS BIGINT) << ch.ch)),
+tot AS (SELECT sum(conv) AS total_conv FROM um)
+SELECT CAST(c.ch AS BIGINT) AS channel,
+       CAST(sum(c.w) AS BIGINT) AS shapley_xkfact,
+       CAST(s.v_solo AS BIGINT) AS v_solo,
+       CAST(t.total_conv AS BIGINT) AS total_conv
+FROM con c JOIN solo s ON s.ch_s = c.ch CROSS JOIN tot t
+GROUP BY c.ch, s.v_solo, t.total_conv
+"""
 
 
 _BACKOFF_ORACLE = """

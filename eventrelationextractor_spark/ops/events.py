@@ -2109,3 +2109,67 @@ def ewma_anomalies(df: DataFrame, user_col: str = "user_id",
 
     return (df.select(user_col, value_col, ts_col, id_col)
             .groupBy(user_col).applyInPandas(fn, out_schema))
+
+
+def shapley_attribution(df: DataFrame, user_col: str = "user_id",
+                        channel_col: str = "channel",
+                        conv_col: str = "conv",
+                        k: int = 4) -> DataFrame:
+    """Exact Shapley-value channel attribution -> (channel,
+    shapley_xkfact, v_solo, total_conv): the coalition-game answer to
+    'which marketing/referral channel earns the conversion credit',
+    complementing markov_attribution's removal effect with the
+    axiomatically-fair split. v(S) = conversions among users whose
+    touched-channel set is contained in S;
+    phi_i = sum over S not containing i of |S|!(k-1-|S|)! *
+    [v(S+i) - v(S)], emitted SCALED BY k! so everything stays BIGINT
+    (k=4 -> x24; efficiency axiom: sum_i phi_i = k! * (v(full) -
+    v(empty)), pytest-pinned).
+
+    Scale shape: the ONLY corpus-scale work is one groupBy(user)
+    building each user's channel bitmask (bit_or over shifted bits)
+    + conversion flag, then one groupBy(mask) to the 2^k-row
+    coalition table. Everything after — containment zeta transform
+    (m & S = m), marginal contributions, factorial weights via
+    bit_count — is joins over <= 2^k-row frames. k is small by
+    contract (attribution channels, not items)."""
+    kk = int(k)
+    n_sub = 1 << kk
+    um = (df.select(F.col(user_col).alias("u"),
+                    F.col(channel_col).cast("int").alias("ch"),
+                    F.col(conv_col).cast("long").alias("cv"))
+          .groupBy("u")
+          .agg(F.expr("bit_or(shiftleft(1, ch))").alias("m"),
+               F.max("cv").alias("conv")))
+    masks = um.groupBy("m").agg(F.sum("conv").cast("long").alias("c"))
+    spark = df.sparkSession
+    subsets = spark.range(n_sub).select(F.col("id").cast("int")
+                                        .alias("s"))
+    v = (subsets.join(F.broadcast(masks),
+                      F.expr("(m & s) = m"), "left")
+         .groupBy("s").agg(F.coalesce(F.sum("c"), F.lit(0))
+                           .cast("long").alias("v")))
+    chans = spark.range(kk).select(F.col("id").cast("int").alias("ch"))
+    pairs = (chans.crossJoin(subsets)
+             .filter(F.expr("(shiftright(s, ch) & 1) = 0")))
+    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vi = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    contrib = (pairs
+               .join(F.broadcast(vs), F.col("s") == F.col("s0"))
+               .join(F.broadcast(vi),
+                     F.expr("(s | shiftleft(1, ch)) = s1"))
+               .select("ch", F.expr(
+                   f"factorial(bit_count(s)) "
+                   f"* factorial({kk} - 1 - bit_count(s)) "
+                   "* (v1 - v0)").alias("w")))
+    solo = (chans.select(F.col("ch").alias("ch_s"))
+            .join(F.broadcast(v),
+                  F.expr("s = shiftleft(1, ch_s)"))
+            .select("ch_s", F.col("v").alias("v_solo")))
+    total = um.agg(F.sum("conv").cast("long").alias("total_conv"))
+    return (contrib.groupBy("ch")
+            .agg(F.sum("w").cast("long").alias("shapley_xkfact"))
+            .join(F.broadcast(solo), F.col("ch") == F.col("ch_s"))
+            .crossJoin(F.broadcast(total))
+            .select(F.col("ch").cast("long").alias("channel"),
+                    "shapley_xkfact", "v_solo", "total_conv"))

@@ -984,3 +984,42 @@ def json_schema_infer(df: DataFrame, json_col: str = "js",
     return (top.unionByName(inner)
             .groupBy("path", "jtype")
             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def maxdiff_histogram(df: DataFrame, value_col: str,
+                      bucket_width: int = 8, k: int = 8) -> DataFrame:
+    """MaxDiff(V,F) histogram -> (seg, lo_bucket, hi_bucket,
+    n_buckets, n_rows): the classic optimizer-statistics histogram
+    (Poosala et al., VLDB 1996) that places segment boundaries at the
+    k-1 LARGEST adjacent frequency jumps — the integer-exact,
+    boundary-placing complement of ``equidepth_histogram``'s equal-
+    mass cuts (equidepth balances mass; MaxDiff isolates cliffs, so
+    skewed value domains don't smear across segments).
+
+    Fully integer and window-free at corpus scale: one groupBy
+    collapses the corpus to coarse value buckets (div
+    ``bucket_width``); adjacent diffs are a lag over the BUCKET table
+    (statistic-scale window); boundary selection is TakeOrdered
+    (|diff| desc, bucket asc); segment ids come from one broadcast
+    boundary join (count of boundaries <= bucket), never a global
+    row_number over the data."""
+    w = int(bucket_width)
+    b = (df.select(F.expr(f"CAST({value_col} AS BIGINT) div {w}")
+                   .alias("b"))
+         .groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("f")))
+    lag = Window.orderBy("b")
+    diffs = (b.withColumn("pf", F.lag("f").over(lag))
+             .filter(F.col("pf").isNotNull())
+             .select("b", F.abs(F.col("f") - F.col("pf")).alias("d")))
+    bounds = (diffs.orderBy(F.col("d").desc(), F.col("b"))
+              .limit(int(k) - 1).select(F.col("b").alias("bb")))
+    seg = (b.crossJoin(F.broadcast(
+               bounds.agg(F.sort_array(F.collect_list("bb"))
+                          .alias("bs"))))
+           .withColumn("seg", F.expr(
+               "CAST(size(filter(bs, x -> x <= b)) AS BIGINT)")))
+    return (seg.groupBy("seg")
+            .agg(F.min("b").alias("lo_bucket"),
+                 F.max("b").alias("hi_bucket"),
+                 F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                 F.sum("f").cast("long").alias("n_rows")))

@@ -270,3 +270,31 @@ def test_stupid_backoff_all_four_branches(spark):
     assert out[11] == (1, 200000)        # bigram backoff: .4 * 1e6/2
     assert out[12] == (1, 26666)         # unigram: .4^2 * 1e6/6 trunc
     assert out[13] == (1, 0)             # unseen word
+
+# ---------------------------------------------------------- maxdiff
+
+
+def test_maxdiff_histogram_boundary_at_cliff(spark):
+    from eventrelationextractor_spark.ops import maintenance
+    rows = [(v,) for v in range(8) for _ in range(10)] \
+        + [(v,) for v in (8, 9) for _ in range(100)]
+    df = spark.createDataFrame(rows, "x long")
+    out = {r["seg"]: (r["lo_bucket"], r["hi_bucket"], r["n_rows"])
+           for r in maintenance.maxdiff_histogram(
+               df, "x", bucket_width=1, k=2).collect()}
+    assert out == {0: (0, 7, 80), 1: (8, 9, 200)}
+
+# ----------------------------------------------- shapley attribution
+
+
+def test_shapley_attribution_two_channel_game(spark):
+    from eventrelationextractor_spark.ops import events as ev
+    rows = [(1, 0, 1), (2, 0, 1), (2, 1, 1), (3, 1, 0)]
+    df = spark.createDataFrame(rows,
+                               "user_id long, channel int, conv long")
+    out = {r["channel"]: (r["shapley_xkfact"], r["v_solo"],
+                          r["total_conv"])
+           for r in ev.shapley_attribution(df, k=2).collect()}
+    assert out == {0: (3, 1, 2), 1: (1, 0, 2)}
+    # efficiency axiom: sum phi = k! * (v(full) - v(empty)) = 2*2
+    assert sum(v[0] for v in out.values()) == 4
