@@ -6094,6 +6094,58 @@ def _q_shapley_attribution(spark, sf_dir):
     return events.shapley_attribution(d)
 
 
+def _q_ohlc_bars(spark, sf_dir):
+    """Daily OHLC bars (ops/events.py::ohlc_bars) over the
+    user_id%10 stratum's cent streams: open/close via min/max of a
+    (epoch_us, id, value) struct — argmin/argmax as pure
+    aggregation, no window, no first()/last() order dependence;
+    TZ-proof epoch. Daily bars + the stratum keep the GATE's
+    collect/hash surface bounded (hourly bars over the full sf1
+    stream are near event-scale — a compare-harness wall, not an
+    operator wall)."""
+    d = (_events(spark, sf_dir)
+         .filter(F.col("user_id") % 10 == 0)
+         .select("user_id", "event_id", "ts",
+                 F.floor(F.col("value") * 100).cast("long")
+                 .alias("cents")))
+    return events.ohlc_bars(d, bar_seconds=86400)
+
+
+def _q_spatial_grid_join(spark, sf_dir):
+    """Grid-bucketed point-in-rectangle join (ops/simsearch.py::
+    grid_spatial_join): 32 staged rectangles vs the doc point grid,
+    rect replicated to overlapped cells, points to exactly one cell,
+    pure equi-join on (cx, cy) + exact containment filter — the 2-D
+    sibling of events_interval_join's no-BNLJ discipline. The oracle
+    states the semantics directly as a containment cross join (tiny
+    rect side), so any grid/replication bug shows as a hash miss."""
+    pts = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("pid"),
+        ((F.col("doc_id") * 7919) % 100000).alias("x"),
+        ((F.col("doc_id") * 104729) % 100000).alias("y"))
+    rects = spark.range(32).select(
+        F.col("id").alias("rect"),
+        ((F.col("id") * 13007) % 90000).alias("x0"),
+        ((F.col("id") * 17021) % 90000).alias("y0"),
+        (((F.col("id") * 13007) % 90000)
+         + (F.col("id") % 5 + 1) * 2500).alias("x1"),
+        (((F.col("id") * 17021) % 90000)
+         + (F.col("id") % 7 + 1) * 2000).alias("y1"))
+    return simsearch.grid_spatial_join(pts, rects)
+
+
+def _q_lis_streaks(spark, sf_dir):
+    """Longest strictly-increasing subsequence per user (ops/
+    events.py::lis_per_user) over cent streams — patience sorting as
+    an order-robust growth-streak statistic. The oracle carries the
+    tails list through a recursive CTE; insertion point =
+    len(list_filter(tails, t < x)) on both engines."""
+    d = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    return events.lis_per_user(d)
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6144,16 +6196,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jw_linkage": _q_jw_linkage,
         "knn_shapley": _q_knn_shapley,
         "interleave_eval": _q_interleave_eval,
-        "rm3_expansion": _q_rm3_expansion,
+        # session-7 rotation: one risky rep per NEW family takes the
+        # slot of a row that was already driver-green in r04
+        # (rm3_expansion / corpus_curation / training_order /
+        # html_text_extract / dup_spans move below the window, still
+        # locally + sf1 gated)
+        "wordpiece_census": _q_wordpiece,
         "optimal_segmentation": _q_optimal_segmentation,
-        "corpus_curation": _q_corpus_curation,
-        "training_order": _q_training_order,
-        "html_text_extract": _q_html_text_extract,
+        "json_schema_infer": _q_json_schema_infer,
+        "lz_complexity": _q_lz_complexity,
+        "shapley_attribution": _q_shapley_attribution,
         "dedup_minhash_jaccard": _q_dedup_minhash,
         "dedup_resolution": _q_dedup_resolution,
         "prefix_filter_pairs": _q_prefix_filter_pairs,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
-        "dup_spans": _q_dup_spans,
+        "rfm_segments": _q_rfm_segments,
         "boruvka_mst": _q_boruvka_mst,
         "media_sobel": _q_media_sobel,
         "ann_ivfpq": _q_ann_ivfpq,
@@ -6489,10 +6546,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "huffman_dict": _q_huffman_dict,
         "shapley_r2": _q_shapley_r2,
         "partition_pruning": _q_partition_pruning,
-        "rfm_segments": _q_rfm_segments,
-        "json_schema_infer": _q_json_schema_infer,
-        "wordpiece_census": _q_wordpiece,
-        "lz_complexity": _q_lz_complexity,
+        "rm3_expansion": _q_rm3_expansion,
+        "corpus_curation": _q_corpus_curation,
+        "training_order": _q_training_order,
+        "html_text_extract": _q_html_text_extract,
+        "dup_spans": _q_dup_spans,
         "kruskal_wallis": _q_kruskal_wallis,
         "interval_scheduling": _q_interval_scheduling,
         "geo_nearest_hub": _q_geo_nearest_hub,
@@ -6502,7 +6560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smith_waterman": _q_smith_waterman,
         "stupid_backoff": _q_stupid_backoff,
         "maxdiff_hist": _q_maxdiff_hist,
-        "shapley_attribution": _q_shapley_attribution,
+        "ohlc_bars": _q_ohlc_bars,
+        "spatial_grid_join": _q_spatial_grid_join,
+        "lis_streaks": _q_lis_streaks,
     }
 
 
@@ -16432,7 +16492,71 @@ FROM documents""",
         "stupid_backoff": _BACKOFF_ORACLE,
         "maxdiff_hist": _MAXDIFF_ORACLE,
         "shapley_attribution": _SHAPLEY_ATTR_ORACLE,
+        "ohlc_bars": _OHLC_ORACLE,
+        "spatial_grid_join": _SPATIAL_ORACLE,
+        "lis_streaks": _LIS_ORACLE,
     }
+
+
+_LIS_ORACLE = """
+WITH RECURSIVE
+ev AS (SELECT user_id AS u, CAST(floor(value * 100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+       FROM events),
+meta AS (SELECT u, count(*) AS n FROM ev GROUP BY u),
+st(u, i, tails) AS (
+  SELECT u, 0, []::BIGINT[] FROM meta
+  UNION ALL
+  SELECT s.u, s.i + 1,
+    CASE WHEN s.pos = len(s.tails)
+         THEN list_append(s.tails, s.x)
+         ELSE s.tails[1:s.pos] || [s.x]
+              || s.tails[s.pos + 2:len(s.tails)] END
+  FROM (SELECT st.u, st.i, st.tails, e.x,
+          len(list_filter(st.tails, t -> t < e.x)) AS pos
+        FROM st JOIN ev e ON e.u = st.u AND e.i = st.i + 1) s),
+fin AS (SELECT st.u, len(st.tails) AS lis FROM st
+        JOIN meta m ON st.u = m.u AND st.i = m.n)
+SELECT f.u AS user_id, CAST(m.n AS BIGINT) AS n_events,
+       CAST(f.lis AS BIGINT) AS lis_len
+FROM fin f JOIN meta m ON f.u = m.u
+"""
+
+
+_OHLC_ORACLE = """
+SELECT user_id, bar, n, (o).c AS open_c, high_c, low_c,
+       (cl).c AS close_c, sum_c
+FROM (
+  SELECT u AS user_id, us // 86400000000 AS bar, count(*) AS n,
+         min(struct_pack(us := us, eid := eid, c := c)) AS o,
+         max(struct_pack(us := us, eid := eid, c := c)) AS cl,
+         CAST(max(c) AS BIGINT) AS high_c,
+         CAST(min(c) AS BIGINT) AS low_c,
+         CAST(sum(c) AS BIGINT) AS sum_c
+  FROM (SELECT user_id AS u, epoch_us(ts) AS us, event_id AS eid,
+               CAST(floor(value * 100) AS BIGINT) AS c
+        FROM events WHERE user_id % 10 = 0) e
+  GROUP BY u, us // 86400000000) z
+"""
+
+_SPATIAL_ORACLE = """
+WITH p AS (SELECT doc_id AS pid,
+             (doc_id * 7919) % 100000 AS x,
+             (doc_id * 104729) % 100000 AS y
+           FROM documents),
+r AS (SELECT t.rect,
+        (t.rect * 13007) % 90000 AS x0,
+        (t.rect * 17021) % 90000 AS y0,
+        (t.rect * 13007) % 90000 + (t.rect % 5 + 1) * 2500 AS x1,
+        (t.rect * 17021) % 90000 + (t.rect % 7 + 1) * 2000 AS y1
+      FROM (SELECT unnest(range(0, 32)) AS rect) t)
+SELECT CAST(r.rect AS BIGINT) AS rect, count(*) AS n_points,
+       CAST(sum(p.x) AS BIGINT) AS sum_x
+FROM p, r
+WHERE p.x >= r.x0 AND p.x <= r.x1 AND p.y >= r.y0 AND p.y <= r.y1
+GROUP BY r.rect
+"""
 
 
 _MAXDIFF_ORACLE = """

@@ -2173,3 +2173,72 @@ def shapley_attribution(df: DataFrame, user_col: str = "user_id",
             .crossJoin(F.broadcast(total))
             .select(F.col("ch").cast("long").alias("channel"),
                     "shapley_xkfact", "v_solo", "total_conv"))
+
+
+def ohlc_bars(df: DataFrame, user_col: str = "user_id",
+              ts_col: str = "ts", value_col: str = "cents",
+              id_col: str = "event_id",
+              bar_seconds: int = 3600) -> DataFrame:
+    """OHLC downsampling bars -> (user, bar, n, open_c, high_c,
+    low_c, close_c, sum_c): the telemetry/trading resample that
+    collapses a value stream to per-window open/high/low/close —
+    open/close are argmin/argmax over (epoch, id) via min/max of a
+    (ts_us, id, value) struct, so no window function and no
+    first()/last() order dependence ever enters the plan; one
+    partial-aggregable groupBy total. TZ-proof epoch via
+    ntz_epoch_us; integer cents by contract."""
+    b = df.select(
+        F.col(user_col).alias("u"),
+        ntz_epoch_us(F.col(ts_col)).alias("us"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.col(value_col).cast("long").alias("c"))
+    bar = F.expr(f"us div {int(bar_seconds) * 1000000}")
+    g = (b.withColumn("bar", bar)
+         .groupBy("u", "bar")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.min(F.struct("us", "eid", "c")).alias("o"),
+              F.max(F.struct("us", "eid", "c")).alias("cl"),
+              F.max("c").alias("high_c"),
+              F.min("c").alias("low_c"),
+              F.sum("c").alias("sum_c")))
+    return g.select(F.col("u").alias(user_col), "bar", "n",
+                    F.col("o.c").alias("open_c"), "high_c", "low_c",
+                    F.col("cl.c").alias("close_c"), "sum_c")
+
+
+def lis_per_user(df: DataFrame, user_col: str = "user_id",
+                 value_col: str = "cents", ts_col: str = "ts",
+                 id_col: str = "event_id") -> DataFrame:
+    """Longest strictly-increasing subsequence per user -> (user,
+    n_events, lis_len): the patience-sorting O(n log n) classic as a
+    streak/trend statistic (how sustained is a user's value growth,
+    order-robust unlike a single linear fit). tails[k] = the
+    smallest possible tail of an increasing subsequence of length
+    k+1; each value replaces the first tail >= it (or extends).
+
+    Per-user sequential state -> applyInPandas over (ts, id)-ordered
+    rows. The DuckDB twin carries the tails LIST through a recursive
+    CTE joined to an indexed event table; the binary search
+    degenerates to len(list_filter(tails, t -> t < x)) — identical
+    insertion point, engine-pure."""
+    import pandas as pd
+    from bisect import bisect_left
+
+    out_schema = f"{user_col} long, n_events long, lis_len long"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = int(pdf[user_col].iloc[0])
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        tails: list = []
+        for x in pdf[value_col]:
+            x = int(x)
+            i = bisect_left(tails, x)
+            if i == len(tails):
+                tails.append(x)
+            else:
+                tails[i] = x
+        return pd.DataFrame({user_col: [uid], "n_events": [len(pdf)],
+                             "lis_len": [len(tails)]})
+
+    return (df.select(user_col, value_col, ts_col, id_col)
+            .groupBy(user_col).applyInPandas(fn, out_schema))

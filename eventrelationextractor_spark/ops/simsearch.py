@@ -875,3 +875,39 @@ def planar_nearest_hub(points: DataFrame, hubs: DataFrame,
             .select("hub", "n_points",
                     F.expr("sum_d2 div n_points").alias("mean_d2"),
                     "min_d2"))
+
+
+def grid_spatial_join(points: DataFrame, rects: DataFrame,
+                      cell: int = 4096,
+                      id_col: str = "pid") -> DataFrame:
+    """Grid-bucketed point-in-rectangle spatial join -> (rect,
+    n_points, sum_x): the 2-D generalization of the bucketed 1-D
+    interval join (events_interval_join) — geofence counting,
+    viewport queries, bbox containment — with the same no-BNLJ
+    discipline: each rectangle replicates to every grid cell it
+    overlaps (cell = coordinate div ``cell``, a bounded fanout by
+    the caller's rect-size contract), points hash to exactly one
+    cell, the join is a pure EQUI-join on (cx, cy), and the exact
+    containment predicate filters after. A point inside a rectangle
+    matches in exactly ONE cell (its own), so no post-join dedup is
+    needed; the census is rect-bounded."""
+    c = int(cell)
+    p = points.select(F.col(id_col).alias("pid"),
+                      F.col("x").cast("long").alias("x"),
+                      F.col("y").cast("long").alias("y")) \
+        .withColumn("cx", F.expr(f"x div {c}")) \
+        .withColumn("cy", F.expr(f"y div {c}"))
+    r = rects.select(F.col("rect").cast("long").alias("rect"),
+                     F.col("x0").cast("long").alias("x0"),
+                     F.col("y0").cast("long").alias("y0"),
+                     F.col("x1").cast("long").alias("x1"),
+                     F.col("y1").cast("long").alias("y1"))
+    rc = (r.withColumn("cx", F.explode(F.expr(
+              f"sequence(x0 div {c}, x1 div {c})")))
+          .withColumn("cy", F.explode(F.expr(
+              f"sequence(y0 div {c}, y1 div {c})"))))
+    hits = (p.join(rc, ["cx", "cy"])
+            .filter("x >= x0 AND x <= x1 AND y >= y0 AND y <= y1"))
+    return (hits.groupBy("rect")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_points"),
+                 F.sum("x").cast("long").alias("sum_x")))

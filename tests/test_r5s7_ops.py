@@ -298,3 +298,70 @@ def test_shapley_attribution_two_channel_game(spark):
     assert out == {0: (3, 1, 2), 1: (1, 0, 2)}
     # efficiency axiom: sum phi = k! * (v(full) - v(empty)) = 2*2
     assert sum(v[0] for v in out.values()) == 4
+
+# ------------------------------------------------------------- ohlc
+
+
+def test_ohlc_bars_open_close_order(spark):
+    from eventrelationextractor_spark.ops import events as ev
+    rows = [(1, 1, "2024-01-01 10:05:00", 50),
+            (1, 2, "2024-01-01 10:55:00", 70),
+            (1, 3, "2024-01-01 10:30:00", 90),
+            (1, 4, "2024-01-01 11:10:00", 40)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, cents long") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = {(r["user_id"], r["bar"]): (r["n"], r["open_c"], r["high_c"],
+                                      r["low_c"], r["close_c"])
+           for r in ev.ohlc_bars(df).collect()}
+    bars = sorted(out)
+    assert out[bars[0]] == (3, 50, 90, 50, 70)
+    assert out[bars[1]] == (1, 40, 40, 40, 40)
+
+# ----------------------------------------------------- spatial join
+
+
+def test_grid_spatial_join_matches_naive(spark):
+    from eventrelationextractor_spark.ops import simsearch
+    import itertools
+    pts = [(i, (i * 37) % 100, (i * 53) % 100) for i in range(200)]
+    rects = [(0, 10, 10, 40, 30), (1, 0, 0, 99, 99), (2, 90, 90, 95, 95)]
+    pdf = spark.createDataFrame(pts, "pid long, x long, y long")
+    rdf = spark.createDataFrame(rects,
+                                "rect long, x0 long, y0 long, x1 long, y1 long")
+    out = {r["rect"]: (r["n_points"], r["sum_x"])
+           for r in simsearch.grid_spatial_join(pdf, rdf,
+                                                cell=16).collect()}
+    want = {}
+    for rect, x0, y0, x1, y1 in rects:
+        hits = [(x) for _, x, y in pts
+                if x0 <= x <= x1 and y0 <= y <= y1]
+        if hits:
+            want[rect] = (len(hits), sum(hits))
+    assert out == want
+
+# -------------------------------------------------------------- lis
+
+
+def test_lis_per_user_patience(spark):
+    from eventrelationextractor_spark.ops import events as ev
+    seq = [3, 1, 4, 1, 5, 9, 2, 6]          # LIS = 1,4,5,9 -> 4
+    rows = [(1, i + 1, f"2024-01-01 00:00:{i:02d}", v)
+            for i, v in enumerate(seq)] + \
+           [(2, 100, "2024-01-01 00:00:00", 7)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, cents long") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = {r["user_id"]: (r["n_events"], r["lis_len"])
+           for r in ev.lis_per_user(df).collect()}
+    assert out == {1: (8, 4), 2: (1, 1)}
+
+
+def test_lis_strictness_on_ties(spark):
+    from eventrelationextractor_spark.ops import events as ev
+    rows = [(1, i + 1, f"2024-01-01 00:00:{i:02d}", 5)
+            for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, cents long") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    assert ev.lis_per_user(df).collect()[0]["lis_len"] == 1
