@@ -6146,6 +6146,36 @@ def _q_lis_streaks(spark, sf_dir):
     return events.lis_per_user(d)
 
 
+def _q_pass_at_k(spark, sf_dir):
+    """pass@k code-eval estimator (ops/quality.py::pass_at_k) over
+    25 synthetic problems (doc_id%25) with ~30% staged success: the
+    HumanEval metric via the fixed-point product ladder — no
+    binomial ever materializes, so n in the thousands is BIGINT-safe
+    on both engines; the per-step trunc IS the contract."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 25).alias("p"),
+        ((F.col("doc_id") * 2654435761) % 10 < 3).cast("long")
+        .alias("ok"))
+    return quality.pass_at_k(d, "p", "ok", k=10)
+
+
+def _q_merkle_roots(spark, sf_dir):
+    """Per-doc Merkle roots (ops/maintenance.py::merkle_roots): an
+    8-leaf md5 hash tree over fixed 8-char text slices — the
+    chunk-localizing integrity fingerprint beside snapshot_diff /
+    cdc_chunking. Pure codegen; the oracle is the same nested
+    expression in DuckDB."""
+    return maintenance.merkle_roots(_docs(spark, sf_dir))
+
+
+def _q_rice_coding(spark, sf_dir):
+    """Optimal Rice parameter per posting list (ops/bm25.py::
+    rice_parameter): d-gap Rice lengths at k in [0,8), argmin via
+    min(struct(bits,k)) — the entropy-coding companion to
+    posting_bytes and huffman_dict."""
+    return bm25.rice_parameter(_docs(spark, sf_dir))
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6563,6 +6593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": _q_ohlc_bars,
         "spatial_grid_join": _q_spatial_grid_join,
         "lis_streaks": _q_lis_streaks,
+        "pass_at_k": _q_pass_at_k,
+        "merkle_roots": _q_merkle_roots,
+        "rice_coding": _q_rice_coding,
     }
 
 
@@ -16495,7 +16528,60 @@ FROM documents""",
         "ohlc_bars": _OHLC_ORACLE,
         "spatial_grid_join": _SPATIAL_ORACLE,
         "lis_streaks": _LIS_ORACLE,
+        "pass_at_k": _passk_oracle(),
+        "merkle_roots": _merkle_oracle(),
+        "rice_coding": _RICE_ORACLE,
     }
+
+
+def _merkle_oracle(n: int = 8, w: int = 8) -> str:
+    level = [f"md5(substring(text, {1 + w * i}, {w}))"
+             for i in range(n)]
+    while len(level) > 1:
+        level = [f"md5(concat({level[i]}, {level[i + 1]}))"
+                 for i in range(0, len(level), 2)]
+    return f"SELECT doc_id, {level[0]} AS merkle_root FROM documents"
+
+
+_RICE_ORACLE = """
+WITH p AS (SELECT DISTINCT u.term, d.doc_id AS d
+           FROM documents d,
+                LATERAL unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '')) AS u(term)),
+g AS (SELECT term,
+        d - coalesce(lag(d) OVER (PARTITION BY term ORDER BY d), -1)
+          AS gap
+      FROM p),
+f AS (SELECT term, gap, k.k FROM g,
+      LATERAL unnest(range(0, 8)) AS k(k)),
+pk AS (SELECT term, k, sum((gap >> k) + 1 + k) AS bits,
+              count(*) AS dfn
+       FROM f GROUP BY term, k),
+agg AS (SELECT term, max(dfn) AS df,
+               min(struct_pack(bits := bits, k := k)) AS m
+        FROM pk GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df, CAST((m).k AS BIGINT)
+         AS best_k, CAST((m).bits AS BIGINT) AS bits
+FROM agg
+"""
+
+
+def _passk_oracle(k: int = 10) -> str:
+    expr = "1000000"
+    for i in range(k):
+        expr = f"(({expr}) * greatest(n - c - {i}, 0)) // (n - {i})"
+    return f"""
+WITH g AS (SELECT doc_id % 25 AS g, count(*) AS n,
+             sum(CASE WHEN (doc_id * 2654435761) % 10 < 3
+                      THEN 1 ELSE 0 END) AS c
+           FROM documents GROUP BY 1)
+SELECT g, CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c,
+       (1000000 * CAST(c AS BIGINT)) // n AS pass1_ppm,
+       CAST(CASE WHEN n >= {k} THEN 1000000 - ({expr})
+            ELSE 1000000 * least(c, 1) END AS BIGINT) AS pass{k}_ppm
+FROM g
+"""
 
 
 _LIS_ORACLE = """

@@ -1208,3 +1208,42 @@ def oov_curve(docs: DataFrame, ks=(1000, 2000, 4000, 8000),
                     F.col("total").cast("long").alias("total_tokens"),
                     F.expr("(1000000 * (total - coalesce(covered, 0)))"
                            " div total").cast("long").alias("oov_ppm")))
+
+
+def rice_parameter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   max_k: int = 8) -> DataFrame:
+    """Per-term optimal Rice/Golomb parameter -> (term, df, best_k,
+    bits): for each posting list (docs containing the term,
+    d-gap-encoded with a -1 sentinel so the first gap is docid+1),
+    the Rice code length at parameter k is sum((gap >> k) + 1 + k);
+    the op picks the k in [0, max_k) minimizing total bits — the
+    entropy-coding companion to posting_size_bytes' varint estimate
+    and huffman_dictionary's dictionary floor (Rice is what real
+    inverted indexes (Lucene/PForDelta ancestors) actually tune).
+
+    Integer-pure: gaps from a per-term lag window (posting order),
+    k-fold map-side explode, one (term, k) groupBy, argmin =
+    min(struct(bits, k)). Windows partition by TERM — vocabulary-
+    scale keys, never a global sort."""
+    from .dedup import normalized_text
+
+    posting = (df.select(F.col(id_col).alias("d"),
+                         F.explode(F.split(
+                             normalized_text(F.col(text_col)), " "))
+                         .alias("term"))
+               .filter(F.col("term") != "").distinct())
+    w = Window.partitionBy("term").orderBy("d")
+    gaps = posting.withColumn(
+        "gap", F.col("d") - F.coalesce(F.lag("d").over(w), F.lit(-1)))
+    fan = gaps.select("term", "gap", F.explode(F.expr(
+        f"sequence(0, {int(max_k) - 1})")).alias("k"))
+    per_k = (fan.groupBy("term", "k")
+             .agg(F.sum(F.expr("shiftright(gap, k) + 1 + k"))
+                  .cast("long").alias("bits"),
+                  F.count(F.lit(1)).cast("long").alias("df_n")))
+    return (per_k.groupBy("term")
+            .agg(F.max("df_n").alias("df"),
+                 F.min(F.struct("bits", "k")).alias("m"))
+            .select("term", "df", F.col("m.k").cast("long")
+                    .alias("best_k"), F.col("m.bits").alias("bits")))

@@ -1023,3 +1023,28 @@ def maxdiff_histogram(df: DataFrame, value_col: str,
                  F.max("b").alias("hi_bucket"),
                  F.count(F.lit(1)).cast("long").alias("n_buckets"),
                  F.sum("f").cast("long").alias("n_rows")))
+
+
+def merkle_roots(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n_leaves: int = 8,
+                 slice_w: int = 8) -> DataFrame:
+    """Per-document Merkle root -> (doc_id, merkle_root): the
+    content-integrity fingerprint lakehouses verify snapshots with —
+    a balanced md5 hash tree over fixed-width text slices, so any
+    single-slice corruption flips the root while equal prefixes
+    share subtree hashes (the property a flat md5(text) lacks:
+    Merkle proofs localize WHICH chunk diverged, the
+    snapshot_diff/cdc_chunking companion). ``n_leaves`` must be a
+    power of two; slices beyond the text hash the empty string on
+    both engines. Pure codegen expression — zero shuffles."""
+    n = int(n_leaves)
+    if n & (n - 1):
+        raise ValueError("n_leaves must be a power of two")
+    w = int(slice_w)
+    level = [f"md5(substring({text_col}, {1 + w * i}, {w}))"
+             for i in range(n)]
+    while len(level) > 1:
+        level = [f"md5(concat({level[i]}, {level[i + 1]}))"
+                 for i in range(0, len(level), 2)]
+    return df.select(F.col(id_col),
+                     F.expr(level[0]).alias("merkle_root"))

@@ -2009,3 +2009,37 @@ def ransac_line(points: DataFrame, id_col: str = "pid",
                 " cast(floor(cast(rn * sxy - sx * sy as double)"
                 " / cast(rn * sxx - sx * sx as double)"
                 " * 1000000.0) as bigint) end as slope_refit_ppm"))
+
+
+def pass_at_k(df: DataFrame, group_col: str, success_col: str,
+              k: int = 10) -> DataFrame:
+    """pass@k estimator -> (group, n, c, pass1_ppm, passk_ppm): the
+    standard code-eval metric (Chen et al. 2021, HumanEval) — the
+    probability that at least one of k samples drawn without
+    replacement from a problem's n attempts (c successes) passes:
+    1 - C(n-c,k)/C(n,k). Evaluated in the PRODUCT form as a
+    fixed-point ladder, r <- r * (n-c-i) div (n-i) for i = 0..k-1
+    starting from 1e6, so no binomial ever materializes (C(2000,10)
+    would blow past BIGINT; each ladder step stays under ~2e9) and
+    the per-step truncation is the deterministic contract on both
+    engines. When n-c < k some factor passes through zero and the
+    ladder sticks at 0 -> pass@k = 1e6 exactly, no special case.
+
+    One partial-aggregable groupBy (n, c per problem); the ladder is
+    k scalar expression steps over the group table (statistic
+    scale)."""
+    kk = int(k)
+    g = (df.select(F.col(group_col).alias("g"),
+                   F.col(success_col).cast("long").alias("s"))
+         .groupBy("g")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("s").cast("long").alias("c")))
+    expr = "1000000"
+    for i in range(kk):
+        expr = f"(({expr}) * greatest(n - c - {i}, 0)) div (n - {i})"
+    return g.select(
+        "g", "n", "c",
+        F.expr("(1000000 * c) div n").alias("pass1_ppm"),
+        F.expr(f"CASE WHEN n >= {kk} THEN 1000000 - ({expr}) "
+               "ELSE (1000000 * least(c, 1)) END")
+        .cast("long").alias(f"pass{kk}_ppm"))

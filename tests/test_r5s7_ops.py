@@ -365,3 +365,62 @@ def test_lis_strictness_on_ties(spark):
         rows, "user_id long, event_id long, ts_s string, cents long") \
         .withColumn("ts", F.col("ts_s").cast("timestamp"))
     assert ev.lis_per_user(df).collect()[0]["lis_len"] == 1
+
+# ----------------------------------------------------------- pass@k
+
+
+def test_pass_at_k_textbook_and_edges(spark):
+    from eventrelationextractor_spark.ops import quality
+    rows = [(0, 1)] * 3 + [(0, 0)] * 7 \
+        + [(1, 0)] * 5 + [(2, 1)] + [(3, 0)]
+    df = spark.createDataFrame(rows, "p long, ok long")
+    out = {r["g"]: (r["n"], r["c"], r["pass1_ppm"], r["pass2_ppm"])
+           for r in quality.pass_at_k(df, "p", "ok", k=2).collect()}
+    # 1 - C(7,2)/C(10,2) = 24/45; ladder: 1e6*7//10*6//9 = 466666
+    assert out[0] == (10, 3, 300000, 533334)
+    assert out[1] == (5, 0, 0, 0)
+    assert out[2] == (1, 1, 1000000, 1000000)   # n < k, c >= 1
+    assert out[3] == (1, 0, 0, 0)
+
+
+def test_pass_at_k_saturates_when_failures_below_k(spark):
+    from eventrelationextractor_spark.ops import quality
+    df = spark.createDataFrame([(0, 1)] * 4 + [(0, 0)],
+                               "p long, ok long")
+    r = quality.pass_at_k(df, "p", "ok", k=2).collect()[0]
+    assert r["pass2_ppm"] == 1000000    # only 1 failure, k=2
+
+# ----------------------------------------------------------- merkle
+
+
+def test_merkle_roots_localized_sensitivity(spark):
+    from eventrelationextractor_spark.ops import maintenance
+    import hashlib
+    base = "abcdefgh" * 8
+    mod = base[:56] + "XXXXXXXX"            # corrupt leaf 7 only
+    df = spark.createDataFrame([(1, base), (2, base), (3, mod)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["merkle_root"]
+           for r in maintenance.merkle_roots(df).collect()}
+    assert out[1] == out[2] != out[3]
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+    level = [md5(base[8 * i:8 * i + 8]) for i in range(8)]
+    while len(level) > 1:
+        level = [md5(level[i] + level[i + 1])
+                 for i in range(0, len(level), 2)]
+    assert out[1] == level[0]
+
+# ------------------------------------------------------------- rice
+
+
+def test_rice_parameter_small_posting(spark):
+    from eventrelationextractor_spark.ops import bm25
+    df = spark.createDataFrame(
+        [(0, "zebra"), (5, "zebra"), (6, "zebra")],
+        "doc_id long, text string")
+    r = bm25.rice_parameter(df).collect()[0]
+    # gaps 1,5,1: k=0 -> 10 bits, k=1 -> 8, k=2 -> 10
+    assert (r["term"], r["df"], r["best_k"], r["bits"]) \
+        == ("zebra", 3, 1, 8)
