@@ -424,3 +424,41 @@ def test_rice_parameter_small_posting(spark):
     # gaps 1,5,1: k=0 -> 10 bits, k=1 -> 8, k=2 -> 10
     assert (r["term"], r["df"], r["best_k"], r["bits"]) \
         == ("zebra", 3, 1, 8)
+
+# ---------------------------------------------------- plan shapes
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_merkle_roots_zero_shuffle(spark):
+    from eventrelationextractor_spark.ops import maintenance
+    df = spark.createDataFrame([(1, "x" * 64)], "doc_id long, text string")
+    plan = _physical(maintenance.merkle_roots(df))
+    assert "Exchange" not in plan
+
+
+def test_grid_spatial_join_no_bnlj(spark):
+    """The cell replication must make the spatial join a pure
+    equi-join: no BroadcastNestedLoopJoin / CartesianProduct in the
+    plan."""
+    from eventrelationextractor_spark.ops import simsearch
+    pts = spark.createDataFrame([(1, 5, 5)], "pid long, x long, y long")
+    rects = spark.createDataFrame([(0, 0, 0, 9, 9)],
+                                  "rect long, x0 long, y0 long, x1 long, y1 long")
+    plan = _physical(simsearch.grid_spatial_join(pts, rects))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stupid_backoff_ngram_joins_not_broadcast(spark):
+    """The n-gram count dims are corpus-scale by construction — the
+    lookup joins must stay sort-merge (hint('merge')), never a
+    BroadcastHashJoin on tri/bigram counts (the ngram_dup_stats
+    AQE-broadcast OOM lesson)."""
+    from eventrelationextractor_spark.ops import textstats
+    tr = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    ev = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    plan = _physical(textstats.stupid_backoff_score(tr, ev))
+    assert "SortMergeJoin" in plan
