@@ -6176,6 +6176,27 @@ def _q_rice_coding(spark, sf_dir):
     return bm25.rice_parameter(_docs(spark, sf_dir))
 
 
+def _q_term_burstiness(spark, sf_dir):
+    """Per-term Fano factor (ops/textstats.py::term_burstiness) over
+    50-doc buckets: variance-to-mean burstiness (Church & Gale) in
+    pure integer ppm — absent buckets enter through the global
+    bucket count, never a dense term x bucket explode."""
+    return textstats.term_burstiness(_docs(spark, sf_dir))
+
+
+def _q_csv_sniff(spark, sf_dir):
+    """CSV dialect sniffing (ops/maintenance.py::csv_sniff) over
+    staged 6-field ';'-joined lines with a ','-noise stratum
+    (doc_id%7): the consistency heuristic as exact integers —
+    ';' wins on zero variance, ',' is rejected by its noisy
+    variance, unseen candidates by the sum_cnt>0 gate."""
+    d = _docs(spark, sf_dir).select(F.concat(
+        F.expr("array_join(slice(split(text, ' '), 1, 6), ';')"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(",x"))
+        .otherwise(F.lit(""))).alias("line"))
+    return maintenance.csv_sniff(d)
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6596,6 +6617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pass_at_k": _q_pass_at_k,
         "merkle_roots": _q_merkle_roots,
         "rice_coding": _q_rice_coding,
+        "term_burstiness": _q_term_burstiness,
+        "csv_sniff": _q_csv_sniff,
     }
 
 
@@ -16531,7 +16554,56 @@ FROM documents""",
         "pass_at_k": _passk_oracle(),
         "merkle_roots": _merkle_oracle(),
         "rice_coding": _RICE_ORACLE,
+        "term_burstiness": _BURSTINESS_ORACLE,
+        "csv_sniff": _CSV_SNIFF_ORACLE,
     }
+
+
+_BURSTINESS_ORACLE = """
+WITH tk AS (SELECT doc_id // 50 AS b, u.term
+            FROM documents,
+                 LATERAL unnest(string_split(text, ' ')) AS u(term)
+            WHERE u.term <> ''),
+per AS (SELECT term, b, count(*) AS x FROM tk GROUP BY term, b),
+nb AS (SELECT count(DISTINCT doc_id // 50) AS n FROM documents),
+agg AS (SELECT term, sum(x) AS sx, sum(x * x) AS sxx
+        FROM per GROUP BY term HAVING sum(x) >= 20)
+SELECT term, CAST(n AS BIGINT) AS n_buckets,
+       CAST(sx AS BIGINT) AS total,
+       CAST(CASE WHEN n > 1 AND sx > 0
+            THEN (1000000 * (n * sxx - sx * sx)) // ((n - 1) * sx)
+            ELSE 0 END AS BIGINT) AS fano_ppm
+FROM agg, nb
+"""
+
+_CSV_SNIFF_ORACLE = """
+WITH l AS (SELECT array_to_string(
+             list_slice(string_split(text, ' '), 1, 6), ';')
+             || CASE WHEN doc_id % 7 = 0 THEN ',x' ELSE '' END
+             AS line
+           FROM documents),
+fan AS (
+  SELECT 0 AS delim_id,
+         length(line) - length(replace(line, ',', '')) AS c FROM l
+  UNION ALL SELECT 1,
+         length(line) - length(replace(line, ';', '')) FROM l
+  UNION ALL SELECT 2,
+         length(line) - length(replace(line, '|', '')) FROM l
+  UNION ALL SELECT 3,
+         length(line) - length(replace(line, chr(9), '')) FROM l),
+agg AS (SELECT delim_id, count(*) AS n_lines, sum(c) AS sum_cnt,
+               count(*) * sum(c * c) - sum(c) * sum(c) AS var_num
+        FROM fan GROUP BY delim_id),
+best AS (SELECT min(CASE WHEN sum_cnt > 0 THEN
+           struct_pack(v := var_num, n := -sum_cnt, d := delim_id)
+           END) AS b FROM agg)
+SELECT CAST(a.delim_id AS BIGINT) AS delim_id,
+       CAST(a.n_lines AS BIGINT) AS n_lines,
+       CAST(a.sum_cnt AS BIGINT) AS sum_cnt,
+       CAST(a.var_num AS BIGINT) AS var_num,
+       a.delim_id = (best.b).d AS is_best
+FROM agg a, best
+"""
 
 
 def _merkle_oracle(n: int = 8, w: int = 8) -> str:

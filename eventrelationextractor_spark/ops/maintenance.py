@@ -1048,3 +1048,42 @@ def merkle_roots(df: DataFrame, text_col: str = "text",
                  for i in range(0, len(level), 2)]
     return df.select(F.col(id_col),
                      F.expr(level[0]).alias("merkle_root"))
+
+
+def csv_sniff(lines: DataFrame, line_col: str = "line",
+              candidates: tuple = (",", ";", "|", "\t")) -> DataFrame:
+    """CSV dialect sniffing -> one row per candidate delimiter
+    (delim_id, n_lines, sum_cnt, var_num, is_best): the ingestion
+    step before any schema lands — count each candidate's
+    occurrences per line (length minus delimiter-stripped length,
+    pure codegen), and pick the delimiter that appears AND splits
+    every line into the same field count: best = lexicographic min
+    of (variance numerator n*Scc - Sc^2 ascending, total count
+    descending, candidate index) — what csv.Sniffer's consistency
+    heuristic does, as exact integers. One map-side k-fold stack +
+    one k-row groupBy; the argmin runs over the k-row frame."""
+    exprs = []
+    for i, d in enumerate(candidates):
+        esc = d.replace("\\", "\\\\").replace("'", "\\'")
+        if d == "\t":
+            esc = "\\t"
+        exprs.append(
+            f"{i}L, length({line_col}) "
+            f"- length(replace({line_col}, '{esc}', ''))")
+    fan = lines.select(F.expr(
+        f"stack({len(candidates)}, " + ", ".join(exprs)
+        + ") as (delim_id, c)"))
+    agg = fan.groupBy("delim_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("c").cast("long").alias("sum_cnt"),
+        F.expr("count(1) * sum(c * c) - sum(c) * sum(c)")
+        .cast("long").alias("var_num"))
+    best = agg.agg(F.min(F.when(
+        F.col("sum_cnt") > 0,
+        F.struct("var_num",
+                 (-F.col("sum_cnt")).alias("neg"),
+                 F.col("delim_id").alias("did")))).alias("b"))
+    return (agg.crossJoin(F.broadcast(best))
+            .select("delim_id", "n_lines", "sum_cnt", "var_num",
+                    (F.col("delim_id") == F.col("b.did"))
+                    .alias("is_best")))

@@ -1918,3 +1918,43 @@ def stupid_backoff_score(train: DataFrame, eval_docs: DataFrame,
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_scored"),
                  F.sum("s").cast("long").alias("sum_score_ppm")))
+
+
+def term_burstiness(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    bucket_docs: int = 50,
+                    min_total: int = 20) -> DataFrame:
+    """Per-term Fano factor -> (term, n_buckets, total, fano_ppm):
+    variance-to-mean of a term's occurrence counts over fixed doc
+    buckets — the classic burstiness signal (Church & Gale): a
+    uniform function word sits near 1e6 (Poisson), a topical term
+    clumps far above it. The missing-zero problem is handled by
+    construction: buckets where the term is absent contribute x=0
+    through the GLOBAL bucket count, not a per-term dense explode —
+    sums over absent buckets are zero, so only n (all buckets) and
+    the term's own rows enter the moments.
+
+    Integer-pure: fano_ppm = 1e6 * (n*Sxx - Sx^2) div ((n-1) * Sx)
+    over exact BIGINT moments (absent buckets add nothing to Sx/Sxx
+    and are counted in n). One token explode + two groupBys."""
+    b = (df.select(F.expr(f"{id_col} div {int(bucket_docs)}")
+                   .alias("b"),
+                   F.explode(F.split(F.col(text_col), " "))
+                   .alias("term"))
+         .filter(F.col("term") != ""))
+    per = b.groupBy("term", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("x"))
+    nb = (df.select(F.expr(f"{id_col} div {int(bucket_docs)}")
+                    .alias("b")).distinct()
+          .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    agg = (per.groupBy("term")
+           .agg(F.sum("x").alias("sx"),
+                F.sum(F.expr("x * x")).alias("sxx"))
+           .filter(F.col("sx") >= int(min_total))
+           .crossJoin(F.broadcast(nb)))
+    return agg.select(
+        "term", F.col("n").alias("n_buckets"),
+        F.col("sx").alias("total"),
+        F.expr("CASE WHEN n > 1 AND sx > 0 THEN "
+               "(1000000 * (n * sxx - sx * sx)) div ((n - 1) * sx) "
+               "ELSE 0 END").alias("fano_ppm"))

@@ -462,3 +462,34 @@ def test_stupid_backoff_ngram_joins_not_broadcast(spark):
     ev = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
     plan = _physical(textstats.stupid_backoff_score(tr, ev))
     assert "SortMergeJoin" in plan
+
+# ------------------------------------------------------- burstiness
+
+
+def test_term_burstiness_uniform_vs_bursty(spark):
+    from eventrelationextractor_spark.ops import textstats
+    docs = []
+    for i in range(6):
+        t = "uni"
+        if i == 0:
+            t += " burst burst burst burst"
+        docs.append((i, t))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["term"]: r["fano_ppm"]
+           for r in textstats.term_burstiness(
+               df, bucket_docs=2, min_total=1).collect()}
+    assert out["uni"] == 0                 # constant 2 per bucket
+    assert out["burst"] == 4000000         # all mass in one bucket
+
+# -------------------------------------------------------- csv sniff
+
+
+def test_csv_sniff_consistency_heuristic(spark):
+    from eventrelationextractor_spark.ops import maintenance
+    df = spark.createDataFrame(
+        [("a;b;c",), ("d;e;f",), ("g;h,x;i",)], "line string")
+    out = {r["delim_id"]: (r["sum_cnt"], r["var_num"], r["is_best"])
+           for r in maintenance.csv_sniff(df).collect()}
+    assert out[1] == (6, 0, True)          # ';' constant
+    assert out[0] == (1, 2, False)         # ',' noisy
+    assert out[2][2] is False and out[3][2] is False
