@@ -6197,6 +6197,21 @@ def _q_csv_sniff(spark, sf_dir):
     return maintenance.csv_sniff(d)
 
 
+def _q_emd_drift(spark, sf_dir):
+    """1-D Wasserstein drift (ops/quality.py::emd_drift) of each
+    doc_id%4 stratum's length distribution vs the pooled rest, with
+    a +40-char planted shift on stratum 0 — the how-far-did-mass-
+    move companion to ks_drift (sup gap) and psi_drift (bin
+    log-ratios). Cross-multiplied integer CDFs, one div at the
+    end."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 4).alias("g"),
+        (F.col("n_chars")
+         + F.when(F.col("doc_id") % 4 == 0, 40).otherwise(0))
+        .alias("v"))
+    return quality.emd_drift(d, "g", "v")
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6619,6 +6634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rice_coding": _q_rice_coding,
         "term_burstiness": _q_term_burstiness,
         "csv_sniff": _q_csv_sniff,
+        "emd_drift": _q_emd_drift,
     }
 
 
@@ -16556,7 +16572,40 @@ FROM documents""",
         "rice_coding": _RICE_ORACLE,
         "term_burstiness": _BURSTINESS_ORACLE,
         "csv_sniff": _CSV_SNIFF_ORACLE,
+        "emd_drift": _EMD_ORACLE,
     }
+
+
+_EMD_ORACLE = """
+WITH b AS (SELECT doc_id % 4 AS g,
+             CAST(n_chars + CASE WHEN doc_id % 4 = 0 THEN 40
+                  ELSE 0 END AS BIGINT) // 8 AS b
+           FROM documents),
+per AS (SELECT g, b, count(*) AS c FROM b GROUP BY g, b),
+tot AS (SELECT b, count(*) AS ct FROM b GROUP BY b),
+nt AS (SELECT count(*) AS nt FROM b),
+gs AS (SELECT DISTINCT g FROM per),
+grid AS (SELECT gs.g, t.b, t.ct, coalesce(p.c, 0) AS c
+         FROM gs CROSS JOIN tot t
+         LEFT JOIN per p ON p.g = gs.g AND p.b = t.b),
+cum AS (SELECT g, b, c, ct,
+          sum(c) OVER (PARTITION BY g ORDER BY b) AS cg,
+          sum(ct) OVER (PARTITION BY g ORDER BY b) AS call,
+          coalesce(lead(b) OVER (PARTITION BY g ORDER BY b) - b, 0)
+            AS gapw
+        FROM grid),
+ngs AS (SELECT g, sum(c) AS n_g FROM grid GROUP BY g),
+agg AS (SELECT c.g, ngs.n_g, nt.nt - ngs.n_g AS n_r,
+          sum(abs(c.cg * (nt.nt - ngs.n_g)
+                  - (c.call - c.cg) * ngs.n_g) * c.gapw) AS num
+        FROM cum c, ngs, nt WHERE ngs.g = c.g
+        GROUP BY c.g, ngs.n_g, n_r)
+SELECT g, CAST(n_g AS BIGINT) AS n_g, CAST(n_r AS BIGINT) AS n_r,
+       CAST(CASE WHEN n_g > 0 AND n_r > 0
+            THEN (num * 1000000 * 8) // (n_g * n_r)
+            ELSE 0 END AS BIGINT) AS emd_ppm
+FROM agg
+"""
 
 
 _BURSTINESS_ORACLE = """

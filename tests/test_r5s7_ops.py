@@ -493,3 +493,25 @@ def test_csv_sniff_consistency_heuristic(spark):
     assert out[1] == (6, 0, True)          # ';' constant
     assert out[0] == (1, 2, False)         # ',' noisy
     assert out[2][2] is False and out[3][2] is False
+
+# -------------------------------------------------------- emd drift
+
+
+def test_emd_drift_shift_detection(spark):
+    from eventrelationextractor_spark.ops import quality
+    rows = [(0, 100 + 80)] * 50 + [(1, 100)] * 50
+    df = spark.createDataFrame(rows, "g long, v long")
+    out = {r["g"]: r["emd_ppm"]
+           for r in quality.emd_drift(df, "g", "v",
+                                      bucket_width=8).collect()}
+    # constant distributions 80 apart: EMD = 80 exactly -> 80e6 ppm
+    assert out[0] == out[1] == 80 * 1000000
+
+
+def test_emd_drift_identical_groups_zero(spark):
+    from eventrelationextractor_spark.ops import quality
+    rows = [(g, v) for g in (0, 1) for v in (8, 16, 24, 32)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    out = {r["g"]: r["emd_ppm"]
+           for r in quality.emd_drift(df, "g", "v").collect()}
+    assert out == {0: 0, 1: 0}
