@@ -6212,6 +6212,31 @@ def _q_emd_drift(spark, sf_dir):
     return quality.emd_drift(d, "g", "v")
 
 
+def _q_learned_index(spark, sf_dir):
+    """Learned-index error audit (ops/maintenance.py::
+    learned_index_audit): rank ~ a + b*doc_id per doc_id%8 shard —
+    the RMI-leaf feasibility number beside zone maps. Exact integer
+    OLS moments, ppm slope/intercept, trunc-div prediction."""
+    return maintenance.learned_index_audit(
+        _docs(spark, sf_dir).select("doc_id",
+                                    (F.col("doc_id") % 8).alias("s")),
+        "doc_id", "s")
+
+
+def _q_qte(spark, sf_dir):
+    """Quantile treatment effects (ops/quality.py::
+    quantile_treatment_effect) at the quartiles: parity arms over
+    doc length with a +25-char planted treatment shift on the odd
+    arm — the distributional A/B readout beside cuped_ab/ipw_ate.
+    Exact nearest-rank quantiles from value-histogram cumsums."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 2).alias("arm"),
+        (F.col("n_chars")
+         + F.when(F.col("doc_id") % 2 == 1, 25).otherwise(0))
+        .alias("v"))
+    return quality.quantile_treatment_effect(d, "arm", "v")
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6635,6 +6660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_burstiness": _q_term_burstiness,
         "csv_sniff": _q_csv_sniff,
         "emd_drift": _q_emd_drift,
+        "learned_index": _q_learned_index,
+        "qte": _q_qte,
     }
 
 
@@ -16573,7 +16600,60 @@ FROM documents""",
         "term_burstiness": _BURSTINESS_ORACLE,
         "csv_sniff": _CSV_SNIFF_ORACLE,
         "emd_drift": _EMD_ORACLE,
+        "learned_index": _LEARNED_IDX_ORACLE,
+        "qte": _QTE_ORACLE,
     }
+
+
+_LEARNED_IDX_ORACLE = """
+WITH b AS (SELECT doc_id % 8 AS g, doc_id AS x,
+             row_number() OVER (PARTITION BY doc_id % 8
+                                ORDER BY doc_id) AS r
+           FROM documents),
+m AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(r) AS sy,
+             sum(x * x) AS sxx, sum(x * r) AS sxy
+      FROM b GROUP BY g),
+m2 AS (SELECT *, n * sxx - sx * sx AS den FROM m),
+m3 AS (SELECT *,
+         CASE WHEN den = 0 THEN 0
+              ELSE CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                   * 1000000.0 / CAST(den AS DOUBLE)) AS BIGINT) END
+           AS slope_ppm
+       FROM m2),
+m4 AS (SELECT *, (1000000 * sy - slope_ppm * sx) // n AS icept_ppm
+       FROM m3),
+err AS (SELECT b.g,
+          max(abs((m4.slope_ppm * b.x + m4.icept_ppm) // 1000000
+                  - b.r)) AS max_err
+        FROM b JOIN m4 ON m4.g = b.g GROUP BY b.g)
+SELECT m4.g AS shard, CAST(m4.n AS BIGINT) AS n,
+       CAST(m4.slope_ppm AS BIGINT) AS slope_ppm,
+       CAST(err.max_err AS BIGINT) AS max_err
+FROM m4 JOIN err ON err.g = m4.g
+"""
+
+_QTE_ORACLE = """
+WITH b AS (SELECT doc_id % 2 AS arm,
+             n_chars + CASE WHEN doc_id % 2 = 1 THEN 25 ELSE 0 END
+               AS v
+           FROM documents),
+hist AS (SELECT arm, v, count(*) AS c FROM b GROUP BY arm, v),
+cum AS (SELECT arm, v, c,
+          sum(c) OVER (PARTITION BY arm ORDER BY v) AS cum
+        FROM hist),
+ns AS (SELECT arm, count(*) AS n FROM b GROUP BY arm),
+fan AS (SELECT cum.arm, cum.v, cum.cum, ns.n, t.tau,
+               (t.tau * ns.n + 99) // 100 AS k
+        FROM cum JOIN ns ON ns.arm = cum.arm
+        CROSS JOIN (SELECT unnest([25, 50, 75]) AS tau) t),
+q AS (SELECT arm, tau, n, min(v) AS q FROM fan
+      WHERE cum >= k GROUP BY arm, tau, n)
+SELECT CAST(t.tau AS BIGINT) AS tau, CAST(t.n AS BIGINT) AS n_t,
+       CAST(c.n AS BIGINT) AS n_c, CAST(t.q AS BIGINT) AS q_t,
+       CAST(c.q AS BIGINT) AS q_c, CAST(t.q - c.q AS BIGINT) AS qte
+FROM (SELECT * FROM q WHERE arm = 1) t
+JOIN (SELECT * FROM q WHERE arm = 0) c ON c.tau = t.tau
+"""
 
 
 _EMD_ORACLE = """

@@ -1087,3 +1087,49 @@ def csv_sniff(lines: DataFrame, line_col: str = "line",
             .select("delim_id", "n_lines", "sum_cnt", "var_num",
                     (F.col("delim_id") == F.col("b.did"))
                     .alias("is_best")))
+
+
+def learned_index_audit(df: DataFrame, key_col: str,
+                        shard_col: str) -> DataFrame:
+    """Learned-index error audit (Kraska et al. 2018 telemetry) ->
+    (shard, n, slope_ppm, max_err): fit rank ~ a + b*key per shard
+    with exact-integer OLS moments, then report the worst absolute
+    position error — the number that decides whether a
+    linear-model-per-shard index (RMI leaf) can replace a B-tree
+    level, and the layout-quality companion to zone maps (a sorted,
+    uniform shard has tiny max_err; skew or disorder blows it up).
+
+    Moments stay exact BIGINT; slope_ppm = floor(1e6 * num/den)
+    in DOUBLE (the ols2 fixed-DAG class — 1e6*num overflows BIGINT
+    at corpus scale while the double quotient is engine-identical),
+    intercept_ppm = (1e6*Sy - slope_ppm*Sx) div n, prediction =
+    (slope_ppm*key + icept_ppm) div 1e6 — per-step trunc is the
+    contract. Ranks are per-shard windows (shard-partitioned, never
+    global); moments one partial-agg groupBy. UNIQUE-KEY-per-shard
+    contract: rank ties under duplicate keys would make row_number
+    engine-dependent."""
+    b = (df.select(F.col(shard_col).alias("g"),
+                   F.col(key_col).cast("long").alias("x"))
+         .withColumn("r", F.row_number().over(
+             Window.partitionBy("g").orderBy("x")).cast("long")))
+    m = b.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("r").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * r")).alias("sxy"))
+    m = m.withColumn("den", F.expr("n * sxx - sx * sx")) \
+         .withColumn("slope_ppm", F.expr(
+             "CASE WHEN den = 0 THEN 0 ELSE "
+             "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) "
+             "* 1000000.0 / CAST(den AS DOUBLE)) AS BIGINT) END")) \
+         .withColumn("icept_ppm", F.expr(
+             "(1000000 * sy - slope_ppm * sx) div n"))
+    err = (b.join(m.select("g", "slope_ppm", "icept_ppm"), "g")
+           .select("g", F.expr(
+               "abs((slope_ppm * x + icept_ppm) div 1000000 - r)")
+               .alias("e"))
+           .groupBy("g").agg(F.max("e").cast("long")
+                             .alias("max_err")))
+    return (m.join(err, "g")
+            .select(F.col("g").alias("shard"), "n", "slope_ppm",
+                    "max_err"))

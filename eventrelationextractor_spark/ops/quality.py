@@ -2100,3 +2100,40 @@ def emd_drift(df: DataFrame, group_col: str, value_col: str,
         F.expr(f"CASE WHEN n_g > 0 AND n_r > 0 THEN "
                f"(num * 1000000 * {w}) div (n_g * n_r) "
                "ELSE 0 END").alias("emd_ppm"))
+
+
+def quantile_treatment_effect(df: DataFrame, arm_col: str,
+                              value_col: str,
+                              taus: tuple = (25, 50, 75)) -> DataFrame:
+    """Quantile treatment effects -> (tau, n_t, n_c, q_t, q_c, qte):
+    the distributional A/B readout mean-based estimators (cuped_ab,
+    ipw_ate, did_estimate) can't give — does the treatment move the
+    median? the tails? Exact nearest-rank quantiles (k =
+    (tau*n + 99) div 100, the ceil) per arm via value-histogram
+    cumsums — the same statistic-scale window discipline as
+    length_percentiles, never a global row sort — then one
+    per-tau difference. Integer-pure throughout."""
+    b = df.select(
+        F.when(F.col(arm_col).cast("boolean"), 1).otherwise(0)
+        .alias("arm"), F.col(value_col).cast("long").alias("v"))
+    hist = b.groupBy("arm", "v").agg(F.count(F.lit(1)).cast("long")
+                                     .alias("c"))
+    wc = Window.partitionBy("arm").orderBy("v")
+    cum = hist.withColumn("cum", F.sum("c").over(wc).cast("long"))
+    ns = b.groupBy("arm").agg(F.count(F.lit(1)).cast("long")
+                              .alias("n"))
+    tl = F.array(*[F.lit(int(t)) for t in taus])
+    fan = (cum.join(F.broadcast(ns), "arm")
+           .select("arm", "v", "cum", "n",
+                   F.explode(tl).alias("tau"))
+           .withColumn("k", F.expr("(tau * n + 99) div 100"))
+           .filter(F.col("cum") >= F.col("k")))
+    q = fan.groupBy("arm", "tau", "n").agg(F.min("v").alias("q"))
+    t = q.filter("arm = 1").select(
+        "tau", F.col("n").alias("n_t"), F.col("q").alias("q_t"))
+    c = q.filter("arm = 0").select(
+        "tau", F.col("n").alias("n_c"), F.col("q").alias("q_c"))
+    return (t.join(c, "tau")
+            .select(F.col("tau").cast("long").alias("tau"),
+                    "n_t", "n_c", "q_t", "q_c",
+                    (F.col("q_t") - F.col("q_c")).alias("qte")))

@@ -515,3 +515,32 @@ def test_emd_drift_identical_groups_zero(spark):
     out = {r["g"]: r["emd_ppm"]
            for r in quality.emd_drift(df, "g", "v").collect()}
     assert out == {0: 0, 1: 0}
+
+# ---------------------------------------------------- learned index
+
+
+def test_learned_index_perfect_vs_gapped(spark):
+    from eventrelationextractor_spark.ops import maintenance
+    rows = [(0, k) for k in range(0, 100, 2)] \
+        + [(1, k) for k in list(range(20)) + list(range(500, 530))]
+    df = spark.createDataFrame(rows, "s long, k long")
+    out = {r["shard"]: (r["n"], r["max_err"])
+           for r in maintenance.learned_index_audit(df, "k", "s")
+           .collect()}
+    assert out[0] == (50, 0)        # perfectly linear: zero error
+    assert out[1][1] >= 5           # bimodal keys break the line
+
+# -------------------------------------------------------------- qte
+
+
+def test_qte_planted_shift(spark):
+    from eventrelationextractor_spark.ops import quality
+    rows = [(0, v) for v in range(1, 101)] \
+        + [(1, v + 30) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "arm long, v long")
+    out = {r["tau"]: (r["q_t"], r["q_c"], r["qte"])
+           for r in quality.quantile_treatment_effect(
+               df, "arm", "v").collect()}
+    assert out[25] == (55, 25, 30)
+    assert out[50] == (80, 50, 30)
+    assert out[75] == (105, 75, 30)
