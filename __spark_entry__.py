@@ -6237,6 +6237,41 @@ def _q_qte(spark, sf_dir):
     return quality.quantile_treatment_effect(d, "arm", "v")
 
 
+def _q_token_simpson(spark, sf_dir):
+    """Gini-Simpson token diversity (ops/textstats.py::
+    simpson_diversity) per doc_id%20 shard — the concentration
+    complement to char_entropy/mattr; n(n-1) unbiased form keeps
+    everything BIGINT."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 20).alias("g"), "text")
+    return textstats.simpson_diversity(d, "g")
+
+
+def _q_luhn_audit(spark, sf_dir):
+    """Luhn mod-10 audit (ops/pii.py::luhn_audit) over staged
+    12-digit account-like numbers: checksum-validity census — the
+    check-digit sibling of the module's regex-shape validators.
+    Pure codegen aggregate() fold, right-aligned parity."""
+    d = _docs(spark, sf_dir).select(
+        F.lpad(((F.col("doc_id") * 2654435761) % 1000000000000)
+               .cast("string"), 12, "0").alias("num"))
+    return pii.luhn_audit(d)
+
+
+def _q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta effect size (from ops/quality.py::
+    mann_whitney_u's exact doubled U): delta = 2U1/(n1 n2) - 1 in
+    trunc-div ppm — the magnitude companion to mann_whitney's
+    significance z, over the same parity arms."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") % 2).alias("arm"), "n_chars")
+    mw = quality.mann_whitney_u(d, "arm", "n_chars")
+    return mw.select(
+        "n1", "n2", "u1_x2",
+        F.expr("((u1_x2 - n1 * n2) * 1000000) div (n1 * n2)")
+        .alias("delta_ppm"))
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6662,6 +6697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_drift": _q_emd_drift,
         "learned_index": _q_learned_index,
         "qte": _q_qte,
+        "token_simpson": _q_token_simpson,
+        "luhn_audit": _q_luhn_audit,
+        "cliffs_delta": _q_cliffs_delta,
     }
 
 
@@ -16602,7 +16640,68 @@ FROM documents""",
         "emd_drift": _EMD_ORACLE,
         "learned_index": _LEARNED_IDX_ORACLE,
         "qte": _QTE_ORACLE,
+        "token_simpson": _SIMPSON_ORACLE,
+        "luhn_audit": _LUHN_ORACLE,
+        "cliffs_delta": _CLIFFS_ORACLE,
     }
+
+
+_SIMPSON_ORACLE = """
+WITH tk AS (SELECT doc_id % 20 AS g, u.w
+            FROM documents,
+                 LATERAL unnest(string_split(text, ' ')) AS u(w)
+            WHERE u.w <> ''),
+per AS (SELECT g, w, count(*) AS c FROM tk GROUP BY g, w),
+agg AS (SELECT g, sum(c) AS n_tokens, count(*) AS n_types,
+               sum(c * (c - 1)) AS rep
+        FROM per GROUP BY g)
+SELECT g, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(CASE WHEN n_tokens > 1 THEN 1000000
+            - (1000000 * rep) // (n_tokens * (n_tokens - 1))
+            ELSE 0 END AS BIGINT) AS simpson_ppm
+FROM agg
+"""
+
+_LUHN_ORACLE = """
+WITH d AS (SELECT lpad(CAST((doc_id * 2654435761) % 1000000000000
+             AS VARCHAR), 12, '0') AS num
+           FROM documents),
+v AS (SELECT num,
+        length(num) > 0 AND regexp_matches(num, '^[0-9]+$')
+        AND list_sum(list_transform(range(1, length(num) + 1),
+          i -> CASE WHEN i % 2 = 1
+               THEN ascii(substring(num, length(num) - i + 1, 1)) - 48
+               ELSE CASE WHEN 2 * (ascii(substring(num,
+                    length(num) - i + 1, 1)) - 48) > 9
+               THEN 2 * (ascii(substring(num, length(num) - i + 1, 1))
+                    - 48) - 9
+               ELSE 2 * (ascii(substring(num, length(num) - i + 1, 1))
+                    - 48) END END)) % 10 = 0 AS is_valid
+      FROM d)
+SELECT is_valid, count(*) AS n, min(num) AS min_num,
+       max(num) AS max_num
+FROM v GROUP BY is_valid
+"""
+
+_CLIFFS_ORACLE = """
+WITH b AS (SELECT CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS arm,
+                  CAST(n_chars AS BIGINT) AS x
+           FROM documents WHERE doc_id % 5 = 0),
+ranked AS (SELECT arm,
+    CAST(rank() OVER (ORDER BY x ASC) + count(*) OVER ()
+         + 1 - rank() OVER (ORDER BY x DESC) AS BIGINT) AS r2
+  FROM b),
+agg AS (SELECT
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN arm = 1 THEN r2 ELSE 0 END) AS BIGINT) AS sr2
+  FROM ranked)
+SELECT n1, n2, CAST(sr2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+  CAST(((sr2 - n1 * (n1 + 1) - n1 * n2) * 1000000) // (n1 * n2)
+       AS BIGINT) AS delta_ppm
+FROM agg
+"""
 
 
 _LEARNED_IDX_ORACLE = """

@@ -42,3 +42,32 @@ def redact_pii(df: DataFrame, text_col: str = "text",
         out = out.withColumn(cnt, F.regexp_count(t, F.lit(pat)).cast("long"))
         red = F.regexp_replace(red, pat, token)
     return out.withColumn(out_col, red)
+
+
+def luhn_audit(df: DataFrame, num_col: str = "num") -> DataFrame:
+    """Luhn mod-10 checksum audit -> (is_valid, n, min_num,
+    max_num): the card/IMEI/account-number format validator as a
+    data-quality census (the checksum sibling of the regex-shape
+    validators in this module — a string can LOOK like a PAN and
+    still fail its check digit). Pure codegen: the doubled-digit
+    sum is one aggregate() fold over the digit positions, right-
+    aligned so position parity is length-independent; non-digit or
+    empty inputs count as invalid by contract."""
+    n = F.length(F.col(num_col))
+    term = (
+        "aggregate(sequence(1, length({c})), 0, (acc, i) -> acc + "
+        "CASE WHEN i % 2 = 1 THEN ascii(substring({c}, "
+        "length({c}) - i + 1, 1)) - 48 "
+        "ELSE CASE WHEN 2 * (ascii(substring({c}, "
+        "length({c}) - i + 1, 1)) - 48) > 9 "
+        "THEN 2 * (ascii(substring({c}, length({c}) - i + 1, 1)) "
+        "- 48) - 9 "
+        "ELSE 2 * (ascii(substring({c}, length({c}) - i + 1, 1)) "
+        "- 48) END END)").format(c=num_col)
+    ok = (n > 0) & F.col(num_col).rlike("^[0-9]+$") \
+        & (F.expr(term) % 10 == 0)
+    return (df.select(ok.alias("is_valid"), F.col(num_col))
+            .groupBy("is_valid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min(num_col).alias("min_num"),
+                 F.max(num_col).alias("max_num")))

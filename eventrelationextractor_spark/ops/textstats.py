@@ -1958,3 +1958,29 @@ def term_burstiness(df: DataFrame, text_col: str = "text",
         F.expr("CASE WHEN n > 1 AND sx > 0 THEN "
                "(1000000 * (n * sxx - sx * sx)) div ((n - 1) * sx) "
                "ELSE 0 END").alias("fano_ppm"))
+
+
+def simpson_diversity(df: DataFrame, group_col: str,
+                      text_col: str = "text") -> DataFrame:
+    """Gini-Simpson token diversity per group -> (g, n_tokens,
+    n_types, simpson_ppm): 1 - sum n_i(n_i-1)/(N(N-1)) — the
+    ecology-standard concentration complement to char_entropy's
+    Shannon view and mattr_diversity's windowed TTR; the n(n-1)
+    unbiased form keeps everything exact BIGINT (no p^2 floats),
+    ppm by one trunc div. Two vocabulary-scale groupBys."""
+    tk = (df.select(F.col(group_col).alias("g"),
+                    F.explode(F.split(F.col(text_col), " "))
+                    .alias("w"))
+          .filter(F.col("w") != ""))
+    per = tk.groupBy("g", "w").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("c"))
+    agg = per.groupBy("g").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.expr("c * (c - 1)")).alias("rep"))
+    return agg.select(
+        "g", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_types",
+        F.expr("CASE WHEN n_tokens > 1 THEN 1000000 - "
+               "(1000000 * rep) div (n_tokens * (n_tokens - 1)) "
+               "ELSE 0 END").alias("simpson_ppm"))

@@ -544,3 +544,30 @@ def test_qte_planted_shift(spark):
     assert out[25] == (55, 25, 30)
     assert out[50] == (80, 50, 30)
     assert out[75] == (105, 75, 30)
+
+# ---------------------------------------------------------- simpson
+
+
+def test_simpson_diversity_extremes(spark):
+    from eventrelationextractor_spark.ops import textstats
+    df = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a b c d")], "g long, text string")
+    out = {r["g"]: (r["n_tokens"], r["n_types"], r["simpson_ppm"])
+           for r in textstats.simpson_diversity(df, "g").collect()}
+    assert out[0] == (4, 1, 0)            # one type: zero diversity
+    assert out[1] == (4, 4, 1000000)      # all distinct: maximal
+
+# ------------------------------------------------------------- luhn
+
+
+def test_luhn_audit_known_numbers(spark):
+    from eventrelationextractor_spark.ops import pii
+    df = spark.createDataFrame(
+        [("79927398713",),     # the canonical Luhn-valid example
+         ("79927398710",),     # same digits, bad check digit
+         ("4111111111111111",),  # classic valid test PAN
+         ("notdigits",)], "num string")
+    out = {}
+    for r in pii.luhn_audit(df).collect():
+        out[r["is_valid"]] = r["n"]
+    assert out == {True: 2, False: 2}
