@@ -6272,6 +6272,33 @@ def _q_cliffs_delta(spark, sf_dir):
         .alias("delta_ppm"))
 
 
+def _q_ip_cidr_rollup(spark, sf_dir):
+    """IPv4 CIDR rollup (ops/urls.py::cidr_rollup) of staged client
+    IPs at /8, /16, /24 + grand total via native ROLLUP grouping
+    sets (NULL marks a rolled level on both engines)."""
+    d = _docs(spark, sf_dir).select(
+        ((F.col("doc_id") * 2654435761) % 4294967296).alias("ip32"))
+    return urls.cidr_rollup(d)
+
+
+def _q_pk_discovery(spark, sf_dir):
+    """Primary-key candidate discovery (ops/urls.py::pk_discovery)
+    over events: exact distinct counts for four candidate combos —
+    timestamps rendered as ntz_epoch_us integers, never engine-
+    formatted casts (the TZ/format-parity discipline)."""
+    ep = events.ntz_epoch_us(F.col("ts"))
+    d = _events(spark, sf_dir)
+    combos = [
+        ("event_id", F.col("event_id").cast("string")),
+        ("user_id:ts", F.concat_ws(":", F.col("user_id"),
+                                   ep.cast("string"))),
+        ("user_id:event_type", F.concat_ws(":", F.col("user_id"),
+                                           F.col("event_type"))),
+        ("ts", ep.cast("string")),
+    ]
+    return urls.pk_discovery(d, combos)
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6700,6 +6727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_simpson": _q_token_simpson,
         "luhn_audit": _q_luhn_audit,
         "cliffs_delta": _q_cliffs_delta,
+        "ip_cidr_rollup": _q_ip_cidr_rollup,
+        "pk_discovery": _q_pk_discovery,
     }
 
 
@@ -16643,7 +16672,44 @@ FROM documents""",
         "token_simpson": _SIMPSON_ORACLE,
         "luhn_audit": _LUHN_ORACLE,
         "cliffs_delta": _CLIFFS_ORACLE,
+        "ip_cidr_rollup": _CIDR_ORACLE,
+        "pk_discovery": _PK_ORACLE,
     }
+
+
+_CIDR_ORACLE = """
+WITH b AS (SELECT
+    ((doc_id * 2654435761) % 4294967296) // 16777216 % 256 AS o1,
+    ((doc_id * 2654435761) % 4294967296) // 65536 % 256 AS o2,
+    ((doc_id * 2654435761) % 4294967296) // 256 % 256 AS o3
+  FROM documents)
+SELECT o1, o2, o3, count(*) AS n
+FROM b GROUP BY ROLLUP (o1, o2, o3)
+"""
+
+_PK_ORACLE = """
+WITH e AS (SELECT event_id, user_id, event_type,
+                  epoch_us(ts) AS ep FROM events)
+SELECT 'event_id' AS combo, count(*) AS n_rows,
+       count(DISTINCT CAST(event_id AS VARCHAR)) AS n_distinct,
+       count(*) = count(DISTINCT CAST(event_id AS VARCHAR)) AS is_key
+FROM e
+UNION ALL
+SELECT 'user_id:ts', count(*),
+       count(DISTINCT user_id || ':' || CAST(ep AS VARCHAR)),
+       count(*) = count(DISTINCT user_id || ':'
+                        || CAST(ep AS VARCHAR))
+FROM e
+UNION ALL
+SELECT 'user_id:event_type', count(*),
+       count(DISTINCT user_id || ':' || event_type),
+       count(*) = count(DISTINCT user_id || ':' || event_type)
+FROM e
+UNION ALL
+SELECT 'ts', count(*), count(DISTINCT CAST(ep AS VARCHAR)),
+       count(*) = count(DISTINCT CAST(ep AS VARCHAR))
+FROM e
+"""
 
 
 _SIMPSON_ORACLE = """

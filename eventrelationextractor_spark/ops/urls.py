@@ -673,3 +673,43 @@ def etld1(hosts: DataFrame, host_col: str = "host",
                 F.when(F.col("_n") >= F.col("_j") + 1, F.expr(
                     "array_join(slice(_labels, _n - _j, _j + 1), '.')"
                 )).alias("registrable")))
+
+
+def cidr_rollup(df: DataFrame, ip_col: str = "ip32") -> DataFrame:
+    """IPv4 CIDR rollup -> (o1, o2, o3, n): doc/client counts at /8,
+    /16 and /24 plus the grand total, via the native ROLLUP grouping
+    sets on the first three octets (NULL marks a rolled level, the
+    SQL-standard encoding both engines share) — network telemetry
+    for abuse/crawl-source analysis beside the host-level rollups in
+    this module. One grouping-sets aggregate, partial-aggregable;
+    octets by pure integer shifts."""
+    b = df.select(
+        F.expr(f"({ip_col} div 16777216) % 256").alias("o1"),
+        F.expr(f"({ip_col} div 65536) % 256").alias("o2"),
+        F.expr(f"({ip_col} div 256) % 256").alias("o3"))
+    return (b.rollup("o1", "o2", "o3")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def pk_discovery(df, combos: list) -> DataFrame:
+    """Primary-key candidate discovery -> (combo, n_rows,
+    n_distinct, is_key): for each candidate column-combo expression
+    (name, Column-of-STRING pairs — callers render non-string parts
+    to stable integers first, e.g. NTZ timestamps via ntz_epoch_us,
+    never engine-formatted casts), count exact distinct values and
+    flag exact uniqueness — the profiling step that decides merge
+    keys and dedup identity (the constructive complement of
+    fd_violations' dependency audit). One exact distinct-count
+    aggregate per candidate over a narrow projection; candidates are
+    few by contract."""
+    outs = []
+    for name, col in combos:
+        outs.append(df.select(col.alias("k")).agg(
+            F.lit(name).alias("combo"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("k").cast("long").alias("n_distinct")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.withColumn("is_key",
+                          F.col("n_rows") == F.col("n_distinct"))

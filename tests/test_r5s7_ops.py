@@ -571,3 +571,35 @@ def test_luhn_audit_known_numbers(spark):
     for r in pii.luhn_audit(df).collect():
         out[r["is_valid"]] = r["n"]
     assert out == {True: 2, False: 2}
+
+# ------------------------------------------------------ cidr rollup
+
+
+def test_cidr_rollup_levels(spark):
+    from eventrelationextractor_spark.ops import urls
+    # two ips in the same /16, one in another /8
+    ips = [(10 * 16777216 + 1 * 65536 + 2 * 256 + 3,),
+           (10 * 16777216 + 1 * 65536 + 9 * 256 + 4,),
+           (192 * 16777216,)]
+    df = spark.createDataFrame(ips, "ip32 long")
+    rows = {(r["o1"], r["o2"], r["o3"]): r["n"]
+            for r in urls.cidr_rollup(df).collect()}
+    assert rows[(None, None, None)] == 3       # grand total
+    assert rows[(10, None, None)] == 2         # /8
+    assert rows[(10, 1, None)] == 2            # /16
+    assert rows[(10, 1, 2)] == 1               # /24
+    assert rows[(192, 0, 0)] == 1
+
+# ----------------------------------------------------- pk discovery
+
+
+def test_pk_discovery_flags(spark):
+    from eventrelationextractor_spark.ops import urls
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "eid long, t string")
+    out = {r["combo"]: (r["n_rows"], r["n_distinct"], r["is_key"])
+           for r in urls.pk_discovery(
+               df, [("eid", F.col("eid").cast("string")),
+                    ("t", F.col("t"))]).collect()}
+    assert out["eid"] == (3, 3, True)
+    assert out["t"] == (3, 2, False)
