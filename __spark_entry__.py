@@ -6299,6 +6299,28 @@ def _q_pk_discovery(spark, sf_dir):
     return urls.pk_discovery(d, combos)
 
 
+def _q_max_concurrency(spark, sf_dir):
+    """Max interval overlap per user (ops/events.py::
+    max_concurrency): +1/-1 boundary sweep with half-open [s, s+d)
+    semantics (ends sort before starts via delta order), earliest
+    peak instant via max(struct(run, -t)) — the capacity question
+    beside interval_scheduling and interval_coverage."""
+    d = (_events(spark, sf_dir)
+         .withColumn("us", events.ntz_epoch_us("ts"))
+         .select("user_id",
+                 F.expr("us div 1000000").alias("start_s"),
+                 ((F.col("event_id") % 7 + 1) * 60).alias("dur_s")))
+    return events.max_concurrency(d)
+
+
+def _q_longest_streak(spark, sf_dir):
+    """Longest same-type run per user (ops/events.py::
+    longest_streak): gaps-and-islands via the row_number difference,
+    winner by max(struct(len, type)) — all windows user-
+    partitioned."""
+    return events.longest_streak(_events(spark, sf_dir))
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6729,6 +6751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cliffs_delta": _q_cliffs_delta,
         "ip_cidr_rollup": _q_ip_cidr_rollup,
         "pk_discovery": _q_pk_discovery,
+        "max_concurrency": _q_max_concurrency,
+        "longest_streak": _q_longest_streak,
     }
 
 
@@ -16674,7 +16698,45 @@ FROM documents""",
         "cliffs_delta": _CLIFFS_ORACLE,
         "ip_cidr_rollup": _CIDR_ORACLE,
         "pk_discovery": _PK_ORACLE,
+        "max_concurrency": _MAXCONC_ORACLE,
+        "longest_streak": _STREAK_ORACLE,
     }
+
+
+_MAXCONC_ORACLE = """
+WITH iv AS (SELECT user_id AS u, epoch_us(ts) // 1000000 AS s,
+              ((event_id % 7) + 1) * 60 AS d FROM events),
+b AS (SELECT u, s AS t, 1 AS dd FROM iv
+      UNION ALL SELECT u, s + d, -1 FROM iv),
+r AS (SELECT u, t,
+        sum(dd) OVER (PARTITION BY u ORDER BY t, dd) AS run
+      FROM b),
+n AS (SELECT u, count(*) AS n_intervals FROM iv GROUP BY u),
+mx AS (SELECT u, max(struct_pack(run := run, negt := -t)) AS m
+       FROM r GROUP BY u)
+SELECT n.u AS user_id, CAST(n.n_intervals AS BIGINT) AS n_intervals,
+       CAST((mx.m).run AS BIGINT) AS max_overlap,
+       CAST(-(mx.m).negt AS BIGINT) AS at_s
+FROM n JOIN mx ON mx.u = n.u
+"""
+
+_STREAK_ORACLE = """
+WITH e AS (SELECT user_id AS u, event_type AS ty, ts,
+                  event_id AS eid FROM events),
+i AS (SELECT u, ty,
+        row_number() OVER (PARTITION BY u ORDER BY ts, eid)
+        - row_number() OVER (PARTITION BY u, ty ORDER BY ts, eid)
+          AS isl
+      FROM e),
+runs AS (SELECT u, ty, isl, count(*) AS len
+         FROM i GROUP BY u, ty, isl),
+best AS (SELECT u, sum(len) AS n_events,
+                max(struct_pack(len := len, t := ty)) AS m
+         FROM runs GROUP BY u)
+SELECT u AS user_id, CAST(n_events AS BIGINT) AS n_events,
+       (m).t AS best_type, CAST((m).len AS BIGINT) AS best_len
+FROM best
+"""
 
 
 _CIDR_ORACLE = """

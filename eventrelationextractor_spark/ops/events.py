@@ -2242,3 +2242,65 @@ def lis_per_user(df: DataFrame, user_col: str = "user_id",
 
     return (df.select(user_col, value_col, ts_col, id_col)
             .groupBy(user_col).applyInPandas(fn, out_schema))
+
+
+def max_concurrency(df: DataFrame, user_col: str = "user_id",
+                    start_col: str = "start_s",
+                    dur_col: str = "dur_s") -> DataFrame:
+    """Maximum interval overlap per user -> (user, n_intervals,
+    max_overlap, at_s): the classic +1/-1 boundary sweep — how many
+    sessions/jobs run concurrently at the worst moment (the capacity
+    question interval_scheduling's admission count and
+    interval_coverage's union length don't answer). Ends sort before
+    starts at the same instant ([s, e) half-open), encoded by delta
+    ordering (-1 first): cumsum over (t, delta) per user, argmax =
+    max(struct(run, -t)) so the EARLIEST peak instant is reported —
+    pure aggregation after one user-partitioned window."""
+    s = df.select(F.col(user_col).alias("u"),
+                  F.col(start_col).cast("long").alias("t"),
+                  F.lit(1).alias("d"))
+    e = df.select(F.col(user_col).alias("u"),
+                  (F.col(start_col) + F.col(dur_col)).cast("long")
+                  .alias("t"), F.lit(-1).alias("d"))
+    w = Window.partitionBy("u").orderBy("t", "d")
+    run = (s.unionByName(e)
+           .withColumn("run", F.sum("d").over(w).cast("long")))
+    n = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"))
+    mx = (run.groupBy("u")
+          .agg(F.max(F.struct(F.col("run"),
+                              (-F.col("t")).alias("negt"))).alias("m"))
+          .select("u", F.col("m.run").alias("max_overlap"),
+                  (-F.col("m.negt")).cast("long").alias("at_s")))
+    return (n.join(mx, "u")
+            .select(F.col("u").alias(user_col), "n_intervals",
+                    "max_overlap", "at_s"))
+
+
+def longest_streak(df: DataFrame, user_col: str = "user_id",
+                   type_col: str = "event_type", ts_col: str = "ts",
+                   id_col: str = "event_id") -> DataFrame:
+    """Longest same-type run per user -> (user, n_events, best_type,
+    best_len): the gaps-and-islands classic — island id = global
+    row_number minus per-type row_number over the (ts, id) order, so
+    consecutive equal types share an island; run lengths are one
+    groupBy away and the winner is max(struct(len, type)) with the
+    type tie-break made deterministic by naming it. All windows are
+    user-partitioned."""
+    wa = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    wt = Window.partitionBy(user_col, type_col).orderBy(ts_col,
+                                                       id_col)
+    isl = (df.select(user_col, type_col, ts_col, id_col)
+           .withColumn("isl", F.row_number().over(wa)
+                       - F.row_number().over(wt)))
+    runs = (isl.groupBy(user_col, type_col, "isl")
+            .agg(F.count(F.lit(1)).cast("long").alias("len")))
+    best = (runs.groupBy(user_col)
+            .agg(F.sum("len").cast("long").alias("n_events"),
+                 F.max(F.struct(F.col("len"),
+                                F.col(type_col).alias("t")))
+                 .alias("m"))
+            .select(user_col, "n_events",
+                    F.col("m.t").alias("best_type"),
+                    F.col("m.len").alias("best_len")))
+    return best

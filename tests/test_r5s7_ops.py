@@ -603,3 +603,30 @@ def test_pk_discovery_flags(spark):
                     ("t", F.col("t"))]).collect()}
     assert out["eid"] == (3, 3, True)
     assert out["t"] == (3, 2, False)
+
+# -------------------------------------------------- max concurrency
+
+
+def test_max_concurrency_half_open_and_peak(spark):
+    from eventrelationextractor_spark.ops import events as ev
+    # [0,10) [5,15) [10,20): at t=5 two overlap; t=10 end meets start
+    rows = [(1, 0, 10), (1, 5, 10), (1, 10, 10)]
+    df = spark.createDataFrame(rows,
+                               "user_id long, start_s long, dur_s long")
+    r = ev.max_concurrency(df).collect()[0]
+    assert (r["n_intervals"], r["max_overlap"], r["at_s"]) == (3, 2, 5)
+
+# ---------------------------------------------------- longest streak
+
+
+def test_longest_streak_islands(spark):
+    from eventrelationextractor_spark.ops import events as ev
+    seq = ["a", "a", "b", "b", "b", "a"]
+    rows = [(1, i + 1, f"2024-01-01 00:00:{i:02d}", t)
+            for i, t in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string,"
+        " event_type string") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    r = ev.longest_streak(df).collect()[0]
+    assert (r["n_events"], r["best_type"], r["best_len"]) == (6, "b", 3)
