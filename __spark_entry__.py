@@ -6321,6 +6321,23 @@ def _q_longest_streak(spark, sf_dir):
     return events.longest_streak(_events(spark, sf_dir))
 
 
+def _q_weighted_intervals(spark, sf_dir):
+    """Weighted interval scheduling (ops/events.py::
+    weighted_interval_scheduling) over the user_id%10 stratum with
+    w = event_id%10+1: the exact DP optimum the unweighted greedy
+    cannot give. Predecessor indexes are relational (correlated
+    end<=start count); the oracle carries the dp list through a
+    join-stepped recursive CTE (the knapsack state pattern)."""
+    d = (_events(spark, sf_dir)
+         .filter(F.col("user_id") % 10 == 0)
+         .withColumn("us", events.ntz_epoch_us("ts"))
+         .select("user_id", "event_id",
+                 F.expr("us div 1000000").alias("start_s"),
+                 ((F.col("event_id") % 7 + 1) * 60).alias("dur_s"),
+                 (F.col("event_id") % 10 + 1).alias("w")))
+    return events.weighted_interval_scheduling(d)
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6753,6 +6770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_discovery": _q_pk_discovery,
         "max_concurrency": _q_max_concurrency,
         "longest_streak": _q_longest_streak,
+        "weighted_intervals": _q_weighted_intervals,
     }
 
 
@@ -16700,7 +16718,39 @@ FROM documents""",
         "pk_discovery": _PK_ORACLE,
         "max_concurrency": _MAXCONC_ORACLE,
         "longest_streak": _STREAK_ORACLE,
+        "weighted_intervals": _WIS_ORACLE,
     }
+
+
+_WIS_ORACLE = """
+WITH RECURSIVE
+iv0 AS (SELECT user_id AS u, epoch_us(ts) // 1000000 AS s,
+          ((event_id % 7) + 1) * 60 AS d, event_id AS eid,
+          (event_id % 10) + 1 AS w
+        FROM events WHERE user_id % 10 = 0),
+iv AS (SELECT u, s, s + d AS e, w, eid,
+         row_number() OVER (PARTITION BY u
+                            ORDER BY s + d, s, eid) AS i
+       FROM iv0),
+p AS (SELECT a.u, a.i, a.w,
+        (SELECT count(*) FROM iv b
+         WHERE b.u = a.u AND b.i < a.i AND b.e <= a.s) AS pi
+      FROM iv a),
+meta AS (SELECT u, count(*) AS n FROM iv GROUP BY u),
+st(u, i, dp) AS (
+  SELECT u, 0, [CAST(0 AS BIGINT)] FROM meta
+  UNION ALL
+  SELECT s2.u, s2.i + 1,
+    list_append(s2.dp, greatest(s2.dp[s2.i + 1],
+                                s2.w + s2.dp[s2.pi + 1]))
+  FROM (SELECT st.u, st.i, st.dp, p.w, p.pi
+        FROM st JOIN p ON p.u = st.u AND p.i = st.i + 1) s2),
+fin AS (SELECT st.u, st.dp[m.n + 1] AS best FROM st
+        JOIN meta m ON st.u = m.u AND st.i = m.n)
+SELECT f.u AS user_id, CAST(m.n AS BIGINT) AS n_intervals,
+       CAST(f.best AS BIGINT) AS best_value
+FROM fin f JOIN meta m ON f.u = m.u
+"""
 
 
 _MAXCONC_ORACLE = """

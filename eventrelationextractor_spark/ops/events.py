@@ -2304,3 +2304,50 @@ def longest_streak(df: DataFrame, user_col: str = "user_id",
                     F.col("m.t").alias("best_type"),
                     F.col("m.len").alias("best_len")))
     return best
+
+
+def weighted_interval_scheduling(df: DataFrame,
+                                 user_col: str = "user_id",
+                                 start_col: str = "start_s",
+                                 dur_col: str = "dur_s",
+                                 weight_col: str = "w",
+                                 id_col: str = "event_id") -> DataFrame:
+    """Weighted interval scheduling optimum per user -> (user,
+    n_intervals, best_value): the exact-DP companion to
+    interval_scheduling's unweighted greedy (earliest-end-first is
+    OPTIMAL only when every interval weighs 1; with weights the
+    classic dp[i] = max(dp[i-1], w_i + dp[p_i]) over intervals
+    sorted by (end, start, id) is required, where p_i = how many
+    intervals end at-or-before interval i's start).
+
+    The predecessor index p_i is RELATIONAL work, not replay: with
+    ends sorted, p_i = count of ends <= start_i, computed per user
+    inside the kernel by a merge over the two sorted orders (the
+    same contract the DuckDB twin states as a correlated count).
+    applyInPandas per user, O(n log n); the oracle carries the dp
+    value LIST through a join-stepped recursive CTE (the knapsack
+    state pattern)."""
+    import pandas as pd
+    from bisect import bisect_right
+
+    out_schema = f"{user_col} long, n_intervals long, best_value long"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = int(pdf[user_col].iloc[0])
+        iv = sorted(
+            (int(s) + int(d), int(s), int(e), int(w))
+            for s, d, e, w in zip(pdf[start_col], pdf[dur_col],
+                                  pdf[id_col], pdf[weight_col]))
+        ends = [e for e, _, _, _ in iv]
+        dp = [0] * (len(iv) + 1)
+        for i, (_, s, _, w) in enumerate(iv, start=1):
+            p = bisect_right(ends, s, 0, i - 1)
+            take = w + dp[p]
+            dp[i] = take if take > dp[i - 1] else dp[i - 1]
+        return pd.DataFrame({user_col: [uid],
+                             "n_intervals": [len(iv)],
+                             "best_value": [dp[len(iv)]]})
+
+    return (df.select(user_col, start_col, dur_col, weight_col,
+                      id_col)
+            .groupBy(user_col).applyInPandas(fn, out_schema))

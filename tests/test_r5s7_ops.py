@@ -630,3 +630,19 @@ def test_longest_streak_islands(spark):
         .withColumn("ts", F.col("ts_s").cast("timestamp"))
     r = ev.longest_streak(df).collect()[0]
     assert (r["n_events"], r["best_type"], r["best_len"]) == (6, "b", 3)
+
+# ------------------------------------------- weighted intervals
+
+
+def test_weighted_interval_scheduling_beats_greedy(spark):
+    from eventrelationextractor_spark.ops import events as ev
+    # one heavy long job vs two light short ones the greedy would take
+    rows = [(1, 1, 0, 10, 100), (1, 2, 0, 4, 1), (1, 3, 5, 4, 1),
+            (2, 4, 0, 5, 7), (2, 5, 5, 5, 8)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, start_s long,"
+        " dur_s long, w long")
+    out = {r["user_id"]: (r["n_intervals"], r["best_value"])
+           for r in ev.weighted_interval_scheduling(df).collect()}
+    assert out[1] == (3, 100)     # take the heavy one, not 1+1
+    assert out[2] == (2, 15)      # touching endpoints compose
