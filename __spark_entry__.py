@@ -6338,6 +6338,21 @@ def _q_weighted_intervals(spark, sf_dir):
     return events.weighted_interval_scheduling(d)
 
 
+def _q_set_cover(spark, sf_dir):
+    """Greedy set cover (ops/mixing.py::greedy_set_cover) over the
+    doc_id%20 stratum with doc_id%13-suffixed terms (opens the
+    closed corpus vocabulary to ~400 terms so 8 rounds stay
+    informative): coverage-based data selection, 1-1/e greedy.
+    The oracle replays the rounds with doc term-lists as recursive
+    list state and the same (gain desc, doc asc) argmax."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0) \
+        .select("doc_id", F.expr(
+            "array_join(transform(split(text, ' '), "
+            "t -> concat(t, cast(doc_id % 13 as string))), ' ')")
+            .alias("text"))
+    return mixing.greedy_set_cover(d, k=8)
+
+
 def _q_json_schema_infer(spark, sf_dir):
     """Semi-structured schema inference (ops/maintenance.py::
     json_schema_infer) over a staged JSON column with a deliberately
@@ -6771,6 +6786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_concurrency": _q_max_concurrency,
         "longest_streak": _q_longest_streak,
         "weighted_intervals": _q_weighted_intervals,
+        "set_cover": _q_set_cover,
     }
 
 
@@ -16719,7 +16735,44 @@ FROM documents""",
         "max_concurrency": _MAXCONC_ORACLE,
         "longest_streak": _STREAK_ORACLE,
         "weighted_intervals": _WIS_ORACLE,
+        "set_cover": _SETCOVER_ORACLE,
     }
+
+
+_SETCOVER_ORACLE = """
+WITH RECURSIVE
+tk AS (SELECT DISTINCT doc_id AS d,
+         u.t || CAST(doc_id % 13 AS VARCHAR) AS t
+       FROM documents,
+            LATERAL unnest(string_split(text, ' ')) AS u(t)
+       WHERE doc_id % 20 = 0 AND u.t <> ''),
+dl AS (SELECT list(struct_pack(doc := d, terms := ts)
+                   ORDER BY d) AS docs
+       FROM (SELECT d, list(t ORDER BY t) AS ts
+             FROM tk GROUP BY d) z),
+st(r, covered, total, out_doc, out_gain) AS (
+  SELECT 0, []::VARCHAR[], CAST(0 AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM dl
+  UNION ALL
+  SELECT s.r + 1,
+         s.covered || list_filter(
+           list_filter(dl.docs, x -> x.doc = (s.pick).doc)[1].terms,
+           t -> NOT list_contains(s.covered, t)),
+         s.total + (s.pick).g,
+         (s.pick).doc, (s.pick).g
+  FROM (SELECT st.*,
+          list_max(list_transform(dl.docs, x -> struct_pack(
+            g := CAST(len(list_filter(x.terms,
+                   t -> NOT list_contains(st.covered, t)))
+                 AS BIGINT),
+            negd := -x.doc, doc := x.doc))) AS pick
+        FROM st, dl WHERE st.r < 8) s, dl
+  WHERE (s.pick).g > 0)
+SELECT r AS round, out_doc AS picked_doc, out_gain AS gain,
+       total AS covered_total
+FROM st WHERE r >= 1
+"""
 
 
 _WIS_ORACLE = """

@@ -449,3 +449,55 @@ def knapsack_select(df: DataFrame, group_col: str, weight_col: str,
                       F.col(weight_col).cast("long"),
                       F.col(value_col).cast("long"))
             .groupBy(group_col).applyInPandas(fn, out_schema))
+
+
+def greedy_set_cover(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     k: int = 8) -> DataFrame:
+    """Greedy set cover -> (round, picked_doc, gain, covered_total):
+    pick k documents that together cover as much of the corpus
+    vocabulary as possible — coverage-based data selection (the
+    submodular-maximization classic whose greedy is provably within
+    1-1/e of optimal; the coverage-driven complement of
+    dsir_selection's distribution matching and mixture_sample's
+    proportional draws). Tie-break (gain desc, doc asc).
+
+    Scale shape per round: explode DISTINCT (doc, term), anti-join
+    the broadcast covered-set (model-sized: bounded by vocabulary,
+    not corpus), one partial-agg count per doc, TakeOrdered 1. The
+    k-round loop is driver-steered with model-sized state only —
+    the kmeans/centroid pattern. The DuckDB twin replays the rounds
+    with the doc term-lists as recursive list state, so the caller
+    must stage a BOUNDED doc stratum (docstring contract; the gain
+    argmax is otherwise engine-identical by the same tie-break)."""
+    terms = (df.select(F.col(id_col).alias("d"),
+                       F.explode(F.split(F.col(text_col), " "))
+                       .alias("t"))
+             .filter(F.col("t") != "").distinct()
+             .localCheckpoint())
+    spark = df.sparkSession
+    covered: list = []
+    rows = []
+    total = 0
+    for r in range(1, int(k) + 1):
+        cur = terms
+        if covered:
+            cov_df = spark.createDataFrame(
+                [(t,) for t in covered], "t string")
+            cur = terms.join(F.broadcast(cov_df), "t", "left_anti")
+        top = (cur.groupBy("d")
+               .agg(F.count(F.lit(1)).cast("long").alias("g"))
+               .orderBy(F.col("g").desc(), F.col("d"))
+               .limit(1).collect())
+        if not top or top[0]["g"] == 0:
+            break
+        doc, gain = int(top[0]["d"]), int(top[0]["g"])
+        new_terms = [row["t"] for row in
+                     cur.filter(F.col("d") == doc)
+                     .select("t").collect()]
+        covered.extend(new_terms)
+        total += gain
+        rows.append((r, doc, gain, total))
+    return spark.createDataFrame(
+        rows, "round long, picked_doc long, gain long,"
+        " covered_total long")

@@ -646,3 +646,18 @@ def test_weighted_interval_scheduling_beats_greedy(spark):
            for r in ev.weighted_interval_scheduling(df).collect()}
     assert out[1] == (3, 100)     # take the heavy one, not 1+1
     assert out[2] == (2, 15)      # touching endpoints compose
+
+# -------------------------------------------------------- set cover
+
+
+def test_greedy_set_cover_rounds_and_ties(spark):
+    from eventrelationextractor_spark.ops import mixing
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "e f"), (4, "e f")],
+        "doc_id long, text string")
+    out = [(r["round"], r["picked_doc"], r["gain"], r["covered_total"])
+           for r in mixing.greedy_set_cover(df, k=4)
+           .orderBy("round").collect()]
+    # doc1 covers 4; then e,f from doc3 (tie with doc4 -> smaller id);
+    # doc2/doc4 add nothing -> loop stops after round 2
+    assert out == [(1, 1, 4, 4), (2, 3, 2, 6)]
